@@ -1,0 +1,40 @@
+"""conduino_spark — a PySpark-native analytics engine with the
+capabilities of mstksg/conduino (plus the relational + LLM-data-pipeline
+extensions the reference lacks, SURVEY.md §2.7/§7).
+
+Public surface:
+
+    from conduino_spark import *
+
+    p = source_list(range(1, 11)) | scan("sum") | sink_list()
+    run_pipe(p, spark)      # [1, 3, 6, 10, 15, 21, 28, 36, 45, 55]
+"""
+
+from conduino_spark.plans.core import (
+    SEQ, Pipeline, Sink, Source, Stage, identity_stage, run_pipe, with_seq_from,
+)
+from conduino_spark.session import get_spark
+from conduino_spark.sources import (
+    from_dataframe, gen_source, iterate_maybe, iterate_source, range_source,
+    read_parquet, read_table, repeat_m, repeat_maybe_m, repeat_source,
+    replicate_m, replicate_source, source_binary, source_list,
+    source_text_lines, unfold, unfold_either, unfold_maybe,
+)
+from conduino_spark.operators.elementwise import (
+    concat, concat_map, filter_, iter_m, map_, map_m, with_columns,
+)
+from conduino_spark.operators.segments import drop, drop_while, take, take_while
+from conduino_spark.operators.stateful import (
+    consecutive, map_accum, pairs, passthrough, scan,
+)
+from conduino_spark.operators.sinks import (
+    agg_sink, fold, fold_map, fold_monoid, foldl, foldr, head_, last_,
+    sink_count, sink_df, sink_list, sink_null, sink_parquet, sink_text,
+)
+from conduino_spark.operators.zip_alt import (
+    alt_sink, concat_sources, fuse_both, fuse_upstream, uncons_zip_source,
+    zip_sink, zip_source,
+)
+
+__all__ = [n for n in dir() if not n.startswith("_")]
+__version__ = "0.1.0"

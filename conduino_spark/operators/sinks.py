@@ -1,0 +1,178 @@
+"""Sinks — terminal folds / aggregations (SURVEY §2.5).
+
+A sink's ``run`` triggers the Spark action and returns the pipe's
+terminal result ``a`` (Internal.hs:97-98) to the driver.  Builtin
+reducers compile to ``df.agg`` (map-side partial aggregation — the
+scale path); only ``sink_list`` materializes the stream.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from typing import Any, Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Sink
+
+
+def sink_list(*, col: str = "v") -> Sink:
+    """``sinkList`` (Combinators.hs:516-518) — collect the entire stream
+    in order (memory warning applies exactly as in the reference,
+    Combinators.hs:512-515: test/driver tool, not a 100 TB op)."""
+
+    def run(df: DataFrame):
+        cols = [c for c in df.columns if c != SEQ]
+        rows = df.orderBy(SEQ).select(*cols).collect()
+        if cols == [col]:
+            return [r[0] for r in rows]
+        return [tuple(r) for r in rows]
+
+    return Sink(run, name="sink_list")
+
+
+def sink_df() -> Sink:
+    """Engine extension: terminal result = the DataFrame itself (lazy).
+    This is how pipelines hand results to the driver contract."""
+    return Sink(lambda df: df, name="sink_df")
+
+
+def agg_sink(*aggs: Column, finish: Optional[Callable[[Any], Any]] = None,
+             name: str = "agg") -> Sink:
+    """Generic one-pass aggregation sink.  ``agg_cols`` metadata lets
+    ``zip_sink`` fuse several of these into ONE ``df.agg`` pass
+    (Data/Conduino.hs:654-660)."""
+
+    def run(df: DataFrame):
+        row = df.agg(*aggs).collect()[0]
+        vals = tuple(row)
+        out = vals[0] if len(vals) == 1 else vals
+        return finish(out) if finish else out
+
+    return Sink(run, name=name, agg_cols=list(aggs), agg_finish=finish)
+
+
+def fold(op: Union[str, Column] = "v", *, how: str = "sum",
+         initial: Any = None) -> Sink:
+    """``foldl`` with an associative reducer (Combinators.hs:480-486) —
+    aggregation without grouping, compiled to ``df.agg`` (partial
+    map-side combine, scale-safe).  ``how`` ∈ sum/min/max/count/avg/
+    product/first/last/collect."""
+    col = F.expr(op) if isinstance(op, str) else op
+    fns = {
+        "sum": F.sum, "min": F.min, "max": F.max, "count": F.count,
+        "avg": F.avg, "product": F.product,
+    }
+    if how not in fns:
+        raise ValueError(f"unknown reducer {how!r}")
+    agg = fns[how](col)
+
+    def finish(x):
+        if x is None and initial is not None:
+            return initial
+        if initial is not None and how == "sum":
+            return x + initial
+        return x
+
+    return agg_sink(agg.alias(how), finish=finish, name=f"fold_{how}")
+
+
+def foldl(f: Callable[[Any, Any], Any], z: Any, *, col: str = "v") -> Sink:
+    """General (possibly non-associative) ``foldl`` (Combinators.hs:480-486).
+
+    Order-dependent sequential state — the same parallelism loss the
+    reference has (single-threaded).  Implemented as ordered
+    ``toLocalIterator`` fold so the stream is never fully materialized
+    on the driver; for associative reducers use :func:`fold` (df.agg).
+    """
+
+    def run(df: DataFrame):
+        acc = z
+        for row in df.orderBy(SEQ).select(col).toLocalIterator():
+            acc = f(acc, row[0])
+        return acc
+
+    return Sink(run, name="foldl")
+
+
+def foldr(f: Callable[[Any, Any], Any], z: Any, *, col: str = "v") -> Sink:
+    """``foldr`` (Combinators.hs:468-474) — reverse-order fold."""
+
+    def run(df: DataFrame):
+        acc = z
+        for row in df.orderBy(F.desc(SEQ)).select(col).toLocalIterator():
+            acc = f(row[0], acc)
+        return acc
+
+    return Sink(run, name="foldr")
+
+
+def fold_monoid(*, how: str = "sum", col: str = "v") -> Sink:
+    """``fold`` (Combinators.hs:490-492) — monoidal fold; the monoid is
+    declared (sum/min/max/collect) so Spark can combine partials."""
+    return fold(col, how=how)
+
+
+def fold_map(expr: Union[str, Column], *, how: str = "sum") -> Sink:
+    """``foldMap`` (Combinators.hs:507-509) — project then monoid-fold
+    (docs build sum/maximum this way, Combinators.hs:497-506)."""
+    return fold(expr, how=how)
+
+
+def last_(*, col: str = "v") -> Sink:
+    """``last`` (Combinators.hs:558-564): None on empty stream."""
+
+    def run(df: DataFrame):
+        rows = df.orderBy(F.desc(SEQ)).limit(1).select(col).collect()
+        return rows[0][0] if rows else None
+
+    return Sink(run, name="last")
+
+
+def head_(*, col: str = "v") -> Sink:
+    """Head-of-stream = "just await" (Combinators.hs:556-557)."""
+
+    def run(df: DataFrame):
+        rows = df.orderBy(SEQ).limit(1).select(col).collect()
+        return rows[0][0] if rows else None
+
+    return Sink(run, name="head")
+
+
+def sink_null() -> Sink:
+    """``sinkNull`` (Combinators.hs:550-553) — drain and discard.
+    ``noop`` write format is the canonical full-scan action."""
+
+    def run(df: DataFrame):
+        df.write.format("noop").mode("overwrite").save()
+        return None
+
+    return Sink(run, name="sink_null")
+
+
+def sink_count() -> Sink:
+    return agg_sink(F.count("*").alias("n"), name="sink_count")
+
+
+def sink_parquet(path: str, *, mode: str = "overwrite") -> Sink:
+    """``sinkHandle`` (Combinators.hs:291-297) generalized to a
+    format-aware writer (reference gap, SURVEY §2.7)."""
+
+    def run(df: DataFrame):
+        df.drop(SEQ).write.mode(mode).parquet(path)
+        return path
+
+    return Sink(run, name=f"sink_parquet({path})")
+
+
+def sink_text(path: str, *, col: str = "v", mode: str = "overwrite") -> Sink:
+    """``stdout``/``sinkHandle`` text flavor: one line per element."""
+
+    def run(df: DataFrame):
+        df.orderBy(SEQ).select(F.col(col).cast("string").alias("value")) \
+          .write.mode(mode).text(path)
+        return path
+
+    return Sink(run, name=f"sink_text({path})")

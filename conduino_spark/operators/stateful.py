@@ -1,0 +1,208 @@
+"""Ordered / stateful operators: scan, mapAccum, pairs, consecutive,
+passthrough (SURVEY §2.4 ordered rows, §7 M2).
+
+Total order vs parallelism (SURVEY §7 "what's hard" #1): associative
+state vectorizes as a DISTRIBUTED TWO-PHASE PREFIX SCAN —
+  phase 1: range-partition by ``__seq``; per-partition running
+           aggregate (window partitioned by partition id: parallel);
+  phase 2: per-partition totals (one tiny row each) are prefix-combined
+           on the driver-sized side and broadcast-joined back.
+No global single-partition window anywhere on the scale path; the
+shuffle is ONE range repartition, reused by both phases (Spark
+ReuseExchange).  Non-associative ``mapAccum`` is inherently sequential
+(so is the reference — it is single-threaded); we provide the honest
+single-pass ``mapInPandas`` fallback and document the loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Stage
+
+_SCAN_FNS = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+_COMBINE = {
+    "sum": lambda loc, off: loc + F.coalesce(off, F.lit(0)),
+    "count": lambda loc, off: loc + F.coalesce(off, F.lit(0)),
+    "min": lambda loc, off: F.least(loc, F.coalesce(off, loc)),
+    "max": lambda loc, off: F.greatest(loc, F.coalesce(off, loc)),
+}
+
+
+def _with_pid(df: DataFrame, npart: Optional[int] = None) -> DataFrame:
+    """Range-partition by __seq and materialize the partition id.
+
+    Range partitioner assigns ascending __seq ranges to ascending
+    partition indices, so (pid, __seq) is the global order.
+    """
+    part = df.repartitionByRange(npart, SEQ) if npart else df.repartitionByRange(SEQ)
+    return part.withColumn("__pid", F.spark_partition_id())
+
+
+def scan(how: str = "sum", expr: Union[str, Column] = "v", *, out: str = "v",
+         strategy: str = "chunked", npart: Optional[int] = None,
+         keep: bool = False) -> Stage:
+    """``scan`` (Combinators.hs:362-371): running left fold, yields every
+    accumulator, initial seed NOT yielded (README.md:17-20 golden:
+    ``scan (+) 0`` over 1..10 ⇒ [1,3,6,...,55]).
+
+    ``how``: declared-associative reducer (sum/min/max/count) — the
+    declaration is what unlocks the parallel two-phase plan (SURVEY §4
+    custom job (c)).  ``strategy='window'`` = simple global window
+    (small data / test oracle); ``'chunked'`` = two-phase prefix scan
+    (the 100 TB path).  Non-associative f → use :func:`map_accum`.
+    """
+    if how not in _SCAN_FNS:
+        raise ValueError(f"scan requires a declared-associative reducer, got {how!r}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    aggf, comb = _SCAN_FNS[how], _COMBINE[how]
+
+    def fn_window(df: DataFrame) -> DataFrame:
+        w = W.orderBy(SEQ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        res = df.withColumn(out, aggf(col).over(w))
+        return res if keep else res.select(SEQ, out if out == "v" else F.col(out).alias(out))
+
+    def fn_chunked(df: DataFrame) -> DataFrame:
+        part = _with_pid(df, npart)
+        wloc = (W.partitionBy("__pid").orderBy(SEQ)
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        local = part.withColumn("__loc", aggf(col).over(wloc))
+        # phase 2: per-partition totals → exclusive prefix combine.
+        totals = part.groupBy("__pid").agg(aggf(col).alias("__tot"))
+        woff = (W.orderBy("__pid")
+                 .rowsBetween(W.unboundedPreceding, -1))  # tiny DF: npart rows
+        offsets = totals.withColumn("__off", aggf(F.col("__tot")).over(woff)) \
+                        .select("__pid", "__off")
+        res = (local.join(F.broadcast(offsets), "__pid")
+                    .withColumn(out, comb(F.col("__loc"), F.col("__off")))
+                    .drop("__pid", "__loc", "__off"))
+        if keep:
+            return res
+        return res.select(SEQ, F.col(out).alias(out) if out != "v" else F.col("v"))
+
+    fn = fn_window if strategy == "window" else fn_chunked
+    return Stage(fn, name=f"scan_{how}")
+
+
+def map_accum(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
+              returns: str = "double", col: str = "v") -> Stage:
+    """``mapAccum`` (Combinators.hs:344-353): general order-dependent
+    per-element state ``(i, s) -> (s, o)``.
+
+    THE documented sequential case (SURVEY §7 hard #1): arbitrary state
+    does not parallelize; the reference runs it single-threaded too.
+    Implementation: one sorted pass via Arrow ``mapInPandas`` on a
+    single range partition.  When the accumulator is associative,
+    declare it and use :func:`scan` instead (parallel plan).
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        schema = f"{SEQ} long, v {returns}"
+        in_cols = [SEQ, col]
+
+        def run(batches: Iterable[pd.DataFrame]):
+            s = seed
+            for pdf in batches:
+                outs = []
+                for v in pdf[col]:
+                    s, o = step(v, s)
+                    outs.append(o)
+                yield pd.DataFrame({SEQ: pdf[SEQ], "v": outs})
+
+        return (df.select(*in_cols)
+                  .repartitionByRange(1, SEQ)
+                  .sortWithinPartitions(SEQ)
+                  .mapInPandas(run, schema))
+
+    return Stage(fn, name="map_accum")
+
+
+def pairs(*, col: str = "v", strategy: str = "chunked",
+          npart: Optional[int] = None) -> Stage:
+    """``pairs`` (Combinators.hs:379-385): consecutive overlapping pairs
+    [1..5] ⇒ (1,2),(2,3),(3,4),(4,5).
+
+    Chunked plan: per-partition ``lag`` (parallel) + stitch partition
+    boundaries by shipping each partition's LAST row (tiny: npart rows)
+    to the next partition via broadcast join — no global window.
+    """
+
+    def fn_window(df: DataFrame) -> DataFrame:
+        w = W.orderBy(SEQ)
+        return (df.select(SEQ, F.lag(col, 1).over(w).alias("fst"),
+                          F.col(col).alias("snd"))
+                  .where(F.col("fst").isNotNull()))
+
+    def fn_chunked(df: DataFrame) -> DataFrame:
+        part = _with_pid(df, npart)
+        wloc = W.partitionBy("__pid").orderBy(SEQ)
+        local = part.select("__pid", SEQ, F.lag(col, 1).over(wloc).alias("fst"),
+                            F.col(col).alias("snd"))
+        # last element of each partition, addressed to the NEXT partition
+        wdesc = W.partitionBy("__pid").orderBy(F.desc(SEQ))
+        lasts = (part.withColumn("__rn", F.row_number().over(wdesc))
+                     .where("__rn = 1")
+                     .select((F.col("__pid") + 1).alias("__pid"),
+                             F.col(col).alias("__prev")))
+        res = (local.join(F.broadcast(lasts), "__pid", "left")
+                    .withColumn("fst", F.coalesce("fst", "__prev"))
+                    .where(F.col("fst").isNotNull())
+                    .select(SEQ, "fst", "snd"))
+        return res
+
+    fn = fn_window if strategy == "window" else fn_chunked
+    return Stage(fn, name="pairs", seq_preserving=False)
+
+
+def consecutive(n: int, *, col: str = "v", full_only: bool = False) -> Stage:
+    """``consecutive n`` (Combinators.hs:404-410): sliding windows of ≤ n
+    **yielded before consuming each element**, starting from the empty
+    prefix; one final window at termination.  [1..6], n=3 ⇒
+    [],[1],[1,2],[1,2,3],[2,3,4],[3,4,5],[4,5,6] (Combinators.hs:392-403).
+
+    Frame ``rowsBetween(-n, -1)`` (the last ≤n rows STRICTLY BEFORE the
+    current row) reproduces the yield-before-consume off-by-one (SURVEY
+    §2.4 pins it); the terminal window (last n elements) is appended
+    with ``__seq = max+1``.  ``full_only`` keeps only length-n windows
+    (the reference's ``filter ((== n) . length)`` idiom).
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        w = W.orderBy(SEQ).rowsBetween(-n, -1)
+        per_row = df.select(SEQ, F.collect_list(col).over(w).alias("v"))
+        tail = (df.orderBy(F.desc(SEQ)).limit(n)
+                  .agg((F.max(SEQ) + 1).alias(SEQ),
+                       F.array_sort(F.collect_list(F.struct(SEQ, F.col(col).alias("x"))))
+                        .alias("__s"))
+                  .select(SEQ, F.transform("__s", lambda s: s.x).alias("v")))
+        out = per_row.unionByName(tail)
+        if full_only:
+            out = out.where(F.size("v") == n)
+        return out
+
+    return Stage(fn, name=f"consecutive({n})", seq_preserving=False)
+
+
+def passthrough(stage: Stage, *, in_cols: Optional[list[str]] = None) -> Stage:
+    """``passthrough`` (Data/Conduino.hs:409-420): tag each output with
+    the input that triggered it.  For seq-preserving stages this is a
+    join on ``__seq`` (Spark's default behavior of keeping input columns
+    makes the common case free — this wrapper is for stages that drop
+    them)."""
+    if not stage.seq_preserving:
+        raise TypeError("passthrough requires a seq-preserving stage")
+
+    def fn(df: DataFrame) -> DataFrame:
+        inp = df
+        if in_cols:
+            inp = df.select(SEQ, *in_cols)
+        renamed = inp.select(
+            F.col(SEQ),
+            *[F.col(c).alias(f"in_{c}") for c in inp.columns if c != SEQ])
+        return stage(df).join(renamed, SEQ, "left")
+
+    return Stage(fn, name=f"passthrough({stage.name})")

@@ -1,0 +1,169 @@
+"""Parallel combination — the zip/alt algebra (SURVEY §2.2), conduino's
+only multi-stream operators (it has no keyed joins; those are engine
+extensions in operators/relational.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Sink, Source
+
+
+def _positional(df: DataFrame) -> DataFrame:
+    """Rank rows by __seq → dense positional index __pos.
+
+    Chunked (no global window): range-partition, local row_number,
+    plus broadcast per-partition row-count prefix offsets.
+    """
+    part = df.repartitionByRange(SEQ).withColumn("__pid", F.spark_partition_id())
+    wloc = W.partitionBy("__pid").orderBy(SEQ)
+    local = part.withColumn("__rn", F.row_number().over(wloc))
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.withColumn("__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))) \
+                 .select("__pid", "__off")
+    return (local.join(F.broadcast(offs), "__pid")
+                 .withColumn("__pos", F.col("__rn") + F.col("__off") - 1)
+                 .drop("__pid", "__rn", "__off"))
+
+
+def zip_source(a: Source, b: Source, *, suffixes: tuple[str, str] = ("_1", "_2")) -> Source:
+    """``zipSource`` (Data/Conduino.hs:512-515): run two sources in
+    lockstep, collate positionally, stop at the shorter.
+
+    Spark mapping (SURVEY §2.2): positional equi-join on the dense rank
+    of ``__seq`` — an inner join, so the shorter side truncates the
+    longer exactly like ListT.zip does.
+    """
+
+    def fn(spark: SparkSession) -> DataFrame:
+        da, db = _positional(a.df(spark)), _positional(b.df(spark))
+        la = da.select(F.col("__pos"),
+                       *[F.col(c).alias(c + suffixes[0]) for c in da.columns
+                         if c not in ("__pos", SEQ)])
+        lb = db.select(F.col("__pos"),
+                       *[F.col(c).alias(c + suffixes[1]) for c in db.columns
+                         if c not in ("__pos", SEQ)])
+        return (la.join(lb, "__pos")
+                  .withColumnRenamed("__pos", SEQ))
+
+    return Source(fn, name=f"zip({a.name},{b.name})")
+
+
+def concat_sources(a: Source, b: Source) -> Source:
+    """``ZipSource <|>`` (Data/Conduino.hs:523-525): exhaust first source,
+    then second — unionByName with a __seq offset to preserve order.
+    The offset is computed lazily (1-row agg broadcast), no collect."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        da, db = a.df(spark), b.df(spark)
+        off = da.agg((F.coalesce(F.max(SEQ), F.lit(-1)) + 1).alias("__off"))
+        shifted = (db.crossJoin(F.broadcast(off))
+                     .withColumn(SEQ, F.col(SEQ) + F.col("__off"))
+                     .drop("__off"))
+        return da.unionByName(shifted)
+
+    return Source(fn, name=f"concat({a.name},{b.name})")
+
+
+def uncons_zip_source(src: Source) -> tuple[Source, Source]:
+    """``unconsZipSource`` (Data/Conduino.hs:596-603): head/tail split."""
+    def head_fn(spark):
+        return src.df(spark).orderBy(SEQ).limit(1)
+
+    def tail_fn(spark):
+        df = src.df(spark)
+        b = df.agg(F.min(SEQ).alias("__b"))
+        return (df.crossJoin(F.broadcast(b))
+                  .where(F.col(SEQ) > F.col("__b")).drop("__b"))
+
+    return Source(head_fn, name="head"), Source(tail_fn, name="tail")
+
+
+def zip_sink(a: Sink, b: Sink) -> Sink:
+    """``zipSink`` (Data/Conduino.hs:654-660): broadcast every input to
+    both sinks, finish when both finish, tuple the results.
+
+    Spark mapping: when both sinks are pure aggregations, fuse into ONE
+    ``df.agg(...)`` pass (single scan, map-side partials — this is the
+    multi-aggregate law the reference gets from Applicative).  Otherwise
+    cache the input once and run both."""
+
+    def run(df: DataFrame):
+        if a.agg_cols is not None and b.agg_cols is not None:
+            na, nb = len(a.agg_cols), len(b.agg_cols)
+            row = df.agg(*a.agg_cols, *b.agg_cols).collect()[0]
+            vals = tuple(row)
+            ra = vals[0] if na == 1 else vals[:na]
+            rb = vals[na] if nb == 1 else vals[na:]
+            if a.agg_finish:
+                ra = a.agg_finish(ra)
+            if b.agg_finish:
+                rb = b.agg_finish(rb)
+            return (ra, rb)
+        cached = df.cache()
+        try:
+            return (a.run(cached), b.run(cached))
+        finally:
+            cached.unpersist()
+
+    return Sink(run, name=f"zip_sink({a.name},{b.name})")
+
+
+def alt_sink(a: Sink, b: Sink) -> Sink:
+    """``altSink`` (Data/Conduino.hs:664-670): broadcast input to both,
+    finish with the FIRST to finish (left-biased on ties / when neither
+    terminates early).
+
+    Spark relaxation (SURVEY §7 hard #3): both termination points are
+    computed explicitly (``termination_seq``); the earlier sink's result
+    is returned.  Sinks that only finish at end-of-stream have
+    termination None = +inf."""
+
+    def run(df: DataFrame):
+        ta = a.termination_seq(df) if a.termination_seq else None
+        tb = b.termination_seq(df) if b.termination_seq else None
+        if tb is not None and (ta is None or tb < ta):
+            return b.run(df)
+        return a.run(df)
+
+    return Sink(run, name=f"alt_sink({a.name},{b.name})")
+
+
+def fuse_both(src: Source, observe_aggs: list, sink: Sink):
+    """``fuseBoth`` / ``&|`` (Data/Conduino.hs:342-355): compose but keep
+    BOTH results — (upstream result, downstream result).
+
+    Spark mapping: the upstream result is computed as ``df.observe``
+    metrics (one pass, no extra scan) while the downstream sink drives
+    the action — exactly "two aggregates from one cached intermediate".
+    Returns a Pipeline-like runnable producing the tuple."""
+    from pyspark.sql import Observation
+
+    class _FuseBoth:
+        def run(self, spark: SparkSession):
+            obs = Observation()
+            df = src.df(spark).observe(obs, *observe_aggs)
+            down = sink.run(df)
+            up = tuple(obs.get.values())
+            if len(up) == 1:
+                up = up[0]
+            return (up, down)
+
+    return _FuseBoth()
+
+
+def fuse_upstream(src: Source, observe_aggs: list, sink: Sink):
+    """``fuseUpstream`` / ``|.`` (Data/Conduino.hs:372-378): compose,
+    keep only the upstream's result."""
+    fb = fuse_both(src, observe_aggs, sink)
+
+    class _FuseUp:
+        def run(self, spark: SparkSession):
+            return fb.run(spark)[0]
+
+    return _FuseUp()

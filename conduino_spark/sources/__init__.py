@@ -1,0 +1,246 @@
+"""Sources — conduino Combinators.hs §sources re-expressed on Spark.
+
+All sources are "scans" in relational terms (SURVEY §2.3).  Every source
+attaches the ``__seq`` order column.  The reference's only connectors
+are stdin/file handles (Combinators.hs:228-307); this engine adds the
+format-aware readers (parquet/csv/json/text/binaryFile) the reference
+lacks (SURVEY §2.7) as pure Spark built-ins.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conduino_spark.plans.core import SEQ, Source, with_seq_from
+
+
+def _rows_from_values(values: Sequence[Any]) -> tuple[list, Optional[T.StructType]]:
+    """Scalar values become single-column ``v`` rows; dicts/Rows pass through."""
+    vals = list(values)
+    if vals and isinstance(vals[0], dict):
+        return [dict(r, **{SEQ: i}) for i, r in enumerate(vals)], None
+    schema = T.StructType([
+        T.StructField(SEQ, T.LongType(), False),
+        T.StructField("v", _infer_scalar_type(vals), True),
+    ])
+    return [(i, v) for i, v in enumerate(vals)], schema
+
+
+def _infer_scalar_type(vals: list) -> T.DataType:
+    for v in vals:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        if isinstance(v, (list, tuple)):
+            return T.ArrayType(T.LongType())
+    return T.LongType()
+
+
+def source_list(values: Iterable[Any], *, name: str = "source_list") -> Source:
+    """``sourceList`` (Combinators.hs:175-177) — the canonical test source.
+
+    Yields every element of a container; ``__seq`` = enumeration index.
+    """
+    vals = list(values)
+
+    def fn(spark: SparkSession) -> DataFrame:
+        rows, schema = _rows_from_values(vals)
+        if schema is None:
+            return spark.createDataFrame(rows)
+        return spark.createDataFrame(rows, schema)
+
+    return Source(fn, name=name)
+
+
+def range_source(n: int, *, start: int = 0, step: int = 1,
+                 num_partitions: Optional[int] = None) -> Source:
+    """Dense integer stream via ``spark.range`` — fully parallel, no
+    driver materialization (the scale path for synthetic streams)."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = spark.range(start, start + n * step, step, num_partitions)
+        return df.select(
+            ((F.col("id") - F.lit(start)) / F.lit(step)).cast("long").alias(SEQ),
+            F.col("id").alias("v"),
+        )
+
+    return Source(fn, name=f"range({n})")
+
+
+# -- unfold family (Combinators.hs:97-172) ------------------------------
+# Driver-side generators: inherently sequential state (the reference is
+# single-threaded too).  Bounded prefixes of closed-form streams should
+# use range_source + an expression instead (documented scale path).
+
+def unfold_maybe(step: Callable[[Any], Optional[tuple[Any, Any]]], seed: Any,
+                 *, max_elems: int = 1_000_000) -> Source:
+    """``unfoldMaybe`` (Combinators.hs:110-115): stateful generator until None."""
+
+    def gen():
+        s = seed
+        for _ in range(max_elems):
+            r = step(s)
+            if r is None:
+                return
+            o, s = r
+            yield o
+
+    return source_list(list(gen()), name="unfold_maybe")
+
+
+def unfold_either(step: Callable[[Any], Any], seed: Any, *,
+                  max_elems: int = 1_000_000) -> tuple[Source, Any]:
+    """``unfoldEither`` (Combinators.hs:97-106): unfold that stops WITH a
+    typed result.  Returns (source, terminal_result) — the ``a`` channel
+    is driver-side plumbing (SURVEY §1.3 on the ``u`` channel)."""
+    out, result, s = [], None, seed
+    for _ in range(max_elems):
+        r = step(s)
+        if not isinstance(r, tuple):
+            result = r
+            break
+        o, s = r
+        out.append(o)
+    return source_list(out, name="unfold_either"), result
+
+
+def unfold(step: Callable[[Any], tuple[Any, Any]], seed: Any, *, take: int) -> Source:
+    """``unfold`` (Combinators.hs:121-130) is infinite; a bounded prefix
+    must be requested (``take``) for batch execution.  Unbounded use =
+    streaming rate source (conduino_spark.streaming)."""
+    def stepper(s):
+        return step(s)
+    out, s = [], seed
+    for _ in range(take):
+        o, s = stepper(s)
+        out.append(o)
+    return source_list(out, name="unfold")
+
+
+def iterate_source(f: Callable[[Any], Any], x0: Any, *, take: int) -> Source:
+    """``iterate`` (Combinators.hs:167-172): f x0, f (f x0), ... —
+    EXCLUDES the seed (Combinators.hs:153-166; golden-tested)."""
+    out, x = [], x0
+    for _ in range(take):
+        x = f(x)
+        out.append(x)
+    return source_list(out, name="iterate")
+
+
+def iterate_maybe(f: Callable[[Any], Optional[Any]], x0: Any,
+                  *, max_elems: int = 1_000_000) -> Source:
+    """``iterateMaybe`` (Combinators.hs:143-148): iterate until None."""
+    out, x = [], x0
+    for _ in range(max_elems):
+        x = f(x)
+        if x is None:
+            break
+        out.append(x)
+    return source_list(out, name="iterate_maybe")
+
+
+def repeat_source(x: Any, *, take: int) -> Source:
+    """``repeat`` (Combinators.hs:180-182): constant forever; bounded
+    prefix for batch (streaming: rate + lit)."""
+    def fn(spark: SparkSession) -> DataFrame:
+        return spark.range(take).select(F.col("id").alias(SEQ), F.lit(x).alias("v"))
+    return Source(fn, name=f"repeat({x!r})")
+
+
+def replicate_source(n: int, x: Any) -> Source:
+    """``replicate`` (Combinators.hs:185-187): spark.range(n) + lit —
+    distributed, no driver list."""
+    return repeat_source(x, take=n)
+
+
+def repeat_m(eff: Callable[[], Any], *, take: int) -> Source:
+    """``repeatM`` (Combinators.hs:313-320): driver effect per element,
+    bounded prefix."""
+    return source_list([eff() for _ in range(take)], name="repeat_m")
+
+
+def repeat_maybe_m(eff: Callable[[], Optional[Any]], *, max_elems: int = 1_000_000) -> Source:
+    """``repeatMaybeM`` (Combinators.hs:206-211): poll effect until None —
+    the basis of the reference's file sources."""
+    out = []
+    for _ in range(max_elems):
+        v = eff()
+        if v is None:
+            break
+        out.append(v)
+    return source_list(out, name="repeat_maybe_m")
+
+
+def replicate_m(n: int, eff: Callable[[], Any]) -> Source:
+    """``replicateM`` (Combinators.hs:218-224)."""
+    return repeat_m(eff, take=n)
+
+
+# -- file / handle sources (Combinators.hs:228-307) ----------------------
+
+def source_text_lines(path: str, *, name: str = "text_lines") -> Source:
+    """``sourceHandleLines`` / ``sourceHandleLinesText``
+    (Combinators.hs:245-275): one row per line, blank lines PASSED
+    (since 0.2.3.0, CHANGELOG.md:23-24).  ``spark.read.text`` gives one
+    row per line; __seq = file order."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = spark.read.text(path).withColumnRenamed("value", "line")
+        return with_seq_from(df)
+
+    return Source(fn, name=name)
+
+
+def source_binary(path: str) -> Source:
+    """``sourceHandle`` (Combinators.hs:280-288): chunked binary.
+    ``binaryFile`` format reads whole files as BinaryType + metadata;
+    chunking is Spark's job (partitioned columnar scan)."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = spark.read.format("binaryFile").load(path)
+        return with_seq_from(df.select("path", "length", "content"))
+
+    return Source(fn, name="binary")
+
+
+def read_parquet(path: str, *, seq_col: Optional[str] = None,
+                 name: Optional[str] = None) -> Source:
+    """Format-aware scan (reference gap, SURVEY §2.7).  ``seq_col``
+    designates an existing unique key as the stream order — zero-cost
+    at any scale (no global sort, no row_number)."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = spark.read.parquet(path)
+        return with_seq_from(df, seq_col) if seq_col else df
+
+    return Source(fn, name=name or f"parquet({path})")
+
+
+def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None) -> Source:
+    """Driver testdata table (TESTDATA.md)."""
+    return read_parquet(f"{sf_dir}/{table}.parquet", seq_col=seq_col, name=table)
+
+
+def gen_source(gen: Callable[[], Iterable[Any]]) -> Source:
+    """``genSource`` (Data/Conduino.hs:570-577): generator ⇒ source."""
+    return source_list(list(gen()), name="gen_source")
+
+
+def from_dataframe(df: DataFrame, *, seq_col: Optional[str] = None,
+                   name: str = "df") -> Source:
+    """Wrap an existing DataFrame as a Source (``fromListT``-ish interop,
+    Data/Conduino.hs:552-564)."""
+    out = with_seq_from(df, seq_col) if SEQ not in df.columns else df
+    return Source(lambda spark: out, name=name)
