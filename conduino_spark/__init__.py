@@ -35,6 +35,28 @@ from conduino_spark.operators.zip_alt import (
     alt_sink, concat_sources, fuse_both, fuse_upstream, uncons_zip_source,
     zip_sink, zip_source,
 )
+from conduino_spark.operators.relational import (
+    cube_agg, distinct, event_window, except_all, group_agg, intersect, join,
+    order_by, ranked, rollup_agg, select, session_window, sql_stage, top_k,
+    union_all,
+)
+from conduino_spark.operators.text import (
+    fingerprint, lang_id, quality_score, token_count, tokenize,
+)
+from conduino_spark.operators.dedup import (
+    dedup_exact, embedding_near_dup_pairs, minhash_dedup, minhash_dedup_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
+)
+from conduino_spark.operators.similarity import (
+    cosine_to, ivf_search, knn_brute, knn_lsh, lsh_bucket,
+)
+from conduino_spark.operators.multimodal import (
+    feature_extract, frame_sample, image_metadata, image_resize,
+)
+from conduino_spark.lift import (
+    WriterTap, broadcast_env, catch_p, except_p, exec_writer_p, feedback_pipe,
+    partition_errors, reader_p, run_state_p,
+)
 
 __all__ = [n for n in dir() if not n.startswith("_")]
 __version__ = "0.1.0"

@@ -1,0 +1,254 @@
+"""Deduplication for LLM-data pipelines (north star, BASELINE.json):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+  * exact dedup: ONE hash-shuffle on a 16-byte digest, never on the
+    full text column.
+  * MinHash+LSH: per-doc signature is a narrow projection (no shuffle);
+    candidate generation is a self-equi-join on (band_id, band_hash) —
+    the classic band-bucket join whose cost is ~sum of squared bucket
+    sizes, not n².  No pairwise comparison outside buckets.
+  * SimHash: same banding idea on bit-slices of the signature.
+  * n-gram Jaccard: exact verification, run ONLY on LSH candidates.
+  * embedding near-dup: bucketed by coarse quantizer (IVF-style);
+    brute-force only inside buckets.
+
+All hashes are md5-derived (functions/hashing.py) so each operator has
+a bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import Stage
+from conduino_spark.functions.hashing import MERSENNE31, h32, lcg_params
+from conduino_spark.operators.text import tokens_col
+
+# fixed MinHash configuration, shared with the oracle SQL
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+MINHASH_PARAMS = lcg_params(MINHASH_K)
+SHINGLE_N = 3
+
+
+def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles (distinct).  Empty when fewer than n tokens."""
+    toks = tokens_col(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def minhash_signature(text: Column) -> Column:
+    """Array of MINHASH_K minima: sig_j = min_{sh} (a_j·h32(sh)+b_j) % P.
+    NULL-free: docs with no shingles get P (sentinel max) everywhere."""
+    hashes = F.transform(shingles_col(text), h32)
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+
+    sigs = [
+        F.coalesce(F.array_min(F.transform(hashes, _perm(a, b))), F.lit(MERSENNE31))
+        for a, b in MINHASH_PARAMS
+    ]
+    return F.array(*sigs)
+
+
+def dedup_exact(text_col: str = "text", id_col: str = "doc_id", *,
+                keep: str = "min") -> Stage:
+    """Exact dedup: group by md5(text) digest, keep the min-id doc.
+    The shuffle key is the 16-byte digest — constant width regardless
+    of document size (partial agg kicks in map-side)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        agg = F.min(id_col) if keep == "min" else F.max(id_col)
+        keep_ids = (df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+                      .agg(agg.alias(id_col))
+                      .select(id_col))
+        return df.join(keep_ids, id_col, "semi")
+
+    return Stage(fn, name="dedup_exact", seq_preserving=False)
+
+
+def minhash_signatures(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+    """Per-doc MinHash signature (narrow projection, no shuffle)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+
+    return Stage(fn, name="minhash_signatures", seq_preserving=False)
+
+
+def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+    """Candidate near-dup pairs by MinHash LSH banding: docs sharing at
+    least one (band_id, band_hash) bucket.  Returns distinct
+    (id_a < id_b) pairs."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        sigs = df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+        bands = sigs.select(
+            id_col,
+            F.posexplode(F.array(*[
+                F.concat_ws(",", *[
+                    F.element_at("sig", b * MINHASH_ROWS + r + 1).cast("string")
+                    for r in range(MINHASH_ROWS)])
+                for b in range(MINHASH_BANDS)])).alias("band_id", "band_hash"),
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        pairs = (a.join(b, ["band_id", "band_hash"])
+                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   .select(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b"))
+                   .distinct())
+        return pairs
+
+    return Stage(fn, name="minhash_dedup_pairs", seq_preserving=False)
+
+
+def minhash_dedup(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+    """MinHash-LSH dedup: drop every doc that is LSH-similar to a
+    lower-id doc (connected-component-free greedy rule: survivor = not
+    the larger id of any candidate pair)."""
+    pairs_stage = minhash_dedup_pairs(text_col, id_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        pairs = pairs_stage(df)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "anti")
+
+    return Stage(fn, name="minhash_dedup", seq_preserving=False)
+
+
+def simhash_signature(text: Column, *, bits: int = 32) -> Column:
+    """SimHash over token hashes: bit i of the signature = sign of
+    Σ_tokens (bit_i(h32(tok)) ? +1 : −1).  Duplicate tokens count with
+    multiplicity (no distinct) — standard SimHash weighting by tf."""
+    hashes = F.transform(tokens_col(text), h32)
+
+    def _bitsum(i: int):
+        return lambda s, h: s + F.when(h.bitwiseAND(F.lit(1 << i)) > 0,
+                                       F.lit(1)).otherwise(F.lit(-1))
+
+    acc = [F.aggregate(hashes, F.lit(0), _bitsum(i)) for i in range(bits)]
+    out = F.lit(0).cast("long")
+    for i, a in enumerate(acc):
+        out = out + F.when(a > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash(text_col: str = "text", id_col: str = "doc_id", *,
+            out: str = "simhash") -> Stage:
+    """Per-doc 32-bit SimHash (narrow projection, no shuffle)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col), simhash_signature(F.col(text_col)).alias(out))
+
+    return Stage(fn, name="simhash", seq_preserving=False)
+
+
+def simhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
+                        max_hamming: int = 3, bits: int = 32) -> Stage:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the signature into ``max_hamming + 1``
+    bit-slices — by pigeonhole, any pair within the distance budget
+    shares at least one INTACT slice, so the equi-join on
+    (band_id, band_val) has guaranteed recall; bit_count verifies
+    exactly.  More bands = more candidates: callers trade recall
+    distance for join fan-out explicitly."""
+    n_bands = max_hamming + 1
+    # nearly-equal bit slices covering all `bits`
+    cuts = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+
+    def fn(df: DataFrame) -> DataFrame:
+        sigs = df.select(F.col(id_col),
+                         simhash_signature(F.col(text_col)).alias("sh"))
+        slices = [
+            F.shiftright(F.col("sh"), cuts[b])
+             .bitwiseAND(F.lit((1 << (cuts[b + 1] - cuts[b])) - 1))
+            for b in range(n_bands)
+        ]
+        bands = sigs.select(
+            id_col, "sh",
+            F.posexplode(F.array(*slices)).alias("band_id", "band_val"))
+        a, b = bands.alias("a"), bands.alias("b")
+        return (a.join(b, ["band_id", "band_val"])
+                  .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                  .where(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= max_hamming)
+                  .select(F.col(f"a.{id_col}").alias("id_a"),
+                          F.col(f"b.{id_col}").alias("id_b"))
+                  .distinct())
+
+    return Stage(fn, name="simhash_dedup_pairs", seq_preserving=False)
+
+
+def ngram_jaccard_pairs(text_col: str = "text", id_col: str = "doc_id", *,
+                        threshold: float = 0.5, n: int = SHINGLE_N) -> Stage:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Plan: explode distinct shingles → self-equi-join on shingle (the
+    shared-shingle inverted index) → |A∩B| by count, |A∪B| = |A|+|B|−∩.
+    At scale the join key is a 32-bit shingle hash, and extremely
+    frequent shingles should be stop-listed; here the corpus is clean.
+    """
+
+    def fn(df: DataFrame) -> DataFrame:
+        sh = df.select(F.col(id_col),
+                       F.explode(F.transform(shingles_col(F.col(text_col), n), h32))
+                        .alias("g"))
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (a.join(b, "g")
+                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                            F.col(f"b.{id_col}").alias("id_b"))
+                   .agg(F.count("*").alias("i")))
+        sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+                     .withColumn("jaccard",
+                                 F.round(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6))
+                     .where(F.col("jaccard") >= threshold)
+                     .select("id_a", "id_b", "jaccard"))
+
+    return Stage(fn, name="ngram_jaccard_pairs", seq_preserving=False)
+
+
+def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id", *,
+                             threshold: float = 0.98,
+                             bucket_col: Optional[str] = "label") -> Stage:
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    ``bucket_col`` is the coarse quantizer (IVF cell / cluster id):
+    pairwise comparison happens only INSIDE buckets — the 100 TB
+    posture.  Pass ``bucket_col=None`` for exact brute force (test
+    scale only)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+        base = df.select(F.col(id_col), v.alias("v"), norm.alias("n"),
+                         *( [F.col(bucket_col).alias("bk")] if bucket_col else []))
+        a, b = base.alias("a"), base.alias("b")
+        on = [F.col("a.bk") == F.col("b.bk")] if bucket_col else []
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        joined = a.join(b, on + [cond] if on else [cond])
+        dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                          F.lit(0.0), lambda s, x: s + x)
+        return (joined
+                .withColumn("cosine", F.round(dot / (F.col("a.n") * F.col("b.n")), 6))
+                .where(F.col("cosine") >= threshold)
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"), "cosine"))
+
+    return Stage(fn, name="embedding_near_dup", seq_preserving=False)

@@ -1,0 +1,184 @@
+"""Relational extensions — the capability gaps SURVEY §2.7 lists as
+explicitly absent from the reference (keyed joins, grouped aggregation,
+distinct, rollup/cube, ranking windows, sorts, top-k, set ops, scalar
+functions, event-time windows).  All are pure Spark built-ins with zero
+custom logic; the engine's job is exposing them in the pipeline algebra
+and making the SCALE-CORRECT physical choice (broadcast vs shuffle,
+partial aggregation, sort-free top-k).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Source, Stage
+
+ExprLike = Union[Column, str]
+
+
+def _expr(e: ExprLike) -> Column:
+    return F.expr(e) if isinstance(e, str) else e
+
+
+def _drop_seq(df: DataFrame) -> DataFrame:
+    return df.drop(SEQ) if SEQ in df.columns else df
+
+
+def join(other: Source, on, *, how: str = "inner", broadcast: bool = False,
+         name: str = "join") -> Stage:
+    """Keyed join.  ``broadcast=True`` forces a broadcast-hash join for
+    small dimension sides (the 100 TB rule: every dim ≤ ~100 MB should
+    broadcast; fact-fact joins shuffle on the key).  AQE handles skew
+    when it's enabled (session default)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        right = _drop_seq(other.df(df.sparkSession))
+        if broadcast:
+            right = F.broadcast(right)
+        return _drop_seq(df).join(right, on, how)
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def group_agg(keys: Sequence[str], aggs: Mapping[str, ExprLike], *,
+              name: str = "group_agg") -> Stage:
+    """Grouped aggregation — hash aggregate with map-side partials
+    (Catalyst inserts the partial stage automatically)."""
+    cols = [_expr(e).alias(k) for k, e in aggs.items()]
+
+    def fn(df: DataFrame) -> DataFrame:
+        return _drop_seq(df).groupBy(*keys).agg(*cols)
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def rollup_agg(keys: Sequence[str], aggs: Mapping[str, ExprLike]) -> Stage:
+    cols = [_expr(e).alias(k) for k, e in aggs.items()]
+    return Stage(lambda df: _drop_seq(df).rollup(*keys).agg(*cols),
+                 name="rollup", seq_preserving=False)
+
+
+def cube_agg(keys: Sequence[str], aggs: Mapping[str, ExprLike]) -> Stage:
+    cols = [_expr(e).alias(k) for k, e in aggs.items()]
+    return Stage(lambda df: _drop_seq(df).cube(*keys).agg(*cols),
+                 name="cube", seq_preserving=False)
+
+
+def distinct(subset: Optional[Sequence[str]] = None) -> Stage:
+    """``dropDuplicates`` — shuffle on the subset key only."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = _drop_seq(df)
+        return d.dropDuplicates(list(subset)) if subset else d.distinct()
+
+    return Stage(fn, name="distinct", seq_preserving=False)
+
+
+def order_by(*cols: ExprLike, name: str = "order_by") -> Stage:
+    """Total sort (range-partitioned sample sort — Spark's only global
+    sort; use top_k when only a prefix is needed)."""
+    return Stage(lambda df: _drop_seq(df).orderBy(*[_expr(c) for c in cols]),
+                 name=name, seq_preserving=False)
+
+
+def top_k(k: int, *cols: ExprLike, name: str = "top_k") -> Stage:
+    """Top-k WITHOUT a global sort: Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject (per-partition heap + driver merge) — the only
+    sane plan at 100 TB."""
+    return Stage(lambda df: _drop_seq(df).orderBy(*[_expr(c) for c in cols]).limit(k),
+                 name=name, seq_preserving=False)
+
+
+def ranked(partition: Sequence[str], order: Sequence[ExprLike], *,
+           fn_name: str = "row_number", out: str = "rank", top: Optional[int] = None) -> Stage:
+    """Ranking window functions (row_number/rank/dense_rank/ntile) —
+    partitioned windows parallelize across keys (never a global
+    unpartitioned window on big data)."""
+    rank_fns = {"row_number": F.row_number, "rank": F.rank,
+                "dense_rank": F.dense_rank}
+
+    def fn(df: DataFrame) -> DataFrame:
+        w = W.partitionBy(*partition).orderBy(*[_expr(c) for c in order])
+        res = _drop_seq(df).withColumn(out, rank_fns[fn_name]().over(w))
+        return res.where(F.col(out) <= top) if top else res
+
+    return Stage(fn, name=f"ranked_{fn_name}", seq_preserving=False)
+
+
+def union_all(other: Source) -> Stage:
+    return Stage(lambda df: _drop_seq(df).unionByName(_drop_seq(other.df(df.sparkSession))),
+                 name="union_all", seq_preserving=False)
+
+
+def intersect(other: Source) -> Stage:
+    return Stage(lambda df: _drop_seq(df).intersect(_drop_seq(other.df(df.sparkSession))),
+                 name="intersect", seq_preserving=False)
+
+
+def except_all(other: Source, *, distinct_: bool = True) -> Stage:
+    def fn(df: DataFrame) -> DataFrame:
+        o = _drop_seq(other.df(df.sparkSession))
+        d = _drop_seq(df)
+        return d.exceptAll(o) if not distinct_ else d.subtract(o)
+    return Stage(fn, name="except", seq_preserving=False)
+
+
+def select(*exprs: ExprLike, name: str = "select") -> Stage:
+    """Scalar-function passthrough: any pyspark.sql.functions expression
+    (string/date/math/JSON — the reference has no scalar library at all,
+    SURVEY §2.7)."""
+    cols = [F.expr(e) if isinstance(e, str) else e for e in exprs]
+    return Stage(lambda df: df.select(*cols), name=name, seq_preserving=False)
+
+
+def sql_stage(query: str, *, view: str = "t", name: str = "sql") -> Stage:
+    """Full SQL over the current stream (registered as ``view``)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView(view)
+        return df.sparkSession.sql(query)
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def event_window(ts_col: str, duration: str, *, slide: Optional[str] = None,
+                 keys: Sequence[str] = (), aggs: Optional[Mapping[str, ExprLike]] = None,
+                 watermark: Optional[str] = None) -> Stage:
+    """Tumbling/sliding event-time windows (reference gap: time never
+    appears in its model, SURVEY §2.7).  Works identically on batch and
+    streaming DFs; ``watermark`` only applies to streaming."""
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    cols = [_expr(e).alias(k) for k, e in aggs.items()]
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = _drop_seq(df)
+        if watermark and d.isStreaming:
+            d = d.withWatermark(ts_col, watermark)
+        win = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+        return (d.groupBy(win.alias("w"), *keys)
+                 .agg(*cols)
+                 .select(F.col("w.start").alias("w_start"),
+                         F.col("w.end").alias("w_end"), *keys,
+                         *[F.col(k) for k in aggs]))
+
+    return Stage(fn, name="event_window", seq_preserving=False)
+
+
+def session_window(ts_col: str, gap: str, *, keys: Sequence[str] = (),
+                   aggs: Optional[Mapping[str, ExprLike]] = None) -> Stage:
+    """Session windows (gap-based).  Batch + streaming."""
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    cols = [_expr(e).alias(k) for k, e in aggs.items()]
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = _drop_seq(df)
+        return (d.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+                 .agg(*cols)
+                 .select(F.col("w.start").alias("w_start"),
+                         F.col("w.end").alias("w_end"), *keys,
+                         *[F.col(k) for k in aggs]))
+
+    return Stage(fn, name="session_window", seq_preserving=False)

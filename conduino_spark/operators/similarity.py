@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north star, BASELINE.json).
+
+* ``knn_brute``: exact top-k cosine — the correctness baseline.  At
+  scale this is ONE narrow scan + TakeOrderedAndProject (per-partition
+  heap, driver merge of k·partitions rows): no shuffle of the vectors.
+* ``knn_lsh`` / ``ivf_search``: the scale paths — restrict the scan to
+  LSH/IVF buckets so the candidate set is ~1/buckets of the corpus.
+
+Vector math is JVM-side ``F.zip_with``/``F.aggregate`` (codegen) —
+no Python per row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import Stage
+from conduino_spark.functions.hashing import lcg_params
+
+LSH_PLANES = 8  # 2^8 = 256 buckets
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_to(query: Sequence[float], vec_col: str = "embedding", *,
+              out: str = "cosine", ndigits: int = 6) -> Stage:
+    """Append cosine similarity to a fixed query vector (broadcast as a
+    literal array — zero data movement)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = sum(float(x) * float(x) for x in query) ** 0.5
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        cos = _dot(v, q) / (_norm(v) * F.lit(qn))
+        return df.withColumn(out, F.round(cos, ndigits))
+
+    return Stage(fn, name="cosine_to", seq_preserving=True)
+
+
+def knn_brute(query: Sequence[float], k: int = 10, *,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> Stage:
+    """Exact top-k by cosine: orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort, no shuffle of vectors."""
+    stage = cosine_to(query, vec_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        return (stage(df)
+                .select(id_col, "cosine")
+                .orderBy(F.desc("cosine"), F.col(id_col))
+                .limit(k))
+
+    return Stage(fn, name=f"knn_brute({k})", seq_preserving=False)
+
+
+def hyperplanes(dim: int, planes: int = LSH_PLANES, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-derived ±1 entries —
+    reproducible across engines and runs)."""
+    params = lcg_params(dim * planes, seed=seed)
+    out = []
+    it = iter(params)
+    for _ in range(planes):
+        out.append([1.0 if next(it)[0] % 2 else -1.0 for _ in range(dim)])
+    return out
+
+
+def lsh_bucket(vec_col: str = "embedding", *, dim: int, planes: int = LSH_PLANES,
+               out: str = "bucket") -> Stage:
+    """Random-hyperplane (SRP) LSH bucket id: bit i = sign(v·p_i).
+    Cosine-similar vectors collide with high probability."""
+    hp = hyperplanes(dim, planes)
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        bucket = F.lit(0)
+        for i, plane in enumerate(hp):
+            p = F.array(*[F.lit(x) for x in plane])
+            bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return df.withColumn(out, bucket)
+
+    return Stage(fn, name="lsh_bucket", seq_preserving=True)
+
+
+def knn_lsh(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
+            id_col: str = "vec_id", planes: int = LSH_PLANES) -> Stage:
+    """ANN top-k: probe only the query's SRP bucket (plus Hamming-1
+    neighbor buckets for recall).  At 100 TB, ``bucket`` should be a
+    partition column so probing is partition PRUNING, not a scan."""
+    dim = len(query)
+    hp = hyperplanes(dim, planes)
+    qbucket = 0
+    for i, plane in enumerate(hp):
+        if sum(q * p for q, p in zip(query, plane)) > 0:
+            qbucket |= 1 << i
+    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(planes)]
+    bucket_stage = lsh_bucket(vec_col, dim=dim, planes=planes)
+    scorer = cosine_to(query, vec_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        cand = bucket_stage(df).where(F.col("bucket").isin(probe))
+        return (scorer(cand)
+                .select(id_col, "cosine")
+                .orderBy(F.desc("cosine"), F.col(id_col))
+                .limit(k))
+
+    return Stage(fn, name=f"knn_lsh({k})", seq_preserving=False)
+
+
+def ivf_search(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", cell_col: str = "label",
+               nprobe: int = 2) -> Stage:
+    """IVF-style ANN when a coarse quantizer column already exists
+    (``cell_col``, e.g. a cluster id): rank cells by centroid cosine,
+    search the top ``nprobe`` cells only."""
+    scorer = cosine_to(query, vec_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        q = F.array(*[F.lit(float(x)) for x in query])
+        centroids = (df.groupBy(cell_col)
+                       .agg(F.transform(
+                            F.aggregate(
+                                F.collect_list(v),
+                                F.transform(q, lambda _: F.lit(0.0)),
+                                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)),
+                            lambda s: s / F.count("*")).alias("centroid")))
+        scored = centroids.withColumn(
+            "ccos", _dot(F.col("centroid"), q) / (_norm(F.col("centroid")) + F.lit(1e-12)))
+        top_cells = scored.orderBy(F.desc("ccos")).limit(nprobe).select(cell_col)
+        cand = df.join(F.broadcast(top_cells), cell_col, "semi")
+        return (scorer(cand)
+                .select(id_col, "cosine")
+                .orderBy(F.desc("cosine"), F.col(id_col))
+                .limit(k))
+
+    return Stage(fn, name=f"ivf_search({k})", seq_preserving=False)

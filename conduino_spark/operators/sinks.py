@@ -25,10 +25,14 @@ def sink_list(*, col: str = "v") -> Sink:
 
     def run(df: DataFrame):
         cols = [c for c in df.columns if c != SEQ]
-        rows = df.orderBy(SEQ).select(*cols).collect()
+        # collect unsorted, sort driver-side by __seq: avoids the global
+        # range-partitioning sort (whose sampling pass would also make
+        # df.observe taps double-count), and it's one job instead of two.
+        rows = df.select(SEQ, *cols).collect()
+        rows.sort(key=lambda r: (r[0] is None, r[0]))
         if cols == [col]:
-            return [r[0] for r in rows]
-        return [tuple(r) for r in rows]
+            return [r[1] for r in rows]
+        return [tuple(r[1:]) for r in rows]
 
     return Sink(run, name="sink_list")
 

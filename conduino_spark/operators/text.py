@@ -1,0 +1,181 @@
+"""Text analysis for LLM-data pipelines (north star, BASELINE.json):
+tokenization, token counting, language ID, quality scoring, document
+fingerprinting.  Everything is JVM-side ``pyspark.sql.functions`` —
+whole-stage codegen, no Python in the hot path — and every operator has
+a bit-identical DuckDB oracle rendering (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import Stage
+from conduino_spark.functions.hashing import h32, rolling_fingerprint
+
+#: word-splitting pattern shared with the oracle SQL (POSIX-safe class).
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+#: BPE-ish subword pattern: words, numbers, punctuation runs — the
+#: regex families GPT-2-style tokenizers pre-split on.
+BPE_SPLIT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+#: tiny deterministic stopword profiles for n-gram/stopword language ID.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "una", "por", "con"],
+    "it": ["il", "la", "di", "che", "per", "un", "una", "sono", "con", "non"],
+}
+
+#: English stopwords for the quality score (subset, deterministic).
+QUALITY_STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens; empty strings filtered (split artifacts)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`tokens_col`."""
+    return (f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT}'), "
+            f"t -> t != '')")
+
+
+def tokenize(text_col: str = "text", *, out: str = "tokens",
+             bpe: bool = False) -> Stage:
+    """Tokenization: whitespace/word (shared with oracle) or BPE-ish
+    regex pre-splitting (``bpe=True``)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        if bpe:
+            return df.withColumn(out, F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT), 0))
+        return df.withColumn(out, tokens_col(F.col(text_col)))
+
+    return Stage(fn, name="tokenize", seq_preserving=True)
+
+
+def token_count(text_col: str = "text", *, out: str = "n_tokens") -> Stage:
+    """Token counting — one codegen'd expression, no shuffle."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, F.size(tokens_col(F.col(text_col))).cast("long"))
+
+    return Stage(fn, name="token_count", seq_preserving=True)
+
+
+def quality_score(text_col: str = "text", *, out: str = "quality") -> Stage:
+    """Deterministic quality heuristic in [0,1]:
+
+      0.25·len_ok + 0.25·alpha_ratio + 0.25·stopword_signal + 0.25·(1-punct_excess)
+
+    * len_ok: 1 if 200 ≤ n_chars ≤ 8000 else n_chars/200 (short) or
+      8000/n_chars (long)
+    * alpha_ratio: alphabetic chars / chars
+    * stopword_signal: min(1, 5 · stopword_tokens/tokens) — natural
+      prose has ≥20% stopwords
+    * punct_excess: max(0, punct_ratio − 0.1) / 0.9
+
+    Pure column algebra — scales to any corpus size with zero Python.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, "[^.,!?;:]", ""))
+    toks = tokens_col(t)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(QUALITY_STOPWORDS)))
+
+    len_ok = (
+        F.when(n_chars >= 8000, F.lit(8000.0) / n_chars)
+        .when(n_chars >= 200, F.lit(1.0))
+        .otherwise(n_chars / F.lit(200.0))
+    )
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_sig = F.when(n_toks > 0,
+                      F.least(F.lit(1.0), F.lit(5.0) * stop_hits / n_toks)
+                      ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    punct_pen = F.greatest(F.lit(0.0), punct_ratio - F.lit(0.1)) / F.lit(0.9)
+
+    score = F.round(
+        0.25 * len_ok + 0.25 * alpha_ratio + 0.25 * stop_sig + 0.25 * (1.0 - punct_pen), 6)
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, score)
+
+    return Stage(fn, name="quality_score", seq_preserving=True)
+
+
+def quality_score_sql(expr: str = "text", out: str = "quality") -> str:
+    """DuckDB rendering of :func:`quality_score` (same constants)."""
+    toks = tokens_sql(expr)
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+      round(
+        0.25 * (case when length({expr}) >= 8000 then 8000.0 / length({expr})
+                     when length({expr}) >= 200 then 1.0
+                     else length({expr}) / 200.0 end)
+      + 0.25 * (case when length({expr}) > 0
+                     then length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) * 1.0 / length({expr})
+                     else 0.0 end)
+      + 0.25 * (case when len({toks}) > 0
+                     then least(1.0, 5.0 * len(list_filter({toks}, x -> x in ({stops}))) * 1.0 / len({toks}))
+                     else 0.0 end)
+      + 0.25 * (1.0 - greatest(0.0,
+                    (case when length({expr}) > 0
+                          then length(regexp_replace({expr}, '[^.,!?;:]', '', 'g')) * 1.0 / length({expr})
+                          else 0.0 end) - 0.1) / 0.9)
+      , 6) as {out}"""
+
+
+def lang_id(text_col: str = "text", *, out: str = "lang_pred") -> Stage:
+    """Language ID by stopword-profile hits (n-gram heuristic).  Argmax
+    over profiles with a fixed tie order (profile declaration order,
+    'und' = undetermined when no profile hits)."""
+    toks = tokens_col(F.col(text_col))
+    counts = {lang: F.size(F.filter(toks, lambda x: x.isin(words)))
+              for lang, words in LANG_PROFILES.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # iterate in declaration order; strict > keeps earlier lang on ties
+    for lang, c in counts.items():
+        is_better = c > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, c).otherwise(best_n)
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, best)
+
+    return Stage(fn, name="lang_id", seq_preserving=True)
+
+
+def lang_id_sql(expr: str = "text", out: str = "lang_pred") -> str:
+    """DuckDB rendering of :func:`lang_id` — same argmax/tie logic,
+    expressed as a fold over (count, lang) pairs."""
+    toks = tokens_sql(expr)
+    parts = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(f"len(list_filter({toks}, x -> x in ({lst})))")
+    # same sequential argmax as the Spark loop
+    sql = "'und'"
+    sql_n = "0"
+    for lang, cnt in zip(LANG_PROFILES, parts):
+        sql = f"(case when {cnt} > {sql_n} then '{lang}' else {sql} end)"
+        sql_n = f"greatest({sql_n}, {cnt})"
+    return f"{sql} as {out}"
+
+
+def fingerprint(text_col: str = "text", *, out: str = "fingerprint") -> Stage:
+    """Document fingerprint: rolling hash over md5-derived token hashes
+    (order-sensitive, engine-portable — functions/hashing.py)."""
+    toks = tokens_col(F.col(text_col))
+    fp = rolling_fingerprint(F.transform(toks, h32))
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, fp)
+
+    return Stage(fn, name="fingerprint", seq_preserving=True)
