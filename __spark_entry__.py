@@ -1,38 +1,694 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a conduino_spark pipeline (``queries()``) with an
+ANSI-SQL oracle (``oracle_sql()``) the driver runs on DuckDB over the
+same parquet.  Portability rules that make the value-hashes match:
+
+* sums of doubles go through ``DECIMAL(18,6)`` (exact, order-free) and
+  come back as DOUBLE in BOTH engines;
+* every hash is md5-derived (identical bytes in Spark and DuckDB) —
+  see conduino_spark/functions/hashing.py;
+* timestamps are compared as epoch seconds (BIGINT);
+* every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from conduino_spark import (  # noqa: E402
+    SEQ, concat_sources, consecutive, dedup_exact, drop, embedding_near_dup_pairs,
+    filter_, fold, from_dataframe, group_agg, join, knn_brute, lang_id, map_,
+    map_accum, minhash_dedup_pairs, minhash_signatures, ngram_jaccard_pairs,
+    pairs, quality_score, read_table, run_pipe, scan, simhash, sink_df,
+    source_list, take, take_while, token_count, top_k, zip_source,
+    fingerprint, distinct, ranked, event_window,
+)
+from conduino_spark.functions.hashing import (  # noqa: E402
+    MERSENNE31, h32_sql, rolling_fingerprint_sql,
+)
+from conduino_spark.operators.dedup import (  # noqa: E402
+    MINHASH_BANDS, MINHASH_PARAMS, MINHASH_ROWS, SHINGLE_N,
+)
+from conduino_spark.operators.text import (  # noqa: E402
+    lang_id_sql, quality_score_sql, tokens_sql,
+)
+
+QUERY_KNN_ID = 0  # the fixed ANN query vector = embedding of this vec_id
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _src(sf_dir: str, table: str, seq_col: str | None = None):
+    return read_table(sf_dir, table, seq_col=seq_col)
+
+
+def _strip(df: DataFrame) -> DataFrame:
+    return df.drop(SEQ) if SEQ in df.columns else df
+
+
+def _dec_sum(col, alias: str):
+    """Order-insensitive exact sum of a double expression (see header)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_map_project(spark, sf):
+    p = (_src(sf, "lineitem")
+         | map_({"l_orderkey": F.col("l_orderkey"),
+                 "l_linenumber": F.col("l_linenumber"),
+                 "gross": F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 4)})
+         | sink_df())
+    return _strip(run_pipe(p, spark))
+
+
+def q_filter_pushdown(spark, sf):
+    p = (_src(sf, "lineitem")
+         | filter_("l_discount >= 0.05 and l_quantity < 10")
+         | map_({"l_orderkey": F.col("l_orderkey"),
+                 "l_linenumber": F.col("l_linenumber"),
+                 "l_quantity": F.col("l_quantity")})
+         | sink_df())
+    return _strip(run_pipe(p, spark))
+
+
+def q_concat_map_tokens(spark, sf):
+    # concatMap = explode: one row per token of each document
+    from conduino_spark.operators.text import tokens_col
+    docs = _src(sf, "documents").df(spark)
+    out = docs.select(F.col("doc_id"),
+                      F.explode(tokens_col(F.col("text"))).alias("token"))
+    return out
+
+
+def q_scan_cumsum(spark, sf):
+    src = _src(sf, "orders", seq_col="o_orderkey")
+    st = scan("sum", F.col("o_totalprice").cast("decimal(18,2)"), out="cum_total")
+    p = src | st | sink_df()
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("o_orderkey"),
+                      F.col("cum_total").cast("double").alias("cum_total"))
+
+
+def q_pairs_lag(spark, sf):
+    src = _src(sf, "events", seq_col="event_id")
+    p = src | map_({"v": F.col("user_id")}) | pairs() | sink_df()
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("event_id"), "fst", "snd")
+
+
+def q_consecutive_windows(spark, sf):
+    src = _src(sf, "events", seq_col="event_id")
+    p = (src | map_({"v": F.col("user_id")})
+         | consecutive(3) | sink_df())
+    out = run_pipe(p, spark)
+    return out.select(
+        F.col(SEQ).alias("at_seq"),
+        F.concat_ws(",", F.transform("v", lambda x: x.cast("string"))).alias("win"))
+
+
+def q_take_boundary(spark, sf):
+    src = _src(sf, "events", seq_col="event_id")
+    p = src | take(100) | map_({"event_id": F.col("event_id"), "user_id": F.col("user_id")}) | sink_df()
+    return _strip(run_pipe(p, spark))
+
+
+def q_take_while_boundary(spark, sf):
+    src = _src(sf, "events", seq_col="event_id")
+    p = (src | take_while("value < 99.5")
+         | map_({"event_id": F.col("event_id"), "value": F.col("value")})
+         | sink_df())
+    return _strip(run_pipe(p, spark))
+
+
+def q_drop_sequel(spark, sf):
+    src = _src(sf, "events", seq_col="event_id")
+    p = src | (drop(9000) >> (map_({"event_id": F.col("event_id"),
+                                    "event_type": F.col("event_type")}) | sink_df()))
+    return _strip(run_pipe(p, spark))
+
+
+def q_fold_revenue(spark, sf):
+    li = _src(sf, "lineitem").df(spark)
+    return li.where("l_discount between 0.03 and 0.07 and l_quantity < 24").agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+def q_zip_sink_multi(spark, sf):
+    # zipSink law: several folds in ONE pass == one agg
+    ev = _src(sf, "events").df(spark)
+    return ev.agg(_dec_sum(F.col("value"), "sum_value"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.max("user_id").alias("max_user"))
+
+
+def q_map_accum_altsum(spark, sf):
+    src = _src(sf, "events", seq_col="event_id")
+
+    def step(v, s):
+        sign, acc = s
+        acc = acc + sign * v
+        return ((-sign, acc), acc)
+
+    p = (src | map_({"v": F.col("user_id")})
+         | map_accum(step, (1, 0), returns="long") | sink_df())
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("event_id"), F.col("v").alias("alt_sum"))
+
+
+def q_zip_positional(spark, sf):
+    cust = _src(sf, "customer", seq_col="c_custkey") | map_({"c_custkey": F.col("c_custkey")})
+    orde = _src(sf, "orders", seq_col="o_orderkey") | map_({"o_orderkey": F.col("o_orderkey")})
+    p = zip_source(cust, orde) | sink_df()
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("pos"),
+                      F.col("c_custkey_1").alias("c_custkey"),
+                      F.col("o_orderkey_2").alias("o_orderkey"))
+
+
+def q_concat_sources(spark, sf):
+    a = _src(sf, "region", seq_col="r_regionkey") | map_({"name": F.col("r_name")})
+    b = _src(sf, "nation", seq_col="n_nationkey") | map_({"name": F.col("n_name")})
+    p = concat_sources(a, b) | sink_df()
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("pos"), "name")
+
+
+def q_last_event(spark, sf):
+    ev = _src(sf, "events").df(spark)
+    mx = ev.agg(F.max("event_id").alias("event_id"))
+    return ev.join(mx, "event_id").select("event_id", "event_type")
+
+
+# ---- relational (SURVEY §2.7 built-ins) -----------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = _src(sf, "lineitem")
+    ep, dc, tx = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    p = (li | filter_("l_shipdate <= timestamp'1998-09-01 00:00:00'")
+         | group_agg(["l_returnflag", "l_linestatus"], {
+             "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"),
+             "sum_base_price": F.sum(ep.cast("decimal(18,6)")).cast("double"),
+             "sum_disc_price": F.sum((ep * (1 - dc)).cast("decimal(18,6)")).cast("double"),
+             "sum_charge": F.sum(((ep * (1 - dc)) * (1 + tx)).cast("decimal(18,6)")).cast("double"),
+             "avg_qty": F.round(F.avg("l_quantity"), 6),
+             "avg_price": F.round(F.avg("l_extendedprice"), 6),
+             "avg_disc": F.round(F.avg("l_discount"), 6),
+             "count_order": F.count(F.lit(1)),
+         })
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_tpch_q3(spark, sf):
+    cust = _src(sf, "customer")
+    orde = _src(sf, "orders")
+    li = _src(sf, "lineitem")
+    p = (li
+         | join(orde, on=[F.expr("l_orderkey = o_orderkey")])
+         | join(cust, on=[F.expr("o_custkey = c_custkey")], broadcast=True)
+         | filter_("c_mktsegment = 'BUILDING'")
+         | group_agg(["l_orderkey"], {
+             "revenue": F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                              .cast("decimal(18,6)")).cast("double")})
+         | top_k(10, F.desc("revenue"), F.col("l_orderkey"))
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_tpch_q5(spark, sf):
+    orde, li = _src(sf, "orders"), _src(sf, "lineitem")
+    sup, nat, reg = _src(sf, "supplier"), _src(sf, "nation"), _src(sf, "region")
+    p = (li
+         | join(orde, on=[F.expr("l_orderkey = o_orderkey")])
+         | join(sup, on=[F.expr("l_suppkey = s_suppkey")], broadcast=True)
+         | join(nat, on=[F.expr("s_nationkey = n_nationkey")], broadcast=True)
+         | join(reg, on=[F.expr("n_regionkey = r_regionkey")], broadcast=True)
+         | filter_("r_name = 'ASIA'")
+         | group_agg(["n_name"], {
+             "revenue": F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                              .cast("decimal(18,6)")).cast("double")})
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_tpch_q6(spark, sf):
+    li = _src(sf, "lineitem").df(spark)
+    return (li.where("l_shipdate >= timestamp'1995-01-01 00:00:00' and "
+                     "l_shipdate < timestamp'1996-01-01 00:00:00' and "
+                     "l_discount between 0.05 and 0.07 and l_quantity < 24")
+              .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")))
+
+
+def q_top_k_customers(spark, sf):
+    p = (_src(sf, "customer")
+         | top_k(5, F.desc("c_acctbal"), F.col("c_custkey"))
+         | map_({"c_custkey": F.col("c_custkey"), "c_acctbal": F.col("c_acctbal")})
+         | sink_df())
+    return _strip(run_pipe(p, spark))
+
+
+def q_distinct_segments(spark, sf):
+    p = (_src(sf, "customer")
+         | map_({"c_mktsegment": F.col("c_mktsegment")})
+         | distinct()
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_ranked_orders_per_cust(spark, sf):
+    p = (_src(sf, "orders")
+         | ranked(["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")], top=2)
+         | sink_df())
+    out = run_pipe(p, spark)
+    return out.select("o_custkey", "o_orderkey", "rank")
+
+
+def q_set_ops(spark, sf):
+    cust = _src(sf, "customer").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    building = cust.where("c_mktsegment = 'BUILDING'").select(F.col("c_custkey"))
+    with_orders = orde.select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(with_orders)
+
+
+def q_window_tumbling(spark, sf):
+    ev = _src(sf, "events")
+    p = (ev | event_window("ts", "1 hour", keys=["event_type"],
+                           aggs={"n": F.count(F.lit(1)),
+                                 "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double")})
+         | sink_df())
+    out = run_pipe(p, spark)
+    return out.select(F.col("w_start").cast("long").alias("w_start_epoch"),
+                      "event_type", "n", "sum_value")
+
+
+def q_group_rollup(spark, sf):
+    li = _src(sf, "lineitem").df(spark)
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select("l_returnflag", "l_linestatus", "n"))
+
+
+# ---- LLM-pipeline ops -------------------------------------------------------
+
+def q_token_count(spark, sf):
+    p = _src(sf, "documents") | token_count() | sink_df()
+    return run_pipe(p, spark).select("doc_id", "n_tokens")
+
+
+def q_quality_score(spark, sf):
+    p = _src(sf, "documents") | quality_score() | sink_df()
+    return run_pipe(p, spark).select("doc_id", "quality")
+
+
+def q_lang_id(spark, sf):
+    p = _src(sf, "documents") | lang_id() | sink_df()
+    return run_pipe(p, spark).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark, sf):
+    p = _src(sf, "documents") | fingerprint() | sink_df()
+    return run_pipe(p, spark).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark, sf):
+    p = _src(sf, "documents") | dedup_exact() | sink_df()
+    return run_pipe(p, spark).select("doc_id")
+
+
+def q_minhash_signatures(spark, sf):
+    p = _src(sf, "documents") | minhash_signatures() | sink_df()
+    out = run_pipe(p, spark)
+    return out.select("doc_id", F.posexplode("sig").alias("sig_idx", "sig_val"))
+
+
+def q_minhash_pairs(spark, sf):
+    p = _src(sf, "documents") | minhash_dedup_pairs() | sink_df()
+    return run_pipe(p, spark)
+
+
+def q_simhash(spark, sf):
+    p = _src(sf, "documents") | simhash() | sink_df()
+    return run_pipe(p, spark).select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark, sf):
+    p = _src(sf, "documents") | ngram_jaccard_pairs(threshold=0.2) | sink_df()
+    return run_pipe(p, spark).select("id_a", "id_b", "jaccard")
+
+
+def q_embedding_near_dup(spark, sf):
+    p = (_src(sf, "embeddings")
+         | embedding_near_dup_pairs(threshold=0.2, bucket_col="label")
+         | sink_df())
+    return run_pipe(p, spark).select("id_a", "id_b", "cosine")
+
+
+def q_cosine_scores(spark, sf):
+    # full scoring against the fixed query vector (set-safe ANN oracle)
+    emb = _src(sf, "embeddings").df(spark)
+    from conduino_spark.operators.similarity import _dot, _norm
+    q = emb.where(F.col("vec_id") == QUERY_KNN_ID) \
+           .select(F.col("embedding").cast("array<double>").alias("q"),
+                   F.lit(1).alias("__k"))
+    v = F.col("embedding").cast("array<double>")
+    joined = emb.withColumn("__k", F.lit(1)).join(F.broadcast(q), "__k")
+    cos = _dot(v, F.col("q")) / (_norm(v) * _norm(F.col("q")))
+    return (joined.where(F.col("vec_id") != QUERY_KNN_ID)
+                  .select("vec_id", F.round(cos, 6).alias("cosine")))
+
+
+def q_knn_bruteforce(spark, sf):
+    emb = _src(sf, "embeddings")
+    row = emb.df(spark).where(F.col("vec_id") == QUERY_KNN_ID).first()
+    qv = [float(x) for x in row["embedding"]]
+    p = emb | knn_brute(qv, k=10) | sink_df()
+    return run_pipe(p, spark).select("vec_id", "cosine")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # conduino combinator surface (SURVEY §2)
+        "map_project": q_map_project,
+        "filter_pushdown": q_filter_pushdown,
+        "concat_map_tokens": q_concat_map_tokens,
+        "scan_cumsum": q_scan_cumsum,
+        "pairs_lag": q_pairs_lag,
+        "consecutive_windows": q_consecutive_windows,
+        "take_boundary": q_take_boundary,
+        "take_while_boundary": q_take_while_boundary,
+        "drop_sequel": q_drop_sequel,
+        "fold_revenue": q_fold_revenue,
+        "zip_sink_multi": q_zip_sink_multi,
+        "map_accum_altsum": q_map_accum_altsum,
+        "zip_positional": q_zip_positional,
+        "concat_sources": q_concat_sources,
+        "last_event": q_last_event,
+        # relational extensions (SURVEY §2.7)
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "top_k_customers": q_top_k_customers,
+        "distinct_segments": q_distinct_segments,
+        "ranked_orders_per_cust": q_ranked_orders_per_cust,
+        "set_ops_intersect": q_set_ops,
+        "window_tumbling": q_window_tumbling,
+        "group_rollup": q_group_rollup,
+        # LLM-data-pipeline extensions (north star)
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cosine_scores": q_cosine_scores,
+        "knn_bruteforce": q_knn_bruteforce,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+def _sql_shingles(toks: str, n: int = SHINGLE_N) -> str:
+    """DuckDB distinct word n-grams of a token list expression."""
+    return (f"list_distinct([array_to_string({toks}[i:i+{n-1}], ' ') "
+            f"for i in range(1, len({toks}) - {n - 2})])")
+
+
+def _sql_minhash_sig(shingles: str) -> str:
+    hs = f"[{h32_sql('s')} for s in {shingles}]"
+    mins = ", ".join(
+        f"coalesce(list_min([({a} * h + {b}) % {MERSENNE31} for h in {hs}]), {MERSENNE31})"
+        for a, b in MINHASH_PARAMS)
+    return f"[{mins}]"
+
+
+def _sql_minhash_bands() -> str:
+    toks = tokens_sql("text")
+    sig = _sql_minhash_sig(_sql_shingles(toks))
+    return f"""
+      WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+      bands AS (
+        SELECT doc_id, i - 1 AS band_id,
+               array_to_string(sig[(i-1)*{MINHASH_ROWS}+1 : i*{MINHASH_ROWS}], ',') AS band_hash
+        FROM sigs, range(1, {MINHASH_BANDS + 1}) t(i))
     """
-    return {}
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    toks = tokens_sql("text")
+    sums = ", ".join(
+        f"sum(case when (hv & {1 << i}) > 0 then 1 else -1 end) as a{i}"
+        for i in range(bits))
+    recon = " + ".join(
+        f"(case when a{i} > 0 then {1 << i}::BIGINT else 0 end)" for i in range(bits))
+    return f"""
+      WITH toks AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+      h AS (SELECT doc_id, {h32_sql('t')} AS hv FROM toks),
+      acc AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, ({recon}) AS simhash FROM acc)
+      SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig s USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = tokens_sql("text")
+    li_seq = "l_orderkey * 8 + l_linenumber"  # unused; events carry event_id
+    sql = {
+        "map_project": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 + l_tax), 4) AS gross
+            FROM lineitem""",
+        "filter_pushdown": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10""",
+        "concat_map_tokens": f"""
+            SELECT doc_id, unnest({toks}) AS token FROM documents""",
+        "scan_cumsum": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (ORDER BY o_orderkey) AS DOUBLE) AS cum_total
+            FROM orders""",
+        "pairs_lag": """
+            SELECT event_id, fst, snd FROM (
+              SELECT event_id,
+                     LAG(user_id) OVER (ORDER BY event_id) AS fst,
+                     user_id AS snd
+              FROM events) WHERE fst IS NOT NULL""",
+        "consecutive_windows": """
+            WITH per_row AS (
+              SELECT event_id AS at_seq,
+                     coalesce(array_to_string(
+                       list(user_id::VARCHAR) OVER (ORDER BY event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS win
+              FROM events),
+            tail AS (
+              SELECT max(event_id) + 1 AS at_seq,
+                     array_to_string(list(user_id::VARCHAR ORDER BY event_id), ',') AS win
+              FROM (SELECT event_id, user_id FROM events ORDER BY event_id DESC LIMIT 3))
+            SELECT * FROM per_row UNION ALL SELECT * FROM tail""",
+        "take_boundary": """
+            SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 100""",
+        "take_while_boundary": """
+            SELECT event_id, value FROM events
+            WHERE event_id < coalesce(
+              (SELECT min(event_id) FROM events WHERE NOT (value < 99.5)),
+              (SELECT max(event_id) + 1 FROM events))""",
+        "drop_sequel": """
+            SELECT event_id, event_type FROM events
+            WHERE event_id > (SELECT event_id FROM events
+                              ORDER BY event_id LIMIT 1 OFFSET 8999)""",
+        "fold_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+        "zip_sink_multi": """
+            SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   COUNT(*) AS n, MAX(user_id) AS max_user
+            FROM events""",
+        "map_accum_altsum": """
+            SELECT event_id,
+                   CAST(SUM(user_id * sign) OVER (ORDER BY event_id) AS BIGINT) AS alt_sum
+            FROM (SELECT event_id, user_id,
+                         CASE WHEN (ROW_NUMBER() OVER (ORDER BY event_id)) % 2 = 1
+                              THEN 1 ELSE -1 END AS sign
+                  FROM events)""",
+        "zip_positional": """
+            WITH a AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pos, c_custkey
+                       FROM customer),
+                 b AS (SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos, o_orderkey
+                       FROM orders)
+            SELECT pos, c_custkey, o_orderkey FROM a JOIN b USING (pos)""",
+        "concat_sources": """
+            SELECT r_regionkey AS pos, r_name AS name FROM region
+            UNION ALL
+            SELECT (SELECT max(r_regionkey) + 1 FROM region) + n_nationkey, n_name
+            FROM nation""",
+        "last_event": """
+            SELECT event_id, event_type FROM events
+            WHERE event_id = (SELECT max(event_id) FROM events)""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name""",
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "top_k_customers": """
+            SELECT c_custkey, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 5""",
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "ranked_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) WHERE rank <= 2""",
+        "set_ops_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS c_custkey FROM orders""",
+        "window_tumbling": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_epoch,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2""",
+        "group_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "token_count": f"""
+            SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, {quality_score_sql('text', 'quality')} FROM documents""",
+        "lang_id": f"""
+            SELECT doc_id, {lang_id_sql('text', 'lang_pred')} FROM documents""",
+        "fingerprint": f"""
+            SELECT doc_id,
+                   {rolling_fingerprint_sql(f"[{h32_sql('t')} for t in {toks}]")} AS fingerprint
+            FROM documents""",
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
+        "minhash_signatures": f"""
+            WITH sigs AS (SELECT doc_id,
+                          {_sql_minhash_sig(_sql_shingles(tokens_sql('text')))} AS sig
+                          FROM documents)
+            SELECT doc_id, i - 1 AS sig_idx, sig[i] AS sig_val
+            FROM sigs, range(1, {len(MINHASH_PARAMS) + 1}) t(i)""",
+        "minhash_pairs": _sql_minhash_bands() + """
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id""",
+        "simhash": _sql_simhash(),
+        "ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id,
+                        unnest([{h32_sql('g')} for g in {_sql_shingles(tokens_sql('text'))}]) AS g
+                        FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                      FROM sh a JOIN sh b USING (g)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2""",
+        "embedding_near_dup": """
+            WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                          sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS n
+                          FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                         / (a.n * b.n), 6) AS cosine
+            FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                  / (a.n * b.n) >= 0.2""",
+        "cosine_scores": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = {QUERY_KNN_ID})
+            SELECT vec_id,
+                   ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
+                         / (sqrt(list_sum([x * x for x in v]))
+                            * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q
+            WHERE vec_id != {QUERY_KNN_ID}""",
+        "knn_bruteforce": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = {QUERY_KNN_ID}),
+            scored AS (
+              SELECT vec_id,
+                     ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
+                           / (sqrt(list_sum([x * x for x in v]))
+                              * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q)
+            SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT 10""",
+    }
+    return sql
+
+
+# --------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: TPC-H Q1 pricing summary
+    through the pipeline algebra; driver checks rows>0."""
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
+
+
+if __name__ == "__main__":
+    from conduino_spark.session import get_spark
+
+    spark = get_spark("entry_smoke", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = entry(spark)
+    df.show()
+    print("rows:", df.count())

@@ -21,6 +21,9 @@ def get_spark(app: str = "conduino_spark", *, cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS), which
+        # Spark 4 rejects; read as long and rebuild (sources.read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

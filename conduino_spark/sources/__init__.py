@@ -229,8 +229,23 @@ def read_parquet(path: str, *, seq_col: Optional[str] = None,
 
 
 def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None) -> Source:
-    """Driver testdata table (TESTDATA.md)."""
-    return read_parquet(f"{sf_dir}/{table}.parquet", seq_col=seq_col, name=table)
+    """Driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with the session's
+    ``nanosAsLong`` flag it arrives as a long — rebuilt here to a
+    microsecond timestamp (what DuckDB sees too)."""
+    base = read_parquet(f"{sf_dir}/{table}.parquet", seq_col=seq_col, name=table)
+    if table != "events":
+        return base
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = base.df(spark)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+
+    return Source(fn, name=table)
 
 
 def gen_source(gen: Callable[[], Iterable[Any]]) -> Source:
