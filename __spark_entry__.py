@@ -31,6 +31,7 @@ from conduino_spark import (  # noqa: E402
     source_list, take, take_while, token_count, top_k, zip_source,
     fingerprint, distinct, ranked, event_window,
 )
+from conduino_spark.operators.dedup import ngram_jaccard_lsh  # noqa: E402
 from conduino_spark.functions.hashing import (  # noqa: E402
     MERSENNE31, h32_sql, rolling_fingerprint_sql,
 )
@@ -346,6 +347,11 @@ def q_ngram_jaccard(spark, sf):
     return run_pipe(p, spark).select("id_a", "id_b", "jaccard")
 
 
+def q_ngram_jaccard_lsh(spark, sf):
+    p = _src(sf, "documents") | ngram_jaccard_lsh(threshold=0.2) | sink_df()
+    return run_pipe(p, spark).select("id_a", "id_b", "jaccard")
+
+
 def q_embedding_near_dup(spark, sf):
     p = (_src(sf, "embeddings")
          | embedding_near_dup_pairs(threshold=0.2, bucket_col="label")
@@ -414,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_scores": q_cosine_scores,
         "knn_bruteforce": q_knn_bruteforce,
@@ -636,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
                       FROM sh a JOIN sh b USING (g)
                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2""",
+        "ngram_jaccard_lsh": _sql_minhash_bands() + f"""
+            , cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b USING (band_id, band_hash)
+                WHERE a.doc_id < b.doc_id),
+            sh AS (SELECT doc_id,
+                   unnest([{h32_sql('g')} for g in {_sql_shingles(tokens_sql('text'))}]) AS g
+                   FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT id_a, id_b, COUNT(*) AS i
+                      FROM cand
+                      JOIN sh a ON a.doc_id = id_a
+                      JOIN sh b ON b.doc_id = id_b AND b.g = a.g
+                      GROUP BY 1, 2)
             SELECT id_a, id_b,
                    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter

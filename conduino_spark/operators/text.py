@@ -134,20 +134,37 @@ def quality_score_sql(expr: str = "text", out: str = "quality") -> str:
 def lang_id(text_col: str = "text", *, out: str = "lang_pred") -> Stage:
     """Language ID by stopword-profile hits (n-gram heuristic).  Argmax
     over profiles with a fixed tie order (profile declaration order,
-    'und' = undetermined when no profile hits)."""
-    toks = tokens_col(F.col(text_col))
-    counts = {lang: F.size(F.filter(toks, lambda x: x.isin(words)))
-              for lang, words in LANG_PROFILES.items()}
-    best = F.lit("und")
-    best_n = F.lit(0)
-    # iterate in declaration order; strict > keeps earlier lang on ties
-    for lang, c in counts.items():
-        is_better = c > best_n
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_n = F.when(is_better, c).otherwise(best_n)
+    'und' = undetermined when no profile hits).
+
+    Single pass over the token array: ONE ``F.aggregate`` fold carrying
+    all profile counters at once.  (The naive per-profile
+    size(filter(tokens)) formulation re-tokenizes per profile AND the
+    argmax when-chain duplicates each count subtree — measured ~20×
+    slower at sf0.1.)"""
+    langs = list(LANG_PROFILES)
+
+    def step(acc, t):
+        return F.array(*[
+            F.element_at(acc, i + 1)
+            + F.when(t.isin(LANG_PROFILES[lang]), 1).otherwise(0)
+            for i, lang in enumerate(langs)])
+
+    counts_arr = F.aggregate(
+        tokens_col(F.col(text_col)),
+        F.array(*[F.lit(0) for _ in langs]),
+        step)
 
     def fn(df: DataFrame) -> DataFrame:
-        return df.withColumn(out, best)
+        # materialize the counts array once, then cheap argmax over it
+        tmp = df.withColumn("__lc", counts_arr)
+        best = F.lit("und")
+        best_n = F.lit(0)
+        for i, lang in enumerate(langs):  # declaration order; > keeps earlier on ties
+            c = F.element_at("__lc", i + 1)
+            is_better = c > best_n
+            best = F.when(is_better, F.lit(lang)).otherwise(best)
+            best_n = F.when(is_better, c).otherwise(best_n)
+        return tmp.withColumn(out, best).drop("__lc")
 
     return Stage(fn, name="lang_id", seq_preserving=True)
 
