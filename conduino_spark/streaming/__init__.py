@@ -1,0 +1,227 @@
+"""Streaming — the incremental (push/micro-batch) path (SURVEY §3.2).
+
+conduino's ``feedPipe``/``squeezePipe`` (Data/Conduino.hs:229-296) IS
+the micro-batch contract: feed a batch, collect outputs, persist the
+continuation state.  Structured Streaming is Spark's implementation of
+exactly that loop, so the engine compiles the same Stage algebra onto
+``readStream``/``writeStream``:
+
+* stateless stages (map/filter/concatMap/windowed aggs) run unchanged
+  on a streaming DataFrame;
+* stateful per-key state uses ``transformWithStateInPandas``
+  (value-state ≙ the reified continuation closure);
+* ``Trigger.AvailableNow`` replays a bounded source as micro-batches —
+  the engine's incremental-equivalence tests (batch result == concat of
+  micro-batch outputs, the feedPipe law) are built on it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Any, Callable, Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Sink, Source, Stage
+
+
+def rate_source(rows_per_second: int = 100) -> Source:
+    """``repeat``/``unfold`` unbounded analog (SURVEY §2.3): the rate
+    source yields (timestamp, value) forever."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = (spark.readStream.format("rate")
+              .option("rowsPerSecond", rows_per_second).load())
+        return df.select(F.col("value").alias(SEQ), F.col("timestamp"),
+                         F.col("value").alias("v"))
+
+    return Source(fn, name="rate", bounded=False)
+
+
+def file_stream_source(path: str, schema: str, *, fmt: str = "parquet",
+                       seq_col: Optional[str] = None,
+                       max_files_per_trigger: int = 1) -> Source:
+    """File-arrival stream (``sourceHandle`` streaming analog)."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        r = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", max_files_per_trigger))
+        df = r.parquet(path) if fmt == "parquet" else r.format(fmt).load(path)
+        if seq_col:
+            df = df.withColumn(SEQ, F.col(seq_col).cast("long"))
+        return df
+
+    return Source(fn, name=f"stream({path})", bounded=False)
+
+
+def run_stream_to_memory(src: Source, spark: SparkSession, *,
+                         name: Optional[str] = None,
+                         mode: str = "append",
+                         available_now: bool = True) -> DataFrame:
+    """Run a streaming pipeline into a memory sink and return the result
+    table as a batch DataFrame (drained with Trigger.AvailableNow).
+    The runner of the streaming path — ``runPipe`` ≙ start()+await."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    df = src.df(spark)
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .trigger(availableNow=available_now)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def feed_pipe(stage: Stage, batches: Iterable[list], spark: SparkSession,
+              *, value_type: str = "long") -> tuple[list, list]:
+    """``feedPipe`` (Data/Conduino.hs:245-257): run a stage over a
+    sequence of input micro-batches, returning (per-batch outputs,
+    flattened outputs).
+
+    For stateless seq-preserving stages this implements the feedPipe law
+    directly (outputs concat); stateful stages should go through
+    :func:`run_stream_to_memory` / transformWithStateInPandas instead.
+    """
+    from conduino_spark.sources import source_list
+
+    outs = []
+    offset = 0
+    for batch in batches:
+        src = source_list(list(batch))
+        df = src.df(spark)
+        df = df.withColumn(SEQ, F.col(SEQ) + F.lit(offset))
+        out = stage(df)
+        cols = [c for c in out.columns if c != SEQ]
+        rows = out.select(SEQ, *cols).collect()
+        rows.sort(key=lambda r: r[0])
+        outs.append([r[1] if len(cols) == 1 else tuple(r[1:]) for r in rows])
+        offset += len(batch)
+    flat = [x for b in outs for x in b]
+    return outs, flat
+
+
+def map_accum_stream(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
+                     key_col: str, returns: str = "double",
+                     api: str = "auto") -> Stage:
+    """Streaming ``mapAccum`` (Combinators.hs:344-353) per key: state-
+    store value state carries the accumulator across micro-batches —
+    the reified continuation of squeezePipe (SURVEY §3.2).
+
+    Two backends: ``transformWithStateInPandas`` (Spark 4 preferred;
+    needs google.protobuf) and ``applyInPandasWithState`` (GroupState,
+    Arrow-only).  ``api='auto'`` picks TWS when protobuf is importable
+    — this container lacks it, so the GroupState path is the tested
+    one.  Order within a key follows ``__seq`` inside each batch;
+    cross-batch order = arrival order (the reference's push semantics).
+    """
+    if api == "auto":
+        try:
+            import google.protobuf  # noqa: F401 — TWS hard-depends on it
+            api = "tws"
+        except ImportError:
+            api = "group_state"
+
+    out_schema = f"key long, {SEQ} long, v {returns}"
+    state_schema = "s string"
+
+    def fn_group_state(df: DataFrame) -> DataFrame:
+        import json
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def handle(key, pdf_iter, state):
+            s = json.loads(state.get[0]) if state.exists else seed
+            if isinstance(s, list):
+                s = tuple(s)
+            out_seq, out_v = [], []
+            for pdf in pdf_iter:
+                for _, r in pdf.sort_values(SEQ).iterrows():
+                    s, o = step(r["v"], s)
+                    out_seq.append(int(r[SEQ]))
+                    out_v.append(o)
+            state.update((json.dumps(s),))
+            yield pd.DataFrame({"key": [key[0]] * len(out_seq),
+                                SEQ: out_seq, "v": out_v})
+
+        return (df.withColumn("key", F.col(key_col).cast("long"))
+                  .groupBy("key")
+                  .applyInPandasWithState(
+                      handle, out_schema, state_schema,
+                      "append", GroupStateTimeout.NoTimeout))
+
+    def fn_tws(df: DataFrame) -> DataFrame:
+        import json
+
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class P(StatefulProcessor):
+            def init(self, handle):
+                self.state = handle.getValueState("acc", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                s = (json.loads(self.state.get()[0])
+                     if self.state.exists() else seed)
+                if isinstance(s, list):
+                    s = tuple(s)
+                out_seq, out_v = [], []
+                for pdf in rows:
+                    for _, r in pdf.sort_values(SEQ).iterrows():
+                        s, o = step(r["v"], s)
+                        out_seq.append(int(r[SEQ]))
+                        out_v.append(o)
+                self.state.update((json.dumps(s),))
+                yield pd.DataFrame({"key": [key[0]] * len(out_seq),
+                                    SEQ: out_seq, "v": out_v})
+
+            def close(self):
+                pass
+
+        return (df.withColumn("key", F.col(key_col).cast("long"))
+                  .groupBy("key")
+                  .transformWithStateInPandas(
+                      P(), outputStructType=out_schema,
+                      outputMode="append", timeMode="none"))
+
+    fn = fn_tws if api == "tws" else fn_group_state
+    return Stage(fn, name="map_accum_stream", seq_preserving=False)
+
+
+def stage_events_dir(spark_parquet_path: str, out_dir: Optional[str] = None,
+                     n_chunks: int = 4) -> str:
+    """Split one parquet file into n chunk-files in a temp dir so the
+    file-stream source replays it as n micro-batches (test utility)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="stream_src_")
+    t = pq.read_table(spark_parquet_path)
+    # nanosecond timestamps are unreadable by Spark 4 parquet; downcast
+    fields = []
+    changed = False
+    for f in t.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us")))
+            changed = True
+        else:
+            fields.append(f)
+    if changed:
+        import pyarrow.compute as pc
+        cols = [
+            pc.cast(t.column(f.name), f.type, safe=False)
+            if t.schema.field(f.name).type != f.type else t.column(f.name)
+            for f in fields
+        ]
+        t = pa.table(cols, schema=pa.schema(fields))
+    n = t.num_rows
+    chunk = max(1, n // n_chunks)
+    for i in range(n_chunks):
+        lo = i * chunk
+        hi = n if i == n_chunks - 1 else min(n, (i + 1) * chunk)
+        if lo >= hi:
+            break
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(out_dir, f"part_{i:03d}.parquet"))
+    return out_dir

@@ -1,0 +1,84 @@
+"""Streaming tests (SURVEY §5.3): incremental-equivalence — batch result
+== concatenated micro-batch outputs (the feedPipe law,
+Data/Conduino.hs:245-257) — plus watermarked windowed aggs and stateful
+streaming mapAccum."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from conduino_spark import (
+    event_window, filter_, map_, run_pipe, sink_df, sink_list, source_list,
+    read_table, scan,
+)
+from conduino_spark.plans.core import SEQ, Source
+from conduino_spark.streaming import (
+    feed_pipe, file_stream_source, map_accum_stream, run_stream_to_memory,
+    stage_events_dir,
+)
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def test_feed_pipe_law_stateless(spark):
+    # batch output == concat of micro-batch outputs for stateless stages
+    stage = filter_("v % 2 = 0") | map_(F.col("v") * 10, name="x10")
+    batches = [[1, 2, 3], [4, 5], [6, 7, 8, 9, 10]]
+    _, flat = feed_pipe(stage, batches, spark)
+    whole = run_pipe(source_list(range(1, 11)) | stage | sink_list(), spark)
+    assert flat == whole == [20, 40, 60, 80, 100]
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    d = stage_events_dir(f"{sf_dir}/events.parquet", n_chunks=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_window_equals_batch(spark, sf_dir, events_stream_dir):
+    win = event_window("ts", "1 hour", keys=["event_type"],
+                       aggs={"n": F.count(F.lit(1))}, watermark="2 hours")
+    src = file_stream_source(events_stream_dir, EVENTS_SCHEMA)
+    stream_out = run_stream_to_memory(src | win, spark, mode="append")
+    srows = {(r["w_start"], r["event_type"]): r["n"] for r in stream_out.collect()}
+
+    batch_src = read_table(sf_dir, "events")
+    bdf = run_pipe(batch_src | win | sink_df(), spark)
+    brows = {(r["w_start"], r["event_type"]): r["n"] for r in bdf.collect()}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result, and most windows must emit
+    assert srows, "stream produced no windows"
+    assert all(srows[k] == brows[k] for k in srows)
+    assert len(srows) >= len(brows) - 8  # tail windows may be held back
+
+
+def test_map_accum_stream_state_across_batches(spark, events_stream_dir):
+    # per-user running count, state carried across 4 micro-batches
+    def step(v, s):
+        return s + 1, s + 1
+
+    src = file_stream_source(events_stream_dir, EVENTS_SCHEMA)
+    pre = map_({"v": F.col("value")}, name="v") \
+        if False else None  # keep columns: use select below
+
+    def prep(df):
+        return df.select(F.col("event_id").alias(SEQ),
+                         F.col("user_id"), F.col("value").alias("v"))
+
+    from conduino_spark.plans.core import Stage
+    stage = Stage(prep, name="prep") | map_accum_stream(
+        step, 0, key_col="user_id", returns="long")
+    out = run_stream_to_memory(src | stage, spark, mode="append")
+    rows = out.collect()
+    assert rows, "no streaming output"
+    # final per-key count == batch per-key count
+    got = {}
+    for r in rows:
+        got[r["key"]] = max(got.get(r["key"], 0), r["v"])
+    batch = (spark.read.parquet(events_stream_dir)
+             .groupBy("user_id").agg(F.count("*").alias("n")))
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert got == want
