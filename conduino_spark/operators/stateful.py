@@ -33,14 +33,24 @@ _COMBINE = {
 }
 
 
-def _with_pid(df: DataFrame, npart: Optional[int] = None) -> DataFrame:
+def _with_pid(df: DataFrame, npart: Optional[int] = None, *,
+              persist: bool = True) -> DataFrame:
     """Range-partition by __seq and materialize the partition id.
 
     Range partitioner assigns ascending __seq ranges to ascending
     partition indices, so (pid, __seq) is the global order.
+
+    ``persist=True`` (default): the two-phase scan consumes this DF in
+    two branches (local scan + per-partition totals); without caching,
+    per-branch column pruning makes the exchange subtrees diverge so
+    ReuseExchange cannot fire and the input is SCANNED AND SHUFFLED
+    TWICE (verified via .explain).  Persisting costs one materialization
+    (spills to disk beyond memory) and guarantees the partition ids the
+    two branches see are identical.
     """
     part = df.repartitionByRange(npart, SEQ) if npart else df.repartitionByRange(SEQ)
-    return part.withColumn("__pid", F.spark_partition_id())
+    part = part.withColumn("__pid", F.spark_partition_id())
+    return part.persist() if persist else part
 
 
 def scan(how: str = "sum", expr: Union[str, Column] = "v", *, out: str = "v",

@@ -19,7 +19,9 @@ def _positional(df: DataFrame) -> DataFrame:
     Chunked (no global window): range-partition, local row_number,
     plus broadcast per-partition row-count prefix offsets.
     """
-    part = df.repartitionByRange(SEQ).withColumn("__pid", F.spark_partition_id())
+    part = (df.repartitionByRange(SEQ)
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())  # two branches below; see stateful._with_pid
     wloc = W.partitionBy("__pid").orderBy(SEQ)
     local = part.withColumn("__rn", F.row_number().over(wloc))
     counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
