@@ -292,6 +292,27 @@ def q_window_tumbling(spark, sf):
                       "event_type", "n", "sum_value")
 
 
+def q_session_window(spark, sf):
+    from conduino_spark import session_window
+    ev = _src(sf, "events")
+    p = (ev | session_window("ts", "5 minutes", keys=["user_id"],
+                             aggs={"n": F.count(F.lit(1))})
+         | sink_df())
+    out = run_pipe(p, spark)
+    return out.select("user_id",
+                      F.col("w_start").cast("long").alias("w_start_epoch"),
+                      "n")
+
+
+def q_set_ops_except(spark, sf):
+    cust = _src(sf, "customer").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    building = cust.where("c_mktsegment = 'BUILDING'").select(F.col("c_custkey"))
+    urgent = (orde.where("o_orderpriority = '1-URGENT'")
+                  .select(F.col("o_custkey").alias("c_custkey")))
+    return building.subtract(urgent)
+
+
 def q_group_rollup(spark, sf):
     li = _src(sf, "lineitem").df(spark)
     return (li.rollup("l_returnflag", "l_linestatus")
@@ -409,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_orders_per_cust": q_ranked_orders_per_cust,
         "set_ops_intersect": q_set_ops,
         "window_tumbling": q_window_tumbling,
+        "session_window": q_session_window,
+        "set_ops_except": q_set_ops_except,
         "group_rollup": q_group_rollup,
         # LLM-data-pipeline extensions (north star)
         "token_count": q_token_count,
@@ -609,6 +632,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2""",
+        "session_window": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+                  FROM d)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS w_start_epoch,
+                   COUNT(*) AS n
+            FROM g GROUP BY user_id, sid""",
+        "set_ops_except": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'""",
         "group_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
