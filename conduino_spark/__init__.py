@@ -53,6 +53,10 @@ from conduino_spark.operators.similarity import (
 from conduino_spark.operators.multimodal import (
     feature_extract, frame_sample, image_metadata, image_resize,
 )
+from conduino_spark.operators.adapters import (
+    await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,
+    to_local_iterator, trimap_pipe, with_source,
+)
 from conduino_spark.lift import (
     WriterTap, broadcast_env, catch_p, except_p, exec_writer_p, feedback_pipe,
     partition_errors, reader_p, run_state_p,
