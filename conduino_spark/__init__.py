@@ -53,6 +53,7 @@ from conduino_spark.operators.similarity import (
 from conduino_spark.operators.multimodal import (
     feature_extract, frame_sample, image_metadata, image_resize,
 )
+from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,
     to_local_iterator, trimap_pipe, with_source,
