@@ -402,6 +402,25 @@ def q_knn_bruteforce(spark, sf):
     return run_pipe(p, spark).select("vec_id", "cosine")
 
 
+def q_stream_window_replay(spark, sf):
+    """Structured Streaming replay (rows-only check — append-mode
+    watermarking holds back tail windows, so no exact SQL oracle):
+    events chunked into 4 micro-batch files, tumbling 1h windows with a
+    2h watermark, drained with Trigger.AvailableNow."""
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir)
+
+    d = stage_events_dir(f"{sf}/events.parquet", n_chunks=4)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    win = event_window("ts", "1 hour", keys=["event_type"],
+                       aggs={"n": F.count(F.lit(1))}, watermark="2 hours")
+    src = file_stream_source(d, schema)
+    out = run_stream_to_memory(src | win, spark)
+    return out.select(F.col("w_start").cast("long").alias("w_start_epoch"),
+                      "event_type", "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # conduino combinator surface (SURVEY §2)
@@ -430,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_orders_per_cust": q_ranked_orders_per_cust,
         "set_ops_intersect": q_set_ops,
         "window_tumbling": q_window_tumbling,
+        "stream_window_replay": q_stream_window_replay,  # rows-only (no oracle)
         "session_window": q_session_window,
         "set_ops_except": q_set_ops_except,
         "group_rollup": q_group_rollup,

@@ -15,10 +15,11 @@ from conduino_spark.plans.core import (
 )
 from conduino_spark.session import get_spark
 from conduino_spark.sources import (
-    from_dataframe, gen_source, iterate_maybe, iterate_source, range_source,
-    read_parquet, read_table, repeat_m, repeat_maybe_m, repeat_source,
-    replicate_m, replicate_source, source_binary, source_list,
-    source_text_lines, unfold, unfold_either, unfold_maybe,
+    from_dataframe, gen_source, iterate_maybe, iterate_source,
+    lift_zip_source, range_source, read_parquet, read_table, repeat_m,
+    repeat_maybe_m, repeat_source, replicate_m, replicate_source,
+    source_binary, source_list, source_text_lines, stdin_lines, unfold,
+    unfold_either, unfold_maybe,
 )
 from conduino_spark.operators.elementwise import (
     concat, concat_map, filter_, iter_m, map_, map_m, with_columns,
@@ -32,9 +33,10 @@ from conduino_spark.operators.sinks import (
     sink_count, sink_df, sink_list, sink_null, sink_parquet, sink_text,
 )
 from conduino_spark.operators.zip_alt import (
-    alt_sink, concat_sources, fuse_both, fuse_upstream, uncons_zip_source,
-    zip_sink, zip_source,
+    alt_sink, concat_sources, fuse_both, fuse_both_maybe, fuse_upstream,
+    lift_zip_sink, uncons_zip_source, zip_sink, zip_source,
 )
+from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
     cube_agg, distinct, event_window, except_all, group_agg, intersect, join,
     order_by, ranked, rollup_agg, select, session_window, sql_stage, top_k,
@@ -59,8 +61,9 @@ from conduino_spark.operators.adapters import (
     to_local_iterator, trimap_pipe, with_source,
 )
 from conduino_spark.lift import (
-    WriterTap, broadcast_env, catch_p, except_p, exec_writer_p, feedback_pipe,
-    partition_errors, reader_p, run_state_p,
+    WriterTap, broadcast_env, catch_p, eval_state_p, except_p, exec_state_p,
+    exec_writer_p, feedback_pipe, partition_errors, reader_p, run_except_p_,
+    run_state_p, rws_p,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -157,6 +157,52 @@ def run_state_p(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
     return map_accum(step, seed, returns=returns, col=col)
 
 
+def eval_state_p(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
+                 returns: str = "double", col: str = "v") -> Stage:
+    """``evalStateP`` (Lift.hs:145-160): stateful stage, keep only the
+    output stream (drop final state — which is driver-side anyway)."""
+    return run_state_p(step, seed, returns=returns, col=col)
+
+
+def exec_state_p(step: Callable[[Any, Any], Any], seed: Any,
+                 df_values: list) -> Any:
+    """``execStateP`` (Lift.hs:162-177): run the state transition over a
+    driver-side stream, keep only the FINAL state.  (The output channel
+    is discarded, so no cluster work is needed — this is the honest
+    driver-side fold the reference also performs single-threaded.)"""
+    s = seed
+    for v in df_values:
+        s = step(v, s)
+    return s
+
+
+def run_except_p_(fn: Callable[[Any], Any], *, returns: str = "double",
+                  col: str = "v") -> Stage:
+    """``runExceptP_`` (Lift.hs:251-272): like run_except_p but the
+    error value is DISCARDED — failing elements simply vanish from the
+    stream (no dead-letter column)."""
+    inner = except_p(fn, returns=returns, col=col)
+
+    def stage_fn(df: DataFrame) -> DataFrame:
+        ok, _ = partition_errors(inner(df))
+        return ok
+
+    return Stage(stage_fn, name="run_except_p_")
+
+
+def rws_p(env: Any, make_stage: Callable[[Any], Stage],
+          aggs: Mapping[str, Column]) -> tuple[Stage, "WriterTap"]:
+    """``rwsP`` (Lift.hs:483-590): reader+writer+state combined — the
+    env parameterizes the (possibly stateful) stage, and a WriterTap
+    observes the monoidal log.  Returns (stage, tap); read
+    ``tap.log()`` after the action."""
+    tap = WriterTap(aggs)
+    inner = make_stage(env)
+    return (Stage(lambda df: tap.stage()(inner(df)),
+                  name=f"rws({inner.name})",
+                  seq_preserving=inner.seq_preserving), tap)
+
+
 # -- feedbackPipe (Data/Conduino.hs:429-462) ---------------------------------
 
 def feedback_pipe(stage: Stage, src: Source, spark: SparkSession, *,

@@ -159,6 +159,31 @@ def fuse_both(src: Source, observe_aggs: list, sink: Sink):
     return _FuseBoth()
 
 
+def lift_zip_sink(value: Any) -> Sink:
+    """``liftZipSink`` (Data/Conduino.hs:693-695): a pure sink that
+    ignores the stream and returns a constant (the Applicative ``pure``
+    for ZipSink — ``zipSink p (lift_zip_sink x)`` keeps p's behavior)."""
+    return Sink(lambda df: value, name="lift_zip_sink",
+                agg_cols=[F.lit(0)], agg_finish=lambda _x: value)
+
+
+def fuse_both_maybe(src: Source, observe_aggs: list, sink: Sink):
+    """``fuseBothMaybe`` (Data/Conduino.hs:362-367): both results, but
+    the upstream result is ``None`` when the downstream sink finished
+    BEFORE the upstream was exhausted (early-terminating sinks carry
+    ``termination_seq``, cf. alt_sink)."""
+    fb = fuse_both(src, observe_aggs, sink)
+
+    class _FuseBothMaybe:
+        def run(self, spark: SparkSession):
+            df = src.df(spark)
+            early = sink.termination_seq(df) if sink.termination_seq else None
+            up, down = fb.run(spark)
+            return (None if early is not None else up, down)
+
+    return _FuseBothMaybe()
+
+
 def fuse_upstream(src: Source, observe_aggs: list, sink: Sink):
     """``fuseUpstream`` / ``|.`` (Data/Conduino.hs:372-378): compose,
     keep only the upstream's result."""

@@ -25,5 +25,7 @@ def get_spark(app: str = "conduino_spark", *, cpus: int | None = None,
         # Spark 4 rejects; read as long and rebuild (sources.read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
         .getOrCreate()
     )

@@ -248,6 +248,36 @@ def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None) -> Sou
     return Source(fn, name=table)
 
 
+def stdin_lines(*, stream=None, max_lines: int = 1_000_000) -> Source:
+    """``stdinLines`` (Combinators.hs:228-231): line source that stops at
+    EOF **or the first empty line** (the reference composes
+    ``sourceHandleLines .| takeWhile (not . null)``)."""
+    import sys
+
+    stream = stream if stream is not None else sys.stdin
+    out = []
+    for _ in range(max_lines):
+        line = stream.readline()
+        if not line:
+            break
+        line = line.rstrip("\n")
+        if line == "":
+            break
+        out.append(line)
+    src = source_list(out, name="stdin_lines")
+
+    def fn(spark: SparkSession) -> DataFrame:
+        return src.df(spark).withColumnRenamed("v", "line")
+
+    return Source(fn, name="stdin_lines")
+
+
+def lift_zip_source(value: Any) -> Source:
+    """``liftZipSource`` (Data/Conduino.hs:531-533): one-element source
+    from a driver-side value."""
+    return source_list([value], name="lift_zip_source")
+
+
 def gen_source(gen: Callable[[], Iterable[Any]]) -> Source:
     """``genSource`` (Data/Conduino.hs:570-577): generator ⇒ source."""
     return source_list(list(gen()), name="gen_source")

@@ -53,3 +53,31 @@ def test_alt_sink_race_with_limited(spark):
     # it never terminates early -> left operand (full fold) wins
     p2 = source_list([1, 2]) | alt_sink(fold("v", how="sum"), limited_sink(fold("v", how="sum"), 5))
     assert run_pipe(p2, spark) == 3
+
+
+def test_stdin_lines_stops_at_blank(spark):
+    import io
+    from conduino_spark import stdin_lines
+    src = stdin_lines(stream=io.StringIO("one\ntwo\n\nthree\n"))
+    assert run_pipe(src | sink_list(col="line"), spark) == ["one", "two"]
+
+
+def test_lift_zip_values(spark):
+    from conduino_spark import lift_zip_sink, lift_zip_source, zip_sink
+    assert run_pipe(lift_zip_source(42) | sink_list(), spark) == [42]
+    # pure-sink law (Data/Conduino.hs:651-653): zipSink p pure keeps p
+    s = zip_sink(fold("v", how="sum"), lift_zip_sink("const"))
+    assert run_pipe(source_list([1, 2, 3]) | s, spark) == (6, "const")
+
+
+def test_fuse_both_maybe(spark):
+    from conduino_spark import fuse_both_maybe, limited_sink
+    src = source_list(range(1, 11))
+    # full-stream sink: upstream result observed
+    fbm = fuse_both_maybe(src, [F.count(F.lit(1)).alias("n")], fold("v", how="sum"))
+    assert fbm.run(spark) == (10, 55)
+    # early-terminating sink: upstream result None
+    fbm2 = fuse_both_maybe(src, [F.count(F.lit(1)).alias("n")],
+                           limited_sink(fold("v", how="sum"), 3))
+    up, down = fbm2.run(spark)
+    assert up is None and down == 6

@@ -217,3 +217,30 @@ def test_feedback_pipe_fixpoint(spark):
     # rounds: {8,3}→{4,1.5}→{2,0.75}→{1}→∅ ; output = union of rounds
     vals = sorted(r["v"] for r in out.collect())
     assert vals == [0.75, 1.0, 1.5, 2.0, 4.0]
+
+
+def test_lift_completeness(spark):
+    from conduino_spark import (eval_state_p, exec_state_p, map_,
+                                run_except_p_, rws_p, run_pipe, sink_list,
+                                source_list)
+
+    p = (source_list([5, 5])
+         | eval_state_p(lambda v, s: (s + v, s + v), 0, returns="long")
+         | sink_list())
+    assert run_pipe(p, spark) == [5, 10]
+
+    assert exec_state_p(lambda v, s: s + v, 0, [1, 2, 3]) == 6
+
+    def risky(x):
+        if x == 2:
+            raise ValueError("x")
+        return float(x)
+
+    p2 = source_list([1, 2, 3]) | run_except_p_(risky) | sink_list()
+    assert run_pipe(p2, spark) == [1.0, 3.0]
+
+    stage, tap = rws_p({"mult": 3},
+                       lambda env: map_(F.col("v") * env["mult"], name="m"),
+                       {"n": F.count(F.lit(1))})
+    out = run_pipe(source_list([1, 2]) | stage | sink_list(), spark)
+    assert out == [3, 6] and tap.log()["n"] == 2
