@@ -44,9 +44,34 @@ from conduino_spark.operators.text import (  # noqa: E402
 
 QUERY_KNN_ID = 0  # the fixed ANN query vector = embedding of this vec_id
 
+#: runtime-settable confs the queries depend on — applied defensively
+#: because the DRIVER owns the SparkSession passed in (its session
+#: won't have conduino_spark.session.get_spark's builder configs).
+_REQUIRED_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",   # events.ts NANOS
+    "spark.sql.session.timeZone": "UTC",              # epoch oracles
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def _ensure_conf(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf in this session; hope it was set at build
+
 
 def _src(sf_dir: str, table: str, seq_col: str | None = None):
-    return read_table(sf_dir, table, seq_col=seq_col)
+    src = read_table(sf_dir, table, seq_col=seq_col)
+    inner_fn = src.fn
+
+    def fn(spark):
+        _ensure_conf(spark)
+        return inner_fn(spark)
+
+    src.fn = fn
+    return src
 
 
 def _strip(df: DataFrame) -> DataFrame:
