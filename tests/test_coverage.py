@@ -279,3 +279,11 @@ def test_segment_sequel_matches_reference(spark, xs, kind, arg):
     got_passed = run_pipe(source_list(xs) | build_segment(kind, arg) | sink_list(), spark)
     passed, _ = sim_segment(kind, arg, xs)
     assert got_passed == passed
+
+
+def test_passthrough_tags_outputs_with_inputs(spark):
+    from conduino_spark import map_, passthrough
+    st = passthrough(map_(F.col("v") * 10, name="x10"))
+    p = source_list([1, 2, 3]) | st | sink_df()
+    rows = {r["v"]: r["in_v"] for r in run_pipe(p, spark).collect()}
+    assert rows == {10: 1, 20: 2, 30: 3}
