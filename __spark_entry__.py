@@ -383,6 +383,12 @@ def q_minhash_pairs(spark, sf):
     return run_pipe(p, spark)
 
 
+def q_minhash_dedup_kept(spark, sf):
+    from conduino_spark import minhash_dedup
+    p = _src(sf, "documents") | minhash_dedup() | sink_df()
+    return run_pipe(p, spark).select("doc_id")
+
+
 def q_simhash(spark, sf):
     p = _src(sf, "documents") | simhash() | sink_df()
     return run_pipe(p, spark).select("doc_id", "simhash")
@@ -486,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup_kept": q_minhash_dedup_kept,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -722,6 +729,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id""",
+        "minhash_dedup_kept": _sql_minhash_bands() + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT DISTINCT b.doc_id
+              FROM bands a JOIN bands b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id)""",
         "simhash": _sql_simhash(),
         "ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id,
