@@ -13,6 +13,8 @@ Public surface:
 from conduino_spark.plans.core import (
     SEQ, Pipeline, Sink, Source, Stage, identity_stage, run_pipe, with_seq_from,
 )
+from conduino_spark.plans.cachereg import release_caches
+from conduino_spark.plans.order import rerank
 from conduino_spark.session import get_spark
 from conduino_spark.sources import (
     from_dataframe, gen_source, iterate_maybe, iterate_source,

@@ -24,6 +24,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from conduino_spark.plans.cachereg import track
 from conduino_spark.plans.core import Stage
 from conduino_spark.functions.hashing import MERSENNE31, h32, lcg_params
 from conduino_spark.operators.text import tokens_col
@@ -151,8 +152,9 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id") -> Stage
         # persist the narrow signature table (16 longs/doc): the band
         # self-join otherwise recomputes the md5 pipeline on BOTH sides
         # (AQE's broadcast conversion defeats exchange reuse) — measured
-        # 15s → 0.3s at sf0.1.  Standard LSH practice at any scale.
-        sigs = _minhash_sig_df(df, text_col, id_col).persist()
+        # 15s → 0.3s at sf0.1.  Standard LSH practice at any scale;
+        # registry-tracked so the pipeline's action releases it.
+        sigs = track(_minhash_sig_df(df, text_col, id_col))
         bands = sigs.select(
             id_col,
             F.posexplode(F.array(*[
@@ -229,7 +231,7 @@ def simhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
     cuts = [round(i * bits / n_bands) for i in range(n_bands + 1)]
 
     def fn(df: DataFrame) -> DataFrame:
-        sigs = _simhash_df(df, text_col, id_col, bits=bits, out="sh").persist()
+        sigs = track(_simhash_df(df, text_col, id_col, bits=bits, out="sh"))
         slices = [
             F.shiftright(F.col("sh"), cuts[b])
              .bitwiseAND(F.lit((1 << (cuts[b + 1] - cuts[b])) - 1))
@@ -260,10 +262,10 @@ def ngram_jaccard_pairs(text_col: str = "text", id_col: str = "doc_id", *,
     """
 
     def fn(df: DataFrame) -> DataFrame:
-        sh = _spread(df, id_col).select(
+        sh = track(_spread(df, id_col).select(
             F.col(id_col),
             F.explode(F.transform(shingles_col(F.col(text_col), n), h32)).alias("g")
-        ).persist()  # reused by sizes + both sides of the inverted-index join
+        ))  # reused by sizes + both sides of the inverted-index join
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (a.join(b, "g")
@@ -292,10 +294,10 @@ def ngram_jaccard_lsh(text_col: str = "text", id_col: str = "doc_id", *,
 
     def fn(df: DataFrame) -> DataFrame:
         cand = cand_stage(df)
-        sh = _spread(df, id_col).select(
+        sh = track(_spread(df, id_col).select(
             F.col(id_col),
             F.explode(F.transform(shingles_col(F.col(text_col), n), h32)).alias("g")
-        ).persist()
+        ))
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         inter = (cand
                  .join(sh.select(F.col(id_col).alias("id_a"), F.col("g")), "id_a")

@@ -91,14 +91,44 @@ def filter_(pred: Union[ExprLike, Callable], *, name: str = "filter") -> Stage:
     return Stage(lambda df: df.where(cond), name=name)
 
 
+#: packed reseq bounds: parent __seq < 2^42 and < 2^20 children/parent
+#: keep ``pseq * 2^20 + pos`` inside a long.  monotonically_increasing_id
+#: seqs (pid << 33) blow the parent bound once partition id ≥ ~512 — the
+#: 100×-scale regime — so 'pack' FAILS LOUDLY instead of corrupting order.
+_PACK_CHILD_BITS = 20
+_PACK_PARENT_MAX = 1 << 42
+
+
+def _reseq_exploded(out: DataFrame, reseq: str, op: str) -> DataFrame:
+    """Derive the output ``__seq`` for (parent __seq, position) pairs.
+
+    * ``'rank'`` (default): chunked dense re-rank (plans/order.rerank) —
+      one range shuffle, correct at ANY parent seq / fan-out.
+    * ``'pack'``: shuffle-free ``pseq*2^20+pos`` with a runtime bounds
+      guard — for shuffle-sensitive pipelines whose parent seqs are
+      known dense (e.g. a key-derived __seq), raises on overflow.
+    """
+    if reseq == "pack":
+        packed = F.col("__pseq") * (1 << _PACK_CHILD_BITS) + F.col("__pos")
+        guard = (F.col("__pseq") < _PACK_PARENT_MAX) & \
+                (F.col("__pos") < (1 << _PACK_CHILD_BITS))
+        seq = F.when(guard, packed).otherwise(
+            F.raise_error(F.lit(
+                f"{op}: packed __seq overflow (parent >= 2^42 or >= 2^20 "
+                "children); use reseq='rank'")))
+        return out.select(seq.alias(SEQ), "v")
+    from conduino_spark.plans.order import rerank
+    return rerank(out, ["__pseq", "__pos"]).select(SEQ, "v")
+
+
 def concat_map(expr: Union[ExprLike, Callable], *, returns: str = "array<double>",
-               name: str = "concat_map") -> Stage:
+               reseq: str = "rank", name: str = "concat_map") -> Stage:
     """``concatMap`` (Combinators.hs:451-456) — flatMap/UDTF.
 
     Maps each element to a container and flattens: implemented as
     ``explode`` of an array expression (JVM) or of a pandas_udf-produced
-    array.  Output ``__seq`` is re-derived as (parent_seq, position)
-    packed into one long so downstream ordered ops still work.
+    array.  Output ``__seq`` is re-derived from (parent __seq, position)
+    via :func:`_reseq_exploded` so downstream ordered ops still work.
     """
     if callable(expr) and not isinstance(expr, Column):
         col = _as_pandas_udf(expr, returns)(F.col("v"))
@@ -107,20 +137,17 @@ def concat_map(expr: Union[ExprLike, Callable], *, returns: str = "array<double>
 
     def fn(df: DataFrame) -> DataFrame:
         out = df.select(F.col(SEQ).alias("__pseq"), F.posexplode(col).alias("__pos", "v"))
-        # dense enough packing: 2^20 elements per parent
-        return out.select(
-            (F.col("__pseq") * (1 << 20) + F.col("__pos")).alias(SEQ), "v")
+        return _reseq_exploded(out, reseq, "concat_map")
 
     return Stage(fn, name=name, seq_preserving=False)
 
 
-def concat(*, name: str = "concat") -> Stage:
+def concat(*, reseq: str = "rank", name: str = "concat") -> Stage:
     """``concat`` (Combinators.hs:460-462) — flatten stream of containers."""
     def fn(df: DataFrame) -> DataFrame:
         out = df.select(F.col(SEQ).alias("__pseq"),
                         F.posexplode(F.col("v")).alias("__pos", "v"))
-        return out.select(
-            (F.col("__pseq") * (1 << 20) + F.col("__pos")).alias(SEQ), "v")
+        return _reseq_exploded(out, reseq, "concat")
     return Stage(fn, name=name, seq_preserving=False)
 
 

@@ -40,7 +40,7 @@ def sink_list(*, col: str = "v") -> Sink:
 def sink_df() -> Sink:
     """Engine extension: terminal result = the DataFrame itself (lazy).
     This is how pipelines hand results to the driver contract."""
-    return Sink(lambda df: df, name="sink_df")
+    return Sink(lambda df: df, name="sink_df", materializes=False)
 
 
 def agg_sink(*aggs: Column, finish: Optional[Callable[[Any], Any]] = None,

@@ -66,16 +66,20 @@ def salted_join(other: Source, left_key: str, right_key: str, *,
 
     def fn(df: DataFrame) -> DataFrame:
         left = (df.drop(SEQ) if SEQ in df.columns else df) \
-            .withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+            .withColumn("__salt", (F.rand(seed=42) * salt).cast("int")) \
+            .alias("__sl")
         r = other.df(df.sparkSession)
         r = r.drop(SEQ) if SEQ in r.columns else r
         right = r.withColumn(
-            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))) \
+            .alias("__sr")
+        # qualify both the keys and __salt: with same-named key columns a
+        # bare F.col(key) is ambiguous (r1 ADVICE).
         out = left.join(
             right,
-            (F.col(left_key) == F.col(right_key)) &
-            (left["__salt"] == right["__salt"]),
+            (F.col(f"__sl.{left_key}") == F.col(f"__sr.{right_key}")) &
+            (F.col("__sl.__salt") == F.col("__sr.__salt")),
             how)
-        return out.drop("__salt")
+        return out.drop(F.col("__sl.__salt")).drop(F.col("__sr.__salt"))
 
     return Stage(fn, name="salted_join", seq_preserving=False)

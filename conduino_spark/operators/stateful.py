@@ -22,9 +22,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from conduino_spark.plans.cachereg import track
 from conduino_spark.plans.core import SEQ, Stage
 
 _SCAN_FNS = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+#: phase-2 recombiner over per-partition TOTALS.  NOT the same as the
+#: per-row aggregator: a count of counts must SUM them (count would
+#: count the preceding partitions instead — r1 ADVICE bug).
+_RECOMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 _COMBINE = {
     "sum": lambda loc, off: loc + F.coalesce(off, F.lit(0)),
     "count": lambda loc, off: loc + F.coalesce(off, F.lit(0)),
@@ -50,7 +55,7 @@ def _with_pid(df: DataFrame, npart: Optional[int] = None, *,
     """
     part = df.repartitionByRange(npart, SEQ) if npart else df.repartitionByRange(SEQ)
     part = part.withColumn("__pid", F.spark_partition_id())
-    return part.persist() if persist else part
+    return track(part) if persist else part
 
 
 def scan(how: str = "sum", expr: Union[str, Column] = "v", *, out: str = "v",
@@ -69,7 +74,7 @@ def scan(how: str = "sum", expr: Union[str, Column] = "v", *, out: str = "v",
     if how not in _SCAN_FNS:
         raise ValueError(f"scan requires a declared-associative reducer, got {how!r}")
     col = F.expr(expr) if isinstance(expr, str) else expr
-    aggf, comb = _SCAN_FNS[how], _COMBINE[how]
+    aggf, recomb, comb = _SCAN_FNS[how], _RECOMBINE[how], _COMBINE[how]
 
     def fn_window(df: DataFrame) -> DataFrame:
         w = W.orderBy(SEQ).rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -85,7 +90,7 @@ def scan(how: str = "sum", expr: Union[str, Column] = "v", *, out: str = "v",
         totals = part.groupBy("__pid").agg(aggf(col).alias("__tot"))
         woff = (W.orderBy("__pid")
                  .rowsBetween(W.unboundedPreceding, -1))  # tiny DF: npart rows
-        offsets = totals.withColumn("__off", aggf(F.col("__tot")).over(woff)) \
+        offsets = totals.withColumn("__off", recomb(F.col("__tot")).over(woff)) \
                         .select("__pid", "__off")
         res = (local.join(F.broadcast(offsets), "__pid")
                     .withColumn(out, comb(F.col("__loc"), F.col("__off")))
@@ -168,7 +173,15 @@ def pairs(*, col: str = "v", strategy: str = "chunked",
     return Stage(fn, name="pairs", seq_preserving=False)
 
 
-def consecutive(n: int, *, col: str = "v", full_only: bool = False) -> Stage:
+def _last_n(arr: Column, n: int) -> Column:
+    """Suffix of ≤ n elements (slice with a negative start returns []
+    when |start| > size, so guard with the short case)."""
+    return F.when(F.size(arr) <= n, arr) \
+            .otherwise(F.slice(arr, F.size(arr) - n + 1, n))
+
+
+def consecutive(n: int, *, col: str = "v", full_only: bool = False,
+                strategy: str = "chunked", npart: Optional[int] = None) -> Stage:
     """``consecutive n`` (Combinators.hs:404-410): sliding windows of ≤ n
     **yielded before consuming each element**, starting from the empty
     prefix; one final window at termination.  [1..6], n=3 ⇒
@@ -179,11 +192,44 @@ def consecutive(n: int, *, col: str = "v", full_only: bool = False) -> Stage:
     §2.4 pins it); the terminal window (last n elements) is appended
     with ``__seq = max+1``.  ``full_only`` keeps only length-n windows
     (the reference's ``filter ((== n) . length)`` idiom).
-    """
 
-    def fn(df: DataFrame) -> DataFrame:
+    ``strategy='chunked'`` (default, the 100 TB path): per-partition
+    window after a range shuffle; each partition's first rows borrow
+    their missing prefix from a broadcast "carry" — the last ≤n elements
+    of all PRECEDING partitions, prefix-folded on the npart-row tails
+    table (same tiny-table shape as scan's phase 2).  No unpartitioned
+    window ever sees the data.  ``'window'`` = the simple global window
+    (test oracle)."""
+
+    def fn_window(df: DataFrame) -> DataFrame:
         w = W.orderBy(SEQ).rowsBetween(-n, -1)
         per_row = df.select(SEQ, F.collect_list(col).over(w).alias("v"))
+        return _with_tail(df, per_row)
+
+    def fn_chunked(df: DataFrame) -> DataFrame:
+        part = _with_pid(df, npart)
+        wloc = W.partitionBy("__pid").orderBy(SEQ).rowsBetween(-n, -1)
+        local = part.select("__pid", SEQ,
+                            F.collect_list(col).over(wloc).alias("__w"))
+        # per-partition tail = last ≤n values in __seq order (npart rows)
+        tails = (part.groupBy("__pid")
+                     .agg(F.array_sort(
+                              F.collect_list(F.struct(SEQ, F.col(col).alias("x"))))
+                           .alias("__t"))
+                     .select("__pid",
+                             _last_n(F.transform("__t", lambda s: s.x), n).alias("__t")))
+        # carry for partition p = last ≤n of concat(tails of partitions < p);
+        # recursion works because a partition with < n elements contributes
+        # ALL of them to its tail, so the flattened window always holds the
+        # true last n preceding elements.
+        wprev = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+        carries = (tails.withColumn("__cat", F.flatten(F.collect_list("__t").over(wprev)))
+                        .select("__pid", _last_n(F.col("__cat"), n).alias("__carry")))
+        per_row = (local.join(F.broadcast(carries), "__pid")
+                        .select(SEQ, _last_n(F.concat("__carry", "__w"), n).alias("v")))
+        return _with_tail(df, per_row)
+
+    def _with_tail(df: DataFrame, per_row: DataFrame) -> DataFrame:
         tail = (df.orderBy(F.desc(SEQ)).limit(n)
                   .agg((F.max(SEQ) + 1).alias(SEQ),
                        F.array_sort(F.collect_list(F.struct(SEQ, F.col(col).alias("x"))))
@@ -194,6 +240,7 @@ def consecutive(n: int, *, col: str = "v", full_only: bool = False) -> Stage:
             out = out.where(F.size("v") == n)
         return out
 
+    fn = fn_window if strategy == "window" else fn_chunked
     return Stage(fn, name=f"consecutive({n})", seq_preserving=False)
 
 

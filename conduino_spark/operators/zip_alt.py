@@ -17,20 +17,11 @@ def _positional(df: DataFrame) -> DataFrame:
     """Rank rows by __seq → dense positional index __pos.
 
     Chunked (no global window): range-partition, local row_number,
-    plus broadcast per-partition row-count prefix offsets.
+    plus broadcast per-partition row-count prefix offsets — shared
+    implementation in plans/order.rerank (registry-tracked persist).
     """
-    part = (df.repartitionByRange(SEQ)
-              .withColumn("__pid", F.spark_partition_id())
-              .persist())  # two branches below; see stateful._with_pid
-    wloc = W.partitionBy("__pid").orderBy(SEQ)
-    local = part.withColumn("__rn", F.row_number().over(wloc))
-    counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
-    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = counts.withColumn("__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))) \
-                 .select("__pid", "__off")
-    return (local.join(F.broadcast(offs), "__pid")
-                 .withColumn("__pos", F.col("__rn") + F.col("__off") - 1)
-                 .drop("__pid", "__rn", "__off"))
+    from conduino_spark.plans.order import rerank
+    return rerank(df, [SEQ], out="__pos", drop_keys=False)
 
 
 def zip_source(a: Source, b: Source, *, suffixes: tuple[str, str] = ("_1", "_2")) -> Source:

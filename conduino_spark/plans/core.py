@@ -104,7 +104,8 @@ class Stage:
                 rest = _after_boundary(df, bdf)
                 return other.run(rest)
 
-            return Sink(run, name=f"({left.name} >> {other.name})")
+            return Sink(run, name=f"({left.name} >> {other.name})",
+                        materializes=other.materializes)
 
         def fn(df: DataFrame) -> DataFrame:
             passed, bdf = left.boundary(df)
@@ -228,21 +229,28 @@ class Sink:
     ``termination_seq``: for early-terminating sinks (e.g. ``take n``
     composed in), a fn df -> Optional[int] giving the __seq at which the
     sink finishes — used by alt_sink's race (Data/Conduino.hs:664-670).
+    ``materializes``: True when ``run`` performs the Spark action itself
+    (collect/agg/write) — :class:`Pipeline` then releases registry-
+    tracked caches afterwards.  ``sink_df`` sets False: it hands a LAZY
+    DataFrame to the caller, whose action still needs the caches (the
+    caller releases via ``conduino_spark.release_caches``).
     """
 
     def __init__(self, run: Callable[[DataFrame], Any], *, name: str = "sink",
                  agg_cols: Optional[list] = None,
                  agg_finish: Optional[Callable[[Any], Any]] = None,
-                 termination_seq: Optional[Callable[[DataFrame], Optional[int]]] = None) -> None:
+                 termination_seq: Optional[Callable[[DataFrame], Optional[int]]] = None,
+                 materializes: bool = True) -> None:
         self.run = run
         self.name = name
         self.agg_cols = agg_cols
         self.agg_finish = agg_finish
         self.termination_seq = termination_seq
+        self.materializes = materializes
 
     def premap(self, stage: Stage) -> "Sink":
         return Sink(lambda df: self.run(stage(df)), name=f"({stage.name} | {self.name})",
-                    termination_seq=None)
+                    termination_seq=None, materializes=self.materializes)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<Sink {self.name}>"
@@ -258,7 +266,13 @@ class Pipeline:
         self.sink = sink
 
     def run(self, spark: SparkSession) -> Any:
-        return self.sink.run(self.source.df(spark))
+        if not self.sink.materializes:
+            return self.sink.run(self.source.df(spark))
+        from conduino_spark.plans.cachereg import release_caches
+        try:
+            return self.sink.run(self.source.df(spark))
+        finally:
+            release_caches()
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<Pipeline {self.source.name} |> {self.sink.name}>"
