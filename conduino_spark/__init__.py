@@ -17,11 +17,11 @@ from conduino_spark.plans.cachereg import release_caches
 from conduino_spark.plans.order import rerank
 from conduino_spark.session import get_spark
 from conduino_spark.sources import (
-    from_dataframe, gen_source, iterate_maybe, iterate_source,
-    lift_zip_source, range_source, read_parquet, read_table, repeat_m,
-    repeat_maybe_m, repeat_source, replicate_m, replicate_source,
-    source_binary, source_list, source_text_lines, stdin_lines, unfold,
-    unfold_either, unfold_maybe,
+    Left, from_dataframe, gen_source, iterate_either, iterate_maybe,
+    iterate_source, lift_zip_source, range_source, read_parquet, read_table,
+    repeat_either_m, repeat_m, repeat_maybe_m, repeat_source, replicate_m,
+    replicate_source, source_binary, source_list, source_text_lines,
+    stdin_lines, unfold, unfold_either, unfold_maybe,
 )
 from conduino_spark.operators.elementwise import (
     concat, concat_map, filter_, iter_m, map_, map_m, with_columns,
@@ -64,8 +64,8 @@ from conduino_spark.operators.adapters import (
 )
 from conduino_spark.lift import (
     WriterTap, broadcast_env, catch_p, eval_state_p, except_p, exec_state_p,
-    exec_writer_p, feedback_pipe, partition_errors, reader_p, run_except_p_,
-    run_state_p, rws_p,
+    exec_writer_p, feedback_pipe, feedback_pipe_either, partition_errors,
+    reader_p, run_except_p_, run_state_p, rws_p,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -230,3 +230,34 @@ def feedback_pipe(stage: Stage, src: Source, spark: SparkSession, *,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def feedback_pipe_either(stage: Stage, src: Source, spark: SparkSession, *,
+                         max_iters: int = 100,
+                         until_empty: bool = True,
+                         tag_col: str = "__fed_back") -> DataFrame:
+    """``feedbackPipeEither`` (Data/Conduino.hs:445-462): feedbackPipe
+    whose stage SEES provenance — the reference's pipe receives
+    ``Left i`` from upstream and ``Right o`` for its own fed-back
+    output.  Spark mapping: the Either tag is a boolean input column
+    ``tag_col`` (False = upstream, True = fed back); round 0 runs the
+    stage over the tagged upstream batch, round k over round k-1's
+    output tagged True.  Same driver-fixpoint relaxation as
+    :func:`feedback_pipe` (SURVEY §2.1: rounds instead of the
+    reference's per-element FIFO; output still duplicated downstream,
+    localCheckpoint bounds lineage)."""
+    work = src.df(spark).withColumn(tag_col, F.lit(False))
+    outs = []
+    for _ in range(max_iters):
+        out = stage(work).localCheckpoint(eager=True)
+        if until_empty and out.isEmpty():
+            break
+        outs.append(out)
+        cols = [c for c in out.columns if c != tag_col]
+        work = out.select(*cols).withColumn(tag_col, F.lit(True))
+    if not outs:
+        return stage(work).limit(0)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

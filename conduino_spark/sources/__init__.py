@@ -151,6 +151,55 @@ def iterate_maybe(f: Callable[[Any], Optional[Any]], x0: Any,
     return source_list(out, name="iterate_maybe")
 
 
+class Left:
+    """Terminal-result marker for the Either-flavored generators
+    (``iterateEither``/``repeatEitherM``): returning ``Left(r)`` stops
+    the stream WITH typed result ``r``; any other value is the
+    reference's ``Right`` (continue/yield).  The ``a`` result channel
+    is driver-side plumbing, per the SURVEY §1.3 contract."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: Any) -> None:
+        self.value = value
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Left({self.value!r})"
+
+
+def iterate_either(f: Callable[[Any], Any], x0: Any,
+                   *, max_elems: int = 1_000_000) -> tuple[Source, Any]:
+    """``iterateEither`` (Combinators.hs:134-139): iterate, yielding each
+    value, until ``f`` returns :class:`Left` — then stop WITH that typed
+    result.  Like the reference (``unfoldEither (fmap (join (,)) . f)``)
+    the seed itself is NOT yielded.  Returns (source, terminal_result);
+    result is None if ``max_elems`` cut the stream first."""
+    out, result, x = [], None, x0
+    for _ in range(max_elems):
+        x = f(x)
+        if isinstance(x, Left):
+            result = x.value
+            break
+        out.append(x)
+    return source_list(out, name="iterate_either"), result
+
+
+def repeat_either_m(eff: Callable[[], Any],
+                    *, max_elems: int = 1_000_000) -> tuple[Source, Any]:
+    """``repeatEitherM`` (Combinators.hs:190-199): repeat a driver
+    effect, yielding each plain value, until it returns :class:`Left` —
+    the typed-result flavor of ``repeatMaybeM`` (which it generalizes in
+    the reference).  Returns (source, terminal_result)."""
+    out, result = [], None
+    for _ in range(max_elems):
+        v = eff()
+        if isinstance(v, Left):
+            result = v.value
+            break
+        out.append(v)
+    return source_list(out, name="repeat_either_m"), result
+
+
 def repeat_source(x: Any, *, take: int) -> Source:
     """``repeat`` (Combinators.hs:180-182): constant forever; bounded
     prefix for batch (streaming: rate + lit)."""

@@ -225,3 +225,34 @@ def stage_events_dir(spark_parquet_path: str, out_dir: Optional[str] = None,
             break
         pq.write_table(t.slice(lo, hi - lo), os.path.join(out_dir, f"part_{i:03d}.parquet"))
     return out_dir
+
+
+def socket_source(host: str = "localhost", port: int = 9999) -> Source:
+    """``stdin`` chunked / console source (Combinators.hs:228-243): an
+    unbounded line stream pushed by an external writer.  Spark-native
+    analog: the socket text source — one row per line in column
+    ``line``.  Arrival order IS the stream order (no key-derived
+    ``__seq`` exists for a console); compose ordered operators after a
+    bounded drain, mirroring how the reference's ``stdinLines`` is
+    stdin + lines + takeWhile (tests/test_streaming.py).  Dev/test
+    source exactly like the reference's stdin; production streams use
+    file/rate/Kafka-style sources."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = (spark.readStream.format("socket")
+              .option("host", host).option("port", port).load())
+        return df.withColumnRenamed("value", "line")
+
+    return Source(fn, name=f"socket({host}:{port})", bounded=False)
+
+
+def console_stream_sink(src: Source, spark: SparkSession, *,
+                        truncate: bool = False,
+                        available_now: bool = True):
+    """``stdout`` streaming analog (Combinators.hs:287-297): write each
+    micro-batch to the console.  Returns the started query (caller
+    stops/awaits)."""
+    return (src.df(spark).writeStream.format("console")
+            .option("truncate", str(truncate).lower())
+            .trigger(availableNow=available_now)
+            .start())

@@ -135,3 +135,49 @@ def test_salted_join_same_named_key(spark):
     out = run_pipe(p, spark)
     assert out.count() == 30
     assert out.where(F.col("b").isNull()).count() == 0
+
+
+# --- typed-result source variants (VERDICT missing #3) ----------------------
+def test_iterate_either_terminal_result(spark):
+    from conduino_spark import Left, iterate_either
+
+    # iterate doubling from 1 until > 50: yields 2..64? no — stops AT Left
+    src, result = iterate_either(
+        lambda x: Left(f"overflow:{x}") if x * 2 > 50 else x * 2, 1)
+    assert result == "overflow:32"
+    out = run_pipe(src | sink_list(), spark)
+    assert out == [2, 4, 8, 16, 32]  # seed NOT yielded (reference golden)
+
+
+def test_iterate_either_max_elems_gives_none(spark):
+    from conduino_spark import iterate_either
+    src, result = iterate_either(lambda x: x + 1, 0, max_elems=5)
+    assert result is None
+    assert run_pipe(src | sink_list(), spark) == [1, 2, 3, 4, 5]
+
+
+def test_repeat_either_m_terminal_result(spark):
+    from conduino_spark import Left, repeat_either_m
+    it = iter([10, 20, 30, Left("done"), 40])
+    src, result = repeat_either_m(lambda: next(it))
+    assert result == "done"
+    assert run_pipe(src | sink_list(), spark) == [10, 20, 30]
+
+
+def test_feedback_pipe_either_provenance(spark):
+    # stage sees provenance: halve fed-back values only, pass upstream
+    # through doubled; upstream (False) rows must be distinguishable.
+    from conduino_spark import feedback_pipe_either, source_list
+
+    def fn(df):
+        halved = (df.where(F.col("__fed_back") & (F.col("v") > 1))
+                    .select(SEQ, (F.col("v") / 2).cast("long").alias("v")))
+        seeded = (df.where(~F.col("__fed_back"))
+                    .select(SEQ, (F.col("v") * 2).alias("v")))
+        return seeded.unionByName(halved)
+
+    out = feedback_pipe_either(Stage(fn, name="prov"), source_list([8]),
+                               spark, max_iters=10)
+    vals = sorted(r["v"] for r in out.collect())
+    # round0: 8*2=16 (upstream), then fed back: 8, 4, 2, 1
+    assert vals == [1, 2, 4, 8, 16]

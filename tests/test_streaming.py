@@ -82,3 +82,83 @@ def test_map_accum_stream_state_across_batches(spark, events_stream_dir):
              .groupBy("user_id").agg(F.count("*").alias("n")))
     want = {r["user_id"]: r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_socket_source_stdin_lines_composition(spark):
+    # socket = the reference's stdin console source (Combinators.hs:228-243);
+    # stdinLines = lines until the first blank (Combinators.hs:235-243)
+    import socket
+    import threading
+    import time
+
+    from conduino_spark import from_dataframe, run_pipe, sink_list, take_while
+    from conduino_spark.streaming import socket_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    lines = ["alpha", "beta", "", "gamma"]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        time.sleep(8)  # keep the connection open until the query stops
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    name = f"sock_{port}"
+    q = (socket_source("127.0.0.1", port).df(spark)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 40
+    while time.time() < deadline and spark.table(name).count() < len(lines):
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    got = [r["line"] for r in spark.table(name).collect()]
+    assert sorted(got) == sorted(lines), f"socket lines lost: {got}"
+
+    # stdinLines composition over the drained stream (arrival order)
+    bounded = from_dataframe(
+        spark.createDataFrame(list(enumerate(got)), "i long, line string"),
+        seq_col="i")
+    out = run_pipe(bounded | take_while("line != ''")
+                   | map_({"line": F.col("line")}) | sink_list(col="line"), spark)
+    want = []
+    for ln in got:
+        if ln == "":
+            break
+        want.append(ln)
+    assert out == want
+
+
+def test_map_accum_stream_tws_path(spark, events_stream_dir):
+    # transformWithStateInPandas is the preferred Spark-4 backend; it
+    # hard-depends on protobuf which this container lacks — SKIP (not
+    # silently pass) so the path gets coverage the moment the dep lands.
+    pytest.importorskip("google.protobuf")
+
+    def step(v, s):
+        return s + 1, s + 1
+
+    def prep(df):
+        return df.select(F.col("event_id").alias(SEQ),
+                         F.col("user_id"), F.col("value").alias("v"))
+
+    from conduino_spark.plans.core import Stage
+    src = file_stream_source(events_stream_dir, EVENTS_SCHEMA)
+    stage = Stage(prep, name="prep") | map_accum_stream(
+        step, 0, key_col="user_id", returns="long", api="tws")
+    out = run_stream_to_memory(src | stage, spark, mode="append")
+    rows = out.collect()
+    assert rows, "no streaming output"
+    got = {}
+    for r in rows:
+        got[r["key"]] = max(got.get(r["key"], 0), r["v"])
+    batch = (spark.read.parquet(events_stream_dir)
+             .groupBy("user_id").agg(F.count("*").alias("n")))
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert got == want
