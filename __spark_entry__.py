@@ -416,6 +416,14 @@ def q_minhash_dedup_kept(spark, sf):
     return run_pipe(p, spark).select("doc_id")
 
 
+def q_minhash_dedup_cc(spark, sf):
+    # connected-component survivors: one doc (min id) per transitive
+    # near-dup cluster — Pregel min-label propagation on the LSH pairs
+    from conduino_spark import minhash_dedup_cc
+    p = _src(sf, "documents") | minhash_dedup_cc() | sink_df()
+    return run_pipe(p, spark).select("doc_id")
+
+
 def q_simhash(spark, sf):
     p = _src(sf, "documents") | simhash() | sink_df()
     return run_pipe(p, spark).select("doc_id", "simhash")
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_kept": q_minhash_dedup_kept,
+        "minhash_dedup_cc": q_minhash_dedup_cc,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -762,6 +771,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT b.doc_id
               FROM bands a JOIN bands b USING (band_id, band_hash)
               WHERE a.doc_id < b.doc_id)""",
+        "minhash_dedup_cc": _sql_minhash_bands().replace(
+            "WITH sigs", "WITH RECURSIVE sigs", 1) + """
+            , prs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                      UNION ALL SELECT id_b, id_a FROM prs),
+            reach AS (
+              SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+            roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id)""",
         "simhash": _sql_simhash(),
         "ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id,

@@ -36,7 +36,7 @@ from conduino_spark.operators.sinks import (
 )
 from conduino_spark.operators.zip_alt import (
     alt_sink, concat_sources, fuse_both, fuse_both_maybe, fuse_upstream,
-    lift_zip_sink, uncons_zip_source, zip_sink, zip_source,
+    lift_zip_sink, uncons_zip_source, zip_sink, zip_sink_n, zip_source,
 )
 from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
@@ -48,8 +48,9 @@ from conduino_spark.operators.text import (
     fingerprint, lang_id, quality_score, token_count, tokenize,
 )
 from conduino_spark.operators.dedup import (
-    dedup_exact, embedding_near_dup_pairs, minhash_dedup, minhash_dedup_pairs,
-    minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
+    dedup_exact, embedding_near_dup_pairs, minhash_dedup, minhash_dedup_cc,
+    minhash_dedup_pairs, minhash_signatures, ngram_jaccard_pairs, simhash,
+    simhash_dedup_pairs,
 )
 from conduino_spark.operators.similarity import (
     cosine_to, ivf_search, knn_brute, knn_lsh, lsh_bucket,

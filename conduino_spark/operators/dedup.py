@@ -181,6 +181,63 @@ def minhash_dedup(text_col: str = "text", id_col: str = "doc_id") -> Stage:
     return Stage(fn, name="minhash_dedup", seq_preserving=False)
 
 
+def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
+    """Connected components by min-label propagation (Pregel-style).
+
+    ``pairs`` = undirected edges (id_a, id_b).  Returns (id, lbl) where
+    lbl = the component's minimum id, for every id appearing in a pair.
+
+    100 TB shape: per round ONE shuffle join of two narrow (long, long)
+    tables plus a 1-row convergence aggregate; rounds ≈ graph diameter
+    (near-dup clusters are shallow).  localCheckpoint bounds lineage
+    exactly like feedback_pipe's driver fixpoint (lift.py), whose
+    relaxation of the reference's feedback loop this reuses
+    (Data/Conduino.hs:429-442)."""
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .localCheckpoint(eager=True))  # reused every round
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .select("id", F.col("id").alias("lbl"))
+                   .localCheckpoint(eager=True))
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("lbl").alias("dlbl")), "dst")
+                    .groupBy("src").agg(F.min("dlbl").alias("__m")))
+        labels = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+                        .select("id", F.least(F.col("lbl"),
+                                              F.coalesce("__m", "lbl")).alias("lbl"))
+                        .localCheckpoint(eager=True))
+        cur = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur == prev:  # label sum strictly decreases until the fixpoint
+            break
+        prev = cur
+    return labels
+
+
+def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
+                     max_iters: int = 25) -> Stage:
+    """MinHash-LSH dedup with CONNECTED-COMPONENT survivor selection:
+    keep exactly one doc — the minimum id — per transitive near-dup
+    cluster.
+
+    :func:`minhash_dedup`'s greedy rule drops every doc paired with a
+    lower id, so a chain a—b—c (no direct a—c pair) keeps only ``a``:
+    ``c`` is dropped although its sole near-dup ``b`` is gone too.  CC
+    semantics keep the min-id representative per cluster — the standard
+    corpus-dedup contract."""
+    pairs_stage = minhash_dedup_pairs(text_col, id_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        labels = _cc_min_label(pairs_stage(df), max_iters=max_iters)
+        losers = (labels.where(F.col("lbl") != F.col("id"))
+                        .select(F.col("id").alias(id_col)))
+        return df.join(losers, id_col, "anti")
+
+    return Stage(fn, name="minhash_dedup_cc", seq_preserving=False)
+
+
 def simhash_signature(text: Column, *, bits: int = 32) -> Column:
     """SimHash over token hashes: bit i of the signature = sign of
     Σ_tokens (bit_i(h32(tok)) ? +1 : −1).  Duplicate tokens count with

@@ -107,6 +107,39 @@ def zip_sink(a: Sink, b: Sink) -> Sink:
     return Sink(run, name=f"zip_sink({a.name},{b.name})")
 
 
+def zip_sink_n(*sinks: Sink) -> Sink:
+    """n-ary ``zipSink`` — the reference's ZipSink Applicative gives this
+    for free by chaining ``<*>`` (Data/Conduino.hs:651-660); here the
+    n-way product is first-class so ALL pure-aggregation sinks fuse into
+    ONE ``df.agg(...)`` pass (single scan, map-side partials) instead of
+    a nest of binary fusions.  Result = tuple of each sink's result, in
+    order.  Falls back to cache-once + run-each when any sink is not a
+    pure aggregation."""
+    if not sinks:
+        raise ValueError("zip_sink_n needs at least one sink")
+
+    def run(df: DataFrame):
+        if all(s.agg_cols is not None for s in sinks):
+            cols = [c for s in sinks for c in s.agg_cols]
+            vals = tuple(df.agg(*cols).collect()[0])
+            out, i = [], 0
+            for s in sinks:
+                n = len(s.agg_cols)
+                r = vals[i] if n == 1 else vals[i:i + n]
+                i += n
+                if s.agg_finish:
+                    r = s.agg_finish(r)
+                out.append(r)
+            return tuple(out)
+        cached = df.cache()
+        try:
+            return tuple(s.run(cached) for s in sinks)
+        finally:
+            cached.unpersist()
+
+    return Sink(run, name=f"zip_sink_n({','.join(s.name for s in sinks)})")
+
+
 def alt_sink(a: Sink, b: Sink) -> Sink:
     """``altSink`` (Data/Conduino.hs:664-670): broadcast input to both,
     finish with the FIRST to finish (left-biased on ties / when neither

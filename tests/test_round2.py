@@ -181,3 +181,59 @@ def test_feedback_pipe_either_provenance(spark):
     vals = sorted(r["v"] for r in out.collect())
     # round0: 8*2=16 (upstream), then fed back: 8, 4, 2, 1
     assert vals == [1, 2, 4, 8, 16]
+
+
+# --- connected-components dedup (VERDICT next #7) ---------------------------
+def test_cc_min_label_transitive_chain(spark):
+    from conduino_spark.operators.dedup import _cc_min_label
+    # chain 1-2-3-4 plus separate pair 10-11: components {1,2,3,4}, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r["id"]: r["lbl"] for r in _cc_min_label(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_cc_keeps_one_per_cluster(spark, sf_dir):
+    from conduino_spark import minhash_dedup_cc, minhash_dedup_pairs
+    from conduino_spark.sources import read_table
+    src = read_table(sf_dir, "documents")
+    kept = run_pipe(src | minhash_dedup_cc() | sink_df(), spark)
+    pairs = run_pipe(src | minhash_dedup_pairs() | sink_df(), spark).collect()
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # build components driver-side and check exactly-one-min-per-cluster
+    import collections
+    adj = collections.defaultdict(set)
+    for r in pairs:
+        adj[r["id_a"]].add(r["id_b"]); adj[r["id_b"]].add(r["id_a"])
+    seen = set()
+    for start in list(adj):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x); stack.extend(adj[x] - comp)
+        seen |= comp
+        assert kept_ids & comp == {min(comp)}, f"component {sorted(comp)}"
+
+
+# --- n-ary zip_sink (VERDICT next #10) --------------------------------------
+def test_zip_sink_n_matches_applicative_chain(spark):
+    from conduino_spark import fold, lift_zip_sink, sink_count, zip_sink, zip_sink_n
+    src = range_source(100)
+    a, b, c = fold("v", how="sum"), fold("v", how="max"), sink_count()
+    # Applicative chain law: n-ary == nested binary (Data/Conduino.hs:651-653)
+    nested = run_pipe(src | zip_sink(a, zip_sink(b, c)), spark)
+    flat = run_pipe(src | zip_sink_n(a, b, c), spark)
+    assert flat == (nested[0], *nested[1]) == (4950, 99, 100)
+    # pure-sink identity: zipping in lift_zip_sink keeps the others
+    with_pure = run_pipe(src | zip_sink_n(a, lift_zip_sink("k"), c), spark)
+    assert with_pure == (4950, "k", 100)
+
+
+def test_zip_sink_n_non_agg_fallback(spark):
+    from conduino_spark import fold, sink_list, zip_sink_n
+    got = run_pipe(range_source(5) | zip_sink_n(fold("v", how="sum"), sink_list()), spark)
+    assert got == (10, [0, 1, 2, 3, 4])
