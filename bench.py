@@ -63,22 +63,26 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
-    # best-of-2: the box this runs on is shared, so a single timing can
-    # catch a GC pause or a neighbor's burst; min of two runs is the
-    # reproducible cost of the plan
+    # best-of-N: the box this runs on is shared, so a single timing can
+    # catch a GC pause or a neighbor's burst; min of the runs is the
+    # reproducible cost of the plan.  Two runs normally; when they
+    # disagree by >2x (a noise burst caught one of them) take a third.
+    from conduino_spark import release_caches
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        while len(runs) < 2 or (len(runs) < 3 and max(runs) > 2 * min(runs)
+                                and min(runs) > 0.5):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             materialize(df)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()  # operators may persist() internally
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+            release_caches()            # registry-tracked persists
+            spark.catalog.clearCache()  # plus anything cached directly
+        times[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -75,17 +75,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(target, key)
 
 
-def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, sig array) via explode + ONE hash-aggregate.
-
-    Each shingle is md5-hashed exactly once; the 16 permutation minima
-    are parallel partial aggregates over the exploded rows (map-side
-    combine, shuffle key = doc id).  The naive column formulation
-    (array_min of 16 transforms) re-evaluates the md5 transform per
-    permutation — ~16× the work; measured 138s → ~4s at sf0.1."""
-    h = _spread(df, id_col).select(
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __h) — one row per distinct shingle hash per doc (md5 runs
+    exactly once per shingle); docs with no shingles keep a NULL row
+    (``explode_outer``).  The shared base for MinHash signatures AND
+    exact-Jaccard verification — persist it so one tokenize+md5 pass
+    over the corpus feeds both."""
+    return _spread(df, id_col).select(
         F.col(id_col),
         F.explode_outer(F.transform(shingles_col(F.col(text_col)), h32)).alias("__h"))
+
+
+def _sig_from_hashes(h: DataFrame, id_col: str) -> DataFrame:
+    """(id, sig array): the 16 permutation minima as parallel partial
+    aggregates over the exploded rows (map-side combine, shuffle key =
+    doc id).  The naive column formulation (array_min of 16 transforms)
+    re-evaluates the md5 transform per permutation — ~16× the work;
+    measured 138s → ~4s at sf0.1."""
     aggs = [
         F.coalesce(
             F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE31)),
@@ -95,6 +101,33 @@ def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (h.groupBy(id_col).agg(*aggs)
              .select(F.col(id_col),
                      F.array(*[f"__s{j}" for j in range(MINHASH_K)]).alias("sig")))
+
+
+def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sig array) via explode + ONE hash-aggregate."""
+    return _sig_from_hashes(_shingle_hashes(df, text_col, id_col), id_col)
+
+
+def _band_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band
+    bucket.  ``sigs`` should be persisted by the caller: the self-join
+    otherwise recomputes the md5 pipeline on BOTH sides (AQE's
+    broadcast conversion defeats exchange reuse) — measured 15s → 0.3s
+    at sf0.1.  Standard LSH practice at any scale."""
+    bands = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.concat_ws(",", *[
+                F.element_at("sig", b * MINHASH_ROWS + r + 1).cast("string")
+                for r in range(MINHASH_ROWS)])
+            for b in range(MINHASH_BANDS)])).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, ["band_id", "band_hash"])
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+              .distinct())
 
 
 def _simhash_df(df: DataFrame, text_col: str, id_col: str, *,
@@ -141,28 +174,10 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id") -> Stage
     (id_a < id_b) pairs."""
 
     def fn(df: DataFrame) -> DataFrame:
-        # persist the narrow signature table (16 longs/doc): the band
-        # self-join otherwise recomputes the md5 pipeline on BOTH sides
-        # (AQE's broadcast conversion defeats exchange reuse) — measured
-        # 15s → 0.3s at sf0.1.  Standard LSH practice at any scale;
-        # registry-tracked so the pipeline's action releases it.
+        # narrow signature table (16 longs/doc), registry-tracked persist
+        # — see _band_pairs for why
         sigs = track(_minhash_sig_df(df, text_col, id_col))
-        bands = sigs.select(
-            id_col,
-            F.posexplode(F.array(*[
-                F.concat_ws(",", *[
-                    F.element_at("sig", b * MINHASH_ROWS + r + 1).cast("string")
-                    for r in range(MINHASH_ROWS)])
-                for b in range(MINHASH_BANDS)])).alias("band_id", "band_hash"),
-        )
-        a = bands.alias("a")
-        b = bands.alias("b")
-        pairs = (a.join(b, ["band_id", "band_hash"])
-                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                   .select(F.col(f"a.{id_col}").alias("id_a"),
-                           F.col(f"b.{id_col}").alias("id_b"))
-                   .distinct())
-        return pairs
+        return _band_pairs(sigs, id_col)
 
     return Stage(fn, name="minhash_dedup_pairs", seq_preserving=False)
 
@@ -353,11 +368,21 @@ def ngram_jaccard_lsh(text_col: str = "text", id_col: str = "doc_id", *,
     cand_stage = minhash_dedup_pairs(text_col, id_col)
 
     def fn(df: DataFrame) -> DataFrame:
-        cand = cand_stage(df)
-        sh = track(_spread(df, id_col).select(
-            F.col(id_col),
-            F.explode(F.transform(shingles_col(F.col(text_col), n), h32)).alias("g")
-        ))
+        if n == SHINGLE_N:
+            # ONE tokenize+md5 pass feeds both the MinHash signatures
+            # and the exact-Jaccard shingle table (r2: was two full
+            # corpus passes — the slowest bench query at 2.5s)
+            hs = track(_shingle_hashes(df, text_col, id_col))
+            sigs = track(_sig_from_hashes(hs, id_col))
+            cand = _band_pairs(sigs, id_col)
+            sh = hs.where(F.col("__h").isNotNull()) \
+                   .select(F.col(id_col), F.col("__h").alias("g"))
+        else:
+            cand = cand_stage(df)
+            sh = track(_spread(df, id_col).select(
+                F.col(id_col),
+                F.explode(F.transform(shingles_col(F.col(text_col), n), h32)).alias("g")
+            ))
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         inter = (cand
                  .join(sh.select(F.col(id_col).alias("id_a"), F.col("g")), "id_a")
