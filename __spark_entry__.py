@@ -424,6 +424,39 @@ def q_minhash_dedup_cc(spark, sf):
     return run_pipe(p, spark).select("doc_id")
 
 
+def q_asof_events(spark, sf):
+    # for each click, the user's most recent purchase at-or-before it
+    # (tie-robust: purchases deduped per (user, second) by max event_id)
+    from conduino_spark import asof_join
+    ev = _src(sf, "events").df(spark)
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+    buys = (ev.where("event_type = 'purchase'")
+              .groupBy("user_id", F.col("ts").cast("long").alias("t"))
+              .agg(F.max("event_id").alias("p_event"),
+                   F.max_by("value", "event_id").alias("p_value")))
+    st = asof_join(from_dataframe(buys), on="user_id", left_time="t",
+                   right_time="t",
+                   right_cols={"p_event": "p_event", "p_value": "p_value"})
+    return st(clicks).select("event_id", "user_id", "t", "p_event", "p_value")
+
+
+def q_interval_events(spark, sf):
+    # views landing inside any purchase-hour window of the same user
+    from conduino_spark import interval_join
+    ev = _src(sf, "events").df(spark)
+    views = ev.where("event_type = 'view'").select(
+        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+    buys = (ev.where("event_type = 'purchase'")
+              .select(F.col("event_id").alias("p_event"), "user_id",
+                      F.col("ts").cast("long").alias("s"),
+                      (F.col("ts").cast("long") + 3600).alias("e")))
+    st = interval_join(from_dataframe(buys), point="t", start="s", end="e",
+                       on="user_id", out_cols={"p_event": "p_event"},
+                       bin_width=3600.0)
+    return st(views).select("event_id", "user_id", "t", "p_event")
+
+
 def q_simhash(spark, sf):
     p = _src(sf, "documents") | simhash() | sink_df()
     return run_pipe(p, spark).select("doc_id", "simhash")
@@ -529,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_kept": q_minhash_dedup_kept,
         "minhash_dedup_cc": q_minhash_dedup_cc,
+        "asof_events": q_asof_events,
+        "interval_events": q_interval_events,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -786,6 +821,30 @@ def oracle_sql() -> dict[str, str]:
             roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id)""",
+        "asof_events": """
+            WITH clicks AS (
+              SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
+              FROM events WHERE event_type = 'click'),
+            buys AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     max(event_id) AS p_event,
+                     arg_max(value, event_id) AS p_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT c.event_id, c.user_id, c.t, b.p_event, b.p_value
+            FROM clicks c ASOF LEFT JOIN buys b
+              ON c.user_id = b.user_id AND c.t >= b.t""",
+        "interval_events": """
+            WITH views AS (
+              SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
+              FROM events WHERE event_type = 'view'),
+            buys AS (
+              SELECT event_id AS p_event, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+              FROM events WHERE event_type = 'purchase')
+            SELECT v.event_id, v.user_id, v.t, b.p_event
+            FROM views v JOIN buys b
+              ON v.user_id = b.user_id AND v.t >= b.s AND v.t < b.e""",
         "simhash": _sql_simhash(),
         "ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id,

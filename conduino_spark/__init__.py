@@ -37,6 +37,7 @@ from conduino_spark.operators.sinks import (
 from conduino_spark.operators.zip_alt import (
     alt_sink, concat_sources, fuse_both, fuse_both_maybe, fuse_upstream,
     lift_zip_sink, uncons_zip_source, zip_sink, zip_sink_n, zip_source,
+    zip_source_n,
 )
 from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
@@ -59,6 +60,7 @@ from conduino_spark.operators.multimodal import (
     feature_extract, frame_sample, image_metadata, image_resize,
 )
 from conduino_spark.operators.skew import salted_group_agg, salted_join
+from conduino_spark.operators.temporal import asof_join, interval_join
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,
     to_local_iterator, trimap_pipe, with_source,

@@ -1,0 +1,145 @@
+"""Temporal joins — as-of (nearest-event) and interval-containment.
+
+Engine extensions beyond the reference (SURVEY §2.7 spirit: capabilities
+a training-data pipeline needs that neither conduino nor stock Spark
+expresses directly).  Both are built so the BIG side never meets a
+quadratic plan:
+
+* ``asof_join``: the union trick — tag both streams, ONE shuffle by
+  key, per-key sort by (time, side), ``last(..., ignorenulls)`` window.
+  This is the canonical distributed as-of; no per-row range probe, no
+  BroadcastNestedLoopJoin.
+* ``interval_join``: time-binning — explode each interval into the
+  fixed-width bins it covers, point rows land in exactly ONE bin, the
+  bin (+ optional key) becomes an equi-join key and the exact predicate
+  filters within the bucket.  Cost ~ |intervals| × (len/bin_width)
+  instead of |points| × |intervals|.
+
+Skew caveat (both): the shuffle key is the join key — a single hot key
+serializes its partition exactly like any keyed window; pre-split hot
+keys upstream (operators/skew.py) when one entity dominates.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Source, Stage
+
+
+def asof_join(right: Source, *, on: str, left_time: str,
+              right_time: Optional[str] = None,
+              right_cols: Mapping[str, str],
+              direction: str = "backward",
+              tolerance: Optional[float] = None,
+              how: str = "left") -> Stage:
+    """As-of join: for each left row, the single right row with the same
+    key and the greatest right_time ≤ left_time (``backward``; ties
+    include equal times) or smallest right_time ≥ left_time
+    (``forward``).
+
+    ``right_cols`` maps OUTPUT name → right column; output names must
+    not collide with left columns.  ``tolerance`` (same units as the
+    time columns) nulls the match when the gap exceeds it; ``how``
+    ∈ left/inner (inner drops unmatched left rows).
+
+    Plan: union the tagged streams, window ``last(col, ignorenulls)``
+    per key ordered by (time, side) — right rows sort before left rows
+    at equal times so the ≤/≥ bound is inclusive.  One shuffle, linear
+    work, scales with the key cardinality like any keyed window.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left/inner, got {how!r}")
+    rt = right_time or left_time
+
+    def fn(df: DataFrame) -> DataFrame:
+        clash = [c for c in right_cols if c in df.columns]
+        if clash:
+            raise ValueError(f"asof_join output columns collide with left: {clash}")
+        r = right.df(df.sparkSession)
+        if SEQ in r.columns:
+            r = r.drop(SEQ)
+        R = r.select(F.col(on),
+                     F.col(rt).cast("double").alias("__at"),
+                     *[F.col(src).alias(out) for out, src in right_cols.items()]) \
+             .withColumn("__side", F.lit(0))
+        L = df.withColumn("__at", F.col(left_time).cast("double")) \
+              .withColumn("__side", F.lit(1))
+        u = L.unionByName(R, allowMissingColumns=True)
+
+        order = [F.col("__at"), F.col("__side")] if direction == "backward" \
+            else [F.col("__at").desc(), F.col("__side")]
+        w = (W.partitionBy(on).orderBy(*order)
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        mt = F.last(F.when(F.col("__side") == 0, F.col("__at")),
+                    ignorenulls=True).over(w)
+        matched = [F.last(F.when(F.col("__side") == 0, F.col(c)),
+                          ignorenulls=True).over(w).alias(c)
+                   for c in right_cols]
+        out = (u.select(*[c for c in L.columns if c not in ("__side",)],
+                        F.col("__side"), mt.alias("__mt"), *matched)
+                .where(F.col("__side") == 1))
+        valid = F.col("__mt").isNotNull()
+        if tolerance is not None:
+            gap = (F.col("__at") - F.col("__mt")) if direction == "backward" \
+                else (F.col("__mt") - F.col("__at"))
+            valid = valid & (gap <= F.lit(float(tolerance)))
+        if how == "inner":
+            out = out.where(valid)
+        else:
+            out = out.select(
+                *[c for c in out.columns if c not in right_cols],
+                *[F.when(valid, F.col(c)).alias(c) for c in right_cols])
+        return out.drop("__at", "__side", "__mt")
+
+    return Stage(fn, name=f"asof_join({direction})", seq_preserving=True)
+
+
+def interval_join(intervals: Source, *, point: str, start: str, end: str,
+                  out_cols: Mapping[str, str],
+                  on: Optional[str] = None,
+                  bin_width: float = 3600.0,
+                  closed: str = "left") -> Stage:
+    """Interval-containment join: each left POINT row against every
+    right INTERVAL [start, end) (``closed='left'``; 'both' makes the
+    end inclusive) — optionally key-scoped via ``on``.
+
+    Plan: intervals explode into the ⌈len/bin_width⌉ fixed-width time
+    bins they cover; a point lives in exactly one bin, so (key, bin) is
+    an equi-join key and each (point, interval) pair meets AT MOST ONCE
+    — no distinct needed.  Pick ``bin_width`` near the typical interval
+    length: cost ~ |intervals| × bins-per-interval, never
+    |points| × |intervals|.
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be left/both, got {closed!r}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        clash = [c for c in out_cols if c in df.columns]
+        if clash:
+            raise ValueError(f"interval_join output columns collide with left: {clash}")
+        r = intervals.df(df.sparkSession)
+        if SEQ in r.columns:
+            r = r.drop(SEQ)
+        rs, re_ = F.col(start).cast("double"), F.col(end).cast("double")
+        ikeys = ([F.col(on)] if on else [])
+        I = r.select(*ikeys, rs.alias("__s"), re_.alias("__e"),
+                     *[F.col(src).alias(out) for out, src in out_cols.items()])
+        I = I.withColumn("__bin", F.explode(F.sequence(
+            F.floor(F.col("__s") / F.lit(bin_width)),
+            F.floor(F.col("__e") / F.lit(bin_width)))))
+        P = df.withColumn("__p", F.col(point).cast("double")) \
+              .withColumn("__bin", F.floor(F.col("__p") / F.lit(bin_width)))
+        keys = ([on] if on else []) + ["__bin"]
+        hit = F.col("__p") >= F.col("__s")
+        hit = hit & (F.col("__p") <= F.col("__e") if closed == "both"
+                     else (F.col("__p") < F.col("__e")))
+        return (P.join(I, keys).where(hit)
+                 .drop("__bin", "__p", "__s", "__e"))
+
+    return Stage(fn, name="interval_join", seq_preserving=False)

@@ -47,6 +47,32 @@ def zip_source(a: Source, b: Source, *, suffixes: tuple[str, str] = ("_1", "_2")
     return Source(fn, name=f"zip({a.name},{b.name})")
 
 
+def zip_source_n(*sources: Source,
+                 suffixes: Optional[tuple[str, ...]] = None) -> Source:
+    """n-ary ``zipSource`` — the ZipSource Applicative chain
+    (Data/Conduino.hs:491-533) first-class: collate k sources
+    positionally, truncating at the shortest (inner joins on the dense
+    rank).  Each source is ranked ONCE; the k-way equi-join on ``__pos``
+    shares one partitioning."""
+    if len(sources) < 2:
+        raise ValueError("zip_source_n needs at least two sources")
+    sfx = suffixes or tuple(f"_{i + 1}" for i in range(len(sources)))
+    if len(sfx) != len(sources):
+        raise ValueError("one suffix per source required")
+
+    def fn(spark: SparkSession) -> DataFrame:
+        res = None
+        for s, suffix in zip(sources, sfx):
+            d = _positional(s.df(spark))
+            d = d.select("__pos", *[F.col(c).alias(c + suffix)
+                                    for c in d.columns
+                                    if c not in ("__pos", SEQ)])
+            res = d if res is None else res.join(d, "__pos")
+        return res.withColumnRenamed("__pos", SEQ)
+
+    return Source(fn, name=f"zip_n({','.join(s.name for s in sources)})")
+
+
 def concat_sources(a: Source, b: Source) -> Source:
     """``ZipSource <|>`` (Data/Conduino.hs:523-525): exhaust first source,
     then second — unionByName with a __seq offset to preserve order.

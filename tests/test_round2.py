@@ -237,3 +237,65 @@ def test_zip_sink_n_non_agg_fallback(spark):
     from conduino_spark import fold, sink_list, zip_sink_n
     got = run_pipe(range_source(5) | zip_sink_n(fold("v", how="sum"), sink_list()), spark)
     assert got == (10, [0, 1, 2, 3, 4])
+
+
+# --- temporal joins (engine extensions) -------------------------------------
+def test_asof_join_backward_golden(spark):
+    from conduino_spark import asof_join
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (2, 9, "c")], "k long, t long, v string")
+    st = asof_join(from_dataframe(right), on="k", left_time="t",
+                   right_cols={"rv": "v"})
+    got = {(r["k"], r["t"]): r["rv"] for r in st(left).collect()}
+    assert got == {(1, 10): "a", (1, 25): "b", (2, 5): None}
+
+
+def test_asof_join_equal_time_inclusive_and_inner(spark):
+    from conduino_spark import asof_join
+    left = spark.createDataFrame([(1, 20), (1, 19)], "k long, t long")
+    right = spark.createDataFrame([(1, 20, "x")], "k long, t long, v string")
+    st = asof_join(from_dataframe(right), on="k", left_time="t",
+                   right_cols={"rv": "v"}, how="inner")
+    got = [(r["t"], r["rv"]) for r in st(left).collect()]
+    assert got == [(20, "x")]  # t=20 matches inclusively; t=19 dropped
+
+
+def test_asof_join_forward_with_tolerance(spark):
+    from conduino_spark import asof_join
+    left = spark.createDataFrame([(1, 10), (1, 30)], "k long, t long")
+    right = spark.createDataFrame([(1, 12, "a"), (1, 50, "b")],
+                                  "k long, t long, v string")
+    st = asof_join(from_dataframe(right), on="k", left_time="t",
+                   right_cols={"rv": "v"}, direction="forward", tolerance=10)
+    got = {r["t"]: r["rv"] for r in st(left).collect()}
+    assert got == {10: "a", 30: None}  # 50-30=20 > tolerance
+
+
+def test_interval_join_bins(spark):
+    from conduino_spark import interval_join
+    points = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, 95.0), (3, 2, 50.0)], "pid long, k long, t double")
+    iv = spark.createDataFrame(
+        [(100, 1, 0.0, 10.0), (200, 1, 90.0, 95.0), (300, 2, 40.0, 60.0)],
+        "iid long, k long, s double, e double")
+    st = interval_join(from_dataframe(iv), point="t", start="s", end="e",
+                       on="k", out_cols={"iid": "iid"}, bin_width=7.0)
+    got = sorted((r["pid"], r["iid"]) for r in st(points).collect())
+    # pid2 at t=95 is NOT in [90,95) (left-closed); pid1 in [0,10); pid3 in [40,60)
+    assert got == [(1, 100), (3, 300)]
+    st2 = interval_join(from_dataframe(iv), point="t", start="s", end="e",
+                        on="k", out_cols={"iid": "iid"}, bin_width=7.0,
+                        closed="both")
+    got2 = sorted((r["pid"], r["iid"]) for r in st2(points).collect())
+    assert got2 == [(1, 100), (2, 200), (3, 300)]
+
+
+def test_zip_source_n_truncates_at_shortest(spark):
+    from conduino_spark import zip_source_n
+    a = source_list([1, 2, 3, 4])
+    b = source_list(["x", "y", "z"])
+    c = source_list([10.0, 20.0, 30.0, 40.0, 50.0])
+    p = zip_source_n(a, b, c) | sink_list()
+    assert run_pipe(p, spark) == [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)]
