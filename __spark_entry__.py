@@ -457,6 +457,14 @@ def q_interval_events(spark, sf):
     return st(views).select("event_id", "user_id", "t", "p_event")
 
 
+def q_ivf_build(spark, sf):
+    # k-means-lite quantizer training: 1 Lloyd iteration, k=8 —
+    # deterministic (rounded distances, id tie-breaks, scaled-long sums)
+    from conduino_spark import ivf_build
+    p = _src(sf, "embeddings") | ivf_build(k=8, iters=1) | sink_df()
+    return run_pipe(p, spark)
+
+
 def q_simhash(spark, sf):
     p = _src(sf, "documents") | simhash() | sink_df()
     return run_pipe(p, spark).select("doc_id", "simhash")
@@ -564,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_cc": q_minhash_dedup_cc,
         "asof_events": q_asof_events,
         "interval_events": q_interval_events,
+        "ivf_build": q_ivf_build,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -821,6 +830,34 @@ def oracle_sql() -> dict[str, str]:
             roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id)""",
+        "ivf_build": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                   FROM e ORDER BY vec_id LIMIT 8),
+            d0 AS (SELECT e.vec_id, e.v, c.cid,
+                          round(list_sum(list_transform(range(1, 65),
+                                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d
+                   FROM e CROSS JOIN c0 c),
+            a0 AS (SELECT vec_id, v, cid AS cell FROM d0
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cid) = 1),
+            s1 AS (SELECT cell, i,
+                          SUM(CAST(round(x * 1000000000) AS BIGINT)) AS s,
+                          COUNT(*) AS n
+                   FROM (SELECT cell, unnest(v) AS x,
+                                generate_subscripts(v, 1) AS i FROM a0)
+                   GROUP BY 1, 2),
+            c1 AS (SELECT cell AS cid,
+                          list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               / 1000000000.0 ORDER BY i) AS c
+                   FROM s1 GROUP BY cell),
+            d1 AS (SELECT e.vec_id, c.cid,
+                          round(list_sum(list_transform(range(1, 65),
+                                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d
+                   FROM e CROSS JOIN c1 c)
+            SELECT vec_id, cid AS cell FROM d1
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""",
         "asof_events": """
             WITH clicks AS (
               SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id

@@ -54,7 +54,7 @@ from conduino_spark.operators.dedup import (
     simhash_dedup_pairs,
 )
 from conduino_spark.operators.similarity import (
-    cosine_to, ivf_search, knn_brute, knn_lsh, lsh_bucket,
+    cosine_to, ivf_build, ivf_search, knn_brute, knn_lsh, lsh_bucket,
 )
 from conduino_spark.operators.multimodal import (
     feature_extract, frame_sample, image_metadata, image_resize,

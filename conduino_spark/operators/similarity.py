@@ -115,6 +115,67 @@ def knn_lsh(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
     return Stage(fn, name=f"knn_lsh({k})", seq_preserving=False)
 
 
+def ivf_build(k: int = 8, iters: int = 1, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", out: str = "cell",
+              scale: int = 1_000_000_000) -> Stage:
+    """Train an IVF coarse quantizer (k-means-lite, Lloyd iterations)
+    and return the (id, cell) assignment — feeds ``ivf_search`` /
+    ``embedding_near_dup_pairs`` a REAL computed quantizer instead of a
+    pre-existing label column.
+
+    Scale shape (the same one distributed k-means always has):
+    centroids are driver-sized (k × dim doubles) and BROADCAST as
+    literal arrays, so ASSIGNMENT is a pure projection — zero shuffle,
+    whole-stage codegen; the UPDATE is one (cell, dim)-keyed shuffle of
+    scaled-long partial sums.  ``iters`` driver round-trips total.
+
+    Deterministic across engines (exact DuckDB oracle): init = the k
+    lowest-id vectors; distances rounded to 6dp with ties broken by
+    cell id; means from order-free scaled-long sums (see
+    __spark_entry__._scaled_sum for the rationale)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        base = df.select(F.col(id_col), v.alias("__v"))
+        init = base.orderBy(id_col).limit(k).collect()
+        cents = {j: list(r["__v"]) for j, r in enumerate(init)}
+
+        def assign(b: DataFrame, cents: dict) -> DataFrame:
+            structs = []
+            for cid, c in sorted(cents.items()):
+                carr = F.array(*[F.lit(float(x)) for x in c])
+                d = F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("__v"), carr,
+                                   lambda a, b_: (a - b_) * (a - b_)),
+                        F.lit(0.0), lambda s, x: s + x), 6)
+                structs.append(F.struct(d.alias("d"),
+                                        F.lit(cid).alias("c")))
+            return b.withColumn(out,
+                                F.array_min(F.array(*structs)).getField("c"))
+
+        for _ in range(iters):
+            a = assign(base, cents)
+            ex = a.select(out, F.posexplode("__v").alias("__i", "__x"))
+            sums = (ex.groupBy(out, "__i")
+                      .agg(F.sum(F.round(F.col("__x") * scale).cast("long"))
+                            .alias("__s"),
+                           F.count(F.lit(1)).alias("__n")))
+            rows = (sums.groupBy(out)
+                        .agg(F.array_sort(F.collect_list(F.struct(
+                             F.col("__i"),
+                             (F.col("__s").cast("double")
+                              / F.col("__n").cast("double")
+                              / F.lit(float(scale))).alias("m")))).alias("__a"))
+                        .select(out, F.transform("__a", lambda t: t.m).alias("__c"))
+                        .collect())
+            cents = {r[out]: list(r["__c"]) for r in rows}
+
+        return assign(base, cents).select(id_col, out)
+
+    return Stage(fn, name=f"ivf_build(k={k})", seq_preserving=False)
+
+
 def ivf_search(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
                id_col: str = "vec_id", cell_col: str = "label",
                nprobe: int = 2) -> Stage:

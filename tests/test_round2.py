@@ -299,3 +299,19 @@ def test_zip_source_n_truncates_at_shortest(spark):
     c = source_list([10.0, 20.0, 30.0, 40.0, 50.0])
     p = zip_source_n(a, b, c) | sink_list()
     assert run_pipe(p, spark) == [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)]
+
+
+def test_ivf_build_partitions_all_vectors(spark, sf_dir):
+    from conduino_spark import ivf_build, ivf_search, read_table
+    src = read_table(sf_dir, "embeddings")
+    cells = run_pipe(src | ivf_build(k=4, iters=2) | sink_df(), spark)
+    n = src.df(spark).count()
+    assert cells.count() == n                      # every vector assigned
+    assert cells.select("cell").distinct().count() <= 4
+    assert cells.groupBy("vec_id").count().where("count > 1").count() == 0
+    # the trained cells feed ivf_search as the coarse quantizer
+    emb = src.df(spark).join(cells, "vec_id")
+    q = [r["embedding"] for r in src.df(spark).where("vec_id = 0").collect()][0]
+    st = ivf_search(list(q), k=5, cell_col="cell")
+    top = st(emb).collect()
+    assert top[0]["vec_id"] == 0 and len(top) == 5
