@@ -301,6 +301,45 @@ def q_tpch_q6(spark, sf):
                    scale=10_000)))
 
 
+def q_tpch_q10(spark, sf):
+    # returned-item revenue by customer, one quarter, top 20
+    cust, orde = _src(sf, "customer"), _src(sf, "orders")
+    nat, li = _src(sf, "nation"), _src(sf, "lineitem")
+    p = (li
+         | filter_("l_returnflag = 'R'")
+         | join(orde, on=[F.expr("l_orderkey = o_orderkey")])
+         | filter_("o_orderdate >= timestamp'1996-01-01 00:00:00' and "
+                   "o_orderdate < timestamp'1996-04-01 00:00:00'")
+         | join(cust, on=[F.expr("o_custkey = c_custkey")], broadcast=True)
+         | join(nat, on=[F.expr("c_nationkey = n_nationkey")], broadcast=True)
+         | group_agg(["c_custkey", "c_name", "c_acctbal", "n_name"], {
+             "revenue": _scaled_sum(
+                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)})
+         | top_k(20, F.desc("revenue"), F.col("c_custkey"))
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_tpch_q18(spark, sf):
+    # large-quantity orders: customers whose order sums > 250 units
+    cust, orde, li = _src(sf, "customer"), _src(sf, "orders"), _src(sf, "lineitem")
+    li_df = li.df(spark)
+    big = (li_df.groupBy("l_orderkey")
+                .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+                .where("sum_qty > 250"))
+    p = (orde
+         | join(cust, on=[F.expr("o_custkey = c_custkey")], broadcast=True)
+         | sink_df())
+    oc = run_pipe(p, spark)
+    out = (oc.join(big, oc.o_orderkey == big.l_orderkey)
+             .select("c_custkey", "c_name", "o_orderkey",
+                     F.col("o_orderdate").cast("timestamp").cast("long").alias("o_date"),
+                     "o_totalprice", "sum_qty")
+             .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+             .limit(100))
+    return out
+
+
 def q_top_k_customers(spark, sf):
     p = (_src(sf, "customer")
          | top_k(5, F.desc("c_acctbal"), F.col("c_custkey"))
@@ -573,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "interval_events": q_interval_events,
         "ivf_build": q_ivf_build,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -830,6 +871,31 @@ def oracle_sql() -> dict[str, str]:
             roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id)""",
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN big ON o_orderkey = l_orderkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         "ivf_build": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

@@ -18,7 +18,8 @@ from conduino_spark.plans.order import rerank
 from conduino_spark.session import get_spark
 from conduino_spark.sources import (
     Left, from_dataframe, gen_source, iterate_either, iterate_maybe,
-    iterate_source, lift_zip_source, range_source, read_parquet, read_table,
+    iterate_source, lift_zip_source, range_source, read_csv, read_json,
+    read_parquet, read_table,
     repeat_either_m, repeat_m, repeat_maybe_m, repeat_source, replicate_m,
     replicate_source, source_binary, source_list, source_text_lines,
     stdin_lines, unfold, unfold_either, unfold_maybe,

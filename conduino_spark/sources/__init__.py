@@ -277,6 +277,41 @@ def read_parquet(path: str, *, seq_col: Optional[str] = None,
     return Source(fn, name=name or f"parquet({path})")
 
 
+def read_csv(path: str, *, schema: Optional[str] = None, header: bool = True,
+             seq_col: Optional[str] = None, name: Optional[str] = None,
+             **options) -> Source:
+    """CSV scan (``sourceHandleLines`` + parse, generalized — reference
+    gap, SURVEY §2.7).  Pass an explicit ``schema`` at scale: schema
+    inference is an extra full read."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        r = spark.read.option("header", str(header).lower())
+        for k, v in options.items():
+            r = r.option(k, v)
+        df = r.csv(path, schema=schema) if schema else \
+            r.option("inferSchema", "true").csv(path)
+        return with_seq_from(df, seq_col) if seq_col else df
+
+    return Source(fn, name=name or f"csv({path})")
+
+
+def read_json(path: str, *, schema: Optional[str] = None,
+              seq_col: Optional[str] = None, name: Optional[str] = None,
+              **options) -> Source:
+    """JSON-lines scan.  Explicit ``schema`` avoids the inference pass
+    and keeps unknown fields out of the plan (column pruning reaches
+    the parser)."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        r = spark.read
+        for k, v in options.items():
+            r = r.option(k, v)
+        df = r.json(path, schema=schema) if schema else r.json(path)
+        return with_seq_from(df, seq_col) if seq_col else df
+
+    return Source(fn, name=name or f"json({path})")
+
+
 def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None) -> Source:
     """Driver testdata table (TESTDATA.md).
 

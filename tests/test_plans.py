@@ -95,3 +95,37 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = run_pipe(orders | join(cust, on=[F.expr("o_custkey = c_custkey")]) | sink_df(), spark)
     salted = run_pipe(orders | salted_join(cust, "o_custkey", "c_custkey") | sink_df(), spark)
     assert plain.count() == salted.count()
+
+
+def test_asof_join_is_window_not_nested_loop(spark, sf_dir):
+    from conduino_spark import asof_join, from_dataframe
+    from pyspark.sql import functions as F
+    ev = read_table(sf_dir, "events").df(spark)
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+    buys = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").cast("long").alias("t"),
+        F.col("event_id").alias("p_event"))
+    st = asof_join(from_dataframe(buys), on="user_id", left_time="t",
+                   right_time="t", right_cols={"p_event": "p_event"})
+    plan = plan_of(st(clicks))
+    assert "NestedLoop" not in plan          # never quadratic
+    assert "Window" in plan                  # the union-trick window
+    assert "EqualTo(event_type,click)" in plan  # pushdown survives
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    from conduino_spark import from_dataframe, interval_join
+    from pyspark.sql import functions as F
+    ev = read_table(sf_dir, "events").df(spark)
+    views = ev.where("event_type = 'view'").select(
+        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+    buys = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_event"), "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 3600).alias("e"))
+    st = interval_join(from_dataframe(buys), point="t", start="s", end="e",
+                       on="user_id", out_cols={"p_event": "p_event"})
+    plan = plan_of(st(views))
+    assert "NestedLoop" not in plan          # binning keeps it equi
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

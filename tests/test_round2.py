@@ -315,3 +315,19 @@ def test_ivf_build_partitions_all_vectors(spark, sf_dir):
     st = ivf_search(list(q), k=5, cell_col="cell")
     top = st(emb).collect()
     assert top[0]["vec_id"] == 0 and len(top) == 5
+
+
+# --- csv/json sources -------------------------------------------------------
+def test_read_csv_and_json_roundtrip(spark, tmp_path):
+    from conduino_spark import read_csv, read_json
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string")
+    df.write.option("header", "true").csv(csv_p)
+    df.write.json(json_p)
+    got_c = run_pipe(read_csv(csv_p, schema="id long, s string", seq_col="id")
+                     | sink_df(), spark)
+    got_j = run_pipe(read_json(json_p, schema="id long, s string", seq_col="id")
+                     | sink_df(), spark)
+    want = {(1, "a"), (2, "b"), (3, "c")}
+    assert {(r["id"], r["s"]) for r in got_c.collect()} == want
+    assert {(r["id"], r["s"]) for r in got_j.collect()} == want
