@@ -39,6 +39,7 @@ from conduino_spark.functions.hashing import (  # noqa: E402
 from conduino_spark.operators.dedup import (  # noqa: E402
     MINHASH_BANDS, MINHASH_PARAMS, MINHASH_ROWS, SHINGLE_N,
 )
+from conduino_spark.operators.sketches import kmv_distinct_sql  # noqa: E402
 from conduino_spark.operators.text import (  # noqa: E402
     lang_id_sql, quality_score_sql, tokens_sql,
 )
@@ -509,6 +510,16 @@ def q_simhash(spark, sf):
     return run_pipe(p, spark).select("doc_id", "simhash")
 
 
+def q_kmv_distinct_tokens(spark, sf):
+    # bottom-k (KMV) distinct-count sketch over the corpus vocabulary —
+    # md5-derived hashes make the ESTIMATE itself oracle-replayable
+    from conduino_spark import kmv_distinct
+    from conduino_spark.operators.text import tokens_col
+    docs = _src(sf, "documents").df(spark)
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    return kmv_distinct("token", k=256)(toks)
+
+
 def q_ngram_jaccard(spark, sf):
     p = _src(sf, "documents") | ngram_jaccard_pairs(threshold=0.2) | sink_df()
     return run_pipe(p, spark).select("id_a", "id_b", "jaccard")
@@ -614,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_build": q_ivf_build,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -949,6 +961,10 @@ def oracle_sql() -> dict[str, str]:
             FROM views v JOIN buys b
               ON v.user_id = b.user_id AND v.t >= b.s AND v.t < b.e""",
         "simhash": _sql_simhash(),
+        "kmv_distinct_tokens": kmv_distinct_sql(
+            "t", 256,
+            from_clause=f"FROM (SELECT unnest({tokens_sql('text')}) AS t "
+                        "FROM documents)"),
         "ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id,
                         unnest([{h32_sql('g')} for g in {_sql_shingles(tokens_sql('text'))}]) AS g

@@ -256,3 +256,34 @@ def console_stream_sink(src: Source, spark: SparkSession, *,
             .option("truncate", str(truncate).lower())
             .trigger(availableNow=available_now)
             .start())
+
+
+def stream_stream_join(left: Source, right: Source, *, on: str,
+                       left_time: str, right_time: str,
+                       lookback: str = "1 hour",
+                       watermark: str = "1 hour",
+                       right_cols: Optional[dict] = None) -> Source:
+    """Watermarked stream-stream inner join: each left row matches right
+    rows with the same key whose time falls in
+    ``[left_time - lookback, left_time]`` — the streaming analog of
+    ``asof/interval`` joins (operators/temporal.py).
+
+    Watermarks bound BOTH sides' state: Spark drops buffered rows older
+    than the watermark, so state is O(key-cardinality x lookback), not
+    unbounded — the required shape for an infinite stream."""
+    rc = right_cols or {}
+
+    def fn(spark: SparkSession) -> DataFrame:
+        l = left.df(spark).withWatermark(left_time, watermark).alias("l")
+        r = right.df(spark).withWatermark(right_time, watermark)
+        r = r.select(F.col(on).alias("__rk"),
+                     F.col(right_time).alias("__rt"),
+                     *[F.col(src).alias(out) for out, src in rc.items()]).alias("r")
+        cond = (
+            (F.col(f"l.{on}") == F.col("__rk"))
+            & (F.col("__rt") <= F.col(f"l.{left_time}"))
+            & (F.col("__rt") >= F.col(f"l.{left_time}") - F.expr(f"interval {lookback}"))
+        )
+        return l.join(r, cond, "inner").drop("__rk", "__rt")
+
+    return Source(fn, name=f"stream_join({left.name},{right.name})", bounded=False)

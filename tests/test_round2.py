@@ -331,3 +331,27 @@ def test_read_csv_and_json_roundtrip(spark, tmp_path):
     want = {(1, "a"), (2, "b"), (3, "c")}
     assert {(r["id"], r["s"]) for r in got_c.collect()} == want
     assert {(r["id"], r["s"]) for r in got_j.collect()} == want
+
+
+# --- KMV distinct sketch ----------------------------------------------------
+def test_kmv_distinct_accuracy_and_exact_path(spark):
+    from conduino_spark import kmv_distinct
+    # large-distinct: estimate within ~3/sqrt(k) of truth
+    big = spark.range(20_000).selectExpr("cast(id as string) as s")
+    est = kmv_distinct("s", k=256)(big).collect()[0][0]
+    assert abs(est - 20_000) / 20_000 < 3 / (256 ** 0.5)
+    # fewer than k distinct -> exact
+    small = spark.range(100).selectExpr("cast(id % 37 as string) as s")
+    assert kmv_distinct("s", k=256)(small).collect()[0][0] == 37.0
+
+
+def test_kmv_bottom_k_is_heap_not_sort(spark):
+    import io, contextlib
+    from conduino_spark import kmv_distinct
+    df = spark.range(1000).selectExpr("cast(id as string) as s")
+    # inspect the plan of the bottom-k subtree via the full stage
+    out = kmv_distinct("s", k=16)(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -162,3 +162,33 @@ def test_map_accum_stream_tws_path(spark, events_stream_dir):
              .groupBy("user_id").agg(F.count("*").alias("n")))
     want = {r["user_id"]: r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream_dir):
+    # watermarked stream-stream join == the equivalent batch join
+    from conduino_spark.plans.core import Stage
+    from conduino_spark.streaming import stream_stream_join
+
+    def side(event_type):
+        src = file_stream_source(events_stream_dir, EVENTS_SCHEMA)
+        return src | Stage(lambda df, t=event_type: df.where(F.col("event_type") == t),
+                           name=event_type)
+
+    j = stream_stream_join(side("click"), side("purchase"), on="user_id",
+                           left_time="ts", right_time="ts",
+                           lookback="30 minutes", watermark="2 hours",
+                           right_cols={"p_event": "event_id"})
+    out = run_stream_to_memory(j, spark, mode="append")
+    got = out.select("event_id", "p_event").count()
+
+    ev = spark.read.parquet(events_stream_dir)
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id",
+                                                     F.col("ts").alias("lt"))
+    buys = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("rt"),
+        F.col("event_id").alias("p_event"))
+    want = clicks.join(
+        buys, (F.col("user_id") == F.col("bu"))
+        & (F.col("rt") <= F.col("lt"))
+        & (F.col("rt") >= F.col("lt") - F.expr("interval 30 minutes"))).count()
+    assert got == want and want > 0
