@@ -39,22 +39,47 @@ _COMBINE = {
 
 
 def _with_pid(df: DataFrame, npart: Optional[int] = None, *,
-              persist: bool = True) -> DataFrame:
-    """Range-partition by __seq and materialize the partition id.
+              persist: bool = True, key: str = SEQ) -> DataFrame:
+    """Attach a chunk id ``__pid`` that is MONOTONE in ``key`` — the
+    basis of every two-phase ordered plan (scan/pairs/consecutive).
 
-    Range partitioner assigns ascending __seq ranges to ascending
-    partition indices, so (pid, __seq) is the global order.
+    r2 plan: ``__pid = width_bucket(key, min, max+1, n)`` from one
+    cheap key-only min/max aggregate.  Because the id is a
+    DETERMINISTIC function of the key (not ``spark_partition_id`` after
+    a range shuffle), the ONLY full-data exchange in the whole operator
+    is the consumer window's own hash-partition on ``__pid`` — the r1
+    formulation paid a range shuffle AND that hash shuffle (Catalyst
+    cannot see that range distribution satisfies the window), i.e. 2×
+    the data movement at 100 TB.  Global order = (``__pid``, key),
+    monotone by construction; value-gapped keys (e.g.
+    monotonically_increasing_id's pid<<33 blocks) just leave some
+    bucket ids EMPTY — consumers must order by ``__pid``, not assume
+    adjacency (pairs maps each chunk to its next non-empty successor).
 
-    ``persist=True`` (default): the two-phase scan consumes this DF in
-    two branches (local scan + per-partition totals); without caching,
-    per-branch column pruning makes the exchange subtrees diverge so
-    ReuseExchange cannot fire and the input is SCANNED AND SHUFFLED
-    TWICE (verified via .explain).  Persisting costs one materialization
-    (spills to disk beyond memory) and guarantees the partition ids the
-    two branches see are identical.
+    Uniform value buckets skew when key values cluster heavily; unique
+    ``__seq`` keys from dense counters, keyspace-uniform keys, and
+    mono-id blocks all bucket evenly.
+
+    ``persist=True`` (default): the two branches (local window +
+    per-chunk totals) then read ONE materialization of the input; the
+    totals branch partial-aggregates map-side straight off the cache,
+    shuffling only npart tiny rows.
     """
-    part = df.repartitionByRange(npart, SEQ) if npart else df.repartitionByRange(SEQ)
-    part = part.withColumn("__pid", F.spark_partition_id())
+    n = npart or df.sparkSession.sparkContext.defaultParallelism
+    # lazy bounds: a broadcast 1-row (min, max) aggregate referenced
+    # inside the bucket expression — no driver action, same shape as the
+    # take/>> boundary machinery (core._after_boundary).  The bounds
+    # branch reads ONLY the key column (pruned scan; the r1 range
+    # partitioner ran a comparable sampling job over the same input).
+    bounds = df.agg(F.min(key).cast("double").alias("__lo"),
+                    F.max(key).cast("double").alias("__hi"))
+    bucket = F.width_bucket(F.col(key).cast("double"),
+                            F.col("__lo"), F.col("__hi") + 1.0, F.lit(int(n)))
+    # __hi+1 can collapse onto __hi for huge keys, pushing key==max into
+    # bucket n+1 — clamp back into [1, n]
+    part = (df.crossJoin(F.broadcast(bounds))
+              .withColumn("__pid", F.least(bucket, F.lit(int(n))).cast("int"))
+              .drop("__lo", "__hi"))
     return track(part) if persist else part
 
 
@@ -157,12 +182,16 @@ def pairs(*, col: str = "v", strategy: str = "chunked",
         wloc = W.partitionBy("__pid").orderBy(SEQ)
         local = part.select("__pid", SEQ, F.lag(col, 1).over(wloc).alias("fst"),
                             F.col(col).alias("snd"))
-        # last element of each partition, addressed to the NEXT partition
+        # last element of each chunk, addressed to the next NON-EMPTY
+        # chunk (bucket ids skip when __seq has value gaps): the
+        # successor comes from a lead() over the tiny npart-row table
         wdesc = W.partitionBy("__pid").orderBy(F.desc(SEQ))
         lasts = (part.withColumn("__rn", F.row_number().over(wdesc))
                      .where("__rn = 1")
-                     .select((F.col("__pid") + 1).alias("__pid"),
-                             F.col(col).alias("__prev")))
+                     .select("__pid", F.col(col).alias("__prev")))
+        wsucc = W.orderBy("__pid")  # npart rows: driver-scale window
+        lasts = (lasts.withColumn("__pid", F.lead("__pid", 1).over(wsucc))
+                      .where(F.col("__pid").isNotNull()))
         res = (local.join(F.broadcast(lasts), "__pid", "left")
                     .withColumn("fst", F.coalesce("fst", "__prev"))
                     .where(F.col("fst").isNotNull())

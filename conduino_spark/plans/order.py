@@ -28,15 +28,26 @@ def rerank(df: DataFrame, keys: Sequence[str], *, out: str = SEQ,
            npart: Optional[int] = None, drop_keys: bool = True) -> DataFrame:
     """Dense 0-based rank of rows ordered by ``keys`` → long column ``out``.
 
-    The input is persisted via the cache registry: the local-rank branch
-    and the per-partition-count branch must observe the SAME range
-    partition boundaries (the range partitioner samples), and persisting
-    also lets ReuseExchange fire instead of scanning twice.
+    Single key: the chunk id is a deterministic monotone bucket of the
+    key (stateful._with_pid) — the ONLY full-data shuffle is the rank
+    window's own hash exchange.  Multi-key: a range partition assigns
+    chunks (buckets on the first key alone could not split a hot first
+    key the way range boundaries on the full tuple can), costing one
+    extra exchange — concat_map's (parent, pos) re-rank takes this path.
+
+    The input is persisted via the cache registry so the local-rank
+    branch and the per-chunk-count branch read one materialization (and,
+    on the multi-key path, observe the same sampled range boundaries).
     """
     kcols = [F.col(k) for k in keys]
-    part = (df.repartitionByRange(npart, *kcols) if npart
-            else df.repartitionByRange(*kcols))
-    part = track(part.withColumn("__rrpid", F.spark_partition_id()))
+    if len(keys) == 1:
+        from conduino_spark.operators.stateful import _with_pid
+        part = _with_pid(df, npart, key=keys[0]) \
+            .withColumnRenamed("__pid", "__rrpid")
+    else:
+        part = (df.repartitionByRange(npart, *kcols) if npart
+                else df.repartitionByRange(*kcols))
+        part = track(part.withColumn("__rrpid", F.spark_partition_id()))
     wloc = W.partitionBy("__rrpid").orderBy(*kcols)
     local = part.withColumn("__rrn", F.row_number().over(wloc))
     counts = part.groupBy("__rrpid").agg(F.count(F.lit(1)).alias("__rrc"))

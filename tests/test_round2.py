@@ -355,3 +355,32 @@ def test_kmv_bottom_k_is_heap_not_sort(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+# --- bucketed chunk ids (r2: one shuffle for ordered operators) -------------
+def test_ordered_ops_with_value_gapped_seqs(spark):
+    # __seq in the mono-id regime (pid<<33 blocks): buckets go EMPTY —
+    # pairs must stitch to the next NON-EMPTY chunk, scan offsets must
+    # combine across gaps
+    from conduino_spark import pairs
+    src = range_source(40, num_partitions=4) | _shift_seq(33)
+    got_scan = run_pipe(src | scan("sum", npart=8) | sink_list(), spark)
+    want_scan = [sum(range(i + 1)) for i in range(40)]
+    assert got_scan == want_scan
+    got_pairs = run_pipe(src | pairs(npart=8) | sink_list(), spark)
+    assert got_pairs == [(i, i + 1) for i in range(39)]
+    got_cons = run_pipe(src | consecutive(3, npart=8) | sink_list(), spark)
+    want_cons = run_pipe(src | consecutive(3, strategy="window") | sink_list(), spark)
+    assert got_cons == want_cons
+
+
+def test_scan_chunked_single_full_shuffle(spark):
+    import io, contextlib
+    df = run_pipe(range_source(1000, num_partitions=4) | scan("sum") | sink_df(), spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    # the r1 plan paid rangepartitioning AND hashpartitioning over the
+    # full data; the bucketed pid keeps only the window's hash exchange
+    assert "rangepartitioning" not in plan.lower()
