@@ -25,16 +25,19 @@ from pyspark.sql import functions as F
 from conduino_spark.plans.cachereg import track
 from conduino_spark.plans.core import SEQ, Stage
 
-_SCAN_FNS = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+_SCAN_FNS = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count,
+             "product": F.product}
 #: phase-2 recombiner over per-partition TOTALS.  NOT the same as the
 #: per-row aggregator: a count of counts must SUM them (count would
 #: count the preceding partitions instead — r1 ADVICE bug).
-_RECOMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_RECOMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+              "product": F.product}
 _COMBINE = {
     "sum": lambda loc, off: loc + F.coalesce(off, F.lit(0)),
     "count": lambda loc, off: loc + F.coalesce(off, F.lit(0)),
     "min": lambda loc, off: F.least(loc, F.coalesce(off, loc)),
     "max": lambda loc, off: F.greatest(loc, F.coalesce(off, loc)),
+    "product": lambda loc, off: loc * F.coalesce(off, F.lit(1.0)),
 }
 
 

@@ -18,6 +18,12 @@ def get_spark(app: str = "conduino_spark", *, cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # skewed sort-merge joins re-split at runtime (LSH band joins,
+        # hot keys); free when unused
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 128m splits: at 100 TB this bounds scan-task memory; local
+        # parquet this small never reaches it
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -384,3 +384,29 @@ def test_scan_chunked_single_full_shuffle(spark):
     # the r1 plan paid rangepartitioning AND hashpartitioning over the
     # full data; the bucketed pid keeps only the window's hash exchange
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_scan_product_chunked_matches_window(spark):
+    vals = [1.0, 2.0, 3.0, 1.5, 2.0]
+    chunked = run_pipe(source_list(vals) | scan("product", npart=3) | sink_list(), spark)
+    window = run_pipe(source_list(vals) | scan("product", strategy="window")
+                      | sink_list(), spark)
+    assert chunked == window == [1.0, 2.0, 6.0, 9.0, 18.0]
+
+
+def test_asof_and_interval_empty_right_side(spark):
+    from conduino_spark import asof_join, interval_join
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    empty_r = spark.createDataFrame([], "k long, t long, v string")
+    got = asof_join(from_dataframe(empty_r), on="k", left_time="t",
+                    right_cols={"rv": "v"})(left).collect()
+    assert len(got) == 1 and got[0]["rv"] is None
+    empty_iv = spark.createDataFrame([], "iid long, k long, s double, e double")
+    got2 = interval_join(from_dataframe(empty_iv), point="t", start="s", end="e",
+                         on="k", out_cols={"iid": "iid"})(
+        spark.createDataFrame([(1, 1, 5.0)], "pid long, k long, t double")).collect()
+    assert got2 == []
+
+
+def test_scan_empty_stream(spark):
+    assert run_pipe(source_list([]) | scan("sum") | sink_list(), spark) == []
