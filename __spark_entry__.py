@@ -510,6 +510,30 @@ def q_simhash(spark, sf):
     return run_pipe(p, spark).select("doc_id", "simhash")
 
 
+def q_pivot_event_counts(spark, sf):
+    # pivot with a DECLARED domain (no inference scan, stable schema)
+    from conduino_spark import pivot_agg
+    p = (_src(sf, "events")
+         | pivot_agg(["user_id"], "event_type",
+                     ["click", "error", "purchase", "signup", "view"],
+                     F.count(F.lit(1)))
+         | sink_df())
+    out = run_pipe(p, spark)
+    return out.select("user_id",
+                      *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                        for c in ("click", "error", "purchase", "signup", "view")])
+
+
+def q_value_percentiles(spark, sf):
+    # exact grouped quantiles (oracle mode; approx_percentile is the
+    # sketch-based scale path, engine-private so not oracle-checked)
+    from conduino_spark import percentiles
+    p = (_src(sf, "events")
+         | percentiles(["event_type"], "value", {"p50": 0.5, "p95": 0.95})
+         | sink_df())
+    return run_pipe(p, spark)
+
+
 def q_kmv_distinct_tokens(spark, sf):
     # bottom-k (KMV) distinct-count sketch over the corpus vocabulary —
     # md5-derived hashes make the ESTIMATE itself oracle-replayable
@@ -626,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "pivot_event_counts": q_pivot_event_counts,
+        "value_percentiles": q_value_percentiles,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -961,6 +987,19 @@ def oracle_sql() -> dict[str, str]:
             FROM views v JOIN buys b
               ON v.user_id = b.user_id AND v.t >= b.s AND v.t < b.e""",
         "simhash": _sql_simhash(),
+        "pivot_event_counts": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'error') AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id""",
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type""",
         "kmv_distinct_tokens": kmv_distinct_sql(
             "t", 256,
             from_clause=f"FROM (SELECT unnest({tokens_sql('text')}) AS t "

@@ -43,8 +43,8 @@ from conduino_spark.operators.zip_alt import (
 from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
     cube_agg, distinct, event_window, except_all, group_agg, intersect, join,
-    order_by, ranked, rollup_agg, select, session_window, sql_stage, top_k,
-    union_all,
+    order_by, percentiles, pivot_agg, ranked, rollup_agg, select,
+    session_window, sql_stage, top_k, union_all,
 )
 from conduino_spark.operators.text import (
     fingerprint, lang_id, quality_score, token_count, tokenize,

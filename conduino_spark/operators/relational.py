@@ -182,3 +182,48 @@ def session_window(ts_col: str, gap: str, *, keys: Sequence[str] = (),
                          *[F.col(k) for k in aggs]))
 
     return Stage(fn, name="session_window", seq_preserving=False)
+
+
+def pivot_agg(keys: Sequence[str], pivot_col: str, values: Sequence,
+              agg: ExprLike, *, name: str = "pivot_agg") -> Stage:
+    """Pivot: one output column per ``values`` entry, filled by ``agg``.
+
+    ``values`` is REQUIRED (not inferred): inference costs an extra
+    distinct scan, makes the schema data-dependent, and at 100 TB an
+    unbounded pivot column is an anti-pattern — declare the domain."""
+    col = F.expr(agg) if isinstance(agg, str) else agg
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        return (d.groupBy(*keys)
+                 .pivot(pivot_col, list(values))
+                 .agg(col))
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def percentiles(keys: Sequence[str], col: ExprLike,
+                probs: Mapping[str, float], *, exact: bool = True,
+                accuracy: int = 10_000, ndigits: int = 6,
+                name: str = "percentiles") -> Stage:
+    """Grouped quantiles {out_name: probability}.
+
+    ``exact=True``: ``percentile`` (per-group sort) — deterministic,
+    matches DuckDB ``quantile_cont`` bit-for-bit after rounding (the
+    oracle mode; fine when groups fit a task).  ``exact=False``:
+    ``approx_percentile`` (mergeable sketch, map-side partials — the
+    100 TB path; engine-private, so no cross-engine oracle)."""
+    c = F.expr(col) if isinstance(col, str) else col
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        if exact:
+            aggs = [F.round(F.percentile(c, F.lit(p)), ndigits).alias(k)
+                    for k, p in probs.items()]
+        else:
+            aggs = [F.round(F.approx_percentile(c, F.lit(p), F.lit(accuracy)),
+                            ndigits).alias(k)
+                    for k, p in probs.items()]
+        return d.groupBy(*keys).agg(*aggs)
+
+    return Stage(fn, name=name, seq_preserving=False)

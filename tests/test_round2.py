@@ -117,13 +117,17 @@ def test_materializing_run_releases_caches(spark):
 
 
 def test_lazy_sink_keeps_caches_until_released(spark):
+    from conduino_spark.plans import cachereg
     release_caches()
     spark.catalog.clearCache()
     df = run_pipe(range_source(100, num_partitions=4)
                   | scan("sum") | sink_df(), spark)
     assert df.count() == 100          # caller's action uses the cache
-    assert _n_cached(spark) > 0       # still alive for further actions
+    # still registered for further actions (registry check: the JVM
+    # persistent-RDD list can race with executor eviction)
+    assert len(cachereg._TRACKED) > 0
     release_caches()
+    assert len(cachereg._TRACKED) == 0
     assert _n_cached(spark) == 0
 
 
@@ -410,3 +414,21 @@ def test_asof_and_interval_empty_right_side(spark):
 
 def test_scan_empty_stream(spark):
     assert run_pipe(source_list([]) | scan("sum") | sink_list(), spark) == []
+
+
+def test_pivot_agg_declared_domain(spark):
+    from conduino_spark import pivot_agg
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 5.0), (2, "a", 1.0)], "k long, t string, v double")
+    st = pivot_agg(["k"], "t", ["a", "b", "c"], F.sum("v"))
+    got = {r["k"]: (r["a"], r["b"], r["c"]) for r in st(df).collect()}
+    assert got == {1: (10.0, 5.0, None), 2: (1.0, None, None)}
+
+
+def test_percentiles_exact_vs_approx(spark):
+    from conduino_spark import percentiles
+    df = spark.range(1001).selectExpr("'g' as g", "cast(id as double) as v")
+    exact = percentiles(["g"], "v", {"p50": 0.5})(df).collect()[0]["p50"]
+    approx = percentiles(["g"], "v", {"p50": 0.5}, exact=False)(df).collect()[0]["p50"]
+    assert exact == 500.0
+    assert abs(approx - 500.0) <= 5
