@@ -510,6 +510,36 @@ def q_simhash(spark, sf):
     return run_pipe(p, spark).select("doc_id", "simhash")
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_cuts(weights):
+    # EXACTLY the accumulation hash_split performs — the oracle's CASE
+    # boundaries must be bit-identical to the engine's
+    total = float(sum(weights.values()))
+    cuts, acc = [], 0.0
+    for k, w in weights.items():
+        acc += w / total
+        cuts.append((k, int(acc * (1 << 32))))
+    cuts[-1] = (cuts[-1][0], 1 << 32)
+    return cuts
+
+
+def q_hash_sample_docs(spark, sf):
+    # reproducible 10% sample: pure function of doc_id, identical on any
+    # engine/partitioning — df.sample's RNG streams are neither
+    from conduino_spark import hash_sample
+    p = _src(sf, "documents") | hash_sample("doc_id", 0.1) | sink_df()
+    return run_pipe(p, spark).select("doc_id")
+
+
+def q_hash_split_docs(spark, sf):
+    from conduino_spark import hash_split
+    p = _src(sf, "documents") | hash_split("doc_id", SPLIT_WEIGHTS) | sink_df()
+    return (run_pipe(p, spark)
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_pivot_event_counts(spark, sf):
     # pivot with a DECLARED domain (no inference scan, stable schema)
     from conduino_spark import pivot_agg
@@ -652,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "pivot_event_counts": q_pivot_event_counts,
         "value_percentiles": q_value_percentiles,
+        "hash_sample_docs": q_hash_sample_docs,
+        "hash_split_docs": q_hash_split_docs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -987,6 +1019,16 @@ def oracle_sql() -> dict[str, str]:
             FROM views v JOIN buys b
               ON v.user_id = b.user_id AND v.t >= b.s AND v.t < b.e""",
         "simhash": _sql_simhash(),
+        "hash_sample_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE {h32_sql("CAST(doc_id AS VARCHAR)")} < {int(0.1 * (1 << 32))}""",
+        "hash_split_docs": f"""
+            SELECT CASE
+                     {" ".join(f"WHEN {h32_sql('CAST(doc_id AS VARCHAR)')} < {hi} THEN '{k}'"
+                               for k, hi in _split_cuts(SPLIT_WEIGHTS)[:-1])}
+                     ELSE '{_split_cuts(SPLIT_WEIGHTS)[-1][0]}'
+                   END AS split, COUNT(*) AS n
+            FROM documents GROUP BY 1""",
         "pivot_event_counts": """
             SELECT user_id,
                    COUNT(*) FILTER (event_type = 'click') AS click,

@@ -63,6 +63,7 @@ from conduino_spark.operators.multimodal import (
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import asof_join, interval_join
 from conduino_spark.operators.sketches import kmv_distinct
+from conduino_spark.operators.sampling import hash_sample, hash_split, shard_by
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,
     to_local_iterator, trimap_pipe, with_source,

@@ -432,3 +432,36 @@ def test_percentiles_exact_vs_approx(spark):
     approx = percentiles(["g"], "v", {"p50": 0.5}, exact=False)(df).collect()[0]["p50"]
     assert exact == 500.0
     assert abs(approx - 500.0) <= 5
+
+
+# --- reproducible sampling --------------------------------------------------
+def test_hash_sample_stable_and_consistent_across_tables(spark):
+    from conduino_spark import hash_sample
+    users = spark.createDataFrame([(i,) for i in range(500)], "uid long")
+    events = spark.createDataFrame([(i % 500, i) for i in range(2000)],
+                                   "uid long, eid long")
+    su = {r["uid"] for r in hash_sample("uid", 0.2)(users).collect()}
+    su2 = {r["uid"] for r in hash_sample("uid", 0.2)(users.repartition(7)).collect()}
+    assert su == su2                       # partitioning-independent
+    se = {r["uid"] for r in hash_sample("uid", 0.2)(events).collect()}
+    assert se == su                        # consistent across tables
+    assert 0.1 < len(su) / 500 < 0.3       # near the asked fraction
+
+
+def test_hash_split_partitions_and_weights(spark):
+    from conduino_spark import hash_split
+    df = spark.range(5000).selectExpr("id as k")
+    out = hash_split("k", {"train": 0.8, "val": 0.1, "test": 0.1})(df)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000    # total partition, no overlap
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+
+
+def test_shard_by_deterministic_and_repartitioned(spark):
+    from conduino_spark import shard_by
+    df = spark.range(1000).selectExpr("id as k")
+    a = {r["k"]: r["shard"] for r in shard_by("k", 8)(df).collect()}
+    b = {r["k"]: r["shard"] for r in
+         shard_by("k", 8, repartition=True)(df.repartition(3)).collect()}
+    assert a == b and set(a.values()) == set(range(8))
