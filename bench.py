@@ -74,7 +74,7 @@ def main() -> None:
         if name not in qs:
             continue
         runs: list[float] = []
-        while len(runs) < 2 or (len(runs) < 3 and max(runs) > 2 * min(runs)
+        while len(runs) < 3 or (len(runs) < 4 and max(runs) > 2 * min(runs)
                                 and min(runs) > 0.5):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
