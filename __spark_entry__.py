@@ -464,6 +464,48 @@ def q_minhash_dedup_cc(spark, sf):
     return run_pipe(p, spark).select("doc_id")
 
 
+def q_scan_count_events(spark, sf):
+    # chunked scan('count') — gate-level pin of the r1 phase-2
+    # recombiner bug (count-of-counts must SUM)
+    src = _src(sf, "events", seq_col="event_id")
+    p = src | map_({"v": F.col("user_id")}) | scan("count", out="cum_n") | sink_df()
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("event_id"), "cum_n")
+
+
+def q_salted_group_revenue(spark, sf):
+    # salted two-phase aggregation must equal the plain GROUP BY
+    from conduino_spark import salted_group_agg
+    p = (_src(sf, "lineitem")
+         | salted_group_agg(["l_returnflag"], {
+             "n": F.count(F.lit(1)),
+             "qty": F.sum(F.col("l_quantity").cast("long"))})
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_shard_counts(spark, sf):
+    from conduino_spark import shard_by
+    p = _src(sf, "documents") | shard_by("doc_id", 8) | sink_df()
+    return (run_pipe(p, spark)
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_asof_forward_events(spark, sf):
+    # forward as-of with a 1-hour tolerance: each click's NEXT purchase
+    from conduino_spark import asof_join
+    ev = _src(sf, "events").df(spark)
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+    buys = (ev.where("event_type = 'purchase'")
+              .groupBy("user_id", F.col("ts").cast("long").alias("t"))
+              .agg(F.min("event_id").alias("p_event")))
+    st = asof_join(from_dataframe(buys), on="user_id", left_time="t",
+                   right_time="t", right_cols={"p_event": "p_event"},
+                   direction="forward", tolerance=3600)
+    return st(clicks).select("event_id", "user_id", "t", "p_event")
+
+
 def q_asof_events(spark, sf):
     # for each click, the user's most recent purchase at-or-before it
     # (tie-robust: purchases deduped per (user, second) by max event_id)
@@ -684,6 +726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "hash_sample_docs": q_hash_sample_docs,
         "hash_split_docs": q_hash_split_docs,
+        "scan_count_events": q_scan_count_events,
+        "salted_group_revenue": q_salted_group_revenue,
+        "shard_counts": q_shard_counts,
+        "asof_forward_events": q_asof_forward_events,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -994,6 +1040,30 @@ def oracle_sql() -> dict[str, str]:
                    FROM e CROSS JOIN c1 c)
             SELECT vec_id, cid AS cell FROM d1
             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""",
+        "scan_count_events": """
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS cum_n
+            FROM events""",
+        "salted_group_revenue": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY l_returnflag""",
+        "shard_counts": f"""
+            SELECT {h32_sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1""",
+        "asof_forward_events": """
+            WITH clicks AS (
+              SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
+              FROM events WHERE event_type = 'click'),
+            buys AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     min(event_id) AS p_event
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT c.event_id, c.user_id, c.t,
+                   CASE WHEN b.t - c.t <= 3600 THEN b.p_event END AS p_event
+            FROM clicks c ASOF LEFT JOIN buys b
+              ON c.user_id = b.user_id AND c.t <= b.t""",
         "asof_events": """
             WITH clicks AS (
               SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
