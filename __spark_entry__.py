@@ -129,12 +129,15 @@ def q_concat_map_tokens(spark, sf):
 
 
 def q_scan_cumsum(spark, sf):
+    # running sum as scaled-long cents (o_totalprice has 2dp) — same
+    # exact-order-free trick as _scaled_sum, decimal windows are ~5× it
     src = _src(sf, "orders", seq_col="o_orderkey")
-    st = scan("sum", F.col("o_totalprice").cast("decimal(18,2)"), out="cum_total")
+    st = scan("sum", F.round(F.col("o_totalprice") * 100).cast("long"),
+              out="cum_cents")
     p = src | st | sink_df()
     out = run_pipe(p, spark)
     return out.select(F.col(SEQ).alias("o_orderkey"),
-                      F.col("cum_total").cast("double").alias("cum_total"))
+                      (F.col("cum_cents") / F.lit(100.0)).alias("cum_total"))
 
 
 def q_pairs_lag(spark, sf):
@@ -801,8 +804,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest({toks}) AS token FROM documents""",
         "scan_cumsum": """
             SELECT o_orderkey,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                        OVER (ORDER BY o_orderkey) AS DOUBLE) AS cum_total
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       OVER (ORDER BY o_orderkey) / 100.0 AS cum_total
             FROM orders""",
         "pairs_lag": """
             SELECT event_id, fst, snd FROM (
