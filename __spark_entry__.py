@@ -609,6 +609,13 @@ def q_value_percentiles(spark, sf):
     return run_pipe(p, spark)
 
 
+def q_chunk_text_docs(spark, sf):
+    # context-window packing: 64-token chunks, 16-token overlap
+    from conduino_spark import chunk_text
+    p = _src(sf, "documents") | chunk_text(64, 16) | sink_df()
+    return run_pipe(p, spark)
+
+
 def q_kmv_distinct_tokens(spark, sf):
     # bottom-k (KMV) distinct-count sketch over the corpus vocabulary —
     # md5-derived hashes make the ESTIMATE itself oracle-replayable
@@ -725,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "chunk_text_docs": q_chunk_text_docs,
         "pivot_event_counts": q_pivot_event_counts,
         "value_percentiles": q_value_percentiles,
         "hash_sample_docs": q_hash_sample_docs,
@@ -1115,6 +1123,16 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p50,
                    round(quantile_cont(value, 0.95), 6) AS p95
             FROM events GROUP BY event_type""",
+        "chunk_text_docs": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            c AS (SELECT doc_id, tk,
+                         greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INT)) AS nc
+                  FROM t)
+            , e AS (SELECT doc_id, tk, unnest(range(1, nc + 1)) AS i FROM c)
+            SELECT doc_id, i - 1 AS chunk_id,
+                   array_to_string(tk[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') AS chunk,
+                   len(tk[(i-1)*48 + 1 : (i-1)*48 + 64]) AS n_tokens
+            FROM e""",
         "kmv_distinct_tokens": kmv_distinct_sql(
             "t", 256,
             from_clause=f"FROM (SELECT unnest({tokens_sql('text')}) AS t "

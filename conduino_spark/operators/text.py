@@ -196,3 +196,37 @@ def fingerprint(text_col: str = "text", *, out: str = "fingerprint") -> Stage:
         return df.withColumn(out, fp)
 
     return Stage(fn, name="fingerprint", seq_preserving=True)
+
+
+def chunk_text(chunk_tokens: int = 128, overlap: int = 32, *,
+               text_col: str = "text", id_col: str = "doc_id",
+               out: str = "chunk", name: str = "chunk_text") -> Stage:
+    """Split each document into overlapping token-window chunks — the
+    standard LLM-training preprocessing step (context-window packing).
+
+    Chunk i covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk may be short;
+    a doc shorter than one chunk yields itself.  Pure column algebra:
+    ``sequence`` → ``transform(slice → concat_ws)`` → ``posexplode`` —
+    no shuffle, whole-stage codegen, and each token materializes once.
+
+    Output: (id, chunk_id, chunk text, n_tokens per chunk)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def fn(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+        windows = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens))
+        return (df.select(F.col(id_col),
+                          F.posexplode(windows).alias("chunk_id", "__w"))
+                  .select(F.col(id_col), "chunk_id",
+                          F.concat_ws(" ", F.col("__w")).alias(out),
+                          F.size("__w").alias("n_tokens")))
+
+    return Stage(fn, name=name, seq_preserving=False)

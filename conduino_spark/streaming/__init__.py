@@ -287,3 +287,21 @@ def stream_stream_join(left: Source, right: Source, *, on: str,
         return l.join(r, cond, "inner").drop("__rk", "__rt")
 
     return Source(fn, name=f"stream_join({left.name},{right.name})", bounded=False)
+
+
+def stream_dedup(keys: list, *, watermark_col: Optional[str] = None,
+                 delay: str = "1 hour") -> Stage:
+    """Streaming exact dedup on ``keys`` (``dedup_exact``'s incremental
+    analog): state holds one entry per key, and the watermark bounds it
+    — without ``watermark_col`` Spark would keep EVERY key forever,
+    which no infinite stream survives.  Batch DataFrames pass through
+    ``dropDuplicates`` unchanged (same semantics, no state)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        if df.isStreaming and watermark_col:
+            return (df.withWatermark(watermark_col, delay)
+                      .dropDuplicatesWithinWatermark(keys))
+        return df.dropDuplicates(keys)
+
+    return Stage(fn, name=f"stream_dedup({','.join(keys)})",
+                 seq_preserving=False)

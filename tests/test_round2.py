@@ -465,3 +465,19 @@ def test_shard_by_deterministic_and_repartitioned(spark):
     b = {r["k"]: r["shard"] for r in
          shard_by("k", 8, repartition=True)(df.repartition(3)).collect()}
     assert a == b and set(a.values()) == set(range(8))
+
+
+def test_chunk_text_windows(spark):
+    from conduino_spark import chunk_text
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    st = chunk_text(4, 2, out="chunk")
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"])
+            for r in st(df).collect()}
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)   # stride 2, overlap 2
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert rows[(2, 0)] == ("a b", 2)           # short doc: itself
+    assert rows[(3, 0)] == ("", 0)              # empty doc: one empty chunk
+    assert max(c for _, c in rows) == 3

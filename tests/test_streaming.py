@@ -192,3 +192,21 @@ def test_stream_stream_join_matches_batch(spark, events_stream_dir):
         & (F.col("rt") <= F.col("lt"))
         & (F.col("rt") >= F.col("lt") - F.expr("interval 30 minutes"))).count()
     assert got == want and want > 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark, events_stream_dir):
+    from conduino_spark.streaming import stream_dedup
+    # duplicate keys across micro-batches: user_id+event_type pairs
+    src = file_stream_source(events_stream_dir, EVENTS_SCHEMA)
+    # events span ~30 days: a 60-day watermark keys the whole replay, so
+    # watermark-bounded dedup == global dedup here (shorter delays only
+    # dedup within the horizon — the state-bounding trade-off)
+    st = stream_dedup(["user_id", "event_type"], watermark_col="ts",
+                      delay="60 days")
+    out = run_stream_to_memory(src | st, spark, mode="append")
+    got = out.select("user_id", "event_type").distinct().count()
+    n_out = out.count()
+    want = (spark.read.parquet(events_stream_dir)
+            .select("user_id", "event_type").distinct().count())
+    # every surviving row unique; count equals the batch distinct count
+    assert got == n_out == want
