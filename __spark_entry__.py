@@ -616,6 +616,17 @@ def q_chunk_text_docs(spark, sf):
     return run_pipe(p, spark)
 
 
+def q_pack_chunks_docs(spark, sf):
+    # greedy contiguous packing of 64-token chunks into 512-token bins —
+    # chunk_text feeding the engine's own rerank + two-phase scan
+    from conduino_spark import chunk_text, pack_chunks
+    p = (_src(sf, "documents")
+         | chunk_text(64, 16)
+         | pack_chunks(512)
+         | sink_df())
+    return run_pipe(p, spark).select("doc_id", "chunk_id", "n_tokens", "bin")
+
+
 def q_kmv_distinct_tokens(spark, sf):
     # bottom-k (KMV) distinct-count sketch over the corpus vocabulary —
     # md5-derived hashes make the ESTIMATE itself oracle-replayable
@@ -733,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "chunk_text_docs": q_chunk_text_docs,
+        "pack_chunks_docs": q_pack_chunks_docs,
         "pivot_event_counts": q_pivot_event_counts,
         "value_percentiles": q_value_percentiles,
         "hash_sample_docs": q_hash_sample_docs,
@@ -1133,6 +1145,20 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') AS chunk,
                    len(tk[(i-1)*48 + 1 : (i-1)*48 + 64]) AS n_tokens
             FROM e""",
+        "pack_chunks_docs": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            c AS (SELECT doc_id, tk,
+                         greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INT)) AS nc
+                  FROM t),
+            e AS (SELECT doc_id, tk, unnest(range(1, nc + 1)) AS i FROM c),
+            ch AS (SELECT doc_id, i - 1 AS chunk_id,
+                          len(tk[(i-1)*48 + 1 : (i-1)*48 + 64]) AS n_tokens
+                   FROM e),
+            o AS (SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id)
+                            AS cum FROM ch)
+            SELECT doc_id, chunk_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin
+            FROM o""",
         "kmv_distinct_tokens": kmv_distinct_sql(
             "t", 256,
             from_clause=f"FROM (SELECT unnest({tokens_sql('text')}) AS t "

@@ -7,10 +7,12 @@ a bit-identical DuckDB oracle rendering (see __spark_entry__).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from conduino_spark.plans.core import Stage
+from conduino_spark.plans.core import SEQ, Stage
 from conduino_spark.functions.hashing import h32, rolling_fingerprint
 
 #: word-splitting pattern shared with the oracle SQL (POSIX-safe class).
@@ -228,5 +230,33 @@ def chunk_text(chunk_tokens: int = 128, overlap: int = 32, *,
                   .select(F.col(id_col), "chunk_id",
                           F.concat_ws(" ", F.col("__w")).alias(out),
                           F.size("__w").alias("n_tokens")))
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def pack_chunks(budget: int, *, order: Sequence[str] = ("doc_id", "chunk_id"),
+                tokens_col: str = "n_tokens", out: str = "bin",
+                name: str = "pack_chunks") -> Stage:
+    """Greedy contiguous sequence packing: assign ordered chunks to
+    fixed-token-budget training bins — ``bin = ⌊cum_before / budget⌋``
+    where cum is the running token total in ``order``.  A bin may
+    overflow by less than one chunk (the standard streaming-packing
+    relaxation; exact bin packing is NP-hard and order-destroying).
+
+    Built from the engine's own ordered machinery: a chunked dense
+    re-rank over ``order`` (plans/order.rerank) feeds the distributed
+    two-phase prefix scan — no global window anywhere."""
+    from conduino_spark.operators.stateful import scan
+    from conduino_spark.plans.order import rerank
+
+    cum_stage = scan("sum", tokens_col, out="__cum", keep=True)
+
+    def fn(df: DataFrame) -> DataFrame:
+        seqd = rerank(df, list(order), drop_keys=False)
+        packed = cum_stage(seqd)
+        return (packed.withColumn(
+                    out, F.floor((F.col("__cum") - F.col(tokens_col))
+                                 / F.lit(budget)).cast("long"))
+                      .drop("__cum", SEQ))
 
     return Stage(fn, name=name, seq_preserving=False)

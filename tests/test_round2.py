@@ -481,3 +481,22 @@ def test_chunk_text_windows(spark):
     assert rows[(2, 0)] == ("a b", 2)           # short doc: itself
     assert rows[(3, 0)] == ("", 0)              # empty doc: one empty chunk
     assert max(c for _, c in rows) == 3
+
+
+def test_pack_chunks_bins_respect_budget(spark):
+    from conduino_spark import chunk_text, pack_chunks
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(d, text) for d in range(5)],
+                               "doc_id long, text string")
+    out = pack_chunks(64)(chunk_text(16, 0)(df))
+    rows = out.collect()
+    assert len(rows) == 5 * 7  # ceil(100/16) = 7 chunks per doc
+    got = {(r["doc_id"], r["chunk_id"]): r["bin"] for r in rows}
+    # exact greedy-contiguous reference: bin = floor(cum_before / budget)
+    cum, want = 0, {}
+    for d in range(5):
+        for c in range(7):
+            n = 16 if c < 6 else 4
+            want[(d, c)] = cum // 64
+            cum += n
+    assert got == want
