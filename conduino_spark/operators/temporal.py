@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from conduino_spark.plans.core import SEQ, Source, Stage
 
 
-def asof_join(right: Source, *, on: str, left_time: str,
+def asof_join(right: Source, *, on: "str | Sequence[str]", left_time: str,
               right_time: Optional[str] = None,
               right_cols: Mapping[str, str],
               direction: str = "backward",
@@ -56,6 +56,7 @@ def asof_join(right: Source, *, on: str, left_time: str,
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left/inner, got {how!r}")
     rt = right_time or left_time
+    keys = [on] if isinstance(on, str) else list(on)
 
     def fn(df: DataFrame) -> DataFrame:
         clash = [c for c in right_cols if c in df.columns]
@@ -64,7 +65,7 @@ def asof_join(right: Source, *, on: str, left_time: str,
         r = right.df(df.sparkSession)
         if SEQ in r.columns:
             r = r.drop(SEQ)
-        R = r.select(F.col(on),
+        R = r.select(*[F.col(k) for k in keys],
                      F.col(rt).cast("double").alias("__at"),
                      *[F.col(src).alias(out) for out, src in right_cols.items()]) \
              .withColumn("__side", F.lit(0))
@@ -74,7 +75,7 @@ def asof_join(right: Source, *, on: str, left_time: str,
 
         order = [F.col("__at"), F.col("__side")] if direction == "backward" \
             else [F.col("__at").desc(), F.col("__side")]
-        w = (W.partitionBy(on).orderBy(*order)
+        w = (W.partitionBy(*keys).orderBy(*order)
               .rowsBetween(W.unboundedPreceding, W.currentRow))
         mt = F.last(F.when(F.col("__side") == 0, F.col("__at")),
                     ignorenulls=True).over(w)

@@ -500,3 +500,16 @@ def test_pack_chunks_bins_respect_budget(spark):
             want[(d, c)] = cum // 64
             cum += n
     assert got == want
+
+
+def test_asof_join_multi_key(spark):
+    from conduino_spark import asof_join
+    left = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 10), (2, "x", 10)], "k long, g string, t long")
+    right = spark.createDataFrame(
+        [(1, "x", 8, "a"), (1, "y", 9, "b"), (2, "z", 5, "c")],
+        "k long, g string, t long, v string")
+    st = asof_join(from_dataframe(right), on=["k", "g"], left_time="t",
+                   right_cols={"rv": "v"})
+    got = {(r["k"], r["g"]): r["rv"] for r in st(left).collect()}
+    assert got == {(1, "x"): "a", (1, "y"): "b", (2, "x"): None}
