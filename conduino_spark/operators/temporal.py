@@ -105,7 +105,8 @@ def interval_join(intervals: Source, *, point: str, start: str, end: str,
                   out_cols: Mapping[str, str],
                   on: Optional[str] = None,
                   bin_width: float = 3600.0,
-                  closed: str = "left") -> Stage:
+                  closed: str = "left",
+                  max_bins: int = 100_000) -> Stage:
     """Interval-containment join: each left POINT row against every
     right INTERVAL [start, end) (``closed='left'``; 'both' makes the
     end inclusive) — optionally key-scoped via ``on``.
@@ -116,6 +117,11 @@ def interval_join(intervals: Source, *, point: str, start: str, end: str,
     — no distinct needed.  Pick ``bin_width`` near the typical interval
     length: cost ~ |intervals| × bins-per-interval, never
     |points| × |intervals|.
+
+    Malformed intervals (end before start) are dropped; an interval
+    spanning more than ``max_bins`` bins raises — a single bad row
+    would otherwise explode into an unbounded sequence (pick a larger
+    ``bin_width`` instead).
     """
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be left/both, got {closed!r}")
@@ -129,11 +135,15 @@ def interval_join(intervals: Source, *, point: str, start: str, end: str,
             r = r.drop(SEQ)
         rs, re_ = F.col(start).cast("double"), F.col(end).cast("double")
         ikeys = ([F.col(on)] if on else [])
-        I = r.select(*ikeys, rs.alias("__s"), re_.alias("__e"),
-                     *[F.col(src).alias(out) for out, src in out_cols.items()])
-        I = I.withColumn("__bin", F.explode(F.sequence(
-            F.floor(F.col("__s") / F.lit(bin_width)),
-            F.floor(F.col("__e") / F.lit(bin_width)))))
+        I = (r.where(re_ >= rs)  # drop malformed intervals
+              .select(*ikeys, rs.alias("__s"), re_.alias("__e"),
+                      *[F.col(src).alias(out) for out, src in out_cols.items()]))
+        b0 = F.floor(F.col("__s") / F.lit(bin_width))
+        b1 = F.floor(F.col("__e") / F.lit(bin_width))
+        guard = F.when(b1 - b0 < max_bins, b1).otherwise(F.raise_error(F.lit(
+            f"interval_join: interval spans >= {max_bins} bins; "
+            "increase bin_width")))
+        I = I.withColumn("__bin", F.explode(F.sequence(b0, guard)))
         P = df.withColumn("__p", F.col(point).cast("double")) \
               .withColumn("__bin", F.floor(F.col("__p") / F.lit(bin_width)))
         keys = ([on] if on else []) + ["__bin"]

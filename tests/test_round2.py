@@ -513,3 +513,19 @@ def test_asof_join_multi_key(spark):
                    right_cols={"rv": "v"})
     got = {(r["k"], r["g"]): r["rv"] for r in st(left).collect()}
     assert got == {(1, "x"): "a", (1, "y"): "b", (2, "x"): None}
+
+
+def test_interval_join_guards(spark):
+    from conduino_spark import interval_join
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, t double")
+    # malformed interval (end < start) silently dropped
+    bad = spark.createDataFrame([(9, 10.0, 0.0)], "iid long, s double, e double")
+    st = interval_join(from_dataframe(bad), point="t", start="s", end="e",
+                       out_cols={"iid": "iid"}, bin_width=1.0)
+    assert st(pts).collect() == []
+    # absurdly long interval raises instead of exploding
+    huge = spark.createDataFrame([(9, 0.0, 1e12)], "iid long, s double, e double")
+    st2 = interval_join(from_dataframe(huge), point="t", start="s", end="e",
+                        out_cols={"iid": "iid"}, bin_width=1.0, max_bins=1000)
+    with pytest.raises(Exception, match="bins|raise_error"):
+        st2(pts).collect()
