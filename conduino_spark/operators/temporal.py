@@ -50,6 +50,10 @@ def asof_join(right: Source, *, on: "str | Sequence[str]", left_time: str,
     per key ordered by (time, side) — right rows sort before left rows
     at equal times so the ≤/≥ bound is inclusive.  One shuffle, linear
     work, scales with the key cardinality like any keyed window.
+
+    Determinism: the right side should be unique per (key, time) —
+    among duplicates the surviving row is sort-order-dependent
+    (pre-aggregate with ``max_by`` to pin it; the gate queries do).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")

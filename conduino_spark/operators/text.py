@@ -249,6 +249,8 @@ def pack_chunks(budget: int, *, order: Sequence[str] = ("doc_id", "chunk_id"),
     from conduino_spark.operators.stateful import scan
     from conduino_spark.plans.order import rerank
 
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     cum_stage = scan("sum", tokens_col, out="__cum", keep=True)
 
     def fn(df: DataFrame) -> DataFrame:

@@ -275,6 +275,10 @@ def stream_stream_join(left: Source, right: Source, *, on: str,
 
     def fn(spark: SparkSession) -> DataFrame:
         l = left.df(spark).withWatermark(left_time, watermark).alias("l")
+        clash = [c for c in rc if c in l.columns]
+        if clash:
+            raise ValueError(
+                f"stream_stream_join output columns collide with left: {clash}")
         r = right.df(spark).withWatermark(right_time, watermark)
         r = r.select(F.col(on).alias("__rk"),
                      F.col(right_time).alias("__rt"),

@@ -59,3 +59,33 @@ def test_consecutive_law(spark, xs, n, npart, bits):
     want = [xs[max(0, i - n):i] for i in range(len(xs))]
     want.append(xs[-n:] if xs else [])
     assert got == want
+
+
+@settings(**LAW_SETTINGS)
+@given(lts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                    max_size=15),
+       rts=st.sets(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                   max_size=15),
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_law(spark, lts, rts, direction):
+    from conduino_spark import asof_join, from_dataframe
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lts)] or [(0, 0, 0)][:0],
+        "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in rts] or [(0, 0, 0)][:0],
+        "k long, t long, rv long")
+    st_ = asof_join(from_dataframe(right), on="k", left_time="t",
+                    right_cols={"rv": "rv"}, direction=direction)
+    got = {r["lid"]: r["rv"] for r in st_(left).collect()}
+
+    def ref(k, t):
+        cands = [(rt, k * 1000 + rt) for rk, rt in rts if rk == k
+                 and (rt <= t if direction == "backward" else rt >= t)]
+        if not cands:
+            return None
+        best = (max if direction == "backward" else min)(c[0] for c in cands)
+        return k * 1000 + best
+
+    want = {i: ref(k, t) for i, (k, t) in enumerate(lts)}
+    assert got == want
