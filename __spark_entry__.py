@@ -207,6 +207,22 @@ def q_map_accum_altsum(spark, sf):
     return out.select(F.col(SEQ).alias("event_id"), F.col("v").alias("alt_sum"))
 
 
+def q_record_flags(spark, sf):
+    # parallel mapAccum (monoid-action state): flag events whose value
+    # beats the running maximum — two Arrow passes, no sequential scan
+    from conduino_spark import map_accum_chunked
+    src = _src(sf, "events", seq_col="event_id")
+
+    def step(v, s):
+        return (max(s, v), 1.0 if v > s else 0.0)
+
+    p = (src | map_({"v": F.col("value")})
+         | map_accum_chunked(step, -1.0, merge=max, identity=float("-inf"))
+         | sink_df())
+    out = run_pipe(p, spark)
+    return out.select(F.col(SEQ).alias("event_id"), F.col("v").alias("is_record"))
+
+
 def q_zip_positional(spark, sf):
     cust = _src(sf, "customer", seq_col="c_custkey") | map_({"c_custkey": F.col("c_custkey")})
     orde = _src(sf, "orders", seq_col="o_orderkey") | map_({"o_orderkey": F.col("o_orderkey")})
@@ -710,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_revenue": q_fold_revenue,
         "zip_sink_multi": q_zip_sink_multi,
         "map_accum_altsum": q_map_accum_altsum,
+        "record_flags": q_record_flags,
         "zip_positional": q_zip_positional,
         "concat_sources": q_concat_sources,
         "last_event": q_last_event,
@@ -827,6 +844,15 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                        OVER (ORDER BY o_orderkey) / 100.0 AS cum_total
             FROM orders""",
+        "record_flags": """
+            SELECT event_id,
+                   CASE WHEN value > coalesce(
+                            MAX(value) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1.0)
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
+                   END AS is_record
+            FROM events""",
         "pairs_lag": """
             SELECT event_id, fst, snd FROM (
               SELECT event_id,

@@ -164,6 +164,68 @@ def map_accum(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
     return Stage(fn, name="map_accum")
 
 
+def map_accum_chunked(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any,
+                      *, merge: Callable[[Any, Any], Any], identity: Any,
+                      returns: str = "double", col: str = "v",
+                      npart: Optional[int] = None) -> Stage:
+    """Parallel ``mapAccum`` for MONOID-ACTION state — the middle ground
+    between :func:`scan` (declared-associative column reducers) and
+    :func:`map_accum` (arbitrary state, sequential).
+
+    The user declares ``(identity, merge)`` such that running ``step``
+    over a sequence starting from state ``A`` leaves the state at
+    ``merge(A, E)`` where ``E`` is the sequence's "effect" (its terminal
+    state when started from ``identity``).  Then the classic two-pass
+    parallel scan applies:
+
+      1. per chunk: terminal state from ``identity`` (one Arrow pass);
+         npart tiny rows to the driver;
+      2. prefix-``merge`` the chunk effects (driver, O(npart));
+      3. per chunk: replay ``step`` from its TRUE start state (second
+         Arrow pass), emitting outputs.
+
+    Two passes over the data instead of one global sequential pass —
+    each pass is embarrassingly parallel.  State must be
+    pickle-serializable.  Example: running sum — ``step=(v,s)->(s+v,
+    s+v)``, ``identity=0``, ``merge=+``.  (Alt-sum's sign-flipping
+    state is NOT merge-able without tracking length parity — encode it
+    in the state or fall back to :func:`map_accum`.)"""
+    import pickle
+
+    def fn(df: DataFrame) -> DataFrame:
+        part = _with_pid(df, npart).select("__pid", SEQ, F.col(col))
+
+        def chunk_effect(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = identity
+            for v in pdf.sort_values(SEQ)[col]:
+                s, _ = step(v, s)
+            return pd.DataFrame({"__pid": [int(pdf["__pid"].iloc[0])],
+                                 "__st": [pickle.dumps(s).hex()]})
+
+        effects = (part.groupBy("__pid")
+                       .applyInPandas(chunk_effect, "__pid int, __st string")
+                       .collect())
+        start, acc = {}, seed
+        for row in sorted(effects, key=lambda r: r["__pid"]):
+            start[row["__pid"]] = acc
+            acc = merge(acc, pickle.loads(bytes.fromhex(row["__st"])))
+
+        out_schema = f"{SEQ} long, v {returns}"
+
+        def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = start[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.sort_values(SEQ)
+            outs = []
+            for v in pdf[col]:
+                s, o = step(v, s)
+                outs.append(o)
+            return pd.DataFrame({SEQ: pdf[SEQ], "v": outs})
+
+        return part.groupBy("__pid").applyInPandas(replay, out_schema)
+
+    return Stage(fn, name="map_accum_chunked", seq_preserving=False)
+
+
 def pairs(*, col: str = "v", strategy: str = "chunked",
           npart: Optional[int] = None) -> Stage:
     """``pairs`` (Combinators.hs:379-385): consecutive overlapping pairs

@@ -529,3 +529,20 @@ def test_interval_join_guards(spark):
                         out_cols={"iid": "iid"}, bin_width=1.0, max_bins=1000)
     with pytest.raises(Exception, match="bins|raise_error"):
         st2(pts).collect()
+
+
+def test_map_accum_chunked_matches_sequential(spark):
+    from conduino_spark import map_accum, map_accum_chunked
+
+    # running max with "count of new records" output — genuinely
+    # order-dependent output, monoid-mergeable state
+    def step(v, s):
+        return (max(s, v), 1.0 if v > s else 0.0)
+
+    src = range_source(200, num_partitions=5) | Stage(
+        lambda df: df.withColumn("v", (F.col("v") * 37 % 101).cast("double")),
+        name="scramble")
+    par = run_pipe(src | map_accum_chunked(
+        step, -1.0, merge=max, identity=float("-inf"), npart=6) | sink_list(), spark)
+    seq = run_pipe(src | map_accum(step, -1.0) | sink_list(), spark)
+    assert par == seq and len(par) == 200
