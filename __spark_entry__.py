@@ -643,6 +643,16 @@ def q_pack_chunks_docs(spark, sf):
     return run_pipe(p, spark).select("doc_id", "chunk_id", "n_tokens", "bin")
 
 
+def q_embedding_near_dup_ivf(spark, sf):
+    # end-to-end ANN dedup with a LEARNED quantizer: ivf_build cells
+    # bucket the pairwise comparison (vs the label-column variant)
+    from conduino_spark import embedding_near_dup_pairs, ivf_build
+    emb = _src(sf, "embeddings").df(spark)
+    cells = ivf_build(k=8, iters=1)(emb)
+    joined = emb.join(cells, "vec_id")
+    return embedding_near_dup_pairs(threshold=0.2, bucket_col="cell")(joined)
+
+
 def q_kmv_distinct_tokens(spark, sf):
     # bottom-k (KMV) distinct-count sketch over the corpus vocabulary —
     # md5-derived hashes make the ESTIMATE itself oracle-replayable
@@ -757,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "interval_events": q_interval_events,
         "ivf_build": q_ivf_build,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -824,6 +835,38 @@ def _sql_simhash(bits: int = 32) -> str:
       SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
       FROM documents d LEFT JOIN sig s USING (doc_id)
     """
+
+
+def _sql_ivf_cells(k: int = 8, dim: int = 64) -> str:
+    """DuckDB rendering of ivf_build(k, iters=1) — bit-identical
+    (init = k lowest ids; 6dp-rounded distances, id tie-breaks,
+    scaled-long means; see operators/similarity.ivf_build)."""
+    dist = (f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)")
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                   FROM e ORDER BY vec_id LIMIT {k}),
+            d0 AS (SELECT e.vec_id, e.v, c.cid, {dist} AS d
+                   FROM e CROSS JOIN c0 c),
+            a0 AS (SELECT vec_id, v, cid AS cell FROM d0
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cid) = 1),
+            s1 AS (SELECT cell, i,
+                          SUM(CAST(round(x * 1000000000) AS BIGINT)) AS s,
+                          COUNT(*) AS n
+                   FROM (SELECT cell, unnest(v) AS x,
+                                generate_subscripts(v, 1) AS i FROM a0)
+                   GROUP BY 1, 2),
+            c1 AS (SELECT cell AS cid,
+                          list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               / 1000000000.0 ORDER BY i) AS c
+                   FROM s1 GROUP BY cell),
+            d1 AS (SELECT e.vec_id, c.cid, {dist} AS d
+                   FROM e CROSS JOIN c1 c)
+            SELECT vec_id, cid AS cell FROM d1
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1061,34 +1104,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN big ON o_orderkey = l_orderkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
-        "ivf_build": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
-            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-                   FROM e ORDER BY vec_id LIMIT 8),
-            d0 AS (SELECT e.vec_id, e.v, c.cid,
-                          round(list_sum(list_transform(range(1, 65),
-                                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d
-                   FROM e CROSS JOIN c0 c),
-            a0 AS (SELECT vec_id, v, cid AS cell FROM d0
-                   QUALIFY row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, cid) = 1),
-            s1 AS (SELECT cell, i,
-                          SUM(CAST(round(x * 1000000000) AS BIGINT)) AS s,
-                          COUNT(*) AS n
-                   FROM (SELECT cell, unnest(v) AS x,
-                                generate_subscripts(v, 1) AS i FROM a0)
-                   GROUP BY 1, 2),
-            c1 AS (SELECT cell AS cid,
-                          list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-                               / 1000000000.0 ORDER BY i) AS c
-                   FROM s1 GROUP BY cell),
-            d1 AS (SELECT e.vec_id, c.cid,
-                          round(list_sum(list_transform(range(1, 65),
-                                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d
-                   FROM e CROSS JOIN c1 c)
-            SELECT vec_id, cid AS cell FROM d1
-            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""",
+        "ivf_build": _sql_ivf_cells(),
+        "embedding_near_dup_ivf": f"""
+            WITH cells AS ({_sql_ivf_cells()}),
+            base AS (SELECT e.vec_id, c.cell, e.embedding::DOUBLE[] AS v,
+                     sqrt(list_sum([x * x for x in e.embedding::DOUBLE[]])) AS n
+                     FROM embeddings e JOIN cells c USING (vec_id))
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                         / (a.n * b.n), 6) AS cosine
+            FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                  / (a.n * b.n) >= 0.2""",
         "scan_count_events": """
             SELECT event_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS cum_n
