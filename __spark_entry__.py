@@ -207,6 +207,20 @@ def q_map_accum_altsum(spark, sf):
     return out.select(F.col(SEQ).alias("event_id"), F.col("v").alias("alt_sum"))
 
 
+def q_latest_event_per_user(spark, sf):
+    # CDC-style compaction: one hash aggregate, no window sort; ties on
+    # ts pinned by packing event_id into the order key
+    from conduino_spark import dedup_latest
+    src = _src(sf, "events")
+    p = (src
+         | dedup_latest(["user_id"],
+                        F.col("ts").cast("long") * 100_000 + F.col("event_id"))
+         | sink_df())
+    out = run_pipe(p, spark)
+    return out.select("user_id", "event_id",
+                      F.col("ts").cast("long").alias("t"), "event_type")
+
+
 def q_record_flags(spark, sf):
     # parallel mapAccum (monoid-action state): flag events whose value
     # beats the running maximum — two Arrow passes, no sequential scan
@@ -737,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_sink_multi": q_zip_sink_multi,
         "map_accum_altsum": q_map_accum_altsum,
         "record_flags": q_record_flags,
+        "latest_event_per_user": q_latest_event_per_user,
         "zip_positional": q_zip_positional,
         "concat_sources": q_concat_sources,
         "last_event": q_last_event,
@@ -887,6 +902,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                        OVER (ORDER BY o_orderkey) / 100.0 AS cum_total
             FROM orders""",
+        "latest_event_per_user": """
+            SELECT user_id,
+                   arg_max(event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
+                       AS event_id,
+                   arg_max(CAST(floor(epoch(ts)) AS BIGINT),
+                           CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
+                       AS t,
+                   arg_max(event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
+                       AS event_type
+            FROM events GROUP BY user_id""",
         "record_flags": """
             SELECT event_id,
                    CASE WHEN value > coalesce(

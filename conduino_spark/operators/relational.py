@@ -227,3 +227,22 @@ def percentiles(keys: Sequence[str], col: ExprLike,
         return d.groupBy(*keys).agg(*aggs)
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def dedup_latest(keys: Sequence[str], order_col: ExprLike, *,
+                 name: str = "dedup_latest") -> Stage:
+    """Keep the single latest row per key (CDC compaction / upsert
+    materialization): ``max_by(struct(*), order_col)`` — ONE hash
+    aggregate with map-side partials, no window sort.  Ties on
+    ``order_col`` are broken by the largest remaining struct (make the
+    order column unique — e.g. (ts, id) packed — to pin them)."""
+    oc = F.expr(order_col) if isinstance(order_col, str) else order_col
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        others = [c for c in d.columns if c not in keys]
+        agg = d.groupBy(*keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), oc).alias("__r"))
+        return agg.select(*keys, *[F.col(f"__r.{c}").alias(c) for c in others])
+
+    return Stage(fn, name=name, seq_preserving=False)

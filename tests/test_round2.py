@@ -546,3 +546,13 @@ def test_map_accum_chunked_matches_sequential(spark):
         step, -1.0, merge=max, identity=float("-inf"), npart=6) | sink_list(), spark)
     seq = run_pipe(src | map_accum(step, -1.0) | sink_list(), spark)
     assert par == seq and len(par) == 200
+
+
+def test_dedup_latest_keeps_newest_per_key(spark):
+    from conduino_spark import dedup_latest
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 5, "dd")],
+        "k long, t long, v string")
+    st = dedup_latest(["k"], F.col("t") * 10 + F.length("v"))
+    got = {r["k"]: r["v"] for r in st(df).collect()}
+    assert got == {1: "b", 2: "dd"}  # tie at t=5 pinned by the order key
