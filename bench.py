@@ -63,26 +63,23 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
-    # best-of-N: the box this runs on is shared, so a single timing can
-    # catch a GC pause or a neighbor's burst; min of the runs is the
-    # reproducible cost of the plan.  Two runs normally; when they
-    # disagree by >2x (a noise burst caught one of them) take a third.
+    # best-of-3, INTERLEAVED: the box is shared and noise bursts last
+    # seconds-to-minutes — consecutive repeats of one query all land
+    # inside a burst (observed: 3 straight runs at 20x).  Three passes
+    # over the whole list spread each query's samples across the full
+    # bench duration; min per query is the reproducible plan cost.
     from conduino_spark import release_caches
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
-        runs: list[float] = []
-        while len(runs) < 3 or (len(runs) < 4 and max(runs) > 2 * min(runs)
-                                and min(runs) > 0.5):
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES if n in qs}
+    for _round in range(3):
+        for name in samples:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             materialize(df)
-            runs.append(time.time() - t0)
+            samples[name].append(time.time() - t0)
             release_caches()            # registry-tracked persists
             spark.catalog.clearCache()  # plus anything cached directly
-        times[name] = round(min(runs), 3)
+    times = {n: round(min(rs), 3) for n, rs in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
