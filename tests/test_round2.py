@@ -556,3 +556,14 @@ def test_dedup_latest_keeps_newest_per_key(spark):
     st = dedup_latest(["k"], F.col("t") * 10 + F.length("v"))
     got = {r["k"]: r["v"] for r in st(df).collect()}
     assert got == {1: "b", 2: "dd"}  # tie at t=5 pinned by the order key
+
+
+def test_source_binary_reads_files(spark, tmp_path):
+    # sourceHandle binary (Combinators.hs:280-288) — untested in r1
+    from conduino_spark import source_binary
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"hello")
+    out = run_pipe(source_binary(str(tmp_path) + "/*.bin") | sink_df(), spark)
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in out.collect()}
+    assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"hello"}
+    assert out.where("length < 0").count() == 0
