@@ -215,3 +215,12 @@ def test_map_accum_general(spark):
          | map_accum(step, (1, 0), returns="long")
          | sink_list())
     assert run(p, spark) == [1, -1, 2, -2]
+
+
+def test_yield_then_iterate_composition(spark):
+    # Data.Conduino haddock (Combinators.hs:160-166): iterate excludes
+    # the seed; prepend it by source composition — (yield 0 >> iterate)
+    from conduino_spark import iterate_source, source_list, take
+    src = source_list([0]) >> iterate_source(lambda x: x + 1, 0, take=10)
+    got = run_pipe(src | take(5) | sink_list(), spark)
+    assert got == [0, 1, 2, 3, 4]
