@@ -567,3 +567,17 @@ def test_source_binary_reads_files(spark, tmp_path):
     rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in out.collect()}
     assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"hello"}
     assert out.where("length < 0").count() == 0
+
+
+def test_results_independent_of_shuffle_partitions(spark):
+    # the driver's session may run ANY shuffle.partitions — ordered ops
+    # must not depend on the partition count (newSession shares the
+    # context but carries its own SQLConf)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "200")
+
+    def run_on(s):
+        src = range_source(500, num_partitions=4)
+        return run_pipe(src | scan("sum") | sink_list(), s)
+
+    assert run_on(spark) == run_on(s2)
