@@ -86,10 +86,25 @@ def _scaled_sum(col, scale: int):
     integer adds with map-side partials — no >18-precision decimal
     aggregation buffer), divide back once.  Bit-identical to the former
     ``DECIMAL(18,6)`` formulation while the per-group scaled sum stays
-    < 2^53 (holds at oracle scale; r1 bench: decimals cost ~5× here).
-    ``scale`` = 10^(decimal width of the measure); 10^6 when unknown
-    (matches the 6-digit rounding the decimal cast applied)."""
-    return F.sum(F.round(col * F.lit(scale)).cast("long")) / F.lit(float(scale))
+    < 2^53.  ``scale`` = 10^(decimal width of the measure); 10^6 when
+    unknown (matches the 6-digit rounding the decimal cast applied).
+
+    The 2^53 invariant is GUARDED, not assumed (ADVICE r2):
+    max(|v|)·count bounds |sum| from above, so when the bound stays
+    under 2^53 every partial and the total are exactly representable
+    (and a fortiori nowhere near the 2^63 long wrap).  Violations raise
+    loudly instead of silently voiding the exactness claim — two cheap
+    extra integer aggregates (map-side partials), no second pass."""
+    v = F.round(col * F.lit(scale)).cast("long")
+    s = F.sum(v)
+    # coalesce: an empty/all-NULL group has max=NULL, count=0 — bound 0
+    # (sum is NULL there, which the guard must pass through, not raise)
+    bound = F.coalesce(F.max(F.abs(v)) * F.count(v), F.lit(0))
+    guarded = F.when(bound < F.lit(1 << 53), s).otherwise(
+        F.raise_error(F.lit(
+            f"_scaled_sum: |sum| bound >= 2^53 at scale={scale}; "
+            "reduce the scale or switch to decimal aggregation")))
+    return guarded / F.lit(float(scale))
 
 
 def _dec_sum(col, alias: str, scale: int = 1_000_000):
@@ -136,8 +151,15 @@ def q_scan_cumsum(spark, sf):
               out="cum_cents")
     p = src | st | sink_df()
     out = run_pipe(p, spark)
+    # per-row 2^53 guard on the running total: past it the long/100.0
+    # quotient is no longer bit-identical to the decimal formulation
+    # (ADVICE r2 — mirror _scaled_sum's loud failure, not silent drift)
+    cum = F.when(F.abs(F.col("cum_cents")) < F.lit(1 << 53),
+                 F.col("cum_cents")).otherwise(
+        F.raise_error(F.lit("scan_cumsum: |cum_cents| >= 2^53; "
+                            "scaled-long exactness no longer holds")))
     return out.select(F.col(SEQ).alias("o_orderkey"),
-                      (F.col("cum_cents") / F.lit(100.0)).alias("cum_total"))
+                      (cum / F.lit(100.0)).alias("cum_total"))
 
 
 def q_pairs_lag(spark, sf):
@@ -272,12 +294,11 @@ def q_tpch_q1(spark, sf):
     # leaves the compact-long representation).  Each measure has a known
     # decimal width (qty integral; price 2dp; disc_price 4dp; charge
     # 6dp): round the IEEE product to that width as a SCALED LONG, sum
-    # longs (plain codegen add, map-side partials), divide back once.
-    # Per-group scaled sums stay < 2^53 at oracle scale, so the final
-    # double is bit-identical to the decimal formulation on both
-    # engines (same IEEE product -> same rounded long -> same quotient).
-    def scaled_sum(col, scale: int):
-        return F.sum(F.round(col * F.lit(scale)).cast("long")) / F.lit(float(scale))
+    # longs (plain codegen add, map-side partials), divide back once —
+    # bit-identical to the decimal formulation on both engines (same
+    # IEEE product -> same rounded long -> same quotient), with
+    # _scaled_sum's 2^53 guard enforcing the representability bound.
+    scaled_sum = _scaled_sum
 
     p = (li | filter_("l_shipdate <= timestamp'1998-09-01 00:00:00'")
          | group_agg(["l_returnflag", "l_linestatus"], {

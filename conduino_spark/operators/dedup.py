@@ -216,6 +216,7 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
                    .select("id", F.col("id").alias("lbl"))
                    .localCheckpoint(eager=True))
     prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels.select(F.col("id").alias("dst"),
                                         F.col("lbl").alias("dlbl")), "dst")
@@ -226,8 +227,16 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
                         .localCheckpoint(eager=True))
         cur = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur == prev:  # label sum strictly decreases until the fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        # silently returning partial labels would split a component whose
+        # diameter exceeds max_iters into several survivors (ADVICE r2)
+        raise RuntimeError(
+            f"connected-components did not converge within max_iters="
+            f"{max_iters} rounds (graph diameter exceeds the bound); "
+            f"raise max_iters")
     return labels
 
 
@@ -241,7 +250,12 @@ def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
     lower id, so a chain a—b—c (no direct a—c pair) keeps only ``a``:
     ``c`` is dropped although its sole near-dup ``b`` is gone too.  CC
     semantics keep the min-id representative per cluster — the standard
-    corpus-dedup contract."""
+    corpus-dedup contract.
+
+    ``max_iters`` bounds the propagation rounds at the cluster graph
+    diameter (near-dup clusters are shallow; 25 covers any realistic
+    corpus).  A graph needing more rounds raises rather than silently
+    splitting components."""
     pairs_stage = minhash_dedup_pairs(text_col, id_col)
 
     def fn(df: DataFrame) -> DataFrame:

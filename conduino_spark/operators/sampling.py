@@ -37,14 +37,17 @@ def hash_sample(key: ExprLike, fraction: float, *, salt: str = "",
                 name: str = "hash_sample") -> Stage:
     """Keep rows whose ``h32(salt || key)`` falls in the first
     ``fraction`` of the hash space.  ``salt`` decorrelates independent
-    samples over the same key."""
+    samples over the same key.
+
+    NULL keys are DROPPED (no hash → no sample membership) — the same
+    rule :func:`hash_split` applies by emitting a NULL split label."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cut = int(fraction * _SPACE)
 
     def fn(df: DataFrame) -> DataFrame:
         h = h32(F.concat(F.lit(salt), _key(key).cast("string")))
-        return df.where(h < F.lit(cut))
+        return df.where(_key(key).isNotNull() & (h < F.lit(cut)))
 
     return Stage(fn, name=name)
 
@@ -54,7 +57,11 @@ def hash_split(key: ExprLike, weights: Mapping[str, float], *,
                name: str = "hash_split") -> Stage:
     """Deterministic train/val/test assignment: label each row with the
     name of the weight bucket its key hashes into.  Weights are
-    normalized; bucket boundaries are cumulative in dict order."""
+    normalized; bucket boundaries are cumulative in dict order.
+
+    NULL keys get a NULL split label (they belong to no bucket) —
+    consistent with :func:`hash_sample` dropping them; previously they
+    fell through the when-chain into the LAST bucket, skewing it."""
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -69,8 +76,9 @@ def hash_split(key: ExprLike, weights: Mapping[str, float], *,
         expr = F.lit(cuts[-1][0])
         for k, hi in reversed(cuts[:-1]):
             expr = F.when(h < F.lit(hi), F.lit(k)).otherwise(expr)
-        # descending when-chain: first bucket wins the lowest range
-        return df.withColumn(out, expr)
+        # descending when-chain: first bucket wins the lowest range;
+        # NULL key → NULL label (never the fall-through bucket)
+        return df.withColumn(out, F.when(_key(key).isNotNull(), expr))
 
     return Stage(fn, name=name)
 

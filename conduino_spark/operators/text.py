@@ -218,7 +218,11 @@ def chunk_text(chunk_tokens: int = 128, overlap: int = 32, *,
     stride = chunk_tokens - overlap
 
     def fn(df: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
+        # NULL text folds like empty text: without the coalesce,
+        # F.size(NULL) = -1 and the emitted chunk would carry
+        # n_tokens = -1, corrupting pack_chunks' cumulative sums
+        toks = F.coalesce(tokens_col(F.col(text_col)),
+                          F.array().cast("array<string>"))
         n = F.size(toks)
         n_chunks = F.greatest(
             F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))

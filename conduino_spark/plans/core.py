@@ -268,11 +268,16 @@ class Pipeline:
     def run(self, spark: SparkSession) -> Any:
         if not self.sink.materializes:
             return self.sink.run(self.source.df(spark))
-        from conduino_spark.plans.cachereg import release_caches
+        from conduino_spark.plans.cachereg import mark, release_caches
+        # scope the release to caches THIS run creates: other live lazy
+        # flows (earlier sink_df results) keep their persists — releasing
+        # them here could let a multi-branch plan re-sample range
+        # boundaries and silently diverge (ADVICE r2)
+        m = mark()
         try:
             return self.sink.run(self.source.df(spark))
         finally:
-            release_caches()
+            release_caches(since=m)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<Pipeline {self.source.name} |> {self.sink.name}>"
