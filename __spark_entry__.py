@@ -737,6 +737,19 @@ def q_knn_bruteforce(spark, sf):
     return run_pipe(p, spark).select("vec_id", "cosine")
 
 
+def q_ivf_search_topk(spark, sf):
+    # ANN via a pre-existing coarse quantizer column ('label'): rank
+    # cells by centroid cosine — posexplode + per-(cell,dim) scaled-long
+    # means, the r2 VERDICT scale fix (no collect_list of vectors) —
+    # probe the top-2 cells, exact top-10 inside them
+    from conduino_spark import ivf_search
+    emb = _src(sf, "embeddings")
+    row = emb.df(spark).where(F.col("vec_id") == QUERY_KNN_ID).first()
+    qv = [float(x) for x in row["embedding"]]
+    p = emb | ivf_search(qv, k=10, cell_col="label", nprobe=2) | sink_df()
+    return run_pipe(p, spark).select("vec_id", "cosine")
+
+
 def q_stream_window_replay(spark, sf):
     """Structured Streaming replay (rows-only check — append-mode
     watermarking holds back tail windows, so no exact SQL oracle):
@@ -823,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_scores": q_cosine_scores,
         "knn_bruteforce": q_knn_bruteforce,
+        "ivf_search_topk": q_ivf_search_topk,
     }
 
 
@@ -1327,6 +1341,36 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
               FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q)
             SELECT vec_id, cosine FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # bit-identical rendering of ivf_search(qv, k=10, cell_col='label',
+        # nprobe=2): scaled-long per-(cell,dim) means, scaled-long
+        # dot/norm sums, ties on cell then vec_id
+        "ivf_search_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = {QUERY_KNN_ID}),
+            m AS (SELECT label, i,
+                         CAST(SUM(CAST(round(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+                  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                               generate_subscripts(embedding::DOUBLE[], 1) AS i
+                        FROM embeddings)
+                  GROUP BY 1, 2),
+            sc AS (SELECT label,
+                          CAST(SUM(CAST(round(m * qv[i] * 1000000000) AS BIGINT))
+                               AS DOUBLE) / 1000000000.0 AS dot,
+                          CAST(SUM(CAST(round(m * m * 1000000000) AS BIGINT))
+                               AS DOUBLE) / 1000000000.0 AS n2
+                   FROM m, q GROUP BY label),
+            top_cells AS (SELECT label FROM sc
+                          ORDER BY dot / (sqrt(n2) + 1e-12) DESC, label
+                          LIMIT 2),
+            cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+                     FROM embeddings e JOIN top_cells t USING (label))
+            SELECT vec_id,
+                   ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
+                         / (sqrt(list_sum([x * x for x in v]))
+                            * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
+            FROM cand, q
             ORDER BY cosine DESC, vec_id LIMIT 10""",
     }
     return sql

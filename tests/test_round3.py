@@ -111,3 +111,46 @@ def test_scaled_sum_overflow_raises(spark):
     df = spark.createDataFrame([(1e10,), (1e10,)], "v double")
     with pytest.raises(Exception, match="_scaled_sum"):
         df.agg(entry._scaled_sum(F.col("v"), 1_000_000).alias("s")).collect()
+
+
+# --- ivf_search centroid plan (VERDICT wrong #1) ------------------------------
+def _embeddings(spark, n=40, dim=4, cells=3):
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)], i % cells)
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_ivf_search_no_collect_list(spark):
+    from conduino_spark import ivf_search
+    df = _embeddings(spark)
+    out = ivf_search([1.0, 2.0, -1.0, 0.5], k=5, cell_col="label", nprobe=2)(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, \
+        "centroids must aggregate per (cell, dim), never buffer whole cells"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_search_matches_bruteforce_on_probed_cells(spark):
+    from conduino_spark import ivf_search
+    from conduino_spark.operators.similarity import cosine_to
+    df = _embeddings(spark)
+    q = [1.0, 2.0, -1.0, 0.5]
+    got = [(r.vec_id, r.cosine) for r in
+           ivf_search(q, k=5, cell_col="label", nprobe=3)(df).collect()]
+    # nprobe = all cells → identical to exact brute force
+    brute = (cosine_to(q)(df).select("vec_id", "cosine")
+             .orderBy(F.desc("cosine"), "vec_id").limit(5).collect())
+    assert got == [(r.vec_id, r.cosine) for r in brute]
+
+
+def test_ivf_search_accepts_trained_centroids(spark):
+    from conduino_spark import ivf_search
+    df = _embeddings(spark)
+    q = [1.0, 2.0, -1.0, 0.5]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [-1.0, -1.0, -1.0, -1.0]),
+         (2, [0.0, 0.0, 0.0, 0.0])],
+        "label int, centroid array<double>")
+    out = ivf_search(q, k=5, cell_col="label", nprobe=1, centroids=cents)(df)
+    # cell 0 has the most q-aligned centroid; all hits come from it
+    assert all(r.vec_id % 3 == 0 for r in out.collect())
