@@ -36,9 +36,9 @@ from conduino_spark.operators.sinks import (
     sink_count, sink_df, sink_list, sink_null, sink_parquet, sink_text,
 )
 from conduino_spark.operators.zip_alt import (
-    alt_sink, concat_sources, fuse_both, fuse_both_maybe, fuse_upstream,
-    lift_zip_sink, uncons_zip_source, zip_sink, zip_sink_n, zip_source,
-    zip_source_n,
+    alt_sink, alt_sink_n, concat_sources, fuse_both, fuse_both_maybe,
+    fuse_upstream, lift_zip_sink, uncons_zip_source, zip_sink, zip_sink_n,
+    zip_source, zip_source_n,
 )
 from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (

@@ -166,24 +166,39 @@ def zip_sink_n(*sinks: Sink) -> Sink:
     return Sink(run, name=f"zip_sink_n({','.join(s.name for s in sinks)})")
 
 
-def alt_sink(a: Sink, b: Sink) -> Sink:
-    """``altSink`` (Data/Conduino.hs:664-670): broadcast input to both,
-    finish with the FIRST to finish (left-biased on ties / when neither
-    terminates early).
+def alt_sink_n(*sinks: Sink) -> Sink:
+    """n-ary ``altSink`` — the reference's Alternative instance gives
+    this for free by chaining ``<|>`` (Data/Conduino.hs:664-670,
+    675-687); here the n-way race is first-class: every sink's
+    termination point is computed, the EARLIEST terminator's result is
+    returned (leftmost wins ties and the all-run-to-end case).
 
-    Spark relaxation (SURVEY §7 hard #3): both termination points are
-    computed explicitly (``termination_seq``); the earlier sink's result
-    is returned.  Sinks that only finish at end-of-stream have
-    termination None = +inf."""
+    Spark relaxation (SURVEY §7 hard #3): termination points are
+    explicit (``termination_seq``); sinks that only finish at
+    end-of-stream have termination None = +inf."""
+    if not sinks:
+        raise ValueError("alt_sink_n needs at least one sink")
 
     def run(df: DataFrame):
-        ta = a.termination_seq(df) if a.termination_seq else None
-        tb = b.termination_seq(df) if b.termination_seq else None
-        if tb is not None and (ta is None or tb < ta):
-            return b.run(df)
-        return a.run(df)
+        terms = [s.termination_seq(df) if s.termination_seq else None
+                 for s in sinks]
+        # (never-terminates, seq, position): earliest seq wins, leftmost
+        # on ties; all-None falls back to the leftmost sink
+        win = min(range(len(sinks)),
+                  key=lambda i: (terms[i] is None,
+                                 terms[i] if terms[i] is not None else 0, i))
+        return sinks[win].run(df)
 
-    return Sink(run, name=f"alt_sink({a.name},{b.name})")
+    return Sink(run, name=f"alt_sink_n({','.join(s.name for s in sinks)})")
+
+
+def alt_sink(a: Sink, b: Sink) -> Sink:
+    """Binary ``altSink`` (Data/Conduino.hs:664-670): broadcast input to
+    both, finish with the FIRST to finish (left-biased on ties / when
+    neither terminates early).  Delegates to :func:`alt_sink_n`."""
+    s = alt_sink_n(a, b)
+    s.name = f"alt_sink({a.name},{b.name})"
+    return s
 
 
 def fuse_both(src: Source, observe_aggs: list, sink: Sink):
