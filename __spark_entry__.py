@@ -98,9 +98,18 @@ def _scaled_sum(col, scale: int):
     v = F.round(col * F.lit(scale)).cast("long")
     s = F.sum(v)
     # coalesce: an empty/all-NULL group has max=NULL, count=0 — bound 0
-    # (sum is NULL there, which the guard must pass through, not raise)
-    bound = F.coalesce(F.max(F.abs(v)) * F.count(v), F.lit(0))
-    guarded = F.when(bound < F.lit(1 << 53), s).otherwise(
+    # (sum is NULL there, which the guard must pass through, not raise).
+    # The bound itself is DOUBLE arithmetic (ADVICE r3): a long product
+    # max·count wraps past 2^63 — only 1024× the threshold — so the
+    # guard could pass exactly in the regime it exists for; doubles lose
+    # precision but never wrap, and the comparison needs ~1 part in 2^10
+    # accuracy, far inside double's 2^53.  This also catches the cast
+    # saturation case: |col·scale| ≥ 2^63 saturates the long cast at
+    # ±(2^63−1), making max(|v|) ≈ 9.2e18 ≫ 2^53 → loud failure.
+    bound = F.coalesce(
+        F.max(F.abs(v)).cast("double") * F.count(v).cast("double"),
+        F.lit(0.0))
+    guarded = F.when(bound < F.lit(2.0 ** 53), s).otherwise(
         F.raise_error(F.lit(
             f"_scaled_sum: |sum| bound >= 2^53 at scale={scale}; "
             "reduce the scale or switch to decimal aggregation")))

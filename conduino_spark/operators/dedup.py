@@ -217,7 +217,12 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
                    .localCheckpoint(eager=True))
     prev = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1: convergence is detected one round AFTER the last
+    # label change (the confirming cur == prev pass), so without the
+    # extra round a graph whose propagation needs exactly max_iters
+    # changes would raise at its own fixpoint (ADVICE r3) — the bound
+    # documents "diameter ≤ max_iters", and the +1 pays for the check
+    for _ in range(max_iters + 1):
         nbr = (edges.join(labels.select(F.col("id").alias("dst"),
                                         F.col("lbl").alias("dlbl")), "dst")
                     .groupBy("src").agg(F.min("dlbl").alias("__m")))

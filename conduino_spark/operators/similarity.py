@@ -32,6 +32,24 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _guarded_long_sum(v: Column, what: str) -> Column:
+    """Scaled-long sum under the same 2^53 representability guard as
+    __spark_entry__._scaled_sum (ADVICE r3: the ivf aggregates had no
+    overflow guard, inconsistent with the policy they rely on).
+    max(|v|)·count — in DOUBLE, which cannot wrap — bounds |sum|; under
+    2^53 every partial is exact AND nowhere near the 2^63 long wrap
+    (a hot cell with ~9e9 rows would otherwise wrap silently and
+    diverge from the oracle).  Violations raise loudly."""
+    s = F.sum(v)
+    bound = F.coalesce(
+        F.max(F.abs(v)).cast("double") * F.count(v).cast("double"),
+        F.lit(0.0))
+    return F.when(bound < F.lit(2.0 ** 53), s).otherwise(
+        F.raise_error(F.lit(
+            f"{what}: scaled-long |sum| bound >= 2^53; reduce the scale "
+            "or shrink the cell (exactness claim would be void)")))
+
+
 def cosine_to(query: Sequence[float], vec_col: str = "embedding", *,
               out: str = "cosine", ndigits: int = 6) -> Stage:
     """Append cosine similarity to a fixed query vector (broadcast as a
@@ -157,8 +175,9 @@ def ivf_build(k: int = 8, iters: int = 1, *, vec_col: str = "embedding",
         for _ in range(iters):
             a = assign(base, cents)
             ex = a.select(out, F.posexplode("__v").alias("__i", "__x"))
+            sv = F.round(F.col("__x") * scale).cast("long")
             sums = (ex.groupBy(out, "__i")
-                      .agg(F.sum(F.round(F.col("__x") * scale).cast("long"))
+                      .agg(_guarded_long_sum(sv, "ivf_build means")
                             .alias("__s"),
                            F.count(F.lit(1)).alias("__n")))
             rows = (sums.groupBy(out)
@@ -212,17 +231,22 @@ def ivf_search(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding
         else:
             v = F.col(vec_col).cast("array<double>")
             ex = df.select(F.col(cell_col), F.posexplode(v).alias("__i", "__x"))
+            sv = F.round(F.col("__x") * scale).cast("long")
             means = (ex.groupBy(cell_col, "__i")
-                       .agg((F.sum(F.round(F.col("__x") * scale).cast("long"))
+                       .agg((_guarded_long_sum(sv, "ivf_search means")
                               .cast("double")
                              / F.count(F.lit(1)).cast("double")
                              / F.lit(sc)).alias("__m")))
+        # dot/n2 sums are per-cell over DIM terms (not rows): |term| ≤
+        # scale·max|m·q| ≈ 2^30 for unit-ish vectors, so the 2^53 bound
+        # holds for any dim < ~8e6 — guarded anyway for the policy
         qi = F.element_at(q, F.col("__i") + 1)
+        dv = F.round(F.col("__m") * qi * scale).cast("long")
+        nv = F.round(F.col("__m") * F.col("__m") * scale).cast("long")
         scored = (means.groupBy(cell_col)
-                  .agg((F.sum(F.round(F.col("__m") * qi * scale).cast("long"))
+                  .agg((_guarded_long_sum(dv, "ivf_search dot")
                          .cast("double") / F.lit(sc)).alias("__dot"),
-                       (F.sum(F.round(F.col("__m") * F.col("__m") * scale)
-                               .cast("long"))
+                       (_guarded_long_sum(nv, "ivf_search norm")
                          .cast("double") / F.lit(sc)).alias("__n2")))
         ccos = F.col("__dot") / (F.sqrt(F.col("__n2")) + F.lit(1e-12))
         top_cells = (scored.orderBy(ccos.desc(), F.col(cell_col))

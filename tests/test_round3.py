@@ -20,6 +20,11 @@ from conduino_spark.plans import cachereg
 
 # --- cache registry scoping (ADVICE medium) ---------------------------------
 def test_release_scoped_to_owning_pipeline_run(spark):
+    # the registry is process-global: earlier tests' lazy flows (sink_df)
+    # legitimately leave tracked entries — drain so the counts below are
+    # about THIS test's caches (r3 VERDICT: order-dependent failure)
+    cachereg.release_caches()
+
     # an "other still-live lazy flow" holds a tracked cache...
     outer = cachereg.track(spark.range(10))
     outer.count()
