@@ -19,15 +19,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# headline set: relational + ordered/stateful + LLM ops
+# headline set: relational + ordered/stateful + LLM ops.  r4 adds the
+# chunked/iterative plans (r2/r3 carried item #4): consecutive_windows,
+# pack_chunks_docs, asof_events_bidir, minhash_dedup_cc, ivf_search_topk.
+# (text_stats/lang_fingerprint replace the four single-op text queries
+# they merged; cosine_scores retired into knn_bruteforce — see the gate
+# ordering contract in __spark_entry__.queries().)
 BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "scan_cumsum", "pairs_lag", "map_accum_altsum", "window_tumbling",
     "map_project", "concat_map_tokens",
-    "token_count", "quality_score", "lang_id", "fingerprint",
-    "dedup_exact", "minhash_pairs", "simhash", "ngram_jaccard_lsh",
-    "cosine_scores", "knn_bruteforce",
+    "consecutive_windows", "pack_chunks_docs", "asof_events_bidir",
+    "text_stats", "lang_fingerprint",
+    "dedup_exact", "minhash_pairs", "minhash_dedup_cc",
+    "simhash", "ngram_jaccard_lsh",
+    "knn_bruteforce", "ivf_search_topk",
 ]
+
+#: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
+#: max/min sample ratio exceeds NOISE_RATIO — one shared-box burst can
+#: no longer set a query's reported floor (r3 verdict item #7)
+BASE_ROUNDS = 3
+MAX_ROUNDS = 5
+NOISE_RATIO = 3.0
 
 
 def materialize(df) -> int:
@@ -70,16 +84,30 @@ def main() -> None:
     # bench duration; min per query is the reproducible plan cost.
     from conduino_spark import release_caches
 
+    def sample_once(name: str) -> float:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        dt = time.time() - t0
+        release_caches()            # registry-tracked persists
+        spark.catalog.clearCache()  # plus anything cached directly
+        return dt
+
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES if n in qs}
-    for _round in range(3):
+    for _round in range(BASE_ROUNDS):
         for name in samples:
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            materialize(df)
-            samples[name].append(time.time() - t0)
-            release_caches()            # registry-tracked persists
-            spark.catalog.clearCache()  # plus anything cached directly
+            samples[name].append(sample_once(name))
+    # noise escalation: queries whose spread exceeds NOISE_RATIO get up
+    # to MAX_ROUNDS - BASE_ROUNDS more interleaved samples
+    for _round in range(BASE_ROUNDS, MAX_ROUNDS):
+        noisy = [n for n, rs in samples.items()
+                 if len(rs) == _round and max(rs) / max(min(rs), 1e-9) > NOISE_RATIO]
+        if not noisy:
+            break
+        for name in noisy:
+            samples[name].append(sample_once(name))
     times = {n: round(min(rs), 3) for n, rs in samples.items()}
+    spread = {n: round(max(rs) / max(min(rs), 1e-9), 1)
+              for n, rs in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -89,6 +117,9 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf else SF_DIR,
         "cpus": CPUS,
+        # max/min sample ratio per query: >3 means the box was bursty
+        # during this run and the floor (min) is the trustworthy number
+        "noise_max_over_min": spread,
     }
     print(json.dumps(out))
     spark.stop()

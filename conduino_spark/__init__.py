@@ -58,6 +58,7 @@ from conduino_spark.operators.dedup import (
 )
 from conduino_spark.operators.similarity import (
     cosine_to, ivf_build, ivf_search, knn_brute, knn_lsh, lsh_bucket,
+    lsh_index_write, probe_buckets,
 )
 from conduino_spark.operators.multimodal import (
     feature_extract, frame_sample, image_metadata, image_resize,

@@ -108,23 +108,55 @@ def lsh_bucket(vec_col: str = "embedding", *, dim: int, planes: int = LSH_PLANES
     return Stage(fn, name="lsh_bucket", seq_preserving=True)
 
 
-def knn_lsh(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
-            id_col: str = "vec_id", planes: int = LSH_PLANES) -> Stage:
-    """ANN top-k: probe only the query's SRP bucket (plus Hamming-1
-    neighbor buckets for recall).  At 100 TB, ``bucket`` should be a
-    partition column so probing is partition PRUNING, not a scan."""
-    dim = len(query)
-    hp = hyperplanes(dim, planes)
+def probe_buckets(query: Sequence[float], *, planes: int = LSH_PLANES) -> list[int]:
+    """The query's SRP bucket plus its Hamming-1 neighbors (recall
+    boost) — pure driver arithmetic, shared by :func:`knn_lsh` and its
+    oracle rendering."""
+    hp = hyperplanes(len(query), planes)
     qbucket = 0
     for i, plane in enumerate(hp):
         if sum(q * p for q, p in zip(query, plane)) > 0:
             qbucket |= 1 << i
-    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(planes)]
-    bucket_stage = lsh_bucket(vec_col, dim=dim, planes=planes)
+    return [qbucket] + [qbucket ^ (1 << i) for i in range(planes)]
+
+
+def lsh_index_write(df: DataFrame, path: str, *, vec_col: str = "embedding",
+                    dim: int, planes: int = LSH_PLANES) -> None:
+    """Materialize the SRP index ONCE: compute each row's bucket and
+    write the corpus ``partitionBy('bucket')`` so probes are partition
+    PRUNING (a directory listing + ~nprobe/2^planes of the bytes), not
+    a corpus scan.  The 100 TB posture: build-index is the one full
+    pass; every query after it reads only its probe partitions."""
+    (lsh_bucket(vec_col, dim=dim, planes=planes)(df)
+     .write.partitionBy("bucket").mode("overwrite").parquet(path))
+
+
+def knn_lsh(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
+            id_col: str = "vec_id", planes: int = LSH_PLANES,
+            bucket_col: Optional[str] = None) -> Stage:
+    """ANN top-k over the query's probe buckets (SRP bucket + Hamming-1
+    neighbors).
+
+    Two regimes:
+
+    * ``bucket_col=None`` (no index): the bucket is computed per row and
+      filtered — a full scan, acceptable for one-off queries only.
+    * ``bucket_col='bucket'`` (indexed): the input already carries the
+      bucket — e.g. a ``spark.read.parquet`` of a
+      :func:`lsh_index_write` layout, where ``bucket`` is a PARTITION
+      column and the ``isin`` probe compiles to partition pruning
+      (PartitionFilters in the scan, plan-tested in
+      tests/test_round4.py) — the scan touches only the ~``planes+1``
+      probe directories, never the corpus."""
+    probe = probe_buckets(query, planes=planes)
+    bucket_stage = lsh_bucket(vec_col, dim=len(query), planes=planes)
     scorer = cosine_to(query, vec_col)
 
     def fn(df: DataFrame) -> DataFrame:
-        cand = bucket_stage(df).where(F.col("bucket").isin(probe))
+        if bucket_col is None:
+            cand = bucket_stage(df).where(F.col("bucket").isin(probe))
+        else:
+            cand = df.where(F.col(bucket_col).isin(probe))
         return (scorer(cand)
                 .select(id_col, "cosine")
                 .orderBy(F.desc("cosine"), F.col(id_col))

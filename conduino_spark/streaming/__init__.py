@@ -20,7 +20,9 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
+from datetime import timedelta
 from typing import Any, Callable, Iterable, Optional
 
 import pandas as pd
@@ -190,10 +192,27 @@ def map_accum_stream(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
     return Stage(fn, name="map_accum_stream", seq_preserving=False)
 
 
+#: event_type value of watermark-flushing sentinel rows (filter out of
+#: results); see ``stage_events_dir(sentinel_hours=...)``.
+SENTINEL_TYPE = "__sentinel__"
+
+
 def stage_events_dir(spark_parquet_path: str, out_dir: Optional[str] = None,
-                     n_chunks: int = 4) -> str:
+                     n_chunks: int = 4, *,
+                     sentinel_hours: Optional[float] = None,
+                     ts_col: str = "ts", type_col: str = "event_type") -> str:
     """Split one parquet file into n chunk-files in a temp dir so the
-    file-stream source replays it as n micro-batches (test utility)."""
+    file-stream source replays it as n micro-batches (test utility).
+
+    ``sentinel_hours``: additionally append TWO single-row sentinel
+    files (``type_col = SENTINEL_TYPE``, ``ts = max(ts) +
+    sentinel_hours``) that arrive as the LAST two micro-batches.  The
+    first advances the watermark past every real window; the second
+    triggers the batch in which append mode EMITS them — the replay law
+    (feedPipe, Data/Conduino.hs:245-257): a drained stream with the
+    watermark beyond all data equals the batch aggregation exactly, so
+    the query gains a plain GROUP BY oracle.  Two files (not one)
+    because emission uses the watermark computed from PRIOR batches."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
@@ -224,6 +243,28 @@ def stage_events_dir(spark_parquet_path: str, out_dir: Optional[str] = None,
         if lo >= hi:
             break
         pq.write_table(t.slice(lo, hi - lo), os.path.join(out_dir, f"part_{i:03d}.parquet"))
+    if sentinel_hours is not None:
+        import pyarrow.compute as pc
+
+        max_ts = pc.max(t.column(ts_col)).as_py()
+        far = max_ts + timedelta(hours=sentinel_hours)
+        base = t.slice(t.num_rows - 1, 1)  # clone a real row's shape
+        for j, ts in enumerate((far, far + timedelta(seconds=1))):
+            cols = []
+            for f in base.schema:
+                if f.name == ts_col:
+                    cols.append(pa.array([ts], type=f.type))
+                elif f.name == type_col:
+                    cols.append(pa.array([SENTINEL_TYPE], type=f.type))
+                else:
+                    cols.append(base.column(f.name))
+            p = os.path.join(out_dir, f"part_{900 + j:03d}.parquet")
+            pq.write_table(pa.table(cols, schema=base.schema), p)
+            # the file source orders pending files by modification time:
+            # force the sentinels strictly after the data chunks (and
+            # after each other) so they form the final micro-batches
+            bump = time.time() + 2.0 + j
+            os.utime(p, (bump, bump))
     return out_dir
 
 
