@@ -41,7 +41,7 @@ from conduino_spark.operators.dedup import (  # noqa: E402
 )
 from conduino_spark.operators.sketches import kmv_distinct_sql  # noqa: E402
 from conduino_spark.operators.text import (  # noqa: E402
-    lang_id_sql, quality_score_sql, tokens_sql,
+    lang_id_sql, quality_score_sql, repetition_stats_sql, tokens_sql,
 )
 
 QUERY_KNN_ID = 0  # the fixed ANN query vector = embedding of this vec_id
@@ -455,11 +455,17 @@ def q_group_rollup(spark, sf):
 # ---- LLM-pipeline ops -------------------------------------------------------
 
 def q_text_stats(spark, sf):
-    # token_count ∘ quality_score composed in one pipeline (merged r4) —
-    # both are withColumn projections, so fusing them is also the plan
-    # a real corpus pass would use (one scan, one codegen stage)
-    p = _src(sf, "documents") | token_count() | quality_score() | sink_df()
-    return run_pipe(p, spark).select("doc_id", "n_tokens", "quality")
+    # token_count ∘ quality_score ∘ repetition_stats composed in one
+    # pipeline (merged r4) — all withColumn projections, so fusing them
+    # is also the plan a real corpus pass would use (one scan, one
+    # codegen stage); repetition_stats adds the Gopher-style filters
+    from conduino_spark import repetition_stats
+    p = (_src(sf, "documents") | token_count() | quality_score()
+         | repetition_stats() | sink_df())
+    return run_pipe(p, spark).select(
+        "doc_id", "n_tokens", "quality",
+        "dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+        "symbol_word_ratio", "mean_word_len", "alpha_word_frac")
 
 
 def q_lang_fingerprint(spark, sf):
@@ -1105,9 +1111,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "text_stats": f"""
-            SELECT doc_id, len({toks})::BIGINT AS n_tokens,
-                   {quality_score_sql('text', 'quality')}
-            FROM documents""",
+            SELECT s.doc_id, s.n_tokens, s.quality,
+                   r.dup_line_frac, r.dup_line_char_frac,
+                   r.top_2gram_char_frac, r.symbol_word_ratio,
+                   r.mean_word_len, r.alpha_word_frac
+            FROM (SELECT doc_id, len({toks})::BIGINT AS n_tokens,
+                         {quality_score_sql('text', 'quality')}
+                  FROM documents) s
+            JOIN ({repetition_stats_sql()}) r USING (doc_id)""",
         "lang_fingerprint": f"""
             SELECT doc_id, {lang_id_sql('text', 'lang_pred')},
                    {rolling_fingerprint_sql(f"[{h32_sql('t')} for t in {toks}]")} AS fingerprint

@@ -49,7 +49,7 @@ from conduino_spark.operators.relational import (
 )
 from conduino_spark.operators.text import (
     chunk_text, fingerprint, lang_id, pack_chunks, quality_score,
-    token_count, tokenize,
+    repetition_stats, token_count, tokenize,
 )
 from conduino_spark.operators.dedup import (
     dedup_exact, embedding_near_dup_pairs, minhash_dedup, minhash_dedup_cc,

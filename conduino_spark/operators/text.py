@@ -200,6 +200,206 @@ def fingerprint(text_col: str = "text", *, out: str = "fingerprint") -> Stage:
     return Stage(fn, name="fingerprint", seq_preserving=True)
 
 
+#: symbol marks for the Gopher-style symbol/word ratio (hash + ellipsis).
+SYMBOL_PATTERN = r"#|\.\.\.|…"
+
+
+def repetition_stats(text_col: str = "text", *, prefix: str = "") -> Stage:
+    """Gopher-style repetition / shape filters (Rae et al. 2021 §A1.1),
+    the standard LLM-corpus quality gates:
+
+    * ``dup_line_frac``      — 1 − distinct/total over trimmed non-empty
+      lines (fraction of lines that are repeats of an earlier line).
+    * ``dup_line_char_frac`` — fraction of line characters living in
+      lines that occur more than once.
+    * ``top_2gram_char_frac``— chars covered by the most frequent word
+      2-gram: ``max_count · gram_len / len(join(tokens, ' '))``; among
+      equal-count grams the longest is charged (deterministic).
+    * ``symbol_word_ratio``  — '#'/ellipsis marks per word.
+    * ``mean_word_len``      — mean token length.
+    * ``alpha_word_frac``    — fraction of tokens containing a letter.
+
+    All pure column algebra — per-row compute, NO shuffle, so it scales
+    embarrassingly to any corpus.  Duplicate counting is sort + one
+    linear fold per array (O(L log L) per document — NOT the naive
+    O(distinct·total) filter-per-distinct-element, which is quadratic
+    and measured minutes-per-60-docs interpreted).  Every fraction is
+    rounded to 6dp; :func:`repetition_stats_sql` is the equivalent
+    explode/group-by DuckDB query (same values, idiomatic SQL shape).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(t)
+    n_toks = F.size(toks)
+
+    def _dup_chars(sorted_arr: Column) -> Column:
+        """Chars in elements occurring >1×: in a SORTED array, element
+        i is part of a duplicate group iff it equals a neighbor."""
+        n = F.size(sorted_arr)
+        return F.aggregate(
+            F.sequence(F.lit(1), n), F.lit(0).cast("long"),
+            lambda a, i: a + F.when(
+                (F.element_at(sorted_arr, i) ==
+                 F.element_at(sorted_arr, F.greatest(i - 1, F.lit(1))))
+                & (i > 1)
+                | (F.element_at(sorted_arr, i) ==
+                   F.element_at(sorted_arr, F.least(i + 1, n)))
+                & (i < n),
+                F.length(F.element_at(sorted_arr, i))).otherwise(F.lit(0)))
+
+    def _top_run(sorted_arr: Column) -> Column:
+        """(best_cnt, best_len) of the longest run in a SORTED array;
+        count ties broken by max element length — one linear fold."""
+        n = F.size(sorted_arr)
+        init = F.struct(
+            F.lit(1).alias("run"),
+            F.lit(1).alias("best_cnt"),
+            F.length(F.element_at(sorted_arr, 1)).alias("best_len"))
+
+        def step(acc, i):
+            run = F.when(
+                F.element_at(sorted_arr, i) == F.element_at(sorted_arr, i - 1),
+                acc["run"] + 1).otherwise(F.lit(1))
+            cur_len = F.length(F.element_at(sorted_arr, i))
+            better = (run > acc["best_cnt"]) | (
+                (run == acc["best_cnt"]) & (cur_len > acc["best_len"]))
+            return F.struct(
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+                F.when(better, cur_len).otherwise(acc["best_len"]).alias("best_len"))
+
+        return F.when(n >= 2,
+                      F.aggregate(F.sequence(F.lit(2), n), init, step)
+                      ).otherwise(init)
+
+    p = prefix
+
+    def fn(df: DataFrame) -> DataFrame:
+        # intermediate arrays materialize once as columns; every stat
+        # reads the column, not a re-derived expression tree
+        out = (df
+               .withColumn("__lines", F.array_sort(F.filter(
+                   F.transform(F.split(t, "\n"), F.trim),
+                   lambda l: F.length(l) > 0)))
+               .withColumn("__toks", toks)
+               .withColumn("__grams", F.array_sort(F.when(
+                   n_toks >= 2,
+                   F.transform(F.sequence(F.lit(1), n_toks - 1),
+                               lambda i: F.concat_ws(
+                                   " ", F.element_at(toks, i),
+                                   F.element_at(toks, i + 1)))
+               ).otherwise(F.array().cast("array<string>")))))
+
+        lines = F.col("__lines")
+        n_lines = F.size(lines)
+        dup_line_frac = F.when(
+            n_lines > 0,
+            F.round(1.0 - F.size(F.array_distinct(lines))
+                    / n_lines.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+        line_chars = F.aggregate(lines, F.lit(0).cast("long"),
+                                 lambda a, l: a + F.length(l))
+        dup_line_char_frac = F.when(
+            line_chars > 0,
+            F.round(_dup_chars(lines) / line_chars.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+        grams = F.col("__grams")
+        best = _top_run(grams)
+        top_frac = F.when(
+            F.size(grams) > 0,
+            F.round(best["best_cnt"] * best["best_len"]
+                    / F.length(F.array_join(F.col("__toks"), " ")).cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+        ctoks = F.col("__toks")
+        cn = F.size(ctoks)
+        symbol_word_ratio = F.when(
+            cn > 0, F.round(F.regexp_count(t, F.lit(SYMBOL_PATTERN))
+                            / cn.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+        mean_word_len = F.when(
+            cn > 0,
+            F.round(F.aggregate(ctoks, F.lit(0).cast("long"),
+                                lambda a, x: a + F.length(x))
+                    / cn.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+        alpha_word_frac = F.when(
+            cn > 0,
+            F.round(F.size(F.filter(ctoks, lambda x: x.rlike("[a-z]")))
+                    / cn.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+        return (out.withColumn(p + "dup_line_frac", dup_line_frac)
+                   .withColumn(p + "dup_line_char_frac", dup_line_char_frac)
+                   .withColumn(p + "top_2gram_char_frac", top_frac)
+                   .withColumn(p + "symbol_word_ratio", symbol_word_ratio)
+                   .withColumn(p + "mean_word_len", mean_word_len)
+                   .withColumn(p + "alpha_word_frac", alpha_word_frac)
+                   .drop("__lines", "__toks", "__grams"))
+
+    return Stage(fn, name="repetition_stats", seq_preserving=True)
+
+
+def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id",
+                         expr: str = "text") -> str:
+    """DuckDB oracle for :func:`repetition_stats`: a full SELECT
+    (id + the six stats) with the same trims, counts, tie-breaks
+    (count desc, gram length desc), and 6dp rounding — expressed as
+    idiomatic unnest/GROUP BY SQL rather than array folds."""
+    toks = tokens_sql("t")
+    return f"""
+      WITH base AS (SELECT {id_col}, coalesce({expr}, '') AS t FROM {table}),
+      tk AS (SELECT {id_col}, {toks} AS toks FROM base),
+      lns AS (SELECT {id_col}, trim(l) AS line
+              FROM base, unnest(string_split(t, chr(10))) AS u(l)
+              WHERE length(trim(l)) > 0),
+      lc AS (SELECT {id_col}, line, count(*) AS c, length(line) AS len
+             FROM lns GROUP BY 1, 2),
+      ls AS (SELECT {id_col},
+                    round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_line_frac,
+                    round(coalesce(sum(len * c) FILTER (c > 1), 0) * 1.0
+                          / sum(len * c), 6) AS dup_line_char_frac
+             FROM lc GROUP BY 1),
+      gr AS (SELECT {id_col},
+                    unnest([toks[i] || ' ' || toks[i + 1]
+                            for i in range(1, len(toks))]) AS g
+             FROM tk WHERE len(toks) >= 2),
+      gc AS (SELECT {id_col}, g, count(*) AS c, length(g) AS len
+             FROM gr GROUP BY 1, 2),
+      gtop AS (SELECT {id_col}, c, len FROM gc
+               QUALIFY row_number() OVER (PARTITION BY {id_col}
+                                          ORDER BY c DESC, len DESC) = 1),
+      gs AS (SELECT g.{id_col},
+                    round(g.c * g.len * 1.0
+                          / length(array_to_string(tk.toks, ' ')), 6)
+                      AS top_2gram_char_frac
+             FROM gtop g JOIN tk USING ({id_col})),
+      ps AS (SELECT b.{id_col},
+                    CASE WHEN len(tk.toks) > 0
+                         THEN round(len(regexp_extract_all(b.t, '{SYMBOL_PATTERN}'))
+                                    * 1.0 / len(tk.toks), 6)
+                         ELSE 0.0 END AS symbol_word_ratio,
+                    CASE WHEN len(tk.toks) > 0
+                         THEN round(list_sum([length(x) for x in tk.toks])
+                                    * 1.0 / len(tk.toks), 6)
+                         ELSE 0.0 END AS mean_word_len,
+                    CASE WHEN len(tk.toks) > 0
+                         THEN round(len(list_filter(tk.toks,
+                                        x -> regexp_matches(x, '[a-z]')))
+                                    * 1.0 / len(tk.toks), 6)
+                         ELSE 0.0 END AS alpha_word_frac
+             FROM base b JOIN tk USING ({id_col}))
+      SELECT b.{id_col},
+             coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+             coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             coalesce(gs.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+             ps.symbol_word_ratio, ps.mean_word_len, ps.alpha_word_frac
+      FROM base b
+      LEFT JOIN ls USING ({id_col})
+      LEFT JOIN gs USING ({id_col})
+      JOIN ps USING ({id_col})"""
+
+
 def chunk_text(chunk_tokens: int = 128, overlap: int = 32, *,
                text_col: str = "text", id_col: str = "doc_id",
                out: str = "chunk", name: str = "chunk_text") -> Stage:

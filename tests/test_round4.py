@@ -128,3 +128,55 @@ def test_stream_replay_law_equals_batch(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n")))
     brows = sorted(tuple(r) for r in batch.collect())
     assert srows == brows
+
+
+# --- repetition_stats (Gopher-style corpus filters) --------------------------
+REP_COLS = ["dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+            "symbol_word_ratio", "mean_word_len", "alpha_word_frac"]
+
+
+def _rep_rows(spark, df):
+    from conduino_spark.operators.text import repetition_stats
+    out = repetition_stats()(df).select("doc_id", *REP_COLS)
+    return {r[0]: tuple(round(float(x), 6) for x in r[1:])
+            for r in out.collect()}
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 'dup dup' twice (7 chars each); 14 of 24 line
+            # chars duplicated; top 2-gram 'dup dup' (cnt 2, len 7)
+            (0, "dup dup\nuniq one\ndup dup\nxy"),
+            (1, None),                          # NULL text -> all zeros
+            (2, ""),                            # empty -> all zeros
+            (3, "solo"),                        # 1 token: no grams
+            (4, "a b # c ... d …"),             # 3 symbol marks, 4 words
+        ],
+        "doc_id long, text string")
+    got = _rep_rows(spark, df)
+
+    d0 = got[0]
+    assert d0[0] == round(1 - 3 / 4, 6)                  # dup_line_frac
+    assert d0[1] == round(14 / 24, 6)                    # dup chars
+    # tokens: dup dup uniq one dup dup xy -> joined len 27; cnt=2,len=7
+    assert d0[2] == round(2 * 7 / 27, 6)
+    assert got[1] == (0.0,) * 6
+    assert got[2] == (0.0,) * 6
+    assert got[3][2] == 0.0                              # no 2-grams
+    assert got[4][3] == round(3 / 4, 6)                  # symbol/word
+
+
+def test_repetition_stats_matches_duckdb(spark, sf_dir):
+    import duckdb
+    from conduino_spark.operators.text import repetition_stats_sql
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = _rep_rows(spark, df)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = {r[0]: tuple(round(float(x), 6) for x in r[1:])
+            for r in con.sql(repetition_stats_sql()).fetchall()}
+    assert got == want
