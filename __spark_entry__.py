@@ -64,8 +64,10 @@ def _ensure_conf(spark: SparkSession) -> None:
             pass  # static conf in this session; hope it was set at build
 
 
-def _src(sf_dir: str, table: str, seq_col: str | None = None):
-    src = read_table(sf_dir, table, seq_col=seq_col)
+def _src(sf_dir: str, table: str, seq_col: str | None = None,
+         min_partitions: int | str | None = None):
+    src = read_table(sf_dir, table, seq_col=seq_col,
+                     min_partitions=min_partitions)
     inner_fn = src.fn
 
     def fn(spark):
@@ -146,7 +148,7 @@ def q_filter_pushdown(spark, sf):
 def q_concat_map_tokens(spark, sf):
     # concatMap = explode: one row per token of each document
     from conduino_spark.operators.text import tokens_col
-    docs = _src(sf, "documents").df(spark)
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
     out = docs.select(F.col("doc_id"),
                       F.explode(tokens_col(F.col("text"))).alias("token"))
     return out
@@ -459,8 +461,12 @@ def q_text_stats(spark, sf):
     # pipeline (merged r4) — all withColumn projections, so fusing them
     # is also the plan a real corpus pass would use (one scan, one
     # codegen stage); repetition_stats adds the Gopher-style filters
+    # min_partitions="auto": the testdata file is ONE parquet row group,
+    # which pins this per-row-heavy pass to one task; at scale the
+    # condition is false and no shuffle happens (sources.read_parquet)
     from conduino_spark import repetition_stats
-    p = (_src(sf, "documents") | token_count() | quality_score()
+    p = (_src(sf, "documents", min_partitions="auto")
+         | token_count() | quality_score()
          | repetition_stats() | sink_df())
     return run_pipe(p, spark).select(
         "doc_id", "n_tokens", "quality",
@@ -470,23 +476,23 @@ def q_text_stats(spark, sf):
 
 def q_lang_fingerprint(spark, sf):
     # lang_id ∘ fingerprint composed in one pipeline (merged r4)
-    p = _src(sf, "documents") | lang_id() | fingerprint() | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | lang_id() | fingerprint() | sink_df()
     return run_pipe(p, spark).select("doc_id", "lang_pred", "fingerprint")
 
 
 def q_dedup_exact(spark, sf):
-    p = _src(sf, "documents") | dedup_exact() | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | dedup_exact() | sink_df()
     return run_pipe(p, spark).select("doc_id")
 
 
 def q_minhash_pairs(spark, sf):
-    p = _src(sf, "documents") | minhash_dedup_pairs() | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | minhash_dedup_pairs() | sink_df()
     return run_pipe(p, spark)
 
 
 def q_minhash_dedup_kept(spark, sf):
     from conduino_spark import minhash_dedup
-    p = _src(sf, "documents") | minhash_dedup() | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | minhash_dedup() | sink_df()
     return run_pipe(p, spark).select("doc_id")
 
 
@@ -494,7 +500,7 @@ def q_minhash_dedup_cc(spark, sf):
     # connected-component survivors: one doc (min id) per transitive
     # near-dup cluster — Pregel min-label propagation on the LSH pairs
     from conduino_spark import minhash_dedup_cc
-    p = _src(sf, "documents") | minhash_dedup_cc() | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | minhash_dedup_cc() | sink_df()
     return run_pipe(p, spark).select("doc_id")
 
 
@@ -575,7 +581,7 @@ def q_ivf_build(spark, sf):
 
 
 def q_simhash(spark, sf):
-    p = _src(sf, "documents") | simhash() | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | simhash() | sink_df()
     return run_pipe(p, spark).select("doc_id", "simhash")
 
 
@@ -602,7 +608,7 @@ def q_hash_partition_docs(spark, sf):
     # 'train'), count per (split, shard).  All three stay pure
     # projections of doc_id — one scan, no shuffle before the count.
     from conduino_spark import hash_sample, hash_split, shard_by
-    p = (_src(sf, "documents")
+    p = (_src(sf, "documents", min_partitions="auto")
          | hash_split("doc_id", SPLIT_WEIGHTS)
          | shard_by("doc_id", 8)
          | hash_sample("doc_id", 0.1, salt="r4")
@@ -638,7 +644,7 @@ def q_value_percentiles(spark, sf):
 def q_chunk_text_docs(spark, sf):
     # context-window packing: 64-token chunks, 16-token overlap
     from conduino_spark import chunk_text
-    p = _src(sf, "documents") | chunk_text(64, 16) | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | chunk_text(64, 16) | sink_df()
     return run_pipe(p, spark)
 
 
@@ -646,7 +652,7 @@ def q_pack_chunks_docs(spark, sf):
     # greedy contiguous packing of 64-token chunks into 512-token bins —
     # chunk_text feeding the engine's own rerank + two-phase scan
     from conduino_spark import chunk_text, pack_chunks
-    p = (_src(sf, "documents")
+    p = (_src(sf, "documents", min_partitions="auto")
          | chunk_text(64, 16)
          | pack_chunks(512)
          | sink_df())
@@ -668,13 +674,13 @@ def q_kmv_distinct_tokens(spark, sf):
     # md5-derived hashes make the ESTIMATE itself oracle-replayable
     from conduino_spark import kmv_distinct
     from conduino_spark.operators.text import tokens_col
-    docs = _src(sf, "documents").df(spark)
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
     toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
     return kmv_distinct("token", k=256)(toks)
 
 
 def q_ngram_jaccard_lsh(spark, sf):
-    p = _src(sf, "documents") | ngram_jaccard_lsh(threshold=0.2) | sink_df()
+    p = _src(sf, "documents", min_partitions="auto") | ngram_jaccard_lsh(threshold=0.2) | sink_df()
     return run_pipe(p, spark).select("id_a", "id_b", "jaccard")
 
 

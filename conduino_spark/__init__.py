@@ -56,6 +56,9 @@ from conduino_spark.operators.dedup import (
     minhash_dedup_pairs, minhash_signatures, ngram_jaccard_pairs, simhash,
     simhash_dedup_pairs,
 )
+from conduino_spark.operators.search import (
+    bm25_search, build_postings,
+)
 from conduino_spark.operators.similarity import (
     cosine_to, ivf_build, ivf_search, knn_brute, knn_lsh, lsh_bucket,
     lsh_index_write, probe_buckets,
@@ -66,7 +69,9 @@ from conduino_spark.operators.multimodal import (
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import asof_join, interval_join
 from conduino_spark.operators.sketches import kmv_distinct
-from conduino_spark.operators.sampling import hash_sample, hash_split, shard_by
+from conduino_spark.operators.sampling import (
+    hash_sample, hash_split, reservoir_per_key, shard_by, stratified_sample,
+)
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,
     to_local_iterator, trimap_pipe, with_source,

@@ -83,6 +83,76 @@ def hash_split(key: ExprLike, weights: Mapping[str, float], *,
     return Stage(fn, name=name)
 
 
+def stratified_sample(strata: ExprLike, key: ExprLike,
+                      fractions: Union[float, Mapping[str, float]], *,
+                      default: float = 0.0, salt: str = "",
+                      name: str = "stratified_sample") -> Stage:
+    """Per-stratum deterministic sampling: a row is kept iff
+    ``h32(salt || key)`` falls in the first ``fraction(stratum)`` of
+    the hash space.  ``fractions`` is either one fraction for every
+    stratum or a mapping ``stratum value → fraction`` (missing strata
+    get ``default``) — the standard rebalancing move (e.g. downsample
+    'en' to 10%, keep low-resource languages whole).
+
+    Pure projection (no shuffle, no RNG): membership is a function of
+    the key, so it is stable across runs/engines/partitionings and
+    consistent across tables sharing the key.  NULL keys and NULL
+    strata are dropped, matching :func:`hash_sample`."""
+    if isinstance(fractions, Mapping):
+        cut_map = {str(k): int(float(v) * _SPACE) for k, v in fractions.items()}
+        for k, v in fractions.items():
+            if not 0.0 <= float(v) <= 1.0:
+                raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+        if not 0.0 <= default <= 1.0:
+            raise ValueError("default fraction must be in [0, 1]")
+        def_cut = int(default * _SPACE)
+    else:
+        if not 0.0 <= float(fractions) <= 1.0:
+            raise ValueError("fraction must be in [0, 1]")
+        cut_map, def_cut = {}, int(float(fractions) * _SPACE)
+
+    def fn(df: DataFrame) -> DataFrame:
+        h = h32(F.concat(F.lit(salt), _key(key).cast("string")))
+        cut = F.lit(def_cut)
+        for sv, c in cut_map.items():
+            cut = F.when(_key(strata).cast("string") == sv, F.lit(c)).otherwise(cut)
+        return df.where(_key(key).isNotNull()
+                        & _key(strata).isNotNull() & (h < cut))
+
+    return Stage(fn, name=name)
+
+
+def reservoir_per_key(group_key: Union[str, Sequence[str]], n: int, *,
+                      order_key: ExprLike = "doc_id", salt: str = "",
+                      name: str = "reservoir_per_key") -> Stage:
+    """Deterministic 'reservoir': keep exactly ``min(n, |group|)`` rows
+    per group, chosen uniformly by smallest ``h32(salt || order_key)``
+    (ties broken by the key itself) — e.g. cap any domain/source at N
+    documents without an RNG, reproducibly.
+
+    ONE shuffle on the group key (rank window).  Rows of a group must
+    co-locate — inherent to any exact per-group selection; n is small
+    and the window needs no full sort beyond each group's partition.
+    A NULL order key is dropped (no hash → no membership); NULL group
+    keys form their own group, like any groupBy."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def fn(df: DataFrame) -> DataFrame:
+        h = h32(F.concat(F.lit(salt), _key(order_key).cast("string")))
+        w = (Window.partitionBy(*keys)
+                   .orderBy(h, _key(order_key).cast("string")))
+        return (df.where(_key(order_key).isNotNull())
+                  .withColumn("__rk", F.row_number().over(w))
+                  .where(F.col("__rk") <= n)
+                  .drop("__rk"))
+
+    return Stage(fn, name=name)
+
+
 def shard_by(key: ExprLike, n_shards: int, *, out: str = "shard",
              repartition: bool = False, name: str = "shard_by") -> Stage:
     """Deterministic shard id in [0, n_shards): ``h32(key) % n``.

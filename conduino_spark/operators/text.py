@@ -281,13 +281,15 @@ def repetition_stats(text_col: str = "text", *, prefix: str = "") -> Stage:
                    F.transform(F.split(t, "\n"), F.trim),
                    lambda l: F.length(l) > 0)))
                .withColumn("__toks", toks)
-               .withColumn("__grams", F.array_sort(F.when(
-                   n_toks >= 2,
-                   F.transform(F.sequence(F.lit(1), n_toks - 1),
-                               lambda i: F.concat_ws(
-                                   " ", F.element_at(toks, i),
-                                   F.element_at(toks, i + 1)))
-               ).otherwise(F.array().cast("array<string>")))))
+               # zip_with over two slices, NOT transform(sequence, i ->
+               # element_at(toks, i)): interpreted higher-order lambdas
+               # do no common-subexpression elimination, so element_at
+               # over the tokens EXPRESSION re-tokenizes per element —
+               # measured 14× slower (quadratic in doc length)
+               .withColumn("__grams", F.array_sort(F.zip_with(
+                   F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+                   F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)))))
 
         lines = F.col("__lines")
         n_lines = F.size(lines)

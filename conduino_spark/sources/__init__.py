@@ -265,13 +265,26 @@ def source_binary(path: str) -> Source:
 
 
 def read_parquet(path: str, *, seq_col: Optional[str] = None,
+                 min_partitions: Union[int, str, None] = None,
                  name: Optional[str] = None) -> Source:
     """Format-aware scan (reference gap, SURVEY §2.7).  ``seq_col``
     designates an existing unique key as the stream order — zero-cost
-    at any scale (no global sort, no row_number)."""
+    at any scale (no global sort, no row_number).
+
+    ``min_partitions`` (or ``"auto"`` = the cluster's default
+    parallelism) repartitions ONLY when the scan yields fewer splits —
+    parquet can't split inside a row group, so a small file with one
+    row group pins all downstream per-row compute to ONE task however
+    many cores exist.  At scale inputs have thousands of row groups,
+    the condition is false, and no shuffle happens."""
 
     def fn(spark: SparkSession) -> DataFrame:
         df = spark.read.parquet(path)
+        if min_partitions:
+            want = (spark.sparkContext.defaultParallelism
+                    if min_partitions == "auto" else int(min_partitions))
+            if df.rdd.getNumPartitions() < want:
+                df = df.repartition(want)
         return with_seq_from(df, seq_col) if seq_col else df
 
     return Source(fn, name=name or f"parquet({path})")
@@ -312,13 +325,15 @@ def read_json(path: str, *, schema: Optional[str] = None,
     return Source(fn, name=name or f"json({path})")
 
 
-def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None) -> Source:
+def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None,
+               min_partitions: Union[int, str, None] = None) -> Source:
     """Driver testdata table (TESTDATA.md).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS); with the session's
     ``nanosAsLong`` flag it arrives as a long — rebuilt here to a
     microsecond timestamp (what DuckDB sees too)."""
-    base = read_parquet(f"{sf_dir}/{table}.parquet", seq_col=seq_col, name=table)
+    base = read_parquet(f"{sf_dir}/{table}.parquet", seq_col=seq_col,
+                        min_partitions=min_partitions, name=table)
     if table != "events":
         return base
 
