@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import functools
 import operator
-from typing import Any, Callable, Optional, Union
+from typing import Any, Callable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -160,15 +160,51 @@ def sink_count() -> Sink:
     return agg_sink(F.count("*").alias("n"), name="sink_count")
 
 
-def sink_parquet(path: str, *, mode: str = "overwrite") -> Sink:
+def sink_parquet(path: str, *, mode: str = "overwrite",
+                 partition_by: Optional[Sequence[str]] = None) -> Sink:
     """``sinkHandle`` (Combinators.hs:291-297) generalized to a
-    format-aware writer (reference gap, SURVEY §2.7)."""
+    format-aware writer (reference gap, SURVEY §2.7).  ``partition_by``
+    lays the output out hive-style so downstream filters on those
+    columns become partition PRUNING (the lsh_index_write pattern)."""
 
     def run(df: DataFrame):
-        df.drop(SEQ).write.mode(mode).parquet(path)
+        w = df.drop(SEQ).write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return path
 
     return Sink(run, name=f"sink_parquet({path})")
+
+
+def sink_csv(path: str, *, header: bool = True, mode: str = "overwrite",
+             **options) -> Sink:
+    """CSV writer — the interchange flavor of :func:`sink_parquet`.
+    Complex columns (arrays/structs) are not CSV-encodable; cast or
+    serialize upstream."""
+
+    def run(df: DataFrame):
+        w = df.drop(SEQ).write.mode(mode).option("header", str(header).lower())
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.csv(path)
+        return path
+
+    return Sink(run, name=f"sink_csv({path})")
+
+
+def sink_json(path: str, *, mode: str = "overwrite", **options) -> Sink:
+    """JSON-lines writer (one object per row) — pairs with
+    ``sources.read_json``."""
+
+    def run(df: DataFrame):
+        w = df.drop(SEQ).write.mode(mode)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.json(path)
+        return path
+
+    return Sink(run, name=f"sink_json({path})")
 
 
 def sink_text(path: str, *, col: str = "v", mode: str = "overwrite") -> Sink:
