@@ -68,7 +68,9 @@ from conduino_spark.operators.multimodal import (
     feature_extract, frame_sample, image_metadata, image_resize,
 )
 from conduino_spark.operators.skew import salted_group_agg, salted_join
-from conduino_spark.operators.temporal import asof_join, interval_join
+from conduino_spark.operators.temporal import (
+    asof_join, funnel, interval_join, rolling_agg,
+)
 from conduino_spark.operators.sketches import kmv_distinct
 from conduino_spark.operators.sampling import (
     hash_sample, hash_split, reservoir_per_key, shard_by, stratified_sample,

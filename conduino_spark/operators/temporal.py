@@ -158,3 +158,103 @@ def interval_join(intervals: Source, *, point: str, start: str, end: str,
                  .drop("__bin", "__p", "__s", "__e"))
 
     return Stage(fn, name="interval_join", seq_preserving=False)
+
+
+def _epoch_us(df: DataFrame, time_col: str) -> "F.Column":
+    """Exact long microseconds from a timestamp (unix_micros) or a
+    numeric epoch-seconds column (rounded at micro resolution)."""
+    if dict(df.dtypes).get(time_col) in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(time_col))
+    return F.round(F.col(time_col).cast("double") * 1_000_000, 0).cast("long")
+
+
+def rolling_agg(time_col: str, preceding: float, *,
+                keys: "Sequence[str]" = (),
+                aggs: Optional[Mapping[str, "F.Column"]] = None,
+                name: str = "rolling_agg") -> Stage:
+    """Rolling time-RANGE aggregates per key: for each row, aggregate
+    over the rows of the same key whose time lies in
+    ``[t − preceding, t]`` (inclusive both ends — SQL RANGE frame
+    peers-included semantics).  The classic "7-day rolling revenue per
+    user" shape that tumbling windows (:func:`event_window`) cannot
+    express because every row anchors its own frame.
+
+    ``time_col`` may be a timestamp or numeric epoch SECONDS;
+    ``preceding`` is in seconds.  Internally both become exact long
+    MICROSECONDS (Spark's range frames take integer bounds, and long
+    micros are bit-identical across engines where epoch-seconds doubles
+    differ in the last ulp).  ``aggs`` maps output name → aggregate
+    Column (default row count).
+
+    Plan: ONE shuffle on the key, per-partition sort, a single RANGE
+    window frame — Spark evaluates all ``aggs`` over the same frame in
+    one pass.  Output = input rows + the rolling columns.  Skew caveat
+    as for :func:`asof_join`: one hot key serializes its partition."""
+    if preceding < 0:
+        raise ValueError(f"preceding must be >= 0, got {preceding}")
+    aggs = aggs or {"n": F.count(F.lit(1))}
+
+    def fn(df: DataFrame) -> DataFrame:
+        t = _epoch_us(df, time_col)
+        w = (W.partitionBy(*[F.col(k) for k in keys])
+              .orderBy(t)
+              .rangeBetween(-int(round(preceding * 1_000_000)), 0))
+        out = df
+        for out_name, agg in aggs.items():
+            out = out.withColumn(out_name, agg.over(w))
+        return out
+
+    return Stage(fn, name=name, seq_preserving=True)
+
+
+def funnel(steps: "Sequence[str]", *, key: str = "user_id",
+           type_col: str = "event_type", time_col: str = "ts",
+           horizon: Optional[float] = None,
+           name: str = "funnel") -> Stage:
+    """Ordered funnel analysis: for each key, the earliest completion
+    of ``steps`` in order — ``t1 = min time of step 1``,
+    ``t_i = min time of step i strictly after t_{i−1}`` — keeping keys
+    that complete ALL steps (with ``t_k − t_1 ≤ horizon`` when given).
+    Without a horizon, greedy-earliest exactly decides "completed in
+    order" (earliest feasible times maximize what can still follow).
+    WITH a horizon the anchor is FIRST-TOUCH: the window is measured
+    from the first step-1 event only — a completion that would fit a
+    later anchor is not re-tried (the common product-analytics
+    convention, and the distributed-cost-honest one: re-anchoring needs
+    per-key event replay).
+
+    Plan: k−1 keyed equi-joins over per-step min-aggregates — each step
+    filters ``type = step`` (pushed to the scan), pre-aggregates
+    map-side, and joins on the key.  NO per-key event-list
+    materialization (the collect_list anti-pattern) and no windows;
+    every stage is a hash agg or hash join on the same key, so AQE can
+    plan them together.  Output: (key, t1 … tk) epoch-second doubles —
+    computed as exact long micros / 1e6, so the values are bit-identical
+    to an oracle doing ``epoch_us(ts) / 1e6`` (plain epoch-seconds
+    doubles differ across engines in the last ulp).
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    if horizon is not None and horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        ev = df.select(F.col(key), F.col(type_col).alias("__et"),
+                       _epoch_us(df, time_col).alias("__t"))
+        cur = (ev.where(F.col("__et") == steps[0])
+                 .groupBy(key).agg(F.min("__t").alias("__t1")))
+        for i, step in enumerate(steps[1:], start=2):
+            nxt = ev.where(F.col("__et") == step)
+            cur = (cur.join(nxt, key)
+                      .where(F.col("__t") > F.col(f"__t{i-1}"))
+                      .groupBy(key, *[f"__t{j}" for j in range(1, i)])
+                      .agg(F.min("__t").alias(f"__t{i}")))
+        if horizon is not None and len(steps) > 1:
+            us = int(round(horizon * 1_000_000))
+            cur = cur.where(
+                F.col(f"__t{len(steps)}") - F.col("__t1") <= F.lit(us))
+        return cur.select(
+            key, *[(F.col(f"__t{i}") / F.lit(1_000_000.0)).alias(f"t{i}")
+                   for i in range(1, len(steps) + 1)])
+
+    return Stage(fn, name=name, seq_preserving=False)

@@ -341,7 +341,11 @@ def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None,
         df = base.df(spark)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                # integer DIV, not /1000: nanos ~1.7e18 exceed double's
+                # 2^53 mantissa, so float division rounds at ~256 ns
+                # granularity and lands ±1 µs off DuckDB's exact
+                # truncation (observed in the funnel oracle replay)
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
 
     return Source(fn, name=table)
