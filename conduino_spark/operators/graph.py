@@ -1,0 +1,119 @@
+"""Graph operators over edge DataFrames: connected components (public
+face of the dedup engine's min-label machinery) and PageRank.
+
+Both follow the engine's bounded-iteration pattern (lift.feedback_pipe,
+the relaxation of the reference's feedback loop,
+``Data/Conduino.hs:429-442``): per round a constant number of narrow
+keyed joins/aggregates, ``localCheckpoint`` to bound lineage, a loud
+error instead of a silent partial result when the bound is hit.
+
+100 TB shape: state is one (id, value) table and edges one
+(src, dst) table; every round shuffles only those two narrow tables on
+the join key.  A hot vertex (celebrity in-degree) skews the contribs
+aggregate — AQE skew handling plus the salting stage
+(operators/skew.py) upstream are the mitigations, same as any keyed
+agg.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import SEQ, Source, Stage
+
+
+def _edges_df(edges: Union[DataFrame, Source], spark) -> DataFrame:
+    e = edges.df(spark) if isinstance(edges, Source) else edges
+    return e.drop(SEQ) if SEQ in e.columns else e
+
+
+def connected_components(src: str = "id_a", dst: str = "id_b", *,
+                         max_iters: int = 25,
+                         name: str = "connected_components") -> Stage:
+    """Undirected connected components: label every vertex with its
+    component's MINIMUM vertex id.  Input = an edge stream (two id
+    columns); output = (id, lbl).
+
+    Delegates to the min-label propagation loop battle-tested by
+    ``minhash_dedup_cc`` (operators/dedup.py, oracle-checked against a
+    DuckDB recursive CTE): per round one narrow (long, long) join + a
+    1-row convergence aggregate; raises past ``max_iters`` (diameter
+    bound) instead of silently splitting components."""
+    from conduino_spark.operators.dedup import _cc_min_label
+
+    def fn(df: DataFrame) -> DataFrame:
+        pairs = df.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+        return _cc_min_label(pairs, max_iters=max_iters)
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def pagerank(src: str = "src", dst: str = "dst", *, damping: float = 0.85,
+             iters: int = 10, checkpoint_every: int = 3,
+             ndigits: Optional[int] = None,
+             name: str = "pagerank") -> Stage:
+    """PageRank over a directed edge stream — fixed ``iters`` rounds of
+    the standard power iteration with dangling-mass redistribution:
+
+        rank' = (1−d)/N + d · (Σ_in rank/out_deg + dangling_mass/N)
+
+    Vertices = distinct src ∪ dst.  Ranks sum to 1 every round (the
+    dangling correction keeps the invariant — vertices with no
+    out-edges donate their mass uniformly).
+
+    Per round: ONE shuffle join (ranks ⋈ edges on src) + one grouped
+    sum on dst + a 1-row dangling aggregate; edges and the out-degree
+    table are computed once and checkpointed.  ``checkpoint_every``
+    truncates the growing lineage (same trick as the CC loop).
+    ``ndigits`` rounds the final rank (oracle-friendly).
+
+    Output: (id, rank) for every vertex."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters <= 0:
+        raise ValueError(f"iters must be positive, got {iters}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        edges = (df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+                   .localCheckpoint(eager=True))
+        nodes = (edges.select(F.col("src").alias("id"))
+                 .unionByName(edges.select(F.col("dst").alias("id")))
+                 .distinct().localCheckpoint(eager=True))
+        n = nodes.count()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        # ranks ⋈ deg once up front: __deg rides along so the loop body
+        # joins ONE table (ranks) against edges per round
+        ranks = (nodes.join(deg.withColumnRenamed("src", "id"), "id", "left")
+                      .select("id", F.lit(1.0 / n).alias("rank"), "__deg")
+                      .localCheckpoint(eager=True))
+        for i in range(iters):
+            dangling = (ranks.where(F.col("__deg").isNull())
+                             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                             .collect()[0][0])
+            contribs = (edges.join(
+                            ranks.where(F.col("__deg").isNotNull())
+                                 .select(F.col("id").alias("src"),
+                                         (F.col("rank") / F.col("__deg"))
+                                         .alias("__c")), "src")
+                             .groupBy("dst").agg(F.sum("__c").alias("__in")))
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = (ranks.select("id", "__deg")
+                          .join(contribs.withColumnRenamed("dst", "id"),
+                                "id", "left")
+                          .select("id",
+                                  (F.lit(base) + F.lit(damping)
+                                   * F.coalesce("__in", F.lit(0.0)))
+                                  .alias("rank"),
+                                  "__deg"))
+            if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = ranks.select("id", "rank")
+        if ndigits is not None:
+            out = out.select("id", F.round("rank", ndigits).alias("rank"))
+        return out
+
+    return Stage(fn, name=name, seq_preserving=False)
