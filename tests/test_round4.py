@@ -180,3 +180,29 @@ def test_repetition_stats_matches_duckdb(spark, sf_dir):
     want = {r[0]: tuple(round(float(x), 6) for x in r[1:])
             for r in con.sql(repetition_stats_sql()).fetchall()}
     assert got == want
+
+
+def test_repetition_stats_unicode_edges_match_duckdb(spark):
+    import duckdb
+    from conduino_spark.operators.text import repetition_stats_sql
+
+    rows = [
+        (0, "héllo wörld héllo wörld\nhéllo wörld"),   # accents, dup line
+        (1, "日本語のテキスト 日本語のテキスト"),        # CJK: no ascii tokens
+        (2, "emoji 😀😀 test emoji 😀 test"),           # surrogate pairs
+        (3, "  \t  \n\n   \n"),                        # whitespace only
+        (4, "MiXeD CaSe MIXED case mixed CASE"),
+        (5, "a b c d"),                      # nbsp / em-space
+        (6, "tab\tsep\ttab\tsep"),
+        (7, "x" * 5000),                               # one huge token
+        (8, "dup dup dup dup dup dup dup dup"),        # single-token runs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rep_rows(spark, df)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: tuple(round(float(x), 6) for x in r[1:])
+            for r in con.sql(repetition_stats_sql()).fetchall()}
+    assert got == want
