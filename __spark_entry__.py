@@ -157,10 +157,13 @@ def q_concat_map_tokens(spark, sf):
 def q_scan_cumsum(spark, sf):
     # running sum as scaled-long cents (o_totalprice has 2dp) — same
     # exact-order-free trick as _scaled_sum, decimal windows are ~5× it
+    # scan('count') chained in the same pipeline (merged r4, absorbing
+    # the scan_count_events pin: the phase-2 recombiner must SUM counts)
     src = _src(sf, "orders", seq_col="o_orderkey")
     st = scan("sum", F.round(F.col("o_totalprice") * 100).cast("long"),
               out="cum_cents")
-    p = src | st | sink_df()
+    ct = scan("count", "cum_cents", out="cum_n", keep=True)
+    p = src | st | ct | sink_df()
     out = run_pipe(p, spark)
     # per-row 2^53 guard on the running total: past it the long/100.0
     # quotient is no longer bit-identical to the decimal formulation
@@ -170,7 +173,8 @@ def q_scan_cumsum(spark, sf):
         F.raise_error(F.lit("scan_cumsum: |cum_cents| >= 2^53; "
                             "scaled-long exactness no longer holds")))
     return out.select(F.col(SEQ).alias("o_orderkey"),
-                      (cum / F.lit(100.0)).alias("cum_total"))
+                      (cum / F.lit(100.0)).alias("cum_total"),
+                      "cum_n")
 
 
 def q_pairs_lag(spark, sf):
@@ -191,23 +195,41 @@ def q_consecutive_windows(spark, sf):
 
 
 def q_take_drop_sequel(spark, sf):
-    # take's lazy nth-seq boundary AND drop + `>>` sequel compilation in
-    # ONE pipeline (merged r4: the gate records at most 50 queries):
-    # rows 9001..9100 of the event stream
+    # take's lazy nth-seq boundary, drop + `>>` sequel compilation, AND
+    # take_while's consumed-boundary rule in ONE pipeline (merged r4,
+    # second pass: the gate records at most 50 queries): rows
+    # 9001..9100 of the event stream, cut at the first value >= 99.5
     src = _src(sf, "events", seq_col="event_id")
     p = (src | take(9100)
-         | (drop(9000) >> (map_({"event_id": F.col("event_id"),
-                                 "event_type": F.col("event_type")})
+         | (drop(9000) >> (take_while("value < 99.5")
+                           | map_({"event_id": F.col("event_id"),
+                                   "event_type": F.col("event_type"),
+                                   "value": F.col("value")})
                            | sink_df())))
     return _strip(run_pipe(p, spark))
 
 
-def q_take_while_boundary(spark, sf):
-    src = _src(sf, "events", seq_col="event_id")
-    p = (src | take_while("value < 99.5")
-         | map_({"event_id": F.col("event_id"), "value": F.col("value")})
+def q_funnel_events(spark, sf):
+    # ordered k-step funnel as k-1 keyed min-agg joins (NEW r4) — times
+    # are exact long micros / 1e6, bit-identical to epoch_us(ts)/1e6
+    from conduino_spark import funnel
+    p = (_src(sf, "events")
+         | funnel(["signup", "click", "purchase"]) | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_rolling_user_day(spark, sf):
+    # per-key time-RANGE rolling aggregates (NEW r4): 1-day window per
+    # user; the sum rides micro-scaled longs so it is order-free exact
+    from conduino_spark import rolling_agg
+    sum6 = F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+    p = (_src(sf, "events")
+         | rolling_agg("ts", 86400.0, keys=["user_id"],
+                       aggs={"n": F.count(F.lit(1)), "__s6": sum6})
          | sink_df())
-    return _strip(run_pipe(p, spark))
+    return run_pipe(p, spark).select(
+        "event_id", "n",
+        (F.col("__s6") / F.lit(1_000_000.0)).alias("sum_v"))
 
 
 def q_zip_sink_multi(spark, sf):
@@ -504,15 +526,6 @@ def q_minhash_dedup_cc(spark, sf):
     return run_pipe(p, spark).select("doc_id")
 
 
-def q_scan_count_events(spark, sf):
-    # chunked scan('count') — gate-level pin of the r1 phase-2
-    # recombiner bug (count-of-counts must SUM)
-    src = _src(sf, "events", seq_col="event_id")
-    p = src | map_({"v": F.col("user_id")}) | scan("count", out="cum_n") | sink_df()
-    out = run_pipe(p, spark)
-    return out.select(F.col(SEQ).alias("event_id"), "cum_n")
-
-
 def q_salted_group_revenue(spark, sf):
     # salted two-phase aggregation must equal the plain GROUP BY
     from conduino_spark import salted_group_agg
@@ -772,7 +785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_lag": q_pairs_lag,
         "consecutive_windows": q_consecutive_windows,
         "take_drop_sequel": q_take_drop_sequel,
-        "take_while_boundary": q_take_while_boundary,
         "zip_sink_multi": q_zip_sink_multi,
         "map_accum_altsum": q_map_accum_altsum,
         "record_flags": q_record_flags,
@@ -808,7 +820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "value_percentiles": q_value_percentiles,
         "hash_partition_docs": q_hash_partition_docs,
-        "scan_count_events": q_scan_count_events,
         "salted_group_revenue": q_salted_group_revenue,
         "asof_events_bidir": q_asof_events_bidir,
         "interval_events": q_interval_events,
@@ -817,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_search_topk": q_ivf_search_topk,
         "knn_lsh_probe": q_knn_lsh_probe,
+        "funnel_events": q_funnel_events,
+        "rolling_user_day": q_rolling_user_day,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -956,7 +969,9 @@ def oracle_sql() -> dict[str, str]:
         "scan_cumsum": """
             SELECT o_orderkey,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                       OVER (ORDER BY o_orderkey) / 100.0 AS cum_total
+                       OVER (ORDER BY o_orderkey) / 100.0 AS cum_total,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+                       AS cum_n
             FROM orders""",
         "latest_event_per_user": """
             SELECT user_id,
@@ -998,16 +1013,16 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT event_id, user_id FROM events ORDER BY event_id DESC LIMIT 3))
             SELECT * FROM per_row UNION ALL SELECT * FROM tail""",
         "take_drop_sequel": """
-            SELECT event_id, event_type FROM (
-              SELECT event_id, event_type FROM events
-              ORDER BY event_id LIMIT 9100)
-            WHERE event_id > (SELECT event_id FROM events
-                              ORDER BY event_id LIMIT 1 OFFSET 8999)""",
-        "take_while_boundary": """
-            SELECT event_id, value FROM events
+            WITH w AS (
+              SELECT event_id, event_type, value FROM (
+                SELECT event_id, event_type, value FROM events
+                ORDER BY event_id LIMIT 9100)
+              WHERE event_id > (SELECT event_id FROM events
+                                ORDER BY event_id LIMIT 1 OFFSET 8999))
+            SELECT event_id, event_type, value FROM w
             WHERE event_id < coalesce(
-              (SELECT min(event_id) FROM events WHERE NOT (value < 99.5)),
-              (SELECT max(event_id) + 1 FROM events))""",
+              (SELECT min(event_id) FROM w WHERE NOT (value < 99.5)),
+              (SELECT max(event_id) + 1 FROM w))""",
         "zip_sink_multi": """
             SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value,
                    COUNT(*) AS n, MAX(user_id) AS max_user
@@ -1193,10 +1208,6 @@ def oracle_sql() -> dict[str, str]:
             FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
                   / (a.n * b.n) >= 0.2""",
-        "scan_count_events": """
-            SELECT event_id,
-                   CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS cum_n
-            FROM events""",
         "salted_group_revenue": """
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
@@ -1351,6 +1362,28 @@ def oracle_sql() -> dict[str, str]:
             FROM cand, q
             ORDER BY cosine DESC, vec_id LIMIT 10""",
         "knn_lsh_probe": _sql_knn_lsh_probe(),
+        "funnel_events": """
+            WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, s1.t AS ta, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+                   GROUP BY 1, 2),
+            s3 AS (SELECT e.user_id, s2.ta, s2.t AS tb,
+                          min(epoch_us(e.ts)) AS tc
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+                   GROUP BY 1, 2, 3)
+            SELECT user_id, ta / 1e6 AS t1, tb / 1e6 AS t2, tc / 1e6 AS t3
+            FROM s3""",
+        "rolling_user_day": """
+            SELECT event_id, count(*) OVER w AS n,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
+                     / 1000000.0 AS sum_v
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 86400000000 PRECEDING
+                         AND CURRENT ROW)""",
     }
     return sql
 
