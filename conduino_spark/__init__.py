@@ -50,12 +50,12 @@ from conduino_spark.operators.relational import (
 )
 from conduino_spark.operators.text import (
     chunk_text, fingerprint, lang_id, pack_chunks, quality_score,
-    repetition_stats, token_count, tokenize,
+    redact_pii, repetition_stats, token_count, tokenize,
 )
 from conduino_spark.operators.dedup import (
-    dedup_exact, embedding_near_dup_pairs, minhash_dedup, minhash_dedup_cc,
-    minhash_dedup_pairs, minhash_signatures, ngram_jaccard_pairs, simhash,
-    simhash_dedup_pairs,
+    decontaminate, dedup_exact, embedding_near_dup_pairs, minhash_dedup,
+    minhash_dedup_cc, minhash_dedup_pairs, minhash_signatures,
+    ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
 )
 from conduino_spark.operators.graph import connected_components, pagerank
 from conduino_spark.operators.search import (

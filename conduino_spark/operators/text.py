@@ -468,3 +468,64 @@ def pack_chunks(budget: int, *, order: Sequence[str] = ("doc_id", "chunk_id"),
                       .drop("__cum", SEQ))
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+#: PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
+#: no lookaround, no backrefs.  Replacement order matters only in that
+#: tokens contain no digits/@, so earlier redactions never re-match.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d\-\s().]{6,}\d", "<PHONE>"),
+}
+
+
+def redact_pii(text_col: str = "text", *, out: str = "redacted",
+               patterns: "dict[str, tuple[str, str]] | None" = None,
+               counts: bool = True) -> Stage:
+    """PII redaction for corpus publishing: replace emails / IPv4s /
+    phone-number-shaped digit runs with typed placeholder tokens, and
+    (``counts=True``) report what each stage redacted as ``pii_<kind>``
+    columns — the audit trail a release pipeline keeps.
+
+    Pure chained ``regexp_replace``/``regexp_count`` projections — no
+    shuffle, whole corpus in one codegen'd pass.  The patterns are
+    deliberately conservative (high precision) and restricted to the
+    regex subset Java and RE2 share, so the DuckDB oracle replays the
+    redaction bit-for-bit; swap in domain-tuned patterns via
+    ``patterns``."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+
+    def fn(df: DataFrame) -> DataFrame:
+        # counts run against the PROGRESSIVELY redacted text: each
+        # stage reports what it actually redacts, so an IPv4 (whose
+        # dotted digits also fit the phone shape) is never double-
+        # counted by a later, looser pattern
+        res = df
+        red = F.coalesce(F.col(text_col), F.lit(""))
+        for kind, (rx, token) in pats.items():
+            if counts:
+                res = res.withColumn(f"pii_{kind}",
+                                     F.regexp_count(red, F.lit(rx)))
+            red = F.regexp_replace(red, rx, token)
+        return res.withColumn(out, red)
+
+    return Stage(fn, name="redact_pii", seq_preserving=True)
+
+
+def redact_pii_sql(expr: str = "text", out: str = "redacted",
+                   patterns: "dict[str, tuple[str, str]] | None" = None,
+                   counts: bool = True) -> str:
+    """DuckDB rendering of :func:`redact_pii` (same patterns, same
+    chain order) as SELECT fragments."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    red = f"coalesce({expr}, '')"
+    frags = []
+    for kind, (rx, token) in pats.items():
+        q = rx.replace("'", "''")
+        if counts:
+            frags.append(
+                f"len(regexp_extract_all({red}, '{q}')) AS pii_{kind}")
+        red = f"regexp_replace({red}, '{q}', '{token}', 'g')"
+    frags.append(f"{red} AS {out}")
+    return ", ".join(frags)

@@ -1,0 +1,121 @@
+"""decontaminate (benchmark n-gram overlap) and redact_pii — known
+values plus DuckDB oracle replay."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conduino_spark import (
+    decontaminate, from_dataframe, read_table, redact_pii, run_pipe,
+    sink_df,
+)
+
+
+def test_decontaminate_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),       # shingles: abg, bgd(elta)
+            (1, "alpha beta gamma"),              # exactly the leaked text
+            (2, "nothing shared here at all"),
+            (3, "xy"),                            # < n tokens
+            (4, None),
+        ],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("alpha beta gamma",), ("unrelated benchmark prose",)],
+        "text string")
+
+    out = run_pipe(from_dataframe(docs) | decontaminate(bench)
+                   | sink_df(), spark)
+    got = {r.doc_id: (r.n_shingles, r.n_contam, r.contam_frac)
+           for r in out.collect()}
+    # doc 0 has 2 shingles, 1 ('alpha beta gamma') in the benchmark
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (1, 1, 1.0)
+    assert got[2][1] == 0 and got[2][2] == 0.0
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    # all input rows survive with their columns
+    assert len(got) == 5
+
+
+def test_decontaminate_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    docs = read_table(sf_dir, "documents")
+    # benchmark = every 10th document's text (guaranteed overlap)
+    d = docs.df(spark)
+    bench = d.where(F.col("doc_id") % 10 == 0).select("text")
+    out = run_pipe(from_dataframe(d) | decontaminate(bench) | sink_df(),
+                   spark)
+    got = {r.doc_id: (r.n_shingles, r.n_contam, r.contam_frac)
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = {r[0]: (r[1], r[2], round(float(r[3]), 6)) for r in con.sql("""
+        WITH tk AS (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text),
+                               '[^a-z0-9]+'), t -> t != '') AS t
+                    FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct([array_to_string(t[i:i+2], ' ')
+                                     for i in range(1, len(t) - 1)]) AS s
+               FROM tk),
+        dh AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        bh AS (SELECT DISTINCT g FROM dh
+               WHERE doc_id % 10 = 0),
+        hits AS (SELECT d.doc_id, count(*) AS n_sh,
+                        count(b.g) AS n_c
+                 FROM dh d LEFT JOIN bh b USING (g) GROUP BY 1)
+        SELECT s.doc_id, coalesce(h.n_sh, 0), coalesce(h.n_c, 0),
+               CASE WHEN coalesce(h.n_sh, 0) > 0
+                    THEN round(h.n_c * 1.0 / h.n_sh, 6) ELSE 0.0 END
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+    """).fetchall()}
+    assert got == want
+
+
+PII_DOC = ("Contact john.doe+spam@example.co.uk or call +1 (555) 123-4567. "
+           "Server at 192.168.1.1 responded; also e@a.io.")
+
+
+def test_redact_pii_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, PII_DOC), (1, "no pii here"), (2, None)],
+        "doc_id long, text string")
+    out = run_pipe(from_dataframe(df) | redact_pii() | sink_df(), spark)
+    rows = {r.doc_id: r for r in out.collect()}
+
+    r0 = rows[0]
+    assert r0.pii_email == 2
+    assert r0.pii_ipv4 == 1
+    assert r0.pii_phone == 1
+    assert "<EMAIL>" in r0.redacted and "<IP>" in r0.redacted \
+        and "<PHONE>" in r0.redacted
+    assert "example.co.uk" not in r0.redacted
+    assert "192.168" not in r0.redacted
+    assert "555" not in r0.redacted
+    assert rows[1].redacted == "no pii here"
+    assert (rows[1].pii_email, rows[1].pii_ipv4, rows[1].pii_phone) == (0, 0, 0)
+    assert rows[2].redacted == ""
+
+
+def test_redact_pii_matches_duckdb(spark, sf_dir):
+    import duckdb
+    from conduino_spark.operators.text import redact_pii_sql
+
+    rows = [(0, PII_DOC), (1, "mail a@b.de and c.d@e.org, ip 10.0.0.255"),
+            (2, "phones: 030-1234567, +49 171 2345678, digits 12 34"),
+            (3, None), (4, "1.2.3.4.5 almost an ip 256.1.1.1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_pipe(from_dataframe(df) | redact_pii() | sink_df(), spark)
+    got = {r.doc_id: (r.pii_email, r.pii_ipv4, r.pii_phone, r.redacted)
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.sql(
+        f"SELECT doc_id, {redact_pii_sql()} FROM documents").fetchall()}
+    assert got == want
