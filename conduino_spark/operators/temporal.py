@@ -199,10 +199,11 @@ def rolling_agg(time_col: str, preceding: float, *,
         w = (W.partitionBy(*[F.col(k) for k in keys])
               .orderBy(t)
               .rangeBetween(-int(round(preceding * 1_000_000)), 0))
-        out = df
-        for out_name, agg in aggs.items():
-            out = out.withColumn(out_name, agg.over(w))
-        return out
+        # all aggs in ONE select over the same frame: per-agg
+        # withColumn chains block Spark's window collapse and emit one
+        # Window+Sort pair per aggregate (plan-tested)
+        return df.select("*", *[agg.over(w).alias(out_name)
+                                for out_name, agg in aggs.items()])
 
     return Stage(fn, name=name, seq_preserving=True)
 

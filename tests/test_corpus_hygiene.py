@@ -119,3 +119,52 @@ def test_redact_pii_matches_duckdb(spark, sf_dir):
     want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.sql(
         f"SELECT doc_id, {redact_pii_sql()} FROM documents").fetchall()}
     assert got == want
+
+
+# --- plan-shape audits (the 100 TB story, pinned) ----------------------------
+def _plan(df):
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    d = read_table(sf_dir, "documents").df(spark)
+    bench = d.where(F.col("doc_id") % 10 == 0).select("text")
+    plan = _plan(run_pipe(from_dataframe(d) | decontaminate(bench)
+                          | sink_df(), spark))
+    assert "BroadcastHashJoin" in plan       # bench hash set broadcast
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+
+
+def test_funnel_plan_no_cartesian_no_collect(spark, sf_dir):
+    from conduino_spark import funnel
+    ev = read_table(sf_dir, "events").df(spark)
+    plan = _plan(run_pipe(from_dataframe(ev)
+                          | funnel(["signup", "click", "purchase"])
+                          | sink_df(), spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" not in plan
+    # per-step filters reach the scan side as pushable predicates
+    assert "event_type" in plan
+
+
+def test_rolling_agg_plan_single_window_pass(spark, sf_dir):
+    from conduino_spark import rolling_agg
+    ev = read_table(sf_dir, "events").df(spark)
+    plan = _plan(run_pipe(
+        from_dataframe(ev)
+        | rolling_agg("ts", 3600.0, keys=["user_id"],
+                      aggs={"n": F.count(F.lit(1)),
+                            "mx": F.max("value")})
+        | sink_df(), spark))
+    # both aggs evaluate in ONE Window node over one keyed exchange
+    import re
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
