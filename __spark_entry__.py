@@ -157,13 +157,18 @@ def q_concat_map_tokens(spark, sf):
 def q_scan_cumsum(spark, sf):
     # running sum as scaled-long cents (o_totalprice has 2dp) — same
     # exact-order-free trick as _scaled_sum, decimal windows are ~5× it
-    # scan('count') chained in the same pipeline (merged r4, absorbing
-    # the scan_count_events pin: the phase-2 recombiner must SUM counts)
+    # scan('count') FUSED into the same two-phase pass (merged r4,
+    # absorbing the scan_count_events pin — the phase-2 recombiner must
+    # SUM counts; scan_multi evaluates both accumulators in one Window
+    # node / one totals agg / one broadcast join instead of two chained
+    # scans, which benched 1.5s vs 1.0s at sf0.1)
+    from conduino_spark import scan_multi
     src = _src(sf, "orders", seq_col="o_orderkey")
-    st = scan("sum", F.round(F.col("o_totalprice") * 100).cast("long"),
-              out="cum_cents")
-    ct = scan("count", "cum_cents", out="cum_n", keep=True)
-    p = src | st | ct | sink_df()
+    st = scan_multi({
+        "cum_cents": ("sum", F.round(F.col("o_totalprice") * 100).cast("long")),
+        "cum_n": ("count", "o_orderkey"),
+    })
+    p = src | st | sink_df()
     out = run_pipe(p, spark)
     # per-row 2^53 guard on the running total: past it the long/100.0
     # quotient is no longer bit-identical to the decimal formulation

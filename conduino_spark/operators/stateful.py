@@ -16,7 +16,7 @@ single-pass ``mapInPandas`` fallback and document the loss.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional, Union
+from typing import Any, Callable, Iterable, Mapping, Optional, Union
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
@@ -129,6 +129,60 @@ def scan(how: str = "sum", expr: Union[str, Column] = "v", *, out: str = "v",
 
     fn = fn_window if strategy == "window" else fn_chunked
     return Stage(fn, name=f"scan_{how}")
+
+
+def scan_multi(aggs: "Mapping[str, tuple[str, Union[str, Column]]]", *,
+               strategy: str = "chunked", npart: Optional[int] = None,
+               keep: bool = True, name: str = "scan_multi") -> Stage:
+    """Several running folds in ONE two-phase pass: ``aggs`` maps
+    output name → (reducer, expr) with the same declared-associative
+    reducers as :func:`scan`.  Chaining k ``scan`` stages costs k
+    local windows + k totals aggregates + k broadcast joins;
+    ``scan_multi`` evaluates all k accumulators in one Window node,
+    one totals groupBy, one offsets window, and one broadcast join —
+    the plan a fused runner would produce (plan-tested)."""
+    if not aggs:
+        raise ValueError("scan_multi: aggs must be non-empty")
+    specs = {}
+    for out, (how, expr) in aggs.items():
+        if how not in _SCAN_FNS:
+            raise ValueError(
+                f"scan requires a declared-associative reducer, got {how!r}")
+        specs[out] = (_SCAN_FNS[how], _RECOMBINE[how], _COMBINE[how],
+                      F.expr(expr) if isinstance(expr, str) else expr)
+
+    def fn_window(df: DataFrame) -> DataFrame:
+        w = W.orderBy(SEQ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        res = df.select("*", *[aggf(col).over(w).alias(out)
+                               for out, (aggf, _, _, col) in specs.items()])
+        return res if keep else res.select(SEQ, *specs)
+
+    def fn_chunked(df: DataFrame) -> DataFrame:
+        part = _with_pid(df, npart)
+        wloc = (W.partitionBy("__pid").orderBy(SEQ)
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        local = part.select(
+            "*", *[aggf(col).over(wloc).alias(f"__loc_{out}")
+                   for out, (aggf, _, _, col) in specs.items()])
+        totals = part.groupBy("__pid").agg(
+            *[aggf(col).alias(f"__tot_{out}")
+              for out, (aggf, _, _, col) in specs.items()])
+        woff = (W.orderBy("__pid")
+                 .rowsBetween(W.unboundedPreceding, -1))  # npart tiny rows
+        offsets = totals.select(
+            "__pid", *[recomb(F.col(f"__tot_{out}")).over(woff)
+                       .alias(f"__off_{out}")
+                       for out, (_, recomb, _, _) in specs.items()])
+        res = local.join(F.broadcast(offsets), "__pid")
+        res = res.select(
+            *[c for c in local.columns
+              if c != "__pid" and not c.startswith("__loc_")],
+            *[comb(F.col(f"__loc_{out}"), F.col(f"__off_{out}")).alias(out)
+              for out, (_, _, comb, _) in specs.items()])
+        return res if keep else res.select(SEQ, *specs)
+
+    fn = fn_window if strategy == "window" else fn_chunked
+    return Stage(fn, name=name)
 
 
 def map_accum(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,

@@ -168,3 +168,30 @@ def test_rolling_agg_plan_single_window_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_scan_multi_fused_single_pass(spark):
+    from conduino_spark import scan_multi, source_list
+
+    p = (source_list(range(1, 11))
+         | scan_multi({"s": ("sum", "v"), "n": ("count", "v"),
+                       "mx": ("max", "v")})
+         | sink_df())
+    out = run_pipe(p, spark)
+    rows = sorted((r.v, r.s, r.n, r.mx) for r in out.collect())
+    assert rows[0] == (1, 1, 1, 1)
+    assert rows[-1] == (10, 55, 10, 10)
+    # fusion property, robust to AQE's plan printing: the SAME Window
+    # node's Arguments line computes all three local accumulators, and
+    # likewise one offsets window carries all three offsets
+    plan = _plan(out)
+    loc_lines = [ln for ln in plan.splitlines() if "AS __loc_s" in ln]
+    assert loc_lines and all("__loc_n" in ln and "__loc_mx" in ln
+                             for ln in loc_lines)
+    off_lines = [ln for ln in plan.splitlines() if "AS __off_s" in ln]
+    assert off_lines and all("__off_n" in ln and "__off_mx" in ln
+                             for ln in off_lines)
+    with pytest.raises(ValueError):
+        scan_multi({})
+    with pytest.raises(ValueError):
+        scan_multi({"x": ("median", "v")})
