@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "scan_cumsum", "pairs_lag", "map_accum_altsum", "window_tumbling",
     "map_project", "concat_map_tokens",
     "consecutive_windows", "pack_chunks_docs", "asof_events_bidir",
+    "rolling_user_day", "funnel_events",
     "text_stats", "lang_fingerprint",
     "dedup_exact", "minhash_pairs", "minhash_dedup_cc",
     "simhash", "ngram_jaccard_lsh",

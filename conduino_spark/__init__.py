@@ -29,8 +29,8 @@ from conduino_spark.operators.elementwise import (
 )
 from conduino_spark.operators.segments import drop, drop_while, take, take_while
 from conduino_spark.operators.stateful import (
-    consecutive, map_accum, map_accum_chunked, pairs, passthrough, scan,
-    scan_multi,
+    consecutive, ewma, map_accum, map_accum_chunked, pairs, passthrough,
+    scan, scan_multi,
 )
 from conduino_spark.operators.sinks import (
     agg_sink, fold, fold_map, fold_monoid, foldl, foldr, head_, last_,

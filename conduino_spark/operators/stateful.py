@@ -411,3 +411,115 @@ def passthrough(stage: Stage, *, in_cols: Optional[list[str]] = None) -> Stage:
         return stage(df).join(renamed, SEQ, "left")
 
     return Stage(fn, name=f"passthrough({stage.name})")
+
+
+def ewma(alpha: float, expr: Union[str, Column] = "v", *, out: str = "ewma",
+         strategy: str = "chunked", npart: Optional[int] = None,
+         keep: bool = True, max_chunks: int = 2_000_000,
+         name: str = "ewma") -> Stage:
+    """Exponentially weighted moving average over the ordered stream:
+    ``s_1 = x_1``, ``s_i = α·x_i + (1−α)·s_{i−1}`` (pandas
+    ``ewm(adjust=False)``).
+
+    A linear recurrence is not a plain associative reducer, but each
+    element acts on the state as the affine map ``s → (1−α)s + αx``,
+    and affine maps compose associatively — so the two-phase chunked
+    plan still applies:
+
+    * phase 1, per chunk: the standalone (carry-free) EWMA prefix via
+      one windowed sum of pre-scaled values.  Chunk VALUE-width is
+      capped at ``L ≈ 600/−ln(1−α)`` so every ``(1−α)^±pos`` stays
+      inside double range (the prescale trick overflows past ~708/−ln q
+      — the cap is what makes the formulation safe, and contributions
+      older than L rows are < e^−600, i.e. zero in doubles anyway).
+    * phase 2: chunk summaries (row count, standalone tail) — at most
+      one per L stream values — fold into per-chunk incoming carries by
+      an exact driver-side linear pass (``carry' = tail + q^n·carry``,
+      tiny data, broadcast back).  Streams needing more than
+      ``max_chunks`` summaries raise loudly rather than collect
+      unboundedly — lift ``alpha`` or pre-aggregate first.
+    * recombine: ``s = t_local + carry·(1−α)^pos_local``.
+
+    No exact cross-engine oracle (float-order sensitive); tested
+    against a driver reference at 1e-9 relative."""
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    q = 1.0 - alpha
+
+    if alpha == 1.0:
+        def fn_id(df: DataFrame) -> DataFrame:
+            res = df.withColumn(out, col.cast("double"))
+            return res if keep else res.select(SEQ, out)
+        return Stage(fn_id, name=name)
+
+    L = max(1, int(600.0 / -math.log(q)))
+
+    def fn_chunked(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        target = npart or spark.sparkContext.defaultParallelism
+        bounds = df.agg(F.min(SEQ).cast("double").alias("__lo"),
+                        F.max(SEQ).cast("double").alias("__hi"))
+        # chunk width: parallelism wants span/target, numerics cap at L
+        width = F.greatest(F.lit(1.0), F.least(
+            F.lit(float(L)),
+            F.ceil((F.col("__hi") - F.col("__lo") + 1.0) / target).cast("double")))
+        part = (df.crossJoin(F.broadcast(bounds))
+                  .withColumn("__pid", F.floor(
+                      (F.col(SEQ) - F.col("__lo")) / width).cast("long"))
+                  .drop("__lo", "__hi"))
+        part = track(part)
+
+        wloc = (W.partitionBy("__pid").orderBy(SEQ)
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        pos = F.count(F.lit(1)).over(wloc)
+        local = (part
+                 .withColumn("__pos", pos)
+                 .withColumn("__ps", F.sum(
+                     col * F.pow(F.lit(q), -F.col("__pos"))).over(wloc))
+                 .withColumn("__t", F.lit(alpha)
+                             * F.pow(F.lit(q), F.col("__pos"))
+                             * F.col("__ps")))
+
+        sums = (local.groupBy("__pid")
+                     .agg(F.max("__pos").alias("__n"),
+                          F.max_by("__t", "__pos").alias("__tail"),
+                          F.min_by(col.cast("double"), F.col("__pos"))
+                           .alias("__head"))
+                     .orderBy("__pid"))
+        rows = sums.limit(max_chunks + 1).collect()
+        if len(rows) > max_chunks:
+            raise RuntimeError(
+                f"ewma: stream needs > {max_chunks} chunk summaries at "
+                f"alpha={alpha} (chunk cap {L} values); raise alpha, "
+                "pre-aggregate, or raise max_chunks")
+        # adjust=False pins s_1 = x_1, which is the same recurrence run
+        # from initial state s_0 = x_1 (s_1 = alpha*x_1 + q*x_1 = x_1):
+        # the stream-level incoming carry is the first element itself
+        carry, carries = (rows[0]["__head"] if rows else 0.0), []
+        for r in rows:
+            carries.append((r["__pid"], carry))
+            carry = r["__tail"] + (q ** r["__n"]) * carry
+        offs = spark.createDataFrame(carries or [(0, 0.0)],
+                                     "__pid long, __carry double")
+        res = (local.join(F.broadcast(offs), "__pid")
+                    .withColumn(out, F.col("__t") + F.col("__carry")
+                                * F.pow(F.lit(q), F.col("__pos")))
+                    .drop("__pid", "__pos", "__ps", "__t", "__carry"))
+        return res if keep else res.select(SEQ, out)
+
+    def fn_window(df: DataFrame) -> DataFrame:
+        # small-data oracle: the global prescale overflows past ~L rows,
+        # which the chunked strategy exists to avoid
+        w = W.orderBy(SEQ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        pos = F.count(F.lit(1)).over(w)
+        ps = F.sum(col * F.pow(F.lit(q), -pos)).over(w)
+        xf = F.first(col.cast("double")).over(w)   # s_0 = x_1 (see fold)
+        res = df.withColumn(out, F.lit(alpha) * F.pow(F.lit(q), pos) * ps
+                            + xf * F.pow(F.lit(q), pos))
+        return res if keep else res.select(SEQ, out)
+
+    return Stage(fn_window if strategy == "window" else fn_chunked,
+                 name=name)

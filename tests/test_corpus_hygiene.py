@@ -195,3 +195,47 @@ def test_scan_multi_fused_single_pass(spark):
         scan_multi({})
     with pytest.raises(ValueError):
         scan_multi({"x": ("median", "v")})
+
+
+def _ewma_ref(xs, alpha):
+    out, s = [], None
+    for x in xs:
+        s = x if s is None else alpha * x + (1 - alpha) * s
+        out.append(s)
+    return out
+
+
+def test_ewma_matches_sequential_reference(spark):
+    import random
+    from conduino_spark import ewma, source_list
+
+    rnd = random.Random(7)
+    xs = [rnd.uniform(-100, 100) for _ in range(5000)]
+    for alpha in (0.9, 0.3, 0.05):
+        p = source_list(xs) | ewma(alpha, "v", npart=8) | sink_df()
+        got = [r.ewma for r in run_pipe(p, spark)
+               .orderBy("__seq").collect()]
+        want = _ewma_ref(xs, alpha)
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12)
+
+    # alpha=1 degenerates to identity
+    p1 = source_list([1.0, 5.0, 2.0]) | ewma(1.0) | sink_df()
+    assert [r.ewma for r in run_pipe(p1, spark).orderBy("__seq").collect()] \
+        == [1.0, 5.0, 2.0]
+
+    with pytest.raises(ValueError):
+        ewma(0.0)
+
+
+def test_ewma_partition_independent(spark):
+    from conduino_spark import ewma, source_list
+
+    xs = [float((i * 37) % 101) for i in range(2000)]
+    outs = []
+    for npart in (2, 7, 32):
+        p = source_list(xs) | ewma(0.2, "v", npart=npart) | sink_df()
+        outs.append(tuple(
+            round(r.ewma, 9) for r in run_pipe(p, spark)
+            .orderBy("__seq").collect()))
+    assert outs[0] == outs[1] == outs[2]
