@@ -350,3 +350,66 @@ def stream_dedup(keys: list, *, watermark_col: Optional[str] = None,
 
     return Stage(fn, name=f"stream_dedup({','.join(keys)})",
                  seq_preserving=False)
+
+
+def stream_funnel(steps: list, *, key_col: str = "user_id",
+                  type_col: str = "event_type", time_col: str = "ts") -> Stage:
+    """Streaming ordered-funnel: per-key GroupState advances through
+    ``steps`` as events arrive and emits ONE row (key, t1…tk) the
+    micro-batch the last step completes — the push-mode counterpart of
+    ``operators.temporal.funnel`` (same greedy-earliest semantics; on
+    a time-ordered stream the results are identical, replay-law
+    tested).  Times are epoch-second doubles computed as exact long
+    micros / 1e6, matching the batch operator bit-for-bit.
+
+    State per key is O(k) (step index + accepted times, JSON) and is
+    retained after completion so a key converts at most once.  Late
+    (out-of-order) events cannot retro-fill an earlier step — the
+    standard streaming relaxation; replay in order for exactness."""
+    if not steps:
+        raise ValueError("stream_funnel: steps must be non-empty")
+    k = len(steps)
+    out_schema = ("key long, " +
+                  ", ".join(f"t{i} double" for i in range(1, k + 1)))
+    state_schema = "s string"
+
+    def fn(df: DataFrame) -> DataFrame:
+        import json
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def handle(key, pdf_iter, state):
+            st = (json.loads(state.get[0]) if state.exists
+                  else {"i": 0, "ts": [], "done": False})
+            hit = None
+            for pdf in pdf_iter:
+                if st["done"]:
+                    break
+                for _, r in pdf.sort_values("__t").iterrows():
+                    if st["done"]:
+                        break
+                    want = steps[st["i"]]
+                    t = int(r["__t"])
+                    if r["__et"] == want and (st["i"] == 0
+                                              or t > st["ts"][-1]):
+                        st["ts"].append(t)
+                        st["i"] += 1
+                        if st["i"] == k:
+                            st["done"] = True
+                            hit = list(st["ts"])
+            state.update((json.dumps(st),))
+            if hit is not None:
+                yield pd.DataFrame(
+                    {"key": [key[0]],
+                     **{f"t{i + 1}": [hit[i] / 1_000_000.0]
+                        for i in range(k)}})
+
+        ev = df.select(F.col(key_col).cast("long").alias("key"),
+                       F.col(type_col).alias("__et"),
+                       F.unix_micros(F.col(time_col)).alias("__t"))
+        return (ev.groupBy("key")
+                  .applyInPandasWithState(
+                      handle, out_schema, state_schema,
+                      "append", GroupStateTimeout.NoTimeout))
+
+    return Stage(fn, name="stream_funnel", seq_preserving=False)

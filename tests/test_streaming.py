@@ -210,3 +210,31 @@ def test_stream_dedup_matches_batch_distinct(spark, events_stream_dir):
             .select("user_id", "event_type").distinct().count())
     # every surviving row unique; count equals the batch distinct count
     assert got == n_out == want
+
+
+def test_stream_funnel_replay_equals_batch(spark, sf_dir):
+    """In-order replay law: the streaming funnel over a ts-ordered
+    chunked replay equals the batch funnel (same greedy semantics,
+    same micros/1e6 times)."""
+    from conduino_spark import from_dataframe, funnel, run_pipe, sink_df
+    from conduino_spark.sources import read_table
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir,
+        stream_funnel)
+
+    steps = ["signup", "click", "purchase"]
+    d = stage_events_dir(f"{sf_dir}/events.parquet", n_chunks=3)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = run_stream_to_memory(
+        file_stream_source(d, schema) | stream_funnel(steps), spark)
+    got = sorted((r.key, r.t1, r.t2, r.t3) for r in out.collect())
+
+    ev = read_table(sf_dir, "events").df(spark)
+    batch = run_pipe(from_dataframe(ev) | funnel(steps) | sink_df(), spark)
+    want = sorted((r.user_id, r.t1, r.t2, r.t3) for r in batch.collect())
+    assert got == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_funnel([])
