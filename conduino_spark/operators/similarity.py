@@ -126,8 +126,14 @@ def lsh_index_write(df: DataFrame, path: str, *, vec_col: str = "embedding",
     write the corpus ``partitionBy('bucket')`` so probes are partition
     PRUNING (a directory listing + ~nprobe/2^planes of the bytes), not
     a corpus scan.  The 100 TB posture: build-index is the one full
-    pass; every query after it reads only its probe partitions."""
+    pass; every query after it reads only its probe partitions.
+
+    The write repartitions BY the bucket column first: without it every
+    input task writes a file into every bucket directory (tasks ×
+    2^planes tiny files — measured ~6s of filesystem churn for 500
+    rows); with it each bucket is one task writing one file."""
     (lsh_bucket(vec_col, dim=dim, planes=planes)(df)
+     .repartition(F.col("bucket"))
      .write.partitionBy("bucket").mode("overwrite").parquet(path))
 
 
