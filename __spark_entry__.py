@@ -40,6 +40,7 @@ from conduino_spark.operators.dedup import (  # noqa: E402
     MINHASH_BANDS, MINHASH_PARAMS, MINHASH_ROWS, SHINGLE_N,
 )
 from conduino_spark.operators.sketches import kmv_distinct_sql  # noqa: E402
+from conduino_spark.timeutil import epoch_seconds as _eps  # noqa: E402
 from conduino_spark.operators.text import (  # noqa: E402
     lang_id_sql, quality_score_sql, repetition_stats_sql, tokens_sql,
 )
@@ -53,6 +54,10 @@ _REQUIRED_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",   # events.ts NANOS
     "spark.sql.session.timeZone": "UTC",              # epoch oracles
     "spark.sql.adaptive.enabled": "true",
+    # tz-naive parquet ts → TIMESTAMP in the UTC session, not
+    # TIMESTAMP_NTZ (which rejects cast-to-long/unix_micros); matches
+    # DuckDB's naive read bit-for-bit.  timeutil.ts_col double-guards.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -266,11 +271,11 @@ def q_latest_event_per_user(spark, sf):
     src = _src(sf, "events")
     p = (src
          | dedup_latest(["user_id"],
-                        F.col("ts").cast("long") * 100_000 + F.col("event_id"))
+                        _eps("ts") * 100_000 + F.col("event_id"))
          | sink_df())
     out = run_pipe(p, spark)
     return out.select("user_id", "event_id",
-                      F.col("ts").cast("long").alias("t"), "event_type")
+                      _eps("ts").alias("t"), "event_type")
 
 
 def q_record_flags(spark, sf):
@@ -458,7 +463,7 @@ def q_window_tumbling(spark, sf):
                                  "sum_value": _scaled_sum(F.col("value"), 1_000_000)})
          | sink_df())
     out = run_pipe(p, spark)
-    return out.select(F.col("w_start").cast("long").alias("w_start_epoch"),
+    return out.select(_eps("w_start").alias("w_start_epoch"),
                       "event_type", "n", "sum_value")
 
 
@@ -470,7 +475,7 @@ def q_session_window(spark, sf):
          | sink_df())
     out = run_pipe(p, spark)
     return out.select("user_id",
-                      F.col("w_start").cast("long").alias("w_start_epoch"),
+                      _eps("w_start").alias("w_start_epoch"),
                       "n")
 
 
@@ -550,13 +555,13 @@ def q_asof_events_bidir(spark, sf):
     from conduino_spark import asof_join
     ev = _src(sf, "events").df(spark)
     clicks = ev.where("event_type = 'click'").select(
-        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+        "event_id", _eps("ts").alias("t"), "user_id")
     buys_b = (ev.where("event_type = 'purchase'")
-                .groupBy("user_id", F.col("ts").cast("long").alias("t"))
+                .groupBy("user_id", _eps("ts").alias("t"))
                 .agg(F.max("event_id").alias("p_event"),
                      F.max_by("value", "event_id").alias("p_value")))
     buys_f = (ev.where("event_type = 'purchase'")
-                .groupBy("user_id", F.col("ts").cast("long").alias("t"))
+                .groupBy("user_id", _eps("ts").alias("t"))
                 .agg(F.min("event_id").alias("p_event")))
     st_b = asof_join(from_dataframe(buys_b), on="user_id", left_time="t",
                      right_time="t",
@@ -579,11 +584,11 @@ def q_interval_events(spark, sf):
     from conduino_spark import interval_join
     ev = _src(sf, "events").df(spark)
     views = ev.where("event_type = 'view'").select(
-        "event_id", F.col("ts").cast("long").alias("t"), "user_id")
+        "event_id", _eps("ts").alias("t"), "user_id")
     buys = (ev.where("event_type = 'purchase'")
               .select(F.col("event_id").alias("p_event"), "user_id",
-                      F.col("ts").cast("long").alias("s"),
-                      (F.col("ts").cast("long") + 3600).alias("e")))
+                      _eps("ts").alias("s"),
+                      (_eps("ts") + 3600).alias("e")))
     st = interval_join(from_dataframe(buys), point="t", start="s", end="e",
                        on="user_id", out_cols={"p_event": "p_event"},
                        bin_width=3600.0)
@@ -768,7 +773,7 @@ def q_stream_window_replay(spark, sf):
     src = file_stream_source(d, schema)
     out = run_stream_to_memory(src | win, spark)
     return (out.where(F.col("event_type") != SENTINEL_TYPE)
-               .select(F.col("w_start").cast("long").alias("w_start_epoch"),
+               .select(_eps("w_start").alias("w_start_epoch"),
                        "event_type", "n"))
 
 

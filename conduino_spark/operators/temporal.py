@@ -161,10 +161,12 @@ def interval_join(intervals: Source, *, point: str, start: str, end: str,
 
 
 def _epoch_us(df: DataFrame, time_col: str) -> "F.Column":
-    """Exact long microseconds from a timestamp (unix_micros) or a
+    """Exact long microseconds from a timestamp (unix_micros; NTZ is
+    first reinterpreted in the session zone — timeutil.ts_col) or a
     numeric epoch-seconds column (rounded at micro resolution)."""
     if dict(df.dtypes).get(time_col) in ("timestamp", "timestamp_ntz"):
-        return F.unix_micros(F.col(time_col))
+        from ..timeutil import epoch_micros
+        return epoch_micros(time_col)
     return F.round(F.col(time_col).cast("double") * 1_000_000, 0).cast("long")
 
 

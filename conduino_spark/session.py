@@ -30,6 +30,11 @@ def get_spark(app: str = "conduino_spark", *, cpus: int | None = None,
         # driver testdata stores events.ts as TIMESTAMP(NANOS), which
         # Spark 4 rejects; read as long and rebuild (sources.read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-naive parquet timestamps arrive as TIMESTAMP (session UTC),
+        # not TIMESTAMP_NTZ — value-identical to DuckDB's naive reads,
+        # and NTZ rejects cast("long")/unix_micros in Spark 4.1.2.
+        # timeutil.ts_col is the belt-and-braces if data still lands NTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))

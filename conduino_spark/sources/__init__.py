@@ -329,9 +329,11 @@ def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None,
                min_partitions: Union[int, str, None] = None) -> Source:
     """Driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with the session's
-    ``nanosAsLong`` flag it arrives as a long — rebuilt here to a
-    microsecond timestamp (what DuckDB sees too)."""
+    ``events.ts`` has arrived as parquet TIMESTAMP(NANOS) (→ bigint
+    under the session's ``nanosAsLong`` flag), tz-aware ``timestamp``,
+    and tz-naive ``timestamp[us]`` (→ ``timestamp_ntz`` if NTZ inference
+    is on) across driver regenerations — normalized here to a
+    session-zone microsecond ``timestamp`` (what DuckDB sees too)."""
     base = read_parquet(f"{sf_dir}/{table}.parquet", seq_col=seq_col,
                         min_partitions=min_partitions, name=table)
     if table != "events":
@@ -339,13 +341,18 @@ def read_table(sf_dir: str, table: str, *, seq_col: Optional[str] = None,
 
     def fn(spark: SparkSession) -> DataFrame:
         df = base.df(spark)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn(
                 # integer DIV, not /1000: nanos ~1.7e18 exceed double's
                 # 2^53 mantissa, so float division rounds at ~256 ns
                 # granularity and lands ±1 µs off DuckDB's exact
                 # truncation (observed in the funnel oracle replay)
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
+            # session zone is UTC, so this is value-identical to the
+            # naive semantics DuckDB's oracle uses
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     return Source(fn, name=table)

@@ -404,9 +404,10 @@ def stream_funnel(steps: list, *, key_col: str = "user_id",
                      **{f"t{i + 1}": [hit[i] / 1_000_000.0]
                         for i in range(k)}})
 
+        from ..timeutil import epoch_micros
         ev = df.select(F.col(key_col).cast("long").alias("key"),
                        F.col(type_col).alias("__et"),
-                       F.unix_micros(F.col(time_col)).alias("__t"))
+                       epoch_micros(time_col).alias("__t"))
         return (ev.groupBy("key")
                   .applyInPandasWithState(
                       handle, out_schema, state_schema,

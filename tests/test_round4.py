@@ -121,10 +121,16 @@ def test_stream_replay_law_equals_batch(spark, sf_dir):
            .select(F.col("w_start").cast("long"), "event_type", "n")
            .collect())
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts nanos long
-    batch = (ev.groupBy(
-                 (F.floor(F.col("ts") / 1_000_000_000 / 3600) * 3600)
-                 .alias("w"), "event_type")
+    # ts has arrived as nanos-long, timestamp, and timestamp_ntz across
+    # driver regenerations — normalize to epoch seconds dtype-robustly
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        t = F.col("ts") / 1_000_000_000
+    else:
+        from conduino_spark.timeutil import epoch_seconds
+        t = epoch_seconds("ts")
+    batch = (ev.groupBy((F.floor(t / 3600) * 3600).cast("long").alias("w"),
+                        "event_type")
                .agg(F.count(F.lit(1)).alias("n")))
     brows = sorted(tuple(r) for r in batch.collect())
     assert srows == brows
