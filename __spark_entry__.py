@@ -732,6 +732,32 @@ def q_knn_lsh_probe(spark, sf):
     return run_pipe(p, spark).select("vec_id", "cosine")
 
 
+def q_knn_lsh_probe_cold(spark, sf):
+    """Cold-path variant of q_knn_lsh_probe for the bench ONLY (not a
+    gate query — the 50-window contract): rebuilds the bucket-partitioned
+    index into a fresh directory every call, so the reported number
+    includes index materialization and can't silently lean on the
+    (sf_dir, mtime) memo the warm path uses."""
+    import os
+    import tempfile
+    from conduino_spark import knn_lsh, lsh_index_write
+    emb = _src(sf, "embeddings").df(spark)
+    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
+    qv = [float(x) for x in row["embedding"]]
+    d = tempfile.mkdtemp(prefix="lsh_idx_cold_")
+    lsh_index_write(emb, d, dim=len(qv))
+    idx = spark.read.parquet(d)
+    p = from_dataframe(idx) | knn_lsh(qv, k=10, bucket_col="bucket") | sink_df()
+    return run_pipe(p, spark).select("vec_id", "cosine")
+
+
+def bench_extras():
+    """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
+    queries() but NOT driver-gated (they'd burn 50-window slots on
+    variants of already-gated plans)."""
+    return {"knn_lsh_probe_cold": q_knn_lsh_probe_cold}
+
+
 def q_knn_bruteforce(spark, sf):
     emb = _src(sf, "embeddings")
     row = emb.df(spark).where(F.col("vec_id") == QUERY_KNN_ID).first()

@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "dedup_exact", "minhash_pairs", "minhash_dedup_cc",
     "simhash", "ngram_jaccard_lsh",
     "knn_bruteforce", "ivf_search_topk",
+    # bench-only (entry.bench_extras): cold index build + probe, so the
+    # warm memoized knn_lsh_probe number has an honest counterpart
+    "knn_lsh_probe_cold",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
@@ -65,7 +68,9 @@ def main() -> None:
     # JVM/codegen warmup on an unrelated job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    qs = m.queries()
+    qs = dict(m.queries())
+    if hasattr(m, "bench_extras"):
+        qs.update(m.bench_extras())
     # warmup: run every headline plan once at the smallest sf so the
     # timed runs measure execution, not whole-stage-codegen compilation
     warm_dir = "/root/testdata/sf0.001"
@@ -85,30 +90,51 @@ def main() -> None:
     # bench duration; min per query is the reproducible plan cost.
     from conduino_spark import release_caches
 
-    def sample_once(name: str) -> float:
+    # FAILURE-ISOLATED sampling (r4 verdict #2): one broken query must
+    # never zero the whole perf record (BENCH_r04 was rc=1/parsed=null
+    # because an analysis error aborted the run mid-loop).  A failed
+    # sample marks the query failed and sampling of it stops; the JSON
+    # line is always emitted, with failures listed under "failed".
+    failed: dict[str, str] = {}
+
+    def sample_once(name: str) -> float | None:
         t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
-        dt = time.time() - t0
-        release_caches()            # registry-tracked persists
-        spark.catalog.clearCache()  # plus anything cached directly
-        return dt
+        try:
+            materialize(qs[name](spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001 — record and continue
+            failed[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+        finally:
+            try:
+                release_caches()            # registry-tracked persists
+                spark.catalog.clearCache()  # plus anything cached
+            except Exception:
+                pass
+        return time.time() - t0
 
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES if n in qs}
     for _round in range(BASE_ROUNDS):
         for name in samples:
-            samples[name].append(sample_once(name))
+            if name in failed:
+                continue
+            dt = sample_once(name)
+            if dt is not None:
+                samples[name].append(dt)
     # noise escalation: queries whose spread exceeds NOISE_RATIO get up
     # to MAX_ROUNDS - BASE_ROUNDS more interleaved samples
     for _round in range(BASE_ROUNDS, MAX_ROUNDS):
         noisy = [n for n, rs in samples.items()
-                 if len(rs) == _round and max(rs) / max(min(rs), 1e-9) > NOISE_RATIO]
+                 if n not in failed and len(rs) == _round
+                 and max(rs) / max(min(rs), 1e-9) > NOISE_RATIO]
         if not noisy:
             break
         for name in noisy:
-            samples[name].append(sample_once(name))
-    times = {n: round(min(rs), 3) for n, rs in samples.items()}
+            dt = sample_once(name)
+            if dt is not None:
+                samples[name].append(dt)
+    times = {n: round(min(rs), 3) for n, rs in samples.items() if rs}
     spread = {n: round(max(rs) / max(min(rs), 1e-9), 1)
-              for n, rs in samples.items()}
+              for n, rs in samples.items() if rs}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -122,6 +148,8 @@ def main() -> None:
         # during this run and the floor (min) is the trustworthy number
         "noise_max_over_min": spread,
     }
+    if failed:
+        out["failed"] = failed
     print(json.dumps(out))
     spark.stop()
 

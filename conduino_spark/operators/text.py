@@ -449,23 +449,40 @@ def pack_chunks(budget: int, *, order: Sequence[str] = ("doc_id", "chunk_id"),
     overflow by less than one chunk (the standard streaming-packing
     relaxation; exact bin packing is NP-hard and order-destroying).
 
-    Built from the engine's own ordered machinery: a chunked dense
-    re-rank over ``order`` (plans/order.rerank) feeds the distributed
-    two-phase prefix scan — no global window anywhere."""
-    from conduino_spark.operators.stateful import scan
-    from conduino_spark.plans.order import rerank
-
+    A FUSED two-phase prefix sum over ``order`` (r4 verdict #5): the
+    general rerank→scan composition costs a range exchange + a rank
+    window (with its own hash exchange) + a second persisted chunking +
+    the scan's window exchange — but packing never needs the dense rank
+    itself, only the running token total.  So: range-partition by the
+    sort keys once, local cumsum per partition, broadcast the exclusive
+    prefix of per-partition totals, combine.  ONE range exchange + ONE
+    partition-local window exchange + one persist, everything JVM-side
+    — the same plan shape at 100 TB, half the stages at any scale.
+    The persist (cache registry) makes both branches read one
+    materialization and one sampled set of range boundaries."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    cum_stage = scan("sum", tokens_col, out="__cum", keep=True)
 
     def fn(df: DataFrame) -> DataFrame:
-        seqd = rerank(df, list(order), drop_keys=False)
-        packed = cum_stage(seqd)
-        return (packed.withColumn(
-                    out, F.floor((F.col("__cum") - F.col(tokens_col))
-                                 / F.lit(budget)).cast("long"))
-                      .drop("__cum", SEQ))
+        from pyspark.sql import Window as W
+        from conduino_spark.plans.cachereg import track
+        kcols = [F.col(k) for k in order]
+        part = track(df.repartitionByRange(*kcols)
+                       .withColumn("__rrpid", F.spark_partition_id()))
+        wloc = (W.partitionBy("__rrpid").orderBy(*kcols)
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        local = part.withColumn("__cum", F.sum(tokens_col).over(wloc))
+        totals = part.groupBy("__rrpid").agg(F.sum(tokens_col).alias("__tot"))
+        woff = W.orderBy("__rrpid").rowsBetween(W.unboundedPreceding, -1)
+        offs = (totals
+                .withColumn("__off",
+                            F.coalesce(F.sum("__tot").over(woff), F.lit(0)))
+                .select("__rrpid", "__off"))
+        return (local.join(F.broadcast(offs), "__rrpid")
+                     .withColumn(out, F.floor(
+                         (F.col("__cum") + F.col("__off")
+                          - F.col(tokens_col)) / F.lit(budget)).cast("long"))
+                     .drop("__rrpid", "__cum", "__off", SEQ))
 
     return Stage(fn, name=name, seq_preserving=False)
 

@@ -15,6 +15,19 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _drain_cachereg():
+    """Drain the pipeline cache registry between tests: a test that
+    aborts mid-pipeline (e.g. an analysis error) leaves tracked persists
+    behind, which skews registry-count assertions in LATER tests (the
+    r4 cascade: NTZ aborts made two unrelated cachereg tests fail that
+    pass in isolation).  Draining after every test makes the suite
+    robust to any future mid-test abort."""
+    from conduino_spark.plans.cachereg import release_caches
+    yield
+    release_caches()
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
