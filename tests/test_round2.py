@@ -107,19 +107,26 @@ def _n_cached(spark) -> int:
 
 
 def test_materializing_run_releases_caches(spark):
+    # DELTA vs a baseline, not absolute zero: earlier tests' lingering
+    # localCheckpoint RDDs (feedback/CC plans) stay in
+    # getPersistentRDDs until JVM GC and are invisible to both the
+    # registry and catalog.clearCache — the assertion's intent is "THIS
+    # pipeline leaks nothing", which the delta measures exactly
     release_caches()
     spark.catalog.clearCache()
+    base = _n_cached(spark)
     for _ in range(2):  # back-to-back pipelines must not accumulate
         out = run_pipe(range_source(1000, num_partitions=4)
                        | scan("sum") | sink_list(), spark)
         assert len(out) == 1000
-        assert _n_cached(spark) == 0, "pipeline leaked cached blocks"
+        assert _n_cached(spark) <= base, "pipeline leaked cached blocks"
 
 
 def test_lazy_sink_keeps_caches_until_released(spark):
     from conduino_spark.plans import cachereg
     release_caches()
     spark.catalog.clearCache()
+    base = _n_cached(spark)
     df = run_pipe(range_source(100, num_partitions=4)
                   | scan("sum") | sink_df(), spark)
     assert df.count() == 100          # caller's action uses the cache
@@ -128,7 +135,7 @@ def test_lazy_sink_keeps_caches_until_released(spark):
     assert len(cachereg._TRACKED) > 0
     release_caches()
     assert len(cachereg._TRACKED) == 0
-    assert _n_cached(spark) == 0
+    assert _n_cached(spark) <= base   # see delta note above
 
 
 # --- salted_join same-named keys (ADVICE low) ------------------------------
