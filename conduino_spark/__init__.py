@@ -35,7 +35,7 @@ from conduino_spark.operators.stateful import (
 from conduino_spark.operators.sinks import (
     agg_sink, fold, fold_map, fold_monoid, foldl, foldr, head_, last_,
     sink_count, sink_csv, sink_df, sink_json, sink_list, sink_null,
-    sink_parquet, sink_text,
+    sink_parquet, sink_parquet_sorted, sink_text,
 )
 from conduino_spark.operators.zip_alt import (
     alt_sink, alt_sink_n, concat_sources, fuse_both, fuse_both_maybe,
@@ -71,9 +71,9 @@ from conduino_spark.operators.multimodal import (
 )
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (
-    asof_join, funnel, interval_join, rolling_agg,
+    asof_join, funnel, interval_join, rolling_agg, sessionize,
 )
-from conduino_spark.operators.sketches import kmv_distinct
+from conduino_spark.operators.sketches import binned_quantiles, kmv_distinct
 from conduino_spark.operators.sampling import (
     hash_sample, hash_split, reservoir_per_key, shard_by, stratified_sample,
 )

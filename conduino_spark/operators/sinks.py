@@ -177,6 +177,33 @@ def sink_parquet(path: str, *, mode: str = "overwrite",
     return Sink(run, name=f"sink_parquet({path})")
 
 
+def sink_parquet_sorted(path: str, keys: Sequence[str], *,
+                        npart: Optional[int] = None,
+                        mode: str = "overwrite") -> Sink:
+    """Globally-ordered shard layout: range-partition by ``keys``, sort
+    within each partition, write — shard ``i``'s key range lies wholly
+    before shard ``i+1``'s, and every parquet row group carries tight
+    min/max stats on the sort keys.  The standard "sorted write"
+    optimization: downstream range predicates prune at BOTH the file
+    level (disjoint shard ranges) and the row-group level (stats), and
+    ordered consumers (as-of merges, sequential exports) read shards in
+    name order without a sort.
+
+    Cost: one range exchange (sampling pass + shuffle) — exactly what
+    any global ordering costs; the per-partition sort spills, never
+    collects."""
+
+    def run(df: DataFrame):
+        kcols = [F.col(k) for k in keys]
+        d = df.drop(SEQ)
+        part = (d.repartitionByRange(npart, *kcols) if npart
+                else d.repartitionByRange(*kcols))
+        part.sortWithinPartitions(*kcols).write.mode(mode).parquet(path)
+        return path
+
+    return Sink(run, name=f"sink_parquet_sorted({path})")
+
+
 def sink_csv(path: str, *, header: bool = True, mode: str = "overwrite",
              **options) -> Sink:
     """CSV writer — the interchange flavor of :func:`sink_parquet`.

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from conduino_spark.functions.hashing import h32, h32_sql
@@ -63,3 +63,111 @@ def kmv_distinct_sql(expr: str, k: int = 256, *,
       SELECT CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
                   ELSE round({float((k - 1) * KMV_SPACE)!r} / kth, 6)
              END AS {out} FROM __a"""
+
+
+#: default quantile set for binned_quantiles
+QUANTILES_DEFAULT = {"p25": 0.25, "p50": 0.5, "p75": 0.75,
+                     "p90": 0.9, "p99": 0.99}
+
+
+def binned_quantiles(expr: Union[str, Column],
+                     qs: "dict[str, float] | None" = None, *,
+                     bins: int = 1024,
+                     keys: "tuple[str, ...]" = ()) -> Stage:
+    """Deterministic fixed-bin histogram quantiles (per ``keys`` group,
+    or global): two cheap aggregation passes whose state is O(bins)
+    per group, with error bounded by ``(max − min) / bins``.
+
+    Why not ``percentile_approx``: its GK sketch is engine-private —
+    no oracle can replay it, and two runs over differently-partitioned
+    data may disagree.  The equi-width histogram is the classic
+    mergeable alternative (every streaming/OLAP engine's fallback):
+    pass 1 = per-group min/max (map-side partials), pass 2 = per-group
+    per-bin counts (≤ groups × bins rows shuffle — raw values never
+    shuffle), then a window over the ≤ ``bins`` rows of each group
+    picks, for each q, the upper edge of the first bin where the
+    cumulative count reaches ``q·n``.  All arithmetic is
+    order-identical IEEE doubles, so :func:`binned_quantiles_sql`
+    replays the result bit-for-bit.
+
+    Returns one row per group: ``keys + [<name> for name in qs]``."""
+    qs = dict(qs) if qs else dict(QUANTILES_DEFAULT)
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    for name, q in qs.items():
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside (0, 1]")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+
+    def fn(df: DataFrame) -> DataFrame:
+        base = df.where(col.isNotNull()) \
+                 .select(*keys, col.cast("double").alias("__x"))
+        bounds = base.groupBy(*keys).agg(F.min("__x").alias("__lo"),
+                                         F.max("__x").alias("__hi"))
+        if keys:
+            j = base.join(bounds, list(keys))
+        else:
+            j = base.crossJoin(F.broadcast(bounds))
+        # identical expression shape in binned_quantiles_sql — keep in sync
+        bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(F.floor((F.col("__x") - F.col("__lo"))
+                            / (F.col("__hi") - F.col("__lo")) * bins),
+                    F.lit(bins - 1))).cast("long")
+        hist = (j.withColumn("__bin", bin_)
+                 .groupBy(*keys, "__bin", "__lo", "__hi")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+        wcum = (W.partitionBy(*[F.col(k) for k in keys]).orderBy("__bin")
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        wtot = (W.partitionBy(*[F.col(k) for k in keys])
+                 .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        hist = hist.withColumn("__cum", F.sum("__c").over(wcum)) \
+                   .withColumn("__n", F.sum("__c").over(wtot))
+        edge = (F.col("__lo") + (F.col("__bin") + 1)
+                * ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins))))
+        picks = [F.min(F.when(
+                    F.col("__cum") >= F.col("__n") * F.lit(q), edge))
+                  .alias(name) for name, q in qs.items()]
+        return hist.groupBy(*keys).agg(*picks)
+
+    return Stage(fn, name=f"binned_quantiles(bins={bins})",
+                 seq_preserving=False)
+
+
+def binned_quantiles_sql(expr: str, qs: "dict[str, float] | None" = None, *,
+                         bins: int = 1024, keys: "tuple[str, ...]" = (),
+                         table: str) -> str:
+    """DuckDB rendering of :func:`binned_quantiles` — bit-identical
+    (same expression shapes, same IEEE-double evaluation order)."""
+    qs = dict(qs) if qs else dict(QUANTILES_DEFAULT)
+    kl = ", ".join(keys)
+    kcomma = f"{kl}, " if keys else ""
+    part = f"PARTITION BY {kl}" if keys else ""
+    group = f"GROUP BY {kl}" if keys else ""
+    picks = ",\n             ".join(
+        f"min(CASE WHEN cum >= n * {q!r} THEN edge END) AS {name}"
+        for name, q in qs.items())
+    return f"""
+      WITH __b AS (
+        SELECT {kcomma}min(CAST({expr} AS DOUBLE)) AS lo,
+               max(CAST({expr} AS DOUBLE)) AS hi
+        FROM {table} WHERE {expr} IS NOT NULL {group}),
+      __j AS (
+        SELECT {''.join('t.' + k + ', ' for k in keys)}
+               CAST(CASE WHEN b.hi = b.lo THEN 0 ELSE
+                 least(floor((CAST(t.{expr} AS DOUBLE) - b.lo)
+                             / (b.hi - b.lo) * {bins}), {bins - 1})
+               END AS BIGINT) AS bin, b.lo AS lo, b.hi AS hi
+        FROM {table} t {'JOIN __b b USING (' + kl + ')' if keys else 'CROSS JOIN __b b'}
+        WHERE t.{expr} IS NOT NULL),
+      __h AS (
+        SELECT {kcomma}bin, lo, hi, count(*) AS c
+        FROM __j GROUP BY {kcomma}bin, lo, hi),
+      __c AS (
+        SELECT {kcomma}bin, lo, hi, c,
+               sum(c) OVER ({part} ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER ({part}) AS n,
+               lo + (bin + 1) * ((hi - lo) / {float(bins)!r}) AS edge
+        FROM __h)
+      SELECT {kcomma}{picks}
+      FROM __c {group}"""

@@ -210,6 +210,52 @@ def rolling_agg(time_col: str, preceding: float, *,
     return Stage(fn, name=name, seq_preserving=True)
 
 
+def sessionize(time_col: str = "ts", gap: float = 1800.0, *,
+               keys: "Sequence[str]" = ("user_id",),
+               out: str = "session_id",
+               name: str = "sessionize") -> Stage:
+    """Row-level sessionization: tag EVERY event with a per-key session
+    ordinal, where a new session starts when the gap to the key's
+    previous event exceeds ``gap`` seconds (strict >, matching
+    ``F.session_window``'s boundary).  Complements
+    :func:`~conduino_spark.operators.relational.session_window`, which
+    AGGREGATES per session — sessionize labels the rows, the shape
+    training pipelines need for session-scoped features, sequence
+    packing, and per-session downstream groupBys.
+
+    Output: input rows + ``out`` (long, 0-based per key, ordered by
+    event time).
+
+    Plan: ONE shuffle on the keys, per-partition sort, then lag +
+    running sum over the SAME window spec — Catalyst collapses both
+    into a single Window operator (one sort, plan-tested).  Session
+    ids are a prefix count of boundary flags, so ties in ``time_col``
+    can never split a session regardless of tie order (a tie's gap is
+    0), making the labeling deterministic without a tie-break column.
+    Skew caveat as for :func:`asof_join`: one hot key serializes its
+    partition."""
+    if gap < 0:
+        raise ValueError(f"gap must be >= 0, got {gap}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        t = _epoch_us(df, time_col)
+        kcols = [F.col(k) for k in keys]
+        w = W.partitionBy(*kcols).orderBy(t)
+        run = (W.partitionBy(*kcols).orderBy(t)
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+        gap_us = int(round(gap * 1_000_000))
+        # two window steps (lag can't nest inside the running sum), but
+        # identical partition/order — one exchange, one sort
+        flagged = df.withColumn(
+            "__new_sess",
+            F.coalesce((t - F.lag(t).over(w) > gap_us).cast("long"),
+                       F.lit(0)))
+        return (flagged.withColumn(out, F.sum("__new_sess").over(run))
+                       .drop("__new_sess"))
+
+    return Stage(fn, name=name, seq_preserving=True)
+
+
 def funnel(steps: "Sequence[str]", *, key: str = "user_id",
            type_col: str = "event_type", time_col: str = "ts",
            horizon: Optional[float] = None,

@@ -1,0 +1,181 @@
+"""Round-5 additions: sessionize (row-level session labeling),
+binned_quantiles (deterministic histogram quantiles + DuckDB replay),
+sink_parquet_sorted (globally-ordered shard layout)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from conduino_spark import (
+    binned_quantiles, from_dataframe, read_table, run_pipe, sessionize,
+    sink_df, sink_parquet_sorted, source_list,
+)
+from conduino_spark.operators.sketches import binned_quantiles_sql
+
+
+# --- sessionize --------------------------------------------------------------
+def test_sessionize_known_values(spark):
+    # user 1: events at 0, 100, 2000, 2100  (gap 600 -> sessions 0,0,1,1)
+    # user 2: events at 50, 5000            (sessions 0,1)
+    rows = [(1, 0.0), (1, 100.0), (1, 2000.0), (1, 2100.0),
+            (2, 50.0), (2, 5000.0)]
+    df = spark.createDataFrame(rows, "user_id long, t double")
+    out = run_pipe(from_dataframe(df)
+                   | sessionize("t", 600.0, keys=("user_id",))
+                   | sink_df(), spark)
+    got = {(r.user_id, r.t): r.session_id for r in out.collect()}
+    assert got == {(1, 0.0): 0, (1, 100.0): 0, (1, 2000.0): 1,
+                   (1, 2100.0): 1, (2, 50.0): 0, (2, 5000.0): 1}
+
+
+def test_sessionize_tie_determinism(spark):
+    # two events at the SAME timestamp after a session boundary: the
+    # tie's internal gap is 0, so both land in the new session no
+    # matter which of them the window visits first
+    rows = [(1, 0.0), (1, 1000.0), (1, 1000.0)]
+    df = spark.createDataFrame(rows, "user_id long, t double")
+    out = run_pipe(from_dataframe(df)
+                   | sessionize("t", 600.0, keys=("user_id",))
+                   | sink_df(), spark)
+    sess = sorted((r.t, r.session_id) for r in out.collect())
+    assert sess == [(0.0, 0), (1000.0, 1), (1000.0, 1)]
+
+
+def test_sessionize_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    ev = read_table(sf_dir, "events")
+    out = run_pipe(from_dataframe(ev.df(spark))
+                   | sessionize("ts", 1800.0, keys=("user_id",))
+                   | sink_df(), spark)
+    got = {r.event_id: r.session_id
+           for r in out.select("event_id", "session_id").collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    oracle = con.execute("""
+      WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+      f AS (SELECT event_id, user_id, t,
+              CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                     > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM t)
+      SELECT event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f""").fetchall()
+    want = {eid: int(s) for eid, s in oracle}
+    assert got == want
+
+
+# --- binned_quantiles --------------------------------------------------------
+def test_binned_quantiles_exact_on_uniform(spark):
+    # 1..1000 with 1000 bins: every value its own bin; quantile = the
+    # upper edge of the first bin reaching q*n, within one bin width
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)],
+                               "v double")
+    out = run_pipe(from_dataframe(df)
+                   | binned_quantiles("v", {"p50": 0.5, "p90": 0.9},
+                                      bins=1000)
+                   | sink_df(), spark)
+    row = out.collect()[0]
+    assert abs(row.p50 - 500.5) <= 999 / 1000 + 1e-9
+    assert abs(row.p90 - 900.1) <= 999 / 1000 + 1e-9
+
+
+def test_binned_quantiles_degenerate_single_value(spark):
+    df = spark.createDataFrame([(7.0,), (7.0,), (7.0,)], "v double")
+    out = run_pipe(from_dataframe(df) | binned_quantiles("v", {"p50": 0.5})
+                   | sink_df(), spark)
+    # lo == hi: single bin, edge = lo + 1*(0/bins) = 7.0 exactly
+    assert out.collect()[0].p50 == 7.0
+
+
+def test_binned_quantiles_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    ev = read_table(sf_dir, "events")
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+
+    # global
+    out = run_pipe(from_dataframe(ev.df(spark))
+                   | binned_quantiles("value", qs, bins=512)
+                   | sink_df(), spark).collect()[0]
+    want = con.execute(
+        binned_quantiles_sql("value", qs, bins=512, table="events")
+    ).fetchone()
+    for got_v, want_v in zip([out.p25, out.p50, out.p90, out.p99], want):
+        assert got_v == want_v, "bit-identical claim violated"
+
+    # keyed
+    outk = run_pipe(from_dataframe(ev.df(spark))
+                    | binned_quantiles("value", qs, bins=512,
+                                       keys=("event_type",))
+                    | sink_df(), spark)
+    gotk = {r.event_type: (r.p25, r.p50, r.p90, r.p99)
+            for r in outk.collect()}
+    wantk = {r[0]: tuple(r[1:]) for r in con.execute(
+        binned_quantiles_sql("value", qs, bins=512, table="events",
+                             keys=("event_type",))).fetchall()}
+    assert gotk == wantk
+
+
+def test_binned_quantiles_error_bound(spark, sf_dir):
+    # error <= (max-min)/bins vs the exact quantile
+    ev = read_table(sf_dir, "events").df(spark)
+    stats = ev.agg(F.min("value"), F.max("value"),
+                   F.expr("percentile(value, 0.5)")).collect()[0]
+    width = (stats[1] - stats[0]) / 256
+    out = run_pipe(from_dataframe(ev)
+                   | binned_quantiles("value", {"p50": 0.5}, bins=256)
+                   | sink_df(), spark).collect()[0]
+    assert abs(out.p50 - stats[2]) <= width + 1e-9
+
+
+# --- sink_parquet_sorted -----------------------------------------------------
+def test_sink_parquet_sorted_disjoint_shards(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sorted_events")
+    ev = read_table(sf_dir, "events")
+    run_pipe(from_dataframe(ev.df(spark))
+             | sink_parquet_sorted(path, ["event_id"], npart=8), spark)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.df(spark).count()
+
+    # per-file key ranges must be pairwise DISJOINT (global order across
+    # shards) ...
+    ranges = (back.groupBy(F.input_file_name().alias("f"))
+                  .agg(F.min("event_id").alias("lo"),
+                       F.max("event_id").alias("hi"))
+                  .collect())
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert len(spans) > 1, "want multiple shards for a disjointness test"
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, "shard key ranges overlap"
+
+    # ... and rows inside each file must be sorted (row-group stats only
+    # help pruning when the data is physically ordered)
+    import pyarrow.parquet as pq
+    import glob
+    one = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    col = pq.read_table(one, columns=["event_id"])["event_id"].to_pylist()
+    assert col == sorted(col)
+
+
+def test_sink_parquet_sorted_range_predicate_prunes(spark, sf_dir, tmp_path):
+    # a range predicate on the sort key must not read every file:
+    # with 8 disjoint shards, one point-range hits 1 shard
+    path = str(tmp_path / "sorted_events2")
+    ev = read_table(sf_dir, "events")
+    run_pipe(from_dataframe(ev.df(spark))
+             | sink_parquet_sorted(path, ["event_id"], npart=8), spark)
+    back = spark.read.parquet(path)
+    hit = back.where((F.col("event_id") >= 10) & (F.col("event_id") < 20))
+    files = {r[0] for r in
+             hit.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 1
