@@ -25,6 +25,7 @@ import uuid
 from datetime import timedelta
 from typing import Any, Callable, Iterable, Optional
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -350,6 +351,58 @@ def stream_dedup(keys: list, *, watermark_col: Optional[str] = None,
 
     return Stage(fn, name=f"stream_dedup({','.join(keys)})",
                  seq_preserving=False)
+
+
+def stream_sessionize(gap: float = 1800.0, *, key_col: str = "user_id",
+                      time_col: str = "ts", id_col: str = "event_id",
+                      out: str = "session_id") -> Stage:
+    """Streaming row-level sessionization: per-key GroupState carries
+    ``(last event time, current session ordinal)`` and labels every
+    incoming event — the push-mode counterpart of
+    ``operators.temporal.sessionize`` (same strict-> gap rule and
+    0-based per-key ordinals; on a time-ordered stream the labels are
+    identical, replay-law tested).
+
+    State per key is O(1) — two longs — and the label arithmetic is
+    vectorized per Arrow batch (sort + diff + cumsum), no per-row
+    Python loop.  Late (out-of-order) events are labeled against the
+    running state rather than re-splitting closed sessions — the
+    standard streaming relaxation; replay in order for exactness."""
+    if gap < 0:
+        raise ValueError(f"gap must be >= 0, got {gap}")
+    gap_us = int(round(gap * 1_000_000))
+    out_schema = f"key long, {id_col} long, {out} long"
+    state_schema = "last_t long, sess long"
+
+    def fn(df: DataFrame) -> DataFrame:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def handle(key, pdf_iter, state):
+            last_t, sess = state.get if state.exists else (-1, 0)
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("__t")
+                t = pdf["__t"].to_numpy()
+                prev = _np.concatenate(([last_t], t[:-1]))
+                brk = ((prev >= 0) & (t - prev > gap_us)).astype("int64")
+                ids = sess + _np.cumsum(brk)
+                yield pd.DataFrame({"key": pdf["key"],
+                                    id_col: pdf[id_col], out: ids})
+                sess = int(ids[-1])
+                last_t = int(t[-1])
+            state.update((last_t, sess))
+
+        from ..timeutil import epoch_micros
+        ev = df.select(F.col(key_col).cast("long").alias("key"),
+                       F.col(id_col),
+                       epoch_micros(time_col).alias("__t"))
+        return (ev.groupBy("key")
+                  .applyInPandasWithState(
+                      handle, out_schema, state_schema,
+                      "append", GroupStateTimeout.NoTimeout))
+
+    return Stage(fn, name="stream_sessionize", seq_preserving=False)
 
 
 def stream_funnel(steps: list, *, key_col: str = "user_id",

@@ -69,6 +69,33 @@ def test_sessionize_matches_duckdb(spark, sf_dir):
     assert got == want
 
 
+def test_stream_sessionize_replay_equals_batch(spark, sf_dir):
+    """In-order replay law: streaming per-event session labels over a
+    ts-ordered chunked replay equal the batch sessionize labels."""
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir,
+        stream_sessionize)
+
+    d = stage_events_dir(f"{sf_dir}/events.parquet", n_chunks=3)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = run_stream_to_memory(
+        file_stream_source(d, schema) | stream_sessionize(1800.0), spark)
+    got = {r.event_id: (r.key, r.session_id) for r in out.collect()}
+
+    ev = read_table(sf_dir, "events").df(spark)
+    batch = run_pipe(from_dataframe(ev)
+                     | sessionize("ts", 1800.0, keys=("user_id",))
+                     | sink_df(), spark)
+    want = {r.event_id: (r.user_id, r.session_id)
+            for r in batch.select("event_id", "user_id",
+                                  "session_id").collect()}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        stream_sessionize(-1.0)
+
+
 # --- binned_quantiles --------------------------------------------------------
 def test_binned_quantiles_exact_on_uniform(spark):
     # 1..1000 with 1000 bins: every value its own bin; quantile = the
