@@ -751,11 +751,33 @@ def q_knn_lsh_probe_cold(spark, sf):
     return run_pipe(p, spark).select("vec_id", "cosine")
 
 
+def q_sessionize_events(spark, sf):
+    # r5: row-level gap sessionization over events (30-min gap) —
+    # DuckDB-oracled in tests/test_round5.py, benched here
+    from conduino_spark import sessionize
+    ev = _src(sf, "events")
+    p = ev | sessionize("ts", 1800.0, keys=("user_id",)) | sink_df()
+    return run_pipe(p, spark).select("event_id", "user_id", "session_id")
+
+
+def q_binned_quantiles_value(spark, sf):
+    # r5: deterministic histogram quantiles of events.value per type —
+    # bit-identical DuckDB replay tested in tests/test_round5.py
+    from conduino_spark import binned_quantiles
+    ev = _src(sf, "events")
+    p = (ev | binned_quantiles("value", bins=512, keys=("event_type",))
+         | sink_df())
+    return run_pipe(p, spark)
+
+
 def bench_extras():
     """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
-    queries() but NOT driver-gated (they'd burn 50-window slots on
-    variants of already-gated plans)."""
-    return {"knn_lsh_probe_cold": q_knn_lsh_probe_cold}
+    queries() but NOT driver-gated (the 50-window slots are full of
+    green oracle rows; these are covered by the local DuckDB oracles in
+    tests/test_round5.py instead)."""
+    return {"knn_lsh_probe_cold": q_knn_lsh_probe_cold,
+            "sessionize_events": q_sessionize_events,
+            "binned_quantiles_value": q_binned_quantiles_value}
 
 
 def q_knn_bruteforce(spark, sf):

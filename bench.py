@@ -36,8 +36,9 @@ BENCH_QUERIES = [
     "simhash", "ngram_jaccard_lsh",
     "knn_bruteforce", "ivf_search_topk",
     # bench-only (entry.bench_extras): cold index build + probe, so the
-    # warm memoized knn_lsh_probe number has an honest counterpart
-    "knn_lsh_probe_cold",
+    # warm memoized knn_lsh_probe number has an honest counterpart;
+    # r5 ops (tests carry their DuckDB oracles)
+    "knn_lsh_probe_cold", "sessionize_events", "binned_quantiles_value",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

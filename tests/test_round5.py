@@ -164,6 +164,58 @@ def test_binned_quantiles_error_bound(spark, sf_dir):
     assert abs(out.p50 - stats[2]) <= width + 1e-9
 
 
+# --- property laws (hypothesis) ---------------------------------------------
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+LAW_SETTINGS = dict(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@settings(**LAW_SETTINGS)
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False, allow_infinity=False),
+                   min_size=1, max_size=60),
+       bins=st.sampled_from([1, 4, 64]))
+def test_binned_quantiles_laws(spark, xs, bins):
+    """Quantiles are monotone in q, lie within [min, max+binwidth], and
+    the pick for q is within one bin width of the exact quantile."""
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    qs = {"p10": 0.1, "p50": 0.5, "p100": 1.0}
+    row = run_pipe(from_dataframe(df) | binned_quantiles("v", qs, bins=bins)
+                   | sink_df(), spark).collect()[0]
+    lo, hi = min(xs), max(xs)
+    width = (hi - lo) / bins
+    assert row.p10 <= row.p50 <= row.p100
+    for name, q in qs.items():
+        v = getattr(row, name)
+        assert lo <= v <= hi + width + 1e-6 * max(1.0, abs(hi))
+        exact = sorted(xs)[min(len(xs) - 1,
+                               max(0, math.ceil(q * len(xs)) - 1))]
+        assert abs(v - exact) <= width + 1e-6 * max(1.0, abs(hi))
+
+
+@settings(**LAW_SETTINGS)
+@given(ts=st.lists(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=40))
+def test_sessionize_law(spark, ts):
+    """Labels equal the sequential reference on one key: 0-based,
+    incremented whenever the sorted gap exceeds the threshold."""
+    gap = 100.0
+    rows = [(1, float(t)) for t in ts]
+    df = spark.createDataFrame(rows, "user_id long, t double")
+    out = run_pipe(from_dataframe(df)
+                   | sessionize("t", gap, keys=("user_id",))
+                   | sink_df(), spark)
+    got = sorted((r.t, r.session_id) for r in out.collect())
+    want, sess, last = [], 0, None
+    for t in sorted(ts):
+        if last is not None and t - last > gap:
+            sess += 1
+        want.append((float(t), sess))
+        last = t
+    assert got == sorted(want)
+
+
 # --- sink_parquet_sorted -----------------------------------------------------
 def test_sink_parquet_sorted_disjoint_shards(spark, sf_dir, tmp_path):
     path = str(tmp_path / "sorted_events")
