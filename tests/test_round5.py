@@ -164,6 +164,40 @@ def test_binned_quantiles_error_bound(spark, sf_dir):
     assert abs(out.p50 - stats[2]) <= width + 1e-9
 
 
+# --- sliding event windows (oracle) ------------------------------------------
+def test_sliding_window_matches_duckdb(spark, sf_dir):
+    """event_window(slide=...) vs a DuckDB oracle that explodes each
+    event into every window covering it (hop enumeration)."""
+    import duckdb
+    from conduino_spark import event_window
+
+    ev = read_table(sf_dir, "events")
+    out = run_pipe(from_dataframe(ev.df(spark))
+                   | event_window("ts", "1 hour", slide="15 minutes",
+                                  keys=("event_type",))
+                   | sink_df(), spark)
+    got = {(r.w_start.timestamp(), r.event_type): r.n
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    # a 1h/15m hop covers each event in 4 windows: the one starting at
+    # floor-to-15m minus {0,1,2,3} hops (clipped so ts < start + 1h)
+    oracle = con.execute("""
+      WITH hops AS (SELECT unnest(range(4)) AS i),
+      e AS (SELECT event_type,
+                   to_timestamp(floor(epoch(ts) / 900) * 900) AS base, ts
+            FROM events)
+      SELECT epoch(base - i * INTERVAL 15 MINUTE) AS w_start,
+             event_type, count(*) AS n
+      FROM e, hops
+      WHERE ts < base - i * INTERVAL 15 MINUTE + INTERVAL 1 HOUR
+      GROUP BY 1, 2""").fetchall()
+    want = {(float(w), et): n for w, et, n in oracle}
+    assert got == want
+
+
 # --- property laws (hypothesis) ---------------------------------------------
 from hypothesis import HealthCheck, given, settings, strategies as st
 
