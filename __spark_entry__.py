@@ -172,7 +172,7 @@ def q_scan_cumsum(spark, sf):
     st = scan_multi({
         "cum_cents": ("sum", F.round(F.col("o_totalprice") * 100).cast("long")),
         "cum_n": ("count", "o_orderkey"),
-    })
+    }, rescan=True)  # upstream = bare pruned scan; rescanning beats caching
     p = src | st | sink_df()
     out = run_pipe(p, spark)
     # per-row 2^53 guard on the running total: past it the long/100.0
@@ -189,7 +189,7 @@ def q_scan_cumsum(spark, sf):
 
 def q_pairs_lag(spark, sf):
     src = _src(sf, "events", seq_col="event_id")
-    p = src | map_({"v": F.col("user_id")}) | pairs() | sink_df()
+    p = src | map_({"v": F.col("user_id")}) | pairs(rescan=True) | sink_df()
     out = run_pipe(p, spark)
     return out.select(F.col(SEQ).alias("event_id"), "fst", "snd")
 
@@ -197,7 +197,7 @@ def q_pairs_lag(spark, sf):
 def q_consecutive_windows(spark, sf):
     src = _src(sf, "events", seq_col="event_id")
     p = (src | map_({"v": F.col("user_id")})
-         | consecutive(3) | sink_df())
+         | consecutive(3, rescan=True) | sink_df())
     out = run_pipe(p, spark)
     return out.select(
         F.col(SEQ).alias("at_seq"),
