@@ -73,7 +73,9 @@ QUANTILES_DEFAULT = {"p25": 0.25, "p50": 0.5, "p75": 0.75,
 def binned_quantiles(expr: Union[str, Column],
                      qs: "dict[str, float] | None" = None, *,
                      bins: int = 1024,
-                     keys: "tuple[str, ...]" = ()) -> Stage:
+                     keys: "tuple[str, ...]" = (),
+                     lo: "float | None" = None,
+                     hi: "float | None" = None) -> Stage:
     """Deterministic fixed-bin histogram quantiles (per ``keys`` group,
     or global): two cheap aggregation passes whose state is O(bins)
     per group, with error bounded by ``(max − min) / bins``.
@@ -90,10 +92,22 @@ def binned_quantiles(expr: Union[str, Column],
     order-identical IEEE doubles, so :func:`binned_quantiles_sql`
     replays the result bit-for-bit.
 
+    Pass explicit ``lo``/``hi`` (both) to skip the bounds pass: the
+    sketch becomes a SINGLE aggregation pass with literal bin edges —
+    the form to use when the domain is known (scores in [0, 1], bounded
+    sensors) and the only form a STREAMING aggregation can host (a
+    stream can't see its min/max before binning).  Values outside
+    [lo, hi] are clamped into the edge bins (the standard relaxation:
+    the q-estimate then degrades only at the clamped tails).
+
     Returns one row per group: ``keys + [<name> for name in qs]``."""
     qs = dict(qs) if qs else dict(QUANTILES_DEFAULT)
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    if lo is not None and not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
     for name, q in qs.items():
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantile {name}={q} outside (0, 1]")
@@ -102,12 +116,19 @@ def binned_quantiles(expr: Union[str, Column],
     def fn(df: DataFrame) -> DataFrame:
         base = df.where(col.isNotNull()) \
                  .select(*keys, col.cast("double").alias("__x"))
-        bounds = base.groupBy(*keys).agg(F.min("__x").alias("__lo"),
-                                         F.max("__x").alias("__hi"))
-        if keys:
-            j = base.join(bounds, list(keys))
+        if lo is not None:
+            j = base.withColumn("__lo", F.lit(float(lo))) \
+                    .withColumn("__hi", F.lit(float(hi))) \
+                    .withColumn("__x", F.greatest(F.lit(float(lo)),
+                                                  F.least(F.lit(float(hi)),
+                                                          F.col("__x"))))
         else:
-            j = base.crossJoin(F.broadcast(bounds))
+            bounds = base.groupBy(*keys).agg(F.min("__x").alias("__lo"),
+                                             F.max("__x").alias("__hi"))
+            if keys:
+                j = base.join(bounds, list(keys))
+            else:
+                j = base.crossJoin(F.broadcast(bounds))
         # identical expression shape in binned_quantiles_sql — keep in sync
         bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
             F.least(F.floor((F.col("__x") - F.col("__lo"))

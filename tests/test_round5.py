@@ -152,6 +152,36 @@ def test_binned_quantiles_matches_duckdb(spark, sf_dir):
     assert gotk == wantk
 
 
+def test_binned_quantiles_explicit_bounds(spark, sf_dir):
+    """Explicit lo/hi equal to the data's min/max reproduce the
+    derived-bounds result exactly; mismatched lo/hi raise."""
+    ev = read_table(sf_dir, "events").df(spark)
+    mn, mx = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    derived = run_pipe(from_dataframe(ev)
+                       | binned_quantiles("value", {"p50": 0.5}, bins=128)
+                       | sink_df(), spark).collect()[0]
+    explicit = run_pipe(from_dataframe(ev)
+                        | binned_quantiles("value", {"p50": 0.5}, bins=128,
+                                           lo=float(mn), hi=float(mx))
+                        | sink_df(), spark).collect()[0]
+    assert explicit.p50 == derived.p50
+    with pytest.raises(ValueError):
+        binned_quantiles("value", lo=1.0, hi=None)
+    with pytest.raises(ValueError):
+        binned_quantiles("value", lo=2.0, hi=1.0)
+
+
+def test_binned_quantiles_explicit_bounds_clamps(spark):
+    # values beyond [lo, hi] land in the edge bins instead of erroring
+    df = spark.createDataFrame(
+        [(float(x),) for x in (-50.0, 0.1, 0.5, 0.9, 99.0)], "v double")
+    row = run_pipe(from_dataframe(df)
+                   | binned_quantiles("v", {"p50": 0.5}, bins=10,
+                                      lo=0.0, hi=1.0)
+                   | sink_df(), spark).collect()[0]
+    assert 0.0 <= row.p50 <= 1.0
+
+
 def test_binned_quantiles_error_bound(spark, sf_dir):
     # error <= (max-min)/bins vs the exact quantile
     ev = read_table(sf_dir, "events").df(spark)
