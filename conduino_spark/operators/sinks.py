@@ -15,7 +15,7 @@ from typing import Any, Callable, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from conduino_spark.plans.core import SEQ, Sink
+from conduino_spark.plans.core import SEQ, Sink, Stage
 
 
 def sink_list(*, col: str = "v") -> Sink:
@@ -202,6 +202,72 @@ def sink_parquet_sorted(path: str, keys: Sequence[str], *,
         return path
 
     return Sink(run, name=f"sink_parquet_sorted({path})")
+
+
+def zorder_key(cols: Sequence[str], *, bits: int = 16,
+               out: str = "__z") -> "Stage":
+    """Morton (Z-order) key over numeric columns: normalize each to an
+    integer in ``[0, 2^bits)`` via broadcast min/max bounds, then
+    interleave the bits.  Rows close in Z are close in EVERY clustered
+    dimension, so sorting by the key gives multi-column locality —
+    range predicates on any single dimension touch ~N^{(d−1)/d} of the
+    files instead of all of them (a lexicographic sort only prunes its
+    leading column).
+
+    Pure column algebra: one tiny bounds aggregate broadcast into the
+    row expression (the `_with_pid` lazy-bounds shape), then
+    ``bits × d`` shift/mask terms OR-ed together — whole-stage codegen,
+    no shuffle.  ``bits * len(cols)`` must fit a long (≤ 63)."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*dims = {bits * len(cols)} exceeds 63 (long overflow); "
+            "lower bits")
+
+    def fn(df: DataFrame) -> DataFrame:
+        n = float(1 << bits)
+        bounds = df.agg(*[a for c in cols for a in
+                          (F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                           F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))])
+        d = df.crossJoin(F.broadcast(bounds))
+        z = F.lit(0).cast("long")
+        for ci, c in enumerate(cols):
+            lo_, hi_ = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            x = F.when(hi_ == lo_, F.lit(0)).otherwise(
+                F.least(F.floor((F.col(c).cast("double") - lo_)
+                                / (hi_ - lo_) * n),
+                        F.lit((1 << bits) - 1))).cast("long")
+            for b in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)),
+                                b * len(cols) + ci))
+        return d.withColumn(out, z).drop(
+            *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+
+    return Stage(fn, name=f"zorder_key({','.join(cols)})",
+                 seq_preserving=True)
+
+
+def sink_parquet_zorder(path: str, cols: Sequence[str], *, bits: int = 16,
+                        npart: Optional[int] = None,
+                        mode: str = "overwrite") -> Sink:
+    """Z-order clustered parquet layout: compute the Morton key, range
+    partition + sort by it, write without it.  The multi-dimensional
+    counterpart of :func:`sink_parquet_sorted` — use when queries
+    filter on SEVERAL columns and no single sort order serves them
+    all."""
+    key_stage = zorder_key(cols, bits=bits)
+
+    def run(df: DataFrame):
+        d = key_stage(df.drop(SEQ))
+        part = (d.repartitionByRange(npart, F.col("__z")) if npart
+                else d.repartitionByRange(F.col("__z")))
+        (part.sortWithinPartitions("__z").drop("__z")
+             .write.mode(mode).parquet(path))
+        return path
+
+    return Sink(run, name=f"sink_parquet_zorder({path})")
 
 
 def sink_csv(path: str, *, header: bool = True, mode: str = "overwrite",

@@ -310,6 +310,63 @@ def test_sink_parquet_sorted_disjoint_shards(spark, sf_dir, tmp_path):
     assert col == sorted(col)
 
 
+def test_zorder_key_locality_law(spark):
+    """Morton key interleaves correctly: on a [0,3]x[0,3] grid with
+    bits=2, the key of (x, y) is the classic Z curve order."""
+    from conduino_spark import zorder_key
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = zorder_key(["x", "y"], bits=2)(df).collect()
+    got = {(r.x, r.y): r["__z"] for r in out}
+    # bounds are [0,3]; normalized cell = min(floor(v/3*4), 3)
+    def norm(v):
+        return min(int(v / 3 * 4), 3)
+    def interleave(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    for (x, y), z in got.items():
+        assert z == interleave(norm(x), norm(y))
+
+
+def test_sink_parquet_zorder_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Z-order layout: a narrow range predicate on EITHER clustered
+    column touches a strict subset of files; a lexicographic sort by
+    (user_id, event_id) can only prune its leading column."""
+    from conduino_spark import sink_parquet_zorder
+    ev = read_table(sf_dir, "events")
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "lex")
+    run_pipe(from_dataframe(ev.df(spark))
+             | sink_parquet_zorder(zpath, ["user_id", "event_id"],
+                                   npart=8), spark)
+    run_pipe(from_dataframe(ev.df(spark))
+             | sink_parquet_sorted(spath, ["user_id", "event_id"],
+                                   npart=8), spark)
+
+    def touched(path, pred):
+        df = spark.read.parquet(path).where(pred)
+        return len({r[0] for r in
+                    df.select(F.input_file_name()).distinct().collect()})
+
+    zf = spark.read.parquet(zpath)
+    total = len({r[0] for r in
+                 zf.select(F.input_file_name()).distinct().collect()})
+    assert zf.count() == ev.df(spark).count()
+    assert total > 1
+    # narrow slice on each dimension: z-layout concentrates both
+    p_user = "user_id >= 10 AND user_id < 15"
+    p_event = "event_id >= 100 AND event_id < 200"
+    assert touched(zpath, p_user) < total
+    assert touched(zpath, p_event) < total
+    # the lex layout serves its leading column but NOT the second:
+    # every file spans nearly the full event_id range
+    assert touched(spath, p_user) < total
+    assert touched(spath, p_event) >= touched(zpath, p_event)
+
+
 def test_sink_parquet_sorted_range_predicate_prunes(spark, sf_dir, tmp_path):
     # a range predicate on the sort key must not read every file:
     # with 8 disjoint shards, one point-range hits 1 shard
