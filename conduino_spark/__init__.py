@@ -56,8 +56,8 @@ from conduino_spark.operators.text import (
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, embedding_near_dup_pairs, minhash_dedup,
-    minhash_dedup_cc, minhash_dedup_pairs, minhash_signatures,
-    ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
+    minhash_dedup_against, minhash_dedup_cc, minhash_dedup_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
 )
 from conduino_spark.operators.graph import connected_components, pagerank
 from conduino_spark.operators.search import (

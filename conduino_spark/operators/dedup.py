@@ -189,6 +189,50 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id") -> Stage
     return Stage(fn, name="minhash_dedup_pairs", seq_preserving=False)
 
 
+def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          ref_sigs: bool = False) -> Stage:
+    """INCREMENTAL dedup: drop every incoming doc that is LSH-similar
+    to ANY document of an existing ``reference`` corpus — the ingestion
+    pattern (new batch vs the corpus you already kept), where
+    :func:`minhash_dedup` is the within-batch pattern.
+
+    ``reference`` is either raw docs (``id_col``/``text_col``) or, with
+    ``ref_sigs=True``, a precomputed ``minhash_signatures`` table
+    (id, sig) — the 100 TB shape: sign the reference ONCE, persist the
+    narrow 16-long signature table, and every future batch pays only
+    its own signing + one band equi-join.  The incoming batch's raw
+    text never joins anything; only band hashes shuffle.
+
+    Keeps batch-internal duplicates (compose ``minhash_dedup`` /
+    ``minhash_dedup_cc`` for those) — a doc is dropped solely for
+    colliding with the reference."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        new_sigs = track(_minhash_sig_df(df, text_col, id_col))
+        rs = (reference if ref_sigs
+              else _minhash_sig_df(reference, text_col, id_col))
+
+        def bands(sigs: DataFrame, name: str) -> DataFrame:
+            return sigs.select(
+                F.col(id_col).alias(name),
+                F.posexplode(F.array(*[
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * MINHASH_ROWS + r + 1)
+                         .cast("string")
+                        for r in range(MINHASH_ROWS)])
+                    for b in range(MINHASH_BANDS)]))
+                 .alias("band_id", "band_hash"))
+
+        hits = (bands(new_sigs, "__new_id")
+                .join(bands(rs, "__ref_id"), ["band_id", "band_hash"])
+                .select(F.col("__new_id").alias(id_col))
+                .distinct())
+        return df.join(hits, id_col, "anti")
+
+    return Stage(fn, name="minhash_dedup_against", seq_preserving=False)
+
+
 def minhash_dedup(text_col: str = "text", id_col: str = "doc_id") -> Stage:
     """MinHash-LSH dedup: drop every doc that is LSH-similar to a
     lower-id doc (connected-component-free greedy rule: survivor = not

@@ -194,6 +194,62 @@ def test_binned_quantiles_error_bound(spark, sf_dir):
     assert abs(out.p50 - stats[2]) <= width + 1e-9
 
 
+# --- incremental dedup against a reference corpus ----------------------------
+def test_minhash_dedup_against_consistency(spark, sf_dir):
+    """Internal-consistency oracle built from the already-oracled
+    primitive: on the union corpus, minhash_dedup_pairs enumerates all
+    band collisions — a new doc must be dropped by dedup-against iff it
+    collides with some REFERENCE doc (collisions among new docs don't
+    count)."""
+    from conduino_spark import (minhash_dedup_against, minhash_dedup_pairs,
+                                minhash_signatures)
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+
+    kept = run_pipe(from_dataframe(new)
+                    | minhash_dedup_against(ref) | sink_df(), spark)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    pairs = run_pipe(from_dataframe(docs)
+                     | minhash_dedup_pairs() | sink_df(), spark).collect()
+    ref_ids = {r.doc_id for r in ref.select("doc_id").collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    dropped = set()
+    for p in pairs:
+        if p.id_a in ref_ids and p.id_b in new_ids:
+            dropped.add(p.id_b)
+        if p.id_b in ref_ids and p.id_a in new_ids:
+            dropped.add(p.id_a)
+    assert kept_ids == new_ids - dropped
+    assert dropped, "want a non-trivial test: some new doc must collide"
+
+    # precomputed-signature path is equivalent (the 100 TB shape)
+    ref_sig = run_pipe(from_dataframe(ref) | minhash_signatures()
+                       | sink_df(), spark)
+    kept2 = run_pipe(from_dataframe(new)
+                     | minhash_dedup_against(ref_sig, ref_sigs=True)
+                     | sink_df(), spark)
+    assert {r.doc_id for r in kept2.select("doc_id").collect()} == kept_ids
+
+
+def test_minhash_dedup_against_keeps_internal_dups(spark):
+    # identical docs INSIDE the batch survive (dropping them is
+    # minhash_dedup's job); only reference collisions drop
+    from conduino_spark import minhash_dedup_against
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100, "totally different reference corpus text here")],
+        "doc_id long, text string")
+    kept = run_pipe(from_dataframe(new) | minhash_dedup_against(ref)
+                    | sink_df(), spark)
+    assert kept.count() == 2
+
+
 # --- sliding event windows (oracle) ------------------------------------------
 def test_sliding_window_matches_duckdb(spark, sf_dir):
     """event_window(slide=...) vs a DuckDB oracle that explodes each
