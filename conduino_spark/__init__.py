@@ -51,8 +51,8 @@ from conduino_spark.operators.relational import (
     session_window, sql_stage, top_k, union_all,
 )
 from conduino_spark.operators.text import (
-    chunk_text, fingerprint, lang_id, pack_chunks, quality_score,
-    redact_pii, repetition_stats, token_count, tokenize,
+    chunk_text, corpus_filter, fingerprint, lang_id, pack_chunks,
+    quality_score, redact_pii, repetition_stats, token_count, tokenize,
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, embedding_near_dup_pairs, minhash_dedup,

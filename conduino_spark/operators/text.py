@@ -487,6 +487,65 @@ def pack_chunks(budget: int, *, order: Sequence[str] = ("doc_id", "chunk_id"),
     return Stage(fn, name=name, seq_preserving=False)
 
 
+#: corpus_filter default gates — (column, op, threshold); Gopher-flavored
+#: (Rae et al. 2021 §A1.1) plus the engine's quality heuristic
+CORPUS_FILTER_DEFAULT: "dict[str, tuple[str, float]]" = {
+    "quality":             (">=", 0.3),
+    "dup_line_frac":       ("<=", 0.30),
+    "dup_line_char_frac":  ("<=", 0.20),
+    "top_2gram_char_frac": ("<=", 0.20),
+    "symbol_word_ratio":   ("<=", 0.10),
+    "mean_word_len":       ("between", (3.0, 10.0)),
+    "alpha_word_frac":     (">=", 0.80),
+}
+
+
+def corpus_filter(text_col: str = "text", *,
+                  rules: "dict | None" = None,
+                  keep_only: bool = False,
+                  reasons: str = "drop_reasons") -> Stage:
+    """One-pass corpus quality gate: compute the engine's quality score
+    and the Gopher repetition/shape stats, evaluate every rule, and
+    attach ``keep`` (boolean) + ``reasons`` (array of failed rule
+    names) — the audit-trail shape a data pipeline keeps so dropped
+    documents are EXPLAINABLE.  ``keep_only=True`` returns survivors
+    with the metric columns (drop the audit columns downstream).
+
+    Rules: metric → ("<=" | ">=", threshold) or ("between", (lo, hi)).
+    Everything is a single projection pipeline over the corpus — no
+    shuffle, whole-stage codegen, streaming-compatible."""
+    rules = dict(rules) if rules is not None else dict(CORPUS_FILTER_DEFAULT)
+    q_stage = quality_score(text_col)
+    r_stage = repetition_stats(text_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = r_stage(q_stage(df))
+        checks = []
+        for metric, (op, th) in rules.items():
+            c = F.col(metric)
+            if op == "<=":
+                ok = c <= F.lit(th)
+            elif op == ">=":
+                ok = c >= F.lit(th)
+            elif op == "between":
+                lo, hi = th
+                ok = (c >= F.lit(lo)) & (c <= F.lit(hi))
+            else:
+                raise ValueError(f"corpus_filter: unknown op {op!r}")
+            checks.append((metric, F.coalesce(ok, F.lit(False))))
+        reason_arr = F.filter(
+            F.array(*[F.when(~ok, F.lit(m)).otherwise(F.lit(None))
+                      for m, ok in checks]),
+            lambda x: x.isNotNull())
+        d = (d.withColumn(reasons, reason_arr)
+              .withColumn("keep", F.size(F.col(reasons)) == 0))
+        if keep_only:
+            return d.where("keep").drop("keep", reasons)
+        return d
+
+    return Stage(fn, name="corpus_filter", seq_preserving=True)
+
+
 #: PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
 #: no lookaround, no backrefs.  Replacement order matters only in that
 #: tokens contain no digits/@, so earlier redactions never re-match.

@@ -194,6 +194,72 @@ def test_binned_quantiles_error_bound(spark, sf_dir):
     assert abs(out.p50 - stats[2]) <= width + 1e-9
 
 
+# --- corpus_filter (one-pass quality gate) ------------------------------------
+def test_corpus_filter_reasons_and_keep(spark, sf_dir):
+    from conduino_spark import corpus_filter
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    out = run_pipe(from_dataframe(docs) | corpus_filter() | sink_df(), spark)
+    rows = out.collect()
+    assert len(rows) == docs.count()          # audit mode keeps all rows
+    for r in rows:
+        assert r.keep == (len(r.drop_reasons) == 0)
+    # every reason names a real rule
+    from conduino_spark.operators.text import CORPUS_FILTER_DEFAULT
+    for r in rows:
+        assert set(r.drop_reasons) <= set(CORPUS_FILTER_DEFAULT)
+    kept = run_pipe(from_dataframe(docs) | corpus_filter(keep_only=True)
+                    | sink_df(), spark)
+    assert kept.count() == sum(1 for r in rows if r.keep)
+    assert "keep" not in kept.columns and "drop_reasons" not in kept.columns
+
+
+def test_corpus_filter_flags_repetitive_doc(spark):
+    from conduino_spark import corpus_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away into the quiet evening with a friend of his "
+            "from the farm near the old river bank ") * 6
+    spam = "buy now " * 200
+    df = spark.createDataFrame([(0, good), (1, spam)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           run_pipe(from_dataframe(df) | corpus_filter() | sink_df(),
+                    spark).collect()}
+    assert out[0].keep
+    assert not out[1].keep and "top_2gram_char_frac" in out[1].drop_reasons
+
+    with pytest.raises(ValueError):
+        corpus_filter(rules={"quality": ("??", 1)})(df)
+
+
+# --- r5 edge battery: empty and single-row inputs -----------------------------
+def test_round5_ops_on_empty_and_singleton(spark):
+    from conduino_spark import corpus_filter, zorder_key
+
+    empty_ev = spark.createDataFrame([], "user_id long, t double")
+    one_ev = spark.createDataFrame([(1, 5.0)], "user_id long, t double")
+    s = sessionize("t", 60.0, keys=("user_id",))
+    assert s(empty_ev).count() == 0
+    assert [r.session_id for r in s(one_ev).collect()] == [0]
+
+    q = binned_quantiles("t", {"p50": 0.5}, bins=16)
+    # GLOBAL aggregate over empty input = one all-NULL row (standard
+    # SQL semantics — DuckDB's rendering does the same); keyed = empty
+    erow = q(empty_ev).collect()
+    assert len(erow) == 1 and erow[0].p50 is None
+    qk = binned_quantiles("t", {"p50": 0.5}, bins=16, keys=("user_id",))
+    assert qk(empty_ev).count() == 0
+    assert q(one_ev).collect()[0].p50 == 5.0
+
+    z = zorder_key(["user_id", "t"], bits=8)
+    assert z(empty_ev).count() == 0
+    assert z(one_ev).collect()[0]["__z"] == 0  # degenerate bounds -> bin 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus_filter()(empty_docs).count() == 0
+
+
 # --- incremental dedup against a reference corpus ----------------------------
 def test_minhash_dedup_against_consistency(spark, sf_dir):
     """Internal-consistency oracle built from the already-oracled
