@@ -76,7 +76,8 @@ from conduino_spark.operators.temporal import (
 )
 from conduino_spark.operators.sketches import binned_quantiles, kmv_distinct
 from conduino_spark.operators.sampling import (
-    hash_sample, hash_split, reservoir_per_key, shard_by, stratified_sample,
+    hash_sample, hash_split, mixture, reservoir_per_key, shard_by,
+    stratified_sample,
 )
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,

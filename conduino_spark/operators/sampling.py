@@ -153,6 +153,40 @@ def reservoir_per_key(group_key: Union[str, Sequence[str]], n: int, *,
     return Stage(fn, name=name)
 
 
+def mixture(sources: "Mapping[str, tuple[DataFrame, float]]", *,
+            key: ExprLike = "doc_id", salt: str = "",
+            out: str = "mix_source") -> DataFrame:
+    """Deterministic training-mixture composer: for each named source,
+    keep a ``fraction`` of its rows (``h32(salt || name || key)``-based,
+    so per-source samples are independent even over shared keys) and
+    union the survivors tagged with ``out`` = the source name — the
+    "N parts web, M parts code" corpus-mixing step, reproducible across
+    runs/engines/cluster sizes like every sampler here.
+
+    Fractions may exceed 1 conceptually (epochs); this implementation
+    caps at 1.0 and raises instead of silently duplicating rows —
+    explicit replication belongs to the caller (a ``crossJoin`` with a
+    replica index changes row identity, which dedup/training bookkeeping
+    must see).
+
+    Schemas must union by name; returns a DataFrame (a source-level
+    combinator, not a Stage — it consumes several inputs)."""
+    if not sources:
+        raise ValueError("mixture: sources must be non-empty")
+    parts = []
+    for name, (df, fraction) in sources.items():
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(
+                f"mixture[{name}]: fraction {fraction} outside [0, 1]; "
+                "replicate explicitly for multi-epoch weights")
+        sampled = hash_sample(key, fraction, salt=f"{salt}{name}|")(df)
+        parts.append(sampled.withColumn(out, F.lit(name)))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
 def shard_by(key: ExprLike, n_shards: int, *, out: str = "shard",
              repartition: bool = False, name: str = "shard_by") -> Stage:
     """Deterministic shard id in [0, n_shards): ``h32(key) % n``.

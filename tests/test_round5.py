@@ -194,6 +194,38 @@ def test_binned_quantiles_error_bound(spark, sf_dir):
     assert abs(out.p50 - stats[2]) <= width + 1e-9
 
 
+# --- mixture (training-mixture composer) --------------------------------------
+def test_mixture_deterministic_and_tagged(spark, sf_dir):
+    from conduino_spark import mixture
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    mix = mixture({"even": (a, 0.5), "odd": (b, 0.25)})
+    rows = [(r.doc_id, r.mix_source) for r in
+            mix.select("doc_id", "mix_source").collect()]
+    rows2 = [(r.doc_id, r.mix_source) for r in
+             mixture({"even": (a, 0.5), "odd": (b, 0.25)})
+             .select("doc_id", "mix_source").collect()]
+    assert sorted(rows) == sorted(rows2)          # reproducible
+    n_even = sum(1 for _, s in rows if s == "even")
+    n_odd = sum(1 for _, s in rows if s == "odd")
+    # h32 is uniform: expect ~125/~62 with generous slack
+    assert 0.3 * a.count() < n_even < 0.7 * a.count()
+    assert 0.1 * b.count() < n_odd < 0.45 * b.count()
+    # per-source salting decorrelates: same doc sampled independently
+    # when offered through different source names
+    m2 = mixture({"x": (a, 0.5), "y": (a, 0.5)}, salt="s")
+    xs = {r.doc_id for r in m2.where("mix_source = 'x'").collect()}
+    ys = {r.doc_id for r in m2.where("mix_source = 'y'").collect()}
+    assert xs != ys
+
+    with pytest.raises(ValueError):
+        mixture({})
+    with pytest.raises(ValueError):
+        mixture({"a": (a, 2.0)})
+
+
 # --- corpus_filter (one-pass quality gate) ------------------------------------
 def test_corpus_filter_reasons_and_keep(spark, sf_dir):
     from conduino_spark import corpus_filter
