@@ -238,12 +238,20 @@ def stage_events_dir(spark_parquet_path: str, out_dir: Optional[str] = None,
         t = pa.table(cols, schema=pa.schema(fields))
     n = t.num_rows
     chunk = max(1, n // n_chunks)
+    t0 = time.time()
     for i in range(n_chunks):
         lo = i * chunk
         hi = n if i == n_chunks - 1 else min(n, (i + 1) * chunk)
         if lo >= hi:
             break
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(out_dir, f"part_{i:03d}.parquet"))
+        p = os.path.join(out_dir, f"part_{i:03d}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), p)
+        # the file source orders pending files by MODIFICATION TIME, and
+        # small chunks all land inside one clock tick — tie order is then
+        # listing-dependent, which scrambled the in-order replay law for
+        # order-sensitive consumers (observed: stream_sessionize under
+        # full-suite timing).  Force strictly increasing mtimes.
+        os.utime(p, (t0 + i, t0 + i))
     if sentinel_hours is not None:
         import pyarrow.compute as pc
 
@@ -262,9 +270,10 @@ def stage_events_dir(spark_parquet_path: str, out_dir: Optional[str] = None,
             p = os.path.join(out_dir, f"part_{900 + j:03d}.parquet")
             pq.write_table(pa.table(cols, schema=base.schema), p)
             # the file source orders pending files by modification time:
-            # force the sentinels strictly after the data chunks (and
-            # after each other) so they form the final micro-batches
-            bump = time.time() + 2.0 + j
+            # force the sentinels strictly after the data chunks' forced
+            # mtimes (t0 + i above) and after each other so they form
+            # the final micro-batches
+            bump = t0 + n_chunks + 1.0 + j
             os.utime(p, (bump, bump))
     return out_dir
 
