@@ -735,17 +735,19 @@ def q_knn_lsh_probe(spark, sf):
 def q_knn_lsh_probe_cold(spark, sf):
     """Cold-path variant of q_knn_lsh_probe for the bench ONLY (not a
     gate query — the 50-window contract): rebuilds the bucket-partitioned
-    index into a fresh directory every call, so the reported number
-    includes index materialization and can't silently lean on the
-    (sf_dir, mtime) memo the warm path uses."""
+    index from scratch every call, so the reported number includes
+    index materialization and can't silently lean on the (sf_dir,
+    mtime) memo the warm path uses.  ONE directory per process,
+    overwritten per call — a mkdtemp per call would leak a full index
+    copy per bench sample."""
     import os
     import tempfile
     from conduino_spark import knn_lsh, lsh_index_write
     emb = _src(sf, "embeddings").df(spark)
     row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
     qv = [float(x) for x in row["embedding"]]
-    d = tempfile.mkdtemp(prefix="lsh_idx_cold_")
-    lsh_index_write(emb, d, dim=len(qv))
+    d = os.path.join(tempfile.gettempdir(), f"lsh_idx_cold_{os.getpid()}")
+    lsh_index_write(emb, d, dim=len(qv))  # mode=overwrite: full rebuild
     idx = spark.read.parquet(d)
     p = from_dataframe(idx) | knn_lsh(qv, k=10, bucket_col="bucket") | sink_df()
     return run_pipe(p, spark).select("vec_id", "cosine")

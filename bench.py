@@ -133,9 +133,13 @@ def main() -> None:
             dt = sample_once(name)
             if dt is not None:
                 samples[name].append(dt)
-    times = {n: round(min(rs), 3) for n, rs in samples.items() if rs}
+    # a query that failed is excluded from the total even if earlier
+    # rounds sampled it — otherwise two runs with the same broken query
+    # report incomparable totals depending on WHEN the failure fired
+    times = {n: round(min(rs), 3) for n, rs in samples.items()
+             if rs and n not in failed}
     spread = {n: round(max(rs) / max(min(rs), 1e-9), 1)
-              for n, rs in samples.items() if rs}
+              for n, rs in samples.items() if rs and n not in failed}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -115,20 +115,30 @@ def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return _sig_from_hashes(_shingle_hashes(df, text_col, id_col), id_col)
 
 
-def _band_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band
-    bucket.  ``sigs`` should be persisted by the caller: the self-join
-    otherwise recomputes the md5 pipeline on BOTH sides (AQE's
-    broadcast conversion defeats exchange reuse) — measured 15s → 0.3s
-    at sf0.1.  Standard LSH practice at any scale."""
-    bands = sigs.select(
-        id_col,
+def _band_explode(sigs: DataFrame, id_col: str, alias: str) -> DataFrame:
+    """(alias, band_id, band_hash) — one row per LSH band per doc.  The
+    banding layout (MINHASH_BANDS × MINHASH_ROWS, ','-joined) is the
+    collision CONTRACT shared by within-batch pairing
+    (:func:`_band_pairs`) and incremental dedup
+    (:func:`minhash_dedup_against`); both MUST go through this one
+    function or they silently stop agreeing on what "similar" means."""
+    return sigs.select(
+        F.col(id_col).alias(alias),
         F.posexplode(F.array(*[
             F.concat_ws(",", *[
                 F.element_at("sig", b * MINHASH_ROWS + r + 1).cast("string")
                 for r in range(MINHASH_ROWS)])
             for b in range(MINHASH_BANDS)])).alias("band_id", "band_hash"),
     )
+
+
+def _band_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band
+    bucket.  ``sigs`` should be persisted by the caller: the self-join
+    otherwise recomputes the md5 pipeline on BOTH sides (AQE's
+    broadcast conversion defeats exchange reuse) — measured 15s → 0.3s
+    at sf0.1.  Standard LSH practice at any scale."""
+    bands = _band_explode(sigs, id_col, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -209,23 +219,15 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
     colliding with the reference."""
 
     def fn(df: DataFrame) -> DataFrame:
-        new_sigs = track(_minhash_sig_df(df, text_col, id_col))
+        # no persist: unlike _band_pairs' self-join, each signature
+        # table is consumed exactly once here — a track() would pay a
+        # full materialization per batch for zero recompute savings
+        new_sigs = _minhash_sig_df(df, text_col, id_col)
         rs = (reference if ref_sigs
               else _minhash_sig_df(reference, text_col, id_col))
-
-        def bands(sigs: DataFrame, name: str) -> DataFrame:
-            return sigs.select(
-                F.col(id_col).alias(name),
-                F.posexplode(F.array(*[
-                    F.concat_ws(",", *[
-                        F.element_at("sig", b * MINHASH_ROWS + r + 1)
-                         .cast("string")
-                        for r in range(MINHASH_ROWS)])
-                    for b in range(MINHASH_BANDS)]))
-                 .alias("band_id", "band_hash"))
-
-        hits = (bands(new_sigs, "__new_id")
-                .join(bands(rs, "__ref_id"), ["band_id", "band_hash"])
+        hits = (_band_explode(new_sigs, id_col, "__new_id")
+                .join(_band_explode(rs, id_col, "__ref_id"),
+                      ["band_id", "band_hash"])
                 .select(F.col("__new_id").alias(id_col))
                 .distinct())
         return df.join(hits, id_col, "anti")

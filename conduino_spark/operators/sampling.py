@@ -169,6 +169,11 @@ def mixture(sources: "Mapping[str, tuple[DataFrame, float]]", *,
     replica index changes row identity, which dedup/training bookkeeping
     must see).
 
+    NULL ``key`` rows are DROPPED from every source — even at
+    fraction 1.0 — inheriting :func:`hash_sample`'s no-hash-no-
+    membership rule; reconcile input vs mixed counts with that in
+    mind, or assign surrogate keys upstream.
+
     Schemas must union by name; returns a DataFrame (a source-level
     combinator, not a Stage — it consumes several inputs)."""
     if not sources:

@@ -234,7 +234,12 @@ def zorder_key(cols: Sequence[str], *, bits: int = 16,
         z = F.lit(0).cast("long")
         for ci, c in enumerate(cols):
             lo_, hi_ = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-            x = F.when(hi_ == lo_, F.lit(0)).otherwise(
+            # NULLs sort to cell 0 EXPLICITLY: F.least skips nulls, so
+            # without the isNull branch a null dimension would land in
+            # the MAX cell and co-locate null rows with the largest
+            # values, silently defeating pruning at that end
+            x = F.when(F.col(c).isNull() | (hi_ == lo_), F.lit(0)) \
+                 .otherwise(
                 F.least(F.floor((F.col(c).cast("double") - lo_)
                                 / (hi_ - lo_) * n),
                         F.lit((1 << bits) - 1))).cast("long")

@@ -156,10 +156,18 @@ def binned_quantiles(expr: Union[str, Column],
 
 def binned_quantiles_sql(expr: str, qs: "dict[str, float] | None" = None, *,
                          bins: int = 1024, keys: "tuple[str, ...]" = (),
+                         lo: "float | None" = None,
+                         hi: "float | None" = None,
                          table: str) -> str:
     """DuckDB rendering of :func:`binned_quantiles` — bit-identical
-    (same expression shapes, same IEEE-double evaluation order)."""
+    (same expression shapes, same IEEE-double evaluation order), for
+    BOTH modes: derived bounds (default) and explicit ``lo``/``hi``
+    (literal edges + the same greatest/least clamp the stage applies).
+    ``expr`` must be a bare column name (it is qualified as
+    ``t.{expr}``)."""
     qs = dict(qs) if qs else dict(QUANTILES_DEFAULT)
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
     kl = ", ".join(keys)
     kcomma = f"{kl}, " if keys else ""
     part = f"PARTITION BY {kl}" if keys else ""
@@ -167,11 +175,28 @@ def binned_quantiles_sql(expr: str, qs: "dict[str, float] | None" = None, *,
     picks = ",\n             ".join(
         f"min(CASE WHEN cum >= n * {q!r} THEN edge END) AS {name}"
         for name, q in qs.items())
-    return f"""
-      WITH __b AS (
+    if lo is not None:
+        bounds_cte = ""
+        x = (f"greatest({float(lo)!r}, least({float(hi)!r}, "
+             f"CAST(t.{expr} AS DOUBLE)))")
+        j_cte = f"""
+      __j AS (
+        SELECT {''.join('t.' + k + ', ' for k in keys)}
+               CAST(CASE WHEN {float(hi)!r} = {float(lo)!r} THEN 0 ELSE
+                 least(floor(({x} - {float(lo)!r})
+                             / ({float(hi)!r} - {float(lo)!r}) * {bins}),
+                       {bins - 1})
+               END AS BIGINT) AS bin,
+               {float(lo)!r} AS lo, {float(hi)!r} AS hi
+        FROM {table} t
+        WHERE t.{expr} IS NOT NULL),"""
+    else:
+        bounds_cte = f"""
+      __b AS (
         SELECT {kcomma}min(CAST({expr} AS DOUBLE)) AS lo,
                max(CAST({expr} AS DOUBLE)) AS hi
-        FROM {table} WHERE {expr} IS NOT NULL {group}),
+        FROM {table} WHERE {expr} IS NOT NULL {group}),"""
+        j_cte = f"""
       __j AS (
         SELECT {''.join('t.' + k + ', ' for k in keys)}
                CAST(CASE WHEN b.hi = b.lo THEN 0 ELSE
@@ -179,7 +204,9 @@ def binned_quantiles_sql(expr: str, qs: "dict[str, float] | None" = None, *,
                              / (b.hi - b.lo) * {bins}), {bins - 1})
                END AS BIGINT) AS bin, b.lo AS lo, b.hi AS hi
         FROM {table} t {'JOIN __b b USING (' + kl + ')' if keys else 'CROSS JOIN __b b'}
-        WHERE t.{expr} IS NOT NULL),
+        WHERE t.{expr} IS NOT NULL),"""
+    return f"""
+      WITH {bounds_cte}{j_cte}
       __h AS (
         SELECT {kcomma}bin, lo, hi, count(*) AS c
         FROM __j GROUP BY {kcomma}bin, lo, hi),

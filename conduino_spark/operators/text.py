@@ -515,6 +515,14 @@ def corpus_filter(text_col: str = "text", *,
     Everything is a single projection pipeline over the corpus — no
     shuffle, whole-stage codegen, streaming-compatible."""
     rules = dict(rules) if rules is not None else dict(CORPUS_FILTER_DEFAULT)
+    # validate at CONSTRUCTION, not first execution — a typo'd op must
+    # fail at pipeline build time, not hours into a submitted job
+    for metric, (op, th) in rules.items():
+        if op not in ("<=", ">=", "between"):
+            raise ValueError(f"corpus_filter: unknown op {op!r} for {metric}")
+        if op == "between" and len(th) != 2:
+            raise ValueError(f"corpus_filter: between needs (lo, hi) "
+                             f"for {metric}, got {th!r}")
     q_stage = quality_score(text_col)
     r_stage = repetition_stats(text_col)
 
@@ -527,11 +535,9 @@ def corpus_filter(text_col: str = "text", *,
                 ok = c <= F.lit(th)
             elif op == ">=":
                 ok = c >= F.lit(th)
-            elif op == "between":
+            else:
                 lo, hi = th
                 ok = (c >= F.lit(lo)) & (c <= F.lit(hi))
-            else:
-                raise ValueError(f"corpus_filter: unknown op {op!r}")
             checks.append((metric, F.coalesce(ok, F.lit(False))))
         reason_arr = F.filter(
             F.array(*[F.when(~ok, F.lit(m)).otherwise(F.lit(None))

@@ -372,35 +372,46 @@ def stream_sessionize(gap: float = 1800.0, *, key_col: str = "user_id",
     0-based per-key ordinals; on a time-ordered stream the labels are
     identical, replay-law tested).
 
-    State per key is O(1) — two longs — and the label arithmetic is
-    vectorized per Arrow batch (sort + diff + cumsum), no per-row
-    Python loop.  Late (out-of-order) events are labeled against the
-    running state rather than re-splitting closed sessions — the
-    standard streaming relaxation; replay in order for exactness."""
+    State per key is O(1) — two longs + a seen flag — and the label
+    arithmetic is vectorized (sort + diff + cumsum), no per-row Python
+    loop.  The group's WHOLE micro-batch is concatenated and sorted
+    ONCE before labeling: Arrow hands the handler a chunk iterator
+    whose boundaries can interleave mapper outputs, so sorting chunks
+    independently would mislabel any cross-chunk reordering (the
+    replay law would silently fail past one Arrow batch per key).
+    Memory is bounded by the per-key micro-batch slice, which
+    micro-batch sizing already bounds.  Late (out-of-order ACROSS
+    micro-batches) events are labeled against the running state rather
+    than re-splitting closed sessions — the standard streaming
+    relaxation; replay in order for exactness."""
     if gap < 0:
         raise ValueError(f"gap must be >= 0, got {gap}")
     gap_us = int(round(gap * 1_000_000))
     out_schema = f"key long, {id_col} long, {out} long"
-    state_schema = "last_t long, sess long"
+    # `seen` disambiguates "no previous event" from any real last_t —
+    # a -1 sentinel would misread legitimate pre-1970 timestamps
+    state_schema = "last_t long, sess long, seen long"
 
     def fn(df: DataFrame) -> DataFrame:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         def handle(key, pdf_iter, state):
-            last_t, sess = state.get if state.exists else (-1, 0)
-            for pdf in pdf_iter:
-                if not len(pdf):
-                    continue
+            last_t, sess, seen = state.get if state.exists else (0, 0, 0)
+            pdf = pd.concat(list(pdf_iter), ignore_index=True)
+            if len(pdf):
                 pdf = pdf.sort_values("__t")
                 t = pdf["__t"].to_numpy()
                 prev = _np.concatenate(([last_t], t[:-1]))
-                brk = ((prev >= 0) & (t - prev > gap_us)).astype("int64")
+                first_ok = _np.ones(len(t), dtype=bool)
+                first_ok[0] = bool(seen)
+                brk = (first_ok & (t - prev > gap_us)).astype("int64")
                 ids = sess + _np.cumsum(brk)
                 yield pd.DataFrame({"key": pdf["key"],
                                     id_col: pdf[id_col], out: ids})
                 sess = int(ids[-1])
                 last_t = int(t[-1])
-            state.update((last_t, sess))
+                seen = 1
+            state.update((last_t, sess, seen))
 
         from ..timeutil import epoch_micros
         ev = df.select(F.col(key_col).cast("long").alias("key"),

@@ -182,6 +182,28 @@ def test_binned_quantiles_explicit_bounds_clamps(spark):
     assert 0.0 <= row.p50 <= 1.0
 
 
+def test_binned_quantiles_explicit_bounds_sql_replay(spark, sf_dir):
+    """The explicit-bounds mode has its own DuckDB rendering, and it
+    stays bit-identical even when values fall OUTSIDE [lo, hi] (both
+    sides clamp into the edge bins the same way)."""
+    import duckdb
+
+    ev = read_table(sf_dir, "events").df(spark)
+    qs = {"p50": 0.5, "p90": 0.9}
+    # bounds narrower than the data: clamping is exercised
+    got = run_pipe(from_dataframe(ev)
+                   | binned_quantiles("value", qs, bins=64,
+                                      lo=10.0, hi=50.0)
+                   | sink_df(), spark).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = con.execute(
+        binned_quantiles_sql("value", qs, bins=64, lo=10.0, hi=50.0,
+                             table="events")).fetchone()
+    assert (got.p50, got.p90) == want
+
+
 def test_binned_quantiles_error_bound(spark, sf_dir):
     # error <= (max-min)/bins vs the exact quantile
     ev = read_table(sf_dir, "events").df(spark)
