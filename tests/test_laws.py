@@ -27,9 +27,11 @@ LAW_SETTINGS = dict(max_examples=8, deadline=None,
 @settings(**LAW_SETTINGS)
 @given(xs=st.lists(st.integers(min_value=-50, max_value=50), max_size=20),
        npart=st.integers(min_value=1, max_value=6),
-       bits=st.sampled_from([0, 20, 33]))
-def test_scan_sum_law(spark, xs, npart, bits):
-    got = run_pipe(source_list(xs) | _shift(bits) | scan("sum", npart=npart)
+       bits=st.sampled_from([0, 20, 33]),
+       rescan=st.booleans())
+def test_scan_sum_law(spark, xs, npart, bits, rescan):
+    got = run_pipe(source_list(xs) | _shift(bits)
+                   | scan("sum", npart=npart, rescan=rescan)
                    | sink_list(), spark)
     acc, want = 0, []
     for x in xs:
@@ -41,9 +43,11 @@ def test_scan_sum_law(spark, xs, npart, bits):
 @settings(**LAW_SETTINGS)
 @given(xs=st.lists(st.integers(min_value=-50, max_value=50), max_size=20),
        npart=st.integers(min_value=1, max_value=6),
-       bits=st.sampled_from([0, 33]))
-def test_pairs_law(spark, xs, npart, bits):
-    got = run_pipe(source_list(xs) | _shift(bits) | pairs(npart=npart)
+       bits=st.sampled_from([0, 33]),
+       rescan=st.booleans())
+def test_pairs_law(spark, xs, npart, bits, rescan):
+    got = run_pipe(source_list(xs) | _shift(bits)
+                   | pairs(npart=npart, rescan=rescan)
                    | sink_list(), spark)
     assert got == list(zip(xs, xs[1:]))
 
@@ -52,10 +56,12 @@ def test_pairs_law(spark, xs, npart, bits):
 @given(xs=st.lists(st.integers(min_value=-50, max_value=50), max_size=16),
        n=st.integers(min_value=1, max_value=5),
        npart=st.integers(min_value=1, max_value=6),
-       bits=st.sampled_from([0, 33]))
-def test_consecutive_law(spark, xs, n, npart, bits):
+       bits=st.sampled_from([0, 33]),
+       rescan=st.booleans())
+def test_consecutive_law(spark, xs, n, npart, bits, rescan):
     got = run_pipe(source_list(xs) | _shift(bits)
-                   | consecutive(n, npart=npart) | sink_list(), spark)
+                   | consecutive(n, npart=npart, rescan=rescan)
+                   | sink_list(), spark)
     want = [xs[max(0, i - n):i] for i in range(len(xs))]
     want.append(xs[-n:] if xs else [])
     assert got == want
