@@ -68,7 +68,8 @@ from conduino_spark.operators.similarity import (
     lsh_index_write, probe_buckets,
 )
 from conduino_spark.operators.multimodal import (
-    feature_extract, frame_sample, image_metadata, image_resize,
+    audio_metadata, feature_extract, frame_sample, image_metadata,
+    image_resize,
 )
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (

@@ -73,6 +73,46 @@ def image_metadata(binary_col: str = "content", id_col: str = "id", *,
     return Stage(fn, name="image_metadata", seq_preserving=False)
 
 
+def _fake_decode_audio(data: bytes) -> tuple[int, int, str]:
+    """Deterministic fake audio header parse: (sample_rate, n_samples,
+    fmt) from a digest of the bytes.  Replace with soundfile/ffprobe in
+    a real deployment."""
+    d = hashlib.md5(data or b"").digest()
+    rate = [8000, 16000, 22050, 44100, 48000][d[6] % 5]
+    n_samples = 1 + struct.unpack("<I", d[7:11])[0] % (rate * 30)
+    fmt = ["wav", "flac", "mp3", "ogg"][d[11] % 4]
+    return rate, n_samples, fmt
+
+
+def audio_metadata(binary_col: str = "content", id_col: str = "id", *,
+                   codec: str = "fake") -> Stage:
+    """Decode audio headers → typed metadata rows (the
+    :data:`AUDIO_META_SCHEMA` shape) — same ``mapInPandas`` Arrow
+    plumbing as :func:`image_metadata`, with the duration derivable as
+    ``n_samples / sample_rate`` downstream in pure column algebra."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        def run(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                if codec == "real":
+                    raise NotImplementedError(
+                        "real audio codecs unavailable in this container; "
+                        "wire soundfile/ffprobe here")
+                rows = [_fake_decode_audio(b if b is not None else b"")
+                        for b in pdf[binary_col]]
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "format": [r[2] for r in rows],
+                })
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+            run, AUDIO_META_SCHEMA)
+
+    return Stage(fn, name="audio_metadata", seq_preserving=False)
+
+
 def image_resize(binary_col: str = "content", id_col: str = "id", *,
                  width: int = 224, height: int = 224, codec: str = "fake") -> Stage:
     """Resize stub: real Arrow plumbing, fake resample (content digest ⊕

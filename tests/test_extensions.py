@@ -171,6 +171,28 @@ def test_multimodal_stubs(spark):
     assert sorted(map(str, fe)) == sorted(map(str, fe2))
 
 
+def test_audio_metadata_stub(spark):
+    from conduino_spark import audio_metadata
+    blobs = source_list([
+        {"id": 1, "content": b"fake-audio-bytes-aaa"},
+        {"id": 2, "content": b"fake-audio-bytes-bbb"},
+        {"id": 3, "content": None},
+    ])
+    meta = df_of(blobs | audio_metadata() | sink_df(), spark)
+    assert meta.columns == ["id", "sample_rate", "n_samples", "format"]
+    rows = {r["id"]: r for r in meta.collect()}
+    assert len(rows) == 3
+    assert rows[1]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+    assert rows[1]["n_samples"] >= 1
+    # determinism
+    again = {r["id"]: tuple(r) for r in
+             df_of(blobs | audio_metadata() | sink_df(), spark).collect()}
+    assert again == {k: tuple(v) for k, v in rows.items()}
+    with pytest.raises(Exception, match="NotImplementedError|real audio"):
+        df_of(blobs | audio_metadata(codec="real") | sink_df(),
+              spark).collect()
+
+
 def test_multimodal_real_codec_raises(spark):
     blobs = source_list([{"id": 1, "content": b"x"}])
     with pytest.raises(Exception, match="NotImplementedError|real image codecs"):
