@@ -75,7 +75,9 @@ from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (
     asof_join, funnel, interval_join, rolling_agg, sessionize,
 )
-from conduino_spark.operators.sketches import binned_quantiles, kmv_distinct
+from conduino_spark.operators.sketches import (
+    binned_quantiles, bloom_build, bloom_contains, kmv_distinct,
+)
 from conduino_spark.operators.sampling import (
     hash_sample, hash_split, mixture, reservoir_per_key, shard_by,
     stratified_sample,

@@ -65,6 +65,117 @@ def kmv_distinct_sql(expr: str, k: int = 256, *,
              END AS {out} FROM __a"""
 
 
+#: bloom filter word width: 63 bits per long keeps every shift result
+#: positive in BOTH Spark and DuckDB (bit 63 would flip the sign and
+#: the engines disagree on overflow behavior)
+BLOOM_WORD_BITS = 63
+
+
+def bloom_build(expr: Union[str, Column], *, m_bits: int = 1 << 20,
+                k: int = 5, out: str = "bloom") -> Stage:
+    """Build a Bloom filter over ``expr`` as ONE row holding the bit
+    array (``array<long>``, 63 bits per word) — the classic membership
+    sketch for join/filter pre-pruning: O(m) state regardless of data
+    size, mergeable by word-wise OR, ~``(1−e^{−kn/m})^k`` false-positive
+    rate and NO false negatives.
+
+    Deterministic across engines: positions are ``h32(i || value) %
+    m_bits`` (md5-derived), so a DuckDB oracle rebuilds the identical
+    words — unlike Spark's own ``bloomFilter``, whose layout is
+    engine-private.
+
+    Plan: projection → posexplode(k positions) → distinct → ONE hash
+    aggregate over ≤ ``m_bits/63`` word groups (map-side partials; only
+    int pairs shuffle) → dense array via a sparse-to-dense aggregate.
+    Use :func:`bloom_contains` to probe."""
+    if m_bits < BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be >= {BLOOM_WORD_BITS}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+
+    def fn(df: DataFrame) -> DataFrame:
+        pos = F.array(*[
+            h32(F.concat(F.lit(f"{i}|"), col.cast("string"))) % m_bits
+            for i in range(k)])
+        p = (df.where(col.isNotNull())
+               .select(F.explode(pos).alias("__p"))
+               .distinct())
+        # F.shiftleft only accepts a literal shift; call_function routes
+        # the column-valued bit index through the SQL function
+        words = (p.groupBy((F.col("__p") / BLOOM_WORD_BITS)
+                           .cast("long").alias("__w"))
+                  .agg(F.bit_or(F.call_function(
+                      "shiftleft", F.lit(1).cast("long"),
+                      (F.col("__p") % BLOOM_WORD_BITS).cast("int")))
+                       .alias("__bits")))
+        # sparse -> dense in ONE pass: word map -> per-index lookup
+        # (an aggregate-with-transform fold here would be O(n_words^2)
+        # column ops on a single row — 270M at the default m)
+        m = F.map_from_entries(F.collect_list(F.struct("__w", "__bits")))
+        dense = words.agg(m.alias("__m")).select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1)),
+                lambda w: F.coalesce(F.element_at(F.col("__m"), w),
+                                     F.lit(0).cast("long"))).alias(out))
+        return dense
+
+    return Stage(fn, name=f"bloom_build(m={m_bits},k={k})",
+                 seq_preserving=False)
+
+
+def bloom_contains(bloom: DataFrame, expr: Union[str, Column], *,
+                   m_bits: int = 1 << 20, k: int = 5,
+                   bloom_col: str = "bloom",
+                   out: str = "might_contain") -> Stage:
+    """Probe a :func:`bloom_build` result: broadcast the single-row bit
+    array and evaluate all ``k`` positions as a pure expression — rows
+    flagged ``False`` are DEFINITELY absent (prune before an expensive
+    join); ``True`` rows need the real check.  No shuffle of the probed
+    data."""
+    col = F.expr(expr) if isinstance(expr, str) else expr
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.crossJoin(F.broadcast(
+            bloom.select(F.col(bloom_col).alias("__bloom"))))
+        hit = F.lit(True)
+        for i in range(k):
+            p = h32(F.concat(F.lit(f"{i}|"), col.cast("string"))) % m_bits
+            word = F.element_at(
+                "__bloom", (p / BLOOM_WORD_BITS).cast("int") + 1)
+            bit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                                  (p % BLOOM_WORD_BITS).cast("int"))
+            hit = hit & (word.bitwiseAND(bit) != 0)
+        return d.withColumn(
+            out, F.when(col.isNull(), F.lit(False)).otherwise(hit)) \
+                .drop("__bloom")
+
+    return Stage(fn, name=f"bloom_contains(m={m_bits},k={k})",
+                 seq_preserving=True)
+
+
+def bloom_build_sql(expr: str, *, m_bits: int = 1 << 20, k: int = 5,
+                    table: str) -> str:
+    """DuckDB rendering of :func:`bloom_build`'s word table (sparse
+    (w, bits) rows, ordered by w) — compare against the dense array's
+    non-zero entries for a bit-identical replay."""
+    parts = []
+    for i in range(k):
+        salted = f"concat('{i}|', CAST({expr} AS VARCHAR))"
+        parts.append(
+            f"SELECT ({h32_sql(salted)}) % {m_bits} AS p "
+            f"FROM {table} WHERE {expr} IS NOT NULL")
+    pos_exprs = " UNION ALL ".join(parts)
+    return f"""
+      WITH __pos AS (SELECT DISTINCT p FROM ({pos_exprs})),
+      __w AS (SELECT CAST(p // {BLOOM_WORD_BITS} AS BIGINT) AS w,
+                     bit_or(CAST(1 AS BIGINT)
+                            << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS bits
+              FROM __pos GROUP BY 1)
+      SELECT w, bits FROM __w ORDER BY w"""
+
+
 #: default quantile set for binned_quantiles
 QUANTILES_DEFAULT = {"p25": 0.25, "p50": 0.5, "p75": 0.75,
                      "p90": 0.9, "p99": 0.99}

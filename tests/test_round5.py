@@ -216,6 +216,58 @@ def test_binned_quantiles_error_bound(spark, sf_dir):
     assert abs(out.p50 - stats[2]) <= width + 1e-9
 
 
+# --- bloom filter -------------------------------------------------------------
+def test_bloom_no_false_negatives_and_fp_rate(spark, sf_dir):
+    from conduino_spark import bloom_build, bloom_contains
+
+    ev = read_table(sf_dir, "events").df(spark)
+    inserted = ev.where("user_id < 50").select("user_id").distinct()
+    bloom = run_pipe(from_dataframe(inserted)
+                     | bloom_build("user_id", m_bits=1 << 14, k=5)
+                     | sink_df(), spark)
+    probe = spark.range(0, 2000).select(F.col("id").alias("user_id"))
+    got = run_pipe(from_dataframe(probe)
+                   | bloom_contains(bloom, "user_id", m_bits=1 << 14, k=5)
+                   | sink_df(), spark)
+    res = {r.user_id: r.might_contain for r in got.collect()}
+    ins = {r.user_id for r in inserted.collect()}
+    # NO false negatives, ever
+    assert all(res[u] for u in ins)
+    # false-positive rate sane: (1 - e^{-kn/m})^k ~ 0.1% here; allow 5%
+    absent = [u for u in res if u not in ins]
+    fp = sum(1 for u in absent if res[u]) / max(1, len(absent))
+    assert fp < 0.05, f"false-positive rate {fp}"
+
+
+def test_bloom_words_match_duckdb(spark, sf_dir):
+    """The sparse word table the DuckDB oracle rebuilds equals the
+    dense array's non-zero entries — bit-identical layout."""
+    import duckdb
+    from conduino_spark import bloom_build
+    from conduino_spark.operators.sketches import (BLOOM_WORD_BITS,
+                                                   bloom_build_sql)
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    bloom = run_pipe(from_dataframe(docs)
+                     | bloom_build("doc_id", m_bits=1 << 12, k=3)
+                     | sink_df(), spark)
+    arr = bloom.collect()[0].bloom
+    got = {w: bits for w, bits in enumerate(arr) if bits != 0}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = dict(con.execute(
+        bloom_build_sql("doc_id", m_bits=1 << 12, k=3,
+                        table="documents")).fetchall())
+    assert got == want
+
+    with pytest.raises(ValueError):
+        bloom_build("doc_id", m_bits=10)
+    with pytest.raises(ValueError):
+        bloom_build("doc_id", k=0)
+
+
 # --- mixture (training-mixture composer) --------------------------------------
 def test_mixture_deterministic_and_tagged(spark, sf_dir):
     from conduino_spark import mixture
