@@ -339,6 +339,28 @@ def test_corpus_filter_flags_repetitive_doc(spark):
         corpus_filter(rules={"quality": ("??", 1)})(df)
 
 
+def test_corpus_filter_streaming_equals_batch(spark, sf_dir):
+    """The docstring claims streaming compatibility (pure projections):
+    a chunked file-stream replay must produce exactly the batch
+    labels."""
+    from conduino_spark import corpus_filter
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir)
+
+    d = stage_events_dir(f"{sf_dir}/documents.parquet", n_chunks=2)
+    schema = "doc_id long, text string, lang string, source string"
+    out = run_stream_to_memory(
+        file_stream_source(d, schema) | corpus_filter(), spark)
+    got = {r.doc_id: (r.keep, tuple(r.drop_reasons))
+           for r in out.collect()}
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    want = {r.doc_id: (r.keep, tuple(r.drop_reasons))
+            for r in run_pipe(from_dataframe(docs) | corpus_filter()
+                              | sink_df(), spark).collect()}
+    assert got == want
+
+
 # --- r5 edge battery: empty and single-row inputs -----------------------------
 def test_round5_ops_on_empty_and_singleton(spark):
     from conduino_spark import corpus_filter, zorder_key
