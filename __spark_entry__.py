@@ -39,7 +39,9 @@ from conduino_spark.functions.hashing import (  # noqa: E402
 from conduino_spark.operators.dedup import (  # noqa: E402
     MINHASH_BANDS, MINHASH_PARAMS, MINHASH_ROWS, SHINGLE_N,
 )
-from conduino_spark.operators.sketches import kmv_distinct_sql  # noqa: E402
+from conduino_spark.operators.sketches import (  # noqa: E402
+    binned_quantiles_sql, kmv_distinct_sql,
+)
 from conduino_spark.timeutil import epoch_seconds as _eps  # noqa: E402
 from conduino_spark.operators.text import (  # noqa: E402
     lang_id_sql, quality_score_sql, repetition_stats_sql, tokens_sql,
@@ -219,13 +221,26 @@ def q_take_drop_sequel(spark, sf):
     return _strip(run_pipe(p, spark))
 
 
-def q_funnel_events(spark, sf):
-    # ordered k-step funnel as k-1 keyed min-agg joins (NEW r4) — times
-    # are exact long micros / 1e6, bit-identical to epoch_us(ts)/1e6
-    from conduino_spark import funnel
+def q_user_event_profile(spark, sf):
+    # per-user behavioral profile in ONE gate query (merged r6,
+    # absorbing pivot_event_counts + funnel_events): declared-domain
+    # pivot counts LEFT-joined with the ordered signup→click→purchase
+    # funnel times (exact long micros / 1e6) — non-converting users
+    # keep NULL funnel columns
+    from conduino_spark import funnel, pivot_agg
     p = (_src(sf, "events")
-         | funnel(["signup", "click", "purchase"]) | sink_df())
-    return run_pipe(p, spark)
+         | pivot_agg(["user_id"], "event_type",
+                     ["click", "error", "purchase", "signup", "view"],
+                     F.count(F.lit(1)))
+         | sink_df())
+    piv = run_pipe(p, spark).select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")])
+    p2 = (_src(sf, "events")
+          | funnel(["signup", "click", "purchase"]) | sink_df())
+    fun = run_pipe(p2, spark)
+    return piv.join(fun, "user_id", "left")
 
 
 def q_rolling_user_day(spark, sf):
@@ -250,7 +265,12 @@ def q_zip_sink_multi(spark, sf):
                   F.max("user_id").alias("max_user"))
 
 
-def q_map_accum_altsum(spark, sf):
+def q_map_accum_multi(spark, sf):
+    # BOTH mapAccum strategies in one gate query (merged r6, absorbing
+    # record_flags): the sequential sorted-mapInPandas path computes the
+    # alternating sum; the monoid-action parallel path
+    # (map_accum_chunked) flags running-max records; joined on the seq.
+    from conduino_spark import map_accum_chunked
     src = _src(sf, "events", seq_col="event_id")
 
     def step(v, s):
@@ -260,8 +280,20 @@ def q_map_accum_altsum(spark, sf):
 
     p = (src | map_({"v": F.col("user_id")})
          | map_accum(step, (1, 0), returns="long") | sink_df())
-    out = run_pipe(p, spark)
-    return out.select(F.col(SEQ).alias("event_id"), F.col("v").alias("alt_sum"))
+    alt = run_pipe(p, spark).select(
+        F.col(SEQ).alias("event_id"), F.col("v").alias("alt_sum"))
+
+    def rec_step(v, s):
+        return (max(s, v), 1.0 if v > s else 0.0)
+
+    src2 = _src(sf, "events", seq_col="event_id")
+    p2 = (src2 | map_({"v": F.col("value")})
+          | map_accum_chunked(rec_step, -1.0, merge=max,
+                              identity=float("-inf"))
+          | sink_df())
+    rec = run_pipe(p2, spark).select(
+        F.col(SEQ).alias("event_id"), F.col("v").alias("is_record"))
+    return alt.join(rec, "event_id")
 
 
 def q_latest_event_per_user(spark, sf):
@@ -278,40 +310,29 @@ def q_latest_event_per_user(spark, sf):
                       _eps("ts").alias("t"), "event_type")
 
 
-def q_record_flags(spark, sf):
-    # parallel mapAccum (monoid-action state): flag events whose value
-    # beats the running maximum — two Arrow passes, no sequential scan
-    from conduino_spark import map_accum_chunked
-    src = _src(sf, "events", seq_col="event_id")
-
-    def step(v, s):
-        return (max(s, v), 1.0 if v > s else 0.0)
-
-    p = (src | map_({"v": F.col("value")})
-         | map_accum_chunked(step, -1.0, merge=max, identity=float("-inf"))
-         | sink_df())
-    out = run_pipe(p, spark)
-    return out.select(F.col(SEQ).alias("event_id"), F.col("v").alias("is_record"))
-
-
-def q_zip_concat_sources(spark, sf):
-    # ZipSource algebra end-to-end (merged r4): zip of (region ++ nation
-    # names) with customer keys — concat's lazy offset union feeding the
-    # positional dense-rank join; zip stops at the shorter side (30 rows)
+def q_zip_concat_last(spark, sf):
+    # ZipSource algebra + the `last` sink in ONE gate query (merged r6,
+    # absorbing last_event): zip of (region ++ nation names) with
+    # customer keys — concat's lazy offset union feeding the positional
+    # dense-rank join (zip stops at the shorter side, 30 rows) — union'd
+    # with the global last event row, all tagged by `part`.
     a = _src(sf, "region", seq_col="r_regionkey") | map_({"name": F.col("r_name")})
     b = _src(sf, "nation", seq_col="n_nationkey") | map_({"name": F.col("n_name")})
     cust = _src(sf, "customer", seq_col="c_custkey") | map_({"c_custkey": F.col("c_custkey")})
     p = zip_source(concat_sources(a, b), cust) | sink_df()
     out = run_pipe(p, spark)
-    return out.select(F.col(SEQ).alias("pos"),
-                      F.col("name_1").alias("name"),
-                      F.col("c_custkey_2").alias("c_custkey"))
-
-
-def q_last_event(spark, sf):
+    zipped = out.select(F.lit("zip").alias("part"),
+                        F.col(SEQ).alias("pos"),
+                        F.col("name_1").alias("name"),
+                        F.col("c_custkey_2").alias("key"))
     ev = _src(sf, "events").df(spark)
     mx = ev.agg(F.max("event_id").alias("event_id"))
-    return ev.join(mx, "event_id").select("event_id", "event_type")
+    last = (ev.join(mx, "event_id")
+              .select(F.lit("last").alias("part"),
+                      F.col("event_id").alias("pos"),
+                      F.col("event_type").alias("name"),
+                      F.lit(None).cast("long").alias("key")))
+    return zipped.unionByName(last)
 
 
 # ---- relational (SURVEY §2.7 built-ins) -----------------------------------
@@ -426,14 +447,6 @@ def q_tpch_q18(spark, sf):
     return out
 
 
-def q_distinct_segments(spark, sf):
-    p = (_src(sf, "customer")
-         | map_({"c_mktsegment": F.col("c_mktsegment")})
-         | distinct()
-         | sink_df())
-    return run_pipe(p, spark)
-
-
 def q_ranked_orders_per_cust(spark, sf):
     p = (_src(sf, "orders")
          | ranked(["o_custkey"], [F.desc("o_totalprice"), F.col("o_orderkey")], top=2)
@@ -443,17 +456,28 @@ def q_ranked_orders_per_cust(spark, sf):
 
 
 def q_set_ops(spark, sf):
-    # INTERSECT and EXCEPT in one gate query (merged r4), rows tagged by
-    # the op that produced them
+    # INTERSECT, EXCEPT and DISTINCT in one gate query (merged r4; r6
+    # absorbs distinct_segments), rows tagged by the op that produced
+    # them; the key column is stringly-typed so the heterogeneous arms
+    # union
     cust = _src(sf, "customer").df(spark)
     orde = _src(sf, "orders").df(spark)
     building = cust.where("c_mktsegment = 'BUILDING'").select(F.col("c_custkey"))
     with_orders = orde.select(F.col("o_custkey").alias("c_custkey"))
     urgent = (orde.where("o_orderpriority = '1-URGENT'")
                   .select(F.col("o_custkey").alias("c_custkey")))
-    inter = building.intersect(with_orders).withColumn("op", F.lit("intersect"))
-    exc = building.subtract(urgent).withColumn("op", F.lit("except"))
-    return inter.unionByName(exc)
+    inter = (building.intersect(with_orders)
+             .select(F.col("c_custkey").cast("string").alias("key"))
+             .withColumn("op", F.lit("intersect")))
+    exc = (building.subtract(urgent)
+           .select(F.col("c_custkey").cast("string").alias("key"))
+           .withColumn("op", F.lit("except")))
+    p = (_src(sf, "customer")
+         | map_({"key": F.col("c_mktsegment")})
+         | distinct()
+         | sink_df())
+    segs = run_pipe(p, spark).withColumn("op", F.lit("distinct"))
+    return inter.unionByName(exc).unionByName(_strip(segs))
 
 
 def q_window_tumbling(spark, sf):
@@ -488,28 +512,24 @@ def q_group_rollup(spark, sf):
 
 # ---- LLM-pipeline ops -------------------------------------------------------
 
-def q_text_stats(spark, sf):
-    # token_count ∘ quality_score ∘ repetition_stats composed in one
-    # pipeline (merged r4) — all withColumn projections, so fusing them
-    # is also the plan a real corpus pass would use (one scan, one
-    # codegen stage); repetition_stats adds the Gopher-style filters
-    # min_partitions="auto": the testdata file is ONE parquet row group,
-    # which pins this per-row-heavy pass to one task; at scale the
-    # condition is false and no shuffle happens (sources.read_parquet)
+def q_text_profile(spark, sf):
+    # EVERY per-document text-analysis projection composed in ONE
+    # pipeline (merged r6, absorbing text_stats + lang_fingerprint):
+    # token_count ∘ quality_score ∘ repetition_stats ∘ lang_id ∘
+    # fingerprint — all withColumn projections over one scan, one
+    # codegen stage: exactly the single corpus pass a real pipeline
+    # runs.  min_partitions="auto": the testdata file is ONE parquet
+    # row group, which would pin this per-row-heavy pass to one task;
+    # at scale the condition is false and no shuffle happens.
     from conduino_spark import repetition_stats
     p = (_src(sf, "documents", min_partitions="auto")
-         | token_count() | quality_score()
-         | repetition_stats() | sink_df())
+         | token_count() | quality_score() | repetition_stats()
+         | lang_id() | fingerprint() | sink_df())
     return run_pipe(p, spark).select(
         "doc_id", "n_tokens", "quality",
         "dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
-        "symbol_word_ratio", "mean_word_len", "alpha_word_frac")
-
-
-def q_lang_fingerprint(spark, sf):
-    # lang_id ∘ fingerprint composed in one pipeline (merged r4)
-    p = _src(sf, "documents", min_partitions="auto") | lang_id() | fingerprint() | sink_df()
-    return run_pipe(p, spark).select("doc_id", "lang_pred", "fingerprint")
+        "symbol_word_ratio", "mean_word_len", "alpha_word_frac",
+        "lang_pred", "fingerprint")
 
 
 def q_dedup_exact(spark, sf):
@@ -640,46 +660,40 @@ def q_hash_partition_docs(spark, sf):
             .groupBy("split", "shard").agg(F.count(F.lit(1)).alias("n")))
 
 
-def q_pivot_event_counts(spark, sf):
-    # pivot with a DECLARED domain (no inference scan, stable schema)
-    from conduino_spark import pivot_agg
-    p = (_src(sf, "events")
-         | pivot_agg(["user_id"], "event_type",
-                     ["click", "error", "purchase", "signup", "view"],
-                     F.count(F.lit(1)))
-         | sink_df())
-    out = run_pipe(p, spark)
-    return out.select("user_id",
-                      *[F.coalesce(F.col(c), F.lit(0)).alias(c)
-                        for c in ("click", "error", "purchase", "signup", "view")])
-
-
-def q_value_percentiles(spark, sf):
-    # exact grouped quantiles (oracle mode; approx_percentile is the
-    # sketch-based scale path, engine-private so not oracle-checked)
-    from conduino_spark import percentiles
+def q_quantiles_value(spark, sf):
+    # exact AND sketch quantiles side by side in one gate query
+    # (merged r6, absorbing value_percentiles): per event_type, the
+    # exact grouped quantiles joined with the deterministic O(bins)
+    # histogram estimates (binned_quantiles, the mergeable scale /
+    # streaming path whose error is bounded by (max-min)/bins) — the
+    # pairing a pipeline migrating from exact to sketched quantiles
+    # verifies
+    from conduino_spark import binned_quantiles, percentiles
     p = (_src(sf, "events")
          | percentiles(["event_type"], "value", {"p50": 0.5, "p95": 0.95})
          | sink_df())
-    return run_pipe(p, spark)
+    exact = run_pipe(p, spark)
+    p2 = (_src(sf, "events")
+          | binned_quantiles("value", {"b50": 0.5, "b95": 0.95},
+                             bins=512, keys=("event_type",))
+          | sink_df())
+    binned = run_pipe(p2, spark)
+    return exact.join(binned, "event_type")
 
 
-def q_chunk_text_docs(spark, sf):
-    # context-window packing: 64-token chunks, 16-token overlap
-    from conduino_spark import chunk_text
-    p = _src(sf, "documents", min_partitions="auto") | chunk_text(64, 16) | sink_df()
-    return run_pipe(p, spark)
-
-
-def q_pack_chunks_docs(spark, sf):
-    # greedy contiguous packing of 64-token chunks into 512-token bins —
-    # chunk_text feeding the engine's own rerank + two-phase scan
+def q_chunk_pack_docs(spark, sf):
+    # chunking AND packing in one gate query (merged r6): 64-token
+    # chunks with 16-token overlap, greedily packed into 512-token
+    # training bins — the chunk STRING rides through pack_chunks'
+    # fused two-phase prefix sum, so both operators' full outputs are
+    # hash-verified together.
     from conduino_spark import chunk_text, pack_chunks
     p = (_src(sf, "documents", min_partitions="auto")
          | chunk_text(64, 16)
          | pack_chunks(512)
          | sink_df())
-    return run_pipe(p, spark).select("doc_id", "chunk_id", "n_tokens", "bin")
+    return run_pipe(p, spark).select("doc_id", "chunk_id", "chunk",
+                                     "n_tokens", "bin")
 
 
 def q_embedding_near_dup_ivf(spark, sf):
@@ -772,13 +786,98 @@ def q_binned_quantiles_value(spark, sf):
     return run_pipe(p, spark)
 
 
+def q_bloom_prune(spark, sf):
+    # Bloom membership sketch end-to-end (NEW r6 gate entry): build the
+    # filter over BUILDING-segment customer keys (one row, geometry
+    # carried as m_bits/k columns — ADVICE r5), probe EVERY order's
+    # custkey as a broadcast pure expression (zero shuffle of the
+    # probed side), and count rows per verdict.  The false-positive
+    # rows are part of the contract: the oracle rebuilds the identical
+    # bit array, so the FP set matches bit-for-bit.
+    from conduino_spark import bloom_build, bloom_contains
+    cust = _src(sf, "customer").df(spark)
+    keys = cust.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    bloom = run_pipe(from_dataframe(keys)
+                     | bloom_build("c_custkey", m_bits=1 << 14, k=3)
+                     | sink_df(), spark)
+    p = (_src(sf, "orders")
+         | bloom_contains(bloom, "o_custkey")
+         | sink_df())
+    probed = run_pipe(p, spark)
+    return (probed.groupBy("might_contain")
+                  .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_corpus_filter_keep(spark, sf):
+    # one-pass Gopher-style corpus quality gate (NEW r6 gate entry):
+    # keep verdict + ordered failed-rule audit trail per document, the
+    # reasons array serialized to a string so both engines hash the
+    # same value shape
+    from conduino_spark import corpus_filter
+    p = (_src(sf, "documents", min_partitions="auto")
+         | corpus_filter() | sink_df())
+    out = run_pipe(p, spark)
+    return out.select(
+        "doc_id", "keep",
+        F.concat_ws(",", F.col("drop_reasons")).alias("reasons"))
+
+
+def q_dedup_against(spark, sf):
+    # incremental ingestion dedup (NEW r6 gate entry): odd-id docs are
+    # the incoming batch, even-id docs the existing corpus; a batch doc
+    # survives iff it shares no LSH band with ANY corpus doc.  The
+    # corpus is signed into the narrow signature table once; only band
+    # hashes shuffle.
+    from conduino_spark import minhash_dedup_against
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    st = minhash_dedup_against(corpus)
+    return st(batch).select("doc_id")
+
+
+def q_mixture_sample(spark, sf):
+    # deterministic training-mixture composer (NEW r6 gate entry):
+    # hash-salted per-source sampling — no RNG, so the oracle replays
+    # membership bit-for-bit; sources here are the even/odd doc halves
+    from conduino_spark import mixture
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    mix = mixture({"even": (even, 0.5), "odd": (odd, 0.25)})
+    return mix.select("doc_id", "mix_source")
+
+
+def q_train_pipeline(spark, sf):
+    # COMPOSED r5-piece integration pin (r5 verdict ask #8): sessionize
+    # the event stream, aggregate per (user, session), then pack the
+    # sessions into fixed-budget training bins with pack_chunks' fused
+    # two-phase prefix sum keyed on (user_id, session_id).  The
+    # composition — keyed window feeding keyed agg feeding a global
+    # ordered scan — is what a real training pipeline runs, and is
+    # exactly where cross-operator seq/ordering bugs would hide.
+    from conduino_spark import pack_chunks, sessionize
+    p = (_src(sf, "events")
+         | sessionize("ts", 1800.0, keys=("user_id",))
+         | sink_df())
+    labeled = run_pipe(p, spark)
+    sessions = (labeled.groupBy("user_id", "session_id")
+                       .agg(F.count(F.lit(1)).alias("n_events"),
+                            _dec_sum(F.col("value"), "sum_value")))
+    packed = pack_chunks(64, order=("user_id", "session_id"),
+                         tokens_col="n_events")(sessions)
+    return packed.select("user_id", "session_id", "n_events",
+                         "sum_value", "bin")
+
+
 def bench_extras():
     """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
-    queries() but NOT driver-gated (the 50-window slots are full of
-    green oracle rows; these are covered by the local DuckDB oracles in
-    tests/test_round5.py instead)."""
+    queries() but NOT driver-gated: knn_lsh_probe_cold is the honesty
+    variant of a gated query (full index rebuild per call); the other
+    two duplicate gate surface (sessionize_events is gated as of r6,
+    binned_quantiles_value is absorbed into quantiles_value) but keep
+    their historical bench floors comparable across rounds."""
     return {"knn_lsh_probe_cold": q_knn_lsh_probe_cold,
-            "sessionize_events": q_sessionize_events,
             "binned_quantiles_value": q_binned_quantiles_value}
 
 
@@ -853,11 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consecutive_windows": q_consecutive_windows,
         "take_drop_sequel": q_take_drop_sequel,
         "zip_sink_multi": q_zip_sink_multi,
-        "map_accum_altsum": q_map_accum_altsum,
-        "record_flags": q_record_flags,
+        "map_accum_multi": q_map_accum_multi,
         "latest_event_per_user": q_latest_event_per_user,
-        "zip_concat_sources": q_zip_concat_sources,
-        "last_event": q_last_event,
+        "zip_concat_last": q_zip_concat_last,
         # relational extensions (SURVEY §2.7)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -865,7 +962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
-        "distinct_segments": q_distinct_segments,
         "ranked_orders_per_cust": q_ranked_orders_per_cust,
         "set_ops": q_set_ops,
         "window_tumbling": q_window_tumbling,
@@ -873,8 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "group_rollup": q_group_rollup,
         # LLM-data-pipeline extensions (north star)
-        "text_stats": q_text_stats,
-        "lang_fingerprint": q_lang_fingerprint,
+        "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -882,10 +977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
-        "chunk_text_docs": q_chunk_text_docs,
-        "pack_chunks_docs": q_pack_chunks_docs,
-        "pivot_event_counts": q_pivot_event_counts,
-        "value_percentiles": q_value_percentiles,
+        "chunk_pack_docs": q_chunk_pack_docs,
+        "user_event_profile": q_user_event_profile,
+        "quantiles_value": q_quantiles_value,
         "hash_partition_docs": q_hash_partition_docs,
         "salted_group_revenue": q_salted_group_revenue,
         "asof_events_bidir": q_asof_events_bidir,
@@ -895,8 +989,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_search_topk": q_ivf_search_topk,
         "knn_lsh_probe": q_knn_lsh_probe,
-        "funnel_events": q_funnel_events,
         "rolling_user_day": q_rolling_user_day,
+        # r5 surface rotated into the gate (r6 lead item) + the
+        # composed training-pipeline integration pin
+        "sessionize_events": q_sessionize_events,
+        "bloom_prune": q_bloom_prune,
+        "corpus_filter_keep": q_corpus_filter_keep,
+        "dedup_against": q_dedup_against,
+        "mixture_sample": q_mixture_sample,
+        "train_pipeline": q_train_pipeline,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -1020,6 +1121,85 @@ def _sql_knn_lsh_probe(k: int = 10, dim: int = 64) -> str:
             ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
+#: the sessionize CTE chain shared by sessionize_events / train_pipeline:
+#: strict-> gap rule on exact long micros, cumsum of boundary flags
+_SQL_SESSIONIZE = """
+            WITH t AS (SELECT event_id, user_id, value,
+                              epoch_us(ts) AS t FROM events),
+            f AS (SELECT event_id, user_id, value, t,
+                    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > 1800000000 THEN 1 ELSE 0 END AS brk
+                  FROM t),
+            lab AS (SELECT event_id, user_id, value,
+                      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS session_id
+                    FROM f)
+"""
+
+
+def _sql_bloom_prune(m_bits: int = 1 << 14, k: int = 3) -> str:
+    """DuckDB rendering of bloom_build + bloom_contains over
+    (BUILDING customers, orders): same salted h32 positions, so the
+    false-positive SET (not just the rate) matches bit-for-bit."""
+    pos_parts = []
+    for i in range(k):
+        salted = f"concat('{i}|', CAST(c_custkey AS VARCHAR))"
+        pos_parts.append(
+            f"SELECT ({h32_sql(salted)}) % {m_bits} AS p FROM customer "
+            f"WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL")
+    probes = " AND ".join(
+        f"(({h32_sql(f'''concat('{i}|', CAST(o_custkey AS VARCHAR))''')}) "
+        f"% {m_bits}) IN (SELECT p FROM __pos)"
+        for i in range(k))
+    return f"""
+            WITH __pos AS (
+              SELECT DISTINCT p FROM ({' UNION ALL '.join(pos_parts)})),
+            flags AS (
+              SELECT CASE WHEN o_custkey IS NULL THEN FALSE
+                          ELSE {probes} END AS might_contain
+              FROM orders)
+            SELECT might_contain, COUNT(*) AS n
+            FROM flags GROUP BY might_contain"""
+
+
+def _sql_corpus_filter() -> str:
+    """DuckDB rendering of corpus_filter's default Gopher-style gate —
+    generated FROM the engine's own rule table so the rule order (and
+    thus the reasons string) can never drift."""
+    from conduino_spark.operators.text import CORPUS_FILTER_DEFAULT
+    arms = []
+    for metric, (op, th) in CORPUS_FILTER_DEFAULT.items():
+        if op == "<=":
+            ok = f"m.{metric} <= {th!r}"
+        elif op == ">=":
+            ok = f"m.{metric} >= {th!r}"
+        else:
+            lo, hi = th
+            ok = f"m.{metric} >= {lo!r} AND m.{metric} <= {hi!r}"
+        arms.append(f"CASE WHEN NOT coalesce({ok}, FALSE) "
+                    f"THEN '{metric}' END")
+    fails = ("list_filter([" + ", ".join(arms) + "], x -> x IS NOT NULL)")
+    return f"""
+            WITH m AS (
+              SELECT s.doc_id, s.quality, r.dup_line_frac,
+                     r.dup_line_char_frac, r.top_2gram_char_frac,
+                     r.symbol_word_ratio, r.mean_word_len, r.alpha_word_frac
+              FROM (SELECT doc_id,
+                           {quality_score_sql('text', 'quality')}
+                    FROM documents) s
+              JOIN ({repetition_stats_sql()}) r USING (doc_id)),
+            v AS (SELECT m.doc_id, {fails} AS fails FROM m)
+            SELECT doc_id, len(fails) = 0 AS keep,
+                   coalesce(array_to_string(fails, ','), '') AS reasons
+            FROM v"""
+
+
+#: hash_sample cut boundaries for mixture_sample — EXACTLY the int()
+#: accumulation hash_sample performs
+_MIX_CUTS = {"even": int(0.5 * (1 << 32)), "odd": int(0.25 * (1 << 32))}
+
+
 def oracle_sql() -> dict[str, str]:
     toks = tokens_sql("text")
     li_seq = "l_orderkey * 8 + l_linenumber"  # unused; events carry event_id
@@ -1052,15 +1232,26 @@ def oracle_sql() -> dict[str, str]:
                            CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
                        AS event_type
             FROM events GROUP BY user_id""",
-        "record_flags": """
-            SELECT event_id,
-                   CASE WHEN value > coalesce(
-                            MAX(value) OVER (ORDER BY event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                            -1.0)
-                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
-                   END AS is_record
-            FROM events""",
+        "map_accum_multi": """
+            WITH alt AS (
+              SELECT event_id,
+                     CAST(SUM(user_id * sign) OVER (ORDER BY event_id) AS BIGINT)
+                       AS alt_sum
+              FROM (SELECT event_id, user_id,
+                           CASE WHEN (ROW_NUMBER() OVER (ORDER BY event_id)) % 2 = 1
+                                THEN 1 ELSE -1 END AS sign
+                    FROM events)),
+            rec AS (
+              SELECT event_id,
+                     CASE WHEN value > coalesce(
+                              MAX(value) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              -1.0)
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
+                     END AS is_record
+              FROM events)
+            SELECT a.event_id, a.alt_sum, r.is_record
+            FROM alt a JOIN rec r USING (event_id)""",
         "pairs_lag": """
             SELECT event_id, fst, snd FROM (
               SELECT event_id,
@@ -1094,14 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value,
                    COUNT(*) AS n, MAX(user_id) AS max_user
             FROM events""",
-        "map_accum_altsum": """
-            SELECT event_id,
-                   CAST(SUM(user_id * sign) OVER (ORDER BY event_id) AS BIGINT) AS alt_sum
-            FROM (SELECT event_id, user_id,
-                         CASE WHEN (ROW_NUMBER() OVER (ORDER BY event_id)) % 2 = 1
-                              THEN 1 ELSE -1 END AS sign
-                  FROM events)""",
-        "zip_concat_sources": """
+        "zip_concat_last": """
             WITH cat AS (
               SELECT r_regionkey AS pos, r_name AS name FROM region
               UNION ALL
@@ -1109,10 +1293,12 @@ def oracle_sql() -> dict[str, str]:
               FROM nation),
             c AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pos, c_custkey
                   FROM customer)
-            SELECT pos, name, c_custkey FROM cat JOIN c USING (pos)""",
-        "last_event": """
-            SELECT event_id, event_type FROM events
-            WHERE event_id = (SELECT max(event_id) FROM events)""",
+            SELECT 'zip' AS part, pos, name, c_custkey AS key
+            FROM cat JOIN c USING (pos)
+            UNION ALL
+            SELECT 'last' AS part, event_id AS pos, event_type AS name,
+                   CAST(NULL AS BIGINT) AS key
+            FROM events WHERE event_id = (SELECT max(event_id) FROM events)""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(ROUND(l_quantity * 1) AS BIGINT)) / 1.0 AS sum_qty,
@@ -1151,7 +1337,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
-        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
         "ranked_orders_per_cust": """
             SELECT o_custkey, o_orderkey, rank FROM (
               SELECT o_custkey, o_orderkey,
@@ -1159,16 +1344,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders) WHERE rank <= 2""",
         "set_ops": """
-            SELECT c_custkey, 'intersect' AS op FROM (
+            SELECT CAST(c_custkey AS VARCHAR) AS key, 'intersect' AS op FROM (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
               INTERSECT
               SELECT o_custkey AS c_custkey FROM orders)
             UNION ALL
-            SELECT c_custkey, 'except' AS op FROM (
+            SELECT CAST(c_custkey AS VARCHAR) AS key, 'except' AS op FROM (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
               EXCEPT
               SELECT o_custkey AS c_custkey FROM orders
-              WHERE o_orderpriority = '1-URGENT')""",
+              WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT DISTINCT c_mktsegment AS key, 'distinct' AS op
+            FROM customer""",
         "stream_window_replay": """
             SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_epoch,
                    event_type, COUNT(*) AS n
@@ -1198,19 +1386,19 @@ def oracle_sql() -> dict[str, str]:
         "group_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-        "text_stats": f"""
+        "text_profile": f"""
             SELECT s.doc_id, s.n_tokens, s.quality,
                    r.dup_line_frac, r.dup_line_char_frac,
                    r.top_2gram_char_frac, r.symbol_word_ratio,
-                   r.mean_word_len, r.alpha_word_frac
+                   r.mean_word_len, r.alpha_word_frac,
+                   l.lang_pred, l.fingerprint
             FROM (SELECT doc_id, len({toks})::BIGINT AS n_tokens,
                          {quality_score_sql('text', 'quality')}
                   FROM documents) s
-            JOIN ({repetition_stats_sql()}) r USING (doc_id)""",
-        "lang_fingerprint": f"""
-            SELECT doc_id, {lang_id_sql('text', 'lang_pred')},
-                   {rolling_fingerprint_sql(f"[{h32_sql('t')} for t in {toks}]")} AS fingerprint
-            FROM documents""",
+            JOIN ({repetition_stats_sql()}) r USING (doc_id)
+            JOIN (SELECT doc_id, {lang_id_sql('text', 'lang_pred')},
+                         {rolling_fingerprint_sql(f"[{h32_sql('t')} for t in {toks}]")} AS fingerprint
+                  FROM documents) l USING (doc_id)""",
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "minhash_pairs": _sql_minhash_bands() + """
@@ -1326,41 +1514,54 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {h32_sql("'r4' || CAST(doc_id AS VARCHAR)")} < {int(0.1 * (1 << 32))}
             GROUP BY 1, 2""",
-        "pivot_event_counts": """
-            SELECT user_id,
-                   COUNT(*) FILTER (event_type = 'click') AS click,
-                   COUNT(*) FILTER (event_type = 'error') AS error,
-                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-                   COUNT(*) FILTER (event_type = 'signup') AS signup,
-                   COUNT(*) FILTER (event_type = 'view') AS view
-            FROM events GROUP BY user_id""",
-        "value_percentiles": """
-            SELECT event_type,
-                   round(quantile_cont(value, 0.5), 6) AS p50,
-                   round(quantile_cont(value, 0.95), 6) AS p95
-            FROM events GROUP BY event_type""",
-        "chunk_text_docs": f"""
-            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
-            c AS (SELECT doc_id, tk,
-                         greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INT)) AS nc
-                  FROM t)
-            , e AS (SELECT doc_id, tk, unnest(range(1, nc + 1)) AS i FROM c)
-            SELECT doc_id, i - 1 AS chunk_id,
-                   array_to_string(tk[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') AS chunk,
-                   len(tk[(i-1)*48 + 1 : (i-1)*48 + 64]) AS n_tokens
-            FROM e""",
-        "pack_chunks_docs": f"""
+        "user_event_profile": """
+            WITH piv AS (
+              SELECT user_id,
+                     COUNT(*) FILTER (event_type = 'click') AS click,
+                     COUNT(*) FILTER (event_type = 'error') AS error,
+                     COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                     COUNT(*) FILTER (event_type = 'signup') AS signup,
+                     COUNT(*) FILTER (event_type = 'view') AS view
+              FROM events GROUP BY user_id),
+            s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, s1.t AS ta, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+                   GROUP BY 1, 2),
+            s3 AS (SELECT e.user_id, s2.ta, s2.t AS tb,
+                          min(epoch_us(e.ts)) AS tc
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+                   GROUP BY 1, 2, 3)
+            SELECT p.user_id, p.click, p.error, p.purchase, p.signup,
+                   p.view, f.t1, f.t2, f.t3
+            FROM piv p LEFT JOIN (
+              SELECT user_id, ta / 1e6 AS t1, tb / 1e6 AS t2, tc / 1e6 AS t3
+              FROM s3) f USING (user_id)""",
+        "quantiles_value": f"""
+            SELECT e.event_type, e.p50, e.p95, b.b50, b.b95
+            FROM (SELECT event_type,
+                         round(quantile_cont(value, 0.5), 6) AS p50,
+                         round(quantile_cont(value, 0.95), 6) AS p95
+                  FROM events GROUP BY event_type) e
+            JOIN ({binned_quantiles_sql("value", {"b50": 0.5, "b95": 0.95},
+                                        bins=512, keys=("event_type",),
+                                        table="events")}) b
+            USING (event_type)""",
+        "chunk_pack_docs": f"""
             WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
             c AS (SELECT doc_id, tk,
                          greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INT)) AS nc
                   FROM t),
             e AS (SELECT doc_id, tk, unnest(range(1, nc + 1)) AS i FROM c),
             ch AS (SELECT doc_id, i - 1 AS chunk_id,
+                          array_to_string(tk[(i-1)*48 + 1 : (i-1)*48 + 64], ' ') AS chunk,
                           len(tk[(i-1)*48 + 1 : (i-1)*48 + 64]) AS n_tokens
                    FROM e),
             o AS (SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id)
                             AS cum FROM ch)
-            SELECT doc_id, chunk_id, n_tokens,
+            SELECT doc_id, chunk_id, chunk, n_tokens,
                    CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin
             FROM o""",
         "kmv_distinct_tokens": kmv_distinct_sql(
@@ -1429,20 +1630,6 @@ def oracle_sql() -> dict[str, str]:
             FROM cand, q
             ORDER BY cosine DESC, vec_id LIMIT 10""",
         "knn_lsh_probe": _sql_knn_lsh_probe(),
-        "funnel_events": """
-            WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
-                        WHERE event_type = 'signup' GROUP BY 1),
-            s2 AS (SELECT e.user_id, s1.t AS ta, min(epoch_us(e.ts)) AS t
-                   FROM events e JOIN s1 USING (user_id)
-                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
-                   GROUP BY 1, 2),
-            s3 AS (SELECT e.user_id, s2.ta, s2.t AS tb,
-                          min(epoch_us(e.ts)) AS tc
-                   FROM events e JOIN s2 USING (user_id)
-                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
-                   GROUP BY 1, 2, 3)
-            SELECT user_id, ta / 1e6 AS t1, tb / 1e6 AS t2, tc / 1e6 AS t3
-            FROM s3""",
         "rolling_user_day": """
             SELECT event_id, count(*) OVER w AS n,
                    SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
@@ -1451,6 +1638,37 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 86400000000 PRECEDING
                          AND CURRENT ROW)""",
+        "sessionize_events": _SQL_SESSIONIZE + """
+            SELECT event_id, user_id, session_id FROM lab""",
+        "bloom_prune": _sql_bloom_prune(),
+        "corpus_filter_keep": _sql_corpus_filter(),
+        "dedup_against": _sql_minhash_bands() + """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+              SELECT DISTINCT a.doc_id
+              FROM bands a JOIN bands b USING (band_id, band_hash)
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""",
+        "mixture_sample": f"""
+            SELECT doc_id, 'even' AS mix_source FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL
+              AND {h32_sql("concat('|even|', CAST(doc_id AS VARCHAR))")}
+                  < {_MIX_CUTS['even']}
+            UNION ALL
+            SELECT doc_id, 'odd' AS mix_source FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL
+              AND {h32_sql("concat('|odd|', CAST(doc_id AS VARCHAR))")}
+                  < {_MIX_CUTS['odd']}""",
+        "train_pipeline": _SQL_SESSIONIZE + """
+            , s AS (SELECT user_id, session_id,
+                           COUNT(*) AS n_events,
+                           SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                             / 1000000.0 AS sum_value
+                    FROM lab GROUP BY 1, 2),
+            o AS (SELECT *, SUM(n_events) OVER (ORDER BY user_id, session_id)
+                            AS cum FROM s)
+            SELECT user_id, session_id, n_events, sum_value,
+                   CAST(floor((cum - n_events) / 64) AS BIGINT) AS bin
+            FROM o""",
     }
     return sql
 

@@ -21,24 +21,32 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # headline set: relational + ordered/stateful + LLM ops.  r4 adds the
 # chunked/iterative plans (r2/r3 carried item #4): consecutive_windows,
-# pack_chunks_docs, asof_events_bidir, minhash_dedup_cc, ivf_search_topk.
-# (text_stats/lang_fingerprint replace the four single-op text queries
-# they merged; cosine_scores retired into knn_bruteforce — see the gate
-# ordering contract in __spark_entry__.queries().)
+# asof_events_bidir, minhash_dedup_cc, ivf_search_topk.  r6 renames
+# follow the gate rotation (map_accum_altsum→map_accum_multi adds the
+# chunked record-flag pass; pack_chunks_docs→chunk_pack_docs carries
+# the chunk string; text_stats+lang_fingerprint→text_profile one pass;
+# funnel_events→user_event_profile adds the pivot join) and add the
+# r6 gate entries (bloom_prune, corpus_filter_keep, dedup_against,
+# mixture_sample, train_pipeline) — cross-round floor comparisons for
+# renamed queries should expect the merged query to cost roughly the
+# SUM of its parents.
 BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "scan_cumsum", "pairs_lag", "map_accum_altsum", "window_tumbling",
+    "scan_cumsum", "pairs_lag", "map_accum_multi", "window_tumbling",
     "map_project", "concat_map_tokens",
-    "consecutive_windows", "pack_chunks_docs", "asof_events_bidir",
-    "rolling_user_day", "funnel_events",
-    "text_stats", "lang_fingerprint",
+    "consecutive_windows", "chunk_pack_docs", "asof_events_bidir",
+    "rolling_user_day", "user_event_profile",
+    "text_profile",
     "dedup_exact", "minhash_pairs", "minhash_dedup_cc",
     "simhash", "ngram_jaccard_lsh",
     "knn_bruteforce", "ivf_search_topk",
+    "sessionize_events", "bloom_prune", "corpus_filter_keep",
+    "dedup_against", "mixture_sample", "train_pipeline",
     # bench-only (entry.bench_extras): cold index build + probe, so the
     # warm memoized knn_lsh_probe number has an honest counterpart;
-    # r5 ops (tests carry their DuckDB oracles)
-    "knn_lsh_probe_cold", "sessionize_events", "binned_quantiles_value",
+    # binned_quantiles_value keeps its r5 floor comparable (absorbed
+    # into the gated quantiles_value)
+    "knn_lsh_probe_cold", "binned_quantiles_value",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -184,7 +184,9 @@ def mixture(sources: "Mapping[str, tuple[DataFrame, float]]", *,
             raise ValueError(
                 f"mixture[{name}]: fraction {fraction} outside [0, 1]; "
                 "replicate explicitly for multi-epoch weights")
-        sampled = hash_sample(key, fraction, salt=f"{salt}{name}|")(df)
+        # both fields delimited: "{salt}{name}|" left (salt="a", name="b")
+        # and (salt="", name="ab") colliding on identical hash salts
+        sampled = hash_sample(key, fraction, salt=f"{salt}|{name}|")(df)
         parts.append(sampled.withColumn(out, F.lit(name)))
     res = parts[0]
     for p in parts[1:]:

@@ -144,7 +144,18 @@ def lsh_index_write(df: DataFrame, path: str, *, vec_col: str = "embedding",
     coalesces the small-by-bytes shuffle to one task, serializing the
     2^planes directory commits — measured ~2× the write time)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # plan-only spread guard: df.rdd.getNumPartitions() would convert
+    # the plan to an RDD outside AQE (eagerly running upstream shuffles
+    # for non-scan inputs) and read a pre-AQE count anyway.  Scan
+    # inputs expose their file list as metadata — fewer files than
+    # cores means the SRP dot products would concentrate on few tasks;
+    # non-scan inputs ([] or unknown) get spread unconditionally, which
+    # at worst re-shuffles narrow vectors once.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         df = df.repartition(target)
     n_write = min(1 << planes, 2 * target)
     (lsh_bucket(vec_col, dim=dim, planes=planes)(df)

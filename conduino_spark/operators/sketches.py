@@ -87,7 +87,12 @@ def bloom_build(expr: Union[str, Column], *, m_bits: int = 1 << 20,
     Plan: projection → posexplode(k positions) → distinct → ONE hash
     aggregate over ≤ ``m_bits/63`` word groups (map-side partials; only
     int pairs shuffle) → dense array via a sparse-to-dense aggregate.
-    Use :func:`bloom_contains` to probe."""
+    Use :func:`bloom_contains` to probe.
+
+    The result row CARRIES its parameters (``m_bits``/``k`` columns)
+    so a probe can never silently run with mismatched geometry — a
+    build/probe parameter mismatch is the one way a Bloom filter
+    produces false NEGATIVES."""
     if m_bits < BLOOM_WORD_BITS:
         raise ValueError(f"m_bits must be >= {BLOOM_WORD_BITS}")
     if k < 1:
@@ -118,7 +123,9 @@ def bloom_build(expr: Union[str, Column], *, m_bits: int = 1 << 20,
             F.transform(
                 F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1)),
                 lambda w: F.coalesce(F.element_at(F.col("__m"), w),
-                                     F.lit(0).cast("long"))).alias(out))
+                                     F.lit(0).cast("long"))).alias(out),
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("long").alias("k"))
         return dense
 
     return Stage(fn, name=f"bloom_build(m={m_bits},k={k})",
@@ -126,17 +133,47 @@ def bloom_build(expr: Union[str, Column], *, m_bits: int = 1 << 20,
 
 
 def bloom_contains(bloom: DataFrame, expr: Union[str, Column], *,
-                   m_bits: int = 1 << 20, k: int = 5,
+                   m_bits: "int | None" = None, k: "int | None" = None,
                    bloom_col: str = "bloom",
                    out: str = "might_contain") -> Stage:
     """Probe a :func:`bloom_build` result: broadcast the single-row bit
     array and evaluate all ``k`` positions as a pure expression — rows
     flagged ``False`` are DEFINITELY absent (prune before an expensive
     join); ``True`` rows need the real check.  No shuffle of the probed
-    data."""
+    data.
+
+    Geometry (``m_bits``/``k``) is read from the sketch row itself
+    (the columns :func:`bloom_build` emits), so a probe can never
+    silently run with mismatched parameters — the failure mode that
+    yields false NEGATIVES.  Passing ``m_bits``/``k`` explicitly is an
+    override that is VALIDATED against the carried values (mismatch
+    raises); it is required only for legacy single-column sketches.
+    Reading the values costs one driver peek of the 1-row sketch —
+    persist the sketch if its build is expensive (you probe it many
+    times anyway; that is the sketch's whole point)."""
     col = F.expr(expr) if isinstance(expr, str) else expr
 
     def fn(df: DataFrame) -> DataFrame:
+        nonlocal m_bits, k
+        carried = set(bloom.columns) >= {"m_bits", "k"}
+        if carried:
+            row = bloom.select("m_bits", "k").first()
+            got_m, got_k = int(row["m_bits"]), int(row["k"])
+            if m_bits is not None and m_bits != got_m:
+                raise ValueError(
+                    f"bloom_contains: m_bits={m_bits} does not match the "
+                    f"sketch's m_bits={got_m} — probing with mismatched "
+                    "geometry would produce false negatives")
+            if k is not None and k != got_k:
+                raise ValueError(
+                    f"bloom_contains: k={k} does not match the sketch's "
+                    f"k={got_k} — probing with mismatched geometry would "
+                    "produce false negatives")
+            m_bits, k = got_m, got_k
+        elif m_bits is None or k is None:
+            raise ValueError(
+                "bloom_contains: sketch carries no m_bits/k columns "
+                "(pre-carriage build?) — pass m_bits= and k= explicitly")
         d = df.crossJoin(F.broadcast(
             bloom.select(F.col(bloom_col).alias("__bloom"))))
         hit = F.lit(True)
@@ -151,8 +188,8 @@ def bloom_contains(bloom: DataFrame, expr: Union[str, Column], *,
             out, F.when(col.isNull(), F.lit(False)).otherwise(hit)) \
                 .drop("__bloom")
 
-    return Stage(fn, name=f"bloom_contains(m={m_bits},k={k})",
-                 seq_preserving=True)
+    geom = "carried" if m_bits is None else f"m={m_bits},k={k}"
+    return Stage(fn, name=f"bloom_contains({geom})", seq_preserving=True)
 
 
 def bloom_build_sql(expr: str, *, m_bits: int = 1 << 20, k: int = 5,

@@ -520,7 +520,10 @@ def corpus_filter(text_col: str = "text", *,
     for metric, (op, th) in rules.items():
         if op not in ("<=", ">=", "between"):
             raise ValueError(f"corpus_filter: unknown op {op!r} for {metric}")
-        if op == "between" and len(th) != 2:
+        if op == "between" and (not isinstance(th, (tuple, list))
+                                or len(th) != 2):
+            # isinstance first: a scalar threshold must hit THIS message,
+            # not a bare TypeError from len()
             raise ValueError(f"corpus_filter: between needs (lo, hi) "
                              f"for {metric}, got {th!r}")
     q_stage = quality_score(text_col)

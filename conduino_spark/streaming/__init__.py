@@ -387,13 +387,17 @@ def stream_sessionize(gap: float = 1800.0, *, key_col: str = "user_id",
     if gap < 0:
         raise ValueError(f"gap must be >= 0, got {gap}")
     gap_us = int(round(gap * 1_000_000))
-    out_schema = f"key long, {id_col} long, {out} long"
     # `seen` disambiguates "no previous event" from any real last_t —
     # a -1 sentinel would misread legitimate pre-1970 timestamps
     state_schema = "last_t long, sess long, seen long"
 
     def fn(df: DataFrame) -> DataFrame:
         from pyspark.sql.streaming.state import GroupStateTimeout
+
+        # group by the key AS TYPED: casting to long would turn string
+        # keys into NULL and collapse every key into one session stream
+        ktype = df.schema[key_col].dataType.simpleString()
+        out_schema = f"key {ktype}, {id_col} long, {out} long"
 
         def handle(key, pdf_iter, state):
             last_t, sess, seen = state.get if state.exists else (0, 0, 0)
@@ -414,7 +418,7 @@ def stream_sessionize(gap: float = 1800.0, *, key_col: str = "user_id",
             state.update((last_t, sess, seen))
 
         from ..timeutil import epoch_micros
-        ev = df.select(F.col(key_col).cast("long").alias("key"),
+        ev = df.select(F.col(key_col).alias("key"),
                        F.col(id_col),
                        epoch_micros(time_col).alias("__t"))
         return (ev.groupBy("key")
@@ -442,14 +446,17 @@ def stream_funnel(steps: list, *, key_col: str = "user_id",
     if not steps:
         raise ValueError("stream_funnel: steps must be non-empty")
     k = len(steps)
-    out_schema = ("key long, " +
-                  ", ".join(f"t{i} double" for i in range(1, k + 1)))
     state_schema = "s string"
 
     def fn(df: DataFrame) -> DataFrame:
         import json
 
         from pyspark.sql.streaming.state import GroupStateTimeout
+
+        # same typed-key rule as stream_sessionize: never cast the key
+        ktype = df.schema[key_col].dataType.simpleString()
+        out_schema = (f"key {ktype}, " +
+                      ", ".join(f"t{i} double" for i in range(1, k + 1)))
 
         def handle(key, pdf_iter, state):
             st = (json.loads(state.get[0]) if state.exists
@@ -478,7 +485,7 @@ def stream_funnel(steps: list, *, key_col: str = "user_id",
                         for i in range(k)}})
 
         from ..timeutil import epoch_micros
-        ev = df.select(F.col(key_col).cast("long").alias("key"),
+        ev = df.select(F.col(key_col).alias("key"),
                        F.col(type_col).alias("__et"),
                        epoch_micros(time_col).alias("__t"))
         return (ev.groupBy("key")
