@@ -117,6 +117,28 @@ def test_corpus_filter_scalar_between_raises_valueerror():
         corpus_filter(rules={"mean_word_len": ("between", 5.0)})
 
 
+# --- COVERAGE.md must reference only live gate queries (r5 verdict #3) -------
+def test_coverage_doc_names_resolve():
+    """Every query name COVERAGE.md claims an oracle for must exist in
+    queries() or bench_extras() — phantom (pre-merge historical) names
+    made r5's coverage audit unmechanizable."""
+    import importlib.util
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "entry", root / "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    known = set(m.queries()) | set(m.bench_extras())
+    txt = (root / "COVERAGE.md").read_text()
+    claimed = set(re.findall(r"\b([a-z][a-z0-9_]{3,})\b(?= \(oracle)", txt))
+    claimed.discard("query")  # column-header artifact of the regex
+    missing = sorted(claimed - known)
+    assert not missing, f"COVERAGE.md cites phantom gate queries: {missing}"
+
+
 # --- ADVICE r5: lsh_index_write must not call df.rdd -------------------------
 def test_lsh_index_write_no_rdd_guard(spark, sf_dir, tmp_path):
     """The spread guard is plan-only now (inputFiles metadata); the
