@@ -51,8 +51,9 @@ from conduino_spark.operators.relational import (
     session_window, sql_stage, top_k, union_all,
 )
 from conduino_spark.operators.text import (
-    chunk_text, corpus_filter, fingerprint, lang_id, pack_chunks,
-    quality_score, redact_pii, repetition_stats, token_count, tokenize,
+    chunk_text, corpus_filter, fingerprint, lang_id, normalize_text,
+    pack_chunks, quality_score, redact_pii, repetition_stats, token_count,
+    tokenize,
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, embedding_near_dup_pairs, minhash_dedup,
@@ -76,11 +77,12 @@ from conduino_spark.operators.temporal import (
     asof_join, funnel, interval_join, rolling_agg, sessionize,
 )
 from conduino_spark.operators.sketches import (
-    binned_quantiles, bloom_build, bloom_contains, kmv_distinct,
+    binned_quantiles, bloom_build, bloom_contains, bloom_prefilter_join,
+    countmin_build, countmin_estimate, kmv_distinct, winsorize,
 )
 from conduino_spark.operators.sampling import (
     hash_sample, hash_split, mixture, reservoir_per_key, shard_by,
-    stratified_sample,
+    stratified_sample, weighted_sample,
 )
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,

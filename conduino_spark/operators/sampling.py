@@ -153,6 +153,32 @@ def reservoir_per_key(group_key: Union[str, Sequence[str]], n: int, *,
     return Stage(fn, name=name)
 
 
+def weighted_sample(key: ExprLike, weight: ExprLike, *, salt: str = "",
+                    name: str = "weighted_sample") -> Stage:
+    """Per-ROW deterministic sampling probability: keep a row iff
+    ``h32(salt || key)`` falls in the first ``weight`` fraction of the
+    hash space, where ``weight`` is a COLUMN (clamped to [0, 1]) — the
+    per-document quality-weighted downsampling move ("keep high-quality
+    docs with p=1.0, boilerplate with p=0.1") that fixed-fraction
+    :func:`hash_sample` cannot express.
+
+    Same determinism contract as every sampler here: membership is a
+    pure function of (salt, key, weight), stable across runs, engines
+    and partitionings, replayable by a DuckDB oracle.  Pure projection
+    — no shuffle, no RNG.  NULL keys and NULL weights are DROPPED
+    (no hash / no probability → no membership)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        w = _key(weight).cast("double")
+        cut = (F.greatest(F.lit(0.0), F.least(F.lit(1.0), w))
+               * F.lit(float(_SPACE)))
+        h = h32(F.concat(F.lit(salt), _key(key).cast("string")))
+        return df.where(_key(key).isNotNull() & w.isNotNull()
+                        & (h.cast("double") < cut))
+
+    return Stage(fn, name=name)
+
+
 def mixture(sources: "Mapping[str, tuple[DataFrame, float]]", *,
             key: ExprLike = "doc_id", salt: str = "",
             out: str = "mix_source") -> DataFrame:

@@ -213,6 +213,241 @@ def bloom_build_sql(expr: str, *, m_bits: int = 1 << 20, k: int = 5,
       SELECT w, bits FROM __w ORDER BY w"""
 
 
+def countmin_build(expr: Union[str, Column], *, width: int = 2048,
+                   depth: int = 4, out: str = "cms") -> Stage:
+    """Count-Min sketch over ``expr`` as ONE row of ``depth`` count
+    arrays — the classic mergeable frequency sketch (Cormode &
+    Muthukrishnan 2005): estimate(v) = min over rows of
+    ``counts[d][h_d(v)]``, always an OVER-estimate (never under), with
+    error ≤ ``2n/width`` at probability ``1 − 2^-depth``.  O(depth ×
+    width) state regardless of data size; mergeable by cell-wise add —
+    the shape a streaming/partitioned frequency monitor keeps.
+
+    Deterministic across engines: cell positions are ``h32(d || value)
+    % width`` (md5-derived), so :func:`countmin_build_sql` rebuilds the
+    identical cells — probe estimates replay bit-for-bit.
+
+    Plan: projection → posexplode(depth positions) → ONE hash aggregate
+    over ≤ depth·width (d, cell) groups (map-side partials; only int
+    pairs shuffle) → dense per-depth arrays via the same sparse-to-dense
+    map-lookup as :func:`bloom_build`.  NULLs are skipped (no hash → no
+    count), matching the other sketches' rule.
+
+    Like :func:`bloom_build`, the result row CARRIES its geometry
+    (``width``/``depth`` columns) and :func:`countmin_estimate` reads
+    and validates it — mismatched geometry would silently misestimate."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+
+    def fn(df: DataFrame) -> DataFrame:
+        pos = F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     (h32(F.concat(F.lit(f"{d}|"), col.cast("string")))
+                      % width).alias("c"))
+            for d in range(depth)])
+        cells = (df.where(col.isNotNull())
+                   .select(F.explode(pos).alias("__p"))
+                   .groupBy(F.col("__p.d").alias("__d"),
+                            F.col("__p.c").alias("__c"))
+                   .agg(F.count(F.lit(1)).alias("__n")))
+        m = F.map_from_entries(F.collect_list(F.struct("__c", "__n")))
+        per_d = (cells.groupBy("__d")
+                      .agg(m.alias("__m"))
+                      .select("__d", F.transform(
+                          F.sequence(F.lit(0).cast("long"),
+                                     F.lit(width - 1)),
+                          lambda c: F.coalesce(
+                              F.element_at(F.col("__m"), c),
+                              F.lit(0).cast("long"))).alias("__row")))
+        rows = F.map_from_entries(F.collect_list(F.struct("__d", "__row")))
+        dense = per_d.agg(rows.alias("__r")).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: F.coalesce(
+                    F.element_at(F.col("__r"), d),
+                    F.array_repeat(F.lit(0).cast("long"), width))
+            ).alias(out),
+            F.lit(width).cast("long").alias("width"),
+            F.lit(depth).cast("long").alias("depth"))
+        return dense
+
+    return Stage(fn, name=f"countmin_build(w={width},d={depth})",
+                 seq_preserving=False)
+
+
+def countmin_estimate(cms: DataFrame, expr: Union[str, Column], *,
+                      width: "int | None" = None,
+                      depth: "int | None" = None,
+                      cms_col: str = "cms",
+                      out: str = "est_count") -> Stage:
+    """Probe a :func:`countmin_build` result: broadcast the single-row
+    sketch and take the min over depth cells as a pure expression — no
+    shuffle of the probed data.  Estimates are exact for values whose
+    cells saw no collision and over-estimates otherwise (never under).
+
+    Geometry is read from the sketch row (same carriage contract as
+    :func:`bloom_contains`); explicit ``width``/``depth`` args are
+    validated overrides.  NULL probe values estimate NULL."""
+    col = F.expr(expr) if isinstance(expr, str) else expr
+
+    def fn(df: DataFrame) -> DataFrame:
+        nonlocal width, depth
+        carried = set(cms.columns) >= {"width", "depth"}
+        if carried:
+            row = cms.select("width", "depth").first()
+            got_w, got_d = int(row["width"]), int(row["depth"])
+            if width is not None and width != got_w:
+                raise ValueError(
+                    f"countmin_estimate: width={width} does not match the "
+                    f"sketch's width={got_w} — mismatched geometry "
+                    "misestimates silently")
+            if depth is not None and depth != got_d:
+                raise ValueError(
+                    f"countmin_estimate: depth={depth} does not match the "
+                    f"sketch's depth={got_d} — mismatched geometry "
+                    "misestimates silently")
+            width, depth = got_w, got_d
+        elif width is None or depth is None:
+            raise ValueError(
+                "countmin_estimate: sketch carries no width/depth columns "
+                "— pass width= and depth= explicitly")
+        d = df.crossJoin(F.broadcast(
+            cms.select(F.col(cms_col).alias("__cms"))))
+        est = None
+        for dd in range(depth):
+            p = h32(F.concat(F.lit(f"{dd}|"), col.cast("string"))) % width
+            cell = F.element_at(F.element_at("__cms", dd + 1),
+                                p.cast("int") + 1)
+            est = cell if est is None else F.least(est, cell)
+        return d.withColumn(
+            out, F.when(col.isNull(), F.lit(None).cast("long"))
+                  .otherwise(est)).drop("__cms")
+
+    geom = "carried" if width is None else f"w={width},d={depth}"
+    return Stage(fn, name=f"countmin_estimate({geom})",
+                 seq_preserving=True)
+
+
+def bloom_prefilter_join(other: DataFrame, key: str, *,
+                         other_key: "str | None" = None,
+                         how: str = "semi",
+                         m_bits: int = 1 << 20, k: int = 5,
+                         name: str = "bloom_prefilter_join") -> Stage:
+    """EXACT semi/anti join with a Bloom pre-filter on the probe side —
+    the sketch-accelerated join pattern: build a Bloom filter over
+    ``other``'s keys (one narrow aggregate), pre-filter the big side
+    with the broadcast probe expression, and run the exact join only on
+    the survivors.
+
+    Results are IDENTICAL to the plain semi/anti join (the no-false-
+    negatives law does the work):
+
+    * ``semi``: a row probing False is definitely absent → dropping it
+      pre-join is safe; survivors get the exact semi join.
+    * ``anti``: a row probing False is definitely absent → keep it
+      WITHOUT joining; only rows probing True (maybe-present) pay the
+      exact anti join.
+
+    100 TB posture: the join's shuffle now moves only
+    ``true_matches + fp_rate · non_matches`` of the big side instead of
+    all of it — the classic reason engines push runtime bloom filters
+    into scans (Spark's own `spark.sql.optimizer.runtimeFilter` does
+    this engine-side; this operator is the explicit, oracle-checkable
+    form).  The small side is aggregated to O(m_bits) once."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    ok = other_key or key
+
+    def fn(df: DataFrame) -> DataFrame:
+        bloom = bloom_build(ok, m_bits=m_bits, k=k)(
+            other.select(F.col(ok)))
+        probed = bloom_contains(bloom, key, out="__mc")(df)
+        rhs = other.select(F.col(ok).alias("__rk")).distinct()
+        cond = F.col(key) == F.col("__rk")
+        if how == "semi":
+            return (probed.where(F.col("__mc")).drop("__mc")
+                          .join(rhs, cond, "semi"))
+        definite = probed.where(~F.col("__mc")).drop("__mc")
+        maybe = (probed.where(F.col("__mc")).drop("__mc")
+                       .join(rhs, cond, "anti"))
+        return definite.unionByName(maybe)
+
+    return Stage(fn, name=f"{name}({how})", seq_preserving=False)
+
+
+def winsorize(expr: str, *, lo: float = 0.01, hi: float = 0.99,
+              bins: int = 4096, keys: "tuple[str, ...]" = (),
+              out: "str | None" = None,
+              name: str = "winsorize") -> Stage:
+    """Winsorize (clip) ``expr`` to its [lo, hi] quantile range, per
+    ``keys`` group or globally — the standard outlier-robust feature
+    clamp, using :func:`binned_quantiles` for the cut points so the
+    whole operator stays deterministic and oracle-replayable (the
+    sketch's cuts are bit-identical in SQL, hence so is the clip).
+
+    Plan: the two cheap histogram aggregation passes (state O(bins) per
+    group) + a broadcast (global) or keyed join of ONE row per group +
+    a pure clamp projection.  Quantile error ≤ (max − min)/bins moves
+    the cut by at most one bin edge — winsorization tolerates that by
+    design (the tails are noise by assumption)."""
+    if not 0.0 < lo < hi <= 1.0:
+        raise ValueError(f"need 0 < lo < hi <= 1, got ({lo}, {hi})")
+    target = out or expr
+    qs = {"__wlo": lo, "__whi": hi}
+
+    def fn(df: DataFrame) -> DataFrame:
+        cuts = binned_quantiles(expr, qs, bins=bins, keys=keys)(df)
+        if keys:
+            j = df.join(cuts, list(keys))
+        else:
+            j = df.crossJoin(F.broadcast(cuts))
+        clipped = F.greatest(F.col("__wlo"),
+                             F.least(F.col("__whi"),
+                                     F.col(expr).cast("double")))
+        return (j.withColumn(target, clipped)
+                 .drop("__wlo", "__whi"))
+
+    return Stage(fn, name=f"{name}[{lo},{hi}]", seq_preserving=False)
+
+
+def winsorize_sql(expr: str, *, lo: float = 0.01, hi: float = 0.99,
+                  bins: int = 4096, keys: "tuple[str, ...]" = (),
+                  out: "str | None" = None, table: str,
+                  select_cols: str = "*") -> str:
+    """DuckDB rendering of :func:`winsorize` — bit-identical (the cuts
+    come from :func:`binned_quantiles_sql`)."""
+    target = out or expr
+    cuts = binned_quantiles_sql(expr, {"__wlo": lo, "__whi": hi},
+                                bins=bins, keys=keys, table=table)
+    joined = (f"JOIN ({cuts}) q USING ({', '.join(keys)})" if keys
+              else f"CROSS JOIN ({cuts}) q")
+    return f"""
+      SELECT {select_cols},
+             greatest(q.__wlo, least(q.__whi, CAST(t.{expr} AS DOUBLE)))
+               AS {target}
+      FROM {table} t {joined}"""
+
+
+def countmin_build_sql(expr: str, *, width: int = 2048, depth: int = 4,
+                       table: str) -> str:
+    """DuckDB rendering of :func:`countmin_build`'s sparse cell table
+    ((d, c, n) rows, ordered) — compare against the dense arrays'
+    non-zero cells for a bit-identical replay."""
+    parts = []
+    for d in range(depth):
+        salted = f"concat('{d}|', CAST({expr} AS VARCHAR))"
+        parts.append(
+            f"SELECT {d} AS d, ({h32_sql(salted)}) % {width} AS c "
+            f"FROM {table} WHERE {expr} IS NOT NULL")
+    return f"""
+      WITH __cells AS ({' UNION ALL '.join(parts)})
+      SELECT d, c, COUNT(*) AS n FROM __cells GROUP BY d, c
+      ORDER BY d, c"""
+
+
 #: default quantile set for binned_quantiles
 QUANTILES_DEFAULT = {"p25": 0.25, "p50": 0.5, "p75": 0.75,
                      "p90": 0.9, "p99": 0.99}

@@ -59,6 +59,56 @@ def tokenize(text_col: str = "text", *, out: str = "tokens",
     return Stage(fn, name="tokenize", seq_preserving=True)
 
 
+def normalize_text(text_col: str = "text", *, out: str = "normalized",
+                   lowercase: bool = True,
+                   collapse_whitespace: bool = True,
+                   strip_control: bool = True,
+                   strip_punct: bool = False) -> Stage:
+    """Canonical text normalization for dedup/tokenization prep:
+    lowercase, strip C0/C1 control characters, collapse whitespace runs
+    to single spaces and trim, optionally drop punctuation — the
+    standard pre-hash canonicalization so near-identical documents
+    (case/whitespace variants) collide in exact dedup.
+
+    Pure chained ``lower``/``regexp_replace`` projection — no shuffle,
+    one codegen pass, streaming-compatible.  Patterns stay in the
+    Java∩RE2 regex subset (like :func:`redact_pii`) so
+    :func:`normalize_text_sql` replays the result bit-for-bit."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        c = F.coalesce(F.col(text_col), F.lit(""))
+        if lowercase:
+            c = F.lower(c)
+        if strip_control:
+            c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+        if strip_punct:
+            c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", " ")
+        if collapse_whitespace:
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(out, c)
+
+    return Stage(fn, name="normalize_text", seq_preserving=True)
+
+
+def normalize_text_sql(expr: str = "text", out: str = "normalized", *,
+                       lowercase: bool = True,
+                       collapse_whitespace: bool = True,
+                       strip_control: bool = True,
+                       strip_punct: bool = False) -> str:
+    """DuckDB rendering of :func:`normalize_text` (same chain order)."""
+    c = f"coalesce({expr}, '')"
+    if lowercase:
+        c = f"lower({c})"
+    if strip_control:
+        c = (f"regexp_replace({c}, "
+             r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')")
+    if strip_punct:
+        c = f"regexp_replace({c}, '[!-/:-@\\[-`{{-~]', ' ', 'g')"
+    if collapse_whitespace:
+        c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"{c} AS {out}"
+
+
 def token_count(text_col: str = "text", *, out: str = "n_tokens") -> Stage:
     """Token counting — one codegen'd expression, no shuffle."""
 

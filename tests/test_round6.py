@@ -139,6 +139,206 @@ def test_coverage_doc_names_resolve():
     assert not missing, f"COVERAGE.md cites phantom gate queries: {missing}"
 
 
+# --- r6 NEW: count-min sketch -------------------------------------------------
+def test_countmin_cells_match_duckdb(spark, sf_dir):
+    """The sparse (d, c, n) cell table the DuckDB oracle rebuilds
+    equals the dense arrays' non-zero cells — bit-identical layout."""
+    import duckdb
+    from conduino_spark import countmin_build
+    from conduino_spark.operators.sketches import countmin_build_sql
+
+    ev = read_table(sf_dir, "events").df(spark)
+    cms = run_pipe(from_dataframe(ev)
+                   | countmin_build("event_type", width=64, depth=3)
+                   | sink_df(), spark)
+    row = cms.collect()[0]
+    got = {(d, c): n for d, arr in enumerate(row.cms)
+           for c, n in enumerate(arr) if n != 0}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = {(d, c): n for d, c, n in con.execute(
+        countmin_build_sql("event_type", width=64, depth=3,
+                           table="events")).fetchall()}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        countmin_build("event_type", width=0)
+    with pytest.raises(ValueError):
+        countmin_build("event_type", depth=0)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    from conduino_spark import countmin_build, countmin_estimate
+
+    ev = read_table(sf_dir, "events").df(spark)
+    cms = run_pipe(from_dataframe(ev)
+                   | countmin_build("user_id", width=256, depth=4)
+                   | sink_df(), spark)
+    truth = ev.groupBy("user_id").count()
+    est = run_pipe(from_dataframe(truth)
+                   | countmin_estimate(cms, "user_id")
+                   | sink_df(), spark)
+    rows = est.collect()
+    assert rows and all(r.est_count >= r["count"] for r in rows)
+    # width 256 >> #users at sf0.001: most estimates exact
+    exact = sum(1 for r in rows if r.est_count == r["count"])
+    assert exact / len(rows) > 0.5
+
+    # carried-geometry validation (same contract as bloom)
+    probe = ev.select("user_id").limit(5)
+    with pytest.raises(ValueError, match="width"):
+        run_pipe(from_dataframe(probe)
+                 | countmin_estimate(cms, "user_id", width=512, depth=4)
+                 | sink_df(), spark)
+    legacy = cms.select("cms")
+    with pytest.raises(ValueError, match="explicit"):
+        run_pipe(from_dataframe(probe)
+                 | countmin_estimate(legacy, "user_id")
+                 | sink_df(), spark)
+
+
+# --- r6 NEW: bloom-prefiltered exact join -------------------------------------
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir, how):
+    """The sketch accelerates, never changes, the result: equality with
+    the plain semi/anti join is the no-false-negatives law in action."""
+    from conduino_spark import bloom_prefilter_join
+
+    ev = read_table(sf_dir, "events").df(spark)
+    cust = read_table(sf_dir, "customer").df(spark) \
+        .where("c_mktsegment = 'BUILDING'")
+    st = bloom_prefilter_join(cust, "user_id", other_key="c_custkey",
+                              how=how, m_bits=1 << 13, k=3)
+    got = {r.event_id for r in st(ev).select("event_id").collect()}
+    want = {r.event_id for r in
+            ev.join(cust, ev.user_id == cust.c_custkey, how)
+              .select("event_id").collect()}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(cust, "user_id", how="left")
+
+
+# --- r6 NEW: winsorize --------------------------------------------------------
+def test_winsorize_matches_duckdb(spark, sf_dir):
+    import duckdb
+    from conduino_spark import winsorize
+    from conduino_spark.operators.sketches import winsorize_sql
+
+    ev = read_table(sf_dir, "events").df(spark)
+    out = run_pipe(from_dataframe(ev)
+                   | winsorize("value", lo=0.05, hi=0.95, bins=256,
+                               keys=("event_type",), out="w")
+                   | sink_df(), spark)
+    got = {r.event_id: r.w for r in out.select("event_id", "w").collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = dict(con.execute(winsorize_sql(
+        "value", lo=0.05, hi=0.95, bins=256, keys=("event_type",),
+        out="w", table="events",
+        select_cols="t.event_id")).fetchall())
+    assert got == want  # bit-identical doubles
+
+    with pytest.raises(ValueError):
+        winsorize("value", lo=0.9, hi=0.1)
+
+
+def test_winsorize_clamps_to_quantile_range(spark):
+    from conduino_spark import winsorize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "id long, v double")
+    out = run_pipe(from_dataframe(df)
+                   | winsorize("v", lo=0.10, hi=0.90, bins=1000)
+                   | sink_df(), spark)
+    vs = [r.v for r in out.collect()]
+    assert min(vs) >= 10.0 - 0.1 and max(vs) <= 90.0 + 0.1
+    assert len(vs) == 100  # winsorize clips, never drops
+
+
+# --- r6 NEW: normalize_text ---------------------------------------------------
+def test_normalize_text_matches_duckdb(spark, sf_dir):
+    import duckdb
+    from conduino_spark import normalize_text
+    from conduino_spark.operators.text import normalize_text_sql
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    out = run_pipe(from_dataframe(docs)
+                   | normalize_text(strip_punct=True)
+                   | sink_df(), spark)
+    got = {r.doc_id: r.normalized
+           for r in out.select("doc_id", "normalized").collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = dict(con.execute(
+        f"SELECT doc_id, {normalize_text_sql(strip_punct=True)} "
+        f"FROM documents").fetchall())
+    assert got == want
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from conduino_spark import dedup_exact, normalize_text
+
+    rows = [(1, "Hello  World"), (2, "hello world"),
+            (3, "HELLO\tWORLD\n"), (4, "different text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = run_pipe(from_dataframe(df) | normalize_text() | sink_df(),
+                    spark)
+    # all three variants collapse to one normalized form
+    kept = run_pipe(
+        from_dataframe(norm.select("doc_id",
+                                   F.col("normalized").alias("text")))
+        | dedup_exact() | sink_df(), spark)
+    assert {r.doc_id for r in kept.collect()} == {1, 4}
+    # NULL text normalizes to empty string, not NULL
+    df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    out = run_pipe(from_dataframe(df2) | normalize_text() | sink_df(),
+                   spark)
+    assert out.collect()[0].normalized == ""
+
+
+# --- r6 NEW: weighted_sample --------------------------------------------------
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    import duckdb
+    from conduino_spark import weighted_sample
+    from conduino_spark.functions.hashing import h32_sql
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    # weight rises with doc_id: p = (doc_id % 10) / 10
+    w = (F.col("doc_id") % 10) / 10.0
+    out = run_pipe(from_dataframe(docs)
+                   | weighted_sample("doc_id", w, salt="s|")
+                   | sink_df(), spark)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    h = h32_sql("concat('s|', CAST(doc_id AS VARCHAR))")
+    want = {r[0] for r in con.execute(f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL
+          AND CAST({h} AS DOUBLE)
+              < greatest(0.0, least(1.0, (doc_id % 10) / 10.0)) * 4294967296.0
+        """).fetchall()}
+    assert got == want
+    # weight 0 keeps nothing, weight 1 keeps everything
+    none = run_pipe(from_dataframe(docs)
+                    | weighted_sample("doc_id", F.lit(0.0))
+                    | sink_df(), spark)
+    assert none.count() == 0
+    all_ = run_pipe(from_dataframe(docs)
+                    | weighted_sample("doc_id", F.lit(1.0))
+                    | sink_df(), spark)
+    assert all_.count() == docs.count()
+
+
 # --- ADVICE r5: lsh_index_write must not call df.rdd -------------------------
 def test_lsh_index_write_no_rdd_guard(spark, sf_dir, tmp_path):
     """The spread guard is plan-only now (inputFiles metadata); the

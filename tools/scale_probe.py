@@ -1,0 +1,130 @@
+"""10x scale probe (r5 verdict ask #5): no sf1 dataset exists in the
+container (largest generated sf is 0.1 — see TESTDATA.md), so the
+scale confirmation replicates the sf0.1 tables 10x WITH REMAPPED KEYS
+(disjoint event/user/doc ids; per-replica salted text so the LSH
+workload stays near-dup-realistic instead of pathologically
+duplicated) and times the scale-sensitive operators at 1x vs 10x.
+
+A chunked/ordered operator or banded LSH join whose plan is truly
+linear should show a time ratio of roughly <= 10x (usually well under:
+fixed per-query overhead amortizes); a super-linear ratio exposes a
+hidden quadratic constant.
+
+Usage: python tools/scale_probe.py [sf_dir] [replicas]
+Prints one JSON line; the round snapshot stores it as
+SCALE_PROBE_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+
+def replicated_events(spark, n):
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    parts = [base.select(
+        (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+        "event_type", "value", "props") for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicated_docs(spark, n):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = [base.select(
+        (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+        # per-replica salt keeps shingle sets distinct: without it every
+        # doc has 9 exact clones and the LSH candidate set is quadratic
+        # in the replica count by construction, not by data
+        F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"))
+        for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from conduino_spark import (
+        consecutive, from_dataframe, minhash_dedup_pairs, pack_chunks,
+        chunk_text, release_caches, rolling_agg, run_pipe, scan_multi,
+        sessionize, sink_df, pairs,
+    )
+    from conduino_spark.session import get_spark
+
+    spark = get_spark("scale_probe", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def ev_pipe(stage_fn, df, seq=None):
+        src = from_dataframe(df, seq_col=seq)
+        return run_pipe(src | stage_fn | sink_df(), spark)
+
+    OPS = {
+        "scan_multi": lambda df: ev_pipe(
+            scan_multi({"c": ("sum", F.round(F.col("value") * 100).cast("long")),
+                        "n": ("count", "event_id")}), df, seq="event_id"),
+        "pairs": lambda df: ev_pipe(
+            pairs(), df.select("event_id", F.col("user_id").alias("v")),
+            seq="event_id"),
+        "consecutive": lambda df: ev_pipe(
+            consecutive(3), df.select("event_id", F.col("user_id").alias("v")),
+            seq="event_id"),
+        "sessionize": lambda df: ev_pipe(
+            sessionize("ts", 1800.0, keys=("user_id",)), df),
+        "rolling_agg": lambda df: ev_pipe(
+            rolling_agg("ts", 86400.0, keys=["user_id"]), df),
+    }
+    DOC_OPS = {
+        "minhash_pairs": lambda df: ev_pipe(minhash_dedup_pairs(), df),
+        "chunk_pack": lambda df: ev_pipe(
+            chunk_text(64, 16) | pack_chunks(512), df),
+    }
+
+    def timed(fn, df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(df).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            release_caches()
+            spark.catalog.clearCache()
+        return round(best, 3)
+
+    ev1, evN = replicated_events(spark, 1), replicated_events(spark, REPLICAS)
+    dc1, dcN = replicated_docs(spark, 1), replicated_docs(spark, REPLICAS)
+    result = {}
+    for name, fn in OPS.items():
+        t1, tn = timed(fn, ev1), timed(fn, evN)
+        result[name] = {"t_1x": t1, f"t_{REPLICAS}x": tn,
+                        "ratio": round(tn / max(t1, 1e-9), 2)}
+    for name, fn in DOC_OPS.items():
+        t1, tn = timed(fn, dc1), timed(fn, dcN)
+        result[name] = {"t_1x": t1, f"t_{REPLICAS}x": tn,
+                        "ratio": round(tn / max(t1, 1e-9), 2)}
+
+    print(json.dumps({
+        "note": ("no sf1 dataset exists in the container; probe = sf0.1 "
+                 f"tables replicated {REPLICAS}x with remapped keys"),
+        "sf_base": SF_DIR, "replicas": REPLICAS, "ops": result,
+        "linear_bound": REPLICAS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
