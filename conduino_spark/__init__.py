@@ -53,7 +53,7 @@ from conduino_spark.operators.relational import (
 from conduino_spark.operators.text import (
     chunk_text, corpus_filter, fingerprint, lang_id, normalize_text,
     pack_chunks, quality_score, redact_pii, repetition_stats, token_count,
-    tokenize,
+    tokenize, unigram_logprob, unigram_vocab,
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, embedding_near_dup_pairs, minhash_dedup,
@@ -81,8 +81,8 @@ from conduino_spark.operators.sketches import (
     countmin_build, countmin_estimate, kmv_distinct, winsorize,
 )
 from conduino_spark.operators.sampling import (
-    hash_sample, hash_split, mixture, reservoir_per_key, shard_by,
-    stratified_sample, weighted_sample,
+    deterministic_shuffle, hash_sample, hash_split, mixture,
+    reservoir_per_key, shard_by, stratified_sample, weighted_sample,
 )
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,

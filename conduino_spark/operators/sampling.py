@@ -220,6 +220,36 @@ def mixture(sources: "Mapping[str, tuple[DataFrame, float]]", *,
     return res
 
 
+def deterministic_shuffle(key: ExprLike, *, salt: str = "",
+                          out: str = "shuffle_pos",
+                          npart: "int | None" = None,
+                          name: str = "deterministic_shuffle") -> Stage:
+    """Reproducible global shuffle for training order: assign every row
+    a dense 0-based position ``out`` = its rank under ``h32(salt ||
+    key)`` (ties broken by the key string) — the "shuffle the corpus
+    once, identically, on any cluster" step a training pipeline needs
+    before sharded writes.  Different ``salt`` → independent orders
+    (epoch reshuffles); no RNG anywhere, so the order is replayable by
+    engine, run, and partitioning.
+
+    Plan (the scale path, via plans.order.rerank): ONE range exchange
+    on the hash + a partition-local rank window + a broadcast of
+    per-partition counts — no global single-partition window at any
+    size.  NULL keys are DROPPED (no hash → no position), the
+    samplers' shared rule."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        from conduino_spark.plans.order import rerank
+        h = h32(F.concat(F.lit(salt), _key(key).cast("string")))
+        d = (df.where(_key(key).isNotNull())
+               .withColumn("__ds_h", h)
+               .withColumn("__ds_k", _key(key).cast("string")))
+        return rerank(d, ["__ds_h", "__ds_k"], out=out, npart=npart,
+                      drop_keys=True)
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
 def shard_by(key: ExprLike, n_shards: int, *, out: str = "shard",
              repartition: bool = False, name: str = "shard_by") -> Stage:
     """Deterministic shard id in [0, n_shards): ``h32(key) % n``.

@@ -537,6 +537,76 @@ def pack_chunks(budget: int, *, order: Sequence[str] = ("doc_id", "chunk_id"),
     return Stage(fn, name=name, seq_preserving=False)
 
 
+def unigram_vocab(text_col: str = "text") -> "Stage":
+    """Corpus unigram table: one row per distinct token with its count
+    — the reference model :func:`unigram_logprob` scores against.
+    Build it ONCE over a trusted corpus (e.g. wiki), persist it, and
+    score candidate documents forever after — the CCNet-style LM
+    quality-filter shape, with a unigram model standing in for the
+    n-gram LM (the Spark-side plumbing is identical; heavier models
+    plug into the same join).
+
+    One (token → count) hash aggregate; tokens shuffle once as their
+    md5-ready strings, counts partial map-side."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return (df.select(F.explode(tokens_col(F.col(text_col)))
+                          .alias("token"))
+                  .groupBy("token")
+                  .agg(F.count(F.lit(1)).alias("count")))
+
+    return Stage(fn, name="unigram_vocab", seq_preserving=False)
+
+
+def unigram_logprob(vocab: DataFrame, text_col: str = "text", *,
+                    id_col: str = "doc_id", alpha: float = 0.5,
+                    out: str = "logprob_per_token") -> "Stage":
+    """Mean per-token unigram log-probability of each document under a
+    ``vocab`` table (:func:`unigram_vocab` output) with additive
+    ``alpha`` smoothing — the classic LM-score quality signal: fluent
+    prose scores near the corpus distribution, gibberish and
+    boilerplate score far below / above.  Empty-token documents get
+    NULL.
+
+    P(t) = (count(t) + alpha) / (N + alpha·(V + 1)); out-of-vocabulary
+    tokens take count 0.  The +1 in the denominator reserves mass for
+    the OOV event.
+
+    Plan: explode to (doc, token), LEFT join the narrow (token, count)
+    table — a plain hash join that AQE broadcasts when the vocab is
+    small, stays shuffled when it is web-scale — then one per-doc mean
+    aggregate.  Raw text shuffles only as single tokens.
+
+    Scores are floating logs (libm ``ln`` differs across engines in the
+    last ulp), so tests pin a tolerance reference, not a hash oracle —
+    the same contract as BM25."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        # N/V ride a broadcast single-row aggregate into the expression
+        # (no driver peek — the whole score stays one lazy plan)
+        stats = vocab.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("__N"),
+            F.count(F.lit(1)).alias("__V"))
+        denom = (F.col("__N").cast("double")
+                 + F.lit(alpha) * (F.col("__V").cast("double") + 1))
+        toks = df.select(F.col(id_col),
+                         F.explode(tokens_col(F.col(text_col)))
+                          .alias("token"))
+        scored = (toks.join(vocab.select("token", "count"), "token", "left")
+                      .crossJoin(F.broadcast(stats))
+                      .select(id_col,
+                              F.log((F.coalesce(F.col("count"), F.lit(0))
+                                     .cast("double") + F.lit(alpha))
+                                    / denom).alias("__lp")))
+        per_doc = scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
+        return df.join(per_doc, id_col, "left")
+
+    return Stage(fn, name=f"unigram_logprob(alpha={alpha})",
+                 seq_preserving=False)
+
+
 #: corpus_filter default gates — (column, op, threshold); Gopher-flavored
 #: (Rae et al. 2021 §A1.1) plus the engine's quality heuristic
 CORPUS_FILTER_DEFAULT: "dict[str, tuple[str, float]]" = {

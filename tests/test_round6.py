@@ -339,6 +339,95 @@ def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
     assert all_.count() == docs.count()
 
 
+# --- r6 NEW: deterministic_shuffle --------------------------------------------
+def test_deterministic_shuffle_matches_duckdb(spark, sf_dir):
+    """shuffle_pos is a dense 0-based permutation equal to the DuckDB
+    rank under the same hash — reproducible training order across
+    engines."""
+    import duckdb
+    from conduino_spark import deterministic_shuffle
+    from conduino_spark.functions.hashing import h32_sql
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    out = run_pipe(from_dataframe(docs)
+                   | deterministic_shuffle("doc_id", salt="e1|")
+                   | sink_df(), spark)
+    got = {r.doc_id: r.shuffle_pos
+           for r in out.select("doc_id", "shuffle_pos").collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    h = h32_sql("concat('e1|', CAST(doc_id AS VARCHAR))")
+    want = dict(con.execute(f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY {h},
+                                  CAST(doc_id AS VARCHAR)) - 1 AS pos
+        FROM documents WHERE doc_id IS NOT NULL""").fetchall())
+    assert got == want
+    assert sorted(got.values()) == list(range(len(got)))  # dense perm
+
+
+def test_deterministic_shuffle_salt_gives_new_order(spark, sf_dir):
+    from conduino_spark import deterministic_shuffle
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    a = run_pipe(from_dataframe(docs)
+                 | deterministic_shuffle("doc_id", salt="epoch0|")
+                 | sink_df(), spark)
+    b = run_pipe(from_dataframe(docs)
+                 | deterministic_shuffle("doc_id", salt="epoch1|")
+                 | sink_df(), spark)
+    oa = {r.doc_id: r.shuffle_pos for r in a.collect()}
+    ob = {r.doc_id: r.shuffle_pos for r in b.collect()}
+    assert oa != ob                       # epochs reshuffle
+    assert sorted(oa) == sorted(ob)       # same rows either way
+
+
+# --- r6 NEW: unigram LM scoring -----------------------------------------------
+def test_unigram_logprob_reference(spark):
+    """Exact small-case reference: smoothed unigram logprob math."""
+    import math
+    from conduino_spark import unigram_logprob, unigram_vocab
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")],
+        "doc_id long, text string")
+    vocab = run_pipe(from_dataframe(corpus) | unigram_vocab()
+                     | sink_df(), spark)
+    # N=6, V=4 (the:2, sat:2, cat:1, dog:1); alpha=0.5 -> denom=8.5
+    score = run_pipe(from_dataframe(
+        spark.createDataFrame([(10, "the cat"), (11, "zebra")],
+                              "doc_id long, text string"))
+        | unigram_logprob(vocab) | sink_df(), spark)
+    got = {r.doc_id: r.logprob_per_token for r in score.collect()}
+    want10 = (math.log(2.5 / 8.5) + math.log(1.5 / 8.5)) / 2
+    want11 = math.log(0.5 / 8.5)  # OOV
+    assert abs(got[10] - want10) < 1e-9
+    assert abs(got[11] - want11) < 1e-9
+    assert got[11] < got[10]  # gibberish scores below fluent text
+
+    with pytest.raises(ValueError):
+        unigram_logprob(vocab, alpha=0.0)
+
+
+def test_unigram_logprob_corpus_self_score(spark, sf_dir):
+    """Self-scoring the corpus: every document with tokens gets a
+    finite negative score; token-free documents get NULL."""
+    from conduino_spark import unigram_logprob, unigram_vocab
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    vocab = run_pipe(from_dataframe(docs) | unigram_vocab()
+                     | sink_df(), spark)
+    out = run_pipe(from_dataframe(docs) | unigram_logprob(vocab)
+                   | sink_df(), spark)
+    rows = out.select("doc_id", "logprob_per_token").collect()
+    assert len(rows) == docs.count()
+    scored = [r.logprob_per_token for r in rows
+              if r.logprob_per_token is not None]
+    assert scored and all(s < 0 for s in scored)
+
+
 # --- ADVICE r5: lsh_index_write must not call df.rdd -------------------------
 def test_lsh_index_write_no_rdd_guard(spark, sf_dir, tmp_path):
     """The spread guard is plan-only now (inputFiles metadata); the
