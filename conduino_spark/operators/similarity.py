@@ -322,3 +322,82 @@ def ivf_search(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding
                 .limit(k))
 
     return Stage(fn, name=f"ivf_search({k})", seq_preserving=False)
+
+
+def vec_quantize_int8(vec_col: str = "embedding", *,
+                      out: str = "q_embedding",
+                      scale_out: str = "q_scale",
+                      per_dim: bool = False) -> Stage:
+    """Symmetric int8 quantization of an embedding column — the memory
+    lever that makes 100 TB ANN tractable: 4 bytes/dim float32 (8 in
+    Spark's array<double>) become 1 byte/dim, so a shard's index fits
+    in a quarter (eighth) of the RAM, at a recall cost the coarse
+    ANN stages (SRP buckets / IVF cells) don't even see.
+
+    ``per_dim=False`` (default): one scale per VECTOR (its max |x| /
+    127) emitted as ``scale_out`` — self-contained rows, exact for the
+    vector's own largest component, no corpus statistics needed.
+    ``per_dim=True``: one GLOBAL scale per DIMENSION (corpus max |x_i|
+    / 127), the classic calibrated variant — one narrow (dim, max)
+    aggregate broadcast into the projection; rows then need the scale
+    table (returned as an array in every row for self-containment).
+
+    q_i = clamp(round(x_i / scale), -127, 127) as array<tinyint>
+    (-128 is never emitted: symmetric quantization keeps |q| ≤ 127 so
+    dequantization is sign-symmetric).  Zero vectors take scale 1.0
+    (all-zero codes).  Use :func:`vec_dequantize` to reconstruct;
+    reconstruction error per dim ≤ scale/2."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        if per_dim:
+            dims = (df.select(F.posexplode(v).alias("__i", "__x"))
+                      .groupBy("__i")
+                      .agg(F.max(F.abs(F.col("__x"))).alias("__mx")))
+            scales = dims.agg(F.map_from_entries(
+                F.collect_list(F.struct("__i", "__mx"))).alias("__sm"))
+            scales = scales.select(F.transform(
+                F.sequence(F.lit(0), F.size(F.map_keys("__sm")) - 1),
+                lambda i: F.when(F.element_at("__sm", i) > 0,
+                                 F.element_at("__sm", i) / 127.0)
+                           .otherwise(F.lit(1.0))).alias("__scales"))
+            d = df.crossJoin(F.broadcast(scales))
+            q = F.zip_with(
+                v, F.col("__scales"),
+                lambda x, s: F.greatest(
+                    F.lit(-127.0),
+                    F.least(F.lit(127.0), F.round(x / s))).cast("tinyint"))
+            return (d.withColumn(out, q)
+                     .withColumnRenamed("__scales", scale_out))
+        mx = F.aggregate(v, F.lit(0.0),
+                         lambda s, x: F.greatest(s, F.abs(x)))
+        scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+        d = df.withColumn(scale_out, scale)
+        q = F.transform(v, lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0),
+                    F.round(x / F.col(scale_out)))).cast("tinyint"))
+        return d.withColumn(out, q)
+
+    return Stage(fn, name=f"vec_quantize_int8(per_dim={per_dim})",
+                 seq_preserving=True)
+
+
+def vec_dequantize(q_col: str = "q_embedding", scale_col: str = "q_scale",
+                   *, out: str = "embedding") -> Stage:
+    """Inverse of :func:`vec_quantize_int8`: x̂_i = q_i · scale (scalar
+    scale) or q_i · scale_i (per-dim array scale — detected from the
+    column type).  Pure projection."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        qt = df.schema[scale_col].dataType.simpleString()
+        q = F.col(q_col)
+        if qt.startswith("array"):
+            x = F.zip_with(q, F.col(scale_col),
+                           lambda a, s: a.cast("double") * s)
+        else:
+            x = F.transform(q, lambda a: a.cast("double")
+                            * F.col(scale_col))
+        return df.withColumn(out, x)
+
+    return Stage(fn, name="vec_dequantize", seq_preserving=True)

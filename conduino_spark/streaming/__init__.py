@@ -494,3 +494,84 @@ def stream_funnel(steps: list, *, key_col: str = "user_id",
                       "append", GroupStateTimeout.NoTimeout))
 
     return Stage(fn, name="stream_funnel", seq_preserving=False)
+
+
+def windowed_quantiles(ts_col: str, duration: str, expr: str,
+                       qs: "dict[str, float] | None" = None, *,
+                       lo: float, hi: float, bins: int = 128,
+                       keys: "tuple[str, ...]" = (),
+                       slide: "str | None" = None,
+                       watermark: "str | None" = None) -> Stage:
+    """Per-event-time-window deterministic histogram quantiles — the
+    STREAMING form of ``operators.sketches.binned_quantiles``
+    (explicit-bounds mode), and proof of its docstring's claim that the
+    explicit-``lo``/``hi`` sketch is the one a streaming aggregation
+    can host: per (window, keys) group the state is exactly ``bins``
+    conditional counters (simple sums — valid in append mode behind a
+    watermark), and the quantile pick is a pure post-aggregation
+    projection over the count array.
+
+    Works identically on batch and streaming DataFrames (the
+    ``event_window`` contract), and on batch matches
+    ``binned_quantiles(..., lo=..., hi=...)`` grouped by the same
+    window BIT-FOR-BIT: same clamp, same bin expression, same
+    edge arithmetic, same first-bin-at-cum-threshold pick.
+
+    State per group is O(bins) regardless of stream length; values are
+    clamped into the edge bins like the batch sketch.  Keep ``bins``
+    modest (default 128): each bin is one aggregate expression."""
+    from conduino_spark.operators.sketches import QUANTILES_DEFAULT
+    qs = dict(qs) if qs else dict(QUANTILES_DEFAULT)
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    for name, q in qs.items():
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside (0, 1]")
+    lo, hi = float(lo), float(hi)
+    step = (hi - lo) / float(bins)  # same IEEE value the batch sketch
+    #                                 computes engine-side from literals
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        if watermark and d.isStreaming:
+            d = d.withWatermark(ts_col, watermark)
+        x = F.greatest(F.lit(lo), F.least(F.lit(hi),
+                                          F.expr(expr).cast("double")))
+        bin_ = F.least(F.floor((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo))
+                               * bins),
+                       F.lit(bins - 1)).cast("long")
+        win = (F.window(ts_col, duration, slide) if slide
+               else F.window(ts_col, duration))
+        cnts = [F.sum(F.when(F.col("__bin") == b, 1).otherwise(0))
+                 .cast("long") for b in range(bins)]
+        agg = (d.where(F.expr(expr).isNotNull())
+                .withColumn("__bin", bin_)
+                .groupBy(win.alias("w"), *keys)
+                .agg(F.array(*cnts).alias("__cnt")))
+        n = F.aggregate("__cnt", F.lit(0).cast("long"), lambda a, c: a + c)
+        agg = agg.withColumn("__n", n)
+
+        def pick(q: float):
+            acc0 = F.struct(F.lit(0).cast("long").alias("cum"),
+                            F.lit(None).cast("double").alias("edge"))
+
+            def step_fn(acc, i):
+                cum = acc["cum"] + F.element_at(F.col("__cnt"),
+                                                i.cast("int"))
+                edge = F.coalesce(
+                    acc["edge"],
+                    F.when(cum.cast("double") >= F.col("__n") * F.lit(q),
+                           F.lit(lo) + i.cast("double") * F.lit(step)))
+                return F.struct(cum.alias("cum"), edge.alias("edge"))
+
+            return F.aggregate(F.sequence(F.lit(1), F.lit(bins)), acc0,
+                               step_fn, lambda a: a["edge"])
+
+        return agg.select(F.col("w.start").alias("w_start"),
+                          F.col("w.end").alias("w_end"), *keys,
+                          *[pick(q).alias(name) for name, q in qs.items()])
+
+    return Stage(fn, name=f"windowed_quantiles(bins={bins})",
+                 seq_preserving=False)

@@ -428,6 +428,128 @@ def test_unigram_logprob_corpus_self_score(spark, sf_dir):
     assert scored and all(s < 0 for s in scored)
 
 
+# --- r6 NEW: int8 embedding quantization --------------------------------------
+def test_vec_quantize_int8_roundtrip_and_recall(spark, sf_dir):
+    """Quantize→dequantize reconstruction error is bounded by scale/2
+    per dim, and brute-force top-10 on dequantized vectors overlaps
+    the exact top-10 heavily."""
+    from conduino_spark import (knn_brute, vec_dequantize,
+                                vec_quantize_int8)
+
+    emb = read_table(sf_dir, "embeddings").df(spark)
+    q = run_pipe(from_dataframe(emb) | vec_quantize_int8() | sink_df(),
+                 spark)
+    rows = q.select("embedding", "q_embedding", "q_scale").collect()
+    for r in rows[:50]:
+        assert all(-127 <= int(x) <= 127 for x in r.q_embedding)
+        for x, qi in zip(r.embedding, r.q_embedding):
+            assert abs(float(x) - int(qi) * r.q_scale) <= r.q_scale / 2 + 1e-9
+
+    deq = run_pipe(
+        from_dataframe(q.drop("embedding"))
+        | vec_dequantize() | sink_df(), spark)
+    qrow = emb.where(F.col("vec_id") == 3).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    exact = {r.vec_id for r in
+             run_pipe(from_dataframe(emb) | knn_brute(qv, k=10)
+                      | sink_df(), spark).collect()}
+    approx = {r.vec_id for r in
+              run_pipe(from_dataframe(deq) | knn_brute(qv, k=10)
+                       | sink_df(), spark).collect()}
+    assert len(exact & approx) >= 8  # int8 recall@10
+
+
+def test_vec_quantize_int8_per_dim_and_zero_vector(spark):
+    from conduino_spark import vec_dequantize, vec_quantize_int8
+
+    rows = [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]),
+            (3, [10.0, 0.1, -0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = run_pipe(from_dataframe(df) | vec_quantize_int8(per_dim=True)
+                 | sink_df(), spark)
+    got = {r.vec_id: (list(r.q_embedding), list(r.q_scale))
+           for r in q.collect()}
+    # per-dim scales: max|x| per dim / 127 = (10/127, 2/127, 0.5/127)
+    s = got[1][1]
+    assert abs(s[0] - 10.0 / 127) < 1e-12
+    assert abs(s[1] - 2.0 / 127) < 1e-12
+    # zero vector quantizes to all-zero codes
+    assert got[2][0] == [0, 0, 0]
+    # dim with max component hits ±127 exactly
+    assert got[3][0][0] == 127
+    assert got[1][0][1] == -127
+
+    deq = run_pipe(from_dataframe(q.drop("embedding"))
+                   | vec_dequantize() | sink_df(), spark)
+    back = {r.vec_id: list(r.embedding) for r in deq.collect()}
+    for vid, (qs, scales) in got.items():
+        orig = dict(rows)[vid]
+        for o, b, sc in zip(orig, back[vid], scales):
+            assert abs(o - b) <= sc / 2 + 1e-12
+
+
+# --- r6 NEW: windowed quantile sketch (batch + streaming) ---------------------
+def test_windowed_quantiles_batch_equals_binned(spark, sf_dir):
+    """On batch input, windowed_quantiles == binned_quantiles(lo, hi)
+    grouped by the same hour window — BIT-identical (same clamp, bins,
+    edge arithmetic, cum-threshold pick)."""
+    from conduino_spark import binned_quantiles
+    from conduino_spark.streaming import windowed_quantiles
+
+    qs = {"p50": 0.5, "p90": 0.9}
+    ev = read_table(sf_dir, "events").df(spark)
+    got = run_pipe(
+        from_dataframe(ev)
+        | windowed_quantiles("ts", "1 hour", "value", qs,
+                             lo=0.0, hi=100.0, bins=64)
+        | sink_df(), spark)
+    g = {r.w_start: (r.p50, r.p90)
+         for r in got.select("w_start", "p50", "p90").collect()}
+
+    w = ev.withColumn("w_start", F.window("ts", "1 hour").start)
+    want_df = run_pipe(
+        from_dataframe(w)
+        | binned_quantiles("value", qs, bins=64, keys=("w_start",),
+                           lo=0.0, hi=100.0)
+        | sink_df(), spark)
+    want = {r.w_start: (r.p50, r.p90) for r in want_df.collect()}
+    assert g == want  # bit-identical doubles
+
+    with pytest.raises(ValueError):
+        windowed_quantiles("ts", "1 hour", "value", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError):
+        windowed_quantiles("ts", "1 hour", "value", {"p0": 0.0},
+                           lo=0.0, hi=1.0)
+
+
+def test_windowed_quantiles_stream_replay_equals_batch(spark, sf_dir):
+    """Append-mode streaming replay (watermarked, sentinel-advanced)
+    emits the same per-window quantiles as the batch run — the sketch
+    really is streaming-hostable, as binned_quantiles' docstring
+    claims."""
+    from conduino_spark.streaming import (
+        SENTINEL_TYPE, file_stream_source, run_stream_to_memory,
+        stage_events_dir, windowed_quantiles)
+
+    d = stage_events_dir(f"{sf_dir}/events.parquet", n_chunks=4,
+                         sentinel_hours=4.0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    qs = {"p50": 0.5}
+    st = windowed_quantiles("ts", "1 hour", "value", qs,
+                            lo=0.0, hi=100.0, bins=64,
+                            keys=("event_type",), watermark="2 hours")
+    out = run_stream_to_memory(file_stream_source(d, schema) | st, spark)
+    got = {(r.w_start, r.event_type): r.p50
+           for r in out.where(F.col("event_type") != SENTINEL_TYPE)
+                       .collect()}
+
+    ev = read_table(sf_dir, "events").df(spark)
+    batch = run_pipe(from_dataframe(ev) | st | sink_df(), spark)
+    want = {(r.w_start, r.event_type): r.p50 for r in batch.collect()}
+    assert got == want
+
+
 # --- ADVICE r5: lsh_index_write must not call df.rdd -------------------------
 def test_lsh_index_write_no_rdd_guard(spark, sf_dir, tmp_path):
     """The spread guard is plan-only now (inputFiles metadata); the
