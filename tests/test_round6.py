@@ -550,6 +550,70 @@ def test_windowed_quantiles_stream_replay_equals_batch(spark, sf_dir):
     assert got == want
 
 
+# --- r6 plan-shape asserts ----------------------------------------------------
+def _plan_of(df, mode="formatted") -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_weighted_sample_is_pure_projection(spark, sf_dir):
+    """No exchange anywhere: the sampler must stay a scan-side filter."""
+    from conduino_spark import weighted_sample
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    out = weighted_sample("doc_id", (F.col("doc_id") % 10) / 10.0)(docs)
+    plan = _plan_of(out)
+    assert "Exchange" not in plan, "weighted_sample must not shuffle"
+
+
+def test_normalize_text_is_pure_projection(spark, sf_dir):
+    from conduino_spark import normalize_text
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    out = normalize_text()(docs)
+    plan = _plan_of(out)
+    assert "Exchange" not in plan, "normalize_text must not shuffle"
+
+
+def test_bloom_prefilter_join_probe_side_broadcasts(spark, sf_dir):
+    """The probe side must see the sketch as a broadcast (the single
+    bloom row + the distinct key set), never a sort-merge join of the
+    big side."""
+    from conduino_spark import bloom_prefilter_join
+
+    ev = read_table(sf_dir, "events").df(spark)
+    cust = read_table(sf_dir, "customer").df(spark)
+    out = bloom_prefilter_join(cust, "user_id", other_key="c_custkey",
+                               how="semi", m_bits=1 << 13, k=3)(ev)
+    plan = _plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_probe_no_shuffle_of_probed_data(spark, sf_dir):
+    """The estimate is the broadcast single sketch row + a pure
+    expression: the probed side must not exchange."""
+    from conduino_spark import countmin_build, countmin_estimate
+
+    ev = read_table(sf_dir, "events").df(spark)
+    cms = run_pipe(from_dataframe(ev)
+                   | countmin_build("user_id", width=64, depth=2)
+                   | sink_df(), spark)
+    probe = read_table(sf_dir, "events").df(spark)
+    out = countmin_estimate(cms, "user_id")(probe)
+    plan = _plan_of(out)
+    # the ONLY exchanges allowed belong to the (cached-side) sketch
+    # subtree feeding the broadcast — the probe scan itself must flow
+    # into the join without an exchange.  Assert by join strategy:
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 # --- ADVICE r5: lsh_index_write must not call df.rdd -------------------------
 def test_lsh_index_write_no_rdd_guard(spark, sf_dir, tmp_path):
     """The spread guard is plan-only now (inputFiles metadata); the
