@@ -870,15 +870,65 @@ def q_train_pipeline(spark, sf):
                          "sum_value", "bin")
 
 
+def q_det_shuffle_orders(spark, sf):
+    # r6: reproducible global training order over orders — one range
+    # exchange + local rank + broadcast offsets (plans.order.rerank)
+    from conduino_spark import deterministic_shuffle
+    p = (_src(sf, "orders")
+         | deterministic_shuffle("o_orderkey", salt="e0|")
+         | sink_df())
+    return run_pipe(p, spark).select("shuffle_pos")
+
+
+def q_bloom_semi_orders(spark, sf):
+    # r6: exact semi join behind the broadcast bloom probe — only
+    # maybe-present orders shuffle into the exact join
+    from conduino_spark import bloom_prefilter_join
+    cust = _src(sf, "customer").df(spark) \
+        .where("c_mktsegment = 'BUILDING'")
+    p = (_src(sf, "orders")
+         | bloom_prefilter_join(cust, "o_custkey", other_key="c_custkey",
+                                how="semi", m_bits=1 << 16, k=3)
+         | sink_df())
+    return run_pipe(p, spark).select("o_orderkey")
+
+
+def q_unigram_logprob_docs(spark, sf):
+    # r6: LM quality scoring — vocab aggregate + token hash join +
+    # per-doc mean, all one lazy plan
+    from conduino_spark import unigram_logprob, unigram_vocab
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    vocab = unigram_vocab()(docs)
+    return unigram_logprob(vocab)(docs).select("doc_id",
+                                               "logprob_per_token")
+
+
+def q_windowed_quantiles_value(spark, sf):
+    # r6: streaming-hostable windowed quantile sketch, batch form
+    from conduino_spark.streaming import windowed_quantiles
+    p = (_src(sf, "events")
+         | windowed_quantiles("ts", "1 hour", "value",
+                              {"p50": 0.5, "p90": 0.9},
+                              lo=0.0, hi=100.0, bins=64,
+                              keys=("event_type",))
+         | sink_df())
+    return run_pipe(p, spark)
+
+
 def bench_extras():
     """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
     queries() but NOT driver-gated: knn_lsh_probe_cold is the honesty
-    variant of a gated query (full index rebuild per call); the other
-    two duplicate gate surface (sessionize_events is gated as of r6,
-    binned_quantiles_value is absorbed into quantiles_value) but keep
-    their historical bench floors comparable across rounds."""
+    variant of a gated query (full index rebuild per call);
+    binned_quantiles_value keeps its r5 floor comparable (absorbed into
+    the gated quantiles_value); the r6 entries carry local DuckDB/law
+    oracles in tests/test_round6.py and record per-round perf floors
+    here until a future gate rotation."""
     return {"knn_lsh_probe_cold": q_knn_lsh_probe_cold,
-            "binned_quantiles_value": q_binned_quantiles_value}
+            "binned_quantiles_value": q_binned_quantiles_value,
+            "det_shuffle_orders": q_det_shuffle_orders,
+            "bloom_semi_orders": q_bloom_semi_orders,
+            "unigram_logprob_docs": q_unigram_logprob_docs,
+            "windowed_quantiles_value": q_windowed_quantiles_value}
 
 
 def q_knn_bruteforce(spark, sf):

@@ -45,8 +45,10 @@ BENCH_QUERIES = [
     # bench-only (entry.bench_extras): cold index build + probe, so the
     # warm memoized knn_lsh_probe number has an honest counterpart;
     # binned_quantiles_value keeps its r5 floor comparable (absorbed
-    # into the gated quantiles_value)
+    # into the gated quantiles_value); r6 operator floors
     "knn_lsh_probe_cold", "binned_quantiles_value",
+    "det_shuffle_orders", "bloom_semi_orders",
+    "unigram_logprob_docs", "windowed_quantiles_value",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
