@@ -66,7 +66,8 @@ from conduino_spark.operators.search import (
 )
 from conduino_spark.operators.similarity import (
     cosine_to, ivf_build, ivf_search, knn_brute, knn_lsh, lsh_bucket,
-    lsh_index_write, probe_buckets, vec_dequantize, vec_quantize_int8,
+    lsh_index_write, pq_encode, pq_search, pq_train, probe_buckets,
+    vec_dequantize, vec_quantize_int8,
 )
 from conduino_spark.operators.multimodal import (
     audio_metadata, feature_extract, frame_sample, image_metadata,

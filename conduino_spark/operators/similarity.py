@@ -401,3 +401,160 @@ def vec_dequantize(q_col: str = "q_embedding", scale_col: str = "q_scale",
         return df.withColumn(out, x)
 
     return Stage(fn, name="vec_dequantize", seq_preserving=True)
+
+
+def pq_train(df: DataFrame, *, m: int = 8, k: int = 16, iters: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             scale: int = 1_000_000_000) -> "dict[int, dict[int, list[float]]]":
+    """Train a Product Quantization codebook — the OTHER half of the
+    100 TB ANN stack (IVF prunes the scan; PQ shrinks what remains):
+    split every vector into ``m`` subvectors, learn ``k`` centroids per
+    subspace (k-means-lite, the :func:`ivf_build` recipe), so a vector
+    compresses to ``m`` small codes (m bytes at k ≤ 256) instead of
+    ``dim`` doubles — 64× for dim=64, m=8.
+
+    Returns the codebook as driver-sized nested dicts
+    ``{sub: {code: centroid}}`` (m × k × dim/m floats — a few KB; this
+    is the MODEL, like a query vector, and rides to executors as
+    broadcast literals).  Deterministic: init per subspace = the k
+    lowest-id subvectors; squared-L2 rounded to 6dp, ties to the lower
+    code; means via guarded scaled-long sums.
+
+    Plan per iteration: assignment is a pure projection over broadcast
+    centroid literals (no shuffle); update is ONE
+    (sub, code, dim)-keyed shuffle of scaled-long partials."""
+    if m < 1 or k < 1:
+        raise ValueError(f"need m >= 1 and k >= 1, got m={m}, k={k}")
+    v = F.col(vec_col).cast("array<double>")
+    first = df.select(F.size(v).alias("__d")).first()
+    dim = int(first["__d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    subs = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("__s"),
+                     F.slice(v, s * sub_d + 1, sub_d).alias("__v"))
+            for s in range(m)])).alias("__e")) \
+        .select(id_col, F.col("__e.__s").alias("__s"),
+                F.col("__e.__v").alias("__v"))
+
+    init = (subs.orderBy(id_col, "__s")
+                .limit(m * k * 2)  # k lowest ids cover every sub
+                .collect())
+    book: dict[int, dict[int, list[float]]] = {s: {} for s in range(m)}
+    seen: dict[int, int] = {s: 0 for s in range(m)}
+    for r in sorted(init, key=lambda r: (r["__s"], r[id_col])):
+        s = r["__s"]
+        if seen[s] < k:
+            book[s][seen[s]] = [float(x) for x in r["__v"]]
+            seen[s] += 1
+
+    def assign(b: DataFrame, book) -> DataFrame:
+        # per-sub centroid tables as a literal CASE over __s: small
+        # (m × k structs), fully codegen
+        arms = None
+        for s in range(m):
+            structs = [F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(F.col("__v"),
+                               F.array(*[F.lit(float(x))
+                                         for x in book[s][c]]),
+                               lambda a, b_: (a - b_) * (a - b_)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
+                F.lit(c).alias("c")) for c in sorted(book[s])]
+            pick = F.array_min(F.array(*structs)).getField("c")
+            arms = (F.when(F.col("__s") == s, pick) if arms is None
+                    else arms.when(F.col("__s") == s, pick))
+        return b.withColumn("__code", arms)
+
+    for _ in range(iters):
+        a = assign(subs, book)
+        ex = a.select("__s", "__code",
+                      F.posexplode("__v").alias("__i", "__x"))
+        sv = F.round(F.col("__x") * scale).cast("long")
+        sums = (ex.groupBy("__s", "__code", "__i")
+                  .agg(_guarded_long_sum(sv, "pq_train means").alias("__sm"),
+                       F.count(F.lit(1)).alias("__n")))
+        rows = (sums.groupBy("__s", "__code")
+                    .agg(F.array_sort(F.collect_list(F.struct(
+                         F.col("__i"),
+                         (F.col("__sm").cast("double")
+                          / F.col("__n").cast("double")
+                          / F.lit(float(scale))).alias("mn")))).alias("__a"))
+                    .select("__s", "__code",
+                            F.transform("__a", lambda t: t.mn).alias("__c"))
+                    .collect())
+        for r in rows:
+            book[r["__s"]][r["__code"]] = [float(x) for x in r["__c"]]
+    return book
+
+
+def pq_encode(book: "dict[int, dict[int, list[float]]]", *,
+              vec_col: str = "embedding", out: str = "pq_codes") -> Stage:
+    """Encode vectors under a :func:`pq_train` codebook: ``out`` =
+    array of ``m`` nearest-centroid codes.  Pure projection over the
+    broadcast codebook literals — no shuffle; at k ≤ 256 the codes
+    array is m bytes of information per vector (stored as ints here;
+    cast to binary at the write if bytes matter)."""
+    m = len(book)
+    sub_d = len(book[0][0])
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        codes = []
+        for s in range(m):
+            sub = F.slice(v, s * sub_d + 1, sub_d)
+            structs = [F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(sub,
+                               F.array(*[F.lit(float(x))
+                                         for x in book[s][c]]),
+                               lambda a, b_: (a - b_) * (a - b_)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
+                F.lit(c).alias("c")) for c in sorted(book[s])]
+            codes.append(F.array_min(F.array(*structs)).getField("c"))
+        return df.withColumn(out, F.array(*codes))
+
+    return Stage(fn, name=f"pq_encode(m={m})", seq_preserving=True)
+
+
+def pq_search(book: "dict[int, dict[int, list[float]]]",
+              query: Sequence[float], kk: int = 10, *,
+              codes_col: str = "pq_codes", id_col: str = "vec_id",
+              out: str = "approx_dist") -> Stage:
+    """Asymmetric-distance (ADC) top-k over PQ codes: precompute the
+    query→centroid distance table driver-side (m × k floats), broadcast
+    it as literals, and score each row as a SUM OF TABLE LOOKUPS over
+    its codes — no vector math per row, no shuffle, exact
+    TakeOrderedAndProject top-k on the approximate distance (smallest
+    squared L2 first, ties by id).
+
+    This is the scan shape IVF-PQ engines run inside each probed cell:
+    the raw vectors never load — only m small codes per row."""
+    m = len(book)
+    sub_d = len(book[0][0])
+    if len(query) != m * sub_d:
+        raise ValueError(
+            f"query dim {len(query)} != codebook dim {m * sub_d}")
+    dtab = []
+    for s in range(m):
+        qs = [float(x) for x in query[s * sub_d:(s + 1) * sub_d]]
+        row = [round(sum((a - b) * (a - b) for a, b in zip(qs, book[s][c])), 6)
+               for c in sorted(book[s])]
+        dtab.append(row)
+
+    def fn(df: DataFrame) -> DataFrame:
+        dist = None
+        for s in range(m):
+            lut = F.array(*[F.lit(x) for x in dtab[s]])
+            term = F.element_at(lut, F.element_at(codes_col, s + 1)
+                                .cast("int") + 1)
+            dist = term if dist is None else dist + term
+        return (df.withColumn(out, F.round(dist, 6))
+                  .select(id_col, out)
+                  .orderBy(F.asc(out), F.col(id_col))
+                  .limit(kk))
+
+    return Stage(fn, name=f"pq_search({kk})", seq_preserving=False)

@@ -550,6 +550,51 @@ def test_windowed_quantiles_stream_replay_equals_batch(spark, sf_dir):
     assert got == want
 
 
+# --- r6 NEW: product quantization ---------------------------------------------
+def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
+    """PQ codebook is deterministic; every code is in range; ADC top-k
+    overlaps the exact L2 top-k and finds the query itself first."""
+    from conduino_spark import pq_encode, pq_search, pq_train
+
+    emb = read_table(sf_dir, "embeddings").df(spark)
+    # m=32 (2-dim subspaces) for the synthetic near-random embeddings:
+    # PQ recall depends on subspace count, and random data is its worst
+    # case — real text embeddings cluster and quantize far better
+    book = pq_train(emb, m=32, k=16, iters=1)
+    book2 = pq_train(emb, m=32, k=16, iters=1)
+    assert book == book2  # deterministic training
+
+    dim = len(emb.first()["embedding"])
+    assert len(book) == 32 and len(book[0][0]) == dim // 32
+
+    enc = run_pipe(from_dataframe(emb) | pq_encode(book) | sink_df(),
+                   spark)
+    codes = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
+    assert all(0 <= c < 16 for cs in codes.values() for c in cs)
+    assert all(len(cs) == 32 for cs in codes.values())
+
+    qrow = emb.where(F.col("vec_id") == 5).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    got = run_pipe(from_dataframe(enc) | pq_search(book, qv, kk=10)
+                   | sink_df(), spark)
+    approx = [r.vec_id for r in got.collect()]
+
+    v = F.col("embedding").cast("array<double>")
+    qarr = F.array(*[F.lit(x) for x in qv])
+    d2 = F.aggregate(F.zip_with(v, qarr, lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda s, x: s + x)
+    exact = [r.vec_id for r in
+             emb.select("vec_id", d2.alias("d"))
+                .orderBy(F.asc("d"), F.col("vec_id")).limit(10).collect()]
+    assert len(set(approx) & set(exact)) >= 4  # coarse-PQ recall@10
+    assert approx[0] == 5  # the query's own row wins ADC
+
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7, k=16)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        pq_search(book, qv[:-1], kk=5)
+
+
 # --- r6 plan-shape asserts ----------------------------------------------------
 def _plan_of(df, mode="formatted") -> str:
     import contextlib
