@@ -35,7 +35,8 @@ from conduino_spark.operators.stateful import (
 from conduino_spark.operators.sinks import (
     agg_sink, fold, fold_map, fold_monoid, foldl, foldr, head_, last_,
     sink_count, sink_csv, sink_df, sink_json, sink_list, sink_null,
-    sink_parquet, sink_parquet_sorted, sink_parquet_zorder, sink_text,
+    sink_parquet, sink_parquet_compacted, sink_parquet_sorted,
+    sink_parquet_zorder, sink_text,
     zorder_key,
 )
 from conduino_spark.operators.zip_alt import (

@@ -314,3 +314,42 @@ def sink_text(path: str, *, col: str = "v", mode: str = "overwrite") -> Sink:
         return path
 
     return Sink(run, name=f"sink_text({path})")
+
+
+def sink_parquet_compacted(path: str, *, target_rows_per_file: int,
+                           partition_by: Optional[Sequence[str]] = None,
+                           mode: str = "overwrite") -> Sink:
+    """Small-file compaction write: size the output to
+    ``ceil(rows / target_rows_per_file)`` files instead of one file per
+    upstream task — the maintenance pass every long-lived table needs
+    (thousands of kilobyte files turn scans into metadata storms; one
+    giant file kills read parallelism).
+
+    Row count comes from ONE count aggregate over the (narrow) plan,
+    then a round-robin ``repartition(n)`` balances rows evenly across
+    exactly ``n`` writers.  With ``partition_by``, rows are spread
+    WITHIN each hive partition by a round-robin split id, bounding
+    files per partition at ``n`` without a per-partition count pass
+    (the single-shuffle approximation every compactor uses; a skewed
+    hive key still gets at most ``n`` files).
+
+    Cost: one counting job + one shuffle of the written rows — the
+    same bill `OPTIMIZE`/rewrite jobs pay in table formats."""
+    if target_rows_per_file <= 0:
+        raise ValueError(
+            f"target_rows_per_file must be positive, got "
+            f"{target_rows_per_file}")
+
+    def run(df: DataFrame):
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        n_rows = d.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        if partition_by:
+            w = (d.repartition(n_files, *[F.col(c) for c in partition_by])
+                  .write.mode(mode).partitionBy(*partition_by))
+        else:
+            w = d.repartition(n_files).write.mode(mode)
+        w.parquet(path)
+        return path
+
+    return Sink(run, name=f"sink_parquet_compacted({path})")

@@ -595,6 +595,35 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: compaction sink --------------------------------------------------
+def test_sink_parquet_compacted_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    from conduino_spark import read_table, run_pipe, sink_parquet_compacted
+
+    src = read_table(sf_dir, "events")
+    d = str(tmp_path / "compacted")
+    run_pipe(src | sink_parquet_compacted(d, target_rows_per_file=3000),
+             spark)
+    files = glob.glob(f"{d}/*.parquet")
+    n_rows = spark.read.parquet(d).count()
+    assert n_rows == src.df(spark).count()
+    assert len(files) == -(-n_rows // 3000)  # ceil
+
+    # partitioned: files bounded per hive partition, rows preserved
+    d2 = str(tmp_path / "compacted_part")
+    run_pipe(src | sink_parquet_compacted(
+        d2, target_rows_per_file=5000, partition_by=["event_type"]), spark)
+    back = spark.read.parquet(d2)
+    assert back.count() == n_rows
+    n_files_total = -(-n_rows // 5000)
+    for pdir in glob.glob(f"{d2}/event_type=*"):
+        assert len(glob.glob(f"{pdir}/*.parquet")) <= n_files_total
+
+    with pytest.raises(ValueError):
+        sink_parquet_compacted(d, target_rows_per_file=0)
+
+
 # --- r6 plan-shape asserts ----------------------------------------------------
 def _plan_of(df, mode="formatted") -> str:
     import contextlib
