@@ -66,9 +66,9 @@ from conduino_spark.operators.search import (
     bm25_search, build_postings,
 )
 from conduino_spark.operators.similarity import (
-    cosine_to, ivf_build, ivf_search, knn_brute, knn_lsh, lsh_bucket,
-    lsh_index_write, pq_encode, pq_search, pq_train, probe_buckets,
-    vec_dequantize, vec_quantize_int8,
+    cell_centroids, cosine_to, ivf_build, ivf_search, ivfpq_search,
+    knn_brute, knn_lsh, lsh_bucket, lsh_index_write, pq_encode, pq_search,
+    pq_train, probe_buckets, vec_dequantize, vec_quantize_int8,
 )
 from conduino_spark.operators.multimodal import (
     audio_metadata, feature_extract, frame_sample, image_metadata,

@@ -558,3 +558,63 @@ def pq_search(book: "dict[int, dict[int, list[float]]]",
                   .limit(kk))
 
     return Stage(fn, name=f"pq_search({kk})", seq_preserving=False)
+
+
+def cell_centroids(df: DataFrame, *, cell_col: str = "cell",
+                   vec_col: str = "embedding",
+                   scale: int = 1_000_000_000) -> "dict[int, list[float]]":
+    """Collect per-cell mean vectors as a driver-sized dict (cells ×
+    dim doubles — the coarse-quantizer MODEL).  One (cell, dim)-keyed
+    aggregate of guarded scaled-long partials; deterministic means
+    (same arithmetic as :func:`ivf_build`)."""
+    v = F.col(vec_col).cast("array<double>")
+    ex = df.select(F.col(cell_col).alias("__c"),
+                   F.posexplode(v).alias("__i", "__x"))
+    sv = F.round(F.col("__x") * scale).cast("long")
+    sums = (ex.groupBy("__c", "__i")
+              .agg(_guarded_long_sum(sv, "cell_centroids").alias("__s"),
+                   F.count(F.lit(1)).alias("__n")))
+    rows = (sums.groupBy("__c")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                     F.col("__i"),
+                     (F.col("__s").cast("double")
+                      / F.col("__n").cast("double")
+                      / F.lit(float(scale))).alias("m")))).alias("__a"))
+                .select("__c", F.transform("__a", lambda t: t.m).alias("__v"))
+                .collect())
+    return {int(r["__c"]): [float(x) for x in r["__v"]] for r in rows}
+
+
+def ivfpq_search(book: "dict[int, dict[int, list[float]]]",
+                 centroids: "dict[int, list[float]]",
+                 query: Sequence[float], kk: int = 10, *,
+                 nprobe: int = 2, cell_col: str = "cell",
+                 codes_col: str = "pq_codes", id_col: str = "vec_id",
+                 out: str = "approx_dist") -> Stage:
+    """The full IVF-PQ scan: rank cells by query→centroid distance
+    DRIVER-side (the centroid table is the model — k × dim floats),
+    keep the ``nprobe`` closest, and run :func:`pq_search`'s ADC
+    table-lookup scoring over only those cells' code rows.
+
+    This is the production ANN shape at 100 TB: the coarse quantizer
+    prunes the scan to nprobe/k of the corpus (partition pruning when
+    the table is written partitionBy(cell)), and PQ means the scanned
+    rows are m-byte codes, not dim×8-byte vectors.  Deterministic:
+    cell ranking rounds to 6dp with cell-id ties; ADC inherits
+    :func:`pq_search`'s rounding."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    ranked = sorted(
+        ((round(sum((float(q) - c) * (float(q) - c)
+                    for q, c in zip(query, cv)), 6), cid)
+         for cid, cv in centroids.items()))
+    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    inner = pq_search(book, query, kk, codes_col=codes_col,
+                      id_col=id_col, out=out)
+
+    def fn(df: DataFrame) -> DataFrame:
+        cand = df.where(F.col(cell_col).isin(probe_cells))
+        return inner(cand)
+
+    return Stage(fn, name=f"ivfpq_search({kk},nprobe={nprobe})",
+                 seq_preserving=False)

@@ -595,6 +595,46 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: IVF-PQ composition -----------------------------------------------
+def test_ivfpq_search_prunes_and_matches_pq_within_cells(spark, sf_dir):
+    """ivfpq == pq_search restricted to the nprobe closest cells; the
+    query's own row (in a probed cell by construction) wins ADC."""
+    from conduino_spark import (cell_centroids, ivf_build, ivfpq_search,
+                                pq_encode, pq_search, pq_train)
+
+    emb = read_table(sf_dir, "embeddings").df(spark)
+    cells = ivf_build(k=4, iters=1)(emb)
+    joined = emb.join(cells, "vec_id")
+    cents = cell_centroids(joined)
+    assert set(cents) <= set(range(4))
+
+    book = pq_train(emb, m=32, k=16, iters=1)
+    enc = run_pipe(from_dataframe(joined) | pq_encode(book) | sink_df(),
+                   spark)
+
+    qrow = joined.where(F.col("vec_id") == 5).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    got = run_pipe(from_dataframe(enc)
+                   | ivfpq_search(book, cents, qv, kk=10, nprobe=2)
+                   | sink_df(), spark)
+    approx = [(r.vec_id, r.approx_dist) for r in got.collect()]
+
+    # reference: rank cells the same way, restrict, plain pq_search
+    ranked = sorted(
+        (round(sum((q - c) * (q - c) for q, c in zip(qv, cv)), 6), cid)
+        for cid, cv in cents.items())
+    probe = [cid for _, cid in ranked[:2]]
+    ref = run_pipe(from_dataframe(enc.where(F.col("cell").isin(probe)))
+                   | pq_search(book, qv, kk=10) | sink_df(), spark)
+    want = [(r.vec_id, r.approx_dist) for r in ref.collect()]
+    assert approx == want
+    assert qrow["cell"] in probe      # own cell is the closest cell
+    assert approx[0][0] == 5          # own row wins ADC
+
+    with pytest.raises(ValueError):
+        ivfpq_search(book, cents, qv, nprobe=0)
+
+
 # --- r6 NEW: compaction sink --------------------------------------------------
 def test_sink_parquet_compacted_file_count(spark, sf_dir, tmp_path):
     import glob
