@@ -595,6 +595,82 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 Hypothesis laws -------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+LAW_SETTINGS = dict(max_examples=6, deadline=None,
+                    suppress_health_check=[
+                        HealthCheck.function_scoped_fixture])
+
+
+@settings(**LAW_SETTINGS)
+@given(xs=st.lists(st.integers(min_value=0, max_value=30),
+                   min_size=1, max_size=40),
+       width=st.sampled_from([8, 64]))
+def test_countmin_overestimate_law(spark, xs, width):
+    """For ANY multiset and ANY geometry: estimate(v) >= true count(v);
+    with a roomy width, estimates are exact."""
+    from collections import Counter
+
+    from conduino_spark import countmin_build, countmin_estimate
+
+    df = spark.createDataFrame([(x,) for x in xs], "v long")
+    cms = run_pipe(from_dataframe(df)
+                   | countmin_build("v", width=width, depth=3)
+                   | sink_df(), spark)
+    probe = spark.createDataFrame([(x,) for x in set(xs)], "v long")
+    est = run_pipe(from_dataframe(probe)
+                   | countmin_estimate(cms, "v")
+                   | sink_df(), spark)
+    truth = Counter(xs)
+    for r in est.collect():
+        assert r.est_count >= truth[r.v]
+
+
+@settings(**LAW_SETTINGS)
+@given(keys=st.lists(st.integers(min_value=0, max_value=1000),
+                     min_size=1, max_size=40, unique=True),
+       w1=st.floats(min_value=0.0, max_value=1.0),
+       w2=st.floats(min_value=0.0, max_value=1.0))
+def test_weighted_sample_monotone_law(spark, keys, w1, w2):
+    """Raising every row's weight can only ADD rows (hash membership is
+    monotone in the cut) — the property that makes weight sweeps
+    predictable."""
+    from conduino_spark import weighted_sample
+
+    lo, hi = sorted([w1, w2])
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    a = {r.k for r in run_pipe(
+        from_dataframe(df) | weighted_sample("k", F.lit(lo))
+        | sink_df(), spark).collect()}
+    b = {r.k for r in run_pipe(
+        from_dataframe(df) | weighted_sample("k", F.lit(hi))
+        | sink_df(), spark).collect()}
+    assert a <= b
+
+
+@settings(**LAW_SETTINGS)
+@given(keys=st.lists(st.integers(min_value=0, max_value=10_000),
+                     min_size=1, max_size=30, unique=True),
+       npart=st.integers(min_value=1, max_value=5))
+def test_deterministic_shuffle_partition_independence_law(spark, keys,
+                                                          npart):
+    """The assigned order is a dense permutation and does not depend on
+    the physical partitioning of the input."""
+    from conduino_spark import deterministic_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    base = {r.k: r.shuffle_pos for r in run_pipe(
+        from_dataframe(df) | deterministic_shuffle("k")
+        | sink_df(), spark).collect()}
+    re = {r.k: r.shuffle_pos for r in run_pipe(
+        from_dataframe(df.repartition(npart))
+        | deterministic_shuffle("k") | sink_df(), spark).collect()}
+    assert base == re
+    assert sorted(base.values()) == list(range(len(keys)))
+
+
 # --- r6 NEW: IVF-PQ composition -----------------------------------------------
 def test_ivfpq_search_prunes_and_matches_pq_within_cells(spark, sf_dir):
     """ivfpq == pq_search restricted to the nprobe closest cells; the
