@@ -595,6 +595,32 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 composition: LM score feeding the quality gate ------------------------
+def test_unigram_logprob_feeds_corpus_filter_rule(spark, sf_dir):
+    """corpus_filter rules can reference ANY column already on the
+    frame — here the LM score gates documents alongside the built-in
+    Gopher rules, the composed filter a real pipeline runs."""
+    from conduino_spark import (corpus_filter, unigram_logprob,
+                                unigram_vocab)
+    from conduino_spark.operators.text import CORPUS_FILTER_DEFAULT
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    vocab = run_pipe(from_dataframe(docs) | unigram_vocab()
+                     | sink_df(), spark)
+    scored = unigram_logprob(vocab)(docs)
+    rules = dict(CORPUS_FILTER_DEFAULT)
+    rules["logprob_per_token"] = (">=", -12.0)
+    out = run_pipe(from_dataframe(scored) | corpus_filter(rules=rules)
+                   | sink_df(), spark)
+    rows = out.select("doc_id", "keep", "drop_reasons",
+                      "logprob_per_token").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        lm_fail = (r.logprob_per_token is None
+                   or r.logprob_per_token < -12.0)
+        assert (("logprob_per_token" in list(r.drop_reasons)) == lm_fail)
+
+
 # --- r6 Hypothesis laws -------------------------------------------------------
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
