@@ -46,8 +46,8 @@ from conduino_spark.operators.zip_alt import (
 )
 from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
-    cube_agg, dedup_latest, distinct, event_window, except_all, group_agg,
-    intersect, join,
+    cdc_apply, cube_agg, dedup_latest, distinct, event_window, except_all,
+    group_agg, intersect, join,
     order_by, percentiles, pivot_agg, ranked, rollup_agg, select,
     session_window, sql_stage, top_k, union_all,
 )

@@ -246,3 +246,50 @@ def dedup_latest(keys: Sequence[str], order_col: ExprLike, *,
         return agg.select(*keys, *[F.col(f"__r.{c}").alias(c) for c in others])
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def cdc_apply(changes: DataFrame, keys: Sequence[str], order_col: str, *,
+              op_col: str = "op", delete_op: str = "D",
+              name: str = "cdc_apply") -> Stage:
+    """Apply a CDC change batch to a snapshot — the table-maintenance
+    MERGE every ingestion pipeline runs: upserts (any non-delete op)
+    replace the snapshot row with the same key, deletes remove it,
+    latest-``order_col``-wins within the batch.  The stage's input is
+    the SNAPSHOT; ``changes`` carries the same columns plus ``op_col``.
+
+    Plan: union (snapshot rows ride with order −∞ sentinel NULL —
+    ``max_by`` ignores no rows, but any real change outranks them via
+    the (has_change, order) packed struct) → ONE ``max_by`` hash
+    aggregate per key (map-side partials, no window sort) → filter out
+    keys whose winning row is a delete.  Equivalent to ``MERGE INTO``
+    with when-matched-update/delete + when-not-matched-insert, as one
+    aggregate.
+
+    Ties on ``order_col`` within the batch follow
+    :func:`dedup_latest`'s rule — make the order unique to pin them."""
+    keys = list(keys)
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        cols = [c for c in d.columns if c not in keys]
+        snap = d.select(
+            *keys, *cols,
+            F.lit(None).cast("string").alias("__op"),
+            F.lit(0).alias("__is_chg"),
+            F.lit(0).cast("long").alias("__ord"))
+        chg = changes.select(
+            *keys, *cols,
+            F.col(op_col).alias("__op"),
+            F.lit(1).alias("__is_chg"),
+            F.col(order_col).cast("long").alias("__ord"))
+        allr = snap.unionByName(chg)
+        win = F.max_by(
+            F.struct(*[F.col(c) for c in cols], F.col("__op")),
+            F.struct(F.col("__is_chg"), F.col("__ord"))).alias("__r")
+        agg = allr.groupBy(*keys).agg(win)
+        return (agg.where(F.coalesce(F.col("__r.__op"), F.lit("")) !=
+                          F.lit(delete_op))
+                   .select(*keys, *[F.col(f"__r.{c}").alias(c)
+                                    for c in cols]))
+
+    return Stage(fn, name=name, seq_preserving=False)

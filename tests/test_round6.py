@@ -595,6 +595,52 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: CDC apply (MERGE as one aggregate) -------------------------------
+def test_cdc_apply_matches_duckdb(spark):
+    """Upsert/delete batch over a snapshot: change outranks snapshot,
+    latest order wins within the batch, deletes drop the key — replayed
+    by a DuckDB arg_max oracle."""
+    import duckdb
+
+    from conduino_spark import cdc_apply
+
+    snap_rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+                 (4, "d", 40.0)]
+    chg_rows = [
+        (2, "b2", 21.0, "U", 100),   # update key 2
+        (2, "b3", 22.0, "U", 200),   # later update wins
+        (3, None, 0.0, "D", 150),    # delete key 3
+        (5, "e", 50.0, "I", 120),    # insert new key 5
+        (4, "dx", 41.0, "U", 90),    # update then...
+        (4, None, 0.0, "D", 95),     # ...delete key 4
+    ]
+    snap = spark.createDataFrame(snap_rows, "k long, s string, v double")
+    chg = spark.createDataFrame(
+        chg_rows, "k long, s string, v double, op string, ord long")
+    out = cdc_apply(chg, ["k"], "ord")(snap)
+    got = {(r.k, r.s, r.v) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE snap(k BIGINT, s VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO snap VALUES (?, ?, ?)", snap_rows)
+    con.execute("CREATE TABLE chg(k BIGINT, s VARCHAR, v DOUBLE, "
+                "op VARCHAR, ord BIGINT)")
+    con.executemany("INSERT INTO chg VALUES (?, ?, ?, ?, ?)", chg_rows)
+    want = {tuple(r) for r in con.execute("""
+        WITH u AS (
+          SELECT k, s, v, NULL AS op, 0 AS is_chg, 0 AS ord FROM snap
+          UNION ALL
+          SELECT k, s, v, op, 1, ord FROM chg),
+        w AS (SELECT k,
+                     arg_max(s, is_chg * 1000000 + ord) AS s,
+                     arg_max(v, is_chg * 1000000 + ord) AS v,
+                     arg_max(coalesce(op, ''), is_chg * 1000000 + ord) AS op
+              FROM u GROUP BY k)
+        SELECT k, s, v FROM w WHERE op <> 'D'""").fetchall()}
+    assert got == want
+    assert got == {(1, "a", 10.0), (2, "b3", 22.0), (5, "e", 50.0)}
+
+
 # --- r6 composition: LM score feeding the quality gate ------------------------
 def test_unigram_logprob_feeds_corpus_filter_rule(spark, sf_dir):
     """corpus_filter rules can reference ANY column already on the
