@@ -1,0 +1,151 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training + encoding.
+
+The classic subword pipeline (Sennrich et al. 2016) restated in Spark
+terms, with the two standard scale tricks:
+
+* TRAIN on the word-FREQUENCY table, not the corpus: one (word, count)
+  aggregate reduces 100 TB of text to the distinct-word table, and
+  every merge round is one narrow pair-count aggregate over it.
+* ENCODE per DISTINCT word, not per occurrence: the merge loop runs
+  once per unique word (Arrow-batched), then a hash join fans the
+  pieces back out to occurrences — per-occurrence cost is a join, not
+  a Python loop.
+
+Determinism: merge selection is (max summed count, then lexicographic
+pair) — ties can never depend on partitioning, so two runs (or a pure
+Python reference) produce the identical merge list.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.operators.text import tokens_col
+from conduino_spark.plans.core import Stage
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    return (df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", *,
+              n_merges: int = 100, min_count: int = 2,
+              checkpoint_every: int = 10) -> "list[tuple[str, str]]":
+    """Learn ``n_merges`` BPE merges from a corpus.  Returns the ordered
+    merge list (the model — driver-sized by definition).
+
+    Per round: ONE pair-count aggregate over the (symbols, count) word
+    table (adjacent-pair explode via ``zip_with`` of shifted slices —
+    no Python), a 1-row argmax to the driver, and a pure-expression
+    re-segmentation (left-to-right greedy fold, the reference BPE
+    semantics).  Lineage is bounded with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds — the same guard the Pregel loops use.
+
+    Stops early when no pair reaches ``min_count`` (returning fewer
+    merges); rounds ≈ n_merges driver round-trips, each a narrow job
+    over the distinct-word table."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    words = _word_freq(df, text_col)
+    # seed segmentation: one symbol per character (split-by-empty
+    # yields leading/trailing '' in Spark — filter them)
+    syms = words.select(
+        "cnt",
+        F.filter(F.split("w", ""), lambda c: c != "").alias("s"))
+    syms = syms.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for round_no in range(n_merges):
+        pairs = syms.where(F.size("s") >= 2).select(
+            "cnt",
+            F.explode(F.zip_with(
+                F.slice("s", 1, F.size("s") - 1),
+                F.slice("s", 2, F.size("s") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+             .alias("p"))
+        best = (pairs.groupBy("p")
+                     .agg(F.sum("cnt").alias("n"))
+                     .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+                     .limit(1).collect())
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        # greedy left-to-right re-segmentation as a pure fold: merge a
+        # trailing `a` with an incoming `b`; the merged token is NOT
+        # re-eligible as `a` within this pass unless it literally
+        # equals `a` (matches reference BPE's single-pass scan)
+        merged = F.concat(F.lit(a), F.lit(b))
+        syms = syms.select(
+            "cnt",
+            F.aggregate(
+                "s", F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a) & (x == F.lit(b)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(merged)))
+                .otherwise(F.concat(acc, F.array(x)))).alias("s"))
+        if (round_no + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+    return merges
+
+
+def _apply_merges(word: str, merges: "list[tuple[str, str]]") -> "list[str]":
+    """Reference greedy merge application for one word (driver/executor
+    Python — runs once per DISTINCT word)."""
+    s = list(word)
+    for a, b in merges:
+        if len(s) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def bpe_encode(merges: "list[tuple[str, str]]", text_col: str = "text", *,
+               id_col: str = "doc_id", out: str = "pieces") -> Stage:
+    """Encode documents under a :func:`bpe_train` merge list: ``out`` =
+    array of subword pieces per document (tokens' pieces concatenated
+    in order).
+
+    Scale path: the merge loop runs ONCE PER DISTINCT WORD (an
+    Arrow-batched pandas UDF over the deduplicated word table — the
+    vocabulary, not the corpus), and occurrences get their pieces back
+    via a hash join on the word.  A 100 TB corpus with a 100 M-word
+    vocabulary pays 100 M merge loops + one join, never a per-token
+    Python call."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode_word(col: "pd.Series") -> "pd.Series":
+        return col.map(lambda w: _apply_merges(w, merges))
+
+    def fn(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(tokens_col(F.col(text_col))).alias("__pos", "__w"))
+        vocab = toks.select("__w").distinct() \
+                    .withColumn("__pieces", encode_word(F.col("__w")))
+        joined = toks.join(vocab, "__w")
+        per_doc = (joined.groupBy(id_col)
+                   .agg(F.flatten(F.array_sort(F.collect_list(F.struct(
+                        F.col("__pos"), F.col("__pieces"))))
+                        .getField("__pieces")).alias(out)))
+        return df.join(per_doc, id_col, "left")
+
+    return Stage(fn, name=f"bpe_encode({len(merges)} merges)",
+                 seq_preserving=False)

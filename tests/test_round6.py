@@ -595,6 +595,83 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: distributed BPE training -----------------------------------------
+def _bpe_reference(word_counts, n_merges, min_count=2):
+    """Pure-Python reference BPE (Sennrich-style greedy) with the same
+    (count desc, pair lexicographic) tie-break."""
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for w, cnt in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnt
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from conduino_spark import bpe_train
+    from conduino_spark.operators.text import tokens_col  # noqa: F401
+
+    texts = ["the cat sat on the mat", "the catalog of cats",
+             "low lower lowest", "newer newest new",
+             "the the the thee"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = bpe_train(df, n_merges=12, min_count=2)
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    want = _bpe_reference(wc, 12, min_count=2)
+    assert got == want
+    assert len(got) > 0
+
+    with pytest.raises(ValueError):
+        bpe_train(df, n_merges=-1)
+    with pytest.raises(ValueError):
+        bpe_train(df, min_count=0)
+
+
+def test_bpe_encode_reconstructs_and_scales_by_vocab(spark, sf_dir):
+    """Pieces concatenate back to the original tokens, in order."""
+    from conduino_spark import bpe_encode, bpe_train
+    from conduino_spark.operators.text import tokens_col
+
+    docs = read_table(sf_dir, "documents").df(spark).limit(50)
+    merges = bpe_train(docs, n_merges=20)
+    enc = run_pipe(from_dataframe(docs) | bpe_encode(merges)
+                   | sink_df(), spark)
+    back = enc.select(
+        "doc_id",
+        F.concat_ws("", F.col("pieces")).alias("joined"),
+        F.concat_ws("", tokens_col(F.col("text"))).alias("orig"))
+    for r in back.collect():
+        assert r.joined == r.orig
+    # multi-char pieces actually formed
+    any_merged = enc.where(
+        F.exists("pieces", lambda p: F.length(p) > 1)).count()
+    assert any_merged > 0
+
+
 # --- r6 NEW: CDC apply (MERGE as one aggregate) -------------------------------
 def test_cdc_apply_matches_duckdb(spark):
     """Upsert/delete batch over a snapshot: change outranks snapshot,
