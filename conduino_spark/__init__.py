@@ -85,7 +85,8 @@ from conduino_spark.operators.sketches import (
 )
 from conduino_spark.operators.sampling import (
     deterministic_shuffle, hash_sample, hash_split, mixture,
-    reservoir_per_key, shard_by, stratified_sample, weighted_sample,
+    reservoir_per_key, shard_by, stratified_sample, temperature_fractions,
+    weighted_sample,
 )
 from conduino_spark.operators.adapters import (
     await_forever_with, limited_sink, map_input, map_output, squeeze_pipe,

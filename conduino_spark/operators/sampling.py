@@ -220,6 +220,34 @@ def mixture(sources: "Mapping[str, tuple[DataFrame, float]]", *,
     return res
 
 
+def temperature_fractions(counts: "Mapping[str, int]", alpha: float, *,
+                          budget: "int | None" = None) -> "dict[str, float]":
+    """Temperature-sampling fractions for :func:`mixture`: source ``i``
+    is drawn with probability ``q_i ∝ n_i^alpha`` (the multilingual /
+    multi-domain rebalancing rule — ``alpha=1`` is proportional,
+    ``alpha=0`` uniform, in between up-weights low-resource sources),
+    and the returned per-source keep-fraction is ``min(1, B·q_i/n_i)``
+    for a target corpus of ``budget`` rows (default: the largest
+    feasible budget where no fraction exceeds 1).
+
+    Pure driver arithmetic over the source-size dict — compose:
+    ``mixture({k: (df_k, fr[k]) for k ...})`` for the deterministic
+    sampling itself."""
+    if not counts:
+        raise ValueError("temperature_fractions: counts must be non-empty")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("every source count must be positive")
+    w = {k: float(n) ** alpha for k, n in counts.items()}
+    tot = sum(w.values())
+    q = {k: v / tot for k, v in w.items()}
+    if budget is None:
+        # largest B with max_i B*q_i/n_i == 1
+        budget = min(counts[k] / q[k] for k in counts)
+    return {k: min(1.0, budget * q[k] / counts[k]) for k in counts}
+
+
 def deterministic_shuffle(key: ExprLike, *, salt: str = "",
                           out: str = "shuffle_pos",
                           npart: "int | None" = None,

@@ -595,6 +595,45 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: temperature sampling fractions -----------------------------------
+def test_temperature_fractions_math_and_mixture(spark, sf_dir):
+    from conduino_spark import mixture, temperature_fractions
+
+    counts = {"web": 1000, "code": 100, "books": 10}
+    # alpha=1: proportional -> every fraction equal (default budget
+    # saturates the largest feasible draw: all 1.0)
+    fr1 = temperature_fractions(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in fr1.values())
+    # alpha=0: uniform target -> budget bound by the SMALLEST source
+    fr0 = temperature_fractions(counts, 0.0)
+    assert abs(fr0["books"] - 1.0) < 1e-12
+    assert abs(fr0["code"] - 0.1) < 1e-12
+    assert abs(fr0["web"] - 0.01) < 1e-12
+    # explicit budget: expected draw sizes hit B*q_i
+    fr = temperature_fractions(counts, 0.5, budget=300)
+    q = {k: (n ** 0.5) for k, n in counts.items()}
+    tot = sum(q.values())
+    for k in counts:
+        want = min(1.0, 300 * (q[k] / tot) / counts[k])
+        assert abs(fr[k] - want) < 1e-12
+
+    # feeds mixture directly
+    docs = read_table(sf_dir, "documents").df(spark)
+    halves = {"even": docs.where(F.col("doc_id") % 2 == 0),
+              "odd": docs.where(F.col("doc_id") % 2 == 1)}
+    sizes = {k: v.count() for k, v in halves.items()}
+    fr = temperature_fractions(sizes, 0.5, budget=sum(sizes.values()) // 4)
+    mix = mixture({k: (halves[k], fr[k]) for k in halves})
+    assert 0 < mix.count() < sum(sizes.values())
+
+    with pytest.raises(ValueError):
+        temperature_fractions({}, 1.0)
+    with pytest.raises(ValueError):
+        temperature_fractions(counts, -0.1)
+    with pytest.raises(ValueError):
+        temperature_fractions({"a": 0}, 1.0)
+
+
 # --- r6 NEW: distributed BPE training -----------------------------------------
 def _bpe_reference(word_counts, n_merges, min_count=2):
     """Pure-Python reference BPE (Sennrich-style greedy) with the same
