@@ -62,7 +62,9 @@ from conduino_spark.operators.dedup import (
     minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
-from conduino_spark.operators.graph import connected_components, pagerank
+from conduino_spark.operators.graph import (
+    connected_components, pagerank, triangle_count,
+)
 from conduino_spark.operators.search import (
     bm25_search, build_postings,
 )

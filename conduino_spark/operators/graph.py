@@ -117,3 +117,46 @@ def pagerank(src: str = "src", dst: str = "dst", *, damping: float = 0.85,
         return out
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def triangle_count(src: str = "id_a", dst: str = "id_b", *,
+                   per_vertex: bool = False,
+                   name: str = "triangle_count") -> Stage:
+    """Count triangles in an undirected graph — the classic clustering
+    / spam-structure signal.  Input = an edge stream (two id columns,
+    either orientation, self-loops and duplicates tolerated); output =
+    one row ``(triangles)``, or per-vertex counts ``(id, triangles)``
+    with ``per_vertex=True``.
+
+    The standard distributed algorithm (node-iterator join): canonicalize
+    each edge to ``a < b`` and dedup, join edges-on-shared-lowest-vertex
+    to enumerate open wedges ``a<b<c``, then semi-join the closing edge
+    ``(b, c)``.  Each triangle is found EXACTLY once (at its lowest
+    vertex), so no over-count division.  Two shuffle joins of the narrow
+    canonical edge table — and because wedges are enumerated from each
+    edge's LOWER endpoint, a high-degree hub only fans out through the
+    vertices below it (the degree-ordering trick that bounds the wedge
+    blow-up on skewed graphs)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        e = df.drop(SEQ) if SEQ in df.columns else df
+        a, b = F.col(src), F.col(dst)
+        canon = (e.select(F.least(a, b).alias("a"),
+                          F.greatest(a, b).alias("b"))
+                  .where(F.col("a") < F.col("b"))
+                  .distinct())
+        e1 = canon.select(F.col("a").alias("v"), F.col("b").alias("x"))
+        e2 = canon.select(F.col("a").alias("v"), F.col("b").alias("y"))
+        wedges = (e1.join(e2, "v")
+                    .where(F.col("x") < F.col("y")))
+        closing = canon.select(F.col("a").alias("x"),
+                               F.col("b").alias("y"))
+        tris = wedges.join(closing, ["x", "y"], "semi")
+        if per_vertex:
+            verts = tris.select(
+                F.explode(F.array("v", "x", "y")).alias("id"))
+            return (verts.groupBy("id")
+                         .agg(F.count(F.lit(1)).alias("triangles")))
+        return tris.agg(F.count(F.lit(1)).alias("triangles"))
+
+    return Stage(fn, name=name, seq_preserving=False)

@@ -595,6 +595,46 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: triangle counting ------------------------------------------------
+def test_triangle_count_matches_duckdb(spark, sf_dir):
+    """Node-iterator triangle count vs a DuckDB oracle over the
+    minhash near-dup graph (reusing the already-oracled band-pair
+    edges), plus hand-checked small graphs."""
+    import duckdb
+
+    from conduino_spark import minhash_dedup_pairs, triangle_count
+
+    # hand-checked: K4 has 4 triangles; adding an isolated edge adds 0
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6),
+             (2, 1)]  # duplicate reversed edge must not double-count
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = run_pipe(from_dataframe(df) | triangle_count() | sink_df(),
+                   spark)
+    assert got.collect()[0].triangles == 4
+
+    pv = run_pipe(from_dataframe(df) | triangle_count(per_vertex=True)
+                  | sink_df(), spark)
+    per = {r.id: r.triangles for r in pv.collect()}
+    assert per == {1: 3, 2: 3, 3: 3, 4: 3}  # K4: each vertex in 3
+
+    # real graph: near-dup pairs of the documents table
+    docs = read_table(sf_dir, "documents").df(spark)
+    pairs = minhash_dedup_pairs()(docs)
+    n = run_pipe(from_dataframe(pairs) | triangle_count() | sink_df(),
+                 spark).collect()[0].triangles
+    pd_edges = pairs.toPandas()
+    con = duckdb.connect()
+    con.register("edges", pd_edges)
+    want = con.execute("""
+      WITH canon AS (
+        SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+        FROM edges WHERE id_a <> id_b)
+      SELECT COUNT(*) FROM canon e1
+      JOIN canon e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b""").fetchone()[0]
+    assert n == want
+
+
 # --- r6 NEW: temperature sampling fractions -----------------------------------
 def test_temperature_fractions_math_and_mixture(spark, sf_dir):
     from conduino_spark import mixture, temperature_fractions
