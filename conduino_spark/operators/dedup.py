@@ -77,7 +77,15 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     split).  The shuffle moves only raw text — cheap next to the
     hashing it parallelizes.  No-op cost at real scale (many splits)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # plan-only guard (same rationale as similarity.lsh_index_write,
+    # ADVICE r5): .rdd would leave AQE and eagerly run upstream
+    # shuffles.  Scan inputs expose files as metadata; non-scan inputs
+    # ([]) spread unconditionally — at worst one narrow re-shuffle.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target, key)
 

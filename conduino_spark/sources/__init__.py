@@ -283,7 +283,22 @@ def read_parquet(path: str, *, seq_col: Optional[str] = None,
         if min_partitions:
             want = (spark.sparkContext.defaultParallelism
                     if min_partitions == "auto" else int(min_partitions))
-            if df.rdd.getNumPartitions() < want:
+            # plan-only split estimate (ADVICE r5 pattern): this is a
+            # bare scan, so its task count is ~max(n_files, bytes /
+            # maxPartitionBytes) — derivable from metadata without
+            # .rdd's eager out-of-AQE conversion
+            try:
+                import os
+                files = df.inputFiles()
+                total = sum(os.path.getsize(f.replace("file:", ""))
+                            for f in files)
+                mpb = int(spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes",
+                    "134217728").rstrip("b"))
+                n_splits = max(len(files), total // max(mpb, 1))
+            except Exception:
+                n_splits = 0
+            if n_splits < want:
                 df = df.repartition(want)
         return with_seq_from(df, seq_col) if seq_col else df
 
