@@ -595,6 +595,59 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 edge sweep: empty and singleton inputs --------------------------------
+def test_round6_ops_on_empty_and_singleton(spark):
+    from conduino_spark import (
+        cdc_apply, countmin_build, countmin_estimate, deterministic_shuffle,
+        normalize_text, triangle_count, vec_dequantize, vec_quantize_int8,
+        weighted_sample, winsorize,
+    )
+
+    empty = spark.createDataFrame([], "k long, v double")
+    one = spark.createDataFrame([(7, 3.0)], "k long, v double")
+
+    # count-min over empty input: zero-filled sketch, probes estimate 0
+    cms = run_pipe(from_dataframe(empty)
+                   | countmin_build("k", width=8, depth=2)
+                   | sink_df(), spark)
+    row = cms.collect()[0]
+    assert all(x == 0 for arr in row.cms for x in arr)
+    est = run_pipe(from_dataframe(one) | countmin_estimate(cms, "k")
+                   | sink_df(), spark)
+    assert est.collect()[0].est_count == 0
+
+    assert deterministic_shuffle("k")(empty).count() == 0
+    assert deterministic_shuffle("k")(one).collect()[0].shuffle_pos == 0
+
+    assert weighted_sample("k", F.col("v"))(empty).count() == 0
+
+    # winsorize singleton: degenerate range clamps to the value itself
+    w = winsorize("v", lo=0.1, hi=0.9, bins=8)
+    assert w(empty).count() == 0
+    assert w(one).collect()[0].v == 3.0
+
+    assert triangle_count()(
+        spark.createDataFrame([], "id_a long, id_b long")) \
+        .collect()[0].triangles == 0
+
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    assert normalize_text()(ed).count() == 0
+
+    # quantize/dequantize singleton roundtrip
+    ev = spark.createDataFrame([(1, [0.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    q = vec_quantize_int8()(ev)
+    back = vec_dequantize()(q.drop("embedding")).collect()[0]
+    assert list(back.embedding) == [0.0, 0.0]
+
+    # cdc over empty snapshot = surviving changes only
+    chg = spark.createDataFrame([(1, 1.0, "U", 10), (2, 2.0, "D", 11)],
+                                "k long, v double, op string, ord long")
+    snap = spark.createDataFrame([], "k long, v double")
+    got = {(r.k, r.v) for r in cdc_apply(chg, ["k"], "ord")(snap).collect()}
+    assert got == {(1, 1.0)}
+
+
 # --- r6 NEW: triangle counting ------------------------------------------------
 def test_triangle_count_matches_duckdb(spark, sf_dir):
     """Node-iterator triangle count vs a DuckDB oracle over the
