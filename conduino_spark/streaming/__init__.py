@@ -544,12 +544,34 @@ def windowed_quantiles(ts_col: str, duration: str, expr: str,
                        F.lit(bins - 1)).cast("long")
         win = (F.window(ts_col, duration, slide) if slide
                else F.window(ts_col, duration))
-        cnts = [F.sum(F.when(F.col("__bin") == b, 1).otherwise(0))
-                 .cast("long") for b in range(bins)]
-        agg = (d.where(F.expr(expr).isNotNull())
-                .withColumn("__bin", bin_)
-                .groupBy(win.alias("w"), *keys)
-                .agg(F.array(*cnts).alias("__cnt")))
+        binned = (d.where(F.expr(expr).isNotNull())
+                   .withColumn("__bin", bin_))
+        if d.isStreaming:
+            # streaming: ONE aggregation (chained streaming aggs are
+            # unsupported) — bins conditional counters, O(bins) state
+            cnts = [F.sum(F.when(F.col("__bin") == b, 1).otherwise(0))
+                     .cast("long") for b in range(bins)]
+            agg = (binned.groupBy(win.alias("w"), *keys)
+                         .agg(F.array(*cnts).alias("__cnt")))
+        else:
+            # batch fast path: two-phase — per-(window, keys, bin)
+            # counts (narrow, map-side partials) then a sparse→dense
+            # map lookup, instead of `bins` aggregate expressions per
+            # row.  Same counts, same arithmetic → BIT-identical to
+            # the streaming form (the replay law crosses the two
+            # implementations, which is what makes it a real check).
+            per_bin = (binned.groupBy(win.alias("w"), *keys, F.col("__bin"))
+                             .agg(F.count(F.lit(1)).alias("__c")))
+            mp = F.map_from_entries(
+                F.collect_list(F.struct("__bin", "__c")))
+            agg = (per_bin.groupBy("w", *keys)
+                          .agg(mp.alias("__m"))
+                          .select("w", *keys, F.transform(
+                              F.sequence(F.lit(0).cast("long"),
+                                         F.lit(bins - 1)),
+                              lambda b: F.coalesce(
+                                  F.element_at(F.col("__m"), b),
+                                  F.lit(0).cast("long"))).alias("__cnt")))
         n = F.aggregate("__cnt", F.lit(0).cast("long"), lambda a, c: a + c)
         agg = agg.withColumn("__n", n)
 
