@@ -57,7 +57,8 @@ from conduino_spark.operators.text import (
     tokenize, unigram_logprob, unigram_vocab,
 )
 from conduino_spark.operators.dedup import (
-    decontaminate, dedup_exact, embedding_near_dup_pairs, minhash_dedup,
+    decontaminate, dedup_exact, dup_span_stats, embedding_near_dup_pairs,
+    minhash_dedup,
     minhash_dedup_against, minhash_dedup_cc, minhash_dedup_pairs,
     minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
 )

@@ -556,3 +556,96 @@ def decontaminate(benchmark, *, text_col: str = "text",
                   .na.fill({"n_shingles": 0, "n_contam": 0}))
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
+                   id_col: str = "doc_id", *, min_dup: int = 2,
+                   name: str = "dup_span_stats") -> Stage:
+    """Exact-substring duplication signal (the practical relaxation of
+    suffix-array substring dedup — Lee et al. 2022's "dedup makes LMs
+    better" setting): slide a ``window_tokens``-token window at stride
+    1 over every document, hash each window, and flag windows whose
+    EXACT token sequence appears ``min_dup``+ times across the corpus.
+    Emits per-document audit columns:
+
+    * ``n_windows`` / ``n_dup_windows`` / ``dup_window_frac``
+    * ``n_dup_spans`` — maximal runs of overlapping duplicated windows
+    * ``dup_token_frac`` — fraction of the doc's tokens covered by a
+      duplicated span
+
+    Feed ``dup_token_frac`` to :func:`~conduino_spark.operators.text.
+    corpus_filter` as a custom rule (mark-and-gate, like the Gopher
+    stats) — removal policy stays explicit and auditable instead of
+    silently rewriting documents.
+
+    Plan: window build = zip of ``window_tokens`` shifted slices (the
+    shingles_col CSE lesson — no per-position lambda re-evaluation),
+    md5 once per window; ONE (hash, count) aggregate over the corpus;
+    one semi-join back; per-doc interval-merge fold over the sorted
+    duplicated positions (pure ``aggregate`` expression).  Shuffles
+    carry only (hash) ints and (id, pos) pairs — never window text."""
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    L = window_tokens
+
+    def fn(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
+        acc = F.slice(toks, 1, m)
+        for j in range(2, L + 1):
+            acc = F.zip_with(acc, F.slice(toks, j, m),
+                             lambda x, y: F.concat(x, F.lit(" "), y))
+        base = track(df.select(F.col(id_col),
+                               F.size(toks).alias("__nt"),
+                               F.transform(acc, h32).alias("__ws")))
+        wins = base.select(id_col, "__nt",
+                           F.posexplode_outer("__ws").alias("__p", "__h"))
+        dup_h = (wins.groupBy("__h")
+                     .agg(F.count(F.lit(1)).alias("__c"))
+                     .where(F.col("__c") >= min_dup)
+                     .select("__h"))
+        dup_pos = (wins.join(dup_h, "__h", "semi")
+                       .groupBy(id_col)
+                       .agg(F.array_sort(F.collect_list("__p")).alias("__dp")))
+        j = base.join(dup_pos, id_col, "left") \
+                .select(id_col, "__nt",
+                        F.size("__ws").alias("__nw"),
+                        F.coalesce("__dp", F.array().cast("array<int>"))
+                         .alias("__dp"))
+        # interval-merge fold over sorted positions: spans = runs with
+        # gap < L; coverage = union length of [p, p+L)
+        zero = F.struct(F.lit(-(10 ** 9)).cast("long").alias("end"),
+                        F.lit(0).cast("long").alias("cov"),
+                        F.lit(0).cast("long").alias("spans"))
+
+        def step(s, p):
+            pl = p.cast("long")
+            new_span = pl >= s["end"]
+            cov_add = F.least(F.lit(L).cast("long"),
+                              pl + F.lit(L) - F.greatest(s["end"], pl))
+            return F.struct(
+                (pl + F.lit(L)).alias("end"),
+                (s["cov"] + cov_add).alias("cov"),
+                (s["spans"] + F.when(new_span, 1).otherwise(0))
+                .alias("spans"))
+
+        folded = F.aggregate("__dp", zero, step)
+        ndw = F.size("__dp").cast("long")
+        return (j.withColumn("__f", folded)
+                 .select(
+                     id_col,
+                     F.col("__nw").cast("long").alias("n_windows"),
+                     ndw.alias("n_dup_windows"),
+                     F.when(F.col("__nw") > 0,
+                            ndw / F.col("__nw").cast("double"))
+                      .otherwise(F.lit(0.0)).alias("dup_window_frac"),
+                     F.col("__f.spans").alias("n_dup_spans"),
+                     F.when(F.col("__nt") > 0,
+                            F.least(F.lit(1.0),
+                                    F.col("__f.cov").cast("double")
+                                    / F.col("__nt").cast("double")))
+                      .otherwise(F.lit(0.0)).alias("dup_token_frac")))
+
+    return Stage(fn, name=name, seq_preserving=False)

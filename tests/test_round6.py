@@ -595,6 +595,81 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: exact-substring duplication spans --------------------------------
+def test_dup_span_stats_reference(spark):
+    """Hand-built corpus against a pure-Python sliding-window
+    reference: two docs share an exact 6-token run; a third is
+    unrelated."""
+    from conduino_spark import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = {1: f"one two {shared} three four",
+             2: f"{shared} five six seven",
+             3: "totally different words here entirely now"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    L = 4
+    out = {r.doc_id: r for r in
+           dup_span_stats(window_tokens=L, min_dup=2)(df).collect()}
+
+    # pure-Python reference
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    from collections import Counter
+    wc = Counter()
+    wins = {}
+    for d, ts in toks.items():
+        wins[d] = [" ".join(ts[i:i + L]) for i in range(len(ts) - L + 1)]
+        wc.update(set())
+        for w in wins[d]:
+            wc[w] += 1
+    for d, ts in toks.items():
+        dpos = [i for i, w in enumerate(wins[d]) if wc[w] >= 2]
+        r = out[d]
+        assert r.n_windows == len(wins[d])
+        assert r.n_dup_windows == len(dpos)
+        # interval union + span count
+        cov, spans, end = 0, 0, -10 ** 9
+        for p in dpos:
+            if p >= end:
+                spans += 1
+            cov += min(L, p + L - max(end, p))
+            end = p + L
+        assert r.n_dup_spans == spans
+        assert abs(r.dup_token_frac - min(1.0, cov / len(ts))) < 1e-12
+    assert out[3].n_dup_windows == 0 and out[3].dup_token_frac == 0.0
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    # the shared 6-token run yields 3 duplicated windows of length 4
+    assert out[1].n_dup_windows == 3
+
+    with pytest.raises(ValueError):
+        dup_span_stats(window_tokens=0)
+    with pytest.raises(ValueError):
+        dup_span_stats(min_dup=1)
+
+
+def test_dup_span_stats_corpus_and_gate(spark, sf_dir):
+    """On the real corpus: exact duplicate docs get dup_token_frac 1.0
+    and can be gated through corpus_filter."""
+    from conduino_spark import corpus_filter, dup_span_stats
+
+    docs = read_table(sf_dir, "documents").df(spark).limit(100)
+    # append a verbatim copy of doc 0 under a new id
+    first = docs.where(F.col("doc_id") == 0) \
+                .select(F.lit(99999).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(first)
+    st = dup_span_stats(window_tokens=16)
+    stats = st(corpus)
+    r = {x.doc_id: x for x in stats.collect()}
+    if r[0].n_windows > 0:  # doc 0 long enough to window
+        assert r[0].dup_token_frac == 1.0
+        assert r[99999].dup_token_frac == 1.0
+
+    gated = corpus_filter(rules={"dup_token_frac": ("<=", 0.5)})(
+        corpus.join(stats.select("doc_id", "dup_token_frac"), "doc_id"))
+    flagged = {x.doc_id for x in gated.where(~F.col("keep")).collect()}
+    assert {0, 99999} <= flagged
+
+
 # --- r6 edge sweep: empty and singleton inputs --------------------------------
 def test_round6_ops_on_empty_and_singleton(spark):
     from conduino_spark import (
