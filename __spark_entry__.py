@@ -915,6 +915,38 @@ def q_windowed_quantiles_value(spark, sf):
     return run_pipe(p, spark)
 
 
+def q_dup_span_docs(spark, sf):
+    # r6: exact-substring duplication audit over the corpus — the
+    # heaviest text pass (stride-1 16-token windows, md5 per window)
+    from conduino_spark import dup_span_stats
+    p = (_src(sf, "documents", min_partitions="auto")
+         | dup_span_stats(window_tokens=16)
+         | sink_df())
+    return run_pipe(p, spark)
+
+
+_PQ_BOOK_CACHE: dict = {}
+
+
+def q_pq_adc_search(spark, sf):
+    # r6: PQ encode + ADC top-k (the IVF-PQ cell-scan shape).  The
+    # codebook is the MODEL — train once per (sf, mtime) like the LSH
+    # index memo; the benched number is encode + table-lookup search.
+    import os
+    from conduino_spark import pq_encode, pq_search, pq_train
+    emb = _src(sf, "embeddings").df(spark)
+    src_file = os.path.join(sf, "embeddings.parquet")
+    tag = (os.path.abspath(sf), int(os.path.getmtime(src_file)))
+    if tag not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[tag] = pq_train(emb, m=8, k=16, iters=1)
+    book = _PQ_BOOK_CACHE[tag]
+    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
+    qv = [float(x) for x in row["embedding"]]
+    enc = pq_encode(book)(emb)
+    p = from_dataframe(enc) | pq_search(book, qv, kk=10) | sink_df()
+    return run_pipe(p, spark)
+
+
 def bench_extras():
     """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
     queries() but NOT driver-gated: knn_lsh_probe_cold is the honesty
@@ -928,7 +960,9 @@ def bench_extras():
             "det_shuffle_orders": q_det_shuffle_orders,
             "bloom_semi_orders": q_bloom_semi_orders,
             "unigram_logprob_docs": q_unigram_logprob_docs,
-            "windowed_quantiles_value": q_windowed_quantiles_value}
+            "windowed_quantiles_value": q_windowed_quantiles_value,
+            "dup_span_docs": q_dup_span_docs,
+            "pq_adc_search": q_pq_adc_search}
 
 
 def q_knn_bruteforce(spark, sf):
