@@ -947,6 +947,43 @@ def q_pq_adc_search(spark, sf):
     return run_pipe(p, spark)
 
 
+def q_tpch_q14(spark, sf):
+    # r6: promo revenue ratio (TPC-H Q14 adapted to the generated
+    # schema) — conditional scaled-long sums inside one agg, broadcast
+    # part join; DuckDB-oracled in tests/test_round6.py
+    li = _src(sf, "lineitem").df(spark)
+    part = _src(sf, "part").df(spark)
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0.0))
+    j = (li.where("l_shipdate >= timestamp'1996-01-01 00:00:00' and "
+                  "l_shipdate < timestamp'1996-03-01 00:00:00'")
+           .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")))
+    agg = j.agg(_scaled_sum(pr, 10_000).alias("__p"),
+                _scaled_sum(dp, 10_000).alias("__t"))
+    return agg.select(F.round(F.lit(100.0) * F.col("__p") / F.col("__t"), 6)
+                       .alias("promo_revenue"))
+
+
+def q_tpch_q19(spark, sf):
+    # r6: disjunctive part/quantity predicate revenue (TPC-H Q19
+    # shape, adapted) — the OR-of-ANDs join filter Catalyst must push
+    # below the broadcast join; DuckDB-oracled in tests/test_round6.py
+    li = _src(sf, "lineitem").df(spark)
+    part = _src(sf, "part").df(spark)
+    j = li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#13")
+         & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5)) |
+        ((F.col("p_brand") == "Brand#20")
+         & F.col("l_quantity").between(10, 20)
+         & F.col("p_size").between(1, 10)))
+    return j.where(cond).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                 "revenue", scale=10_000))
+
+
 def bench_extras():
     """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
     queries() but NOT driver-gated: knn_lsh_probe_cold is the honesty
@@ -962,7 +999,9 @@ def bench_extras():
             "unigram_logprob_docs": q_unigram_logprob_docs,
             "windowed_quantiles_value": q_windowed_quantiles_value,
             "dup_span_docs": q_dup_span_docs,
-            "pq_adc_search": q_pq_adc_search}
+            "pq_adc_search": q_pq_adc_search,
+            "tpch_q14": q_tpch_q14,
+            "tpch_q19": q_tpch_q19}
 
 
 def q_knn_bruteforce(spark, sf):

@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "knn_lsh_probe_cold", "binned_quantiles_value",
     "det_shuffle_orders", "bloom_semi_orders",
     "unigram_logprob_docs", "windowed_quantiles_value",
-    "dup_span_docs", "pq_adc_search",
+    "dup_span_docs", "pq_adc_search", "tpch_q14", "tpch_q19",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -595,6 +595,48 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: TPC-H Q14/Q19 (bench extras, local oracle) -----------------------
+@pytest.mark.parametrize("qname,sql", [
+    ("tpch_q14", """
+        SELECT round(100.0 * (
+            SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 * 10000) AS BIGINT)) / 10000.0) / (
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) / 10000.0), 6) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'"""),
+    ("tpch_q19", """
+        SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+               AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)"""),
+])
+def test_tpch_extras_match_duckdb(spark, sf_dir, qname, sql):
+    import importlib.util
+    from pathlib import Path
+
+    import duckdb
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "entry", root / "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    got = m.bench_extras()[qname](spark, sf_dir).collect()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+    want = con.execute(sql).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 # --- r6 NEW: exact-substring duplication spans --------------------------------
 def test_dup_span_stats_reference(spark):
     """Hand-built corpus against a pure-Python sliding-window
