@@ -984,6 +984,18 @@ def q_tpch_q19(spark, sf):
                  "revenue", scale=10_000))
 
 
+def q_json_props(spark, sf):
+    # r6: semi-structured extraction (the §2.7 scalar-function gap made
+    # concrete on the events.props JSON column) — get_json_object stays
+    # a pure codegen projection feeding one hash agg; DuckDB-oracled in
+    # tests/test_round6.py
+    ev = _src(sf, "events").df(spark)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+              .agg(F.sum(k).alias("sum_k"),
+                   F.count(k).alias("n_with_k")))
+
+
 def bench_extras():
     """Bench-only callables, same (spark, sf_dir) -> DataFrame shape as
     queries() but NOT driver-gated: knn_lsh_probe_cold is the honesty
@@ -1001,7 +1013,8 @@ def bench_extras():
             "dup_span_docs": q_dup_span_docs,
             "pq_adc_search": q_pq_adc_search,
             "tpch_q14": q_tpch_q14,
-            "tpch_q19": q_tpch_q19}
+            "tpch_q19": q_tpch_q19,
+            "json_props": q_json_props}
 
 
 def q_knn_bruteforce(spark, sf):

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "det_shuffle_orders", "bloom_semi_orders",
     "unigram_logprob_docs", "windowed_quantiles_value",
     "dup_span_docs", "pq_adc_search", "tpch_q14", "tpch_q19",
+    "json_props",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -76,7 +76,7 @@ from conduino_spark.operators.similarity import (
 )
 from conduino_spark.operators.multimodal import (
     audio_metadata, feature_extract, frame_sample, image_metadata,
-    image_resize,
+    image_resize, sniff_format,
 )
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (

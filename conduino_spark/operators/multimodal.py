@@ -181,3 +181,54 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
             run, f"id long, features array<double>")
 
     return Stage(fn, name="feature_extract", seq_preserving=False)
+
+
+#: magic-byte signatures for format sniffing — (format, hex prefix,
+#: byte offset).  Pure bytes comparison: no codec library involved,
+#: so unlike the decode operators this is REAL (not stubbed) in any
+#: environment.
+MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
+    ("png",  "89504e47", 0),
+    ("jpeg", "ffd8ff",   0),
+    ("gif",  "474946",   0),
+    ("riff", "52494646", 0),   # container: WAV/AVI/WebP — see refinement
+    ("pdf",  "25504446", 0),
+    ("zip",  "504b0304", 0),
+    ("mp3",  "494433",   0),   # ID3-tagged
+    ("flac", "664c6143", 0),
+]
+
+
+def sniff_format(binary_col: str = "content", *,
+                 out: str = "format") -> Stage:
+    """Detect a binary column's container format from magic bytes —
+    the multimodal ingestion gate that needs NO codec library: a
+    mislabeled blob (a PDF in the image column, truncated junk) is
+    flagged before any decode UDF wastes a batch on it.
+
+    Pure column algebra: ``hex(substring(content, ...))`` prefix
+    comparisons, whole-stage codegen, no shuffle, NULL/short blobs →
+    'unknown'.  RIFF containers are refined by their subtype tag
+    (bytes 9-12: WAVE/AVI /WEBP)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        b = F.col(binary_col)
+        head = F.lower(F.hex(F.substring(b, 1, 8)))
+        expr = F.lit("unknown")
+        for fmt, sig, off in reversed(MAGIC_SIGNATURES):
+            cond = head.startswith(sig) if off == 0 else \
+                F.lower(F.hex(F.substring(b, off + 1, len(sig) // 2))) \
+                 .startswith(sig)
+            expr = F.when(cond, F.lit(fmt)).otherwise(expr)
+        # refine RIFF by subtype tag (ASCII at bytes 9-12)
+        sub = F.decode(F.substring(b, 9, 4), "UTF-8")
+        expr = (F.when(expr == "riff",
+                       F.when(sub == "WAVE", F.lit("wav"))
+                        .when(sub == F.lit("AVI "), F.lit("avi"))
+                        .when(sub == "WEBP", F.lit("webp"))
+                        .otherwise(F.lit("riff")))
+                 .otherwise(expr))
+        return df.withColumn(
+            out, F.when(b.isNull(), F.lit("unknown")).otherwise(expr))
+
+    return Stage(fn, name="sniff_format", seq_preserving=True)

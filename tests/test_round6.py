@@ -595,6 +595,57 @@ def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
         pq_search(book, qv[:-1], kk=5)
 
 
+# --- r6 NEW: JSON props extraction --------------------------------------------
+def test_json_props_matches_duckdb(spark, sf_dir):
+    import importlib.util
+    from pathlib import Path
+
+    import duckdb
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "entry", root / "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    got = {r.event_type: (r.sum_k, r.n_with_k)
+           for r in m.bench_extras()["json_props"](spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    want = {t: (s, n) for t, s, n in con.execute("""
+        SELECT event_type,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n
+        FROM events GROUP BY event_type""").fetchall()}
+    assert got == want
+
+
+# --- r6 NEW: multimodal format sniffing (real, codec-free) --------------------
+def test_sniff_format_magic_bytes(spark):
+    from conduino_spark import sniff_format
+
+    blobs = [
+        (1, bytes.fromhex("89504e470d0a1a0a") + b"rest"),        # png
+        (2, bytes.fromhex("ffd8ffe0") + b"jfif"),                # jpeg
+        (3, b"GIF89a" + b"x" * 4),                               # gif
+        (4, b"RIFF" + b"\x24\x08\x00\x00" + b"WAVEfmt "),        # wav
+        (5, b"RIFF" + b"\x00\x00\x00\x00" + b"WEBPVP8 "),        # webp
+        (6, b"%PDF-1.7 ..."),                                    # pdf
+        (7, b"PK\x03\x04zipzip"),                                # zip
+        (8, b"ID3\x04tagged mp3"),                               # mp3
+        (9, b"fLaC\x00\x00\x00\x22"),                            # flac
+        (10, b"plain text, no magic"),                           # unknown
+        (11, None),                                              # NULL
+        (12, b"\x89P"),                                          # truncated
+    ]
+    df = spark.createDataFrame(blobs, "id long, content binary")
+    out = {r.id: r.format for r in sniff_format()(df).collect()}
+    assert out == {1: "png", 2: "jpeg", 3: "gif", 4: "wav", 5: "webp",
+                   6: "pdf", 7: "zip", 8: "mp3", 9: "flac",
+                   10: "unknown", 11: "unknown", 12: "unknown"}
+
+
 # --- r6 NEW: TPC-H Q14/Q19 (bench extras, local oracle) -----------------------
 @pytest.mark.parametrize("qname,sql", [
     ("tpch_q14", """
