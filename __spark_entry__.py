@@ -40,8 +40,9 @@ from conduino_spark.operators.dedup import (  # noqa: E402
     MINHASH_BANDS, MINHASH_PARAMS, MINHASH_ROWS, SHINGLE_N,
 )
 from conduino_spark.operators.sketches import (  # noqa: E402
-    binned_quantiles_sql, kmv_distinct_sql,
+    binned_quantiles_sql, kmv_distinct_sql, winsorize_sql,
 )
+from conduino_spark.operators.text import normalize_text_sql  # noqa: E402
 from conduino_spark.timeutil import epoch_seconds as _eps  # noqa: E402
 from conduino_spark.operators.text import (  # noqa: E402
     lang_id_sql, quality_score_sql, repetition_stats_sql, tokens_sql,
@@ -189,21 +190,25 @@ def q_scan_cumsum(spark, sf):
                       "cum_n")
 
 
-def q_pairs_lag(spark, sf):
+def q_ordered_windows(spark, sf):
+    # BOTH chunked ordered-window operators in one gate query (merged
+    # r6): pairs (lag + boundary stitch) and consecutive (sliding
+    # 3-window + terminal flush), payload stringified so the arms
+    # union; each keeps its full row set
     src = _src(sf, "events", seq_col="event_id")
     p = src | map_({"v": F.col("user_id")}) | pairs(rescan=True) | sink_df()
-    out = run_pipe(p, spark)
-    return out.select(F.col(SEQ).alias("event_id"), "fst", "snd")
-
-
-def q_consecutive_windows(spark, sf):
-    src = _src(sf, "events", seq_col="event_id")
-    p = (src | map_({"v": F.col("user_id")})
-         | consecutive(3, rescan=True) | sink_df())
-    out = run_pipe(p, spark)
-    return out.select(
-        F.col(SEQ).alias("at_seq"),
-        F.concat_ws(",", F.transform("v", lambda x: x.cast("string"))).alias("win"))
+    pr = run_pipe(p, spark).select(
+        F.col(SEQ).alias("at_seq"), F.lit("pairs").alias("op"),
+        F.concat_ws(",", F.col("fst").cast("string"),
+                    F.col("snd").cast("string")).alias("payload"))
+    src2 = _src(sf, "events", seq_col="event_id")
+    p2 = (src2 | map_({"v": F.col("user_id")})
+          | consecutive(3, rescan=True) | sink_df())
+    cw = run_pipe(p2, spark).select(
+        F.col(SEQ).alias("at_seq"), F.lit("consec").alias("op"),
+        F.concat_ws(",", F.transform("v", lambda x: x.cast("string")))
+         .alias("payload"))
+    return pr.unionByName(cw)
 
 
 def q_take_drop_sequel(spark, sf):
@@ -542,18 +547,19 @@ def q_minhash_pairs(spark, sf):
     return run_pipe(p, spark)
 
 
-def q_minhash_dedup_kept(spark, sf):
-    from conduino_spark import minhash_dedup
+def q_minhash_survivors(spark, sf):
+    # BOTH dedup survivor policies in one gate query (merged r6):
+    # greedy (drop any doc LSH-similar to a lower id) and connected
+    # components (one min-id doc per transitive cluster — Pregel
+    # min-label propagation, recursive-CTE oracle), tagged by policy
+    from conduino_spark import minhash_dedup, minhash_dedup_cc
     p = _src(sf, "documents", min_partitions="auto") | minhash_dedup() | sink_df()
-    return run_pipe(p, spark).select("doc_id")
-
-
-def q_minhash_dedup_cc(spark, sf):
-    # connected-component survivors: one doc (min id) per transitive
-    # near-dup cluster — Pregel min-label propagation on the LSH pairs
-    from conduino_spark import minhash_dedup_cc
-    p = _src(sf, "documents", min_partitions="auto") | minhash_dedup_cc() | sink_df()
-    return run_pipe(p, spark).select("doc_id")
+    greedy = run_pipe(p, spark).select(
+        "doc_id", F.lit("greedy").alias("policy"))
+    p2 = _src(sf, "documents", min_partitions="auto") | minhash_dedup_cc() | sink_df()
+    cc = run_pipe(p2, spark).select(
+        "doc_id", F.lit("cc").alias("policy"))
+    return greedy.unionByName(cc)
 
 
 def q_salted_group_revenue(spark, sf):
@@ -984,6 +990,62 @@ def q_tpch_q19(spark, sf):
                  "revenue", scale=10_000))
 
 
+def q_text_normalize(spark, sf):
+    # r6 rotation: canonical text normalization (case / control-strip /
+    # whitespace-collapse / punct-strip) — bit-identical regexp chain
+    # in both engines
+    from conduino_spark import normalize_text
+    p = (_src(sf, "documents", min_partitions="auto")
+         | normalize_text(strip_punct=True) | sink_df())
+    return run_pipe(p, spark).select("doc_id", "normalized")
+
+
+def q_det_shuffle_docs(spark, sf):
+    # r6 rotation: reproducible global training order — dense rank
+    # under the salted hash, oracle = the same rank in SQL
+    from conduino_spark import deterministic_shuffle
+    p = (_src(sf, "documents", min_partitions="auto")
+         | deterministic_shuffle("doc_id", salt="e0|")
+         | sink_df())
+    return run_pipe(p, spark).select("doc_id", "shuffle_pos")
+
+
+def q_winsorize_value(spark, sf):
+    # r6 rotation: per-event_type quantile clipping via the
+    # deterministic binned-quantile cuts — the clip replays bit-for-bit
+    from conduino_spark import winsorize
+    p = (_src(sf, "events")
+         | winsorize("value", lo=0.05, hi=0.95, bins=256,
+                     keys=("event_type",), out="w")
+         | sink_df())
+    return run_pipe(p, spark).select("event_id", "w")
+
+
+def q_cdc_latest_state(spark, sf):
+    # r6 rotation: MERGE-style CDC application — snapshot = each
+    # user's EARLIEST event value, changes = every later event as an
+    # upsert (delete when event_type='error'), latest-order-wins.
+    # Winner algebra: the final state per user equals the user's
+    # latest event overall, dropped if that event is an error — which
+    # is exactly the arg_max oracle.
+    from conduino_spark import cdc_apply
+    ev = _src(sf, "events").df(spark)
+    t = _eps("ts") * 100_000 + F.col("event_id")
+    base = ev.select("user_id", "value", "event_type", t.alias("t"))
+    first_t = base.groupBy("user_id").agg(F.min("t").alias("__t0"))
+    snap = (base.join(first_t, "user_id")
+                .where(F.col("t") == F.col("__t0"))
+                .select("user_id", "value"))
+    changes = (base.join(first_t, "user_id")
+                   .where(F.col("t") > F.col("__t0"))
+                   .select("user_id", "value",
+                           F.when(F.col("event_type") == "error",
+                                  F.lit("D")).otherwise(F.lit("U"))
+                            .alias("op"),
+                           F.col("t").alias("ord")))
+    return cdc_apply(changes, ["user_id"], "ord")(snap)
+
+
 def q_json_props(spark, sf):
     # r6: semi-structured extraction (the §2.7 scalar-function gap made
     # concrete on the events.props JSON column) — get_json_object stays
@@ -1023,6 +1085,20 @@ def q_knn_bruteforce(spark, sf):
     qv = [float(x) for x in row["embedding"]]
     p = emb | knn_brute(qv, k=10) | sink_df()
     return run_pipe(p, spark).select("vec_id", "cosine")
+
+
+def q_knn_methods(spark, sf):
+    # ALL THREE ANN strategies in one gate query (merged r6), tagged by
+    # method: exact brute-force (the correctness baseline), IVF
+    # cell-probe, and SRP-LSH partition-pruned probe — same query
+    # vector, same k, three physical plans
+    brute = q_knn_bruteforce(spark, sf).select(
+        F.lit("brute").alias("method"), "vec_id", "cosine")
+    ivf = q_ivf_search_topk(spark, sf).select(
+        F.lit("ivf").alias("method"), "vec_id", "cosine")
+    lsh = q_knn_lsh_probe(spark, sf).select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine")
+    return brute.unionByName(ivf).unionByName(lsh)
 
 
 def q_ivf_search_topk(spark, sf):
@@ -1084,8 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pushdown": q_filter_pushdown,
         "concat_map_tokens": q_concat_map_tokens,
         "scan_cumsum": q_scan_cumsum,
-        "pairs_lag": q_pairs_lag,
-        "consecutive_windows": q_consecutive_windows,
+        "ordered_windows": q_ordered_windows,
         "take_drop_sequel": q_take_drop_sequel,
         "zip_sink_multi": q_zip_sink_multi,
         "map_accum_multi": q_map_accum_multi,
@@ -1108,8 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
-        "minhash_dedup_kept": q_minhash_dedup_kept,
-        "minhash_dedup_cc": q_minhash_dedup_cc,
+        "minhash_survivors": q_minhash_survivors,
         "simhash": q_simhash,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -1122,9 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_events": q_interval_events,
         "ivf_build": q_ivf_build,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
-        "knn_bruteforce": q_knn_bruteforce,
-        "ivf_search_topk": q_ivf_search_topk,
-        "knn_lsh_probe": q_knn_lsh_probe,
+        "knn_methods": q_knn_methods,
         "rolling_user_day": q_rolling_user_day,
         # r5 surface rotated into the gate (r6 lead item) + the
         # composed training-pipeline integration pin
@@ -1134,6 +1206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "mixture_sample": q_mixture_sample,
         "train_pipeline": q_train_pipeline,
+        # r6 surface rotated in by the second merge pass (ANN methods,
+        # minhash survivor policies, ordered windows)
+        "text_normalize": q_text_normalize,
+        "det_shuffle_docs": q_det_shuffle_docs,
+        "winsorize_value": q_winsorize_value,
+        "cdc_latest_state": q_cdc_latest_state,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -1336,6 +1414,39 @@ def _sql_corpus_filter() -> str:
 _MIX_CUTS = {"even": int(0.5 * (1 << 32)), "odd": int(0.25 * (1 << 32))}
 
 
+def _sql_ivf_topk(k: int = 10, nprobe: int = 2) -> str:
+    """Bit-identical rendering of ivf_search(qv, k, cell_col='label',
+    nprobe): scaled-long per-(cell,dim) means, scaled-long dot/norm
+    sums, ties on cell then vec_id."""
+    return f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = {QUERY_KNN_ID}),
+            m AS (SELECT label, i,
+                         CAST(SUM(CAST(round(x * 1000000000) AS BIGINT)) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+                  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                               generate_subscripts(embedding::DOUBLE[], 1) AS i
+                        FROM embeddings)
+                  GROUP BY 1, 2),
+            sc AS (SELECT label,
+                          CAST(SUM(CAST(round(m * qv[i] * 1000000000) AS BIGINT))
+                               AS DOUBLE) / 1000000000.0 AS dot,
+                          CAST(SUM(CAST(round(m * m * 1000000000) AS BIGINT))
+                               AS DOUBLE) / 1000000000.0 AS n2
+                   FROM m, q GROUP BY label),
+            top_cells AS (SELECT label FROM sc
+                          ORDER BY dot / (sqrt(n2) + 1e-12) DESC, label
+                          LIMIT {nprobe}),
+            cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+                     FROM embeddings e JOIN top_cells t USING (label))
+            SELECT vec_id,
+                   ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
+                         / (sqrt(list_sum([x * x for x in v]))
+                            * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
+            FROM cand, q
+            ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = tokens_sql("text")
     li_seq = "l_orderkey * 8 + l_linenumber"  # unused; events carry event_id
@@ -1388,24 +1499,27 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT a.event_id, a.alt_sum, r.is_record
             FROM alt a JOIN rec r USING (event_id)""",
-        "pairs_lag": """
-            SELECT event_id, fst, snd FROM (
-              SELECT event_id,
-                     LAG(user_id) OVER (ORDER BY event_id) AS fst,
-                     user_id AS snd
-              FROM events) WHERE fst IS NOT NULL""",
-        "consecutive_windows": """
-            WITH per_row AS (
-              SELECT event_id AS at_seq,
-                     coalesce(array_to_string(
-                       list(user_id::VARCHAR) OVER (ORDER BY event_id
-                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS win
-              FROM events),
-            tail AS (
-              SELECT max(event_id) + 1 AS at_seq,
-                     array_to_string(list(user_id::VARCHAR ORDER BY event_id), ',') AS win
-              FROM (SELECT event_id, user_id FROM events ORDER BY event_id DESC LIMIT 3))
-            SELECT * FROM per_row UNION ALL SELECT * FROM tail""",
+        "ordered_windows": """
+            SELECT event_id AS at_seq, 'pairs' AS op,
+                   concat(CAST(fst AS VARCHAR), ',', CAST(snd AS VARCHAR))
+                     AS payload
+            FROM (SELECT event_id,
+                         LAG(user_id) OVER (ORDER BY event_id) AS fst,
+                         user_id AS snd
+                  FROM events) WHERE fst IS NOT NULL
+            UNION ALL
+            SELECT at_seq, 'consec' AS op, win AS payload FROM (
+              WITH per_row AS (
+                SELECT event_id AS at_seq,
+                       coalesce(array_to_string(
+                         list(user_id::VARCHAR) OVER (ORDER BY event_id
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS win
+                FROM events),
+              tail AS (
+                SELECT max(event_id) + 1 AS at_seq,
+                       array_to_string(list(user_id::VARCHAR ORDER BY event_id), ',') AS win
+                FROM (SELECT event_id, user_id FROM events ORDER BY event_id DESC LIMIT 3))
+              SELECT * FROM per_row UNION ALL SELECT * FROM tail)""",
         "take_drop_sequel": """
             WITH w AS (
               SELECT event_id, event_type, value FROM (
@@ -1541,27 +1655,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id""",
-        "minhash_dedup_kept": _sql_minhash_bands() + """
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (
-              SELECT DISTINCT b.doc_id
-              FROM bands a JOIN bands b USING (band_id, band_hash)
-              WHERE a.doc_id < b.doc_id)""",
-        "minhash_dedup_cc": _sql_minhash_bands().replace(
-            "WITH sigs", "WITH RECURSIVE sigs", 1) + """
-            , prs AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b USING (band_id, band_hash)
-              WHERE a.doc_id < b.doc_id),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-                      UNION ALL SELECT id_b, id_a FROM prs),
-            reach AS (
-              SELECT src AS id, src AS r FROM edges
-              UNION
-              SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-            roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id)""",
+        "minhash_survivors": f"""
+            SELECT doc_id, 'greedy' AS policy FROM (
+              {_sql_minhash_bands()}
+              SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (
+                SELECT DISTINCT b.doc_id
+                FROM bands a JOIN bands b USING (band_id, band_hash)
+                WHERE a.doc_id < b.doc_id))
+            UNION ALL
+            SELECT doc_id, 'cc' AS policy FROM (
+              {_sql_minhash_bands().replace(
+                  "WITH sigs", "WITH RECURSIVE sigs", 1)}
+              , prs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b USING (band_id, band_hash)
+                WHERE a.doc_id < b.doc_id),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION ALL SELECT id_b, id_a FROM prs),
+              reach AS (
+                SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+              roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+              SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id))""",
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
                    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
@@ -1724,48 +1842,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2""",
-        "knn_bruteforce": f"""
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-                       WHERE vec_id = {QUERY_KNN_ID}),
-            scored AS (
-              SELECT vec_id,
-                     ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
-                           / (sqrt(list_sum([x * x for x in v]))
-                              * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
-              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q)
-            SELECT vec_id, cosine FROM scored
-            ORDER BY cosine DESC, vec_id LIMIT 10""",
-        # bit-identical rendering of ivf_search(qv, k=10, cell_col='label',
-        # nprobe=2): scaled-long per-(cell,dim) means, scaled-long
-        # dot/norm sums, ties on cell then vec_id
-        "ivf_search_topk": f"""
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-                       WHERE vec_id = {QUERY_KNN_ID}),
-            m AS (SELECT label, i,
-                         CAST(SUM(CAST(round(x * 1000000000) AS BIGINT)) AS DOUBLE)
-                         / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
-                  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
-                               generate_subscripts(embedding::DOUBLE[], 1) AS i
-                        FROM embeddings)
-                  GROUP BY 1, 2),
-            sc AS (SELECT label,
-                          CAST(SUM(CAST(round(m * qv[i] * 1000000000) AS BIGINT))
-                               AS DOUBLE) / 1000000000.0 AS dot,
-                          CAST(SUM(CAST(round(m * m * 1000000000) AS BIGINT))
-                               AS DOUBLE) / 1000000000.0 AS n2
-                   FROM m, q GROUP BY label),
-            top_cells AS (SELECT label FROM sc
-                          ORDER BY dot / (sqrt(n2) + 1e-12) DESC, label
-                          LIMIT 2),
-            cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
-                     FROM embeddings e JOIN top_cells t USING (label))
-            SELECT vec_id,
-                   ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
-                         / (sqrt(list_sum([x * x for x in v]))
-                            * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
-            FROM cand, q
-            ORDER BY cosine DESC, vec_id LIMIT 10""",
-        "knn_lsh_probe": _sql_knn_lsh_probe(),
+        "knn_methods": f"""
+            SELECT 'brute' AS method, vec_id, cosine FROM (
+              WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                         WHERE vec_id = {QUERY_KNN_ID}),
+              scored AS (
+                SELECT vec_id,
+                       ROUND(list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])
+                             / (sqrt(list_sum([x * x for x in v]))
+                                * sqrt(list_sum([x * x for x in qv]))), 6) AS cosine
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q)
+              SELECT vec_id, cosine FROM scored
+              ORDER BY cosine DESC, vec_id LIMIT 10)
+            UNION ALL
+            SELECT 'ivf' AS method, vec_id, cosine FROM ({_sql_ivf_topk()})
+            UNION ALL
+            SELECT 'lsh' AS method, vec_id, cosine
+            FROM ({_sql_knn_lsh_probe()})""",
         "rolling_user_day": """
             SELECT event_id, count(*) OVER w AS n,
                    SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
@@ -1805,6 +1898,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, n_events, sum_value,
                    CAST(floor((cum - n_events) / 64) AS BIGINT) AS bin
             FROM o""",
+        "text_normalize": f"""
+            SELECT doc_id, {normalize_text_sql(strip_punct=True)}
+            FROM documents""",
+        "det_shuffle_docs": f"""
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY {h32_sql("concat('e0|', CAST(doc_id AS VARCHAR))")},
+                              CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
+                     AS shuffle_pos
+            FROM documents WHERE doc_id IS NOT NULL""",
+        "winsorize_value": winsorize_sql(
+            "value", lo=0.05, hi=0.95, bins=256, keys=("event_type",),
+            out="w", table="events", select_cols="t.event_id"),
+        "cdc_latest_state": """
+            WITH t AS (SELECT user_id, value, event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) * 100000
+                                + event_id AS t
+                       FROM events)
+            SELECT user_id, arg_max(value, t) AS value
+            FROM t GROUP BY user_id
+            HAVING arg_max(event_type, t) <> 'error'""",
     }
     return sql
 

@@ -32,16 +32,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # SUM of its parents.
 BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "scan_cumsum", "pairs_lag", "map_accum_multi", "window_tumbling",
-    "map_project", "concat_map_tokens",
-    "consecutive_windows", "chunk_pack_docs", "asof_events_bidir",
+    "scan_cumsum", "ordered_windows", "map_accum_multi",
+    "window_tumbling", "map_project", "concat_map_tokens",
+    "chunk_pack_docs", "asof_events_bidir",
     "rolling_user_day", "user_event_profile",
     "text_profile",
-    "dedup_exact", "minhash_pairs", "minhash_dedup_cc",
+    "dedup_exact", "minhash_pairs", "minhash_survivors",
     "simhash", "ngram_jaccard_lsh",
-    "knn_bruteforce", "ivf_search_topk",
+    "knn_methods",
     "sessionize_events", "bloom_prune", "corpus_filter_keep",
     "dedup_against", "mixture_sample", "train_pipeline",
+    "text_normalize", "det_shuffle_docs", "winsorize_value",
+    "cdc_latest_state",
     # bench-only (entry.bench_extras): cold index build + probe, so the
     # warm memoized knn_lsh_probe number has an honest counterpart;
     # binned_quantiles_value keeps its r5 floor comparable (absorbed
