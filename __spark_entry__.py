@@ -990,6 +990,339 @@ def q_tpch_q19(spark, sf):
                  "revenue", scale=10_000))
 
 
+# --------------------------------------------------------------------------
+# adapted TPC-H suite completion (r6 second half): the remaining TPC-H
+# query SHAPES re-expressed against the generated schema.  The container
+# tables carry no partsupp / l_commitdate / l_receiptdate / l_shipmode /
+# o_comment / c_phone / p_container, so each query keeps its defining
+# plan shape (EXISTS/NOT-EXISTS decorrelation, scalar subqueries,
+# correlated-avg, distinct-count anti-join, min-per-group) with the
+# missing columns substituted by available stand-ins, documented per
+# query.  All double sums go through _scaled_sum so the DuckDB oracles
+# (tests/test_tpch_suite.py) are bit-identical.
+# --------------------------------------------------------------------------
+
+# lazy: F.col at module scope needs an active SparkContext in
+# pyspark 4.x, and the driver imports this file before starting one
+def _Q_EP():
+    return F.col("l_extendedprice")
+
+
+def _Q_REV():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_tpch_q2(spark, sf):
+    # Q2 min-cost-supplier: partsupp stand-in = the (part, supplier)
+    # pairs observed in lineitem; supply cost = min unit price.  The
+    # correlated MIN subquery decorrelates to min-per-part + equi-join.
+    li = _src(sf, "lineitem").df(spark)
+    part = _src(sf, "part").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    nat = _src(sf, "nation").df(spark)
+    reg = _src(sf, "region").df(spark)
+    pc = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.round(F.col("l_extendedprice")
+                               / F.col("l_quantity"), 6)).alias("unit_cost")))
+    eur = (sup.join(F.broadcast(nat),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(reg),
+                    (F.col("n_regionkey") == F.col("r_regionkey"))
+                    & (F.col("r_name") == "EUROPE")))
+    j = (pc.join(F.broadcast(part.where("p_size <= 15 and p_type = 'SMALL'")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey")))
+    mn = j.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__min_cost"))
+    return (j.join(F.broadcast(mn),
+                   (F.col("p_partkey") == F.col("__pk"))
+                   & (F.col("unit_cost") == F.col("__min_cost")))
+             .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                     "p_name", "unit_cost"))
+
+
+def q_tpch_q4(spark, sf):
+    # Q4 order-priority checking: EXISTS(lineitem late) -> left-semi
+    # join with the late predicate INSIDE the join condition ("late" =
+    # shipped >30 days after order date, the commit/receipt stand-in)
+    orde = _src(sf, "orders").df(spark)
+    li = _src(sf, "lineitem").df(spark)
+    o = orde.where("o_orderdate >= timestamp'1996-01-01 00:00:00' and "
+                   "o_orderdate < timestamp'1996-04-01 00:00:00'")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_tpch_q7(spark, sf):
+    # Q7 volume shipping between a nation pair, both directions, by
+    # ship year — two independent nation dimension aliases
+    li = _src(sf, "lineitem").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    cust = _src(sf, "customer").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    nat = _src(sf, "nation").df(spark)
+    n1 = nat.select(F.col("n_nationkey").alias("__sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("__cn_key"),
+                    F.col("n_name").alias("cust_nation"))
+    j = (li.where("l_shipdate >= timestamp'1995-01-01 00:00:00' and "
+                  "l_shipdate <= timestamp'1996-12-31 00:00:00'")
+           .join(orde, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+           .where(((F.col("supp_nation") == "NATION_3")
+                   & (F.col("cust_nation") == "NATION_8"))
+                  | ((F.col("supp_nation") == "NATION_8")
+                     & (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+             .agg(_dec_sum(_Q_REV(), "revenue", scale=10_000)))
+
+
+def q_tpch_q8(spark, sf):
+    # Q8 national market share: NATION_3's share of EUROPE-customer
+    # STANDARD-part volume by order year — conditional/total scaled
+    # sums in one aggregate
+    li = _src(sf, "lineitem").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    cust = _src(sf, "customer").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    nat = _src(sf, "nation").df(spark)
+    reg = _src(sf, "region").df(spark)
+    part = _src(sf, "part").df(spark)
+    n1 = nat.select(F.col("n_nationkey").alias("__sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("__cn_key"),
+                    F.col("n_regionkey").alias("__cr_key"))
+    j = (li.join(F.broadcast(part.where("p_type = 'STANDARD'")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(orde.where(
+               "o_orderdate >= timestamp'1995-01-01 00:00:00' and "
+               "o_orderdate <= timestamp'1996-12-31 00:00:00'"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+           .join(F.broadcast(reg.where("r_name = 'EUROPE'")),
+                 F.col("__cr_key") == F.col("r_regionkey"))
+           .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key")))
+    vol = _Q_REV()
+    agg = (j.groupBy(F.year("o_orderdate").alias("o_year"))
+             .agg(_scaled_sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                              .otherwise(F.lit(0.0)), 10_000).alias("__n"),
+                  _scaled_sum(vol, 10_000).alias("__d")))
+    return agg.select("o_year", F.round(F.col("__n") / F.col("__d"), 6)
+                      .alias("mkt_share"))
+
+
+def q_tpch_q9(spark, sf):
+    # Q9 product-type profit: no ps_supplycost, so profit = revenue
+    # over '%red%'-named parts, by supplier nation and order year
+    li = _src(sf, "lineitem").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    nat = _src(sf, "nation").df(spark)
+    part = _src(sf, "part").df(spark)
+    j = (li.join(F.broadcast(part.where("p_name like '%red%'")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(orde, F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+             .agg(_dec_sum(_Q_REV(), "sum_profit", scale=10_000)))
+
+
+def q_tpch_q11(spark, sf):
+    # Q11 important stock: value per part from EUROPE suppliers vs a
+    # scalar-subquery total — the total rides a broadcast single row
+    li = _src(sf, "lineitem").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    nat = _src(sf, "nation").df(spark)
+    reg = _src(sf, "region").df(spark)
+    eur = (sup.join(F.broadcast(nat),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(reg),
+                    (F.col("n_regionkey") == F.col("r_regionkey"))
+                    & (F.col("r_name") == "EUROPE"))
+              .select("s_suppkey"))
+    je = li.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    per = je.groupBy("l_partkey").agg(
+        _scaled_sum(_Q_EP(), 100).alias("part_value"))
+    # scale-free threshold: 1.6x the MEAN part value, from the exact
+    # scaled total / distinct part count (order-insensitive on both
+    # engines, unlike AVG over doubles) — a fixed fraction of the total
+    # goes vacuous as the part count grows
+    tot = je.agg(_scaled_sum(_Q_EP(), 100).alias("__tot"),
+                 F.countDistinct("l_partkey").alias("__np"))
+    return (per.join(F.broadcast(tot))
+               .where(F.col("part_value")
+                      > F.lit(1.6) * F.col("__tot") / F.col("__np"))
+               .select("l_partkey", "part_value"))
+
+
+def q_tpch_q12(spark, sf):
+    # Q12 shipping-priority classes: l_shipmode stand-in =
+    # l_returnflag; late lineitems in 1996 split by order priority
+    li = _src(sf, "lineitem").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    j = (li.where("l_shipdate >= timestamp'1996-01-01 00:00:00' and "
+                  "l_shipdate < timestamp'1997-01-01 00:00:00'")
+           .join(orde, F.col("l_orderkey") == F.col("o_orderkey"))
+           .where(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+             .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                  F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+
+def q_tpch_q13(spark, sf):
+    # Q13 customer order-count distribution: o_comment filter stand-in
+    # = exclude 5-LOW priority; left join keeps 0-order customers
+    cust = _src(sf, "customer").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    of = orde.where("o_orderpriority <> '5-LOW'")
+    cc = (cust.join(of, F.col("c_custkey") == F.col("o_custkey"), "left")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return cc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark, sf):
+    # Q15 top supplier: quarter revenue per supplier vs the MAX scalar
+    # subquery — scaled sums make the equality join exact
+    li = _src(sf, "lineitem").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    rev = (li.where("l_shipdate >= timestamp'1996-01-01 00:00:00' and "
+                    "l_shipdate < timestamp'1996-04-01 00:00:00'")
+             .groupBy("l_suppkey")
+             .agg(_scaled_sum(_Q_REV(), 10_000).alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("__mx"))
+               .join(F.broadcast(sup),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def q_tpch_q16(spark, sf):
+    # Q16 supplier-relationship count: partsupp stand-in = lineitem
+    # pairs; "complaint" suppliers stand-in = negative acctbal,
+    # excluded by ANTI join; COUNT(DISTINCT) per part class
+    li = _src(sf, "lineitem").df(spark)
+    part = _src(sf, "part").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    pf = part.where("p_brand <> 'Brand#1' and p_type <> 'PROMO' and "
+                    "p_size in (1, 4, 7, 10, 13, 16, 19, 22, 25)")
+    bad = sup.where("s_acctbal < 0").select("s_suppkey")
+    j = (li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                 "left_anti"))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q17(spark, sf):
+    # Q17 small-quantity-order revenue: correlated per-part AVG
+    # decorrelated to one aggregate + equi-join back; p_container
+    # stand-in = Brand#13 with p_size <= 10
+    li = _src(sf, "lineitem").df(spark)
+    part = _src(sf, "part").df(spark)
+    pf = part.where("p_brand = 'Brand#13' and p_size <= 10")
+    j = li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+    a = j.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (_scaled_sum(F.col("l_quantity"), 1)
+         / F.count(F.lit(1))).alias("__avg_qty"))
+    out = (j.join(a, F.col("l_partkey") == F.col("__pk"))
+             .where(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+             .agg(_scaled_sum(_Q_EP(), 100).alias("__s")))
+    return out.select(F.round(F.col("__s") / F.lit(7.0), 6)
+                      .alias("avg_yearly"))
+
+
+def q_tpch_q20(spark, sf):
+    # Q20 potential part promotion: nested EXISTS chain as semi joins —
+    # EUROPE suppliers who shipped > 40 units of a 'red%' part in 1996
+    li = _src(sf, "lineitem").df(spark)
+    part = _src(sf, "part").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    nat = _src(sf, "nation").df(spark)
+    reg = _src(sf, "region").df(spark)
+    red = part.where("p_name like 'red%'").select("p_partkey")
+    qty = (li.where("l_shipdate >= timestamp'1996-01-01 00:00:00' and "
+                    "l_shipdate < timestamp'1997-01-01 00:00:00'")
+             .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(_scaled_sum(F.col("l_quantity"), 1).alias("__q")))
+    big = qty.where("__q > 40").select("l_suppkey").distinct()
+    return (sup.join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .join(F.broadcast(reg),
+                     (F.col("n_regionkey") == F.col("r_regionkey"))
+                     & (F.col("r_name") == "EUROPE"))
+               .join(F.broadcast(big),
+                     F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+               .select("s_name", "n_name"))
+
+
+def q_tpch_q21(spark, sf):
+    # Q21 suppliers-who-kept-orders-waiting: the EXISTS / NOT-EXISTS
+    # pair decorrelates to ONE per-order aggregate — distinct suppliers,
+    # distinct LATE suppliers, and (valid when nlate=1) the lone late
+    # supplier via max — then filter nlate=1 AND nsupp>1.  "late" =
+    # shipped > 30 days after order date; F-status orders only.
+    li = _src(sf, "lineitem").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    sup = _src(sf, "supplier").df(spark)
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    g = (li.join(orde.where("o_orderstatus = 'F'"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("__nsupp"),
+                F.countDistinct(F.when(late, F.col("l_suppkey")))
+                 .alias("__nlate"),
+                F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp")))
+    cand = g.where("__nlate = 1 and __nsupp > 1")
+    return (cand.groupBy("__late_supp")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+                .join(F.broadcast(sup),
+                      F.col("__late_supp") == F.col("s_suppkey"))
+                .select("s_name", "numwait"))
+
+
+def q_tpch_q22(spark, sf):
+    # Q22 global sales opportunity: c_phone country-code stand-in =
+    # c_nationkey % 10; scalar AVG subquery rides a broadcast row;
+    # "no orders" = ANTI join
+    cust = _src(sf, "customer").df(spark)
+    orde = _src(sf, "orders").df(spark)
+    code = (F.col("c_nationkey") % 10).alias("cntrycode")
+    cf = cust.where((F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9))
+    avg_bal = (cf.where("c_acctbal > 0")
+                 .agg((_scaled_sum(F.col("c_acctbal"), 100)
+                       / F.count(F.lit(1))).alias("__avg")))
+    rich = (cf.join(F.broadcast(avg_bal))
+              .where(F.col("c_acctbal") > F.col("__avg")))
+    # "no orders" is vacuous here (every customer has orders), so the
+    # adapted predicate is "no RECENT orders" — same anti-join shape
+    recent = orde.where("o_orderdate >= timestamp'2000-01-01 00:00:00'")
+    noord = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+    return (noord.groupBy(code)
+                 .agg(F.count(F.lit(1)).alias("numcust"),
+                      _dec_sum(F.col("c_acctbal"), "totacctbal", scale=100)))
+
+
 def q_text_normalize(spark, sf):
     # r6 rotation: canonical text normalization (case / control-strip /
     # whitespace-collapse / punct-strip) — bit-identical regexp chain
@@ -1076,7 +1409,25 @@ def bench_extras():
             "pq_adc_search": q_pq_adc_search,
             "tpch_q14": q_tpch_q14,
             "tpch_q19": q_tpch_q19,
-            "json_props": q_json_props}
+            "json_props": q_json_props,
+            # r6 second half: the REMAINING adapted TPC-H shapes (no
+            # partsupp/commitdate/receiptdate/shipmode/comment/phone/
+            # container in the generated schema — stand-ins documented
+            # per query); DuckDB-oracled in tests/test_tpch_suite.py
+            "tpch_q2": q_tpch_q2,
+            "tpch_q4": q_tpch_q4,
+            "tpch_q7": q_tpch_q7,
+            "tpch_q8": q_tpch_q8,
+            "tpch_q9": q_tpch_q9,
+            "tpch_q11": q_tpch_q11,
+            "tpch_q12": q_tpch_q12,
+            "tpch_q13": q_tpch_q13,
+            "tpch_q15": q_tpch_q15,
+            "tpch_q16": q_tpch_q16,
+            "tpch_q17": q_tpch_q17,
+            "tpch_q20": q_tpch_q20,
+            "tpch_q21": q_tpch_q21,
+            "tpch_q22": q_tpch_q22}
 
 
 def q_knn_bruteforce(spark, sf):
