@@ -52,13 +52,15 @@ from conduino_spark.operators.relational import (
     session_window, sql_stage, top_k, union_all,
 )
 from conduino_spark.operators.text import (
-    chunk_text, corpus_filter, fingerprint, lang_id, normalize_text,
+    bigram_logprob, bigram_vocab,
+    chunk_text, corpus_filter, fingerprint, lang_id, line_dedup,
+    normalize_text,
     pack_chunks, quality_score, redact_pii, repetition_stats, token_count,
     tokenize, unigram_logprob, unigram_vocab,
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, dup_span_stats, embedding_near_dup_pairs,
-    minhash_dedup,
+    minhash_dedup, semantic_dedup,
     minhash_dedup_against, minhash_dedup_cc, minhash_dedup_pairs,
     minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
 )

@@ -649,3 +649,27 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
                       .otherwise(F.lit(0.0)).alias("dup_token_frac")))
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
+                   threshold: float = 0.98,
+                   bucket_col: "Optional[str]" = "label") -> Stage:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): drop every
+    vector that is cosine-similar (>= ``threshold``) to a LOWER-id
+    vector in its cluster — the embedding twin of :func:`minhash_dedup`'s
+    greedy survivor rule (survivor = never the larger id of a candidate
+    pair), applied to :func:`embedding_near_dup_pairs` candidates.
+
+    ``bucket_col`` is the coarse quantizer (IVF cell / k-means cluster):
+    pairwise work stays INSIDE clusters — the 100 TB posture; the paper's
+    pipeline is exactly cluster-then-prune.  Deterministic (id-ordered,
+    no RNG), so the kept set is DuckDB-replayable bit-for-bit."""
+    pairs_stage = embedding_near_dup_pairs(
+        vec_col, id_col, threshold=threshold, bucket_col=bucket_col)
+
+    def fn(df: DataFrame) -> DataFrame:
+        pairs = pairs_stage(df)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "anti")
+
+    return Stage(fn, name="semantic_dedup", seq_preserving=False)

@@ -734,3 +734,160 @@ def redact_pii_sql(expr: str = "text", out: str = "redacted",
         red = f"regexp_replace({red}, '{q}', '{token}', 'g')"
     frags.append(f"{red} AS {out}")
     return ", ".join(frags)
+
+
+def line_dedup(text_col: str = "text", *, id_col: str = "doc_id",
+               min_count: int = 2, min_chars: int = 5,
+               out: "str | None" = None,
+               name: str = "line_dedup") -> Stage:
+    """Corpus-level duplicate-LINE removal (the Falcon/RefinedWeb
+    boilerplate pass): any line whose normalized form (lower + trim)
+    occurs ``min_count``+ times ACROSS THE CORPUS is removed from every
+    document; surviving lines are reassembled in their original order.
+    Lines shorter than ``min_chars`` after trimming (separators, stray
+    punctuation) are exempt — they are structure, not boilerplate.
+
+    Output = input columns + ``out`` (deduped text, default replaces
+    ``text_col``) + ``n_lines`` / ``n_lines_dropped`` audit columns
+    (0 for documents with NULL text, whose text passes through).
+
+    Plan (100 TB posture): lines shuffle for the corpus-wide count as
+    md5 DIGESTS only (raw text stays put); the duplicate set is the
+    count-filtered digest table, hash-joined back (AQE broadcasts it
+    when small); ONE groupBy(id) reassembles via conditional
+    collect_list(struct(pos, line)) + array_sort — per-doc state is
+    bounded by document size, the same contract as every per-doc fold
+    here.  No RNG, no driver loop; DuckDB-replayable bit-for-bit
+    (tests/test_round6b.py)."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    out_col = out or text_col
+
+    def fn(df: DataFrame) -> DataFrame:
+        lines = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+             .alias("__pos", "__line"))
+        norm = F.lower(F.trim(F.col("__line")))
+        # digest only for countable lines; short lines keep NULL (never
+        # counted, never dropped)
+        hashed = lines.withColumn(
+            "__lh", F.when(F.length(norm) >= min_chars, F.md5(norm)))
+        dup = (hashed.where(F.col("__lh").isNotNull())
+                     .groupBy("__lh")
+                     .agg(F.count(F.lit(1)).alias("__c"))
+                     .where(F.col("__c") >= min_count)
+                     .select("__lh", F.lit(True).alias("__dup")))
+        flagged = (hashed.join(dup, "__lh", "left")
+                         .withColumn("__drop",
+                                     F.coalesce(F.col("__dup"),
+                                                F.lit(False))))
+        reasm = (flagged.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__drop"), 1).otherwise(0))
+             .alias("n_lines_dropped"),
+            F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("__drop"),
+                           F.struct(F.col("__pos"), F.col("__line"))))),
+                lambda s: s["__line"])).alias("__ld_text")))
+        joined = df.join(reasm, id_col, "left")
+        res = (joined.withColumn(
+                   out_col,
+                   F.when(F.col("n_lines").isNotNull(), F.col("__ld_text"))
+                    .otherwise(F.col(text_col)))
+                     .withColumn("n_lines",
+                                 F.coalesce(F.col("n_lines"), F.lit(0)))
+                     .withColumn("n_lines_dropped",
+                                 F.coalesce(F.col("n_lines_dropped"),
+                                            F.lit(0)))
+                     .drop("__ld_text"))
+        return res
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def bigram_vocab(text_col: str = "text") -> Stage:
+    """Corpus bigram table: one row per distinct adjacent in-document
+    token pair ``(prev, token)`` with its count — the conditional half
+    of the interpolated LM :func:`bigram_logprob` scores with (build
+    over a trusted corpus once, like :func:`unigram_vocab`).
+
+    One (prev, token) hash aggregate; pairs shuffle as two short
+    strings, counts partial map-side."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        t = df.select(tokens_col(F.col(text_col)).alias("__t"))
+        n1 = F.greatest(F.size("__t") - F.lit(1), F.lit(0))
+        pairs = F.zip_with(
+            F.slice("__t", F.lit(1), n1), F.slice("__t", F.lit(2), n1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("token")))
+        return (t.select(F.explode(pairs).alias("__p"))
+                 .select("__p.prev", "__p.token")
+                 .groupBy("prev", "token")
+                 .agg(F.count(F.lit(1)).alias("count")))
+
+    return Stage(fn, name="bigram_vocab", seq_preserving=False)
+
+
+def bigram_logprob(bigrams: DataFrame, unigrams: DataFrame,
+                   text_col: str = "text", *, id_col: str = "doc_id",
+                   alpha: float = 0.5, lam: float = 0.7,
+                   out: str = "bigram_logprob_per_token") -> Stage:
+    """Mean per-position interpolated bigram log-probability — the
+    KenLM-style upgrade of :func:`unigram_logprob`:
+
+        P(t | p) = lam * P_ML(t | p)  +  (1 - lam) * P_uni(t)
+
+    where P_ML(t|p) = c(p,t) / c(p,·) (0 when the prefix is unseen)
+    and P_uni is the alpha-smoothed unigram (same formula as
+    unigram_logprob, so ``lam=0`` degenerates to it positionally).
+    ``lam`` must be < 1: the unigram floor is what keeps unseen
+    bigrams finite.  Documents with < 2 tokens score NULL (no bigram
+    positions).
+
+    Plan: explode to (doc, prev, token) pairs, LEFT-join three narrow
+    tables — (prev,token,count), the prefix marginal c(p,·) derived
+    from it, and the unigram table — each a plain hash join AQE
+    broadcasts when the model is small; one per-doc mean closes the
+    score.  Raw text shuffles only as token pairs.  Tolerance oracle
+    (libm ln), the unigram/BM25 contract."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        stats = unigrams.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("__N"),
+            F.count(F.lit(1)).alias("__V"))
+        denom = (F.col("__N").cast("double")
+                 + F.lit(alpha) * (F.col("__V").cast("double") + 1))
+        prefix = bigrams.groupBy("prev").agg(F.sum("count").alias("__cp"))
+        t = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
+        n1 = F.greatest(F.size("__t") - F.lit(1), F.lit(0))
+        pairs = F.zip_with(
+            F.slice("__t", F.lit(1), n1), F.slice("__t", F.lit(2), n1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("token")))
+        pos = (t.select(F.col(id_col), F.explode(pairs).alias("__p"))
+                .select(id_col, "__p.prev", "__p.token"))
+        j = (pos.join(bigrams.withColumnRenamed("count", "__cbt"),
+                      ["prev", "token"], "left")
+                .join(prefix, "prev", "left")
+                .join(unigrams.select("token",
+                                      F.col("count").alias("__ct")),
+                      "token", "left")
+                .crossJoin(F.broadcast(stats)))
+        p_uni = ((F.coalesce(F.col("__ct"), F.lit(0)).cast("double")
+                  + F.lit(alpha)) / denom)
+        p_big = F.when(
+            F.coalesce(F.col("__cp"), F.lit(0)) > 0,
+            F.coalesce(F.col("__cbt"), F.lit(0)).cast("double")
+            / F.col("__cp").cast("double")).otherwise(F.lit(0.0))
+        lp = F.log(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
+        per_doc = (j.select(id_col, lp.alias("__lp"))
+                     .groupBy(id_col).agg(F.avg("__lp").alias(out)))
+        return df.join(per_doc, id_col, "left")
+
+    return Stage(fn, name=f"bigram_logprob(alpha={alpha},lam={lam})",
+                 seq_preserving=False)
