@@ -990,6 +990,38 @@ def q_tpch_q19(spark, sf):
                  "revenue", scale=10_000))
 
 
+def q_line_dedup_docs(spark, sf):
+    # r6 second half: corpus-wide duplicate-line removal over documents
+    # (single-line docs at this sf — the count/join/reassemble plan
+    # still runs full-width); local oracle in tests/test_round6b.py
+    from conduino_spark import line_dedup
+    docs = _src(sf, "documents").df(spark)
+    return (line_dedup(min_count=2, min_chars=5)(docs)
+            .select("doc_id", "text", "n_lines", "n_lines_dropped"))
+
+
+def q_bigram_logprob_docs(spark, sf):
+    # r6 second half: interpolated bigram LM self-score of the corpus —
+    # vocab build + bigram build + 3-join scoring in one plan; 1e-9
+    # pure-Python reference in tests/test_round6b.py
+    from conduino_spark import bigram_logprob, bigram_vocab, unigram_vocab
+    docs = _src(sf, "documents").df(spark)
+    uni = unigram_vocab()(docs)
+    big = bigram_vocab()(docs)
+    return (bigram_logprob(big, uni)(docs)
+            .select("doc_id", F.round("bigram_logprob_per_token", 6)
+                    .alias("lp")))
+
+
+def q_semantic_dedup(spark, sf):
+    # r6 second half: SemDeDup greedy survivor set over IVF-bucketed
+    # cosine pairs; DuckDB replay oracle in tests/test_round6b.py
+    from conduino_spark import semantic_dedup
+    emb = _src(sf, "embeddings").df(spark)
+    return (semantic_dedup(threshold=0.2, bucket_col="label")(emb)
+            .select("vec_id"))
+
+
 # --------------------------------------------------------------------------
 # adapted TPC-H suite completion (r6 second half): the remaining TPC-H
 # query SHAPES re-expressed against the generated schema.  The container
@@ -1427,7 +1459,11 @@ def bench_extras():
             "tpch_q17": q_tpch_q17,
             "tpch_q20": q_tpch_q20,
             "tpch_q21": q_tpch_q21,
-            "tpch_q22": q_tpch_q22}
+            "tpch_q22": q_tpch_q22,
+            # r6 second half operators (local oracles in test_round6b)
+            "line_dedup_docs": q_line_dedup_docs,
+            "bigram_logprob_docs": q_bigram_logprob_docs,
+            "semantic_dedup_emb": q_semantic_dedup}
 
 
 def q_knn_bruteforce(spark, sf):

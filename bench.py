@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "unigram_logprob_docs", "windowed_quantiles_value",
     "dup_span_docs", "pq_adc_search", "tpch_q14", "tpch_q19",
     "json_props",
+    # r6 second half: full adapted TPC-H suite + the new corpus ops
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    "line_dedup_docs", "bigram_logprob_docs", "semantic_dedup_emb",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
