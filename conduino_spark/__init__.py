@@ -19,7 +19,7 @@ from conduino_spark.session import get_spark
 from conduino_spark.sources import (
     Left, from_dataframe, gen_source, iterate_either, iterate_maybe,
     iterate_source, lift_zip_source, range_source, read_csv, read_json,
-    read_parquet, read_table,
+    read_orc, read_parquet, read_table,
     repeat_either_m, repeat_m, repeat_maybe_m, repeat_source, replicate_m,
     replicate_source, source_binary, source_list, source_text_lines,
     stdin_lines, unfold, unfold_either, unfold_maybe,
@@ -35,7 +35,7 @@ from conduino_spark.operators.stateful import (
 from conduino_spark.operators.sinks import (
     agg_sink, fold, fold_map, fold_monoid, foldl, foldr, head_, last_,
     sink_count, sink_csv, sink_df, sink_json, sink_list, sink_null,
-    sink_parquet, sink_parquet_compacted, sink_parquet_sorted,
+    sink_orc, sink_parquet, sink_parquet_compacted, sink_parquet_sorted,
     sink_parquet_zorder, sink_text,
     zorder_key,
 )
@@ -86,7 +86,8 @@ from conduino_spark.operators.temporal import (
 )
 from conduino_spark.operators.sketches import (
     binned_quantiles, bloom_build, bloom_contains, bloom_prefilter_join,
-    countmin_build, countmin_estimate, kmv_distinct, winsorize,
+    countmin_build, countmin_estimate, heavy_hitters, hll_build,
+    hll_estimate, hll_merge, kmv_distinct, winsorize,
 )
 from conduino_spark.operators.sampling import (
     deterministic_shuffle, hash_sample, hash_split, mixture,

@@ -177,6 +177,22 @@ def sink_parquet(path: str, *, mode: str = "overwrite",
     return Sink(run, name=f"sink_parquet({path})")
 
 
+def sink_orc(path: str, *, mode: str = "overwrite",
+             partition_by: Optional[Sequence[str]] = None) -> Sink:
+    """ORC writer — same layout contract as :func:`sink_parquet`
+    (hive-style ``partition_by`` → partition pruning); ORC stripes
+    carry min/max + optional bloom column stats for scan pruning."""
+
+    def run(df: DataFrame):
+        w = df.drop(SEQ).write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+        return path
+
+    return Sink(run, name=f"sink_orc({path})")
+
+
 def sink_parquet_sorted(path: str, keys: Sequence[str], *,
                         npart: Optional[int] = None,
                         mode: str = "overwrite") -> Sink:

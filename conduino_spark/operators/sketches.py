@@ -378,6 +378,72 @@ def bloom_prefilter_join(other: DataFrame, key: str, *,
     return Stage(fn, name=f"{name}({how})", seq_preserving=False)
 
 
+def heavy_hitters(expr: Union[str, Column], *, min_frac: float = 0.001,
+                  width: int = 8192, depth: int = 4,
+                  out_value: str = "value", out_count: str = "n",
+                  name: str = "heavy_hitters") -> Stage:
+    """EXACT frequent-item detection (all values with true count ≥
+    ``min_frac·n``) behind a Count-Min pre-filter — the sketch-
+    accelerated heavy-hitters pattern: because a CM estimate NEVER
+    under-counts, filtering rows on ``estimate ≥ threshold`` keeps
+    every true heavy hitter, and the exact aggregate then runs only on
+    the survivors.  Results are IDENTICAL to the plain
+    ``GROUP BY … HAVING count ≥ φ·n`` (the oracle), with the final
+    counts exact, not estimates.
+
+    100 TB posture: the plain query's shuffle moves one partial-agg row
+    per distinct value per partition — at web-corpus vocabulary sizes,
+    that IS the data.  Here the CM probe is a pure broadcast expression
+    (zero shuffle), so the exact groupBy only receives rows whose value
+    is plausibly heavy: ``true_hitters + collision_survivors``, a
+    vanishing fraction when ``width ≫ 1/min_frac``.  The sketch build
+    itself shuffles ≤ depth·width cells.  This composes
+    :func:`countmin_build`/:func:`countmin_estimate` the way
+    :func:`bloom_prefilter_join` composes the Bloom primitives."""
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+
+    def fn(df: DataFrame) -> DataFrame:
+        from conduino_spark.plans.cachereg import track
+        base = df.where(col.isNotNull())
+        # persist the 1-row sketch: the estimate's geometry peek and the
+        # probe's broadcast would otherwise each rebuild it
+        cms = track(countmin_build(col, width=width, depth=depth)(base))
+        nrow = base.agg(F.count(F.lit(1)).alias("__n"))
+        probed = countmin_estimate(cms, col, out="__est")(
+            base.crossJoin(F.broadcast(nrow)))
+        thresh = F.greatest(
+            F.ceil(F.lit(float(min_frac)) * F.col("__n")).cast("long"),
+            F.lit(1).cast("long"))
+        cand = probed.where(F.col("__est") >= thresh)
+        return (cand.groupBy(col.alias(out_value))
+                    .agg(F.count(F.lit(1)).alias(out_count),
+                         F.first("__n").alias("__n"))
+                    .where(F.col(out_count) >= F.greatest(
+                        F.ceil(F.lit(float(min_frac)) * F.col("__n"))
+                         .cast("long"), F.lit(1).cast("long")))
+                    .drop("__n"))
+
+    return Stage(fn, name=f"{name}(φ={min_frac})", seq_preserving=False)
+
+
+def heavy_hitters_sql(expr: str, *, min_frac: float = 0.001, table: str,
+                      out_value: str = "value", out_count: str = "n") -> str:
+    """DuckDB rendering of :func:`heavy_hitters` — the sketch is a pure
+    accelerator, so the oracle is the plain exact query."""
+    return f"""
+      WITH __t AS (SELECT count(*) AS total FROM {table}
+                   WHERE {expr} IS NOT NULL)
+      SELECT {expr} AS {out_value}, count(*) AS {out_count}
+      FROM {table}, __t
+      WHERE {expr} IS NOT NULL
+      GROUP BY {expr}, total
+      HAVING count(*) >= greatest(
+        CAST(ceil(CAST({float(min_frac)!r} AS DOUBLE) * total) AS BIGINT),
+        1)"""
+
+
 def winsorize(expr: str, *, lo: float = 0.01, hi: float = 0.99,
               bins: int = 4096, keys: "tuple[str, ...]" = (),
               out: "str | None" = None,
@@ -446,6 +512,193 @@ def countmin_build_sql(expr: str, *, width: int = 2048, depth: int = 4,
       WITH __cells AS ({' UNION ALL '.join(parts)})
       SELECT d, c, COUNT(*) AS n FROM __cells GROUP BY d, c
       ORDER BY d, c"""
+
+
+#: HLL rho ceiling: a 32-bit hash has first-one positions 1..32; 33
+#: marks the all-zero hash.  Harmonic terms are scaled by 2^RHO_MAX so
+#: the sum is an exact (order-free) long — doubles would make the
+#: estimate depend on aggregation order.
+HLL_RHO_MAX = 33
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hll_rho(h: Column) -> Column:
+    """Position of the first 1-bit of a 32-bit value (1-based from the
+    MSB); HLL_RHO_MAX for zero.  String-based (lpad(bin) + instr) so
+    the result is EXACT in both engines — floor(log2) rides libm and
+    can disagree in the last ulp near powers of two."""
+    return F.when(h == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.instr(F.lpad(F.bin(h), 32, "0"), "1")).cast("long")
+
+
+def hll_build(expr: Union[str, Column], *, p: int = 12,
+              out: str = "hll") -> Stage:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) as ONE
+    row holding the ``m = 2^p`` register array — THE production distinct
+    sketch: O(m) state at any data size, mergeable by register-wise max
+    (:func:`hll_merge`), relative error ≈ ``1.04/sqrt(m)``.
+
+    Deterministic across engines: bucket = ``h32('b|'||v) % m``, rho =
+    first-one position of ``h32('r|'||v)`` (two independently salted
+    md5-derived hashes), so :func:`hll_build_sql` rebuilds the IDENTICAL
+    registers — unlike ``approx_count_distinct``, whose HLL++ sketch is
+    engine-private and partitioning-dependent.
+
+    Plan: projection → distinct on the (bucket, rho) PAIR (never the
+    value — dedup before the register aggregate keeps the shuffle at
+    most m×33 rows) → ONE hash aggregate over ≤ m groups → dense array
+    via the sparse-to-dense map lookup.  The row carries ``p`` so
+    estimate/merge validate geometry, same contract as bloom/count-min.
+
+    Complements :func:`kmv_distinct`: KMV is exact-until-k and replays
+    its estimate bit-identically; HLL is the mergeable fixed-memory
+    form whose REGISTERS replay bit-identically (the estimate's
+    linear-counting branch carries a libm-ln tolerance like BM25)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    m = 1 << p
+
+    def fn(df: DataFrame) -> DataFrame:
+        s = col.cast("string")
+        bucket = h32(F.concat(F.lit("b|"), s)) % m
+        rho = _hll_rho(h32(F.concat(F.lit("r|"), s)))
+        pairs = (df.where(col.isNotNull())
+                   .select(bucket.alias("__b"), rho.alias("__r"))
+                   .distinct())
+        regs = pairs.groupBy("__b").agg(F.max("__r").alias("__rho"))
+        mp = F.map_from_entries(F.collect_list(F.struct("__b", "__rho")))
+        return regs.agg(mp.alias("__m")).select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(m - 1)),
+                lambda b: F.coalesce(F.element_at(F.col("__m"), b),
+                                     F.lit(0).cast("long"))).alias(out),
+            F.lit(p).cast("long").alias("p"))
+
+    return Stage(fn, name=f"hll_build(p={p})", seq_preserving=False)
+
+
+def hll_merge(*, hll_col: str = "hll", out: str = "hll") -> Stage:
+    """Merge MANY :func:`hll_build` rows (a union of per-shard / per-day
+    sketches) into one by register-wise max — the whole reason HLL is
+    the production sketch: shards/streams aggregate without re-reading
+    data.  ONE single-row aggregate; mixed-``p`` inputs raise."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        merged = F.aggregate(
+            F.collect_list(hll_col),
+            F.array_repeat(F.lit(0).cast("long"),
+                           F.size(F.first(hll_col))),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)))
+        agg = df.agg(F.min("p").alias("__plo"), F.max("p").alias("__phi"),
+                     merged.alias(out))
+        return agg.select(
+            F.when(F.col("__plo") != F.col("__phi"),
+                   F.raise_error(F.lit(
+                       "hll_merge: sketches have different p — registers "
+                       "are not alignable")))
+             .otherwise(F.col(out)).alias(out),
+            F.col("__phi").alias("p"))
+
+    return Stage(fn, name="hll_merge", seq_preserving=False)
+
+
+def hll_estimate(*, hll_col: str = "hll",
+                 out: str = "approx_distinct") -> Stage:
+    """Estimate from a :func:`hll_build`/:func:`hll_merge` row: harmonic
+    mean over the broadcast-size register array as a PURE expression —
+    terms ``2^(33−rho)`` are summed as exact longs (order-free), the
+    single double division is bit-identical in both engines, and only
+    the small-range linear-counting branch (``E ≤ 2.5m`` with empty
+    registers) touches libm ``ln`` (tolerance contract, like BM25).
+    Reads ``p`` from the sketch row; rounds to 6 decimals."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        regs = F.col(hll_col)
+        # m from the carried p (column-valued shift via call_function)
+        m = F.call_function("shiftleft", F.lit(1).cast("long"),
+                            F.col("p").cast("int"))
+        s = F.aggregate(
+            regs, F.lit(0).cast("long"),
+            lambda acc, r: acc + F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                (F.lit(HLL_RHO_MAX) - r).cast("int")))
+        zeros = F.size(F.filter(regs, lambda r: r == 0)).cast("double")
+        md = m.cast("double")
+        # alpha depends only on m; inline the m>=128 closed form and
+        # literal small-m constants via CASE so one expression serves
+        # every carried p
+        alpha = (F.when(md <= 16, F.lit(0.673))
+                  .when(md <= 32, F.lit(0.697))
+                  .when(md <= 64, F.lit(0.709))
+                  .otherwise(F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / md)))
+        scale = F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            F.lit(HLL_RHO_MAX).cast("int")).cast("double")
+        e_raw = alpha * md * md * scale / s.cast("double")
+        est = F.when((e_raw <= 2.5 * md) & (zeros > 0),
+                     md * F.log(md / zeros)).otherwise(e_raw)
+        return df.select(F.round(est, 6).alias(out))
+
+    return Stage(fn, name="hll_estimate", seq_preserving=False)
+
+
+def hll_build_sql(expr: str, *, p: int = 12, table: str) -> str:
+    """DuckDB rendering of :func:`hll_build`'s register table (sparse
+    (bucket, rho) rows, ordered) — compare against the dense array's
+    non-zero entries for a bit-identical replay."""
+    m = 1 << p
+    b = h32_sql(f"concat('b|', CAST({expr} AS VARCHAR))")
+    r = h32_sql(f"concat('r|', CAST({expr} AS VARCHAR))")
+    return f"""
+      WITH __h AS (
+        SELECT ({b}) % {m} AS b,
+               CASE WHEN ({r}) = 0 THEN {HLL_RHO_MAX}
+                    ELSE position('1' IN lpad(bin({r}), 32, '0'))
+               END AS r
+        FROM {table} WHERE {expr} IS NOT NULL),
+      __d AS (SELECT DISTINCT b, r FROM __h)
+      SELECT b, max(r) AS rho FROM __d GROUP BY b ORDER BY b"""
+
+
+def hll_estimate_sql(expr: str, *, p: int = 12, table: str,
+                     out: str = "approx_distinct") -> str:
+    """DuckDB rendering of the full build + estimate — same scaled-long
+    harmonic sum (empty buckets contribute ``2^33`` via the
+    ``m − present`` term), same single division, same linear-counting
+    branch.  Bit-identical except the ``ln`` branch's last ulp."""
+    m = 1 << p
+    # DuckDB parses bare float literals as DECIMAL (whose multiplication
+    # overflows at this magnitude) — pre-multiply the exact constant in
+    # Python and emit ONE double literal, identical to the Spark side's
+    # alpha * m^2 * 2^33 evaluation order
+    num = _hll_alpha(m) * float(m) * float(m)
+    num = num * float(1 << HLL_RHO_MAX)
+    return f"""
+      WITH __regs AS ({hll_build_sql(expr, p=p, table=table)}),
+      __s AS (
+        SELECT sum(1::BIGINT << ({HLL_RHO_MAX} - rho))
+                 + ({m} - count(*)) * ((1::BIGINT << {HLL_RHO_MAX})) AS s,
+               {m} - count(*) AS zeros
+        FROM __regs)
+      SELECT round(CASE WHEN (CAST({num!r} AS DOUBLE) / CAST(s AS DOUBLE))
+                             <= CAST({2.5 * m!r} AS DOUBLE) AND zeros > 0
+                        THEN CAST({float(m)!r} AS DOUBLE)
+                             * ln(CAST({float(m)!r} AS DOUBLE)
+                                  / CAST(zeros AS DOUBLE))
+                        ELSE CAST({num!r} AS DOUBLE) / CAST(s AS DOUBLE)
+                   END, 6) AS {out}
+      FROM __s"""
 
 
 #: default quantile set for binned_quantiles

@@ -305,6 +305,21 @@ def read_parquet(path: str, *, seq_col: Optional[str] = None,
     return Source(fn, name=name or f"parquet({path})")
 
 
+def read_orc(path: str, *, seq_col: Optional[str] = None,
+             name: Optional[str] = None) -> Source:
+    """ORC scan — the other columnar warehouse format Spark reads
+    natively.  Same contract as :func:`read_parquet`: predicate
+    pushdown + column pruning reach the ORC reader (min/max + bloom
+    stripe stats), ``seq_col`` designates an existing unique key as the
+    stream order at zero cost."""
+
+    def fn(spark: SparkSession) -> DataFrame:
+        df = spark.read.orc(path)
+        return with_seq_from(df, seq_col) if seq_col else df
+
+    return Source(fn, name=name or f"orc({path})")
+
+
 def read_csv(path: str, *, schema: Optional[str] = None, header: bool = True,
              seq_col: Optional[str] = None, name: Optional[str] = None,
              **options) -> Source:

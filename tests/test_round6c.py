@@ -1,0 +1,195 @@
+"""Round-6 third batch: HyperLogLog distinct sketch, count-min-backed
+exact heavy hitters, ORC connector.
+
+Oracles: DuckDB register-table replay for hll_build (bit-identical —
+the sketch IS the contract), DuckDB formula replay for hll_estimate
+(1e-9 relative: the linear-counting branch rides libm ln, the
+BM25/unigram tolerance contract), plain exact GROUP BY/HAVING for
+heavy_hitters (the sketch is an accelerator, results are exact).
+"""
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from conduino_spark import (
+    heavy_hitters, hll_build, hll_estimate, hll_merge, read_orc,
+    release_caches, run_pipe, sink_df, sink_orc,
+)
+from conduino_spark.operators.sketches import (
+    heavy_hitters_sql, hll_build_sql, hll_estimate_sql,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _con(view, path):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW {view} AS SELECT * FROM '{path}'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_bit_identical_to_duckdb(spark):
+    df = spark.read.parquet(DOCS)
+    row = hll_build("text", p=10)(df).first()
+    assert row["p"] == 10
+    dense = {i: r for i, r in enumerate(row["hll"]) if r != 0}
+    con = _con("documents", DOCS)
+    sparse = dict(con.sql(hll_build_sql("text", p=10,
+                                        table="documents")).fetchall())
+    assert dense == sparse
+
+
+def test_hll_estimate_matches_sql_and_error_bound(spark):
+    df = spark.read.parquet(DOCS)
+    for p in (8, 12):
+        sk = hll_build("text", p=p)(df)
+        est = hll_estimate()(sk).first()[0]
+        con = _con("documents", DOCS)
+        want = con.sql(hll_estimate_sql("text", p=p,
+                                        table="documents")).fetchone()[0]
+        assert est == pytest.approx(want, rel=1e-9)
+        exact = df.select(F.countDistinct("text")).first()[0]
+        # 5 sigma of the standard 1.04/sqrt(m) relative error
+        assert abs(est - exact) <= 5 * 1.04 / math.sqrt(1 << p) * exact
+
+
+def test_hll_merge_of_shards_equals_whole(spark):
+    df = spark.read.parquet(DOCS)
+    whole = hll_build("text", p=9)(df).first()["hll"]
+    parts = [hll_build("text", p=9)(df.where(f"doc_id % 3 = {i}"))
+             for i in range(3)]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = hll_merge()(u).first()
+    assert list(merged["hll"]) == list(whole)
+    assert merged["p"] == 9
+
+
+def test_hll_merge_mixed_p_raises(spark):
+    df = spark.read.parquet(DOCS)
+    u = hll_build("text", p=8)(df).unionByName(hll_build("text", p=9)(df))
+    with pytest.raises(Exception, match="different p"):
+        hll_merge()(u).first()
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 50 distinct into 2^10 buckets: deep linear-counting territory,
+    # where the estimate should be near-exact
+    df = spark.range(50).selectExpr("cast(id as string) AS v")
+    est = hll_estimate()(hll_build("v", p=10)(df)).first()[0]
+    assert abs(est - 50) <= 3
+
+
+def test_hll_nulls_skipped_and_empty_input(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string")
+    row = hll_build("v", p=6)(df).first()
+    n_set = sum(1 for r in row["hll"] if r)
+    assert n_set <= 2  # only a & b hashed
+    empty = hll_build("v", p=6)(df.where("v IS NULL AND v IS NOT NULL"))
+    erow = empty.first()
+    assert all(r == 0 for r in erow["hll"])
+    assert hll_estimate()(empty).first()[0] == 0.0
+
+
+def test_hll_p_validation():
+    with pytest.raises(ValueError, match=r"p must be in"):
+        hll_build("v", p=3)
+    with pytest.raises(ValueError, match=r"p must be in"):
+        hll_build("v", p=19)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_vs_duckdb(spark):
+    df = spark.read.parquet(EVENTS)
+    got = sorted(tuple(r) for r in
+                 heavy_hitters("event_type", min_frac=0.05)(df).collect())
+    release_caches()
+    con = _con("events", EVENTS)
+    want = sorted(con.sql(heavy_hitters_sql(
+        "event_type", min_frac=0.05, table="events")).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_tokens_tight_width(spark):
+    # width=64 forces heavy collision traffic; results must STILL be
+    # exact (collisions only admit extra candidates, never drop one)
+    docs = spark.read.parquet(DOCS)
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    got = sorted(tuple(r) for r in
+                 heavy_hitters("tok", min_frac=0.01, width=64, depth=2)(
+                     toks).collect())
+    release_caches()
+    con = _con("documents", DOCS)
+    want = sorted(con.sql("""
+        WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        n AS (SELECT count(*) AS total FROM t WHERE tok IS NOT NULL)
+        SELECT tok, count(*) AS c FROM t, n WHERE tok IS NOT NULL
+        GROUP BY tok, total
+        HAVING count(*) >= greatest(CAST(ceil(0.01 * total) AS BIGINT), 1)
+        """).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_min_frac_one(spark):
+    uni = spark.createDataFrame([("x",)] * 5 + [("y",)], "v string")
+    got = heavy_hitters("v", min_frac=1.0)(uni).collect()
+    release_caches()
+    assert got == []  # no value occupies every row
+    only = spark.createDataFrame([("x",)] * 4, "v string")
+    got2 = [tuple(r) for r in
+            heavy_hitters("v", min_frac=1.0)(only).collect()]
+    release_caches()
+    assert got2 == [("x", 4)]
+
+
+def test_heavy_hitters_validation():
+    with pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters("v", min_frac=0.0)
+    with pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters("v", min_frac=1.5)
+
+
+# ---------------------------------------------------------------------------
+# ORC connector
+# ---------------------------------------------------------------------------
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    path = str(tmp_path / "docs_orc")
+    df = spark.read.parquet(DOCS)
+    run_pipe(_wrap(df) | sink_orc(path), spark)
+    back = run_pipe(read_orc(path) | sink_df(), spark)
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    # predicate pushdown reaches the ORC scan
+    plan = (read_orc(path).df(spark).where("n_chars > 100")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "n_chars" in plan
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "docs_orc_part")
+    df = spark.read.parquet(DOCS)
+    run_pipe(_wrap(df) | sink_orc(path, partition_by=["lang"]), spark)
+    scan = spark.read.orc(path).where("lang = 'en'")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    want = df.where("lang = 'en'").count()
+    assert scan.count() == want
+
+
+def _wrap(df):
+    """Adapt a DataFrame to a Source for pipe composition."""
+    from conduino_spark.sources import from_dataframe
+    return from_dataframe(df)
