@@ -1463,7 +1463,36 @@ def bench_extras():
             # r6 second half operators (local oracles in test_round6b)
             "line_dedup_docs": q_line_dedup_docs,
             "bigram_logprob_docs": q_bigram_logprob_docs,
-            "semantic_dedup_emb": q_semantic_dedup}
+            "semantic_dedup_emb": q_semantic_dedup,
+            # r6 third batch (local oracles in test_round6c)
+            "hll_distinct_partkey": q_hll_distinct_partkey,
+            "heavy_hitters_tokens": q_heavy_hitters_tokens}
+
+
+def q_hll_distinct_partkey(spark, sf):
+    # HyperLogLog distinct sketch over lineitem part keys: shard the
+    # build 4 ways and MERGE — exercising the sketch's production shape
+    # (per-shard build + register-wise max) in one plan; registers and
+    # estimate are DuckDB-replayable (tests/test_round6c.py)
+    from conduino_spark import hll_build, hll_estimate, hll_merge
+    li = _src(sf, "lineitem").df(spark)
+    shards = [hll_build("l_partkey", p=12)(
+        li.where(f"l_orderkey % 4 = {i}")) for i in range(4)]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    return hll_estimate()(hll_merge()(u))
+
+
+def q_heavy_hitters_tokens(spark, sf):
+    # exact heavy hitters over the corpus token stream behind the
+    # count-min prefilter: the groupBy only receives rows whose token
+    # is plausibly frequent (CM estimates never under-count)
+    from conduino_spark import heavy_hitters
+    from conduino_spark.operators.text import tokens_col
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    return heavy_hitters("token", min_frac=0.005)(toks)
 
 
 def q_knn_bruteforce(spark, sf):

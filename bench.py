@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q20", "tpch_q21", "tpch_q22",
     "line_dedup_docs", "bigram_logprob_docs", "semantic_dedup_emb",
+    # r6 third batch
+    "hll_distinct_partkey", "heavy_hitters_tokens",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

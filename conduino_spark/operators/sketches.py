@@ -554,11 +554,12 @@ def hll_build(expr: Union[str, Column], *, p: int = 12,
     registers — unlike ``approx_count_distinct``, whose HLL++ sketch is
     engine-private and partitioning-dependent.
 
-    Plan: projection → distinct on the (bucket, rho) PAIR (never the
-    value — dedup before the register aggregate keeps the shuffle at
-    most m×33 rows) → ONE hash aggregate over ≤ m groups → dense array
-    via the sparse-to-dense map lookup.  The row carries ``p`` so
-    estimate/merge validate geometry, same contract as bloom/count-min.
+    Plan: projection → ONE hash aggregate ``max(rho) GROUP BY bucket``
+    (map-side partial max reduces every partition to ≤ m rows before
+    the shuffle — strictly tighter than a distinct pre-pass, and the
+    value itself never shuffles) → dense array via the sparse-to-dense
+    map lookup.  The row carries ``p`` so estimate/merge validate
+    geometry, same contract as bloom/count-min.
 
     Complements :func:`kmv_distinct`: KMV is exact-until-k and replays
     its estimate bit-identically; HLL is the mergeable fixed-memory
@@ -573,9 +574,8 @@ def hll_build(expr: Union[str, Column], *, p: int = 12,
         s = col.cast("string")
         bucket = h32(F.concat(F.lit("b|"), s)) % m
         rho = _hll_rho(h32(F.concat(F.lit("r|"), s)))
-        pairs = (df.where(col.isNotNull())
-                   .select(bucket.alias("__b"), rho.alias("__r"))
-                   .distinct())
+        pairs = df.where(col.isNotNull()) \
+                  .select(bucket.alias("__b"), rho.alias("__r"))
         regs = pairs.groupBy("__b").agg(F.max("__r").alias("__rho"))
         mp = F.map_from_entries(F.collect_list(F.struct("__b", "__rho")))
         return regs.agg(mp.alias("__m")).select(
