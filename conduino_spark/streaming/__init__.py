@@ -597,3 +597,71 @@ def windowed_quantiles(ts_col: str, duration: str, expr: str,
 
     return Stage(fn, name=f"windowed_quantiles(bins={bins})",
                  seq_preserving=False)
+
+
+def ingest_corpus_stream(stream: DataFrame, spark: SparkSession, *,
+                         out_dir: str, sig_dir: str,
+                         checkpoint_dir: Optional[str] = None,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         rules: "dict | None" = None,
+                         within_batch_dedup: bool = True,
+                         available_now: bool = True) -> DataFrame:
+    """Incremental corpus ingestion — the production loop that turns a
+    stream of raw documents into a deduplicated, quality-gated training
+    corpus, composing the engine's pieces per micro-batch via
+    ``foreachBatch``:
+
+    1. ``corpus_filter(keep_only=True)`` — the one-projection quality
+       gate (no shuffle, streaming-safe by construction);
+    2. ``minhash_dedup`` — within-batch near-dup removal (lower id
+       survives, deterministic);
+    3. ``minhash_dedup_against(ref_sigs=True)`` — drop docs LSH-similar
+       to ANYTHING already kept, against the accumulated SIGNATURE
+       table (never the kept text: the 100 TB economics — each batch
+       pays its own signing + one band equi-join against a narrow
+       16-long-per-doc table);
+    4. append survivors to ``out_dir`` and their signatures to
+       ``sig_dir`` (the state the next batch dedups against).
+
+    Everything inside the batch function is JVM column algebra (no
+    Python UDFs), so executors never import this package.  The result
+    is deterministic for a given batch ORDER: batch k's survivors
+    depend only on batches < k — the replay law (a drained
+    ``availableNow`` run equals the same per-batch loop run as plain
+    batch jobs) is pinned in tests/test_round6c.py.
+
+    Returns the final kept-corpus DataFrame (``spark.read.parquet(out_dir)``).
+    """
+    from conduino_spark.operators.dedup import (
+        minhash_dedup, minhash_dedup_against, minhash_signatures,
+    )
+    from conduino_spark.operators.text import corpus_filter
+
+    cols = stream.columns
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = corpus_filter(text_col, rules=rules, keep_only=True)(
+            batch_df).select(*cols)
+        if within_batch_dedup:
+            kept = minhash_dedup(text_col, id_col)(kept)
+        have_sigs = os.path.isdir(sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sig_dir))
+        if have_sigs:
+            ref = batch_df.sparkSession.read.parquet(sig_dir)
+            kept = minhash_dedup_against(ref, text_col, id_col,
+                                         ref_sigs=True)(kept)
+        kept = kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_dir)
+            minhash_signatures(text_col, id_col)(kept) \
+                .write.mode("append").parquet(sig_dir)
+        finally:
+            kept.unpersist()
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ingest_ckpt_")
+    q = (stream.writeStream.foreachBatch(one_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=available_now)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -193,3 +193,78 @@ def _wrap(df):
     """Adapt a DataFrame to a Source for pipe composition."""
     from conduino_spark.sources import from_dataframe
     return from_dataframe(df)
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingestion (foreachBatch integration)
+# ---------------------------------------------------------------------------
+
+def test_ingest_corpus_stream_replay_equals_batch_loop(spark, tmp_path):
+    """Replay law for the ingestion loop: a drained availableNow run of
+    ingest_corpus_stream equals the same per-batch pipeline run as
+    plain batch jobs in the same batch order — quality gate, within-
+    batch dedup, and dedup-against-kept-corpus all included."""
+    import os as _os
+    import time as _time
+
+    from conduino_spark.operators.dedup import minhash_dedup, \
+        minhash_dedup_against
+    from conduino_spark.operators.text import corpus_filter
+    from conduino_spark.streaming import file_stream_source, \
+        ingest_corpus_stream
+
+    base = [(r["doc_id"], r["text"]) for r in
+            spark.read.parquet(DOCS).orderBy("doc_id").limit(50).collect()]
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    batches = [
+        # batch 0: 20 fresh docs + one junk (fails the quality rule)
+        base[:20] + [(900, junk)],
+        # batch 1: 10 fresh + 5 exact copies of batch-0 texts under new
+        # ids (must be dropped by dedup-against) + an internal dup pair
+        base[20:30] + [(1000 + i, base[i][1]) for i in range(5)]
+        + [(1100, base[30][1]), (1101, base[30][1])],
+        # batch 2: 10 fresh + copies of batch-1 texts (cross-batch)
+        base[31:41] + [(2000 + i, base[20 + i][1]) for i in range(3)],
+    ]
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    t0 = _time.time()
+    for i, rows in enumerate(batches):
+        p = str(src_dir / f"b{i:02d}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        # file source orders pending files by modification time
+        for f in _os.listdir(p):
+            _os.utime(_os.path.join(p, f), (t0 + i, t0 + i))
+        _os.utime(p, (t0 + i, t0 + i))
+
+    rules = {"quality": (">=", 0.3)}
+    stream = file_stream_source(
+        str(src_dir) + "/*", "doc_id long, text string").df(spark)
+    got = ingest_corpus_stream(
+        stream, spark, out_dir=str(tmp_path / "kept"),
+        sig_dir=str(tmp_path / "sigs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), rules=rules)
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+
+    # batch-loop reference: same steps, plain batch jobs, raw-doc
+    # reference side (test_round5 pins sig-table path equivalence)
+    kept_all = None
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = corpus_filter(rules=rules, keep_only=True)(b) \
+            .select("doc_id", "text")
+        kept = minhash_dedup()(kept)
+        if kept_all is not None:
+            kept = minhash_dedup_against(kept_all)(kept)
+        kept_all = kept if kept_all is None else kept_all.unionByName(kept)
+        kept_all = kept_all.localCheckpoint()
+    want_ids = sorted(r["doc_id"] for r in kept_all.collect())
+
+    assert got_ids == want_ids
+    assert 900 not in got_ids                      # quality gate fired
+    assert not any(1000 <= i < 1005 for i in got_ids)  # cross-batch dedup
+    assert 1101 not in got_ids                     # within-batch dedup
+    assert 1100 in got_ids                         # lower id survived
+    assert len(got_ids) >= 40                      # fresh docs kept
