@@ -1466,7 +1466,8 @@ def bench_extras():
             "semantic_dedup_emb": q_semantic_dedup,
             # r6 third batch (local oracles in test_round6c)
             "hll_distinct_partkey": q_hll_distinct_partkey,
-            "heavy_hitters_tokens": q_heavy_hitters_tokens}
+            "heavy_hitters_tokens": q_heavy_hitters_tokens,
+            "source_overlap_docs": q_source_overlap_docs}
 
 
 def q_hll_distinct_partkey(spark, sf):
@@ -1482,6 +1483,15 @@ def q_hll_distinct_partkey(spark, sf):
     for s in shards[1:]:
         u = u.unionByName(s)
     return hll_estimate()(hll_merge()(u))
+
+
+def q_source_overlap_docs(spark, sf):
+    # cross-source shingle-overlap contamination matrix: one shared
+    # tokenize+md5 pass, distinct (source, hash), pair expansion by
+    # GROUP (never by document) — DuckDB-oracled in test_round6c
+    from conduino_spark import source_overlap
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    return source_overlap()(docs)
 
 
 def q_heavy_hitters_tokens(spark, sf):

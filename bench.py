@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "tpch_q20", "tpch_q21", "tpch_q22",
     "line_dedup_docs", "bigram_logprob_docs", "semantic_dedup_emb",
     # r6 third batch
-    "hll_distinct_partkey", "heavy_hitters_tokens",
+    "hll_distinct_partkey", "heavy_hitters_tokens", "source_overlap_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -63,6 +63,7 @@ from conduino_spark.operators.dedup import (
     minhash_dedup, semantic_dedup,
     minhash_dedup_against, minhash_dedup_cc, minhash_dedup_pairs,
     minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
+    source_overlap,
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
 from conduino_spark.operators.graph import (

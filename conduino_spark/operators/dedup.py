@@ -673,3 +673,59 @@ def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
         return df.join(losers, id_col, "anti")
 
     return Stage(fn, name="semantic_dedup", seq_preserving=False)
+
+
+def source_overlap(text_col: str = "text", group_col: str = "source", *,
+                   n: int = SHINGLE_N, min_jaccard: float = 0.0) -> Stage:
+    """Cross-source contamination matrix: for every unordered pair of
+    ``group_col`` values (sources, splits, snapshots), the Jaccard
+    overlap of their DISTINCT word-``n``-gram shingle sets — the audit
+    a training pipeline runs to find which subcorpora duplicate each
+    other (or leak into a held-out split) BEFORE mixing them.
+
+    Output: (group_a, group_b, n_a, n_b, n_common, jaccard), group_a <
+    group_b, filtered to ``jaccard >= min_jaccard``.
+
+    Plan: ONE shared tokenize+md5 pass (the same
+    :func:`shingles_col`+h32 machinery the MinHash family uses) →
+    distinct (group, hash) — the only full-width shuffle, of narrow int
+    pairs → ``collect_set(group) GROUP BY hash`` (set size ≤ #groups,
+    which is small by definition) → in-row pair expansion of each set →
+    one count per pair + a broadcast join of per-group totals.  The
+    corpus text never shuffles, and nothing is ever quadratic in
+    documents — only in GROUPS, the point of aggregating by shingle
+    first (contrast ``ngram_jaccard_pairs``, which pairs documents)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        sh = (_spread(df.select(group_col, text_col), group_col)
+              .select(F.col(group_col).alias("__g"),
+                      F.explode(F.transform(
+                          shingles_col(F.col(text_col), n), h32))
+                       .alias("__h"))
+              .distinct())
+        sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+        sets = (sh.groupBy("__h")
+                  .agg(F.array_sort(F.collect_set("__g")).alias("__gs"))
+                  .where(F.size("__gs") >= 2))
+        pairs = (sets.select(F.explode("__gs").alias("group_a"), "__gs")
+                     .select("group_a", F.explode("__gs").alias("group_b"))
+                     .where(F.col("group_a") < F.col("group_b"))
+                     .groupBy("group_a", "group_b")
+                     .agg(F.count(F.lit(1)).alias("n_common")))
+        out = (pairs
+               .join(F.broadcast(sizes.select(
+                   F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))),
+                   "group_a")
+               .join(F.broadcast(sizes.select(
+                   F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))),
+                   "group_b")
+               .select("group_a", "group_b", "n_a", "n_b", "n_common",
+                       (F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                       .alias("jaccard")))
+        if min_jaccard > 0.0:
+            out = out.where(F.col("jaccard") >= min_jaccard)
+        return out
+
+    return Stage(fn, name=f"source_overlap({group_col})",
+                 seq_preserving=False)

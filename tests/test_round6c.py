@@ -268,3 +268,55 @@ def test_ingest_corpus_stream_replay_equals_batch_loop(spark, tmp_path):
     assert 1101 not in got_ids                     # within-batch dedup
     assert 1100 in got_ids                         # lower id survived
     assert len(got_ids) >= 40                      # fresh docs kept
+
+
+# ---------------------------------------------------------------------------
+# source_overlap (cross-source contamination matrix)
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_matches_duckdb(spark):
+    from conduino_spark import source_overlap
+    df = spark.read.parquet(DOCS)
+    got = sorted(tuple(r) for r in source_overlap()(df).collect())
+
+    con = _con("documents", DOCS)
+    # same shingle definition as the engine (_sql_shingles contract)
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t != '') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT source,
+                 unnest([('0x' || substr(md5(s), 1, 8))::BIGINT
+                         for s in list_distinct(
+                           [array_to_string(t[i:i+2], ' ')
+                            for i in range(1, len(t) - 1)])]) AS h
+          FROM toks),
+        sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        common AS (
+          SELECT a.source AS ga, b.source AS gb, count(*) AS c
+          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          GROUP BY ga, gb)
+        SELECT ga, gb, sa.n, sb.n, c,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+        FROM common
+        JOIN sizes sa ON sa.source = ga
+        JOIN sizes sb ON sb.source = gb
+        """).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_source_overlap_identical_and_disjoint_groups(spark):
+    from conduino_spark import source_overlap
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon"),
+         ("b", "alpha beta gamma delta epsilon"),      # == a
+         ("c", "zeta eta theta iota kappa lambda")],   # disjoint
+        "source string, text string")
+    rows = {(r["group_a"], r["group_b"]): r
+            for r in source_overlap()(df).collect()}
+    assert rows[("a", "b")]["jaccard"] == 1.0
+    assert ("a", "c") not in rows  # zero common shingles -> no row
+    assert source_overlap(min_jaccard=0.5)(df).count() == 1
