@@ -1471,18 +1471,17 @@ def bench_extras():
 
 
 def q_hll_distinct_partkey(spark, sf):
-    # HyperLogLog distinct sketch over lineitem part keys: shard the
-    # build 4 ways and MERGE — exercising the sketch's production shape
-    # (per-shard build + register-wise max) in one plan; registers and
-    # estimate are DuckDB-replayable (tests/test_round6c.py)
+    # HyperLogLog distinct sketch over lineitem part keys in the
+    # production shape: ONE scan builds per-shard register rows
+    # (grouped build — in a real pipeline each shard is a partition of
+    # the data, not a separate scan), then hll_merge collapses them by
+    # register-wise max; registers and estimate are DuckDB-replayable
+    # (tests/test_round6c.py, incl. the grouped==sharded law)
     from conduino_spark import hll_build, hll_estimate, hll_merge
-    li = _src(sf, "lineitem").df(spark)
-    shards = [hll_build("l_partkey", p=12)(
-        li.where(f"l_orderkey % 4 = {i}")) for i in range(4)]
-    u = shards[0]
-    for s in shards[1:]:
-        u = u.unionByName(s)
-    return hll_estimate()(hll_merge()(u))
+    li = _src(sf, "lineitem").df(spark) \
+        .withColumn("__shard", F.expr("l_orderkey % 4"))
+    shards = hll_build("l_partkey", p=12, keys=("__shard",))(li)
+    return hll_estimate()(hll_merge()(shards))
 
 
 def q_source_overlap_docs(spark, sf):

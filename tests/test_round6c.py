@@ -39,11 +39,11 @@ def test_hll_registers_bit_identical_to_duckdb(spark):
     df = spark.read.parquet(DOCS)
     row = hll_build("text", p=10)(df).first()
     assert row["p"] == 10
-    dense = {i: r for i, r in enumerate(row["hll"]) if r != 0}
+    got = {e["b"]: e["rho"] for e in row["hll"]}
     con = _con("documents", DOCS)
     sparse = dict(con.sql(hll_build_sql("text", p=10,
                                         table="documents")).fetchall())
-    assert dense == sparse
+    assert got == sparse
 
 
 def test_hll_estimate_matches_sql_and_error_bound(spark):
@@ -90,11 +90,10 @@ def test_hll_nulls_skipped_and_empty_input(spark):
     df = spark.createDataFrame(
         [("a",), (None,), ("b",), (None,)], "v string")
     row = hll_build("v", p=6)(df).first()
-    n_set = sum(1 for r in row["hll"] if r)
-    assert n_set <= 2  # only a & b hashed
+    assert len(row["hll"]) <= 2  # only a & b hashed
     empty = hll_build("v", p=6)(df.where("v IS NULL AND v IS NOT NULL"))
     erow = empty.first()
-    assert all(r == 0 for r in erow["hll"])
+    assert list(erow["hll"]) == []
     assert hll_estimate()(empty).first()[0] == 0.0
 
 
@@ -320,3 +319,30 @@ def test_source_overlap_identical_and_disjoint_groups(spark):
     assert rows[("a", "b")]["jaccard"] == 1.0
     assert ("a", "c") not in rows  # zero common shingles -> no row
     assert source_overlap(min_jaccard=0.5)(df).count() == 1
+
+
+def test_hll_grouped_build_equals_per_group_and_merges_to_whole(spark):
+    """keys= law: a grouped build row equals the filtered ungrouped
+    build for that group, and merging the grouped rows equals the
+    whole-corpus build (mergeability)."""
+    df = spark.read.parquet(DOCS).withColumn(
+        "shard", (F.col("doc_id") % 3).cast("long"))
+    grouped = {r["shard"]: list(r["hll"])
+               for r in hll_build("text", p=8, keys=("shard",))(
+                   df).collect()}
+    assert len(grouped) == 3
+    for s in range(3):
+        solo = hll_build("text", p=8)(df.where(f"shard = {s}")).first()
+        assert grouped[s] == list(solo["hll"])
+    merged = hll_merge()(
+        hll_build("text", p=8, keys=("shard",))(df)).first()
+    whole = hll_build("text", p=8)(df).first()
+    assert list(merged["hll"]) == list(whole["hll"])
+
+
+def test_hll_estimate_keeps_group_keys(spark):
+    df = spark.read.parquet(DOCS).withColumn(
+        "shard", (F.col("doc_id") % 2).cast("long"))
+    out = hll_estimate()(hll_build("text", p=8, keys=("shard",))(df))
+    rows = {r["shard"]: r["approx_distinct"] for r in out.collect()}
+    assert set(rows) == {0, 1} and all(v > 0 for v in rows.values())

@@ -89,10 +89,25 @@ def main() -> None:
         "rolling_agg": lambda df: ev_pipe(
             rolling_agg("ts", 86400.0, keys=["user_id"]), df),
     }
+    from conduino_spark import (
+        heavy_hitters, hll_build, hll_estimate, line_dedup, source_overlap,
+    )
+    from conduino_spark.operators.text import tokens_col
+
     DOC_OPS = {
         "minhash_pairs": lambda df: ev_pipe(minhash_dedup_pairs(), df),
         "chunk_pack": lambda df: ev_pipe(
             chunk_text(64, 16) | pack_chunks(512), df),
+        # r6 additions: corpus-wide line counts, group-quadratic overlap,
+        # register sketch, CM-prefiltered exact heavy hitters
+        "line_dedup": lambda df: ev_pipe(line_dedup(min_count=3), df),
+        "source_overlap": lambda df: ev_pipe(
+            source_overlap(group_col="__src"),
+            df.withColumn("__src", (F.col("doc_id") % 8).cast("string"))),
+        "hll_distinct": lambda df: ev_pipe(
+            hll_build("text", p=12) | hll_estimate(), df),
+        "heavy_hitters": lambda df: heavy_hitters("token", min_frac=0.002)(
+            df.select(F.explode(tokens_col(F.col("text"))).alias("token"))),
     }
 
     def timed(fn, df) -> float:
