@@ -272,7 +272,13 @@ def countmin_build(expr: Union[str, Column], *, width: int = 2048,
             ).alias(out),
             F.lit(width).cast("long").alias("width"),
             F.lit(depth).cast("long").alias("depth"))
-        return dense
+        # total items counted, for free from the depth-0 row (every
+        # non-null value lands in exactly one cell per depth) — saves
+        # consumers like heavy_hitters a separate full count pass
+        return dense.withColumn(
+            "n_total", F.aggregate(F.element_at(F.col(out), 1),
+                                   F.lit(0).cast("long"),
+                                   lambda a, c: a + c))
 
     return Stage(fn, name=f"countmin_build(w={width},d={depth})",
                  seq_preserving=False)
@@ -410,7 +416,8 @@ def heavy_hitters(expr: Union[str, Column], *, min_frac: float = 0.001,
         # persist the 1-row sketch: the estimate's geometry peek and the
         # probe's broadcast would otherwise each rebuild it
         cms = track(countmin_build(col, width=width, depth=depth)(base))
-        nrow = base.agg(F.count(F.lit(1)).alias("__n"))
+        # total count rides the sketch row (n_total) — no second pass
+        nrow = cms.select(F.col("n_total").alias("__n"))
         probed = countmin_estimate(cms, col, out="__est")(
             base.crossJoin(F.broadcast(nrow)))
         thresh = F.greatest(
