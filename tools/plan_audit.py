@@ -37,7 +37,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_facts(df) -> dict:
+    # the audit session runs with AQE OFF (main() sets it): under AQE
+    # a DataFrame's executedPlan stays an unmaterialized
+    # AdaptiveSparkPlan wrapper with no codegen markers or final join
+    # choices.  The static plan is the deterministic, diffable object;
+    # AQE at runtime only improves on it (skew splits, broadcast
+    # promotions, partition coalescing).
     s = df._jdf.queryExecution().executedPlan().toString()
+    wscg = len(set(re.findall(r"\*\((\d+)\)", s)))
     return {
         "n_exchange": len(re.findall(r"\bExchange (?:hash|range|Single)", s)),
         "n_broadcast": s.count("BroadcastExchange"),
@@ -48,7 +55,7 @@ def plan_facts(df) -> dict:
                          + s.count("MapInPandas")),
         "n_row_python_udf": s.count("BatchEvalPython"),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", s)),
-        "wscg": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", s))),
+        "wscg": wscg,
         "cartesian": (s.count("CartesianProduct")
                       + s.count("BroadcastNestedLoopJoin")),
     }
@@ -72,6 +79,7 @@ def main() -> None:
 
     spark = get_spark("plan_audit", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     qs = dict(m.queries())
     if extras and hasattr(m, "bench_extras"):
@@ -82,7 +90,12 @@ def main() -> None:
     report, errors = {}, {}
     for name, q in qs.items():
         try:
-            report[name] = plan_facts(q(spark, sf))
+            df = q(spark, sf)
+            # query builders re-assert the driver conf (AQE on); the
+            # plan is materialized lazily, so flip it back before
+            # reading executedPlan
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            report[name] = plan_facts(df)
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             errors[name] = f"{type(e).__name__}: {e}"[:200]
         finally:
