@@ -346,3 +346,46 @@ def test_hll_estimate_keeps_group_keys(spark):
     out = hll_estimate()(hll_build("text", p=8, keys=("shard",))(df))
     rows = {r["shard"]: r["approx_distinct"] for r in out.collect()}
     assert set(rows) == {0, 1} and all(v > 0 for v in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# property laws for the third-batch operators
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_LAW = dict(max_examples=6, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@settings(**_LAW)
+@given(xs=st.lists(st.text(alphabet="abcde", min_size=1, max_size=3),
+                   min_size=1, max_size=40),
+       frac=st.sampled_from([0.05, 0.2, 0.5]))
+def test_heavy_hitters_equals_brute_force_law(spark, xs, frac):
+    from collections import Counter
+    import math as _m
+    df = spark.createDataFrame([(x,) for x in xs], "v string")
+    got = sorted(tuple(r) for r in
+                 heavy_hitters("v", min_frac=frac, width=16, depth=2)(
+                     df).collect())
+    release_caches()
+    th = max(_m.ceil(frac * len(xs)), 1)
+    want = sorted((v, c) for v, c in Counter(xs).items() if c >= th)
+    assert got == want
+
+
+@settings(**_LAW)
+@given(xs=st.lists(st.integers(min_value=0, max_value=99),
+                   min_size=0, max_size=60),
+       cut=st.integers(min_value=0, max_value=99))
+def test_hll_merge_commutes_with_union_law(spark, xs, cut):
+    """build(A) ⊔ build(B) == build(A ∪ B) for ANY split — the sketch
+    is a semilattice homomorphism."""
+    df = spark.createDataFrame([(str(x),) for x in xs] or [(None,)],
+                               "v string")
+    whole = hll_build("v", p=6)(df).first()["hll"]
+    a = hll_build("v", p=6)(df.where(f"v < '{cut}' OR v IS NULL"))
+    b = hll_build("v", p=6)(df.where(f"v >= '{cut}'"))
+    merged = hll_merge()(a.unionByName(b)).first()["hll"]
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
