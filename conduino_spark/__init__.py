@@ -62,8 +62,8 @@ from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, dup_span_stats, embedding_near_dup_pairs,
     minhash_dedup, semantic_dedup,
     minhash_dedup_against, minhash_dedup_cc, minhash_dedup_pairs,
-    minhash_signatures, ngram_jaccard_pairs, simhash, simhash_dedup_pairs,
-    source_overlap,
+    minhash_eval, minhash_signatures, ngram_jaccard_pairs, simhash,
+    simhash_dedup_pairs, source_overlap,
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
 from conduino_spark.operators.graph import (

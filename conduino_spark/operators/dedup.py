@@ -729,3 +729,50 @@ def source_overlap(text_col: str = "text", group_col: str = "source", *,
 
     return Stage(fn, name=f"source_overlap({group_col})",
                  seq_preserving=False)
+
+
+def minhash_eval(threshold: float = 0.5, *, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = SHINGLE_N) -> Stage:
+    """LSH-quality audit: precision/recall of the MinHash banding's
+    candidate pairs against the EXACT n-gram-Jaccard ground truth at
+    ``threshold`` — the measurement a pipeline runs (on a sample)
+    before committing a banding configuration to a 100 TB dedup job.
+
+    Output: ONE row — n_candidates, n_true, n_hit, precision (what
+    fraction of candidate pairs are truly ≥ threshold), recall (what
+    fraction of true pairs the bands caught).  Recall is the number
+    that matters: a missed true pair is a duplicate that SURVIVES
+    dedup; precision only costs verification work.
+
+    Plan: both sides reduce to pair tables of (id_a < id_b) longs —
+    LSH candidates from the banded self-join, truth from the exact
+    shared-shingle inverted index — then two tiny counts + one
+    pair-keyed join.  Empty sides yield 1.0 precision/recall by
+    convention (nothing claimed, nothing missed → vacuous success);
+    n_candidates == 0 with n_true > 0 yields recall 0.0."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        cand = minhash_dedup_pairs(text_col, id_col)(df) \
+            .select("id_a", "id_b")
+        true = ngram_jaccard_pairs(text_col, id_col,
+                                   threshold=threshold, n=n)(df) \
+            .select("id_a", "id_b")
+        cand = track(cand)
+        true = track(true)
+        hit = cand.join(true, ["id_a", "id_b"], "semi")
+        counts = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+                  .crossJoin(true.agg(F.count(F.lit(1)).alias("n_true")))
+                  .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        one = F.lit(1.0)
+        return counts.select(
+            "n_candidates", "n_true", "n_hit",
+            F.when(F.col("n_candidates") == 0, one)
+             .otherwise(F.round(F.col("n_hit")
+                                / F.col("n_candidates"), 6))
+             .alias("precision"),
+            F.when(F.col("n_true") == 0, one)
+             .otherwise(F.round(F.col("n_hit") / F.col("n_true"), 6))
+             .alias("recall"))
+
+    return Stage(fn, name=f"minhash_eval(t={threshold})",
+                 seq_preserving=False)

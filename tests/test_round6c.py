@@ -389,3 +389,56 @@ def test_hll_merge_commutes_with_union_law(spark, xs, cut):
     b = hll_build("v", p=6)(df.where(f"v >= '{cut}'"))
     merged = hll_merge()(a.unionByName(b)).first()["hll"]
     assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
+
+
+# ---------------------------------------------------------------------------
+# minhash_eval (LSH quality audit)
+# ---------------------------------------------------------------------------
+
+def test_minhash_eval_consistency_with_constituents(spark):
+    """The metrics row must equal what the two already-oracled
+    constituent operators report when composed by hand."""
+    from conduino_spark import (
+        minhash_dedup_pairs, minhash_eval, ngram_jaccard_pairs,
+    )
+    df = spark.read.parquet(DOCS)
+    row = minhash_eval(threshold=0.2)(df).first()
+    release_caches()
+    cand = {(r["id_a"], r["id_b"]) for r in
+            minhash_dedup_pairs()(df).collect()}
+    release_caches()
+    true = {(r["id_a"], r["id_b"]) for r in
+            ngram_jaccard_pairs(threshold=0.2)(df).collect()}
+    release_caches()
+    hit = cand & true
+    assert row["n_candidates"] == len(cand)
+    assert row["n_true"] == len(true)
+    assert row["n_hit"] == len(hit)
+    if cand:
+        assert row["precision"] == pytest.approx(
+            round(len(hit) / len(cand), 6))
+    if true:
+        assert row["recall"] == pytest.approx(
+            round(len(hit) / len(true), 6))
+
+
+def test_minhash_eval_clone_corpus_full_recall(spark):
+    """Exact clones collide in EVERY band — recall must be 1.0; a
+    corpus with no similar pairs is vacuously perfect."""
+    from conduino_spark import minhash_eval
+    base = spark.read.parquet(DOCS).limit(10).collect()
+    clones = [(r["doc_id"], r["text"]) for r in base] + \
+             [(1000 + r["doc_id"], r["text"]) for r in base]
+    df = spark.createDataFrame(clones, "doc_id long, text string")
+    row = minhash_eval(threshold=0.99)(df).first()
+    release_caches()
+    assert row["n_true"] >= 10 and row["recall"] == 1.0
+
+    solo = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    row2 = minhash_eval(threshold=0.5)(solo).first()
+    release_caches()
+    assert row2["n_true"] == 0 and row2["recall"] == 1.0
+    assert row2["n_candidates"] == 0 and row2["precision"] == 1.0
