@@ -884,3 +884,23 @@ def binned_quantiles_sql(expr: str, qs: "dict[str, float] | None" = None, *,
         FROM __h)
       SELECT {kcomma}{picks}
       FROM __c {group}"""
+
+
+def hll_assemble(*, p: int, keys: "tuple[str, ...]" = ("w_start", "w_end"),
+                 out: str = "hll") -> Stage:
+    """Assemble sparse (keys…, b, rho) REGISTER ROWS — e.g. the output
+    of ``streaming.windowed_hll_registers`` — into one
+    :func:`hll_build`-shaped sketch row per key group, ready for
+    :func:`hll_estimate`/:func:`hll_merge`.  One grouped collect of ≤
+    2^p tiny structs per group."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        sparse = F.array_sort(F.collect_list(
+            F.struct(F.col("b").cast("long").alias("b"),
+                     F.col("rho").cast("long").alias("rho"))))
+        return df.groupBy(*keys).agg(sparse.alias(out)) \
+                 .withColumn("p", F.lit(p).cast("long"))
+
+    return Stage(fn, name=f"hll_assemble(p={p})", seq_preserving=False)

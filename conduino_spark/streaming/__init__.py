@@ -665,3 +665,48 @@ def ingest_corpus_stream(stream: DataFrame, spark: SparkSession, *,
          .start())
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def windowed_hll_registers(ts_col: str, duration: str, expr: str, *,
+                           p: int = 12,
+                           keys: "tuple[str, ...]" = (),
+                           watermark: "str | None" = None) -> Stage:
+    """Per-event-time-window HyperLogLog registers — streaming distinct
+    counts ("unique users per hour") as ONE valid append-mode
+    aggregation: ``max(rho) GROUP BY (window, keys, bucket)``.  Emits
+    finalized (w_start, w_end, keys…, b, rho) register rows once the
+    watermark passes each window; :func:`~conduino_spark.operators.
+    sketches.hll_assemble` + ``hll_estimate`` turn them into per-window
+    estimates downstream (a second aggregation, so it runs in the batch
+    that consumes the stream's output — append mode allows one).
+
+    Works identically on batch and streaming DataFrames, and on batch
+    matches ``hll_build(expr, p=p, keys=(window,…))``'s register
+    content EXACTLY (same md5 bucket/rho split) — the replay law is
+    pinned in tests.  State per (window, keys) group is ≤ 2^p register
+    rows regardless of stream length — the whole point of HLL as the
+    streaming distinct sketch."""
+    from conduino_spark.operators.sketches import HLL_RHO_MAX
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        if watermark and d.isStreaming:
+            d = d.withWatermark(ts_col, watermark)
+        col = F.expr(expr)
+        hx = F.md5(col.cast("string"))
+        bucket = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m
+        hr = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        rho = F.when(hr == 0, F.lit(HLL_RHO_MAX)).otherwise(
+            F.lit(32) - F.floor(F.log2(hr))).cast("long")
+        return (d.where(col.isNotNull())
+                 .groupBy(F.window(ts_col, duration).alias("w"), *keys,
+                          bucket.alias("b"))
+                 .agg(F.max(rho).alias("rho"))
+                 .select(F.col("w.start").alias("w_start"),
+                         F.col("w.end").alias("w_end"), *keys, "b", "rho"))
+
+    return Stage(fn, name=f"windowed_hll_registers(p={p})",
+                 seq_preserving=False)

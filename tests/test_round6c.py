@@ -442,3 +442,67 @@ def test_minhash_eval_clone_corpus_full_recall(spark):
     release_caches()
     assert row2["n_true"] == 0 and row2["recall"] == 1.0
     assert row2["n_candidates"] == 0 and row2["precision"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# streaming windowed distinct (HLL registers)
+# ---------------------------------------------------------------------------
+
+def test_windowed_hll_batch_matches_grouped_build_and_exact(spark):
+    """On batch input, windowed register rows assembled per window ==
+    hll_build grouped by the same window (identical md5 bucket/rho
+    split), and the per-window estimates track exact distincts."""
+    from conduino_spark import hll_build
+    from conduino_spark.operators.sketches import hll_assemble
+    from conduino_spark.streaming import windowed_hll_registers
+
+    ev = spark.read.parquet(EVENTS)
+    regs = windowed_hll_registers("ts", "1 hour", "user_id", p=10)(ev)
+    sk = hll_assemble(p=10)(regs)
+    got = {(r["w_start"], r["w_end"]): list(map(tuple, r["hll"]))
+           for r in sk.collect()}
+
+    w = ev.withColumn("w_start", F.window("ts", "1 hour").start) \
+          .withColumn("w_end", F.window("ts", "1 hour").end)
+    want_rows = hll_build("user_id", p=10,
+                          keys=("w_start", "w_end"))(w).collect()
+    want = {(r["w_start"], r["w_end"]): list(map(tuple, r["hll"]))
+            for r in want_rows}
+    assert got == want and len(got) > 1
+
+    ests = {r["w_start"]: r["approx_distinct"]
+            for r in hll_estimate()(sk).collect()}
+    exact = {r["w_start"]: r["n"]
+             for r in w.groupBy("w_start")
+                       .agg(F.countDistinct("user_id").alias("n"))
+                       .collect()}
+    for ws, n in exact.items():
+        assert abs(ests[ws] - n) <= 5 * 1.04 / math.sqrt(1 << 10) * max(n, 1)
+
+
+def test_windowed_hll_stream_replay_equals_batch(spark, sf_dir):
+    """Drained append-mode streaming run emits the same register rows
+    as the batch run — per-window distinct sketching really is a
+    single valid streaming aggregation."""
+    from conduino_spark.sources import from_dataframe, read_table
+    from conduino_spark import run_pipe
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir,
+        windowed_hll_registers,
+    )
+
+    d = stage_events_dir(f"{sf_dir}/events.parquet", n_chunks=4,
+                         sentinel_hours=4.0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    st = windowed_hll_registers("ts", "1 hour", "user_id", p=9,
+                                watermark="2 hours")
+    out = run_stream_to_memory(file_stream_source(d, schema) | st, spark)
+    ev = read_table(sf_dir, "events").df(spark)
+    batch = run_pipe(from_dataframe(ev) | st | sink_df(), spark)
+    max_real = ev.agg(F.max("ts")).first()[0]
+    got = sorted(tuple(r) for r in out.collect()
+                 if r["w_start"] <= max_real)
+    want = sorted(tuple(r) for r in batch.collect()
+                  if r["w_start"] <= max_real)
+    assert got == want and len(got) > 0
