@@ -48,8 +48,8 @@ from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
     cdc_apply, cube_agg, dedup_latest, distinct, event_window, except_all,
     group_agg, intersect, join,
-    order_by, percentiles, pivot_agg, ranked, rollup_agg, select,
-    session_window, sql_stage, top_k, union_all,
+    order_by, percentiles, pivot_agg, profile_table, ranked, rollup_agg,
+    select, session_window, snapshot_diff, sql_stage, top_k, union_all,
 )
 from conduino_spark.operators.text import (
     bigram_logprob, bigram_vocab,

@@ -293,3 +293,105 @@ def cdc_apply(changes: DataFrame, keys: Sequence[str], order_col: str, *,
                                     for c in cols]))
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def snapshot_diff(old: DataFrame, key: str, *,
+                  compare: Optional[Sequence[str]] = None,
+                  out: str = "change") -> Stage:
+    """Diff the incoming snapshot against a prior one BY CONTENT:
+    classify every key as ``added`` (new key), ``removed`` (key gone),
+    ``changed`` (key present in both but any compared column differs),
+    or drop it (unchanged) — the corpus-audit complement of
+    :func:`cdc_apply` (which APPLIES a change batch; this RECOVERS the
+    change batch from two snapshots).
+
+    ``compare`` defaults to all shared non-key columns.  Output: the
+    NEW snapshot's row (removed keys carry the OLD row's values) +
+    ``out`` ∈ {added, removed, changed}.
+
+    Plan: each side reduces to (key, md5 of the compared columns) —
+    ONE narrow projection, the raw rows never shuffle for the compare —
+    then a full outer join on key classifies, and only non-unchanged
+    keys join back to fetch their payload.  At 100 TB the join moves
+    (key, 32-byte digest) pairs, and the payload fetch touches only
+    the changed fraction."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        cols = compare or [c for c in df.columns
+                           if c != key and c in old.columns and c != SEQ]
+        digest = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in cols]))
+        new_d = df.select(F.col(key), digest.alias("__dn"))
+        old_d = old.select(F.col(key), digest.alias("__do"))
+        j = new_d.join(old_d, key, "full_outer")
+        cls = (j.withColumn(out, F.when(F.col("__do").isNull(),
+                                        F.lit("added"))
+                                  .when(F.col("__dn").isNull(),
+                                        F.lit("removed"))
+                                  .when(F.col("__dn") != F.col("__do"),
+                                        F.lit("changed")))
+                .where(F.col(out).isNotNull())
+                .select(key, out))
+        from_new = df.join(cls.where(F.col(out) != "removed"), key) \
+                     .select(*df.columns, out)
+        from_old = old.select(df.columns).join(
+            cls.where(F.col(out) == "removed"), key) \
+            .select(*df.columns, out)
+        return from_new.unionByName(from_old)
+
+    return Stage(fn, name="snapshot_diff", seq_preserving=False)
+
+
+def profile_table(*, approx_distinct_p: int = 12,
+                  columns: Optional[Sequence[str]] = None) -> Stage:
+    """One-pass data-quality profile: per column, row count, null
+    count, null fraction, approximate distinct count (the sparse HLL
+    sketch — O(2^p) state per column), and min/max as strings — the
+    table-health report an ingestion pipeline records per snapshot.
+
+    Output: one row per column — (column, n_rows, n_nulls, null_frac,
+    approx_distinct, min, max).
+
+    Plan: ONE aggregate pass computes every per-column statistic
+    except the distinct sketches (map-side partials; no shuffle of
+    data rows); distinct counts reuse :func:`~conduino_spark.operators.
+    sketches.hll_build` per column over the same scan (Spark schedules
+    them as parallel jobs of one stage each).  Nothing ever collects
+    data rows to the driver."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        from conduino_spark.operators.sketches import (
+            hll_build, hll_estimate,
+        )
+        cols = [c for c in (columns or df.columns) if c != SEQ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+                        .alias(f"__null_{c}"))
+            s = F.col(c).cast("string")
+            aggs.append(F.min(s).alias(f"__min_{c}"))
+            aggs.append(F.max(s).alias(f"__max_{c}"))
+        base = df.agg(*aggs)
+        rows = None
+        for c in cols:
+            est = hll_estimate()(
+                hll_build(F.col(c), p=approx_distinct_p)(df)) \
+                .select(F.lit(c).alias("column"),
+                        F.col("approx_distinct"))
+            rows = est if rows is None else rows.unionByName(est)
+        stats = base.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.col("__n").alias("n_rows"),
+                     F.col(f"__null_{c}").alias("n_nulls"),
+                     F.round(F.col(f"__null_{c}")
+                             / F.greatest(F.col("__n"), F.lit(1)), 6)
+                      .alias("null_frac"),
+                     F.col(f"__min_{c}").alias("min"),
+                     F.col(f"__max_{c}").alias("max"))
+            for c in cols])).alias("s")).select("s.*")
+        return (stats.join(F.broadcast(rows), "column")
+                     .select("column", "n_rows", "n_nulls", "null_frac",
+                             "approx_distinct", "min", "max"))
+
+    return Stage(fn, name="profile_table", seq_preserving=False)

@@ -506,3 +506,71 @@ def test_windowed_hll_stream_replay_equals_batch(spark, sf_dir):
     want = sorted(tuple(r) for r in batch.collect()
                   if r["w_start"] <= max_real)
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff + profile_table
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_matches_duckdb(spark):
+    from conduino_spark import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30),
+         (4, None, 40)],
+        "id long, txt string, v long")
+    new = spark.createDataFrame(
+        [(1, "alpha", 10),        # unchanged -> dropped
+         (2, "beta2", 20),        # changed
+         (4, None, 41),           # changed (NULL-safe compare)
+         (5, "new", 50)],         # added; 3 removed
+        "id long, txt string, v long")
+    got = sorted(tuple(r) for r in
+                 snapshot_diff(old, "id")(new).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o (id BIGINT, txt VARCHAR, v BIGINT)")
+    con.execute("CREATE TABLE n (id BIGINT, txt VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO o VALUES (?,?,?)",
+                    [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30),
+                     (4, None, 40)])
+    con.executemany("INSERT INTO n VALUES (?,?,?)",
+                    [(1, "alpha", 10), (2, "beta2", 20), (4, None, 41),
+                     (5, "new", 50)])
+    want = sorted(tuple(r) for r in con.execute("""
+        WITH c AS (
+          SELECT coalesce(n.id, o.id) AS id,
+                 CASE WHEN o.id IS NULL THEN 'added'
+                      WHEN n.id IS NULL THEN 'removed'
+                      WHEN n.txt IS DISTINCT FROM o.txt
+                        OR n.v IS DISTINCT FROM o.v THEN 'changed'
+                 END AS change
+          FROM n FULL OUTER JOIN o USING (id))
+        SELECT t.id, t.txt, t.v, c.change
+        FROM c JOIN (SELECT * FROM n UNION ALL
+                     SELECT * FROM o WHERE id NOT IN (SELECT id FROM n)) t
+          USING (id)
+        WHERE c.change IS NOT NULL""").fetchall())
+    assert got == want
+    changes = {r[0]: r[3] for r in got}
+    assert changes == {2: "changed", 3: "removed", 4: "changed",
+                       5: "added"}
+
+
+def test_profile_table_matches_duckdb(spark):
+    from conduino_spark import profile_table
+    df = spark.read.parquet(DOCS)
+    got = {r["column"]: r for r in profile_table()(df).collect()}
+    con = _con("documents", DOCS)
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        n, nn, mn, mx, nd = con.sql(f"""
+            SELECT count(*), count(*) - count({c}),
+                   min(CAST({c} AS VARCHAR)), max(CAST({c} AS VARCHAR)),
+                   count(DISTINCT {c})
+            FROM documents""").fetchone()
+        r = got[c]
+        assert r["n_rows"] == n and r["n_nulls"] == nn
+        assert r["min"] == mn and r["max"] == mx
+        assert r["null_frac"] == pytest.approx(round(nn / n, 6))
+        import math as _m
+        assert abs(r["approx_distinct"] - nd) \
+            <= 5 * 1.04 / _m.sqrt(1 << 12) * max(nd, 1)
