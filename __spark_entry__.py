@@ -552,12 +552,17 @@ def q_minhash_survivors(spark, sf):
     # greedy (drop any doc LSH-similar to a lower id) and connected
     # components (one min-id doc per transitive cluster — Pregel
     # min-label propagation, recursive-CTE oracle), tagged by policy
-    from conduino_spark import minhash_dedup, minhash_dedup_cc
-    p = _src(sf, "documents", min_partitions="auto") | minhash_dedup() | sink_df()
-    greedy = run_pipe(p, spark).select(
+    from conduino_spark import (
+        minhash_dedup, minhash_dedup_cc, minhash_dedup_pairs,
+    )
+    from conduino_spark.plans.cachereg import track
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    # sign + band ONCE; both survivor policies consume the same pair
+    # table (the pairs= reuse hook) — halves the corpus passes
+    pairs = track(minhash_dedup_pairs()(docs))
+    greedy = minhash_dedup(pairs=pairs)(docs).select(
         "doc_id", F.lit("greedy").alias("policy"))
-    p2 = _src(sf, "documents", min_partitions="auto") | minhash_dedup_cc() | sink_df()
-    cc = run_pipe(p2, spark).select(
+    cc = minhash_dedup_cc(pairs=pairs)(docs).select(
         "doc_id", F.lit("cc").alias("policy"))
     return greedy.unionByName(cc)
 

@@ -243,15 +243,22 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
     return Stage(fn, name="minhash_dedup_against", seq_preserving=False)
 
 
-def minhash_dedup(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+def minhash_dedup(text_col: str = "text", id_col: str = "doc_id", *,
+                  pairs: "DataFrame | None" = None) -> Stage:
     """MinHash-LSH dedup: drop every doc that is LSH-similar to a
     lower-id doc (connected-component-free greedy rule: survivor = not
-    the larger id of any candidate pair)."""
+    the larger id of any candidate pair).
+
+    ``pairs`` accepts a precomputed :func:`minhash_dedup_pairs` result
+    (id_a < id_b) — the reuse hook for jobs that consume the candidate
+    table more than once (e.g. evaluating BOTH survivor policies, or
+    auditing with :func:`minhash_eval`): sign and band the corpus
+    ONCE, persist the narrow pair table, share it."""
     pairs_stage = minhash_dedup_pairs(text_col, id_col)
 
     def fn(df: DataFrame) -> DataFrame:
-        pairs = pairs_stage(df)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        p = pairs if pairs is not None else pairs_stage(df)
+        losers = p.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(losers, id_col, "anti")
 
     return Stage(fn, name="minhash_dedup", seq_preserving=False)
@@ -307,7 +314,8 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
 
 
 def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
-                     max_iters: int = 25) -> Stage:
+                     max_iters: int = 25,
+                     pairs: "DataFrame | None" = None) -> Stage:
     """MinHash-LSH dedup with CONNECTED-COMPONENT survivor selection:
     keep exactly one doc — the minimum id — per transitive near-dup
     cluster.
@@ -325,7 +333,8 @@ def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
     pairs_stage = minhash_dedup_pairs(text_col, id_col)
 
     def fn(df: DataFrame) -> DataFrame:
-        labels = _cc_min_label(pairs_stage(df), max_iters=max_iters)
+        p = pairs if pairs is not None else pairs_stage(df)
+        labels = _cc_min_label(p, max_iters=max_iters)
         losers = (labels.where(F.col("lbl") != F.col("id"))
                         .select(F.col("id").alias(id_col)))
         return df.join(losers, id_col, "anti")
