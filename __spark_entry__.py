@@ -1472,7 +1472,28 @@ def bench_extras():
             # r6 third batch (local oracles in test_round6c)
             "hll_distinct_partkey": q_hll_distinct_partkey,
             "heavy_hitters_tokens": q_heavy_hitters_tokens,
-            "source_overlap_docs": q_source_overlap_docs}
+            "source_overlap_docs": q_source_overlap_docs,
+            "minhash_eval_docs": q_minhash_eval_docs,
+            "profile_docs": q_profile_docs}
+
+
+def q_minhash_eval_docs(spark, sf):
+    # LSH banding precision/recall vs exact Jaccard at 0.2, on a 25%
+    # deterministic hash sample — the audit runs on a SAMPLE by design
+    # (its truth side is the full exact-Jaccard pair join, which is the
+    # quadratic cost the LSH path exists to avoid at corpus scale)
+    from conduino_spark import hash_sample, minhash_eval
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    sample = hash_sample("doc_id", 0.25, salt="eval")(docs)
+    return minhash_eval(threshold=0.2)(sample)
+
+
+def q_profile_docs(spark, sf):
+    # per-column table-health profile (one agg pass + per-column
+    # sparse-HLL distincts)
+    from conduino_spark import profile_table
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    return profile_table()(docs)
 
 
 def q_hll_distinct_partkey(spark, sf):

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "line_dedup_docs", "bigram_logprob_docs", "semantic_dedup_emb",
     # r6 third batch
     "hll_distinct_partkey", "heavy_hitters_tokens", "source_overlap_docs",
+    "minhash_eval_docs", "profile_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
