@@ -355,10 +355,12 @@ def profile_table(*, approx_distinct_p: int = 12,
 
     Plan: ONE aggregate pass computes every per-column statistic
     except the distinct sketches (map-side partials; no shuffle of
-    data rows); distinct counts reuse :func:`~conduino_spark.operators.
-    sketches.hll_build` per column over the same scan (Spark schedules
-    them as parallel jobs of one stage each).  Nothing ever collects
-    data rows to the driver."""
+    data rows); the distinct counts come from ONE MORE pass — the
+    table restacked to narrow (column, value) rows feeds a single
+    GROUPED :func:`~conduino_spark.operators.sketches.hll_build`
+    (``keys=("column",)``), so all columns sketch in one scan + one
+    register aggregate instead of a job per column.  Nothing ever
+    collects data rows to the driver."""
 
     def fn(df: DataFrame) -> DataFrame:
         from conduino_spark.operators.sketches import (
@@ -373,13 +375,13 @@ def profile_table(*, approx_distinct_p: int = 12,
             aggs.append(F.min(s).alias(f"__min_{c}"))
             aggs.append(F.max(s).alias(f"__max_{c}"))
         base = df.agg(*aggs)
-        rows = None
-        for c in cols:
-            est = hll_estimate()(
-                hll_build(F.col(c), p=approx_distinct_p)(df)) \
-                .select(F.lit(c).alias("column"),
-                        F.col("approx_distinct"))
-            rows = est if rows is None else rows.unionByName(est)
+        stacked = df.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("string").alias("__v"))
+            for c in cols])).alias("s")).select("s.*")
+        rows = hll_estimate()(
+            hll_build("__v", p=approx_distinct_p,
+                      keys=("column",))(stacked))
         stats = base.select(F.explode(F.array(*[
             F.struct(F.lit(c).alias("column"),
                      F.col("__n").alias("n_rows"),
