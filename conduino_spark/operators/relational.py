@@ -392,8 +392,12 @@ def profile_table(*, approx_distinct_p: int = 12,
                      F.col(f"__min_{c}").alias("min"),
                      F.col(f"__max_{c}").alias("max"))
             for c in cols])).alias("s")).select("s.*")
-        return (stats.join(F.broadcast(rows), "column")
+        # LEFT join + coalesce: an empty (or all-NULL-column) table has
+        # no sketch rows, but the profile must still report the column
+        # with n_rows/n_nulls and distinct 0
+        return (stats.join(F.broadcast(rows), "column", "left")
                      .select("column", "n_rows", "n_nulls", "null_frac",
-                             "approx_distinct", "min", "max"))
+                             F.coalesce("approx_distinct", F.lit(0.0))
+                              .alias("approx_distinct"), "min", "max"))
 
     return Stage(fn, name="profile_table", seq_preserving=False)

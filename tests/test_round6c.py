@@ -574,3 +574,42 @@ def test_profile_table_matches_duckdb(spark):
         import math as _m
         assert abs(r["approx_distinct"] - nd) \
             <= 5 * 1.04 / _m.sqrt(1 << 12) * max(nd, 1)
+
+
+# ---------------------------------------------------------------------------
+# empty / degenerate input sweep for the third-batch operators
+# ---------------------------------------------------------------------------
+
+def test_third_batch_empty_inputs(spark):
+    from conduino_spark import (
+        minhash_eval, profile_table, snapshot_diff, source_overlap,
+    )
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    assert source_overlap()(
+        empty_docs.withColumnRenamed("doc_id", "source")).count() == 0
+
+    row = minhash_eval()(empty_docs).first()
+    release_caches()
+    assert (row["n_candidates"], row["n_true"]) == (0, 0)
+    assert row["precision"] == 1.0 and row["recall"] == 1.0
+
+    prof = {r["column"]: r for r in profile_table()(empty_docs).collect()}
+    assert set(prof) == {"doc_id", "text"}
+    for r in prof.values():
+        assert r["n_rows"] == 0 and r["n_nulls"] == 0
+        assert r["approx_distinct"] == 0.0 and r["min"] is None
+
+    some = spark.createDataFrame([(1, "a b c d"), (2, "e f g h")],
+                                 "doc_id long, text string")
+    # empty old snapshot: everything is added
+    d1 = snapshot_diff(empty_docs, "doc_id")(some)
+    assert {r["change"] for r in d1.collect()} == {"added"}
+    # empty new snapshot: everything is removed
+    d2 = snapshot_diff(some, "doc_id")(empty_docs)
+    assert sorted((r["doc_id"], r["change"]) for r in d2.collect()) == \
+        [(1, "removed"), (2, "removed")]
+
+    hh = heavy_hitters("text", min_frac=0.5)(empty_docs).collect()
+    release_caches()
+    assert hh == []
