@@ -55,7 +55,8 @@ from conduino_spark.operators.text import (
     bigram_logprob, bigram_vocab,
     chunk_text, corpus_filter, fingerprint, lang_id, line_dedup,
     normalize_text,
-    pack_chunks, quality_score, redact_pii, repetition_stats, token_count,
+    pack_chunks, quality_score, redact_pii, repetition_stats,
+    script_profile, token_count,
     tokenize, unigram_logprob, unigram_vocab,
 )
 from conduino_spark.operators.dedup import (

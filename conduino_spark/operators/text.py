@@ -891,3 +891,53 @@ def bigram_logprob(bigrams: DataFrame, unigrams: DataFrame,
 
     return Stage(fn, name=f"bigram_logprob(alpha={alpha},lam={lam})",
                  seq_preserving=False)
+
+
+#: script_profile character classes — explicit codepoint ranges in the
+#: Java∩RE2 regex subset (named script classes differ between engines:
+#: Java wants \p{IsHan}, RE2 wants \p{Han}).  Each pattern matches ONE
+#: character, so counting = length difference after deletion — the same
+#: portable trick redact_pii's audit counts use.
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": ("[一-鿿぀-ヿ가-힯"
+            "㐀-䶿豈-﫿]"),
+    "arabic": "[؀-ۿݐ-ݿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(text_col: str = "text") -> Stage:
+    """Per-document Unicode-script composition: the fraction of
+    non-whitespace characters in Latin, Cyrillic, CJK (Han + kana +
+    hangul), Arabic, and digit ranges, plus ``other_frac`` for the
+    rest — the multilingual triage signal that catches what a
+    stopword-based :func:`lang_id` cannot (wrong-script boilerplate,
+    mixed-script spam, mojibake).
+
+    Pure projection (counts = length minus length-after-deletion, one
+    ``regexp_replace`` per class), whole-stage codegen, no shuffle;
+    fractions over NON-WHITESPACE chars so formatting doesn't dilute
+    the signal.  NULL text → NULL fractions; all-whitespace → 0.0."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        s = F.regexp_replace(F.col(text_col), r"\s", "")
+        total = F.length(s)
+        out = df
+        covered = None
+        for name, pat in SCRIPT_RANGES.items():
+            cnt = total - F.length(F.regexp_replace(s, pat, ""))
+            frac = F.when(F.col(text_col).isNull(),
+                          F.lit(None).cast("double")) \
+                    .when(total == 0, F.lit(0.0)) \
+                    .otherwise(F.round(cnt / total, 6))
+            out = out.withColumn(f"{name}_frac", frac)
+            covered = cnt if covered is None else covered + cnt
+        other = F.when(F.col(text_col).isNull(),
+                       F.lit(None).cast("double")) \
+                 .when(total == 0, F.lit(0.0)) \
+                 .otherwise(F.round((total - covered) / total, 6))
+        return out.withColumn("other_frac", other)
+
+    return Stage(fn, name="script_profile", seq_preserving=True)

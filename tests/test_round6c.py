@@ -613,3 +613,56 @@ def test_third_batch_empty_inputs(spark):
     hh = heavy_hitters("text", min_frac=0.5)(empty_docs).collect()
     release_caches()
     assert hh == []
+
+
+# ---------------------------------------------------------------------------
+# script_profile
+# ---------------------------------------------------------------------------
+
+def test_script_profile_matches_duckdb(spark):
+    from conduino_spark import script_profile
+    from conduino_spark.operators.text import SCRIPT_RANGES
+    rows = [
+        (1, "hello world abc"),
+        (2, "привет мир hello"),
+        (3, "你好世界 こんにちは 안녕하세요"),
+        (4, "مرحبا بالعالم 123"),
+        (5, "mixed 你好 text 123 !!"),
+        (6, None),
+        (7, "   "),
+        (8, "∑∆π≈ √∫"),  # Greek/symbols only — no class matches
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile()(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    parts = []
+    for name, pat in SCRIPT_RANGES.items():
+        parts.append(
+            f"CASE WHEN text IS NULL THEN NULL "
+            f"WHEN length(s) = 0 THEN 0.0 "
+            f"ELSE round((length(s) - length(regexp_replace(s, '{pat}', "
+            f"'', 'g'))) / CAST(length(s) AS DOUBLE), 6) END AS {name}_frac")
+    sql = (f"SELECT doc_id, {', '.join(parts)} FROM "
+           f"(SELECT doc_id, text, "
+           f"regexp_replace(text, '\\s', '', 'g') AS s FROM t)")
+    for w in con.sql(sql).fetchall():
+        doc_id = w[0]
+        for i, name in enumerate(SCRIPT_RANGES):
+            g = got[doc_id][f"{name}_frac"]
+            assert g == w[i + 1] or (
+                g is None and w[i + 1] is None), (doc_id, name, g, w[i+1])
+
+    # spot semantics
+    assert got[1]["latin_frac"] == 1.0 and got[1]["other_frac"] == 0.0
+    assert got[3]["cjk_frac"] == 1.0
+    assert got[6]["latin_frac"] is None
+    assert got[7]["latin_frac"] == 0.0
+    assert got[8]["other_frac"] == 1.0
+    # fractions sum to 1 for non-null non-empty
+    for i in (1, 2, 3, 4, 5, 8):
+        tot = sum(got[i][f"{n}_frac"] for n in SCRIPT_RANGES) \
+            + got[i]["other_frac"]
+        assert tot == pytest.approx(1.0, abs=1e-5)
