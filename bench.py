@@ -164,7 +164,12 @@ def main() -> None:
               for n, rs in samples.items() if rs and n not in failed}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    # FULL record (3dp floors, per-query noise ratios, failure detail)
+    # goes to a sidecar file + stderr; stdout carries ONLY a compact
+    # machine line.  The driver captures the last 2000 bytes of stdout
+    # (BENCH_r06 was parsed:null because the old single line grew past
+    # that and lost its head), so the stdout line is hard-budgeted.
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -176,8 +181,25 @@ def main() -> None:
         "noise_max_over_min": spread,
     }
     if failed:
-        out["failed"] = failed
-    print(json.dumps(out))
+        full["failed"] = failed
+    sidecar = Path(__file__).resolve().parent / "bench_out.json"
+    try:
+        sidecar.write_text(json.dumps(full, indent=1) + "\n")
+    except OSError as e:  # read-only checkout: stderr still has it all
+        print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
+    print(json.dumps(full), file=sys.stderr)
+
+    out = dict(full)
+    out["queries"] = {n: round(t, 2) for n, t in times.items()}
+    del out["noise_max_over_min"]
+    if failed:
+        out["failed"] = sorted(failed)  # names only; detail in sidecar
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # tail-buffer headroom: drop per-query floors
+        out.pop("queries", None)
+        out["queries_file"] = "bench_out.json"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -71,11 +71,16 @@ def minhash_signature(text: Column) -> Column:
     return F.array(*sigs)
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def _spread(df: DataFrame, key: Optional[str]) -> DataFrame:
     """Ensure CPU-bound per-doc work (md5 over shingles) is spread over
     all cores even when the source is one small parquet file (one input
     split).  The shuffle moves only raw text — cheap next to the
-    hashing it parallelizes.  No-op cost at real scale (many splits)."""
+    hashing it parallelizes.  No-op cost at real scale (many splits).
+
+    ``key`` must be HIGH-cardinality (doc id) or None for round-robin —
+    spreading by a low-cardinality column (source, split) would cap
+    parallelism at its distinct count, the opposite of the point
+    (ADVICE r6)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     # plan-only guard (same rationale as similarity.lsh_index_write,
     # ADVICE r5): .rdd would leave AQE and eagerly run upstream
@@ -87,7 +92,7 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         n_files = 0
     if n_files >= target:
         return df
-    return df.repartition(target, key)
+    return df.repartition(target, key) if key else df.repartition(target)
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -706,7 +711,10 @@ def source_overlap(text_col: str = "text", group_col: str = "source", *,
     first (contrast ``ngram_jaccard_pairs``, which pairs documents)."""
 
     def fn(df: DataFrame) -> DataFrame:
-        sh = (_spread(df.select(group_col, text_col), group_col)
+        # round-robin spread: the group column has FEW distinct values
+        # by definition, so hashing by it would funnel the per-doc
+        # tokenize+md5 work onto #groups tasks (ADVICE r6)
+        sh = (_spread(df.select(group_col, text_col), None)
               .select(F.col(group_col).alias("__g"),
                       F.explode(F.transform(
                           shingles_col(F.col(text_col), n), h32))

@@ -314,17 +314,27 @@ def snapshot_diff(old: DataFrame, key: str, *,
     then a full outer join on key classifies, and only non-unchanged
     keys join back to fetch their payload.  At 100 TB the join moves
     (key, 32-byte digest) pairs, and the payload fetch touches only
-    the changed fraction."""
+    the changed fraction.
+
+    NULL keys never match each other (SQL join semantics), so a
+    NULL-key row in the old snapshot is ``removed`` and one in the new
+    snapshot is ``added`` — and the payload fetch is NULL-SAFE, so
+    those rows appear in the output instead of silently vanishing."""
 
     def fn(df: DataFrame) -> DataFrame:
-        cols = compare or [c for c in df.columns
-                           if c != key and c in old.columns and c != SEQ]
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        o = old.drop(SEQ) if SEQ in old.columns else old
+        cols = compare or [c for c in d.columns
+                           if c != key and c in o.columns]
         digest = F.md5(F.concat_ws(
             "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                       for c in cols]))
-        new_d = df.select(F.col(key), digest.alias("__dn"))
-        old_d = old.select(F.col(key), digest.alias("__do"))
+        new_d = d.select(F.col(key), digest.alias("__dn"))
+        old_d = o.select(F.col(key), digest.alias("__do"))
         j = new_d.join(old_d, key, "full_outer")
+        # distinct: several NULL-key rows classify to the same
+        # (NULL, added/removed) pair; without it the null-safe payload
+        # join below would multiply them quadratically
         cls = (j.withColumn(out, F.when(F.col("__do").isNull(),
                                         F.lit("added"))
                                   .when(F.col("__dn").isNull(),
@@ -332,12 +342,17 @@ def snapshot_diff(old: DataFrame, key: str, *,
                                   .when(F.col("__dn") != F.col("__do"),
                                         F.lit("changed")))
                 .where(F.col(out).isNotNull())
-                .select(key, out))
-        from_new = df.join(cls.where(F.col(out) != "removed"), key) \
-                     .select(*df.columns, out)
-        from_old = old.select(df.columns).join(
-            cls.where(F.col(out) == "removed"), key) \
-            .select(*df.columns, out)
+                .select(key, out)
+                .distinct())
+
+        def fetch(side: DataFrame, tags: DataFrame) -> DataFrame:
+            t = tags.withColumnRenamed(key, "__k")
+            return (side.join(t, F.col(key).eqNullSafe(F.col("__k")))
+                        .select(*side.columns, out))
+
+        from_new = fetch(d, cls.where(F.col(out) != "removed"))
+        from_old = fetch(o.select(d.columns),
+                         cls.where(F.col(out) == "removed"))
         return from_new.unionByName(from_old)
 
     return Stage(fn, name="snapshot_diff", seq_preserving=False)

@@ -620,8 +620,9 @@ def ingest_corpus_stream(stream: DataFrame, spark: SparkSession, *,
        table (never the kept text: the 100 TB economics — each batch
        pays its own signing + one band equi-join against a narrow
        16-long-per-doc table);
-    4. append survivors to ``out_dir`` and their signatures to
-       ``sig_dir`` (the state the next batch dedups against).
+    4. write survivors to ``out_dir/batch=<id>`` and their signatures
+       to ``sig_dir/batch=<id>`` (the state the next batch dedups
+       against).
 
     Everything inside the batch function is JVM column algebra (no
     Python UDFs), so executors never import this package.  The result
@@ -630,33 +631,27 @@ def ingest_corpus_stream(stream: DataFrame, spark: SparkSession, *,
     ``availableNow`` run equals the same per-batch loop run as plain
     batch jobs) is pinned in tests/test_round6c.py.
 
-    Returns the final kept-corpus DataFrame (``spark.read.parquet(out_dir)``).
-    """
-    from conduino_spark.operators.dedup import (
-        minhash_dedup, minhash_dedup_against, minhash_signatures,
-    )
-    from conduino_spark.operators.text import corpus_filter
+    Fault posture (ADVICE r6): prior signatures are detected by a
+    SPARK-level read of ``sig_dir`` — never a driver-local ``os.path``
+    probe, which returns False for every object-store URI (s3/hdfs/
+    dbfs) and would silently disable cross-batch dedup, the operator's
+    whole point.  Writes are batch_id-SCOPED OVERWRITES: foreachBatch
+    is at-least-once, so a batch retried after a partial write rewrites
+    its own ``batch=<id>`` subdirectory instead of appending
+    duplicates, and the dedup reference excludes the retrying batch's
+    own signatures (a completed-then-retried batch must not dedup
+    against itself and vanish).  tests/test_round7.py pins both.
 
+    Returns the final kept-corpus DataFrame (``out_dir`` read back,
+    minus the ``batch`` layout column).
+    """
     cols = stream.columns
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        kept = corpus_filter(text_col, rules=rules, keep_only=True)(
-            batch_df).select(*cols)
-        if within_batch_dedup:
-            kept = minhash_dedup(text_col, id_col)(kept)
-        have_sigs = os.path.isdir(sig_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(sig_dir))
-        if have_sigs:
-            ref = batch_df.sparkSession.read.parquet(sig_dir)
-            kept = minhash_dedup_against(ref, text_col, id_col,
-                                         ref_sigs=True)(kept)
-        kept = kept.persist()
-        try:
-            kept.write.mode("append").parquet(out_dir)
-            minhash_signatures(text_col, id_col)(kept) \
-                .write.mode("append").parquet(sig_dir)
-        finally:
-            kept.unpersist()
+        _ingest_one_batch(batch_df, batch_id, out_dir=out_dir,
+                          sig_dir=sig_dir, cols=cols, text_col=text_col,
+                          id_col=id_col, rules=rules,
+                          within_batch_dedup=within_batch_dedup)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ingest_ckpt_")
     q = (stream.writeStream.foreachBatch(one_batch)
@@ -664,7 +659,53 @@ def ingest_corpus_stream(stream: DataFrame, spark: SparkSession, *,
          .trigger(availableNow=available_now)
          .start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return (spark.read.option("basePath", out_dir).parquet(out_dir)
+                 .drop("batch"))
+
+
+def _read_prior_sigs(spark: SparkSession, sig_dir: str,
+                     batch_id: int) -> "DataFrame | None":
+    """Accumulated signature table from batches OTHER than
+    ``batch_id``, or None when none exist yet.  The probe is the Spark
+    reader itself (AnalysisException ⇒ absent/empty), so it works on
+    any Hadoop filesystem, not just file:// (ADVICE r6)."""
+    from pyspark.errors import AnalysisException
+    try:
+        sigs = spark.read.option("basePath", sig_dir).parquet(sig_dir)
+    except AnalysisException:
+        return None  # path absent or no parquet yet: first batch
+    # self-exclusion: under at-least-once retry, this batch's own prior
+    # (partial or complete) signature write must not be the reference
+    return sigs.where(F.col("batch") != batch_id).drop("batch")
+
+
+def _ingest_one_batch(batch_df: DataFrame, batch_id: int, *,
+                      out_dir: str, sig_dir: str,
+                      cols: "list[str]", text_col: str, id_col: str,
+                      rules: "dict | None",
+                      within_batch_dedup: bool) -> None:
+    """One micro-batch of :func:`ingest_corpus_stream` — module-level so
+    the retry-idempotency contract is directly testable."""
+    from conduino_spark.operators.dedup import (
+        minhash_dedup, minhash_dedup_against, minhash_signatures,
+    )
+    from conduino_spark.operators.text import corpus_filter
+
+    kept = corpus_filter(text_col, rules=rules, keep_only=True)(
+        batch_df).select(*cols)
+    if within_batch_dedup:
+        kept = minhash_dedup(text_col, id_col)(kept)
+    ref = _read_prior_sigs(batch_df.sparkSession, sig_dir, batch_id)
+    if ref is not None:
+        kept = minhash_dedup_against(ref, text_col, id_col,
+                                     ref_sigs=True)(kept)
+    kept = kept.persist()
+    try:
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        minhash_signatures(text_col, id_col)(kept) \
+            .write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
+    finally:
+        kept.unpersist()
 
 
 def windowed_hll_registers(ts_col: str, duration: str, expr: str, *,
