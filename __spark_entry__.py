@@ -1474,7 +1474,23 @@ def bench_extras():
             "heavy_hitters_tokens": q_heavy_hitters_tokens,
             "source_overlap_docs": q_source_overlap_docs,
             "minhash_eval_docs": q_minhash_eval_docs,
-            "profile_docs": q_profile_docs}
+            "profile_docs": q_profile_docs,
+            # r7: BPE merge learning floor (driver-local fast path)
+            "bpe_train_docs": q_bpe_train_docs}
+
+
+def q_bpe_train_docs(spark, sf):
+    # r7: learn 64 BPE merges from the corpus vocabulary — one
+    # (word,count) aggregate + the collected-table Python learner
+    # (VERDICT r6 #3; both-paths-identical law in tests/test_round7.py).
+    # The merge list IS the model; returned as rows so the bench
+    # materializes a real artifact.
+    from conduino_spark import bpe_train
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    merges = bpe_train(docs, n_merges=64)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_no int, a string, b string")
 
 
 def q_minhash_eval_docs(spark, sf):

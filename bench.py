@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     # r6 third batch
     "hll_distinct_partkey", "heavy_hitters_tokens", "source_overlap_docs",
     "minhash_eval_docs", "profile_docs",
+    # r7: BPE merge-learning floor (driver-local fast path)
+    "bpe_train_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

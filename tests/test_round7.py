@@ -129,3 +129,67 @@ def test_ingest_cross_batch_dedup_via_spark_probe(spark, tmp_path, monkeypatch):
     ids = _kept_ids(spark, tmp_path)
     assert not any(i >= 9000 for i in ids)   # cross-batch dedup fired
     assert len(ids) > n0                     # fresh docs were kept
+
+
+# ---------------------------------------------------------------------------
+# bpe_train driver-local fast path (VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_local_path_equals_distributed(spark):
+    """The collected-vocab Python learner and the per-merge Spark loop
+    must produce the IDENTICAL merge list — selection ties, overlap
+    counting, min_count stop, everything."""
+    from conduino_spark import bpe_train
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    fast = bpe_train(docs, n_merges=25, min_count=2)
+    slow = bpe_train(docs, n_merges=25, min_count=2,
+                     local_vocab_limit=0)   # force the distributed loop
+    assert fast == slow and len(fast) == 25
+
+
+def test_bpe_train_local_path_early_stop(spark):
+    from conduino_spark import bpe_train
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    # only 'ab' reaches min_count=2; 'cd' pairs stop the loop early
+    merges = bpe_train(df, n_merges=10, min_count=2)
+    assert merges == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# plan audit: benign vs REAL cartesian classification (VERDICT r6 #6)
+# ---------------------------------------------------------------------------
+
+def _classify(df):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/tools/plan_audit.py")
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return pa.classify_cartesians(
+            df._jdf.queryExecution().executedPlan())
+    finally:
+        df.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_plan_audit_flags_real_cartesian_not_bounds_join(spark):
+    """A genuinely quadratic crossJoin must classify as REAL; the
+    sanctioned 1-row-aggregate bounds join must stay benign."""
+    li = spark.read.parquet(f"{SF}/orders.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    real = li.crossJoin(docs.select(F.col("doc_id").alias("d")))
+    total, n_real = _classify(real)
+    assert (total, n_real) == (1, 1)
+
+    bound = docs.agg(F.max("doc_id").alias("mx"))
+    benign = li.crossJoin(F.broadcast(bound)) \
+               .where(F.col("o_orderkey") <= F.col("mx"))
+    total, n_real = _classify(benign)
+    assert total == 1 and n_real == 0
+
+    # limit-1 side is also a provable bound
+    benign2 = li.crossJoin(F.broadcast(docs.select("doc_id").limit(1)))
+    total, n_real = _classify(benign2)
+    assert total == 1 and n_real == 0

@@ -36,6 +36,83 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = "/root/testdata/sf0.001"
 
 
+#: pass-through nodes that cannot increase a subtree's row count —
+#: walking through them preserves a ≤1-row proof
+_ONE_ROW_WRAPPERS = (
+    "WholeStageCodegen", "InputAdapter", "Project", "Filter", "Sort",
+    "Coalesce", "Exchange", "BroadcastExchange", "ReusedExchange",
+    "BroadcastQueryStage", "ShuffleQueryStage", "AQEShuffleRead",
+    "ColumnarToRow", "TableCacheQueryStage", "InMemoryTableScan",
+    "InMemoryRelation",
+)
+
+
+def _max_one_row(node) -> bool:
+    """True when the physical subtree PROVABLY produces ≤1 row: a
+    global (keys=[]) aggregate, a limit ≤1, or a ≤1-row local table —
+    possibly under row-preserving wrappers.  Conservative: anything
+    unproven is False."""
+    name = node.nodeName()
+    if name == "ReusedExchange":
+        # leaf node referencing the original exchange: children() is
+        # empty by design, the referenced plan hangs off .child()
+        try:
+            return _max_one_row(node.child())
+        except Exception:
+            return False
+    if name.startswith(_ONE_ROW_WRAPPERS):
+        ch = node.children()
+        if ch.size() == 1:
+            return _max_one_row(ch.apply(0))
+        if ch.size() == 0:  # InMemoryTableScan holds its relation aside
+            s = node.toString().splitlines()
+            return any(re.search(r"Aggregate\(keys=\[\s*\]", ln)
+                       for ln in s[:6])
+        return False
+    if "Aggregate" in name:  # HashAggregate / SortAggregate / Object…
+        return bool(re.search(r"Aggregate\s*\(?keys=\[\s*\]",
+                              node.verboseString(10)))
+    if name in ("GlobalLimit", "LocalLimit", "CollectLimit"):
+        return bool(re.match(rf"{name}\s+1[,\s]", node.verboseString(10)))
+    if name == "LocalTableScan":
+        try:
+            return node.rows().size() <= 1
+        except Exception:
+            return False
+    return False
+
+
+def classify_cartesians(jplan) -> "tuple[int, int]":
+    """(total, real) CartesianProduct/BroadcastNestedLoopJoin count in
+    an executed plan.  A cartesian is BENIGN when one input is provably
+    ≤1 row (the sanctioned broadcast-bounds pattern, plans/core.py) —
+    cost is linear in the other side.  Anything else is REAL: a
+    scale-killer the audit must fail on instead of letting it blend
+    into the benign population (VERDICT r6 #6)."""
+    total = real = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            total += 1
+            ch = node.children()
+            kids = [ch.apply(i) for i in range(ch.size())]
+            if not any(_max_one_row(k) for k in kids):
+                real += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        # subqueries host their own plans (scalar bounds live there)
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:
+            pass
+    return total, real
+
+
 def plan_facts(df) -> dict:
     # the audit session runs with AQE OFF (main() sets it): under AQE
     # a DataFrame's executedPlan stays an unmaterialized
@@ -43,8 +120,10 @@ def plan_facts(df) -> dict:
     # choices.  The static plan is the deterministic, diffable object;
     # AQE at runtime only improves on it (skew splits, broadcast
     # promotions, partition coalescing).
-    s = df._jdf.queryExecution().executedPlan().toString()
+    jplan = df._jdf.queryExecution().executedPlan()
+    s = jplan.toString()
     wscg = len(set(re.findall(r"\*\((\d+)\)", s)))
+    n_cart, n_real = classify_cartesians(jplan)
     return {
         "n_exchange": len(re.findall(r"\bExchange (?:hash|range|Single)", s)),
         "n_broadcast": s.count("BroadcastExchange"),
@@ -56,8 +135,8 @@ def plan_facts(df) -> dict:
         "n_row_python_udf": s.count("BatchEvalPython"),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", s)),
         "wscg": wscg,
-        "cartesian": (s.count("CartesianProduct")
-                      + s.count("BroadcastNestedLoopJoin")),
+        "cartesian": n_cart,
+        "real_cartesian": n_real,
     }
 
 
@@ -106,6 +185,8 @@ def main() -> None:
         "queries": len(report),
         "with_cartesian": sorted(n for n, f in report.items()
                                  if f["cartesian"]),
+        "with_real_cartesian": sorted(n for n, f in report.items()
+                                      if f["real_cartesian"]),
         "with_row_python_udf": sorted(n for n, f in report.items()
                                       if f["n_row_python_udf"]),
         "max_exchanges": max((f["n_exchange"] for f in report.values()),
@@ -116,6 +197,11 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+    # a REAL (neither-side-≤1-row) cartesian is a scale-killer, not a
+    # style note: fail the audit so it can't blend into the benign
+    # broadcast-bounds population
+    if totals["with_real_cartesian"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
