@@ -40,7 +40,8 @@ from conduino_spark.operators.dedup import (  # noqa: E402
     MINHASH_BANDS, MINHASH_PARAMS, MINHASH_ROWS, SHINGLE_N,
 )
 from conduino_spark.operators.sketches import (  # noqa: E402
-    binned_quantiles_sql, kmv_distinct_sql, winsorize_sql,
+    binned_quantiles_sql, heavy_hitters_sql, hll_estimate_sql,
+    kmv_distinct_sql, winsorize_sql,
 )
 from conduino_spark.operators.text import normalize_text_sql  # noqa: E402
 from conduino_spark.timeutil import epoch_seconds as _eps  # noqa: E402
@@ -134,21 +135,17 @@ def _dec_sum(col, alias: str, scale: int = 1_000_000):
 # queries
 # --------------------------------------------------------------------------
 
-def q_map_project(spark, sf):
-    p = (_src(sf, "lineitem")
-         | map_({"l_orderkey": F.col("l_orderkey"),
-                 "l_linenumber": F.col("l_linenumber"),
-                 "gross": F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 4)})
-         | sink_df())
-    return _strip(run_pipe(p, spark))
-
-
-def q_filter_pushdown(spark, sf):
+def q_map_filter_project(spark, sf):
+    # map ∘ filter in ONE composed pipe (merged r7, absorbing
+    # map_project + filter_pushdown): the filter must still reach the
+    # parquet scan THROUGH the map stage (plan-asserted in
+    # tests/test_plans.py pushdown tests)
     p = (_src(sf, "lineitem")
          | filter_("l_discount >= 0.05 and l_quantity < 10")
          | map_({"l_orderkey": F.col("l_orderkey"),
                  "l_linenumber": F.col("l_linenumber"),
-                 "l_quantity": F.col("l_quantity")})
+                 "l_quantity": F.col("l_quantity"),
+                 "gross": F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 4)})
          | sink_df())
     return _strip(run_pipe(p, spark))
 
@@ -215,7 +212,9 @@ def q_take_drop_sequel(spark, sf):
     # take's lazy nth-seq boundary, drop + `>>` sequel compilation, AND
     # take_while's consumed-boundary rule in ONE pipeline (merged r4,
     # second pass: the gate records at most 50 queries): rows
-    # 9001..9100 of the event stream, cut at the first value >= 99.5
+    # 9001..9100 of the event stream, cut at the first value >= 99.5.
+    # r7 merge: the zipSink law (several folds in ONE agg pass) rides
+    # along as a single-row cross join — both results are tiny.
     src = _src(sf, "events", seq_col="event_id")
     p = (src | take(9100)
          | (drop(9000) >> (take_while("value < 99.5")
@@ -223,7 +222,12 @@ def q_take_drop_sequel(spark, sf):
                                    "event_type": F.col("event_type"),
                                    "value": F.col("value")})
                            | sink_df())))
-    return _strip(run_pipe(p, spark))
+    tds = _strip(run_pipe(p, spark))
+    ev = _src(sf, "events").df(spark)
+    sinks = ev.agg(_dec_sum(F.col("value"), "sum_value"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.max("user_id").alias("max_user"))
+    return tds.crossJoin(F.broadcast(sinks))
 
 
 def q_user_event_profile(spark, sf):
@@ -262,14 +266,6 @@ def q_rolling_user_day(spark, sf):
         (F.col("__s6") / F.lit(1_000_000.0)).alias("sum_v"))
 
 
-def q_zip_sink_multi(spark, sf):
-    # zipSink law: several folds in ONE pass == one agg
-    ev = _src(sf, "events").df(spark)
-    return ev.agg(_dec_sum(F.col("value"), "sum_value"),
-                  F.count(F.lit(1)).alias("n"),
-                  F.max("user_id").alias("max_user"))
-
-
 def q_map_accum_multi(spark, sf):
     # BOTH mapAccum strategies in one gate query (merged r6, absorbing
     # record_flags): the sequential sorted-mapInPandas path computes the
@@ -303,7 +299,8 @@ def q_map_accum_multi(spark, sf):
 
 def q_latest_event_per_user(spark, sf):
     # CDC-style compaction: one hash aggregate, no window sort; ties on
-    # ts pinned by packing event_id into the order key
+    # ts pinned by packing event_id into the order key.  (r7: merged
+    # into the cdc_latest_state gate pin; kept as its building block.)
     from conduino_spark import dedup_latest
     src = _src(sf, "events")
     p = (src
@@ -530,11 +527,18 @@ def q_text_profile(spark, sf):
     p = (_src(sf, "documents", min_partitions="auto")
          | token_count() | quality_score() | repetition_stats()
          | lang_id() | fingerprint() | sink_df())
-    return run_pipe(p, spark).select(
+    prof = run_pipe(p, spark).select(
         "doc_id", "n_tokens", "quality",
         "dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
         "symbol_word_ratio", "mean_word_len", "alpha_word_frac",
         "lang_pred", "fingerprint")
+    # r7 merge: the simhash signature (formerly its own pin) joins the
+    # per-doc profile — simhash() reduces to (doc_id, simhash), so it
+    # runs as a sibling branch of the same scan, one hash join on the id
+    p2 = (_src(sf, "documents", min_partitions="auto")
+          | simhash() | sink_df())
+    sig = run_pipe(p2, spark).select("doc_id", "simhash")
+    return prof.join(sig, "doc_id")
 
 
 def q_dedup_exact(spark, sf):
@@ -634,11 +638,6 @@ def q_ivf_build(spark, sf):
     return run_pipe(p, spark)
 
 
-def q_simhash(spark, sf):
-    p = _src(sf, "documents", min_partitions="auto") | simhash() | sink_df()
-    return run_pipe(p, spark).select("doc_id", "simhash")
-
-
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -654,42 +653,26 @@ def _split_cuts(weights):
     return cuts
 
 
-def q_hash_partition_docs(spark, sf):
-    # hash_split + shard_by + hash_sample in ONE pipeline (merged r4):
+def q_layout_docs(spark, sf):
+    # hash_split + shard_by + hash_sample + deterministic_shuffle in
+    # ONE pipeline (merged r4; r7 absorbs det_shuffle_docs and keeps
+    # PER-DOC rows so every operator's full output is hash-verified):
     # label every doc with its train/val/test split and shard, keep a
     # salted 10% sample (the salt decorrelates the sample from the
     # split boundaries — same-hash sample would fall entirely in
-    # 'train'), count per (split, shard).  All three stay pure
-    # projections of doc_id — one scan, no shuffle before the count.
-    from conduino_spark import hash_sample, hash_split, shard_by
+    # 'train'), then rank the sampled docs into a reproducible global
+    # training order.  Splits/shards/sample stay pure projections of
+    # doc_id; only the final rank pays a range exchange.
+    from conduino_spark import (deterministic_shuffle, hash_sample,
+                                hash_split, shard_by)
     p = (_src(sf, "documents", min_partitions="auto")
          | hash_split("doc_id", SPLIT_WEIGHTS)
          | shard_by("doc_id", 8)
          | hash_sample("doc_id", 0.1, salt="r4")
+         | deterministic_shuffle("doc_id", salt="e0|")
          | sink_df())
-    return (run_pipe(p, spark)
-            .groupBy("split", "shard").agg(F.count(F.lit(1)).alias("n")))
-
-
-def q_quantiles_value(spark, sf):
-    # exact AND sketch quantiles side by side in one gate query
-    # (merged r6, absorbing value_percentiles): per event_type, the
-    # exact grouped quantiles joined with the deterministic O(bins)
-    # histogram estimates (binned_quantiles, the mergeable scale /
-    # streaming path whose error is bounded by (max-min)/bins) — the
-    # pairing a pipeline migrating from exact to sketched quantiles
-    # verifies
-    from conduino_spark import binned_quantiles, percentiles
-    p = (_src(sf, "events")
-         | percentiles(["event_type"], "value", {"p50": 0.5, "p95": 0.95})
-         | sink_df())
-    exact = run_pipe(p, spark)
-    p2 = (_src(sf, "events")
-          | binned_quantiles("value", {"b50": 0.5, "b95": 0.95},
-                             bins=512, keys=("event_type",))
-          | sink_df())
-    binned = run_pipe(p2, spark)
-    return exact.join(binned, "event_type")
+    return run_pipe(p, spark).select("doc_id", "split", "shard",
+                                     "shuffle_pos")
 
 
 def q_chunk_pack_docs(spark, sf):
@@ -717,14 +700,29 @@ def q_embedding_near_dup_ivf(spark, sf):
     return embedding_near_dup_pairs(threshold=0.2, bucket_col="cell")(joined)
 
 
-def q_kmv_distinct_tokens(spark, sf):
-    # bottom-k (KMV) distinct-count sketch over the corpus vocabulary —
-    # md5-derived hashes make the ESTIMATE itself oracle-replayable
-    from conduino_spark import kmv_distinct
+def q_sketch_profile(spark, sf):
+    # BOTH mergeable distinct sketches in one gate query (merged r7,
+    # absorbing kmv_distinct_tokens and gating the r6 HLL surface):
+    # the bottom-k (KMV) estimate of the corpus vocabulary, union'd
+    # with the sharded-HLL estimate of lineitem part keys in the
+    # production shape — ONE scan builds per-shard register rows,
+    # hll_merge collapses them register-wise (the mergeability that
+    # makes HLL the 100 TB distinct sketch).  md5-derived hashes make
+    # both ESTIMATES oracle-replayable.
+    from conduino_spark import hll_build, hll_estimate, hll_merge, kmv_distinct
     from conduino_spark.operators.text import tokens_col
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
-    return kmv_distinct("token", k=256)(toks)
+    kmv = (kmv_distinct("token", k=256)(toks)
+           .select(F.lit("kmv_tokens").alias("sketch"),
+                   F.round("approx_distinct", 6).alias("distinct_est")))
+    li = _src(sf, "lineitem").df(spark) \
+        .withColumn("__shard", F.expr("l_orderkey % 4"))
+    shards = hll_build("l_partkey", p=12, keys=("__shard",))(li)
+    hll = (hll_estimate()(hll_merge()(shards))
+           .select(F.lit("hll_partkey").alias("sketch"),
+                   F.round("approx_distinct", 6).alias("distinct_est")))
+    return kmv.unionByName(hll)
 
 
 def q_ngram_jaccard_lsh(spark, sf):
@@ -995,6 +993,14 @@ def q_tpch_q19(spark, sf):
                  "revenue", scale=10_000))
 
 
+def q_tpch_q14_q19(spark, sf):
+    # r7 gate pin: BOTH conditional-predicate TPC-H shapes in one row —
+    # Q14's conditional-sum promo ratio and Q19's OR-of-ANDs pushdown
+    # revenue, cross-joined single-row aggregates (VERDICT r6 #2)
+    return (q_tpch_q14(spark, sf)
+            .crossJoin(F.broadcast(q_tpch_q19(spark, sf))))
+
+
 def q_line_dedup_docs(spark, sf):
     # r6 second half: corpus-wide duplicate-line removal over documents
     # (single-line docs at this sf — the count/join/reassemble plan
@@ -1006,14 +1012,17 @@ def q_line_dedup_docs(spark, sf):
 
 
 def q_bigram_logprob_docs(spark, sf):
-    # r6 second half: interpolated bigram LM self-score of the corpus —
-    # vocab build + bigram build + 3-join scoring in one plan; 1e-9
-    # pure-Python reference in tests/test_round6b.py
+    # r6 second half, r7-gated: interpolated bigram LM self-score of
+    # the corpus — vocab build + bigram build + 3-join scoring in one
+    # plan.  term_round=4 makes the per-doc mean an exact scaled-long
+    # sum (order-free), so the score hash-replays in DuckDB; the
+    # full-precision mode keeps its 1e-9 pure-Python reference in
+    # tests/test_round6b.py.
     from conduino_spark import bigram_logprob, bigram_vocab, unigram_vocab
     docs = _src(sf, "documents").df(spark)
     uni = unigram_vocab()(docs)
     big = bigram_vocab()(docs)
-    return (bigram_logprob(big, uni)(docs)
+    return (bigram_logprob(big, uni, term_round=4)(docs)
             .select("doc_id", F.round("bigram_logprob_per_token", 6)
                     .alias("lp")))
 
@@ -1370,25 +1379,34 @@ def q_text_normalize(spark, sf):
     return run_pipe(p, spark).select("doc_id", "normalized")
 
 
-def q_det_shuffle_docs(spark, sf):
-    # r6 rotation: reproducible global training order — dense rank
-    # under the salted hash, oracle = the same rank in SQL
-    from conduino_spark import deterministic_shuffle
-    p = (_src(sf, "documents", min_partitions="auto")
-         | deterministic_shuffle("doc_id", salt="e0|")
-         | sink_df())
-    return run_pipe(p, spark).select("doc_id", "shuffle_pos")
-
-
-def q_winsorize_value(spark, sf):
-    # r6 rotation: per-event_type quantile clipping via the
-    # deterministic binned-quantile cuts — the clip replays bit-for-bit
-    from conduino_spark import winsorize
+def q_value_stats(spark, sf):
+    # r7 merge of quantiles_value + winsorize_value: per event_type,
+    # exact AND binned-sketch quantiles side by side, joined with the
+    # winsorized-value audit row (exact scaled-long sum + count + the
+    # clip bounds as observed min/max — a clip error anywhere in the
+    # 60k rows breaks the sum).  One gate row per group verifies four
+    # operators.
+    from conduino_spark import binned_quantiles, percentiles, winsorize
     p = (_src(sf, "events")
-         | winsorize("value", lo=0.05, hi=0.95, bins=256,
-                     keys=("event_type",), out="w")
+         | percentiles(["event_type"], "value", {"p50": 0.5, "p95": 0.95})
          | sink_df())
-    return run_pipe(p, spark).select("event_id", "w")
+    exact = run_pipe(p, spark)
+    p2 = (_src(sf, "events")
+          | binned_quantiles("value", {"b50": 0.5, "b95": 0.95},
+                             bins=512, keys=("event_type",))
+          | sink_df())
+    binned = run_pipe(p2, spark)
+    p3 = (_src(sf, "events")
+          | winsorize("value", lo=0.05, hi=0.95, bins=256,
+                      keys=("event_type",), out="w")
+          | sink_df())
+    wagg = (run_pipe(p3, spark)
+            .groupBy("event_type")
+            .agg(_dec_sum(F.col("w"), "w_sum"),
+                 F.count(F.lit(1)).alias("w_n"),
+                 F.round(F.min("w"), 6).alias("w_min"),
+                 F.round(F.max("w"), 6).alias("w_max")))
+    return exact.join(binned, "event_type").join(wagg, "event_type")
 
 
 def q_cdc_latest_state(spark, sf):
@@ -1413,7 +1431,14 @@ def q_cdc_latest_state(spark, sf):
                                   F.lit("D")).otherwise(F.lit("U"))
                             .alias("op"),
                            F.col("t").alias("ord")))
-    return cdc_apply(changes, ["user_id"], "ord")(snap)
+    state = cdc_apply(changes, ["user_id"], "ord")(snap)
+    # r7 merge: dedup_latest (the compaction building block, formerly
+    # the latest_event_per_user pin) rides along — every user's latest
+    # event LEFT-joined with the surviving CDC state (NULL value =
+    # that user's latest event was a delete)
+    latest = q_latest_event_per_user(spark, sf)
+    return latest.join(state.withColumnRenamed("value", "state_value"),
+                       "user_id", "left")
 
 
 def q_json_props(spark, sf):
@@ -1443,7 +1468,6 @@ def bench_extras():
             "unigram_logprob_docs": q_unigram_logprob_docs,
             "windowed_quantiles_value": q_windowed_quantiles_value,
             "dup_span_docs": q_dup_span_docs,
-            "pq_adc_search": q_pq_adc_search,
             "tpch_q14": q_tpch_q14,
             "tpch_q19": q_tpch_q19,
             "json_props": q_json_props,
@@ -1465,14 +1489,9 @@ def bench_extras():
             "tpch_q20": q_tpch_q20,
             "tpch_q21": q_tpch_q21,
             "tpch_q22": q_tpch_q22,
-            # r6 second half operators (local oracles in test_round6b)
-            "line_dedup_docs": q_line_dedup_docs,
-            "bigram_logprob_docs": q_bigram_logprob_docs,
-            "semantic_dedup_emb": q_semantic_dedup,
-            # r6 third batch (local oracles in test_round6c)
+            # (r7: line_dedup/bigram/semantic/heavy_hitters/
+            # source_overlap/pq_adc moved into the driver gate)
             "hll_distinct_partkey": q_hll_distinct_partkey,
-            "heavy_hitters_tokens": q_heavy_hitters_tokens,
-            "source_overlap_docs": q_source_overlap_docs,
             "minhash_eval_docs": q_minhash_eval_docs,
             "profile_docs": q_profile_docs,
             # r7: BPE merge learning floor (driver-local fast path)
@@ -1558,14 +1577,22 @@ def q_knn_methods(spark, sf):
     # ALL THREE ANN strategies in one gate query (merged r6), tagged by
     # method: exact brute-force (the correctness baseline), IVF
     # cell-probe, and SRP-LSH partition-pruned probe — same query
-    # vector, same k, three physical plans
+    # vector, same k, three physical plans.  r7 absorbs the ivf_build
+    # pin as a fourth arm: the full k-means-lite cell assignment
+    # (score = cell id), so quantizer training stays hash-verified.
     brute = q_knn_bruteforce(spark, sf).select(
-        F.lit("brute").alias("method"), "vec_id", "cosine")
+        F.lit("brute").alias("method"), "vec_id",
+        F.col("cosine").alias("score"))
     ivf = q_ivf_search_topk(spark, sf).select(
-        F.lit("ivf").alias("method"), "vec_id", "cosine")
+        F.lit("ivf").alias("method"), "vec_id",
+        F.col("cosine").alias("score"))
     lsh = q_knn_lsh_probe(spark, sf).select(
-        F.lit("lsh").alias("method"), "vec_id", "cosine")
-    return brute.unionByName(ivf).unionByName(lsh)
+        F.lit("lsh").alias("method"), "vec_id",
+        F.col("cosine").alias("score"))
+    cells = q_ivf_build(spark, sf).select(
+        F.lit("cell").alias("method"), "vec_id",
+        F.col("cell").cast("double").alias("score"))
+    return brute.unionByName(ivf).unionByName(lsh).unionByName(cells)
 
 
 def q_ivf_search_topk(spark, sf):
@@ -1622,16 +1649,21 @@ GATE_MAX_QUERIES = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # conduino combinator surface (SURVEY §2)
-        "map_project": q_map_project,
-        "filter_pushdown": q_filter_pushdown,
+        # conduino combinator surface (SURVEY §2).  r7 merges:
+        # map_filter_project = map_project + filter_pushdown;
+        # take_drop_sequel absorbs zip_sink_multi (single-row cross);
+        # cdc_latest_state absorbs latest_event_per_user;
+        # text_profile absorbs simhash; layout_docs =
+        # hash_partition_docs + det_shuffle_docs (per-doc rows);
+        # value_stats = quantiles_value + winsorize_value;
+        # knn_methods absorbs ivf_build (cells arm); sketch_profile =
+        # kmv_distinct_tokens + the r6 HLL shard/merge/estimate chain.
+        "map_filter_project": q_map_filter_project,
         "concat_map_tokens": q_concat_map_tokens,
         "scan_cumsum": q_scan_cumsum,
         "ordered_windows": q_ordered_windows,
         "take_drop_sequel": q_take_drop_sequel,
-        "zip_sink_multi": q_zip_sink_multi,
         "map_accum_multi": q_map_accum_multi,
-        "latest_event_per_user": q_latest_event_per_user,
         "zip_concat_last": q_zip_concat_last,
         # relational extensions (SURVEY §2.7)
         "tpch_q1": q_tpch_q1,
@@ -1640,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q14_q19": q_tpch_q14_q19,
         "ranked_orders_per_cust": q_ranked_orders_per_cust,
         "set_ops": q_set_ops,
         "window_tumbling": q_window_tumbling,
@@ -1651,17 +1684,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_survivors": q_minhash_survivors,
-        "simhash": q_simhash,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-        "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "sketch_profile": q_sketch_profile,
         "chunk_pack_docs": q_chunk_pack_docs,
         "user_event_profile": q_user_event_profile,
-        "quantiles_value": q_quantiles_value,
-        "hash_partition_docs": q_hash_partition_docs,
+        "value_stats": q_value_stats,
+        "layout_docs": q_layout_docs,
         "salted_group_revenue": q_salted_group_revenue,
         "asof_events_bidir": q_asof_events_bidir,
         "interval_events": q_interval_events,
-        "ivf_build": q_ivf_build,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "knn_methods": q_knn_methods,
         "rolling_user_day": q_rolling_user_day,
@@ -1673,12 +1704,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "mixture_sample": q_mixture_sample,
         "train_pipeline": q_train_pipeline,
-        # r6 surface rotated in by the second merge pass (ANN methods,
-        # minhash survivor policies, ordered windows)
         "text_normalize": q_text_normalize,
-        "det_shuffle_docs": q_det_shuffle_docs,
-        "winsorize_value": q_winsorize_value,
         "cdc_latest_state": q_cdc_latest_state,
+        # r7 rotation: the r6 surface swapped into the driver gate
+        # (VERDICT r6 #2)
+        "heavy_hitters_tokens": q_heavy_hitters_tokens,
+        "line_dedup_docs": q_line_dedup_docs,
+        "bigram_logprob_docs": q_bigram_logprob_docs,
+        "semantic_dedup_emb": q_semantic_dedup,
+        "source_overlap_docs": q_source_overlap_docs,
+        "pq_adc_search": q_pq_adc_search,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -1914,16 +1949,69 @@ def _sql_ivf_topk(k: int = 10, nprobe: int = 2) -> str:
             ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
+def _sql_pq_adc(m: int = 8, k: int = 16, dim: int = 64,
+                kk: int = 10) -> str:
+    """DuckDB rendering of pq_train(m, k, iters=1) + pq_encode +
+    pq_search (operators/similarity.py) — bit-identical by the same
+    contract as :func:`_sql_ivf_cells`: init = k lowest-id vectors'
+    subvectors, first-minimum (lowest-code) ties, scaled-long means,
+    codes never assigned keep their init centroid, query→centroid
+    distance table rounded to 6dp per entry, per-row ADC sum in
+    subspace order, final round(·, 6) with (dist, id) ordering."""
+    sd = dim // m
+    dist = (f"list_sum(list_transform(range(1, {sd + 1}), "
+            f"i -> (e.v[b.s*{sd}+i] - b.c[i]) * (e.v[b.s*{sd}+i] - b.c[i])))")
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+                     FROM e ORDER BY vec_id LIMIT {k}),
+            b0 AS (SELECT r.s, init.code,
+                          v[r.s*{sd}+1 : r.s*{sd}+{sd}] AS c
+                   FROM init, range(0, {m}) r(s)),
+            d0 AS (SELECT e.vec_id, b.s, b.code, {dist} AS d
+                   FROM e CROSS JOIN b0 b),
+            a0 AS (SELECT vec_id, s, code FROM d0
+                   QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d, code) = 1),
+            s1 AS (SELECT a.s, a.code, r.i,
+                          SUM(CAST(round(e.v[a.s*{sd}+r.i] * 1000000000)
+                                   AS BIGINT)) AS sm,
+                          COUNT(*) AS n
+                   FROM a0 a JOIN e USING (vec_id), range(1, {sd + 1}) r(i)
+                   GROUP BY 1, 2, 3),
+            b1 AS (SELECT s, code,
+                          list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                               / 1000000000.0 ORDER BY i) AS c
+                   FROM s1 GROUP BY s, code),
+            bf AS (SELECT b0.s, b0.code, coalesce(b1.c, b0.c) AS c
+                   FROM b0 LEFT JOIN b1 USING (s, code)),
+            d1 AS (SELECT e.vec_id, b.s, b.code, {dist} AS d
+                   FROM e CROSS JOIN bf b),
+            a1 AS (SELECT vec_id, s, code FROM d1
+                   QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d, code) = 1),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_KNN_ID}),
+            dt AS (SELECT b.s, b.code,
+                          round(list_sum(list_transform(range(1, {sd + 1}),
+                                i -> (q.qv[b.s*{sd}+i] - b.c[i])
+                                     * (q.qv[b.s*{sd}+i] - b.c[i]))), 6) AS d
+                   FROM bf b, q),
+            adc AS (SELECT a.vec_id,
+                           list_sum(list(dt.d ORDER BY a.s)) AS dist
+                    FROM a1 a JOIN dt ON dt.s = a.s AND dt.code = a.code
+                    GROUP BY a.vec_id)
+            SELECT vec_id, round(dist, 6) AS approx_dist FROM adc
+            ORDER BY approx_dist, vec_id LIMIT {kk}"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = tokens_sql("text")
     li_seq = "l_orderkey * 8 + l_linenumber"  # unused; events carry event_id
     sql = {
-        "map_project": """
-            SELECT l_orderkey, l_linenumber,
+        "map_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
                    round(l_extendedprice * (1 + l_tax), 4) AS gross
-            FROM lineitem""",
-        "filter_pushdown": """
-            SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10""",
         "concat_map_tokens": f"""
             SELECT doc_id, unnest({toks}) AS token FROM documents""",
@@ -1934,18 +2022,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
                        AS cum_n
             FROM orders""",
-        "latest_event_per_user": """
-            SELECT user_id,
-                   arg_max(event_id,
-                           CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
-                       AS event_id,
-                   arg_max(CAST(floor(epoch(ts)) AS BIGINT),
-                           CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
-                       AS t,
-                   arg_max(event_type,
-                           CAST(floor(epoch(ts)) AS BIGINT) * 100000 + event_id)
-                       AS event_type
-            FROM events GROUP BY user_id""",
         "map_accum_multi": """
             WITH alt AS (
               SELECT event_id,
@@ -1993,15 +2069,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, event_type, value FROM events
                 ORDER BY event_id LIMIT 9100)
               WHERE event_id > (SELECT event_id FROM events
-                                ORDER BY event_id LIMIT 1 OFFSET 8999))
-            SELECT event_id, event_type, value FROM w
-            WHERE event_id < coalesce(
-              (SELECT min(event_id) FROM w WHERE NOT (value < 99.5)),
-              (SELECT max(event_id) + 1 FROM w))""",
-        "zip_sink_multi": """
-            SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value,
-                   COUNT(*) AS n, MAX(user_id) AS max_user
-            FROM events""",
+                                ORDER BY event_id LIMIT 1 OFFSET 8999)),
+            tds AS (
+              SELECT event_id, event_type, value FROM w
+              WHERE event_id < coalesce(
+                (SELECT min(event_id) FROM w WHERE NOT (value < 99.5)),
+                (SELECT max(event_id) + 1 FROM w))),
+            z AS (
+              SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0
+                       AS sum_value,
+                     COUNT(*) AS n, MAX(user_id) AS max_user
+              FROM events)
+            SELECT tds.event_id, tds.event_type, tds.value,
+                   z.sum_value, z.n, z.max_user
+            FROM tds CROSS JOIN z""",
         "zip_concat_last": """
             WITH cat AS (
               SELECT r_regionkey AS pos, r_name AS name FROM region
@@ -2108,14 +2189,15 @@ def oracle_sql() -> dict[str, str]:
                    r.dup_line_frac, r.dup_line_char_frac,
                    r.top_2gram_char_frac, r.symbol_word_ratio,
                    r.mean_word_len, r.alpha_word_frac,
-                   l.lang_pred, l.fingerprint
+                   l.lang_pred, l.fingerprint, sm.simhash
             FROM (SELECT doc_id, len({toks})::BIGINT AS n_tokens,
                          {quality_score_sql('text', 'quality')}
                   FROM documents) s
             JOIN ({repetition_stats_sql()}) r USING (doc_id)
             JOIN (SELECT doc_id, {lang_id_sql('text', 'lang_pred')},
                          {rolling_fingerprint_sql(f"[{h32_sql('t')} for t in {toks}]")} AS fingerprint
-                  FROM documents) l USING (doc_id)""",
+                  FROM documents) l USING (doc_id)
+            JOIN ({_sql_simhash()}) sm USING (doc_id)""",
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
         "minhash_pairs": _sql_minhash_bands() + """
@@ -2172,7 +2254,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN big ON o_orderkey = l_orderkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
-        "ivf_build": _sql_ivf_cells(),
         "embedding_near_dup_ivf": f"""
             WITH cells AS ({_sql_ivf_cells()}),
             base AS (SELECT e.vec_id, c.cell, e.embedding::DOUBLE[] AS v,
@@ -2223,18 +2304,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.event_id, v.user_id, v.t, b.p_event
             FROM views v JOIN buys b
               ON v.user_id = b.user_id AND v.t >= b.s AND v.t < b.e""",
-        "simhash": _sql_simhash(),
-        "hash_partition_docs": f"""
-            SELECT CASE
+        "layout_docs": f"""
+            SELECT doc_id,
+                   CASE
                      {" ".join(f"WHEN {h32_sql('CAST(doc_id AS VARCHAR)')} < {hi} THEN '{k}'"
                                for k, hi in _split_cuts(SPLIT_WEIGHTS)[:-1])}
                      ELSE '{_split_cuts(SPLIT_WEIGHTS)[-1][0]}'
                    END AS split,
                    {h32_sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
-                   COUNT(*) AS n
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY {h32_sql("concat('e0|', CAST(doc_id AS VARCHAR))")},
+                              CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
+                     AS shuffle_pos
             FROM documents
             WHERE {h32_sql("'r4' || CAST(doc_id AS VARCHAR)")} < {int(0.1 * (1 << 32))}
-            GROUP BY 1, 2""",
+              AND doc_id IS NOT NULL""",
         "user_event_profile": """
             WITH piv AS (
               SELECT user_id,
@@ -2260,8 +2344,9 @@ def oracle_sql() -> dict[str, str]:
             FROM piv p LEFT JOIN (
               SELECT user_id, ta / 1e6 AS t1, tb / 1e6 AS t2, tc / 1e6 AS t3
               FROM s3) f USING (user_id)""",
-        "quantiles_value": f"""
-            SELECT e.event_type, e.p50, e.p95, b.b50, b.b95
+        "value_stats": f"""
+            SELECT e.event_type, e.p50, e.p95, b.b50, b.b95,
+                   w.w_sum, w.w_n, w.w_min, w.w_max
             FROM (SELECT event_type,
                          round(quantile_cont(value, 0.5), 6) AS p50,
                          round(quantile_cont(value, 0.95), 6) AS p95
@@ -2269,6 +2354,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({binned_quantiles_sql("value", {"b50": 0.5, "b95": 0.95},
                                         bins=512, keys=("event_type",),
                                         table="events")}) b
+            USING (event_type)
+            JOIN (SELECT event_type,
+                         SUM(CAST(ROUND(w * 1000000) AS BIGINT)) / 1000000.0
+                           AS w_sum,
+                         COUNT(*) AS w_n,
+                         round(MIN(w), 6) AS w_min,
+                         round(MAX(w), 6) AS w_max
+                  FROM ({winsorize_sql(
+                      "value", lo=0.05, hi=0.95, bins=256,
+                      keys=("event_type",), out="w", table="events",
+                      select_cols="t.event_type")}) ww
+                  GROUP BY event_type) w
             USING (event_type)""",
         "chunk_pack_docs": f"""
             WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
@@ -2285,10 +2382,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_id, chunk, n_tokens,
                    CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin
             FROM o""",
-        "kmv_distinct_tokens": kmv_distinct_sql(
-            "t", 256,
-            from_clause=f"FROM (SELECT unnest({tokens_sql('text')}) AS t "
-                        "FROM documents)"),
+        "sketch_profile": f"""
+            SELECT 'kmv_tokens' AS sketch,
+                   round(approx_distinct, 6) AS distinct_est
+            FROM ({kmv_distinct_sql(
+                "t", 256,
+                from_clause=f"FROM (SELECT unnest({tokens_sql('text')}) AS t "
+                            "FROM documents)")})
+            UNION ALL
+            SELECT 'hll_partkey' AS sketch,
+                   round(approx_distinct, 6) AS distinct_est
+            FROM ({hll_estimate_sql("l_partkey", p=12, table="lineitem")})""",
         "ngram_jaccard_lsh": _sql_minhash_bands() + f"""
             , cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2310,7 +2414,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2""",
         "knn_methods": f"""
-            SELECT 'brute' AS method, vec_id, cosine FROM (
+            SELECT 'brute' AS method, vec_id, cosine AS score FROM (
               WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                          WHERE vec_id = {QUERY_KNN_ID}),
               scored AS (
@@ -2322,10 +2426,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, cosine FROM scored
               ORDER BY cosine DESC, vec_id LIMIT 10)
             UNION ALL
-            SELECT 'ivf' AS method, vec_id, cosine FROM ({_sql_ivf_topk()})
+            SELECT 'ivf' AS method, vec_id, cosine AS score
+            FROM ({_sql_ivf_topk()})
             UNION ALL
-            SELECT 'lsh' AS method, vec_id, cosine
-            FROM ({_sql_knn_lsh_probe()})""",
+            SELECT 'lsh' AS method, vec_id, cosine AS score
+            FROM ({_sql_knn_lsh_probe()})
+            UNION ALL
+            SELECT 'cell' AS method, vec_id, CAST(cell AS DOUBLE) AS score
+            FROM ({_sql_ivf_cells()})""",
         "rolling_user_day": """
             SELECT event_id, count(*) OVER w AS n,
                    SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
@@ -2368,24 +2476,150 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": f"""
             SELECT doc_id, {normalize_text_sql(strip_punct=True)}
             FROM documents""",
-        "det_shuffle_docs": f"""
-            SELECT doc_id,
-                   CAST(ROW_NUMBER() OVER (
-                     ORDER BY {h32_sql("concat('e0|', CAST(doc_id AS VARCHAR))")},
-                              CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
-                     AS shuffle_pos
-            FROM documents WHERE doc_id IS NOT NULL""",
-        "winsorize_value": winsorize_sql(
-            "value", lo=0.05, hi=0.95, bins=256, keys=("event_type",),
-            out="w", table="events", select_cols="t.event_id"),
         "cdc_latest_state": """
-            WITH t AS (SELECT user_id, value, event_type,
-                              CAST(floor(epoch(ts)) AS BIGINT) * 100000
-                                + event_id AS t
-                       FROM events)
-            SELECT user_id, arg_max(value, t) AS value
-            FROM t GROUP BY user_id
-            HAVING arg_max(event_type, t) <> 'error'""",
+            WITH lat AS (
+              SELECT user_id,
+                     arg_max(event_id,
+                             CAST(floor(epoch(ts)) AS BIGINT) * 100000
+                               + event_id) AS event_id,
+                     arg_max(CAST(floor(epoch(ts)) AS BIGINT),
+                             CAST(floor(epoch(ts)) AS BIGINT) * 100000
+                               + event_id) AS t,
+                     arg_max(event_type,
+                             CAST(floor(epoch(ts)) AS BIGINT) * 100000
+                               + event_id) AS event_type
+              FROM events GROUP BY user_id),
+            st AS (
+              SELECT user_id, arg_max(value, t) AS state_value
+              FROM (SELECT user_id, value, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) * 100000
+                             + event_id AS t
+                    FROM events) tt
+              GROUP BY user_id
+              HAVING arg_max(event_type, t) <> 'error')
+            SELECT lat.user_id, lat.event_id, lat.t, lat.event_type,
+                   st.state_value
+            FROM lat LEFT JOIN st USING (user_id)""",
+        "tpch_q14_q19": """
+            SELECT q14.promo_revenue, q19.revenue
+            FROM (
+              SELECT round(100.0 * (
+                  SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                       * 10000) AS BIGINT)) / 10000.0) / (
+                  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0), 6) AS promo_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00') q14
+            CROSS JOIN (
+              SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                     * 10000) AS BIGINT)) / 10000.0 AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+                     AND p_size BETWEEN 1 AND 5)
+                 OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
+                     AND p_size BETWEEN 1 AND 10)) q19""",
+        "heavy_hitters_tokens": heavy_hitters_sql(
+            "token", min_frac=0.005,
+            table=f"(SELECT unnest({tokens_sql('text')}) AS token "
+                  "FROM documents) __tok"),
+        "line_dedup_docs": """
+            WITH lines AS (
+              SELECT doc_id, pos, line, lower(trim(line)) AS nl
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, chr(10))) AS line,
+                           generate_subscripts(string_split(text, chr(10)), 1)
+                             AS pos
+                    FROM documents)),
+            dup AS (SELECT nl FROM lines WHERE len(nl) >= 5
+                    GROUP BY nl HAVING COUNT(*) >= 2),
+            fl AS (SELECT l.*,
+                          (len(nl) >= 5 AND nl IN (SELECT nl FROM dup)) AS drp
+                   FROM lines l),
+            re AS (SELECT doc_id, COUNT(*) AS n_lines,
+                          SUM(CASE WHEN drp THEN 1 ELSE 0 END)
+                            AS n_lines_dropped,
+                          coalesce(string_agg(CASE WHEN NOT drp THEN line END,
+                                              chr(10) ORDER BY pos), '') AS t
+                   FROM fl GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN re.doc_id IS NULL THEN d.text ELSE re.t END
+                     AS text,
+                   CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(n_lines_dropped, 0) AS BIGINT)
+                     AS n_lines_dropped
+            FROM documents d LEFT JOIN re USING (doc_id)""",
+        "bigram_logprob_docs": f"""
+            WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+            uni AS (SELECT tok AS token, COUNT(*) AS c
+                    FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+            st AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+            pp AS (SELECT doc_id,
+                          unnest(t[1:len(t)-1]) AS prev,
+                          unnest(t[2:len(t)]) AS token
+                   FROM tk WHERE len(t) >= 2),
+            big AS (SELECT prev, token, COUNT(*) AS c FROM pp
+                    GROUP BY prev, token),
+            pre AS (SELECT prev, SUM(c) AS cp FROM big GROUP BY prev),
+            sc AS (
+              SELECT pp.doc_id,
+                     CAST(ROUND(ln(
+                       CAST(0.7 AS DOUBLE)
+                       * (CASE WHEN coalesce(pre.cp, 0) > 0
+                          THEN CAST(coalesce(b.c, 0) AS DOUBLE)
+                               / CAST(pre.cp AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END)
+                       + CAST(0.30000000000000004 AS DOUBLE)
+                       * ((CAST(coalesce(u.c, 0) AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE))
+                          / (CAST(st.n AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)
+                               * (CAST(st.v AS DOUBLE) + 1)))
+                     ) * 10000) AS BIGINT) AS sl
+              FROM pp
+              LEFT JOIN big b ON b.prev = pp.prev AND b.token = pp.token
+              LEFT JOIN pre ON pre.prev = pp.prev
+              LEFT JOIN uni u ON u.token = pp.token
+              CROSS JOIN st),
+            per AS (SELECT doc_id,
+                           CAST(SUM(sl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                             / 10000.0 AS lp0
+                    FROM sc GROUP BY doc_id)
+            SELECT d.doc_id, round(per.lp0, 6) AS lp
+            FROM documents d LEFT JOIN per USING (doc_id)""",
+        "semantic_dedup_emb": """
+            WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([x * x
+                                           for x in embedding::DOUBLE[]])) AS n
+                          FROM embeddings),
+            losers AS (SELECT DISTINCT b.vec_id
+                       FROM base a JOIN base b
+                         ON a.label = b.label AND a.vec_id < b.vec_id
+                       WHERE round(list_sum([a.v[i] * b.v[i]
+                                    for i in range(1, len(a.v) + 1)])
+                                   / (a.n * b.n), 6) >= 0.2)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+        "source_overlap_docs": f"""
+            WITH tk AS (SELECT source, {toks} AS t FROM documents),
+            sh AS (SELECT DISTINCT source,
+                          unnest([{h32_sql('s')}
+                                  for s in {_sql_shingles('t')}]) AS h
+                   FROM tk),
+            sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+            common AS (
+              SELECT a.source AS group_a, b.source AS group_b,
+                     count(*) AS n_common
+              FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                     AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.source = group_a
+            JOIN sizes sb ON sb.source = group_b""",
+        "pq_adc_search": _sql_pq_adc(),
     }
     return sql
 

@@ -31,18 +31,24 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # renamed queries should expect the merged query to cost roughly the
 # SUM of its parents.
 BENCH_QUERIES = [
+    # r7 gate-rotation renames: map_project → map_filter_project,
+    # det_shuffle_docs → layout_docs (absorbs hash_partition_docs),
+    # winsorize_value → value_stats (absorbs quantiles_value), simhash
+    # riding inside text_profile, cdc_latest_state absorbing
+    # latest_event_per_user, knn_methods gaining the ivf_build cells
+    # arm — merged floors ≈ the sum of their parents.
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "scan_cumsum", "ordered_windows", "map_accum_multi",
-    "window_tumbling", "map_project", "concat_map_tokens",
+    "window_tumbling", "map_filter_project", "concat_map_tokens",
     "chunk_pack_docs", "asof_events_bidir",
     "rolling_user_day", "user_event_profile",
     "text_profile",
     "dedup_exact", "minhash_pairs", "minhash_survivors",
-    "simhash", "ngram_jaccard_lsh",
-    "knn_methods",
+    "ngram_jaccard_lsh",
+    "knn_methods", "sketch_profile",
     "sessionize_events", "bloom_prune", "corpus_filter_keep",
     "dedup_against", "mixture_sample", "train_pipeline",
-    "text_normalize", "det_shuffle_docs", "winsorize_value",
+    "text_normalize", "layout_docs", "value_stats",
     "cdc_latest_state",
     # bench-only (entry.bench_extras): cold index build + probe, so the
     # warm memoized knn_lsh_probe number has an honest counterpart;

@@ -833,6 +833,7 @@ def bigram_vocab(text_col: str = "text") -> Stage:
 def bigram_logprob(bigrams: DataFrame, unigrams: DataFrame,
                    text_col: str = "text", *, id_col: str = "doc_id",
                    alpha: float = 0.5, lam: float = 0.7,
+                   term_round: "int | None" = None,
                    out: str = "bigram_logprob_per_token") -> Stage:
     """Mean per-position interpolated bigram log-probability — the
     KenLM-style upgrade of :func:`unigram_logprob`:
@@ -851,11 +852,21 @@ def bigram_logprob(bigrams: DataFrame, unigrams: DataFrame,
     from it, and the unigram table — each a plain hash join AQE
     broadcasts when the model is small; one per-doc mean closes the
     score.  Raw text shuffles only as token pairs.  Tolerance oracle
-    (libm ln), the unigram/BM25 contract."""
+    (libm ln), the unigram/BM25 contract.
+
+    ``term_round``: when set, each per-position log term is rounded to
+    that many decimals and the mean becomes an exact scaled-long sum /
+    count — order-free and hash-replayable across engines (a plain
+    double ``avg`` depends on partition summation order; raw libm
+    ``ln`` differs in the last ulp).  The DETERMINISTIC mode the driver
+    gate runs; None keeps the full-precision tolerance-contract
+    score."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
     if not 0.0 <= lam < 1.0:
         raise ValueError(f"lam must be in [0, 1), got {lam}")
+    if term_round is not None and not 1 <= term_round <= 9:
+        raise ValueError(f"term_round must be in [1, 9], got {term_round}")
 
     def fn(df: DataFrame) -> DataFrame:
         stats = unigrams.agg(
@@ -885,8 +896,17 @@ def bigram_logprob(bigrams: DataFrame, unigrams: DataFrame,
             F.coalesce(F.col("__cbt"), F.lit(0)).cast("double")
             / F.col("__cp").cast("double")).otherwise(F.lit(0.0))
         lp = F.log(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
-        per_doc = (j.select(id_col, lp.alias("__lp"))
-                     .groupBy(id_col).agg(F.avg("__lp").alias(out)))
+        if term_round is None:
+            per_doc = (j.select(id_col, lp.alias("__lp"))
+                         .groupBy(id_col).agg(F.avg("__lp").alias(out)))
+        else:
+            scale = 10 ** term_round
+            sl = F.round(lp * F.lit(scale)).cast("long")
+            per_doc = (j.select(id_col, sl.alias("__sl"))
+                        .groupBy(id_col)
+                        .agg((F.sum("__sl").cast("double")
+                              / F.count("__sl").cast("double")
+                              / F.lit(float(scale))).alias(out)))
         return df.join(per_doc, id_col, "left")
 
     return Stage(fn, name=f"bigram_logprob(alpha={alpha},lam={lam})",

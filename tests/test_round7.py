@@ -156,6 +156,33 @@ def test_bpe_train_local_path_early_stop(spark):
 
 
 # ---------------------------------------------------------------------------
+# bigram_logprob term_round (the r7 gate's exact-mean mode)
+# ---------------------------------------------------------------------------
+
+def test_bigram_term_round_tracks_full_precision(spark):
+    """term_round=4 (scaled-long exact mean — order-free, the driver
+    gate mode) must agree with the full-precision avg to the rounding
+    granularity, and NULL exactly where it NULLs."""
+    from conduino_spark import bigram_logprob, bigram_vocab, unigram_vocab
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    uni, big = unigram_vocab()(docs), bigram_vocab()(docs)
+    full = {r.doc_id: r.bigram_logprob_per_token
+            for r in bigram_logprob(big, uni)(docs).collect()}
+    gate = {r.doc_id: r.bigram_logprob_per_token
+            for r in bigram_logprob(big, uni, term_round=4)(docs).collect()}
+    assert set(full) == set(gate)
+    for k in full:
+        if full[k] is None:
+            assert gate[k] is None
+        else:
+            assert abs(full[k] - gate[k]) < 5e-5
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bigram_logprob(big, uni, term_round=0)
+
+
+# ---------------------------------------------------------------------------
 # plan audit: benign vs REAL cartesian classification (VERDICT r6 #6)
 # ---------------------------------------------------------------------------
 
