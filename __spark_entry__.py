@@ -1495,7 +1495,18 @@ def bench_extras():
             "minhash_eval_docs": q_minhash_eval_docs,
             "profile_docs": q_profile_docs,
             # r7: BPE merge learning floor (driver-local fast path)
-            "bpe_train_docs": q_bpe_train_docs}
+            "bpe_train_docs": q_bpe_train_docs,
+            # r7: batched ANN join floor (DuckDB oracle in test_round7)
+            "ann_join_emb": q_ann_join_emb}
+
+
+def q_ann_join_emb(spark, sf):
+    # r7: top-5 cosine neighbors for EVERY embedding, IVF-cell-bucketed
+    # with nprobe=2 — the kNN-graph / retrieval-batch join shape; never
+    # all-pairs (candidates only inside each query's 2 best cells)
+    from conduino_spark import ann_join
+    emb = _src(sf, "embeddings").df(spark)
+    return ann_join(emb, k=5, nprobe=2, exclude_self=True)(emb)
 
 
 def q_bpe_train_docs(spark, sf):

@@ -67,8 +67,9 @@ BENCH_QUERIES = [
     # r6 third batch
     "hll_distinct_partkey", "heavy_hitters_tokens", "source_overlap_docs",
     "minhash_eval_docs", "profile_docs",
-    # r7: BPE merge-learning floor (driver-local fast path)
-    "bpe_train_docs",
+    # r7: BPE merge-learning floor (driver-local fast path) + the
+    # batched ANN-join kNN-graph shape
+    "bpe_train_docs", "ann_join_emb",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -61,10 +61,10 @@ from conduino_spark.operators.text import (
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, dup_span_stats, embedding_near_dup_pairs,
-    minhash_dedup, semantic_dedup,
+    lsh_candidate_prob, minhash_dedup, semantic_dedup,
     minhash_dedup_against, minhash_dedup_cc, minhash_dedup_pairs,
     minhash_eval, minhash_signatures, ngram_jaccard_pairs, simhash,
-    simhash_dedup_pairs, source_overlap,
+    simhash_dedup_pairs, source_overlap, tune_minhash_bands,
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
 from conduino_spark.operators.graph import (
@@ -74,9 +74,10 @@ from conduino_spark.operators.search import (
     bm25_search, build_postings,
 )
 from conduino_spark.operators.similarity import (
-    cell_centroids, cosine_to, ivf_build, ivf_search, ivfpq_search,
-    knn_brute, knn_lsh, lsh_bucket, lsh_index_write, pq_encode, pq_search,
-    pq_train, probe_buckets, vec_dequantize, vec_quantize_int8,
+    ann_join, cell_centroids, cosine_to, ivf_build, ivf_search,
+    ivfpq_search, knn_brute, knn_lsh, lsh_bucket, lsh_index_write,
+    pq_encode, pq_search, pq_train, probe_buckets, vec_dequantize,
+    vec_quantize_int8,
 )
 from conduino_spark.operators.multimodal import (
     audio_metadata, feature_extract, frame_sample, image_metadata,

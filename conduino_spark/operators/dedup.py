@@ -793,3 +793,50 @@ def minhash_eval(threshold: float = 0.5, *, text_col: str = "text",
 
     return Stage(fn, name=f"minhash_eval(t={threshold})",
                  seq_preserving=False)
+
+
+def lsh_candidate_prob(s: float, bands: int, rows: int) -> float:
+    """P(a pair with Jaccard similarity ``s`` becomes an LSH candidate)
+    under (bands × rows) MinHash banding: ``1 - (1 - s^rows)^bands`` —
+    the S-curve every banding choice trades on (Leskovec/Rajaraman/
+    Ullman, Mining of Massive Datasets §3.4)."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"similarity must be in [0, 1], got {s}")
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def tune_minhash_bands(threshold: float, n_perm: int = MINHASH_K, *,
+                       fn_weight: float = 0.5) -> "tuple[int, int]":
+    """Pick (bands, rows) with ``bands * rows <= n_perm`` minimizing the
+    weighted false-positive + false-negative area of the banding
+    S-curve around ``threshold`` (the datasketch-style integral,
+    evaluated by midpoint rule): FP = candidates below the threshold
+    (wasted verification), FN = non-candidates above it (duplicates
+    that SURVIVE dedup — weight them via ``fn_weight``; > 0.5 biases
+    toward recall).  Driver-side pure arithmetic — run it BEFORE
+    committing a banding config to a corpus-scale job, typically with
+    :func:`minhash_eval` as the empirical check on a sample."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+    if not 0.0 <= fn_weight <= 1.0:
+        raise ValueError(f"fn_weight must be in [0, 1], got {fn_weight}")
+    steps = 200
+    best, best_cost = (1, n_perm), float("inf")
+    for bands in range(1, n_perm + 1):
+        rows = n_perm // bands
+        if rows < 1:
+            break
+        fp = fn = 0.0
+        for j in range(steps):
+            s = (j + 0.5) / steps
+            p = lsh_candidate_prob(s, bands, rows)
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cost = (1.0 - fn_weight) * fp + fn_weight * fn
+        if cost < best_cost - 1e-12:
+            best, best_cost = (bands, rows), cost
+    return best

@@ -616,3 +616,91 @@ def ivfpq_search(book: "dict[int, dict[int, list[float]]]",
 
     return Stage(fn, name=f"ivfpq_search({kk},nprobe={nprobe})",
                  seq_preserving=False)
+
+
+def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             cell_col: str = "label", out_id: str = "neighbor_id",
+             out_cos: str = "cosine", exclude_self: bool = False,
+             scale: int = 1_000_000_000) -> Stage:
+    """Batched ANN JOIN: for EVERY query vector, its top-``k`` cosine
+    neighbors from ``corpus`` — the all-rows counterpart of the
+    single-query :func:`knn_lsh`/:func:`ivf_search` probes, and the
+    workhorse of retrieval-augmented pipelines (nearest-passage lookup
+    for a whole training batch) and kNN-graph construction.
+
+    Output: one row per (query, neighbor) — (id_col, out_id, out_cos,
+    rank), rank 1..k by (cosine desc, neighbor id).
+
+    100 TB plan — never all-pairs: the corpus is bucketed by its coarse
+    cells (``cell_col``, e.g. an :func:`ivf_build` assignment or any
+    cluster id); per-(cell, dim) centroid means come from ONE hash
+    aggregate of scaled-long partials (constant state per group — the
+    r2 collect_list OOM fix); every query ranks the C cells via a
+    BROADCAST join of the tiny (cell, dim, mean) table and probes only
+    its ``nprobe`` best, so the candidate join moves each query
+    ``nprobe`` times and each corpus row once per its cell — both
+    equi-joins on the cell key.  Per-query top-k is one window over the
+    candidate set.
+
+    Deterministic across engines (DuckDB oracle in
+    tests/test_round7.py): scaled-long centroid means/dots, cosine
+    rounded to 6, ties by (cell) then (neighbor id)."""
+    if k < 1 or nprobe < 1:
+        raise ValueError(f"need k >= 1 and nprobe >= 1, got k={k}, "
+                         f"nprobe={nprobe}")
+    from pyspark.sql import Window
+    sc = float(scale)
+
+    def fn(queries: DataFrame) -> DataFrame:
+        cvec = F.col(vec_col).cast("array<double>")
+        corp = corpus.select(F.col(cell_col).alias("__cell"),
+                             F.col(id_col).alias(out_id),
+                             cvec.alias("__cv"))
+        # per-(cell, dim) centroid means — ivf_search's aggregate shape
+        ex = corpus.select(F.col(cell_col).alias("__cell"),
+                           F.posexplode(cvec).alias("__i", "__x"))
+        sv = F.round(F.col("__x") * scale).cast("long")
+        means = (ex.groupBy("__cell", "__i")
+                   .agg((_guarded_long_sum(sv, "ann_join means")
+                          .cast("double")
+                         / F.count(F.lit(1)).cast("double")
+                         / F.lit(sc)).alias("__m")))
+        nv = F.round(F.col("__m") * F.col("__m") * scale).cast("long")
+        cell_n2 = (means.groupBy("__cell")
+                        .agg((_guarded_long_sum(nv, "ann_join norms")
+                               .cast("double") / F.lit(sc)).alias("__n2")))
+        # rank cells PER QUERY: explode the query vector, broadcast-join
+        # the means on the dim index, one (query, cell) aggregate
+        qv = F.col(vec_col).cast("array<double>")
+        qex = queries.select(F.col(id_col), F.posexplode(qv)
+                              .alias("__i", "__qx"))
+        dv = F.round(F.col("__m") * F.col("__qx") * scale).cast("long")
+        qdot = (qex.join(F.broadcast(means), "__i")
+                   .groupBy(id_col, "__cell")
+                   .agg((_guarded_long_sum(dv, "ann_join cell dot")
+                          .cast("double") / F.lit(sc)).alias("__dot")))
+        ccos = F.col("__dot") / (F.sqrt(F.col("__n2")) + F.lit(1e-12))
+        wc = Window.partitionBy(id_col).orderBy(ccos.desc(),
+                                                F.col("__cell"))
+        probes = (qdot.join(F.broadcast(cell_n2), "__cell")
+                      .withColumn("__r", F.row_number().over(wc))
+                      .where(F.col("__r") <= nprobe)
+                      .select(id_col, "__cell"))
+        # candidate equi-join on the cell key + exact rescoring
+        cand = (queries.select(F.col(id_col), qv.alias("__qv"))
+                       .join(probes, id_col)
+                       .join(corp, "__cell"))
+        if exclude_self:
+            cand = cand.where(F.col(id_col) != F.col(out_id))
+        cos = F.round(_dot(F.col("__qv"), F.col("__cv"))
+                      / (_norm(F.col("__qv")) * _norm(F.col("__cv"))), 6)
+        wk = Window.partitionBy(id_col).orderBy(F.desc(out_cos),
+                                                F.col(out_id))
+        return (cand.withColumn(out_cos, cos)
+                    .withColumn("rank", F.row_number().over(wk))
+                    .where(F.col("rank") <= k)
+                    .select(id_col, out_id, out_cos, "rank"))
+
+    return Stage(fn, name=f"ann_join(k={k},nprobe={nprobe})",
+                 seq_preserving=False)

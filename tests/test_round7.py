@@ -183,6 +183,129 @@ def test_bigram_term_round_tracks_full_precision(spark):
 
 
 # ---------------------------------------------------------------------------
+# ann_join: batched top-k neighbors, IVF-cell-bucketed (r7 operator)
+# ---------------------------------------------------------------------------
+
+def test_ann_join_matches_duckdb(spark):
+    """Full DuckDB replay: per-(cell,dim) scaled-long centroid means,
+    per-query cell ranking (nprobe best), exact cosine top-k inside the
+    probed cells, ties by (cosine desc, neighbor id)."""
+    from conduino_spark import ann_join
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = sorted(tuple(r) for r in
+                 ann_join(emb, k=5, nprobe=2, exclude_self=True)(emb)
+                 .collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.execute("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        m AS (SELECT label, i,
+                     CAST(SUM(CAST(round(x * 1000000000) AS BIGINT))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       / 1000000000.0 AS m
+              FROM (SELECT label, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS i FROM e)
+              GROUP BY 1, 2),
+        n2 AS (SELECT label,
+                      CAST(SUM(CAST(round(m * m * 1000000000) AS BIGINT))
+                           AS DOUBLE) / 1000000000.0 AS n2
+               FROM m GROUP BY label),
+        qd AS (SELECT q.vec_id, m.label,
+                      CAST(SUM(CAST(round(m.m * q.v[m.i] * 1000000000)
+                                    AS BIGINT)) AS DOUBLE)
+                        / 1000000000.0 AS dot
+               FROM e q JOIN m ON TRUE
+               GROUP BY 1, 2),
+        pr AS (SELECT vec_id, label FROM (
+                 SELECT qd.vec_id, qd.label,
+                        row_number() OVER (
+                          PARTITION BY qd.vec_id
+                          ORDER BY qd.dot / (sqrt(n2.n2) + 1e-12) DESC,
+                                   qd.label) AS r
+                 FROM qd JOIN n2 USING (label))
+               WHERE r <= 2),
+        cand AS (SELECT q.vec_id, c.vec_id AS neighbor_id,
+                        round(list_sum([q.v[i] * c.v[i]
+                                        for i in range(1, len(q.v) + 1)])
+                              / (sqrt(list_sum([x * x for x in q.v]))
+                                 * sqrt(list_sum([x * x for x in c.v]))),
+                              6) AS cosine
+                 FROM e q
+                 JOIN pr ON pr.vec_id = q.vec_id
+                 JOIN e c ON c.label = pr.label
+                 WHERE q.vec_id <> c.vec_id)
+        SELECT vec_id, neighbor_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM cand)
+        WHERE rank <= 5""").fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_ann_join_nprobe_full_equals_brute(spark):
+    """Probing every cell must equal exact brute-force top-k for every
+    query (the recall=1.0 degenerate case)."""
+    from conduino_spark import ann_join
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    ncells = emb.select("label").distinct().count()
+    got = {(r.vec_id, r.rank): r.neighbor_id
+           for r in ann_join(emb, k=3, nprobe=ncells,
+                             exclude_self=True)(emb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    import math
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    for qid, qv in list(vecs.items())[:20]:
+        scored = sorted(((cos(qv, v), -i) for i, v in vecs.items()
+                         if i != qid), reverse=True)
+        want = [-s[1] for s in scored[:3]]
+        assert [got[(qid, r + 1)] for r in range(3)] == want, qid
+
+
+def test_ann_join_validation():
+    from conduino_spark import ann_join
+    with pytest.raises(ValueError):
+        ann_join(None, k=0)
+    with pytest.raises(ValueError):
+        ann_join(None, nprobe=0)
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding tuner (r7 utility)
+# ---------------------------------------------------------------------------
+
+def test_tune_minhash_bands_properties():
+    from conduino_spark import lsh_candidate_prob, tune_minhash_bands
+    # the repo's own config (16 perms, 4x4) should be the pick near the
+    # threshold where its S-curve is steepest: t ~ (1/b)^(1/r) ~ 0.71
+    b, r = tune_minhash_bands(0.7, 16)
+    assert b * r <= 16 and b >= 1 and r >= 1
+    # monotonicity: lower thresholds want more bands (steeper recall)
+    b_lo, _ = tune_minhash_bands(0.1, 16)
+    b_hi, _ = tune_minhash_bands(0.9, 16)
+    assert b_lo >= b_hi
+    # the S-curve is monotone in s and hits its definition
+    p1 = lsh_candidate_prob(0.2, 4, 4)
+    p2 = lsh_candidate_prob(0.8, 4, 4)
+    assert 0.0 <= p1 < p2 <= 1.0
+    assert p2 == pytest.approx(1 - (1 - 0.8 ** 4) ** 4)
+    with pytest.raises(ValueError):
+        tune_minhash_bands(0.0)
+    with pytest.raises(ValueError):
+        lsh_candidate_prob(1.5, 4, 4)
+
+
+# ---------------------------------------------------------------------------
 # plan audit: benign vs REAL cartesian classification (VERDICT r6 #6)
 # ---------------------------------------------------------------------------
 
