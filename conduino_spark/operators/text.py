@@ -738,6 +738,7 @@ def redact_pii_sql(expr: str = "text", out: str = "redacted",
 
 def line_dedup(text_col: str = "text", *, id_col: str = "doc_id",
                min_count: int = 2, min_chars: int = 5,
+               sep: str = "\n",
                out: "str | None" = None,
                name: str = "line_dedup") -> Stage:
     """Corpus-level duplicate-LINE removal (the Falcon/RefinedWeb
@@ -758,15 +759,23 @@ def line_dedup(text_col: str = "text", *, id_col: str = "doc_id",
     collect_list(struct(pos, line)) + array_sort — per-doc state is
     bounded by document size, the same contract as every per-doc fold
     here.  No RNG, no driver loop; DuckDB-replayable bit-for-bit
-    (tests/test_round6b.py)."""
+    (tests/test_round6b.py).
+
+    ``sep`` picks the unit: "\n" (default) = lines; "\n\n" =
+    PARAGRAPHS (the RefinedWeb paragraph-boilerplate variant — cookie
+    banners and nav blocks usually repeat as whole paragraphs, and
+    paragraph granularity never splits a sentence)."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal separator")
     out_col = out or text_col
 
     def fn(df: DataFrame) -> DataFrame:
+        import re as _re
         lines = df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n"))
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
              .alias("__pos", "__line"))
         norm = F.lower(F.trim(F.col("__line")))
         # digest only for countable lines; short lines keep NULL (never
@@ -786,7 +795,7 @@ def line_dedup(text_col: str = "text", *, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.when(F.col("__drop"), 1).otherwise(0))
              .alias("n_lines_dropped"),
-            F.concat_ws("\n", F.transform(
+            F.concat_ws(sep, F.transform(
                 F.array_sort(F.collect_list(
                     F.when(~F.col("__drop"),
                            F.struct(F.col("__pos"), F.col("__line"))))),

@@ -281,6 +281,30 @@ def test_ann_join_validation():
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level line_dedup (r7: sep parameter)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_paragraph_mode(spark):
+    from conduino_spark import line_dedup
+    boiler = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [(1, f"real one\nstill real\n\n{boiler}"),
+         (2, f"{boiler}\n\nanother real paragraph"),
+         (3, "unique paragraph only")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           line_dedup(min_count=2, min_chars=5, sep="\n\n")(docs).collect()}
+    # the repeated PARAGRAPH is dropped; intra-paragraph newlines kept
+    assert out[1].text == "real one\nstill real"
+    assert out[2].text == "another real paragraph"
+    assert out[3].text == "unique paragraph only"
+    assert out[1].n_lines == 2 and out[1].n_lines_dropped == 1
+
+    with pytest.raises(ValueError):
+        line_dedup(sep="")
+
+
+# ---------------------------------------------------------------------------
 # MinHash banding tuner (r7 utility)
 # ---------------------------------------------------------------------------
 
