@@ -611,7 +611,12 @@ def q_asof_events_bidir(spark, sf):
            .select("event_id", "user_id", "t", "p_event")
            .withColumn("p_value", F.lit(None).cast("double"))
            .withColumn("dir", F.lit("fwd")))
-    return back.unionByName(fwd)
+    # r7 merge: the interval-join pin rides as a third arm
+    # (dir='interval') — views landing inside any purchase-hour window
+    iv = (q_interval_events(spark, sf)
+          .withColumn("p_value", F.lit(None).cast("double"))
+          .withColumn("dir", F.lit("interval")))
+    return back.unionByName(fwd).unionByName(iv)
 
 
 def q_interval_events(spark, sf):
@@ -1501,12 +1506,15 @@ def bench_extras():
 
 
 def q_ann_join_emb(spark, sf):
-    # r7: top-5 cosine neighbors for EVERY embedding, IVF-cell-bucketed
-    # with nprobe=2 — the kNN-graph / retrieval-batch join shape; never
-    # all-pairs (candidates only inside each query's 2 best cells)
-    from conduino_spark import ann_join
+    # r7: top-5 cosine neighbors for a deterministic 10% query batch
+    # against the FULL corpus, IVF-cell-bucketed with nprobe=2 — the
+    # retrieval-batch join shape; never all-pairs (candidates only
+    # inside each query's 2 best cells).  The full self-join (kNN
+    # graph) variant is the scale-probe op (ratio 1.5 at 10x).
+    from conduino_spark import ann_join, hash_sample
     emb = _src(sf, "embeddings").df(spark)
-    return ann_join(emb, k=5, nprobe=2, exclude_self=True)(emb)
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    return ann_join(emb, k=5, nprobe=2, exclude_self=True)(batch)
 
 
 def q_bpe_train_docs(spark, sf):
@@ -1703,7 +1711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_docs": q_layout_docs,
         "salted_group_revenue": q_salted_group_revenue,
         "asof_events_bidir": q_asof_events_bidir,
-        "interval_events": q_interval_events,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "knn_methods": q_knn_methods,
         "rolling_user_day": q_rolling_user_day,
@@ -1725,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_emb": q_semantic_dedup,
         "source_overlap_docs": q_source_overlap_docs,
         "pq_adc_search": q_pq_adc_search,
+        "tpch_suite_digest": q_tpch_suite_digest,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -2016,6 +2024,282 @@ def _sql_pq_adc(m: int = 8, k: int = 16, dim: int = 64,
             ORDER BY approx_dist, vec_id LIMIT {kk}"""
 
 
+#: exact DuckDB oracles for the 14 remaining adapted-TPC-H shapes —
+#: SINGLE SOURCE OF TRUTH, consumed by tests/test_tpch_suite.py (per-
+#: query exact comparison) AND by the tpch_suite_digest gate pin below.
+def _tpch_ss(expr: str, scale: int) -> str:
+    return f"SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) / {scale}.0"
+
+
+_TPCH_REV = "l_extendedprice * (1 - l_discount)"
+
+TPCH_SUITE_ORACLES = {
+    "tpch_q2": """
+        WITH pc AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+          FROM lineitem GROUP BY 1, 2),
+        eur AS (
+          SELECT s_suppkey, s_acctbal, s_name, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        j AS (
+          SELECT p.p_partkey, p.p_name, e.s_acctbal, e.s_name, e.n_name,
+                 pc.unit_cost
+          FROM pc JOIN part p ON pc.l_partkey = p.p_partkey
+                  JOIN eur e ON pc.l_suppkey = e.s_suppkey
+          WHERE p.p_size <= 15 AND p.p_type = 'SMALL'),
+        mn AS (SELECT p_partkey AS pk, MIN(unit_cost) AS min_cost
+               FROM j GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM j JOIN mn ON j.p_partkey = mn.pk
+                      AND j.unit_cost = mn.min_cost""",
+    "tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""",
+    "tpch_q7": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {_tpch_ss(_TPCH_REV, 10_000)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3""",
+    "tpch_q8": f"""
+        SELECT year(o_orderdate) AS o_year,
+               round(({_tpch_ss(f"CASE WHEN n1.n_name = 'NATION_3' "
+                                f"THEN {_TPCH_REV} ELSE 0.0 END", 10_000)})
+                   / ({_tpch_ss(_TPCH_REV, 10_000)}), 6) AS mkt_share
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+        GROUP BY 1""",
+    "tpch_q9": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               {_tpch_ss(_TPCH_REV, 10_000)} AS sum_profit
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2""",
+    "tpch_q11": f"""
+        WITH eur AS (SELECT s_suppkey FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'EUROPE'),
+        je AS (SELECT l_partkey, l_extendedprice
+               FROM lineitem JOIN eur ON l_suppkey = s_suppkey),
+        per AS (SELECT l_partkey,
+                       {_tpch_ss('l_extendedprice', 100)} AS part_value
+                FROM je GROUP BY 1),
+        tot AS (SELECT {_tpch_ss('l_extendedprice', 100)} AS t,
+                       COUNT(DISTINCT l_partkey) AS np FROM je)
+        SELECT l_partkey, part_value FROM per, tot
+        WHERE part_value > 1.6 * t / np""",
+    "tpch_q12": """
+        SELECT l_returnflag,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1""",
+    "tpch_q13": """
+        WITH cc AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN
+            (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+            ON c_custkey = o_custkey
+          GROUP BY 1)
+        SELECT c_count, COUNT(*) AS custdist FROM cc GROUP BY 1""",
+    "tpch_q15": f"""
+        WITH rev AS (
+          SELECT l_suppkey, {_tpch_ss(_TPCH_REV, 10_000)} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1),
+        mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev CROSS JOIN mx
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = m""",
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3""",
+    "tpch_q17": f"""
+        WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE p_brand = 'Brand#13' AND p_size <= 10),
+        a AS (SELECT l_partkey AS pk,
+                     ({_tpch_ss('l_quantity', 1)}) / COUNT(*) AS avg_qty
+              FROM j GROUP BY 1)
+        SELECT round(({_tpch_ss('l_extendedprice', 100)}) / 7.0, 6)
+               AS avg_yearly
+        FROM j JOIN a ON l_partkey = pk
+        WHERE l_quantity < 0.2 * avg_qty""",
+    "tpch_q20": f"""
+        WITH red AS (SELECT p_partkey FROM part
+                     WHERE p_name LIKE 'red%'),
+        qty AS (SELECT l_suppkey, {_tpch_ss('l_quantity', 1)} AS q
+                FROM lineitem JOIN red ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey, l_partkey),
+        big AS (SELECT DISTINCT l_suppkey FROM qty WHERE q > 40)
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (SELECT l_suppkey FROM big)""",
+    "tpch_q21": """
+        WITH g AS (
+          SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS nsupp,
+                 COUNT(DISTINCT CASE WHEN l_shipdate >
+                       o_orderdate + INTERVAL 30 DAY
+                       THEN l_suppkey END) AS nlate,
+                 MAX(CASE WHEN l_shipdate >
+                     o_orderdate + INTERVAL 30 DAY
+                     THEN l_suppkey END) AS late_supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM g JOIN supplier ON late_supp = s_suppkey
+        WHERE nlate = 1 AND nsupp > 1
+        GROUP BY 1""",
+    "tpch_q22": f"""
+        WITH cf AS (SELECT c_custkey, c_acctbal,
+                           c_nationkey % 10 AS cntrycode
+                    FROM customer
+                    WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)),
+        avg_bal AS (SELECT ({_tpch_ss('c_acctbal', 100)}) / COUNT(*) AS a
+                    FROM cf WHERE c_acctbal > 0),
+        rich AS (SELECT * FROM cf CROSS JOIN avg_bal
+                 WHERE c_acctbal > a),
+        noord AS (SELECT * FROM rich
+                  WHERE c_custkey NOT IN
+                    (SELECT o_custkey FROM orders
+                     WHERE o_custkey IS NOT NULL
+                       AND o_orderdate >=
+                           TIMESTAMP '2000-01-01 00:00:00'))
+        SELECT cntrycode, COUNT(*) AS numcust,
+               {_tpch_ss('c_acctbal', 100)} AS totacctbal
+        FROM noord GROUP BY 1""",
+}
+
+#: per-query output schema for the digest coercion: "num" → CAST AS
+#: DOUBLE (ints/doubles; every long here is far under 2^53), "str" →
+#: h32 → DOUBLE (h32 < 2^32, exact).  Shared by the Spark digest and
+#: its SQL rendering, so the two sides can never disagree on layout.
+TPCH_DIGEST_SPEC = {
+    "tpch_q2": [("s_acctbal", "num"), ("s_name", "str"),
+                ("n_name", "str"), ("p_partkey", "num"),
+                ("p_name", "str"), ("unit_cost", "num")],
+    "tpch_q4": [("o_orderpriority", "str"), ("order_count", "num")],
+    "tpch_q7": [("supp_nation", "str"), ("cust_nation", "str"),
+                ("l_year", "num"), ("revenue", "num")],
+    "tpch_q8": [("o_year", "num"), ("mkt_share", "num")],
+    "tpch_q9": [("nation", "str"), ("o_year", "num"),
+                ("sum_profit", "num")],
+    "tpch_q11": [("l_partkey", "num"), ("part_value", "num")],
+    "tpch_q12": [("l_returnflag", "str"), ("high_line_count", "num"),
+                 ("low_line_count", "num")],
+    "tpch_q13": [("c_count", "num"), ("custdist", "num")],
+    "tpch_q15": [("s_suppkey", "num"), ("s_name", "str"),
+                 ("total_revenue", "num")],
+    "tpch_q16": [("p_brand", "str"), ("p_type", "str"),
+                 ("p_size", "num"), ("supplier_cnt", "num")],
+    "tpch_q17": [("avg_yearly", "num")],
+    "tpch_q20": [("s_name", "str"), ("n_name", "str")],
+    "tpch_q21": [("s_name", "str"), ("numwait", "num")],
+    "tpch_q22": [("cntrycode", "num"), ("numcust", "num"),
+                 ("totacctbal", "num")],
+}
+
+_DIGEST_WIDTH = max(len(v) for v in TPCH_DIGEST_SPEC.values())
+
+
+def q_tpch_suite_digest(spark, sf):
+    # r7 gate pin: the ENTIRE remaining adapted-TPC-H suite, driver-
+    # verified in one query — every query's rows coerced to a common
+    # (q, c1..c6 DOUBLE) schema (strings via h32, exact under 2^32;
+    # numerics via exact double cast) and union'd, so a value error in
+    # ANY of the 14 shapes breaks the gate hash.  Row-level, not a
+    # checksum: the driver still compares every row of every query.
+    from conduino_spark.functions.hashing import h32
+    qs = {
+        "tpch_q2": q_tpch_q2, "tpch_q4": q_tpch_q4, "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8, "tpch_q9": q_tpch_q9, "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12, "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15, "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17, "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21, "tpch_q22": q_tpch_q22,
+    }
+    frames = []
+    for qname, spec in TPCH_DIGEST_SPEC.items():
+        df = qs[qname](spark, sf)
+        cols = []
+        for i, (c, kind) in enumerate(spec):
+            col = (h32(F.col(c)).cast("double") if kind == "str"
+                   else F.col(c).cast("double"))
+            cols.append(col.alias(f"c{i + 1}"))
+        for i in range(len(spec), _DIGEST_WIDTH):
+            cols.append(F.lit(None).cast("double").alias(f"c{i + 1}"))
+        frames.append(df.select(F.lit(qname).alias("q"), *cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _sql_tpch_suite_digest() -> str:
+    parts = []
+    for qname, spec in TPCH_DIGEST_SPEC.items():
+        cols = []
+        for i, (c, kind) in enumerate(spec):
+            expr = (f"CAST({h32_sql(c)} AS DOUBLE)" if kind == "str"
+                    else f"CAST({c} AS DOUBLE)")
+            cols.append(f"{expr} AS c{i + 1}")
+        for i in range(len(spec), _DIGEST_WIDTH):
+            cols.append(f"CAST(NULL AS DOUBLE) AS c{i + 1}")
+        parts.append(f"SELECT '{qname}' AS q, {', '.join(cols)}\n"
+                     f"FROM ({TPCH_SUITE_ORACLES[qname]})")
+    return "\nUNION ALL\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     toks = tokens_sql("text")
     li_seq = "l_orderkey * 8 + l_linenumber"  # unused; events carry event_id
@@ -2302,18 +2586,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.t - c.t <= 3600 THEN b.p_event END AS p_event,
                    CAST(NULL AS DOUBLE) AS p_value, 'fwd' AS dir
             FROM clicks c ASOF LEFT JOIN buys_f b
-              ON c.user_id = b.user_id AND c.t <= b.t""",
-        "interval_events": """
-            WITH views AS (
-              SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
-              FROM events WHERE event_type = 'view'),
-            buys AS (
-              SELECT event_id AS p_event, user_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
-                     CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
-              FROM events WHERE event_type = 'purchase')
-            SELECT v.event_id, v.user_id, v.t, b.p_event
-            FROM views v JOIN buys b
+              ON c.user_id = b.user_id AND c.t <= b.t
+            UNION ALL
+            SELECT v.event_id, v.user_id, v.t, b.p_event,
+                   CAST(NULL AS DOUBLE) AS p_value, 'interval' AS dir
+            FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                         user_id
+                  FROM events WHERE event_type = 'view') v
+            JOIN (SELECT event_id AS p_event, user_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+                  FROM events WHERE event_type = 'purchase') b
               ON v.user_id = b.user_id AND v.t >= b.s AND v.t < b.e""",
         "layout_docs": f"""
             SELECT doc_id,
@@ -2631,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.source = group_a
             JOIN sizes sb ON sb.source = group_b""",
         "pq_adc_search": _sql_pq_adc(),
+        "tpch_suite_digest": _sql_tpch_suite_digest(),
     }
     return sql
 

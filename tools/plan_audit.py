@@ -40,10 +40,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #: walking through them preserves a ≤1-row proof
 _ONE_ROW_WRAPPERS = (
     "WholeStageCodegen", "InputAdapter", "Project", "Filter", "Sort",
-    "Coalesce", "Exchange", "BroadcastExchange", "ReusedExchange",
-    "BroadcastQueryStage", "ShuffleQueryStage", "AQEShuffleRead",
-    "ColumnarToRow", "TableCacheQueryStage", "InMemoryTableScan",
-    "InMemoryRelation",
+    "Coalesce", "Exchange", "BroadcastExchange", "AQEShuffleRead",
+    "ColumnarToRow", "InMemoryRelation",
 )
 
 
@@ -60,14 +58,34 @@ def _max_one_row(node) -> bool:
             return _max_one_row(node.child())
         except Exception:
             return False
+    if name == "InMemoryTableScan":
+        # persisted frames (plans.cachereg.track of 1-row sketches):
+        # the cached plan hangs off the relation, not children()
+        try:
+            return _max_one_row(node.relation().cachedPlan())
+        except Exception:
+            return False
+    if name == "AdaptiveSparkPlan":
+        # cached plans persisted under AQE wrap in AdaptiveSparkPlanExec;
+        # the physical tree hangs off executedPlan()
+        try:
+            return _max_one_row(node.executedPlan())
+        except Exception:
+            return False
+    if name.endswith("QueryStage"):  # Shuffle/Broadcast/TableCache stage
+        try:
+            return _max_one_row(node.plan())
+        except Exception:
+            return False
+    if name in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        # a cross of two ≤1-row sides is itself ≤1 row (stacked
+        # broadcast-bounds joins: corpus × sketch-row × total-row)
+        ch = node.children()
+        return all(_max_one_row(ch.apply(i)) for i in range(ch.size()))
     if name.startswith(_ONE_ROW_WRAPPERS):
         ch = node.children()
         if ch.size() == 1:
             return _max_one_row(ch.apply(0))
-        if ch.size() == 0:  # InMemoryTableScan holds its relation aside
-            s = node.toString().splitlines()
-            return any(re.search(r"Aggregate\(keys=\[\s*\]", ln)
-                       for ln in s[:6])
         return False
     if "Aggregate" in name:  # HashAggregate / SortAggregate / Object…
         return bool(re.search(r"Aggregate\s*\(?keys=\[\s*\]",

@@ -58,6 +58,22 @@ def replicated_docs(spark, n):
     return out
 
 
+def replicated_embeddings(spark, n):
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # remap BOTH ids and cell labels: replicas share no cells, so each
+    # cell keeps its 1x size and the bucketed candidate join stays
+    # linear in replicas (sharing labels would grow every cell 10x and
+    # the within-cell work 100x by construction, not by data)
+    parts = [base.select(
+        (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+        (F.col("label") + F.lit(i * 1_000)).alias("label"),
+        "embedding") for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     from conduino_spark import (
         consecutive, from_dataframe, minhash_dedup_pairs, pack_chunks,
@@ -120,8 +136,19 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(best, 3)
 
+    from conduino_spark import ann_join
+
+    EMB_OPS = {
+        # r7: batched ANN join — queries probe nprobe cells, corpus
+        # partitions by cell; should stay ~linear in replicas
+        "ann_join": lambda df: ann_join(df, k=5, nprobe=2,
+                                        exclude_self=True)(df),
+    }
+
     ev1, evN = replicated_events(spark, 1), replicated_events(spark, REPLICAS)
     dc1, dcN = replicated_docs(spark, 1), replicated_docs(spark, REPLICAS)
+    em1 = replicated_embeddings(spark, 1)
+    emN = replicated_embeddings(spark, REPLICAS)
     result = {}
     for name, fn in OPS.items():
         t1, tn = timed(fn, ev1), timed(fn, evN)
@@ -129,6 +156,10 @@ def main() -> None:
                         "ratio": round(tn / max(t1, 1e-9), 2)}
     for name, fn in DOC_OPS.items():
         t1, tn = timed(fn, dc1), timed(fn, dcN)
+        result[name] = {"t_1x": t1, f"t_{REPLICAS}x": tn,
+                        "ratio": round(tn / max(t1, 1e-9), 2)}
+    for name, fn in EMB_OPS.items():
+        t1, tn = timed(fn, em1), timed(fn, emN)
         result[name] = {"t_1x": t1, f"t_{REPLICAS}x": tn,
                         "ratio": round(tn / max(t1, 1e-9), 2)}
 
