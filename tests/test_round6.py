@@ -609,7 +609,7 @@ def test_json_props_matches_duckdb(spark, sf_dir):
     spec.loader.exec_module(m)
 
     got = {r.event_type: (r.sum_k, r.n_with_k)
-           for r in m.bench_extras()["json_props"](spark, sf_dir).collect()}
+           for r in m.queries()["json_props"](spark, sf_dir).collect()}
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'{sf_dir}/events.parquet'")
