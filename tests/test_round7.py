@@ -305,6 +305,77 @@ def test_line_dedup_paragraph_mode(spark):
 
 
 # ---------------------------------------------------------------------------
+# dup_span_stats DuckDB replay (upgrades the pure-Python-only oracle)
+# ---------------------------------------------------------------------------
+
+def _dup_span_sql(L: int, table: str = "documents") -> str:
+    from conduino_spark.functions.hashing import h32_sql
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql("text")
+    win = h32_sql(f"array_to_string(t[i:i+{L - 1}], ' ')")
+    return f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM {table}),
+        w AS (SELECT doc_id, len(t) AS nt,
+                     [{win} for i in range(1, len(t) - {L - 2})] AS ws
+              FROM tk),
+        wins AS (SELECT doc_id, unnest(ws) AS h,
+                        generate_subscripts(ws, 1) - 1 AS p FROM w),
+        duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        pos AS (SELECT doc_id, p FROM wins
+                WHERE h IN (SELECT h FROM duph)),
+        g AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) < {L}
+                          THEN 0 ELSE 1 END AS brk
+              FROM pos),
+        runs AS (SELECT doc_id, p,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY p)
+                          AS run
+                 FROM g),
+        spans AS (SELECT doc_id, run, MIN(p) AS s, MAX(p) + {L} AS e
+                  FROM runs GROUP BY doc_id, run),
+        sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                      CAST(SUM(e - s) AS BIGINT) AS cov
+               FROM spans GROUP BY doc_id),
+        nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ndw
+               FROM pos GROUP BY doc_id),
+        per AS (SELECT w.doc_id, w.nt, len(w.ws) AS nw,
+                       coalesce(nd.ndw, 0) AS ndw,
+                       coalesce(sp.n_dup_spans, 0) AS n_dup_spans,
+                       coalesce(sp.cov, 0) AS cov
+                FROM w LEFT JOIN sp USING (doc_id)
+                       LEFT JOIN nd USING (doc_id))
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+               CAST(ndw AS BIGINT) AS n_dup_windows,
+               CASE WHEN nw > 0 THEN CAST(ndw AS DOUBLE)
+                                     / CAST(nw AS DOUBLE)
+                    ELSE 0.0 END AS dup_window_frac,
+               CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+               CASE WHEN nt > 0
+                    THEN least(1.0, CAST(cov AS DOUBLE)
+                                    / CAST(nt AS DOUBLE))
+                    ELSE 0.0 END AS dup_token_frac
+        FROM per"""
+
+
+@pytest.mark.parametrize("L", [4, 16])
+def test_dup_span_stats_matches_duckdb(spark, L):
+    from conduino_spark import dup_span_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(tuple(r) for r in
+                 dup_span_stats(window_tokens=L)(docs).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.execute(_dup_span_sql(L)).fetchall())
+    assert got == want and len(got) > 0
+    # non-vacuous at the small window: some doc has a duplicated span
+    if L == 4:
+        assert any(r[4] > 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
 # MinHash banding tuner (r7 utility)
 # ---------------------------------------------------------------------------
 
