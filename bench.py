@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "minhash_eval_docs", "profile_docs",
     # r7: BPE merge-learning floor (driver-local fast path) + the
     # batched ANN-join kNN-graph shape
-    "bpe_train_docs", "ann_join_emb",
+    "bpe_train_docs", "ann_join_emb", "ann_join_gemm",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

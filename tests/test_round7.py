@@ -272,6 +272,27 @@ def test_ann_join_nprobe_full_equals_brute(spark):
         assert [got[(qid, r + 1)] for r in range(3)] == want, qid
 
 
+def test_ann_join_gemm_kernel_matches_exact(spark):
+    """The blocked numpy kernel must pick the same neighbors with the
+    same ranks; cosines may differ only in the last ulp before the
+    6-decimal round (summation order), so compare at 1e-9."""
+    from conduino_spark import ann_join
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+             for r in ann_join(emb, k=5, nprobe=2,
+                               exclude_self=True)(emb).collect()}
+    gemm = {(r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in ann_join(emb, k=5, nprobe=2, exclude_self=True,
+                              kernel="gemm")(emb).collect()}
+    assert set(exact) == set(gemm)
+    for key in exact:
+        assert exact[key][0] == gemm[key][0], key
+        assert exact[key][1] == pytest.approx(gemm[key][1], abs=1e-9)
+
+    with pytest.raises(ValueError):
+        ann_join(emb, kernel="blas")
+
+
 def test_ann_join_validation():
     from conduino_spark import ann_join
     with pytest.raises(ValueError):
