@@ -1519,8 +1519,21 @@ def bench_extras():
             "bpe_train_docs": q_bpe_train_docs,
             "window_tumbling": q_window_tumbling,
             "ann_join_gemm": q_ann_join_gemm,
+            "semantic_dedup_gemm": q_semantic_dedup_gemm,
             "dedup_exact": q_dedup_exact,
             "text_normalize": q_text_normalize}
+
+
+def q_semantic_dedup_gemm(spark, sf):
+    # r7: the SemDeDup survivor set on the per-bucket numpy V.V^T
+    # kernel (applyInPandas) — identical survivors to the gated exact
+    # fold (law in tests/test_round7.py); the floor shows the paper's
+    # actual kernel shape
+    from conduino_spark import semantic_dedup
+    emb = _src(sf, "embeddings").df(spark)
+    return (semantic_dedup(threshold=0.2, bucket_col="label",
+                           kernel="gemm")(emb)
+            .select("vec_id"))
 
 
 def q_ann_join_gemm(spark, sf):

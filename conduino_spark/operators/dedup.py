@@ -495,19 +495,61 @@ def ngram_jaccard_lsh(text_col: str = "text", id_col: str = "doc_id", *,
 
 def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id", *,
                              threshold: float = 0.98,
-                             bucket_col: Optional[str] = "label") -> Stage:
+                             bucket_col: Optional[str] = "label",
+                             kernel: str = "exact") -> Stage:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
     ``bucket_col`` is the coarse quantizer (IVF cell / cluster id):
     pairwise comparison happens only INSIDE buckets — the 100 TB
     posture.  Pass ``bucket_col=None`` for exact brute force (test
-    scale only)."""
+    scale only).
+
+    ``kernel``: "exact" (default) = JVM fold per pair, bit-replayable
+    in DuckDB (the gate path); "gemm" = ONE numpy V·Vᵀ per bucket via
+    ``applyInPandas`` — the SemDeDup-paper kernel shape.  Same pairs
+    (law-tested); cosines can differ in the last ulp before the
+    6-decimal round."""
+    if kernel not in ("exact", "gemm"):
+        raise ValueError(f"kernel must be 'exact' or 'gemm', got {kernel!r}")
+    if kernel == "gemm" and bucket_col is None:
+        raise ValueError("kernel='gemm' needs bucket_col (the per-bucket "
+                         "matrix is the unit of work)")
 
     def fn(df: DataFrame) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
         norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
         base = df.select(F.col(id_col), v.alias("v"), norm.alias("n"),
                          *( [F.col(bucket_col).alias("bk")] if bucket_col else []))
+        if kernel == "gemm":
+            import numpy as _np
+            import pandas as _pd
+            from pyspark.sql.types import (DoubleType, LongType,
+                                           StructField, StructType)
+            th = float(threshold)
+            out_schema = StructType([
+                StructField("id_a", LongType()),
+                StructField("id_b", LongType()),
+                StructField("cosine", DoubleType()),
+            ])
+            _id = id_col
+
+            def bucket_pairs(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+                if len(pdf) < 2:
+                    return _pd.DataFrame({"id_a": [], "id_b": [],
+                                          "cosine": []})
+                V = _np.array([_np.asarray(x, dtype=_np.float64)
+                               for x in pdf["v"]])
+                nn = _np.sqrt((V * V).sum(axis=1))
+                cos = _np.round((V @ V.T) / (nn[:, None] * nn[None, :]), 6)
+                ids = pdf[_id].to_numpy()
+                ii, jj = _np.nonzero(cos >= th)
+                keep = ids[ii] < ids[jj]
+                return _pd.DataFrame({"id_a": ids[ii][keep],
+                                      "id_b": ids[jj][keep],
+                                      "cosine": cos[ii, jj][keep]})
+
+            return base.groupBy("bk").applyInPandas(bucket_pairs,
+                                                    out_schema)
         a, b = base.alias("a"), base.alias("b")
         on = [F.col("a.bk") == F.col("b.bk")] if bucket_col else []
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -667,7 +709,8 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
 
 def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
                    threshold: float = 0.98,
-                   bucket_col: "Optional[str]" = "label") -> Stage:
+                   bucket_col: "Optional[str]" = "label",
+                   kernel: str = "exact") -> Stage:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): drop every
     vector that is cosine-similar (>= ``threshold``) to a LOWER-id
     vector in its cluster — the embedding twin of :func:`minhash_dedup`'s
@@ -679,7 +722,8 @@ def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
     pipeline is exactly cluster-then-prune.  Deterministic (id-ordered,
     no RNG), so the kept set is DuckDB-replayable bit-for-bit."""
     pairs_stage = embedding_near_dup_pairs(
-        vec_col, id_col, threshold=threshold, bucket_col=bucket_col)
+        vec_col, id_col, threshold=threshold, bucket_col=bucket_col,
+        kernel=kernel)
 
     def fn(df: DataFrame) -> DataFrame:
         pairs = pairs_stage(df)

@@ -293,6 +293,35 @@ def test_ann_join_gemm_kernel_matches_exact(spark):
         ann_join(emb, kernel="blas")
 
 
+def test_semantic_dedup_gemm_kernel_matches_exact(spark):
+    """Per-bucket V·Vᵀ pairs == the JVM-fold pairs (same pair set; the
+    6dp-rounded cosines agree to 1e-9), so the SemDeDup survivor set
+    is identical on both kernels."""
+    from conduino_spark import embedding_near_dup_pairs, semantic_dedup
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup_pairs(threshold=0.2)(emb)
+             .collect()}
+    gemm = {(r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_pairs(threshold=0.2,
+                                              kernel="gemm")(emb)
+            .collect()}
+    assert set(exact) == set(gemm) and len(exact) > 0
+    for k in exact:
+        assert exact[k] == pytest.approx(gemm[k], abs=1e-9)
+
+    kept_e = {r.vec_id for r in
+              semantic_dedup(threshold=0.2)(emb).collect()}
+    kept_g = {r.vec_id for r in
+              semantic_dedup(threshold=0.2, kernel="gemm")(emb).collect()}
+    assert kept_e == kept_g
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(kernel="blas")
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(kernel="gemm", bucket_col=None)
+
+
 def test_ann_join_validation():
     from conduino_spark import ann_join
     with pytest.raises(ValueError):
