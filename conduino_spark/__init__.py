@@ -89,8 +89,8 @@ from conduino_spark.operators.temporal import (
 )
 from conduino_spark.operators.sketches import (
     binned_quantiles, bloom_build, bloom_contains, bloom_prefilter_join,
-    countmin_build, countmin_estimate, heavy_hitters, hll_build,
-    hll_estimate, hll_merge, kmv_distinct, winsorize,
+    countmin_assemble, countmin_build, countmin_estimate, heavy_hitters,
+    hll_build, hll_estimate, hll_merge, kmv_distinct, winsorize,
 )
 from conduino_spark.operators.sampling import (
     deterministic_shuffle, hash_sample, hash_split, mixture,

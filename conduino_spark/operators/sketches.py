@@ -284,6 +284,53 @@ def countmin_build(expr: Union[str, Column], *, width: int = 2048,
                  seq_preserving=False)
 
 
+def countmin_assemble(*, width: int, depth: int,
+                      keys: "tuple[str, ...]" = ("w_start", "w_end"),
+                      out: str = "cms") -> Stage:
+    """Assemble sparse (keys…, d, c, n) CELL ROWS — e.g. the output of
+    ``streaming.windowed_countmin_cells`` — into one
+    :func:`countmin_build`-shaped dense sketch row per key group
+    (``cms`` array-of-arrays + carried ``width``/``depth`` +
+    ``n_total``), ready for :func:`countmin_estimate`.  The CM twin of
+    :func:`hll_assemble`; same sparse-to-dense construction as
+    :func:`countmin_build`, so on batch input the assembled row is
+    BIT-identical to a per-group build (law-tested)."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"need width >= 1 and depth >= 1, got "
+                         f"width={width}, depth={depth}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        m = F.map_from_entries(F.collect_list(F.struct(
+            F.col("c").cast("long").alias("c"),
+            F.col("n").cast("long").alias("n"))))
+        per_d = (df.groupBy(*keys, F.col("d").cast("int").alias("__d"))
+                   .agg(m.alias("__m"))
+                   .select(*keys, "__d", F.transform(
+                       F.sequence(F.lit(0).cast("long"),
+                                  F.lit(width - 1)),
+                       lambda c: F.coalesce(
+                           F.element_at(F.col("__m"), c),
+                           F.lit(0).cast("long"))).alias("__row")))
+        rows = F.map_from_entries(F.collect_list(F.struct("__d", "__row")))
+        dense = (per_d.groupBy(*keys)
+                      .agg(rows.alias("__r"))
+                      .select(*keys, F.transform(
+                          F.sequence(F.lit(0), F.lit(depth - 1)),
+                          lambda d: F.coalesce(
+                              F.element_at(F.col("__r"), d),
+                              F.array_repeat(F.lit(0).cast("long"),
+                                             width))).alias(out),
+                          F.lit(width).cast("long").alias("width"),
+                          F.lit(depth).cast("long").alias("depth")))
+        return dense.withColumn(
+            "n_total", F.aggregate(F.element_at(F.col(out), 1),
+                                   F.lit(0).cast("long"),
+                                   lambda a, c: a + c))
+
+    return Stage(fn, name=f"countmin_assemble(w={width},d={depth})",
+                 seq_preserving=False)
+
+
 def countmin_estimate(cms: DataFrame, expr: Union[str, Column], *,
                       width: "int | None" = None,
                       depth: "int | None" = None,

@@ -708,6 +708,56 @@ def _ingest_one_batch(batch_df: DataFrame, batch_id: int, *,
         kept.unpersist()
 
 
+def windowed_countmin_cells(ts_col: str, duration: str, expr: str, *,
+                            width: int = 2048, depth: int = 4,
+                            keys: "tuple[str, ...]" = (),
+                            watermark: "str | None" = None) -> Stage:
+    """Per-event-time-window Count-Min CELLS — streaming frequency
+    sketching ("how often did each URL appear this hour, within
+    2n/width") as ONE valid append-mode aggregation: ``COUNT(*) GROUP
+    BY (window, keys, d, c)`` with the same md5-salted cell positions
+    as :func:`~conduino_spark.operators.sketches.countmin_build`.
+    Emits finalized sparse (w_start, w_end, keys…, d, c, n) rows once
+    the watermark passes each window;
+    :func:`~conduino_spark.operators.sketches.countmin_assemble` turns
+    them into build-shaped dense rows for ``countmin_estimate``
+    downstream.  Completes the streaming sketch trio with
+    :func:`windowed_hll_registers` (distincts) and
+    :func:`windowed_quantiles` (quantiles).
+
+    Works identically on batch and streaming DataFrames; on batch the
+    assembled row is BIT-identical to ``countmin_build`` over that
+    window's rows (law-tested).  State per (window, keys) group is ≤
+    depth·width cells regardless of stream length."""
+    from conduino_spark.functions.hashing import h32
+    if width < 1 or depth < 1:
+        raise ValueError(f"need width >= 1 and depth >= 1, got "
+                         f"width={width}, depth={depth}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        d = df.drop(SEQ) if SEQ in df.columns else df
+        if watermark and d.isStreaming:
+            d = d.withWatermark(ts_col, watermark)
+        col = F.expr(expr)
+        pos = F.array(*[
+            F.struct(F.lit(dd).alias("d"),
+                     (h32(F.concat(F.lit(f"{dd}|"), col.cast("string")))
+                      % width).alias("c"))
+            for dd in range(depth)])
+        return (d.where(col.isNotNull())
+                 .select(F.window(ts_col, duration).alias("w"), *keys,
+                         F.explode(pos).alias("__p"))
+                 .groupBy("w", *keys, F.col("__p.d").alias("d"),
+                          F.col("__p.c").alias("c"))
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .select(F.col("w.start").alias("w_start"),
+                         F.col("w.end").alias("w_end"), *keys,
+                         "d", "c", "n"))
+
+    return Stage(fn, name=f"windowed_countmin(w={width},d={depth})",
+                 seq_preserving=False)
+
+
 def windowed_hll_registers(ts_col: str, duration: str, expr: str, *,
                            p: int = 12,
                            keys: "tuple[str, ...]" = (),

@@ -355,6 +355,80 @@ def test_line_dedup_paragraph_mode(spark):
 
 
 # ---------------------------------------------------------------------------
+# windowed Count-Min (completes the streaming sketch trio)
+# ---------------------------------------------------------------------------
+
+def test_windowed_countmin_batch_assembles_to_build(spark):
+    """On batch input, windowed cells assembled per window must be
+    BIT-identical to countmin_build over that window's rows (same
+    dense arrays, geometry, n_total)."""
+    from conduino_spark import countmin_assemble, countmin_build
+    from conduino_spark.streaming import windowed_countmin_cells
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cells = windowed_countmin_cells("ts", "1 hour", "event_type",
+                                    width=64, depth=3)(ev)
+    got = {r["w_start"]: (list(map(list, r["cms"])), r["width"],
+                          r["depth"], r["n_total"])
+           for r in countmin_assemble(width=64, depth=3)(cells).collect()}
+    assert len(got) > 1
+    wdf = ev.withColumn("__w", F.window("ts", "1 hour").start)
+    for ws in list(got)[:3]:
+        one = wdf.where(F.col("__w") == ws)
+        row = countmin_build("event_type", width=64, depth=3)(one).first()
+        assert (list(map(list, row["cms"])), row["width"], row["depth"],
+                row["n_total"]) == got[ws]
+
+
+def test_windowed_countmin_stream_replay_equals_batch(spark, tmp_path):
+    from conduino_spark.sources import from_dataframe, read_table
+    from conduino_spark import run_pipe, sink_df
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir,
+        windowed_countmin_cells,
+    )
+    d = stage_events_dir(f"{SF}/events.parquet", n_chunks=4,
+                         sentinel_hours=4.0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    st = windowed_countmin_cells("ts", "1 hour", "event_type",
+                                 width=32, depth=2, watermark="2 hours")
+    out = run_stream_to_memory(file_stream_source(d, schema) | st, spark)
+    ev = read_table(SF, "events").df(spark)
+    batch = run_pipe(from_dataframe(ev) | st | sink_df(), spark)
+    max_real = ev.agg(F.max("ts")).first()[0]
+    got = sorted(tuple(r) for r in out.collect()
+                 if r["w_start"] <= max_real)
+    want = sorted(tuple(r) for r in batch.collect()
+                  if r["w_start"] <= max_real)
+    assert got == want and len(got) > 0
+
+
+def test_windowed_countmin_estimate_compatible(spark):
+    """An assembled window row feeds countmin_estimate like a built
+    one — estimates never under-count the window's true frequencies."""
+    from conduino_spark import countmin_assemble, countmin_estimate
+    from conduino_spark.streaming import windowed_countmin_cells
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cells = windowed_countmin_cells("ts", "1 hour", "event_type",
+                                    width=64, depth=3)(ev)
+    asm = countmin_assemble(width=64, depth=3)(cells)
+    ws = asm.select("w_start").orderBy("w_start").first()[0]
+    one = asm.where(F.col("w_start") == ws).drop("w_start", "w_end")
+    win = ev.where(F.window("ts", "1 hour").start == ws)
+    est = countmin_estimate(one, "event_type")(win)
+    truth = {r.event_type: r.n
+             for r in win.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in est.select("event_type", "est_count").distinct().collect():
+        assert r.est_count >= truth[r.event_type]
+
+    with pytest.raises(ValueError):
+        windowed_countmin_cells("ts", "1 hour", "x", width=0)
+    with pytest.raises(ValueError):
+        countmin_assemble(width=8, depth=0)
+
+
+# ---------------------------------------------------------------------------
 # dup_span_stats DuckDB replay (upgrades the pure-Python-only oracle)
 # ---------------------------------------------------------------------------
 
