@@ -1521,7 +1521,22 @@ def bench_extras():
             "ann_join_gemm": q_ann_join_gemm,
             "semantic_dedup_gemm": q_semantic_dedup_gemm,
             "dedup_exact": q_dedup_exact,
-            "text_normalize": q_text_normalize}
+            "text_normalize": q_text_normalize,
+            "windowed_countmin_events": q_windowed_countmin_events}
+
+
+def q_windowed_countmin_events(spark, sf):
+    # r7: per-hour Count-Min cells assembled to dense sketch rows —
+    # the streaming-frequency shape, batch form (laws in test_round7)
+    from conduino_spark import countmin_assemble
+    from conduino_spark.streaming import windowed_countmin_cells
+    p = (_src(sf, "events")
+         | windowed_countmin_cells("ts", "1 hour", "event_type",
+                                   width=256, depth=3)
+         | countmin_assemble(width=256, depth=3)
+         | sink_df())
+    return run_pipe(p, spark).select(
+        _eps("w_start").alias("w_start_epoch"), "n_total")
 
 
 def q_semantic_dedup_gemm(spark, sf):

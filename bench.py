@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     # r7: BPE merge-learning floor (driver-local fast path) + the
     # batched ANN-join kNN-graph shape
     "bpe_train_docs", "ann_join_emb", "ann_join_gemm",
-    "semantic_dedup_gemm",
+    "semantic_dedup_gemm", "windowed_countmin_events",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
