@@ -355,6 +355,72 @@ def test_line_dedup_paragraph_mode(spark):
 
 
 # ---------------------------------------------------------------------------
+# minhash_eval full DuckDB replay (upgrades the consistency-only check)
+# ---------------------------------------------------------------------------
+
+def test_minhash_eval_matches_duckdb(spark):
+    """Replay precision/recall end-to-end in SQL: LSH candidates from
+    the banded self-join, truth from the exact shared-shingle inverted
+    index, counts + rounded ratios — over the same deterministic 25%
+    sample the bench query audits."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry7", "/root/repo/__spark_entry__.py")
+    ent = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ent)
+    from conduino_spark import hash_sample, minhash_eval
+    from conduino_spark.functions.hashing import h32_sql
+    from conduino_spark.operators.text import tokens_sql
+
+    sf01 = "/root/testdata/sf0.01"   # sf0.001's sample has no pairs
+    docs = spark.read.parquet(f"{sf01}/documents.parquet")
+    sample = hash_sample("doc_id", 0.25, salt="eval")(docs)
+    got = tuple(minhash_eval(threshold=0.2)(sample).first())
+
+    cut = int(0.25 * (1 << 32))
+    con = duckdb.connect()
+    # the documents VIEW *is* the sample — every reused SQL helper
+    # (bands, shingles) then applies verbatim
+    con.execute(f"""
+        CREATE VIEW documents AS
+        SELECT * FROM '{sf01}/documents.parquet'
+        WHERE {h32_sql("'eval' || CAST(doc_id AS VARCHAR)")} < {cut}""")
+    toks = tokens_sql("text")
+    sh = ent._sql_shingles(toks)
+    want = tuple(con.execute(ent._sql_minhash_bands() + f"""
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id,
+                      unnest([{h32_sql('g')} for g in {sh}]) AS g
+               FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                  FROM sh a JOIN sh b ON a.g = b.g
+                                     AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truep AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2),
+        hit AS (SELECT id_a, id_b FROM cand
+                WHERE (id_a, id_b) IN (SELECT (id_a, id_b) FROM truep)),
+        c AS (SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+                     (SELECT COUNT(*) FROM truep) AS n_true,
+                     (SELECT COUNT(*) FROM hit) AS n_hit)
+        SELECT n_candidates, n_true, n_hit,
+               CASE WHEN n_candidates = 0 THEN 1.0
+                    ELSE round(n_hit * 1.0 / n_candidates, 6) END
+                 AS precision,
+               CASE WHEN n_true = 0 THEN 1.0
+                    ELSE round(n_hit * 1.0 / n_true, 6) END AS recall
+        FROM c""").fetchone())
+    assert got == want
+    assert got[0] > 0 and got[1] > 0   # non-vacuous audit
+
+
+# ---------------------------------------------------------------------------
 # windowed Count-Min (completes the streaming sketch trio)
 # ---------------------------------------------------------------------------
 
