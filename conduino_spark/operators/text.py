@@ -560,6 +560,7 @@ def unigram_vocab(text_col: str = "text") -> "Stage":
 
 def unigram_logprob(vocab: DataFrame, text_col: str = "text", *,
                     id_col: str = "doc_id", alpha: float = 0.5,
+                    term_round: "int | None" = None,
                     out: str = "logprob_per_token") -> "Stage":
     """Mean per-token unigram log-probability of each document under a
     ``vocab`` table (:func:`unigram_vocab` output) with additive
@@ -579,9 +580,14 @@ def unigram_logprob(vocab: DataFrame, text_col: str = "text", *,
 
     Scores are floating logs (libm ``ln`` differs across engines in the
     last ulp), so tests pin a tolerance reference, not a hash oracle —
-    the same contract as BM25."""
+    the same contract as BM25.  ``term_round`` (like
+    :func:`bigram_logprob`'s) switches to the order-free exact mean of
+    per-token logs rounded to that many decimals — the hash-replayable
+    mode."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    if term_round is not None and not 1 <= term_round <= 9:
+        raise ValueError(f"term_round must be in [1, 9], got {term_round}")
 
     def fn(df: DataFrame) -> DataFrame:
         # N/V ride a broadcast single-row aggregate into the expression
@@ -600,7 +606,16 @@ def unigram_logprob(vocab: DataFrame, text_col: str = "text", *,
                               F.log((F.coalesce(F.col("count"), F.lit(0))
                                      .cast("double") + F.lit(alpha))
                                     / denom).alias("__lp")))
-        per_doc = scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
+        if term_round is None:
+            per_doc = scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
+        else:
+            scale = 10 ** term_round
+            sl = F.round(F.col("__lp") * F.lit(scale)).cast("long")
+            per_doc = (scored.select(id_col, sl.alias("__sl"))
+                             .groupBy(id_col)
+                             .agg((F.sum("__sl").cast("double")
+                                   / F.count("__sl").cast("double")
+                                   / F.lit(float(scale))).alias(out)))
         return df.join(per_doc, id_col, "left")
 
     return Stage(fn, name=f"unigram_logprob(alpha={alpha})",

@@ -590,6 +590,24 @@ def test_tune_minhash_bands_properties():
         lsh_candidate_prob(1.5, 4, 4)
 
 
+def test_unigram_term_round_tracks_full_precision(spark):
+    from conduino_spark import unigram_logprob, unigram_vocab
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    uni = unigram_vocab()(docs)
+    full = {r.doc_id: r.logprob_per_token
+            for r in unigram_logprob(uni)(docs).collect()}
+    gate = {r.doc_id: r.logprob_per_token
+            for r in unigram_logprob(uni, term_round=4)(docs).collect()}
+    assert set(full) == set(gate)
+    for k in full:
+        if full[k] is None:
+            assert gate[k] is None
+        else:
+            assert abs(full[k] - gate[k]) < 5e-5
+    with pytest.raises(ValueError):
+        unigram_logprob(uni, term_round=10)
+
+
 # ---------------------------------------------------------------------------
 # plan audit: benign vs REAL cartesian classification (VERDICT r6 #6)
 # ---------------------------------------------------------------------------
