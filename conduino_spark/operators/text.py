@@ -700,6 +700,74 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+#: strip_html's regex chain — ORDER MATTERS (script/style bodies and
+#: comments must go before the generic tag strip) and every pattern
+#: stays in the Java∩RE2 subset with (?is)-free inline flags expressed
+#: via explicit case classes, so :func:`strip_html_sql` replays the
+#: result bit-for-bit.
+HTML_STRIP_STEPS: "list[tuple[str, str]]" = [
+    # script/style elements: drop the whole element incl. body
+    (r"<[sS][cC][rR][iI][pP][tT][^>]*>(.|\n)*?</[sS][cC][rR][iI][pP][tT]>", " "),
+    (r"<[sS][tT][yY][lL][eE][^>]*>(.|\n)*?</[sS][tT][yY][lL][eE]>", " "),
+    # comments
+    (r"<!--(.|\n)*?-->", " "),
+    # any remaining tag
+    (r"<[^>]+>", " "),
+]
+
+#: entity decode table (the handful that dominate web text; ampersand
+#: LAST so &amp;lt; decodes to &lt; not <)
+HTML_ENTITIES: "list[tuple[str, str]]" = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def strip_html(text_col: str = "text", *, out: str = "text",
+               decode_entities: bool = True,
+               collapse_whitespace: bool = True) -> Stage:
+    """HTML → text for web-corpus ingestion: drop ``<script>``/
+    ``<style>`` elements (including their bodies), comments, and all
+    remaining tags; decode the common entities; collapse whitespace.
+    The regex-heuristic extraction pass every web pipeline runs before
+    quality scoring — NOT a full HTML5 parser (malformed nesting
+    degrades gracefully to tag-stripping), which is exactly the
+    trade the big web corpora (C4, CCNet) make at ingestion scale.
+
+    Pure chained ``regexp_replace`` projection — no shuffle, one
+    codegen pass, streaming-safe; patterns in the Java∩RE2 subset so
+    :func:`strip_html_sql` replays bit-for-bit."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        c = F.coalesce(F.col(text_col), F.lit(""))
+        for rx, rep in HTML_STRIP_STEPS:
+            c = F.regexp_replace(c, rx, rep)
+        if decode_entities:
+            for ent, ch in HTML_ENTITIES:
+                c = F.replace(c, F.lit(ent), F.lit(ch))
+        if collapse_whitespace:
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(out, c)
+
+    return Stage(fn, name="strip_html", seq_preserving=True)
+
+
+def strip_html_sql(expr: str = "text", out: str = "text", *,
+                   decode_entities: bool = True,
+                   collapse_whitespace: bool = True) -> str:
+    """DuckDB rendering of :func:`strip_html` (same chain order)."""
+    c = f"coalesce({expr}, '')"
+    for rx, rep in HTML_STRIP_STEPS:
+        c = f"regexp_replace({c}, '{rx}', '{rep}', 'g')"
+    if decode_entities:
+        for ent, ch in HTML_ENTITIES:
+            ch_sql = ch.replace("'", "''")
+            c = f"replace({c}, '{ent}', '{ch_sql}')"
+    if collapse_whitespace:
+        c = f"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+    return f"{c} AS {out}"
+
+
 def redact_pii(text_col: str = "text", *, out: str = "redacted",
                patterns: "dict[str, tuple[str, str]] | None" = None,
                counts: bool = True) -> Stage:

@@ -646,3 +646,36 @@ def test_plan_audit_flags_real_cartesian_not_bounds_join(spark):
     benign2 = li.crossJoin(F.broadcast(docs.select("doc_id").limit(1)))
     total, n_real = _classify(benign2)
     assert total == 1 and n_real == 0
+
+
+# ---------------------------------------------------------------------------
+# strip_html (r7: web-corpus ingestion extraction pass)
+# ---------------------------------------------------------------------------
+
+def test_strip_html_matches_duckdb_and_semantics(spark):
+    from conduino_spark import strip_html
+    from conduino_spark.operators.text import strip_html_sql
+    docs = [
+        (1, "<html><head><style>body { color: red }</style>"
+            "<script type='text/js'>var x = '<b>evil</b>';</script>"
+            "</head><body><h1>Title</h1><p>Hello  <b>world</b>!</p>"
+            "<!-- a\ncomment --></body></html>"),
+        (2, "Tom &amp; Jerry &lt;3 &quot;cheese&quot;&nbsp;&#39;ok&#39;"),
+        (3, "plain text, no markup"),
+        (4, None),
+        (5, "<SCRIPT>\nmultiline();\n</SCRIPT>kept"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in strip_html()(df).collect()}
+    assert got[1] == "Title Hello world !"
+    assert got[2] == 'Tom & Jerry <3 "cheese" \'ok\''
+    assert got[3] == "plain text, no markup"
+    assert got[4] == ""
+    assert got[5] == "kept"          # case-insensitive, multiline body
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    want = dict(con.execute(
+        f"SELECT doc_id, {strip_html_sql()} FROM docs").fetchall())
+    assert got == want
