@@ -764,7 +764,7 @@ def strip_html_sql(expr: str = "text", out: str = "text", *,
             ch_sql = ch.replace("'", "''")
             c = f"replace({c}, '{ent}', '{ch_sql}')"
     if collapse_whitespace:
-        c = f"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+        c = rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
     return f"{c} AS {out}"
 
 
