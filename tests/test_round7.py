@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from conduino_spark import SEQ, run_pipe, sink_df, snapshot_diff, source_overlap
-from conduino_spark.sources import read_table
+from conduino_spark.sources import from_dataframe, read_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -679,3 +679,26 @@ def test_strip_html_matches_duckdb_and_semantics(spark):
     want = dict(con.execute(
         f"SELECT doc_id, {strip_html_sql()} FROM docs").fetchall())
     assert got == want
+
+
+def test_strip_html_composes_with_corpus_filter(spark):
+    """The ingestion chain: strip_html | quality gate — markup-heavy
+    junk that would fail on raw HTML scores on its EXTRACTED text."""
+    from conduino_spark import corpus_filter, strip_html
+    base = spark.read.parquet(f"{SF}/documents.parquet") \
+        .orderBy("doc_id").limit(20)
+    wrapped = base.select(
+        "doc_id",
+        F.concat(F.lit("<html><script>junk();</script><body><p>"),
+                 F.col("text"),
+                 F.lit("</p></body></html>")).alias("text"))
+    p = (from_dataframe(wrapped)
+         | strip_html()
+         | corpus_filter(keep_only=True)
+         | sink_df())
+    kept_wrapped = {r.doc_id for r in run_pipe(p, spark).collect()}
+    p2 = (from_dataframe(base) | corpus_filter(keep_only=True)
+          | sink_df())
+    kept_plain = {r.doc_id for r in run_pipe(p2, spark).collect()}
+    # extraction recovers the original text, so the gate agrees
+    assert kept_wrapped == kept_plain and len(kept_plain) > 0
