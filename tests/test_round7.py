@@ -702,3 +702,33 @@ def test_strip_html_composes_with_corpus_filter(spark):
     kept_plain = {r.doc_id for r in run_pipe(p2, spark).collect()}
     # extraction recovers the original text, so the gate agrees
     assert kept_wrapped == kept_plain and len(kept_plain) > 0
+
+
+# ---------------------------------------------------------------------------
+# property law: windowed CM assembly == whole build on arbitrary data
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_LAW = dict(max_examples=5, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@settings(**_LAW)
+@given(xs=st.lists(st.text(alphabet="abcde", min_size=1, max_size=3),
+                   min_size=1, max_size=40))
+def test_countmin_assemble_equals_build_law(spark, xs):
+    """For ANY value multiset in one window, assembling the windowed
+    sparse cells reproduces countmin_build bit-for-bit."""
+    from conduino_spark import countmin_assemble, countmin_build
+    from conduino_spark.streaming import windowed_countmin_cells
+    rows = [(i, "2024-01-01 10:%02d:00" % (i % 60), x)
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i long, ts string, v string") \
+        .select("i", F.col("ts").cast("timestamp").alias("ts"), "v")
+    cells = windowed_countmin_cells("ts", "1 hour", "v",
+                                    width=16, depth=2)(df)
+    asm = countmin_assemble(width=16, depth=2)(cells).first()
+    built = countmin_build("v", width=16, depth=2)(df).first()
+    assert list(map(list, asm["cms"])) == list(map(list, built["cms"]))
+    assert asm["n_total"] == built["n_total"] == len(xs)
