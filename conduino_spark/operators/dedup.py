@@ -523,14 +523,17 @@ def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id",
         if kernel == "gemm":
             import numpy as _np
             import pandas as _pd
-            from pyspark.sql.types import (DoubleType, LongType,
-                                           StructField, StructType)
+            from pyspark.sql.types import (DoubleType, StructField,
+                                           StructType)
             th = float(threshold)
-            out_schema = StructType([
-                StructField("id_a", LongType()),
-                StructField("id_b", LongType()),
-                StructField("cosine", DoubleType()),
-            ])
+
+            def _out_schema(df: DataFrame) -> StructType:
+                idt = df.schema[id_col].dataType
+                return StructType([
+                    StructField("id_a", idt),
+                    StructField("id_b", idt),
+                    StructField("cosine", DoubleType()),
+                ])
             _id = id_col
 
             def bucket_pairs(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
@@ -549,7 +552,7 @@ def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id",
                                       "cosine": cos[ii, jj][keep]})
 
             return base.groupBy("bk").applyInPandas(bucket_pairs,
-                                                    out_schema)
+                                                    _out_schema(df))
         a, b = base.alias("a"), base.alias("b")
         on = [F.col("a.bk") == F.col("b.bk")] if bucket_col else []
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -706,11 +706,13 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
         if kernel == "gemm":
             qside = (queries.select(F.col(id_col), qv.alias("__qv"))
                             .join(probes, id_col))
-            from pyspark.sql.types import (DoubleType, LongType,
-                                           StructField, StructType)
+            from pyspark.sql.types import (DoubleType, StructField,
+                                           StructType)
+            id_type = queries.schema[id_col].dataType
+            cid_type = corpus.schema[id_col].dataType
             out_schema = StructType([
-                StructField(id_col, LongType()),
-                StructField(out_id, LongType()),
+                StructField(id_col, id_type),
+                StructField(out_id, cid_type),
                 StructField(out_cos, DoubleType()),
             ])
             kk, excl = k, exclude_self
