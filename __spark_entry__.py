@@ -3058,9 +3058,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_suite_digest": _sql_tpch_suite_digest(),
         "json_props": """
             SELECT event_type,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-                   COUNT(CAST(json_extract(props, '$.k') AS BIGINT))
-                     AS n_with_k
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
+                   CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS n_with_k
             FROM events GROUP BY event_type""",
         "windowed_quantiles_value": f"""
             SELECT CAST(floor(epoch(w_start)) AS BIGINT) AS w_start_epoch,

@@ -526,6 +526,13 @@ def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id",
             from pyspark.sql.types import (DoubleType, StructField,
                                            StructType)
             th = float(threshold)
+            # NULL parity with the exact kernel: the equi-join never
+            # matches a NULL bucket key, and a NULL vector folds to a
+            # NULL cosine (filtered by >= threshold) — so drop both
+            # here rather than letting groupBy treat NULL bk as a
+            # joinable group / np.array crash on a NULL embedding.
+            base = base.where(F.col("v").isNotNull()
+                              & F.col("bk").isNotNull())
 
             def _out_schema(df: DataFrame) -> StructType:
                 idt = df.schema[id_col].dataType

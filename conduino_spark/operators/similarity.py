@@ -668,12 +668,23 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
 
     def fn(queries: DataFrame) -> DataFrame:
         cvec = F.col(vec_col).cast("array<double>")
-        corp = corpus.select(F.col(cell_col).alias("__cell"),
-                             F.col(id_col).alias(out_id),
-                             cvec.alias("__cv"))
+        # NULL cells / NULL vectors are dropped up front so BOTH
+        # kernels see the same universe: the exact path's equi-join on
+        # __cell never matches NULLs anyway, while cogroup would pair
+        # NULL-to-NULL (and np.asarray(None) crashes the gemm kernel).
+        corp = (corpus.where(F.col(cell_col).isNotNull()
+                             & F.col(vec_col).isNotNull())
+                      .select(F.col(cell_col).alias("__cell"),
+                              F.col(id_col).alias(out_id),
+                              cvec.alias("__cv")))
+        queries = queries.where(F.col(vec_col).isNotNull())
         # per-(cell, dim) centroid means — ivf_search's aggregate shape
-        ex = corpus.select(F.col(cell_col).alias("__cell"),
-                           F.posexplode(cvec).alias("__i", "__x"))
+        # (fresh scan, not derived from `corp`: sharing the lineage
+        # makes the later corp-join ambiguous on __cell; same NULL
+        # filter so both sides see the same universe)
+        ex = (corpus.where(F.col(cell_col).isNotNull())
+                    .select(F.col(cell_col).alias("__cell"),
+                            F.posexplode(cvec).alias("__i", "__x")))
         sv = F.round(F.col("__x") * scale).cast("long")
         means = (ex.groupBy("__cell", "__i")
                    .agg((_guarded_long_sum(sv, "ann_join means")

@@ -300,11 +300,16 @@ def countmin_assemble(*, width: int, depth: int,
                          f"width={width}, depth={depth}")
 
     def fn(df: DataFrame) -> DataFrame:
-        m = F.map_from_entries(F.collect_list(F.struct(
-            F.col("c").cast("long").alias("c"),
-            F.col("n").cast("long").alias("n"))))
-        per_d = (df.groupBy(*keys, F.col("d").cast("int").alias("__d"))
-                   .agg(m.alias("__m"))
+        # duplicate cells SUM (merging partial sketches — unioned cell
+        # tables from two runs/shards — is the canonical CM use); without
+        # this pre-aggregate, map_from_entries raises DUPLICATED_MAP_KEY
+        # under Spark's default mapKeyDedupPolicy on any repeated cell
+        cells = (df.groupBy(*keys, F.col("d").cast("int").alias("__d"),
+                            F.col("c").cast("long").alias("c"))
+                   .agg(F.sum(F.col("n").cast("long")).alias("n")))
+        m = F.map_from_entries(F.collect_list(F.struct("c", "n")))
+        per_d = (cells.groupBy(*keys, "__d")
+                      .agg(m.alias("__m"))
                    .select(*keys, "__d", F.transform(
                        F.sequence(F.lit(0).cast("long"),
                                   F.lit(width - 1)),

@@ -707,10 +707,10 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 #: result bit-for-bit.
 HTML_STRIP_STEPS: "list[tuple[str, str]]" = [
     # script/style elements: drop the whole element incl. body
-    (r"<[sS][cC][rR][iI][pP][tT][^>]*>(.|\n)*?</[sS][cC][rR][iI][pP][tT]>", " "),
-    (r"<[sS][tT][yY][lL][eE][^>]*>(.|\n)*?</[sS][tT][yY][lL][eE]>", " "),
+    (r"<[sS][cC][rR][iI][pP][tT][^>]*>[\s\S]*?</[sS][cC][rR][iI][pP][tT]>", " "),
+    (r"<[sS][tT][yY][lL][eE][^>]*>[\s\S]*?</[sS][tT][yY][lL][eE]>", " "),
     # comments
-    (r"<!--(.|\n)*?-->", " "),
+    (r"<!--[\s\S]*?-->", " "),
     # any remaining tag
     (r"<[^>]+>", " "),
 ]

@@ -664,6 +664,10 @@ def test_strip_html_matches_duckdb_and_semantics(spark):
         (3, "plain text, no markup"),
         (4, None),
         (5, "<SCRIPT>\nmultiline();\n</SCRIPT>kept"),
+        # CRLF bodies: Java regex '.' matches neither \r nor \n, so the
+        # patterns use [\s\S]*? (identical in Java regex and RE2)
+        (6, "a<script>x\r\ny</script>b<style>p{}\r\n</style>"
+            "c<!-- d\r\ne -->f"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r.text for r in strip_html()(df).collect()}
@@ -672,6 +676,7 @@ def test_strip_html_matches_duckdb_and_semantics(spark):
     assert got[3] == "plain text, no markup"
     assert got[4] == ""
     assert got[5] == "kept"          # case-insensitive, multiline body
+    assert got[6] == "a b c f"       # CRLF script/style/comment bodies
 
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")

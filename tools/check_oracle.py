@@ -34,6 +34,54 @@ def norm_cell(v):
     return str(v)
 
 
+# -- driver-style type-coercion audit -------------------------------------
+# The driver fetches the DuckDB oracle via Arrow/pandas, where HUGEINT
+# (DuckDB's SUM-over-BIGINT result) coerces to float64 and renders
+# "99111.0" while Spark's long renders "99111" — a value-hash mismatch
+# even when the values are identical (the r7 json_props red row).  A
+# plain fetchall() masks this (Python ints), so we audit the DECLARED
+# output types: Spark schema kind vs the pandas-coercion kind of the
+# DuckDB `DESCRIBE` type.  Kinds: 'i' int-rendered, 'f' float-rendered,
+# None = not numeric / not comparable this way (skip).
+
+_DUCK_INT_PREFIXES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                      "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+_DUCK_FLOAT_PREFIXES = ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL",
+                        "DECIMAL")
+
+
+def duck_kind(t: str):
+    t = t.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+        return None
+    if t.startswith(_DUCK_INT_PREFIXES):
+        return "i"
+    if t.startswith(_DUCK_FLOAT_PREFIXES):
+        return "f"
+    return None
+
+
+def spark_kind(dt: str):
+    if dt in ("byte", "short", "int", "bigint", "long", "integer"):
+        return "i"
+    if dt in ("float", "double"):
+        return "f"
+    return None
+
+
+def kind_mismatches(con, sdf, sql):
+    """Columns whose driver-side (pandas) rendering would differ in
+    int-ness between the Spark result and the DuckDB oracle."""
+    duck = {name: typ for name, typ, *_ in
+            con.execute("DESCRIBE " + sql).fetchall()}
+    out = []
+    for name, dt in sdf.dtypes:
+        ks, ko = spark_kind(dt), duck_kind(duck.get(name, ""))
+        if ks and ko and ks != ko:
+            out.append((name, dt, duck.get(name)))
+    return out
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -92,8 +140,16 @@ def main():
         ok_cols = sorted(scols) == sorted(ocols)
         sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
         ok_hash = sh == oh
-        status = "PASS" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        try:
+            km = kind_mismatches(con, sdf, osql[name])
+        except Exception:
+            km = []
+        status = ("PASS" if (ok_count and ok_cols and ok_hash and not km)
+                  else "FAIL")
         detail = ""
+        if km:
+            detail += (f" driver-style type coercion (spark vs duckdb):"
+                       f" {km};")
         if not ok_count:
             detail += f" rows {len(srows)} vs {len(orows)};"
         if not ok_cols:

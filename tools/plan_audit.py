@@ -82,14 +82,17 @@ def _max_one_row(node) -> bool:
         # broadcast-bounds joins: corpus × sketch-row × total-row)
         ch = node.children()
         return all(_max_one_row(ch.apply(i)) for i in range(ch.size()))
-    if name.startswith(_ONE_ROW_WRAPPERS):
+    if "Aggregate" in name:  # HashAggregate / SortAggregate / Object…
+        # MUST precede the wrapper branch: "Sort" is a prefix of
+        # "SortAggregate", and a keyed SortAggregate is NOT ≤1-row.
+        return bool(re.search(r"Aggregate\s*\(?keys=\[\s*\]",
+                              node.verboseString(10)))
+    if (name in _ONE_ROW_WRAPPERS
+            or name.startswith("WholeStageCodegen")):  # "… (3)" suffix
         ch = node.children()
         if ch.size() == 1:
             return _max_one_row(ch.apply(0))
         return False
-    if "Aggregate" in name:  # HashAggregate / SortAggregate / Object…
-        return bool(re.search(r"Aggregate\s*\(?keys=\[\s*\]",
-                              node.verboseString(10)))
     if name in ("GlobalLimit", "LocalLimit", "CollectLimit"):
         return bool(re.match(rf"{name}\s+1[,\s]", node.verboseString(10)))
     if name == "LocalTableScan":
