@@ -29,12 +29,34 @@ from conduino_spark.plans.core import Stage
 from conduino_spark.functions.hashing import MERSENNE31, h32, lcg_params
 from conduino_spark.operators.text import tokens_col
 
-# fixed MinHash configuration, shared with the oracle SQL
+# default MinHash configuration, shared with the oracle SQL.  The
+# whole signature/banding family accepts optional ``n_perm``/``bands``
+# overrides (so a :func:`tune_minhash_bands` choice is directly
+# consumable); the defaults keep every existing result bit-stable.
 MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 MINHASH_PARAMS = lcg_params(MINHASH_K)
 SHINGLE_N = 3
+
+
+def _minhash_params(n_perm: int) -> "list[tuple[int, int]]":
+    """Permutation params for an ``n_perm``-minima signature.  The LCG
+    stream is prefix-stable, so n_perm=MINHASH_K is exactly
+    MINHASH_PARAMS and larger configs extend it."""
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+    return MINHASH_PARAMS if n_perm == MINHASH_K else lcg_params(n_perm)
+
+
+def _banding_rows(n_perm: int, bands: int) -> int:
+    """rows-per-band for an (n_perm, bands) config; bands × rows
+    consumes the signature prefix (bands·rows ≤ n_perm, the
+    datasketch convention when bands ∤ n_perm)."""
+    if not 1 <= bands <= n_perm:
+        raise ValueError(f"need 1 <= bands <= n_perm, got bands={bands}, "
+                         f"n_perm={n_perm}")
+    return n_perm // bands
 
 
 def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
@@ -56,8 +78,8 @@ def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
     return F.array_distinct(acc)
 
 
-def minhash_signature(text: Column) -> Column:
-    """Array of MINHASH_K minima: sig_j = min_{sh} (a_j·h32(sh)+b_j) % P.
+def minhash_signature(text: Column, *, n_perm: int = MINHASH_K) -> Column:
+    """Array of ``n_perm`` minima: sig_j = min_{sh} (a_j·h32(sh)+b_j) % P.
     NULL-free: docs with no shingles get P (sentinel max) everywhere."""
     hashes = F.transform(shingles_col(text), h32)
 
@@ -66,7 +88,7 @@ def minhash_signature(text: Column) -> Column:
 
     sigs = [
         F.coalesce(F.array_min(F.transform(hashes, _perm(a, b))), F.lit(MERSENNE31))
-        for a, b in MINHASH_PARAMS
+        for a, b in _minhash_params(n_perm)
     ]
     return F.array(*sigs)
 
@@ -106,52 +128,60 @@ def _shingle_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.explode_outer(F.transform(shingles_col(F.col(text_col)), h32)).alias("__h"))
 
 
-def _sig_from_hashes(h: DataFrame, id_col: str) -> DataFrame:
-    """(id, sig array): the 16 permutation minima as parallel partial
-    aggregates over the exploded rows (map-side combine, shuffle key =
-    doc id).  The naive column formulation (array_min of 16 transforms)
-    re-evaluates the md5 transform per permutation — ~16× the work;
-    measured 138s → ~4s at sf0.1."""
+def _sig_from_hashes(h: DataFrame, id_col: str, *,
+                     n_perm: int = MINHASH_K) -> DataFrame:
+    """(id, sig array): the ``n_perm`` permutation minima as parallel
+    partial aggregates over the exploded rows (map-side combine,
+    shuffle key = doc id).  The naive column formulation (array_min of
+    16 transforms) re-evaluates the md5 transform per permutation —
+    ~16× the work; measured 138s → ~4s at sf0.1."""
     aggs = [
         F.coalesce(
             F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE31)),
             F.lit(MERSENNE31)).alias(f"__s{j}")
-        for j, (a, b) in enumerate(MINHASH_PARAMS)
+        for j, (a, b) in enumerate(_minhash_params(n_perm))
     ]
     return (h.groupBy(id_col).agg(*aggs)
              .select(F.col(id_col),
-                     F.array(*[f"__s{j}" for j in range(MINHASH_K)]).alias("sig")))
+                     F.array(*[f"__s{j}" for j in range(n_perm)]).alias("sig")))
 
 
-def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str, *,
+                    n_perm: int = MINHASH_K) -> DataFrame:
     """(id, sig array) via explode + ONE hash-aggregate."""
-    return _sig_from_hashes(_shingle_hashes(df, text_col, id_col), id_col)
+    return _sig_from_hashes(_shingle_hashes(df, text_col, id_col), id_col,
+                            n_perm=n_perm)
 
 
-def _band_explode(sigs: DataFrame, id_col: str, alias: str) -> DataFrame:
+def _band_explode(sigs: DataFrame, id_col: str, alias: str, *,
+                  n_perm: int = MINHASH_K,
+                  bands: int = MINHASH_BANDS) -> DataFrame:
     """(alias, band_id, band_hash) — one row per LSH band per doc.  The
-    banding layout (MINHASH_BANDS × MINHASH_ROWS, ','-joined) is the
-    collision CONTRACT shared by within-batch pairing
+    banding layout (bands × rows over the signature prefix, ','-joined)
+    is the collision CONTRACT shared by within-batch pairing
     (:func:`_band_pairs`) and incremental dedup
     (:func:`minhash_dedup_against`); both MUST go through this one
     function or they silently stop agreeing on what "similar" means."""
+    rows = _banding_rows(n_perm, bands)
     return sigs.select(
         F.col(id_col).alias(alias),
         F.posexplode(F.array(*[
             F.concat_ws(",", *[
-                F.element_at("sig", b * MINHASH_ROWS + r + 1).cast("string")
-                for r in range(MINHASH_ROWS)])
-            for b in range(MINHASH_BANDS)])).alias("band_id", "band_hash"),
+                F.element_at("sig", b * rows + r + 1).cast("string")
+                for r in range(rows)])
+            for b in range(bands)])).alias("band_id", "band_hash"),
     )
 
 
-def _band_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+def _band_pairs(sigs: DataFrame, id_col: str, *, n_perm: int = MINHASH_K,
+                bands_n: int = MINHASH_BANDS) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band
     bucket.  ``sigs`` should be persisted by the caller: the self-join
     otherwise recomputes the md5 pipeline on BOTH sides (AQE's
     broadcast conversion defeats exchange reuse) — measured 15s → 0.3s
     at sf0.1.  Standard LSH practice at any scale."""
-    bands = _band_explode(sigs, id_col, id_col)
+    bands = _band_explode(sigs, id_col, id_col, n_perm=n_perm,
+                          bands=bands_n)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -189,32 +219,42 @@ def dedup_exact(text_col: str = "text", id_col: str = "doc_id", *,
     return Stage(fn, name="dedup_exact", seq_preserving=False)
 
 
-def minhash_signatures(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+def minhash_signatures(text_col: str = "text", id_col: str = "doc_id", *,
+                       n_perm: int = MINHASH_K) -> Stage:
     """Per-doc MinHash signature (narrow projection, no shuffle)."""
+    _minhash_params(n_perm)  # validate eagerly
 
     def fn(df: DataFrame) -> DataFrame:
-        return _minhash_sig_df(df, text_col, id_col)
+        return _minhash_sig_df(df, text_col, id_col, n_perm=n_perm)
 
     return Stage(fn, name="minhash_signatures", seq_preserving=False)
 
 
-def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id") -> Stage:
+def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
+                        n_perm: int = MINHASH_K,
+                        bands: int = MINHASH_BANDS) -> Stage:
     """Candidate near-dup pairs by MinHash LSH banding: docs sharing at
     least one (band_id, band_hash) bucket.  Returns distinct
-    (id_a < id_b) pairs."""
+    (id_a < id_b) pairs.
+
+    ``n_perm``/``bands`` accept a :func:`tune_minhash_bands` choice;
+    defaults are the module constants every oracle pins."""
+    _banding_rows(n_perm, bands)  # validate eagerly
 
     def fn(df: DataFrame) -> DataFrame:
-        # narrow signature table (16 longs/doc), registry-tracked persist
-        # — see _band_pairs for why
-        sigs = track(_minhash_sig_df(df, text_col, id_col))
-        return _band_pairs(sigs, id_col)
+        # narrow signature table (n_perm longs/doc), registry-tracked
+        # persist — see _band_pairs for why
+        sigs = track(_minhash_sig_df(df, text_col, id_col, n_perm=n_perm))
+        return _band_pairs(sigs, id_col, n_perm=n_perm, bands_n=bands)
 
     return Stage(fn, name="minhash_dedup_pairs", seq_preserving=False)
 
 
 def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", *,
-                          ref_sigs: bool = False) -> Stage:
+                          ref_sigs: bool = False,
+                          n_perm: int = MINHASH_K,
+                          bands: int = MINHASH_BANDS) -> Stage:
     """INCREMENTAL dedup: drop every incoming doc that is LSH-similar
     to ANY document of an existing ``reference`` corpus — the ingestion
     pattern (new batch vs the corpus you already kept), where
@@ -229,17 +269,24 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
 
     Keeps batch-internal duplicates (compose ``minhash_dedup`` /
     ``minhash_dedup_cc`` for those) — a doc is dropped solely for
-    colliding with the reference."""
+    colliding with the reference.
+
+    With ``ref_sigs=True`` the caller owns the config agreement: the
+    precomputed signature table must have been built with the SAME
+    ``n_perm`` (the banding layout is positional over the prefix)."""
+    _banding_rows(n_perm, bands)  # validate eagerly
+    bcfg = dict(n_perm=n_perm, bands=bands)
 
     def fn(df: DataFrame) -> DataFrame:
         # no persist: unlike _band_pairs' self-join, each signature
         # table is consumed exactly once here — a track() would pay a
         # full materialization per batch for zero recompute savings
-        new_sigs = _minhash_sig_df(df, text_col, id_col)
+        new_sigs = _minhash_sig_df(df, text_col, id_col, n_perm=n_perm)
         rs = (reference if ref_sigs
-              else _minhash_sig_df(reference, text_col, id_col))
-        hits = (_band_explode(new_sigs, id_col, "__new_id")
-                .join(_band_explode(rs, id_col, "__ref_id"),
+              else _minhash_sig_df(reference, text_col, id_col,
+                                   n_perm=n_perm))
+        hits = (_band_explode(new_sigs, id_col, "__new_id", **bcfg)
+                .join(_band_explode(rs, id_col, "__ref_id", **bcfg),
                       ["band_id", "band_hash"])
                 .select(F.col("__new_id").alias(id_col))
                 .distinct())
@@ -249,7 +296,9 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(text_col: str = "text", id_col: str = "doc_id", *,
-                  pairs: "DataFrame | None" = None) -> Stage:
+                  pairs: "DataFrame | None" = None,
+                  n_perm: int = MINHASH_K,
+                  bands: int = MINHASH_BANDS) -> Stage:
     """MinHash-LSH dedup: drop every doc that is LSH-similar to a
     lower-id doc (connected-component-free greedy rule: survivor = not
     the larger id of any candidate pair).
@@ -259,7 +308,8 @@ def minhash_dedup(text_col: str = "text", id_col: str = "doc_id", *,
     table more than once (e.g. evaluating BOTH survivor policies, or
     auditing with :func:`minhash_eval`): sign and band the corpus
     ONCE, persist the narrow pair table, share it."""
-    pairs_stage = minhash_dedup_pairs(text_col, id_col)
+    pairs_stage = minhash_dedup_pairs(text_col, id_col, n_perm=n_perm,
+                                      bands=bands)
 
     def fn(df: DataFrame) -> DataFrame:
         p = pairs if pairs is not None else pairs_stage(df)
@@ -320,7 +370,9 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
 
 def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
                      max_iters: int = 25,
-                     pairs: "DataFrame | None" = None) -> Stage:
+                     pairs: "DataFrame | None" = None,
+                     n_perm: int = MINHASH_K,
+                     bands: int = MINHASH_BANDS) -> Stage:
     """MinHash-LSH dedup with CONNECTED-COMPONENT survivor selection:
     keep exactly one doc — the minimum id — per transitive near-dup
     cluster.
@@ -335,7 +387,8 @@ def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
     diameter (near-dup clusters are shallow; 25 covers any realistic
     corpus).  A graph needing more rounds raises rather than silently
     splitting components."""
-    pairs_stage = minhash_dedup_pairs(text_col, id_col)
+    pairs_stage = minhash_dedup_pairs(text_col, id_col, n_perm=n_perm,
+                                      bands=bands)
 
     def fn(df: DataFrame) -> DataFrame:
         p = pairs if pairs is not None else pairs_stage(df)
@@ -803,7 +856,9 @@ def source_overlap(text_col: str = "text", group_col: str = "source", *,
 
 
 def minhash_eval(threshold: float = 0.5, *, text_col: str = "text",
-                 id_col: str = "doc_id", n: int = SHINGLE_N) -> Stage:
+                 id_col: str = "doc_id", n: int = SHINGLE_N,
+                 n_perm: int = MINHASH_K,
+                 bands: int = MINHASH_BANDS) -> Stage:
     """LSH-quality audit: precision/recall of the MinHash banding's
     candidate pairs against the EXACT n-gram-Jaccard ground truth at
     ``threshold`` — the measurement a pipeline runs (on a sample)
@@ -823,7 +878,8 @@ def minhash_eval(threshold: float = 0.5, *, text_col: str = "text",
     n_candidates == 0 with n_true > 0 yields recall 0.0."""
 
     def fn(df: DataFrame) -> DataFrame:
-        cand = minhash_dedup_pairs(text_col, id_col)(df) \
+        cand = minhash_dedup_pairs(text_col, id_col, n_perm=n_perm,
+                                   bands=bands)(df) \
             .select("id_a", "id_b")
         true = ngram_jaccard_pairs(text_col, id_col,
                                    threshold=threshold, n=n)(df) \

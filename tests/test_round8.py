@@ -158,3 +158,82 @@ def test_countmin_assemble_sums_duplicate_cells(spark):
         df.union(df)).first()
     assert list(map(list, asm["cms"])) == list(map(list, built["cms"]))
     assert asm["n_total"] == built["n_total"] == 2 * len(xs)
+
+# ---------------------------------------------------------------------------
+# tunable MinHash banding (VERDICT r7 #3): tune_minhash_bands output is
+# directly consumable by the signature/banding family, and a tuned
+# config moves candidate recall the way the S-curve predicts
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark):
+    """Deterministic corpus with known near-dup pairs: 12 base docs,
+    each followed by a one-word-perturbed copy (high Jaccard) and an
+    unrelated doc (near-zero Jaccard)."""
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    rows, did = [], 0
+    for i in range(12):
+        base = " ".join(words[(i * 7 + j) % len(words)] for j in range(30))
+        toks = base.split()
+        toks[15] = f"changed{i}"
+        rows += [(did, base), (did + 1, " ".join(toks)),
+                 (did + 2, " ".join(f"uniq{i}w{j}" for j in range(30)))]
+        did += 3
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tuned_banding_end_to_end(spark):
+    from conduino_spark import (minhash_dedup, minhash_dedup_pairs,
+                                minhash_eval, tune_minhash_bands)
+    df = _dup_corpus(spark)
+
+    # tuner output feeds straight into the family
+    lo = tune_minhash_bands(0.3, n_perm=16)   # recall-ish: many bands
+    hi = tune_minhash_bands(0.9, n_perm=16)   # precision-ish: few bands
+    assert lo[0] > hi[0]                      # S-curve direction
+
+    def run_eval(bands):
+        p = (from_dataframe(df)
+             | minhash_eval(0.5, n_perm=16, bands=bands) | sink_df())
+        return run_pipe(p, spark).first()
+
+    e_lo, e_hi = run_eval(lo[0]), run_eval(hi[0])
+    # monotone law: more bands = a superset of candidates -> recall and
+    # candidate count can only go up (prefix layouts nest per band? no —
+    # but P(candidate) is monotone in bands at fixed n_perm // bands
+    # rows; empirically the perturbed copies are caught)
+    assert e_lo.n_candidates >= e_hi.n_candidates
+    assert e_lo.recall >= e_hi.recall
+    assert e_lo.n_true > 0                    # ground truth non-vacuous
+    assert e_lo.recall >= 0.9                 # tuned-for-0.3 catches dups
+
+    # end-to-end: tune -> dedup with the tuned config
+    surv = run_pipe(from_dataframe(df)
+                    | minhash_dedup(n_perm=16, bands=lo[0])
+                    | sink_df(), spark)
+    ids = {r.doc_id for r in surv.collect()}
+    # every perturbed copy (id % 3 == 1) whose base was caught is gone;
+    # with the recall-tuned config that's all of them
+    assert not {i for i in ids if i % 3 == 1}
+    # unrelated docs (id % 3 == 2) all survive
+    assert {i for i in range(36) if i % 3 == 2} <= ids
+
+    # default-config results are bit-stable: explicit defaults == bare
+    base_pairs = run_pipe(from_dataframe(df)
+                          | minhash_dedup_pairs() | sink_df(), spark)
+    expl_pairs = run_pipe(from_dataframe(df)
+                          | minhash_dedup_pairs(n_perm=16, bands=4)
+                          | sink_df(), spark)
+    key = lambda d: {(r.id_a, r.id_b) for r in d.collect()}  # noqa: E731
+    assert key(base_pairs) == key(expl_pairs)
+
+
+def test_banding_config_validation():
+    from conduino_spark import minhash_dedup_pairs, minhash_signatures
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(bands=0)
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(n_perm=8, bands=9)
+    with pytest.raises(ValueError):
+        minhash_signatures(n_perm=1)
