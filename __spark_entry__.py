@@ -43,7 +43,9 @@ from conduino_spark.operators.sketches import (  # noqa: E402
     binned_quantiles_sql, heavy_hitters_sql, hll_estimate_sql,
     kmv_distinct_sql, winsorize_sql,
 )
-from conduino_spark.operators.text import normalize_text_sql  # noqa: E402
+from conduino_spark.operators.text import (  # noqa: E402
+    normalize_text_sql, strip_html_sql,
+)
 from conduino_spark.timeutil import epoch_seconds as _eps  # noqa: E402
 from conduino_spark.operators.text import (  # noqa: E402
     lang_id_sql, quality_score_sql, repetition_stats_sql, tokens_sql,
@@ -839,7 +841,21 @@ def q_corpus_filter_keep(spark, sf):
     p2 = (_src(sf, "documents", min_partitions="auto")
           | normalize_text(strip_punct=True) | sink_df())
     norm = run_pipe(p2, spark).select("doc_id", "normalized")
-    return gate.join(norm, "doc_id")
+    # r8 merge: the HTML-extraction pass rides as a third joined
+    # column — each doc wrapped in markup (CRLF script/comment bodies
+    # pin the r8 [\s\S] fix) and recovered by strip_html; the DuckDB
+    # side replays via strip_html_sql, bit-identical by construction
+    from conduino_spark import strip_html
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><script>a();\r\nb();</script><body><p>"),
+                 F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("</p><!-- note\r\n --></body></html>"))
+         .alias("text"))
+    ext = strip_html(out="extracted")(wrapped).select("doc_id",
+                                                      "extracted")
+    return gate.join(norm, "doc_id").join(ext, "doc_id")
 
 
 def q_dedup_against(spark, sf):
@@ -922,13 +938,17 @@ def q_bloom_semi_orders(spark, sf):
 
 
 def q_unigram_logprob_docs(spark, sf):
-    # r6: LM quality scoring — vocab aggregate + token hash join +
-    # per-doc mean, all one lazy plan
+    # r6, r8-gated: LM quality scoring — vocab aggregate + token hash
+    # join + per-doc mean, all one lazy plan.  term_round=4 switches to
+    # the order-free exact scaled-long mean (bigram_logprob_docs'
+    # convention) so the score hash-replays in DuckDB; full-precision
+    # mode keeps its 1e-9 reference in tests/test_round6.py.
     from conduino_spark import unigram_logprob, unigram_vocab
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     vocab = unigram_vocab()(docs)
-    return unigram_logprob(vocab)(docs).select("doc_id",
-                                               "logprob_per_token")
+    return (unigram_logprob(vocab, term_round=4)(docs)
+            .select("doc_id", F.round("logprob_per_token", 6)
+                    .alias("lp")))
 
 
 def q_windowed_quantiles_value(spark, sf):
@@ -948,13 +968,16 @@ def q_windowed_quantiles_value(spark, sf):
 
 
 def q_dup_span_docs(spark, sf):
-    # r6: exact-substring duplication audit over the corpus — the
-    # heaviest text pass (stride-1 16-token windows, md5 per window)
+    # r6, r8-gated: exact-substring duplication audit over the corpus —
+    # the heaviest text pass (stride-1 16-token windows, md5 per
+    # window); DuckDB replay at L=4/16 in tests/test_round7.py
     from conduino_spark import dup_span_stats
     p = (_src(sf, "documents", min_partitions="auto")
          | dup_span_stats(window_tokens=16)
          | sink_df())
-    return run_pipe(p, spark)
+    return _strip(run_pipe(p, spark)).select(
+        "doc_id", "n_windows", "n_dup_windows", "dup_window_frac",
+        "n_dup_spans", "dup_token_frac")
 
 
 _PQ_BOOK_CACHE: dict = {}
@@ -1488,8 +1511,9 @@ def bench_extras():
             "binned_quantiles_value": q_binned_quantiles_value,
             "det_shuffle_orders": q_det_shuffle_orders,
             "bloom_semi_orders": q_bloom_semi_orders,
-            "unigram_logprob_docs": q_unigram_logprob_docs,
-            "dup_span_docs": q_dup_span_docs,
+            # (r8: unigram_logprob/dup_span/profile/bpe_train moved
+            # into the driver gate; minhash_eval and the windowed CM
+            # now ride the minhash_pairs / windowed_quantiles pins)
             "tpch_q14": q_tpch_q14,
             "tpch_q19": q_tpch_q19,
             # r6 second half: the REMAINING adapted TPC-H shapes (no
@@ -1513,30 +1537,39 @@ def bench_extras():
             # (r7: line_dedup/bigram/semantic/heavy_hitters/
             # source_overlap/pq_adc moved into the driver gate)
             "hll_distinct_partkey": q_hll_distinct_partkey,
-            "minhash_eval_docs": q_minhash_eval_docs,
-            "profile_docs": q_profile_docs,
-            # r7: BPE merge learning floor (driver-local fast path)
-            "bpe_train_docs": q_bpe_train_docs,
             "window_tumbling": q_window_tumbling,
             "ann_join_gemm": q_ann_join_gemm,
             "semantic_dedup_gemm": q_semantic_dedup_gemm,
             "dedup_exact": q_dedup_exact,
             "text_normalize": q_text_normalize,
-            "windowed_countmin_events": q_windowed_countmin_events}
+            "web_ingest_pipeline": q_web_ingest_pipeline}
 
 
-def q_windowed_countmin_events(spark, sf):
-    # r7: per-hour Count-Min cells assembled to dense sketch rows —
-    # the streaming-frequency shape, batch form (laws in test_round7)
-    from conduino_spark import countmin_assemble
-    from conduino_spark.streaming import windowed_countmin_cells
-    p = (_src(sf, "events")
-         | windowed_countmin_cells("ts", "1 hour", "event_type",
-                                   width=256, depth=3)
-         | countmin_assemble(width=256, depth=3)
+def q_web_ingest_pipeline(spark, sf):
+    # r8 (VERDICT r7 #5): the COMPOSED web-ingestion flagship — the
+    # chain a real LLM corpus build runs: markup-wrapped raw pages ->
+    # strip_html extraction -> Gopher-style quality gate -> MinHash-LSH
+    # dedup -> 64/16 chunking packed into 512-token training bins.
+    # Per-operator floors exist individually; this is the end-to-end
+    # composed floor.  Replay law in tests/test_round8.py.
+    from conduino_spark import (chunk_text, corpus_filter, minhash_dedup,
+                                pack_chunks, strip_html)
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><script>a();\r\nb();</script><body><p>"),
+                 F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("</p><!-- note\r\n --></body></html>"))
+         .alias("text"))
+    p = (from_dataframe(wrapped)
+         | strip_html()
+         | corpus_filter(keep_only=True)
+         | minhash_dedup()
+         | chunk_text(64, 16)
+         | pack_chunks(512)
          | sink_df())
-    return run_pipe(p, spark).select(
-        _eps("w_start").alias("w_start_epoch"), "n_total")
+    return run_pipe(p, spark).select("doc_id", "chunk_id", "n_tokens",
+                                     "bin")
 
 
 def q_semantic_dedup_gemm(spark, sf):
@@ -1586,17 +1619,6 @@ def q_bpe_train_docs(spark, sf):
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_no int, a string, b string")
-
-
-def q_minhash_eval_docs(spark, sf):
-    # LSH banding precision/recall vs exact Jaccard at 0.2, on a 25%
-    # deterministic hash sample — the audit runs on a SAMPLE by design
-    # (its truth side is the full exact-Jaccard pair join, which is the
-    # quadratic cost the LSH path exists to avoid at corpus scale)
-    from conduino_spark import hash_sample, minhash_eval
-    docs = _src(sf, "documents", min_partitions="auto").df(spark)
-    sample = hash_sample("doc_id", 0.25, salt="eval")(docs)
-    return minhash_eval(threshold=0.2)(sample)
 
 
 def q_profile_docs(spark, sf):
@@ -1724,6 +1746,135 @@ def q_stream_window_replay(spark, sf):
     return stream.unionByName(batch)
 
 
+# ---- r8 gate rotation: merged pins -----------------------------------------
+# Four single-op pins merge into sibling pins (tagged arms, every
+# retired operator keeps full value-hash coverage), freeing slots for
+# the r6/r7 bench-only operators (VERDICT r7 #4): dup_span_docs,
+# unigram_logprob_docs, profile_docs, bpe_train_docs.
+
+def q_scan_accum(spark, sf):
+    # r8 merge: scan_cumsum + map_accum_multi — the ordered-stateful
+    # family in one pin, columns normalized to (part, id, a, b); every
+    # value is exactly representable in double (cum_cents guard keeps
+    # |sum| < 2^53, alt_sum/cum_n/is_record are small)
+    scan = q_scan_cumsum(spark, sf).select(
+        F.lit("scan").alias("part"), F.col("o_orderkey").alias("id"),
+        F.col("cum_total").alias("a"),
+        F.col("cum_n").cast("double").alias("b"))
+    acc = q_map_accum_multi(spark, sf).select(
+        F.lit("accum").alias("part"), F.col("event_id").alias("id"),
+        F.col("alt_sum").cast("double").alias("a"),
+        F.col("is_record").alias("b"))
+    return scan.unionByName(acc)
+
+
+def q_take_drop_zip(spark, sf):
+    # r8 merge: take_drop_sequel (+zipSink cross) + zip_concat_last —
+    # the positional-boundary algebra family in one pin
+    tds = q_take_drop_sequel(spark, sf).select(
+        F.lit("tds").alias("part"), F.col("event_id").alias("pos"),
+        F.col("event_type").alias("name"),
+        F.lit(None).cast("long").alias("key"),
+        "value", "sum_value", "n", "max_user")
+    zc = q_zip_concat_last(spark, sf).select(
+        "part", "pos", "name", "key",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("max_user"))
+    return tds.unionByName(zc)
+
+
+def q_set_ops_rollup(spark, sf):
+    # r8 merge: set_ops + group_rollup — both already stringly-keyed
+    so = q_set_ops(spark, sf).withColumn("n", F.lit(None).cast("long"))
+    ru = q_group_rollup(spark, sf).select(
+        F.concat_ws("|",
+                    F.coalesce(F.col("l_returnflag"), F.lit("<all>")),
+                    F.coalesce(F.col("l_linestatus"), F.lit("<all>")))
+         .alias("key"),
+        F.lit("rollup").alias("op"), "n")
+    return so.unionByName(ru)
+
+
+def q_heavy_hitters_concat_map(spark, sf):
+    # r8 merge: heavy_hitters_tokens + concat_map_tokens — both are
+    # views of the same exploded token stream
+    hh = q_heavy_hitters_tokens(spark, sf).select(
+        F.lit("hh").alias("part"), F.col("value").alias("token"),
+        F.lit(None).cast("long").alias("doc_id"), "n")
+    cm = q_concat_map_tokens(spark, sf).select(
+        F.lit("tok").alias("part"), "token", "doc_id",
+        F.lit(None).cast("long").alias("n"))
+    return hh.unionByName(cm)
+
+
+def q_minhash_pairs_eval(spark, sf):
+    # r8 merge: the LSH banding-quality audit (precision/recall vs the
+    # exact-Jaccard truth at 0.2 on a 25% hash sample — audits run on
+    # samples BY DESIGN; the truth side is the quadratic cost LSH
+    # avoids) rides the minhash_pairs pin as a single tagged row
+    from conduino_spark import hash_sample, minhash_eval
+    pairs = q_minhash_pairs(spark, sf).select(
+        F.lit("pair").alias("part"), "id_a", "id_b",
+        F.lit(None).cast("long").alias("n_candidates"),
+        F.lit(None).cast("long").alias("n_true"),
+        F.lit(None).cast("long").alias("n_hit"),
+        F.lit(None).cast("double").alias("precision"),
+        F.lit(None).cast("double").alias("recall"))
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    sample = hash_sample("doc_id", 0.25, salt="eval")(docs)
+    ev = minhash_eval(threshold=0.2)(sample).select(
+        F.lit("eval").alias("part"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "n_candidates", "n_true", "n_hit", "precision", "recall")
+    return pairs.unionByName(ev)
+
+
+def q_windowed_sketches(spark, sf):
+    # r8 merge: windowed quantiles + windowed Count-Min (cells ->
+    # assemble -> re-exploded nonzero cells, so BOTH the streaming cell
+    # aggregation and the dense assembly are value-hashed; the sparse
+    # cells are what DuckDB replays — assemble==build is the law in
+    # tests/test_round7.py) — the streaming-sketch pin
+    from conduino_spark import countmin_assemble
+    from conduino_spark.streaming import windowed_countmin_cells
+    quant = q_windowed_quantiles_value(spark, sf).select(
+        F.lit("quant").alias("part"), "w_start_epoch", "event_type",
+        "p50", "p90",
+        F.lit(None).cast("int").alias("d"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("n"))
+    p = (_src(sf, "events")
+         | windowed_countmin_cells("ts", "1 hour", "event_type",
+                                   width=256, depth=3)
+         | countmin_assemble(width=256, depth=3)
+         | sink_df())
+    asm = run_pipe(p, spark)
+    cm = (asm.select(_eps("w_start").alias("w_start_epoch"),
+                     F.posexplode("cms").alias("d", "__row"))
+             .select("w_start_epoch", "d",
+                     F.posexplode("__row").alias("c", "n"))
+             .where(F.col("n") > 0)
+             .select(F.lit("cm").alias("part"), "w_start_epoch",
+                     F.lit(None).cast("string").alias("event_type"),
+                     F.lit(None).cast("double").alias("p50"),
+                     F.lit(None).cast("double").alias("p90"),
+                     "d", "c", "n"))
+    return quant.unionByName(cm)
+
+
+def q_profile_docs_gate(spark, sf):
+    # r8: the exact columns of the table-health profile (one agg pass);
+    # approx_distinct stays out of the hash gate — the HLL estimate's
+    # linear-counting branch carries a libm-ln tolerance (its registers
+    # are hash-verified via sketch_profile; the estimate keeps its
+    # tolerance law in tests/test_round6c.py)
+    return q_profile_docs(spark, sf).select(
+        "column", "n_rows", "n_nulls", "null_frac", "min", "max")
+
+
 #: THE GATE ORDERING CONTRACT (r2/r3 verdict lead item): the driver
 #: records CORRECTNESS rows for at most the FIRST 50 declared queries,
 #: so ``queries()`` MUST stay <= 50 entries — every declared query then
@@ -1750,13 +1901,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value_stats = quantiles_value + winsorize_value;
         # knn_methods absorbs ivf_build (cells arm); sketch_profile =
         # kmv_distinct_tokens + the r6 HLL shard/merge/estimate chain.
+        # r8 merges: scan_cumsum absorbs map_accum_multi (part-tagged);
+        # take_drop_sequel absorbs zip_concat_last; set_ops absorbs
+        # group_rollup; heavy_hitters_tokens absorbs concat_map_tokens;
+        # minhash_pairs absorbs the banding-quality audit;
+        # windowed_quantiles_value absorbs the windowed Count-Min;
+        # corpus_filter_keep gains the strip_html extraction column.
         "map_filter_project": q_map_filter_project,
-        "concat_map_tokens": q_concat_map_tokens,
-        "scan_cumsum": q_scan_cumsum,
+        "scan_cumsum": q_scan_accum,
         "ordered_windows": q_ordered_windows,
-        "take_drop_sequel": q_take_drop_sequel,
-        "map_accum_multi": q_map_accum_multi,
-        "zip_concat_last": q_zip_concat_last,
+        "take_drop_sequel": q_take_drop_zip,
         # relational extensions (SURVEY §2.7)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1766,13 +1920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q14_q19": q_tpch_q14_q19,
         "ranked_orders_per_cust": q_ranked_orders_per_cust,
-        "set_ops": q_set_ops,
+        "set_ops": q_set_ops_rollup,
         "stream_window_replay": q_stream_window_replay,
         "session_window": q_session_window,
-        "group_rollup": q_group_rollup,
         # LLM-data-pipeline extensions (north star)
         "text_profile": q_text_profile,
-        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs": q_minhash_pairs_eval,
         "minhash_survivors": q_minhash_survivors,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "sketch_profile": q_sketch_profile,
@@ -1796,7 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_state": q_cdc_latest_state,
         # r7 rotation: the r6 surface swapped into the driver gate
         # (VERDICT r6 #2)
-        "heavy_hitters_tokens": q_heavy_hitters_tokens,
+        "heavy_hitters_tokens": q_heavy_hitters_concat_map,
         "line_dedup_docs": q_line_dedup_docs,
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "semantic_dedup_emb": q_semantic_dedup,
@@ -1809,7 +1962,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_filter_keep (joined column) — freeing slots for:
         "ann_join_emb": q_ann_join_emb,
         "json_props": q_json_props,
-        "windowed_quantiles_value": q_windowed_quantiles_value,
+        "windowed_quantiles_value": q_windowed_sketches,
+        # r8 rotation: the r6/r7 bench-only operators swapped into the
+        # slots freed by the merges above (VERDICT r7 #4)
+        "dup_span_docs": q_dup_span_docs,
+        "unigram_logprob_docs": q_unigram_logprob_docs,
+        "profile_docs": q_profile_docs_gate,
+        "bpe_train_docs": q_bpe_train_docs,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -1835,16 +1994,147 @@ def _sql_minhash_sig(shingles: str) -> str:
     return f"[{mins}]"
 
 
-def _sql_minhash_bands() -> str:
+def _sql_minhash_bands(table: str = "documents") -> str:
     toks = tokens_sql("text")
     sig = _sql_minhash_sig(_sql_shingles(toks))
     return f"""
-      WITH sigs AS (SELECT doc_id, {sig} AS sig FROM documents),
+      WITH sigs AS (SELECT doc_id, {sig} AS sig FROM {table}),
       bands AS (
         SELECT doc_id, i - 1 AS band_id,
                array_to_string(sig[(i-1)*{MINHASH_ROWS}+1 : i*{MINHASH_ROWS}], ',') AS band_hash
         FROM sigs, range(1, {MINHASH_BANDS + 1}) t(i))
     """
+
+
+def _sql_minhash_eval(threshold: float = 0.2, fraction: float = 0.25,
+                      salt: str = "eval") -> str:
+    """DuckDB rendering of the r8 minhash_eval arm: LSH candidate
+    precision/recall vs the exact-Jaccard truth on the deterministic
+    hash sample (same md5 hash-space cut as sampling.hash_sample)."""
+    cut = int(fraction * (1 << 32))
+    toks = tokens_sql("text")
+    sig = _sql_minhash_sig(_sql_shingles(toks))
+    hkey = h32_sql(f"concat('{salt}', CAST(doc_id AS VARCHAR))")
+    sh_list = f"[{h32_sql('g')} for g in {_sql_shingles(toks)}]"
+    return f"""
+      WITH samp AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id IS NOT NULL AND {hkey} < {cut}),
+      sigs AS (SELECT doc_id, {sig} AS sig FROM samp),
+      bands AS (
+        SELECT doc_id, i - 1 AS band_id,
+               array_to_string(sig[(i-1)*{MINHASH_ROWS}+1 : i*{MINHASH_ROWS}], ',')
+                 AS band_hash
+        FROM sigs, range(1, {MINHASH_BANDS + 1}) t(i)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band_id, band_hash)
+               WHERE a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id, unnest({sh_list}) AS g FROM samp),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+             FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      tp AS (SELECT id_a, id_b FROM it
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+             WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6)
+                   >= {threshold}),
+      hit AS (SELECT c.id_a FROM cand c
+              JOIN tp ON tp.id_a = c.id_a AND tp.id_b = c.id_b),
+      cts AS (SELECT (SELECT COUNT(*) FROM cand) AS nc,
+                     (SELECT COUNT(*) FROM tp) AS nt,
+                     (SELECT COUNT(*) FROM hit) AS nh)
+      SELECT CAST(nc AS BIGINT) AS n_candidates,
+             CAST(nt AS BIGINT) AS n_true,
+             CAST(nh AS BIGINT) AS n_hit,
+             CASE WHEN nc = 0 THEN 1.0
+                  ELSE round(nh * 1.0 / nc, 6) END AS precision,
+             CASE WHEN nt = 0 THEN 1.0
+                  ELSE round(nh * 1.0 / nt, 6) END AS recall
+      FROM cts"""
+
+
+def _sql_dup_span(L: int = 16, table: str = "documents") -> str:
+    """DuckDB rendering of dup_span_stats (the generator tests pin at
+    L=4/16 in tests/test_round7.py, promoted to the r8 gate)."""
+    toks = tokens_sql("text")
+    win = h32_sql(f"array_to_string(t[i:i+{L - 1}], ' ')")
+    return f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM {table}),
+        w AS (SELECT doc_id, len(t) AS nt,
+                     [{win} for i in range(1, len(t) - {L - 2})] AS ws
+              FROM tk),
+        wins AS (SELECT doc_id, unnest(ws) AS h,
+                        generate_subscripts(ws, 1) - 1 AS p FROM w),
+        duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        pos AS (SELECT doc_id, p FROM wins
+                WHERE h IN (SELECT h FROM duph)),
+        g AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) < {L}
+                          THEN 0 ELSE 1 END AS brk
+              FROM pos),
+        runs AS (SELECT doc_id, p,
+                        SUM(brk) OVER (PARTITION BY doc_id ORDER BY p)
+                          AS run
+                 FROM g),
+        spans AS (SELECT doc_id, run, MIN(p) AS s, MAX(p) + {L} AS e
+                  FROM runs GROUP BY doc_id, run),
+        sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                      CAST(SUM(e - s) AS BIGINT) AS cov
+               FROM spans GROUP BY doc_id),
+        nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ndw
+               FROM pos GROUP BY doc_id),
+        per AS (SELECT w.doc_id, w.nt, len(w.ws) AS nw,
+                       coalesce(nd.ndw, 0) AS ndw,
+                       coalesce(sp.n_dup_spans, 0) AS n_dup_spans,
+                       coalesce(sp.cov, 0) AS cov
+                FROM w LEFT JOIN sp USING (doc_id)
+                       LEFT JOIN nd USING (doc_id))
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+               CAST(ndw AS BIGINT) AS n_dup_windows,
+               CASE WHEN nw > 0 THEN CAST(ndw AS DOUBLE)
+                                     / CAST(nw AS DOUBLE)
+                    ELSE 0.0 END AS dup_window_frac,
+               CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+               CASE WHEN nt > 0
+                    THEN least(1.0, CAST(cov AS DOUBLE)
+                                    / CAST(nt AS DOUBLE))
+                    ELSE 0.0 END AS dup_token_frac
+        FROM per"""
+
+
+def _sql_windowed_cm(width: int = 256, depth: int = 3) -> str:
+    """DuckDB rendering of the r8 windowed Count-Min arm: per-hour
+    sparse cells (d, c, n) of event_type, the same md5-salted cell
+    positions as countmin_build_sql, keyed by the window epoch."""
+    parts = []
+    for d in range(depth):
+        salted = f"concat('{d}|', CAST(event_type AS VARCHAR))"
+        parts.append(
+            f"SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts)))"
+            f" AS BIGINT) AS w_start_epoch, "
+            f"{d} AS d, ({h32_sql(salted)}) % {width} AS c "
+            f"FROM events WHERE event_type IS NOT NULL")
+    return (f"SELECT w_start_epoch, d, c, COUNT(*) AS n FROM "
+            f"({' UNION ALL '.join(parts)}) "
+            f"GROUP BY w_start_epoch, d, c")
+
+
+def _sql_profile_docs() -> str:
+    """DuckDB rendering of the r8 profile_docs gate pin: the EXACT
+    per-column stats of profile_table over documents (approx_distinct
+    excluded — see q_profile_docs_gate)."""
+    arms = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        arms.append(f"""
+            SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   round((COUNT(*) - COUNT({c}))
+                         / greatest(COUNT(*), 1) * 1.0, 6) AS null_frac,
+                   MIN(CAST({c} AS VARCHAR)) AS min,
+                   MAX(CAST({c} AS VARCHAR)) AS max
+            FROM documents""")
+    return " UNION ALL ".join(arms)
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -2441,25 +2731,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity,
                    round(l_extendedprice * (1 + l_tax), 4) AS gross
             FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10""",
-        "concat_map_tokens": f"""
-            SELECT doc_id, unnest({toks}) AS token FROM documents""",
         "scan_cumsum": """
-            SELECT o_orderkey,
+            SELECT 'scan' AS part, o_orderkey AS id,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                       OVER (ORDER BY o_orderkey) / 100.0 AS cum_total,
-                   CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
-                       AS cum_n
-            FROM orders""",
-        "map_accum_multi": """
-            WITH alt AS (
+                       OVER (ORDER BY o_orderkey) / 100.0 AS a,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS DOUBLE)
+                       AS b
+            FROM orders
+            UNION ALL
+            SELECT 'accum' AS part, a.event_id AS id,
+                   CAST(a.alt_sum AS DOUBLE) AS a, r.is_record AS b
+            FROM (
               SELECT event_id,
                      CAST(SUM(user_id * sign) OVER (ORDER BY event_id) AS BIGINT)
                        AS alt_sum
               FROM (SELECT event_id, user_id,
                            CASE WHEN (ROW_NUMBER() OVER (ORDER BY event_id)) % 2 = 1
                                 THEN 1 ELSE -1 END AS sign
-                    FROM events)),
-            rec AS (
+                    FROM events)) a
+            JOIN (
               SELECT event_id,
                      CASE WHEN value > coalesce(
                               MAX(value) OVER (ORDER BY event_id
@@ -2467,9 +2757,7 @@ def oracle_sql() -> dict[str, str]:
                               -1.0)
                           THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
                      END AS is_record
-              FROM events)
-            SELECT a.event_id, a.alt_sum, r.is_record
-            FROM alt a JOIN rec r USING (event_id)""",
+              FROM events) r USING (event_id)""",
         "ordered_windows": """
             SELECT event_id AS at_seq, 'pairs' AS op,
                    concat(CAST(fst AS VARCHAR), ',', CAST(snd AS VARCHAR))
@@ -2507,23 +2795,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0
                        AS sum_value,
                      COUNT(*) AS n, MAX(user_id) AS max_user
-              FROM events)
-            SELECT tds.event_id, tds.event_type, tds.value,
-                   z.sum_value, z.n, z.max_user
-            FROM tds CROSS JOIN z""",
-        "zip_concat_last": """
-            WITH cat AS (
+              FROM events),
+            cat AS (
               SELECT r_regionkey AS pos, r_name AS name FROM region
               UNION ALL
               SELECT (SELECT max(r_regionkey) + 1 FROM region) + n_nationkey, n_name
               FROM nation),
             c AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pos, c_custkey
                   FROM customer)
-            SELECT 'zip' AS part, pos, name, c_custkey AS key
+            SELECT 'tds' AS part, tds.event_id AS pos,
+                   tds.event_type AS name, CAST(NULL AS BIGINT) AS key,
+                   tds.value, z.sum_value, z.n, z.max_user
+            FROM tds CROSS JOIN z
+            UNION ALL
+            SELECT 'zip' AS part, pos, name, c_custkey AS key,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM cat JOIN c USING (pos)
             UNION ALL
             SELECT 'last' AS part, event_id AS pos, event_type AS name,
-                   CAST(NULL AS BIGINT) AS key
+                   CAST(NULL AS BIGINT) AS key,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM events WHERE event_id = (SELECT max(event_id) FROM events)""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
@@ -2570,19 +2863,27 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders) WHERE rank <= 2""",
         "set_ops": """
-            SELECT CAST(c_custkey AS VARCHAR) AS key, 'intersect' AS op FROM (
+            SELECT CAST(c_custkey AS VARCHAR) AS key, 'intersect' AS op,
+                   CAST(NULL AS BIGINT) AS n FROM (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
               INTERSECT
               SELECT o_custkey AS c_custkey FROM orders)
             UNION ALL
-            SELECT CAST(c_custkey AS VARCHAR) AS key, 'except' AS op FROM (
+            SELECT CAST(c_custkey AS VARCHAR) AS key, 'except' AS op,
+                   CAST(NULL AS BIGINT) AS n FROM (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
               EXCEPT
               SELECT o_custkey AS c_custkey FROM orders
               WHERE o_orderpriority = '1-URGENT')
             UNION ALL
-            SELECT DISTINCT c_mktsegment AS key, 'distinct' AS op
-            FROM customer""",
+            SELECT DISTINCT c_mktsegment AS key, 'distinct' AS op,
+                   CAST(NULL AS BIGINT) AS n
+            FROM customer
+            UNION ALL
+            SELECT concat(coalesce(l_returnflag, '<all>'), '|',
+                          coalesce(l_linestatus, '<all>')) AS key,
+                   'rollup' AS op, COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "stream_window_replay": """
             SELECT 'stream' AS part,
                    CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_epoch,
@@ -2612,9 +2913,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(min(ts))) AS BIGINT) AS w_start_epoch,
                    COUNT(*) AS n
             FROM g GROUP BY user_id, sid""",
-        "group_rollup": """
-            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "text_profile": f"""
             SELECT s.doc_id, s.n_tokens, s.quality,
                    r.dup_line_frac, r.dup_line_char_frac,
@@ -2630,10 +2928,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) l USING (doc_id)
             JOIN ({_sql_simhash()}) sm USING (doc_id)""",
 
-        "minhash_pairs": _sql_minhash_bands() + """
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b USING (band_id, band_hash)
-            WHERE a.doc_id < b.doc_id""",
+        "minhash_pairs": _sql_minhash_bands() + f"""
+            SELECT 'pair' AS part, id_a, id_b,
+                   CAST(NULL AS BIGINT) AS n_candidates,
+                   CAST(NULL AS BIGINT) AS n_true,
+                   CAST(NULL AS BIGINT) AS n_hit,
+                   CAST(NULL AS DOUBLE) AS precision,
+                   CAST(NULL AS DOUBLE) AS recall
+            FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_id, band_hash)
+                  WHERE a.doc_id < b.doc_id)
+            UNION ALL
+            SELECT 'eval' AS part, CAST(NULL AS BIGINT) AS id_a,
+                   CAST(NULL AS BIGINT) AS id_b,
+                   n_candidates, n_true, n_hit, precision, recall
+            FROM ({_sql_minhash_eval()})""",
         "minhash_survivors": f"""
             SELECT doc_id, 'greedy' AS policy FROM (
               {_sql_minhash_bands()}
@@ -2875,10 +3184,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, session_id FROM lab""",
         "bloom_prune": _sql_bloom_prune(),
         "corpus_filter_keep": f"""
-            SELECT g.doc_id, g.keep, g.reasons, n.normalized
+            SELECT g.doc_id, g.keep, g.reasons, n.normalized, x.extracted
             FROM ({_sql_corpus_filter()}) g
             JOIN (SELECT doc_id, {normalize_text_sql(strip_punct=True)}
-                  FROM documents) n USING (doc_id)""",
+                  FROM documents) n USING (doc_id)
+            JOIN (SELECT doc_id, {strip_html_sql(
+                  "concat('<html><script>a();', chr(13), chr(10), "
+                  "'b();</script><body><p>', coalesce(text, ''), "
+                  "'</p><!-- note', chr(13), chr(10), "
+                  "' --></body></html>')", out="extracted")}
+                  FROM documents) x USING (doc_id)""",
         "dedup_against": _sql_minhash_bands() + """
             SELECT doc_id, 'against' AS policy FROM documents
             WHERE doc_id % 2 = 1 AND doc_id NOT IN (
@@ -2955,10 +3270,18 @@ def oracle_sql() -> dict[str, str]:
                      AND p_size BETWEEN 1 AND 5)
                  OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
                      AND p_size BETWEEN 1 AND 10)) q19""",
-        "heavy_hitters_tokens": heavy_hitters_sql(
-            "token", min_frac=0.005,
-            table=f"(SELECT unnest({tokens_sql('text')}) AS token "
-                  "FROM documents) __tok"),
+        "heavy_hitters_tokens": f"""
+            SELECT 'hh' AS part, value AS token,
+                   CAST(NULL AS BIGINT) AS doc_id, n
+            FROM ({heavy_hitters_sql(
+                "token", min_frac=0.005,
+                table=f"(SELECT unnest({tokens_sql('text')}) AS token "
+                      "FROM documents) __tok")})
+            UNION ALL
+            SELECT 'tok' AS part, token, doc_id,
+                   CAST(NULL AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token
+                  FROM documents)""",
         "line_dedup_docs": """
             WITH lines AS (
               SELECT doc_id, pos, line, lower(trim(line)) AS nl
@@ -3064,14 +3387,52 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_with_k
             FROM events GROUP BY event_type""",
         "windowed_quantiles_value": f"""
-            SELECT CAST(floor(epoch(w_start)) AS BIGINT) AS w_start_epoch,
-                   event_type, p50, p90
+            SELECT 'quant' AS part,
+                   CAST(floor(epoch(w_start)) AS BIGINT) AS w_start_epoch,
+                   event_type, p50, p90,
+                   CAST(NULL AS INTEGER) AS d, CAST(NULL AS BIGINT) AS c,
+                   CAST(NULL AS BIGINT) AS n
             FROM ({binned_quantiles_sql(
                 "value", {"p50": 0.5, "p90": 0.9}, bins=64,
                 keys=("w_start", "event_type"), lo=0.0, hi=100.0,
                 table="(SELECT time_bucket(INTERVAL '1 hour', ts) "
-                      "AS w_start, event_type, value FROM events)")})""",
+                      "AS w_start, event_type, value FROM events)")})
+            UNION ALL
+            SELECT 'cm' AS part, w_start_epoch,
+                   CAST(NULL AS VARCHAR) AS event_type,
+                   CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90,
+                   d, c, n
+            FROM ({_sql_windowed_cm(width=256, depth=3)})""",
         "ann_join_emb": _sql_ann_join(),
+        # r8 rotation: newly gated r6/r7 operators (bpe_train_docs is
+        # deliberately oracle-free — BPE merge learning is an iterative
+        # argmax loop SQL cannot express; the driver records rows-only,
+        # and the two-path-identical law lives in tests/test_round7.py)
+        "dup_span_docs": _sql_dup_span(16),
+        "unigram_logprob_docs": f"""
+            WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+            uni AS (SELECT tok AS token, COUNT(*) AS c
+                    FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+            st AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+            pt AS (SELECT doc_id, unnest(t) AS token FROM tk),
+            sc AS (SELECT pt.doc_id,
+                          CAST(ROUND(ln(
+                            (CAST(coalesce(u.c, 0) AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE))
+                            / (CAST(st.n AS DOUBLE)
+                               + CAST(0.5 AS DOUBLE)
+                                 * (CAST(st.v AS DOUBLE) + 1))
+                          ) * 10000) AS BIGINT) AS sl
+                   FROM pt
+                   LEFT JOIN uni u ON u.token = pt.token
+                   CROSS JOIN st),
+            per AS (SELECT doc_id,
+                           CAST(SUM(sl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                             / 10000.0 AS lp0
+                    FROM sc GROUP BY doc_id)
+            SELECT d.doc_id, round(per.lp0, 6) AS lp
+            FROM documents d LEFT JOIN per USING (doc_id)""",
+        "profile_docs": _sql_profile_docs(),
     }
     return sql
 

@@ -38,8 +38,15 @@ BENCH_QUERIES = [
     # latest_event_per_user, knn_methods gaining the ivf_build cells
     # arm — merged floors ≈ the sum of their parents.
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "scan_cumsum", "ordered_windows", "map_accum_multi",
-    "window_tumbling", "map_filter_project", "concat_map_tokens",
+    # r8 gate-rotation merges: scan_cumsum absorbs map_accum_multi,
+    # take_drop_sequel absorbs zip_concat_last, set_ops absorbs
+    # group_rollup, heavy_hitters_tokens absorbs concat_map_tokens,
+    # minhash_pairs absorbs the banding-quality audit,
+    # windowed_quantiles_value absorbs the windowed Count-Min,
+    # corpus_filter_keep gains the strip_html extraction arm — merged
+    # floors ~ the sum of their parents.
+    "scan_cumsum", "ordered_windows",
+    "window_tumbling", "map_filter_project",
     "chunk_pack_docs", "asof_events_bidir",
     "rolling_user_day", "user_event_profile",
     "text_profile",
@@ -66,11 +73,13 @@ BENCH_QUERIES = [
     "line_dedup_docs", "bigram_logprob_docs", "semantic_dedup_emb",
     # r6 third batch
     "hll_distinct_partkey", "heavy_hitters_tokens", "source_overlap_docs",
-    "minhash_eval_docs", "profile_docs",
+    "profile_docs",
     # r7: BPE merge-learning floor (driver-local fast path) + the
     # batched ANN-join kNN-graph shape
     "bpe_train_docs", "ann_join_emb", "ann_join_gemm",
-    "semantic_dedup_gemm", "windowed_countmin_events",
+    "semantic_dedup_gemm",
+    # r8: the composed web-ingestion pipeline floor (VERDICT r7 #5)
+    "web_ingest_pipeline",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

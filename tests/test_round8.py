@@ -237,3 +237,33 @@ def test_banding_config_validation():
         minhash_dedup_pairs(n_perm=8, bands=9)
     with pytest.raises(ValueError):
         minhash_signatures(n_perm=1)
+
+# ---------------------------------------------------------------------------
+# composed web-ingestion pipeline (VERDICT r7 #5): the bench's
+# end-to-end flagship replays the plain chain exactly — markup wrap is
+# lossless under strip_html, so every downstream stage sees identical
+# input
+# ---------------------------------------------------------------------------
+
+def test_web_ingest_pipeline_replays_plain_chain(spark):
+    from conduino_spark import (chunk_text, corpus_filter, minhash_dedup,
+                                pack_chunks, strip_html)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(150))
+    # the bench entry's wrap (q_web_ingest_pipeline), on a subset the
+    # suite can afford — identical markup, identical chain
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><script>a();\r\nb();</script><body><p>"),
+                 F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("</p><!-- note\r\n --></body></html>"))
+         .alias("text"))
+    tail = (corpus_filter(keep_only=True) | minhash_dedup()
+            | chunk_text(64, 16) | pack_chunks(512))
+    got = {(r.doc_id, r.chunk_id, r.n_tokens, r.bin) for r in
+           run_pipe(from_dataframe(wrapped) | strip_html() | tail
+                    | sink_df(), spark).collect()}
+    want = {(r.doc_id, r.chunk_id, r.n_tokens, r.bin) for r in
+            run_pipe(from_dataframe(docs) | tail | sink_df(),
+                     spark).collect()}
+    assert got == want and len(got) > 0
