@@ -1542,7 +1542,10 @@ def bench_extras():
             "semantic_dedup_gemm": q_semantic_dedup_gemm,
             "dedup_exact": q_dedup_exact,
             "text_normalize": q_text_normalize,
-            "web_ingest_pipeline": q_web_ingest_pipeline}
+            "web_ingest_pipeline": q_web_ingest_pipeline,
+            # r8 new operators (full DuckDB replays in test_round8)
+            "pca_embeddings": q_pca_embeddings,
+            "quality_classifier_docs": q_quality_classifier_docs}
 
 
 def q_web_ingest_pipeline(spark, sf):
@@ -1582,6 +1585,39 @@ def q_semantic_dedup_gemm(spark, sf):
     return (semantic_dedup(threshold=0.2, bucket_col="label",
                            kernel="gemm")(emb)
             .select("vec_id"))
+
+
+def q_pca_embeddings(spark, sf):
+    # r8: exact-moment distributed PCA (operators/embeddings.py) — one
+    # mapInPandas Gram pass (integer partials, never shuffles a
+    # vector), driver-side eigh on the d x d covariance, then the
+    # codegen projection.  Model bit-replayable from DuckDB moments
+    # (two-path law in tests/test_round8.py).
+    from conduino_spark import pca_fit, pca_transform
+    emb = _src(sf, "embeddings").df(spark)
+    model = pca_fit(emb, k=8)
+    out = pca_transform(model)(emb)
+    return out.select("vec_id", F.posexplode("pc").alias("comp", "val"))
+
+
+def q_quality_classifier_docs(spark, sf):
+    # r8: distill the heuristic quality gate into a learned linear
+    # scorer (operators/classifier.py) — distributed full-batch logreg
+    # with order-free exact scaled-long gradients; the whole training
+    # loop replays bit-for-bit in DuckDB (tests/test_round8.py)
+    from conduino_spark import (QUALITY_FEATURES, logreg_score,
+                                logreg_train, quality_features)
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    fx = quality_features("text")
+    feats = docs.select(
+        "doc_id", *[fx[k].alias(k) for k in QUALITY_FEATURES],
+        (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
+                        + fx["stop_sig"] + fx["punct_ok"])
+         >= 0.72).cast("int").alias("label"))
+    m = logreg_train(feats, list(QUALITY_FEATURES), "label",
+                     iters=10, lr=2.0)
+    return (logreg_score(m)(feats)
+            .select("doc_id", "label", "score"))
 
 
 def q_ann_join_gemm(spark, sf):

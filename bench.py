@@ -79,7 +79,8 @@ BENCH_QUERIES = [
     "bpe_train_docs", "ann_join_emb", "ann_join_gemm",
     "semantic_dedup_gemm",
     # r8: the composed web-ingestion pipeline floor (VERDICT r7 #5)
-    "web_ingest_pipeline",
+    # + the new exact-moment PCA and logreg quality-distill operators
+    "web_ingest_pipeline", "pca_embeddings", "quality_classifier_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

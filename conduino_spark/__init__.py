@@ -79,6 +79,14 @@ from conduino_spark.operators.similarity import (
     pq_encode, pq_search, pq_train, probe_buckets, vec_dequantize,
     vec_quantize_int8,
 )
+from conduino_spark.operators.classifier import (
+    QUALITY_FEATURES, LogRegModel, logreg_epoch_update, logreg_score,
+    logreg_train, quality_features, quality_features_sql,
+)
+from conduino_spark.operators.embeddings import (
+    PCAModel, normalize_vectors, pca_fit, pca_from_moments,
+    pca_transform, vector_moments,
+)
 from conduino_spark.operators.multimodal import (
     audio_metadata, feature_extract, frame_sample, image_metadata,
     image_resize, sniff_format,

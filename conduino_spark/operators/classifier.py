@@ -1,0 +1,212 @@
+"""Quality-classifier training: distributed full-batch logistic
+regression with order-free exact gradients.
+
+The CCNet / LLaMA-style corpus build trains a small linear classifier
+(fastText-shaped) to score documents as "reference-like" vs "random
+web" and keeps the top bucket.  The *features* come from the engine's
+text operators (quality components, length/shape stats); this module
+supplies the trainer and scorer.
+
+Scale shape: each of the ``iters`` epochs is ONE scan + a tiny hash
+aggregate (d+2 sums) — the canonical distributed batch gradient
+descent.  Weights live on the driver (d+1 doubles) and ride each
+epoch's plan as literals, so the per-row math is whole-stage codegen
+(sigmoid = JVM ``exp``); no Python touches a row.  The feature
+projection is persisted once (narrow: d doubles + label per row), so
+epochs re-scan the cached columnar block, not the raw table.
+
+Determinism contract (the repo's gate rules): every per-row gradient
+term is rounded to a scaled long (``term_scale``, default 1e4 — the
+bigram_logprob term_round convention) BEFORE summing, so epoch sums
+are order-free exact integers and the whole weight trajectory is
+bit-reproducible — across partitionings AND across engines (the
+DuckDB replay law drives the same loop with SQL-computed gradients).
+libm-vs-JVM ``exp`` last-ulp differences can only flip a rounded term
+when a value lands within one ulp of a 0.5 boundary at 1e-4
+granularity (~1e-12/row — the accepted bigram_logprob risk).
+
+Reference parity: an epoch is `foldl` with a (d+1)-vector accumulator
+(Combinators.hs:480) re-expressed as Spark partial aggregation; the
+driver loop is the same fixpoint shape as `feedbackPipe`
+(Data/Conduino.hs:429).  The classifier itself is an engine addition
+(SURVEY §2.7 LLM-pipeline posture).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conduino_spark.plans.core import Stage
+
+TERM_SCALE = 10_000
+
+
+@dataclass
+class LogRegModel:
+    """Driver-sized model: d feature weights + intercept."""
+    weights: List[float]          # d
+    intercept: float
+    n: int
+    feature_cols: List[str] = field(default_factory=list)
+    loss_history: List[float] = field(default_factory=list)  # per epoch
+
+    @property
+    def dim(self) -> int:
+        return len(self.weights)
+
+
+def _sigmoid_col(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+#: canonical quality-feature names, order matters (training contract)
+QUALITY_FEATURES = ("len_ok", "alpha_ratio", "stop_sig", "punct_ok")
+
+
+def quality_features(text_col: str = "text") -> dict:
+    """The four :func:`~conduino_spark.operators.text.quality_score`
+    components as separate feature columns (same constants —
+    text.py:121) — the trainer's stock featurizer.  Every value is a
+    ratio of exact integer counts (or a capped linear map of one), so
+    the features are bit-identical across engines without rounding."""
+    from conduino_spark.operators.text import QUALITY_STOPWORDS, tokens_col
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, "[^.,!?;:]", ""))
+    toks = tokens_col(t)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(QUALITY_STOPWORDS)))
+    len_ok = (F.when(n_chars >= 8000, F.lit(8000.0) / n_chars)
+               .when(n_chars >= 200, F.lit(1.0))
+               .otherwise(n_chars / F.lit(200.0)))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_sig = F.when(n_toks > 0,
+                      F.least(F.lit(1.0), F.lit(5.0) * stop_hits / n_toks)
+                      ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    punct_ok = (F.lit(1.0) - F.greatest(F.lit(0.0), punct_ratio - F.lit(0.1))
+                / F.lit(0.9))
+    return {"len_ok": len_ok, "alpha_ratio": alpha_ratio,
+            "stop_sig": stop_sig, "punct_ok": punct_ok}
+
+
+def quality_features_sql(expr: str = "text") -> dict:
+    """DuckDB rendering of :func:`quality_features` (replay path)."""
+    from conduino_spark.operators.text import QUALITY_STOPWORDS, tokens_sql
+    toks = tokens_sql(expr)
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return {
+        "len_ok": f"""(case when length({expr}) >= 8000
+                            then 8000.0 / length({expr})
+                            when length({expr}) >= 200 then 1.0
+                            else length({expr}) / 200.0 end)""",
+        "alpha_ratio": f"""(case when length({expr}) > 0
+            then length(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))
+                 * 1.0 / length({expr}) else 0.0 end)""",
+        "stop_sig": f"""(case when len({toks}) > 0
+            then least(1.0, 5.0 * len(list_filter({toks},
+                 x -> x in ({stops}))) * 1.0 / len({toks}))
+            else 0.0 end)""",
+        "punct_ok": f"""(1.0 - greatest(0.0,
+            (case when length({expr}) > 0
+                  then length(regexp_replace({expr}, '[^.,!?;:]', '', 'g'))
+                       * 1.0 / length({expr}) else 0.0 end) - 0.1) / 0.9)""",
+    }
+
+
+def logreg_epoch_update(grads: Sequence[int], n: int, w: List[float],
+                        b: float, lr: float, l2: float,
+                        term_scale: int) -> tuple[List[float], float]:
+    """One exact-integer gradient step — shared by the Spark path and
+    the DuckDB replay (the two-path law feeds SQL-summed terms through
+    this same function)."""
+    d = len(w)
+    gw = [grads[i] / term_scale / n + l2 * w[i] for i in range(d)]
+    gb = grads[d] / term_scale / n
+    return ([w[i] - lr * gw[i] for i in range(d)], b - lr * gb)
+
+
+def logreg_train(df: DataFrame, feature_cols: Sequence[str],
+                 label_col: str, *, iters: int = 20, lr: float = 1.0,
+                 l2: float = 0.0, term_scale: int = TERM_SCALE,
+                 track_loss: bool = True) -> LogRegModel:
+    """Train logistic regression ``P(label=1 | features)``.
+
+    ``feature_cols`` are NUMERIC columns (cast to double); NULL
+    features or labels exclude the row.  Weights init at zero — with
+    the deterministic gradient sums the whole trajectory is
+    reproducible bit-for-bit.
+    """
+    feature_cols = list(feature_cols)
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("logreg_train needs >= 1 feature column")
+    cols = [F.col(c).cast("double").alias(f"__x{i}")
+            for i, c in enumerate(feature_cols)]
+    y = F.col(label_col).cast("double").alias("__y")
+    feat = df.select(*cols, y).na.drop()
+    feat = feat.persist()
+    try:
+        w = [0.0] * d
+        b = 0.0
+        n: Optional[int] = None
+        history: List[float] = []
+        for _ in range(iters):
+            z = F.lit(b)
+            for i in range(d):
+                z = z + F.lit(w[i]) * F.col(f"__x{i}")
+            p = _sigmoid_col(z)
+            err = p - F.col("__y")
+            aggs = [F.sum(F.round(err * F.col(f"__x{i}") * term_scale)
+                          .cast("long")).alias(f"g{i}") for i in range(d)]
+            aggs.append(F.sum(F.round(err * term_scale).cast("long"))
+                        .alias(f"g{d}"))
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            if track_loss:
+                # numerically stable log-loss: max(z,0) - y*z + ln(1+e^-|z|)
+                ll = (F.greatest(z, F.lit(0.0)) - F.col("__y") * z
+                      + F.log1p(F.exp(-F.abs(z))))
+                aggs.append(F.sum(F.round(ll * term_scale).cast("long"))
+                            .alias("loss"))
+            row = feat.agg(*aggs).collect()[0]
+            n = int(row["n"])
+            if n == 0:
+                raise ValueError("logreg_train: no complete rows")
+            grads = [int(row[f"g{i}"]) for i in range(d + 1)]
+            if track_loss:
+                history.append(round(int(row["loss"]) / term_scale / n, 6))
+            w, b = logreg_epoch_update(grads, n, w, b, lr, l2, term_scale)
+        return LogRegModel(weights=[round(x, 12) for x in w],
+                           intercept=round(b, 12), n=n or 0,
+                           feature_cols=feature_cols,
+                           loss_history=history)
+    finally:
+        feat.unpersist()
+
+
+def logreg_score(model: LogRegModel, *, out: str = "score",
+                 feature_cols: Optional[Sequence[str]] = None,
+                 ndigits: Optional[int] = 6) -> Stage:
+    """Append ``P(label=1)`` — a pure codegen projection (weights ride
+    as literals), zero shuffle."""
+    names = list(feature_cols or model.feature_cols)
+    if len(names) != model.dim:
+        raise ValueError(f"model has {model.dim} weights but "
+                         f"{len(names)} feature columns given")
+
+    def fn(df: DataFrame) -> DataFrame:
+        z = F.lit(model.intercept)
+        for wgt, c in zip(model.weights, names):
+            z = z + F.lit(wgt) * F.col(c).cast("double")
+        p = _sigmoid_col(z)
+        return df.withColumn(out,
+                             F.round(p, ndigits) if ndigits is not None
+                             else p)
+
+    return Stage(fn, name="logreg_score", seq_preserving=True)

@@ -267,3 +267,168 @@ def test_web_ingest_pipeline_replays_plain_chain(spark):
             run_pipe(from_dataframe(docs) | tail | sink_df(),
                      spark).collect()}
     assert got == want and len(got) > 0
+
+# ---------------------------------------------------------------------------
+# r8 new operators: exact vector moments / PCA / L2 normalize
+# (operators/embeddings.py) and the distributed logreg quality
+# classifier (operators/classifier.py).  Both follow the gate
+# determinism rules: per-row scaled-long rounding -> order-free exact
+# sums -> bit-replayable in DuckDB.
+# ---------------------------------------------------------------------------
+
+def _duck_with_views(sf=SF):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def _sql_vector_moments(d=64, scale=10**9):
+    return f"""
+      WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+                 WHERE embedding IS NOT NULL AND len(embedding) = {d})
+      SELECT 0 AS m, -1 AS i, -1 AS j, CAST(COUNT(*) AS BIGINT) AS s FROM v
+      UNION ALL
+      SELECT 1, i - 1, -1,
+             CAST(SUM(CAST(ROUND(x[i] * {scale}) AS BIGINT)) AS BIGINT)
+      FROM v, range(1, {d + 1}) t(i) GROUP BY i
+      UNION ALL
+      SELECT 2, i - 1, j - 1,
+             CAST(SUM(CAST(ROUND(x[i] * x[j] * {scale}) AS BIGINT)) AS BIGINT)
+      FROM v, range(1, {d + 1}) t(i), range(1, {d + 1}) u(j)
+      WHERE j >= i GROUP BY i, j"""
+
+
+def test_vector_moments_match_duckdb_bitwise(spark):
+    from conduino_spark import vector_moments
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.m, r.i, r.j): r.s
+           for r in vector_moments()(emb).collect()}
+    con = _duck_with_views()
+    want = {(int(m), int(i), int(j)): int(s)
+            for m, i, j, s in con.execute(_sql_vector_moments()).fetchall()}
+    assert got == want and len(got) == 1 + 64 + 64 * 65 // 2
+
+
+def test_pca_model_laws_and_duckdb_two_path(spark):
+    import numpy as np
+    from conduino_spark import pca_fit, pca_from_moments, pca_transform
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = pca_fit(emb, k=6)
+    C = np.array(model.components)
+    # components orthonormal; variances non-increasing and >= 0
+    assert float(np.abs(C @ C.T - np.eye(6)).max()) < 1e-9
+    ev = model.explained_variance
+    assert all(a >= b >= 0 for a, b in zip(ev, ev[1:]))
+    # two-path law: DuckDB-computed moments through the SAME model
+    # math give the SAME model, bit for bit
+    con = _duck_with_views()
+    m2 = pca_from_moments(con.execute(_sql_vector_moments()).fetchall(), 6)
+    assert m2.mean == model.mean
+    assert m2.components == model.components
+    assert m2.explained_variance == model.explained_variance
+    # transform law: per-component sample variance of the projections
+    # equals the eigenvalue it was derived from (population covariance)
+    out = pca_transform(model, ndigits=None)(emb)
+    X = np.array([list(r["pc"]) for r in out.select("pc").collect()])
+    assert np.allclose(X.var(axis=0), ev, atol=1e-6)
+    assert np.abs(X.mean(axis=0)).max() < 1e-9
+
+
+def test_normalize_vectors_unit_norm_and_degenerate(spark):
+    from conduino_spark import normalize_vectors
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [0.0, 0.0])],
+        "id long, embedding array<double>")
+    rows = {r.id: r.embedding
+            for r in normalize_vectors()(df).orderBy("id").collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] is None        # NULL passthrough
+    assert rows[3] is None        # zero norm -> NULL, not NaN
+
+
+def test_logreg_two_path_bitwise(spark):
+    """Spark trainer == local numpy loop through the SAME
+    logreg_epoch_update, weight-for-weight (order-free exact gradient
+    sums), and the tracked loss is non-increasing."""
+    import numpy as np
+    from conduino_spark import logreg_epoch_update, logreg_train
+    rows = [(float(i % 7) / 7.0, float((i * 3) % 5) / 5.0,
+             1 if (i % 7) + (i * 3) % 5 >= 6 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int") \
+              .repartition(8)
+    m = logreg_train(df, ["x1", "x2"], "y", iters=12, lr=2.0)
+    assert m.loss_history[-1] < m.loss_history[0]
+    X = np.array([[r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows], dtype=float)
+    w, b, TS = [0.0, 0.0], 0.0, 10_000
+
+    def ra(v):
+        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+    for _ in range(12):
+        p = 1.0 / (1.0 + np.exp(-(X @ np.array(w) + b)))
+        err = p - y
+        g = [int(ra(err * X[:, i] * TS).sum()) for i in range(2)]
+        g.append(int(ra(err * TS).sum()))
+        w, b = logreg_epoch_update(g, len(y), w, b, 2.0, 0.0, TS)
+    assert m.weights == [round(v, 12) for v in w]
+    assert m.intercept == round(b, 12)
+
+
+def test_logreg_quality_distill_duckdb_replay(spark):
+    """The bench entry's shape end-to-end: distill the heuristic
+    quality gate (label = quality >= 0.72) into a linear scorer over
+    the four quality components, then replay the ENTIRE training loop
+    with DuckDB-computed gradient sums — weights and scores must agree
+    (bigram_logprob-style per-term rounding makes the sums exact)."""
+    from conduino_spark import (QUALITY_FEATURES, logreg_epoch_update,
+                                logreg_score, logreg_train,
+                                quality_features, quality_features_sql)
+    from conduino_spark.operators.text import quality_score_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fx = quality_features("text")
+    feats = docs.select(
+        "doc_id", *[fx[k].alias(k) for k in QUALITY_FEATURES],
+        (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
+                        + fx["stop_sig"] + fx["punct_ok"])
+         >= 0.72).cast("int").alias("label"))
+    m = logreg_train(feats, list(QUALITY_FEATURES), "label",
+                     iters=8, lr=2.0)
+    assert m.loss_history[-1] < m.loss_history[0]
+    # DuckDB replay of the same loop
+    con = _duck_with_views()
+    fs = quality_features_sql("text")
+    cols = ", ".join(f"{fs[k]} AS {k}" for k in QUALITY_FEATURES)
+    con.execute(f"""CREATE TABLE feats AS
+        SELECT doc_id, {cols},
+               CAST(0.25 * ({fs['len_ok']} + {fs['alpha_ratio']}
+                    + {fs['stop_sig']} + {fs['punct_ok']}) >= 0.72
+                    AS INT) AS label
+        FROM documents WHERE text IS NOT NULL""")
+    d = len(QUALITY_FEATURES)
+    w, b, TS = [0.0] * d, 0.0, 10_000
+    n = con.execute("SELECT COUNT(*) FROM feats").fetchone()[0]
+    for _ in range(8):
+        z = " + ".join([f"({w[i]!r} * {QUALITY_FEATURES[i]})"
+                        for i in range(d)] + [repr(b)])
+        p = f"(1.0 / (1.0 + exp(-({z}))))"
+        sums = ", ".join(
+            [f"CAST(SUM(CAST(ROUND(({p} - label) * {QUALITY_FEATURES[i]} "
+             f"* {TS}) AS BIGINT)) AS BIGINT)" for i in range(d)]
+            + [f"CAST(SUM(CAST(ROUND(({p} - label) * {TS}) AS BIGINT)) "
+               "AS BIGINT)"])
+        g = [int(v) for v in con.execute(
+            f"SELECT {sums} FROM feats").fetchone()]
+        w, b = logreg_epoch_update(g, n, w, b, 2.0, 0.0, TS)
+    assert m.weights == [round(v, 12) for v in w]
+    assert m.intercept == round(b, 12)
+    # scores replay too (6dp round both sides)
+    got = {(r.doc_id, r.score) for r in
+           logreg_score(m)(feats).select("doc_id", "score").collect()}
+    z = " + ".join([f"({m.weights[i]!r} * {QUALITY_FEATURES[i]})"
+                    for i in range(d)] + [repr(m.intercept)])
+    want = {(int(a), float(s)) for a, s in con.execute(
+        f"SELECT doc_id, round(1.0 / (1.0 + exp(-({z}))), 6) "
+        "FROM feats").fetchall()}
+    assert got == want
