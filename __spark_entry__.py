@@ -1597,7 +1597,11 @@ def q_pca_embeddings(spark, sf):
     emb = _src(sf, "embeddings").df(spark)
     model = pca_fit(emb, k=8)
     out = pca_transform(model)(emb)
-    return out.select("vec_id", F.posexplode("pc").alias("comp", "val"))
+    # posexplode_outer: pc is never NULL/empty (F.array of k exprs), so
+    # outer is value-identical — but it skips InferFiltersFromGenerate's
+    # size(pc)>0 filter, which would re-inline all k dot-product folds
+    # into an interpreted predicate (plan_audit giant_filter smell)
+    return out.select("vec_id", F.posexplode_outer("pc").alias("comp", "val"))
 
 
 def q_quality_classifier_docs(spark, sf):

@@ -11,7 +11,8 @@ Public surface:
 """
 
 from conduino_spark.plans.core import (
-    SEQ, Pipeline, Sink, Source, Stage, identity_stage, run_pipe, with_seq_from,
+    SEQ, Pipeline, Sink, Source, Stage, fenced_where, identity_stage,
+    run_pipe, with_seq_from,
 )
 from conduino_spark.plans.cachereg import release_caches
 from conduino_spark.plans.order import rerank

@@ -613,15 +613,29 @@ def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id",
 
             return base.groupBy("bk").applyInPandas(bucket_pairs,
                                                     _out_schema(df))
+        if bucket_col is not None:
+            # fenced not-null pre-filter: the equi-join would otherwise
+            # INFER isnotnull(bk) constraints that Catalyst substitutes
+            # through the quantizer's assignment projection (when bk is
+            # a computed cell, e.g. ivf_build output) — re-evaluating
+            # the whole k-centroid distance argmin in an interpreted
+            # per-row predicate.  Same survivors: NULL keys never
+            # equi-join.  (plans.core.fenced_where)
+            from conduino_spark.plans.core import fenced_where as _fw
+            base = _fw(base, F.col("bk").isNotNull()
+                       & F.col(id_col).isNotNull())
         a, b = base.alias("a"), base.alias("b")
         on = [F.col("a.bk") == F.col("b.bk")] if bucket_col else []
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         joined = a.join(b, on + [cond] if on else [cond])
         dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                           F.lit(0.0), lambda s, x: s + x)
-        return (joined
-                .withColumn("cosine", F.round(dot / (F.col("a.n") * F.col("b.n")), 6))
-                .where(F.col("cosine") >= threshold)
+        from conduino_spark.plans.core import fenced_where
+        scored = joined.withColumn(
+            "cosine", F.round(dot / (F.col("a.n") * F.col("b.n")), 6))
+        # fenced: a naked where would substitute the zip_with fold into
+        # the predicate and evaluate it twice per candidate pair
+        return (fenced_where(scored, F.col("cosine") >= threshold)
                 .select(F.col(f"a.{id_col}").alias("id_a"),
                         F.col(f"b.{id_col}").alias("id_b"), "cosine"))
 

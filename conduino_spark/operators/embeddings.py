@@ -206,21 +206,28 @@ def pca_fit(df: DataFrame, k: int = 8, *, vec_col: str = "embedding",
 
 
 def pca_transform(model: PCAModel, *, vec_col: str = "embedding",
-                  out: str = "pc", ndigits: Optional[int] = 6) -> Stage:
+                  out: str = "pc", ndigits: Optional[int] = 6,
+                  whiten: bool = False, eps: float = 1e-12) -> Stage:
     """Project ``vec_col`` onto the model's components:
-    ``out[j] = (x - mean) . components[j]``.  The k x d matrix rides
-    the plan as literal arrays — pure codegen fold, no shuffle, no
-    Python."""
+    ``out[j] = (x - mean) . components[j]`` (divided by
+    ``sqrt(explained_variance[j])`` when ``whiten=True`` — the
+    SemDeDup-style preprocessing that equalizes component scales before
+    cosine work).  The k x d matrix rides the plan as literal arrays —
+    pure codegen fold, no shuffle, no Python."""
     mean = F.array(*[F.lit(float(m)) for m in model.mean])
+    scales = [1.0 / max(ev, eps) ** 0.5 if whiten else 1.0
+              for ev in model.explained_variance]
 
     def fn(df: DataFrame) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
         centered = F.zip_with(v, mean, lambda a, b: a - b)
         projs = []
-        for comp in model.components:
+        for comp, sc in zip(model.components, scales):
             carr = F.array(*[F.lit(float(x)) for x in comp])
             p = F.aggregate(F.zip_with(centered, carr, lambda a, b: a * b),
                             F.lit(0.0), lambda s, x: s + x)
+            if whiten:
+                p = p * F.lit(sc)
             projs.append(F.round(p, ndigits) if ndigits is not None else p)
         return df.withColumn(out, F.array(*projs))
 

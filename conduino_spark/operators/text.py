@@ -684,23 +684,12 @@ def corpus_filter(text_col: str = "text", *,
         d = (d.withColumn(reasons, reason_arr)
               .withColumn("keep", F.size(F.col(reasons)) == 0))
         if keep_only:
-            # Pushdown fence (r8).  Spark pushes ANY filter condition
-            # through a fully-deterministic Project by blind alias
-            # substitution (PushPredicateThroughNonJoin has no cost
-            # guard, unlike CollapseProject) — where("keep") inlines
-            # size(reasons) -> every rule -> every metric -> the whole
-            # lambda-HOF metric chain into one interpreted per-row
-            # predicate, ~20x this operator's real cost (measured 57s
-            # vs 2.9s on 500 docs).  One nondeterministic projected
-            # field that the filter references makes the Project
-            # non-pushable, so metrics evaluate ONCE in the projection
-            # and the filter tests plain columns.  Zero materialization,
-            # JVM-only, streaming-safe; the field's value is never
-            # observed (mid >= 0 is a tautology).
-            fence = F.monotonically_increasing_id()
-            return (d.withColumn("__cf_fence", fence)
-                     .where(F.col("keep") & (F.col("__cf_fence") >= 0))
-                     .drop("keep", reasons, "__cf_fence"))
+            # fenced: a naked where("keep") would re-inline the whole
+            # lambda-HOF metric chain into an interpreted per-row
+            # predicate (~20x this operator's real cost — measured 57s
+            # vs 2.9s on 500 docs; see plans.core.fenced_where)
+            from conduino_spark.plans.core import fenced_where
+            return fenced_where(d, F.col("keep")).drop("keep", reasons)
         return d
 
     return Stage(fn, name="corpus_filter", seq_preserving=True)

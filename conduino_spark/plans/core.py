@@ -184,6 +184,31 @@ def identity_stage(name: str = "id") -> Stage:
     return Stage(_identity, name=name)
 
 
+def fenced_where(df: DataFrame, cond) -> DataFrame:
+    """Filter WITHOUT letting Catalyst substitute the condition through
+    the projection below (r8).
+
+    Spark's ``PushPredicateThroughNonJoin`` pushes any condition
+    through a fully-deterministic Project by blind alias substitution —
+    no cost guard, unlike ``CollapseProject`` — so a filter on a
+    derived column of an expensive projection silently re-inlines the
+    column's whole defining expression into an interpreted per-row
+    predicate (measured 20x on corpus_filter's lambda-HOF metric
+    chain, 2x on embedding_near_dup's cosine fold).  One
+    nondeterministic projected field that the condition references
+    makes the Project non-pushable: the expensive columns evaluate
+    once in the projection and the filter tests plain attributes.
+
+    Zero materialization, JVM-only, streaming-safe; the fence value is
+    never observed (``mid >= 0`` is a tautology) and the column is
+    dropped.  Trade-off: downstream predicates cannot cross the fence
+    to reach the scan either — use only ABOVE the cheap/pushable
+    filters, on projections whose recompute dominates."""
+    return (df.withColumn("__fence", F.monotonically_increasing_id())
+              .where(cond & (F.col("__fence") >= 0))
+              .drop("__fence"))
+
+
 class Source:
     """A source: ``SparkSession -> DataFrame`` (``Pipe () o u m a``,
     Internal.hs:100-106).  Every source attaches ``__seq``.

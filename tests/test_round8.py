@@ -432,3 +432,15 @@ def test_logreg_quality_distill_duckdb_replay(spark):
         f"SELECT doc_id, round(1.0 / (1.0 + exp(-({z}))), 6) "
         "FROM feats").fetchall()}
     assert got == want
+
+
+def test_pca_whiten_unit_variance(spark):
+    """whiten=True rescales each component to unit sample variance
+    (the SemDeDup preprocessing contract)."""
+    import numpy as np
+    from conduino_spark import pca_fit, pca_transform
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = pca_fit(emb, k=4)
+    out = pca_transform(model, ndigits=None, whiten=True)(emb)
+    X = np.array([list(r["pc"]) for r in out.select("pc").collect()])
+    assert np.allclose(X.var(axis=0), 1.0, atol=1e-6)

@@ -158,7 +158,27 @@ def plan_facts(df) -> dict:
         "wscg": wscg,
         "cartesian": n_cart,
         "real_cartesian": n_real,
+        # r8: substituted-predicate smell.  PushPredicateThroughNonJoin
+        # inlines filter conditions through deterministic Projects with
+        # NO cost guard — a filter on a derived column of an expensive
+        # projection silently becomes a giant interpreted per-row
+        # predicate (the corpus_filter keep_only bug: 20x).  A Filter
+        # node whose condition text exceeds the threshold is that
+        # smell made mechanical.
+        "giant_filter": _max_filter_len(s) > 4000,
+        "max_filter_len": _max_filter_len(s),
     }
+
+
+def _max_filter_len(plan_str: str) -> int:
+    """Length of the longest Filter node's condition text (one line in
+    the plan rendering)."""
+    best = 0
+    for line in plan_str.splitlines():
+        t = line.lstrip(" +-:*()0123456789")
+        if t.startswith("Filter ") or t.startswith("PhotonFilter "):
+            best = max(best, len(t))
+    return best
 
 
 def main() -> None:
@@ -210,6 +230,8 @@ def main() -> None:
                                       if f["real_cartesian"]),
         "with_row_python_udf": sorted(n for n, f in report.items()
                                       if f["n_row_python_udf"]),
+        "with_giant_filter": sorted(n for n, f in report.items()
+                                    if f["giant_filter"]),
         "max_exchanges": max((f["n_exchange"] for f in report.values()),
                              default=0),
     }
