@@ -75,10 +75,10 @@ from conduino_spark.operators.search import (
     bm25_search, build_postings,
 )
 from conduino_spark.operators.similarity import (
-    ann_join, cell_centroids, cosine_to, ivf_build, ivf_search,
-    ivfpq_search, knn_brute, knn_lsh, lsh_bucket, lsh_index_write,
-    pq_encode, pq_search, pq_train, probe_buckets, vec_dequantize,
-    vec_quantize_int8,
+    KMeansModel, ann_join, cell_centroids, cosine_to, ivf_build,
+    ivf_search, ivfpq_search, kmeans_assign, kmeans_fit, knn_brute,
+    knn_lsh, lsh_bucket, lsh_index_write, pq_encode, pq_search,
+    pq_train, probe_buckets, vec_dequantize, vec_quantize_int8,
 )
 from conduino_spark.operators.classifier import (
     QUALITY_FEATURES, LogRegModel, logreg_epoch_update, logreg_score,

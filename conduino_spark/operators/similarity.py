@@ -219,46 +219,103 @@ def ivf_build(k: int = 8, iters: int = 1, *, vec_col: str = "embedding",
     __spark_entry__._scaled_sum for the rationale)."""
 
     def fn(df: DataFrame) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        base = df.select(F.col(id_col), v.alias("__v"))
-        init = base.orderBy(id_col).limit(k).collect()
-        cents = {j: list(r["__v"]) for j, r in enumerate(init)}
-
-        def assign(b: DataFrame, cents: dict) -> DataFrame:
-            structs = []
-            for cid, c in sorted(cents.items()):
-                carr = F.array(*[F.lit(float(x)) for x in c])
-                d = F.round(
-                    F.aggregate(
-                        F.zip_with(F.col("__v"), carr,
-                                   lambda a, b_: (a - b_) * (a - b_)),
-                        F.lit(0.0), lambda s, x: s + x), 6)
-                structs.append(F.struct(d.alias("d"),
-                                        F.lit(cid).alias("c")))
-            return b.withColumn(out,
-                                F.array_min(F.array(*structs)).getField("c"))
-
-        for _ in range(iters):
-            a = assign(base, cents)
-            ex = a.select(out, F.posexplode("__v").alias("__i", "__x"))
-            sv = F.round(F.col("__x") * scale).cast("long")
-            sums = (ex.groupBy(out, "__i")
-                      .agg(_guarded_long_sum(sv, "ivf_build means")
-                            .alias("__s"),
-                           F.count(F.lit(1)).alias("__n")))
-            rows = (sums.groupBy(out)
-                        .agg(F.array_sort(F.collect_list(F.struct(
-                             F.col("__i"),
-                             (F.col("__s").cast("double")
-                              / F.col("__n").cast("double")
-                              / F.lit(float(scale))).alias("m")))).alias("__a"))
-                        .select(out, F.transform("__a", lambda t: t.m).alias("__c"))
-                        .collect())
-            cents = {r[out]: list(r["__c"]) for r in rows}
-
-        return assign(base, cents).select(id_col, out)
+        base = df.select(F.col(id_col),
+                         F.col(vec_col).cast("array<double>").alias("__v"))
+        cents = _lloyd_iterate(base, k, iters, id_col=id_col, out=out,
+                               scale=scale, what="ivf_build means")
+        return _km_assign(base, cents, out).select(id_col, out)
 
     return Stage(fn, name=f"ivf_build(k={k})", seq_preserving=False)
+
+
+def _km_assign(b: DataFrame, cents: dict, out: str) -> DataFrame:
+    """Nearest-centroid assignment with the engine's deterministic tie
+    rules (distances rounded 6dp, ties to the lowest cell id) —
+    centroids ride as literal arrays, pure codegen projection."""
+    structs = []
+    for cid, c in sorted(cents.items()):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.round(
+            F.aggregate(
+                F.zip_with(F.col("__v"), carr,
+                           lambda a, b_: (a - b_) * (a - b_)),
+                F.lit(0.0), lambda s, x: s + x), 6)
+        structs.append(F.struct(d.alias("d"),
+                                F.lit(cid).alias("c")))
+    return b.withColumn(out,
+                        F.array_min(F.array(*structs)).getField("c"))
+
+
+def _lloyd_iterate(base: DataFrame, k: int, iters: int, *, id_col: str,
+                   out: str, scale: int, what: str) -> dict:
+    """The deterministic Lloyd loop shared by :func:`ivf_build` and
+    :func:`kmeans_fit`: init = the k lowest-id vectors; update = means
+    from order-free scaled-long sums (one (cell, dim)-keyed shuffle per
+    iteration, centroids driver-sized)."""
+    init = base.orderBy(id_col).limit(k).collect()
+    cents = {j: list(r["__v"]) for j, r in enumerate(init)}
+    for _ in range(iters):
+        a = _km_assign(base, cents, out)
+        ex = a.select(out, F.posexplode("__v").alias("__i", "__x"))
+        sv = F.round(F.col("__x") * scale).cast("long")
+        sums = (ex.groupBy(out, "__i")
+                  .agg(_guarded_long_sum(sv, what).alias("__s"),
+                       F.count(F.lit(1)).alias("__n")))
+        rows = (sums.groupBy(out)
+                    .agg(F.array_sort(F.collect_list(F.struct(
+                         F.col("__i"),
+                         (F.col("__s").cast("double")
+                          / F.col("__n").cast("double")
+                          / F.lit(float(scale))).alias("m")))).alias("__a"))
+                    .select(out, F.transform("__a", lambda t: t.m).alias("__c"))
+                    .collect())
+        cents = {r[out]: list(r["__c"]) for r in rows}
+    return cents
+
+
+class KMeansModel:
+    """Driver-sized k-means model: ``centroids[cell] -> [d floats]``.
+    Cells with no surviving members after the final update are absent
+    (same sparsity ivf_build's assignment exhibits)."""
+
+    def __init__(self, centroids: dict):
+        self.centroids = {int(c): [float(x) for x in v]
+                          for c, v in centroids.items()}
+
+    @property
+    def k(self) -> int:
+        return len(self.centroids)
+
+
+def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2, *,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               scale: int = 1_000_000_000) -> KMeansModel:
+    """Public k-means training over an embedding column (document /
+    embedding clustering for mixture balancing, SemDeDup cells, drift
+    monitoring).  Driver function returning the model; pair with
+    :func:`kmeans_assign` for the assignment projection.  EXACTLY the
+    :func:`ivf_build` quantizer loop (same init, tie, and scaled-long
+    update rules — law-tested identical assignments), factored so the
+    centroids are a first-class, persistable artifact instead of being
+    discarded after assignment."""
+    base = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    return KMeansModel(_lloyd_iterate(base, k, iters, id_col=id_col,
+                                      out="__cell", scale=scale,
+                                      what="kmeans_fit means"))
+
+
+def kmeans_assign(model: KMeansModel, *, vec_col: str = "embedding",
+                  out: str = "cell") -> Stage:
+    """Nearest-centroid assignment for a trained :class:`KMeansModel` —
+    centroids broadcast as literals, zero shuffle, codegen."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        b = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        return _km_assign(b, model.centroids, out).drop("__v")
+
+    return Stage(fn, name=f"kmeans_assign(k={model.k})",
+                 seq_preserving=True)
 
 
 def ivf_search(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",

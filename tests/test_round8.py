@@ -444,3 +444,17 @@ def test_pca_whiten_unit_variance(spark):
     out = pca_transform(model, ndigits=None, whiten=True)(emb)
     X = np.array([list(r["pc"]) for r in out.select("pc").collect()])
     assert np.allclose(X.var(axis=0), 1.0, atol=1e-6)
+
+
+def test_kmeans_fit_assign_equals_ivf_build(spark):
+    """kmeans_fit + kmeans_assign is ivf_build's quantizer made
+    first-class: identical assignments, cell for cell (shared
+    _lloyd_iterate/_km_assign — this pins the refactor)."""
+    from conduino_spark import ivf_build, kmeans_assign, kmeans_fit
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.vec_id, r.cell) for r in
+           kmeans_assign(kmeans_fit(emb, k=8, iters=2))(emb)
+           .select("vec_id", "cell").collect()}
+    want = {(r.vec_id, r.cell) for r in
+            ivf_build(k=8, iters=2)(emb).collect()}
+    assert got == want and len(got) == 500
