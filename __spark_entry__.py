@@ -1039,12 +1039,7 @@ def q_tpch_q19(spark, sf):
                  "revenue", scale=10_000))
 
 
-def q_tpch_q14_q19(spark, sf):
-    # r7 gate pin: BOTH conditional-predicate TPC-H shapes in one row —
-    # Q14's conditional-sum promo ratio and Q19's OR-of-ANDs pushdown
-    # revenue, cross-joined single-row aggregates (VERDICT r6 #2)
-    return (q_tpch_q14(spark, sf)
-            .crossJoin(F.broadcast(q_tpch_q19(spark, sf))))
+# (q_tpch_q14_q19 retired r8: its two shapes ride tpch_suite_digest)
 
 
 def q_line_dedup_docs(spark, sf):
@@ -1543,9 +1538,9 @@ def bench_extras():
             "dedup_exact": q_dedup_exact,
             "text_normalize": q_text_normalize,
             "web_ingest_pipeline": q_web_ingest_pipeline,
-            # r8 new operators (full DuckDB replays in test_round8)
-            "pca_embeddings": q_pca_embeddings,
-            "quality_classifier_docs": q_quality_classifier_docs}
+            # r8 new operators (quality_classifier_docs graduated to
+            # the driver gate with its unrolled-CTE training oracle)
+            "pca_embeddings": q_pca_embeddings}
 
 
 def q_web_ingest_pipeline(spark, sf):
@@ -1605,10 +1600,12 @@ def q_pca_embeddings(spark, sf):
 
 
 def q_quality_classifier_docs(spark, sf):
-    # r8: distill the heuristic quality gate into a learned linear
-    # scorer (operators/classifier.py) — distributed full-batch logreg
-    # with order-free exact scaled-long gradients; the whole training
-    # loop replays bit-for-bit in DuckDB (tests/test_round8.py)
+    # r8 gate pin: distill the heuristic quality gate into a learned
+    # linear scorer (operators/classifier.py) — distributed full-batch
+    # logreg with order-free exact scaled-long gradients.  The oracle
+    # (_sql_logreg_quality) replays the ENTIRE training loop as ONE
+    # static unrolled-CTE SQL, so the driver hash-verifies distributed
+    # ML training end-to-end.
     from conduino_spark import (QUALITY_FEATURES, logreg_score,
                                 logreg_train, quality_features)
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
@@ -1617,9 +1614,10 @@ def q_quality_classifier_docs(spark, sf):
         "doc_id", *[fx[k].alias(k) for k in QUALITY_FEATURES],
         (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
                         + fx["stop_sig"] + fx["punct_ok"])
-         >= 0.72).cast("int").alias("label"))
+         >= LOGREG_THRESH).cast("int").alias("label"))
     m = logreg_train(feats, list(QUALITY_FEATURES), "label",
-                     iters=10, lr=2.0)
+                     iters=LOGREG_ITERS, lr=LOGREG_LR,
+                     term_scale=LOGREG_TS)
     return (logreg_score(m)(feats)
             .select("doc_id", "label", "score"))
 
@@ -1958,7 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
-        "tpch_q14_q19": q_tpch_q14_q19,
+        # (r8: the q14+q19 combined pin folded into tpch_suite_digest,
+        # freeing this slot for the distributed-training pin below)
+        "quality_classifier_docs": q_quality_classifier_docs,
         "ranked_orders_per_cust": q_ranked_orders_per_cust,
         "set_ops": q_set_ops_rollup,
         "stream_window_replay": q_stream_window_replay,
@@ -2175,6 +2175,78 @@ def _sql_profile_docs() -> str:
                    MAX(CAST({c} AS VARCHAR)) AS max
             FROM documents""")
     return " UNION ALL ".join(arms)
+
+
+#: quality_classifier_docs training hyperparameters — shared by the
+#: Spark entry and the unrolled-CTE oracle (MUST stay in lockstep)
+LOGREG_ITERS = 10
+LOGREG_LR = 2.0
+LOGREG_TS = 10_000
+LOGREG_THRESH = 0.72
+
+
+def _sql_logreg_quality(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR,
+                        ts: int = LOGREG_TS,
+                        thresh: float = LOGREG_THRESH) -> str:
+    """STATIC unrolled-CTE DuckDB replay of the ENTIRE distributed
+    logreg training run (operators/classifier.py): one gradient CTE +
+    one weight CTE per epoch (scalar 1-row frames, cross-joined), then
+    the 12-dec weight pin and the 6-dec score projection — the driver
+    hash-verifies distributed ML training end-to-end.  Exactness rides
+    the per-term scaled-long gradient rounding (order-free integer
+    sums; libm-vs-JVM exp last-ulp differences are absorbed unless a
+    term lands within one ulp of a 0.5 boundary at 1e-4 granularity —
+    the accepted bigram_logprob risk).  z association mirrors
+    logreg_score: ((((b + w0*x0) + w1*x1) + ...))."""
+    from conduino_spark.operators.classifier import (QUALITY_FEATURES,
+                                                     quality_features_sql)
+    names = list(QUALITY_FEATURES)
+    d = len(names)
+    fs = quality_features_sql("text")
+    feat_cols = ", ".join(f"{fs[k]} AS {k}" for k in names)
+    label = (f"CAST(0.25 * ({fs['len_ok']} + {fs['alpha_ratio']} + "
+             f"{fs['stop_sig']} + {fs['punct_ok']}) >= {thresh} AS INT)")
+    ctes = [
+        f"feats AS (SELECT doc_id, text, {feat_cols}, {label} AS label\n"
+        f"           FROM documents)",
+        # the training set: logreg_train's na.drop() — every feature /
+        # label is NULL iff text is NULL (ratios of length counts)
+        "tr AS (SELECT * FROM feats WHERE text IS NOT NULL)",
+        "nn AS (SELECT COUNT(*) AS c FROM tr)",
+        "w0 AS (SELECT " + ", ".join(
+            [f"CAST(0.0 AS DOUBLE) AS w{i}" for i in range(d)]
+            + ["CAST(0.0 AS DOUBLE) AS b"]) + ")",
+    ]
+    for t in range(1, iters + 1):
+        p_ = f"w{t - 1}"
+        z = f"{p_}.b"
+        for i, nm in enumerate(names):
+            z = f"({z} + ({p_}.w{i} * tr.{nm}))"
+        p = f"(1.0 / (1.0 + exp(-({z}))))"
+        gs = ", ".join(
+            [f"CAST(SUM(CAST(ROUND((({p} - tr.label) * tr.{nm}) * {ts}) "
+             f"AS BIGINT)) AS BIGINT) AS g{i}"
+             for i, nm in enumerate(names)]
+            + [f"CAST(SUM(CAST(ROUND(({p} - tr.label) * {ts}) AS BIGINT)) "
+               f"AS BIGINT) AS g{d}"])
+        ctes.append(f"g{t} AS (SELECT {gs} FROM tr CROSS JOIN {p_})")
+        ws = ", ".join(
+            [f"{p_}.w{i} - {lr!r} * ((CAST(g{t}.g{i} AS DOUBLE) / {ts}) "
+             f"/ nn.c) AS w{i}" for i in range(d)]
+            + [f"{p_}.b - {lr!r} * ((CAST(g{t}.g{d} AS DOUBLE) / {ts}) "
+               f"/ nn.c) AS b"])
+        ctes.append(f"w{t} AS (SELECT {ws} FROM {p_} CROSS JOIN g{t} "
+                    "CROSS JOIN nn)")
+    ctes.append("wf AS (SELECT " + ", ".join(
+        [f"ROUND(w{i}, 12) AS w{i}" for i in range(d)]
+        + ["ROUND(b, 12) AS b"]) + f" FROM w{iters})")
+    zf = "wf.b"
+    for i, nm in enumerate(names):
+        zf = f"({zf} + (wf.w{i} * feats.{nm}))"
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            f"SELECT feats.doc_id, feats.label, "
+            f"ROUND(1.0 / (1.0 + exp(-({zf}))), 6) AS score\n"
+            "FROM feats CROSS JOIN wf")
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -2441,6 +2513,24 @@ def _tpch_ss(expr: str, scale: int) -> str:
 _TPCH_REV = "l_extendedprice * (1 - l_discount)"
 
 TPCH_SUITE_ORACLES = {
+    "tpch_q14": """
+        SELECT round(100.0 * (
+            SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 * 10000) AS BIGINT)) / 10000.0) / (
+            SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) / 10000.0), 6) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""",
+    "tpch_q19": """
+        SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+               * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)""",
     "tpch_q2": """
         WITH pc AS (
           SELECT l_partkey, l_suppkey,
@@ -2632,6 +2722,10 @@ TPCH_SUITE_ORACLES = {
 #: h32 → DOUBLE (h32 < 2^32, exact).  Shared by the Spark digest and
 #: its SQL rendering, so the two sides can never disagree on layout.
 TPCH_DIGEST_SPEC = {
+    # r8: q14/q19 fold into the digest (their combined pin freed a
+    # slot for quality_classifier_docs)
+    "tpch_q14": [("promo_revenue", "num")],
+    "tpch_q19": [("revenue", "num")],
     "tpch_q2": [("s_acctbal", "num"), ("s_name", "str"),
                 ("n_name", "str"), ("p_partkey", "num"),
                 ("p_name", "str"), ("unit_cost", "num")],
@@ -2668,6 +2762,7 @@ def q_tpch_suite_digest(spark, sf):
     # checksum: the driver still compares every row of every query.
     from conduino_spark.functions.hashing import h32
     qs = {
+        "tpch_q14": q_tpch_q14, "tpch_q19": q_tpch_q19,
         "tpch_q2": q_tpch_q2, "tpch_q4": q_tpch_q4, "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8, "tpch_q9": q_tpch_q9, "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12, "tpch_q13": q_tpch_q13,
@@ -3290,26 +3385,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lat.user_id, lat.event_id, lat.t, lat.event_type,
                    st.state_value
             FROM lat LEFT JOIN st USING (user_id)""",
-        "tpch_q14_q19": """
-            SELECT q14.promo_revenue, q19.revenue
-            FROM (
-              SELECT round(100.0 * (
-                  SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                       * 10000) AS BIGINT)) / 10000.0) / (
-                  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                      AS BIGINT)) / 10000.0), 6) AS promo_revenue
-              FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00') q14
-            CROSS JOIN (
-              SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
-                     * 10000) AS BIGINT)) / 10000.0 AS revenue
-              FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
-                     AND p_size BETWEEN 1 AND 5)
-                 OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
-                     AND p_size BETWEEN 1 AND 10)) q19""",
+        # (r8: tpch_q14_q19 folded into tpch_suite_digest — its two
+        # shapes now ride TPCH_SUITE_ORACLES["tpch_q14"/"tpch_q19"])
+        "quality_classifier_docs": _sql_logreg_quality(),
         "heavy_hitters_tokens": f"""
             SELECT 'hh' AS part, value AS token,
                    CAST(NULL AS BIGINT) AS doc_id, n
