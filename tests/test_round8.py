@@ -458,3 +458,24 @@ def test_kmeans_fit_assign_equals_ivf_build(spark):
     want = {(r.vec_id, r.cell) for r in
             ivf_build(k=8, iters=2)(emb).collect()}
     assert got == want and len(got) == 500
+
+
+def test_fenced_where_blocks_substitution_and_matches_where(spark):
+    """fenced_where == where row-for-row, and the Filter in the
+    physical plan tests plain attributes instead of re-inlining the
+    projection's defining expressions (the r8 pushdown fence)."""
+    from conduino_spark import fenced_where
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    heavy = docs.withColumn(
+        "m", F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                             lambda x: x != "")))
+    cond = F.col("m") > 40
+    fenced = fenced_where(heavy, cond).select("doc_id")
+    naked = heavy.where(cond).select("doc_id")
+    assert ({r.doc_id for r in fenced.collect()}
+            == {r.doc_id for r in naked.collect()})
+    plan = fenced._jdf.queryExecution().executedPlan().toString()
+    filt = [ln for ln in plan.splitlines() if "Filter" in ln]
+    # the naked plan's filter inlines size(filter(split(...))); the
+    # fenced one must reference the column only
+    assert filt and all("split(" not in ln for ln in filt)

@@ -138,11 +138,45 @@ def main() -> None:
 
     from conduino_spark import ann_join
 
+    from conduino_spark import (
+        QUALITY_FEATURES, corpus_filter, logreg_train, minhash_dedup,
+        quality_features, strip_html, vector_moments,
+    )
+
+    def _web_ingest(df):
+        return ev_pipe(strip_html() | corpus_filter(keep_only=True)
+                       | minhash_dedup() | chunk_text(64, 16)
+                       | pack_chunks(512),
+                       df.select("doc_id", F.concat(
+                           F.lit("<html><script>a();\r\nb();</script>"
+                                 "<body><p>"),
+                           F.coalesce(F.col("text"), F.lit("")),
+                           F.lit("</p><!-- c --></body></html>"))
+                           .alias("text")))
+
+    def _logreg(df):
+        # 3 epochs is enough to expose the per-epoch scan scaling
+        fx = quality_features("text")
+        feats = df.select(
+            *[fx[k].alias(k) for k in QUALITY_FEATURES],
+            (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
+                            + fx["stop_sig"] + fx["punct_ok"])
+             >= 0.72).cast("int").alias("label"))
+        logreg_train(feats, list(QUALITY_FEATURES), "label",
+                     iters=3, lr=2.0, track_loss=False)
+        return df.limit(0)  # timed() needs a writable frame
+
+    DOC_OPS["web_ingest"] = _web_ingest
+    DOC_OPS["logreg_3epoch"] = _logreg
+
     EMB_OPS = {
         # r7: batched ANN join — queries probe nprobe cells, corpus
         # partitions by cell; should stay ~linear in replicas
         "ann_join": lambda df: ann_join(df, k=5, nprobe=2,
                                         exclude_self=True)(df),
+        # r8: the integer-Gram moments pass — per-partition numpy
+        # partials, vectors never shuffle; must be flat-linear
+        "pca_moments": lambda df: ev_pipe(vector_moments(), df),
     }
 
     ev1, evN = replicated_events(spark, 1), replicated_events(spark, REPLICAS)
