@@ -58,7 +58,8 @@ def _round_away(v: np.ndarray) -> np.ndarray:
 
 
 def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
-                   scale: int = MOMENT_SCALE) -> Stage:
+                   scale: int = MOMENT_SCALE,
+                   kernel: str = "exact") -> Stage:
     """Exact scaled-integer moments of the embedding matrix: one row
     ``(m, i, j, s)`` per statistic —
 
@@ -74,7 +75,18 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
     rows PER STATISTIC — the driver-side combine re-checks the 2^53
     exactness bound and raises loudly (same policy as
     similarity._guarded_long_sum).
+
+    ``kernel``: "exact" (default) = per-row scaled-long rounding, the
+    bit-replayable gate path (O(n·d²) rounding work per partition);
+    "gemm" = ONE blocked float64 ``X.T @ X`` per partition — the
+    production shape at large d (d=1024: one BLAS call vs a million
+    per-row roundings), emitting the SAME (m, i, j, s) rows with s
+    pre-scaled.  Not bit-replayable (float partials, order-dependent
+    merge); the covariance agrees with the exact path to ~1e-9
+    (law-tested).
     """
+    if kernel not in ("exact", "gemm"):
+        raise ValueError(f"kernel must be 'exact' or 'gemm', got {kernel!r}")
 
     def fn(df: DataFrame) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
@@ -106,6 +118,14 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
                     s1 = np.zeros(d, dtype=np.int64)
                     s2 = np.zeros((d, d), dtype=np.int64)
                 n += x.shape[0]
+                if kernel == "gemm":
+                    # one BLAS product per batch; scaled at the end so
+                    # the output schema matches the exact kernel's
+                    s1 = s1.astype(np.float64) if s1.dtype != np.float64 else s1
+                    s2 = s2.astype(np.float64) if s2.dtype != np.float64 else s2
+                    s1 += x.sum(axis=0) * scale
+                    s2 += (x.T @ x) * scale
+                    continue
                 # chunk the per-row outer products: 1k x d x d doubles
                 # (d=64 -> 33 MB) caps kernel memory regardless of the
                 # Arrow batch size
@@ -116,8 +136,8 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
                     s2 += _round_away(outer * scale).sum(axis=0)
             rows = [(0, -1, -1, int(n))]
             if d is not None:
-                rows += [(1, i, -1, int(s1[i])) for i in range(d)]
-                rows += [(2, i, j, int(s2[i, j]))
+                rows += [(1, i, -1, int(round(s1[i]))) for i in range(d)]
+                rows += [(2, i, j, int(round(s2[i, j])))
                          for i in range(d) for j in range(i, d)]
             yield pd.DataFrame(rows, columns=["m", "i", "j", "s"])
 
@@ -193,14 +213,17 @@ def pca_from_moments(rows, k: int, *, scale: int = MOMENT_SCALE) -> PCAModel:
 
 
 def pca_fit(df: DataFrame, k: int = 8, *, vec_col: str = "embedding",
-            dim: Optional[int] = None,
-            scale: int = MOMENT_SCALE) -> PCAModel:
+            dim: Optional[int] = None, scale: int = MOMENT_SCALE,
+            kernel: str = "exact") -> PCAModel:
     """Fit PCA over an embedding column.  Driver function (returns a
     model, not a DataFrame): the distributed work is one
     :func:`vector_moments` pass; only ~d^2/2 moment rows ever reach
-    the driver."""
+    the driver.  ``kernel="gemm"`` uses the BLAS partial-Gram kernel
+    (production shape at large d; covariance agrees to ~1e-9 but is
+    not bit-replayable — keep "exact" wherever an oracle watches)."""
     rows = [(r["m"], r["i"], r["j"], r["s"])
-            for r in vector_moments(vec_col, dim=dim, scale=scale)
+            for r in vector_moments(vec_col, dim=dim, scale=scale,
+                                    kernel=kernel)
             .fn(df).collect()]
     return pca_from_moments(rows, k, scale=scale)
 

@@ -479,3 +479,19 @@ def test_fenced_where_blocks_substitution_and_matches_where(spark):
     # the naked plan's filter inlines size(filter(split(...))); the
     # fenced one must reference the column only
     assert filt and all("split(" not in ln for ln in filt)
+
+
+def test_pca_gemm_kernel_matches_exact_covariance(spark):
+    """kernel='gemm' (BLAS partial Gram — the large-d production
+    shape) agrees with the exact integer-moment path: same n/mean to
+    1e-9, explained variance to 1e-9 — the gemm-vs-exact duality the
+    near-dup/ann kernels already follow."""
+    import numpy as np
+    from conduino_spark import pca_fit
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = pca_fit(emb, k=6)
+    b = pca_fit(emb, k=6, kernel="gemm")
+    assert a.n == b.n
+    assert np.allclose(a.mean, b.mean, atol=1e-9)
+    assert np.allclose(a.explained_variance, b.explained_variance,
+                       atol=1e-9)
