@@ -170,6 +170,8 @@ def pca_from_moments(rows, k: int, *, scale: int = MOMENT_SCALE) -> PCAModel:
     """Exact-moment -> model math, shared by the Spark and replay
     paths (the two-path law in tests feeds DuckDB-computed moments
     through this same function)."""
+    if k < 1:
+        raise ValueError(f"pca needs k >= 1, got {k}")
     n = 0
     s1: dict = {}
     s2: dict = {}

@@ -495,3 +495,49 @@ def test_pca_gemm_kernel_matches_exact_covariance(spark):
     assert np.allclose(a.mean, b.mean, atol=1e-9)
     assert np.allclose(a.explained_variance, b.explained_variance,
                        atol=1e-9)
+
+
+def test_pca_and_logreg_score_streaming_equals_batch(spark):
+    """Both r8 scorers are pure projections (literal model weights) —
+    a chunked file-stream replay must produce exactly the batch
+    values (the corpus_filter streaming law, extended to the model
+    appliers)."""
+    from conduino_spark import (QUALITY_FEATURES, logreg_score,
+                                logreg_train, pca_fit, pca_transform,
+                                quality_features)
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = pca_fit(emb, k=4)
+    d = stage_events_dir(f"{SF}/embeddings.parquet", n_chunks=2)
+    out = run_stream_to_memory(
+        file_stream_source(d, "vec_id long, embedding array<float>, "
+                              "label int") | pca_transform(model), spark)
+    got = {r.vec_id: tuple(r.pc) for r in out.collect()}
+    want = {r.vec_id: tuple(r.pc)
+            for r in pca_transform(model)(emb).collect()}
+    assert got == want and len(got) == 500
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fx = quality_features("text")
+    feats = docs.select("doc_id", *[fx[k].alias(k) for k in QUALITY_FEATURES],
+                        (F.length("text") > 200).cast("int").alias("label"))
+    m = logreg_train(feats, list(QUALITY_FEATURES), "label", iters=3,
+                     lr=2.0, track_loss=False)
+    dd = stage_events_dir(f"{SF}/documents.parquet", n_chunks=2)
+    fx2 = quality_features("text")
+    score_stage = logreg_score(m, feature_cols=list(QUALITY_FEATURES))
+    sout = run_stream_to_memory(
+        file_stream_source(dd, "doc_id long, text string, lang string, "
+                               "source string")
+        | __import__("conduino_spark").map_(
+            dict([("doc_id", F.col("doc_id"))]
+                 + [(k, fx2[k]) for k in QUALITY_FEATURES]))
+        | score_stage, spark)
+    gots = {r.doc_id: r.score for r in sout.collect()}
+    feats2 = docs.select("doc_id",
+                         *[fx2[k].alias(k) for k in QUALITY_FEATURES])
+    wants = {r.doc_id: r.score
+             for r in score_stage(feats2).collect()}
+    assert gots == wants and len(gots) == 500
