@@ -1540,7 +1540,20 @@ def bench_extras():
             "web_ingest_pipeline": q_web_ingest_pipeline,
             # r8 new operators (quality_classifier_docs graduated to
             # the driver gate with its unrolled-CTE training oracle)
-            "pca_embeddings": q_pca_embeddings}
+            "pca_embeddings": q_pca_embeddings,
+            "leakage_split_docs": q_leakage_split_docs}
+
+
+def q_leakage_split_docs(spark, sf):
+    # r8: dedup-aware train/val/test assignment — near-dup clusters
+    # (LSH pairs -> CC) keyed by their representative before the md5
+    # bucket split, so no near-duplicate straddles the val/test
+    # frontier.  Full recursive-CTE DuckDB replay + leakage law in
+    # tests/test_round8.py.
+    from conduino_spark import leakage_safe_split
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    return (leakage_safe_split(SPLIT_WEIGHTS, salt="lk")(docs)
+            .select("doc_id", "split"))
 
 
 def q_web_ingest_pipeline(spark, sf):

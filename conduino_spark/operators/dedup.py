@@ -642,6 +642,47 @@ def embedding_near_dup_pairs(vec_col: str = "embedding", id_col: str = "vec_id",
     return Stage(fn, name="embedding_near_dup", seq_preserving=False)
 
 
+def leakage_safe_split(weights, *, text_col: str = "text",
+                       id_col: str = "doc_id", salt: str = "",
+                       out: str = "split", max_iters: int = 25,
+                       pairs: "DataFrame | None" = None,
+                       n_perm: int = MINHASH_K,
+                       bands: int = MINHASH_BANDS) -> Stage:
+    """Dedup-aware train/val/test assignment: near-duplicate documents
+    MUST land in the same split, or the val/test sets leak training
+    data (the classic contamination bug a plain per-doc hash split
+    ships silently).
+
+    Plan: MinHash-LSH candidate pairs -> connected components (the
+    minhash_dedup_cc machinery — min-id label per transitive near-dup
+    cluster) -> every doc keyed by its CLUSTER REPRESENTATIVE
+    (singletons represent themselves) -> :func:`~conduino_spark.
+    operators.sampling.hash_split` on the representative.  Same
+    deterministic md5 bucket arithmetic as hash_split, so the split
+    frontier is reproducible across runs and engines.
+
+    Scale: the only additions over minhash_dedup_cc are one left join
+    (doc -> label) and a pure projection; the LSH/CC work is the
+    banded candidate graph, never all-pairs.  Pass ``pairs`` to reuse
+    an already-computed candidate table."""
+    from conduino_spark.operators.sampling import hash_split
+    pairs_stage = minhash_dedup_pairs(text_col, id_col, n_perm=n_perm,
+                                      bands=bands)
+    split_stage = hash_split(F.col("__rep"), weights, salt=salt, out=out)
+
+    def fn(df: DataFrame) -> DataFrame:
+        p = pairs if pairs is not None else pairs_stage(df)
+        labels = _cc_min_label(p, max_iters=max_iters)
+        rep = (df.join(labels.withColumnRenamed("id", id_col),
+                       id_col, "left")
+                 .withColumn("__rep", F.coalesce(F.col("lbl"),
+                                                 F.col(id_col)))
+                 .drop("lbl"))
+        return split_stage(rep).drop("__rep")
+
+    return Stage(fn, name="leakage_safe_split", seq_preserving=False)
+
+
 def decontaminate(benchmark, *, text_col: str = "text",
                   id_col: str = "doc_id", bench_text_col: str = "text",
                   n: int = SHINGLE_N, out: str = "contam_frac",

@@ -541,3 +541,50 @@ def test_pca_and_logreg_score_streaming_equals_batch(spark):
     wants = {r.doc_id: r.score
              for r in score_stage(feats2).collect()}
     assert gots == wants and len(gots) == 500
+
+
+def test_leakage_safe_split_law_and_duckdb_replay(spark):
+    """Dedup-aware splits: (1) LEAKAGE LAW — both ends of every LSH
+    candidate pair land in the same split; (2) full DuckDB replay —
+    recursive-CTE connected components + the same md5 bucket CASE
+    reproduce every (doc_id, split) bit-for-bit."""
+    from conduino_spark import leakage_safe_split, minhash_dedup_pairs
+    from conduino_spark.functions.hashing import h32_sql
+    m = _load_entry()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in
+           leakage_safe_split(weights, salt="lk")(docs)
+           .select("doc_id", "split").collect()}
+    # leakage law over the actual candidate pairs
+    prs = minhash_dedup_pairs()(docs).collect()
+    assert len(prs) > 0
+    for r in prs:
+        assert got[r.id_a] == got[r.id_b], (r.id_a, r.id_b)
+    # all three buckets used (sanity that the split isn't degenerate)
+    assert set(got.values()) == {"train", "val", "test"}
+    # DuckDB replay
+    con = _duck_with_views()
+    cuts = m._split_cuts(weights)
+    rep = "coalesce(roots.root, d.doc_id)"
+    h = h32_sql(f"concat('lk', CAST({rep} AS VARCHAR))")
+    case = ("CASE " + " ".join(
+        f"WHEN {h} < {hi} THEN '{k}'" for k, hi in cuts[:-1])
+        + f" ELSE '{cuts[-1][0]}' END")
+    sql = m._sql_minhash_bands().replace(
+        "WITH sigs", "WITH RECURSIVE sigs", 1) + f"""
+        , prs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_id, band_hash)
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+        SELECT d.doc_id, {case} AS split
+        FROM documents d LEFT JOIN roots ON roots.id = d.doc_id"""
+    want = {int(i): s for i, s in con.execute(sql).fetchall()}
+    assert got == want
