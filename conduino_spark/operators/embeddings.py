@@ -94,13 +94,15 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
         if dim is not None:
             base = base.where(F.size("__v") == dim)
         else:
-            # pin to the modal length of the first non-null row: a
-            # ragged column would silently skew the Gram otherwise
-            first = base.select(F.size("__v").alias("d")).limit(1).collect()
-            if not first:
-                d0 = 0
-            else:
-                d0 = int(first[0]["d"])
+            # pin to the MODAL length (ties to the smaller length) — a
+            # ragged column would silently skew the Gram, and an
+            # arbitrary first-row peek would make the pinned length
+            # nondeterministic across partitionings
+            top = (base.groupBy(F.size("__v").alias("d"))
+                       .count()
+                       .orderBy(F.col("count").desc(), F.col("d"))
+                       .limit(1).collect())
+            d0 = int(top[0]["d"]) if top else 0
             base = base.where(F.size("__v") == d0)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

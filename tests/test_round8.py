@@ -588,3 +588,23 @@ def test_leakage_safe_split_law_and_duckdb_replay(spark):
         FROM documents d LEFT JOIN roots ON roots.id = d.doc_id"""
     want = {int(i): s for i, s in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_vector_moments_ragged_column_pins_modal_length(spark):
+    """dim=None pins the MODAL vector length deterministically (ties
+    to the smaller), excluding ragged rows from the Gram."""
+    from conduino_spark import vector_moments
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0]),
+         (4, None), (5, [6.0, 7.0, 8.0])],
+        "vec_id long, embedding array<double>")
+    rows = {(r.m, r.i, r.j): r.s for r in vector_moments()(df).collect()}
+    assert rows[(0, -1, -1)] == 2           # only the two len-2 rows
+    assert rows[(1, 0, -1)] == 4_000_000_000  # (1+3) * 1e9
+    # tie case: one len-1 and one len-3 row -> modal tie broken to 1
+    df2 = spark.createDataFrame(
+        [(1, [1.0]), (2, [2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    rows2 = {(r.m, r.i, r.j): r.s for r in vector_moments()(df2).collect()}
+    assert rows2[(0, -1, -1)] == 1 and (1, 0, -1) in rows2 \
+        and (2, 2, 2) not in rows2
