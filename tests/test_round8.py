@@ -608,3 +608,37 @@ def test_vector_moments_ragged_column_pins_modal_length(spark):
     rows2 = {(r.m, r.i, r.j): r.s for r in vector_moments()(df2).collect()}
     assert rows2[(0, -1, -1)] == 1 and (1, 0, -1) in rows2 \
         and (2, 2, 2) not in rows2
+
+
+def test_cluster_balanced_mixture_composition(spark):
+    """The r8 clustering composes with the existing rebalancing stack:
+    kmeans cells -> temperature_fractions(alpha=0.5) -> deterministic
+    mixture.  Laws: every sampled row keeps its cell's tag; per-cell
+    keep-counts track round(n_c * fraction_c) within hash noise; the
+    flattened mixture is MORE uniform than the raw cell sizes."""
+    import math
+    from conduino_spark import (kmeans_assign, kmeans_fit, mixture,
+                                temperature_fractions)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = kmeans_assign(kmeans_fit(emb, k=4, iters=2))(emb)
+    counts = {str(r.cell): r.n for r in
+              cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    fr = temperature_fractions(counts, alpha=0.5, budget=200)
+    srcs = {c: (cells.where(F.col("cell") == int(c)), fr[c])
+            for c in counts}
+    mixed = mixture(srcs, key="vec_id", salt="cb")
+    rows = mixed.select("vec_id", "cell", "mix_source").collect()
+    assert all(str(r.cell) == r.mix_source for r in rows)
+    got = {}
+    for r in rows:
+        got[r.mix_source] = got.get(r.mix_source, 0) + 1
+    for c, n in counts.items():
+        expect = n * fr[c]
+        assert abs(got.get(c, 0) - expect) <= 4 * math.sqrt(expect) + 3
+    # flattening (deterministic, on EXPECTED counts — the sampled
+    # ratio carries hash noise at a 200-row budget): alpha=0.5 shrinks
+    # the max/min spread of per-cell keep targets vs the raw sizes
+    raw_ratio = max(counts.values()) / min(counts.values())
+    exp_ratio = (max(n * fr[c] for c, n in counts.items())
+                 / min(n * fr[c] for c, n in counts.items()))
+    assert exp_ratio <= raw_ratio + 1e-9
