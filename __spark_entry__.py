@@ -729,7 +729,18 @@ def q_sketch_profile(spark, sf):
     hll = (hll_estimate()(hll_merge()(shards))
            .select(F.lit("hll_partkey").alias("sketch"),
                    F.round("approx_distinct", 6).alias("distinct_est")))
-    return kmv.unionByName(hll)
+    # r8 arm: the exact integer Gram/mean/count moments of the
+    # embedding matrix (operators/embeddings.py vector_moments — the
+    # distributed core of pca_fit), coerced to the pin's (tag, double)
+    # schema; every value is an exact integer < 2^53 so the double
+    # cast is lossless and the DuckDB replay is bit-for-bit
+    from conduino_spark import vector_moments
+    emb = _src(sf, "embeddings").df(spark)
+    mom = (vector_moments()(emb)
+           .select(F.concat_ws(":", F.lit("moment"), F.col("m"),
+                               F.col("i"), F.col("j")).alias("sketch"),
+                   F.col("s").cast("double").alias("distinct_est")))
+    return kmv.unionByName(hll).unionByName(mom)
 
 
 def q_ngram_jaccard_lsh(spark, sf):
@@ -2173,6 +2184,26 @@ def _sql_windowed_cm(width: int = 256, depth: int = 3) -> str:
             f"GROUP BY w_start_epoch, d, c")
 
 
+def _sql_vector_moments(d: int = 64, scale: int = 10**9) -> str:
+    """DuckDB rendering of operators/embeddings.vector_moments — the
+    exact (m, i, j, s) scaled-integer moments of the embedding matrix
+    (count / per-dim sums / upper-triangle Gram), per-row products
+    rounded half-away-from-zero exactly like the Arrow kernel."""
+    return f"""
+      WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+                 WHERE embedding IS NOT NULL AND len(embedding) = {d})
+      SELECT 0 AS m, -1 AS i, -1 AS j, CAST(COUNT(*) AS BIGINT) AS s FROM v
+      UNION ALL
+      SELECT 1, i - 1, -1,
+             CAST(SUM(CAST(ROUND(x[i] * {scale}) AS BIGINT)) AS BIGINT)
+      FROM v, range(1, {d + 1}) t(i) GROUP BY i
+      UNION ALL
+      SELECT 2, i - 1, j - 1,
+             CAST(SUM(CAST(ROUND(x[i] * x[j] * {scale}) AS BIGINT)) AS BIGINT)
+      FROM v, range(1, {d + 1}) t(i), range(1, {d + 1}) u(j)
+      WHERE j >= i GROUP BY i, j"""
+
+
 def _sql_profile_docs() -> str:
     """DuckDB rendering of the r8 profile_docs gate pin: the EXACT
     per-column stats of profile_table over documents (approx_distinct
@@ -3285,7 +3316,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'hll_partkey' AS sketch,
                    round(approx_distinct, 6) AS distinct_est
-            FROM ({hll_estimate_sql("l_partkey", p=12, table="lineitem")})""",
+            FROM ({hll_estimate_sql("l_partkey", p=12, table="lineitem")})
+            UNION ALL
+            SELECT concat('moment:', m, ':', i, ':', j) AS sketch,
+                   CAST(s AS DOUBLE) AS distinct_est
+            FROM ({_sql_vector_moments()})""",
         "ngram_jaccard_lsh": _sql_minhash_bands() + f"""
             , cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
