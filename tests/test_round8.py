@@ -642,3 +642,43 @@ def test_cluster_balanced_mixture_composition(spark):
     exp_ratio = (max(n * fr[c] for c, n in counts.items())
                  / min(n * fr[c] for c, n in counts.items()))
     assert exp_ratio <= raw_ratio + 1e-9
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_LAW8 = dict(max_examples=5, deadline=None,
+             suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@settings(**_LAW8)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=0, max_size=25))
+def test_leakage_safe_split_law_any_graph(spark, edges):
+    """For ANY near-dup pair graph, leakage_safe_split puts both ends
+    of every edge — and transitively every member of a connected
+    component — in the same split."""
+    from conduino_spark import leakage_safe_split
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(None, None)],
+        "id_a long, id_b long").where(F.col("id_a").isNotNull())
+    got = {r.doc_id: r.split for r in
+           leakage_safe_split({"train": 0.5, "test": 0.5}, salt="g",
+                              pairs=pairs)(docs).collect()}
+    assert len(got) == 20
+    # union-find ground truth for transitive closure
+    parent = list(range(20))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for i in range(20):
+        assert got[i] == got[find(i)], (i, find(i), got)
