@@ -1641,7 +1641,7 @@ def q_quality_classifier_docs(spark, sf):
          >= LOGREG_THRESH).cast("int").alias("label"))
     m = logreg_train(feats, list(QUALITY_FEATURES), "label",
                      iters=LOGREG_ITERS, lr=LOGREG_LR,
-                     term_scale=LOGREG_TS)
+                     term_scale=LOGREG_TS, track_loss=False)
     return (logreg_score(m)(feats)
             .select("doc_id", "label", "score"))
 

@@ -673,11 +673,14 @@ def leakage_safe_split(weights, *, text_col: str = "text",
     def fn(df: DataFrame) -> DataFrame:
         p = pairs if pairs is not None else pairs_stage(df)
         labels = _cc_min_label(p, max_iters=max_iters)
-        rep = (df.join(labels.withColumnRenamed("id", id_col),
+        # __lbl: keep the label column out of the user's namespace —
+        # an input column named "lbl" must survive untouched.
+        rep = (df.join(labels.withColumnRenamed("id", id_col)
+                             .withColumnRenamed("lbl", "__lbl"),
                        id_col, "left")
-                 .withColumn("__rep", F.coalesce(F.col("lbl"),
+                 .withColumn("__rep", F.coalesce(F.col("__lbl"),
                                                  F.col(id_col)))
-                 .drop("lbl"))
+                 .drop("__lbl"))
         return split_stage(rep).drop("__rep")
 
     return Stage(fn, name="leakage_safe_split", seq_preserving=False)

@@ -105,7 +105,7 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
             d0 = int(top[0]["d"]) if top else 0
             base = base.where(F.size("__v") == d0)
 
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def moment_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
             d = None
             n = 0
             s1 = None
@@ -143,7 +143,8 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
                          for i in range(d) for j in range(i, d)]
             yield pd.DataFrame(rows, columns=["m", "i", "j", "s"])
 
-        partials = base.mapInPandas(kernel, "m int, i int, j int, s long")
+        partials = base.mapInPandas(moment_kernel,
+                                    "m int, i int, j int, s long")
         return (partials.groupBy("m", "i", "j")
                         .agg(F.sum("s").alias("s"))
                         .select("m", "i", "j", "s"))

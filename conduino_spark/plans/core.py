@@ -200,11 +200,16 @@ def fenced_where(df: DataFrame, cond) -> DataFrame:
     once in the projection and the filter tests plain attributes.
 
     Zero materialization, JVM-only, streaming-safe; the fence value is
-    never observed (``mid >= 0`` is a tautology) and the column is
-    dropped.  Trade-off: downstream predicates cannot cross the fence
-    to reach the scan either — use only ABOVE the cheap/pushable
-    filters, on projections whose recompute dominates."""
-    return (df.withColumn("__fence", F.monotonically_increasing_id())
+    never observed (``rand() >= 0`` is a tautology — rand ∈ [0,1) —
+    and Rand is non-foldable) and the column is dropped.  rand() over
+    monotonically_increasing_id because the streaming checker rejects
+    mid in streaming Projects while rand passes (verified empirically,
+    Spark 4.1); both are Nondeterministic to Catalyst, which is all
+    the fence needs.  Trade-off: downstream predicates cannot cross
+    the fence to reach the scan either — use only ABOVE the
+    cheap/pushable filters, on projections whose recompute
+    dominates."""
+    return (df.withColumn("__fence", F.rand())
               .where(cond & (F.col("__fence") >= 0))
               .drop("__fence"))
 

@@ -481,6 +481,45 @@ def test_fenced_where_blocks_substitution_and_matches_where(spark):
     assert filt and all("split(" not in ln for ln in filt)
 
 
+def test_fenced_where_streaming_keep_only(spark):
+    """Regression (r8 review): the fence must pass Spark's streaming
+    checker — monotonically_increasing_id is rejected in streaming
+    Projects, rand() is not.  corpus_filter(keep_only=True) on a
+    chunked file stream must equal the batch survivors."""
+    from conduino_spark import corpus_filter
+    from conduino_spark.streaming import (
+        file_stream_source, run_stream_to_memory, stage_events_dir)
+
+    d = stage_events_dir(f"{SF}/documents.parquet", n_chunks=2)
+    out = run_stream_to_memory(
+        file_stream_source(d, "doc_id long, text string, lang string, "
+                              "source string")
+        | corpus_filter(keep_only=True), spark)
+    got = {r.doc_id for r in out.collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = {r.doc_id for r in run_pipe(
+        from_dataframe(docs) | corpus_filter(keep_only=True)
+        | sink_df(), spark).collect()}
+    assert got == want and got
+
+
+def test_leakage_safe_split_survives_lbl_column(spark):
+    """Regression (r8 review): an input column named "lbl" collided
+    with the internal CC label join; it must pass through untouched
+    and the split must still be cluster-consistent."""
+    from conduino_spark import leakage_safe_split
+    docs = (spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+            .withColumn("lbl", F.col("doc_id") * 7))
+    out = run_pipe(from_dataframe(docs)
+                   | leakage_safe_split({"train": 0.8, "val": 0.1,
+                                        "test": 0.1})
+                   | sink_df(), spark)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.lbl == r.doc_id * 7 for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
 def test_pca_gemm_kernel_matches_exact_covariance(spark):
     """kernel='gemm' (BLAS partial Gram — the large-d production
     shape) agrees with the exact integer-moment path: same n/mean to

@@ -62,7 +62,8 @@ def duck_kind(t: str):
 
 
 def spark_kind(dt: str):
-    if dt in ("byte", "short", "int", "bigint", "long", "integer"):
+    # df.dtypes yields Spark simpleStrings: tinyint/smallint/int/bigint
+    if dt in ("tinyint", "smallint", "int", "bigint"):
         return "i"
     if dt in ("float", "double"):
         return "f"

@@ -155,15 +155,18 @@ def main() -> None:
                            .alias("text")))
 
     def _logreg(df):
-        # 3 epochs is enough to expose the per-epoch scan scaling
+        # 3 epochs is enough to expose the per-epoch scan scaling;
+        # lr/threshold come from the gate so the probed shape is the
+        # gated shape.
+        import __spark_entry__ as entry
         fx = quality_features("text")
         feats = df.select(
             *[fx[k].alias(k) for k in QUALITY_FEATURES],
             (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
                             + fx["stop_sig"] + fx["punct_ok"])
-             >= 0.72).cast("int").alias("label"))
+             >= entry.LOGREG_THRESH).cast("int").alias("label"))
         logreg_train(feats, list(QUALITY_FEATURES), "label",
-                     iters=3, lr=2.0, track_loss=False)
+                     iters=3, lr=entry.LOGREG_LR, track_loss=False)
         return df.limit(0)  # timed() needs a writable frame
 
     DOC_OPS["web_ingest"] = _web_ingest
