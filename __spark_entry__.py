@@ -1552,7 +1552,8 @@ def bench_extras():
             # r8 new operators (quality_classifier_docs graduated to
             # the driver gate with its unrolled-CTE training oracle)
             "pca_embeddings": q_pca_embeddings,
-            "leakage_split_docs": q_leakage_split_docs}
+            "leakage_split_docs": q_leakage_split_docs,
+            "dsir_select_docs": q_dsir_select_docs}
 
 
 def q_leakage_split_docs(spark, sf):
@@ -1565,6 +1566,21 @@ def q_leakage_split_docs(spark, sf):
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     return (leakage_safe_split(SPLIT_WEIGHTS, salt="lk")(docs)
             .select("doc_id", "split"))
+
+
+def q_dsir_select_docs(spark, sf):
+    # r8: DSIR data selection (Xie et al. 2023) — importance log-ratio
+    # between an English-target unigram model and the full-corpus
+    # model (term_round exact sums), then Gumbel-top-k resampling with
+    # hash-derived uniforms (deterministic, engine-replayable).  Full
+    # DuckDB replay of BOTH stages in tests/test_round8.py.
+    from conduino_spark import dsir_logratio, dsir_topk, unigram_vocab
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    tv = unigram_vocab()(docs.where(F.col("lang") == "en"))
+    cv = unigram_vocab()(docs)
+    scored = dsir_logratio(tv, cv, term_round=4)(docs)
+    return (dsir_topk(100, salt="dsir", temperature=2.0)(scored)
+            .select("doc_id", "dsir_logratio"))
 
 
 def q_web_ingest_pipeline(spark, sf):

@@ -54,7 +54,8 @@ from conduino_spark.operators.relational import (
 )
 from conduino_spark.operators.text import (
     bigram_logprob, bigram_vocab,
-    chunk_text, corpus_filter, fingerprint, lang_id, line_dedup,
+    chunk_text, corpus_filter, dsir_logratio, dsir_topk, fingerprint,
+    lang_id, line_dedup,
     normalize_text,
     pack_chunks, quality_score, redact_pii, repetition_stats, strip_html,
     script_profile, token_count,

@@ -1058,3 +1058,119 @@ def script_profile(text_col: str = "text") -> Stage:
         return out.withColumn("other_frac", other)
 
     return Stage(fn, name="script_profile", seq_preserving=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling" — public literature)
+# ---------------------------------------------------------------------------
+
+def dsir_logratio(target_vocab: DataFrame, corpus_vocab: DataFrame,
+                  text_col: str = "text", *, id_col: str = "doc_id",
+                  alpha: float = 0.5, term_round: "int | None" = None,
+                  out: str = "dsir_logratio") -> "Stage":
+    """DSIR importance log-weight: for each document, the SUM over its
+    tokens of ``ln P_target(t) - ln P_corpus(t)`` under two unigram
+    models (:func:`unigram_vocab` tables) with the same add-``alpha``
+    smoothing :func:`unigram_logprob` uses.  Documents that look like
+    the target domain score high, generic-corpus documents score near
+    zero, off-domain documents score negative — the selection signal
+    DSIR resamples by.  Empty-token documents get NULL.
+
+    Plan: ONE token explode, two LEFT joins against the narrow
+    (token, count) tables (AQE broadcasts a small vocab, keeps a
+    web-scale one shuffled on the token key), per-token ratio in
+    codegen, one per-doc sum.  Raw text never shuffles.
+
+    ``term_round`` (the :func:`bigram_logprob` convention) rounds each
+    per-token log-ratio to that many decimals as a scaled long before
+    the sum — order-free, hash-replayable across engines."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if term_round is not None and not 1 <= term_round <= 9:
+        raise ValueError(f"term_round must be in [1, 9], got {term_round}")
+
+    def _smoothed(count_col: str, n_col: str, v_col: str) -> Column:
+        denom = (F.col(n_col).cast("double")
+                 + F.lit(alpha) * (F.col(v_col).cast("double") + 1))
+        return F.log((F.coalesce(F.col(count_col), F.lit(0))
+                      .cast("double") + F.lit(alpha)) / denom)
+
+    def fn(df: DataFrame) -> DataFrame:
+        t_stats = target_vocab.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("__Nt"),
+            F.count(F.lit(1)).alias("__Vt"))
+        c_stats = corpus_vocab.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("__Nc"),
+            F.count(F.lit(1)).alias("__Vc"))
+        toks = df.select(F.col(id_col),
+                         F.explode(tokens_col(F.col(text_col)))
+                          .alias("token"))
+        lr = (_smoothed("__ct", "__Nt", "__Vt")
+              - _smoothed("__cc", "__Nc", "__Vc"))
+        scored = (toks
+                  .join(target_vocab.select(
+                      "token", F.col("count").alias("__ct")),
+                      "token", "left")
+                  .join(corpus_vocab.select(
+                      "token", F.col("count").alias("__cc")),
+                      "token", "left")
+                  .crossJoin(F.broadcast(t_stats))
+                  .crossJoin(F.broadcast(c_stats))
+                  .select(id_col, lr.alias("__lr")))
+        if term_round is None:
+            per_doc = scored.groupBy(id_col).agg(F.sum("__lr").alias(out))
+        else:
+            scale = 10 ** term_round
+            sl = F.round(F.col("__lr") * F.lit(scale)).cast("long")
+            per_doc = (scored.select(id_col, sl.alias("__sl"))
+                             .groupBy(id_col)
+                             .agg((F.sum("__sl").cast("double")
+                                   / F.lit(float(scale))).alias(out)))
+        return df.join(per_doc, id_col, "left")
+
+    return Stage(fn, name=f"dsir_logratio(alpha={alpha})",
+                 seq_preserving=False)
+
+
+def dsir_topk(k: int, *, weight_col: str = "dsir_logratio",
+              id_col: str = "doc_id", salt: str = "",
+              temperature: "float | None" = 1.0,
+              name: str = "dsir_topk") -> "Stage":
+    """DSIR's importance RESAMPLING step, deterministically: select
+    ``k`` documents without replacement with probability proportional
+    to ``softmax(weight / temperature)`` via the Gumbel-top-k trick —
+    ``key = w/T - ln(-ln(u))`` with ``u`` a hash-derived uniform in
+    (0, 1), take the k largest keys.  Membership is a pure function of
+    (salt, id, weight): stable across runs, engines and partitionings,
+    replayable by a DuckDB oracle like every sampler here — no RNG.
+
+    ``temperature=None`` skips the Gumbel noise: plain greedy top-k by
+    weight (the "DSIR top-k" ablation).  NULL weights are dropped (no
+    score, no lottery ticket).  Keys round to 9 decimals with the id
+    as tie-break, so ordering is total and engine-independent.
+
+    Plan: pure projection + ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps, merge on the driver),
+    never a global sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if temperature is not None and temperature <= 0:
+        raise ValueError(
+            f"temperature must be positive or None, got {temperature}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        w = F.col(weight_col).cast("double")
+        if temperature is None:
+            key = w
+        else:
+            u = ((h32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+                  .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+            key = w / F.lit(float(temperature)) - F.log(-F.log(u))
+        return (df.where(w.isNotNull())
+                  .withColumn("__gkey", F.round(key, 9))
+                  .orderBy(F.desc("__gkey"), F.col(id_col))
+                  .limit(k)
+                  .drop("__gkey"))
+
+    return Stage(fn, name=name)
