@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     # r8: the composed web-ingestion pipeline floor (VERDICT r7 #5)
     # + the new exact-moment PCA and logreg quality-distill operators
     "web_ingest_pipeline", "pca_embeddings", "quality_classifier_docs",
-    "leakage_split_docs",
+    "leakage_split_docs", "dsir_select_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -169,8 +169,20 @@ def main() -> None:
                      iters=3, lr=entry.LOGREG_LR, track_loss=False)
         return df.limit(0)  # timed() needs a writable frame
 
+    def _dsir(df):
+        # r8: both DSIR stages — vocab aggregates + token joins + the
+        # Gumbel-top-k TakeOrderedAndProject (k fixed, data grows)
+        from conduino_spark import dsir_logratio, dsir_topk, unigram_vocab
+        # replicated_docs keeps only (doc_id, text) — target = a
+        # deterministic 20% id slice standing in for the en-domain cut
+        tv = unigram_vocab()(df.where(F.col("doc_id") % 5 == 0))
+        cv = unigram_vocab()(df)
+        return dsir_topk(100, salt="sp", temperature=2.0)(
+            dsir_logratio(tv, cv, term_round=4)(df))
+
     DOC_OPS["web_ingest"] = _web_ingest
     DOC_OPS["logreg_3epoch"] = _logreg
+    DOC_OPS["dsir_select"] = _dsir
 
     EMB_OPS = {
         # r7: batched ANN join — queries probe nprobe cells, corpus
