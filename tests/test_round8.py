@@ -854,3 +854,35 @@ def test_dsir_topk_greedy_gumbel_and_duckdb_replay(spark):
     pick = dsir_topk(1, temperature=None)(
         dsir_logratio(tv2, cv2)(syn)).collect()
     assert [r.doc_id for r in pick] == [1]
+
+
+@settings(**_LAW8)
+@given(ws=st.lists(
+    st.one_of(st.none(),
+              st.floats(-50, 50, allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30),
+    k=st.integers(1, 10), parts=st.integers(1, 8))
+def test_dsir_topk_law_partition_invariant(spark, ws, k, parts):
+    """For ANY weight vector, any k and any partitioning: the Gumbel
+    selection equals a driver-side reference over the same md5-derived
+    keys (membership is a pure function of (salt, id, weight) — never
+    of row order or partition layout), and NULL weights never win."""
+    import hashlib
+    import math
+    from conduino_spark import dsir_topk
+    rows = [(i, w) for i, w in enumerate(ws)]
+    df = (spark.createDataFrame(rows, "doc_id long, w double")
+          .repartition(parts))
+    got = [r.doc_id for r in
+           dsir_topk(k, weight_col="w", salt="hp", temperature=3.0)(df)
+           .select("doc_id").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"hp{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return round(w / 3.0 - math.log(-math.log(u)), 9)
+
+    want = [i for i, w in sorted(
+        ((i, w) for i, w in rows if w is not None),
+        key=lambda iw: (-key(*iw), iw[0]))][:k]
+    assert got == want
