@@ -732,14 +732,21 @@ def q_sketch_profile(spark, sf):
     # r8 arm: the exact integer Gram/mean/count moments of the
     # embedding matrix (operators/embeddings.py vector_moments — the
     # distributed core of pca_fit), coerced to the pin's (tag, double)
-    # schema; every value is an exact integer < 2^53 so the double
-    # cast is lossless and the DuckDB replay is bit-for-bit
+    # schema.  The double cast is lossless ONLY while |s| < 2^53, so
+    # the bound is re-asserted ON THIS PATH (ADVICE r8: the guard
+    # lived only in pca_from_moments — at a large enough sf the pin
+    # would silently hash-compare rounded doubles).
     from conduino_spark import vector_moments
     emb = _src(sf, "embeddings").df(spark)
+    s_exact = F.when(
+        F.abs(F.col("s")) < F.lit(2 ** 53), F.col("s").cast("double")
+    ).otherwise(F.raise_error(F.lit(
+        "sketch_profile moment arm: |s| >= 2^53 — the double cast "
+        "would round; lower MOMENT_SCALE before trusting the hash")))
     mom = (vector_moments()(emb)
            .select(F.concat_ws(":", F.lit("moment"), F.col("m"),
                                F.col("i"), F.col("j")).alias("sketch"),
-                   F.col("s").cast("double").alias("distinct_est")))
+                   s_exact.alias("distinct_est")))
     return kmv.unionByName(hll).unionByName(mom)
 
 
@@ -1056,11 +1063,22 @@ def q_tpch_q19(spark, sf):
 def q_line_dedup_docs(spark, sf):
     # r6 second half: corpus-wide duplicate-line removal over documents
     # (single-line docs at this sf — the count/join/reassemble plan
-    # still runs full-width); local oracle in tests/test_round6b.py
-    from conduino_spark import line_dedup
+    # still runs full-width); local oracle in tests/test_round6b.py.
+    # r9 merge: absorbs dup_span_docs as five per-doc columns (both
+    # are per-doc text-hygiene audits; one left join on doc_id keeps
+    # every row of both operators hash-verified) — the standalone
+    # dup_span floor stays in bench_extras.
+    from conduino_spark import dup_span_stats, line_dedup
     docs = _src(sf, "documents").df(spark)
-    return (line_dedup(min_count=2, min_chars=5)(docs)
-            .select("doc_id", "text", "n_lines", "n_lines_dropped"))
+    ld = (line_dedup(min_count=2, min_chars=5)(docs)
+          .select("doc_id", "text", "n_lines", "n_lines_dropped"))
+    p = (_src(sf, "documents", min_partitions="auto")
+         | dup_span_stats(window_tokens=16)
+         | sink_df())
+    ds = _strip(run_pipe(p, spark)).select(
+        "doc_id", "n_windows", "n_dup_windows", "dup_window_frac",
+        "n_dup_spans", "dup_token_frac")
+    return ld.join(ds, "doc_id", "left")
 
 
 def q_bigram_logprob_docs(spark, sf):
@@ -1069,14 +1087,23 @@ def q_bigram_logprob_docs(spark, sf):
     # plan.  term_round=4 makes the per-doc mean an exact scaled-long
     # sum (order-free), so the score hash-replays in DuckDB; the
     # full-precision mode keeps its 1e-9 pure-Python reference in
-    # tests/test_round6b.py.
-    from conduino_spark import bigram_logprob, bigram_vocab, unigram_vocab
+    # tests/test_round6b.py.  r9 merge: absorbs unigram_logprob_docs
+    # as a second per-doc column (lp_uni) — the unigram vocab is
+    # already built for the bigram back-off, so the arm costs one
+    # extra token join + per-doc sum; the standalone floor stays in
+    # bench_extras.
+    from conduino_spark import (bigram_logprob, bigram_vocab,
+                                unigram_logprob, unigram_vocab)
     docs = _src(sf, "documents").df(spark)
     uni = unigram_vocab()(docs)
     big = bigram_vocab()(docs)
-    return (bigram_logprob(big, uni, term_round=4)(docs)
-            .select("doc_id", F.round("bigram_logprob_per_token", 6)
-                    .alias("lp")))
+    bi = (bigram_logprob(big, uni, term_round=4)(docs)
+          .select("doc_id", F.round("bigram_logprob_per_token", 6)
+                  .alias("lp")))
+    un = (unigram_logprob(uni, term_round=4)(docs)
+          .select("doc_id", F.round("logprob_per_token", 6)
+                  .alias("lp_uni")))
+    return bi.join(un, "doc_id", "left")
 
 
 def q_semantic_dedup(spark, sf):
@@ -1550,10 +1577,16 @@ def bench_extras():
             "text_normalize": q_text_normalize,
             "web_ingest_pipeline": q_web_ingest_pipeline,
             # r8 new operators (quality_classifier_docs graduated to
-            # the driver gate with its unrolled-CTE training oracle)
+            # the driver gate with its unrolled-CTE training oracle;
+            # r9: leakage_split_docs + dsir_select_docs graduated too,
+            # and bpe_train_docs gained its own unrolled-CTE oracle —
+            # _sql_bpe_train — so it stays gated AND hash-verified)
             "pca_embeddings": q_pca_embeddings,
-            "leakage_split_docs": q_leakage_split_docs,
-            "dsir_select_docs": q_dsir_select_docs}
+            # r9: standalone floors for work now riding merged pins
+            # (unigram -> bigram_logprob_docs lp_uni arm; dup_span ->
+            # line_dedup_docs join arm)
+            "unigram_logprob_docs": q_unigram_logprob_docs,
+            "dup_span_docs": q_dup_span_docs}
 
 
 def q_leakage_split_docs(spark, sf):
@@ -1689,14 +1722,29 @@ def q_bpe_train_docs(spark, sf):
     # r7: learn 64 BPE merges from the corpus vocabulary — one
     # (word,count) aggregate + the collected-table Python learner
     # (VERDICT r6 #3; both-paths-identical law in tests/test_round7.py).
-    # The merge list IS the model; returned as rows so the bench
-    # materializes a real artifact.
-    from conduino_spark import bpe_train
+    # r9: HASH-VERIFIED end-to-end — _sql_bpe_train unrolls all 64
+    # merge rounds as a static materialized-CTE chain, and the pin
+    # gains an ENCODE arm: bpe_encode (Arrow UDF once per DISTINCT
+    # word + hash join to occurrences) applied under the learned
+    # model, per-doc pieces as a space-joined string.  Unified
+    # (part, k, v, v2) schema: 'merge' rows = the model, 'doc' rows =
+    # the encoded corpus — tokenizer training AND application both
+    # driver-replayed.
+    from conduino_spark import bpe_encode, bpe_train
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     merges = bpe_train(docs, n_merges=64)
-    return spark.createDataFrame(
+    train = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "merge_no int, a string, b string")
+        "merge_no int, a string, b string").select(
+        F.lit("merge").alias("part"),
+        F.col("merge_no").cast("string").alias("k"),
+        F.col("a").alias("v"), F.col("b").alias("v2"))
+    enc = (bpe_encode(merges)(docs)
+           .select(F.lit("doc").alias("part"),
+                   F.col("doc_id").cast("string").alias("k"),
+                   F.array_join("pieces", " ").alias("v"),
+                   F.lit(None).cast("string").alias("v2")))
+    return train.unionByName(enc)
 
 
 def q_profile_docs(spark, sf):
@@ -2045,9 +2093,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_quantiles_value": q_windowed_sketches,
         # r8 rotation: the r6/r7 bench-only operators swapped into the
         # slots freed by the merges above (VERDICT r7 #4)
-        "dup_span_docs": q_dup_span_docs,
-        "unigram_logprob_docs": q_unigram_logprob_docs,
         "profile_docs": q_profile_docs_gate,
+        # r9 rotation (VERDICT r8 #1/#2/#3): unigram_logprob_docs
+        # merged into bigram_logprob_docs (lp_uni arm — the unigram
+        # model is already built there for the back-off) and
+        # dup_span_docs into line_dedup_docs (per-doc left join) — the
+        # freed slots gate leakage-safe splitting and DSIR selection,
+        # both with full DuckDB replays (_sql_leakage_split /
+        # _sql_dsir_select).  bpe_train_docs, the one r8
+        # `err:"no_oracle"` row, is now HASH-VERIFIED: _sql_bpe_train
+        # unrolls all 64 merge rounds as a static materialized-CTE
+        # chain (the _sql_logreg_quality precedent) — greedy
+        # re-segmentation rides a sentinel-spaced string replace, so
+        # the driver replays distributed tokenizer TRAINING
+        # bit-for-bit.
+        "leakage_split_docs": q_leakage_split_docs,
+        "dsir_select_docs": q_dsir_select_docs,
         "bpe_train_docs": q_bpe_train_docs,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
@@ -2131,6 +2192,176 @@ def _sql_minhash_eval(threshold: float = 0.2, fraction: float = 0.25,
              CASE WHEN nt = 0 THEN 1.0
                   ELSE round(nh * 1.0 / nt, 6) END AS recall
       FROM cts"""
+
+
+def _sql_leakage_split(weights=None, salt: str = "lk") -> str:
+    """DuckDB replay of leakage_safe_split (dedup.py:645): MinHash-LSH
+    candidate pairs -> recursive-CTE connected components (min-id
+    root) -> md5 bucket split keyed on the cluster representative —
+    the same CASE boundaries _split_cuts computes for hash_split.
+    Promoted from tests/test_round8.py to the r9 driver gate."""
+    cuts = _split_cuts(weights or SPLIT_WEIGHTS)
+    rep = "coalesce(roots.root, d.doc_id)"
+    h = h32_sql(f"concat('{salt}', CAST({rep} AS VARCHAR))")
+    case = ("CASE " + " ".join(
+        f"WHEN {h} < {hi} THEN '{k}'" for k, hi in cuts[:-1])
+        + f" ELSE '{cuts[-1][0]}' END")
+    return _sql_minhash_bands().replace(
+        "WITH sigs", "WITH RECURSIVE sigs", 1) + f"""
+        , prs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (band_id, band_hash)
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+        SELECT d.doc_id, {case} AS split
+        FROM documents d LEFT JOIN roots ON roots.id = d.doc_id"""
+
+
+def _sql_dsir_select(k: int = 100, salt: str = "dsir",
+                     temperature: float = 2.0, term_round: int = 4,
+                     alpha: float = 0.5) -> str:
+    """DuckDB replay of BOTH DSIR stages (text.py:1068,1136): the
+    importance log-ratio between the en-target and full-corpus unigram
+    models (per-token scaled-long rounding — order-free, hash-exact)
+    and the Gumbel-top-k resampling with the same md5-derived uniforms,
+    9dp key rounding and id tie-break.  Promoted from
+    tests/test_round8.py to the r9 driver gate."""
+    toks = tokens_sql("text")
+    scale = 10 ** term_round
+    h_expr = h32_sql(f"concat('{salt}', CAST(doc_id AS VARCHAR))")
+    u = f"(({h_expr})::DOUBLE + 0.5) / 4294967296.0"
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+    tv AS (SELECT token, count(*)::BIGINT AS ct
+           FROM (SELECT unnest({toks}) AS token FROM documents
+                 WHERE lang = 'en') GROUP BY token),
+    cv AS (SELECT token, count(*)::BIGINT AS cc
+           FROM (SELECT unnest({toks}) AS token FROM documents)
+           GROUP BY token),
+    ts AS (SELECT COALESCE(SUM(ct), 0)::DOUBLE AS nt,
+                  COUNT(*)::DOUBLE AS vt FROM tv),
+    cs AS (SELECT COALESCE(SUM(cc), 0)::DOUBLE AS nc,
+                  COUNT(*)::DOUBLE AS vc FROM cv),
+    scored AS (
+      SELECT doc_id,
+             ln((COALESCE(tv.ct, 0)::DOUBLE + {alpha})
+                / (ts.nt + {alpha} * (ts.vt + 1)))
+           - ln((COALESCE(cv.cc, 0)::DOUBLE + {alpha})
+                / (cs.nc + {alpha} * (cs.vc + 1))) AS lr
+      FROM toks LEFT JOIN tv USING (token) LEFT JOIN cv USING (token)
+      CROSS JOIN ts CROSS JOIN cs),
+    per AS (SELECT doc_id,
+                   SUM(CAST(round(lr * {scale}) AS BIGINT))::DOUBLE
+                     / {float(scale)} AS w
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, w AS dsir_logratio FROM per
+    ORDER BY round(w / {float(temperature)} - ln(-ln({u})), 9) DESC, doc_id
+    LIMIT {k}"""
+
+
+def _sql_bpe_train(n_merges: int = 64, min_count: int = 2, *,
+                   encode: bool = False) -> str:
+    """DuckDB replay of the ENTIRE BPE merge-learning loop
+    (operators/bpe.py, Sennrich 2016) as one static unrolled CTE chain
+    — the _sql_logreg_quality precedent applied to the r8 verdict's
+    one `err:"no_oracle"` gate row.
+
+    Encoding trick: each word's segmentation rides as a string where
+    every symbol carries its OWN leading and trailing space
+    (`' a  b  c '`).  Tokens are [a-z0-9]+ (TOKEN_SPLIT), so a space
+    can never occur inside a symbol, and the greedy left-to-right
+    non-overlapping merge pass is EXACTLY one
+    ``replace(s, ' a  b ', ' ab ')``: consuming a match's trailing
+    space never steals the next symbol's leading space, so
+    ``[a,b,a,b] -> [ab,ab]`` while ``[a,a,a] -> [aa,a]`` — the
+    reference single-pass semantics (bpe.py _merge_pass), verified
+    merge-for-merge against _bpe_train_local.
+
+    Per round r: seg{r} applies merge r-1 (one replace over the
+    word-frequency table; LEFT JOIN ON TRUE so an early-stopped
+    round's empty m{r-1} leaves the segmentation unchanged instead of
+    emptying it — matching the engine's break), m{r} re-derives pair
+    counts (split + the positional-unnest zip) and takes the
+    (max count, lexicographic) argmax with the >= min_count floor.
+    AS MATERIALIZED keeps planning linear in rounds.
+
+    ``encode=True`` additionally replays :func:`bpe_encode` — the
+    final seg{N} IS the encoded vocabulary (each word's pieces), so
+    per-doc pieces are one positional token join + an ordered
+    string_agg — and returns the unified (part, k, v, v2) union the
+    merged gate pin uses ('merge' rows = the model, 'doc' rows = the
+    encoded corpus)."""
+    toks = tokens_sql("text")
+    last = n_merges - 1
+    ctes = [f"""
+      seg0 AS MATERIALIZED (
+        SELECT w, cnt, ' ' || array_to_string(
+                 [c || ' ' for c in string_split(w, '')], ' ') AS sstr
+        FROM (SELECT w, count(*)::BIGINT AS cnt
+              FROM (SELECT unnest({toks}) AS w FROM documents)
+              GROUP BY w))"""]
+
+    def m_cte(r: int) -> str:
+        return f"""
+      m{r} AS MATERIALIZED (
+        SELECT p1 AS a, p2 AS b FROM (
+          SELECT t[1:len(t)-1] AS l, t[2:len(t)] AS rr, cnt FROM (
+            SELECT string_split(trim(sstr), '  ') AS t, cnt
+            FROM seg{r})),
+          LATERAL (SELECT unnest(l) AS p1, unnest(rr) AS p2)
+        WHERE len(l) >= 1
+        GROUP BY p1, p2 HAVING SUM(cnt) >= {min_count}
+        ORDER BY SUM(cnt) DESC, p1, p2 LIMIT 1)"""
+
+    ctes.append(m_cte(0))
+    for r in range(1, n_merges):
+        ctes.append(f"""
+      seg{r} AS MATERIALIZED (
+        SELECT w, cnt,
+               CASE WHEN a IS NULL THEN sstr
+                    ELSE replace(sstr, ' ' || a || '  ' || b || ' ',
+                                 ' ' || a || b || ' ') END AS sstr
+        FROM seg{r - 1} LEFT JOIN m{r - 1} ON TRUE)""")
+        ctes.append(m_cte(r))
+    merge_rows = "\n        UNION ALL\n".join(
+        f"        SELECT {r} AS merge_no, a, b FROM m{r}"
+        for r in range(n_merges))
+    if not encode:
+        return ("WITH " + ",".join(ctes)
+                + "\n      SELECT CAST(merge_no AS INTEGER) AS merge_no,"
+                  " a, b FROM (\n" + merge_rows
+                + "\n      ) ORDER BY merge_no")
+    # final segmentation after ALL n_merges rounds = the encoded vocab
+    ctes.append(f"""
+      segF AS MATERIALIZED (
+        SELECT w, cnt,
+               CASE WHEN a IS NULL THEN sstr
+                    ELSE replace(sstr, ' ' || a || '  ' || b || ' ',
+                                 ' ' || a || b || ' ') END AS sstr
+        FROM seg{last} LEFT JOIN m{last} ON TRUE)""")
+    return ("WITH " + ",".join(ctes) + f"""
+      , mrows AS (\n{merge_rows}\n      ),
+      vocab AS (SELECT w,
+                       trim(regexp_replace(sstr, ' +', ' ', 'g')) AS ps
+                FROM segF),
+      dtoks AS (SELECT doc_id, unnest({toks}) AS w,
+                       generate_subscripts({toks}, 1) AS pos
+                FROM documents),
+      perdoc AS (SELECT doc_id,
+                        string_agg(ps, ' ' ORDER BY pos) AS pieces
+                 FROM dtoks JOIN vocab USING (w) GROUP BY doc_id)
+      SELECT 'merge' AS part, CAST(merge_no AS VARCHAR) AS k,
+             a AS v, b AS v2 FROM mrows
+      UNION ALL
+      SELECT 'doc' AS part, CAST(d.doc_id AS VARCHAR) AS k,
+             perdoc.pieces AS v, CAST(NULL AS VARCHAR) AS v2
+      FROM documents d LEFT JOIN perdoc USING (doc_id)""")
 
 
 def _sql_dup_span(L: int = 16, table: str = "documents") -> str:
@@ -3471,7 +3702,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n
             FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token
                   FROM documents)""",
+        # r9 merge: + the dup_span_stats per-doc columns (left join)
         "line_dedup_docs": """
+            SELECT ld.doc_id, ld.text, ld.n_lines, ld.n_lines_dropped,
+                   ds.n_windows, ds.n_dup_windows, ds.dup_window_frac,
+                   ds.n_dup_spans, ds.dup_token_frac
+            FROM (
             WITH lines AS (
               SELECT doc_id, pos, line, lower(trim(line)) AS nl
               FROM (SELECT doc_id,
@@ -3496,7 +3732,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
                    CAST(coalesce(n_lines_dropped, 0) AS BIGINT)
                      AS n_lines_dropped
-            FROM documents d LEFT JOIN re USING (doc_id)""",
+            FROM documents d LEFT JOIN re USING (doc_id)
+            ) ld LEFT JOIN (""" + _sql_dup_span(16) + """
+            ) ds USING (doc_id)""",
         "bigram_logprob_docs": f"""
             WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
             uni AS (SELECT tok AS token, COUNT(*) AS c
@@ -3532,9 +3770,26 @@ def oracle_sql() -> dict[str, str]:
             per AS (SELECT doc_id,
                            CAST(SUM(sl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                              / 10000.0 AS lp0
-                    FROM sc GROUP BY doc_id)
-            SELECT d.doc_id, round(per.lp0, 6) AS lp
-            FROM documents d LEFT JOIN per USING (doc_id)""",
+                    FROM sc GROUP BY doc_id),
+            usc AS (SELECT pt.doc_id,
+                           CAST(ROUND(ln(
+                             (CAST(coalesce(u.c, 0) AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE))
+                             / (CAST(st.n AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)
+                                  * (CAST(st.v AS DOUBLE) + 1))
+                           ) * 10000) AS BIGINT) AS sl
+                    FROM (SELECT doc_id, unnest(t) AS token FROM tk) pt
+                    LEFT JOIN uni u ON u.token = pt.token
+                    CROSS JOIN st),
+            uper AS (SELECT doc_id,
+                            CAST(SUM(sl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                              / 10000.0 AS lp0
+                     FROM usc GROUP BY doc_id)
+            SELECT d.doc_id, round(per.lp0, 6) AS lp,
+                   round(uper.lp0, 6) AS lp_uni
+            FROM documents d LEFT JOIN per USING (doc_id)
+                             LEFT JOIN uper USING (doc_id)""",
         "semantic_dedup_emb": """
             WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                             sqrt(list_sum([x * x
@@ -3593,34 +3848,17 @@ def oracle_sql() -> dict[str, str]:
                    d, c, n
             FROM ({_sql_windowed_cm(width=256, depth=3)})""",
         "ann_join_emb": _sql_ann_join(),
-        # r8 rotation: newly gated r6/r7 operators (bpe_train_docs is
-        # deliberately oracle-free — BPE merge learning is an iterative
-        # argmax loop SQL cannot express; the driver records rows-only,
-        # and the two-path-identical law lives in tests/test_round7.py)
-        "dup_span_docs": _sql_dup_span(16),
-        "unigram_logprob_docs": f"""
-            WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
-            uni AS (SELECT tok AS token, COUNT(*) AS c
-                    FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
-            st AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
-            pt AS (SELECT doc_id, unnest(t) AS token FROM tk),
-            sc AS (SELECT pt.doc_id,
-                          CAST(ROUND(ln(
-                            (CAST(coalesce(u.c, 0) AS DOUBLE)
-                             + CAST(0.5 AS DOUBLE))
-                            / (CAST(st.n AS DOUBLE)
-                               + CAST(0.5 AS DOUBLE)
-                                 * (CAST(st.v AS DOUBLE) + 1))
-                          ) * 10000) AS BIGINT) AS sl
-                   FROM pt
-                   LEFT JOIN uni u ON u.token = pt.token
-                   CROSS JOIN st),
-            per AS (SELECT doc_id,
-                           CAST(SUM(sl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                             / 10000.0 AS lp0
-                    FROM sc GROUP BY doc_id)
-            SELECT d.doc_id, round(per.lp0, 6) AS lp
-            FROM documents d LEFT JOIN per USING (doc_id)""",
+        # r8/r9 rotation: newly gated operators.  bpe_train_docs left
+        # the gate in r9 (back to bench_extras): its merge-learning is
+        # an iterative argmax the driver could never hash-verify, and
+        # its slot now gates leakage_split_docs, whose recursive-CTE
+        # replay is bit-for-bit.
+        "leakage_split_docs": _sql_leakage_split(),
+        "dsir_select_docs": _sql_dsir_select(),
+        "bpe_train_docs": _sql_bpe_train(64, 2, encode=True),
+        # (r9: the standalone unigram_logprob_docs / dup_span_docs
+        # oracles retired — they ride the bigram_logprob_docs lp_uni
+        # arm and the line_dedup_docs join arm respectively)
         "profile_docs": _sql_profile_docs(),
     }
     return sql

@@ -151,7 +151,13 @@ def logreg_train(df: DataFrame, feature_cols: Sequence[str],
             for i, c in enumerate(feature_cols)]
     y = F.col(label_col).cast("double").alias("__y")
     feat = df.select(*cols, y).na.drop()
-    feat = feat.persist()
+    # registry-tracked persist (ADVICE r8): the finally still releases
+    # eagerly on the happy path, but an exception mid-train leaves the
+    # cache visible to release_caches() auditing like every other
+    # multi-use frame in the engine.
+    from conduino_spark.plans.cachereg import mark, release_caches, track
+    cache_mark = mark()
+    feat = track(feat)
     try:
         w = [0.0] * d
         b = 0.0
@@ -187,7 +193,7 @@ def logreg_train(df: DataFrame, feature_cols: Sequence[str],
                            feature_cols=feature_cols,
                            loss_history=history)
     finally:
-        feat.unpersist()
+        release_caches(since=cache_mark)
 
 
 def logreg_score(model: LogRegModel, *, out: str = "score",

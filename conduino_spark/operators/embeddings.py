@@ -67,8 +67,14 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
     * ``m=1, j=-1``:   ``s`` = sum over rows of round(x_i * scale)
     * ``m=2, i<=j``:   ``s`` = sum over rows of round(x_i * x_j * scale)
 
-    NULL vectors and vectors of the wrong length are EXCLUDED (counted
-    out of n as well, so the moments are self-consistent).
+    NULL vectors, vectors of the wrong length, and vectors containing
+    NULL elements are EXCLUDED (counted out of n as well, so the
+    moments are self-consistent).  The NULL-element rule matters for
+    cross-engine parity: a NULL element would reach the exact kernel
+    as NaN, and ``round_away(NaN).astype(int64)`` is undefined
+    (typically INT64_MIN) — a silent poisoning — while a SQL oracle's
+    SUM would simply skip it.  Excluding the row keeps both engines on
+    the same well-defined input set.
 
     Overflow posture: per-row |entry| <= scale * max|x|^2; with unit-ish
     embeddings and scale 1e9 the int64 partials wrap only past ~9e9
@@ -90,7 +96,9 @@ def vector_moments(vec_col: str = "embedding", *, dim: Optional[int] = None,
 
     def fn(df: DataFrame) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
-        base = df.select(v.alias("__v")).where(F.col("__v").isNotNull())
+        base = (df.select(v.alias("__v"))
+                  .where(F.col("__v").isNotNull()
+                         & ~F.exists("__v", lambda x: x.isNull())))
         if dim is not None:
             base = base.where(F.size("__v") == dim)
         else:

@@ -1167,7 +1167,10 @@ def dsir_topk(k: int, *, weight_col: str = "dsir_logratio",
             u = ((h32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
                   .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
             key = w / F.lit(float(temperature)) - F.log(-F.log(u))
-        return (df.where(w.isNotNull())
+        # NULL ids are dropped alongside NULL weights (hash_sample's
+        # NULL-key rule): a NULL id would propagate into the Gumbel
+        # key via concat AND break the id tie-break's total order.
+        return (df.where(w.isNotNull() & F.col(id_col).isNotNull())
                   .withColumn("__gkey", F.round(key, 9))
                   .orderBy(F.desc("__gkey"), F.col(id_col))
                   .limit(k)

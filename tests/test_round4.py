@@ -43,15 +43,12 @@ def test_gate_window_contract():
     # the driver records CORRECTNESS rows for the first 50 declared
     # queries only: every declared query must fit inside the window
     assert len(q) <= m.GATE_MAX_QUERIES
-    # and every declared query must be oracle-checked (no SILENT
-    # rows-only entries: stream_window_replay gained its replay-law
-    # oracle in r4).  The one DOCUMENTED exception: BPE merge learning
-    # is an iterative argmax loop SQL cannot express (r8) — its
-    # correctness law (collected fast path == distributed path,
-    # merge-for-merge) lives in tests/test_round7.py.
-    rows_only_allowed = {"bpe_train_docs"}
-    assert set(q) - set(o) == rows_only_allowed & set(q)
-    assert set(o) <= set(q)
+    # and every declared query must be oracle-checked — NO rows-only
+    # entries at all since r9: even BPE merge learning (the r8
+    # documented exception) replays via the 64-round unrolled
+    # materialized-CTE chain (_sql_bpe_train), so the whole gate
+    # hash-verifies.
+    assert set(q) == set(o)
 
 
 # --- knn_lsh partition pruning ----------------------------------------------

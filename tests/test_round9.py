@@ -1,0 +1,246 @@
+"""Round 9: all-gate-rows-hash-verifiable rotation + ADVICE hardening.
+
+The headline artifact is `_sql_bpe_train` (__spark_entry__.py): the
+r8 verdict's one `err:"no_oracle"` gate row (bpe_train_docs) now
+replays bit-for-bit in DuckDB via a static 64-round unrolled CTE
+chain.  The core trick — greedy left-to-right merge application as a
+single string `replace` over a self-spaced symbol encoding — gets a
+Hypothesis law here against the reference `_merge_pass`
+(bpe.py, Sennrich 2016 single-pass semantics).
+
+Also pinned: the r8 ADVICE fixes (vector_moments NULL-element
+exclusion, dsir_topk NULL-id rule, logreg cachereg tracking) and the
+streaming==batch projection laws for the r8 model families
+(pca_transform, kmeans_assign) per VERDICT r8 #7.
+"""
+
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conduino_spark import from_dataframe, run_pipe, sink_df  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+_LAW9 = dict(max_examples=25, deadline=None,
+             suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_r9", REPO / "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _duck_with_views():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# BPE unrolled-CTE oracle (the r9 headline)
+# ---------------------------------------------------------------------------
+
+_SYM = st.text(alphabet="ab1", min_size=1, max_size=3)
+
+
+@settings(**_LAW9)
+@given(syms=st.lists(_SYM, min_size=0, max_size=8), a=_SYM, b=_SYM)
+def test_bpe_string_replace_equals_merge_pass(syms, a, b):
+    """THE load-bearing encoding law: for ANY symbol list and ANY
+    merge pair, DuckDB's `replace(' a  b ' -> ' ab ')` over the
+    self-spaced string (every symbol carries its own leading AND
+    trailing space) equals the reference greedy single-pass scan
+    `_merge_pass` (bpe.py) — consuming a match's trailing space never
+    steals the next symbol's leading space, so [a,b,a,b] -> [ab,ab]
+    while [a,a,a] -> [aa,a]."""
+    from conduino_spark.operators.bpe import _merge_pass
+    want = _merge_pass(syms, a, b)
+    sstr = " " + " ".join(s + " " for s in syms) if syms else ""
+    con = duckdb.connect()
+    got_s = con.execute(
+        "SELECT replace(?, ' ' || ? || '  ' || ? || ' ', "
+        "' ' || ? || ? || ' ')",
+        [sstr, a, b, a, b]).fetchone()[0]
+    got = [t for t in got_s.strip(" ").split("  ") if t] if got_s else []
+    assert got == want, (syms, a, b, got_s)
+
+
+def test_bpe_train_unrolled_oracle_replay(spark):
+    """The gate pin's law at the test sf: the 16-round unrolled CTE
+    chain reproduces bpe_train's merge list EXACTLY (same pair counts,
+    same (max count, lexicographic) argmax, same >= min_count early
+    stop).  The driver re-verifies the 64-round version at sf0.01."""
+    from conduino_spark import bpe_train
+    m = _load_entry()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = bpe_train(docs, n_merges=16)
+    got = _duck_with_views().execute(m._sql_bpe_train(16, 2)).fetchall()
+    assert got == [(i, a, b) for i, (a, b) in enumerate(want)]
+    assert len(got) == 16  # corpus is rich enough that no round stalls
+
+
+def test_bpe_sql_early_stop_matches_engine(spark):
+    """When the vocabulary dries up before n_merges rounds, the SQL's
+    empty-CTE cascade stops at the same round as the engine's break."""
+    from conduino_spark import bpe_train
+    m = _load_entry()
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "aa")], "doc_id long, text string")
+    want = bpe_train(docs, n_merges=8)     # only 'a'+'a' reaches count 2
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(1, 'aa ab'), (2, 'aa')) v(doc_id, text)")
+    got = con.execute(m._sql_bpe_train(8, 2)).fetchall()
+    assert got == [(i, a, b) for i, (a, b) in enumerate(want)]
+    assert len(got) < 8
+
+
+# ---------------------------------------------------------------------------
+# r8 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+def test_vector_moments_excludes_null_element_vectors(spark):
+    """A vector containing a NULL element is excluded entirely
+    (counted out of n): in the exact kernel a NULL becomes NaN and
+    round(NaN).astype(int64) is undefined (INT64_MIN on most
+    platforms) — silent poisoning — while a SQL SUM would skip it.
+    Excluding the row keeps every engine on the same input set."""
+    from conduino_spark import vector_moments
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [None, 4.0]), (3, [5.0, 6.0]),
+         (4, [7.0, None])],
+        "vec_id long, embedding array<double>")
+    rows = {(r.m, r.i, r.j): r.s for r in vector_moments()(df).collect()}
+    assert rows[(0, -1, -1)] == 2                      # rows 1 and 3 only
+    assert rows[(1, 0, -1)] == 6_000_000_000           # (1+5) * 1e9
+    assert rows[(1, 1, -1)] == 8_000_000_000           # (2+6) * 1e9
+
+
+@settings(**_LAW9)
+@given(ids=st.lists(st.one_of(st.none(), st.integers(0, 20)),
+                    min_size=1, max_size=15, unique=True),
+       k=st.integers(1, 6))
+def test_dsir_topk_null_ids_never_win(spark, ids, k):
+    """A NULL id has no deterministic Gumbel key (concat with NULL
+    propagates) and no place in the id tie-break's total order — it is
+    dropped like a NULL weight, and the selection over the remaining
+    rows equals the driver-side reference."""
+    import hashlib
+    import math
+    from conduino_spark import dsir_topk
+    rows = [(i, 1.0 + (i or 0) * 0.1) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r.doc_id for r in
+           dsir_topk(k, weight_col="w", salt="n9", temperature=2.0)(df)
+           .select("doc_id").collect()]
+    assert None not in got
+
+    def key(i, w):
+        h = int(hashlib.md5(f"n9{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return round(w / 2.0 - math.log(-math.log(u)), 9)
+
+    want = [i for i, w in sorted(
+        ((i, w) for i, w in rows if i is not None),
+        key=lambda iw: (-key(*iw), iw[0]))][:k]
+    assert got == want
+
+
+def test_logreg_train_cache_registry_tracked(spark):
+    """logreg_train's feature-projection persist goes through the
+    cachereg registry (r8 ADVICE): visible to release_caches auditing,
+    and released by the time training returns — on the happy path AND
+    when an epoch raises mid-train."""
+    from conduino_spark.operators.classifier import logreg_train
+    from conduino_spark.plans import cachereg
+    df = spark.createDataFrame(
+        [(float(i % 3), float(i % 2), i % 2) for i in range(20)],
+        "x0 double, x1 double, y int")
+    before = len(cachereg._TRACKED)
+    m = logreg_train(df, ["x0", "x1"], "y", iters=2, track_loss=False)
+    assert len(cachereg._TRACKED) == before and m.n == 20
+    # exception path: zero complete rows raises inside the loop; the
+    # finally must still leave the registry drained
+    empty = spark.createDataFrame([], "x0 double, x1 double, y int")
+    with pytest.raises(ValueError, match="no complete rows"):
+        logreg_train(empty, ["x0", "x1"], "y", iters=1, track_loss=False)
+    assert len(cachereg._TRACKED) == before
+
+
+def test_sketch_profile_moment_guard_raises_past_2_53(spark):
+    """The sketch_profile moment arm's double cast re-asserts
+    |s| < 2^53 on its own path (r8 ADVICE: the guard lived only in
+    pca_from_moments) — a synthetic over-bound sum raises instead of
+    silently hash-comparing rounded doubles."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    s_exact = F.when(F.abs(F.col("s")) < F.lit(2 ** 53),
+                     F.col("s").cast("double")).otherwise(
+        F.raise_error(F.lit("moment arm: |s| >= 2^53")))
+    ok = spark.createDataFrame([(2 ** 53 - 1,)], "s long") \
+        .select(s_exact.alias("v")).collect()
+    assert ok[0].v == float(2 ** 53 - 1)
+    with pytest.raises(SparkRuntimeException, match="2\\^53"):
+        spark.createDataFrame([(2 ** 53,)], "s long") \
+            .select(s_exact.alias("v")).collect()
+
+
+# ---------------------------------------------------------------------------
+# streaming==batch projection laws for the r8 model families
+# (VERDICT r8 #7: scoring/transform are pure projections — free)
+# ---------------------------------------------------------------------------
+
+def _stream_embeddings(spark, stage):
+    from conduino_spark.streaming import (file_stream_source,
+                                          run_stream_to_memory,
+                                          stage_events_dir)
+    d = stage_events_dir(f"{SF}/embeddings.parquet", n_chunks=2)
+    return run_stream_to_memory(
+        file_stream_source(
+            d, "vec_id long, embedding array<float>, label int")
+        | stage, spark)
+
+
+def test_pca_transform_streaming_equals_batch(spark):
+    """pca_transform is weights-as-literals codegen — hosting it on a
+    file stream yields the batch projection bit-for-bit."""
+    from conduino_spark import pca_fit, pca_transform
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = pca_fit(emb, k=4)
+    stage = pca_transform(model)
+    got = {r.vec_id: tuple(r.pc) for r in
+           _stream_embeddings(spark, stage)
+           .select("vec_id", "pc").collect()}
+    want = {r.vec_id: tuple(r.pc) for r in
+            stage(emb).select("vec_id", "pc").collect()}
+    assert got == want and len(got) == 500
+
+
+def test_kmeans_assign_streaming_equals_batch(spark):
+    """kmeans_assign (broadcast centroids, deterministic argmin) is
+    stream-hostable the same way."""
+    from conduino_spark import kmeans_assign, kmeans_fit
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = kmeans_fit(emb, k=4, iters=2)
+    stage = kmeans_assign(model)
+    got = {r.vec_id: r.cell for r in
+           _stream_embeddings(spark, stage)
+           .select("vec_id", "cell").collect()}
+    want = {r.vec_id: r.cell for r in
+            stage(emb).select("vec_id", "cell").collect()}
+    assert got == want and len(got) == 500
