@@ -244,3 +244,58 @@ def test_kmeans_assign_streaming_equals_batch(spark):
     want = {r.vec_id: r.cell for r in
             stage(emb).select("vec_id", "cell").collect()}
     assert got == want and len(got) == 500
+
+
+def test_logreg_score_streaming_equals_batch(spark):
+    """logreg_score is weights-as-literals codegen, and the stock
+    quality featurizer is a pure projection — the whole train-offline /
+    score-on-the-stream deployment hosts on a file stream and yields
+    the batch scores bit-for-bit (the last VERDICT r8 #7 family)."""
+    from conduino_spark import (QUALITY_FEATURES, logreg_score,
+                                logreg_train, quality_features,
+                                with_columns)
+    from conduino_spark.streaming import (file_stream_source,
+                                          run_stream_to_memory,
+                                          stage_events_dir)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fx = quality_features("text")
+    feats = docs.select(
+        "doc_id", *[fx[k].alias(k) for k in QUALITY_FEATURES],
+        (F.col("n_chars") >= 200).cast("int").alias("label"))
+    model = logreg_train(feats, list(QUALITY_FEATURES), "label",
+                         iters=2, track_loss=False)
+    stage = with_columns(fx) | logreg_score(model)
+    d = stage_events_dir(f"{SF}/documents.parquet", n_chunks=2)
+    got = {r.doc_id: r.score for r in
+           run_stream_to_memory(
+               file_stream_source(
+                   d, "doc_id long, text string, lang string, "
+                      "source string, n_chars long") | stage, spark)
+           .select("doc_id", "score").collect()}
+    want = {r.doc_id: r.score for r in
+            stage(docs).select("doc_id", "score").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_dsir_logratio_microbatch_replay_equals_batch(spark):
+    """dsir_logratio scores each document independently given two
+    STATIC vocab tables (per-doc sum over its own tokens), so the
+    foreachBatch deployment — score each arriving micro-batch against
+    the frozen models — replays the batch run exactly.  The law: the
+    union of per-half scores equals the whole-corpus run, per doc."""
+    from conduino_spark import dsir_logratio, unigram_vocab
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = unigram_vocab("text")(docs.filter(F.col("lang") == "en"))
+    corpus = unigram_vocab("text")(docs)
+    stage = dsir_logratio(target, corpus, "text", term_round=6)
+
+    def scores(df):
+        return {r.doc_id: r.dsir_logratio for r in
+                stage(df).select("doc_id", "dsir_logratio").collect()}
+
+    want = scores(docs)
+    lo = scores(docs.filter(F.col("doc_id") % 2 == 0))
+    hi = scores(docs.filter(F.col("doc_id") % 2 == 1))
+    got = {**lo, **hi}
+    assert set(got) == set(want) and len(lo) > 0 and len(hi) > 0
+    assert got == want
