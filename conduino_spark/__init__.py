@@ -63,7 +63,7 @@ from conduino_spark.operators.text import (
 )
 from conduino_spark.operators.dedup import (
     decontaminate, dedup_exact, dup_span_stats, embedding_near_dup_pairs,
-    lsh_candidate_prob, minhash_dedup, semantic_dedup,
+    jaccard_prefix_pairs, lsh_candidate_prob, minhash_dedup, semantic_dedup,
     leakage_safe_split, minhash_dedup_against, minhash_dedup_cc,
     minhash_dedup_pairs,
     minhash_eval, minhash_signatures, ngram_jaccard_pairs, simhash,

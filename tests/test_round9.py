@@ -299,3 +299,103 @@ def test_dsir_logratio_microbatch_replay_equals_batch(spark):
     got = {**lo, **hi}
     assert set(got) == set(want) and len(lo) > 0 and len(hi) > 0
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# jaccard_prefix_pairs: EXACT similarity self-join via prefix filtering
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_sql(threshold: float) -> str:
+    """Brute-force distinct-shingle Jaccard pairs in DuckDB — the
+    oracle for the prefix-filtered join: exactness means the pruned
+    plan returns the IDENTICAL pair set the quadratic join does."""
+    from __spark_entry__ import _sql_shingles  # type: ignore
+    from conduino_spark.functions.hashing import h32_sql
+    from conduino_spark.operators.text import tokens_sql
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest([{h32_sql('g')}
+                         for g in {_sql_shingles(tokens_sql('text'))}]) AS g
+          FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i >= {threshold} * (sa.sz + sb.sz - i)
+        ORDER BY id_a, id_b"""
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5])
+def test_jaccard_prefix_matches_duckdb_bruteforce(spark, threshold):
+    from conduino_spark import jaccard_prefix_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                 jaccard_prefix_pairs(threshold=threshold)(docs).collect())
+    want = _duck_with_views().execute(_brute_jaccard_sql(threshold)) \
+        .fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) > 0  # corpus has near-dup pairs at 0.2
+
+
+def test_jaccard_prefix_equals_lsh_free_bruteforce(spark):
+    """Same pair set as ngram_jaccard_pairs (the naive inverted-index
+    join) — shingles_col is already distinct per doc, so both compute
+    distinct-set Jaccard; the prefix filter only prunes the plan."""
+    from conduino_spark import jaccard_prefix_pairs, ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                 jaccard_prefix_pairs(threshold=0.3)(docs).collect())
+    want = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                  ngram_jaccard_pairs(threshold=0.3)(docs).collect())
+    assert got == want
+
+
+_TOK = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+@settings(**_LAW9)
+@given(docs=st.lists(st.lists(_TOK, min_size=0, max_size=8),
+                     min_size=2, max_size=7),
+       threshold=st.sampled_from([0.25, 0.5, 0.75, 1.0]))
+def test_jaccard_prefix_law_any_sets(spark, docs, threshold):
+    """For ANY corpus of token sets and ANY threshold, the
+    prefix-filtered join equals the pure-Python all-pairs reference
+    (n=1: the shingle universe IS the token set — worst case for the
+    filter, every doc shares the tiny alphabet)."""
+    from conduino_spark import jaccard_prefix_pairs
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b) for r in
+                 jaccard_prefix_pairs(threshold=threshold, n=1)(df)
+                 .collect())
+    sets = [set(t) for t in docs]
+    want = sorted(
+        (i, j)
+        for i in range(len(sets)) for j in range(i + 1, len(sets))
+        if sets[i] and sets[j]
+        and len(sets[i] & sets[j])
+        >= threshold * len(sets[i] | sets[j]))
+    assert got == want
+
+
+def test_jaccard_prefix_edges(spark):
+    """NULL text and sub-n-token docs produce no rows and no crash;
+    threshold=1.0 keeps only identical shingle sets."""
+    from conduino_spark import jaccard_prefix_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, None), (4, "hi"), (5, "alpha beta gamma epsilon")],
+        "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                 jaccard_prefix_pairs(threshold=1.0)(df).collect())
+    assert got == [(1, 2, 1.0)]
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_pairs(threshold=0.0)
