@@ -83,8 +83,9 @@ from conduino_spark.operators.similarity import (
     pq_train, probe_buckets, vec_dequantize, vec_quantize_int8,
 )
 from conduino_spark.operators.classifier import (
-    QUALITY_FEATURES, LogRegModel, logreg_epoch_update, logreg_score,
-    logreg_train, quality_features, quality_features_sql,
+    NBModel, QUALITY_FEATURES, LogRegModel, logreg_epoch_update,
+    logreg_score, logreg_train, nb_score, nb_train, quality_features,
+    quality_features_sql,
 )
 from conduino_spark.operators.embeddings import (
     PCAModel, normalize_vectors, pca_fit, pca_from_moments,

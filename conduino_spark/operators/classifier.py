@@ -216,3 +216,162 @@ def logreg_score(model: LogRegModel, *, out: str = "score",
                              else p)
 
     return Stage(fn, name="logreg_score", seq_preserving=True)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes: the fastText/CCNet-shaped token classifier
+# whose MODEL is a distributed table (vocab never fits a driver at
+# corpus scale, unlike logreg's d weights)
+# ---------------------------------------------------------------------------
+
+def _hround(x: float) -> int:
+    """HALF_UP (away from zero) to integer — Spark's F.round / DuckDB's
+    ROUND convention; Python's round() is banker's and would disagree
+    on exact .5 boundaries."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+@dataclass
+class NBModel:
+    """Multinomial naive Bayes model.  ``classes``/``log_priors``/
+    ``defaults`` are driver-sized (k entries); the per-token
+    likelihood table is a DATAFRAME — (token, __lp array of k scaled
+    longs), localCheckpoint-materialized so scoring never re-derives
+    the training explode.  ``defaults[i]`` is the unseen-token
+    log-likelihood ln(alpha / (N_i + alpha*(V+1))) for class i."""
+    classes: List[str]
+    log_priors: List[int]         # scaled longs (term_round decimals)
+    defaults: List[int]           # scaled longs
+    token_df: DataFrame
+    n_docs: int
+    vocab_size: int
+    alpha: float
+    term_round: int
+
+    @property
+    def k(self) -> int:
+        return len(self.classes)
+
+
+def nb_train(df: DataFrame, text_col: str = "text",
+             label_col: str = "label", *, alpha: float = 0.5,
+             term_round: int = 4) -> NBModel:
+    """Train a multinomial naive Bayes token classifier — ONE explode
+    + one (label, token) hash aggregate over the corpus; the three
+    model fetches (class priors, per-class token totals, vocab size)
+    are k-row / 1-row aggregates.  Add-``alpha`` smoothing with the
+    :func:`~conduino_spark.operators.text.unigram_logprob` denominator
+    convention ``N_c + alpha*(V+1)`` (the +1 is the unseen-token
+    bucket), vocabulary shared across classes.
+
+    Determinism contract: every log term is rounded to ``term_round``
+    decimals as a scaled long (the bigram_logprob convention), so
+    scoring sums are order-free exact integers and the whole
+    train+score path replays bit-for-bit in DuckDB.  Driver-side
+    constants (priors, defaults) round HALF_UP via :func:`_hround`,
+    matching F.round / DuckDB ROUND.
+
+    Scale shape: the model itself stays distributed — (token,
+    k-vector) rows, localCheckpoint-materialized (it IS the artifact;
+    write it with sink_parquet to persist across sessions).  Scoring
+    (:func:`nb_score`) is one explode + one narrow hash join (AQE
+    broadcasts a small model) + one per-doc aggregate.  Raw text never
+    shuffles.  Engine addition (SURVEY §2.7 LLM-pipeline posture);
+    the per-class fold shape cites foldl (Combinators.hs:480)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if not 1 <= term_round <= 9:
+        raise ValueError(f"term_round must be in [1, 9], got {term_round}")
+    from conduino_spark.plans.cachereg import mark, release_caches, track
+    from conduino_spark.operators.text import tokens_col
+
+    scale = 10 ** term_round
+    labeled = df.where(F.col(label_col).isNotNull())
+    cache_mark = mark()
+    try:
+        cnt = track(labeled.select(
+            F.col(label_col).cast("string").alias("__y"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"))
+            .groupBy("__y", "token").agg(F.count("*").alias("__c")))
+        vocab_size = cnt.select("token").distinct().count()
+        totals = {r["__y"]: r["__n"] for r in
+                  cnt.groupBy("__y").agg(F.sum("__c").alias("__n"))
+                     .collect()}
+        prior_rows = {r["__y"]: r["__d"] for r in
+                      labeled.groupBy(
+                          F.col(label_col).cast("string").alias("__y"))
+                      .agg(F.count("*").alias("__d")).collect()}
+        if not prior_rows:
+            raise ValueError("nb_train: no labeled rows")
+        classes = sorted(prior_rows)
+        n_docs = sum(prior_rows.values())
+        denoms = [totals.get(c, 0) + alpha * (vocab_size + 1)
+                  for c in classes]
+        log_priors = [_hround(math.log(prior_rows[c] / n_docs) * scale)
+                      for c in classes]
+        defaults = [_hround(math.log(alpha / d) * scale) for d in denoms]
+        lp_cols = [
+            F.max(F.when(
+                F.col("__y") == c,
+                F.round(F.log((F.col("__c") + F.lit(alpha))
+                              / F.lit(denoms[i])) * F.lit(scale))
+                .cast("long"))).alias(f"__lp{i}")
+            for i, c in enumerate(classes)
+        ]
+        token_df = (cnt.groupBy("token").agg(*lp_cols)
+                    .select("token",
+                            F.array(*[f"__lp{i}"
+                                      for i in range(len(classes))])
+                            .alias("__lp"))
+                    .localCheckpoint())
+        return NBModel(classes=classes, log_priors=log_priors,
+                       defaults=defaults, token_df=token_df,
+                       n_docs=n_docs, vocab_size=vocab_size,
+                       alpha=alpha, term_round=term_round)
+    finally:
+        release_caches(since=cache_mark)
+
+
+def nb_score(model: NBModel, text_col: str = "text", *,
+             id_col: str = "doc_id", out: str = "nb_label",
+             score_out: str = "nb_score") -> Stage:
+    """Predict the max-posterior class per document under an
+    :class:`NBModel`: explode tokens, ONE left hash join against the
+    distributed likelihood table (unseen tokens take the class
+    defaults), per-doc exact scaled-long sums, argmax with ties to the
+    lexicographically-first class.  Documents with no tokens (or NULL
+    text) get NULL — no evidence, the dsir_logratio convention.
+
+    ``score_out`` is the winning log-joint (prior + sum likelihoods),
+    unscaled back to a double at the end for display; the comparison
+    happened on exact longs."""
+    from conduino_spark.operators.text import tokens_col
+    k = model.k
+    scale = 10 ** model.term_round
+
+    def fn(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col),
+                         F.explode(tokens_col(F.col(text_col)))
+                          .alias("token"))
+        j = toks.join(model.token_df, "token", "left")
+        sums = j.groupBy(id_col).agg(*[
+            F.sum(F.coalesce(F.col("__lp")[i],
+                             F.lit(model.defaults[i])))
+            .alias(f"__s{i}") for i in range(k)])
+        # argmax on structs: max (total, k-1-i) → max total, ties to
+        # the SMALLEST class index (lexicographically first class)
+        best = F.array_max(F.array(*[
+            F.struct(
+                (F.col(f"__s{i}") + F.lit(model.log_priors[i]))
+                .alias("s"),
+                F.lit(k - 1 - i).alias("j"))
+            for i in range(k)]))
+        names = F.array(*[F.lit(c) for c in model.classes])
+        scored = sums.select(
+            F.col(id_col),
+            F.element_at(names, k - best["j"]).alias(out),
+            (best["s"].cast("double") / F.lit(float(scale)))
+            .alias(score_out))
+        return df.join(scored, id_col, "left")
+
+    return Stage(fn, name="nb_score", seq_preserving=False)

@@ -399,3 +399,101 @@ def test_jaccard_prefix_edges(spark):
     assert got == [(1, 2, 1.0)]
     with pytest.raises(ValueError, match="threshold"):
         jaccard_prefix_pairs(threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# naive Bayes classifier: distributed-model token classification
+# ---------------------------------------------------------------------------
+
+def _nb_sql(alpha: float = 0.5, term_round: int = 4) -> str:
+    """Full DuckDB replay of nb_train + nb_score on documents with
+    lang as the label: same counts, same smoothing denominators, same
+    scaled-long rounding, same (score desc, class asc) argmax."""
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql("text")
+    s = 10 ** term_round
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, lang AS y, unnest({toks}) AS token
+          FROM documents WHERE lang IS NOT NULL),
+        cnt AS (SELECT y, token, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnt),
+        tot AS (SELECT y, SUM(c) AS n FROM cnt GROUP BY y),
+        pri AS (SELECT lang AS y, COUNT(*) AS d FROM documents
+                WHERE lang IS NOT NULL GROUP BY 1),
+        nd AS (SELECT SUM(d) AS n FROM pri),
+        cl AS (SELECT pri.y,
+                      CAST(ROUND(ln(pri.d * 1.0 / nd.n) * {s}) AS BIGINT)
+                        AS prior,
+                      CAST(ROUND(ln({alpha} /
+                            (COALESCE(tot.n, 0) + {alpha} * (vv.v + 1)))
+                          * {s}) AS BIGINT) AS dflt
+               FROM pri LEFT JOIN tot USING (y), nd, vv),
+        lp AS (SELECT cnt.y, cnt.token,
+                      CAST(ROUND(ln((cnt.c + {alpha}) /
+                            (tot.n + {alpha} * (vv.v + 1))) * {s})
+                        AS BIGINT) AS lp
+               FROM cnt JOIN tot USING (y), vv),
+        st AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        scored AS (
+          SELECT st.doc_id, cl.y,
+                 SUM(COALESCE(lp.lp, cl.dflt)) + ANY_VALUE(cl.prior) AS t
+          FROM st CROSS JOIN cl
+          LEFT JOIN lp ON lp.y = cl.y AND lp.token = st.token
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, y, t,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY t DESC, y ASC) AS rn
+          FROM scored)
+        SELECT d.doc_id, b.y AS nb_label,
+               b.t / {float(s)} AS nb_score
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        USING (doc_id)
+        ORDER BY d.doc_id"""
+
+
+def test_nb_train_score_matches_duckdb(spark):
+    """The whole train+score path — counts, smoothing, scaled-long
+    log terms, per-doc sums, argmax tie-break — replays bit-for-bit
+    in DuckDB (the quality_classifier precedent, model-as-a-table
+    edition)."""
+    from conduino_spark import nb_score, nb_train
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = nb_train(docs, "text", "lang")
+    assert model.classes == ["de", "en", "es", "fr", "zh"]
+    got = sorted((r.doc_id, r.nb_label, r.nb_score) for r in
+                 nb_score(model)(docs)
+                 .select("doc_id", "nb_label", "nb_score").collect())
+    want = _duck_with_views().execute(_nb_sql()).fetchall()
+    assert got == [tuple(r) for r in want]
+    # the synthetic corpus draws every lang from one shared token
+    # pool, so lang is barely recoverable from text — the meaningful
+    # bound is beating the majority-class prior (en = 193/500)
+    truth = {r.doc_id: r.lang for r in
+             docs.select("doc_id", "lang").collect()}
+    acc = sum(1 for d, lbl, _ in got if lbl == truth[d]) / len(got)
+    assert acc > 193 / 500, acc
+
+
+def test_nb_edges(spark):
+    """NULL labels are excluded from training; token-free docs score
+    NULL (no evidence); parameter validation raises."""
+    from conduino_spark import nb_score, nb_train
+    df = spark.createDataFrame(
+        [(1, "apple banana apple", "fruit"),
+         (2, "carrot potato", "veg"),
+         (3, "apple carrot", None),
+         (4, "", "fruit")],
+        "doc_id long, text string, label string")
+    m = nb_train(df, "text", "label")
+    assert m.classes == ["fruit", "veg"] and m.n_docs == 3
+    out = {r.doc_id: r.nb_label for r in
+           nb_score(m, id_col="doc_id")(df).collect()}
+    assert out[1] == "fruit" and out[2] == "veg"
+    assert out[4] is None              # no tokens, no evidence
+    assert out[3] in ("fruit", "veg")  # unlabeled docs still score
+    with pytest.raises(ValueError, match="alpha"):
+        nb_train(df, "text", "label", alpha=0.0)
+    with pytest.raises(ValueError, match="no labeled rows"):
+        nb_train(df.where("label = 'nope'"), "text", "label")
