@@ -57,7 +57,8 @@ from conduino_spark.operators.text import (
     chunk_text, corpus_filter, dsir_logratio, dsir_topk, fingerprint,
     lang_id, line_dedup,
     normalize_text,
-    pack_chunks, quality_score, redact_pii, repetition_stats, strip_html,
+    pack_chunks, perplexity_buckets, quality_score, redact_pii,
+    repetition_stats, strip_html,
     script_profile, token_count,
     tokenize, unigram_logprob, unigram_vocab,
 )
@@ -102,7 +103,8 @@ from conduino_spark.operators.temporal import (
 from conduino_spark.operators.sketches import (
     binned_quantiles, bloom_build, bloom_contains, bloom_prefilter_join,
     countmin_assemble, countmin_build, countmin_estimate, heavy_hitters,
-    hll_build, hll_estimate, hll_merge, kmv_distinct, winsorize,
+    hll_build, hll_estimate, hll_merge, kmv_distinct, quantile_buckets,
+    winsorize,
 )
 from conduino_spark.operators.sampling import (
     deterministic_shuffle, hash_sample, hash_split, mixture,

@@ -956,3 +956,54 @@ def hll_assemble(*, p: int, keys: "tuple[str, ...]" = ("w_start", "w_end"),
                  .withColumn("p", F.lit(p).cast("long"))
 
     return Stage(fn, name=f"hll_assemble(p={p})", seq_preserving=False)
+
+
+def quantile_buckets(expr: Union[str, Column],
+                     edges: "dict[str, float]", *,
+                     rest: str = "tail",
+                     keys: "tuple[str, ...]" = (),
+                     bins: int = 1024,
+                     lo: "float | None" = None,
+                     hi: "float | None" = None,
+                     out: str = "bucket") -> Stage:
+    """Label every ROW by the quantile band its value falls in — the
+    row-level companion of :func:`binned_quantiles` (which returns one
+    cut row per group) and the labeling sibling of :func:`winsorize`
+    (which clamps instead).  ``edges`` maps band name → upper quantile
+    fraction, in ascending order; values above the last edge take
+    ``rest``.  NULL values get a NULL label.
+
+    The CCNet head/middle/tail selection shape: bucket documents by a
+    model score per group (e.g. per language), then train on the head.
+
+    Plan: the O(bins)-state deterministic cut computation (one or two
+    aggregate passes, raw values never shuffle) + a BROADCAST join of
+    the one-row-per-group cut table back onto the rows + one CASE
+    projection.  Same IEEE-identical arithmetic as binned_quantiles,
+    so the labels replay bit-for-bit in SQL."""
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    fr = list(edges.values())
+    if fr != sorted(fr) or len(set(fr)) != len(fr):
+        raise ValueError(f"edge fractions must be strictly ascending, "
+                         f"got {fr}")
+    if rest in edges:
+        raise ValueError(f"rest label {rest!r} collides with an edge")
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    cut_stage = binned_quantiles(
+        col, {f"__q_{name}": q for name, q in edges.items()},
+        bins=bins, keys=keys, lo=lo, hi=hi)
+
+    def fn(df: DataFrame) -> DataFrame:
+        cuts = cut_stage(df)
+        j = (df.join(F.broadcast(cuts), list(keys)) if keys
+             else df.crossJoin(F.broadcast(cuts)))
+        label = F.when(col.isNull(), F.lit(None).cast("string"))
+        for name in edges:
+            label = label.when(col.cast("double") <= F.col(f"__q_{name}"),
+                               F.lit(name))
+        label = label.otherwise(F.lit(rest))
+        return j.withColumn(out, label) \
+                .drop(*[f"__q_{name}" for name in edges])
+
+    return Stage(fn, name="quantile_buckets", seq_preserving=False)

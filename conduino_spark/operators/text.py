@@ -1177,3 +1177,51 @@ def dsir_topk(k: int, *, weight_col: str = "dsir_logratio",
                   .drop("__gkey"))
 
     return Stage(fn, name=name)
+
+
+def perplexity_buckets(vocab: "DataFrame",
+                       text_col: str = "text", *,
+                       id_col: str = "doc_id",
+                       keys: "tuple[str, ...]" = (),
+                       edges: "dict[str, float] | None" = None,
+                       rest: str = "tail",
+                       bins: int = 1024,
+                       alpha: float = 0.5,
+                       term_round: "int | None" = None,
+                       score_out: str = "log_ppl",
+                       out: str = "ppl_bucket") -> "Stage":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under a reference LM (:func:`unigram_logprob`
+    against a trusted-corpus ``vocab``), convert to a log-perplexity
+    proxy (the negated mean per-token log-probability — ``exp`` of it
+    IS the perplexity, and it is monotone, so buckets agree), then
+    split the corpus into head / middle / tail thirds by per-group
+    quantile cuts (``keys=('lang',)`` reproduces CCNet's per-language
+    buckets).  Downstream keeps the head (or mixes buckets with
+    :func:`~conduino_spark.operators.sampling.mixture`).
+
+    Default ``edges``: head ≤ P33.3, middle ≤ P66.7, tail above.
+    Token-free documents score NULL and bucket NULL.
+
+    Plan: the LM score is one explode + one narrow join + one per-doc
+    mean; the bucketing adds the O(bins) cut sketch and a broadcast
+    CASE — nothing heavier than the score pass itself.  With
+    ``term_round`` set, scores are exact scaled-long means and the
+    whole pipeline (scores, cuts, labels) replays bit-for-bit in SQL.
+    """
+    from conduino_spark.operators.sketches import quantile_buckets
+    edges = dict(edges) if edges else {"head": 1 / 3, "middle": 2 / 3}
+    score_stage = unigram_logprob(vocab, text_col, id_col=id_col,
+                                  alpha=alpha, term_round=term_round,
+                                  out="__lp")
+    bucket_stage = quantile_buckets(
+        F.col(score_out), edges, rest=rest, keys=keys, bins=bins,
+        out=out)
+
+    def fn(df: DataFrame) -> DataFrame:
+        scored = (score_stage(df)
+                  .withColumn(score_out, -F.col("__lp"))
+                  .drop("__lp"))
+        return bucket_stage(scored)
+
+    return Stage(fn, name="perplexity_buckets", seq_preserving=False)

@@ -497,3 +497,92 @@ def test_nb_edges(spark):
         nb_train(df, "text", "label", alpha=0.0)
     with pytest.raises(ValueError, match="no labeled rows"):
         nb_train(df.where("label = 'nope'"), "text", "label")
+
+
+# ---------------------------------------------------------------------------
+# quantile_buckets + perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def test_quantile_buckets_matches_duckdb(spark):
+    """Row labels replay bit-for-bit: the binned-quantile cuts are
+    IEEE-identical (binned_quantiles_sql) and the CASE mirrors the
+    stage's band comparison."""
+    from conduino_spark import quantile_buckets
+    from conduino_spark.operators.sketches import binned_quantiles_sql
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = sorted((r.event_id, r.bucket) for r in
+                 quantile_buckets("value",
+                                  {"low": 0.25, "mid": 0.75},
+                                  rest="high", keys=("event_type",),
+                                  bins=256)(ev)
+                 .select("event_id", "bucket").collect())
+    cuts = binned_quantiles_sql(
+        "value", {"__q_low": 0.25, "__q_mid": 0.75}, bins=256,
+        keys=("event_type",), table="events")
+    want = _duck_with_views().execute(f"""
+        WITH cuts AS ({cuts})
+        SELECT e.event_id,
+               CASE WHEN e.value IS NULL THEN NULL
+                    WHEN CAST(e.value AS DOUBLE) <= c.__q_low THEN 'low'
+                    WHEN CAST(e.value AS DOUBLE) <= c.__q_mid THEN 'mid'
+                    ELSE 'high' END AS bucket
+        FROM events e JOIN cuts c USING (event_type)
+        ORDER BY e.event_id""").fetchall()
+    assert got == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="ascending"):
+        quantile_buckets("value", {"a": 0.5, "b": 0.25})
+    with pytest.raises(ValueError, match="collides"):
+        quantile_buckets("value", {"a": 0.5}, rest="a")
+
+
+def test_perplexity_buckets_matches_duckdb(spark):
+    """The composed CCNet pipeline — unigram LM score (term_round
+    exact), per-language binned-quantile cuts, head/middle/tail CASE —
+    replays bit-for-bit end to end."""
+    from conduino_spark import perplexity_buckets, unigram_vocab
+    from conduino_spark.operators.sketches import binned_quantiles_sql
+    from conduino_spark.operators.text import tokens_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = unigram_vocab("text")(docs.where(F.col("lang") == "en"))
+    got = sorted((r.doc_id, r.log_ppl, r.ppl_bucket) for r in
+                 perplexity_buckets(vocab, keys=("lang",), bins=256,
+                                    term_round=4)(docs)
+                 .select("doc_id", "log_ppl", "ppl_bucket").collect())
+    toks = tokens_sql("text")
+    scores = f"""
+        SELECT d.doc_id, d.lang, -per.lp AS log_ppl
+        FROM documents d LEFT JOIN (
+          WITH uni AS (
+            SELECT tok AS token, COUNT(*) AS c
+            FROM (SELECT unnest({toks}) AS tok FROM documents
+                  WHERE lang = 'en') GROUP BY tok),
+          st AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+          sc AS (SELECT pt.doc_id,
+                        CAST(ROUND(ln(
+                          (CAST(coalesce(u.c, 0) AS DOUBLE) + 0.5)
+                          / (CAST(st.n AS DOUBLE)
+                             + 0.5 * (CAST(st.v AS DOUBLE) + 1))
+                        ) * 10000) AS BIGINT) AS sl
+                 FROM (SELECT doc_id, unnest({toks}) AS token
+                       FROM documents) pt
+                 LEFT JOIN uni u ON u.token = pt.token
+                 CROSS JOIN st)
+          SELECT doc_id, CAST(SUM(sl) AS DOUBLE) / COUNT(*) / 10000.0
+                           AS lp
+          FROM sc GROUP BY doc_id) per USING (doc_id)"""
+    cuts = binned_quantiles_sql(
+        "log_ppl",
+        {"__q_head": 1 / 3, "__q_middle": 2 / 3}, bins=256,
+        keys=("lang",), table=f"({scores})")
+    want = _duck_with_views().execute(f"""
+        WITH sc AS ({scores}), cuts AS ({cuts})
+        SELECT sc.doc_id, sc.log_ppl,
+               CASE WHEN sc.log_ppl IS NULL THEN NULL
+                    WHEN sc.log_ppl <= c.__q_head THEN 'head'
+                    WHEN sc.log_ppl <= c.__q_middle THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM sc JOIN cuts c USING (lang)
+        ORDER BY sc.doc_id""").fetchall()
+    assert got == [tuple(r) for r in want]
+    bands = {b for _, _, b in got}
+    assert bands == {"head", "middle", "tail"}
