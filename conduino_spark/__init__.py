@@ -49,7 +49,8 @@ from conduino_spark.operators.bucketing import bucketed_source, write_bucketed
 from conduino_spark.operators.relational import (
     cdc_apply, cube_agg, dedup_latest, distinct, event_window, except_all,
     group_agg, intersect, join,
-    order_by, percentiles, pivot_agg, profile_table, ranked, rollup_agg,
+    order_by, percentiles, pivot_agg, profile_diff, profile_table,
+    ranked, rollup_agg,
     select, session_window, snapshot_diff, sql_stage, top_k, union_all,
 )
 from conduino_spark.operators.text import (
@@ -80,7 +81,8 @@ from conduino_spark.operators.search import (
 from conduino_spark.operators.similarity import (
     KMeansModel, ann_join, cell_centroids, cosine_to, ivf_build,
     ivf_search, ivfpq_search, kmeans_assign, kmeans_fit, knn_brute,
-    knn_lsh, lsh_bucket, lsh_index_write, pq_encode, pq_search,
+    knn_lsh, lsh_bucket, lsh_index_write, mine_hard_negatives,
+    pq_encode, pq_search,
     pq_train, probe_buckets, vec_dequantize, vec_quantize_int8,
 )
 from conduino_spark.operators.classifier import (

@@ -416,3 +416,61 @@ def profile_table(*, approx_distinct_p: int = 12,
                               .alias("approx_distinct"), "min", "max"))
 
     return Stage(fn, name="profile_table", seq_preserving=False)
+
+
+def profile_diff(old: DataFrame, *, approx_distinct_p: int = 12,
+                 columns: Optional[Sequence[str]] = None) -> Stage:
+    """Snapshot DRIFT report: apply :func:`profile_table` to a
+    previous snapshot and to the current one, full-outer join per
+    column, and emit the health deltas an ingestion pipeline alerts
+    on — row-count change, null-fraction delta, min/max movement,
+    distinct-count ratio, and schema changes (columns added/removed).
+    The statistical complement of :func:`snapshot_diff` (which
+    recovers the changed ROWS): this one never touches row identity,
+    just the per-column aggregates.
+
+    Output: one row per column seen in either snapshot —
+    (column, status added|removed|common, n_rows_old, n_rows_new,
+    null_frac_old, null_frac_new, d_null_frac, approx_distinct_old,
+    approx_distinct_new, distinct_ratio, min_changed, max_changed).
+
+    Deterministic end to end: the profile's exact stats replay in SQL
+    directly and the HLL distinct estimates are md5-register exact
+    (test_round6c), so the whole diff — including the 6-dec rounded
+    distinct ratio — is oracle-replayable.  Plan: two profile passes
+    (one per snapshot; each is one agg scan + one grouped sketch) and
+    a k-columns-row broadcast join.  Nothing scales with row count on
+    the driver."""
+    prof = profile_table(approx_distinct_p=approx_distinct_p,
+                         columns=columns)
+    stats = ("n_rows", "n_nulls", "null_frac", "approx_distinct",
+             "min", "max")
+
+    def fn(new: DataFrame) -> DataFrame:
+        po = prof(old).select(
+            "column", *[F.col(c).alias(f"{c}_old") for c in stats])
+        pn = prof(new).select(
+            "column", *[F.col(c).alias(f"{c}_new") for c in stats])
+        j = po.join(pn, "column", "full_outer")
+        ad_old = F.round("approx_distinct_old", 6)
+        ad_new = F.round("approx_distinct_new", 6)
+        return j.select(
+            "column",
+            F.when(F.col("n_rows_old").isNull(), F.lit("added"))
+             .when(F.col("n_rows_new").isNull(), F.lit("removed"))
+             .otherwise(F.lit("common")).alias("status"),
+            "n_rows_old", "n_rows_new",
+            "null_frac_old", "null_frac_new",
+            F.round(F.coalesce("null_frac_new", F.lit(0.0))
+                    - F.coalesce("null_frac_old", F.lit(0.0)), 6)
+             .alias("d_null_frac"),
+            ad_old.alias("approx_distinct_old"),
+            ad_new.alias("approx_distinct_new"),
+            F.when(ad_old > 0, F.round(ad_new / ad_old, 6))
+             .alias("distinct_ratio"),
+            (~F.col("min_old").eqNullSafe(F.col("min_new")))
+            .alias("min_changed"),
+            (~F.col("max_old").eqNullSafe(F.col("max_new")))
+            .alias("max_changed"))
+
+    return Stage(fn, name="profile_diff", seq_preserving=False)

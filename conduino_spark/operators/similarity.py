@@ -837,3 +837,59 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
 
     return Stage(fn, name=f"ann_join(k={k},nprobe={nprobe})",
                  seq_preserving=False)
+
+
+def mine_hard_negatives(corpus: DataFrame, positives: "DataFrame | None" = None,
+                        k: int = 8, *, skip_top: int = 1,
+                        fetch: "int | None" = None, nprobe: int = 2,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        cell_col: str = "label",
+                        pos_query_col: str = "query_id",
+                        pos_id_col: str = "pos_id",
+                        kernel: str = "exact") -> Stage:
+    """Hard-negative mining for contrastive / embedding training: for
+    every query row, the ``k`` most-similar corpus items that are NOT
+    known positives — ranks ``skip_top+1 .. skip_top+k`` of the
+    filtered neighbor list.  ``skip_top`` drops the very nearest
+    survivors (the standard guard against unlabeled true positives
+    polluting the negative set); ``positives`` is a (query, item) pair
+    table of known relevants to exclude, and the query row itself is
+    always excluded.
+
+    Plan: ONE :func:`ann_join` fetch of ``fetch`` candidates per query
+    (default ``k + skip_top + 8`` — headroom so exclusions don't
+    under-fill; raise it if queries can have many fetched positives),
+    a broadcast-friendly ANTI join against the positive pairs, then a
+    per-query re-rank window in ann_join's own (cosine desc, id)
+    order.  Everything rides the IVF-bucketed candidate machinery —
+    never all-pairs; ``nprobe >= n_cells`` makes the mining exact
+    (law-tested via the ann_join containment)."""
+    if k < 1 or skip_top < 0:
+        raise ValueError(f"need k >= 1 and skip_top >= 0, "
+                         f"got k={k}, skip_top={skip_top}")
+    fetch = fetch if fetch is not None else k + skip_top + 8
+    if fetch < k + skip_top:
+        raise ValueError(f"fetch={fetch} < k+skip_top={k + skip_top}")
+    ann = ann_join(corpus, fetch, nprobe=nprobe, vec_col=vec_col,
+                   id_col=id_col, cell_col=cell_col,
+                   exclude_self=True, kernel=kernel)
+    from pyspark.sql import Window
+
+    def fn(df: DataFrame) -> DataFrame:
+        nb = ann(df)
+        if positives is not None:
+            pos = positives.select(
+                F.col(pos_query_col).alias(id_col),
+                F.col(pos_id_col).alias("neighbor_id"))
+            nb = nb.join(pos, [id_col, "neighbor_id"], "left_anti")
+        w = Window.partitionBy(id_col).orderBy(F.desc("cosine"),
+                                               "neighbor_id")
+        return (nb.withColumn("neg_rank", F.row_number().over(w))
+                  .where((F.col("neg_rank") > skip_top)
+                         & (F.col("neg_rank") <= skip_top + k))
+                  .select(id_col,
+                          F.col("neighbor_id").alias("neg_id"),
+                          F.col("cosine").alias("neg_cosine"),
+                          "neg_rank"))
+
+    return Stage(fn, name="mine_hard_negatives", seq_preserving=False)
