@@ -751,8 +751,22 @@ def q_sketch_profile(spark, sf):
 
 
 def q_ngram_jaccard_lsh(spark, sf):
-    p = _src(sf, "documents", min_partitions="auto") | ngram_jaccard_lsh(threshold=0.2) | sink_df()
-    return run_pipe(p, spark).select("id_a", "id_b", "jaccard")
+    # r9 merge: the exact prefix-filtered similarity join
+    # (operators/dedup.jaccard_prefix_pairs — AllPairs/PPJoin, zero
+    # false negatives, no banding to tune) rides the same pin as a
+    # second arm over the same shingle machinery: 'lsh' = MinHash-band
+    # candidates + exact verify, 'prefix' = the exact join.  Any pair
+    # the banding misses shows up as a prefix-only row — the pin
+    # hash-verifies recall, not just precision.
+    from conduino_spark import jaccard_prefix_pairs
+    src = _src(sf, "documents", min_partitions="auto")
+    a = run_pipe(src | ngram_jaccard_lsh(threshold=0.2) | sink_df(),
+                 spark).select(F.lit("lsh").alias("method"),
+                               "id_a", "id_b", "jaccard")
+    b = run_pipe(src | jaccard_prefix_pairs(threshold=0.2) | sink_df(),
+                 spark).select(F.lit("prefix").alias("method"),
+                               "id_a", "id_b", "jaccard")
+    return a.unionByName(b)
 
 
 def q_knn_lsh_probe(spark, sf):
@@ -1103,7 +1117,16 @@ def q_bigram_logprob_docs(spark, sf):
     un = (unigram_logprob(uni, term_round=4)(docs)
           .select("doc_id", F.round("logprob_per_token", 6)
                   .alias("lp_uni")))
-    return bi.join(un, "doc_id", "left")
+    # r9 merge: CCNet perplexity bucketing rides the same pin — the
+    # REAL composed operator (text.perplexity_buckets: unigram score →
+    # per-lang binned-quantile cuts → head/middle/tail CASE) over the
+    # same whole-corpus vocab, so the selection labels the corpus
+    # build actually trains on are driver-hash-verified per language.
+    from conduino_spark import perplexity_buckets
+    pb = (perplexity_buckets(uni, keys=("lang",), bins=256,
+                             term_round=4)(docs)
+          .select("doc_id", "ppl_bucket"))
+    return bi.join(un, "doc_id", "left").join(pb, "doc_id", "left")
 
 
 def q_semantic_dedup(spark, sf):
@@ -1586,7 +1609,63 @@ def bench_extras():
             # (unigram -> bigram_logprob_docs lp_uni arm; dup_span ->
             # line_dedup_docs join arm)
             "unigram_logprob_docs": q_unigram_logprob_docs,
-            "dup_span_docs": q_dup_span_docs}
+            "dup_span_docs": q_dup_span_docs,
+            # r9 new operators: standalone floors (jaccard_prefix /
+            # nb_classifier / perplexity_buckets also ride gate pins
+            # as merged arms; hard_negatives and profile_diff carry
+            # DuckDB oracles in tests/test_round9.py)
+            "jaccard_prefix_docs": q_jaccard_prefix_docs,
+            "nb_classifier_docs": q_nb_classifier_docs,
+            "perplexity_buckets_docs": q_perplexity_buckets_docs,
+            "hard_negatives_emb": q_hard_negatives_emb,
+            "profile_diff_docs": q_profile_diff_docs}
+
+
+def q_jaccard_prefix_docs(spark, sf):
+    # r9: the exact prefix-filtered similarity join alone (the gate
+    # runs it as the ngram_jaccard_lsh 'prefix' arm)
+    from conduino_spark import jaccard_prefix_pairs
+    p = (_src(sf, "documents", min_partitions="auto")
+         | jaccard_prefix_pairs(threshold=0.2) | sink_df())
+    return run_pipe(p, spark)
+
+
+def q_nb_classifier_docs(spark, sf):
+    # r9: naive Bayes train + corpus-wide score alone (the gate runs
+    # it as the quality_classifier_docs nb arm)
+    from conduino_spark import nb_score, nb_train
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    m = nb_train(docs, "text", "lang")
+    return nb_score(m)(docs).select("doc_id", "nb_label", "nb_score")
+
+
+def q_perplexity_buckets_docs(spark, sf):
+    # r9: the composed CCNet selection pipeline alone (the gate runs
+    # it as the bigram_logprob_docs ppl_bucket arm)
+    from conduino_spark import perplexity_buckets, unigram_vocab
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    vocab = unigram_vocab()(docs)
+    return (perplexity_buckets(vocab, keys=("lang",), bins=256,
+                               term_round=4)(docs)
+            .select("doc_id", "log_ppl", "ppl_bucket"))
+
+
+def q_hard_negatives_emb(spark, sf):
+    # r9: k=5 hard negatives (skip rank 1) for the deterministic 10%
+    # query batch — ann_join fetch + anti-join + re-rank; brute-force
+    # DuckDB oracle in tests/test_round9.py
+    from conduino_spark import hash_sample, mine_hard_negatives
+    emb = _src(sf, "embeddings").df(spark)
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    return mine_hard_negatives(emb, k=5, skip_top=1)(batch)
+
+
+def q_profile_diff_docs(spark, sf):
+    # r9: per-column drift report, current corpus vs a simulated prior
+    # snapshot (80% of rows); HLL-exact DuckDB oracle in test_round9
+    from conduino_spark import profile_diff
+    docs = _src(sf, "documents").df(spark)
+    return profile_diff(docs.where(F.col("doc_id") % 5 != 0))(docs)
 
 
 def q_leakage_split_docs(spark, sf):
@@ -1691,8 +1770,18 @@ def q_quality_classifier_docs(spark, sf):
     m = logreg_train(feats, list(QUALITY_FEATURES), "label",
                      iters=LOGREG_ITERS, lr=LOGREG_LR,
                      term_scale=LOGREG_TS, track_loss=False)
-    return (logreg_score(m)(feats)
-            .select("doc_id", "label", "score"))
+    lr = logreg_score(m)(feats).select("doc_id", "label", "score")
+    # r9 merge: the SECOND classifier family rides the same pin —
+    # multinomial naive Bayes (operators/classifier.nb_train/nb_score)
+    # trained on the corpus with lang as the label; its model is a
+    # DISTRIBUTED (token, k-vector) table, its train+score path exact
+    # scaled-long all the way, so the driver hash-verifies both
+    # classifier shapes (driver-weights GD and model-as-a-table NB)
+    # in one row set (_sql_nb_lang).
+    from conduino_spark import nb_score, nb_train
+    nbm = nb_train(docs, "text", "lang")
+    nb = nb_score(nbm)(docs).select("doc_id", "nb_label", "nb_score")
+    return lr.join(nb, "doc_id")
 
 
 def q_ann_join_gemm(spark, sf):
@@ -2466,6 +2555,54 @@ def _sql_profile_docs() -> str:
                    MAX(CAST({c} AS VARCHAR)) AS max
             FROM documents""")
     return " UNION ALL ".join(arms)
+
+
+def _sql_nb_lang(alpha: float = 0.5, term_round: int = 4) -> str:
+    """DuckDB replay of the r9 naive-Bayes arm of the
+    quality_classifier pin (operators/classifier.nb_train/nb_score on
+    documents with lang as the label): same (class, token) counts,
+    same ``N_c + alpha*(V+1)`` smoothing, same scaled-long log terms,
+    same (score desc, class asc) argmax.  One SQL replays distributed
+    TRAINING of the distributed-table model AND corpus-wide scoring."""
+    toks = tokens_sql("text")
+    s = 10 ** term_round
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, lang AS y, unnest({toks}) AS token
+          FROM documents WHERE lang IS NOT NULL),
+        cnt AS (SELECT y, token, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        vv AS (SELECT COUNT(DISTINCT token) AS v FROM cnt),
+        tot AS (SELECT y, SUM(c) AS n FROM cnt GROUP BY y),
+        pri AS (SELECT lang AS y, COUNT(*) AS d FROM documents
+                WHERE lang IS NOT NULL GROUP BY 1),
+        nd AS (SELECT SUM(d) AS n FROM pri),
+        cl AS (SELECT pri.y,
+                      CAST(ROUND(ln(pri.d * 1.0 / nd.n) * {s}) AS BIGINT)
+                        AS prior,
+                      CAST(ROUND(ln({alpha} /
+                            (COALESCE(tot.n, 0) + {alpha} * (vv.v + 1)))
+                          * {s}) AS BIGINT) AS dflt
+               FROM pri LEFT JOIN tot USING (y), nd, vv),
+        lp AS (SELECT cnt.y, cnt.token,
+                      CAST(ROUND(ln((cnt.c + {alpha}) /
+                            (tot.n + {alpha} * (vv.v + 1))) * {s})
+                        AS BIGINT) AS lp
+               FROM cnt JOIN tot USING (y), vv),
+        st AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+        scored AS (
+          SELECT st.doc_id, cl.y,
+                 SUM(COALESCE(lp.lp, cl.dflt)) + ANY_VALUE(cl.prior) AS t
+          FROM st CROSS JOIN cl
+          LEFT JOIN lp ON lp.y = cl.y AND lp.token = st.token
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, y, t,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY t DESC, y ASC) AS rn
+          FROM scored)
+        SELECT d.doc_id, b.y AS nb_label, b.t / {float(s)} AS nb_score
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        USING (doc_id)"""
 
 
 #: quality_classifier_docs training hyperparameters — shared by the
@@ -3581,13 +3718,28 @@ def oracle_sql() -> dict[str, str]:
                       FROM cand
                       JOIN sh a ON a.doc_id = id_a
                       JOIN sh b ON b.doc_id = id_b AND b.g = a.g
-                      GROUP BY 1, 2)
-            SELECT id_a, id_b,
+                      GROUP BY 1, 2),
+            binter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              COUNT(*) AS i
+                       FROM sh a JOIN sh b
+                         ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT 'lsh' AS method, id_a, id_b,
                    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2""",
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+            UNION ALL
+            -- r9 prefix arm (jaccard_prefix_pairs): the EXACT join is
+            -- brute force in the oracle — exactness of the pruned
+            -- Spark plan IS the claim being hash-verified
+            SELECT 'prefix' AS method, id_a, id_b,
+                   ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM binter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i >= 0.2 * (sa.sz + sb.sz - i)""",
         "knn_methods": f"""
             SELECT 'brute' AS method, vec_id, cosine AS score FROM (
               WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -3689,7 +3841,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lat LEFT JOIN st USING (user_id)""",
         # (r8: tpch_q14_q19 folded into tpch_suite_digest — its two
         # shapes now ride TPCH_SUITE_ORACLES["tpch_q14"/"tpch_q19"])
-        "quality_classifier_docs": _sql_logreg_quality(),
+        "quality_classifier_docs": f"""
+            SELECT l.doc_id, l.label, l.score, n.nb_label, n.nb_score
+            FROM ({_sql_logreg_quality()}) l
+            JOIN ({_sql_nb_lang()}) n USING (doc_id)""",
         "heavy_hitters_tokens": f"""
             SELECT 'hh' AS part, value AS token,
                    CAST(NULL AS BIGINT) AS doc_id, n
@@ -3786,10 +3941,24 @@ def oracle_sql() -> dict[str, str]:
                             CAST(SUM(sl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                               / 10000.0 AS lp0
                      FROM usc GROUP BY doc_id)
-            SELECT d.doc_id, round(per.lp0, 6) AS lp,
-                   round(uper.lp0, 6) AS lp_uni
-            FROM documents d LEFT JOIN per USING (doc_id)
-                             LEFT JOIN uper USING (doc_id)""",
+            , base AS (
+              -- r9: expose lang + the unrounded unigram score so the
+              -- perplexity_buckets arm can cut on log_ppl = -lp0
+              SELECT d.doc_id, d.lang, round(per.lp0, 6) AS lp,
+                     round(uper.lp0, 6) AS lp_uni,
+                     -uper.lp0 AS log_ppl
+              FROM documents d LEFT JOIN per USING (doc_id)
+                               LEFT JOIN uper USING (doc_id)),
+            cuts AS ({binned_quantiles_sql(
+                "log_ppl",
+                {"__q_head": 1 / 3, "__q_middle": 2 / 3},
+                bins=256, keys=("lang",), table="base")})
+            SELECT b.doc_id, b.lp, b.lp_uni,
+                   CASE WHEN b.log_ppl IS NULL THEN NULL
+                        WHEN b.log_ppl <= c.__q_head THEN 'head'
+                        WHEN b.log_ppl <= c.__q_middle THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM base b LEFT JOIN cuts c USING (lang)""",
         "semantic_dedup_emb": """
             WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                             sqrt(list_sum([x * x

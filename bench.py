@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     # + the new exact-moment PCA and logreg quality-distill operators
     "web_ingest_pipeline", "pca_embeddings", "quality_classifier_docs",
     "leakage_split_docs", "dsir_select_docs",
+    # r9 new operator floors: exact prefix-filtered similarity join,
+    # naive-Bayes classifier, CCNet perplexity buckets, hard-negative
+    # mining, corpus drift report (the first three also ride gate pins
+    # as merged arms — those pins' floors grow by ~their parents' sum)
+    "jaccard_prefix_docs", "nb_classifier_docs",
+    "perplexity_buckets_docs", "hard_negatives_emb",
+    "profile_diff_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -592,12 +592,20 @@ def jaccard_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                 ).alias("__h"))
         sh = track(hs.where(F.col("__h").isNotNull())
                      .select(F.col(id_col), F.col("__h").alias("g")))
+        # per-doc sorted shingle-set ARRAYS: the verify side — one row
+        # per doc (the doc's own size, never corpus-scale; cap giant
+        # outlier docs upstream via corpus_filter), so verification is
+        # one codegen'd array_intersect per candidate pair instead of
+        # a second explode join + pair groupBy (measured 13.6s → ~3s
+        # at sf0.1, threshold 0.2, where the prefix prunes least)
+        sets = track(sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("g")).alias("__gs"),
+            F.count("*").alias("sz")))
         dfreq = sh.groupBy("g").agg(F.count("*").alias("__df"))
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         w = Window.partitionBy(id_col).orderBy("__df", "g")
         pref = (sh.join(dfreq, "g")
                   .withColumn("__pos", F.row_number().over(w))
-                  .join(sizes, id_col)
+                  .join(sets.select(id_col, "sz"), id_col)
                   .where(F.col("__pos")
                          <= F.col("sz")
                          - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
@@ -612,20 +620,19 @@ def jaccard_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                            >= F.ceil(F.lit(threshold)
                                      * F.greatest("sz_a", "sz_b"))))
                  .select("id_a", "id_b").distinct())
-        inter = (cand
-                 .join(sh.select(F.col(id_col).alias("id_a"), "g"), "id_a")
-                 .join(sh.select(F.col(id_col).alias("id_b"), "g"),
-                       ["id_b", "g"])
-                 .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
-        sz_a = sizes.select(F.col(id_col).alias("id_a"),
-                            F.col("sz").alias("sz_a"))
-        sz_b = sizes.select(F.col(id_col).alias("id_b"),
-                            F.col("sz").alias("sz_b"))
+        ga = sets.select(F.col(id_col).alias("id_a"),
+                         F.col("__gs").alias("__ga"),
+                         F.col("sz").alias("sz_a"))
+        gb = sets.select(F.col(id_col).alias("id_b"),
+                         F.col("__gs").alias("__gb"),
+                         F.col("sz").alias("sz_b"))
+        j = (cand.join(ga, "id_a").join(gb, "id_b")
+                 .withColumn("i", F.size(F.array_intersect("__ga",
+                                                           "__gb"))))
         union = F.col("sz_a") + F.col("sz_b") - F.col("i")
-        return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
-                     .where(F.col("i") >= F.lit(threshold) * union)
-                     .select("id_a", "id_b",
-                             F.round(F.col("i") / union, 6).alias("jaccard")))
+        return (j.where(F.col("i") >= F.lit(threshold) * union)
+                 .select("id_a", "id_b",
+                         F.round(F.col("i") / union, 6).alias("jaccard")))
 
     return Stage(fn, name="jaccard_prefix_pairs", seq_preserving=False)
 

@@ -996,9 +996,15 @@ def quantile_buckets(expr: Union[str, Column],
 
     def fn(df: DataFrame) -> DataFrame:
         cuts = cut_stage(df)
-        j = (df.join(F.broadcast(cuts), list(keys)) if keys
+        # LEFT join: a group whose values are ALL NULL has no cut row —
+        # its rows survive with a NULL label (same as a NULL value),
+        # they don't silently vanish
+        j = (df.join(F.broadcast(cuts), list(keys), "left") if keys
              else df.crossJoin(F.broadcast(cuts)))
-        label = F.when(col.isNull(), F.lit(None).cast("string"))
+        first = next(iter(edges))
+        label = F.when(col.isNull()
+                       | F.col(f"__q_{first}").isNull(),
+                       F.lit(None).cast("string"))
         for name in edges:
             label = label.when(col.cast("double") <= F.col(f"__q_{name}"),
                                F.lit(name))

@@ -717,3 +717,18 @@ def test_profile_diff_schema_changes(spark):
            .collect()}
     assert out["source"] == "added" and out["lang"] == "removed"
     assert out["doc_id"] == "common"
+
+
+def test_quantile_buckets_all_null_group_survives(spark):
+    """A group whose values are ALL NULL keeps its rows (LEFT join of
+    the cut table) with a NULL label — it doesn't silently vanish."""
+    from conduino_spark import quantile_buckets
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", None)],
+        "grp string, v double")
+    out = {(r.grp, r.v): r.bucket for r in
+           quantile_buckets("v", {"lo": 0.5}, rest="hi",
+                            keys=("grp",), bins=16)(df).collect()}
+    assert len(out) == 4
+    assert out[("b", None)] is None
+    assert out[("a", 1.0)] == "lo" and out[("a", 3.0)] == "hi"

@@ -184,6 +184,33 @@ def main() -> None:
     DOC_OPS["logreg_3epoch"] = _logreg
     DOC_OPS["dsir_select"] = _dsir
 
+    def _jaccard_prefix(df):
+        # r9: per-replica token suffix makes replica shingle spaces
+        # DISJOINT — the one-token salt of replicated_docs is not
+        # enough here: clones would pair across replicas and the TRUE
+        # output would grow replicas^2 by construction, hiding the
+        # plan's own scaling.  Within a replica the suffix is uniform,
+        # so the base similarity structure is preserved exactly.
+        from conduino_spark import jaccard_prefix_pairs
+        rep = (F.col("doc_id") / F.lit(10_000_000)).cast("int") \
+            .cast("string")
+        salted = df.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), F.lit(r"(\S+)"),
+                             F.concat(F.lit("$1x"), rep)).alias("text"))
+        return jaccard_prefix_pairs(threshold=0.2)(salted)
+
+    def _nb_train_score(df):
+        # r9: distributed-table NB — one explode+agg train pass, one
+        # join+agg score pass; both must be flat-linear
+        from conduino_spark import nb_score, nb_train
+        lab = df.withColumn("lbl", (F.col("doc_id") % 7).cast("string"))
+        m = nb_train(lab, "text", "lbl")
+        return nb_score(m)(lab).select("doc_id", "nb_label")
+
+    DOC_OPS["jaccard_prefix"] = _jaccard_prefix
+    DOC_OPS["nb_train_score"] = _nb_train_score
+
     EMB_OPS = {
         # r7: batched ANN join — queries probe nprobe cells, corpus
         # partitions by cell; should stay ~linear in replicas
@@ -193,6 +220,14 @@ def main() -> None:
         # partials, vectors never shuffle; must be flat-linear
         "pca_moments": lambda df: ev_pipe(vector_moments(), df),
     }
+
+    def _hard_negs(df):
+        # r9: ann_join fetch + anti-join + re-rank — should track the
+        # ann_join ratio (the added window is per-query constant work)
+        from conduino_spark import mine_hard_negatives
+        return mine_hard_negatives(df, None, k=5, skip_top=1)(df)
+
+    EMB_OPS["hard_negatives"] = _hard_negs
 
     ev1, evN = replicated_events(spark, 1), replicated_events(spark, REPLICAS)
     dc1, dcN = replicated_docs(spark, 1), replicated_docs(spark, REPLICAS)
