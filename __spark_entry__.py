@@ -1618,7 +1618,37 @@ def bench_extras():
             "nb_classifier_docs": q_nb_classifier_docs,
             "perplexity_buckets_docs": q_perplexity_buckets_docs,
             "hard_negatives_emb": q_hard_negatives_emb,
-            "profile_diff_docs": q_profile_diff_docs}
+            "profile_diff_docs": q_profile_diff_docs,
+            "bm25_join_docs": q_bm25_join_docs,
+            "label_prop_docs": q_label_prop_docs}
+
+
+def q_label_prop_docs(spark, sf):
+    # r9: semi-supervised label spreading over the minhash near-dup
+    # graph — every 10th doc's lang seeds 4 clamped-majority rounds;
+    # static unrolled-CTE DuckDB replay in tests/test_round9.py
+    from conduino_spark import label_propagation, minhash_dedup_pairs
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    edges = minhash_dedup_pairs()(docs).select("id_a", "id_b")
+    nodes = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.col("lang")).alias("label"))
+    return (label_propagation(edges, "label", "doc_id", iters=4)(nodes)
+            .select("doc_id", "label_prop"))
+
+
+def q_bm25_join_docs(spark, sf):
+    # r9: batched sparse retrieval — top-5 BM25 docs for a query batch
+    # (every 50th doc's first five tokens) against the whole corpus;
+    # term_round=6 exact mode (bit-replayable oracle in test_round9)
+    from conduino_spark import bm25_join
+    from conduino_spark.operators.text import tokens_col
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    qs = (docs.where(F.col("doc_id") % 50 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(
+                      tokens_col(F.col("text")), 1, 5)).alias("query")))
+    return bm25_join(docs, k=5, term_round=6)(qs)
 
 
 def q_jaccard_prefix_docs(spark, sf):

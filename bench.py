@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     # as merged arms — those pins' floors grow by ~their parents' sum)
     "jaccard_prefix_docs", "nb_classifier_docs",
     "perplexity_buckets_docs", "hard_negatives_emb",
-    "profile_diff_docs",
+    "profile_diff_docs", "bm25_join_docs", "label_prop_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

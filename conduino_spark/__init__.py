@@ -73,10 +73,10 @@ from conduino_spark.operators.dedup import (
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
 from conduino_spark.operators.graph import (
-    connected_components, pagerank, triangle_count,
+    connected_components, label_propagation, pagerank, triangle_count,
 )
 from conduino_spark.operators.search import (
-    bm25_search, build_postings,
+    bm25_join, bm25_search, build_postings,
 )
 from conduino_spark.operators.similarity import (
     KMeansModel, ann_join, cell_centroids, cosine_to, ivf_build,

@@ -160,3 +160,86 @@ def triangle_count(src: str = "id_a", dst: str = "id_b", *,
         return tris.agg(F.count(F.lit(1)).alias("triangles"))
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def label_propagation(edges: Union[DataFrame, Source],
+                      label_col: str = "label", id_col: str = "id", *,
+                      iters: int = 5,
+                      weight_col: Optional[str] = None,
+                      weight_round: int = 6,
+                      out: str = "label_prop") -> Stage:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    majority-vote variant): spread the labels of SEED nodes (rows
+    whose ``label_col`` is non-NULL) across an undirected edge graph.
+    The LLM-corpus use: rate a few thousand documents by hand, connect
+    near-duplicates/neighbors (minhash_dedup_pairs, ann_join), and let
+    the ratings cover the corpus.
+
+    Semantics (deterministic, engine-replayable):
+      * seeds are CLAMPED — a seed's label never changes;
+      * each round, every NON-seed node takes the weighted majority
+        label among its neighbors' PREVIOUS-round labels (NULLs cast
+        no vote); ties break to the lexicographically smallest label;
+      * non-seed labels are recomputed from scratch each round (a node
+        whose labeled neighbors disappear reverts to NULL) — the state
+        is a pure function of the previous round, which is what lets
+        one static unrolled-CTE SQL replay the whole run;
+      * ``weight_col`` votes are scaled-long sums (``weight_round``
+        decimals) so vote totals are order-free exact integers.
+
+    Plan per round (the bounded-iteration pattern of pagerank /
+    _cc_min_label): symmetrized edges join the (id, label) state —
+    both narrow — one (node, label) hash aggregate, one max-count
+    aggregate + min-label tie resolve, one left join back to the
+    seeds.  localCheckpoint every 3 rounds bounds lineage.  Output =
+    input rows + ``out`` (the final label; seeds keep their own)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if weight_col is not None and not 1 <= weight_round <= 9:
+        raise ValueError(f"weight_round must be in [1, 9], "
+                         f"got {weight_round}")
+
+    def fn(nodes: DataFrame) -> DataFrame:
+        e = _edges_df(edges, nodes.sparkSession)
+        ecols = [c for c in e.columns if c != SEQ]
+        src, dst = ecols[0], ecols[1]
+        if weight_col is None:
+            vote = F.lit(1).cast("long")
+            base_e = e.select(F.col(src).alias("__s"),
+                              F.col(dst).alias("__d"),
+                              vote.alias("__w"))
+        else:
+            w = F.round(F.col(weight_col)
+                        * F.lit(10 ** weight_round)).cast("long")
+            base_e = e.select(F.col(src).alias("__s"),
+                              F.col(dst).alias("__d"), w.alias("__w"))
+        sym = base_e.unionByName(
+            base_e.select(F.col("__d").alias("__s"),
+                          F.col("__s").alias("__d"), "__w"))
+        seeds = nodes.select(F.col(id_col).alias("__id"),
+                             F.col(label_col).cast("string")
+                             .alias("__seed")).localCheckpoint(eager=False)
+        cur = seeds.select("__id", F.col("__seed").alias("__lbl"))
+        for r in range(iters):
+            votes = (sym.join(cur.select(F.col("__id").alias("__s"),
+                                         "__lbl"), "__s")
+                        .where(F.col("__lbl").isNotNull())
+                        .groupBy(F.col("__d").alias("__id"), "__lbl")
+                        .agg(F.sum("__w").alias("__c")))
+            mx = votes.groupBy("__id").agg(F.max("__c").alias("__mc"))
+            pick = (votes.join(mx, "__id")
+                         .where(F.col("__c") == F.col("__mc"))
+                         .groupBy("__id")
+                         .agg(F.min("__lbl").alias("__new")))
+            cur = (seeds.join(pick, "__id", "left")
+                        .select("__id",
+                                F.coalesce("__seed", "__new")
+                                .alias("__lbl")))
+            if (r + 1) % 3 == 0 and r + 1 < iters:
+                cur = cur.localCheckpoint(eager=True)
+        return nodes.join(
+            cur.select(F.col("__id").alias(id_col),
+                       F.col("__lbl").alias(out)), id_col, "left")
+
+    return Stage(fn, name=f"label_propagation({iters})",
+                 seq_preserving=False)

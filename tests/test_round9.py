@@ -732,3 +732,203 @@ def test_quantile_buckets_all_null_group_survives(spark):
     assert len(out) == 4
     assert out[("b", None)] is None
     assert out[("a", 1.0)] == "lo" and out[("a", 3.0)] == "hi"
+
+
+# ---------------------------------------------------------------------------
+# bm25_join: batched sparse retrieval
+# ---------------------------------------------------------------------------
+
+def _bm25_queries(spark):
+    """Deterministic query batch: the first 5 tokens of every 50th
+    document (tokens round-trip through the space join, so re-tokenizing
+    the query string recovers exactly these tokens)."""
+    from conduino_spark.operators.text import tokens_col
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return (docs.where(F.col("doc_id") % 50 == 0)
+            .select(F.col("doc_id").alias("query_id"),
+                    F.concat_ws(" ", F.slice(
+                        tokens_col(F.col("text")), 1, 5)).alias("query")))
+
+
+def test_bm25_join_exact_mode_matches_duckdb(spark):
+    """term_round mode: scores AND top-k membership replay bit-for-bit
+    (scaled-long per-term sums, same (score desc, doc) rank order)."""
+    from conduino_spark import bm25_join
+    from conduino_spark.operators.search import bm25_join_sql
+    from conduino_spark.operators.text import tokens_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(tuple(r) for r in
+                 bm25_join(docs, k=5, term_round=6)(_bm25_queries(spark))
+                 .select("query_id", "doc_id", "bm25", "rank").collect())
+    toks = tokens_sql("text")
+    qsql = f"""(SELECT doc_id AS query_id,
+                       array_to_string(({toks})[1:5], ' ') AS query
+                FROM documents WHERE doc_id % 50 = 0)"""
+    want = _duck_with_views().execute(
+        bm25_join_sql(5, queries=qsql, term_round=6)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    # structural sanity: every query fills exactly k=5 ranks (the
+    # shared synthetic vocabulary means "own doc at rank 1" does NOT
+    # hold — short docs win on tf_norm; the replay above is the
+    # correctness contract)
+    ranks = {}
+    for q, _, _, r in got:
+        ranks.setdefault(q, set()).add(r)
+    assert all(v == {1, 2, 3, 4, 5} for v in ranks.values())
+    assert len(ranks) == 10
+
+
+def test_bm25_join_matches_single_query_search(spark):
+    """Consistency with the single-query operator: for each query row,
+    bm25_join's hits equal bm25_search(query) over the same corpus
+    (same scores at 6dp, same order), modulo the join's term_round.
+    With term_round=None both paths sum doubles — compare at 4dp."""
+    from conduino_spark import bm25_join, bm25_search
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qrows = _bm25_queries(spark).collect()[:3]
+    joined = bm25_join(docs, k=5)(_bm25_queries(spark)) \
+        .collect()
+    by_q = {}
+    for r in joined:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qr in qrows:
+        want = [(r.doc_id, round(r.bm25, 4)) for r in
+                bm25_search(qr.query, k=5)(docs).collect()]
+        got = [(r.doc_id, round(r.bm25, 4)) for r in
+               sorted(by_q[qr.query_id], key=lambda r: r.rank)]
+        assert got == want, qr.query_id
+
+
+def test_bm25_join_edges(spark):
+    """Empty/NULL queries and no-hit queries yield no rows; k
+    validation raises."""
+    from conduino_spark import bm25_join
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, "zzzzqqqq xyzzy"), (2, None), (3, "")],
+        "query_id long, query string")
+    assert bm25_join(docs, k=3)(qs).count() == 0
+    with pytest.raises(ValueError, match="k >= 1"):
+        bm25_join(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation: semi-supervised spreading over an edge graph
+# ---------------------------------------------------------------------------
+
+def _lp_sql(edge_rows, seed_rows, iters):
+    """Static unrolled-CTE DuckDB replay of label_propagation: one
+    votes/pick/state CTE triple per round (the _sql_logreg_quality /
+    _sql_bpe_train precedent for iterative operators)."""
+    evals = ", ".join(f"({a}, {b})" for a, b in edge_rows)
+    svals = ", ".join(
+        f"({i}, {'NULL' if l is None else repr(l)})" for i, l in seed_rows)
+    sql = [f"""
+        WITH e0 AS (SELECT * FROM (VALUES {evals}) v(s, d)),
+        sym AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+        seeds AS (SELECT * FROM (VALUES {svals}) v(id, seed)),
+        lab0 AS (SELECT id, seed AS lbl FROM seeds)"""]
+    for r in range(1, iters + 1):
+        sql.append(f"""
+        , votes{r} AS (
+            SELECT sym.d AS id, l.lbl, COUNT(*) AS c
+            FROM sym JOIN lab{r - 1} l ON l.id = sym.s
+            WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        mx{r} AS (SELECT id, MAX(c) AS mc FROM votes{r} GROUP BY id),
+        pick{r} AS (
+            SELECT v.id, MIN(v.lbl) AS new FROM votes{r} v
+            JOIN mx{r} USING (id) WHERE v.c = mx{r}.mc GROUP BY v.id),
+        lab{r} AS (
+            SELECT s.id, COALESCE(s.seed, p.new) AS lbl
+            FROM seeds s LEFT JOIN pick{r} p USING (id))""")
+    sql.append(f" SELECT id, lbl FROM lab{iters} ORDER BY id")
+    return "".join(sql)
+
+
+def test_label_propagation_matches_unrolled_cte(spark):
+    """4 rounds over the REAL minhash near-dup pair graph with every
+    10th doc's lang as a seed: the whole synchronous clamped-majority
+    run replays in one static unrolled-CTE SQL."""
+    from conduino_spark import label_propagation, minhash_dedup_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = [(r.id_a, r.id_b) for r in
+             minhash_dedup_pairs()(docs)
+             .select("id_a", "id_b").collect()]
+    assert len(pairs) > 20  # the graph is non-trivial
+    nodes = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.col("lang"))
+        .alias("label"))
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = sorted((r.doc_id, r.label_prop) for r in
+                 label_propagation(edges, "label", "doc_id", iters=4)(
+                     nodes).select("doc_id", "label_prop").collect())
+    seeds = [(r.doc_id, r.label) for r in nodes.collect()]
+    want = duckdb.connect().execute(_lp_sql(pairs, seeds, 4)).fetchall()
+    assert got == [tuple(r) for r in want]
+    spread = sum(1 for i, l in got if l is not None)
+    seeded = sum(1 for _, l in seeds if l is not None)
+    assert spread > seeded  # labels actually propagated
+
+
+def test_label_propagation_semantics(spark):
+    """Hand graph: seeds clamp, majority wins, ties go to the
+    lexicographically smallest label, disconnected nodes stay NULL,
+    and a node with only unlabeled neighbors reverts when recomputed."""
+    from conduino_spark import label_propagation
+    #   a(x) - c - b(y),  c also - d(x);  e isolated
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 3), (9, 9)], "s long, d long")
+    nodes = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (4, "x"), (3, None), (5, None)],
+        "id long, label string")
+    out = {r.id: r.label_prop for r in
+           label_propagation(edges, iters=2)(nodes).collect()}
+    assert out[1] == "x" and out[2] == "y" and out[4] == "x"  # clamped
+    assert out[3] == "x"   # majority 2x vs 1y
+    assert out[5] is None  # disconnected
+    # tie case: equal votes -> smallest label
+    edges2 = spark.createDataFrame([(1, 3), (2, 3)], "s long, d long")
+    nodes2 = spark.createDataFrame(
+        [(1, "z"), (2, "a"), (3, None)], "id long, label string")
+    out2 = {r.id: r.label_prop for r in
+            label_propagation(edges2, iters=1)(nodes2).collect()}
+    assert out2[3] == "a"
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(edges, iters=0)
+
+
+def test_label_propagation_weighted_votes(spark):
+    """weight_col: scaled-long vote sums — a heavier single edge
+    outvotes two light ones."""
+    from conduino_spark import label_propagation
+    edges = spark.createDataFrame(
+        [(1, 4, 5.0), (2, 4, 1.0), (3, 4, 1.0)],
+        "s long, d long, w double")
+    nodes = spark.createDataFrame(
+        [(1, "h"), (2, "l"), (3, "l"), (4, None)],
+        "id long, label string")
+    out = {r.id: r.label_prop for r in
+           label_propagation(edges, iters=1, weight_col="w")(
+               nodes).collect()}
+    assert out[4] == "h"
+
+
+def test_nb_score_microbatch_replay_equals_batch(spark):
+    """nb_score against a FROZEN model is per-document (one explode +
+    join + per-doc sum), so the foreachBatch deployment replays the
+    batch run exactly — the dsir_logratio law, classifier edition."""
+    from conduino_spark import nb_score, nb_train
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m = nb_train(docs, "text", "lang")
+    stage = nb_score(m)
+
+    def labels(df):
+        return {r.doc_id: (r.nb_label, r.nb_score) for r in
+                stage(df).select("doc_id", "nb_label", "nb_score")
+                .collect()}
+
+    want = labels(docs)
+    got = {**labels(docs.filter(F.col("doc_id") % 2 == 0)),
+           **labels(docs.filter(F.col("doc_id") % 2 == 1))}
+    assert got == want and len(got) == 500
