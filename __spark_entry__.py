@@ -570,7 +570,23 @@ def q_minhash_survivors(spark, sf):
         "doc_id", F.lit("greedy").alias("policy"))
     cc = minhash_dedup_cc(pairs=pairs)(docs).select(
         "doc_id", F.lit("cc").alias("policy"))
-    return greedy.unionByName(cc)
+    # r9 third arm: semi-supervised label propagation over the SAME
+    # pair table (operators/graph.label_propagation) — every 10th
+    # doc's lang seeds 4 clamped-majority rounds; the propagated
+    # label rides the policy string ('lp:<lang>' / 'lp:~' for NULL)
+    # so the 2-column pin schema is unchanged and the whole iterative
+    # run is driver-hash-verified via _sql_label_prop's unrolled CTEs.
+    from conduino_spark import label_propagation
+    nodes = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.col("lang")).alias("label"))
+    lp = (label_propagation(pairs.select("id_a", "id_b"), "label",
+                            "doc_id", iters=4)(nodes)
+          .select("doc_id",
+                  F.concat(F.lit("lp:"),
+                           F.coalesce("label_prop", F.lit("~")))
+                  .alias("policy")))
+    return greedy.unionByName(cc).unionByName(lp)
 
 
 def q_salted_group_revenue(spark, sf):
@@ -2587,6 +2603,40 @@ def _sql_profile_docs() -> str:
     return " UNION ALL ".join(arms)
 
 
+def _sql_label_prop(iters: int = 4) -> str:
+    """Static unrolled-CTE DuckDB replay of the minhash_survivors LP
+    arm (operators/graph.label_propagation over the band-pair graph):
+    one votes/mx/pick/lab CTE quadruple per round — the
+    _sql_logreg_quality / _sql_bpe_train precedent for iterative
+    operators.  Returns (doc_id, lbl)."""
+    parts = [_sql_minhash_bands(), """
+        , prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_id, band_hash)
+                  WHERE a.doc_id < b.doc_id),
+        sym AS (SELECT id_a AS s, id_b AS d FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+        seeds AS (SELECT doc_id AS id,
+                         CASE WHEN doc_id % 10 = 0 THEN lang END AS seed
+                  FROM documents),
+        lab0 AS (SELECT id, seed AS lbl FROM seeds)"""]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+        , votes{r} AS (
+            SELECT sym.d AS id, l.lbl, COUNT(*) AS c
+            FROM sym JOIN lab{r - 1} l ON l.id = sym.s
+            WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        mx{r} AS (SELECT id, MAX(c) AS mc FROM votes{r} GROUP BY id),
+        pick{r} AS (
+            SELECT v.id, MIN(v.lbl) AS new FROM votes{r} v
+            JOIN mx{r} USING (id) WHERE v.c = mx{r}.mc GROUP BY v.id),
+        lab{r} AS (
+            SELECT s.id, COALESCE(s.seed, p.new) AS lbl
+            FROM seeds s LEFT JOIN pick{r} p USING (id))""")
+    parts.append(f"""
+        SELECT id AS doc_id, lbl FROM lab{iters}""")
+    return "".join(parts)
+
+
 def _sql_nb_lang(alpha: float = 0.5, term_round: int = 4) -> str:
     """DuckDB replay of the r9 naive-Bayes arm of the
     quality_classifier pin (operators/classifier.nb_train/nb_score on
@@ -3567,7 +3617,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
               roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
               SELECT doc_id FROM documents
-              WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id))""",
+              WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id))
+            UNION ALL
+            SELECT doc_id, 'lp:' || COALESCE(lbl, '~') AS policy
+            FROM ({_sql_label_prop(4)})""",
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
                    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
