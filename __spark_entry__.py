@@ -782,7 +782,17 @@ def q_ngram_jaccard_lsh(spark, sf):
     b = run_pipe(src | jaccard_prefix_pairs(threshold=0.2) | sink_df(),
                  spark).select(F.lit("prefix").alias("method"),
                                "id_a", "id_b", "jaccard")
-    return a.unionByName(b)
+    # r9 third arm: the WEIGHTED exact join — TF-IDF cosine pairs via
+    # the max-weight + Cauchy-Schwarz suffix prunes
+    # (operators/dedup.cosine_prefix_pairs); the 6dp-rounded integer
+    # dot space makes the brute-force oracle bit-exact, so the score
+    # rides the jaccard column under its method tag.
+    from conduino_spark import cosine_prefix_pairs
+    c = run_pipe(src | cosine_prefix_pairs(threshold=0.8) | sink_df(),
+                 spark).select(F.lit("cosine").alias("method"),
+                               "id_a", "id_b",
+                               F.col("cosine").alias("jaccard"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_knn_lsh_probe(spark, sf):
@@ -1636,7 +1646,22 @@ def bench_extras():
             "hard_negatives_emb": q_hard_negatives_emb,
             "profile_diff_docs": q_profile_diff_docs,
             "bm25_join_docs": q_bm25_join_docs,
-            "label_prop_docs": q_label_prop_docs}
+            "label_prop_docs": q_label_prop_docs,
+            "cosine_prefix_docs": q_cosine_prefix_docs}
+
+
+def q_cosine_prefix_docs(spark, sf):
+    # r9: exact WEIGHTED (TF-IDF cosine) threshold self-join with the
+    # max-weight + Cauchy-Schwarz suffix prunes — brute-force DuckDB
+    # oracle + pure-Python Hypothesis law in tests/test_round9.py.
+    # Floor at the operator's intended near-dup regime (tau=0.8): the
+    # synthetic shared vocabulary makes low thresholds output-quadratic
+    # (tau=0.3 admits 12.2M of 12.5M possible pairs at sf0.1 — that IS
+    # the true answer, no prune can beat its own output size).
+    from conduino_spark import cosine_prefix_pairs
+    p = (_src(sf, "documents", min_partitions="auto")
+         | cosine_prefix_pairs(threshold=0.8) | sink_df())
+    return run_pipe(p, spark)
 
 
 def q_label_prop_docs(spark, sf):
@@ -1951,7 +1976,19 @@ def q_knn_methods(spark, sf):
     cells = q_ivf_build(spark, sf).select(
         F.lit("cell").alias("method"), "vec_id",
         F.col("cell").cast("double").alias("score"))
-    return brute.unionByName(ivf).unionByName(lsh).unionByName(cells)
+    # r9 fifth arm: SPARSE retrieval joins the dense methods — the
+    # batched BM25 top-k (operators/search.bm25_join, term_round=6
+    # exact mode) for the same query batch the bench floor uses; the
+    # query id rides the method string ('bm25:<qid>', the lp:<lang>
+    # precedent) so the 3-column pin schema is unchanged and top-k
+    # membership + scores hash-verify against bm25_join_sql.
+    bm25 = q_bm25_join_docs(spark, sf).select(
+        F.concat(F.lit("bm25:"), F.col("query_id").cast("string"))
+        .alias("method"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("bm25").alias("score"))
+    return (brute.unionByName(ivf).unionByName(lsh)
+            .unionByName(cells).unionByName(bm25))
 
 
 def q_ivf_search_topk(spark, sf):
@@ -2779,6 +2816,26 @@ def _sql_simhash(bits: int = 32) -> str:
       SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
       FROM documents d LEFT JOIN sig s USING (doc_id)
     """
+
+
+def _sql_cosine_brute(threshold: float) -> str:
+    """Brute-force replay of cosine_prefix_pairs for the
+    ngram_jaccard_lsh cosine arm (operators/dedup.cosine_pairs_sql)."""
+    from conduino_spark.operators.dedup import cosine_pairs_sql
+    return cosine_pairs_sql(threshold)
+
+
+def _bm25_join_oracle() -> str:
+    """DuckDB rendering of the knn_methods bm25 arm: the SAME query
+    batch q_bm25_join_docs uses (every 50th doc, first five tokens)
+    through operators/search.bm25_join_sql in term_round=6 exact
+    mode — scores and top-k membership bit-replayable."""
+    from conduino_spark.operators.search import bm25_join_sql
+    toks = tokens_sql("text")
+    qsql = f"""(SELECT doc_id AS query_id,
+                       array_to_string(({toks})[1:5], ' ') AS query
+                FROM documents WHERE doc_id % 50 = 0)"""
+    return bm25_join_sql(5, queries=qsql, term_round=6)
 
 
 def _sql_ivf_cells(k: int = 8, dim: int = 64) -> str:
@@ -3822,7 +3879,14 @@ def oracle_sql() -> dict[str, str]:
             FROM binter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE i >= 0.2 * (sa.sz + sb.sz - i)""",
+            WHERE i >= 0.2 * (sa.sz + sb.sz - i)
+            UNION ALL
+            -- r9 cosine arm (cosine_prefix_pairs): brute-force TF-IDF
+            -- cosine over the SAME 6dp-rounded integer weights —
+            -- exactness of the max-weight/Cauchy-Schwarz prunes is
+            -- the claim being hash-verified
+            SELECT 'cosine' AS method, id_a, id_b, cosine AS jaccard
+            FROM ({_sql_cosine_brute(0.8)})""",
         "knn_methods": f"""
             SELECT 'brute' AS method, vec_id, cosine AS score FROM (
               WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -3843,7 +3907,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_sql_knn_lsh_probe()})
             UNION ALL
             SELECT 'cell' AS method, vec_id, CAST(cell AS DOUBLE) AS score
-            FROM ({_sql_ivf_cells()})""",
+            FROM ({_sql_ivf_cells()})
+            UNION ALL
+            -- r9 sparse arm: batched BM25 top-k for the same query
+            -- batch as the bm25_join_docs bench floor (term_round=6
+            -- exact mode — bit-replayable scaled-long per-term sums)
+            SELECT 'bm25:' || CAST(query_id AS VARCHAR) AS method,
+                   doc_id AS vec_id, bm25 AS score
+            FROM ({_bm25_join_oracle()})""",
         "rolling_user_day": """
             SELECT event_id, count(*) OVER w AS n,
                    SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w

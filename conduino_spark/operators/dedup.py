@@ -1099,3 +1099,175 @@ def tune_minhash_bands(threshold: float, n_perm: int = MINHASH_K, *,
         if cost < best_cost - 1e-12:
             best, best_cost = (bands, rows), cost
     return best
+
+
+def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
+                        threshold: float = 0.5,
+                        weight_round: int = 6) -> Stage:
+    """EXACT weighted-cosine threshold self-join over TF-IDF document
+    vectors — the WEIGHTED companion of :func:`jaccard_prefix_pairs`
+    (Bayardo et al. WWW'07, all-pairs with the max-weight suffix
+    bound): find every pair of documents whose unit-normalized TF-IDF
+    cosine is >= ``threshold``, without all-pairs work and without an
+    approximation to tune.
+
+    Vectors: w(d,t) = tf · ln(1 + N/df), unit-normalized per doc, then
+    ROUNDED to ``weight_round`` decimals as scaled longs — every dot
+    product afterwards is an order-free exact integer, so the prune
+    bound, the verify filter, and a DuckDB brute-force oracle all
+    agree bit-for-bit (the term_round convention; ln's last ulp is
+    the one accepted risk, as everywhere in this repo).
+
+    The prune: order features globally by (document frequency asc,
+    hash) — rare first.  For each doc, index feature position i ONLY
+    if the suffix bound ``sum_{j>=i} w_j · maxw_j`` (maxw = the
+    corpus-wide max rounded weight of that feature) still reaches the
+    threshold: if two docs share no indexed feature, the globally
+    smallest common feature would sit in both suffixes and the dot is
+    provably < t.  Common low-idf features — exactly the heavy join
+    keys — fall out of every prefix because their weights are small.
+
+    Plan: one tokenize pass -> (doc, feature, tf), one df aggregate,
+    one per-doc norm aggregate, one max-weight aggregate, one per-doc
+    suffix-sum window over narrow rows, the prefix equi-join, and a
+    verify join against per-doc sorted (feature, weight) maps — dot =
+    one codegen'd ``aggregate`` over ``array_intersect``.  Raw text
+    never shuffles."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 1 <= weight_round <= 9:
+        raise ValueError(f"weight_round must be in [1, 9], "
+                         f"got {weight_round}")
+    scale = 10 ** weight_round
+    tau = int(threshold * scale * scale)  # dot threshold, scaled^2
+
+    def fn(df: DataFrame) -> DataFrame:
+        tf = track(
+            _spread(df, id_col)
+            .select(F.col(id_col),
+                    F.explode(tokens_col(F.col(text_col))).alias("t"))
+            .select(id_col, h32(F.col("t")).alias("g"))
+            .groupBy(id_col, "g").agg(F.count("*").alias("__tf")))
+        dfreq = tf.groupBy("g").agg(F.count("*").alias("__df"))
+        n_docs = tf.select(id_col).distinct().count()
+        w = (tf.join(dfreq, "g")
+               .withColumn("__w", F.col("__tf")
+                           * F.log(1.0 + F.lit(float(n_docs))
+                                   / F.col("__df"))))
+        nrm = w.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nr"))
+        w6 = track(
+            w.join(nrm, id_col).where(F.col("__nr") > 0)
+             .select(id_col, "g", "__df",
+                     F.round(F.col("__w") / F.col("__nr")
+                             * F.lit(scale)).cast("long").alias("w6")))
+        mw = w6.groupBy("g").agg(F.max("w6").alias("mw6"))
+        # the largest rounded squared norm across docs (≈ scale² but
+        # rounding can push it slightly above) — the ||y|| factor of
+        # the Cauchy-Schwarz bound, exact integer
+        max_tot = (w6.groupBy(id_col)
+                   .agg(F.sum(F.col("w6") * F.col("w6")).alias("__t"))
+                   .agg(F.max("__t")).collect()[0][0]) or 0
+        # CS prune floor: keep position i iff
+        # sqrt(suffix_sq_i · max_tot) >= t·scale², i.e. suffix_sq_i >=
+        # t²·scale⁴ / max_tot — computed on the driver with a safety
+        # margin (a smaller floor only keeps MORE rows, never unsound)
+        cs_floor = (threshold * threshold * float(scale) ** 4
+                    / max_tot - 1e3) if max_tot else 0.0
+        # TWO independent suffix bounds in the rare-first global order
+        # (cumulative desc sums INCLUDING the current row); a position
+        # is indexed only if BOTH still reach the threshold:
+        #   * max-weight (Bayardo):  dot ≤ Σ_sfx w·maxw
+        #   * Cauchy-Schwarz:        dot ≤ ||x_sfx||·||y||
+        # CS is what bites on corpora whose common features carry most
+        # of the energy (maxw stays near 1 there and prunes nothing)
+        ws = (Window.partitionBy(id_col)
+              .orderBy(F.desc("__df"), F.desc("g"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pref = (w6.join(mw, "g")
+                  .withColumn("__susp",
+                              F.sum(F.col("w6") * F.col("mw6")).over(ws))
+                  .withColumn("__sfx2",
+                              F.sum(F.col("w6") * F.col("w6")).over(ws))
+                  .where((F.col("__susp") >= F.lit(tau))
+                         & (F.col("__sfx2") >= F.lit(cs_floor)))
+                  .select(F.col(id_col), "g"))
+        # explicit repartition BEFORE the dedup: the candidate table is
+        # narrow (two longs) so AQE's size-based coalescing would hand
+        # the verify stage 2-3 fat partitions — but each row costs a
+        # map intersection, so parallelism must follow ROWS, not bytes.
+        # Hash-partitioning by (id_a, id_b) with an explicit count does
+        # double duty: AQE never coalesces a user-numbered repartition,
+        # and it satisfies dropDuplicates' clustering requirement, so
+        # the distinct agg AND the fused broadcast-join + dot verify
+        # all run at full width off this ONE exchange.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        cand = (pref.select(F.col(id_col).alias("id_a"), "g")
+                .join(pref.select(F.col(id_col).alias("id_b"), "g"), "g")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .repartition(par, "id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
+        vecs = w6.groupBy(id_col).agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("g", "w6"))))
+            .alias("__fw"))
+        va = vecs.select(F.col(id_col).alias("id_a"),
+                         F.col("__fw").alias("__ma"))
+        vb = vecs.select(F.col(id_col).alias("id_b"),
+                         F.col("__fw").alias("__mb"))
+        # dot via map_zip_with (hash-merged, O(|a|+|b|)) — NOT
+        # array_intersect + element_at, whose MapType lookup is a
+        # linear scan (O(|a|·|b|) per pair — 10× slower measured)
+        dot = F.aggregate(
+            F.map_values(F.map_zip_with(
+                "__ma", "__mb",
+                lambda _, x, y: F.coalesce(x, F.lit(0))
+                * F.coalesce(y, F.lit(0)))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v)
+        return (cand.join(va, "id_a").join(vb, "id_b")
+                    .withColumn("__dot", dot)
+                    .where(F.col("__dot") >= F.lit(tau))
+                    .select("id_a", "id_b",
+                            F.round(F.col("__dot")
+                                    / F.lit(float(scale * scale)), 6)
+                            .alias("cosine")))
+
+    return Stage(fn, name="cosine_prefix_pairs", seq_preserving=False)
+
+
+def cosine_pairs_sql(threshold: float, *, weight_round: int = 6,
+                     table: str = "documents", id_col: str = "doc_id",
+                     expr: str = "text") -> str:
+    """DuckDB rendering of :func:`cosine_prefix_pairs` — BRUTE FORCE
+    over the same ``weight_round``-dp rounded integer weights, so the
+    pruned Spark join replays bit-for-bit (exactness of the
+    max-weight / Cauchy-Schwarz prunes is the claim under test)."""
+    from conduino_spark.functions.hashing import h32_sql
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql(expr)
+    scale = 10 ** weight_round
+    tau = int(threshold * scale * scale)
+    return f"""
+        WITH tk AS (SELECT {id_col},
+                           unnest([{h32_sql('t')} for t in {toks}]) AS g
+                    FROM {table}),
+        tf AS (SELECT {id_col}, g, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        dfq AS (SELECT g, COUNT(*) AS df FROM tf GROUP BY g),
+        nn AS (SELECT COUNT(DISTINCT {id_col}) AS n FROM tf),
+        w AS (SELECT {id_col}, g, tf * ln(1.0 + n * 1.0 / df) AS w
+              FROM tf JOIN dfq USING (g) CROSS JOIN nn),
+        nrm AS (SELECT {id_col}, sqrt(SUM(w * w)) AS nr FROM w
+                GROUP BY {id_col}),
+        w6 AS (SELECT w.{id_col}, w.g,
+                      CAST(ROUND(w.w / nrm.nr * {scale}) AS BIGINT) AS w6
+               FROM w JOIN nrm USING ({id_col}) WHERE nrm.nr > 0),
+        dot AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                       SUM(a.w6 * b.w6) AS d
+                FROM w6 a JOIN w6 b
+                  ON a.g = b.g AND a.{id_col} < b.{id_col}
+                GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(d / {float(scale * scale)}, 6) AS cosine
+        FROM dot WHERE d >= {tau}"""

@@ -932,3 +932,112 @@ def test_nb_score_microbatch_replay_equals_batch(spark):
     got = {**labels(docs.filter(F.col("doc_id") % 2 == 0)),
            **labels(docs.filter(F.col("doc_id") % 2 == 1))}
     assert got == want and len(got) == 500
+
+
+# ---------------------------------------------------------------------------
+# cosine_prefix_pairs: exact WEIGHTED similarity self-join
+# ---------------------------------------------------------------------------
+
+def _brute_cosine_sql(threshold: float, scale: int = 10 ** 6) -> str:
+    """Brute-force TF-IDF cosine pairs in DuckDB over the SAME rounded
+    integer weights — exactness of the max-weight-suffix prune is the
+    claim under test."""
+    from conduino_spark.functions.hashing import h32_sql
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql("text")
+    tau = int(threshold * scale * scale)
+    return f"""
+        WITH tk AS (SELECT doc_id,
+                           unnest([{h32_sql('t')} for t in {toks}]) AS g
+                    FROM documents),
+        tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        dfq AS (SELECT g, COUNT(*) AS df FROM tf GROUP BY g),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        w AS (SELECT doc_id, g, tf * ln(1.0 + n * 1.0 / df) AS w
+              FROM tf JOIN dfq USING (g) CROSS JOIN nn),
+        nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nr FROM w
+                GROUP BY doc_id),
+        w6 AS (SELECT w.doc_id, w.g,
+                      CAST(ROUND(w.w / nrm.nr * {scale}) AS BIGINT) AS w6
+               FROM w JOIN nrm USING (doc_id) WHERE nrm.nr > 0),
+        dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       SUM(a.w6 * b.w6) AS d
+                FROM w6 a JOIN w6 b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(d / {float(scale * scale)}, 6) AS cosine
+        FROM dot WHERE d >= {tau}"""
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.7])
+def test_cosine_prefix_matches_duckdb_bruteforce(spark, threshold):
+    from conduino_spark import cosine_prefix_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted((r.id_a, r.id_b, r.cosine) for r in
+                 cosine_prefix_pairs(threshold=threshold)(docs)
+                 .collect())
+    want = _duck_with_views().execute(
+        _brute_cosine_sql(threshold)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    assert len(got) > 0
+
+
+@settings(**_LAW9)
+@given(docs=st.lists(st.lists(_TOK, min_size=0, max_size=6),
+                     min_size=2, max_size=6),
+       threshold=st.sampled_from([0.3, 0.6, 0.9]))
+def test_cosine_prefix_law_any_corpora(spark, docs, threshold):
+    """For ANY tiny corpus, the pruned join equals a pure-Python
+    brute force over the SAME rounded integer weights (worst case for
+    the prune: every doc shares the 3-letter alphabet)."""
+    import math
+    from collections import Counter
+    from conduino_spark import cosine_prefix_pairs
+    import hashlib
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b) for r in
+                 cosine_prefix_pairs(threshold=threshold)(df).collect())
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    tfs = [Counter(h(t) for t in d) for d in docs]
+    dfc = Counter(g for tf in tfs for g in tf)
+    n = sum(1 for tf in tfs if tf)
+    w6s = []
+    for tf in tfs:
+        w = {g: c * math.log(1.0 + n / dfc[g]) for g, c in tf.items()}
+        nr = math.sqrt(sum(x * x for x in w.values()))
+        w6s.append({} if nr == 0 else
+                   {g: int(_r_half_up(x / nr * 1e6))
+                    for g, x in w.items()})
+    tau = threshold * 1e12
+    want = sorted(
+        (i, j)
+        for i in range(len(docs)) for j in range(i + 1, len(docs))
+        if sum(w6s[i][g] * w6s[j].get(g, 0) for g in w6s[i]) >= tau)
+    assert got == want
+
+
+def _r_half_up(x):
+    import math
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_cosine_prefix_edges(spark):
+    from conduino_spark import cosine_prefix_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, None), (4, "")],
+        "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b, r.cosine) for r in
+                 cosine_prefix_pairs(threshold=0.99)(df).collect())
+    # identical docs: dot of ROUNDED unit weights lands a hair under
+    # 1.0 (sum of squared 6dp-rounded components), not exactly 1.0
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+    assert got[0][2] > 0.999
+    with pytest.raises(ValueError, match="threshold"):
+        cosine_prefix_pairs(threshold=1.5)
