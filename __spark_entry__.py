@@ -792,7 +792,16 @@ def q_ngram_jaccard_lsh(spark, sf):
                  spark).select(F.lit("cosine").alias("method"),
                                "id_a", "id_b",
                                F.col("cosine").alias("jaccard"))
-    return a.unionByName(b).unionByName(c)
+    # r9 fourth arm: the STRING member of the exact-join trilogy —
+    # edit_distance_pairs (Ed-Join q-gram prefix + banded levenshtein)
+    # over the 40-char document prefixes; dist rides the score column.
+    from conduino_spark import edit_distance_pairs
+    docs40 = src.df(spark).select(
+        "doc_id", F.substring("text", 1, 40).alias("s"))
+    d = edit_distance_pairs(text_col="s", k=2)(docs40).select(
+        F.lit("edit").alias("method"), "id_a", "id_b",
+        F.col("dist").cast("double").alias("jaccard"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_knn_lsh_probe(spark, sf):
@@ -1647,7 +1656,19 @@ def bench_extras():
             "profile_diff_docs": q_profile_diff_docs,
             "bm25_join_docs": q_bm25_join_docs,
             "label_prop_docs": q_label_prop_docs,
-            "cosine_prefix_docs": q_cosine_prefix_docs}
+            "cosine_prefix_docs": q_cosine_prefix_docs,
+            "edit_distance_docs": q_edit_distance_docs}
+
+
+def q_edit_distance_docs(spark, sf):
+    # r9: exact edit-distance threshold self-join (Ed-Join q-gram
+    # prefix + banded levenshtein verify) over the 40-char document
+    # prefixes — brute-force DuckDB oracle + pure-Python Hypothesis
+    # law in tests/test_round9.py
+    from conduino_spark import edit_distance_pairs
+    docs = (_src(sf, "documents", min_partitions="auto").df(spark)
+            .select("doc_id", F.substring("text", 1, 40).alias("s")))
+    return edit_distance_pairs(text_col="s", k=2)(docs)
 
 
 def q_cosine_prefix_docs(spark, sf):
@@ -2818,6 +2839,14 @@ def _sql_simhash(bits: int = 32) -> str:
     """
 
 
+def _sql_edit_brute(k: int) -> str:
+    """Brute-force replay of edit_distance_pairs for the
+    ngram_jaccard_lsh edit arm (operators/dedup.edit_distance_pairs_sql
+    over the same 40-char document prefixes)."""
+    from conduino_spark.operators.dedup import edit_distance_pairs_sql
+    return edit_distance_pairs_sql(k, expr="substr(text, 1, 40)")
+
+
 def _sql_cosine_brute(threshold: float) -> str:
     """Brute-force replay of cosine_prefix_pairs for the
     ngram_jaccard_lsh cosine arm (operators/dedup.cosine_pairs_sql)."""
@@ -3886,7 +3915,14 @@ def oracle_sql() -> dict[str, str]:
             -- exactness of the max-weight/Cauchy-Schwarz prunes is
             -- the claim being hash-verified
             SELECT 'cosine' AS method, id_a, id_b, cosine AS jaccard
-            FROM ({_sql_cosine_brute(0.8)})""",
+            FROM ({_sql_cosine_brute(0.8)})
+            UNION ALL
+            -- r9 edit arm (edit_distance_pairs): brute-force banded
+            -- levenshtein behind the length filter — losslessness of
+            -- the q-gram prefix + short-string arms is the claim
+            SELECT 'edit' AS method, id_a, id_b,
+                   CAST(dist AS DOUBLE) AS jaccard
+            FROM ({_sql_edit_brute(2)})""",
         "knn_methods": f"""
             SELECT 'brute' AS method, vec_id, cosine AS score FROM (
               WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

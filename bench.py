@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "jaccard_prefix_docs", "nb_classifier_docs",
     "perplexity_buckets_docs", "hard_negatives_emb",
     "profile_diff_docs", "bm25_join_docs", "label_prop_docs",
-    "cosine_prefix_docs",
+    "cosine_prefix_docs", "edit_distance_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -1041,3 +1041,73 @@ def test_cosine_prefix_edges(spark):
     assert got[0][2] > 0.999
     with pytest.raises(ValueError, match="threshold"):
         cosine_prefix_pairs(threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs: exact string similarity self-join (Ed-Join)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [2, 6])
+def test_edit_distance_matches_duckdb_bruteforce(spark, k):
+    from conduino_spark import edit_distance_pairs
+    from conduino_spark.operators.dedup import edit_distance_pairs_sql
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", F.substring("text", 1, 40).alias("s")))
+    got = sorted(tuple(r) for r in
+                 edit_distance_pairs(text_col="s", k=k)(docs).collect())
+    want = _duck_with_views().execute(
+        edit_distance_pairs_sql(k, expr="substr(text, 1, 40)")).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    assert len(got) > 0
+
+
+def _lev(a, b):
+    """Reference Levenshtein, pure Python DP."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(**_LAW9)
+@given(strs=st.lists(st.text(alphabet="ab", min_size=0, max_size=8),
+                     min_size=2, max_size=8),
+       k=st.sampled_from([0, 1, 2, 3]))
+def test_edit_distance_law_any_strings(spark, strs, k):
+    """For ANY tiny corpus of short strings, the pruned join equals a
+    pure-Python brute force — the worst case for the q-gram filter:
+    most strings are SHORT (n_grams <= k*q, the length-bucket arm),
+    the 2-letter alphabet maximizes gram collisions, and empties pair
+    with anything within k characters."""
+    from conduino_spark import edit_distance_pairs
+    df = spark.createDataFrame(list(enumerate(strs)),
+                               "doc_id long, s string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 edit_distance_pairs(text_col="s", k=k)(df).collect())
+    want = sorted((i, j, _lev(strs[i], strs[j]))
+                  for i in range(len(strs))
+                  for j in range(i + 1, len(strs))
+                  if _lev(strs[i], strs[j]) <= k)
+    assert got == want
+
+
+def test_edit_distance_edges(spark):
+    from conduino_spark import edit_distance_pairs
+    df = spark.createDataFrame(
+        [(1, "conduit"), (2, "conduits"), (3, None), (4, ""),
+         (5, "x"), (6, "a completely different sentence")],
+        "doc_id long, s string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 edit_distance_pairs(text_col="s", k=1)(df).collect())
+    # conduit~conduits (1 insert); ''~'x' (1 insert); NULL dropped
+    assert got == [(1, 2, 1), (4, 5, 1)]
+    with pytest.raises(ValueError, match="k must be"):
+        edit_distance_pairs(k=-1)
+    with pytest.raises(ValueError, match="q must be"):
+        edit_distance_pairs(q=1)
