@@ -1657,7 +1657,49 @@ def bench_extras():
             "bm25_join_docs": q_bm25_join_docs,
             "label_prop_docs": q_label_prop_docs,
             "cosine_prefix_docs": q_cosine_prefix_docs,
-            "edit_distance_docs": q_edit_distance_docs}
+            "edit_distance_docs": q_edit_distance_docs,
+            "phrase_search_docs": q_phrase_search_docs,
+            "bm25_index_docs": q_bm25_index_docs}
+
+
+def q_phrase_search_docs(spark, sf):
+    # r9: exact phrase retrieval via the anchor join — bit-exact
+    # DuckDB replay + pure-Python Hypothesis law in tests/test_round9
+    from conduino_spark import phrase_search
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    return phrase_search("row scan")(docs)
+
+
+def _bm25_index_dir(spark, sf):
+    """Build-once/probe-many: memoize the persisted BM25 index per
+    (sf_dir, file mtime) — the lsh_idx pattern — so bench passes probe
+    without re-materializing."""
+    import os
+    import tempfile
+    from conduino_spark import bm25_index_write
+    src_file = os.path.join(sf, "documents.parquet")
+    tag = (f"{abs(hash(os.path.abspath(sf)))}_"
+           f"{int(os.path.getmtime(src_file))}")
+    d = os.path.join(tempfile.gettempdir(), f"bm25_idx_{tag}")
+    if not os.path.exists(os.path.join(d, "stats", "_SUCCESS")):
+        docs = _src(sf, "documents", min_partitions="auto").df(spark)
+        bm25_index_write(docs, d, n_shards=64)
+    return d
+
+
+def q_bm25_index_docs(spark, sf):
+    # r9: the same probe batch as bm25_join_docs against the PERSISTED
+    # token-sharded index (dynamic partition pruning skips shards) —
+    # bit-equal to the in-memory join by law, tests/test_round9
+    from conduino_spark import bm25_index_join
+    from conduino_spark.operators.text import tokens_col
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    qs = (docs.where(F.col("doc_id") % 50 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(
+                      tokens_col(F.col("text")), 1, 5)).alias("query")))
+    return bm25_index_join(_bm25_index_dir(spark, sf), k=5,
+                           term_round=6)(qs)
 
 
 def q_edit_distance_docs(spark, sf):
@@ -2008,8 +2050,26 @@ def q_knn_methods(spark, sf):
         .alias("method"),
         F.col("doc_id").alias("vec_id"),
         F.col("bm25").alias("score"))
+    # r9 sixth arm: the SAME probe batch against the PERSISTED
+    # token-sharded index (bm25_index_write/join — dynamic partition
+    # pruning path); identical rows under a distinct tag, so the
+    # driver hash breaks if the index path ever diverges from the
+    # in-memory join.
+    bm25i = q_bm25_index_docs(spark, sf).select(
+        F.concat(F.lit("bm25i:"), F.col("query_id").cast("string"))
+        .alias("method"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("bm25").alias("score"))
+    # r9 seventh arm: exact phrase retrieval (anchor join) — hits
+    # encoded as exact integers in the score column.
+    phrase = q_phrase_search_docs(spark, sf).select(
+        F.lit("phrase").alias("method"),
+        F.col("doc_id").alias("vec_id"),
+        (F.col("n_hits") * 100000 + F.col("first_pos"))
+        .cast("double").alias("score"))
     return (brute.unionByName(ivf).unionByName(lsh)
-            .unionByName(cells).unionByName(bm25))
+            .unionByName(cells).unionByName(bm25)
+            .unionByName(bm25i).unionByName(phrase))
 
 
 def q_ivf_search_topk(spark, sf):
@@ -2837,6 +2897,14 @@ def _sql_simhash(bits: int = 32) -> str:
       SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
       FROM documents d LEFT JOIN sig s USING (doc_id)
     """
+
+
+def _phrase_oracle() -> str:
+    """DuckDB rendering of the knn_methods phrase arm
+    (operators/search.phrase_search_sql, same phrase as the bench
+    floor)."""
+    from conduino_spark.operators.search import phrase_search_sql
+    return phrase_search_sql("row scan")
 
 
 def _sql_edit_brute(k: int) -> str:
@@ -3950,7 +4018,18 @@ def oracle_sql() -> dict[str, str]:
             -- exact mode — bit-replayable scaled-long per-term sums)
             SELECT 'bm25:' || CAST(query_id AS VARCHAR) AS method,
                    doc_id AS vec_id, bm25 AS score
-            FROM ({_bm25_join_oracle()})""",
+            FROM ({_bm25_join_oracle()})
+            UNION ALL
+            -- r9 index arm: the persisted-index probe must reproduce
+            -- the SAME retrieval under its own tag
+            SELECT 'bm25i:' || CAST(query_id AS VARCHAR) AS method,
+                   doc_id AS vec_id, bm25 AS score
+            FROM ({_bm25_join_oracle()})
+            UNION ALL
+            -- r9 phrase arm: exact phrase retrieval, integer-exact
+            SELECT 'phrase' AS method, doc_id AS vec_id,
+                   CAST(n_hits * 100000 + first_pos AS DOUBLE) AS score
+            FROM ({_phrase_oracle()})""",
         "rolling_user_day": """
             SELECT event_id, count(*) OVER w AS n,
                    SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w

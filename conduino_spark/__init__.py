@@ -78,7 +78,8 @@ from conduino_spark.operators.graph import (
     connected_components, label_propagation, pagerank, triangle_count,
 )
 from conduino_spark.operators.search import (
-    bm25_join, bm25_search, build_postings,
+    bm25_index_join, bm25_index_write, bm25_join, bm25_search,
+    build_postings, phrase_search,
 )
 from conduino_spark.operators.similarity import (
     KMeansModel, ann_join, cell_centroids, cosine_to, ivf_build,

@@ -260,3 +260,187 @@ def bm25_join_sql(k: int = 10, *, k1: float = 1.2, b: float = 0.75,
                  ORDER BY {out} DESC, {id_col}) AS INT) AS rank
         FROM scored)
       WHERE rank <= {k}"""
+
+
+def phrase_terms(phrase: Union[str, Sequence[str]]) -> list[str]:
+    """Normalize a phrase to its ORDERED token sequence (duplicates
+    kept — unlike :func:`query_terms`, position is the point)."""
+    if isinstance(phrase, str):
+        return [t for t in re.split(TOKEN_SPLIT, phrase.lower()) if t]
+    return [t.lower() for t in phrase]
+
+
+def phrase_search(phrase: Union[str, Sequence[str]], *,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> Stage:
+    """EXACT phrase search: every document containing the token
+    sequence ``phrase`` consecutively, with occurrence count and the
+    first match position (0-based token offset).
+
+    The anchor trick makes this ONE shuffle instead of m−1 positional
+    self-joins: token i of the phrase at document position p implies
+    the phrase would START at anchor ``p − i``; a document position
+    range matches iff all m phrase indices vote for the same anchor —
+    ``groupBy(doc, anchor).count_distinct(i) == m``.  The corpus token
+    stream is filtered to the phrase's terms BEFORE the explode-join
+    (a broadcast of ≤ m rows), so the shuffle carries phrase-term hits
+    only, never the corpus token stream.
+
+    Returns (id_col, n_hits, first_pos) for matching docs only.
+
+    Cites reference semantics: conduino has no retrieval operators;
+    north-star extension alongside bm25_search (SURVEY §2 gap list)."""
+    terms = phrase_terms(phrase)
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    m = len(terms)
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        tdf = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)],
+            "__t string, __i int")
+        toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+        pos = (df.select(F.col(id_col),
+                         F.posexplode(toks).alias("__p", "__t")))
+        anchors = (pos.join(F.broadcast(tdf), "__t")
+                   .select(F.col(id_col),
+                           (F.col("__p") - F.col("__i")).alias("__a"),
+                           "__i")
+                   .where(F.col("__a") >= 0))
+        hits = (anchors.groupBy(id_col, "__a")
+                .agg(F.count_distinct("__i").alias("__k"))
+                .where(F.col("__k") == m))
+        return (hits.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_hits"),
+                     F.min("__a").cast("int").alias("first_pos")))
+
+    return Stage(fn, name="phrase_search", seq_preserving=False)
+
+
+def phrase_search_sql(phrase: Union[str, Sequence[str]], *,
+                      table: str = "documents", id_col: str = "doc_id",
+                      expr: str = "text") -> str:
+    """DuckDB rendering of :func:`phrase_search` — same anchor
+    semantics over parallel unnest positions; bit-exact (all-integer)."""
+    terms = phrase_terms(phrase)
+    m = len(terms)
+    tlist = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    toks = tokens_sql(f"coalesce({expr}, '')")
+    return f"""
+        WITH td(t, i) AS (VALUES {tlist}),
+        tk AS (SELECT {id_col}, ts[p] AS t, p - 1 AS p FROM (
+                 SELECT {id_col}, ts,
+                        unnest(generate_series(1, len(ts))) AS p
+                 FROM (SELECT {id_col}, {toks} AS ts FROM {table}))),
+        anchors AS (SELECT {id_col}, tk.p - td.i AS a, td.i
+                    FROM tk JOIN td USING (t) WHERE tk.p - td.i >= 0),
+        hits AS (SELECT {id_col}, a FROM anchors
+                 GROUP BY {id_col}, a
+                 HAVING COUNT(DISTINCT i) = {m})
+        SELECT {id_col}, COUNT(*) AS n_hits,
+               CAST(MIN(a) AS INT) AS first_pos
+        FROM hits GROUP BY {id_col}"""
+
+
+def bm25_index_write(corpus: DataFrame, path: str, *,
+                     n_shards: int = 64, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     mode: str = "overwrite") -> None:
+    """Materialize the BM25 index ONCE (the build-once/probe-many
+    posture :func:`bm25_join`'s docstring promises, made real —
+    the lsh_index_write pattern for sparse retrieval): three parquet
+    tables under ``path``:
+
+    * ``postings/`` — (id, token, dl, tf) ``partitionBy`` token shard
+      ``pt = h32(token) % n_shards``, so a probe batch reads only the
+      shards its query tokens hash into (dynamic partition pruning —
+      asserted in tests), not the corpus-wide postings.
+    * ``dfreq/`` — per-token document frequency (narrow, one agg).
+    * ``stats/`` — one row: corpus size, avg doc length, and
+      ``n_shards`` itself (the probe side must shard queries with the
+      SAME modulus; storing it in-band prevents drift).
+
+    The postings write repartitions BY shard first — without it every
+    input task writes a file into every shard directory."""
+    from conduino_spark.functions.hashing import h32
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    post = (build_postings(text_col, id_col)(corpus)
+            .withColumn("pt", F.pmod(h32(F.col("token")),
+                                     F.lit(n_shards))))
+    (post.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode(mode).parquet(f"{path}/postings"))
+    (post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+         .write.mode(mode).parquet(f"{path}/dfreq"))
+    ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    (corpus.agg(F.count(F.lit(1)).alias("__n"),
+                F.avg(F.size(ctoks)).alias("__avgdl"),
+                F.lit(n_shards).alias("__n_shards"))
+           .write.mode(mode).parquet(f"{path}/stats"))
+
+
+def bm25_index_join(index_path: str, k: int = 10, *,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id",
+                    query_text_col: str = "query",
+                    query_id_col: str = "query_id",
+                    term_round: "int | None" = None,
+                    out: str = "bm25") -> Stage:
+    """:func:`bm25_join` against a persisted :func:`bm25_index_write`
+    index: identical output (same scores, same top-k, law-tested),
+    but the corpus pass is already paid — the probe reads only the
+    token shards the query batch hashes into.
+
+    The (1-row) stats table is fetched at plan-build time (a bounded
+    model fetch, the centroid/codebook convention): corpus size and
+    avgdl become literals — no crossJoin — and ``n_shards`` seeds the
+    query-side shard key so the postings join carries the partition
+    column, which is what lets dynamic partition pruning skip whole
+    shard directories when the query side broadcasts."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got k={k}")
+    if term_round is not None and not 1 <= term_round <= 9:
+        raise ValueError(f"term_round must be in [1, 9], got {term_round}")
+    from pyspark.sql import Window
+    from conduino_spark.functions.hashing import h32
+
+    def fn(queries: DataFrame) -> DataFrame:
+        spark = queries.sparkSession
+        st = spark.read.parquet(f"{index_path}/stats").collect()[0]
+        n, avgdl, n_shards = st["__n"], st["__avgdl"], st["__n_shards"]
+        post = spark.read.parquet(f"{index_path}/postings")
+        dfreq = spark.read.parquet(f"{index_path}/dfreq")
+        qt = (queries.select(
+            F.col(query_id_col),
+            F.explode(F.array_distinct(tokens_col(
+                F.coalesce(F.col(query_text_col), F.lit("")))))
+            .alias("token"))
+            # int, not long: the partition column round-trips from the
+            # directory names as int, and a cast(pt) on the scan side
+            # would defeat dynamic partition pruning
+            .withColumn("pt", F.pmod(h32(F.col("token")),
+                                     F.lit(n_shards)).cast("int")))
+        cand = (post.join(F.broadcast(qt), ["pt", "token"])
+                    .join(dfreq, "token"))
+        idf = F.ln(1.0 + (F.lit(float(n)) - F.col("df_t") + 0.5)
+                   / (F.col("df_t") + 0.5))
+        tf_norm = (F.col("tf") * (k1 + 1.0)
+                   / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                          / F.lit(float(avgdl)))))
+        term = idf * tf_norm
+        if term_round is None:
+            agg = F.round(F.sum(term), 6)
+        else:
+            scale = 10 ** term_round
+            agg = F.round(
+                F.sum(F.round(term * F.lit(scale)).cast("long"))
+                .cast("double") / F.lit(float(scale)), 6)
+        scored = (cand.groupBy(query_id_col, id_col)
+                      .agg(agg.alias(out)))
+        w = Window.partitionBy(query_id_col).orderBy(F.desc(out),
+                                                     F.col(id_col))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                      .where(F.col("rank") <= k))
+
+    return Stage(fn, name=f"bm25_index_join({k})", seq_preserving=False)

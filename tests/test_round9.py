@@ -1111,3 +1111,100 @@ def test_edit_distance_edges(spark):
         edit_distance_pairs(k=-1)
     with pytest.raises(ValueError, match="q must be"):
         edit_distance_pairs(q=1)
+
+
+# ---------------------------------------------------------------------------
+# phrase_search + bm25 index persistence
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("phrase", ["row scan", "the part data",
+                                    "value", "no such phrase zz"])
+def test_phrase_search_matches_duckdb(spark, phrase):
+    from conduino_spark.operators.search import (
+        phrase_search, phrase_search_sql)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(tuple(r) for r in phrase_search(phrase)(docs).collect())
+    want = _duck_with_views().execute(phrase_search_sql(phrase)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+
+
+def test_phrase_search_overlaps_duplicates_edges(spark):
+    from conduino_spark.operators.search import phrase_search
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b a"), (3, None), (4, ""),
+         (5, "x a a y a a")],
+        "doc_id long, text string")
+    # 'a a' overlaps in doc 1 (anchors 0,1); doc 2 has none (gap);
+    # doc 5 has two separated runs (anchors 1, 4)
+    got = sorted(tuple(r) for r in phrase_search("a a")(df).collect())
+    assert got == [(1, 2, 0), (5, 2, 1)]
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search("   ")
+
+
+@settings(**_LAW9)
+@given(docs=st.lists(st.lists(st.sampled_from("ab"), min_size=0,
+                              max_size=8), min_size=1, max_size=6),
+       phrase=st.lists(st.sampled_from("ab"), min_size=1, max_size=3))
+def test_phrase_search_law_any_corpora(spark, docs, phrase):
+    """For ANY tiny corpus over {a,b}, anchor-join phrase search
+    equals a pure-Python sliding-window scan (worst case: maximal
+    self-overlap, duplicate phrase terms)."""
+    from conduino_spark.operators.search import phrase_search
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in phrase_search(phrase)(df).collect())
+    m = len(phrase)
+    want = []
+    for i, toks in enumerate(docs):
+        hits = [p for p in range(len(toks) - m + 1)
+                if toks[p:p + m] == phrase]
+        if hits:
+            want.append((i, len(hits), hits[0]))
+    assert got == sorted(want)
+
+
+def test_bm25_index_join_equals_bm25_join_and_oracle(spark, tmp_path):
+    """The persisted-index probe returns bit-identical rows to the
+    in-memory join AND to the DuckDB replay (term_round=6)."""
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_write, bm25_join, bm25_join_sql)
+    from conduino_spark.operators.text import tokens_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    bm25_index_write(docs, d, n_shards=16)
+    got = sorted(tuple(r) for r in
+                 bm25_index_join(d, k=5, term_round=6)
+                 (_bm25_queries(spark))
+                 .select("query_id", "doc_id", "bm25", "rank").collect())
+    mem = sorted(tuple(r) for r in
+                 bm25_join(docs, k=5, term_round=6)(_bm25_queries(spark))
+                 .select("query_id", "doc_id", "bm25", "rank").collect())
+    assert got == mem
+    toks = tokens_sql("text")
+    qsql = f"""(SELECT doc_id AS query_id,
+                       array_to_string(({toks})[1:5], ' ') AS query
+                FROM documents WHERE doc_id % 50 = 0)"""
+    want = _duck_with_views().execute(
+        bm25_join_sql(5, queries=qsql, term_round=6)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+
+
+def test_bm25_index_partition_pruning(spark, tmp_path):
+    """The probe plan carries a dynamic partition pruning filter on
+    the postings scan — whole token shards the query batch doesn't
+    hash into are never read."""
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    bm25_index_write(docs, d, n_shards=16)
+    # a parquet-backed probe batch (the real usage shape): DPP's
+    # benefit estimate needs relation stats on the filtering side —
+    # an in-memory createDataFrame probe has none and is not pruned
+    plan = (bm25_index_join(d, k=3)(_bm25_queries(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan
+    with pytest.raises(ValueError, match="n_shards"):
+        bm25_index_write(docs, d, n_shards=0)
