@@ -1659,7 +1659,30 @@ def bench_extras():
             "cosine_prefix_docs": q_cosine_prefix_docs,
             "edit_distance_docs": q_edit_distance_docs,
             "phrase_search_docs": q_phrase_search_docs,
-            "bm25_index_docs": q_bm25_index_docs}
+            "bm25_index_docs": q_bm25_index_docs,
+            "hybrid_retrieval_docs": q_hybrid_retrieval_docs}
+
+
+def q_hybrid_retrieval_docs(spark, sf):
+    # r9: the full hybrid retrieval stack — sparse (bm25_join,
+    # term_round=6) + dense (ann_join, IVF-bucketed) hits fused by
+    # Reciprocal Rank Fusion (operators/search.rrf_fuse, scaled-long
+    # contributions) for the every-50th-id query batch; bit-exact
+    # DuckDB replay in tests/test_round9.py
+    from conduino_spark import ann_join, bm25_join, rrf_fuse
+    from conduino_spark.operators.text import tokens_col
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    emb = _src(sf, "embeddings").df(spark)
+    qs = (docs.where(F.col("doc_id") % 50 == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.concat_ws(" ", F.slice(
+                      tokens_col(F.col("text")), 1, 5)).alias("query")))
+    sparse = bm25_join(docs, k=10, term_round=6)(qs)
+    dense = (ann_join(emb, k=10, nprobe=2, exclude_self=True)
+             (emb.where(F.col("vec_id") % 50 == 0))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse({"sparse": sparse, "dense": dense}, c=60, k=10)
 
 
 def q_phrase_search_docs(spark, sf):
@@ -3471,15 +3494,19 @@ def _sql_tpch_suite_digest() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-def _sql_ann_join(k: int = 5, nprobe: int = 2) -> str:
+def _sql_ann_join(k: int = 5, nprobe: int = 2,
+                  sample: "str | None" = None) -> str:
     """DuckDB rendering of ann_join(corpus=embeddings, k, nprobe,
-    exclude_self=True) over the deterministic 10% hash_sample query
-    batch — per-(cell,dim) scaled-long centroid means, per-query cell
-    ranking, exact cosine top-k inside the probed cells (ties by
-    cosine desc then neighbor id); operators/similarity.ann_join."""
-    cut = int(0.1 * (1 << 32))
-    salted = "'annq' || CAST(vec_id AS VARCHAR)"
-    sample = f"{h32_sql(salted)} < {cut}"
+    exclude_self=True) over a query batch — per-(cell,dim) scaled-long
+    centroid means, per-query cell ranking, exact cosine top-k inside
+    the probed cells (ties by cosine desc then neighbor id);
+    operators/similarity.ann_join.  ``sample`` is the query-batch
+    predicate; default = the deterministic 10% hash_sample batch the
+    ann_join_emb pin uses."""
+    if sample is None:
+        cut = int(0.1 * (1 << 32))
+        salted = "'annq' || CAST(vec_id AS VARCHAR)"
+        sample = f"{h32_sql(salted)} < {cut}"
     return f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                    FROM embeddings),

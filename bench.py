@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "perplexity_buckets_docs", "hard_negatives_emb",
     "profile_diff_docs", "bm25_join_docs", "label_prop_docs",
     "cosine_prefix_docs", "edit_distance_docs",
-    "phrase_search_docs", "bm25_index_docs",
+    "phrase_search_docs", "bm25_index_docs", "hybrid_retrieval_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

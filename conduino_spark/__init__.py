@@ -79,7 +79,7 @@ from conduino_spark.operators.graph import (
 )
 from conduino_spark.operators.search import (
     bm25_index_join, bm25_index_write, bm25_join, bm25_search,
-    build_postings, phrase_search,
+    build_postings, phrase_search, rrf_fuse,
 )
 from conduino_spark.operators.similarity import (
     KMeansModel, ann_join, cell_centroids, cosine_to, ivf_build,

@@ -444,3 +444,73 @@ def bm25_index_join(index_path: str, k: int = 10, *,
                       .where(F.col("rank") <= k))
 
     return Stage(fn, name=f"bm25_index_join({k})", seq_preserving=False)
+
+
+def rrf_fuse(ranked: "dict[str, DataFrame]", *, c: int = 60,
+             k: int = 10, query_id_col: str = "query_id",
+             id_col: str = "doc_id", rank_col: str = "rank",
+             scale: int = 10 ** 9) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. SIGIR'09) over two or
+    more ranked retrieval tables — the standard way to combine sparse
+    (:func:`bm25_join`) and dense
+    (:func:`~conduino_spark.operators.similarity.ann_join`) hits
+    without score calibration: each system contributes
+    ``1/(c + rank)`` for every (query, doc) it returned; fused top-k
+    by the summed score.
+
+    Determinism: each contribution is ``round(scale/(c+rank))`` as a
+    long — order-free integer sums (the term_round convention), so the
+    fusion replays bit-for-bit in DuckDB; ``rrf`` is the scaled sum
+    /scale rounded to 6dp for display.  Ties break by doc id.  Input
+    tables only need (query_id_col, id_col, rank_col).
+
+    One union + one (query, doc) hash-agg + one per-query window —
+    the inputs are already top-k-bounded, so the fused table is at
+    most |systems|·k rows per query."""
+    if not ranked:
+        raise ValueError("need at least one ranked table")
+    if c < 0:
+        raise ValueError(f"c must be >= 0, got {c}")
+    from pyspark.sql import Window
+    parts = []
+    for tag, df in ranked.items():
+        parts.append(df.select(
+            F.col(query_id_col), F.col(id_col),
+            F.round(F.lit(float(scale)) / (F.col(rank_col) + c))
+            .cast("long").alias("__contrib")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = (u.groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__contrib").cast("double")
+                           / F.lit(float(scale)), 6).alias("rrf")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("rrf"),
+                                                 F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def rrf_fuse_sql(ranked_sql: "dict[str, str]", *, c: int = 60,
+                 k: int = 10, query_id_col: str = "query_id",
+                 id_col: str = "doc_id", rank_col: str = "rank",
+                 scale: int = 10 ** 9) -> str:
+    """DuckDB rendering of :func:`rrf_fuse` — each value in
+    ``ranked_sql`` is a subquery producing (query_id, id, rank);
+    bit-exact (scaled-long contributions)."""
+    unions = "\n          UNION ALL\n          ".join(
+        f"SELECT {query_id_col}, {id_col}, "
+        f"CAST(round({float(scale)} / ({rank_col} + {c})) AS BIGINT)"
+        f" AS contrib FROM ({q})"
+        for q in ranked_sql.values())
+    return f"""
+        SELECT {query_id_col}, {id_col}, rrf, rank FROM (
+          SELECT {query_id_col}, {id_col}, rrf,
+                 CAST(row_number() OVER (
+                   PARTITION BY {query_id_col}
+                   ORDER BY rrf DESC, {id_col}) AS INT) AS rank
+          FROM (SELECT {query_id_col}, {id_col},
+                       round(CAST(SUM(contrib) AS DOUBLE)
+                             / {float(scale)}, 6) AS rrf
+                FROM ({unions})
+                GROUP BY {query_id_col}, {id_col}))
+        WHERE rank <= {k}"""

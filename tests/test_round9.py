@@ -1208,3 +1208,62 @@ def test_bm25_index_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan
     with pytest.raises(ValueError, match="n_shards"):
         bm25_index_write(docs, d, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse: hybrid sparse+dense retrieval fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_example(spark):
+    """Exact scaled-long RRF arithmetic + doc-id tie-break."""
+    from conduino_spark.operators.search import rrf_fuse
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 21, 1)],
+        "query_id long, doc_id long, rank int")
+    got = {(r.query_id, r.doc_id): (r.rrf, r.rank) for r in
+           rrf_fuse({"a": a, "b": b}, c=60, k=10).collect()}
+    s = 10 ** 9
+
+    def contrib(rank):
+        return round(s / (rank + 60))
+    # doc 11 appears in both lists: rank 2 in a, rank 1 in b
+    assert got[(1, 11)][0] == round((contrib(2) + contrib(1)) / s, 6)
+    assert got[(1, 11)][1] == 1  # fused top
+    assert got[(1, 10)][0] == round(contrib(1) / s, 6)
+    # 10 and 12 tie on score (both single rank-1/rank-2?) — no: 10 has
+    # rank 1, 12 has rank 2; 10 outranks 12
+    assert got[(1, 10)][1] == 2 and got[(1, 12)][1] == 3
+    # ties break by doc id: 20 and 21 both rank-1 singletons
+    assert got[(2, 20)][1] == 1 and got[(2, 21)][1] == 2
+    with pytest.raises(ValueError, match="ranked"):
+        rrf_fuse({})
+    with pytest.raises(ValueError, match="c must"):
+        rrf_fuse({"a": a}, c=-1)
+
+
+def test_hybrid_retrieval_bit_replay(spark):
+    """The COMPOSED hybrid stack — bm25_join (sparse) + ann_join
+    (dense) fused by RRF — replays bit-for-bit in DuckDB (scaled-long
+    contributions over both systems' exact-mode ranks)."""
+    from conduino_spark.operators.search import bm25_join_sql, rrf_fuse_sql
+    from conduino_spark.operators.text import tokens_sql
+    e = _load_entry()
+    got = sorted(tuple(r) for r in
+                 e.bench_extras()["hybrid_retrieval_docs"](spark, SF)
+                 .collect())
+    toks = tokens_sql("text")
+    qsql = f"""(SELECT doc_id AS query_id,
+                       array_to_string(({toks})[1:5], ' ') AS query
+                FROM documents WHERE doc_id % 50 = 0)"""
+    dense_sql = f"""SELECT vec_id AS query_id,
+                           neighbor_id AS doc_id, rank
+                    FROM ({e._sql_ann_join(10, 2,
+                           sample="vec_id % 50 = 0")})"""
+    want = _duck_with_views().execute(rrf_fuse_sql(
+        {"sparse": bm25_join_sql(10, queries=qsql, term_round=6),
+         "dense": dense_sql}, c=60, k=10)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    assert len(got) > 0
