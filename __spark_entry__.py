@@ -1660,7 +1660,20 @@ def bench_extras():
             "edit_distance_docs": q_edit_distance_docs,
             "phrase_search_docs": q_phrase_search_docs,
             "bm25_index_docs": q_bm25_index_docs,
-            "hybrid_retrieval_docs": q_hybrid_retrieval_docs}
+            "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
+            "ann_recall_emb": q_ann_recall_emb}
+
+
+def q_ann_recall_emb(spark, sf):
+    # r9: the ANN quality audit — recall@5 of the gated nprobe=2 probe
+    # against nprobe=8 (= all cells, exact); bit-exact DuckDB replay
+    # in tests/test_round9.py (the minhash_eval pattern for dense)
+    from conduino_spark import ann_join, ann_recall, hash_sample
+    emb = _src(sf, "embeddings").df(spark)
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    approx = ann_join(emb, k=5, nprobe=2, exclude_self=True)(batch)
+    exact = ann_join(emb, k=5, nprobe=8, exclude_self=True)(batch)
+    return ann_recall(exact, k=5)(approx)
 
 
 def q_hybrid_retrieval_docs(spark, sf):

@@ -386,6 +386,7 @@ def bm25_index_join(index_path: str, k: int = 10, *,
                     query_text_col: str = "query",
                     query_id_col: str = "query_id",
                     term_round: "int | None" = None,
+                    broadcast_queries: bool = True,
                     out: str = "bm25") -> Stage:
     """:func:`bm25_join` against a persisted :func:`bm25_index_write`
     index: identical output (same scores, same top-k, law-tested),
@@ -421,7 +422,14 @@ def bm25_index_join(index_path: str, k: int = 10, *,
             # would defeat dynamic partition pruning
             .withColumn("pt", F.pmod(h32(F.col("token")),
                                      F.lit(n_shards)).cast("int")))
-        cand = (post.join(F.broadcast(qt), ["pt", "token"])
+        # broadcast_queries=True is the probe-batch posture: the
+        # broadcast is what arms dynamic partition pruning on the
+        # sharded postings scan.  For a CORPUS-scale query side set
+        # False — the join falls back to shuffle-hash on (pt, token)
+        # (forfeiting DPP, which couldn't prune anyway when every
+        # shard is probed).
+        qside = F.broadcast(qt) if broadcast_queries else qt
+        cand = (post.join(qside, ["pt", "token"])
                     .join(dfreq, "token"))
         idf = F.ln(1.0 + (F.lit(float(n)) - F.col("df_t") + 0.5)
                    / (F.col("df_t") + 0.5))

@@ -893,3 +893,62 @@ def mine_hard_negatives(corpus: DataFrame, positives: "DataFrame | None" = None,
                           "neg_rank"))
 
     return Stage(fn, name="mine_hard_negatives", seq_preserving=False)
+
+
+def ann_recall(truth: DataFrame, k: int, *,
+               query_col: str = "vec_id",
+               id_col: str = "neighbor_id") -> Stage:
+    """Quality audit for the ANN family — recall@k of an approximate
+    result against exact ground truth (the :func:`minhash_eval`
+    pattern for dense retrieval: measure the approximation, don't
+    guess).  Pipe the APPROXIMATE hits table through; ``truth`` is the
+    exact one (e.g. :func:`ann_join` at ``nprobe >= cells``, or
+    :func:`knn_brute` per query).  Both need (query_col, id_col,
+    rank) rows.
+
+    Returns one row per query — (query_col, n_truth, n_hit, recall) —
+    plus queries the approximation missed entirely (recall 0.0 via the
+    right join).  recall = |approx ∩ truth| / |truth| over rank <= k,
+    rounded to 6dp; all-integer until the final division.
+
+    One equi-join on (query, neighbor) + one per-query agg — scales as
+    the hit tables, never touches vectors."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got k={k}")
+
+    def fn(approx: DataFrame) -> DataFrame:
+        a = approx.where(F.col("rank") <= k).select(
+            F.col(query_col), F.col(id_col), F.lit(1).alias("__hit"))
+        t = truth.where(F.col("rank") <= k).select(
+            F.col(query_col), F.col(id_col))
+        j = t.join(a, [query_col, id_col], "left")
+        return (j.groupBy(query_col)
+                .agg(F.count(F.lit(1)).alias("n_truth"),
+                     F.sum(F.coalesce("__hit", F.lit(0)))
+                      .cast("long").alias("n_hit"))
+                .select(query_col, "n_truth", "n_hit",
+                        F.round(F.col("n_hit")
+                                / F.col("n_truth"), 6).alias("recall")))
+
+    return Stage(fn, name=f"ann_recall({k})", seq_preserving=False)
+
+
+def ann_recall_sql(approx_sql: str, truth_sql: str, k: int, *,
+                   query_col: str = "vec_id",
+                   id_col: str = "neighbor_id") -> str:
+    """DuckDB rendering of :func:`ann_recall` over two hit subqueries
+    (each producing (query, neighbor, rank)); integer-exact."""
+    return f"""
+        WITH a AS (SELECT {query_col}, {id_col}
+                   FROM ({approx_sql}) WHERE rank <= {k}),
+        t AS (SELECT {query_col}, {id_col}
+              FROM ({truth_sql}) WHERE rank <= {k})
+        SELECT t.{query_col}, COUNT(*) AS n_truth,
+               CAST(SUM(CASE WHEN a.{id_col} IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.{id_col} IS NOT NULL
+                              THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS recall
+        FROM t LEFT JOIN a
+          ON a.{query_col} = t.{query_col} AND a.{id_col} = t.{id_col}
+        GROUP BY t.{query_col}"""

@@ -1267,3 +1267,85 @@ def test_hybrid_retrieval_bit_replay(spark):
          "dense": dense_sql}, c=60, k=10)).fetchall()
     assert got == sorted(tuple(r) for r in want)
     assert len(got) > 0
+
+
+def test_bm25_index_join_microbatch_replay_equals_batch(spark, tmp_path):
+    """The retrieval-service deployment shape: queries arrive as
+    micro-batches scored against the FROZEN persisted index.  Scoring
+    is per-query (candidates, stats, and ranks never cross query
+    ids), so the foreachBatch replay equals the batch run exactly."""
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    bm25_index_write(docs, d, n_shards=16)
+    stage = bm25_index_join(d, k=5, term_round=6)
+
+    def hits(qdf):
+        return {(r.query_id, r.rank): (r.doc_id, r.bm25) for r in
+                stage(qdf).collect()}
+
+    qs = _bm25_queries(spark)
+    want = hits(qs)
+    got = {**hits(qs.filter(F.col("query_id") % 100 == 0)),
+           **hits(qs.filter(F.col("query_id") % 100 != 0))}
+    assert got == want and len(want) == 50
+
+
+def test_phrase_search_microbatch_replay_equals_batch(spark):
+    """phrase_search is per-document (anchors never cross doc ids), so
+    the streaming foreachBatch deployment replays the batch run."""
+    from conduino_spark.operators.search import phrase_search
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stage = phrase_search("row scan")
+
+    def hits(df):
+        return {r.doc_id: (r.n_hits, r.first_pos) for r in
+                stage(df).collect()}
+
+    want = hits(docs)
+    got = {**hits(docs.filter(F.col("doc_id") % 2 == 0)),
+           **hits(docs.filter(F.col("doc_id") % 2 == 1))}
+    assert got == want and len(want) == 29
+
+
+# ---------------------------------------------------------------------------
+# ann_recall: quality audit for approximate dense retrieval
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_hand_example(spark):
+    from conduino_spark.operators.similarity import ann_recall
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "vec_id long, neighbor_id long, rank int")
+    approx = spark.createDataFrame(
+        # query 1: found 2 of 3 (one beyond k excluded); query 2: none
+        [(1, 10, 1), (1, 12, 2), (1, 11, 9), (3, 99, 1)],
+        "vec_id long, neighbor_id long, rank int")
+    got = {r.vec_id: (r.n_truth, r.n_hit, r.recall) for r in
+           ann_recall(truth, k=3)(approx).collect()}
+    assert got == {1: (3, 2, round(2 / 3, 6)), 2: (2, 0, 0.0)}
+    with pytest.raises(ValueError, match="k >= 1"):
+        ann_recall(truth, k=0)
+
+
+def test_ann_recall_ivf_vs_exact_replay(spark):
+    """Real audit: ann_join at nprobe=2 measured against nprobe=8
+    (= all cells, exact), replayed bit-for-bit in DuckDB through the
+    same two oracles."""
+    from conduino_spark import ann_join, hash_sample
+    from conduino_spark.operators.similarity import ann_recall, ann_recall_sql
+    e = _load_entry()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    approx = ann_join(emb, k=5, nprobe=2, exclude_self=True)(batch)
+    exact = ann_join(emb, k=5, nprobe=8, exclude_self=True)(batch)
+    got = sorted(tuple(r) for r in
+                 ann_recall(exact, k=5)(approx).collect())
+    want = _duck_with_views().execute(ann_recall_sql(
+        e._sql_ann_join(5, 2), e._sql_ann_join(5, 8), 5)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    # structural: nprobe=2 on 8 cells should miss SOMETHING (else the
+    # audit is vacuous) yet find most neighbors
+    rec = [r[3] for r in got]
+    assert 0.3 < sum(rec) / len(rec) <= 1.0

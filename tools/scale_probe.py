@@ -211,6 +211,52 @@ def main() -> None:
     DOC_OPS["jaccard_prefix"] = _jaccard_prefix
     DOC_OPS["nb_train_score"] = _nb_train_score
 
+    def _cosine_prefix(df):
+        # r9: same disjoint-vocab salting as _jaccard_prefix (TF-IDF
+        # features are tokens here) so the true pair set stays
+        # per-replica and the ratio measures the PLAN, not the output
+        from conduino_spark import cosine_prefix_pairs
+        rep = (F.col("doc_id") / F.lit(10_000_000)).cast("int") \
+            .cast("string")
+        salted = df.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), F.lit(r"(\S+)"),
+                             F.concat(F.lit("$1x"), rep)).alias("text"))
+        return cosine_prefix_pairs(threshold=0.8)(salted)
+
+    def _edit_distance(df):
+        # r9: a per-replica 8-char prefix pushes cross-replica string
+        # distance past k=2 (within a replica the shared prefix adds
+        # zero distance), so the true pair set stays per-replica
+        rep = (F.col("doc_id") / F.lit(10_000_000)).cast("int")
+        from conduino_spark import edit_distance_pairs
+        keyed = df.select(
+            "doc_id",
+            F.concat(F.format_string("%03dxyz ", rep),
+                     F.substring("text", 1, 40)).alias("s"))
+        return edit_distance_pairs(text_col="s", k=2)(keyed)
+
+    def _bm25_join(df):
+        # r9: corpus AND query batch both grow with replicas — the
+        # postings build + token-key candidate join must stay linear
+        from conduino_spark import bm25_join
+        from conduino_spark.operators.text import tokens_col
+        qs = (df.where(F.col("doc_id") % 50 == 0)
+              .select(F.col("doc_id").alias("query_id"),
+                      F.concat_ws(" ", F.slice(
+                          tokens_col(F.col("text")), 1, 5))
+                      .alias("query")))
+        return bm25_join(df, k=5, term_round=6)(qs)
+
+    def _phrase(df):
+        from conduino_spark import phrase_search
+        return phrase_search("row scan")(df)
+
+    DOC_OPS["cosine_prefix"] = _cosine_prefix
+    DOC_OPS["edit_distance"] = _edit_distance
+    DOC_OPS["bm25_join"] = _bm25_join
+    DOC_OPS["phrase_search"] = _phrase
+
     EMB_OPS = {
         # r7: batched ANN join — queries probe nprobe cells, corpus
         # partitions by cell; should stay ~linear in replicas
