@@ -1661,7 +1661,17 @@ def bench_extras():
             "phrase_search_docs": q_phrase_search_docs,
             "bm25_index_docs": q_bm25_index_docs,
             "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
-            "ann_recall_emb": q_ann_recall_emb}
+            "ann_recall_emb": q_ann_recall_emb,
+            "dup_span_trim_docs": q_dup_span_trim_docs}
+
+
+def q_dup_span_trim_docs(spark, sf):
+    # r9: the removal half of exact-substring dedup (Lee et al.) —
+    # keep-first corpus rewrite at the same L=16 as the dup_span_stats
+    # audit; bit-exact DuckDB replay at L=4/8 in tests/test_round9.py
+    from conduino_spark import dup_span_trim
+    docs = _src(sf, "documents").df(spark)
+    return dup_span_trim(window_tokens=16)(docs)
 
 
 def q_ann_recall_emb(spark, sf):

@@ -66,7 +66,8 @@ from conduino_spark.operators.text import (
 from conduino_spark.operators.dedup import (
     cosine_prefix_pairs,
     edit_distance_pairs,
-    decontaminate, dedup_exact, dup_span_stats, embedding_near_dup_pairs,
+    decontaminate, dedup_exact, dup_span_stats, dup_span_trim,
+    embedding_near_dup_pairs,
     jaccard_prefix_pairs, lsh_candidate_prob, minhash_dedup, semantic_dedup,
     leakage_safe_split, minhash_dedup_against, minhash_dedup_cc,
     minhash_dedup_pairs,

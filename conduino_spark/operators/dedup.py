@@ -919,6 +919,181 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
     return Stage(fn, name=name, seq_preserving=False)
 
 
+def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  name: str = "dup_span_trim") -> Stage:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022):
+    where :func:`dup_span_stats` only measures duplication, this
+    rewrites the corpus — every occurrence of a duplicated
+    ``window_tokens``-token window is cut EXCEPT the corpus-global
+    first one (smallest ``(id, pos)``), so exactly one copy of each
+    duplicated span survives.  Overlapping masked windows merge into
+    maximal spans before cutting (a doc never loses a token twice).
+
+    Emits ``(id_col, text, n_tokens, n_removed)``: untouched docs keep
+    their original ``text`` byte-for-byte; trimmed docs get the
+    canonical token stream (lowercased, single-space — the same
+    :func:`tokens_col` normalization every text operator here shares;
+    byte-exact splicing would need an offset map, documented out of
+    scope).  NULL-id rows are dropped (the keep-first rule needs a
+    total order — :func:`~conduino_spark.operators.sampling.
+    hash_sample`'s NULL-key convention).
+
+    Window keys are FULL md5 hex (128-bit): at 100 TB (~1e13 windows)
+    a 32/64-bit key WOULD collide and a collision here silently
+    deletes text, so the shuffle carries 32-char digests — wider than
+    a long, still never the window text.  Plan: one tracked narrow
+    (id, pos, digest) explode; one (digest) agg for counts + the
+    arg-min winner; one digest equi-join back; one per-doc positions
+    agg; one id-join to splice.  Cuts are pure ``aggregate``
+    expressions (interval-merge fold, then slice-stitch fold) — no
+    Python.  DuckDB replay: :func:`dup_span_trim_sql`.
+
+    Reference parity: conduino has no corpus rewriter (closest is
+    per-stream dedup, Combinators.hs:443 filter); this is north-star
+    scope (SURVEY §6), semantics from the public ExactSubstr setting."""
+    L = window_tokens
+    if L < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {L}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        df = df.where(F.col(id_col).isNotNull())
+        toks = tokens_col(F.col(text_col))
+        m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
+        acc = F.slice(toks, 1, m)
+        for j in range(2, L + 1):
+            acc = F.zip_with(acc, F.slice(toks, j, m),
+                             lambda x, y: F.concat(x, F.lit(" "), y))
+        ws = F.transform(acc, F.md5)
+        wins = track(df.select(F.col(id_col),
+                               F.posexplode(ws).alias("__p", "__h")))
+        winners = (wins.groupBy("__h")
+                       .agg(F.count(F.lit(1)).alias("__c"),
+                            F.min(F.struct(F.col(id_col).alias("i"),
+                                           F.col("__p").alias("p")))
+                             .alias("__w"))
+                       .where(F.col("__c") >= 2)
+                       .select("__h", "__w"))
+        masked = (wins.join(winners, "__h")
+                      .where(F.struct(F.col(id_col).alias("i"),
+                                      F.col("__p").alias("p"))
+                             != F.col("__w"))
+                      .groupBy(id_col)
+                      .agg(F.array_sort(F.collect_list("__p"))
+                            .alias("__mp")))
+
+        # interval-merge fold: sorted masked positions -> maximal
+        # non-overlapping [s, e) spans (each position covers [p, p+L))
+        iv_t = "array<struct<s:int,e:int>>"
+        zero = F.struct(
+            F.array().cast(iv_t).alias("ivs"),
+            F.lit(-1).alias("s"), F.lit(-1).alias("e"))
+
+        def step(a, p):
+            closed = F.concat(a["ivs"], F.array(F.struct(
+                a["s"].alias("s"), a["e"].alias("e"))))
+            return (F.when(p < a["e"], F.struct(
+                        a["ivs"].alias("ivs"), a["s"].alias("s"),
+                        (p + L).alias("e")))
+                     .when(a["s"] >= 0, F.struct(
+                        closed.alias("ivs"), p.alias("s"),
+                        (p + L).alias("e")))
+                     .otherwise(F.struct(
+                        a["ivs"].alias("ivs"), p.alias("s"),
+                        (p + L).alias("e"))))
+
+        def close(a):
+            return F.when(a["s"] >= 0, F.concat(a["ivs"], F.array(
+                F.struct(a["s"].alias("s"), a["e"].alias("e"))))) \
+                    .otherwise(a["ivs"])
+
+        j = (df.join(masked, id_col, "left")
+               .withColumn("__toks", toks)
+               .withColumn("__ivs", F.aggregate(
+                   F.coalesce("__mp", F.array().cast("array<int>")),
+                   zero, step, close)))
+
+        # slice-stitch fold: keep the gaps between spans + the tail
+        nt = F.size("__toks")
+        zero2 = F.struct(F.lit(0).alias("pos"),
+                         F.array().cast("array<string>").alias("kept"))
+
+        def cut(a, iv):
+            return F.struct(
+                iv["e"].alias("pos"),
+                F.concat(a["kept"], F.slice(
+                    F.col("__toks"), a["pos"] + 1,
+                    iv["s"] - a["pos"])).alias("kept"))
+
+        kept = F.aggregate(
+            "__ivs", zero2, cut,
+            lambda a: F.concat(a["kept"], F.slice(
+                F.col("__toks"), a["pos"] + 1, nt - a["pos"])))
+
+        n_kept = F.size(kept)
+        return j.select(
+            F.col(id_col),
+            F.when(F.size("__ivs") == 0, F.col(text_col))
+             .otherwise(F.concat_ws(" ", kept)).alias("text"),
+            nt.cast("long").alias("n_tokens"),
+            (nt - n_kept).cast("long").alias("n_removed"))
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def dup_span_trim_sql(L: int = 32, table: str = "documents", *,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB rendering of :func:`dup_span_trim` — bit-identical
+    (full-md5 window keys, ``row_number`` over ``(id, pos)`` = the
+    struct arg-min winner, same span merge, same canonical rejoin)."""
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql(text_col)
+    win = f"md5(array_to_string(t[i:i+{L - 1}], ' '))"
+    return f"""
+        WITH tk AS (SELECT {id_col} AS d, {text_col} AS orig, {toks} AS t
+                    FROM {table} WHERE {id_col} IS NOT NULL),
+        w AS (SELECT d, orig, len(t) AS nt, t,
+                     [{win} for i in range(1, len(t) - {L - 2})] AS ws
+              FROM tk),
+        wins AS (SELECT d, unnest(ws) AS h,
+                        generate_subscripts(ws, 1) - 1 AS p FROM w),
+        rk AS (SELECT d, p,
+                      ROW_NUMBER() OVER (PARTITION BY h
+                                         ORDER BY d, p) AS rn,
+                      COUNT(*) OVER (PARTITION BY h) AS c
+               FROM wins),
+        pos AS (SELECT d, p FROM rk WHERE c >= 2 AND rn >= 2),
+        g AS (SELECT d, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY d
+                                                ORDER BY p) < {L}
+                          THEN 0 ELSE 1 END AS brk
+              FROM pos),
+        runs AS (SELECT d, p,
+                        SUM(brk) OVER (PARTITION BY d ORDER BY p) AS run
+                 FROM g),
+        spans AS (SELECT d, run, MIN(p) AS s, MAX(p) + {L} AS e
+                  FROM runs GROUP BY d, run),
+        idx AS (SELECT d, unnest(t) AS tok,
+                       generate_subscripts(t, 1) - 1 AS i FROM w),
+        kept AS (SELECT idx.d, idx.tok, idx.i FROM idx
+                 WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                   WHERE sp.d = idx.d
+                                     AND idx.i >= sp.s AND idx.i < sp.e)),
+        agg AS (SELECT d, string_agg(tok, ' ' ORDER BY i) AS text,
+                       COUNT(*) AS nk
+                FROM kept GROUP BY d),
+        cut AS (SELECT DISTINCT d FROM spans)
+        SELECT w.d AS {id_col},
+               CASE WHEN cut.d IS NULL THEN w.orig
+                    ELSE coalesce(agg.text, '') END AS text,
+               CAST(w.nt AS BIGINT) AS n_tokens,
+               CAST(w.nt - CASE WHEN cut.d IS NULL THEN w.nt
+                                ELSE coalesce(agg.nk, 0) END
+                    AS BIGINT) AS n_removed
+        FROM w LEFT JOIN agg USING (d) LEFT JOIN cut USING (d)"""
+
+
 def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
                    threshold: float = 0.98,
                    bucket_col: "Optional[str]" = "label",

@@ -1349,3 +1349,89 @@ def test_ann_recall_ivf_vs_exact_replay(spark):
     # audit is vacuous) yet find most neighbors
     rec = [r[3] for r in got]
     assert 0.3 < sum(rec) / len(rec) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dup_span_trim: the removal half of exact-substring dedup (Lee et al.)
+# ---------------------------------------------------------------------------
+
+def _ref_trim(docs, L):
+    """Pure-Python model: mask every occurrence of a duplicated
+    L-window except the global-first (doc, pos); cut masked tokens."""
+    occ = {}
+    for d, t in docs.items():
+        for p in range(max(len(t) - L + 1, 0)):
+            occ.setdefault(tuple(t[p:p + L]), []).append((d, p))
+    masked = {d: set() for d in docs}
+    for hits in occ.values():
+        if len(hits) >= 2:
+            for d, p in sorted(hits)[1:]:
+                masked[d].update(range(p, p + L))
+    out = {}
+    for d, t in docs.items():
+        kept = [tok for i, tok in enumerate(t) if i not in masked[d]]
+        out[d] = (" ".join(kept) if masked[d] else None,  # None = untouched
+                  len(t), len(t) - len(kept))
+    return out
+
+
+def test_dup_span_trim_hand_example(spark):
+    from conduino_spark import dup_span_trim
+    # doc 1 holds the first occurrence of "a b c"; doc 2 repeats it
+    # twice (once mid-text, once at the end); doc 3 is clean; doc 4's
+    # repetition is WITHIN the doc (second copy still cut)
+    df = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "q a b c r a b c"), (3, "u v w"),
+         (4, "m n o m n o"), (None, "a b c")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+           for r in dup_span_trim(window_tokens=3)(df).collect()}
+    assert got == {1: ("a b c x y", 5, 0),     # global first, untouched
+                   2: ("q r", 8, 6),           # both later copies cut
+                   3: ("u v w", 3, 0),
+                   4: ("m n o", 6, 3)}         # within-doc repeat cut
+    assert None not in got                     # NULL ids dropped
+    with pytest.raises(ValueError, match="window_tokens"):
+        dup_span_trim(window_tokens=0)
+
+
+def test_dup_span_trim_untouched_keeps_original_bytes(spark):
+    from conduino_spark import dup_span_trim
+    df = spark.createDataFrame(
+        [(1, "  Mixed   CASE\ttext  "), (2, "other words here")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in dup_span_trim(window_tokens=2)(df).collect()}
+    # no duplication anywhere -> original text preserved byte-for-byte
+    assert got[1] == "  Mixed   CASE\ttext  "
+
+
+@pytest.mark.parametrize("L", [4, 8])
+def test_dup_span_trim_duckdb_replay(spark, L):
+    from conduino_spark import dup_span_trim
+    from conduino_spark.operators.dedup import dup_span_trim_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(tuple(r) for r in
+                 dup_span_trim(window_tokens=L)(docs).collect())
+    want = _duck_with_views().execute(dup_span_trim_sql(L)).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    assert sum(r[3] for r in got) > 0      # the corpus HAS duplication
+
+
+_TRIM_DOC = st.lists(st.sampled_from("abc"), min_size=0, max_size=12)
+
+
+@given(docs=st.lists(_TRIM_DOC, min_size=1, max_size=6),
+       L=st.integers(min_value=1, max_value=4))
+@settings(**_LAW9)
+def test_dup_span_trim_matches_python_model(spark, docs, L):
+    from conduino_spark import dup_span_trim
+    data = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in data.items()],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+           for r in dup_span_trim(window_tokens=L)(df).collect()}
+    for d, (txt, nt, nrm) in _ref_trim(data, L).items():
+        exp_txt = " ".join(data[d]) if txt is None else txt
+        assert got[d] == (exp_txt, nt, nrm), (d, data, L)
