@@ -1725,7 +1725,7 @@ def _bm25_index_dir(spark, sf):
     from conduino_spark import bm25_index_write
     src_file = os.path.join(sf, "documents.parquet")
     tag = (f"{abs(hash(os.path.abspath(sf)))}_"
-           f"{int(os.path.getmtime(src_file))}")
+           f"{int(os.path.getmtime(src_file))}_v2")  # v2: additive stats
     d = os.path.join(tempfile.gettempdir(), f"bm25_idx_{tag}")
     if not os.path.exists(os.path.join(d, "stats", "_SUCCESS")):
         docs = _src(sf, "documents", min_partitions="auto").df(spark)

@@ -79,7 +79,8 @@ from conduino_spark.operators.graph import (
     connected_components, label_propagation, pagerank, triangle_count,
 )
 from conduino_spark.operators.search import (
-    bm25_index_join, bm25_index_write, bm25_join, bm25_search,
+    bm25_index_join, bm25_index_merge, bm25_index_write, bm25_join,
+    bm25_search,
     build_postings, phrase_search, rrf_fuse,
 )
 from conduino_spark.operators.similarity import (

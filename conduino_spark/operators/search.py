@@ -357,9 +357,15 @@ def bm25_index_write(corpus: DataFrame, path: str, *,
       shards its query tokens hash into (dynamic partition pruning —
       asserted in tests), not the corpus-wide postings.
     * ``dfreq/`` — per-token document frequency (narrow, one agg).
-    * ``stats/`` — one row: corpus size, avg doc length, and
-      ``n_shards`` itself (the probe side must shard queries with the
-      SAME modulus; storing it in-band prevents drift).
+    * ``stats/`` — corpus size, TOTAL token count, and ``n_shards``
+      itself (the probe side must shard queries with the SAME modulus;
+      storing it in-band prevents drift).
+
+    Every table is ADDITIVE — dfreq rows are per-batch deltas summed
+    at probe time, stats rows are (count, long token sum) partials —
+    which is what makes :func:`bm25_index_merge` three appends
+    instead of a rewrite: long sums are order-free exact, so a merged
+    index replays a from-scratch rebuild bit-for-bit.
 
     The postings write repartitions BY shard first — without it every
     input task writes a file into every shard directory."""
@@ -375,9 +381,56 @@ def bm25_index_write(corpus: DataFrame, path: str, *,
          .write.mode(mode).parquet(f"{path}/dfreq"))
     ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     (corpus.agg(F.count(F.lit(1)).alias("__n"),
-                F.avg(F.size(ctoks)).alias("__avgdl"),
+                F.coalesce(F.sum(F.size(ctoks)), F.lit(0))
+                 .cast("long").alias("__sum_dl"),
                 F.lit(n_shards).alias("__n_shards"))
            .write.mode(mode).parquet(f"{path}/stats"))
+
+
+def bm25_index_merge(new_docs: DataFrame, path: str, *,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> None:
+    """Fold a NEW document batch into an existing
+    :func:`bm25_index_write` index — incremental index maintenance,
+    the shape a daily-crawl ingestion runs instead of rebuilding the
+    index over the whole corpus.
+
+    Three appends, no rewrite: new postings land as new files inside
+    the token-shard directories they hash into (same in-band
+    ``n_shards`` modulus — drift is impossible), per-token df deltas
+    append to ``dfreq/``, and one (count, token-sum) partial row
+    appends to ``stats/``.  All three are additive with long sums, so
+    probes against the merged index are BIT-EQUAL to a from-scratch
+    rebuild over the union corpus (law-tested).  Cost scales with the
+    NEW batch only — the existing index is never read or touched
+    beyond the 1-row-per-batch stats fetch.
+
+    Contract: append-only — caller guarantees new ids are not already
+    indexed (run :func:`~conduino_spark.operators.dedup.dedup_exact`
+    or an anti-join upstream; checking here would force a full
+    postings scan, defeating the point)."""
+    from conduino_spark.functions.hashing import h32
+    spark = new_docs.sparkSession
+    st = spark.read.parquet(f"{path}/stats").collect()
+    shards = {r["__n_shards"] for r in st}
+    if len(shards) != 1:
+        raise ValueError(f"inconsistent n_shards in index at {path}: "
+                         f"{sorted(shards)}")
+    n_shards = shards.pop()
+    post = (build_postings(text_col, id_col)(new_docs)
+            .withColumn("pt", F.pmod(h32(F.col("token")),
+                                     F.lit(n_shards))))
+    (post.repartition(min(n_shards, 8), "pt")
+         .write.partitionBy("pt").mode("append")
+         .parquet(f"{path}/postings"))
+    (post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+         .write.mode("append").parquet(f"{path}/dfreq"))
+    ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    (new_docs.agg(F.count(F.lit(1)).alias("__n"),
+                  F.coalesce(F.sum(F.size(ctoks)), F.lit(0))
+                   .cast("long").alias("__sum_dl"),
+                  F.lit(n_shards).alias("__n_shards"))
+             .write.mode("append").parquet(f"{path}/stats"))
 
 
 def bm25_index_join(index_path: str, k: int = 10, *,
@@ -408,10 +461,25 @@ def bm25_index_join(index_path: str, k: int = 10, *,
 
     def fn(queries: DataFrame) -> DataFrame:
         spark = queries.sparkSession
-        st = spark.read.parquet(f"{index_path}/stats").collect()[0]
-        n, avgdl, n_shards = st["__n"], st["__avgdl"], st["__n_shards"]
+        # one stats row per write/merge batch — additive partials
+        # (bounded: rows = batches, the 1-row-model-fetch convention)
+        st = spark.read.parquet(f"{index_path}/stats").collect()
+        shards = {r["__n_shards"] for r in st}
+        if len(shards) != 1:
+            raise ValueError(f"inconsistent n_shards in index at "
+                             f"{index_path}: {sorted(shards)}")
+        n_shards = shards.pop()
+        n = sum(r["__n"] for r in st)
+        sum_dl = sum(r["__sum_dl"] for r in st)
+        if not (0 <= sum_dl < 2 ** 53):  # keep the double division exact
+            raise ValueError(f"token sum {sum_dl} exceeds exact-double "
+                             f"range; re-scale the index stats")
+        avgdl = sum_dl / n if n else 0.0
         post = spark.read.parquet(f"{index_path}/postings")
-        dfreq = spark.read.parquet(f"{index_path}/dfreq")
+        # dfreq rows are per-batch deltas — one narrow vocab-sized agg
+        dfreq = (spark.read.parquet(f"{index_path}/dfreq")
+                 .groupBy("token")
+                 .agg(F.sum("df_t").cast("long").alias("df_t")))
         qt = (queries.select(
             F.col(query_id_col),
             F.explode(F.array_distinct(tokens_col(

@@ -1435,3 +1435,66 @@ def test_dup_span_trim_matches_python_model(spark, docs, L):
     for d, (txt, nt, nrm) in _ref_trim(data, L).items():
         exp_txt = " ".join(data[d]) if txt is None else txt
         assert got[d] == (exp_txt, nt, nrm), (d, data, L)
+
+
+# ---------------------------------------------------------------------------
+# bm25_index_merge: incremental index maintenance
+# ---------------------------------------------------------------------------
+
+def test_bm25_index_merge_equals_full_rebuild(spark, tmp_path):
+    """write(A) + merge(B) + merge(C) must be indistinguishable from a
+    from-scratch build over A∪B∪C — bit-equal probes in both scoring
+    modes (long-additive stats/dfreq make this exact, not approximate)."""
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_merge, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 1)
+    c = docs.where(F.col("doc_id") % 3 == 2)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    bm25_index_write(a, inc, n_shards=16)
+    bm25_index_merge(b, inc)
+    bm25_index_merge(c, inc)
+    bm25_index_write(docs, full, n_shards=16)
+
+    qs = _bm25_queries(spark)
+    for mode in (6, None):
+        got = sorted(tuple(r) for r in
+                     bm25_index_join(inc, k=5, term_round=mode)(qs)
+                     .collect())
+        want = sorted(tuple(r) for r in
+                      bm25_index_join(full, k=5, term_round=mode)(qs)
+                      .collect())
+        assert got == want and len(got) > 0
+
+
+def test_bm25_index_merge_empty_batch_is_noop(spark, tmp_path):
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_merge, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    bm25_index_write(docs, d, n_shards=16)
+    qs = _bm25_queries(spark)
+    before = sorted(tuple(r) for r in
+                    bm25_index_join(d, k=5, term_round=6)(qs).collect())
+    bm25_index_merge(docs.where(F.lit(False)), d)
+    after = sorted(tuple(r) for r in
+                   bm25_index_join(d, k=5, term_round=6)(qs).collect())
+    assert before == after
+
+
+def test_bm25_index_inconsistent_shards_raises(spark, tmp_path):
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    bm25_index_write(docs.limit(5), d, n_shards=16)
+    # simulate drift: a second writer appends with a DIFFERENT modulus
+    from pyspark.sql import functions as SF_
+    (docs.limit(3).agg(SF_.count(SF_.lit(1)).alias("__n"),
+                       SF_.lit(7).cast("long").alias("__sum_dl"),
+                       SF_.lit(32).alias("__n_shards"))
+         .write.mode("append").parquet(f"{d}/stats"))
+    with pytest.raises(ValueError, match="inconsistent n_shards"):
+        bm25_index_join(d, k=5)(_bm25_queries(spark)).collect()
