@@ -1662,7 +1662,21 @@ def bench_extras():
             "bm25_index_docs": q_bm25_index_docs,
             "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
             "ann_recall_emb": q_ann_recall_emb,
-            "dup_span_trim_docs": q_dup_span_trim_docs}
+            "dup_span_trim_docs": q_dup_span_trim_docs,
+            "sq_search_emb": q_sq_search_emb}
+
+
+def q_sq_search_emb(spark, sf):
+    # r9: the SQ8 compressed-ANN pipeline end-to-end — per-dim min/max
+    # train, 8-bit encode, asymmetric L2 top-10; bit-exact DuckDB
+    # replay in tests/test_round9.py (sq_sql)
+    from conduino_spark import sq_encode, sq_search, sq_train
+    emb = _src(sf, "embeddings").df(spark)
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == qid).first()["embedding"]]
+    m = sq_train(emb)
+    return sq_search(m, qvec, kk=10)(sq_encode(m)(emb))
 
 
 def q_dup_span_trim_docs(spark, sf):

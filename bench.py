@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     "profile_diff_docs", "bm25_join_docs", "label_prop_docs",
     "cosine_prefix_docs", "edit_distance_docs",
     "phrase_search_docs", "bm25_index_docs", "hybrid_retrieval_docs",
-    "ann_recall_emb", "dup_span_trim_docs",
+    "ann_recall_emb", "dup_span_trim_docs", "sq_search_emb",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

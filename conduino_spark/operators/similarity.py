@@ -675,6 +675,166 @@ def ivfpq_search(book: "dict[int, dict[int, list[float]]]",
                  seq_preserving=False)
 
 
+class SQModel:
+    """Driver-sized scalar-quantization model: per-dimension
+    ``mins``/``maxs`` (d floats each — the Faiss SQ8 trained state).
+    Like :class:`KMeansModel`, a bounded first-class artifact that
+    rides to executors as plan literals."""
+
+    def __init__(self, mins, maxs):
+        self.mins = [float(x) for x in mins]
+        self.maxs = [float(x) for x in maxs]
+        if len(self.mins) != len(self.maxs):
+            raise ValueError(f"mins/maxs length mismatch: "
+                             f"{len(self.mins)} vs {len(self.maxs)}")
+
+    @property
+    def dim(self) -> int:
+        return len(self.mins)
+
+
+def sq_train(df: DataFrame, *, vec_col: str = "embedding") -> SQModel:
+    """Train 8-bit scalar quantization (Faiss SQ8): per-dimension
+    global min/max over the corpus — the third leg of the compressed
+    ANN stack (IVF prunes the scan, PQ shrinks to m bytes with a
+    codebook, SQ shrinks to d bytes with NO codebook: 8× vs float64,
+    and unlike PQ the decode is a two-literal affine map, pure
+    codegen, no table lookups).
+
+    Plan: one posexplode to narrow (dim, value) rows + one d-group
+    min/max agg (map-side partial combine makes the shuffle d rows per
+    partition) + a 2×d driver fetch (the centroid/codebook bounded-
+    model-fetch convention).  Min/max are exact SELECTIONS — no
+    arithmetic — so the model replays in any engine bit-for-bit.
+    NULL vectors and wrong-length rows are excluded (the
+    vector_moments rule)."""
+    v = F.col(vec_col).cast("array<double>")
+    first = df.where(v.isNotNull()).select(F.size(v).alias("__d")).first()
+    if first is None:
+        raise ValueError("sq_train: no non-NULL vectors")
+    d = first["__d"]
+    rows = (df.where(v.isNotNull() & (F.size(v) == d)
+                     & ~F.exists(v, lambda x: x.isNull()))
+              .select(F.posexplode(v).alias("__i", "__x"))
+              .groupBy("__i")
+              .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+              .collect())
+    got = {r["__i"]: (r["mn"], r["mx"]) for r in rows}
+    return SQModel([got[i][0] for i in range(d)],
+                   [got[i][1] for i in range(d)])
+
+
+def sq_encode(model: SQModel, *, vec_col: str = "embedding",
+              out: str = "sq_codes") -> Stage:
+    """Encode vectors under an :class:`SQModel`:
+    ``code_i = clamp(round((x_i - mn_i) * 255 / (mx_i - mn_i)), 0,
+    255)`` (degenerate dims with mx == mn encode 0).  Pure
+    transform-with-index column algebra — no Python, no shuffle; the
+    codes column bit-packs to ~1 byte/dim in parquet.  NULL / wrong-
+    length vectors are dropped (same rule as :func:`sq_train`)."""
+    d = model.dim
+    mn = F.array(*[F.lit(x) for x in model.mins])
+    mx = F.array(*[F.lit(x) for x in model.maxs])
+
+    def fn(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+
+        def code(x, i):
+            lo = F.element_at(mn, i + 1)
+            hi = F.element_at(mx, i + 1)
+            q = F.round((x - lo) * F.lit(255.0) / (hi - lo)).cast("int")
+            return F.when(hi == lo, F.lit(0)).otherwise(
+                F.greatest(F.lit(0), F.least(F.lit(255), q)))
+
+        return (df.where(v.isNotNull() & (F.size(v) == d)
+                         & ~F.exists(v, lambda x: x.isNull()))
+                  .withColumn(out, F.transform(v, code)))
+
+    return Stage(fn, name=f"sq_encode(d={d})", seq_preserving=True)
+
+
+def sq_search(model: SQModel, query, kk: int = 10, *,
+              codes_col: str = "sq_codes", id_col: str = "vec_id",
+              out: str = "approx_dist") -> Stage:
+    """Asymmetric top-``kk`` over SQ codes (:func:`pq_search`'s ADC
+    shape without the lookup table): each row scores
+    ``sum_i (q_i - (mn_i + code_i * s_i))²`` with ``s_i =
+    (mx_i - mn_i)/255`` — the float query against the AFFINE DECODE of
+    the 1-byte codes, so vectors stay compressed end-to-end.  One
+    whole-stage-codegen projection + exact TakeOrderedAndProject
+    (dist asc rounded to 6dp, ties by id) — no shuffle, no Python.
+    The expression shape (subtract-then-square in dimension order,
+    sequential fold) is pinned so DuckDB replays bit-for-bit."""
+    if kk < 1:
+        raise ValueError(f"need kk >= 1, got kk={kk}")
+    if len(query) != model.dim:
+        raise ValueError(f"query dim {len(query)} != model dim "
+                         f"{model.dim}")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    mn = F.array(*[F.lit(x) for x in model.mins])
+    sc = F.array(*[F.lit((hi - lo) / 255.0)
+                   for lo, hi in zip(model.mins, model.maxs)])
+
+    def fn(df: DataFrame) -> DataFrame:
+        c = F.col(codes_col)
+
+        def term(x, i):
+            # explicit d*d, not pow(d, 2): libm pow parity across
+            # engines is not guaranteed; multiplication is IEEE-exact
+            d_ = (F.element_at(q, i + 1)
+                  - (F.element_at(mn, i + 1)
+                     + x.cast("double") * F.element_at(sc, i + 1)))
+            return d_ * d_
+
+        terms = F.transform(c, term)
+        dist = F.round(F.aggregate(
+            terms, F.lit(0.0), lambda a, t: a + t), 6)
+        return (df.select(F.col(id_col), dist.alias(out))
+                  .orderBy(out, id_col).limit(kk))
+
+    return Stage(fn, name=f"sq_search({kk})", seq_preserving=False)
+
+
+def sq_sql(kk: int = 10, *, table: str = "embeddings",
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           query_id: int = 0) -> str:
+    """DuckDB rendering of :func:`sq_train` + :func:`sq_encode` +
+    :func:`sq_search` end-to-end (train min/max from the same table,
+    encode every row, score against ``query_id``'s raw vector) —
+    bit-identical: exact-selection bounds, the same
+    round/clamp encode, the same subtract-then-square decode shape,
+    and list_sum over dimension order for the fold."""
+    return f"""
+        WITH e AS (SELECT {id_col} AS vid,
+                          CAST({vec_col} AS DOUBLE[]) AS v
+                   FROM {table}
+                   WHERE {vec_col} IS NOT NULL),
+        mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
+               FROM (SELECT unnest(v) AS x,
+                            generate_subscripts(v, 1) AS i FROM e)
+               GROUP BY i),
+        q AS (SELECT v AS qv FROM e WHERE vid = {query_id}),
+        term AS (SELECT e.vid, mm.i,
+                        CASE WHEN mm.mx = mm.mn THEN 0
+                             ELSE greatest(0, least(255,
+                                  CAST(round((e.v[mm.i] - mm.mn) * 255.0
+                                             / (mm.mx - mm.mn))
+                                       AS INTEGER)))
+                        END AS code
+                 FROM e, mm),
+        sco AS (SELECT term.vid,
+                       round(list_sum(list(
+                           (q.qv[term.i] - (mm.mn + term.code
+                                            * ((mm.mx - mm.mn) / 255.0)))
+                           * (q.qv[term.i] - (mm.mn + term.code
+                                              * ((mm.mx - mm.mn) / 255.0)))
+                           ORDER BY term.i)), 6) AS approx_dist
+                FROM term JOIN mm USING (i), q
+                GROUP BY term.vid)
+        SELECT vid AS {id_col}, approx_dist FROM sco
+        ORDER BY approx_dist, {id_col} LIMIT {kk}"""
+
+
 def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              cell_col: str = "label", out_id: str = "neighbor_id",

@@ -1498,3 +1498,87 @@ def test_bm25_index_inconsistent_shards_raises(spark, tmp_path):
          .write.mode("append").parquet(f"{d}/stats"))
     with pytest.raises(ValueError, match="inconsistent n_shards"):
         bm25_index_join(d, k=5)(_bm25_queries(spark)).collect()
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar-quantized ANN (train / encode / asymmetric search)
+# ---------------------------------------------------------------------------
+
+def test_sq_hand_example(spark):
+    from conduino_spark import SQModel, sq_encode, sq_search, sq_train
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0]), (3, [0.5, 15.0]),
+         (4, None), (5, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    m = sq_train(df, vec_col="embedding")
+    assert (m.mins, m.maxs) == ([0.0, 10.0], [1.0, 20.0])
+    enc = {r.vec_id: r.sq_codes
+           for r in sq_encode(m)(df).collect()}
+    # NULL and wrong-length rows dropped; bounds map to 0/255
+    assert set(enc) == {1, 2, 3}
+    assert enc[1] == [0, 0] and enc[2] == [255, 255]
+    assert enc[3] == [128, 128]            # 0.5 -> 127.5 rounds HALF_UP
+    got = sq_search(m, [0.0, 10.0], kk=2)(
+        sq_encode(m)(df)).collect()
+    assert [r.vec_id for r in got] == [1, 3]
+    assert got[0].approx_dist == 0.0
+    with pytest.raises(ValueError, match="query dim"):
+        sq_search(m, [0.0], kk=2)
+    with pytest.raises(ValueError, match="kk"):
+        sq_search(m, [0.0, 1.0], kk=0)
+    with pytest.raises(ValueError, match="mismatch"):
+        SQModel([0.0], [1.0, 2.0])
+
+
+def test_sq_degenerate_dim(spark):
+    from conduino_spark import sq_encode, sq_search, sq_train
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    m = sq_train(df)
+    assert m.mins[0] == m.maxs[0] == 5.0
+    enc = {r.vec_id: r.sq_codes for r in sq_encode(m)(df).collect()}
+    assert enc[1][0] == 0 and enc[2][0] == 0    # mx == mn encodes 0
+    # decode of the degenerate dim is mn (scale 0): dist ignores it
+    got = sq_search(m, [5.0, 1.0], kk=1)(sq_encode(m)(df)).collect()
+    assert got[0].vec_id == 1 and got[0].approx_dist == 0.0
+
+
+def test_sq_duckdb_replay(spark):
+    """Full train+encode+search pipeline replayed bit-for-bit."""
+    from conduino_spark import sq_encode, sq_search, sq_train
+    from conduino_spark.operators.similarity import sq_sql
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == qid).first()["embedding"]]
+    m = sq_train(emb)
+    got = [tuple(r) for r in
+           sq_search(m, qvec, kk=10)(sq_encode(m)(emb)).collect()]
+    want = _duck_with_views().execute(sq_sql(10, query_id=qid)).fetchall()
+    assert got == [tuple(r) for r in want]
+    # the self-row's quantization error is small but real
+    assert got[0][0] == qid and 0.0 <= got[0][1] < 1.0
+
+
+def test_sq_quantization_error_bounded(spark):
+    """SQ8 ranks must agree with exact brute-force on clearly
+    separated neighbors: recall@10 of SQ vs exact > 0.5 on the real
+    embeddings (quantization is lossy, not random)."""
+    from conduino_spark import sq_encode, sq_search, sq_train
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == qid).first()["embedding"]]
+    m = sq_train(emb)
+    approx = {r.vec_id for r in
+              sq_search(m, qvec, kk=10)(sq_encode(m)(emb)).collect()}
+    q = F.array(*[F.lit(x) for x in qvec])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), q,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda a, t: a + t)
+    exact = {r.vec_id for r in
+             emb.select("vec_id", l2.alias("d"))
+                .orderBy("d", "vec_id").limit(10).collect()}
+    assert len(approx & exact) >= 5
