@@ -1066,7 +1066,19 @@ def q_pq_adc_search(spark, sf):
     qv = [float(x) for x in row["embedding"]]
     enc = pq_encode(book)(emb)
     p = from_dataframe(enc) | pq_search(book, qv, kk=10) | sink_df()
-    return run_pipe(p, spark)
+    pq = run_pipe(p, spark).select(
+        F.lit("pq").alias("method"), "vec_id", "approx_dist")
+    # r9 second arm: the SAME query through the SQ8 path (scalar
+    # quantization — no codebook, affine decode) so both compressed-
+    # ANN representations hash-verify under one pin; model memoized
+    # like the PQ book.
+    from conduino_spark import sq_encode, sq_search, sq_train
+    if ("sq", tag) not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[("sq", tag)] = sq_train(emb)
+    sqm = _PQ_BOOK_CACHE[("sq", tag)]
+    sq = (sq_search(sqm, qv, kk=10)(sq_encode(sqm)(emb))
+          .select(F.lit("sq").alias("method"), "vec_id", "approx_dist"))
+    return pq.unionByName(sq)
 
 
 def q_tpch_q14(spark, sf):
@@ -1127,7 +1139,14 @@ def q_line_dedup_docs(spark, sf):
     ds = _strip(run_pipe(p, spark)).select(
         "doc_id", "n_windows", "n_dup_windows", "dup_window_frac",
         "n_dup_spans", "dup_token_frac")
-    return ld.join(ds, "doc_id", "left")
+    # r9 third arm: the REMOVAL half (dup_span_trim — keep-first
+    # exact-substring rewrite at the same L=16) joins the audit pin,
+    # so the rewritten corpus itself is driver-hash-verified
+    from conduino_spark import dup_span_trim
+    dt = dup_span_trim(window_tokens=16)(docs).select(
+        "doc_id", F.col("text").alias("trim_text"),
+        "n_tokens", "n_removed")
+    return ld.join(ds, "doc_id", "left").join(dt, "doc_id", "left")
 
 
 def q_bigram_logprob_docs(spark, sf):
@@ -1995,10 +2014,29 @@ def q_ann_join_emb(spark, sf):
     # retrieval-batch join shape; never all-pairs (candidates only
     # inside each query's 2 best cells).  The full self-join (kNN
     # graph) variant is the scale-probe op (ratio 1.5 at 10x).
-    from conduino_spark import ann_join, hash_sample
+    # r9 second arm: the ANN QUALITY AUDIT rides the same pin —
+    # ann_recall of this exact nprobe=2 probe vs nprobe=8 (= all
+    # cells, exact), so the measured recall@5 of the gated
+    # approximation is itself driver-hash-verified (the minhash_eval
+    # measure-don't-guess pattern for dense retrieval).  Packing:
+    # recall rows tag arm='recall', neighbor_id = n_truth*1000+n_hit
+    # (exact ints), score = recall (6dp), rank = 0.
+    from conduino_spark import ann_join, ann_recall, hash_sample
     emb = _src(sf, "embeddings").df(spark)
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
-    return ann_join(emb, k=5, nprobe=2, exclude_self=True)(batch)
+    approx = ann_join(emb, k=5, nprobe=2, exclude_self=True)(batch)
+    exact = ann_join(emb, k=5, nprobe=8, exclude_self=True)(batch)
+    rec = ann_recall(exact, k=5)(approx)
+    hits = approx.select(
+        F.lit("hit").alias("arm"), "vec_id", "neighbor_id",
+        F.col("cosine").alias("score"), "rank")
+    recall = rec.select(
+        F.lit("recall").alias("arm"), "vec_id",
+        (F.col("n_truth") * 1000 + F.col("n_hit")).cast("long")
+        .alias("neighbor_id"),
+        F.col("recall").alias("score"),
+        F.lit(0).cast("int").alias("rank"))
+    return hits.unionByName(recall)
 
 
 def q_bpe_train_docs(spark, sf):
@@ -3592,6 +3630,9 @@ def _sql_ann_join(k: int = 5, nprobe: int = 2,
 
 
 def oracle_sql() -> dict[str, str]:
+    from conduino_spark.operators.dedup import dup_span_trim_sql
+    from conduino_spark.operators.similarity import (
+        ann_recall_sql, sq_sql)
     toks = tokens_sql("text")
     li_seq = "l_orderkey * 8 + l_linenumber"  # unused; events carry event_id
     sql = {
@@ -4194,7 +4235,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": """
             SELECT ld.doc_id, ld.text, ld.n_lines, ld.n_lines_dropped,
                    ds.n_windows, ds.n_dup_windows, ds.dup_window_frac,
-                   ds.n_dup_spans, ds.dup_token_frac
+                   ds.n_dup_spans, ds.dup_token_frac,
+                   dt.trim_text, dt.n_tokens, dt.n_removed
             FROM (
             WITH lines AS (
               SELECT doc_id, pos, line, lower(trim(line)) AS nl
@@ -4222,7 +4264,11 @@ def oracle_sql() -> dict[str, str]:
                      AS n_lines_dropped
             FROM documents d LEFT JOIN re USING (doc_id)
             ) ld LEFT JOIN (""" + _sql_dup_span(16) + """
-            ) ds USING (doc_id)""",
+            ) ds USING (doc_id)
+            LEFT JOIN (SELECT doc_id, text AS trim_text, n_tokens,
+                              n_removed
+                       FROM (""" + dup_span_trim_sql(16) + """)
+            ) dt USING (doc_id)""",
         "bigram_logprob_docs": f"""
             WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
             uni AS (SELECT tok AS token, COUNT(*) AS c
@@ -4323,7 +4369,12 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sizes sa ON sa.source = group_a
             JOIN sizes sb ON sb.source = group_b""",
-        "pq_adc_search": _sql_pq_adc(),
+        # r9 merge: + the SQ8 arm (scalar-quantized search, same query)
+        "pq_adc_search": (
+            f"SELECT 'pq' AS method, vec_id, approx_dist "
+            f"FROM ({_sql_pq_adc()}) "
+            f"UNION ALL SELECT 'sq' AS method, vec_id, approx_dist "
+            f"FROM ({sq_sql(10, query_id=QUERY_KNN_ID)})"),
         "tpch_suite_digest": _sql_tpch_suite_digest(),
         "json_props": """
             SELECT event_type,
@@ -4349,7 +4400,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90,
                    d, c, n
             FROM ({_sql_windowed_cm(width=256, depth=3)})""",
-        "ann_join_emb": _sql_ann_join(),
+        # r9 merge: + the recall-audit arm (ann_recall of the gated
+        # nprobe=2 probe vs nprobe=8 exact; packing per q_ann_join_emb)
+        "ann_join_emb": (
+            f"SELECT 'hit' AS arm, vec_id, neighbor_id, "
+            f"cosine AS score, rank FROM ({_sql_ann_join(5, 2)}) "
+            f"UNION ALL SELECT 'recall' AS arm, vec_id, "
+            f"n_truth * 1000 + n_hit AS neighbor_id, recall AS score, "
+            f"CAST(0 AS INTEGER) AS rank FROM ("
+            + ann_recall_sql(_sql_ann_join(5, 2),
+                             _sql_ann_join(5, 8), 5) + ")"),
         # r8/r9 rotation: newly gated operators.  bpe_train_docs left
         # the gate in r9 (back to bench_extras): its merge-learning is
         # an iterative argmax the driver could never hash-verify, and
