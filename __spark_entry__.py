@@ -1682,7 +1682,27 @@ def bench_extras():
             "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
             "ann_recall_emb": q_ann_recall_emb,
             "dup_span_trim_docs": q_dup_span_trim_docs,
-            "sq_search_emb": q_sq_search_emb}
+            "sq_search_emb": q_sq_search_emb,
+            "ivf_index_emb": q_ivf_index_emb}
+
+
+def q_ivf_index_emb(spark, sf):
+    # r9: the persisted dense index — build-once (memoized like the
+    # BM25/LSH indexes), probe the 10% batch with DPP on the cell
+    # dirs; bit-equal to in-memory ann_join by law (test_round9)
+    import os
+    import tempfile
+    from conduino_spark import (hash_sample, ivf_index_join,
+                                ivf_index_write, kmeans_fit)
+    emb = _src(sf, "embeddings").df(spark)
+    src_file = os.path.join(sf, "embeddings.parquet")
+    tag = (f"{abs(hash(os.path.abspath(sf)))}_"
+           f"{int(os.path.getmtime(src_file))}_v1")
+    d = os.path.join(tempfile.gettempdir(), f"ivf_idx_{tag}")
+    if not os.path.exists(os.path.join(d, "centroids", "_SUCCESS")):
+        ivf_index_write(emb, d, kmeans_fit(emb, k=8, iters=2))
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    return ivf_index_join(d, k=5, nprobe=2, exclude_self=True)(batch)
 
 
 def q_sq_search_emb(spark, sf):

@@ -835,11 +835,68 @@ def sq_sql(kk: int = 10, *, table: str = "embeddings",
         ORDER BY approx_dist, {id_col} LIMIT {kk}"""
 
 
+def ivf_index_write(df: DataFrame, path: str, model: KMeansModel, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF index ONCE — the dense twin of
+    :func:`~conduino_spark.operators.search.bm25_index_write`: assign
+    every vector to its nearest :class:`KMeansModel` centroid
+    (broadcast literals, zero shuffle) and write the corpus
+    ``partitionBy(cell)``, with the centroids stored alongside so
+    probes rank cells from the SAME quantizer (in-band model — the
+    n_shards rule; drift between assignment and ranking is
+    impossible).  Probes then read only their nprobe cell directories
+    (dynamic partition pruning, plan-asserted in tests) instead of
+    scanning the corpus.
+
+    The write repartitions BY cell first (the lsh_index_write
+    file-churn rule: without it every input task writes a file into
+    every cell directory)."""
+    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+        df.where(F.col(vec_col).isNotNull()))
+    (assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
+             .repartition(max(model.k, 1), "cell")
+             .write.partitionBy("cell").mode(mode)
+             .parquet(f"{path}/vectors"))
+    spark = df.sparkSession
+    (spark.createDataFrame(
+        [(int(c), [float(x) for x in v])
+         for c, v in model.centroids.items()],
+        "cell long, centroid array<double>")
+     .coalesce(1).write.mode(mode).parquet(f"{path}/centroids"))
+
+
+def ivf_index_join(index_path: str, k: int = 10, *, nprobe: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_self: bool = False,
+                   kernel: str = "exact") -> Stage:
+    """:func:`ann_join` against a persisted :func:`ivf_index_write`
+    index: identical output (law-tested bit-equal), but cell ranking
+    uses the stored quantizer (a k×d bounded model fetch — no
+    corpus-wide mean scan at probe time) and the candidate join reads
+    only the probed cell directories of the partitioned corpus."""
+
+    def fn(queries: DataFrame) -> DataFrame:
+        spark = queries.sparkSession
+        cents = {int(r["cell"]): [float(x) for x in r["centroid"]]
+                 for r in spark.read.parquet(
+                     f"{index_path}/centroids").collect()}
+        corpus = spark.read.parquet(f"{index_path}/vectors")
+        return ann_join(corpus, k, nprobe=nprobe, vec_col=vec_col,
+                        id_col=id_col, cell_col="cell",
+                        exclude_self=exclude_self, kernel=kernel,
+                        centroids=cents)(queries)
+
+    return Stage(fn, name=f"ivf_index_join({k},nprobe={nprobe})",
+                 seq_preserving=False)
+
+
 def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              cell_col: str = "label", out_id: str = "neighbor_id",
              out_cos: str = "cosine", exclude_self: bool = False,
              kernel: str = "exact",
+             centroids: "Optional[dict]" = None,
              scale: int = 1_000_000_000) -> Stage:
     """Batched ANN JOIN: for EVERY query vector, its top-``k`` cosine
     neighbors from ``corpus`` — the all-rows counterpart of the
@@ -898,16 +955,33 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
         # per-(cell, dim) centroid means — ivf_search's aggregate shape
         # (fresh scan, not derived from `corp`: sharing the lineage
         # makes the later corp-join ambiguous on __cell; same NULL
-        # filter so both sides see the same universe)
-        ex = (corpus.where(F.col(cell_col).isNotNull())
-                    .select(F.col(cell_col).alias("__cell"),
-                            F.posexplode(cvec).alias("__i", "__x")))
-        sv = F.round(F.col("__x") * scale).cast("long")
-        means = (ex.groupBy("__cell", "__i")
-                   .agg((_guarded_long_sum(sv, "ann_join means")
-                          .cast("double")
-                         / F.count(F.lit(1)).cast("double")
-                         / F.lit(sc)).alias("__m")))
+        # filter so both sides see the same universe).  When
+        # ``centroids`` is given (a {cell: [d floats]} model, e.g.
+        # :func:`cell_centroids`/:class:`KMeansModel` output, or the
+        # in-band quantizer :func:`ivf_index_join` reads back), the
+        # corpus-wide mean scan is SKIPPED — the model becomes a tiny
+        # literal table and the only corpus access left is the pruned
+        # candidate join.  Cells absent from the model are never
+        # probed.  cell_n2 derives from the literal means through the
+        # SAME expressions, so rankings stay bit-identical to the
+        # data-derived path when the model equals the data means
+        # (law-tested).
+        if centroids is not None:
+            means = queries.sparkSession.createDataFrame(
+                [(int(c), i, float(x))
+                 for c, v in centroids.items()
+                 for i, x in enumerate(v)],
+                "__cell long, __i int, __m double")
+        else:
+            ex = (corpus.where(F.col(cell_col).isNotNull())
+                        .select(F.col(cell_col).alias("__cell"),
+                                F.posexplode(cvec).alias("__i", "__x")))
+            sv = F.round(F.col("__x") * scale).cast("long")
+            means = (ex.groupBy("__cell", "__i")
+                       .agg((_guarded_long_sum(sv, "ann_join means")
+                              .cast("double")
+                             / F.count(F.lit(1)).cast("double")
+                             / F.lit(sc)).alias("__m")))
         nv = F.round(F.col("__m") * F.col("__m") * scale).cast("long")
         cell_n2 = (means.groupBy("__cell")
                         .agg((_guarded_long_sum(nv, "ann_join norms")

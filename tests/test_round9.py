@@ -1582,3 +1582,62 @@ def test_sq_quantization_error_bounded(spark):
              emb.select("vec_id", l2.alias("d"))
                 .orderBy("d", "vec_id").limit(10).collect()}
     assert len(approx & exact) >= 5
+
+
+# ---------------------------------------------------------------------------
+# IVF persisted index: ivf_index_write / ivf_index_join + ann_join centroids
+# ---------------------------------------------------------------------------
+
+def test_ann_join_centroids_param_matches_data_means(spark):
+    """ann_join with an explicit centroids model equal to the data
+    means must reproduce the data-derived path bit-for-bit (same
+    scaled-long arithmetic both ways)."""
+    from conduino_spark import ann_join, cell_centroids, hash_sample
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    cents = cell_centroids(emb, cell_col="label")
+    got = sorted(tuple(r) for r in
+                 ann_join(emb, k=5, nprobe=2, exclude_self=True,
+                          centroids=cents)(batch).collect())
+    want = sorted(tuple(r) for r in
+                  ann_join(emb, k=5, nprobe=2,
+                           exclude_self=True)(batch).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_join_equals_in_memory(spark, tmp_path):
+    """The persisted-index probe reproduces the in-memory ann_join
+    over the same quantizer assignment, bit-for-bit."""
+    from conduino_spark import (ann_join, hash_sample, ivf_index_join,
+                                ivf_index_write, kmeans_assign,
+                                kmeans_fit)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = kmeans_fit(emb, k=8, iters=2)
+    d = str(tmp_path / "ivf")
+    ivf_index_write(emb, d, model)
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    got = sorted(tuple(r) for r in
+                 ivf_index_join(d, k=5, nprobe=2,
+                                exclude_self=True)(batch).collect())
+    assigned = kmeans_assign(model)(emb)
+    want = sorted(tuple(r) for r in
+                  ann_join(assigned, k=5, nprobe=2, cell_col="cell",
+                           exclude_self=True,
+                           centroids=model.centroids)(batch).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The probe plan prunes the partitioned vectors scan to the
+    probed cells — dynamic partition pruning on the cell directory
+    column, the bm25_index DPP posture for the dense side."""
+    from conduino_spark import (hash_sample, ivf_index_join,
+                                ivf_index_write, kmeans_fit)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = kmeans_fit(emb, k=8, iters=2)
+    d = str(tmp_path / "ivf")
+    ivf_index_write(emb, d, model)
+    batch = hash_sample("vec_id", 0.02, salt="annq")(emb)
+    plan = (ivf_index_join(d, k=5, nprobe=1)(batch)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan
