@@ -1641,3 +1641,43 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     plan = (ivf_index_join(d, k=5, nprobe=1)(batch)
             ._jdf.queryExecution().executedPlan().toString())
     assert "dynamicpruning" in plan
+
+
+def test_bm25_index_merge_streaming_ingestion(spark, tmp_path):
+    """The ingestion-service deployment made REAL: a file-source
+    stream of document batches folds into the persisted index via
+    foreachBatch(bm25_index_merge) — one micro-batch per arriving
+    file — and probes against the final index are bit-equal to a
+    from-scratch rebuild over everything ingested.  Merge order never
+    matters (all three index tables are additive), so the law holds
+    whatever order the stream delivers the files."""
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_merge, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    inbox = str(tmp_path / "inbox")
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(1) \
+        .write.parquet(f"{inbox}/b1")
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1) \
+        .write.parquet(f"{inbox}/b2")
+
+    idx = str(tmp_path / "idx")
+    bm25_index_write(a, idx, n_shards=16)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: bm25_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    bm25_index_write(docs, full, n_shards=16)
+    qs = _bm25_queries(spark)
+    got = sorted(tuple(r) for r in
+                 bm25_index_join(idx, k=5, term_round=6)(qs).collect())
+    want = sorted(tuple(r) for r in
+                  bm25_index_join(full, k=5, term_round=6)(qs).collect())
+    assert got == want and len(got) > 0
