@@ -1683,7 +1683,32 @@ def bench_extras():
             "ann_recall_emb": q_ann_recall_emb,
             "dup_span_trim_docs": q_dup_span_trim_docs,
             "sq_search_emb": q_sq_search_emb,
-            "ivf_index_emb": q_ivf_index_emb}
+            "ivf_index_emb": q_ivf_index_emb,
+            "hashing_tf_docs": q_hashing_tf_docs,
+            "winnow_docs": q_winnow_docs}
+
+
+def q_hashing_tf_docs(spark, sf):
+    # r9: the vocab-free featurizer at dim=256 (dense fill) — one
+    # explode + count agg + id join; DuckDB sparse replay in
+    # tests/test_round9.py
+    from conduino_spark import hashing_tf
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    return (hashing_tf(dim=256)(docs)
+            .select("doc_id", F.aggregate(
+                "tf", F.lit(0).cast("long"),
+                lambda a, x: a + x).alias("n_tokens"),
+                F.size(F.filter("tf", lambda x: x > 0))
+                .alias("n_slots")))
+
+
+def q_winnow_docs(spark, sf):
+    # r9: MOSS winnowing fingerprints (k=5, w=4) over the corpus —
+    # per-doc array math + one explode; DuckDB bit replay in
+    # tests/test_round9.py
+    from conduino_spark import winnow_fingerprints
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    return winnow_fingerprints(k=5, w=4)(docs)
 
 
 def q_ivf_index_emb(spark, sf):
@@ -1723,7 +1748,7 @@ def q_dup_span_trim_docs(spark, sf):
     # keep-first corpus rewrite at the same L=16 as the dup_span_stats
     # audit; bit-exact DuckDB replay at L=4/8 in tests/test_round9.py
     from conduino_spark import dup_span_trim
-    docs = _src(sf, "documents").df(spark)
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
     return dup_span_trim(window_tokens=16)(docs)
 
 

@@ -92,7 +92,7 @@ BENCH_QUERIES = [
     "cosine_prefix_docs", "edit_distance_docs",
     "phrase_search_docs", "bm25_index_docs", "hybrid_retrieval_docs",
     "ann_recall_emb", "dup_span_trim_docs", "sq_search_emb",
-    "ivf_index_emb",
+    "ivf_index_emb", "hashing_tf_docs", "winnow_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -56,7 +56,7 @@ from conduino_spark.operators.relational import (
 from conduino_spark.operators.text import (
     bigram_logprob, bigram_vocab,
     chunk_text, corpus_filter, dsir_logratio, dsir_topk, fingerprint,
-    lang_id, line_dedup,
+    hashing_tf, lang_id, line_dedup,
     normalize_text,
     pack_chunks, perplexity_buckets, quality_score, redact_pii,
     repetition_stats, strip_html,
@@ -73,6 +73,7 @@ from conduino_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_eval, minhash_signatures, ngram_jaccard_pairs, simhash,
     simhash_dedup_pairs, source_overlap, tune_minhash_bands,
+    winnow_fingerprints,
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
 from conduino_spark.operators.graph import (

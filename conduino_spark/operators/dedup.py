@@ -1041,6 +1041,113 @@ def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
     return Stage(fn, name=name, seq_preserving=False)
 
 
+def winnow_fingerprints(k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        name: str = "winnow_fingerprints") -> Stage:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03 —
+    the MOSS algorithm): hash every ``k``-token gram, slide a window
+    of ``w`` consecutive gram hashes, select each window's MINIMUM
+    hash (rightmost position on ties — the paper's robust-winnowing
+    rule), and emit the distinct selected (id, pos, fp) rows.
+
+    The guarantee (paper §2): any shared substring of at least
+    ``w + k - 1`` tokens yields at least one COMMON fingerprint — so a
+    fingerprint equi-join is a candidate generator for substring-level
+    overlap with a hard detection floor, at ~2/(w+1) the density of
+    the full gram set (the :func:`minhash_signatures` band-join
+    posture with a positional guarantee instead of a probabilistic
+    one).
+
+    Plan: per-doc arrays end-to-end — gram build is the zip-slice CSE
+    idiom, window minima are O(n·w) pure ``transform``/``aggregate``
+    expressions, the output explodes to narrow (id, pos, fp) rows
+    (text never shuffles).  Bit-replayable in DuckDB
+    (:func:`winnow_fingerprints_sql`); NULL ids dropped (join-key
+    rule)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        df = df.where(F.col(id_col).isNotNull())
+        toks = tokens_col(F.col(text_col))
+        m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+        acc = F.slice(toks, 1, m)
+        for j in range(2, k + 1):
+            acc = F.zip_with(acc, F.slice(toks, j, m),
+                             lambda x, y: F.concat(x, F.lit(" "), y))
+        # per-window rightmost-min via the SAME zip-of-shifted-slices
+        # trick the gram build uses: w slice copies TOTAL and w
+        # element-wise zip passes — O(n·w) per doc.  (The naive
+        # per-window formulation re-evaluates an O(n) slice copy per
+        # element access — O(n²·w), measured minutes per task at
+        # sf0.1.)  Left-to-right over j with `b <= a -> take b` keeps
+        # the RIGHTMOST minimal position, the paper's robust rule.
+        # __hs/__hsp land as REAL columns first (the shingles_col CSE
+        # lesson: a repeated expression subtree inside higher-order
+        # lambdas re-evaluates per reference; an attribute doesn't).
+        b1 = df.select(F.col(id_col),
+                       F.transform(acc, h32).alias("__hs"))
+        hs = F.col("__hs")
+        b2 = b1.select(
+            id_col,
+            F.zip_with(
+                hs,
+                F.when(F.size(hs) > 0,
+                       F.sequence(F.lit(0), F.size(hs) - 1))
+                 .otherwise(F.array().cast("array<int>")),
+                lambda h, i: F.struct(h.alias("fp"), i.alias("pos")))
+            .alias("__hsp"))
+        hsp = F.col("__hsp")
+        nw = F.greatest(F.size(hsp) - (w - 1), F.lit(0))
+        sel = F.slice(hsp, 1, nw)
+        for j in range(1, w):
+            sel = F.zip_with(sel, F.slice(hsp, j + 1, nw),
+                             lambda a, b: F.when(b["fp"] <= a["fp"], b)
+                                           .otherwise(a))
+        out = (b2.select(F.col(id_col),
+                         F.explode(F.array_distinct(sel))
+                         .alias("__f"))
+                 .select(id_col, F.col("__f.pos").alias("pos"),
+                         F.col("__f.fp").alias("fp")))
+        # array_distinct dedups identical (pos, fp) picks from
+        # adjacent windows — the winnowing density win
+        return out.distinct()
+
+    return Stage(fn, name=name, seq_preserving=False)
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4, *,
+                            table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB rendering of :func:`winnow_fingerprints` —
+    bit-identical (same h32 grams, same rightmost-min rule)."""
+    from conduino_spark.functions.hashing import h32_sql
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql(text_col)
+    gram = h32_sql(f"array_to_string(t[i:i+{k - 1}], ' ')")
+    return f"""
+        WITH tk AS (SELECT {id_col} AS d, {toks} AS t FROM {table}
+                    WHERE {id_col} IS NOT NULL),
+        g AS (SELECT d,
+                     [{gram} for i in range(1, len(t) - {k - 2})] AS hs
+              FROM tk),
+        gi AS (SELECT d, hs,
+                      unnest([x for x in range(0,
+                          greatest(len(hs) - {w - 1}, 0))]) AS i
+               FROM g),
+        wins AS (SELECT d, i, j, hs[i + j + 1] AS h
+                 FROM gi, range(0, {w}) s(j)),
+        mn AS (SELECT d, i, MIN(h) AS mh FROM wins GROUP BY d, i),
+        sel AS (SELECT w1.d, w1.i + MAX(w1.j) AS pos, mn.mh AS fp
+                FROM wins w1 JOIN mn ON mn.d = w1.d AND mn.i = w1.i
+                WHERE w1.h = mn.mh
+                GROUP BY w1.d, w1.i, mn.mh)
+        SELECT DISTINCT d AS {id_col}, CAST(pos AS INTEGER) AS pos, fp
+        FROM sel"""
+
+
 def dup_span_trim_sql(L: int = 32, table: str = "documents", *,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> str:

@@ -558,6 +558,74 @@ def unigram_vocab(text_col: str = "text") -> "Stage":
     return Stage(fn, name="unigram_vocab", seq_preserving=False)
 
 
+def hashing_tf(dim: int = 1024, text_col: str = "text", *,
+               id_col: str = "doc_id", out: str = "tf",
+               dense: bool = True) -> Stage:
+    """Hashing-trick featurizer (Weinberger et al. ICML'09; the
+    MLlib-HashingTF shape rebuilt as column algebra): token ``t``
+    increments slot ``h32(t) % dim`` — a text vectorizer with NO
+    vocabulary table, so the model side is O(dim) regardless of corpus
+    size.  The canonical composition is ``hashing_tf`` →
+    :func:`~conduino_spark.operators.classifier.logreg_train` over
+    slot columns: a full distributed text classifier without a vocab
+    join (law-tested in test_round9).
+
+    ``dense=True`` appends ``out`` = array<long> of length ``dim``
+    (slot counts, zeros filled); ``dense=False`` appends the sparse
+    ``map<int,long>`` instead (the 100 TB representation when dim is
+    large and docs are short).  Exact integer counts with the shared
+    md5-derived h32 — bit-replayable in DuckDB (sparse rows; the dense
+    fill is a trivial transform over the same map).
+
+    Plan: one explode to narrow (id, slot) rows + one count agg
+    (map-side partial combine) + one id-join back — text never
+    shuffles, slots are ints."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        slot = F.pmod(h32(F.col("__t")), F.lit(dim)).cast("int")
+        sparse = (df.select(F.col(id_col),
+                            F.explode(tokens_col(F.col(text_col)))
+                            .alias("__t"))
+                    .select(id_col, slot.alias("__s"))
+                    .groupBy(id_col, "__s")
+                    .agg(F.count(F.lit(1)).alias("__c"))
+                    .groupBy(id_col)
+                    .agg(F.map_from_entries(F.array_sort(
+                        F.collect_list(F.struct("__s", "__c"))))
+                        .alias("__m")))
+        j = df.join(sparse, id_col, "left")
+        empty = F.map_from_arrays(F.array().cast("array<int>"),
+                                  F.array().cast("array<long>"))
+        m = F.coalesce("__m", empty)
+        if dense:
+            vec = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at(m, i),
+                                     F.lit(0).cast("long")))
+            return j.withColumn(out, vec).drop("__m")
+        return j.withColumn(out, m).drop("__m")
+
+    return Stage(fn, name=f"hashing_tf(dim={dim})", seq_preserving=False)
+
+
+def hashing_tf_sql(dim: int, *, table: str = "documents",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """DuckDB rendering of :func:`hashing_tf`'s SPARSE rows —
+    (id, slot, count), the content the dense fill is a pure transform
+    of; bit-identical (same h32, same pmod)."""
+    from conduino_spark.functions.hashing import h32_sql
+    toks = tokens_sql(text_col)
+    return f"""
+        SELECT {id_col}, CAST({h32_sql('t')} % {dim} AS INTEGER)
+                 AS slot,
+               COUNT(*) AS cnt
+        FROM (SELECT {id_col}, unnest({toks}) AS t FROM {table})
+        GROUP BY 1, 2"""
+
+
 def unigram_logprob(vocab: DataFrame, text_col: str = "text", *,
                     id_col: str = "doc_id", alpha: float = 0.5,
                     term_round: "int | None" = None,

@@ -1681,3 +1681,136 @@ def test_bm25_index_merge_streaming_ingestion(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   bm25_index_join(full, k=5, term_round=6)(qs).collect())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# hashing_tf: vocab-free featurizer (hashing trick)
+# ---------------------------------------------------------------------------
+
+def test_hashing_tf_hand_example(spark):
+    from conduino_spark import hashing_tf
+    from conduino_spark.functions.hashing import h32
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.tf for r in hashing_tf(dim=8)(df).collect()}
+    slot = {t: spark.range(1).select(
+        F.pmod(h32(F.lit(t)), F.lit(8)).cast("int")).first()[0]
+        for t in ("a", "b")}
+    want1 = [0] * 8
+    want1[slot["a"]] += 2
+    want1[slot["b"]] += 1
+    assert got[1] == want1
+    assert got[2] == [0] * 8 and got[3] == [0] * 8   # empty/NULL text
+    assert sum(got[1]) == 3
+    with pytest.raises(ValueError, match="dim"):
+        hashing_tf(dim=0)
+
+
+def test_hashing_tf_duckdb_replay_and_dense_consistency(spark):
+    from conduino_spark import hashing_tf
+    from conduino_spark.operators.text import hashing_tf_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dense = {r.doc_id: r.tf
+             for r in hashing_tf(dim=64)(docs).collect()}
+    sparse = {(d, s): c for d, s, c in
+              _duck_with_views().execute(hashing_tf_sql(64)).fetchall()}
+    # every oracle count appears at its slot; every other slot is 0
+    for d, vec in dense.items():
+        for s, c in enumerate(vec):
+            assert c == sparse.get((d, s), 0), (d, s)
+    assert len(sparse) > 0
+    # sparse mode carries the same content
+    sm = {r.doc_id: dict(r.tf) for r in
+          hashing_tf(dim=64, dense=False)(docs).collect()}
+    for d, vec in dense.items():
+        assert all(vec[s] == c for s, c in sm[d].items())
+        assert sum(vec) == sum(sm[d].values())
+
+
+def test_hashing_tf_feeds_logreg(spark):
+    """The canonical composition: hashing_tf slots as feature columns
+    into the distributed logreg trainer — a full text classifier with
+    no vocabulary table."""
+    from conduino_spark import hashing_tf
+    from conduino_spark.operators.classifier import (logreg_score,
+                                                     logreg_train)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feat = hashing_tf(dim=16)(docs).select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y"),
+        *[F.element_at("tf", i + 1).cast("double").alias(f"f{i}")
+          for i in range(16)])
+    model = logreg_train(feat, [f"f{i}" for i in range(16)], "y",
+                         iters=5, lr=0.5)
+    scored = logreg_score(model)(feat)
+    rows = scored.select("doc_id", "score").collect()
+    assert len(rows) > 0 and all(0.0 <= r.score <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints: MOSS winnowing (Schleimer et al. SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+def _ref_winnow(tokens, k, w):
+    """Pure-Python winnowing with the rightmost-min rule."""
+    import hashlib
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+    grams = [" ".join(tokens[i:i + k])
+             for i in range(max(len(tokens) - k + 1, 0))]
+    hs = [h(g) for g in grams]
+    out = set()
+    for i in range(max(len(hs) - w + 1, 0)):
+        win = hs[i:i + w]
+        mn = min(win)
+        pos = i + max(j for j in range(w) if win[j] == mn)
+        out.add((pos, mn))
+    return out
+
+
+def test_winnow_hand_and_model(spark):
+    from conduino_spark import winnow_fingerprints
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x"), (None, "a b c d e")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.pos, r.fp) for r in
+           winnow_fingerprints(k=2, w=3)(df).collect()}
+    want = {(1, p, fp) for p, fp in
+            _ref_winnow("a b c d e f g h".split(), 2, 3)}
+    assert got == want                     # doc 2 too short, NULL id out
+    with pytest.raises(ValueError, match="k >= 1"):
+        winnow_fingerprints(k=0)
+
+
+@given(toks=st.lists(st.sampled_from("abcd"), min_size=0, max_size=20),
+       k=st.integers(min_value=1, max_value=3),
+       w=st.integers(min_value=1, max_value=4))
+@settings(**_LAW9)
+def test_winnow_matches_python_model(spark, toks, k, w):
+    from conduino_spark import winnow_fingerprints
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    got = {(r.pos, r.fp) for r in
+           winnow_fingerprints(k=k, w=w)(df).collect()}
+    assert got == _ref_winnow(toks, k, w), (toks, k, w)
+
+
+def test_winnow_duckdb_replay_and_guarantee(spark):
+    from conduino_spark import winnow_fingerprints
+    from conduino_spark.operators.dedup import winnow_fingerprints_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(tuple(r) for r in
+                 winnow_fingerprints(k=5, w=4)(docs).collect())
+    want = _duck_with_views().execute(
+        winnow_fingerprints_sql(5, 4)).fetchall()
+    assert got == sorted(tuple(r) for r in want) and len(got) > 0
+    # the paper's guarantee: two docs sharing a >= w+k-1 token run
+    # share at least one fingerprint HASH
+    a = "p q r s t u v w x y z"
+    pair = spark.createDataFrame(
+        [(1, "zz1 zz2 " + a), (2, a + " qq8 qq9")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(k=3, w=3)(pair)   # w+k-1 = 5 <= 11 shared
+    common = (fps.where(F.col("doc_id") == 1).select("fp").intersect(
+              fps.where(F.col("doc_id") == 2).select("fp")))
+    assert common.count() >= 1
