@@ -958,7 +958,10 @@ def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
 
     def fn(df: DataFrame) -> DataFrame:
         df = df.where(F.col(id_col).isNotNull())
-        toks = tokens_col(F.col(text_col))
+        # NULL text tokenizes to NULL and size(NULL) = -1 under the
+        # default non-ANSI config — coalesce so a NULL-text doc reads
+        # n_tokens = 0 in BOTH engines (it stays untouched, text NULL)
+        toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
         m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
         acc = F.slice(toks, 1, m)
         for j in range(2, L + 1):
@@ -1105,14 +1108,15 @@ def winnow_fingerprints(k: int = 5, w: int = 4,
             sel = F.zip_with(sel, F.slice(hsp, j + 1, nw),
                              lambda a, b: F.when(b["fp"] <= a["fp"], b)
                                            .otherwise(a))
-        out = (b2.select(F.col(id_col),
-                         F.explode(F.array_distinct(sel))
-                         .alias("__f"))
-                 .select(id_col, F.col("__f.pos").alias("pos"),
-                         F.col("__f.fp").alias("fp")))
         # array_distinct dedups identical (pos, fp) picks from
-        # adjacent windows — the winnowing density win
-        return out.distinct()
+        # adjacent windows — the winnowing density win.  It is also
+        # COMPLETE: rows never collide across docs (id differs), so no
+        # corpus-wide distinct shuffle is needed.
+        return (b2.select(F.col(id_col),
+                          F.explode(F.array_distinct(sel))
+                          .alias("__f"))
+                  .select(id_col, F.col("__f.pos").alias("pos"),
+                          F.col("__f.fp").alias("fp")))
 
     return Stage(fn, name=name, seq_preserving=False)
 
@@ -1155,7 +1159,7 @@ def dup_span_trim_sql(L: int = 32, table: str = "documents", *,
     (full-md5 window keys, ``row_number`` over ``(id, pos)`` = the
     struct arg-min winner, same span merge, same canonical rejoin)."""
     from conduino_spark.operators.text import tokens_sql
-    toks = tokens_sql(text_col)
+    toks = tokens_sql(f"coalesce({text_col}, '')")
     win = f"md5(array_to_string(t[i:i+{L - 1}], ' '))"
     return f"""
         WITH tk AS (SELECT {id_col} AS d, {text_col} AS orig, {toks} AS t

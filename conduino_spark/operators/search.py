@@ -387,6 +387,17 @@ def bm25_index_write(corpus: DataFrame, path: str, *,
            .write.mode(mode).parquet(f"{path}/stats"))
 
 
+def _require_v2_stats(stats_rows, path: str) -> None:
+    """Fail fast on a pre-additive (v1, ``__avgdl``) index instead of
+    crashing on a missing Row field or silently mixing schemas."""
+    if stats_rows and "__sum_dl" not in stats_rows[0].asDict():
+        raise ValueError(
+            f"BM25 index at {path} uses the old v1 stats format "
+            f"(__avgdl); rebuild it with bm25_index_write — the "
+            f"additive v2 format (__sum_dl) is what makes merges "
+            f"exact")
+
+
 def bm25_index_merge(new_docs: DataFrame, path: str, *,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> None:
@@ -412,6 +423,8 @@ def bm25_index_merge(new_docs: DataFrame, path: str, *,
     from conduino_spark.functions.hashing import h32
     spark = new_docs.sparkSession
     st = spark.read.parquet(f"{path}/stats").collect()
+    _require_v2_stats(st, path)  # appending v2 rows into a v1 index
+    # would leave mixed-schema stats files — fail fast instead
     shards = {r["__n_shards"] for r in st}
     if len(shards) != 1:
         raise ValueError(f"inconsistent n_shards in index at {path}: "
@@ -464,6 +477,7 @@ def bm25_index_join(index_path: str, k: int = 10, *,
         # one stats row per write/merge batch — additive partials
         # (bounded: rows = batches, the 1-row-model-fetch convention)
         st = spark.read.parquet(f"{index_path}/stats").collect()
+        _require_v2_stats(st, index_path)
         shards = {r["__n_shards"] for r in st}
         if len(shards) != 1:
             raise ValueError(f"inconsistent n_shards in index at "

@@ -706,19 +706,27 @@ def sq_train(df: DataFrame, *, vec_col: str = "embedding") -> SQModel:
     partition) + a 2×d driver fetch (the centroid/codebook bounded-
     model-fetch convention).  Min/max are exact SELECTIONS — no
     arithmetic — so the model replays in any engine bit-for-bit.
-    NULL vectors and wrong-length rows are excluded (the
-    vector_moments rule)."""
+    NULL vectors and vectors with NULL elements are excluded (the
+    vector_moments rule); MIXED dimensions raise — inferring d from
+    an arbitrary row would make the trained model depend on partition
+    order (raise-loudly posture)."""
     v = F.col(vec_col).cast("array<double>")
-    first = df.where(v.isNotNull()).select(F.size(v).alias("__d")).first()
-    if first is None:
-        raise ValueError("sq_train: no non-NULL vectors")
-    d = first["__d"]
-    rows = (df.where(v.isNotNull() & (F.size(v) == d)
-                     & ~F.exists(v, lambda x: x.isNull()))
-              .select(F.posexplode(v).alias("__i", "__x"))
-              .groupBy("__i")
-              .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
-              .collect())
+    clean = df.where(v.isNotNull()
+                     & ~F.exists(v, lambda x: x.isNull())).select(v.alias("__v"))
+    dims = [r["__d"] for r in
+            clean.select(F.size("__v").alias("__d")).distinct().collect()]
+    if not dims:
+        raise ValueError("sq_train: no usable vectors (all NULL or "
+                         "containing NULL elements)")
+    if len(dims) > 1:
+        raise ValueError(f"sq_train: mixed vector dimensions "
+                         f"{sorted(dims)} — quantization bounds are "
+                         f"per-dimension; clean the corpus first")
+    d = dims[0]
+    rows = (clean.select(F.posexplode("__v").alias("__i", "__x"))
+                 .groupBy("__i")
+                 .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+                 .collect())
     got = {r["__i"]: (r["mn"], r["mx"]) for r in rows}
     return SQModel([got[i][0] for i in range(d)],
                    [got[i][1] for i in range(d)])
@@ -803,12 +811,16 @@ def sq_sql(kk: int = 10, *, table: str = "embeddings",
     encode every row, score against ``query_id``'s raw vector) —
     bit-identical: exact-selection bounds, the same
     round/clamp encode, the same subtract-then-square decode shape,
-    and list_sum over dimension order for the fold."""
+    list_sum over dimension order for the fold, and the same
+    NULL-vector / NULL-element exclusions (mixed dimensions raise
+    Spark-side, so the oracle need not model them)."""
     return f"""
         WITH e AS (SELECT {id_col} AS vid,
                           CAST({vec_col} AS DOUBLE[]) AS v
                    FROM {table}
-                   WHERE {vec_col} IS NOT NULL),
+                   WHERE {vec_col} IS NOT NULL
+                     AND len(list_filter(CAST({vec_col} AS DOUBLE[]),
+                                         x -> x IS NULL)) = 0),
         mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
                FROM (SELECT unnest(v) AS x,
                             generate_subscripts(v, 1) AS i FROM e)

@@ -579,11 +579,14 @@ def hashing_tf(dim: int = 1024, text_col: str = "text", *,
 
     Plan: one explode to narrow (id, slot) rows + one count agg
     (map-side partial combine) + one id-join back — text never
-    shuffles, slots are ints."""
+    shuffles, slots are ints.  NULL-id rows are dropped (the join-key
+    rule the other id-keyed text operators follow; keeping them would
+    silently zero their features across the non-null-safe join)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
 
     def fn(df: DataFrame) -> DataFrame:
+        df = df.where(F.col(id_col).isNotNull())
         slot = F.pmod(h32(F.col("__t")), F.lit(dim)).cast("int")
         sparse = (df.select(F.col(id_col),
                             F.explode(tokens_col(F.col(text_col)))
@@ -622,7 +625,8 @@ def hashing_tf_sql(dim: int, *, table: str = "documents",
         SELECT {id_col}, CAST({h32_sql('t')} % {dim} AS INTEGER)
                  AS slot,
                COUNT(*) AS cnt
-        FROM (SELECT {id_col}, unnest({toks}) AS t FROM {table})
+        FROM (SELECT {id_col}, unnest({toks}) AS t FROM {table}
+              WHERE {id_col} IS NOT NULL)
         GROUP BY 1, 2"""
 
 

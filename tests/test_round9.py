@@ -1382,14 +1382,15 @@ def test_dup_span_trim_hand_example(spark):
     # repetition is WITHIN the doc (second copy still cut)
     df = spark.createDataFrame(
         [(1, "a b c x y"), (2, "q a b c r a b c"), (3, "u v w"),
-         (4, "m n o m n o"), (None, "a b c")],
+         (4, "m n o m n o"), (None, "a b c"), (9, None)],
         "doc_id long, text string")
     got = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
            for r in dup_span_trim(window_tokens=3)(df).collect()}
     assert got == {1: ("a b c x y", 5, 0),     # global first, untouched
                    2: ("q r", 8, 6),           # both later copies cut
                    3: ("u v w", 3, 0),
-                   4: ("m n o", 6, 3)}         # within-doc repeat cut
+                   4: ("m n o", 6, 3),         # within-doc repeat cut
+                   9: (None, 0, 0)}            # NULL text: untouched
     assert None not in got                     # NULL ids dropped
     with pytest.raises(ValueError, match="window_tokens"):
         dup_span_trim(window_tokens=0)
@@ -1508,13 +1509,14 @@ def test_sq_hand_example(spark):
     from conduino_spark import SQModel, sq_encode, sq_search, sq_train
     df = spark.createDataFrame(
         [(1, [0.0, 10.0]), (2, [1.0, 20.0]), (3, [0.5, 15.0]),
-         (4, None), (5, [1.0, 2.0, 3.0])],
+         (4, None), (6, [2.0, None])],
         "vec_id long, embedding array<double>")
     m = sq_train(df, vec_col="embedding")
+    # NULL vector and NULL-element rows excluded from the bounds
     assert (m.mins, m.maxs) == ([0.0, 10.0], [1.0, 20.0])
     enc = {r.vec_id: r.sq_codes
            for r in sq_encode(m)(df).collect()}
-    # NULL and wrong-length rows dropped; bounds map to 0/255
+    # NULL / NULL-element rows dropped; bounds map to 0/255
     assert set(enc) == {1, 2, 3}
     assert enc[1] == [0, 0] and enc[2] == [255, 255]
     assert enc[3] == [128, 128]            # 0.5 -> 127.5 rounds HALF_UP
@@ -1528,6 +1530,18 @@ def test_sq_hand_example(spark):
         sq_search(m, [0.0, 1.0], kk=0)
     with pytest.raises(ValueError, match="mismatch"):
         SQModel([0.0], [1.0, 2.0])
+    # mixed dimensions RAISE (an arbitrary-row d would make the model
+    # partition-order-dependent); all-unusable raises too
+    mixed = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="mixed vector dimensions"):
+        sq_train(mixed)
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, None])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no usable vectors"):
+        sq_train(bad)
 
 
 def test_sq_degenerate_dim(spark):
@@ -1814,3 +1828,30 @@ def test_winnow_duckdb_replay_and_guarantee(spark):
     common = (fps.where(F.col("doc_id") == 1).select("fp").intersect(
               fps.where(F.col("doc_id") == 2).select("fp")))
     assert common.count() >= 1
+
+
+def test_bm25_index_v1_format_fails_fast(spark, tmp_path):
+    """A pre-additive (v1, __avgdl) index raises a clear rebuild
+    message from BOTH the probe and the merge — appending v2 partials
+    into v1 stats would leave mixed-schema files."""
+    from conduino_spark.operators.search import (
+        bm25_index_join, bm25_index_merge, bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    bm25_index_write(docs.limit(5), d, n_shards=8)
+    # rewrite stats in the old v1 shape
+    (spark.createDataFrame([(5, 12.5, 8)],
+                           "__n long, __avgdl double, __n_shards int")
+     .write.mode("overwrite").parquet(f"{d}/stats"))
+    with pytest.raises(ValueError, match="v1 stats format"):
+        bm25_index_join(d, k=3)(_bm25_queries(spark)).collect()
+    with pytest.raises(ValueError, match="v1 stats format"):
+        bm25_index_merge(docs.limit(2), d)
+
+
+def test_hashing_tf_null_id_dropped(spark):
+    from conduino_spark import hashing_tf
+    df = spark.createDataFrame([(1, "a b"), (None, "a b a")],
+                               "doc_id long, text string")
+    rows = hashing_tf(dim=8)(df).collect()
+    assert [r.doc_id for r in rows] == [1]

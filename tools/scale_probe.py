@@ -10,7 +10,8 @@ linear should show a time ratio of roughly <= 10x (usually well under:
 fixed per-query overhead amortizes); a super-linear ratio exposes a
 hidden quadratic constant.
 
-Usage: python tools/scale_probe.py [sf_dir] [replicas]
+Usage: python tools/scale_probe.py [sf_dir] [replicas] [op ...]
+(op names re-measure a subset without paying for the whole sweep).
 Prints one JSON line; the round snapshot stores it as
 SCALE_PROBE_r{N}.json.
 """
