@@ -2075,9 +2075,13 @@ def q_ann_join_emb(spark, sf):
     # recall rows tag arm='recall', neighbor_id = n_truth*1000+n_hit
     # (exact ints), score = recall (6dp), rank = 0.
     from conduino_spark import ann_join, ann_recall, hash_sample
+    from conduino_spark.plans.cachereg import track
     emb = _src(sf, "embeddings").df(spark)
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
-    approx = ann_join(emb, k=5, nprobe=2, exclude_self=True)(batch)
+    # the approx probe feeds BOTH arms (hits + the recall join) —
+    # registry-tracked persist so it computes once
+    approx = track(ann_join(emb, k=5, nprobe=2,
+                            exclude_self=True)(batch))
     exact = ann_join(emb, k=5, nprobe=8, exclude_self=True)(batch)
     rec = ann_recall(exact, k=5)(approx)
     hits = approx.select(
