@@ -2216,11 +2216,14 @@ def q_knn_methods(spark, sf):
         F.col("doc_id").alias("vec_id"),
         F.col("bm25").alias("score"))
     # r9 seventh arm: exact phrase retrieval (anchor join) — hits
-    # encoded as exact integers in the score column.
+    # encoded as exact integers in the score column (1e9 multiplier:
+    # first_pos < 1e9 tokens per doc, and n_hits*1e9+pos stays well
+    # under 2^53 so the double cast is exact).
     phrase = q_phrase_search_docs(spark, sf).select(
         F.lit("phrase").alias("method"),
         F.col("doc_id").alias("vec_id"),
-        (F.col("n_hits") * 100000 + F.col("first_pos"))
+        (F.col("n_hits").cast("long") * F.lit(1000000000).cast("long")
+         + F.col("first_pos"))
         .cast("double").alias("score"))
     return (brute.unionByName(ivf).unionByName(lsh)
             .unionByName(cells).unionByName(bm25)
@@ -4189,8 +4192,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_bm25_join_oracle()})
             UNION ALL
             -- r9 phrase arm: exact phrase retrieval, integer-exact
+            -- (1e9 multiplier matches the Spark arm; exact in double)
             SELECT 'phrase' AS method, doc_id AS vec_id,
-                   CAST(n_hits * 100000 + first_pos AS DOUBLE) AS score
+                   CAST(CAST(n_hits AS BIGINT) * 1000000000
+                        + first_pos AS DOUBLE) AS score
             FROM ({_phrase_oracle()})""",
         "rolling_user_day": """
             SELECT event_id, count(*) OVER w AS n,
@@ -4391,6 +4396,7 @@ def oracle_sql() -> dict[str, str]:
                 bins=256, keys=("lang",), table="base")})
             SELECT b.doc_id, b.lp, b.lp_uni,
                    CASE WHEN b.log_ppl IS NULL THEN NULL
+                        WHEN c.__q_head IS NULL THEN NULL
                         WHEN b.log_ppl <= c.__q_head THEN 'head'
                         WHEN b.log_ppl <= c.__q_middle THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket

@@ -1587,7 +1587,8 @@ def edit_distance_pairs(text_col: str = "text", id_col: str = "doc_id", *,
       the LONG side (``>= |G_long| - k*q >= 1``) drives the lemma —
       and short-vs-short pairs go through a separate length-bucket
       equi-join (each short string probes the 2k+1 partner lengths;
-      bounded, since both sides are <= q*(k-1)+1 chars by definition).
+      bounded, since both sides are <= q*(k+1)-1 chars by definition —
+      n_grams = len-q+1 <= k*q gives len <= q*(k+1)-1).
 
     Verify: banded ``levenshtein(a, b, threshold=k)`` — O(k*n) per
     candidate, JVM codegen.  Rows with NULL ``text_col`` are dropped

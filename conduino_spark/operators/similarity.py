@@ -797,7 +797,11 @@ def sq_search(model: SQModel, query, kk: int = 10, *,
         terms = F.transform(c, term)
         dist = F.round(F.aggregate(
             terms, F.lit(0.0), lambda a, t: a + t), 6)
-        return (df.select(F.col(id_col), dist.alias(out))
+        # rows not produced by sq_encode (NULL / wrong-width codes)
+        # score NULL and ASC NULLS FIRST would fill the top-k with
+        # them — mirror sq_encode's drop rule before scoring
+        return (df.filter(c.isNotNull() & (F.size(c) == model.dim))
+                  .select(F.col(id_col), dist.alias(out))
                   .orderBy(out, id_col).limit(kk))
 
     return Stage(fn, name=f"sq_search({kk})", seq_preserving=False)
