@@ -1075,7 +1075,40 @@ def q_pq_adc_search(spark, sf):
     sqm = _PQ_BOOK_CACHE[("sq", tag)]
     sq = (sq_search(sqm, qv, kk=10)(sq_encode(sqm)(emb))
           .select(F.lit("sq").alias("method"), "vec_id", "approx_dist"))
-    return pq.unionByName(sq)
+    # r10 third/fourth arms: MEASURED recall@10 of each compressed
+    # search against the exact float-vector L2 truth (the ann_recall
+    # posture applied to pq/sq — audit the approximation, don't
+    # guess).  Single query, so the audit packs as one integer row
+    # per arm: n_truth*1000 + n_hit (the knn_methods headroom
+    # convention), hash-verified against the same computation in
+    # DuckDB.  Truth = exact squared-L2 top-10 over the float
+    # vectors, same NULL exclusions as sq_sql's universe, round-6 +
+    # vec_id tie order.
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    vd = F.col("embedding").cast("array<double>")
+    l2 = F.round(F.aggregate(
+        F.zip_with(vd, qarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, t: acc + t), 6)
+    clean = emb.where(
+        F.col("embedding").isNotNull()
+        & (F.size(F.filter(vd, lambda x: x.isNull())) == 0))
+    truth = (clean.select("vec_id", l2.alias("__d"))
+                  .orderBy("__d", "vec_id").limit(10).select("vec_id"))
+
+    def recall_arm(hits, tag_):
+        a = hits.select("vec_id", F.lit(1).alias("__h"))
+        return (truth.join(a, "vec_id", "left")
+                .agg(F.count(F.lit(1)).alias("__nt"),
+                     F.sum(F.coalesce(F.col("__h"), F.lit(0)))
+                      .cast("long").alias("__nh"))
+                .select(F.lit(tag_).alias("method"),
+                        F.lit(QUERY_KNN_ID).cast("long").alias("vec_id"),
+                        (F.col("__nt") * 1000 + F.col("__nh"))
+                        .cast("double").alias("approx_dist")))
+
+    return (pq.unionByName(sq)
+              .unionByName(recall_arm(pq, "pq_recall"))
+              .unionByName(recall_arm(sq, "sq_recall")))
 
 
 def q_tpch_q14(spark, sf):
@@ -3241,6 +3274,37 @@ def _sql_corpus_filter() -> str:
 _MIX_CUTS = {"even": int(0.5 * (1 << 32)), "odd": int(0.25 * (1 << 32))}
 
 
+def _sql_compressed_recall(tag: str, hits_sql: str, query_id: int,
+                           kk: int = 10) -> str:
+    """r10: recall@kk of a compressed-search hit list against the
+    exact float-vector squared-L2 truth, packed as ONE integer row
+    (n_truth*1000 + n_hit — the knn_methods headroom convention).
+    Truth universe/exclusions/tie-order mirror sq_sql: NULL vectors
+    and NULL elements out, round-6 distance, vec_id tiebreak; the
+    dimension-ordered list_sum matches Spark's zip_with left fold."""
+    return f"""
+        SELECT '{tag}' AS method,
+               CAST({query_id} AS BIGINT) AS vec_id,
+               CAST(COUNT(*) * 1000
+                    + SUM(CASE WHEN a.vec_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS approx_dist
+        FROM (
+          WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings
+                     WHERE embedding IS NOT NULL
+                       AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                           x -> x IS NULL)) = 0),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+          SELECT e.vec_id,
+                 round(list_sum([(e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])
+                                 for i in range(1, len(e.v) + 1)]),
+                       6) AS d
+          FROM e, q
+          ORDER BY d, e.vec_id LIMIT {kk}) t
+        LEFT JOIN (SELECT vec_id FROM ({hits_sql})) a USING (vec_id)"""
+
+
 def _sql_ivf_topk(k: int = 10, nprobe: int = 2) -> str:
     """Bit-identical rendering of ivf_search(qv, k, cell_col='label',
     nprobe): scaled-long per-(cell,dim) means, scaled-long dot/norm
@@ -4437,7 +4501,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'pq' AS method, vec_id, approx_dist "
             f"FROM ({_sql_pq_adc()}) "
             f"UNION ALL SELECT 'sq' AS method, vec_id, approx_dist "
-            f"FROM ({sq_sql(10, query_id=QUERY_KNN_ID)})"),
+            f"FROM ({sq_sql(10, query_id=QUERY_KNN_ID)})"
+            # r10: measured recall@10 of each compressed search vs
+            # the exact float L2 truth, packed n_truth*1000 + n_hit
+            f"UNION ALL {_sql_compressed_recall('pq_recall', _sql_pq_adc(), QUERY_KNN_ID)} "
+            f"UNION ALL {_sql_compressed_recall('sq_recall', sq_sql(10, query_id=QUERY_KNN_ID), QUERY_KNN_ID)}"),
         "tpch_suite_digest": _sql_tpch_suite_digest(),
         "json_props": """
             SELECT event_type,
