@@ -256,16 +256,26 @@ def q_user_event_profile(spark, sf):
 
 def q_rolling_user_day(spark, sf):
     # per-key time-RANGE rolling aggregates (NEW r4): 1-day window per
-    # user; the sum rides micro-scaled longs so it is order-free exact
-    from conduino_spark import rolling_agg
+    # user; the sum rides micro-scaled longs so it is order-free exact.
+    # r10 merge: absorbs sessionize_events (both are per-event keyed
+    # time-ordered derivations over the same events scan; one join on
+    # event_id keeps every row of both operators hash-verified) —
+    # freeing a gate slot for cosine_prefix_docs (VERDICT r9 #2).  The
+    # standalone sessionize floor stays in bench_extras.
+    from conduino_spark import rolling_agg, sessionize
     sum6 = F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
     p = (_src(sf, "events")
          | rolling_agg("ts", 86400.0, keys=["user_id"],
                        aggs={"n": F.count(F.lit(1)), "__s6": sum6})
          | sink_df())
-    return run_pipe(p, spark).select(
+    roll = run_pipe(p, spark).select(
         "event_id", "n",
         (F.col("__s6") / F.lit(1_000_000.0)).alias("sum_v"))
+    p2 = (_src(sf, "events")
+          | sessionize("ts", 1800.0, keys=("user_id",)) | sink_df())
+    sess = run_pipe(p2, spark).select("event_id", "user_id",
+                                      "session_id")
+    return roll.join(sess, "event_id")
 
 
 def q_map_accum_multi(spark, sf):
@@ -776,32 +786,18 @@ def q_ngram_jaccard_lsh(spark, sf):
     # hash-verifies recall, not just precision.
     from conduino_spark import jaccard_prefix_pairs
     src = _src(sf, "documents", min_partitions="auto")
+    # r10 rebalance (VERDICT r9 #2 — the per-pin weight budget): the
+    # r9 'cosine' and 'edit' arms moved OUT of this pin (cosine to its
+    # own budget-compliant gate slot cosine_prefix_docs, edit to the
+    # minhash_pairs pin), cutting this pin from 14.8 s / 115 exchanges
+    # to the two-arm shingle pair the recall verification needs.
     a = run_pipe(src | ngram_jaccard_lsh(threshold=0.2) | sink_df(),
                  spark).select(F.lit("lsh").alias("method"),
                                "id_a", "id_b", "jaccard")
     b = run_pipe(src | jaccard_prefix_pairs(threshold=0.2) | sink_df(),
                  spark).select(F.lit("prefix").alias("method"),
                                "id_a", "id_b", "jaccard")
-    # r9 third arm: the WEIGHTED exact join — TF-IDF cosine pairs via
-    # the max-weight + Cauchy-Schwarz suffix prunes
-    # (operators/dedup.cosine_prefix_pairs); the 6dp-rounded integer
-    # dot space makes the brute-force oracle bit-exact, so the score
-    # rides the jaccard column under its method tag.
-    from conduino_spark import cosine_prefix_pairs
-    c = run_pipe(src | cosine_prefix_pairs(threshold=0.8) | sink_df(),
-                 spark).select(F.lit("cosine").alias("method"),
-                               "id_a", "id_b",
-                               F.col("cosine").alias("jaccard"))
-    # r9 fourth arm: the STRING member of the exact-join trilogy —
-    # edit_distance_pairs (Ed-Join q-gram prefix + banded levenshtein)
-    # over the 40-char document prefixes; dist rides the score column.
-    from conduino_spark import edit_distance_pairs
-    docs40 = src.df(spark).select(
-        "doc_id", F.substring("text", 1, 40).alias("s"))
-    d = edit_distance_pairs(text_col="s", k=2)(docs40).select(
-        F.lit("edit").alias("method"), "id_a", "id_b",
-        F.col("dist").cast("double").alias("jaccard"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    return a.unionByName(b)
 
 
 def q_knn_lsh_probe(spark, sf):
@@ -1160,13 +1156,16 @@ def q_line_dedup_docs(spark, sf):
     # every row of both operators hash-verified) — the standalone
     # dup_span floor stays in bench_extras.
     from conduino_spark import dup_span_stats, line_dedup
-    docs = _src(sf, "documents").df(spark)
+    from conduino_spark.plans.cachereg import track
+    # r10 (VERDICT r9 #3): the three arms each tokenize/split the
+    # corpus from scratch — pay the parquet scan + text decode ONCE by
+    # persisting the source and feeding all three from the cache (the
+    # minhash_survivors pairs= precedent); the pin was the one merge
+    # running ABOVE its parents' sum (5.05 s vs 3.29 s).
+    docs = track(_src(sf, "documents", min_partitions="auto").df(spark))
     ld = (line_dedup(min_count=2, min_chars=5)(docs)
           .select("doc_id", "text", "n_lines", "n_lines_dropped"))
-    p = (_src(sf, "documents", min_partitions="auto")
-         | dup_span_stats(window_tokens=16)
-         | sink_df())
-    ds = _strip(run_pipe(p, spark)).select(
+    ds = dup_span_stats(window_tokens=16)(docs).select(
         "doc_id", "n_windows", "n_dup_windows", "dup_window_frac",
         "n_dup_spans", "dup_token_frac")
     # r9 third arm: the REMOVAL half (dup_span_trim — keep-first
@@ -1705,7 +1704,13 @@ def bench_extras():
             "profile_diff_docs": q_profile_diff_docs,
             "bm25_join_docs": q_bm25_join_docs,
             "label_prop_docs": q_label_prop_docs,
-            "cosine_prefix_docs": q_cosine_prefix_docs,
+            # r10: the gate pin cosine_prefix_docs runs the even-id
+            # half; this keeps the r9 FULL-corpus tau=0.8 floor
+            # comparable round-over-round
+            "cosine_prefix_full_docs": q_cosine_prefix_docs,
+            # r10: sessionize_events folded into rolling_user_day in
+            # the gate; standalone floor stays benched
+            "sessionize_events": q_sessionize_events,
             "edit_distance_docs": q_edit_distance_docs,
             "phrase_search_docs": q_phrase_search_docs,
             "bm25_index_docs": q_bm25_index_docs,
@@ -1918,6 +1923,24 @@ def q_bm25_join_docs(spark, sf):
                   F.concat_ws(" ", F.slice(
                       tokens_col(F.col("text")), 1, 5)).alias("query")))
     return bm25_join(docs, k=5, term_round=6)(qs)
+
+
+def q_cosine_prefix_gate(spark, sf):
+    # r10 gate pin (VERDICT r9 #2: the 'cosine' arm moved off the
+    # ngram_jaccard_lsh mega-pin into its own budget-compliant slot):
+    # the exact WEIGHTED (TF-IDF cosine) threshold self-join at the
+    # intended near-dup regime (tau=0.8) over the deterministic
+    # even-id half of the corpus (the dedup_against even/odd
+    # convention) — the full-corpus floor stays benched as
+    # cosine_prefix_docs; halving the self-join universe quarters the
+    # candidate space, keeping the gate pass inside the ~10 s / ~60
+    # exchange pin budget plan_audit now enforces while the oracle
+    # still brute-verifies the max-weight/Cauchy-Schwarz prunes
+    # end-to-end on thousands of documents.
+    from conduino_spark import cosine_prefix_pairs
+    docs = (_src(sf, "documents", min_partitions="auto").df(spark)
+            .where(F.col("doc_id") % 2 == 0))
+    return cosine_prefix_pairs(threshold=0.8)(docs)
 
 
 def q_jaccard_prefix_docs(spark, sf):
@@ -2399,7 +2422,22 @@ def q_minhash_pairs_eval(spark, sf):
         F.lit(None).cast("long").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),
         "n_candidates", "n_true", "n_hit", "precision", "recall")
-    return pairs.unionByName(ev)
+    # r10 third arm (moved off the ngram_jaccard_lsh mega-pin —
+    # VERDICT r9 #2): the STRING member of the exact-join trilogy —
+    # edit_distance_pairs (Ed-Join q-gram prefix + banded levenshtein)
+    # over the 40-char document prefixes; the distance rides the
+    # n_hit long column under its part tag (same brute-force DuckDB
+    # oracle as before, _sql_edit_brute).
+    from conduino_spark import edit_distance_pairs
+    docs40 = docs.select("doc_id", F.substring("text", 1, 40).alias("s"))
+    ed = edit_distance_pairs(text_col="s", k=2)(docs40).select(
+        F.lit("edit").alias("part"), "id_a", "id_b",
+        F.lit(None).cast("long").alias("n_candidates"),
+        F.lit(None).cast("long").alias("n_true"),
+        F.col("dist").cast("long").alias("n_hit"),
+        F.lit(None).cast("double").alias("precision"),
+        F.lit(None).cast("double").alias("recall"))
+    return pairs.unionByName(ev).unionByName(ed)
 
 
 def q_windowed_sketches(spark, sf):
@@ -2512,7 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_day": q_rolling_user_day,
         # r5 surface rotated into the gate (r6 lead item) + the
         # composed training-pipeline integration pin
-        "sessionize_events": q_sessionize_events,
+        # (r10: sessionize_events folded into rolling_user_day — the
+        # per-event join arm; its standalone floor stays benched)
         "bloom_prune": q_bloom_prune,
         "corpus_filter_keep": q_corpus_filter_keep,
         "dedup_against": q_dedup_against,
@@ -2554,6 +2593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split_docs": q_leakage_split_docs,
         "dsir_select_docs": q_dsir_select_docs,
         "bpe_train_docs": q_bpe_train_docs,
+        # r10 rotation (VERDICT r9 #2, the pin-weight budget): the
+        # ngram_jaccard_lsh mega-pin (14.8 s / 115 exchanges) split —
+        # its 'edit' arm rides minhash_pairs, and the 'cosine' arm
+        # gates here standalone (even-id half, tau=0.8) in the slot
+        # freed by folding sessionize_events into rolling_user_day.
+        "cosine_prefix_docs": q_cosine_prefix_gate,
     }
     assert len(q) <= GATE_MAX_QUERIES, (
         f"{len(q)} queries declared but the driver gate records only the "
@@ -3106,11 +3151,17 @@ def _sql_edit_brute(k: int) -> str:
     return edit_distance_pairs_sql(k, expr="substr(text, 1, 40)")
 
 
-def _sql_cosine_brute(threshold: float) -> str:
+def _sql_cosine_brute(threshold: float, *,
+                      even_half: bool = False) -> str:
     """Brute-force replay of cosine_prefix_pairs for the
-    ngram_jaccard_lsh cosine arm (operators/dedup.cosine_pairs_sql)."""
+    cosine_prefix_docs gate pin (operators/dedup.cosine_pairs_sql).
+    ``even_half``: restrict the self-join universe to even doc ids —
+    the same deterministic half the Spark pin filters to (idf is
+    computed over the SAME subset on both sides)."""
     from conduino_spark.operators.dedup import cosine_pairs_sql
-    return cosine_pairs_sql(threshold)
+    table = ("(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+             if even_half else "documents")
+    return cosine_pairs_sql(threshold, table=table)
 
 
 def _bm25_join_oracle() -> str:
@@ -3975,7 +4026,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'eval' AS part, CAST(NULL AS BIGINT) AS id_a,
                    CAST(NULL AS BIGINT) AS id_b,
                    n_candidates, n_true, n_hit, precision, recall
-            FROM ({_sql_minhash_eval()})""",
+            FROM ({_sql_minhash_eval()})
+            UNION ALL
+            -- r10 edit arm (edit_distance_pairs, moved off the
+            -- ngram_jaccard_lsh mega-pin): brute-force banded
+            -- levenshtein behind the length filter — losslessness of
+            -- the q-gram prefix + short-string arms is the claim;
+            -- the distance rides the n_hit column
+            SELECT 'edit' AS part, id_a, id_b,
+                   CAST(NULL AS BIGINT) AS n_candidates,
+                   CAST(NULL AS BIGINT) AS n_true,
+                   CAST(dist AS BIGINT) AS n_hit,
+                   CAST(NULL AS DOUBLE) AS precision,
+                   CAST(NULL AS DOUBLE) AS recall
+            FROM ({_sql_edit_brute(2)})""",
         "minhash_survivors": f"""
             SELECT doc_id, 'greedy' AS policy FROM (
               {_sql_minhash_bands()}
@@ -4205,21 +4269,15 @@ def oracle_sql() -> dict[str, str]:
             FROM binter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE i >= 0.2 * (sa.sz + sb.sz - i)
-            UNION ALL
-            -- r9 cosine arm (cosine_prefix_pairs): brute-force TF-IDF
-            -- cosine over the SAME 6dp-rounded integer weights —
-            -- exactness of the max-weight/Cauchy-Schwarz prunes is
-            -- the claim being hash-verified
-            SELECT 'cosine' AS method, id_a, id_b, cosine AS jaccard
-            FROM ({_sql_cosine_brute(0.8)})
-            UNION ALL
-            -- r9 edit arm (edit_distance_pairs): brute-force banded
-            -- levenshtein behind the length filter — losslessness of
-            -- the q-gram prefix + short-string arms is the claim
-            SELECT 'edit' AS method, id_a, id_b,
-                   CAST(dist AS DOUBLE) AS jaccard
-            FROM ({_sql_edit_brute(2)})""",
+            WHERE i >= 0.2 * (sa.sz + sb.sz - i)""",
+        # r10: the 'cosine' arm now gates standalone (even-id half,
+        # the dedup_against convention) — brute-force TF-IDF cosine
+        # over the SAME 6dp-rounded integer weights; exactness of the
+        # max-weight/Cauchy-Schwarz prunes is the claim being
+        # hash-verified
+        "cosine_prefix_docs": (
+            f"SELECT id_a, id_b, cosine "
+            f"FROM ({_sql_cosine_brute(0.8, even_half=True)})"),
         "knn_methods": f"""
             SELECT 'brute' AS method, vec_id, cosine AS score FROM (
               WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -4261,16 +4319,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(n_hits AS BIGINT) * 1000000000
                         + first_pos AS DOUBLE) AS score
             FROM ({_phrase_oracle()})""",
-        "rolling_user_day": """
-            SELECT event_id, count(*) OVER w AS n,
-                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
-                     / 1000000.0 AS sum_v
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                         RANGE BETWEEN 86400000000 PRECEDING
-                         AND CURRENT ROW)""",
-        "sessionize_events": _SQL_SESSIONIZE + """
-            SELECT event_id, user_id, session_id FROM lab""",
+        # r10: absorbs sessionize_events (join on event_id)
+        "rolling_user_day": _SQL_SESSIONIZE + """
+            SELECT r.event_id, r.n, r.sum_v, l.user_id, l.session_id
+            FROM (SELECT event_id, count(*) OVER w AS n,
+                         SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                           OVER w / 1000000.0 AS sum_v
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY epoch_us(ts)
+                               RANGE BETWEEN 86400000000 PRECEDING
+                               AND CURRENT ROW)) r
+            JOIN lab l USING (event_id)""",
         "bloom_prune": _sql_bloom_prune(),
         "corpus_filter_keep": f"""
             SELECT g.doc_id, g.keep, g.reasons, n.normalized, x.extracted

@@ -89,7 +89,8 @@ BENCH_QUERIES = [
     "jaccard_prefix_docs", "nb_classifier_docs",
     "perplexity_buckets_docs", "hard_negatives_emb",
     "profile_diff_docs", "bm25_join_docs", "label_prop_docs",
-    "cosine_prefix_docs", "edit_distance_docs",
+    "cosine_prefix_docs", "cosine_prefix_full_docs",
+    "edit_distance_docs",
     "phrase_search_docs", "bm25_index_docs", "hybrid_retrieval_docs",
     "ann_recall_emb", "dup_span_trim_docs", "sq_search_emb",
     "ivf_index_emb", "hashing_tf_docs", "winnow_docs",

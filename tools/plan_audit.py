@@ -181,6 +181,38 @@ def _max_filter_len(plan_str: str) -> int:
     return best
 
 
+#: gate-pin weight budget (VERDICT r9 #2)
+BUDGET_SEC_SF01 = 10.0
+BUDGET_EXCHANGES = 60
+
+
+def _over_budget(report: dict, gate_names: set) -> dict:
+    """Gate pins breaching the weight budget: > BUDGET_EXCHANGES
+    exchanges (from this audit's plans) or > BUDGET_SEC_SF01 seconds
+    at sf0.1 (from the latest bench_out.json, when present and at the
+    budget's sf).  Returns {pin: {"exchanges": n, "sec": s}} with only
+    the breaching dimension(s) populated."""
+    sec = {}
+    bench = Path(__file__).resolve().parent.parent / "bench_out.json"
+    try:
+        b = json.loads(bench.read_text())
+        if abs(float(b.get("sf", 0)) - 0.1) < 1e-9:
+            sec = b.get("queries", {})
+    except Exception:
+        pass
+    flagged = {}
+    for name in sorted(gate_names):
+        entry = {}
+        f = report.get(name)
+        if f and f["n_exchange"] > BUDGET_EXCHANGES:
+            entry["exchanges"] = f["n_exchange"]
+        if name in sec and sec[name] > BUDGET_SEC_SF01:
+            entry["sec"] = sec[name]
+        if entry:
+            flagged[name] = entry
+    return flagged
+
+
 def main() -> None:
     import importlib.util
 
@@ -201,6 +233,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
+    gate_names = set(m.queries())
     qs = dict(m.queries())
     if extras and hasattr(m, "bench_extras"):
         qs.update(m.bench_extras())
@@ -234,6 +267,15 @@ def main() -> None:
                                     if f["giant_filter"]),
         "max_exchanges": max((f["n_exchange"] for f in report.values()),
                              default=0),
+        # r10 (VERDICT r9 #2): per-GATE-pin weight budget — a pin over
+        # ~10 s at sf0.1 or over ~60 exchanges slows every driver gate
+        # pass and makes a red row hard to localize; the rotation
+        # strategy must split it instead of concentrating arms.
+        # Seconds come from the latest bench_out.json when its sf
+        # matches the budget's (bench-only extras are exempt — floors
+        # may legitimately be heavy, e.g. the full-corpus exact
+        # tf-idf join).
+        "over_budget": _over_budget(report, gate_names),
     }
     out = {"sf": sf, "totals": totals, "plans": report}
     if errors:
@@ -242,8 +284,9 @@ def main() -> None:
     spark.stop()
     # a REAL (neither-side-≤1-row) cartesian is a scale-killer, not a
     # style note: fail the audit so it can't blend into the benign
-    # broadcast-bounds population
-    if totals["with_real_cartesian"]:
+    # broadcast-bounds population; an over-budget gate pin is the same
+    # class of must-fix (the budget exists to stay enforced)
+    if totals["with_real_cartesian"] or totals["over_budget"]:
         sys.exit(1)
 
 
