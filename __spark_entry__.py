@@ -1719,6 +1719,9 @@ def bench_extras():
             "dup_span_trim_docs": q_dup_span_trim_docs,
             "sq_search_emb": q_sq_search_emb,
             "ivf_index_emb": q_ivf_index_emb,
+            # r10: incremental dense-index ingestion (write half +
+            # merge half + DPP probe, cold per call)
+            "ivf_merge_emb": q_ivf_merge_emb,
             "hashing_tf_docs": q_hashing_tf_docs,
             "winnow_docs": q_winnow_docs}
 
@@ -1757,6 +1760,32 @@ def q_ivf_index_emb(spark, sf):
         sf, "embeddings", "ivf_idx", "v1", "centroids/_SUCCESS",
         lambda d_: ivf_index_write(emb, d_, kmeans_fit(emb, k=8,
                                                        iters=2)))
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    return ivf_index_join(d, k=5, nprobe=2, exclude_self=True)(batch)
+
+
+def q_ivf_merge_emb(spark, sf):
+    # r10: incremental dense-index ingestion floor (VERDICT r9 #1) —
+    # cold ivf_index_write over the even half, ivf_index_merge of the
+    # odd half under the stored quantizer, then the DPP probe against
+    # the merged index.  Cold per call (the q_knn_lsh_probe_cold
+    # honesty convention: merge APPENDS, so a memoized index would
+    # grow across bench samples); one dir per process, overwritten.
+    # merge==rebuild bit-equal is law-tested in tests/test_round10.py.
+    import os
+    import shutil
+    import tempfile
+    from conduino_spark import (hash_sample, ivf_index_join,
+                                ivf_index_merge, ivf_index_write,
+                                kmeans_fit)
+    emb = _src(sf, "embeddings").df(spark)
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    d = os.path.join(tempfile.gettempdir(),
+                     f"ivf_idx_merge_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)  # append-mode index: reset
+    ivf_index_write(even, d, kmeans_fit(even, k=8, iters=1))
+    ivf_index_merge(odd, d)
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
     return ivf_index_join(d, k=5, nprobe=2, exclude_self=True)(batch)
 

@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "phrase_search_docs", "bm25_index_docs", "hybrid_retrieval_docs",
     "ann_recall_emb", "dup_span_trim_docs", "sq_search_emb",
     "ivf_index_emb", "hashing_tf_docs", "winnow_docs",
+    # r10: incremental dense-index ingestion floor (cold write half +
+    # merge half + DPP probe)
+    "ivf_merge_emb",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
