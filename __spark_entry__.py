@@ -1720,8 +1720,10 @@ def bench_extras():
             "sq_search_emb": q_sq_search_emb,
             "ivf_index_emb": q_ivf_index_emb,
             # r10: incremental dense-index ingestion (write half +
-            # merge half + DPP probe, cold per call)
+            # merge half + DPP probe, cold per call) + the persisted
+            # compressed index (IVF-PQ on disk, warm probe)
             "ivf_merge_emb": q_ivf_merge_emb,
+            "ivfpq_index_emb": q_ivfpq_index_emb,
             "hashing_tf_docs": q_hashing_tf_docs,
             "winnow_docs": q_winnow_docs}
 
@@ -1762,6 +1764,25 @@ def q_ivf_index_emb(spark, sf):
                                                        iters=2)))
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
     return ivf_index_join(d, k=5, nprobe=2, exclude_self=True)(batch)
+
+
+def q_ivfpq_index_emb(spark, sf):
+    # r10: the persisted COMPRESSED index (Faiss IndexIVFPQ on disk —
+    # m-byte codes partitioned by cell, both models in-band), warm
+    # probe with static partition pruning on the literal probe cells;
+    # bit-equal to in-memory ivfpq_search by law (test_round10)
+    from conduino_spark import (ivfpq_index_read, ivfpq_index_write,
+                                ivfpq_search, kmeans_fit, pq_train)
+    emb = _src(sf, "embeddings").df(spark)
+    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
+    qv = [float(x) for x in row["embedding"]]
+    d = _index_memo_dir(
+        sf, "embeddings", "ivfpq_idx", "v1", "codebook/_SUCCESS",
+        lambda d_: ivfpq_index_write(
+            emb, d_, kmeans_fit(emb, k=8, iters=2),
+            pq_train(emb, m=8, k=16, iters=1)))
+    codes, book, cents = ivfpq_index_read(spark, d)
+    return ivfpq_search(book, cents, qv, kk=10, nprobe=2)(codes)
 
 
 def q_ivf_merge_emb(spark, sf):

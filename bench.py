@@ -95,8 +95,8 @@ BENCH_QUERIES = [
     "ann_recall_emb", "dup_span_trim_docs", "sq_search_emb",
     "ivf_index_emb", "hashing_tf_docs", "winnow_docs",
     # r10: incremental dense-index ingestion floor (cold write half +
-    # merge half + DPP probe)
-    "ivf_merge_emb",
+    # merge half + DPP probe) + the persisted IVF-PQ warm probe
+    "ivf_merge_emb", "ivfpq_index_emb",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

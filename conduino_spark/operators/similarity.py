@@ -954,6 +954,96 @@ def ivf_index_merge(new_vecs: DataFrame, path: str, *,
              .parquet(f"{path}/vectors"))
 
 
+def ivfpq_index_write(df: DataFrame, path: str, model: KMeansModel,
+                      book: "dict[int, dict[int, list[float]]]", *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      mode: str = "overwrite") -> None:
+    """Materialize the full compressed-ANN index ONCE — the persisted
+    form of the :func:`ivfpq_search` production shape (Faiss
+    IndexIVFPQ on disk): assign every vector to its nearest
+    :class:`KMeansModel` centroid, :func:`pq_encode` it under the
+    codebook, and write ONLY (id, pq_codes) ``partitionBy(cell)`` —
+    m small codes per row on disk instead of dim×8-byte vectors, and
+    probes read just their nprobe cell directories (partition pruning
+    on the literal probe cells, plan-asserted in tests).
+
+    BOTH models are stored in-band (``centroids/`` like
+    :func:`ivf_index_write`, plus ``codebook/`` as (sub, code,
+    centroid) rows), so cell ranking, ADC tables, and any later
+    :func:`ivfpq_index_merge` all derive from the exact artifacts the
+    codes were built with — drift between encode and scoring is
+    impossible."""
+    m = len(book)
+    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+        df.where(F.col(vec_col).isNotNull()))
+    coded = pq_encode(book, vec_col=vec_col, out="pq_codes")(assigned)
+    (coded.select(F.col(id_col), F.col("pq_codes"), F.col("cell"))
+          .repartition(max(model.k, 1), "cell")
+          .write.partitionBy("cell").mode(mode)
+          .parquet(f"{path}/codes"))
+    spark = df.sparkSession
+    (spark.createDataFrame(
+        [(int(c), [float(x) for x in v])
+         for c, v in model.centroids.items()],
+        "cell long, centroid array<double>")
+     .coalesce(1).write.mode(mode).parquet(f"{path}/centroids"))
+    (spark.createDataFrame(
+        [(s, int(c), [float(x) for x in book[s][c]])
+         for s in range(m) for c in sorted(book[s])],
+        "sub int, code int, centroid array<double>")
+     .coalesce(1).write.mode(mode).parquet(f"{path}/codebook"))
+
+
+def ivfpq_index_read(spark, path: str):
+    """Load a persisted :func:`ivfpq_index_write` index: returns
+    ``(codes_df, book, centroids)`` — the corpus codes frame (lazy,
+    partition-pruned when filtered on ``cell``) plus both in-band
+    models as the driver-sized dicts :func:`ivfpq_search` takes.
+    Compositional by design: ``ivfpq_search(book, cents, qv, kk,
+    nprobe)(codes_df)`` is the probe, so the persisted path runs the
+    SAME scan stage as the in-memory one (bit-equal, law-tested)."""
+    try:
+        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+        book_rows = spark.read.parquet(f"{path}/codebook").collect()
+    except Exception as e:
+        raise ValueError(
+            f"no IVF-PQ index at {path} (missing centroids/ or "
+            f"codebook/): build one with ivfpq_index_write") from e
+    if not cent_rows or not book_rows:
+        raise ValueError(f"IVF-PQ index at {path} has an empty model")
+    cents = {int(r["cell"]): [float(x) for x in r["centroid"]]
+             for r in cent_rows}
+    book: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        book.setdefault(int(r["sub"]), {})[int(r["code"])] = \
+            [float(x) for x in r["centroid"]]
+    return spark.read.parquet(f"{path}/codes"), book, cents
+
+
+def ivfpq_index_merge(new_vecs: DataFrame, path: str, *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """Fold a NEW vector batch into a persisted
+    :func:`ivfpq_index_write` index — the compressed twin of
+    :func:`ivf_index_merge`: assign AND encode under the STORED
+    (frozen) quantizer + codebook, append into the cell directories.
+    One append; neither model is touched; probes against the merged
+    index are BIT-EQUAL to a from-scratch rebuild over the union
+    corpus under the same models (law-tested).  Cost scales with the
+    new batch only.  Append-only contract as for the other merges."""
+    spark = new_vecs.sparkSession
+    _, book, cents = ivfpq_index_read(spark, path)
+    model = KMeansModel(cents)
+    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+        new_vecs.where(F.col(vec_col).isNotNull()))
+    coded = pq_encode(book, vec_col=vec_col, out="pq_codes")(assigned)
+    (coded.select(F.col(id_col), F.col("pq_codes"), F.col("cell"))
+          .repartition(max(model.k, 1), "cell")
+          .write.partitionBy("cell").mode("append")
+          .parquet(f"{path}/codes"))
+
+
 def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              cell_col: str = "label", out_id: str = "neighbor_id",

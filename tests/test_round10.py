@@ -224,3 +224,99 @@ def test_rrf_fuse_microbatch_stream_equals_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(tuple(r) for r in fuse(qs).collect())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index: write / read / merge (index-family parity)
+# ---------------------------------------------------------------------------
+
+def _qv(spark, vid=0):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    row = emb.where(F.col("vec_id") == vid).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_ivfpq_index_probe_equals_in_memory(spark, tmp_path):
+    """The persisted compressed index reproduces the in-memory
+    ivfpq_search over the same assignment + codes, bit-for-bit — the
+    read returns the SAME in-band models the codes were built with,
+    and the probe runs the same scan stage."""
+    from conduino_spark import (ivfpq_index_read, ivfpq_index_write,
+                                ivfpq_search, kmeans_assign, kmeans_fit,
+                                pq_encode, pq_train)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = kmeans_fit(emb, k=8, iters=2)
+    book = pq_train(emb, m=8, k=16, iters=1)
+    d = str(tmp_path / "idx")
+    ivfpq_index_write(emb, d, model, book)
+
+    qv = _qv(spark)
+    codes, book2, cents = ivfpq_index_read(spark, d)
+    got = sorted(tuple(r) for r in
+                 ivfpq_search(book2, cents, qv, kk=10,
+                              nprobe=2)(codes).collect())
+    mem = pq_encode(book)(kmeans_assign(model)(emb))
+    want = sorted(tuple(r) for r in
+                  ivfpq_search(book, model.centroids, qv, kk=10,
+                               nprobe=2)(mem).collect())
+    assert got == want and len(got) == 10
+
+
+def test_ivfpq_index_merge_twice_equals_rebuild(spark, tmp_path):
+    """write + merge + merge == rebuild-over-everything bit-equal:
+    assignment AND encoding under the frozen in-band models are pure
+    per-row functions, so appends commute with rebuilds."""
+    from conduino_spark import (ivfpq_index_merge, ivfpq_index_read,
+                                ivfpq_index_write, ivfpq_search,
+                                kmeans_fit, pq_train)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    model = kmeans_fit(a, k=8, iters=1)
+    book = pq_train(a, m=8, k=16, iters=1)
+
+    idx = str(tmp_path / "idx")
+    ivfpq_index_write(a, idx, model, book)
+    ivfpq_index_merge(emb.where(F.col("vec_id") % 3 == 1), idx)
+    ivfpq_index_merge(emb.where(F.col("vec_id") % 3 == 2), idx)
+    full = str(tmp_path / "full")
+    ivfpq_index_write(emb, full, model, book)
+
+    qv = _qv(spark, vid=3)
+    outs = []
+    for d in (idx, full):
+        codes, bk, cents = ivfpq_index_read(spark, d)
+        outs.append(sorted(tuple(r) for r in
+                           ivfpq_search(bk, cents, qv, kk=10,
+                                        nprobe=2)(codes).collect()))
+    assert outs[0] == outs[1] and len(outs[0]) == 10
+    # the merged codes table covers exactly the union corpus
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
+
+
+def test_ivfpq_index_partition_pruning(spark, tmp_path):
+    """The probe filters on literal probe cells over the
+    partitionBy(cell) codes table — static partition pruning: the
+    scan's PartitionFilters must carry the cell predicate."""
+    from conduino_spark import (ivfpq_index_read, ivfpq_index_write,
+                                ivfpq_search, kmeans_fit, pq_train)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = kmeans_fit(emb, k=8, iters=1)
+    book = pq_train(emb, m=8, k=16, iters=1)
+    d = str(tmp_path / "idx")
+    ivfpq_index_write(emb, d, model, book)
+    codes, bk, cents = ivfpq_index_read(spark, d)
+    plan = (ivfpq_search(bk, cents, _qv(spark), kk=5, nprobe=1)(codes)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf
+
+
+def test_ivfpq_index_guards(spark, tmp_path):
+    from conduino_spark import ivfpq_index_merge, ivfpq_index_read
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="no IVF-PQ index"):
+        ivfpq_index_read(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no IVF-PQ index"):
+        ivfpq_index_merge(emb, str(tmp_path / "nope"))

@@ -331,6 +331,57 @@ def main() -> None:
     em1 = replicated_embeddings(spark, 1)
     emN = replicated_embeddings(spark, REPLICAS)
     result = {}
+
+    # r10: incremental-index merge probes.  The CLAIM is "merge cost
+    # scales with the NEW batch only" (bm25_index_merge /
+    # ivf_index_merge never read the existing postings/vectors), so
+    # the protocol is a FIXED new batch folded into an index built
+    # (untimed) over a 1x vs REPLICASx corpus — a flat ratio (~1)
+    # proves it.  Repeated merges into the same index double-append,
+    # which is exactly the right timing harness here: if cost were a
+    # function of index size, the min-of-2 would still grow.
+    def _merge_probe(name, build, merge, new_batch, c1, cN):
+        import os
+        import shutil
+        import tempfile
+        ts = {}
+        for tag, corpus in (("1x", c1), (f"{REPLICAS}x", cN)):
+            d = os.path.join(tempfile.gettempdir(),
+                             f"probe_{name}_{os.getpid()}_{tag}")
+            shutil.rmtree(d, ignore_errors=True)
+            build(corpus, d)                    # untimed index build
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                merge(new_batch, d)
+                best = min(best, time.time() - t0)
+            ts[tag] = round(best, 3)
+            release_caches()
+            spark.catalog.clearCache()
+        result[name] = {"t_1x": ts["1x"], f"t_{REPLICAS}x": ts[f"{REPLICAS}x"],
+                        "ratio": round(ts[f"{REPLICAS}x"]
+                                       / max(ts["1x"], 1e-9), 2),
+                        "protocol": "fixed new batch vs grown index"}
+
+    if not ONLY or "bm25_index_merge" in ONLY:
+        from conduino_spark.operators.search import (bm25_index_merge,
+                                                     bm25_index_write)
+        newd = dc1.select((F.col("doc_id") + F.lit(900_000_000))
+                          .alias("doc_id"), "text")
+        _merge_probe("bm25_index_merge",
+                     lambda c, d: bm25_index_write(c, d, n_shards=64),
+                     lambda b, d: bm25_index_merge(b, d),
+                     newd, dc1, dcN)
+    if not ONLY or "ivf_index_merge" in ONLY:
+        from conduino_spark import (ivf_index_merge, ivf_index_write,
+                                    kmeans_fit)
+        model = kmeans_fit(em1, k=8, iters=1)  # frozen quantizer
+        newe = em1.select((F.col("vec_id") + F.lit(900_000_000))
+                          .alias("vec_id"), "label", "embedding")
+        _merge_probe("ivf_index_merge",
+                     lambda c, d: ivf_index_write(c, d, model),
+                     lambda b, d: ivf_index_merge(b, d),
+                     newe, em1, emN)
     for name, fn in OPS.items():
         if ONLY and name not in ONLY:
             continue
