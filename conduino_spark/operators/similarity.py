@@ -799,10 +799,15 @@ def sq_search(model: SQModel, query, kk: int = 10, *,
             terms, F.lit(0.0), lambda a, t: a + t), 6)
         # rows not produced by sq_encode (NULL / wrong-width codes)
         # score NULL and ASC NULLS FIRST would fill the top-k with
-        # them — mirror sq_encode's drop rule before scoring
-        return (df.filter(c.isNotNull() & (F.size(c) == model.dim))
-                  .select(F.col(id_col), dist.alias(out))
-                  .orderBy(out, id_col).limit(kk))
+        # them — mirror sq_encode's drop rule before scoring.  Fenced:
+        # a plain .filter would be alias-substituted through
+        # sq_encode's transform projection (the r8 giant-filter smell
+        # — the whole 256-term encode expression re-inlined into an
+        # interpreted per-row predicate).
+        from conduino_spark.plans.core import fenced_where
+        return (fenced_where(df, c.isNotNull() & (F.size(c) == model.dim))
+                .select(F.col(id_col), dist.alias(out))
+                .orderBy(out, id_col).limit(kk))
 
     return Stage(fn, name=f"sq_search({kk})", seq_preserving=False)
 

@@ -134,6 +134,60 @@ def classify_cartesians(jplan) -> "tuple[int, int]":
     return total, real
 
 
+def count_exchanges(jplan) -> int:
+    """Shuffle-exchange count by TREE WALK with cached-plan dedup
+    (r10).  The old string count overstated persisted plans: an
+    InMemoryRelation referenced k times prints its cached lineage k
+    times, so one shared `track()` cache's exchanges counted k-fold —
+    but the cache materializes ONCE.  Walk the tree, count Exchange
+    nodes, and descend into each DISTINCT cached plan exactly once
+    (ReusedExchange is skipped — reuse doesn't re-shuffle)."""
+    seen_caches = set()
+    n = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "Exchange":
+            n += 1
+        if name == "ReusedExchange":
+            continue
+        if name == "InMemoryTableScan":
+            try:
+                cp = node.relation().cachedPlan()
+                key = cp.toString()
+                if key not in seen_caches:
+                    seen_caches.add(key)
+                    stack.append(cp)
+            except Exception:
+                pass
+            continue
+        if name == "AdaptiveSparkPlan":
+            try:
+                stack.append(node.executedPlan())
+            except Exception:
+                pass
+            continue
+        if name.endswith("QueryStage"):
+            # materialized-cache internals (Shuffle/Broadcast/Result
+            # stages) hang off .plan(), not children()
+            try:
+                stack.append(node.plan())
+            except Exception:
+                pass
+            continue
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:
+            pass
+    return n
+
+
 def plan_facts(df) -> dict:
     # the audit session runs with AQE OFF (main() sets it): under AQE
     # a DataFrame's executedPlan stays an unmaterialized
@@ -146,7 +200,7 @@ def plan_facts(df) -> dict:
     wscg = len(set(re.findall(r"\*\((\d+)\)", s)))
     n_cart, n_real = classify_cartesians(jplan)
     return {
-        "n_exchange": len(re.findall(r"\bExchange (?:hash|range|Single)", s)),
+        "n_exchange": count_exchanges(jplan),
         "n_broadcast": s.count("BroadcastExchange"),
         "n_sort_merge": s.count("SortMergeJoin"),
         "n_python_udf": (s.count("BatchEvalPython")
