@@ -243,15 +243,31 @@ def main() -> None:
         return cosine_prefix_pairs(threshold=0.8)(perturbed)
 
     def _edit_distance(df):
-        # r9: a per-replica 8-char prefix pushes cross-replica string
-        # distance past k=2 (within a replica the shared prefix adds
-        # zero distance), so the true pair set stays per-replica
+        # r10 fix (two r9 construction flaws, exposed on an idle box):
+        # the "%03dxyz " tag (a) differed by ONE char between
+        # replicas, so every cross-replica clone pair was a TRUE pair
+        # at distance 1, and (b) left the 40-char BODY identical
+        # across replicas, so clone families shared their q-grams and
+        # the candidate set grew C(n,2) per family — quadratic BY
+        # CONSTRUCTION (the cosine_prefix unfairness class; measured
+        # 53x at 10x).  Sound construction: per-replica Caesar
+        # rotation of the alphabet — a BIJECTIVE char map preserves
+        # every within-replica edit distance exactly, while replicas
+        # share (almost) no q-grams and sit ~40 edits apart, so both
+        # the true pair set and the candidate set stay per-replica
+        # and the probe measures the PLAN.
+        import string
         rep = (F.col("doc_id") / F.lit(10_000_000)).cast("int")
         from conduino_spark import edit_distance_pairs
-        keyed = df.select(
-            "doc_id",
-            F.concat(F.format_string("%03dxyz ", rep),
-                     F.substring("text", 1, 40)).alias("s"))
+        alpha = string.ascii_lowercase + string.digits
+        s40 = F.substring("text", 1, 40)
+        expr = F.translate(s40, alpha, alpha)
+        for i in range(1, 16):
+            shifted = alpha[i:] + alpha[:i]
+            expr = F.when(rep == i,
+                          F.translate(s40, alpha, shifted)) \
+                    .otherwise(expr)
+        keyed = df.select("doc_id", expr.alias("s"))
         return edit_distance_pairs(text_col="s", k=2)(keyed)
 
     def _bm25_join(df):
