@@ -1102,7 +1102,19 @@ def q_pq_adc_search(spark, sf):
                         (F.col("__nt") * 1000 + F.col("__nh"))
                         .cast("double").alias("approx_dist")))
 
-    return (pq.unionByName(sq)
+    # r10 fifth arm: the COMPOSED flagship 100 TB ANN shape — IVF
+    # coarse pruning (label cells ranked by scaled-long centroid
+    # means, driver-side like a stored quantizer) + the SAME PQ ADC
+    # scan inside the probed cells (operators/similarity.ivfpq_search)
+    # — so the cell-restricted compressed search is itself driver-
+    # hash-verified (_sql_pq_adc grows an nprobe mode).
+    from conduino_spark import cell_centroids, ivfpq_search
+    cents = cell_centroids(emb, cell_col="label")
+    ivfpq = (ivfpq_search(book, cents, qv, kk=10, nprobe=2,
+                          cell_col="label")(enc)
+             .select(F.lit("ivfpq").alias("method"),
+                     "vec_id", "approx_dist"))
+    return (pq.unionByName(sq).unionByName(ivfpq)
               .unionByName(recall_arm(pq, "pq_recall"))
               .unionByName(recall_arm(sq, "sq_recall")))
 
@@ -3440,17 +3452,51 @@ def _sql_ivf_topk(k: int = 10, nprobe: int = 2) -> str:
 
 
 def _sql_pq_adc(m: int = 8, k: int = 16, dim: int = 64,
-                kk: int = 10) -> str:
+                kk: int = 10, nprobe: "int | None" = None) -> str:
     """DuckDB rendering of pq_train(m, k, iters=1) + pq_encode +
     pq_search (operators/similarity.py) — bit-identical by the same
     contract as :func:`_sql_ivf_cells`: init = k lowest-id vectors'
     subvectors, first-minimum (lowest-code) ties, scaled-long means,
     codes never assigned keep their init centroid, query→centroid
     distance table rounded to 6dp per entry, per-row ADC sum in
-    subspace order, final round(·, 6) with (dist, id) ordering."""
+    subspace order, final round(·, 6) with (dist, id) ordering.
+
+    ``nprobe`` (r10): the ivfpq_search mode — the codebook still
+    trains on the FULL corpus, but the ADC scan is restricted to the
+    nprobe `label` cells closest to the query by scaled-long centroid
+    means (cell_centroids arithmetic; round-6 distance, label ties) —
+    the composed IVF + PQ flagship shape replayed end-to-end."""
     sd = dim // m
     dist = (f"list_sum(list_transform(range(1, {sd + 1}), "
             f"i -> (e.v[b.s*{sd}+i] - b.c[i]) * (e.v[b.s*{sd}+i] - b.c[i])))")
+    cell_ctes, cell_where = "", ""
+    if nprobe is not None:
+        cell_ctes = f""",
+            cm AS (SELECT label, i,
+                          SUM(CAST(round(x * 1000000000) AS BIGINT)) AS s,
+                          COUNT(*) AS n
+                   FROM (SELECT label,
+                                unnest(CAST(embedding AS DOUBLE[])) AS x,
+                                generate_subscripts(
+                                    CAST(embedding AS DOUBLE[]), 1) AS i
+                         FROM embeddings)
+                   GROUP BY 1, 2),
+            cent AS (SELECT label,
+                            list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 / 1000000000.0 ORDER BY i) AS c
+                     FROM cm GROUP BY label),
+            crank AS (SELECT label FROM (
+                        SELECT cent.label,
+                               round(list_sum([
+                                   (q.qv[i] - cent.c[i])
+                                   * (q.qv[i] - cent.c[i])
+                                   for i in range(1, len(cent.c) + 1)]),
+                                     6) AS d
+                        FROM cent, q)
+                      QUALIFY row_number()
+                              OVER (ORDER BY d, label) <= {nprobe})"""
+        cell_where = ("WHERE vec_id IN (SELECT vec_id FROM embeddings "
+                      "WHERE label IN (SELECT label FROM crank)) ")
     return f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
@@ -3490,9 +3536,9 @@ def _sql_pq_adc(m: int = 8, k: int = 16, dim: int = 64,
             adc AS (SELECT a.vec_id,
                            list_sum(list(dt.d ORDER BY a.s)) AS dist
                     FROM a1 a JOIN dt ON dt.s = a.s AND dt.code = a.code
-                    GROUP BY a.vec_id)
+                    GROUP BY a.vec_id){cell_ctes}
             SELECT vec_id, round(dist, 6) AS approx_dist FROM adc
-            ORDER BY approx_dist, vec_id LIMIT {kk}"""
+            {cell_where}ORDER BY approx_dist, vec_id LIMIT {kk}"""
 
 
 #: exact DuckDB oracles for the 14 remaining adapted-TPC-H shapes —
@@ -4612,6 +4658,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_sql_pq_adc()}) "
             f"UNION ALL SELECT 'sq' AS method, vec_id, approx_dist "
             f"FROM ({sq_sql(10, query_id=QUERY_KNN_ID)})"
+            # r10: the composed IVF+PQ flagship shape under its own tag
+            f"UNION ALL SELECT 'ivfpq' AS method, vec_id, approx_dist "
+            f"FROM ({_sql_pq_adc(nprobe=2)})"
             # r10: measured recall@10 of each compressed search vs
             # the exact float L2 truth, packed n_truth*1000 + n_hit
             f"UNION ALL {_sql_compressed_recall('pq_recall', _sql_pq_adc(), QUERY_KNN_ID)} "
