@@ -596,7 +596,14 @@ def q_minhash_survivors(spark, sf):
                   F.concat(F.lit("lp:"),
                            F.coalesce("label_prop", F.lit("~")))
                   .alias("policy")))
-    return greedy.unionByName(cc).unionByName(lp)
+    # r10 fourth arm: QUALITY-based survivor selection — each cluster
+    # keeps its highest-n_chars member (ties lowest id) instead of
+    # the min id (dedup.minhash_dedup_cc_best), over the SAME cached
+    # pair table; recursive-CTE + row_number DuckDB replay.
+    from conduino_spark import minhash_dedup_cc_best
+    best = (minhash_dedup_cc_best("n_chars", pairs=pairs)(docs)
+            .select("doc_id", F.lit("best").alias("policy")))
+    return greedy.unionByName(cc).unionByName(lp).unionByName(best)
 
 
 def q_salted_group_revenue(spark, sf):
@@ -4163,7 +4170,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id NOT IN (SELECT id FROM roots WHERE root <> id))
             UNION ALL
             SELECT doc_id, 'lp:' || COALESCE(lbl, '~') AS policy
-            FROM ({_sql_label_prop(4)})""",
+            FROM ({_sql_label_prop(4)})
+            UNION ALL
+            -- r10 'best' arm (minhash_dedup_cc_best): per-cluster
+            -- survivor = highest n_chars, ties lowest id; docs in no
+            -- pair survive untouched (the -1e308 coalesce mirrors the
+            -- Spark arm's -inf NULL-score rule)
+            SELECT doc_id, 'best' AS policy FROM (
+              {_sql_minhash_bands().replace(
+                  "WITH sigs", "WITH RECURSIVE sigs", 1)}
+              , prs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b USING (band_id, band_hash)
+                WHERE a.doc_id < b.doc_id),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION ALL SELECT id_b, id_a FROM prs),
+              reach AS (
+                SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+              roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+              best AS (SELECT id FROM (
+                         SELECT r.id, r.root,
+                                COALESCE(CAST(d.n_chars AS DOUBLE),
+                                         -1e308) AS sc
+                         FROM roots r JOIN documents d ON d.doc_id = r.id)
+                       QUALIFY row_number() OVER (
+                           PARTITION BY root ORDER BY sc DESC, id) = 1)
+              SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (SELECT id FROM roots)
+                 OR doc_id IN (SELECT id FROM best))""",
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
                    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)

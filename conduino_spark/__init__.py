@@ -70,6 +70,7 @@ from conduino_spark.operators.dedup import (
     embedding_near_dup_pairs,
     jaccard_prefix_pairs, lsh_candidate_prob, minhash_dedup, semantic_dedup,
     leakage_safe_split, minhash_dedup_against, minhash_dedup_cc,
+    minhash_dedup_cc_best,
     minhash_dedup_pairs,
     minhash_eval, minhash_signatures, ngram_jaccard_pairs, simhash,
     simhash_dedup_pairs, source_overlap, tune_minhash_bands,

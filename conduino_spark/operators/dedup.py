@@ -400,6 +400,57 @@ def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
     return Stage(fn, name="minhash_dedup_cc", seq_preserving=False)
 
 
+def minhash_dedup_cc_best(score_col: str, text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          max_iters: int = 25,
+                          pairs: "DataFrame | None" = None,
+                          n_perm: int = MINHASH_K,
+                          bands: int = MINHASH_BANDS) -> Stage:
+    """:func:`minhash_dedup_cc` with QUALITY-based survivor selection:
+    keep the cluster member with the highest ``score_col`` (ties by
+    lowest id) instead of the lowest id — the policy production dedup
+    actually wants (near-dup clusters keep their best-quality copy,
+    e.g. a :func:`~conduino_spark.operators.text.quality_score`
+    column, not an arbitrary id).
+
+    NULL scores lose to any non-NULL score (they coalesce to -inf);
+    an all-NULL cluster falls back to the min-id rule.  Docs in no
+    near-dup pair survive untouched.
+
+    Plan: the same banded pair table and Pregel min-label CC as the
+    min-id policy, then ONE per-cluster struct-max aggregate over the
+    narrow (cluster, score, id) rows and an anti-join of the losers —
+    no new shuffle class; deterministic, RNG-free, and replayable by
+    a recursive-CTE + row_number DuckDB oracle.
+
+    Cites reference semantics: conduino has no dedup; north-star
+    extension (SURVEY §7 M6), Lee et al. 2022 survivor-policy
+    refinement."""
+    pairs_stage = minhash_dedup_pairs(text_col, id_col, n_perm=n_perm,
+                                      bands=bands)
+
+    def fn(df: DataFrame) -> DataFrame:
+        p = pairs if pairs is not None else pairs_stage(df)
+        labels = _cc_min_label(p, max_iters=max_iters)  # (id, lbl)
+        sc = F.coalesce(F.col(score_col).cast("double"),
+                        F.lit(float("-inf")))
+        member = labels.join(
+            df.select(F.col(id_col).alias("id"), sc.alias("__sc")), "id")
+        # struct max orders by (score, -id): highest score wins, ties
+        # go to the LOWEST id — all-NULL clusters reduce to min-id
+        winners = (member.groupBy("lbl")
+                   .agg(F.max(F.struct(F.col("__sc"),
+                                       (-F.col("id")).alias("__ni")))
+                        .alias("__w"))
+                   .select((-F.col("__w.__ni")).alias("__keep_id")))
+        losers = (labels.join(
+            winners, labels["id"] == winners["__keep_id"], "anti")
+            .select(F.col("id").alias(id_col)))
+        return df.join(losers, id_col, "anti")
+
+    return Stage(fn, name="minhash_dedup_cc_best", seq_preserving=False)
+
+
 def simhash_signature(text: Column, *, bits: int = 32) -> Column:
     """SimHash over token hashes: bit i of the signature = sign of
     Σ_tokens (bit_i(h32(tok)) ? +1 : −1).  Duplicate tokens count with

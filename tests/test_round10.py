@@ -313,6 +313,43 @@ def test_ivfpq_index_partition_pruning(spark, tmp_path):
     assert "cell" in pf
 
 
+def test_minhash_dedup_cc_best_hand_graph(spark):
+    """Quality-based survivor selection over an explicit pair graph:
+    the chain 1—2—3 is one cluster — the highest-score member (2)
+    survives, not the min id; NULL scores lose to any non-NULL; a doc
+    in no pair (4) survives untouched; an all-NULL cluster (5—6)
+    falls back to min id."""
+    from conduino_spark import minhash_dedup_cc_best
+    docs = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", None),
+         (4, "d", 1.0), (5, "e", None), (6, "f", None)],
+        "doc_id long, text string, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    got = sorted(r.doc_id for r in
+                 minhash_dedup_cc_best("q", pairs=pairs)(docs)
+                 .select("doc_id").collect())
+    assert got == [2, 4, 5]
+
+
+def test_minhash_dedup_cc_best_matches_cc_on_id_score(spark):
+    """With score = -doc_id, 'highest score, ties lowest id' IS the
+    min-id rule — the best policy must reproduce minhash_dedup_cc
+    exactly on the real corpus pair graph."""
+    from conduino_spark import (minhash_dedup_cc, minhash_dedup_cc_best,
+                                minhash_dedup_pairs)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .withColumn("negid", -F.col("doc_id")))
+    pairs = minhash_dedup_pairs()(docs)
+    got = sorted(r.doc_id for r in
+                 minhash_dedup_cc_best("negid", pairs=pairs)(docs)
+                 .select("doc_id").collect())
+    want = sorted(r.doc_id for r in
+                  minhash_dedup_cc(pairs=pairs)(docs)
+                  .select("doc_id").collect())
+    assert got == want and len(got) > 0
+
+
 def test_ivfpq_index_guards(spark, tmp_path):
     from conduino_spark import ivfpq_index_merge, ivfpq_index_read
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
