@@ -163,6 +163,47 @@ def lsh_index_write(df: DataFrame, path: str, *, vec_col: str = "embedding",
     (lsh_bucket(vec_col, dim=dim, planes=planes)(df)
      .repartition(n_write, F.col("bucket"))
      .write.partitionBy("bucket").mode("overwrite").parquet(path))
+    # r10: (dim, planes) stored in-band so lsh_index_merge assigns new
+    # batches under the SAME hyperplane family (the n_shards rule).
+    # The directory is underscore-prefixed: Spark's path filter hides
+    # it from `spark.read.parquet(path)`, so the v1 probe layout —
+    # bucket dirs at the root — is unchanged for existing readers.
+    (df.sparkSession.createDataFrame([(int(dim), int(planes))],
+                                     "dim int, planes int")
+       .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta"))
+
+
+def lsh_index_merge(new_vecs: DataFrame, path: str, *,
+                    vec_col: str = "embedding") -> None:
+    """Fold a NEW vector batch into a persisted :func:`lsh_index_write`
+    index — the SRP member of the incremental-index family
+    (bm25/ivf/ivfpq merges are its siblings): bucket the batch under
+    the SAME (dim, planes) the index stores in-band (SRP hyperplanes
+    are a pure function of those two ints — h32-derived, no learned
+    state), append into the bucket directories.  Probes against the
+    merged index are BIT-EQUAL to a from-scratch rebuild over the
+    union corpus (law-tested); cost scales with the new batch only.
+    Append-only contract as for the other merges.
+
+    A pre-r10 index without the in-band ``_meta`` table raises —
+    rebuild once with the current :func:`lsh_index_write` to upgrade
+    (guessing dim/planes here could silently split the bucket space)."""
+    spark = new_vecs.sparkSession
+    try:
+        meta = spark.read.parquet(f"{path}/_meta").collect()
+    except Exception as e:
+        raise ValueError(
+            f"no mergeable LSH index at {path} (missing in-band _meta "
+            f"— a pre-r10 index must be rebuilt with lsh_index_write "
+            f"before merging)") from e
+    if len(meta) != 1:
+        raise ValueError(f"corrupt _meta at {path}: {len(meta)} rows")
+    dim, planes = int(meta[0]["dim"]), int(meta[0]["planes"])
+    target = spark.sparkContext.defaultParallelism
+    n_write = min(1 << planes, 2 * target)
+    (lsh_bucket(vec_col, dim=dim, planes=planes)(new_vecs)
+     .repartition(min(n_write, 8), F.col("bucket"))
+     .write.partitionBy("bucket").mode("append").parquet(path))
 
 
 def knn_lsh(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",

@@ -313,6 +313,75 @@ def test_ivfpq_index_partition_pruning(spark, tmp_path):
     assert "cell" in pf
 
 
+def test_lsh_index_merge_equals_rebuild(spark, tmp_path):
+    """The SRP member of the merge family: bucket assignment is a pure
+    function of the in-band (dim, planes), so append == rebuild — the
+    knn_lsh probe against the merged index is bit-equal to the
+    from-scratch index over the union corpus.  A pre-r10 index
+    without _meta refuses to merge."""
+    from conduino_spark import knn_lsh, lsh_index_merge, lsh_index_write
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = _qv(spark)
+    idx = str(tmp_path / "idx")
+    lsh_index_write(emb.where(F.col("vec_id") % 2 == 0), idx,
+                    dim=len(qv))
+    lsh_index_merge(emb.where(F.col("vec_id") % 2 == 1), idx)
+    full = str(tmp_path / "full")
+    lsh_index_write(emb, full, dim=len(qv))
+
+    def probe(d):
+        return sorted(tuple(r) for r in
+                      knn_lsh(qv, k=10, bucket_col="bucket")(
+                          spark.read.parquet(d)).collect())
+
+    assert probe(idx) == probe(full) and len(probe(idx)) == 10
+    # the root read ignores the underscore-prefixed meta dir (v1
+    # probe layout unchanged) and the merged corpus is complete
+    assert spark.read.parquet(idx).count() == emb.count()
+    with pytest.raises(ValueError, match="no mergeable LSH index"):
+        lsh_index_merge(emb, str(tmp_path / "nope"))
+
+
+def test_ivfpq_index_merge_streaming_ingestion(spark, tmp_path):
+    """foreachBatch(ivfpq_index_merge) over a file stream of embedding
+    batches == from-scratch rebuild over everything ingested — the
+    compressed twin of the bm25/ivf ingestion laws."""
+    from conduino_spark import (ivfpq_index_merge, ivfpq_index_read,
+                                ivfpq_index_write, ivfpq_search,
+                                kmeans_fit, pq_train)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    model = kmeans_fit(a, k=8, iters=1)
+    book = pq_train(a, m=8, k=16, iters=1)
+    inbox = str(tmp_path / "inbox")
+    emb.where(F.col("vec_id") % 3 == 1).coalesce(1) \
+       .write.parquet(f"{inbox}/b1")
+    emb.where(F.col("vec_id") % 3 == 2).coalesce(1) \
+       .write.parquet(f"{inbox}/b2")
+
+    idx = str(tmp_path / "idx")
+    ivfpq_index_write(a, idx, model, book)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: ivfpq_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    ivfpq_index_write(emb, full, model, book)
+    qv = _qv(spark, vid=3)
+    outs = []
+    for d in (idx, full):
+        codes, bk, cents = ivfpq_index_read(spark, d)
+        outs.append(sorted(tuple(r) for r in
+                           ivfpq_search(bk, cents, qv, kk=10,
+                                        nprobe=2)(codes).collect()))
+    assert outs[0] == outs[1] and len(outs[0]) == 10
+
+
 def test_minhash_dedup_cc_best_hand_graph(spark):
     """Quality-based survivor selection over an explicit pair graph:
     the chain 1—2—3 is one cluster — the highest-score member (2)
