@@ -1743,6 +1743,8 @@ def bench_extras():
             # compressed index (IVF-PQ on disk, warm probe)
             "ivf_merge_emb": q_ivf_merge_emb,
             "ivfpq_index_emb": q_ivfpq_index_emb,
+            # r10: k-core peeling over the near-dup pair graph
+            "k_core_docs": q_k_core_docs,
             "hashing_tf_docs": q_hashing_tf_docs,
             "winnow_docs": q_winnow_docs}
 
@@ -1992,6 +1994,19 @@ def q_bm25_join_docs(spark, sf):
                   F.concat_ws(" ", F.slice(
                       tokens_col(F.col("text")), 1, 5)).alias("query")))
     return bm25_join(docs, k=5, term_round=6)(qs)
+
+
+def q_k_core_docs(spark, sf):
+    # r10: k-core peeling over the minhash near-dup pair graph (the
+    # web-graph curation signal: dense cores = boilerplate/spam rings)
+    # — bounded-iteration driver fixpoint, one degree agg + two
+    # semi-joins per round; MATERIALIZED unrolled-CTE DuckDB replay in
+    # tests/test_round10.py (gate-exempt by the pin-weight budget —
+    # the hard_negatives precedent)
+    from conduino_spark import k_core, minhash_dedup_pairs
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+    pairs = minhash_dedup_pairs()(docs).select("id_a", "id_b")
+    return k_core(2)(pairs)
 
 
 def q_cosine_prefix_gate(spark, sf):

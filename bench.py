@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "ivf_index_emb", "hashing_tf_docs", "winnow_docs",
     # r10: incremental dense-index ingestion floor (cold write half +
     # merge half + DPP probe) + the persisted IVF-PQ warm probe
-    "ivf_merge_emb", "ivfpq_index_emb",
+    "ivf_merge_emb", "ivfpq_index_emb", "k_core_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose

@@ -78,7 +78,8 @@ from conduino_spark.operators.dedup import (
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train
 from conduino_spark.operators.graph import (
-    connected_components, label_propagation, pagerank, triangle_count,
+    connected_components, k_core, label_propagation, pagerank,
+    triangle_count,
 )
 from conduino_spark.operators.search import (
     bm25_index_join, bm25_index_merge, bm25_index_write, bm25_join,

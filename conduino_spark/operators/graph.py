@@ -162,6 +162,70 @@ def triangle_count(src: str = "id_a", dst: str = "id_b", *,
     return Stage(fn, name=name, seq_preserving=False)
 
 
+def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
+           max_iters: int = 50, checkpoint_every: int = 3,
+           name: str = "k_core") -> Stage:
+    """k-core membership: iteratively peel every vertex of degree < k
+    from the undirected graph until fixpoint; output = the surviving
+    vertex set ``(id)`` — the standard web-graph curation signal
+    (link farms and spam rings live in dense cores; long chains and
+    trees peel away).  Input = an edge stream (two id columns, either
+    orientation; self-loops and duplicates tolerated).
+
+    Parallel peeling (all sub-k vertices drop simultaneously each
+    round) converges to the same fixpoint as sequential peeling — the
+    k-core is unique — and is order-independent, so a static unrolled
+    CTE chain replays it exactly (the label-propagation oracle
+    pattern).
+
+    Plan per round: ONE degree aggregate over the narrow (a, b) edge
+    table + two semi-joins of the survivors back onto the edges;
+    lineage bounded by localCheckpoint every ``checkpoint_every``
+    rounds; the per-round fixpoint check is a 1-row count (the
+    sanctioned bounded-iteration collect, lift.feedback_pipe
+    relaxation of Data/Conduino.hs:429-442).  Raises past
+    ``max_iters`` instead of returning a partial core."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        e = df.drop(SEQ) if SEQ in df.columns else df
+        a, b = F.col(src), F.col(dst)
+        canon = (e.select(F.least(a, b).alias("a"),
+                          F.greatest(a, b).alias("b"))
+                  .where(F.col("a") < F.col("b"))
+                  .distinct())
+        und = canon.unionAll(
+            canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und = und.localCheckpoint(eager=True)
+        n_edges = und.count()
+        for it in range(max_iters):
+            if n_edges == 0:
+                break
+            deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("__n"))
+            keep = deg.where(F.col("__n") >= k).select("a")
+            nxt = (und.join(keep, "a", "semi")
+                      .join(keep.select(F.col("a").alias("b")),
+                            "b", "semi"))
+            if (it + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            n_next = nxt.count()
+            if n_next == n_edges:
+                return und.select(F.col("a").alias("id")).distinct()
+            und, n_edges = nxt, n_next
+        else:
+            raise RuntimeError(
+                f"k_core: no fixpoint after {max_iters} rounds — raise "
+                f"max_iters (peeling depth exceeds the bound)")
+        # graph peeled empty: the k-core is empty (und is the empty
+        # edge table here — keeps the caller's id dtype)
+        return und.select(F.col("a").alias("id")).distinct()
+
+    return Stage(fn, name=f"{name}(k={k})", seq_preserving=False)
+
+
 def label_propagation(edges: Union[DataFrame, Source],
                       label_col: str = "label", id_col: str = "id", *,
                       iters: int = 5,

@@ -419,6 +419,66 @@ def test_minhash_dedup_cc_best_matches_cc_on_id_score(spark):
     assert got == want and len(got) > 0
 
 
+# ---------------------------------------------------------------------------
+# k_core: iterative peeling (graph-family completion)
+# ---------------------------------------------------------------------------
+
+def test_k_core_hand_graphs(spark):
+    """Triangle + tail: the triangle is the 2-core, the chain peels
+    (including cascades: removing a leaf exposes its parent); a
+    4-clique survives k=3; k above the densest core is empty; dup
+    edges / self-loops / either orientation tolerated."""
+    from conduino_spark import k_core
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),          # triangle
+         (3, 4), (4, 5), (5, 6),          # tail hanging off it
+         (2, 1), (7, 7)],                 # dup reversed edge; self-loop
+        "id_a long, id_b long")
+    assert sorted(r.id for r in k_core(2)(edges).collect()) == [1, 2, 3]
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "id_a long, id_b long")
+    assert sorted(r.id for r in k_core(3)(clique).collect()) == [0, 1, 2, 3]
+    assert k_core(4)(clique).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(0)
+
+
+def test_k_core_duckdb_unrolled_peeling(spark):
+    """Parallel peeling is order-independent and idempotent past the
+    fixpoint, so a static unrolled CTE chain replays the Spark loop
+    exactly — run both over the real minhash near-dup pair graph."""
+    import duckdb
+    from conduino_spark import k_core, minhash_dedup_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_dedup_pairs()(docs).select("id_a", "id_b")
+    got = sorted(r.id for r in k_core(2)(pairs).collect())
+
+    prs = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE prs (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO prs VALUES (?, ?)", prs or [(None, None)])
+    if not prs:
+        con.execute("DELETE FROM prs")
+    rounds = 16
+    # MATERIALIZED is load-bearing: e{t} is referenced by BOTH k{t}
+    # and e{t+1}, so un-materialized inlining doubles the chain per
+    # round — 2^16 plan blowup (the _sql_bpe_train lesson)
+    ctes = ["e0 AS MATERIALIZED (SELECT a, b FROM prs UNION ALL "
+            "SELECT b, a FROM prs)"]
+    for t in range(rounds):
+        ctes.append(f"""k{t} AS MATERIALIZED (SELECT a FROM e{t}
+                         GROUP BY a HAVING COUNT(*) >= 2)""")
+        ctes.append(f"""e{t + 1} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{t} e
+            JOIN k{t} ka ON ka.a = e.a
+            JOIN k{t} kb ON kb.a = e.b)""")
+    sql = ("WITH " + ",\n".join(ctes)
+           + f"\nSELECT DISTINCT a FROM e{rounds} ORDER BY a")
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want and len(got) > 0
+
+
 def test_ivfpq_index_guards(spark, tmp_path):
     from conduino_spark import ivfpq_index_merge, ivfpq_index_read
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
