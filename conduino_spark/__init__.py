@@ -107,7 +107,8 @@ from conduino_spark.operators.embeddings import (
     pca_transform, vector_moments,
 )
 from conduino_spark.operators.multimodal import (
-    audio_metadata, feature_extract, frame_sample, image_metadata,
+    audio_metadata, decode_bmp, decode_wav, encode_bmp, encode_wav,
+    feature_extract, frame_sample, image_metadata,
     image_resize, sniff_format,
 )
 from conduino_spark.operators.skew import salted_group_agg, salted_join

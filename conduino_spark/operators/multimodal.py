@@ -2,12 +2,18 @@
 with typed metadata (north star, BASELINE.json).
 
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
-``mapInPandas`` signatures, partitioning.  The codec step itself is
-stubbed (this container has no image/audio libraries): decoders either
-raise ``NotImplementedError`` (``codec='real'``) or run a deterministic
-fake (``codec='fake'``) that derives pixel/sample statistics from the
-bytes — so the distributed pipeline around the codec is exercised
-end-to-end at any scale.
+``mapInPandas`` signatures, partitioning.  Codec status (r10):
+
+* ``codec='wav'`` / ``codec='bmp'`` — REAL decoders (plus writers
+  :func:`encode_wav` / :func:`encode_bmp`): RIFF/DIB are struct
+  parses and the payloads fixed-layout numpy arrays, so PCM audio and
+  uncompressed RGB images decode, resize, and featurize end-to-end
+  with no external library.
+* ``codec='real'`` — the jpeg/png/mp3/flac slots still raise
+  ``NotImplementedError`` (this container has no PIL/soundfile —
+  environmental); wire them here when the libs land.
+* ``codec='fake'`` (default) — deterministic byte-digest fake, the
+  test double that exercises the distributed pipeline at any scale.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
@@ -32,6 +38,101 @@ IMAGE_META_SCHEMA = ("id long, width int, height int, channels int, "
 AUDIO_META_SCHEMA = "id long, sample_rate int, n_samples long, format string"
 
 
+# ---------------------------------------------------------------------------
+# REAL pure-numpy codecs (r10): WAV (PCM int16) and BMP (BI_RGB 24bpp)
+# need no external library — RIFF/DIB headers are struct parses and
+# the payloads are fixed-layout arrays.  These flip the decode slots
+# for two ubiquitous formats from "stubbed" to "real" in ANY
+# environment; jpeg/png/mp3/... keep their codec='real' raise slots
+# until PIL/soundfile land (environmental).
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Serialize int16 PCM samples (interleaved if multi-channel) into
+    a canonical RIFF/WAVE byte string — the test-double generator for
+    :func:`decode_wav` and a real writer in its own right."""
+    import numpy as _np
+    pcm = _np.asarray(samples, dtype="<i2").tobytes()
+    block = 2 * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """Parse a RIFF/WAVE blob → ``(sample_rate, n_channels,
+    samples)`` with samples an int16 numpy array (interleaved).
+    Walks the chunk list (tolerates extra chunks in any order);
+    raises ValueError on non-WAV / non-PCM-16 input — feed through
+    :func:`sniff_format` first at scale."""
+    import numpy as _np
+    if not data or len(data) < 12 or data[0:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, nch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            afmt, nch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if afmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM-16 supported (fmt={afmt}, bits={bits})")
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt /data chunk")
+    return int(rate), int(nch), _np.frombuffer(pcm, dtype="<i2")
+
+
+def encode_bmp(arr) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array into a BI_RGB 24-bit
+    BMP (bottom-up rows, 4-byte row padding) — the test-double
+    generator for :func:`decode_bmp` and a real writer."""
+    import numpy as _np
+    a = _np.asarray(arr, dtype=_np.uint8)
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (-row) % 4
+    # BMP stores BGR bottom-up
+    body = b"".join(a[y, :, ::-1].tobytes() + b"\x00" * pad
+                    for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0,
+                       14 + 40)
+    return head + info + body
+
+
+def decode_bmp(data: bytes):
+    """Parse a BI_RGB 24-bit BMP blob → (H, W, 3) uint8 RGB array
+    (handles bottom-up and top-down rows, 4-byte padding); raises
+    ValueError on other BMP variants or non-BMP input."""
+    import numpy as _np
+    if not data or len(data) < 54 or data[0:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    (offset,) = struct.unpack("<I", data[10:14])
+    hsz, w, h, _, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only BI_RGB 24bpp supported "
+                         f"(bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = _np.frombuffer(data, dtype=_np.uint8,
+                         count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()   # BGR -> RGB
+
+
 def _fake_decode_image(data: bytes) -> tuple[int, int, int, str]:
     """Deterministic fake codec: derives (w, h, c, fmt) from a digest of
     the bytes.  Replace with PIL/opencv in a real deployment."""
@@ -53,9 +154,19 @@ def image_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "real image codecs unavailable in this container; "
-                        "wire PIL/turbojpeg here")
-                rows = [(_fake_decode_image(b if b is not None else b""))
+                        "real jpeg/png codecs unavailable in this "
+                        "container; wire PIL/turbojpeg here (BMP is "
+                        "REAL today via codec='bmp')")
+                if codec == "bmp":
+                    # REAL decode (r10): header + pixel parse, no libs
+                    rows = []
+                    for b in pdf[binary_col]:
+                        a = decode_bmp(b if b is not None else b"")
+                        rows.append((a.shape[1], a.shape[0],
+                                     a.shape[2], "bmp"))
+                else:
+                    rows = [(_fake_decode_image(
+                        b if b is not None else b""))
                         for b in pdf[binary_col]]
                 yield pd.DataFrame({
                     "id": pdf[id_col],
@@ -96,9 +207,20 @@ def audio_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "real audio codecs unavailable in this container; "
-                        "wire soundfile/ffprobe here")
-                rows = [_fake_decode_audio(b if b is not None else b"")
+                        "real mp3/flac/ogg codecs unavailable in this "
+                        "container; wire soundfile/ffprobe here (WAV "
+                        "is REAL today via codec='wav')")
+                if codec == "wav":
+                    # REAL decode (r10): RIFF chunk walk, no libs
+                    rows = []
+                    for b in pdf[binary_col]:
+                        rate, nch, pcm = decode_wav(
+                            b if b is not None else b"")
+                        rows.append((rate, len(pcm) // max(nch, 1),
+                                     "wav"))
+                else:
+                    rows = [_fake_decode_audio(
+                        b if b is not None else b"")
                         for b in pdf[binary_col]]
                 yield pd.DataFrame({
                     "id": pdf[id_col],
@@ -121,11 +243,27 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
 
     def fn(df: DataFrame) -> DataFrame:
         def run(batches: Iterable[pd.DataFrame]):
+            import numpy as _np
             for pdf in batches:
                 if codec == "real":
-                    raise NotImplementedError("wire a real resampler here")
-                out = [hashlib.md5((b or b"") + struct.pack("<II", width, height)).digest()
-                       for b in pdf[binary_col]]
+                    raise NotImplementedError(
+                        "wire a real jpeg/png resampler here (BMP is "
+                        "REAL today via codec='bmp')")
+                if codec == "bmp":
+                    # REAL nearest-neighbor resize (r10): decode,
+                    # index-map, re-encode — numpy only
+                    out = []
+                    for b in pdf[binary_col]:
+                        a = decode_bmp(b if b is not None else b"")
+                        ys = _np.linspace(0, a.shape[0] - 1, height) \
+                            .round().astype(int)
+                        xs = _np.linspace(0, a.shape[1] - 1, width) \
+                            .round().astype(int)
+                        out.append(encode_bmp(a[ys][:, xs]))
+                else:
+                    out = [hashlib.md5((b or b"")
+                           + struct.pack("<II", width, height)).digest()
+                           for b in pdf[binary_col]]
                 yield pd.DataFrame({"id": pdf[id_col], "content": out,
                                     "width": width, "height": height})
 
@@ -168,13 +306,40 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
 
     def fn(df: DataFrame) -> DataFrame:
         def run(batches: Iterable[pd.DataFrame]):
+            import numpy as _np
             for pdf in batches:
                 if codec == "real":
-                    raise NotImplementedError("wire a vision/audio encoder here")
+                    raise NotImplementedError(
+                        "wire a vision/audio encoder here (wav/bmp "
+                        "signal stats are REAL today)")
                 vecs = []
                 for b in pdf[binary_col]:
-                    d = hashlib.sha256(b or b"").digest()
-                    vecs.append([d[i] / 255.0 for i in range(dim)])
+                    if codec == "wav":
+                        # REAL signal features (r10): duration, RMS,
+                        # zero-crossing rate, peak — zero-padded to dim
+                        rate, nch, pcm = decode_wav(b or b"")
+                        x = pcm.astype(_np.float64) / 32768.0
+                        v = [len(pcm) / max(nch, 1) / rate,
+                             float(_np.sqrt((x * x).mean())) if len(x)
+                             else 0.0,
+                             float((_np.diff(_np.signbit(x)) != 0)
+                                   .mean()) if len(x) > 1 else 0.0,
+                             float(_np.abs(x).max()) if len(x) else 0.0]
+                    elif codec == "bmp":
+                        # REAL pixel features: dims + per-channel
+                        # mean/std in [0,1]
+                        a = decode_bmp(b or b"").astype(_np.float64) \
+                            / 255.0
+                        v = ([float(a.shape[0]), float(a.shape[1])]
+                             + [float(a[:, :, c].mean())
+                                for c in range(3)]
+                             + [float(a[:, :, c].std())
+                                for c in range(3)])
+                    else:
+                        d = hashlib.sha256(b or b"").digest()
+                        v = [d[i] / 255.0 for i in range(dim)]
+                    v = (v + [0.0] * dim)[:dim]
+                    vecs.append(v)
                 yield pd.DataFrame({"id": pdf[id_col], "features": vecs})
 
         return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(

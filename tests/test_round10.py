@@ -420,6 +420,85 @@ def test_minhash_dedup_cc_best_matches_cc_on_id_score(spark):
 
 
 # ---------------------------------------------------------------------------
+# real WAV/BMP codecs (multimodal: stub -> real for two formats)
+# ---------------------------------------------------------------------------
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode -> decode is exact for PCM-16; the decoder walks chunk
+    lists (extra chunk before data) and rejects non-WAV/non-PCM."""
+    import numpy as np
+    import struct
+    from conduino_spark import decode_wav, encode_wav
+    x = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype("<i2")
+    blob = encode_wav(x, 16000)
+    rate, nch, pcm = decode_wav(blob)
+    assert (rate, nch) == (16000, 1) and np.array_equal(pcm, x)
+    # tolerate an extra chunk injected between fmt and data
+    fmt_end = blob.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    rate2, _, pcm2 = decode_wav(blob[:fmt_end] + extra + blob[fmt_end:])
+    assert rate2 == 16000 and np.array_equal(pcm2, x)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x89PNG" + b"\x00" * 50)
+
+
+def test_bmp_codec_roundtrip_padding_and_flip():
+    """encode -> decode is pixel-exact including the 4-byte row
+    padding case (odd width) and bottom-up row order."""
+    import numpy as np
+    from conduino_spark import decode_bmp, encode_bmp
+    rng = np.random.RandomState(7)
+    for shape in ((5, 3, 3), (4, 4, 3), (2, 7, 3)):
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"RIFF" + b"\x00" * 60)
+
+
+def test_real_codecs_end_to_end_in_spark(spark):
+    """The whole multimodal pipeline over REAL blobs through
+    mapInPandas: wav metadata + signal features, bmp metadata +
+    nearest-neighbor resize (re-decoded and checked), and sniff_format
+    agreeing with the codecs."""
+    import numpy as np
+    from conduino_spark import (audio_metadata, decode_bmp, encode_bmp,
+                                encode_wav, feature_extract,
+                                image_metadata, image_resize,
+                                sniff_format)
+    x = (np.ones(8000) * 10000).astype("<i2")
+    wav = encode_wav(x, 8000)
+    img = np.zeros((10, 6, 3), np.uint8)
+    img[:, :, 0] = 255                    # pure red
+    bmp = encode_bmp(img)
+    adf = spark.createDataFrame([(1, bytearray(wav))],
+                                "id long, content binary")
+    idf = spark.createDataFrame([(2, bytearray(bmp))],
+                                "id long, content binary")
+
+    am = audio_metadata(codec="wav")(adf).first()
+    assert (am.sample_rate, am.n_samples, am.format) == (8000, 8000,
+                                                         "wav")
+    af = feature_extract(codec="wav", dim=4)(adf).first().features
+    assert abs(af[0] - 1.0) < 1e-9        # duration: 8000/8000
+    assert abs(af[1] - 10000 / 32768) < 1e-6   # RMS of a constant
+    assert af[2] == 0.0                   # no zero crossings
+
+    im = image_metadata(codec="bmp")(idf).first()
+    assert (im.width, im.height, im.channels, im.format) == (6, 10, 3,
+                                                             "bmp")
+    rs = image_resize(codec="bmp", width=3, height=5)(idf).first()
+    out = decode_bmp(bytes(rs.content))
+    assert out.shape == (5, 3, 3) and (out[:, :, 0] == 255).all() \
+        and (out[:, :, 1:] == 0).all()
+    imf = feature_extract(codec="bmp", dim=8)(idf).first().features
+    assert abs(imf[2] - 1.0) < 1e-9 and imf[3] == 0.0  # mean R/G
+
+    fmts = {r.id: r.format for r in
+            sniff_format()(adf.unionByName(idf)).collect()}
+    assert fmts[1] == "wav"               # RIFF refined by WAVE tag
+
+
+# ---------------------------------------------------------------------------
 # k_core: iterative peeling (graph-family completion)
 # ---------------------------------------------------------------------------
 
