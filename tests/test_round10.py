@@ -498,6 +498,43 @@ def test_real_codecs_end_to_end_in_spark(spark):
     assert fmts[1] == "wav"               # RIFF refined by WAVE tag
 
 
+def test_wav_features_duckdb_numerical_oracle(spark):
+    """The decode->featurize path against an ENGINE-INDEPENDENT
+    oracle: blobs are synthesized per id from a pure integer formula
+    (sawtooth PCM), so DuckDB can compute duration/RMS/peak directly
+    from the formula — never parsing a byte — and must agree with
+    Spark's decode_wav-based features to 6dp.  This is the multimodal
+    analog of the engine's hash-gate convention: the codec arithmetic
+    itself is cross-checked, not just round-tripped."""
+    import duckdb
+    import numpy as np
+    from conduino_spark import encode_wav, feature_extract
+
+    def synth(i):
+        n = 100 + (i % 7) * 50
+        x = ((np.arange(n) * (3 + i)) % 20001 - 10000).astype("<i2")
+        return encode_wav(x, 8000)
+
+    rows = [(i, bytearray(synth(i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: (round(r.features[0], 6), round(r.features[1], 6),
+                  round(r.features[3], 6))
+           for r in feature_extract(codec="wav", dim=4)(df).collect()}
+
+    con = duckdb.connect()
+    want = {}
+    for i in range(12):
+        n = 100 + (i % 7) * 50
+        d, r, p = con.execute(f"""
+            SELECT round(COUNT(*) / 8000.0, 6),
+                   round(sqrt(AVG(x * x)), 6),
+                   round(MAX(abs(x)), 6)
+            FROM (SELECT ((i * {3 + i}) % 20001 - 10000) / 32768.0 AS x
+                  FROM range(0, {n}) t(i))""").fetchone()
+        want[i] = (d, r, p)
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # k_core: iterative peeling (graph-family completion)
 # ---------------------------------------------------------------------------
