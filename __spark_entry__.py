@@ -1780,7 +1780,7 @@ def q_ivf_index_emb(spark, sf):
                                 ivf_index_write, kmeans_fit)
     emb = _src(sf, "embeddings").df(spark)
     d = _index_memo_dir(
-        sf, "embeddings", "ivf_idx", "v1", "centroids/_SUCCESS",
+        sf, "embeddings", "ivf_idx", "v2", "centroids/part-00000.parquet",
         lambda d_: ivf_index_write(emb, d_, kmeans_fit(emb, k=8,
                                                        iters=2)))
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
@@ -1798,7 +1798,7 @@ def q_ivfpq_index_emb(spark, sf):
     row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
     qv = [float(x) for x in row["embedding"]]
     d = _index_memo_dir(
-        sf, "embeddings", "ivfpq_idx", "v1", "codebook/_SUCCESS",
+        sf, "embeddings", "ivfpq_idx", "v2", "codebook/part-00000.parquet",
         lambda d_: ivfpq_index_write(
             emb, d_, kmeans_fit(emb, k=8, iters=2),
             pq_train(emb, m=8, k=16, iters=1)))
@@ -1907,8 +1907,8 @@ def _bm25_index_dir(spark, sf):
         bm25_index_write(docs, d, n_shards=64)
 
     # v2: additive stats format
-    return _index_memo_dir(sf, "documents", "bm25_idx", "v2",
-                           "stats/_SUCCESS", build)
+    return _index_memo_dir(sf, "documents", "bm25_idx", "v3",
+                           "stats/part-00000.parquet", build)
 
 
 def _index_memo_dir(sf, src_table, prefix, version, marker, build):

@@ -156,6 +156,24 @@ def main() -> None:
     # line is always emitted, with failures listed under "failed".
     failed: dict[str, str] = {}
 
+    # memoized-index queries: their FIRST sample at SF_DIR pays the
+    # one-time index build ((sf_dir, mtime) memo miss) and the min
+    # floor then hides a 5-25x sample spread (r10 verdict #6).  One
+    # untimed pass populates the memo so every timed sample measures
+    # the warm probe — the build cost has its own honest floors
+    # (knn_lsh_probe_cold, ivf_merge_emb rebuild per call).
+    for name in ("ivf_index_emb", "ivfpq_index_emb", "bm25_index_docs"):
+        if name in qs:
+            try:
+                materialize(qs[name](spark, SF_DIR))
+            except Exception:
+                pass
+    try:
+        release_caches()
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+
     def sample_once(name: str) -> float | None:
         t0 = time.time()
         try:

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conduino_spark.plans.core import Stage
+from conduino_spark.operators.smallio import (driver_parquet_read,
+                                              driver_parquet_write)
 from conduino_spark.operators.text import TOKEN_SPLIT, tokens_col, tokens_sql
 
 
@@ -380,17 +382,32 @@ def bm25_index_write(corpus: DataFrame, path: str, *,
     (post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
          .write.mode(mode).parquet(f"{path}/dfreq"))
     ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-    (corpus.agg(F.count(F.lit(1)).alias("__n"),
-                F.coalesce(F.sum(F.size(ctoks)), F.lit(0))
-                 .cast("long").alias("__sum_dl"),
-                F.lit(n_shards).alias("__n_shards"))
-           .write.mode(mode).parquet(f"{path}/stats"))
+    # the stats partial is ONE row: compute it with the agg job, then
+    # write it driver-side (r11 — a Spark write of a 1-row table paid
+    # the ~4.3 s job-commit floor on every cold build)
+    st = corpus.agg(F.count(F.lit(1)).alias("__n"),
+                    F.coalesce(F.sum(F.size(ctoks)), F.lit(0))
+                     .cast("long").alias("__sum_dl")).first()
+    driver_parquet_write(f"{path}/stats",
+                         _stats_arrow(st["__n"], st["__sum_dl"],
+                                      n_shards), mode=mode)
+
+
+def _stats_arrow(n: int, sum_dl: int, n_shards: int):
+    """(__n long, __sum_dl long, __n_shards int) — the additive v2
+    stats schema, as a 1-row Arrow table (driver-side write path)."""
+    import pyarrow as pa
+    return pa.table({"__n": pa.array([int(n)], pa.int64()),
+                     "__sum_dl": pa.array([int(sum_dl)], pa.int64()),
+                     "__n_shards": pa.array([int(n_shards)], pa.int32())})
 
 
 def _require_v2_stats(stats_rows, path: str) -> None:
     """Fail fast on a pre-additive (v1, ``__avgdl``) index instead of
-    crashing on a missing Row field or silently mixing schemas."""
-    if stats_rows and "__sum_dl" not in stats_rows[0].asDict():
+    crashing on a missing field or silently mixing schemas."""
+    if stats_rows and "__sum_dl" not in (
+            stats_rows[0].asDict() if hasattr(stats_rows[0], "asDict")
+            else stats_rows[0]):
         raise ValueError(
             f"BM25 index at {path} uses the old v1 stats format "
             f"(__avgdl); rebuild it with bm25_index_write — the "
@@ -422,7 +439,7 @@ def bm25_index_merge(new_docs: DataFrame, path: str, *,
     postings scan, defeating the point)."""
     from conduino_spark.functions.hashing import h32
     spark = new_docs.sparkSession
-    st = spark.read.parquet(f"{path}/stats").collect()
+    st = driver_parquet_read(f"{path}/stats")  # bounded: 1 row/batch
     _require_v2_stats(st, path)  # appending v2 rows into a v1 index
     # would leave mixed-schema stats files — fail fast instead
     shards = {r["__n_shards"] for r in st}
@@ -439,11 +456,12 @@ def bm25_index_merge(new_docs: DataFrame, path: str, *,
     (post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
          .write.mode("append").parquet(f"{path}/dfreq"))
     ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-    (new_docs.agg(F.count(F.lit(1)).alias("__n"),
-                  F.coalesce(F.sum(F.size(ctoks)), F.lit(0))
-                   .cast("long").alias("__sum_dl"),
-                  F.lit(n_shards).alias("__n_shards"))
-             .write.mode("append").parquet(f"{path}/stats"))
+    stp = new_docs.agg(F.count(F.lit(1)).alias("__n"),
+                       F.coalesce(F.sum(F.size(ctoks)), F.lit(0))
+                        .cast("long").alias("__sum_dl")).first()
+    driver_parquet_write(f"{path}/stats",
+                         _stats_arrow(stp["__n"], stp["__sum_dl"],
+                                      n_shards), mode="append")
 
 
 def bm25_index_join(index_path: str, k: int = 10, *,
@@ -475,8 +493,9 @@ def bm25_index_join(index_path: str, k: int = 10, *,
     def fn(queries: DataFrame) -> DataFrame:
         spark = queries.sparkSession
         # one stats row per write/merge batch — additive partials
-        # (bounded: rows = batches, the 1-row-model-fetch convention)
-        st = spark.read.parquet(f"{index_path}/stats").collect()
+        # (bounded: rows = batches, the 1-row-model-fetch convention);
+        # driver-side read (r11 — no Spark read job per plan build)
+        st = driver_parquet_read(f"{index_path}/stats")
         _require_v2_stats(st, index_path)
         shards = {r["__n_shards"] for r in st}
         if len(shards) != 1:

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from conduino_spark.plans.core import Stage
 from conduino_spark.functions.hashing import lcg_params
 
+from conduino_spark.operators.smallio import (
+    centroids_arrow as _centroids_arrow,
+    driver_parquet_read as _driver_parquet_read,
+    driver_parquet_write as _driver_parquet_write)
+
 LSH_PLANES = 8  # 2^8 = 256 buckets
 
 
@@ -168,9 +173,13 @@ def lsh_index_write(df: DataFrame, path: str, *, vec_col: str = "embedding",
     # The directory is underscore-prefixed: Spark's path filter hides
     # it from `spark.read.parquet(path)`, so the v1 probe layout —
     # bucket dirs at the root — is unchanged for existing readers.
-    (df.sparkSession.createDataFrame([(int(dim), int(planes))],
-                                     "dim int, planes int")
-       .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta"))
+    # Driver-side write (r11): the two ints are driver constants; a
+    # Spark job here cost ~4.4 s/call and tripled the cold-build bench.
+    import pyarrow as _pa
+    _driver_parquet_write(
+        f"{path}/_meta",
+        _pa.table({"dim": _pa.array([int(dim)], _pa.int32()),
+                   "planes": _pa.array([int(planes)], _pa.int32())}))
 
 
 def lsh_index_merge(new_vecs: DataFrame, path: str, *,
@@ -190,7 +199,9 @@ def lsh_index_merge(new_vecs: DataFrame, path: str, *,
     (guessing dim/planes here could silently split the bucket space)."""
     spark = new_vecs.sparkSession
     try:
-        meta = spark.read.parquet(f"{path}/_meta").collect()
+        # driver-side read (r11): the _meta table is two ints — a
+        # Spark read job here taxed every merge with a whole-job cycle
+        meta = _driver_parquet_read(f"{path}/_meta")
     except Exception as e:
         raise ValueError(
             f"no mergeable LSH index at {path} (missing in-band _meta "
@@ -200,9 +211,22 @@ def lsh_index_merge(new_vecs: DataFrame, path: str, *,
         raise ValueError(f"corrupt _meta at {path}: {len(meta)} rows")
     dim, planes = int(meta[0]["dim"]), int(meta[0]["planes"])
     target = spark.sparkContext.defaultParallelism
+    # same sizing as lsh_index_write (ADVICE r10: the old min(n, 8) cap
+    # silently serialized large merge batches onto <=8 tasks)
     n_write = min(1 << planes, 2 * target)
-    (lsh_bucket(vec_col, dim=dim, planes=planes)(new_vecs)
-     .repartition(min(n_write, 8), F.col("bucket"))
+    # fail fast on width drift: a batch whose vectors are not the
+    # stored dim would bucket under TRUNCATED dot products (zip_with
+    # stops at the shorter array) and silently corrupt the bucket
+    # space.  raise_error fires on the first mismatched row.
+    v = F.col(vec_col)
+    guarded = new_vecs.withColumn(vec_col, F.when(
+        v.isNull() | (F.size(v) == F.lit(dim)), v).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"lsh_index_merge: batch vector width "),
+            F.size(v).cast("string"),
+            F.lit(f" != stored dim {dim} at {path}")))))
+    (lsh_bucket(vec_col, dim=dim, planes=planes)(guarded)
+     .repartition(n_write, F.col("bucket"))
      .write.partitionBy("bucket").mode("append").parquet(path))
 
 
@@ -920,12 +944,10 @@ def ivf_index_write(df: DataFrame, path: str, model: KMeansModel, *,
              .repartition(max(model.k, 1), "cell")
              .write.partitionBy("cell").mode(mode)
              .parquet(f"{path}/vectors"))
-    spark = df.sparkSession
-    (spark.createDataFrame(
-        [(int(c), [float(x) for x in v])
-         for c, v in model.centroids.items()],
-        "cell long, centroid array<double>")
-     .coalesce(1).write.mode(mode).parquet(f"{path}/centroids"))
+    # driver-side write (r11): the model is a driver dict; a Spark job
+    # for a k-row table paid the ~4.3 s job-commit floor per cold build
+    _driver_parquet_write(f"{path}/centroids",
+                          _centroids_arrow(model.centroids), mode=mode)
 
 
 def ivf_index_join(index_path: str, k: int = 10, *, nprobe: int = 2,
@@ -940,9 +962,9 @@ def ivf_index_join(index_path: str, k: int = 10, *, nprobe: int = 2,
 
     def fn(queries: DataFrame) -> DataFrame:
         spark = queries.sparkSession
+        # bounded model fetch, driver-side (r11 — no Spark read job)
         cents = {int(r["cell"]): [float(x) for x in r["centroid"]]
-                 for r in spark.read.parquet(
-                     f"{index_path}/centroids").collect()}
+                 for r in _driver_parquet_read(f"{index_path}/centroids")}
         corpus = spark.read.parquet(f"{index_path}/vectors")
         return ann_join(corpus, k, nprobe=nprobe, vec_col=vec_col,
                         id_col=id_col, cell_col="cell",
@@ -983,7 +1005,7 @@ def ivf_index_merge(new_vecs: DataFrame, path: str, *,
     is a north-star engine extension (SURVEY §7)."""
     spark = new_vecs.sparkSession
     try:
-        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+        cent_rows = _driver_parquet_read(f"{path}/centroids")
     except Exception as e:
         raise ValueError(
             f"no IVF index at {path} (missing centroids/): build one "
@@ -1028,17 +1050,20 @@ def ivfpq_index_write(df: DataFrame, path: str, model: KMeansModel,
           .repartition(max(model.k, 1), "cell")
           .write.partitionBy("cell").mode(mode)
           .parquet(f"{path}/codes"))
-    spark = df.sparkSession
-    (spark.createDataFrame(
-        [(int(c), [float(x) for x in v])
-         for c, v in model.centroids.items()],
-        "cell long, centroid array<double>")
-     .coalesce(1).write.mode(mode).parquet(f"{path}/centroids"))
-    (spark.createDataFrame(
-        [(s, int(c), [float(x) for x in book[s][c]])
-         for s in range(m) for c in sorted(book[s])],
-        "sub int, code int, centroid array<double>")
-     .coalesce(1).write.mode(mode).parquet(f"{path}/codebook"))
+    # driver-side writes (r11): both models are driver dicts; two Spark
+    # jobs here paid 2× the ~4.3 s job-commit floor per cold build
+    import pyarrow as _pa
+    _driver_parquet_write(f"{path}/centroids",
+                          _centroids_arrow(model.centroids), mode=mode)
+    rows = [(s, int(c), [float(x) for x in book[s][c]])
+            for s in range(m) for c in sorted(book[s])]
+    _driver_parquet_write(
+        f"{path}/codebook",
+        _pa.table({"sub": _pa.array([r[0] for r in rows], _pa.int32()),
+                   "code": _pa.array([r[1] for r in rows], _pa.int32()),
+                   "centroid": _pa.array([r[2] for r in rows],
+                                         _pa.list_(_pa.float64()))}),
+        mode=mode)
 
 
 def ivfpq_index_read(spark, path: str):
@@ -1050,8 +1075,9 @@ def ivfpq_index_read(spark, path: str):
     nprobe)(codes_df)`` is the probe, so the persisted path runs the
     SAME scan stage as the in-memory one (bit-equal, law-tested)."""
     try:
-        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-        book_rows = spark.read.parquet(f"{path}/codebook").collect()
+        # bounded model fetches, driver-side (r11 — no Spark read jobs)
+        cent_rows = _driver_parquet_read(f"{path}/centroids")
+        book_rows = _driver_parquet_read(f"{path}/codebook")
     except Exception as e:
         raise ValueError(
             f"no IVF-PQ index at {path} (missing centroids/ or "
