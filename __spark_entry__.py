@@ -603,7 +603,18 @@ def q_minhash_survivors(spark, sf):
     from conduino_spark import minhash_dedup_cc_best
     best = (minhash_dedup_cc_best("n_chars", pairs=pairs)(docs)
             .select("doc_id", F.lit("best").alias("policy")))
-    return greedy.unionByName(cc).unionByName(lp).unionByName(best)
+    # r11 fifth arm: k-core membership of the SAME near-dup pair graph
+    # (operators/graph.k_core — iterative peeling; dense spam/link-farm
+    # cores survive, chains peel).  Parallel peeling is order-
+    # independent + idempotent past the fixpoint, so a static unrolled
+    # CTE chain replays the whole loop (the label-prop oracle pattern,
+    # pytest-proven on this very graph in test_round10).
+    from conduino_spark import k_core
+    core = (k_core(2)(pairs.select("id_a", "id_b"))
+            .select(F.col("id").alias("doc_id"),
+                    F.lit("core2").alias("policy")))
+    return (greedy.unionByName(cc).unionByName(lp).unionByName(best)
+            .unionByName(core))
 
 
 def q_salted_group_revenue(spark, sf):
@@ -847,6 +858,33 @@ def q_knn_lsh_probe_cold(spark, sf):
     lsh_index_write(emb, d, dim=len(qv))  # mode=overwrite: full rebuild
     idx = spark.read.parquet(d)
     p = from_dataframe(idx) | knn_lsh(qv, k=10, bucket_col="bucket") | sink_df()
+    return run_pipe(p, spark).select("vec_id", "cosine")
+
+
+def q_knn_lsh_probe_merged(spark, sf):
+    """q_knn_lsh_probe through an INCREMENTALLY-built index: even ids
+    written cold, odd ids folded in by lsh_index_merge under the
+    stored in-band (dim, planes) — probes are bit-equal to the
+    full-corpus index (merge == rebuild law).  Memoized per (sf,
+    mtime); '_MERGED_OK' touched only after the merge half."""
+    import os
+    from conduino_spark import knn_lsh, lsh_index_merge, lsh_index_write
+    emb = _src(sf, "embeddings").df(spark)
+    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
+    qv = [float(x) for x in row["embedding"]]
+
+    def build(d_):
+        even = emb.where(F.col("vec_id") % 2 == 0)
+        odd = emb.where(F.col("vec_id") % 2 == 1)
+        lsh_index_write(even, d_, dim=len(qv))
+        lsh_index_merge(odd, d_)
+        _touch(os.path.join(d_, "_MERGED_OK"))
+
+    d = _index_memo_dir(sf, "embeddings", "lsh_merged_idx", "v1",
+                        "_MERGED_OK", build)
+    idx = spark.read.parquet(d)
+    p = (from_dataframe(idx) | knn_lsh(qv, k=10, bucket_col="bucket")
+         | sink_df())
     return run_pipe(p, spark).select("vec_id", "cosine")
 
 
@@ -1121,9 +1159,50 @@ def q_pq_adc_search(spark, sf):
                           cell_col="label")(enc)
              .select(F.lit("ivfpq").alias("method"),
                      "vec_id", "approx_dist"))
+    # r11 sixth arm: the SAME IVF-PQ probe against a MERGED persisted
+    # index (ivfpq_index_write(even) + ivfpq_index_merge(odd), both in
+    # cell_col='label' mode under the same frozen book + label-mean
+    # centroids) — identical rows to 'ivfpq' under its own tag, so
+    # the compressed-index ingestion path is driver-hash-gated.
+    import os as _os
+    from conduino_spark import (KMeansModel, ivfpq_index_merge,
+                                ivfpq_index_read, ivfpq_index_write)
+
+    def _build_merged(d_):
+        even = emb.where(F.col("vec_id") % 2 == 0)
+        odd = emb.where(F.col("vec_id") % 2 == 1)
+        ivfpq_index_write(even, d_, KMeansModel(cents), book,
+                          cell_col="label")
+        ivfpq_index_merge(odd, d_, cell_col="label")
+        _touch(_os.path.join(d_, "_MERGED_OK"))
+
+    dm = _index_memo_dir(sf, "embeddings", "ivfpq_merged_idx", "v1",
+                         "_MERGED_OK", _build_merged)
+    codes_m, book_m, cents_m = ivfpq_index_read(spark, dm)
+    ivfpqm = (ivfpq_search(book_m, cents_m, qv, kk=10, nprobe=2)(codes_m)
+              .select(F.lit("ivfpqm").alias("method"),
+                      "vec_id", "approx_dist"))
+    # r11 seventh arm: the LSH recall audit (VERDICT r10 #5) — the SRP
+    # probe was the one approximate retrieval path without a measured,
+    # hash-verified recall; truth here is the exact COSINE top-10
+    # (knn_brute's rule), not the L2 truth the pq/sq audits use.
+    from conduino_spark import knn_brute, knn_lsh
+    lsh_hits = knn_lsh(qv, k=10)(emb).select(
+        "vec_id", F.lit(1).alias("__h"))
+    truth_cos = knn_brute(qv, k=10)(emb).select("vec_id")
+    lsh_rec = (truth_cos.join(lsh_hits, "vec_id", "left")
+               .agg(F.count(F.lit(1)).alias("__nt"),
+                    F.sum(F.coalesce(F.col("__h"), F.lit(0)))
+                     .cast("long").alias("__nh"))
+               .select(F.lit("lsh_recall").alias("method"),
+                       F.lit(QUERY_KNN_ID).cast("long").alias("vec_id"),
+                       (F.col("__nt") * 1000 + F.col("__nh"))
+                       .cast("double").alias("approx_dist")))
     return (pq.unionByName(sq).unionByName(ivfpq)
+              .unionByName(ivfpqm)
               .unionByName(recall_arm(pq, "pq_recall"))
-              .unionByName(recall_arm(sq, "sq_recall")))
+              .unionByName(recall_arm(sq, "sq_recall"))
+              .unionByName(lsh_rec))
 
 
 def q_tpch_q14(spark, sf):
@@ -2233,7 +2312,46 @@ def q_ann_join_emb(spark, sf):
         .alias("neighbor_id"),
         F.col("recall").alias("score"),
         F.lit(0).cast("int").alias("rank"))
-    return hits.unionByName(recall)
+    # r11 third arm: the SAME probe through a persisted index built
+    # INCREMENTALLY — ivf_index_write(even half) + ivf_index_merge(odd
+    # half) in bring-your-own-partitioner mode (cell_col='label',
+    # centroids = the per-cell data means, which the centroids= law
+    # proves equal to the in-memory path) — so the driver hash now
+    # covers the merged-index layout + DPP probe end-to-end: any drift
+    # between a merged index and the in-memory join breaks the gate.
+    # Build once per (sf, mtime); '_MERGED_OK' is touched only AFTER
+    # the merge so a half-built memo never passes.
+    mhit = (_merged_ivf_join(spark, sf, emb)(batch)
+            .select(F.lit("mhit").alias("arm"), "vec_id", "neighbor_id",
+                    F.col("cosine").alias("score"), "rank"))
+    return hits.unionByName(recall).unionByName(mhit)
+
+
+def _touch(path):
+    with open(path, "w"):
+        pass
+
+
+def _merged_ivf_join(spark, sf, emb):
+    """The merged-index probe stage for the ann_join_emb 'mhit' arm:
+    write even ids, merge odd ids (both under the corpus 'label'
+    cells), return ivf_index_join over the merged directory."""
+    import os
+    from conduino_spark import (KMeansModel, cell_centroids,
+                                ivf_index_join, ivf_index_merge,
+                                ivf_index_write)
+
+    def build(d_):
+        model = KMeansModel(cell_centroids(emb, cell_col="label"))
+        even = emb.where(F.col("vec_id") % 2 == 0)
+        odd = emb.where(F.col("vec_id") % 2 == 1)
+        ivf_index_write(even, d_, model, cell_col="label")
+        ivf_index_merge(odd, d_, cell_col="label")
+        _touch(os.path.join(d_, "_MERGED_OK"))
+
+    d = _index_memo_dir(sf, "embeddings", "ivf_merged_idx", "v1",
+                        "_MERGED_OK", build)
+    return ivf_index_join(d, k=5, nprobe=2, exclude_self=True)
 
 
 def q_bpe_train_docs(spark, sf):
@@ -2365,9 +2483,18 @@ def q_knn_methods(spark, sf):
         (F.col("n_hits").cast("long") * F.lit(1000000000).cast("long")
          + F.col("first_pos"))
         .cast("double").alias("score"))
+    # r11 eighth arm: the SAME SRP probe against a MERGED persisted
+    # index — lsh_index_write(even ids) + lsh_index_merge(odd ids) —
+    # identical rows to 'lsh' under its own tag, so the incremental
+    # LSH ingestion path (bucket append under the in-band (dim,
+    # planes)) is driver-hash-gated, not just pytest-lawed.
+    lshm = q_knn_lsh_probe_merged(spark, sf).select(
+        F.lit("lshm").alias("method"), "vec_id",
+        F.col("cosine").alias("score"))
     return (brute.unionByName(ivf).unionByName(lsh)
             .unionByName(cells).unionByName(bm25)
-            .unionByName(bm25i).unionByName(phrase))
+            .unionByName(bm25i).unionByName(phrase)
+            .unionByName(lshm))
 
 
 def q_ivf_search_topk(spark, sf):
@@ -3075,6 +3202,35 @@ def _sql_label_prop(iters: int = 4) -> str:
     return "".join(parts)
 
 
+def _sql_k_core_survivors(k: int = 2, rounds: int = 16) -> str:
+    """Static unrolled-CTE DuckDB replay of the minhash_survivors
+    'core2' arm (operators/graph.k_core over the band-pair graph):
+    parallel peeling is order-independent and idempotent past the
+    fixpoint, so ``rounds`` peels replay the Spark loop exactly once
+    the fixpoint is within reach (near-dup graphs are cliquish — peel
+    depth is tiny; the pytest twin asserts the same chain on this very
+    graph).  MATERIALIZED is load-bearing: e{{t}} feeds both k{{t}}
+    and e{{t+1}}, so un-materialized inlining doubles the chain per
+    round (the _sql_bpe_train lesson).  Returns (doc_id)."""
+    parts = [_sql_minhash_bands(), """
+        , prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b USING (band_id, band_hash)
+                  WHERE a.doc_id < b.doc_id),
+        e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+                            UNION ALL SELECT id_b, id_a FROM prs)"""]
+    for t in range(rounds):
+        parts.append(f"""
+        , k{t} AS MATERIALIZED (SELECT a FROM e{t}
+                                GROUP BY a HAVING COUNT(*) >= {k}),
+        e{t + 1} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{t} e
+            JOIN k{t} ka ON ka.a = e.a
+            JOIN k{t} kb ON kb.a = e.b)""")
+    parts.append(f"""
+        SELECT DISTINCT a AS doc_id FROM e{rounds}""")
+    return "".join(parts)
+
+
 def _sql_nb_lang(alpha: float = 0.5, term_round: int = 4) -> str:
     """DuckDB replay of the r9 naive-Bayes arm of the
     quality_classifier pin (operators/classifier.nb_train/nb_score on
@@ -3438,6 +3594,34 @@ def _sql_compressed_recall(tag: str, hits_sql: str, query_id: int,
           FROM e, q
           ORDER BY d, e.vec_id LIMIT {kk}) t
         LEFT JOIN (SELECT vec_id FROM ({hits_sql})) a USING (vec_id)"""
+
+
+def _sql_lsh_recall(kk: int = 10) -> str:
+    """r11: measured recall@kk of the SRP-LSH probe against the exact
+    COSINE top-kk truth (knn_brute's rule — not the L2 truth of
+    _sql_compressed_recall), packed n_truth*1000 + n_hit."""
+    return f"""
+        SELECT 'lsh_recall' AS method,
+               CAST({QUERY_KNN_ID} AS BIGINT) AS vec_id,
+               CAST(COUNT(*) * 1000
+                    + SUM(CASE WHEN h.vec_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS approx_dist
+        FROM (
+          WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                     WHERE vec_id = {QUERY_KNN_ID})
+          SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROUND(list_sum([v[i] * qv[i]
+                                   for i in range(1, len(v) + 1)])
+                         / (sqrt(list_sum([x * x for x in v]))
+                            * sqrt(list_sum([x * x for x in qv]))),
+                         6) AS cosine
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings), q)
+          ORDER BY cosine DESC, vec_id LIMIT {kk}) t
+        LEFT JOIN (SELECT vec_id FROM ({_sql_knn_lsh_probe(kk)})) h
+          USING (vec_id)"""
 
 
 def _sql_ivf_topk(k: int = 10, nprobe: int = 2) -> str:
@@ -4214,7 +4398,12 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY root ORDER BY sc DESC, id) = 1)
               SELECT doc_id FROM documents
               WHERE doc_id NOT IN (SELECT id FROM roots)
-                 OR doc_id IN (SELECT id FROM best))""",
+                 OR doc_id IN (SELECT id FROM best))
+            UNION ALL
+            -- r11 'core2' arm: k-core membership of the same pair
+            -- graph (unrolled parallel peeling — graph.k_core)
+            SELECT doc_id, 'core2' AS policy
+            FROM ({_sql_k_core_survivors(2)})""",
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
                    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
@@ -4465,7 +4654,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'phrase' AS method, doc_id AS vec_id,
                    CAST(CAST(n_hits AS BIGINT) * 1000000000
                         + first_pos AS DOUBLE) AS score
-            FROM ({_phrase_oracle()})""",
+            FROM ({_phrase_oracle()})
+            UNION ALL
+            -- r11 merged-index arm: write(even)+merge(odd) must
+            -- reproduce the full-corpus SRP probe bit-for-bit
+            SELECT 'lshm' AS method, vec_id, cosine AS score
+            FROM ({_sql_knn_lsh_probe()})""",
         # r10: absorbs sessionize_events (join on event_id)
         "rolling_user_day": _SQL_SESSIONIZE + """
             SELECT r.event_id, r.n, r.sum_v, l.user_id, l.session_id
@@ -4712,10 +4906,16 @@ def oracle_sql() -> dict[str, str]:
             # r10: the composed IVF+PQ flagship shape under its own tag
             f"UNION ALL SELECT 'ivfpq' AS method, vec_id, approx_dist "
             f"FROM ({_sql_pq_adc(nprobe=2)})"
+            # r11: the merged persisted index must reproduce the same
+            # probe (merge == rebuild law, driver-hash-gated)
+            f"UNION ALL SELECT 'ivfpqm' AS method, vec_id, approx_dist "
+            f"FROM ({_sql_pq_adc(nprobe=2)})"
             # r10: measured recall@10 of each compressed search vs
             # the exact float L2 truth, packed n_truth*1000 + n_hit
             f"UNION ALL {_sql_compressed_recall('pq_recall', _sql_pq_adc(), QUERY_KNN_ID)} "
-            f"UNION ALL {_sql_compressed_recall('sq_recall', sq_sql(10, query_id=QUERY_KNN_ID), QUERY_KNN_ID)}"),
+            f"UNION ALL {_sql_compressed_recall('sq_recall', sq_sql(10, query_id=QUERY_KNN_ID), QUERY_KNN_ID)}"
+            # r11: measured recall of the SRP-LSH probe vs cosine truth
+            f"UNION ALL {_sql_lsh_recall(10)}"),
         "tpch_suite_digest": _sql_tpch_suite_digest(),
         "json_props": """
             SELECT event_type,
@@ -4750,7 +4950,12 @@ def oracle_sql() -> dict[str, str]:
             f"n_truth * 1000 + n_hit AS neighbor_id, recall AS score, "
             f"CAST(0 AS INTEGER) AS rank FROM ("
             + ann_recall_sql(_sql_ann_join(5, 2),
-                             _sql_ann_join(5, 8), 5) + ")"),
+                             _sql_ann_join(5, 8), 5) + ")"
+            # r11 merged-index arm: write(even)+merge(odd) must
+            # reproduce the in-memory probe bit-for-bit (merge ==
+            # rebuild law, now driver-hash-gated)
+            f"UNION ALL SELECT 'mhit' AS arm, vec_id, neighbor_id, "
+            f"cosine AS score, rank FROM ({_sql_ann_join(5, 2)})"),
         # r8/r9 rotation: newly gated operators.  bpe_train_docs left
         # the gate in r9 (back to bench_extras): its merge-learning is
         # an iterative argmax the driver could never hash-verify, and

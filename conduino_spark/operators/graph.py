@@ -215,6 +215,13 @@ def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
             if n_next == n_edges:
                 return und.select(F.col("a").alias("id")).distinct()
             und, n_edges = nxt, n_next
+            # n_next == 0 IS the fixpoint (empty core) — without this
+            # a graph that peels empty exactly on the last allowed
+            # round exhausted the loop and raised spuriously (ADVICE
+            # r10); the top-of-loop guard only helps if a spare
+            # iteration remains
+            if n_edges == 0:
+                break
         else:
             raise RuntimeError(
                 f"k_core: no fixpoint after {max_iters} rounds — raise "

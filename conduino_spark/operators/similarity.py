@@ -253,7 +253,14 @@ def knn_lsh(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
 
     def fn(df: DataFrame) -> DataFrame:
         if bucket_col is None:
-            cand = bucket_stage(df).where(F.col("bucket").isin(probe))
+            # fenced (r11): a plain .where would be alias-substituted
+            # through the bucket projection — the whole 2^planes-term
+            # SRP sum re-inlined into an interpreted per-row predicate
+            # (the r8 giant-filter smell; plan_audit caught it when
+            # this path joined the pq_adc_search gate pin)
+            from conduino_spark.plans.core import fenced_where
+            cand = fenced_where(bucket_stage(df),
+                                F.col("bucket").isin(probe))
         else:
             cand = df.where(F.col(bucket_col).isin(probe))
         return (scorer(cand)
@@ -923,6 +930,7 @@ def sq_sql(kk: int = 10, *, table: str = "embeddings",
 
 def ivf_index_write(df: DataFrame, path: str, model: KMeansModel, *,
                     vec_col: str = "embedding", id_col: str = "vec_id",
+                    cell_col: "Optional[str]" = None,
                     mode: str = "overwrite") -> None:
     """Materialize the IVF index ONCE — the dense twin of
     :func:`~conduino_spark.operators.search.bm25_index_write`: assign
@@ -937,9 +945,23 @@ def ivf_index_write(df: DataFrame, path: str, model: KMeansModel, *,
 
     The write repartitions BY cell first (the lsh_index_write
     file-churn rule: without it every input task writes a file into
-    every cell directory)."""
-    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
-        df.where(F.col(vec_col).isNotNull()))
+    every cell directory).
+
+    ``cell_col`` (r11, bring-your-own-partitioner): when the corpus
+    already carries a cluster/cell id column, pass its name to bucket
+    by it VERBATIM instead of nearest-centroid assignment — ``model``
+    is then stored in-band purely for probe-time cell RANKING (the
+    :func:`ann_join` ``centroids=`` contract: with centroids equal to
+    the per-cell data means, the persisted probe is bit-equal to the
+    in-memory ``ann_join(cell_col=...)``).  NULL cells are dropped
+    (ann_join's universe rule)."""
+    if cell_col is not None:
+        assigned = (df.where(F.col(vec_col).isNotNull()
+                             & F.col(cell_col).isNotNull())
+                      .withColumn("cell", F.col(cell_col).cast("long")))
+    else:
+        assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+            df.where(F.col(vec_col).isNotNull()))
     (assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
              .repartition(max(model.k, 1), "cell")
              .write.partitionBy("cell").mode(mode)
@@ -977,7 +999,8 @@ def ivf_index_join(index_path: str, k: int = 10, *, nprobe: int = 2,
 
 def ivf_index_merge(new_vecs: DataFrame, path: str, *,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> None:
+                    id_col: str = "vec_id",
+                    cell_col: "Optional[str]" = None) -> None:
     """Fold a NEW vector batch into an existing :func:`ivf_index_write`
     index — incremental dense-index maintenance, the twin of
     :func:`~conduino_spark.operators.search.bm25_index_merge` (a daily
@@ -1014,8 +1037,16 @@ def ivf_index_merge(new_vecs: DataFrame, path: str, *,
         raise ValueError(f"IVF index at {path} has an empty quantizer")
     model = KMeansModel({int(r["cell"]): [float(x) for x in r["centroid"]]
                          for r in cent_rows})
-    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
-        new_vecs.where(F.col(vec_col).isNotNull()))
+    if cell_col is not None:
+        # bring-your-own-partitioner index (ivf_index_write cell_col
+        # mode): the batch carries its cell id — bucket by it verbatim
+        assigned = (new_vecs.where(F.col(vec_col).isNotNull()
+                                   & F.col(cell_col).isNotNull())
+                            .withColumn("cell",
+                                        F.col(cell_col).cast("long")))
+    else:
+        assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+            new_vecs.where(F.col(vec_col).isNotNull()))
     (assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
              .repartition(max(model.k, 1), "cell")
              .write.partitionBy("cell").mode("append")
@@ -1026,6 +1057,7 @@ def ivfpq_index_write(df: DataFrame, path: str, model: KMeansModel,
                       book: "dict[int, dict[int, list[float]]]", *,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id",
+                      cell_col: "Optional[str]" = None,
                       mode: str = "overwrite") -> None:
     """Materialize the full compressed-ANN index ONCE — the persisted
     form of the :func:`ivfpq_search` production shape (Faiss
@@ -1041,10 +1073,19 @@ def ivfpq_index_write(df: DataFrame, path: str, model: KMeansModel,
     centroid) rows), so cell ranking, ADC tables, and any later
     :func:`ivfpq_index_merge` all derive from the exact artifacts the
     codes were built with — drift between encode and scoring is
-    impossible."""
+    impossible.
+
+    ``cell_col`` (r11): bring-your-own-partitioner, as in
+    :func:`ivf_index_write` — bucket by an existing cluster column,
+    store ``model`` in-band for probe-time cell ranking only."""
     m = len(book)
-    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
-        df.where(F.col(vec_col).isNotNull()))
+    if cell_col is not None:
+        assigned = (df.where(F.col(vec_col).isNotNull()
+                             & F.col(cell_col).isNotNull())
+                      .withColumn("cell", F.col(cell_col).cast("long")))
+    else:
+        assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+            df.where(F.col(vec_col).isNotNull()))
     coded = pq_encode(book, vec_col=vec_col, out="pq_codes")(assigned)
     (coded.select(F.col(id_col), F.col("pq_codes"), F.col("cell"))
           .repartition(max(model.k, 1), "cell")
@@ -1095,7 +1136,8 @@ def ivfpq_index_read(spark, path: str):
 
 def ivfpq_index_merge(new_vecs: DataFrame, path: str, *,
                       vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> None:
+                      id_col: str = "vec_id",
+                      cell_col: "Optional[str]" = None) -> None:
     """Fold a NEW vector batch into a persisted
     :func:`ivfpq_index_write` index — the compressed twin of
     :func:`ivf_index_merge`: assign AND encode under the STORED
@@ -1107,8 +1149,14 @@ def ivfpq_index_merge(new_vecs: DataFrame, path: str, *,
     spark = new_vecs.sparkSession
     _, book, cents = ivfpq_index_read(spark, path)
     model = KMeansModel(cents)
-    assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
-        new_vecs.where(F.col(vec_col).isNotNull()))
+    if cell_col is not None:
+        assigned = (new_vecs.where(F.col(vec_col).isNotNull()
+                                   & F.col(cell_col).isNotNull())
+                            .withColumn("cell",
+                                        F.col(cell_col).cast("long")))
+    else:
+        assigned = kmeans_assign(model, vec_col=vec_col, out="cell")(
+            new_vecs.where(F.col(vec_col).isNotNull()))
     coded = pq_encode(book, vec_col=vec_col, out="pq_codes")(assigned)
     (coded.select(F.col(id_col), F.col("pq_codes"), F.col("cell"))
           .repartition(max(model.k, 1), "cell")

@@ -1,0 +1,200 @@
+"""Round 11: driver-side metadata I/O for the persisted indexes (the
+tiny-write-tax fix), bring-your-own-partitioner (cell_col) index
+builds/merges, the k_core last-round fixpoint fix, and the
+merged-index gate arms' underlying laws.
+
+Reference anchor: conduino has no index maintenance — north-star
+engine extensions (SURVEY §7, M6)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# smallio: driver-side parquet metadata round-trips through Spark
+# ---------------------------------------------------------------------------
+
+def test_driver_parquet_roundtrip_spark_readable(spark, tmp_path):
+    """driver_parquet_write produces directories Spark reads with the
+    SAME schema the old createDataFrame writes produced (int32/int64
+    physical types, LIST-of-double), and driver_parquet_read sees
+    Spark's own writes (skipping _SUCCESS)."""
+    from conduino_spark.operators.smallio import (
+        centroids_arrow, driver_parquet_read, driver_parquet_write)
+    d = str(tmp_path / "meta")
+    driver_parquet_write(d, centroids_arrow({1: [0.5, 1.5], 0: [2.0, 3.0]}))
+    df = spark.read.parquet(d)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] \
+        == [("cell", "bigint"), ("centroid", "array<double>")]
+    assert sorted((r.cell, list(r.centroid)) for r in df.collect()) \
+        == [(0, [2.0, 3.0]), (1, [0.5, 1.5])]
+    # append mode adds rows beside the existing file
+    import pyarrow as pa
+    driver_parquet_write(d, centroids_arrow({9: [7.0, 8.0]}), mode="append")
+    assert spark.read.parquet(d).count() == 3
+    # driver read of a Spark-written dir (with _SUCCESS marker)
+    d2 = str(tmp_path / "sparkw")
+    spark.createDataFrame([(1, 2)], "a int, b int").write.parquet(d2)
+    assert driver_parquet_read(d2) == [{"a": 1, "b": 2}]
+    with pytest.raises(FileNotFoundError):
+        driver_parquet_read(str(tmp_path / "missing"))
+
+
+def test_index_metadata_spark_compatible(spark, tmp_path):
+    """The persisted index metadata written driver-side is readable by
+    a PLAIN spark.read.parquet — a reader that never imports
+    conduino_spark sees the same tables as before the r11 change."""
+    from conduino_spark import kmeans_fit, ivf_index_write, lsh_index_write
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    ivf_index_write(emb, d, kmeans_fit(emb, k=4, iters=1))
+    cents = spark.read.parquet(f"{d}/centroids")
+    assert cents.count() == 4
+    assert cents.schema["cell"].dataType.simpleString() == "bigint"
+    d2 = str(tmp_path / "lsh")
+    row = emb.first()
+    lsh_index_write(emb, d2, dim=len(row["embedding"]))
+    meta = spark.read.parquet(f"{d2}/_meta").collect()
+    assert len(meta) == 1 and meta[0]["planes"] == 8
+    # and the main read still hides _meta (v1 layout unchanged)
+    assert "bucket" in spark.read.parquet(d2).columns
+
+
+# ---------------------------------------------------------------------------
+# bring-your-own-partitioner (cell_col) index builds + merges
+# ---------------------------------------------------------------------------
+
+def test_ivf_index_cell_col_merge_equals_in_memory(spark, tmp_path):
+    """write(even)+merge(odd) in cell_col='label' mode with centroids
+    = the per-cell data means probes BIT-EQUAL to the in-memory
+    ann_join over the full corpus (the ann_join_emb 'mhit' gate arm's
+    law)."""
+    from conduino_spark import (KMeansModel, ann_join, cell_centroids,
+                                hash_sample, ivf_index_join,
+                                ivf_index_merge, ivf_index_write)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = KMeansModel(cell_centroids(emb, cell_col="label"))
+    d = str(tmp_path / "ivfm")
+    ivf_index_write(emb.where(F.col("vec_id") % 2 == 0), d, model,
+                    cell_col="label")
+    ivf_index_merge(emb.where(F.col("vec_id") % 2 == 1), d,
+                    cell_col="label")
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    got = sorted(tuple(r) for r in
+                 ivf_index_join(d, k=5, nprobe=2,
+                                exclude_self=True)(batch).collect())
+    want = sorted(tuple(r) for r in
+                  ann_join(emb, k=5, nprobe=2,
+                           exclude_self=True)(batch).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_index_cell_col_merge_equals_in_memory(spark, tmp_path):
+    """write(even)+merge(odd) in cell_col='label' mode under a frozen
+    book + label-mean centroids probes BIT-EQUAL to the in-memory
+    ivfpq_search over the full encoded corpus (the pq_adc_search
+    'ivfpqm' gate arm's law)."""
+    from conduino_spark import (KMeansModel, cell_centroids,
+                                ivfpq_index_merge, ivfpq_index_read,
+                                ivfpq_index_write, ivfpq_search,
+                                pq_encode, pq_train)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.orderBy("vec_id").first()["embedding"]]
+    book = pq_train(emb, m=8, k=16, iters=1)
+    cents = cell_centroids(emb, cell_col="label")
+    d = str(tmp_path / "ivfpqm")
+    ivfpq_index_write(emb.where(F.col("vec_id") % 2 == 0), d,
+                      KMeansModel(cents), book, cell_col="label")
+    ivfpq_index_merge(emb.where(F.col("vec_id") % 2 == 1), d,
+                      cell_col="label")
+    codes, book_m, cents_m = ivfpq_index_read(spark, d)
+    got = sorted(tuple(r) for r in
+                 ivfpq_search(book_m, cents_m, qv, kk=10,
+                              nprobe=2)(codes).collect())
+    want = sorted(tuple(r) for r in
+                  ivfpq_search(book, cents, qv, kk=10, nprobe=2,
+                               cell_col="label")(
+                      pq_encode(book)(emb)).collect())
+    assert got == want and len(got) > 0
+
+
+def test_lsh_merge_matches_full_write(spark, tmp_path):
+    """write(even)+merge(odd) probes equal the one-shot full-corpus
+    index (the knn_methods 'lshm' gate arm's law), and a mismatched
+    batch width fails fast instead of silently truncating dots."""
+    from conduino_spark import knn_lsh, lsh_index_merge, lsh_index_write
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    row = emb.first()
+    qv = [float(x) for x in row["embedding"]]
+    d1, d2 = str(tmp_path / "full"), str(tmp_path / "merged")
+    lsh_index_write(emb, d1, dim=len(qv))
+    lsh_index_write(emb.where(F.col("vec_id") % 2 == 0), d2, dim=len(qv))
+    lsh_index_merge(emb.where(F.col("vec_id") % 2 == 1), d2)
+    probe = knn_lsh(qv, k=10, bucket_col="bucket")
+    got = sorted(tuple(r) for r in
+                 probe(spark.read.parquet(d2)).collect())
+    want = sorted(tuple(r) for r in
+                  probe(spark.read.parquet(d1)).collect())
+    assert got == want and len(got) > 0
+    bad = emb.select("vec_id", F.slice("embedding", 1, 3)
+                     .alias("embedding"))
+    with pytest.raises(Exception, match="stored dim"):
+        lsh_index_merge(bad, d2)
+
+
+def test_knn_lsh_inline_filter_is_fenced(spark):
+    """The indexless knn_lsh path must not re-inline the 2^planes-term
+    SRP bucket expression into an interpreted per-row predicate (the
+    r8 giant-filter smell — caught by plan_audit when this path joined
+    the pq_adc_search pin)."""
+    from conduino_spark import knn_lsh
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    plan = (knn_lsh(qv, k=5)(emb)
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Filter" in line and "Scan" not in line:
+            assert len(line) < 2000, "SRP bucket expr re-inlined into filter"
+
+
+# ---------------------------------------------------------------------------
+# k_core: empty-core fixpoint on the last allowed round (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+def test_k_core_empty_fixpoint_on_last_iteration(spark):
+    """A chain peels to zero edges in exactly 2 rounds; max_iters=2
+    must return the empty core, not raise the no-fixpoint error."""
+    from conduino_spark import k_core
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    assert k_core(2, max_iters=2)(chain).count() == 0
+    # and a genuine non-convergence still raises
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(2, max_iters=1)(chain).count()
+
+
+# ---------------------------------------------------------------------------
+# bm25 stats: driver-side partials keep the additive v2 contract
+# ---------------------------------------------------------------------------
+
+def test_bm25_stats_additive_after_driver_side_write(spark, tmp_path):
+    """bm25_index_write + merge write their 1-row stats partials
+    driver-side now; the probe must still see additive v2 stats (one
+    row per batch, long sums) and reproduce the in-memory join."""
+    from conduino_spark import bm25_index_merge, bm25_index_write
+    from conduino_spark.operators.smallio import driver_parquet_read
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "bm25")
+    bm25_index_write(docs.where(F.col("doc_id") % 2 == 0), d, n_shards=8)
+    bm25_index_merge(docs.where(F.col("doc_id") % 2 == 1), d)
+    st = driver_parquet_read(f"{d}/stats")
+    assert len(st) == 2 and all(r["__n_shards"] == 8 for r in st)
+    assert sum(r["__n"] for r in st) == docs.count()
