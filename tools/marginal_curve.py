@@ -12,7 +12,12 @@ the replica ratios (2x and 2.5x) while t(2)/t(1) stays depressed —
 i.e. marginal cost per row is flat and the op is linear-in-data.
 
 Usage: python tools/marginal_curve.py [sf_dir] [base_mult] [op ...]
+           [--mults 1,2,5,10,20]
 Prints one JSON line; stored as MARGINAL_CURVES_r{N}.json.
+
+r11: --mults extends the curve (the pca_moments 10x_5x=2.45 question
+needed a 20x point), and pca_moments_gemm runs the SAME moments via
+the blocked X.T@X kernel so kernel-vs-harness cost separates.
 """
 
 from __future__ import annotations
@@ -26,11 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-BASE_MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-ONLY = set(sys.argv[3:])
-
+_args = sys.argv[1:]
 MULTS = [1, 2, 5, 10]
+if "--mults" in _args:
+    i = _args.index("--mults")
+    MULTS = [int(x) for x in _args[i + 1].split(",")]
+    del _args[i:i + 2]
+SF_DIR = _args[0] if len(_args) > 0 else "/root/testdata/sf0.1"
+BASE_MULT = int(_args[1]) if len(_args) > 1 else 4
+ONLY = set(_args[2:])
 
 
 def replicated_docs(spark, n):
@@ -88,6 +97,8 @@ def main() -> None:
         "dsir_select": ("docs", _dsir),
         "nb_train_score": ("docs", _nb),
         "pca_moments": ("emb", lambda df: ev_pipe(vector_moments(), df)),
+        "pca_moments_gemm": ("emb", lambda df: ev_pipe(
+            vector_moments(kernel="gemm"), df)),
     }
     if ONLY:
         OPS = {k: v for k, v in OPS.items() if k in ONLY}
@@ -125,11 +136,10 @@ def main() -> None:
         t = {m: round(best[(name, m)], 3) for m in MULTS}
         out["curves"][name] = {
             "t": {str(m): t[m] for m in MULTS},
-            "ratio_10x_1x": round(t[10] / t[1], 2),
+            "ratio_max_min": round(t[MULTS[-1]] / t[MULTS[0]], 2),
             "marginal": {
-                "2x_1x": round(t[2] / t[1], 2),
-                "5x_2x": round(t[5] / t[2], 2),
-                "10x_5x": round(t[10] / t[5], 2),
+                f"{b}x_{a}x": round(t[b] / t[a], 2)
+                for a, b in zip(MULTS, MULTS[1:])
             },
         }
     print(json.dumps(out, separators=(",", ":")))
