@@ -76,8 +76,18 @@ def decode_wav(data: bytes):
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        # ADVICE r10: a declared size past the buffer decoded SILENTLY
+        # with fewer samples (and a short fmt body crashed with
+        # struct.error) — truncation is corrupt input, raise loudly
+        if pos + 8 + size > len(data):
+            raise ValueError(
+                f"truncated WAV: chunk {tag!r} declares {size} bytes, "
+                f"{len(data) - pos - 8} remain")
         body = data[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"truncated WAV fmt chunk ({len(body)} < 16 bytes)")
             afmt, nch, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16])
             if afmt != 1 or bits != 16:

@@ -185,6 +185,22 @@ def test_k_core_empty_fixpoint_on_last_iteration(spark):
 # bm25 stats: driver-side partials keep the additive v2 contract
 # ---------------------------------------------------------------------------
 
+def test_decode_wav_rejects_truncation():
+    """ADVICE r10: a data chunk whose declared size runs past the
+    buffer must raise (it used to decode silently with fewer samples),
+    and a short fmt body raises ValueError, not struct.error."""
+    import struct
+    from conduino_spark import decode_wav, encode_wav
+    blob = encode_wav([1, 2, 3, 4], 8000)
+    assert len(decode_wav(blob)[2]) == 4
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(blob[:-2])            # data chunk cut short
+    short_fmt = (b"RIFF" + struct.pack("<I", 14) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 6) + b"\x01\x00" * 3)
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_wav(short_fmt)
+
+
 def test_bm25_stats_additive_after_driver_side_write(spark, tmp_path):
     """bm25_index_write + merge write their 1-row stats partials
     driver-side now; the probe must still see additive v2 stats (one

@@ -252,6 +252,22 @@ def _over_budget(report: dict, gate_names: set) -> dict:
         b = json.loads(bench.read_text())
         if abs(float(b.get("sf", 0)) - 0.1) < 1e-9:
             sec = b.get("queries", {})
+        # ADVICE r10: bench_out.json has no tie to the audited
+        # revision — a benchmark older than the newest source file can
+        # fail a pin already fixed or green-light one that regressed.
+        # Skip the seconds dimension (with a stderr note) when any
+        # audited source is newer than the benchmark.
+        import sys as _sys
+        root = bench.parent
+        src_mtime = max(
+            (p.stat().st_mtime for pat in
+             ("conduino_spark/**/*.py", "__spark_entry__.py")
+             for p in root.glob(pat)), default=0.0)
+        if bench.stat().st_mtime < src_mtime:
+            sec = {}
+            print("plan_audit: bench_out.json predates the audited "
+                  "source — seconds budget skipped (re-run bench.py "
+                  "to restore it)", file=_sys.stderr)
     except Exception:
         pass
     flagged = {}

@@ -261,8 +261,17 @@ def main() -> None:
         from conduino_spark import edit_distance_pairs
         alpha = string.ascii_lowercase + string.digits
         s40 = F.substring("text", 1, 40)
+        # ADVICE r10: the when-chain must cover EVERY replica id —
+        # a run with more replicas than rotations would silently map
+        # the excess onto the identity translation, colliding with
+        # replica 0 and reintroducing the quadratic candidate growth
+        # this map exists to remove.  |alpha| = 36 distinct rotations.
+        if REPLICAS > len(alpha):
+            raise SystemExit(
+                f"edit_distance probe supports at most {len(alpha)} "
+                f"replicas (bijective rotations), got {REPLICAS}")
         expr = F.translate(s40, alpha, alpha)
-        for i in range(1, 16):
+        for i in range(1, REPLICAS):
             shifted = alpha[i:] + alpha[:i]
             expr = F.when(rep == i,
                           F.translate(s40, alpha, shifted)) \
