@@ -162,7 +162,10 @@ def main() -> None:
     # untimed pass populates the memo so every timed sample measures
     # the warm probe — the build cost has its own honest floors
     # (knn_lsh_probe_cold, ivf_merge_emb rebuild per call).
-    for name in ("ivf_index_emb", "ivfpq_index_emb", "bm25_index_docs"):
+    # (r11: knn_methods / pq_adc_search / ann_join_emb joined the list —
+    # their new merged-index arms memo-build on first call at SF_DIR)
+    for name in ("ivf_index_emb", "ivfpq_index_emb", "bm25_index_docs",
+                 "knn_methods", "pq_adc_search", "ann_join_emb"):
         if name in qs:
             try:
                 materialize(qs[name](spark, SF_DIR))

@@ -185,6 +185,44 @@ def test_k_core_empty_fixpoint_on_last_iteration(spark):
 # bm25 stats: driver-side partials keep the additive v2 contract
 # ---------------------------------------------------------------------------
 
+def test_lsh_index_merge_streaming_ingestion(spark, tmp_path):
+    """LSH joins the ingestion-service family (bm25/ivf/ivfpq have the
+    same law since r9/r10): a file-source stream of embedding batches
+    folds into the persisted SRP index via foreachBatch(lsh_index_merge)
+    — probes against the final index are bit-equal to a one-shot
+    full-corpus lsh_index_write.  Bucketing under the in-band (dim,
+    planes) is a pure per-row function, so merge order never matters."""
+    from conduino_spark import knn_lsh, lsh_index_merge, lsh_index_write
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    inbox = str(tmp_path / "inbox")
+    emb.where(F.col("vec_id") % 3 == 1).coalesce(1) \
+       .write.parquet(f"{inbox}/b1")
+    emb.where(F.col("vec_id") % 3 == 2).coalesce(1) \
+       .write.parquet(f"{inbox}/b2")
+
+    idx = str(tmp_path / "idx")
+    lsh_index_write(a, idx, dim=len(qv))
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: lsh_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    lsh_index_write(emb, full, dim=len(qv))
+    probe = knn_lsh(qv, k=10, bucket_col="bucket")
+    got = sorted(tuple(r) for r in
+                 probe(spark.read.parquet(idx)).collect())
+    want = sorted(tuple(r) for r in
+                  probe(spark.read.parquet(full)).collect())
+    assert got == want and len(got) > 0
+
+
 def test_decode_wav_rejects_truncation():
     """ADVICE r10: a data chunk whose declared size runs past the
     buffer must raise (it used to decode silently with fewer samples),
