@@ -982,7 +982,27 @@ def q_dedup_against(spark, sf):
          | dedup_exact() | sink_df())
     exact = run_pipe(p, spark).select("doc_id",
                                       F.lit("exact").alias("policy"))
-    return against.unionByName(exact)
+    # r11 third arm: the SAME incremental dedup through a PERSISTED
+    # signature index built INCREMENTALLY (minhash_index_write over
+    # half the corpus + minhash_index_merge of the other half) — the
+    # fifth member of the index family rides the gate like its
+    # siblings ('mhit'/'lshm'/'ivfpqm'); survivors must hash-match the
+    # in-memory 'against' arm.  Memoized per (sf, mtime); _MERGED_OK
+    # touched only after the merge half.
+    import os as _os
+    from conduino_spark import minhash_index_dedup, minhash_index_merge, \
+        minhash_index_write
+
+    def _build(d_):
+        minhash_index_write(corpus.where(F.col("doc_id") % 4 == 0), d_)
+        minhash_index_merge(corpus.where(F.col("doc_id") % 4 == 2), d_)
+        _touch(_os.path.join(d_, "_MERGED_OK"))
+
+    d = _index_memo_dir(sf, "documents", "mh_merged_idx", "v1",
+                        "_MERGED_OK", _build)
+    idx = (minhash_index_dedup(d)(batch)
+           .select("doc_id", F.lit("idx").alias("policy")))
+    return against.unionByName(exact).unionByName(idx)
 
 
 def q_mixture_sample(spark, sf):
@@ -4693,7 +4713,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'exact' AS policy FROM (
               SELECT MIN(doc_id) AS doc_id FROM documents
-              GROUP BY md5(text))""",
+              GROUP BY md5(text))
+            UNION ALL
+            -- r11 'idx' arm: write(half)+merge(half) persisted
+            -- signature index must keep the same survivors
+            SELECT doc_id, 'idx' AS policy FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+              SELECT DISTINCT a.doc_id
+              FROM bands a JOIN bands b USING (band_id, band_hash)
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""",
         "mixture_sample": f"""
             SELECT doc_id, 'even' AS mix_source FROM documents
             WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL

@@ -165,7 +165,8 @@ def main() -> None:
     # (r11: knn_methods / pq_adc_search / ann_join_emb joined the list —
     # their new merged-index arms memo-build on first call at SF_DIR)
     for name in ("ivf_index_emb", "ivfpq_index_emb", "bm25_index_docs",
-                 "knn_methods", "pq_adc_search", "ann_join_emb"):
+                 "knn_methods", "pq_adc_search", "ann_join_emb",
+                 "dedup_against"):
         if name in qs:
             try:
                 materialize(qs[name](spark, SF_DIR))

@@ -72,7 +72,8 @@ from conduino_spark.operators.dedup import (
     leakage_safe_split, minhash_dedup_against, minhash_dedup_cc,
     minhash_dedup_cc_best,
     minhash_dedup_pairs,
-    minhash_eval, minhash_signatures, ngram_jaccard_pairs, simhash,
+    minhash_eval, minhash_index_dedup, minhash_index_merge,
+    minhash_index_write, minhash_signatures, ngram_jaccard_pairs, simhash,
     simhash_dedup_pairs, source_overlap, tune_minhash_bands,
     winnow_fingerprints,
 )

@@ -295,6 +295,125 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
     return Stage(fn, name="minhash_dedup_against", seq_preserving=False)
 
 
+def minhash_index_write(corpus: DataFrame, path: str, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_perm: int = MINHASH_K,
+                        bands: int = MINHASH_BANDS,
+                        n_shards: int = 64,
+                        mode: str = "overwrite") -> None:
+    """Materialize the dedup-reference SIGNATURE INDEX once — the
+    MinHash member of the persisted-index family (bm25/ivf/ivfpq/lsh
+    are its siblings), and the production shape of
+    :func:`minhash_dedup_against`'s ``ref_sigs`` hook: sign the kept
+    corpus ONE time and write its banded signature rows
+    ``partitionBy(pt)`` with ``pt = h32(band_hash) % n_shards``, so an
+    incoming batch's dedup probe reads only the shards its own band
+    hashes land in (dynamic partition pruning — the bm25 token-shard
+    posture) instead of the corpus-wide signature table.
+
+    Layout under ``path``:
+
+    * ``bands/`` — (id, band_id, band_hash) partitioned by ``pt``.
+    * ``_meta/`` — (n_perm, bands, n_shards), written DRIVER-side
+      (operators/smallio): the banding layout is the collision
+      contract, and storing it in-band means
+      :func:`minhash_index_merge` / :func:`minhash_index_dedup` can
+      never drift from the config the index was built with (the
+      n_shards rule all four sibling families follow).
+
+    The bands write repartitions BY shard first (the lsh_index_write
+    file-churn rule)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _banding_rows(n_perm, bands)  # validate eagerly
+    sigs = _minhash_sig_df(corpus, text_col, id_col, n_perm=n_perm)
+    rows = (_band_explode(sigs, id_col, id_col, n_perm=n_perm,
+                          bands=bands)
+            .withColumn("pt", F.pmod(h32(F.col("band_hash")),
+                                     F.lit(n_shards))))
+    (rows.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode(mode).parquet(f"{path}/bands"))
+    import pyarrow as pa
+    from conduino_spark.operators.smallio import driver_parquet_write
+    driver_parquet_write(
+        f"{path}/_meta",
+        pa.table({"n_perm": pa.array([int(n_perm)], pa.int32()),
+                  "bands": pa.array([int(bands)], pa.int32()),
+                  "n_shards": pa.array([int(n_shards)], pa.int32())}),
+        mode=mode)
+
+
+def _minhash_index_meta(path: str) -> "tuple[int, int, int]":
+    """(n_perm, bands, n_shards) from the in-band ``_meta`` table —
+    fail fast when the path holds no index."""
+    from conduino_spark.operators.smallio import driver_parquet_read
+    try:
+        meta = driver_parquet_read(f"{path}/_meta")
+    except Exception as e:
+        raise ValueError(
+            f"no MinHash index at {path} (missing _meta): build one "
+            f"with minhash_index_write before merging/probing") from e
+    if len(meta) != 1:
+        raise ValueError(f"corrupt _meta at {path}: {len(meta)} rows")
+    return (int(meta[0]["n_perm"]), int(meta[0]["bands"]),
+            int(meta[0]["n_shards"]))
+
+
+def minhash_index_merge(new_docs: DataFrame, path: str, *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Fold a NEW kept batch into a persisted
+    :func:`minhash_index_write` index — the daily-crawl ingestion
+    step: after a batch survives dedup, its signatures join the
+    reference so TOMORROW's batch dedups against it too.  One append
+    under the STORED (n_perm, bands, n_shards) — signatures and shard
+    assignment are pure per-row functions of the in-band config, so a
+    probe against the merged index is BIT-EQUAL to a from-scratch
+    rebuild over the union corpus (law-tested).  Cost scales with the
+    new batch only; append-only contract as for the sibling merges."""
+    n_perm, bands, n_shards = _minhash_index_meta(path)
+    sigs = _minhash_sig_df(new_docs, text_col, id_col, n_perm=n_perm)
+    rows = (_band_explode(sigs, id_col, id_col, n_perm=n_perm,
+                          bands=bands)
+            .withColumn("pt", F.pmod(h32(F.col("band_hash")),
+                                     F.lit(n_shards))))
+    (rows.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode("append").parquet(f"{path}/bands"))
+
+
+def minhash_index_dedup(path: str, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        broadcast_batch: bool = True) -> Stage:
+    """:func:`minhash_dedup_against` against a PERSISTED
+    :func:`minhash_index_write` index: identical survivors
+    (law-tested bit-equal), but the reference side is the already-paid
+    banded signature table and — with ``broadcast_batch`` (default;
+    right whenever the incoming batch is small next to the corpus) —
+    the band join carries the shard key, so dynamic partition pruning
+    reads only the shard directories the batch's band hashes touch.
+    Set ``broadcast_batch=False`` for batches too large to broadcast:
+    the probe becomes a plain shuffle join on (pt, band_id,
+    band_hash), still never touching raw reference text."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        n_perm, bands, n_shards = _minhash_index_meta(path)
+        new_sigs = _minhash_sig_df(df, text_col, id_col, n_perm=n_perm)
+        probe = (_band_explode(new_sigs, id_col, "__new_id",
+                               n_perm=n_perm, bands=bands)
+                 .withColumn("pt", F.pmod(h32(F.col("band_hash")),
+                                          F.lit(n_shards))))
+        if broadcast_batch:
+            probe = F.broadcast(probe)
+        ref = spark.read.parquet(f"{path}/bands")
+        hits = (probe.join(ref, ["pt", "band_id", "band_hash"])
+                     .select(F.col("__new_id").alias(id_col))
+                     .distinct())
+        return df.join(hits, id_col, "anti")
+
+    return Stage(fn, name="minhash_index_dedup", seq_preserving=False)
+
+
 def minhash_dedup(text_col: str = "text", id_col: str = "doc_id", *,
                   pairs: "DataFrame | None" = None,
                   n_perm: int = MINHASH_K,

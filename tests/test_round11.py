@@ -166,6 +166,106 @@ def test_knn_lsh_inline_filter_is_fenced(spark):
 
 
 # ---------------------------------------------------------------------------
+# persisted MinHash dedup index (the fifth index family)
+# ---------------------------------------------------------------------------
+
+def test_minhash_index_merge_equals_against(spark, tmp_path):
+    """write(half the reference) + merge(the other half) + probe must
+    keep EXACTLY the docs minhash_dedup_against keeps vs the full
+    reference (merge == rebuild for the dedup family), and a second
+    merge folds a third slice in the same way."""
+    from conduino_spark import (minhash_dedup_against, minhash_index_dedup,
+                                minhash_index_merge, minhash_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "mh")
+    minhash_index_write(ref.where(F.col("doc_id") % 4 == 0), d, n_shards=8)
+    minhash_index_merge(ref.where(F.col("doc_id") % 4 == 2), d)
+    got = sorted(r.doc_id for r in
+                 minhash_index_dedup(d)(batch).select("doc_id").collect())
+    want = sorted(r.doc_id for r in
+                  minhash_dedup_against(ref)(batch)
+                  .select("doc_id").collect())
+    assert got == want and 0 < len(got) < batch.count()
+    # non-broadcast probe path: same survivors
+    got2 = sorted(r.doc_id for r in
+                  minhash_index_dedup(d, broadcast_batch=False)(batch)
+                  .select("doc_id").collect())
+    assert got2 == want
+
+
+def test_minhash_index_probe_prunes_shards(spark, tmp_path):
+    """The broadcast probe's reference scan carries dynamic partition
+    pruning on the shard directory column (the bm25 token-shard
+    posture for dedup)."""
+    from conduino_spark import minhash_index_dedup, minhash_index_write
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "mh")
+    minhash_index_write(docs.where(F.col("doc_id") % 2 == 0), d,
+                        n_shards=8)
+    one = docs.where(F.col("doc_id") == 1)
+    plan = (minhash_index_dedup(d)(one)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan
+
+
+def test_minhash_index_guards(spark, tmp_path):
+    from conduino_spark import (minhash_index_dedup, minhash_index_merge,
+                                minhash_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="no MinHash index"):
+        minhash_index_merge(docs, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no MinHash index"):
+        minhash_index_dedup(str(tmp_path / "nope"))(docs).count()
+    with pytest.raises(ValueError, match="n_shards"):
+        minhash_index_write(docs, str(tmp_path / "bad"), n_shards=0)
+
+
+def test_minhash_index_streaming_ingestion(spark, tmp_path):
+    """The dedup-reference ingestion loop: a file-source stream of
+    kept batches folds into the signature index via
+    foreachBatch(minhash_index_merge); probes against the final index
+    equal a one-shot build over everything ingested."""
+    from conduino_spark import (minhash_index_dedup, minhash_index_merge,
+                                minhash_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    inbox = str(tmp_path / "inbox")
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(1) \
+        .write.parquet(f"{inbox}/b1")
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1) \
+        .write.parquet(f"{inbox}/b2")
+    idx = str(tmp_path / "idx")
+    minhash_index_write(a, idx, n_shards=8)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: minhash_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    minhash_index_write(docs, full, n_shards=8)
+    # probe batch: clones of indexed docs (must drop) + fresh texts
+    # the corpus has never seen (must survive)
+    fresh = F.concat(F.lit("zq xv qj blorptex "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" wubfrak vexqoz jiblun kroxvat"))
+    batch = (docs.where(F.col("doc_id") % 7 == 0)
+                 .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                         F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+                          .otherwise(fresh).alias("text"),
+                         "lang", "source", "n_chars"))
+    got = sorted(r.doc_id for r in
+                 minhash_index_dedup(idx)(batch).collect())
+    want = sorted(r.doc_id for r in
+                  minhash_index_dedup(full)(batch).collect())
+    assert got == want and 0 < len(got) < batch.count()
+
+
+# ---------------------------------------------------------------------------
 # k_core: empty-core fixpoint on the last allowed round (ADVICE r10)
 # ---------------------------------------------------------------------------
 
