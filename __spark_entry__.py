@@ -1014,7 +1014,17 @@ def q_mixture_sample(spark, sf):
     even = docs.where(F.col("doc_id") % 2 == 0)
     odd = docs.where(F.col("doc_id") % 2 == 1)
     mix = mixture({"even": (even, 0.5), "odd": (odd, 0.25)})
-    return mix.select("doc_id", "mix_source")
+    # r11 second arm: the per-domain quota cap (reservoir_per_key —
+    # keep ≤30 docs per source, uniform by h32, no RNG): the
+    # C4/RefinedWeb "limit documents per domain" step was pytest-only;
+    # riding the mixture pin makes the kept SET driver-hash-verified.
+    from conduino_spark import reservoir_per_key
+    cap = (reservoir_per_key("source", 30, order_key="doc_id",
+                             salt="cap")(docs)
+           .select("doc_id",
+                   F.concat(F.lit("cap:"), F.col("source"))
+                   .alias("mix_source")))
+    return mix.select("doc_id", "mix_source").unionByName(cap)
 
 
 def q_train_pipeline(spark, sf):
@@ -4731,7 +4741,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'odd' AS mix_source FROM documents
             WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL
               AND {h32_sql("concat('|odd|', CAST(doc_id AS VARCHAR))")}
-                  < {_MIX_CUTS['odd']}""",
+                  < {_MIX_CUTS['odd']}
+            UNION ALL
+            -- r11 'cap' arm (reservoir_per_key): ≤30 docs per source,
+            -- uniform by h32(salt||id), ties by the STRING id (the
+            -- Spark window's cast)
+            SELECT doc_id, 'cap:' || source AS mix_source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {h32_sql(
+                           "concat('cap', CAST(doc_id AS VARCHAR))")},
+                                CAST(doc_id AS VARCHAR)) AS rk
+              FROM documents WHERE doc_id IS NOT NULL)
+            WHERE rk <= 30""",
         "train_pipeline": _SQL_SESSIONIZE + """
             , s AS (SELECT user_id, session_id,
                            COUNT(*) AS n_events,

@@ -407,6 +407,17 @@ def main() -> None:
                      lambda c, d: ivf_index_write(c, d, model),
                      lambda b, d: ivf_index_merge(b, d),
                      newe, em1, emN)
+    if not ONLY or "minhash_index_merge" in ONLY:
+        # r11: the dedup signature index joins the merge-flatness
+        # family — fixed new batch vs 10x-grown index; merge cost must
+        # scale with the batch's own signing, never the corpus
+        from conduino_spark import minhash_index_merge, minhash_index_write
+        newd = dc1.select((F.col("doc_id") + F.lit(900_000_000))
+                          .alias("doc_id"), "text")
+        _merge_probe("minhash_index_merge",
+                     lambda c, d: minhash_index_write(c, d, n_shards=64),
+                     lambda b, d: minhash_index_merge(b, d),
+                     newd, dc1, dcN)
     for name, fn in OPS.items():
         if ONLY and name not in ONLY:
             continue
