@@ -108,7 +108,8 @@ from conduino_spark.operators.embeddings import (
     pca_transform, vector_moments,
 )
 from conduino_spark.operators.multimodal import (
-    audio_metadata, decode_bmp, decode_wav, encode_bmp, encode_wav,
+    audio_metadata, decode_bmp, decode_png, decode_wav,
+    encode_bmp, encode_png, encode_wav,
     feature_extract, frame_sample, image_metadata,
     image_resize, sniff_format,
 )

@@ -154,6 +154,176 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, str]:
     return w, h, c, fmt
 
 
+#: PNG color type → channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_filter_row(row, prior, bpp: int, f: int):
+    """Apply PNG filter ``f`` to a reconstructed row (encoder side) —
+    the exact inverse pairs of :func:`_png_unfilter_row`, used by
+    :func:`encode_png` and the filter-matrix tests."""
+    import numpy as _np
+    r = row.astype(_np.int32)
+    p = prior.astype(_np.int32)
+    left = _np.concatenate([_np.zeros(bpp, _np.int32), r[:-bpp]])
+    pleft = _np.concatenate([_np.zeros(bpp, _np.int32), p[:-bpp]])
+    if f == 0:
+        out = r
+    elif f == 1:
+        out = r - left
+    elif f == 2:
+        out = r - p
+    elif f == 3:
+        out = r - (left + p) // 2
+    elif f == 4:
+        pa = _np.abs(p - pleft)
+        pb = _np.abs(left - pleft)
+        pc = _np.abs(left + p - 2 * pleft)
+        pred = _np.where((pa <= pb) & (pa <= pc), left,
+                         _np.where(pb <= pc, p, pleft))
+        out = r - pred
+    else:
+        raise ValueError(f"unknown PNG filter {f}")
+    return (out % 256).astype(_np.uint8)
+
+
+def _png_unfilter_row(raw, prior, bpp: int, f: int):
+    """Reconstruct one PNG row from its filtered bytes.  Filters 0-2
+    are vectorized (2 is pure addition; 1 is a per-lane cumsum —
+    mod-256 survives cumsum in int64); 3/4 carry an intra-row
+    dependency through the floor/predictor and run as a per-byte loop
+    (decode cost is per-blob inside the Arrow batch UDF — the 100 TB
+    path decodes once at ingestion and persists features, never
+    per-query)."""
+    import numpy as _np
+    if f == 0:
+        return raw.copy()
+    if f == 2:
+        return ((raw.astype(_np.int32) + prior) % 256).astype(_np.uint8)
+    if f == 1:
+        lanes = raw.reshape(-1, bpp).astype(_np.int64)
+        return (_np.cumsum(lanes, axis=0) % 256) \
+            .astype(_np.uint8).reshape(-1)
+    out = _np.empty_like(raw)
+    p = prior.astype(_np.int32)
+    for x in range(len(raw)):
+        left = int(out[x - bpp]) if x >= bpp else 0
+        up = int(p[x])
+        if f == 3:
+            pred = (left + up) // 2
+        elif f == 4:
+            ul = int(p[x - bpp]) if x >= bpp else 0
+            pa, pb = abs(up - ul), abs(left - ul)
+            pc = abs(left + up - 2 * ul)
+            pred = left if (pa <= pb and pa <= pc) else \
+                (up if pb <= pc else ul)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[x] = (int(raw[x]) + pred) % 256
+    return out
+
+
+def encode_png(arr, *, filter_type: int = 0) -> bytes:
+    """Serialize an (H, W) or (H, W, C≤4) uint8 array into an 8-bit
+    non-interlaced PNG (gray / gray+alpha / RGB / RGBA by channel
+    count; one zlib IDAT) — the test-double generator for
+    :func:`decode_png` and a real writer.  ``filter_type`` applies one
+    filter to every row (the filter-matrix tests exercise 0-4)."""
+    import zlib
+    import numpy as _np
+    a = _np.asarray(arr, dtype=_np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = a.reshape(h, w * c)
+    rows = []
+    prior = _np.zeros(w * c, _np.uint8)
+    for y in range(h):
+        rows.append(bytes([filter_type])
+                    + _png_filter_row(flat[y], prior, c,
+                                      filter_type).tobytes())
+        prior = flat[y]
+    raw = b"".join(rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as _z
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes):
+    """Parse an 8-bit non-interlaced PNG blob → (H, W, C) uint8 array
+    (gray=1, gray+alpha=2, RGB=3, RGBA=4; palette images resolve
+    through their PLTE table to RGB).  Pure stdlib-zlib + numpy — no
+    external codec.  All five row filters supported; raises ValueError
+    on non-PNG input, truncated chunks, 16-bit depth, or interlacing
+    (Adam7 — rare in training corpora; re-encode upstream)."""
+    import zlib
+    import numpy as _np
+    if not data or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG blob")
+    pos, meta, idat, plte, ended = 8, None, [], None, False
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        if pos + 8 + size > len(data):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {size} bytes, "
+                f"{len(data) - pos - 8} remain")
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR")
+            meta = struct.unpack(">IIBBBBB", body[:13])
+        elif tag == b"PLTE":
+            plte = _np.frombuffer(body, _np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if not ended:
+        # a cut anywhere in the trailing bytes escapes the per-chunk
+        # length check above — no complete IEND means the byte stream
+        # ended early (the decode_wav truncation posture)
+        raise ValueError("truncated PNG: no IEND chunk")
+    w, h, depth, color, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"only 8-bit depth supported "
+                         f"(depth={depth}, comp={comp}, filter={filt})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    c = _PNG_CHANNELS[color]
+    raw = _np.frombuffer(zlib.decompress(b"".join(idat)), _np.uint8)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG pixel data length {len(raw)} != "
+                         f"expected {h * (stride + 1)}")
+    out = _np.empty((h, stride), _np.uint8)
+    prior = _np.zeros(stride, _np.uint8)
+    for y in range(h):
+        f = int(raw[y * (stride + 1)])
+        row = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        out[y] = _png_unfilter_row(row, prior, c, f)
+        prior = out[y]
+    img = out.reshape(h, w, c)
+    if color == 3:  # palette → RGB through PLTE
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = plte[img[:, :, 0]]
+    return img.copy()
+
+
 def image_metadata(binary_col: str = "content", id_col: str = "id", *,
                    codec: str = "fake") -> Stage:
     """Decode image headers → typed metadata rows.  ``mapInPandas``
@@ -164,16 +334,18 @@ def image_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "real jpeg/png codecs unavailable in this "
-                        "container; wire PIL/turbojpeg here (BMP is "
-                        "REAL today via codec='bmp')")
-                if codec == "bmp":
-                    # REAL decode (r10): header + pixel parse, no libs
+                        "real jpeg codec unavailable in this "
+                        "container; wire PIL/turbojpeg here (BMP and "
+                        "PNG are REAL today via codec='bmp'/'png')")
+                if codec in ("bmp", "png"):
+                    # REAL decode (r10 bmp, r11 png): header + pixel
+                    # parse, stdlib zlib + numpy only
+                    dec = decode_bmp if codec == "bmp" else decode_png
                     rows = []
                     for b in pdf[binary_col]:
-                        a = decode_bmp(b if b is not None else b"")
+                        a = dec(b if b is not None else b"")
                         rows.append((a.shape[1], a.shape[0],
-                                     a.shape[2], "bmp"))
+                                     a.shape[2], codec))
                 else:
                     rows = [(_fake_decode_image(
                         b if b is not None else b""))
@@ -257,19 +429,23 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "wire a real jpeg/png resampler here (BMP is "
-                        "REAL today via codec='bmp')")
-                if codec == "bmp":
-                    # REAL nearest-neighbor resize (r10): decode,
-                    # index-map, re-encode — numpy only
+                        "wire a real jpeg resampler here (BMP and PNG "
+                        "are REAL today via codec='bmp'/'png')")
+                if codec in ("bmp", "png"):
+                    # REAL nearest-neighbor resize (r10 bmp, r11 png):
+                    # decode, index-map, re-encode — numpy only.  PNG
+                    # keeps its own container (gray/alpha channel
+                    # counts survive); palette resolves to RGB.
+                    dec = decode_bmp if codec == "bmp" else decode_png
+                    enc = encode_bmp if codec == "bmp" else encode_png
                     out = []
                     for b in pdf[binary_col]:
-                        a = decode_bmp(b if b is not None else b"")
+                        a = dec(b if b is not None else b"")
                         ys = _np.linspace(0, a.shape[0] - 1, height) \
                             .round().astype(int)
                         xs = _np.linspace(0, a.shape[1] - 1, width) \
                             .round().astype(int)
-                        out.append(encode_bmp(a[ys][:, xs]))
+                        out.append(enc(a[ys][:, xs]))
                 else:
                     out = [hashlib.md5((b or b"")
                            + struct.pack("<II", width, height)).digest()
@@ -320,7 +496,7 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "wire a vision/audio encoder here (wav/bmp "
+                        "wire a vision/audio encoder here (wav/bmp/png "
                         "signal stats are REAL today)")
                 vecs = []
                 for b in pdf[binary_col]:
@@ -335,16 +511,18 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
                              float((_np.diff(_np.signbit(x)) != 0)
                                    .mean()) if len(x) > 1 else 0.0,
                              float(_np.abs(x).max()) if len(x) else 0.0]
-                    elif codec == "bmp":
+                    elif codec in ("bmp", "png"):
                         # REAL pixel features: dims + per-channel
-                        # mean/std in [0,1]
-                        a = decode_bmp(b or b"").astype(_np.float64) \
-                            / 255.0
+                        # mean/std in [0,1] (first 3 channels; gray
+                        # PNGs contribute their single channel)
+                        dec = decode_bmp if codec == "bmp" else decode_png
+                        a = dec(b or b"").astype(_np.float64) / 255.0
+                        nc = min(a.shape[2], 3)
                         v = ([float(a.shape[0]), float(a.shape[1])]
                              + [float(a[:, :, c].mean())
-                                for c in range(3)]
+                                for c in range(nc)]
                              + [float(a[:, :, c].std())
-                                for c in range(3)])
+                                for c in range(nc)])
                     else:
                         d = hashlib.sha256(b or b"").digest()
                         v = [d[i] / 255.0 for i in range(dim)]

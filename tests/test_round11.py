@@ -282,6 +282,138 @@ def test_k_core_empty_fixpoint_on_last_iteration(spark):
 
 
 # ---------------------------------------------------------------------------
+# real PNG codec (stdlib zlib + numpy — no external library)
+# ---------------------------------------------------------------------------
+
+def _synth_img(i, h=9, w=7, c=3):
+    import numpy as np
+    n = h * w * c
+    return ((np.arange(n) * (3 + i) + i) % 251).astype("uint8") \
+        .reshape(h, w, c)
+
+
+def test_png_roundtrip_all_channel_counts():
+    """encode→decode is the identity for gray / gray+alpha / RGB /
+    RGBA, across every row filter type (0-4) — the filter matrix
+    covers the sequential average/paeth reconstruction paths."""
+    import numpy as np
+    from conduino_spark import decode_png, encode_png
+    for c in (1, 2, 3, 4):
+        a = _synth_img(c, c=c)
+        for f in range(5):
+            out = decode_png(encode_png(a, filter_type=f))
+            assert out.shape == a.shape and (out == a).all(), (c, f)
+    g = _synth_img(0, c=1)[:, :, 0]              # 2-D gray input
+    assert (decode_png(encode_png(g))[:, :, 0] == g).all()
+
+
+def test_png_palette_and_validation():
+    """Palette PNGs resolve through PLTE to RGB; non-PNG, truncated,
+    16-bit, and interlaced blobs raise ValueError."""
+    import struct
+    import zlib
+    import numpy as np
+    from conduino_spark import decode_png, encode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # 2x3 palette image: indices 0..5 into a 6-color table
+    idx = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    plte = bytes(bytearray(range(18)))
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    out = decode_png(blob)
+    assert out.shape == (2, 3, 3)
+    assert (out.reshape(-1, 3) == np.frombuffer(plte, np.uint8)
+            .reshape(6, 3)).all()
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" * 4)
+    good = encode_png(_synth_img(1))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[:-6])
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(deep)
+    lace = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(lace)
+
+
+def test_png_operators_end_to_end(spark):
+    """The Spark-side plumbing: image_metadata / image_resize /
+    feature_extract with codec='png' decode for real through the same
+    mapInPandas batches as bmp, and sniff_format tags the container."""
+    import numpy as np
+    from conduino_spark import (decode_png, encode_png, feature_extract,
+                                image_metadata, image_resize, sniff_format)
+    rows = [(i, bytearray(encode_png(_synth_img(i, h=10, w=6,
+                                                c=[1, 3, 4][i % 3]),
+                                     filter_type=i % 5)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    meta = {r.id: r for r in image_metadata(codec="png")(df).collect()}
+    assert all(m.format == "png" and (m.width, m.height) == (6, 10)
+               for m in meta.values())
+    assert [meta[i].channels for i in range(3)] == [1, 3, 4]
+
+    rs = image_resize(codec="png", width=3, height=5)(df) \
+        .where(F.col("id") == 1).first()
+    out = decode_png(bytes(rs.content))
+    want = _synth_img(1, h=10, w=6, c=3)
+    ys = np.linspace(0, 9, 5).round().astype(int)
+    xs = np.linspace(0, 5, 3).round().astype(int)
+    assert (out == want[ys][:, xs]).all()
+
+    feats = feature_extract(codec="png", dim=8)(df) \
+        .where(F.col("id") == 1).first().features
+    a = want.astype(np.float64) / 255.0
+    assert abs(feats[0] - 10.0) < 1e-9 and abs(feats[1] - 6.0) < 1e-9
+    assert abs(feats[2] - a[:, :, 0].mean()) < 1e-12
+
+    fmts = {r.id: r.format for r in sniff_format()(df).collect()}
+    assert all(v == "png" for v in fmts.values())
+
+
+def test_png_features_duckdb_numerical_oracle(spark):
+    """The wav-oracle convention applied to PNG: blobs synthesize per
+    id from a pure integer formula, so DuckDB computes the per-channel
+    means straight from the formula — never parsing a byte — and must
+    agree with the decode_png-based features to 12dp."""
+    import duckdb
+    from conduino_spark import encode_png, feature_extract
+    h, w, c = 9, 7, 3
+    rows = [(i, bytearray(encode_png(_synth_img(i, h, w, c),
+                                     filter_type=i % 5)))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: tuple(round(x, 12) for x in r.features[2:5])
+           for r in feature_extract(codec="png", dim=8)(df).collect()}
+    con = duckdb.connect()
+    want = {}
+    for i in range(10):
+        n = h * w * c
+        means = con.execute(f"""
+            SELECT ch, round(AVG(((j * {3 + i} + {i}) % 251) / 255.0), 12)
+            FROM (SELECT j, j % {c} AS ch FROM range(0, {n}) t(j))
+            GROUP BY ch ORDER BY ch""").fetchall()
+        want[i] = tuple(m for _, m in means)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # bm25 stats: driver-side partials keep the additive v2 contract
 # ---------------------------------------------------------------------------
 
