@@ -1,0 +1,605 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, 8-bit) in pure
+numpy + stdlib — no external codec library.
+
+Why this exists: JPEG is THE image container of web-scraped training
+data; the multimodal operators previously stubbed it behind a raise
+slot.  Baseline JPEG needs no external dependency — the entropy layer
+is canonical Huffman over a byte stream, the transform is an 8×8
+DCT-II (one 8×8 matrix product each way), and every table the decoder
+needs (quantization, Huffman) RIDES IN THE FILE (DQT/DHT segments), so
+decode correctness never depends on constants transcribed here.
+
+Scope (documented, loud):
+  * decode: baseline + extended-sequential Huffman (SOF0/SOF1), gray
+    or 3-component YCbCr, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0),
+    restart markers, APPn/COM skipped.  Progressive (SOF2) /
+    arithmetic / 12-bit / CMYK raise ValueError — re-encode upstream.
+  * encode: 4:4:4 or 4:2:0 YCbCr (or gray), Annex-K tables scaled by
+    ``quality`` (the libjpeg formula), fixed Annex-K Huffman tables.
+    The encoder is a real writer AND the test double: round-trip
+    error bounds are what the tests pin.
+  * chroma upsampling is pixel replication (nearest) — the fast path
+    real decoders offer; tests bound the error accordingly.
+
+Cost shape at 100 TB: decode runs once per blob inside Arrow-batched
+``mapInPandas`` at ingestion; features/resized outputs persist.  The
+per-block Python loop is the entropy decode — unavoidable without a
+C codec, explicitly the declared slow path (SURVEY §6 multimodal).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K — used by the ENCODER only; the decoder
+# reads whatever tables the file carries)
+# ---------------------------------------------------------------------------
+
+_QT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
+
+_QT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
+#: (bits[1..16], values) per Annex K; canonical-code assignment below
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _zigzag_indices() -> "np.ndarray":
+    """Linear (row*8+col) indexes in zigzag order — GENERATED from the
+    anti-diagonal rule (odd diagonals run top-right→bottom-left, even
+    run bottom-left→top-right), not transcribed."""
+    out = []
+    for s in range(15):
+        if s % 2:
+            pts = [(i, s - i) for i in range(s + 1)]
+        else:
+            pts = [(s - j, j) for j in range(s + 1)]
+        out += [r * 8 + c for r, c in pts if r < 8 and c < 8]
+    return np.array(out, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_indices()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+#: 8×8 DCT-II basis: forward F = T @ B @ T.T, inverse B = T.T @ F @ T
+_T = np.array([[float(np.cos((2 * j + 1) * i * np.pi / 16))
+                * (np.sqrt(0.5) if i == 0 else 1.0) / 2.0
+                for j in range(8)] for i in range(8)])
+
+
+def _dct8(block: "np.ndarray") -> "np.ndarray":
+    return _T @ block @ _T.T
+
+
+def _idct8(coef: "np.ndarray") -> "np.ndarray":
+    return _T.T @ coef @ _T
+
+
+def _scaled_qt(base: "np.ndarray", quality: int) -> "np.ndarray":
+    """libjpeg quality scaling: 50 = Annex K verbatim."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman
+# ---------------------------------------------------------------------------
+
+def _huff_codes(bits, vals) -> "dict[int, tuple[int, int]]":
+    """value → (code, length) by the T.81 canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """length-indexed canonical decode tables: (min_code, max_code,
+    first_value_index) per length — the classic T.81 DECODE proc."""
+
+    def __init__(self, bits, vals):
+        self.vals = list(vals)
+        self.mincode, self.maxcode, self.valptr = {}, {}, {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def read(self, br: "_BitReader") -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | br.bit()
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: Huffman code > 16 bits")
+            mx = self.maxcode.get(length, -1)
+            if mx >= 0 and code <= mx:
+                return self.vals[self.valptr[length]
+                                 + code - self.mincode[length]]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad(self) -> None:
+        """Pad with 1-bits to the byte boundary (T.81 fill bits) —
+        stuffing applies if the pad byte lands on 0xFF."""
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def raw_marker(self, byte2: int) -> None:
+        """Emit a literal marker (NOT stuffed) — caller must pad()
+        first so the stream is byte-aligned."""
+        assert self.n == 0
+        self.out += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """entropy-coded segment reader: unstuffs 0xFF00, stops at any
+    other marker (caller handles RST)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
+                    else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise ValueError("truncated JPEG entropy stream "
+                                     "(marker inside scan)")
+            else:
+                self.pos += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> "int | None":
+        """Drop partial bits; if an RST marker follows, consume it and
+        return its index (0-7), else None."""
+        self.n = 0
+        if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            m = self.d[self.pos + 1] - 0xD0
+            self.pos += 2
+            return m
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# entropy layer (unit-tested as an identity on quantized coefficients)
+# ---------------------------------------------------------------------------
+
+def _encode_block(bw: "_BitWriter", zz: "np.ndarray", pred: int,
+                  dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new
+    DC predictor."""
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]     # ZRL
+            bw.put(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_codes[(run << 4) | t]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]         # EOB
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def _decode_block(br: "_BitReader", pred: int, dc: "_HuffDecoder",
+                  ac: "_HuffDecoder") -> "tuple[np.ndarray, int]":
+    """Huffman-decode one block → (zigzagged coefficients, new DC
+    predictor)."""
+    zz = np.zeros(64, np.int32)
+    t = dc.read(br)
+    diff = _extend(br.receive(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac.read(br)
+        r, t = rs >> 4, rs & 0x0F
+        if t == 0:
+            if r == 15:       # ZRL
+                k += 16
+                continue
+            break             # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past block end")
+        zz[k] = _extend(br.receive(t), t)
+        k += 1
+    return zz, pred
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _to_blocks(plane: "np.ndarray") -> "np.ndarray":
+    """(H, W) → (nby, nbx, 8, 8) with edge replication padding."""
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+    return p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+
+
+def _rgb_to_ycbcr(a: "np.ndarray") -> "np.ndarray":
+    r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> "np.ndarray":
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0,
+                   255).astype(np.uint8)
+
+
+def _marker(tag: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(body) + 2) + body
+
+
+def encode_jpeg(arr, *, quality: int = 90, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Serialize an (H, W, 3) RGB or (H, W)/(H, W, 1) gray uint8 array
+    as baseline JPEG (Annex-K tables scaled by ``quality``; 4:4:4 or
+    4:2:0 via ``subsample``; optional DRI/RST markers every
+    ``restart_interval`` MCUs).  A real writer and the test double for
+    :func:`decode_jpeg` — lossy, so the tests pin error BOUNDS."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', "
+                         f"got {subsample!r}")
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2 or a.shape[2] == 1
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    h, w = a.shape[:2]
+    qt = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        y, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
+        if subsample == "420":
+            ph, pw = (-h) % 2, (-w) % 2
+            cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+            crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0] // 2, 2,
+                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2,
+                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    blocks = []
+    for p, (sh, sv) in zip(planes, samp):
+        tgt_h, tgt_w = mcuy * 8 * sv, mcux * 8 * sh
+        pp = np.pad(p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])),
+                    mode="edge")
+        blocks.append(_to_blocks(pp))
+
+    dc_tabs = [_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA)]
+    tsel = [0] if gray else [0, 1, 1]
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_idx = rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and \
+                    mcu_idx % restart_interval == 0:
+                bw.pad()
+                bw.raw_marker(0xD0 + (rst_idx % 8))
+                rst_idx += 1
+                preds = [0] * len(planes)
+            mcu_idx += 1
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = blocks[ci][my * sv + by, mx * sh + bx]
+                        coef = _dct8(blk - 128.0)
+                        q = np.round(coef / qt[qsel[ci]]).astype(np.int32)
+                        preds[ci] = _encode_block(
+                            bw, q.reshape(64)[_ZIGZAG], preds[ci],
+                            dc_tabs[tsel[ci]], ac_tabs[tsel[ci]])
+    scan = bw.flush()
+
+    out = [b"\xff\xd8"]                                     # SOI
+    for i, t in enumerate(qt[:1 if gray else 2]):
+        out.append(_marker(0xDB, bytes([i])
+                           + bytes(t.reshape(64)[_ZIGZAG].astype(np.uint8))))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out.append(_marker(0xC0, sof))
+    for cls, i, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+                                 (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
+        if gray and i == 1:
+            continue
+        out.append(_marker(0xC4, bytes([(cls << 4) | i]) + bytes(bits)
+                           + bytes(vals)))
+    if restart_interval:
+        out.append(_marker(0xDD, struct.pack(">H", restart_interval)))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+    sos += bytes([0, 63, 0])
+    out.append(_marker(0xDA, sos))
+    out.append(scan)
+    out.append(b"\xff\xd9")                                 # EOI
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> "np.ndarray":
+    """Parse a baseline/extended-sequential JPEG blob → (H, W, 3) RGB
+    (or (H, W, 1) for grayscale scans) uint8 array.  All tables come
+    from the file's own DQT/DHT segments; restart intervals honored;
+    chroma upsampling is pixel replication.  Raises ValueError on
+    progressive/arithmetic/12-bit/4-component streams and truncation."""
+    if not data or len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    qt: "dict[int, np.ndarray]" = {}
+    huff: "dict[tuple[int, int], _HuffDecoder]" = {}
+    frame = None
+    restart = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: no SOS marker")
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        m = data[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:                                       # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, np.int32)
+                t[_ZIGZAG] = np.frombuffer(body[p + 1:p + 65], np.uint8)
+                qt[tq] = t.reshape(8, 8)
+                p += 65
+        elif m == 0xC4:                                     # DHT
+            p = 0
+            while p < len(body):
+                cls, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17:p + 17 + n])
+                huff[(cls, th)] = _HuffDecoder(bits, vals)
+                p += 17 + n
+        elif m in (0xC0, 0xC1):                             # SOF0/1
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                sh, sv = hv >> 4, hv & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(f"sampling {sh}x{sv} unsupported")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            frame = (fh, fw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline/extended-sequential "
+                             "Huffman JPEG supported (got "
+                             f"SOF marker 0x{m:02x})")
+        elif m == 0xDD:                                     # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:                                     # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cid] = (tabs >> 4, tabs & 0x0F)
+            pos = pos + 2 + seglen
+            break
+        pos = pos + 2 + seglen
+
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+              for c in comps]
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                if br.align_to_marker() is None:
+                    raise ValueError("corrupt JPEG: missing RST marker")
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = sel[c["id"]]
+                dq = qt.get(c["tq"])
+                dh = huff.get((0, dc_t))
+                ah = huff.get((1, ac_t))
+                if dq is None or dh is None or ah is None:
+                    raise ValueError("JPEG references an undefined "
+                                     "quant/Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, preds[ci] = _decode_block(br, preds[ci],
+                                                      dh, ah)
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZIGZAG] = zz * dq.reshape(64)[_ZIGZAG]
+                        blk = _idct8(coef.reshape(8, 8)) + 128.0
+                        y0, x0 = (my * c["v"] + by) * 8, \
+                                 (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+
+    if len(comps) == 1:
+        y = np.clip(planes[0][:fh, :fw].round(), 0, 255).astype(np.uint8)
+        return y[:, :, None].copy()
+    full = []
+    for p, c in zip(planes, comps):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:                 # pixel-replication upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

@@ -2,16 +2,21 @@
 with typed metadata (north star, BASELINE.json).
 
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
-``mapInPandas`` signatures, partitioning.  Codec status (r10):
+``mapInPandas`` signatures, partitioning.  Codec status (r11):
 
 * ``codec='wav'`` / ``codec='bmp'`` — REAL decoders (plus writers
   :func:`encode_wav` / :func:`encode_bmp`): RIFF/DIB are struct
-  parses and the payloads fixed-layout numpy arrays, so PCM audio and
-  uncompressed RGB images decode, resize, and featurize end-to-end
-  with no external library.
-* ``codec='real'`` — the jpeg/png/mp3/flac slots still raise
-  ``NotImplementedError`` (this container has no PIL/soundfile —
-  environmental); wire them here when the libs land.
+  parses and the payloads fixed-layout numpy arrays.
+* ``codec='png'`` (r11) — REAL: stdlib zlib + numpy, all five row
+  filters, gray/alpha/RGB/RGBA + palette (:func:`encode_png` /
+  :func:`decode_png`).
+* ``codec='jpeg'`` (r11) — REAL baseline/extended-sequential decode +
+  baseline encode in pure numpy (operators/jpeg.py): in-file
+  DQT/DHT tables, 4:4:4/4:2:2/4:2:0, restart markers; progressive
+  raises.
+* ``codec='real'`` — the remaining slots (webp/gif/tiff images;
+  mp3/flac/ogg audio) raise ``NotImplementedError`` until
+  PIL/soundfile land (environmental).
 * ``codec='fake'`` (default) — deterministic byte-digest fake, the
   test double that exercises the distributed pipeline at any scale.
 
@@ -324,6 +329,19 @@ def decode_png(data: bytes):
     return img.copy()
 
 
+def _real_image_codec(codec: str):
+    """(decode, encode) for the REAL image codecs: bmp (r10), png and
+    baseline jpeg (r11).  None when the codec is fake/stubbed."""
+    if codec == "bmp":
+        return decode_bmp, encode_bmp
+    if codec == "png":
+        return decode_png, encode_png
+    if codec == "jpeg":
+        from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
+        return decode_jpeg, encode_jpeg
+    return None
+
+
 def image_metadata(binary_col: str = "content", id_col: str = "id", *,
                    codec: str = "fake") -> Stage:
     """Decode image headers → typed metadata rows.  ``mapInPandas``
@@ -334,13 +352,12 @@ def image_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "real jpeg codec unavailable in this "
-                        "container; wire PIL/turbojpeg here (BMP and "
-                        "PNG are REAL today via codec='bmp'/'png')")
-                if codec in ("bmp", "png"):
-                    # REAL decode (r10 bmp, r11 png): header + pixel
-                    # parse, stdlib zlib + numpy only
-                    dec = decode_bmp if codec == "bmp" else decode_png
+                        "bmp/png/jpeg decode for REAL via codec= — "
+                        "wire PIL here only for webp/gif/tiff")
+                if _real_image_codec(codec):
+                    # REAL decode (r10 bmp; r11 png + baseline jpeg):
+                    # pure numpy + stdlib, no codec library
+                    dec, _ = _real_image_codec(codec)
                     rows = []
                     for b in pdf[binary_col]:
                         a = dec(b if b is not None else b"")
@@ -429,15 +446,15 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "wire a real jpeg resampler here (BMP and PNG "
-                        "are REAL today via codec='bmp'/'png')")
-                if codec in ("bmp", "png"):
-                    # REAL nearest-neighbor resize (r10 bmp, r11 png):
-                    # decode, index-map, re-encode — numpy only.  PNG
-                    # keeps its own container (gray/alpha channel
-                    # counts survive); palette resolves to RGB.
-                    dec = decode_bmp if codec == "bmp" else decode_png
-                    enc = encode_bmp if codec == "bmp" else encode_png
+                        "bmp/png/jpeg resize for REAL via codec= — "
+                        "wire PIL here only for webp/gif/tiff")
+                if _real_image_codec(codec):
+                    # REAL nearest-neighbor resize (r10 bmp; r11 png +
+                    # jpeg): decode, index-map, re-encode.  Each codec
+                    # keeps its own container (png gray/alpha channel
+                    # counts survive; palette resolves to RGB; jpeg
+                    # re-encodes lossily, as any real resizer does).
+                    dec, enc = _real_image_codec(codec)
                     out = []
                     for b in pdf[binary_col]:
                         a = dec(b if b is not None else b"")
@@ -496,8 +513,8 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "wire a vision/audio encoder here (wav/bmp/png "
-                        "signal stats are REAL today)")
+                        "wire a vision/audio encoder here (wav/bmp/"
+                        "png/jpeg signal stats are REAL today)")
                 vecs = []
                 for b in pdf[binary_col]:
                     if codec == "wav":
@@ -511,11 +528,11 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
                              float((_np.diff(_np.signbit(x)) != 0)
                                    .mean()) if len(x) > 1 else 0.0,
                              float(_np.abs(x).max()) if len(x) else 0.0]
-                    elif codec in ("bmp", "png"):
+                    elif _real_image_codec(codec):
                         # REAL pixel features: dims + per-channel
                         # mean/std in [0,1] (first 3 channels; gray
-                        # PNGs contribute their single channel)
-                        dec = decode_bmp if codec == "bmp" else decode_png
+                        # images contribute their single channel)
+                        dec, _ = _real_image_codec(codec)
                         a = dec(b or b"").astype(_np.float64) / 255.0
                         nc = min(a.shape[2], 3)
                         v = ([float(a.shape[0]), float(a.shape[1])]

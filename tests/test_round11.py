@@ -414,6 +414,139 @@ def test_png_features_duckdb_numerical_oracle(spark):
 
 
 # ---------------------------------------------------------------------------
+# real baseline JPEG codec (pure numpy — tables ride in the file)
+# ---------------------------------------------------------------------------
+
+def _smooth_img(h=24, w=20):
+    import numpy as np
+    g = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            g[y, x] = ((y * 3) % 256, (x * 4) % 256, ((x + y) * 2) % 256)
+    return g
+
+
+def test_jpeg_dct_matches_definition():
+    """The 8x8 transform equals the textbook DCT-II double sum to
+    1e-12, and inverse(forward) is the identity — the lossy half of
+    the codec is pinned to the mathematical definition, not to itself."""
+    import numpy as np
+    from conduino_spark.operators.jpeg import _dct8, _idct8
+    b = (np.arange(64, dtype=float).reshape(8, 8) * 7) % 97
+    ref = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            s = sum(b[x, y]
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                    for x in range(8) for y in range(8))
+            ref[u, v] = 0.25 * cu * cv * s
+    assert np.abs(_dct8(b) - ref).max() < 1e-12
+    assert np.abs(_idct8(_dct8(b)) - b).max() < 1e-9
+
+
+def test_jpeg_entropy_layer_is_lossless():
+    """Huffman encode→decode is the IDENTITY on quantized coefficient
+    blocks (the only lossy steps are DCT+quantization): random sparse
+    blocks with extreme categories, long zero runs (ZRL), and EOB all
+    survive bit-exactly, including DC prediction across blocks."""
+    import numpy as np
+    from conduino_spark.operators.jpeg import (
+        _AC_LUMA, _BitReader, _BitWriter, _DC_LUMA, _HuffDecoder,
+        _decode_block, _encode_block, _huff_codes)
+    rng = np.random.RandomState(7)
+    blocks = []
+    for i in range(40):
+        zz = np.zeros(64, np.int64)
+        for _ in range(rng.randint(0, 12)):
+            zz[rng.randint(1, 64)] = int(rng.randint(-255, 256))
+        zz[0] = int(rng.randint(-1000, 1000))
+        blocks.append(zz)
+    blocks.append(np.zeros(64, np.int64))          # pure EOB
+    zrl = np.zeros(64, np.int64)
+    zrl[63] = 1                                    # 62-zero run → 3 ZRL
+    blocks.append(zrl)
+    bw = _BitWriter()
+    dc_codes, ac_codes = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+    pred = 0
+    for zz in blocks:
+        pred = _encode_block(bw, zz, pred, dc_codes, ac_codes)
+    data = bw.flush()
+    br = _BitReader(data, 0)
+    dc, ac = _HuffDecoder(*_DC_LUMA), _HuffDecoder(*_AC_LUMA)
+    pred = 0
+    for zz in blocks:
+        got, pred = _decode_block(br, pred, dc, ac)
+        assert (got == zz).all()
+
+
+def test_jpeg_roundtrip_bounds():
+    """decode(encode(x)) error bounds: constant images are EXACT (DC
+    only, zero quantization error at 128-anchored values), smooth
+    gradients stay within tight bounds at q95 in 4:4:4, and 4:2:0 /
+    restart-marker streams stay within the chroma-subsampling bound.
+    Grayscale round-trips through the 1-component scan."""
+    import numpy as np
+    from conduino_spark import decode_jpeg, encode_jpeg
+    const = np.full((16, 16, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(const)) == const).all()
+    g = _smooth_img()
+    for kw, bound in (({"subsample": "444"}, 4),
+                      ({"subsample": "420"}, 10),
+                      ({"subsample": "444", "restart_interval": 2}, 4),
+                      ({"subsample": "420", "restart_interval": 1}, 10)):
+        out = decode_jpeg(encode_jpeg(g, quality=95, **kw))
+        assert out.shape == g.shape
+        d = np.abs(out.astype(int) - g.astype(int))
+        assert d.max() <= bound, (kw, d.max())
+    gray = (np.arange(15 * 13, dtype=np.uint8) % 251).reshape(15, 13)
+    og = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert og.shape == (15, 13, 1)
+    assert np.abs(og[:, :, 0].astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_jpeg_validation():
+    import numpy as np
+    from conduino_spark import decode_jpeg, encode_jpeg
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"JUNKJUNK")
+    blob = encode_jpeg(_smooth_img())
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(blob[:len(blob) // 2])
+    forged = bytearray(blob)
+    forged[blob.find(b"\xff\xc0") + 1] = 0xC2      # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(forged))
+
+
+def test_jpeg_operators_end_to_end(spark):
+    """image_metadata / image_resize / feature_extract with
+    codec='jpeg' through the same mapInPandas batches; sniff_format
+    tags the container from magic bytes."""
+    import numpy as np
+    from conduino_spark import (decode_jpeg, encode_jpeg, feature_extract,
+                                image_metadata, image_resize, sniff_format)
+    rows = [(i, bytearray(encode_jpeg(
+        _smooth_img(16, 12), quality=95,
+        subsample="420" if i % 2 else "444"))) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    meta = image_metadata(codec="jpeg")(df).collect()
+    assert all(m.format == "jpeg" and (m.width, m.height) == (12, 16)
+               and m.channels == 3 for m in meta)
+    rs = image_resize(codec="jpeg", width=6, height=8)(df).first()
+    out = decode_jpeg(bytes(rs.content))
+    assert out.shape == (8, 6, 3)
+    feats = feature_extract(codec="jpeg", dim=8)(df).first().features
+    a = decode_jpeg(bytes(rows[0][1])).astype(np.float64) / 255.0
+    assert feats[0] == 16.0 and feats[1] == 12.0
+    assert abs(feats[2] - a[:, :, 0].mean()) < 1e-12
+    fmts = {r.id: r.format for r in sniff_format()(df).collect()}
+    assert all(v == "jpeg" for v in fmts.values())
+
+
+# ---------------------------------------------------------------------------
 # bm25 stats: driver-side partials keep the additive v2 contract
 # ---------------------------------------------------------------------------
 
