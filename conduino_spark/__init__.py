@@ -114,6 +114,7 @@ from conduino_spark.operators.multimodal import (
     image_resize, sniff_format,
 )
 from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from conduino_spark.operators.gif import decode_gif, encode_gif
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (
     asof_join, funnel, interval_join, rolling_agg, sessionize,

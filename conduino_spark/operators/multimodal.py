@@ -330,8 +330,11 @@ def decode_png(data: bytes):
 
 
 def _real_image_codec(codec: str):
-    """(decode, encode) for the REAL image codecs: bmp (r10), png and
-    baseline jpeg (r11).  None when the codec is fake/stubbed."""
+    """(decode, encode) for the REAL image codecs: bmp (r10), png /
+    baseline jpeg / gif (r11).  None when the codec is fake/stubbed.
+    GIF decodes its FIRST composited frame here (metadata/features);
+    its encode slot is None — resizing an animation means sampling
+    frames first (``frame_sample(codec='gif')`` emits PNG frames)."""
     if codec == "bmp":
         return decode_bmp, encode_bmp
     if codec == "png":
@@ -339,6 +342,9 @@ def _real_image_codec(codec: str):
     if codec == "jpeg":
         from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
         return decode_jpeg, encode_jpeg
+    if codec == "gif":
+        from conduino_spark.operators.gif import decode_gif
+        return (lambda b: decode_gif(b, max_frames=1)[0][0]), None
     return None
 
 
@@ -455,6 +461,11 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
                     # counts survive; palette resolves to RGB; jpeg
                     # re-encodes lossily, as any real resizer does).
                     dec, enc = _real_image_codec(codec)
+                    if enc is None:
+                        raise ValueError(
+                            "image_resize(codec='gif'): sample frames "
+                            "first (frame_sample(codec='gif') emits "
+                            "PNG frames) and resize those")
                     out = []
                     for b in pdf[binary_col]:
                         a = dec(b if b is not None else b"")
@@ -477,24 +488,52 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
 
 
 def frame_sample(binary_col: str = "content", id_col: str = "id", *,
-                 every_n: int = 30, max_frames: int = 8, codec: str = "fake") -> Stage:
-    """Video frame sampling stub: 1 input row → ≤max_frames rows (the
-    1:N fan-out shape real frame extraction has)."""
+                 every_n: int = 30, max_frames: int = 8,
+                 codec: str = "fake") -> Stage:
+    """Frame sampling: 1 input row → ≤max_frames rows (the 1:N fan-out
+    shape of frame extraction).
+
+    ``codec='gif'`` (r11) is REAL: animated GIFs decode (pure-Python
+    LZW, operators/gif.py), every ``every_n``-th composited frame is
+    kept up to ``max_frames``, and each sampled frame is emitted as a
+    PNG blob (:func:`encode_png`) so the downstream image operators
+    compose (``frame_sample | image_resize(codec='png')``).  The
+    decode stops at the last needed frame — later frames are never
+    LZW-decoded.  mp4/webm keep the ffmpeg raise slot."""
 
     def fn(df: DataFrame) -> DataFrame:
         def run(batches: Iterable[pd.DataFrame]):
             for pdf in batches:
                 if codec == "real":
-                    raise NotImplementedError("wire ffmpeg here")
+                    raise NotImplementedError(
+                        "wire ffmpeg here for mp4/webm (animated GIF "
+                        "is REAL today via codec='gif')")
                 ids, fnos, frames = [], [], []
-                for vid, b in zip(pdf[id_col], pdf[binary_col]):
-                    b = b or b""
-                    n = 1 + (hashlib.md5(b).digest()[0] % max_frames)
-                    for i in range(n):
-                        ids.append(vid)
-                        fnos.append(i * every_n)
-                        frames.append(hashlib.md5(b + struct.pack("<I", i)).digest())
-                yield pd.DataFrame({"id": ids, "frame_no": fnos, "frame": frames})
+                if codec == "gif":
+                    from conduino_spark.operators.gif import decode_gif
+                    need = 1 + (max_frames - 1) * every_n
+                    for vid, b in zip(pdf[id_col], pdf[binary_col]):
+                        fs, _ = decode_gif(b if b is not None else b"",
+                                           max_frames=need)
+                        taken = 0
+                        for i in range(0, len(fs), every_n):
+                            if taken >= max_frames:
+                                break
+                            ids.append(vid)
+                            fnos.append(i)
+                            frames.append(encode_png(fs[i]))
+                            taken += 1
+                else:
+                    for vid, b in zip(pdf[id_col], pdf[binary_col]):
+                        b = b or b""
+                        n = 1 + (hashlib.md5(b).digest()[0] % max_frames)
+                        for i in range(n):
+                            ids.append(vid)
+                            fnos.append(i * every_n)
+                            frames.append(hashlib.md5(
+                                b + struct.pack("<I", i)).digest())
+                yield pd.DataFrame({"id": ids, "frame_no": fnos,
+                                    "frame": frames})
 
         return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
             run, "id long, frame_no int, frame binary")

@@ -547,6 +547,71 @@ def test_jpeg_operators_end_to_end(spark):
 
 
 # ---------------------------------------------------------------------------
+# real GIF codec + REAL frame_sample fan-out
+# ---------------------------------------------------------------------------
+
+def _gif_frames(n=5, h=12, w=10, colors=9, seed=3):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (colors, 3)).astype(np.uint8)
+    return [pal[rng.randint(0, colors, (h, w))] for _ in range(n)]
+
+
+def test_gif_roundtrip_and_variants():
+    """encode→decode is exact for single and multi-frame GIFs, for
+    interlaced row order, and under LZW code-width growth (200-color
+    palette); max_frames stops decoding early; truncation and junk
+    raise ValueError."""
+    import numpy as np
+    from conduino_spark import decode_gif, encode_gif
+    fr = _gif_frames()
+    out, delays = decode_gif(encode_gif(fr, delay_cs=7))
+    assert out.shape == (5, 12, 10, 3) and delays == [7] * 5
+    assert all((out[i] == fr[i]).all() for i in range(5))
+    one, _ = decode_gif(encode_gif(fr[0], interlace=True))
+    assert (one[0] == fr[0]).all()
+    early, _ = decode_gif(encode_gif(fr), max_frames=2)
+    assert early.shape[0] == 2 and (early[1] == fr[1]).all()
+    rng = np.random.RandomState(1)
+    pal = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+    big = pal[rng.randint(0, 200, (40, 33))]
+    back, _ = decode_gif(encode_gif(big))
+    assert (back[0] == big).all()
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JUNKJUNKJUNK")
+    blob = encode_gif(big)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(blob[:len(blob) // 2])
+    many = np.stack([np.arange(300) % 256, np.arange(300) // 256,
+                     np.zeros(300)], axis=1).astype(np.uint8) \
+        .reshape(15, 20, 3)  # 300 distinct (r, g) pairs
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_gif(many)
+
+
+def test_gif_frame_sample_is_real(spark):
+    """frame_sample(codec='gif') decodes the animation for REAL: one
+    row per sampled frame, frame_no = the true frame index, and each
+    emitted frame is a PNG whose pixels equal the composited GIF frame
+    — so `frame_sample | image_resize(codec='png')` composes."""
+    import numpy as np
+    from conduino_spark import (decode_gif, decode_png, encode_gif,
+                                frame_sample, image_metadata)
+    fr = _gif_frames(n=7, seed=5)
+    rows = [(1, bytearray(encode_gif(fr))),
+            (2, bytearray(encode_gif(fr[0])))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = frame_sample(codec="gif", every_n=3, max_frames=2)(df).collect()
+    got = {(r.id, r.frame_no): bytes(r.frame) for r in out}
+    assert set(got) == {(1, 0), (1, 3), (2, 0)}
+    assert (decode_png(got[(1, 3)]) == fr[3]).all()
+    assert (decode_png(got[(2, 0)]) == fr[0]).all()
+    meta = image_metadata(codec="gif")(df).first()
+    assert (meta.width, meta.height, meta.channels, meta.format) \
+        == (10, 12, 3, "gif")
+
+
+# ---------------------------------------------------------------------------
 # bm25 stats: driver-side partials keep the additive v2 contract
 # ---------------------------------------------------------------------------
 
