@@ -52,32 +52,192 @@ AUDIO_META_SCHEMA = "id long, sample_rate int, n_samples long, format string"
 # until PIL/soundfile land (environmental).
 # ---------------------------------------------------------------------------
 
-def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
-    """Serialize int16 PCM samples (interleaved if multi-channel) into
-    a canonical RIFF/WAVE byte string — the test-double generator for
-    :func:`decode_wav` and a real writer in its own right."""
+def _g711_compress(x, expand):
+    """Nearest-level G.711 compressor derived FROM the expansion
+    table: decode all 256 codes once, pick each sample's nearest
+    level.  Correct by construction — the quantizer always matches
+    this module's expander, whatever rounding convention an external
+    table would use."""
     import numpy as _np
-    pcm = _np.asarray(samples, dtype="<i2").tobytes()
-    block = 2 * n_channels
-    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
-                      sample_rate * block, block, 16)
+    codes = _np.arange(256, dtype=_np.uint8)
+    levels = expand(codes).astype(_np.int32)
+    order = _np.argsort(levels, kind="stable")
+    lv, cd = levels[order], codes[order]
+    xs = _np.asarray(x, dtype=_np.int32)
+    j = _np.clip(_np.searchsorted(lv, xs), 1, len(lv) - 1)
+    pick_lo = (xs - lv[j - 1]) <= (lv[j] - xs)
+    return _np.where(pick_lo, cd[j - 1], cd[j]).astype(_np.uint8)
+
+
+def _ima_adpcm_encode_mono(x, block_align: int) -> bytes:
+    """IMA ADPCM mono encoder (mirror of the decode recurrence — the
+    predictor is updated through the DECODER arithmetic so both sides
+    stay bit-synchronized)."""
+    import numpy as _np
+    xs = _np.asarray(x, dtype=_np.int16).astype(int).tolist()
+    spb = (block_align - 4) * 2 + 1      # samples per block
+    out = bytearray()
+    idx = 0
+    for off in range(0, len(xs), spb):
+        blk = xs[off:off + spb]
+        pred = blk[0]
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in blk[1:]:
+            step = _IMA_STEPS[idx]
+            delta = s - pred
+            nib = 8 if delta < 0 else 0
+            d = -delta if delta < 0 else delta
+            if d >= step:
+                nib |= 4
+                d -= step
+            if d >= step >> 1:
+                nib |= 2
+                d -= step >> 1
+            if d >= step >> 2:
+                nib |= 1
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for lo, hi in zip(nibs[::2], nibs[1::2]):
+            out.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibs) // 2
+        out += b"\x00" * max(pad, 0)
+    return bytes(out)
+
+
+def encode_wav(samples, sample_rate: int, n_channels: int = 1, *,
+               fmt: str = "pcm16", block_align: int = 256) -> bytes:
+    """Serialize int16 samples (interleaved if multi-channel) into a
+    canonical RIFF/WAVE byte string — the test-double generator for
+    :func:`decode_wav` and a real writer in its own right.
+
+    ``fmt`` (r11): ``'pcm16'`` (default), ``'alaw'`` / ``'mulaw'``
+    (G.711 — nearest-level compression against this module's exact
+    expansion), or ``'ima'`` (mono IMA ADPCM, ``block_align`` bytes
+    per block)."""
+    import numpy as _np
+    arr = _np.asarray(samples, dtype="<i2")
+    if fmt == "pcm16":
+        tag, bits, payload = 1, 16, arr.tobytes()
+        block = 2 * n_channels
+    elif fmt in ("alaw", "mulaw"):
+        expand = _alaw_to_pcm16 if fmt == "alaw" else _mulaw_to_pcm16
+        tag, bits = (6 if fmt == "alaw" else 7), 8
+        payload = _g711_compress(arr, expand).tobytes()
+        block = n_channels
+    elif fmt == "ima":
+        if n_channels != 1:
+            raise ValueError("IMA ADPCM writer: only mono supported")
+        tag, bits = 0x11, 4
+        payload = _ima_adpcm_encode_mono(arr, block_align)
+        block = block_align
+    else:
+        raise ValueError(f"unknown wav fmt {fmt!r}")
+    hdr = struct.pack("<HHIIHH", tag, n_channels, sample_rate,
+                      sample_rate * block, block, bits)
     body = (b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+            + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+            + b"data" + struct.pack("<I", len(payload)) + payload)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mulaw_to_pcm16(codes):
+    """ITU-T G.711 μ-law byte → int16 PCM (exact table semantics:
+    invert, split sign/exponent/mantissa, bias 0x84)."""
+    import numpy as _np
+    u = (~_np.asarray(codes, dtype=_np.uint8)).astype(_np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return _np.where(sign, -mag, mag).astype(_np.int16)
+
+
+def _alaw_to_pcm16(codes):
+    """ITU-T G.711 A-law byte → int16 PCM (0x55 XOR; the classic
+    alaw2linear expansion — the (mant<<4) terms are already at int16
+    scale, max 32256, and a SET sign bit means POSITIVE, the reverse
+    of μ-law)."""
+    import numpy as _np
+    a = (_np.asarray(codes, dtype=_np.uint8) ^ 0x55).astype(_np.int32)
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = _np.where(exp == 0, (mant << 4) + 8,
+                    ((mant << 4) + 0x108) << (exp - 1))
+    return _np.where(sign, mag, -mag).astype(_np.int16)
+
+
+#: IMA ADPCM step table (IMA/DVI spec — 89 entries) and index deltas
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode_mono(body: bytes, block_align: int):
+    """IMA ADPCM (WAVE fmt 0x11), mono: per-block 4-byte header
+    (predictor int16, step index, reserved) then 4-bit nibbles,
+    low nibble first.  Pure-Python recurrence — decode-once path."""
+    import numpy as _np
+    out = []
+    for off in range(0, len(body), block_align):
+        blk = body[off:off + block_align]
+        if len(blk) < 4:
+            break
+        pred = struct.unpack("<h", blk[0:2])[0]
+        idx = min(max(blk[2], 0), 88)
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+    return _np.array(out, dtype=_np.int16)
 
 
 def decode_wav(data: bytes):
     """Parse a RIFF/WAVE blob → ``(sample_rate, n_channels,
     samples)`` with samples an int16 numpy array (interleaved).
-    Walks the chunk list (tolerates extra chunks in any order);
-    raises ValueError on non-WAV / non-PCM-16 input — feed through
+    Walks the chunk list (tolerates extra chunks in any order).
+
+    Formats (r11 grew the telephony/compressed variants): PCM-16
+    (fmt 1), G.711 A-law (fmt 6) and μ-law (fmt 7) expanded to int16
+    exactly per the ITU tables, and mono IMA ADPCM (fmt 0x11).
+    Anything else raises ValueError — feed through
     :func:`sniff_format` first at scale."""
     import numpy as _np
     if not data or len(data) < 12 or data[0:4] != b"RIFF" \
             or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
     pos, rate, nch, bits, pcm = 12, None, None, None, None
+    afmt, block_align = None, 0
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -93,17 +253,31 @@ def decode_wav(data: bytes):
             if len(body) < 16:
                 raise ValueError(
                     f"truncated WAV fmt chunk ({len(body)} < 16 bytes)")
-            afmt, nch, rate, _, _, bits = struct.unpack(
+            afmt, nch, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if afmt != 1 or bits != 16:
+            if afmt == 1 and bits != 16:
+                raise ValueError(f"only 16-bit PCM supported "
+                                 f"(bits={bits})")
+            if afmt not in (1, 6, 7, 0x11):
                 raise ValueError(
-                    f"only PCM-16 supported (fmt={afmt}, bits={bits})")
+                    f"unsupported WAV format {afmt} (PCM-16, G.711 "
+                    f"A-law/mu-law, and mono IMA ADPCM decode here)")
+            if afmt == 0x11 and nch != 1:
+                raise ValueError("IMA ADPCM: only mono supported")
         elif tag == b"data":
             pcm = body
         pos += 8 + size + (size & 1)   # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("missing fmt /data chunk")
-    return int(rate), int(nch), _np.frombuffer(pcm, dtype="<i2")
+    if afmt == 6:
+        samples = _alaw_to_pcm16(_np.frombuffer(pcm, _np.uint8))
+    elif afmt == 7:
+        samples = _mulaw_to_pcm16(_np.frombuffer(pcm, _np.uint8))
+    elif afmt == 0x11:
+        samples = _ima_adpcm_decode_mono(pcm, max(int(block_align), 4))
+    else:
+        samples = _np.frombuffer(pcm, dtype="<i2")
+    return int(rate), int(nch), samples
 
 
 def encode_bmp(arr) -> bytes:

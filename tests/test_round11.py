@@ -653,6 +653,51 @@ def test_lsh_index_merge_streaming_ingestion(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_wav_g711_and_adpcm_variants(spark):
+    """decode_wav grew the telephony/compressed WAV formats: G.711
+    μ-law (fmt 7) and A-law (fmt 6) expand exactly per the ITU
+    tables (255/256 distinct symmetric levels, max 32124/32256), the
+    nearest-level compressors are idempotent on the code lattice with
+    round-trip error bounded by the top-segment half-spacing, and mono
+    IMA ADPCM (fmt 0x11) tracks a smooth signal; the audio operators
+    consume all three via the same codec='wav' dispatch."""
+    import numpy as np
+    from conduino_spark import audio_metadata, decode_wav, encode_wav
+    from conduino_spark.operators.multimodal import (_alaw_to_pcm16,
+                                                     _mulaw_to_pcm16)
+    codes = np.arange(256, dtype=np.uint8)
+    mu = _mulaw_to_pcm16(codes).astype(int)
+    al = _alaw_to_pcm16(codes).astype(int)
+    assert len(set(mu.tolist())) == 255 and mu.max() == 32124  # ±0 collide
+    assert len(set(al.tolist())) == 256 and al.max() == 32256
+    assert sorted(set((-mu).tolist())) == sorted(set(mu.tolist()))
+
+    x = (np.sin(np.linspace(0, 20, 400)) * 30000).astype(np.int16)
+    for fmt, bound in (("mulaw", 1024 // 2), ("alaw", 1024 // 2)):
+        r, nch, y = decode_wav(encode_wav(x, 8000, fmt=fmt))
+        assert (r, nch) == (8000, 1) and len(y) == len(x)
+        assert np.abs(y.astype(int) - x.astype(int)).max() <= bound
+        _, _, y2 = decode_wav(encode_wav(y, 8000, fmt=fmt))
+        assert (y2 == y).all()            # idempotent on the lattice
+    r, nch, y = decode_wav(encode_wav(x, 8000, fmt="ima"))
+    n = len(x)
+    assert len(y) >= n
+    c = np.corrcoef(x.astype(float), y[:n].astype(float))[0, 1]
+    assert c > 0.999
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(x, 8000, fmt="mulaw")))],
+        "id long, content binary")
+    m = audio_metadata(codec="wav")(df).first()
+    assert (m.sample_rate, m.n_samples, m.format) == (8000, 400, "wav")
+
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        blob = bytearray(encode_wav(x, 8000))
+        i = blob.find(b"fmt ") + 8
+        blob[i:i + 2] = b"\x63\x00"       # forge an unknown format tag
+        decode_wav(bytes(blob))
+
+
 def test_decode_wav_rejects_truncation():
     """ADVICE r10: a data chunk whose declared size runs past the
     buffer must raise (it used to decode silently with fewer samples),
