@@ -14,9 +14,15 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
   baseline encode in pure numpy (operators/jpeg.py): in-file
   DQT/DHT tables, 4:4:4/4:2:2/4:2:0, restart markers; progressive
   raises.
-* ``codec='real'`` — the remaining slots (webp/gif/tiff images;
-  mp3/flac/ogg audio) raise ``NotImplementedError`` until
-  PIL/soundfile land (environmental).
+* ``codec='gif'`` (r11) — REAL pure-Python LZW (operators/gif.py):
+  multi-frame animations make :func:`frame_sample` a real 1:N
+  extractor.
+* ``codec='flac'`` (r11) — REAL lossless audio (operators/flac.py):
+  Rice-coded fixed/LPC predictors, CRC-verified frames; decode_wav
+  additionally grew G.711 μ-law/A-law + mono IMA ADPCM.
+* ``codec='real'`` — the remaining slots (webp/tiff images; mp3/ogg
+  audio; mp4/webm video) raise ``NotImplementedError`` until
+  PIL/soundfile/ffmpeg land (environmental — lossy DSP formats).
 * ``codec='fake'`` (default) — deterministic byte-digest fake, the
   test double that exercises the distributed pipeline at any scale.
 
@@ -574,6 +580,18 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, str]:
     return rate, n_samples, fmt
 
 
+def _real_audio_codec(codec: str):
+    """decode fn for the REAL audio codecs — (rate, n_channels,
+    int16 interleaved samples).  wav (r10 + r11 G.711/ADPCM variants)
+    and flac (r11, operators/flac.py); None for fake/stubbed."""
+    if codec == "wav":
+        return decode_wav
+    if codec == "flac":
+        from conduino_spark.operators.flac import decode_flac
+        return decode_flac
+    return None
+
+
 def audio_metadata(binary_col: str = "content", id_col: str = "id", *,
                    codec: str = "fake") -> Stage:
     """Decode audio headers → typed metadata rows (the
@@ -586,17 +604,19 @@ def audio_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "real mp3/flac/ogg codecs unavailable in this "
-                        "container; wire soundfile/ffprobe here (WAV "
-                        "is REAL today via codec='wav')")
-                if codec == "wav":
-                    # REAL decode (r10): RIFF chunk walk, no libs
+                        "wav (incl. G.711/ADPCM) and flac decode for "
+                        "REAL via codec= — wire soundfile here only "
+                        "for mp3/ogg")
+                if _real_audio_codec(codec):
+                    # REAL decode (r10 wav; r11 flac): pure numpy +
+                    # stdlib, no codec library
+                    dec = _real_audio_codec(codec)
                     rows = []
                     for b in pdf[binary_col]:
-                        rate, nch, pcm = decode_wav(
+                        rate, nch, pcm = dec(
                             b if b is not None else b"")
                         rows.append((rate, len(pcm) // max(nch, 1),
-                                     "wav"))
+                                     codec))
                 else:
                     rows = [_fake_decode_audio(
                         b if b is not None else b"")
@@ -730,10 +750,12 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
                         "png/jpeg signal stats are REAL today)")
                 vecs = []
                 for b in pdf[binary_col]:
-                    if codec == "wav":
-                        # REAL signal features (r10): duration, RMS,
-                        # zero-crossing rate, peak — zero-padded to dim
-                        rate, nch, pcm = decode_wav(b or b"")
+                    if _real_audio_codec(codec):
+                        # REAL signal features (r10 wav, r11 flac):
+                        # duration, RMS, zero-crossing rate, peak —
+                        # zero-padded to dim
+                        rate, nch, pcm = _real_audio_codec(codec)(
+                            b or b"")
                         x = pcm.astype(_np.float64) / 32768.0
                         v = [len(pcm) / max(nch, 1) / rate,
                              float(_np.sqrt((x * x).mean())) if len(x)

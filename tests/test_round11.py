@@ -698,6 +698,58 @@ def test_wav_g711_and_adpcm_variants(spark):
         decode_wav(bytes(blob))
 
 
+def test_flac_lossless_roundtrips(spark):
+    """FLAC is LOSSLESS: encode→decode is bit-exact for every subframe
+    type the encoder can emit — constant, fixed-predictor (smooth
+    signal), verbatim (noise), and explicit quantized-LPC frames (any
+    coefficient choice is exact under the integer recurrence, which
+    tests the decoder's LPC path without a reference encoder) — mono
+    and stereo, across block boundaries; CRC-8/CRC-16 are verified and
+    corruption raises; the audio operators consume codec='flac'."""
+    import numpy as np
+    from conduino_spark import (audio_metadata, decode_flac, encode_flac,
+                                feature_extract)
+    rng = np.random.RandomState(5)
+    smooth = (np.sin(np.linspace(0, 50, 5000)) * 20000).astype(np.int16)
+    noise = rng.randint(-32768, 32768, 3000).astype(np.int16)
+    const = np.full(2000, -1234, np.int16)
+    for x, bs in ((smooth, 1024), (noise, 777), (const, 2000)):
+        r, nch, y = decode_flac(encode_flac(x, 16000, block_size=bs))
+        assert (r, nch) == (16000, 1) and np.array_equal(y, x)
+    for lpc in (([8192, -4096], 13), ([4000, 3000, -2000, 1000, -500], 12)):
+        _, _, y = decode_flac(encode_flac(smooth, 16000,
+                                          block_size=512, lpc=lpc))
+        assert np.array_equal(y, smooth)
+    st = np.stack([smooth[:4000],
+                   (smooth[:4000] // 2 + 100).astype(np.int16)], axis=1)
+    r, nch, y = decode_flac(encode_flac(st, 44100, block_size=512))
+    il = np.empty(8000, np.int16)
+    il[0::2], il[1::2] = st[:, 0], st[:, 1]
+    assert (r, nch) == (44100, 2) and np.array_equal(y, il)
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"JUNKJUNKJUNK")
+    blob = encode_flac(smooth, 16000)
+    with pytest.raises(ValueError):
+        decode_flac(blob[:len(blob) // 2])
+    bad = bytearray(blob)
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="signed 15 bits"):
+        encode_flac(smooth, 16000, lpc=([16384], 14))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_flac(smooth, 16000, block_size=1024)))],
+        "id long, content binary")
+    m = audio_metadata(codec="flac")(df).first()
+    assert (m.sample_rate, m.n_samples, m.format) == (16000, 5000, "flac")
+    f = feature_extract(codec="flac", dim=4)(df).first().features
+    xs = smooth.astype(np.float64) / 32768.0
+    assert abs(f[0] - 5000 / 16000) < 1e-9
+    assert abs(f[1] - np.sqrt((xs * xs).mean())) < 1e-9
+
+
 def test_decode_wav_rejects_truncation():
     """ADVICE r10: a data chunk whose declared size runs past the
     buffer must raise (it used to decode silently with fewer samples),
