@@ -116,6 +116,7 @@ from conduino_spark.operators.multimodal import (
 from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from conduino_spark.operators.gif import decode_gif, encode_gif
 from conduino_spark.operators.flac import decode_flac, encode_flac
+from conduino_spark.operators.tiff import decode_tiff, encode_tiff
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (
     asof_join, funnel, interval_join, rolling_agg, sessionize,

@@ -20,9 +20,11 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
 * ``codec='flac'`` (r11) — REAL lossless audio (operators/flac.py):
   Rice-coded fixed/LPC predictors, CRC-verified frames; decode_wav
   additionally grew G.711 μ-law/A-law + mono IMA ADPCM.
-* ``codec='real'`` — the remaining slots (webp/tiff images; mp3/ogg
-  audio; mp4/webm video) raise ``NotImplementedError`` until
-  PIL/soundfile/ffmpeg land (environmental — lossy DSP formats).
+* ``codec='tiff'`` (r11) — REAL baseline TIFF (operators/tiff.py):
+  both byte orders, gray/RGB/RGBA strips, none/PackBits compression.
+* ``codec='real'`` — the remaining slots (webp images; mp3/ogg audio;
+  mp4/webm video) raise ``NotImplementedError`` until PIL/soundfile/
+  ffmpeg land (environmental — lossy DSP formats).
 * ``codec='fake'`` (default) — deterministic byte-digest fake, the
   test double that exercises the distributed pipeline at any scale.
 
@@ -525,6 +527,9 @@ def _real_image_codec(codec: str):
     if codec == "gif":
         from conduino_spark.operators.gif import decode_gif
         return (lambda b: decode_gif(b, max_frames=1)[0][0]), None
+    if codec == "tiff":
+        from conduino_spark.operators.tiff import decode_tiff, encode_tiff
+        return decode_tiff, encode_tiff
     return None
 
 
@@ -539,7 +544,7 @@ def image_metadata(binary_col: str = "content", id_col: str = "id", *,
                 if codec == "real":
                     raise NotImplementedError(
                         "bmp/png/jpeg decode for REAL via codec= — "
-                        "wire PIL here only for webp/gif/tiff")
+                        "wire PIL here only for webp")
                 if _real_image_codec(codec):
                     # REAL decode (r10 bmp; r11 png + baseline jpeg):
                     # pure numpy + stdlib, no codec library
@@ -647,7 +652,7 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
                 if codec == "real":
                     raise NotImplementedError(
                         "bmp/png/jpeg resize for REAL via codec= — "
-                        "wire PIL here only for webp/gif/tiff")
+                        "wire PIL here only for webp")
                 if _real_image_codec(codec):
                     # REAL nearest-neighbor resize (r10 bmp; r11 png +
                     # jpeg): decode, index-map, re-encode.  Each codec
@@ -801,6 +806,8 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("zip",  "504b0304", 0),
     ("mp3",  "494433",   0),   # ID3-tagged
     ("flac", "664c6143", 0),
+    ("tiff", "49492a00", 0),   # little-endian (II*\0)
+    ("tiff", "4d4d002a", 0),   # big-endian (MM\0*)
 ]
 
 

@@ -698,6 +698,71 @@ def test_wav_g711_and_adpcm_variants(spark):
         decode_wav(bytes(blob))
 
 
+def test_tiff_roundtrips_and_operators(spark):
+    """Baseline TIFF: exact round-trips for gray/RGB/RGBA with and
+    without PackBits; a hand-built BIG-endian (MM) file decodes (the
+    encoder only writes II, so MM exercises the byte-order path
+    independently); truncation and unsupported compressions raise;
+    the image operators consume codec='tiff' and sniff_format tags
+    both byte orders."""
+    import struct
+    import numpy as np
+    from conduino_spark import (decode_tiff, encode_tiff, image_metadata,
+                                image_resize, sniff_format)
+    rng = np.random.RandomState(2)
+    for c in (1, 3, 4):
+        a = rng.randint(0, 256, (13, 11, c)).astype(np.uint8)
+        for pb in (False, True):
+            out = decode_tiff(encode_tiff(a, packbits=pb))
+            assert out.shape == a.shape and (out == a).all(), (c, pb)
+
+    # minimal big-endian gray 2x3 file, one strip, built by hand
+    pix = bytes(range(6))
+    entries = [
+        struct.pack(">HHI", 256, 3, 1) + struct.pack(">HH", 3, 0),
+        struct.pack(">HHI", 257, 3, 1) + struct.pack(">HH", 2, 0),
+        struct.pack(">HHI", 258, 3, 1) + struct.pack(">HH", 8, 0),
+        struct.pack(">HHI", 259, 3, 1) + struct.pack(">HH", 1, 0),
+        struct.pack(">HHII", 273, 4, 1, 8 + 2 + 12 * 6 + 4),
+        struct.pack(">HHII", 279, 4, 1, 6),
+    ]
+    mm = (b"MM\x00*" + struct.pack(">I", 8)
+          + struct.pack(">H", 6) + b"".join(entries)
+          + struct.pack(">I", 0) + pix)
+    out = decode_tiff(mm)
+    assert out.shape == (2, 3, 1) and bytes(out.reshape(-1)) == pix
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX\x00*" + b"\x00" * 8)
+    blob = encode_tiff(rng.randint(0, 256, (20, 20, 3)).astype(np.uint8))
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        decode_tiff(blob[:40])
+    lzw = bytearray(encode_tiff(rng.randint(0, 256, (4, 4, 1))
+                                .astype(np.uint8)))
+    i = lzw.find(struct.pack("<HHI", 259, 3, 1))
+    lzw[i + 8:i + 10] = struct.pack("<H", 5)   # forge LZW compression
+    with pytest.raises(ValueError, match="compression 5"):
+        decode_tiff(bytes(lzw))
+
+    a = rng.randint(0, 256, (10, 6, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(a, packbits=True))),
+         (2, bytearray(mm))],
+        "id long, content binary")
+    meta = {r.id: r for r in image_metadata(codec="tiff")(df)
+            .collect() if r.id == 1}
+    assert (meta[1].width, meta[1].height, meta[1].channels,
+            meta[1].format) == (6, 10, 3, "tiff")
+    rs = image_resize(codec="tiff", width=3, height=5)(
+        df.where(F.col("id") == 1)).first()
+    out = decode_tiff(bytes(rs.content))
+    ys = np.linspace(0, 9, 5).round().astype(int)
+    xs = np.linspace(0, 5, 3).round().astype(int)
+    assert (out == a[ys][:, xs]).all()
+    fmts = {r.id: r.format for r in sniff_format()(df).collect()}
+    assert fmts == {1: "tiff", 2: "tiff"}
+
+
 def test_flac_lossless_roundtrips(spark):
     """FLAC is LOSSLESS: encode→decode is bit-exact for every subframe
     type the encoder can emit — constant, fixed-predictor (smooth
