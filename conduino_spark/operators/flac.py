@@ -176,12 +176,23 @@ def _write_residuals(bw: "_BitWriter", res: "np.ndarray",
     param = max(0, min(14, int(mean).bit_length()))
     u = _zigzag(res)
     if param >= 14 and u.size and int(u.max()).bit_length() > 30:
+        # Escape to raw residuals.  The raw width must cover the actual
+        # signed range (LPC residuals can exceed 16 bits long before the
+        # escape condition triggers); the 5-bit field caps it at 31.
+        lo, hi = int(res.min()), int(res.max())
+        raw = max(1, hi.bit_length() + 1 if hi >= 0 else 1,
+                  (-lo - 1).bit_length() + 1 if lo < 0 else 1)
+        if raw > 31:
+            raise ValueError(
+                f"FLAC escape residuals need {raw} bits (max 31): "
+                "residual range too wide for a raw partition")
         bw.put(0, 2)
         bw.put(0, 4)
         bw.put(15, 4)                 # escape: raw residuals
-        bw.put(17, 5)
+        bw.put(raw, 5)
+        mask = (1 << raw) - 1
         for v in res:
-            bw.put(int(v) & 0x1FFFF, 17)
+            bw.put(int(v) & mask, raw)
         return
     bw.put(0, 2)                      # residual method 0 (4-bit Rice)
     bw.put(0, 4)                      # partition order 0

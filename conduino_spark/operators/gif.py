@@ -307,7 +307,7 @@ def decode_gif(data: bytes, *, max_frames: "int | None" = None):
         if max_frames is not None and len(frames) >= max_frames:
             break
         if disposal == 2:                 # restore to background
-            bgcol = ct[bg] if gct is not None and bg < len(gct) else 0
+            bgcol = gct[bg] if gct is not None and bg < len(gct) else 0
             canvas[iy:iy + ih, ix:ix + iw] = bgcol
         elif disposal == 3:               # restore to previous
             canvas = prev

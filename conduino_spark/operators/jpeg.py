@@ -557,6 +557,12 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
         pos = pos + 2 + seglen
 
     fh, fw, comps = frame
+    if len(comps) == 1:
+        # T.81 A.2.2 non-interleaved rule: a single-component scan
+        # ignores the SOF sampling factors — one 8x8 block per MCU in
+        # row-major order (some encoders emit grayscale declaring 2x2
+        # sampling; the interleaved v*h layout scrambles block order).
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)

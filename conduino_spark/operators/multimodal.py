@@ -154,8 +154,16 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1, *,
         raise ValueError(f"unknown wav fmt {fmt!r}")
     hdr = struct.pack("<HHIIHH", tag, n_channels, sample_rate,
                       sample_rate * block, block, bits)
+    # Non-PCM formats carry a 'fact' chunk with the true per-channel
+    # sample count (RIFF spec) — without it an IMA decoder can't tell
+    # encoder block padding from real samples (ADVICE r11).
+    fact = b""
+    if tag != 1:
+        n_frames = len(arr) // max(n_channels, 1)
+        fact = b"fact" + struct.pack("<II", 4, n_frames)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+            + fact
             + b"data" + struct.pack("<I", len(payload)) + payload)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -245,7 +253,7 @@ def decode_wav(data: bytes):
             or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
     pos, rate, nch, bits, pcm = 12, None, None, None, None
-    afmt, block_align = None, 0
+    afmt, block_align, fact_frames = None, 0, None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
@@ -272,6 +280,8 @@ def decode_wav(data: bytes):
                     f"A-law/mu-law, and mono IMA ADPCM decode here)")
             if afmt == 0x11 and nch != 1:
                 raise ValueError("IMA ADPCM: only mono supported")
+        elif tag == b"fact" and len(body) >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
         elif tag == b"data":
             pcm = body
         pos += 8 + size + (size & 1)   # chunks are word-aligned
@@ -285,6 +295,11 @@ def decode_wav(data: bytes):
         samples = _ima_adpcm_decode_mono(pcm, max(int(block_align), 4))
     else:
         samples = _np.frombuffer(pcm, dtype="<i2")
+    if afmt != 1 and fact_frames is not None:
+        # 'fact' carries the true per-channel sample count — truncate
+        # the encoder's final-block zero padding (ADVICE r11: fmt 0x11
+        # otherwise reports inflated n_samples).
+        samples = samples[:fact_frames * int(nch)]
     return int(rate), int(nch), samples
 
 
