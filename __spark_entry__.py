@@ -2714,14 +2714,69 @@ def q_windowed_sketches(spark, sf):
     return quant.unionByName(cm)
 
 
+def _synth_media_blobs(spark, sf):
+    """Deterministic media fixtures derived from documents.doc_id —
+    one sawtooth-PCM WAV and one formula PNG per doc, both encoded by
+    the package's REAL writers inside mapInPandas.  The formulas are
+    pure integer arithmetic, so the DuckDB oracle recomputes every
+    decoded statistic without parsing a byte (the wav/png numerical
+    oracle convention, tests/test_round10.py:501 / test_round11.py:390
+    promoted to the driver gate)."""
+    docs = _src(sf, "documents", min_partitions="auto").df(spark) \
+        .select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from conduino_spark import encode_png, encode_wav
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 100 + (i % 7) * 50
+                x = ((np.arange(n, dtype=np.int64) * (3 + i))
+                     % 20001 - 10000).astype("<i2")
+                ids.append(i)
+                blobs.append(encode_wav(x, 8000))
+                h, w, c = 5 + i % 4, 4 + i % 3, 1 + i % 3
+                img = ((np.arange(h * w * c, dtype=np.int64) * (3 + i)
+                        + i) % 251).astype("uint8").reshape(h, w, c)
+                ids.append(i)
+                blobs.append(encode_png(img, filter_type=i % 5))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    return docs.mapInPandas(gen, "id long, content binary")
+
+
 def q_profile_docs_gate(spark, sf):
     # r8: the exact columns of the table-health profile (one agg pass);
     # approx_distinct stays out of the hash gate — the HLL estimate's
     # linear-counting branch carries a libm-ln tolerance (its registers
     # are hash-verified via sketch_profile; the estimate keeps its
-    # tolerance law in tests/test_round6c.py)
-    return q_profile_docs(spark, sf).select(
+    # tolerance law in tests/test_round6c.py).
+    # r12 'mm' arm (VERDICT r11 #1 — the codec family's first driver-
+    # gate visibility): synth wav+png blobs per doc → sniff_format
+    # container dispatch → media_profile REAL decode → exact INTEGER
+    # stats, every one recomputed by the oracle from the synth formula.
+    # The encode→decode→profile chain hash-verifies the codec
+    # arithmetic itself (row mapping: column='fmt:doc_id',
+    # n_rows=n_units, n_nulls=meta, min=sum_abs, max=max_abs).
+    from conduino_spark import media_profile, sniff_format
+    base = q_profile_docs(spark, sf).select(
+        F.lit("col").alias("part"),
         "column", "n_rows", "n_nulls", "null_frac", "min", "max")
+    prof = media_profile("content", "id", codec_col="format")(
+        sniff_format("content")(_synth_media_blobs(spark, sf)))
+    mm = prof.select(
+        F.lit("mm").alias("part"),
+        F.concat_ws(":", "format",
+                    F.col("id").cast("string")).alias("column"),
+        F.col("n_units").alias("n_rows"),
+        F.col("meta").alias("n_nulls"),
+        F.lit(0.0).alias("null_frac"),
+        F.col("sum_abs").cast("string").alias("min"),
+        F.col("max_abs").cast("string").alias("max"))
+    return base.unionByName(mm)
 
 
 #: THE GATE ORDERING CONTRACT (r2/r3 verdict lead item): the driver
@@ -3184,17 +3239,52 @@ def _sql_vector_moments(d: int = 64, scale: int = 10**9) -> str:
 def _sql_profile_docs() -> str:
     """DuckDB rendering of the r8 profile_docs gate pin: the EXACT
     per-column stats of profile_table over documents (approx_distinct
-    excluded — see q_profile_docs_gate)."""
+    excluded — see q_profile_docs_gate), plus the r12 'mm' arm — the
+    media_profile statistics of the synth wav/png blobs recomputed
+    straight from the integer synth formulas, never parsing a byte.
+    If ANY layer of encode_wav/encode_png/sniff_format/decode_wav/
+    decode_png/media_profile drifts, the hash breaks."""
     arms = []
     for c in ("doc_id", "text", "lang", "source", "n_chars"):
         arms.append(f"""
-            SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+            SELECT 'col' AS part, '{c}' AS "column",
+                   COUNT(*) AS n_rows,
                    COUNT(*) - COUNT({c}) AS n_nulls,
                    round((COUNT(*) - COUNT({c}))
                          / greatest(COUNT(*), 1) * 1.0, 6) AS null_frac,
                    MIN(CAST({c} AS VARCHAR)) AS min,
                    MAX(CAST({c} AS VARCHAR)) AS max
             FROM documents""")
+    # wav arm: sawtooth PCM, n = 100 + (i%7)*50 samples at 8 kHz mono,
+    # sample_j = (j*(3+i)) % 20001 - 10000
+    arms.append("""
+        SELECT 'mm' AS part, 'wav:' || i AS "column",
+               100 + (i % 7) * 50 AS n_rows,
+               CAST(80001 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM(ABS((j * (3 + i)) % 20001 - 10000))
+                    AS BIGINT) AS VARCHAR) AS min,
+               CAST(MAX(ABS((j * (3 + i)) % 20001 - 10000))
+                    AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, 100 + (doc_id % 7) * 50)) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # png arm: h=5+i%4, w=4+i%3, c=1+i%3, pixel_j = (j*(3+i)+i) % 251
+    arms.append("""
+        SELECT 'mm' AS part, 'png:' || i AS "column",
+               (5 + i % 4) * (4 + i % 3) * (1 + i % 3) AS n_rows,
+               (5 + i % 4) * 1000000 + (4 + i % 3) * 1000
+                   + (1 + i % 3) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (3 + i) + i) % 251) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (3 + i) + i) % 251) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (5 + doc_id % 4) * (4 + doc_id % 3)
+                                     * (1 + doc_id % 3))) AS j
+              FROM documents)
+        GROUP BY ALL""")
     return " UNION ALL ".join(arms)
 
 

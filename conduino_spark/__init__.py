@@ -111,7 +111,7 @@ from conduino_spark.operators.multimodal import (
     audio_metadata, decode_bmp, decode_png, decode_wav,
     encode_bmp, encode_png, encode_wav,
     feature_extract, frame_sample, image_metadata,
-    image_resize, sniff_format,
+    image_resize, media_profile, sniff_format,
 )
 from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from conduino_spark.operators.gif import decode_gif, encode_gif

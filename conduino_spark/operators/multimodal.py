@@ -859,3 +859,85 @@ def sniff_format(binary_col: str = "content", *,
             out, F.when(b.isNull(), F.lit("unknown")).otherwise(expr))
 
     return Stage(fn, name="sniff_format", seq_preserving=True)
+
+
+#: codecs media_profile can dispatch per row, grouped by kind
+_AUDIO_CODECS = ("wav", "flac")
+_IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff")
+
+
+def media_profile(binary_col: str = "content", id_col: str = "id", *,
+                  codec: "str | None" = None,
+                  codec_col: "str | None" = None) -> Stage:
+    """Corpus-health profile of a binary media column — the multimodal
+    analog of ``profile_table``: REAL decode (no codec library), then
+    exact INTEGER statistics per blob, so a media profile can be
+    re-derived bit-for-bit by any engine that knows the source data
+    (the driver-gate hash convention — floats never enter the row).
+
+    Dispatch: pass ``codec='png'`` etc. for a homogeneous column, or
+    ``codec_col='format'`` (usually from :func:`sniff_format`) for a
+    mixed column profiled in one pass.  Output per blob:
+
+    * ``format``  — the codec that decoded it (``'error'`` when the
+      blob fails to decode or the format has no real decoder here;
+      profiling a dirty corpus must not abort the batch).
+    * audio: ``n_units`` = interleaved sample count, ``meta`` =
+      ``sample_rate * 10 + n_channels``, ``sum_abs`` / ``max_abs`` =
+      Σ|pcm| and max|pcm| (int16 domain, exact int64 sums).
+    * image: ``n_units`` = ``h*w*c`` sample count, ``meta`` =
+      ``h*1_000_000 + w*1_000 + c``, ``sum_abs`` / ``max_abs`` =
+      pixel sum and max (uint8 domain).  GIF profiles its FIRST
+      composited frame (see ``frame_sample`` for the 1:N path).
+
+    Scale: one ``mapInPandas`` pass, Arrow-batched, no shuffle; stats
+    are mergeable downstream by plain ``groupBy(...).sum()``.
+    Reference anchor: conduino has no media types — north-star engine
+    extension (SURVEY §7, M6)."""
+    if (codec is None) == (codec_col is None):
+        raise ValueError("media_profile: pass exactly one of "
+                         "codec= or codec_col=")
+
+    def _one(fmt: str, b: bytes):
+        import numpy as _np
+        try:
+            if fmt in _AUDIO_CODECS:
+                rate, nch, pcm = _real_audio_codec(fmt)(b or b"")
+                a = _np.abs(pcm.astype(_np.int64))
+                return (fmt, int(len(pcm)), int(rate) * 10 + int(nch),
+                        int(a.sum()), int(a.max()) if len(a) else 0)
+            if fmt in _IMAGE_CODECS:
+                dec, _enc = _real_image_codec(fmt)
+                a = dec(b or b"").astype(_np.int64)
+                h, w, c = a.shape
+                return (fmt, int(a.size), h * 1_000_000 + w * 1_000 + c,
+                        int(a.sum()), int(a.max()) if a.size else 0)
+            return ("error", 0, 0, 0, 0)
+        except (ValueError, struct.error, IndexError, OverflowError):
+            return ("error", 0, 0, 0, 0)
+
+    def fn(df: DataFrame) -> DataFrame:
+        cols = [F.col(id_col), F.col(binary_col)]
+        if codec_col is not None:
+            cols.append(F.col(codec_col))
+
+        def run(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                fmts = (pdf[codec_col] if codec_col is not None
+                        else [codec] * len(pdf))
+                rows = [_one(f, b) for f, b in
+                        zip(fmts, pdf[binary_col])]
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "format": [r[0] for r in rows],
+                    "n_units": [r[1] for r in rows],
+                    "meta": [r[2] for r in rows],
+                    "sum_abs": [r[3] for r in rows],
+                    "max_abs": [r[4] for r in rows],
+                })
+
+        return df.select(*cols).mapInPandas(
+            run, "id long, format string, n_units long, meta long, "
+                 "sum_abs long, max_abs long")
+
+    return Stage(fn, name="media_profile", seq_preserving=False)

@@ -193,3 +193,86 @@ def test_jpeg_grayscale_ignores_sof_sampling_factors():
     b[hv_off] = 0x22
     out = decode_jpeg(bytes(b))
     assert np.array_equal(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# media_profile: exact integer media stats (the r12 gate-arm operator)
+# ---------------------------------------------------------------------------
+
+def test_media_profile_mixed_dispatch(spark):
+    """One pass over a MIXED media column: sniff_format detects the
+    container, media_profile dispatches per row and emits exact
+    integer stats; junk rows land as format='error' zeros instead of
+    aborting the batch."""
+    from conduino_spark import (encode_png, encode_wav, media_profile,
+                                sniff_format)
+    x = ((np.arange(200, dtype=np.int64) * 5) % 20001 - 10000) \
+        .astype("<i2")
+    img = ((np.arange(9 * 7 * 3, dtype=np.int64) * 3) % 251) \
+        .astype(np.uint8).reshape(9, 7, 3)
+    rows = [(1, bytearray(encode_wav(x, 8000))),
+            (2, bytearray(encode_png(img, filter_type=2))),
+            (3, bytearray(b"\x00\x01junk"))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r for r in media_profile(codec_col="format")(
+        sniff_format("content")(df)).collect()}
+    a = np.abs(x.astype(np.int64))
+    assert (got[1].format, got[1].n_units, got[1].meta,
+            got[1].sum_abs, got[1].max_abs) == (
+        "wav", 200, 80001, int(a.sum()), int(a.max()))
+    assert (got[2].format, got[2].n_units, got[2].meta,
+            got[2].sum_abs, got[2].max_abs) == (
+        "png", 9 * 7 * 3, 9_007_003, int(img.sum()), int(img.max()))
+    assert (got[3].format, got[3].n_units, got[3].sum_abs) == \
+        ("error", 0, 0)
+
+
+def test_media_profile_homogeneous_and_validation(spark):
+    """codec= profiles a homogeneous column without a format column;
+    passing both/neither raises; flac audio and tiff images dispatch
+    through the same stats contract."""
+    from conduino_spark import media_profile
+    from conduino_spark.operators.flac import encode_flac
+    from conduino_spark.operators.tiff import encode_tiff
+    x = (np.sin(np.linspace(0, 9, 333)) * 12345).astype(np.int16)
+    img = ((np.arange(6 * 5 * 3) * 7) % 256).astype(np.uint8) \
+        .reshape(6, 5, 3)
+    adf = spark.createDataFrame(
+        [(1, bytearray(encode_flac(x, 16000)))], "id long, content binary")
+    idf = spark.createDataFrame(
+        [(2, bytearray(encode_tiff(img)))], "id long, content binary")
+    fa = media_profile(codec="flac")(adf).first()
+    assert (fa.format, fa.n_units, fa.meta) == ("flac", 333, 160001)
+    assert fa.sum_abs == int(np.abs(x.astype(np.int64)).sum())
+    ti = media_profile(codec="tiff")(idf).first()
+    assert (ti.format, ti.n_units, ti.meta, ti.sum_abs) == (
+        "tiff", 90, 6_005_003, int(img.sum()))
+    with pytest.raises(ValueError, match="exactly one"):
+        media_profile()
+    with pytest.raises(ValueError, match="exactly one"):
+        media_profile(codec="png", codec_col="format")
+
+
+def test_media_profile_stats_merge_downstream(spark):
+    """The per-blob integer stats are mergeable with plain column
+    algebra — a corpus-level media profile is one groupBy away (the
+    100 TB posture: decode once, aggregate exactly)."""
+    from pyspark.sql import functions as F
+    from conduino_spark import encode_wav, media_profile
+    rows = []
+    sums = {}
+    for i in range(6):
+        n = 50 + 10 * i
+        x = ((np.arange(n, dtype=np.int64) * (3 + i)) % 20001 - 10000) \
+            .astype("<i2")
+        rows.append((i, bytearray(encode_wav(x, 8000))))
+        sums[i] = int(np.abs(x.astype(np.int64)).sum())
+    df = spark.createDataFrame(rows, "id long, content binary")
+    agg = media_profile(codec="wav")(df).groupBy("format").agg(
+        F.sum("n_units").alias("units"),
+        F.sum("sum_abs").alias("energy"),
+        F.count("*").alias("n")).first()
+    assert (agg.format, agg.n, agg.units) == ("wav", 6,
+                                              sum(50 + 10 * i
+                                                  for i in range(6)))
+    assert agg.energy == sum(sums.values())
