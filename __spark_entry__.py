@@ -1303,7 +1303,30 @@ def q_line_dedup_docs(spark, sf):
     dt = dup_span_trim(window_tokens=16)(docs).select(
         "doc_id", F.col("text").alias("trim_text"),
         "n_tokens", "n_removed")
-    return ld.join(ds, "doc_id", "left").join(dt, "doc_id", "left")
+    # r12 fourth arm (VERDICT r11 #6): the SIXTH persisted index
+    # family rides the pin — odd docs trimmed against a dupspan KEY
+    # index built INCREMENTALLY over the even half (write %4==0 +
+    # merge %4==2, memoized like its five siblings); the rewritten
+    # batch hash-matches dup_span_trim_against_sql's direct replay
+    # (membership ∪ batch-internal rule — ids interleave here, so the
+    # union-trim law can't substitute).
+    import os as _os
+    from conduino_spark import (dup_span_trim_against,
+                                dupspan_index_merge, dupspan_index_write)
+
+    def _build(d_):
+        dupspan_index_write(docs.where(F.col("doc_id") % 4 == 0), d_,
+                            window_tokens=16)
+        dupspan_index_merge(docs.where(F.col("doc_id") % 4 == 2), d_)
+        _touch(_os.path.join(d_, "_MERGED_OK"))
+
+    d = _index_memo_dir(sf, "documents", "ds_merged_idx", "v1",
+                        "_MERGED_OK", _build)
+    ti = (dup_span_trim_against(d)(docs.where(F.col("doc_id") % 2 == 1))
+          .select("doc_id", F.col("text").alias("idx_trim_text"),
+                  F.col("n_removed").alias("idx_n_removed")))
+    return (ld.join(ds, "doc_id", "left").join(dt, "doc_id", "left")
+              .join(ti, "doc_id", "left"))
 
 
 def q_bigram_logprob_docs(spark, sf):
@@ -4227,7 +4250,8 @@ def _sql_ann_join(k: int = 5, nprobe: int = 2,
 
 
 def oracle_sql() -> dict[str, str]:
-    from conduino_spark.operators.dedup import dup_span_trim_sql
+    from conduino_spark.operators.dedup import (dup_span_trim_against_sql,
+                                                dup_span_trim_sql)
     from conduino_spark.operators.similarity import (
         ann_recall_sql, sq_sql)
     toks = tokens_sql("text")
@@ -4904,7 +4928,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT ld.doc_id, ld.text, ld.n_lines, ld.n_lines_dropped,
                    ds.n_windows, ds.n_dup_windows, ds.dup_window_frac,
                    ds.n_dup_spans, ds.dup_token_frac,
-                   dt.trim_text, dt.n_tokens, dt.n_removed
+                   dt.trim_text, dt.n_tokens, dt.n_removed,
+                   ti.idx_trim_text, ti.idx_n_removed
             FROM (
             WITH lines AS (
               SELECT doc_id, pos, line, lower(trim(line)) AS nl
@@ -4936,7 +4961,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, text AS trim_text, n_tokens,
                               n_removed
                        FROM (""" + dup_span_trim_sql(16) + """)
-            ) dt USING (doc_id)""",
+            ) dt USING (doc_id)
+            LEFT JOIN (SELECT doc_id, text AS idx_trim_text,
+                              n_removed AS idx_n_removed
+                       FROM (""" + dup_span_trim_against_sql(
+            16,
+            batch="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            ref="(SELECT * FROM documents WHERE doc_id % 2 = 0)") + """)
+            ) ti USING (doc_id)""",
         "bigram_logprob_docs": f"""
             WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
             uni AS (SELECT tok AS token, COUNT(*) AS c

@@ -1127,19 +1127,7 @@ def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
         raise ValueError(f"window_tokens must be >= 1, got {L}")
 
     def fn(df: DataFrame) -> DataFrame:
-        df = df.where(F.col(id_col).isNotNull())
-        # NULL text tokenizes to NULL and size(NULL) = -1 under the
-        # default non-ANSI config — coalesce so a NULL-text doc reads
-        # n_tokens = 0 in BOTH engines (it stays untouched, text NULL)
-        toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-        m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
-        acc = F.slice(toks, 1, m)
-        for j in range(2, L + 1):
-            acc = F.zip_with(acc, F.slice(toks, j, m),
-                             lambda x, y: F.concat(x, F.lit(" "), y))
-        ws = F.transform(acc, F.md5)
-        wins = track(df.select(F.col(id_col),
-                               F.posexplode(ws).alias("__p", "__h")))
+        df, toks, wins = _dup_span_wins(df, text_col, id_col, L)
         winners = (wins.groupBy("__h")
                        .agg(F.count(F.lit(1)).alias("__c"),
                             F.min(F.struct(F.col(id_col).alias("i"),
@@ -1154,64 +1142,95 @@ def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
                       .groupBy(id_col)
                       .agg(F.array_sort(F.collect_list("__p"))
                             .alias("__mp")))
-
-        # interval-merge fold: sorted masked positions -> maximal
-        # non-overlapping [s, e) spans (each position covers [p, p+L))
-        iv_t = "array<struct<s:int,e:int>>"
-        zero = F.struct(
-            F.array().cast(iv_t).alias("ivs"),
-            F.lit(-1).alias("s"), F.lit(-1).alias("e"))
-
-        def step(a, p):
-            closed = F.concat(a["ivs"], F.array(F.struct(
-                a["s"].alias("s"), a["e"].alias("e"))))
-            return (F.when(p < a["e"], F.struct(
-                        a["ivs"].alias("ivs"), a["s"].alias("s"),
-                        (p + L).alias("e")))
-                     .when(a["s"] >= 0, F.struct(
-                        closed.alias("ivs"), p.alias("s"),
-                        (p + L).alias("e")))
-                     .otherwise(F.struct(
-                        a["ivs"].alias("ivs"), p.alias("s"),
-                        (p + L).alias("e"))))
-
-        def close(a):
-            return F.when(a["s"] >= 0, F.concat(a["ivs"], F.array(
-                F.struct(a["s"].alias("s"), a["e"].alias("e"))))) \
-                    .otherwise(a["ivs"])
-
-        j = (df.join(masked, id_col, "left")
-               .withColumn("__toks", toks)
-               .withColumn("__ivs", F.aggregate(
-                   F.coalesce("__mp", F.array().cast("array<int>")),
-                   zero, step, close)))
-
-        # slice-stitch fold: keep the gaps between spans + the tail
-        nt = F.size("__toks")
-        zero2 = F.struct(F.lit(0).alias("pos"),
-                         F.array().cast("array<string>").alias("kept"))
-
-        def cut(a, iv):
-            return F.struct(
-                iv["e"].alias("pos"),
-                F.concat(a["kept"], F.slice(
-                    F.col("__toks"), a["pos"] + 1,
-                    iv["s"] - a["pos"])).alias("kept"))
-
-        kept = F.aggregate(
-            "__ivs", zero2, cut,
-            lambda a: F.concat(a["kept"], F.slice(
-                F.col("__toks"), a["pos"] + 1, nt - a["pos"])))
-
-        n_kept = F.size(kept)
-        return j.select(
-            F.col(id_col),
-            F.when(F.size("__ivs") == 0, F.col(text_col))
-             .otherwise(F.concat_ws(" ", kept)).alias("text"),
-            nt.cast("long").alias("n_tokens"),
-            (nt - n_kept).cast("long").alias("n_removed"))
+        return _dup_span_rewrite(df, masked, text_col, id_col, L, toks)
 
     return Stage(fn, name=name, seq_preserving=False)
+
+
+def _dup_span_wins(df: DataFrame, text_col: str, id_col: str,
+                   L: int) -> "tuple[DataFrame, Column, DataFrame]":
+    """Shared window build for the exact-substring family: NULL-id
+    rows dropped, NULL text coalesced (size(NULL) = -1 under non-ANSI
+    config — a NULL-text doc must read n_tokens = 0 in BOTH engines),
+    windows = zip of L shifted slices, FULL md5 hex keys (a 32/64-bit
+    key would collide at 100 TB and silently delete text).  Returns
+    (filtered df, the toks column expr, the narrow tracked
+    (id, __p, __h) window frame)."""
+    df = df.where(F.col(id_col).isNotNull())
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, L + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, m),
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    ws = F.transform(acc, F.md5)
+    wins = track(df.select(F.col(id_col),
+                           F.posexplode(ws).alias("__p", "__h")))
+    return df, toks, wins
+
+
+def _dup_span_rewrite(df: DataFrame, masked: DataFrame, text_col: str,
+                      id_col: str, L: int, toks: Column) -> DataFrame:
+    """Shared removal machinery: given per-doc sorted masked window
+    positions (``masked`` = (id_col, __mp)), merge overlapping
+    [p, p+L) spans and splice the kept gaps back together — both pure
+    ``aggregate`` expressions, no Python.  Untouched docs keep their
+    original ``text`` byte-for-byte."""
+    # interval-merge fold: sorted masked positions -> maximal
+    # non-overlapping [s, e) spans (each position covers [p, p+L))
+    iv_t = "array<struct<s:int,e:int>>"
+    zero = F.struct(
+        F.array().cast(iv_t).alias("ivs"),
+        F.lit(-1).alias("s"), F.lit(-1).alias("e"))
+
+    def step(a, p):
+        closed = F.concat(a["ivs"], F.array(F.struct(
+            a["s"].alias("s"), a["e"].alias("e"))))
+        return (F.when(p < a["e"], F.struct(
+                    a["ivs"].alias("ivs"), a["s"].alias("s"),
+                    (p + L).alias("e")))
+                 .when(a["s"] >= 0, F.struct(
+                    closed.alias("ivs"), p.alias("s"),
+                    (p + L).alias("e")))
+                 .otherwise(F.struct(
+                    a["ivs"].alias("ivs"), p.alias("s"),
+                    (p + L).alias("e"))))
+
+    def close(a):
+        return F.when(a["s"] >= 0, F.concat(a["ivs"], F.array(
+            F.struct(a["s"].alias("s"), a["e"].alias("e"))))) \
+                .otherwise(a["ivs"])
+
+    j = (df.join(masked, id_col, "left")
+           .withColumn("__toks", toks)
+           .withColumn("__ivs", F.aggregate(
+               F.coalesce("__mp", F.array().cast("array<int>")),
+               zero, step, close)))
+
+    # slice-stitch fold: keep the gaps between spans + the tail
+    nt = F.size("__toks")
+    zero2 = F.struct(F.lit(0).alias("pos"),
+                     F.array().cast("array<string>").alias("kept"))
+
+    def cut(a, iv):
+        return F.struct(
+            iv["e"].alias("pos"),
+            F.concat(a["kept"], F.slice(
+                F.col("__toks"), a["pos"] + 1,
+                iv["s"] - a["pos"])).alias("kept"))
+
+    kept = F.aggregate(
+        "__ivs", zero2, cut,
+        lambda a: F.concat(a["kept"], F.slice(
+            F.col("__toks"), a["pos"] + 1, nt - a["pos"])))
+
+    n_kept = F.size(kept)
+    return j.select(
+        F.col(id_col),
+        F.when(F.size("__ivs") == 0, F.col(text_col))
+         .otherwise(F.concat_ws(" ", kept)).alias("text"),
+        nt.cast("long").alias("n_tokens"),
+        (nt - n_kept).cast("long").alias("n_removed"))
 
 
 def winnow_fingerprints(k: int = 5, w: int = 4,
@@ -1373,6 +1392,204 @@ def dup_span_trim_sql(L: int = 32, table: str = "documents", *,
                                 ELSE coalesce(agg.nk, 0) END
                     AS BIGINT) AS n_removed
         FROM w LEFT JOIN agg USING (d) LEFT JOIN cut USING (d)"""
+
+
+def dup_span_trim_against_sql(L: int = 32, *, batch: str = "documents",
+                              ref: str = "documents",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB rendering of :func:`dup_span_trim_against` — the direct
+    semantics (mask = reference membership ∪ batch-internal non-first
+    duplicates), so it replays the index probe even when reference and
+    batch ids interleave (where the union-trim law doesn't apply).
+    ``batch`` / ``ref`` are table expressions (subqueries in
+    parens work)."""
+    from conduino_spark.operators.text import tokens_sql
+    toks = tokens_sql(f"coalesce({text_col}, '')")
+    win = f"md5(array_to_string(t[i:i+{L - 1}], ' '))"
+    return f"""
+        WITH tk AS (SELECT {id_col} AS d, {text_col} AS orig, {toks} AS t
+                    FROM {batch} WHERE {id_col} IS NOT NULL),
+        w AS (SELECT d, orig, len(t) AS nt, t,
+                     [{win} for i in range(1, len(t) - {L - 2})] AS ws
+              FROM tk),
+        wins AS (SELECT d, unnest(ws) AS h,
+                        generate_subscripts(ws, 1) - 1 AS p FROM w),
+        rtk AS (SELECT {toks} AS t FROM {ref}
+                WHERE {id_col} IS NOT NULL),
+        refk AS (SELECT DISTINCT
+                        unnest([{win} for i in
+                                range(1, len(t) - {L - 2})]) AS h
+                 FROM rtk),
+        rk AS (SELECT d, p,
+                      ROW_NUMBER() OVER (PARTITION BY h
+                                         ORDER BY d, p) AS rn,
+                      COUNT(*) OVER (PARTITION BY h) AS c,
+                      h IN (SELECT h FROM refk) AS inref
+               FROM wins),
+        pos AS (SELECT d, p FROM rk
+                WHERE inref OR (c >= 2 AND rn >= 2)),
+        g AS (SELECT d, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY d
+                                                ORDER BY p) < {L}
+                          THEN 0 ELSE 1 END AS brk
+              FROM pos),
+        runs AS (SELECT d, p,
+                        SUM(brk) OVER (PARTITION BY d ORDER BY p) AS run
+                 FROM g),
+        spans AS (SELECT d, run, MIN(p) AS s, MAX(p) + {L} AS e
+                  FROM runs GROUP BY d, run),
+        idx AS (SELECT d, unnest(t) AS tok,
+                       generate_subscripts(t, 1) - 1 AS i FROM w),
+        kept AS (SELECT idx.d, idx.tok, idx.i FROM idx
+                 WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                   WHERE sp.d = idx.d
+                                     AND idx.i >= sp.s AND idx.i < sp.e)),
+        agg AS (SELECT d, string_agg(tok, ' ' ORDER BY i) AS text,
+                       COUNT(*) AS nk
+                FROM kept GROUP BY d),
+        cut AS (SELECT DISTINCT d FROM spans)
+        SELECT w.d AS {id_col},
+               CASE WHEN cut.d IS NULL THEN w.orig
+                    ELSE coalesce(agg.text, '') END AS text,
+               CAST(w.nt AS BIGINT) AS n_tokens,
+               CAST(w.nt - CASE WHEN cut.d IS NULL THEN w.nt
+                                ELSE coalesce(agg.nk, 0) END
+                    AS BIGINT) AS n_removed
+        FROM w LEFT JOIN agg USING (d) LEFT JOIN cut USING (d)"""
+
+
+def dupspan_index_write(corpus: DataFrame, path: str, *,
+                        window_tokens: int = 32,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_shards: int = 64,
+                        mode: str = "overwrite") -> None:
+    """Materialize the exact-substring dedup reference — the SIXTH
+    persisted index family (bm25/ivf/ivfpq/lsh/minhash siblings): the
+    DISTINCT full-md5 window keys of the kept corpus, written
+    ``partitionBy(pt)`` with ``pt = h32(digest) % n_shards``, so a
+    daily batch trims against yesterday's corpus (
+    :func:`dup_span_trim_against`) without re-hashing it — the one
+    heavy dedup path that was still computed from scratch per run
+    (VERDICT r11 #6).
+
+    Layout under ``path``:
+
+    * ``keys/`` — (digest) distinct 32-char md5 hex, partitioned by
+      ``pt``.  Keys only, never window text: membership is all the
+      trim probe needs (the reference corpus by definition already
+      holds the first copy of every indexed window).
+    * ``_meta/`` — (window_tokens, n_shards), written DRIVER-side
+      (operators/smallio): window length is the key contract; merges
+      and probes can never drift from the build config."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if window_tokens < 1:
+        raise ValueError(
+            f"window_tokens must be >= 1, got {window_tokens}")
+    _, _, wins = _dup_span_wins(corpus, text_col, id_col, window_tokens)
+    keys = (wins.select(F.col("__h").alias("digest")).distinct()
+                .withColumn("pt", F.pmod(h32(F.col("digest")),
+                                         F.lit(n_shards))))
+    (keys.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode(mode).parquet(f"{path}/keys"))
+    import pyarrow as pa
+    from conduino_spark.operators.smallio import driver_parquet_write
+    driver_parquet_write(
+        f"{path}/_meta",
+        pa.table({"window_tokens": pa.array([int(window_tokens)],
+                                            pa.int32()),
+                  "n_shards": pa.array([int(n_shards)], pa.int32())}),
+        mode=mode)
+
+
+def _dupspan_index_meta(path: str) -> "tuple[int, int]":
+    """(window_tokens, n_shards) from the in-band ``_meta`` table —
+    fail fast when the path holds no index."""
+    from conduino_spark.operators.smallio import driver_parquet_read
+    try:
+        meta = driver_parquet_read(f"{path}/_meta")
+    except Exception as e:
+        raise ValueError(
+            f"no dup-span index at {path} (missing _meta): build one "
+            f"with dupspan_index_write before merging/probing") from e
+    if len(meta) != 1:
+        raise ValueError(f"corrupt _meta at {path}: {len(meta)} rows")
+    return int(meta[0]["window_tokens"]), int(meta[0]["n_shards"])
+
+
+def dupspan_index_merge(new_docs: DataFrame, path: str, *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Fold a NEW kept batch's window keys into a persisted
+    :func:`dupspan_index_write` index — after a batch survives the
+    trim, its (now canonical-first) windows join the reference so
+    tomorrow's batch trims against them too.  One append under the
+    STORED (window_tokens, n_shards); digests are per-row functions of
+    the config, so a probe against the merged index equals one against
+    a from-scratch rebuild over the union corpus (membership is
+    append-idempotent — duplicate digests across appends cannot change
+    a semi-join; law-tested).  Cost scales with the new batch only."""
+    window_tokens, n_shards = _dupspan_index_meta(path)
+    _, _, wins = _dup_span_wins(new_docs, text_col, id_col,
+                                window_tokens)
+    keys = (wins.select(F.col("__h").alias("digest")).distinct()
+                .withColumn("pt", F.pmod(h32(F.col("digest")),
+                                         F.lit(n_shards))))
+    (keys.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode("append").parquet(f"{path}/keys"))
+
+
+def dup_span_trim_against(path: str, text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          broadcast_batch: bool = True) -> Stage:
+    """:func:`dup_span_trim` for the daily-crawl shape: rewrite an
+    incoming batch so that every occurrence of a window ALREADY IN the
+    persisted reference index is cut (the reference holds the
+    canonical first copy), and batch-internal duplicates keep exactly
+    their batch-global first occurrence — together BIT-EQUAL to
+    running :func:`dup_span_trim` over ``reference ∪ batch`` and
+    keeping the batch rows, whenever reference ids order before batch
+    ids (law-tested), at the cost of hashing only the batch.
+
+    With ``broadcast_batch`` (default; right whenever the daily batch
+    is small next to the corpus) the probe side broadcasts and carries
+    the shard key, so dynamic partition pruning reads only the ``pt``
+    shard directories the batch's digests land in.  Set it False for
+    huge batches: the probe becomes a plain shuffle join on
+    (pt, digest)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        L, n_shards = _dupspan_index_meta(path)
+        d2, toks, wins = _dup_span_wins(df, text_col, id_col, L)
+        probe = wins.withColumn("pt", F.pmod(h32(F.col("__h")),
+                                             F.lit(n_shards)))
+        if broadcast_batch:
+            probe = F.broadcast(probe)
+        ref = (spark.read.parquet(f"{path}/keys")
+                    .withColumnRenamed("digest", "__h"))
+        ref_hits = (probe.join(ref, ["pt", "__h"])
+                         .select(id_col, "__p").distinct())
+        winners = (wins.groupBy("__h")
+                       .agg(F.count(F.lit(1)).alias("__c"),
+                            F.min(F.struct(F.col(id_col).alias("i"),
+                                           F.col("__p").alias("p")))
+                             .alias("__w"))
+                       .where(F.col("__c") >= 2)
+                       .select("__h", "__w"))
+        internal = (wins.join(winners, "__h")
+                        .where(F.struct(F.col(id_col).alias("i"),
+                                        F.col("__p").alias("p"))
+                               != F.col("__w"))
+                        .select(id_col, "__p"))
+        masked = (ref_hits.unionByName(internal).distinct()
+                          .groupBy(id_col)
+                          .agg(F.array_sort(F.collect_list("__p"))
+                                .alias("__mp")))
+        return _dup_span_rewrite(d2, masked, text_col, id_col, L, toks)
+
+    return Stage(fn, name="dup_span_trim_against", seq_preserving=False)
 
 
 def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,

@@ -276,3 +276,135 @@ def test_media_profile_stats_merge_downstream(spark):
                                               sum(50 + 10 * i
                                                   for i in range(6)))
     assert agg.energy == sum(sums.values())
+
+
+# ---------------------------------------------------------------------------
+# dup-span window-key index: the SIXTH persisted index family
+# ---------------------------------------------------------------------------
+
+def test_dupspan_index_merge_equals_union_trim(spark, tmp_path):
+    """write(half the reference) + merge(the other half) + trim the
+    batch must rewrite EXACTLY as dup_span_trim over reference ∪ batch
+    restricted to the batch rows (reference ids order first, so the
+    corpus-global first copy always lives reference-side) — the
+    merge == rebuild law for the dup-span family, full row equality
+    (text, n_tokens, n_removed) not just survivors."""
+    from pyspark.sql import functions as F
+    from conduino_spark import (dup_span_trim, dup_span_trim_against,
+                                dupspan_index_merge, dupspan_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    d = str(tmp_path / "ds")
+    dupspan_index_write(ref.where(F.col("doc_id") % 2 == 0), d,
+                        window_tokens=16, n_shards=8)
+    dupspan_index_merge(ref.where(F.col("doc_id") % 2 == 1), d)
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed) for r in
+           dup_span_trim_against(d)(batch).collect()}
+    union = dup_span_trim(16)(ref.unionByName(batch))
+    want = {r.doc_id: (r.text, r.n_tokens, r.n_removed) for r in
+            union.where(F.col("doc_id") >= 250).collect()}
+    assert got == want
+    assert sum(1 for t in got.values() if t[2] > 0) > 0   # real trims
+    assert sum(1 for t in got.values() if t[2] == 0) > 0  # untouched too
+    # non-broadcast probe path: same rewrite
+    got2 = {r.doc_id: (r.text, r.n_tokens, r.n_removed) for r in
+            dup_span_trim_against(d, broadcast_batch=False)(batch)
+            .collect()}
+    assert got2 == want
+
+
+def test_dupspan_index_probe_prunes_shards(spark, tmp_path):
+    """The broadcast probe's key scan carries dynamic partition
+    pruning on the shard directory column (the family posture)."""
+    from pyspark.sql import functions as F
+    from conduino_spark import dup_span_trim_against, dupspan_index_write
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "ds")
+    dupspan_index_write(docs.where(F.col("doc_id") % 2 == 0), d,
+                        window_tokens=16, n_shards=8)
+    one = docs.where(F.col("doc_id") == 1)
+    plan = (dup_span_trim_against(d)(one)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan
+
+
+def test_dupspan_index_guards(spark, tmp_path):
+    from conduino_spark import (dup_span_trim_against, dupspan_index_merge,
+                                dupspan_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="no dup-span index"):
+        dupspan_index_merge(docs, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no dup-span index"):
+        dup_span_trim_against(str(tmp_path / "nope"))(docs).count()
+    with pytest.raises(ValueError, match="n_shards"):
+        dupspan_index_write(docs, str(tmp_path / "bad"), n_shards=0)
+    with pytest.raises(ValueError, match="window_tokens"):
+        dupspan_index_write(docs, str(tmp_path / "bad"), window_tokens=0)
+
+
+def test_dupspan_index_streaming_ingestion(spark, tmp_path):
+    """The daily-crawl ingestion loop: a file-source stream of kept
+    batches folds into the key index via
+    foreachBatch(dupspan_index_merge); trims against the final index
+    equal trims against a one-shot build over everything ingested."""
+    from pyspark.sql import functions as F
+    from conduino_spark import (dup_span_trim_against,
+                                dupspan_index_merge, dupspan_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    inbox = str(tmp_path / "inbox")
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(1) \
+        .write.parquet(f"{inbox}/b1")
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1) \
+        .write.parquet(f"{inbox}/b2")
+    idx = str(tmp_path / "idx")
+    dupspan_index_write(a, idx, window_tokens=16, n_shards=8)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: dupspan_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    dupspan_index_write(docs, full, window_tokens=16, n_shards=8)
+    batch = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
+    got = {r.doc_id: (r.text, r.n_removed) for r in
+           dup_span_trim_against(idx)(batch).collect()}
+    want = {r.doc_id: (r.text, r.n_removed) for r in
+            dup_span_trim_against(full)(batch).collect()}
+    assert got == want
+    assert sum(1 for t in got.values() if t[1] > 0) > 0
+
+
+def test_dup_span_trim_against_sql_replay(spark, tmp_path):
+    """DuckDB bit-replay of the index probe with INTERLEAVED ids (ref
+    = even docs, batch = odd docs — where the union-trim law doesn't
+    apply): dup_span_trim_against_sql's direct semantics must match
+    the Spark rewrite row for row."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from conduino_spark import dup_span_trim_against, dupspan_index_write
+    from conduino_spark.operators.dedup import dup_span_trim_against_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "ds")
+    dupspan_index_write(docs.where(F.col("doc_id") % 2 == 0), d,
+                        window_tokens=16, n_shards=8)
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed) for r in
+           dup_span_trim_against(d)(docs.where(F.col("doc_id") % 2 == 1))
+           .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF}/documents.parquet'")
+    sql = dup_span_trim_against_sql(
+        16,
+        batch="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        ref="(SELECT * FROM documents WHERE doc_id % 2 = 0)")
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert sum(1 for t in got.values() if t[2] > 0) > 0
