@@ -1874,11 +1874,35 @@ def bench_extras():
             # merge half + DPP probe, cold per call) + the persisted
             # compressed index (IVF-PQ on disk, warm probe)
             "ivf_merge_emb": q_ivf_merge_emb,
+            # r12 (VERDICT r11 #2): the cold half of the old
+            # ivf_merge_emb floor, honestly labeled (the
+            # knn_lsh_probe/probe_cold precedent)
+            "ivf_merge_cold": q_ivf_merge_cold,
             "ivfpq_index_emb": q_ivfpq_index_emb,
             # r10: k-core peeling over the near-dup pair graph
             "k_core_docs": q_k_core_docs,
             "hashing_tf_docs": q_hashing_tf_docs,
-            "winnow_docs": q_winnow_docs}
+            "winnow_docs": q_winnow_docs,
+            # r12: the sixth index family's warm daily-batch floor
+            # (memoized key index over the even half; odd docs trim
+            # against it — the line_dedup_docs 'idx' arm standalone)
+            "dupspan_trim_against_docs": q_dupspan_trim_against_docs}
+
+
+def q_dupspan_trim_against_docs(spark, sf):
+    # r12: exact-substring trim of the odd-doc batch against the
+    # PERSISTED dupspan key index (build-once memoized, DPP probe) —
+    # bit-replayed by dup_span_trim_against_sql in tests/test_round12
+    from conduino_spark import dup_span_trim_against, dupspan_index_write
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+
+    def _build(d_):
+        dupspan_index_write(docs.where(F.col("doc_id") % 2 == 0), d_,
+                            window_tokens=16)
+
+    d = _index_memo_dir(sf, "documents", "ds_idx", "v1",
+                        "_meta/part-00000.parquet", _build)
+    return dup_span_trim_against(d)(docs.where(F.col("doc_id") % 2 == 1))
 
 
 def q_hashing_tf_docs(spark, sf):
@@ -1939,12 +1963,13 @@ def q_ivfpq_index_emb(spark, sf):
 
 
 def q_ivf_merge_emb(spark, sf):
-    # r10: incremental dense-index ingestion floor (VERDICT r9 #1) —
-    # cold ivf_index_write over the even half, ivf_index_merge of the
-    # odd half under the stored quantizer, then the DPP probe against
-    # the merged index.  Cold per call (the q_knn_lsh_probe_cold
-    # honesty convention: merge APPENDS, so a memoized index would
-    # grow across bench samples); one dir per process, overwritten.
+    # r10: incremental dense-index ingestion floor (VERDICT r9 #1).
+    # r12 split (VERDICT r11 #2): this floor now times the MERGE+PROBE
+    # half only — the cold base (kmeans + even-half write) is memoized
+    # once per (sf, mtime) and each sample file-copies it (merge
+    # APPENDS, so a shared dir would grow across samples), then runs
+    # ivf_index_merge of the odd half + the DPP probe.  The cold half
+    # keeps its own honestly-labeled floor (ivf_merge_cold).
     # merge==rebuild bit-equal is law-tested in tests/test_round10.py.
     import os
     import shutil
@@ -1955,9 +1980,38 @@ def q_ivf_merge_emb(spark, sf):
     emb = _src(sf, "embeddings").df(spark)
     even = emb.where(F.col("vec_id") % 2 == 0)
     odd = emb.where(F.col("vec_id") % 2 == 1)
+
+    def _build(d_):
+        ivf_index_write(even, d_, kmeans_fit(even, k=8, iters=1))
+
+    base = _index_memo_dir(sf, "embeddings", "ivf_merge_base", "v1",
+                           "centroids/part-00000.parquet", _build)
     d = os.path.join(tempfile.gettempdir(),
                      f"ivf_idx_merge_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)  # append-mode index: reset
+    shutil.copytree(base, d)
+    ivf_index_merge(odd, d)
+    batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    return ivf_index_join(d, k=5, nprobe=2, exclude_self=True)(batch)
+
+
+def q_ivf_merge_cold(spark, sf):
+    # r12: the cold half of the old ivf_merge_emb floor — full base
+    # build (kmeans fit + even-half cell-partitioned write) + merge +
+    # probe, nothing memoized.  The number a first-ever daily ingest
+    # pays; steady-state cost is ivf_merge_emb.
+    import os
+    import shutil
+    import tempfile
+    from conduino_spark import (hash_sample, ivf_index_join,
+                                ivf_index_merge, ivf_index_write,
+                                kmeans_fit)
+    emb = _src(sf, "embeddings").df(spark)
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    d = os.path.join(tempfile.gettempdir(),
+                     f"ivf_idx_cold_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
     ivf_index_write(even, d, kmeans_fit(even, k=8, iters=1))
     ivf_index_merge(odd, d)
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
