@@ -31,7 +31,12 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
 fits executor memory, and decode with ``mapInPandas`` (streaming
-batches) rather than collect-style UDAFs.
+batches) rather than collect-style UDAFs.  The pure-Python decoders
+are correctness-grade, not throughput-grade — measured single-core
+numbers live in the README (tools/scale_probe.py records them per
+round); wire PIL/soundfile into the raise slots for production decode
+rates.  :func:`media_profile` (r12) emits exact INTEGER stats per
+blob, the hash-verifiable corpus-health pass.
 """
 
 from __future__ import annotations

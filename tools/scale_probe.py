@@ -418,6 +418,129 @@ def main() -> None:
                      lambda c, d: minhash_index_write(c, d, n_shards=64),
                      lambda b, d: minhash_index_merge(b, d),
                      newd, dc1, dcN)
+    if not ONLY or "dupspan_index_merge" in ONLY:
+        # r12: the exact-substring key index (sixth family) joins the
+        # merge-flatness protocol — merging a fixed batch's window
+        # digests must never re-hash the grown corpus
+        from conduino_spark import dupspan_index_merge, dupspan_index_write
+        newd = dc1.select((F.col("doc_id") + F.lit(900_000_000))
+                          .alias("doc_id"), "text")
+        _merge_probe("dupspan_index_merge",
+                     lambda c, d: dupspan_index_write(
+                         c, d, window_tokens=16, n_shards=64),
+                     lambda b, d: dupspan_index_merge(b, d),
+                     newd, dc1, dcN)
+
+    def _blob_decode_probe():
+        # r12 (VERDICT r11 #7): codec throughput measured, not guessed.
+        # (a) Spark-path linearity: one wav + one png blob per doc
+        # (synth, materialized to parquet UNTIMED), decoded via the
+        # mixed-dispatch media_profile — 10x blobs must be ~10x wall.
+        # (b) single-core MB/s per codec, driver-side decode loops —
+        # the honest pure-Python codec numbers behind the README table
+        # (the Spark path parallelizes them per-core; these decoders
+        # are correctness-grade — wire PIL/soundfile when available).
+        import os
+        import shutil
+        import tempfile
+        import numpy as np
+        from conduino_spark import (encode_png, encode_wav,
+                                    media_profile, sniff_format)
+
+        def synth(docs, tag):
+            def gen(batches):
+                import pandas as pd
+                for pdf in batches:
+                    ids, blobs = [], []
+                    for i in pdf["doc_id"]:
+                        i = int(i)
+                        n = 4000 + (i % 7) * 100
+                        x = ((np.arange(n, dtype=np.int64) * (3 + i))
+                             % 20001 - 10000).astype("<i2")
+                        ids.append(i)
+                        blobs.append(encode_wav(x, 8000))
+                        img = ((np.arange(32 * 32 * 3, dtype=np.int64)
+                                * (3 + i) + i) % 251).astype("uint8") \
+                            .reshape(32, 32, 3)
+                        ids.append(i)
+                        blobs.append(encode_png(img, filter_type=i % 5))
+                    yield pd.DataFrame({"id": ids, "content": blobs})
+            d = os.path.join(tempfile.gettempdir(),
+                             f"probe_blobs_{os.getpid()}_{tag}")
+            shutil.rmtree(d, ignore_errors=True)
+            docs.select("doc_id").mapInPandas(
+                gen, "id long, content binary").write.parquet(d)
+            return d
+
+        ts, mb = {}, {}
+        for tag, docs in (("1x", dc1), (f"{REPLICAS}x", dcN)):
+            d = synth(docs, tag)
+            bdf = spark.read.parquet(d)
+            nbytes = bdf.select(F.sum(F.length("content"))).first()[0]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                media_profile(codec_col="format")(
+                    sniff_format("content")(bdf)) \
+                    .write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            ts[tag] = round(best, 3)
+            mb[tag] = round(nbytes / 1e6 / best, 1)
+            release_caches()
+            spark.catalog.clearCache()
+        result["blob_decode"] = {
+            "t_1x": ts["1x"], f"t_{REPLICAS}x": ts[f"{REPLICAS}x"],
+            "ratio": round(ts[f"{REPLICAS}x"] / max(ts["1x"], 1e-9), 2),
+            "mbps_32core": mb,
+            "protocol": "synth wav+png per doc, decode via media_profile"}
+
+        # single-core MB/s per codec (driver-side loop, no Spark)
+        from conduino_spark import (decode_flac, decode_gif, decode_jpeg,
+                                    decode_png, decode_tiff, decode_wav,
+                                    encode_flac, encode_gif, encode_jpeg,
+                                    encode_tiff)
+        x = ((np.arange(16000, dtype=np.int64) * 7) % 20001 - 10000) \
+            .astype("<i2")
+        img = ((np.arange(64 * 64 * 3, dtype=np.int64) * 3) % 251) \
+            .astype("uint8").reshape(64, 64, 3)
+        fixtures = {
+            "wav": (encode_wav(x, 8000), decode_wav),
+            "flac": (encode_flac(x[:4000], 8000), decode_flac),
+            "png": (encode_png(img, filter_type=4), decode_png),
+            "jpeg": (encode_jpeg(img, quality=90), decode_jpeg),
+            "gif": (encode_gif(
+                np.array([[i * 16 % 256] * 3 for i in range(16)],
+                         np.uint8)[(np.arange(64 * 64) * 7 % 16)
+                                   .astype(np.int64)].reshape(64, 64, 3)),
+                decode_gif),
+            "tiff": (encode_tiff(img, packbits=True),
+                     decode_tiff),
+        }
+        def _out_bytes(v):
+            # decoded payload size: (rate, nch, samples) for audio,
+            # (frames, delays) for gif, ndarray for images
+            if isinstance(v, tuple):
+                arr = v[2] if len(v) == 3 else v[0]
+            else:
+                arr = v
+            return int(np.asarray(arr).size) * np.asarray(arr).itemsize
+
+        single = {}
+        for codec, (blob, dec) in fixtures.items():
+            out = _out_bytes(dec(blob))
+            reps, elapsed = 0, 0.0
+            t0 = time.time()
+            while elapsed < 0.8:            # ~1 s budget per codec
+                dec(blob)
+                reps += 1
+                elapsed = time.time() - t0
+            single[codec] = {
+                "decoded_mbps": round(out * reps / 1e6 / elapsed, 2),
+                "blob_mbps": round(len(blob) * reps / 1e6 / elapsed, 2)}
+        result["codec_mbps_single_core"] = single
+
+    if not ONLY or "blob_decode" in ONLY:
+        _blob_decode_probe()
     for name, fn in OPS.items():
         if ONLY and name not in ONLY:
             continue
