@@ -109,9 +109,9 @@ from conduino_spark.operators.embeddings import (
     pca_transform, vector_moments,
 )
 from conduino_spark.operators.multimodal import (
-    audio_metadata, decode_bmp, decode_png, decode_wav,
-    encode_bmp, encode_png, encode_wav,
-    feature_extract, frame_sample, image_metadata,
+    audio_metadata, decode_aiff, decode_bmp, decode_png, decode_pnm,
+    decode_wav, encode_aiff, encode_bmp, encode_png, encode_pnm,
+    encode_wav, feature_extract, frame_sample, image_metadata,
     image_resize, media_profile, sniff_format,
 )
 from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg

@@ -22,6 +22,9 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
   additionally grew G.711 μ-law/A-law + mono IMA ADPCM.
 * ``codec='tiff'`` (r11) — REAL baseline TIFF (operators/tiff.py):
   both byte orders, gray/RGB/RGBA strips, none/PackBits compression.
+* ``codec='pnm'`` / ``codec='aiff'`` (r12) — REAL: binary netpbm
+  P5/P6 (the vision-pipeline interchange format) and big-endian AIFF
+  PCM-16 (80-bit extended-float sample rates parsed exactly).
 * ``codec='real'`` — the remaining slots (webp images; mp3/ogg audio;
   mp4/webm video) raise ``NotImplementedError`` until PIL/soundfile/
   ffmpeg land (environmental — lossy DSP formats).
@@ -550,6 +553,8 @@ def _real_image_codec(codec: str):
     if codec == "tiff":
         from conduino_spark.operators.tiff import decode_tiff, encode_tiff
         return decode_tiff, encode_tiff
+    if codec == "pnm":
+        return decode_pnm, encode_pnm
     return None
 
 
@@ -614,6 +619,8 @@ def _real_audio_codec(codec: str):
     if codec == "flac":
         from conduino_spark.operators.flac import decode_flac
         return decode_flac
+    if codec == "aiff":
+        return decode_aiff
     return None
 
 
@@ -828,6 +835,9 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("flac", "664c6143", 0),
     ("tiff", "49492a00", 0),   # little-endian (II*\0)
     ("tiff", "4d4d002a", 0),   # big-endian (MM\0*)
+    ("pnm",  "5035",     0),   # binary PGM (P5)
+    ("pnm",  "5036",     0),   # binary PPM (P6)
+    ("form", "464f524d", 0),   # container: AIFF/AIFC — see refinement
 ]
 
 
@@ -859,6 +869,9 @@ def sniff_format(binary_col: str = "content", *,
                         .when(sub == F.lit("AVI "), F.lit("avi"))
                         .when(sub == "WEBP", F.lit("webp"))
                         .otherwise(F.lit("riff")))
+                 .when(expr == "form",
+                       F.when(sub.isin("AIFF", "AIFC"), F.lit("aiff"))
+                        .otherwise(F.lit("form")))
                  .otherwise(expr))
         return df.withColumn(
             out, F.when(b.isNull(), F.lit("unknown")).otherwise(expr))
@@ -867,8 +880,8 @@ def sniff_format(binary_col: str = "content", *,
 
 
 #: codecs media_profile can dispatch per row, grouped by kind
-_AUDIO_CODECS = ("wav", "flac")
-_IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff")
+_AUDIO_CODECS = ("wav", "flac", "aiff")
+_IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm")
 
 
 def media_profile(binary_col: str = "content", id_col: str = "id", *,
@@ -946,3 +959,163 @@ def media_profile(binary_col: str = "content", id_col: str = "id", *,
                  "sum_abs long, max_abs long")
 
     return Stage(fn, name="media_profile", seq_preserving=False)
+
+
+# ---------------------------------------------------------------------------
+# netpbm (PGM/PPM) — the vision-pipeline interchange format (r12)
+# ---------------------------------------------------------------------------
+
+def encode_pnm(arr) -> bytes:
+    """Serialize an (H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8
+    array into binary netpbm (P5/P6, maxval 255) — the zero-overhead
+    container vision pipelines exchange decoded frames in."""
+    import numpy as _np
+    a = _np.asarray(arr, dtype=_np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(
+            f"encode_pnm wants (H,W[,1|3]) uint8, got {a.shape}")
+    h, w, c = a.shape
+    magic = b"P5" if c == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_pnm(data: bytes):
+    """Parse a binary netpbm blob (P5 gray / P6 RGB, maxval <= 255) →
+    (H, W, C) uint8 array.  Header whitespace and ``#`` comments per
+    the spec; ASCII (P2/P3), bitmap (P1/P4), and 16-bit maxval raise
+    ValueError."""
+    import numpy as _np
+    if not data or len(data) < 2:
+        raise ValueError("not a netpbm blob")
+    magic = data[:2]
+    if magic in (b"P1", b"P2", b"P3", b"P4"):
+        raise ValueError(f"netpbm {magic.decode()} (ASCII/bitmap) not "
+                         "supported — binary P5/P6 only")
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a netpbm blob")
+    # header token scan: magic, width, height, maxval — whitespace
+    # separated, '#' comments run to end of line
+    pos, toks = 2, []
+    while len(toks) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated netpbm header")
+        ch = data[pos:pos + 1]
+        if ch == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            toks.append(data[pos:end])
+            pos = end
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError as e:
+        raise ValueError(f"corrupt netpbm header: {toks}") from e
+    if maxval > 255:
+        raise ValueError(f"16-bit netpbm (maxval {maxval}) not "
+                         "supported")
+    if maxval < 1 or w < 1 or h < 1:
+        raise ValueError(f"corrupt netpbm header: {w}x{h}@{maxval}")
+    pos += 1                         # exactly ONE whitespace after maxval
+    c = 1 if magic == b"P5" else 3
+    need = w * h * c
+    raster = data[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated netpbm raster: {len(raster)} of "
+                         f"{need} bytes")
+    return _np.frombuffer(raster, _np.uint8).reshape(h, w, c).copy()
+
+
+# ---------------------------------------------------------------------------
+# AIFF — big-endian PCM audio (r12)
+# ---------------------------------------------------------------------------
+
+def _f80_pack(x: float) -> bytes:
+    """80-bit IEEE 754 extended float (AIFF sample-rate field)."""
+    import math
+    if x <= 0 or math.isnan(x) or math.isinf(x):
+        raise ValueError(f"AIFF sample rate must be positive: {x}")
+    m, e = math.frexp(x)                 # x = m * 2^e, 0.5 <= m < 1
+    exp = e + 16382
+    mant = int(m * (1 << 64))            # explicit leading 1
+    return struct.pack(">H", exp) + struct.pack(">Q", mant)
+
+
+def _f80_unpack(b: bytes) -> float:
+    if len(b) != 10:
+        raise ValueError("AIFF extended float must be 10 bytes")
+    (exp,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:])
+    if exp == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if exp & 0x8000 else 1.0
+    return sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+
+
+def encode_aiff(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Serialize int16 samples (interleaved if multi-channel) into an
+    AIFF blob — the big-endian sibling of :func:`encode_wav` (the
+    container Mac-originated audio corpora arrive in)."""
+    import numpy as _np
+    arr = _np.asarray(samples, dtype=_np.int16)
+    if n_channels < 1 or len(arr) % n_channels:
+        raise ValueError(
+            f"{len(arr)} samples not divisible by {n_channels} channels")
+    nframes = len(arr) // n_channels
+    comm = (struct.pack(">hIh", n_channels, nframes, 16)
+            + _f80_pack(float(sample_rate)))
+    pcm = arr.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+            + (b"\x00" if len(ssnd) % 2 else b""))
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(data: bytes):
+    """Parse an AIFF blob → ``(sample_rate, n_channels, samples)``
+    with samples int16 interleaved (the :func:`decode_wav` contract).
+    Walks the IFF chunk list (word-aligned, any order); 16-bit PCM
+    only — AIFC compression types and other depths raise."""
+    import numpy as _np
+    if not data or len(data) < 12 or data[:4] != b"FORM" \
+            or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF blob")
+    if data[8:12] == b"AIFC":
+        raise ValueError("AIFC (compressed AIFF) not supported")
+    pos, rate, nch, nframes, bits, pcm = 12, None, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError(
+                f"truncated AIFF: chunk {tag!r} declares {size} bytes, "
+                f"{len(data) - pos - 8} remain")
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"COMM":
+            if len(body) < 18:
+                raise ValueError("truncated AIFF COMM chunk")
+            nch, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_unpack(body[8:18])
+            if bits != 16:
+                raise ValueError(f"only 16-bit AIFF supported "
+                                 f"(bits={bits})")
+        elif tag == b"SSND":
+            if len(body) < 8:
+                raise ValueError("truncated AIFF SSND chunk")
+            (off,) = struct.unpack(">I", body[:4])
+            pcm = body[8 + off:]
+        pos += 8 + size + (size & 1)     # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("missing COMM/SSND chunk")
+    samples = _np.frombuffer(pcm, ">i2").astype(_np.int16)
+    if nframes is not None:
+        samples = samples[:nframes * max(int(nch), 1)]
+    return int(round(rate)), int(nch), samples

@@ -13,6 +13,7 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -408,3 +409,88 @@ def test_dup_span_trim_against_sql_replay(spark, tmp_path):
             for r in con.execute(sql).fetchall()}
     assert got == want
     assert sum(1 for t in got.values() if t[2] > 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# PNM + AIFF codecs (r12): netpbm interchange + big-endian audio
+# ---------------------------------------------------------------------------
+
+def test_pnm_roundtrip_and_validation():
+    """Binary P5/P6 round-trip identity; header comments/whitespace
+    per spec; ASCII / bitmap / 16-bit / truncation raise."""
+    from conduino_spark import decode_pnm, encode_pnm
+    img = ((np.arange(9 * 7 * 3) * 5) % 251).astype(np.uint8) \
+        .reshape(9, 7, 3)
+    assert np.array_equal(decode_pnm(encode_pnm(img)), img)
+    g = img[:, :, 0]
+    assert np.array_equal(decode_pnm(encode_pnm(g)), g[:, :, None])
+    blob = b"P5\n# a comment\n 7   9 \n255\n" + g.tobytes()
+    assert np.array_equal(decode_pnm(blob), g[:, :, None])
+    with pytest.raises(ValueError, match="ASCII/bitmap"):
+        decode_pnm(b"P2\n2 2\n255\n0 1 2 3")
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_pnm(b"P5\n2 2\n65535\n" + bytes(8))
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        decode_pnm(encode_pnm(img)[:-5])
+    with pytest.raises(ValueError, match="not a netpbm"):
+        decode_pnm(b"\x89PNG....")
+    with pytest.raises(ValueError, match="encode_pnm wants"):
+        encode_pnm(img[:, :, :2])
+
+
+def test_aiff_roundtrip_and_validation():
+    """AIFF round-trips mono + stereo int16 exactly, including the
+    80-bit extended-float sample rate; odd-size chunk padding, frame
+    truncation via COMM nframes; AIFC / other depths / junk raise."""
+    from conduino_spark import decode_aiff, encode_aiff
+    from conduino_spark.operators.multimodal import (_f80_pack,
+                                                     _f80_unpack)
+    for sr in (8000, 44100, 48000, 22050, 11025):
+        assert _f80_unpack(_f80_pack(float(sr))) == float(sr)
+    x = ((np.arange(1013) * 7) % 20001 - 10000).astype(np.int16)
+    sr, nch, y = decode_aiff(encode_aiff(x, 44100))
+    assert (sr, nch) == (44100, 1) and np.array_equal(y, x)
+    xs = ((np.arange(2000) * 3) % 20001 - 10000).astype(np.int16)
+    sr, nch, y = decode_aiff(encode_aiff(xs, 8000, 2))
+    assert (sr, nch) == (8000, 2) and np.array_equal(y, xs)
+    blob = bytearray(encode_aiff(x, 8000))
+    blob[8:12] = b"AIFC"
+    with pytest.raises(ValueError, match="AIFC"):
+        decode_aiff(bytes(blob))
+    with pytest.raises(ValueError, match="not an AIFF"):
+        decode_aiff(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="truncated AIFF"):
+        decode_aiff(encode_aiff(x, 8000)[:-7])
+    with pytest.raises(ValueError, match="samples not divisible"):
+        encode_aiff(x, 8000, 2)
+
+
+def test_pnm_aiff_operators_and_sniff(spark):
+    """The new containers ride the standard dispatch: sniff_format
+    tags P5/P6 and FORM/AIFF, media_profile and the metadata/feature
+    operators decode them for real."""
+    from conduino_spark import (audio_metadata, encode_aiff, encode_pnm,
+                                image_metadata, media_profile,
+                                sniff_format)
+    img = ((np.arange(10 * 6 * 3) * 5) % 251).astype(np.uint8) \
+        .reshape(10, 6, 3)
+    x = ((np.arange(500) * 7) % 20001 - 10000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_pnm(img))),
+         (2, bytearray(encode_aiff(x, 8000)))],
+        "id long, content binary")
+    fmts = {r.id: r.format for r in sniff_format("content")(df).collect()}
+    assert fmts == {1: "pnm", 2: "aiff"}
+    prof = {r.id: r for r in media_profile(codec_col="format")(
+        sniff_format("content")(df)).collect()}
+    assert (prof[1].format, prof[1].n_units, prof[1].meta,
+            prof[1].sum_abs) == ("pnm", 180, 10_006_003, int(img.sum()))
+    assert (prof[2].format, prof[2].n_units, prof[2].meta) == \
+        ("aiff", 500, 80001)
+    assert prof[2].sum_abs == int(np.abs(x.astype(np.int64)).sum())
+    im = image_metadata(codec="pnm")(
+        df.where(F.col("id") == 1)).first()
+    assert (im.width, im.height, im.channels) == (6, 10, 3)
+    am = audio_metadata(codec="aiff")(
+        df.where(F.col("id") == 2)).first()
+    assert (am.sample_rate, am.n_samples) == (8000, 500)
