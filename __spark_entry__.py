@@ -1002,7 +1002,29 @@ def q_dedup_against(spark, sf):
                         "_MERGED_OK", _build)
     idx = (minhash_index_dedup(d)(batch)
            .select("doc_id", F.lit("idx").alias("policy")))
-    return against.unionByName(exact).unionByName(idx)
+    # r12 fourth+fifth arms: the SEVENTH index family (SimHash
+    # hamming-ball dedup) rides the pin — in-memory against ('sh')
+    # and the persisted index built INCREMENTALLY (write %4==0 +
+    # merge %4==2, 'shidx'); the pigeonhole candidates + exact
+    # bit_count verify mean survivors equal the brute NOT-EXISTS
+    # hamming replay, which is what the oracle runs.
+    from conduino_spark import (simhash_dedup_against,
+                                simhash_index_dedup, simhash_index_merge,
+                                simhash_index_write)
+    sh = (simhash_dedup_against(corpus)(batch)
+          .select("doc_id", F.lit("sh").alias("policy")))
+
+    def _build_sh(d_):
+        simhash_index_write(corpus.where(F.col("doc_id") % 4 == 0), d_)
+        simhash_index_merge(corpus.where(F.col("doc_id") % 4 == 2), d_)
+        _touch(_os.path.join(d_, "_MERGED_OK"))
+
+    dsh = _index_memo_dir(sf, "documents", "sh_merged_idx", "v1",
+                          "_MERGED_OK", _build_sh)
+    shidx = (simhash_index_dedup(dsh)(batch)
+             .select("doc_id", F.lit("shidx").alias("policy")))
+    return (against.unionByName(exact).unionByName(idx)
+            .unionByName(sh).unionByName(shidx))
 
 
 def q_mixture_sample(spark, sf):
@@ -4899,7 +4921,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 AND doc_id NOT IN (
               SELECT DISTINCT a.doc_id
               FROM bands a JOIN bands b USING (band_id, band_hash)
-              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""",
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+            UNION ALL
+            -- r12 'sh'/'shidx' arms: SimHash hamming-ball dedup —
+            -- pigeonhole candidates + exact bit_count verify equal
+            -- the brute NOT-EXISTS hamming-<=3 replay; the persisted
+            -- write+merge index keeps the same survivors by law
+            SELECT b.doc_id, 'sh' AS policy
+            FROM (""" + _sql_simhash() + """) b
+            WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+              SELECT 1 FROM (""" + _sql_simhash() + """) r
+              WHERE r.doc_id % 2 = 0
+                AND bit_count(xor(b.simhash, r.simhash)) <= 3)
+            UNION ALL
+            SELECT b.doc_id, 'shidx' AS policy
+            FROM (""" + _sql_simhash() + """) b
+            WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+              SELECT 1 FROM (""" + _sql_simhash() + """) r
+              WHERE r.doc_id % 2 = 0
+                AND bit_count(xor(b.simhash, r.simhash)) <= 3)""",
         "mixture_sample": f"""
             SELECT doc_id, 'even' AS mix_source FROM documents
             WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL

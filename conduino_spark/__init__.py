@@ -75,7 +75,9 @@ from conduino_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_eval, minhash_index_dedup, minhash_index_merge,
     minhash_index_write, minhash_signatures, ngram_jaccard_pairs, simhash,
-    simhash_dedup_pairs, source_overlap, tune_minhash_bands,
+    simhash_dedup_against, simhash_dedup_pairs, simhash_index_dedup,
+    simhash_index_merge, simhash_index_write,
+    source_overlap, tune_minhash_bands,
     winnow_fingerprints,
 )
 from conduino_spark.operators.bpe import bpe_encode, bpe_train

@@ -608,6 +608,25 @@ def simhash(text_col: str = "text", id_col: str = "doc_id", *,
     return Stage(fn, name="simhash", seq_preserving=False)
 
 
+def _simhash_bands(sigs: DataFrame, id_col: str, *, bits: int,
+                   max_hamming: int, sig_col: str = "sh") -> DataFrame:
+    """Pigeonhole band explode shared by the SimHash dedup family:
+    split the signature into ``max_hamming + 1`` nearly-equal bit
+    slices — any pair within the hamming budget shares at least one
+    INTACT slice, so the (band_id, band_val) equi-join has guaranteed
+    recall; ``bit_count`` verifies exactly."""
+    n_bands = max_hamming + 1
+    cuts = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    slices = [
+        F.shiftright(F.col(sig_col), cuts[b])
+         .bitwiseAND(F.lit((1 << (cuts[b + 1] - cuts[b])) - 1))
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        id_col, sig_col,
+        F.posexplode(F.array(*slices)).alias("band_id", "band_val"))
+
+
 def simhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                         max_hamming: int = 3, bits: int = 32) -> Stage:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
@@ -619,19 +638,11 @@ def simhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
     exactly.  More bands = more candidates: callers trade recall
     distance for join fan-out explicitly."""
     n_bands = max_hamming + 1
-    # nearly-equal bit slices covering all `bits`
-    cuts = [round(i * bits / n_bands) for i in range(n_bands + 1)]
 
     def fn(df: DataFrame) -> DataFrame:
         sigs = track(_simhash_df(df, text_col, id_col, bits=bits, out="sh"))
-        slices = [
-            F.shiftright(F.col("sh"), cuts[b])
-             .bitwiseAND(F.lit((1 << (cuts[b + 1] - cuts[b])) - 1))
-            for b in range(n_bands)
-        ]
-        bands = sigs.select(
-            id_col, "sh",
-            F.posexplode(F.array(*slices)).alias("band_id", "band_val"))
+        bands = _simhash_bands(sigs, id_col, bits=bits,
+                               max_hamming=max_hamming)
         a, b = bands.alias("a"), bands.alias("b")
         return (a.join(b, ["band_id", "band_val"])
                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -641,6 +652,158 @@ def simhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                   .distinct())
 
     return Stage(fn, name="simhash_dedup_pairs", seq_preserving=False)
+
+
+def simhash_dedup_against(reference: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          max_hamming: int = 3, bits: int = 32) -> Stage:
+    """Incremental-ingestion SimHash dedup: drop every batch doc whose
+    signature is within ``max_hamming`` bits of ANY reference doc —
+    the hamming-ball sibling of :func:`minhash_dedup_against` (SimHash
+    catches near-dups by token-frequency profile where MinHash works
+    on shingle sets).  Candidates via the pigeonhole band equi-join
+    (guaranteed recall), exact ``bit_count`` verify; only signatures
+    and band slices shuffle, never text."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        ref_sigs = _simhash_df(reference, text_col, id_col, bits=bits,
+                               out="sh")
+        ref_bands = (_simhash_bands(ref_sigs, id_col, bits=bits,
+                                    max_hamming=max_hamming)
+                     .select(F.col("sh").alias("__ref_sh"),
+                             "band_id", "band_val"))
+        new_sigs = _simhash_df(df, text_col, id_col, bits=bits, out="sh")
+        new_bands = _simhash_bands(new_sigs, id_col, bits=bits,
+                                   max_hamming=max_hamming)
+        hits = (new_bands.join(ref_bands, ["band_id", "band_val"])
+                .where(F.bit_count(F.col("sh").bitwiseXOR(
+                    F.col("__ref_sh"))) <= max_hamming)
+                .select(id_col).distinct())
+        return df.join(hits, id_col, "anti")
+
+    return Stage(fn, name="simhash_dedup_against", seq_preserving=False)
+
+
+def _simhash_index_rows(docs: DataFrame, text_col: str, id_col: str, *,
+                        bits: int, max_hamming: int,
+                        n_shards: int) -> DataFrame:
+    """(sh, band_id, band_val, pt) rows for the persisted SimHash
+    index — per-row functions of the config, so write and merge can
+    never disagree."""
+    sigs = _simhash_df(docs, text_col, id_col, bits=bits, out="sh")
+    bands = _simhash_bands(sigs, id_col, bits=bits,
+                           max_hamming=max_hamming)
+    return (bands.select("sh", "band_id", "band_val")
+                 .withColumn("pt", F.pmod(
+                     h32(F.concat_ws(":", "band_id", "band_val")),
+                     F.lit(n_shards))))
+
+
+def simhash_index_write(corpus: DataFrame, path: str, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_hamming: int = 3, bits: int = 32,
+                        n_shards: int = 64,
+                        mode: str = "overwrite") -> None:
+    """Materialize the SimHash dedup reference — the SEVENTH persisted
+    index family: each kept doc's signature exploded into its
+    pigeonhole band rows ``(sh, band_id, band_val)``, written
+    ``partitionBy(pt)`` with ``pt = h32(band_id ':' band_val) %
+    n_shards`` so an incoming batch's probe reads only the shards its
+    own band slices land in (the family's DPP posture).  The full
+    signature rides every band row — the probe's hamming verify never
+    fetches anything else, and doc ids never enter the index
+    (membership is all a dedup reference needs).
+
+    ``_meta`` (driver-side, operators/smallio): (bits, max_hamming,
+    n_shards) — the banding layout is the recall contract; merges and
+    probes can never drift from the build config."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not 1 <= max_hamming < bits:
+        raise ValueError(
+            f"max_hamming must be in [1, bits), got {max_hamming}")
+    rows = _simhash_index_rows(corpus, text_col, id_col, bits=bits,
+                               max_hamming=max_hamming,
+                               n_shards=n_shards)
+    (rows.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode(mode).parquet(f"{path}/bands"))
+    import pyarrow as pa
+    from conduino_spark.operators.smallio import driver_parquet_write
+    driver_parquet_write(
+        f"{path}/_meta",
+        pa.table({"bits": pa.array([int(bits)], pa.int32()),
+                  "max_hamming": pa.array([int(max_hamming)],
+                                          pa.int32()),
+                  "n_shards": pa.array([int(n_shards)], pa.int32())}),
+        mode=mode)
+
+
+def _simhash_index_meta(path: str) -> "tuple[int, int, int]":
+    """(bits, max_hamming, n_shards) from the in-band ``_meta`` —
+    fail fast when the path holds no index."""
+    from conduino_spark.operators.smallio import driver_parquet_read
+    try:
+        meta = driver_parquet_read(f"{path}/_meta")
+    except Exception as e:
+        raise ValueError(
+            f"no SimHash index at {path} (missing _meta): build one "
+            f"with simhash_index_write before merging/probing") from e
+    if len(meta) != 1:
+        raise ValueError(f"corrupt _meta at {path}: {len(meta)} rows")
+    return (int(meta[0]["bits"]), int(meta[0]["max_hamming"]),
+            int(meta[0]["n_shards"]))
+
+
+def simhash_index_merge(new_docs: DataFrame, path: str, *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Fold a NEW kept batch's signatures into a persisted
+    :func:`simhash_index_write` index — one append under the STORED
+    (bits, max_hamming, n_shards).  Band rows are per-row functions of
+    the config, so a probe against the merged index equals one against
+    a from-scratch rebuild over the union corpus (law-tested); cost
+    scales with the new batch only."""
+    bits, max_hamming, n_shards = _simhash_index_meta(path)
+    rows = _simhash_index_rows(new_docs, text_col, id_col, bits=bits,
+                               max_hamming=max_hamming,
+                               n_shards=n_shards)
+    (rows.repartition(n_shards, "pt")
+         .write.partitionBy("pt").mode("append").parquet(f"{path}/bands"))
+
+
+def simhash_index_dedup(path: str, text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        broadcast_batch: bool = True) -> Stage:
+    """:func:`simhash_dedup_against` against a PERSISTED
+    :func:`simhash_index_write` index: identical survivors
+    (law-tested), but the reference side is the already-paid band
+    table and — with ``broadcast_batch`` (default) — the band join
+    carries the shard key so dynamic partition pruning reads only the
+    shard directories the batch's band slices touch.  Set it False
+    for huge batches: a plain shuffle join on (pt, band_id,
+    band_val)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        bits, max_hamming, n_shards = _simhash_index_meta(path)
+        new_sigs = _simhash_df(df, text_col, id_col, bits=bits, out="sh")
+        probe = (_simhash_bands(new_sigs, id_col, bits=bits,
+                                max_hamming=max_hamming)
+                 .withColumn("pt", F.pmod(
+                     h32(F.concat_ws(":", "band_id", "band_val")),
+                     F.lit(n_shards))))
+        if broadcast_batch:
+            probe = F.broadcast(probe)
+        ref = (spark.read.parquet(f"{path}/bands")
+                    .withColumnRenamed("sh", "__ref_sh"))
+        hits = (probe.join(ref, ["pt", "band_id", "band_val"])
+                .where(F.bit_count(F.col("sh").bitwiseXOR(
+                    F.col("__ref_sh"))) <= max_hamming)
+                .select(id_col).distinct())
+        return df.join(hits, id_col, "anti")
+
+    return Stage(fn, name="simhash_index_dedup", seq_preserving=False)
 
 
 def ngram_jaccard_pairs(text_col: str = "text", id_col: str = "doc_id", *,

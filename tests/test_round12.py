@@ -494,3 +494,107 @@ def test_pnm_aiff_operators_and_sniff(spark):
     am = audio_metadata(codec="aiff")(
         df.where(F.col("id") == 2)).first()
     assert (am.sample_rate, am.n_samples) == (8000, 500)
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-ball index: the SEVENTH persisted index family
+# ---------------------------------------------------------------------------
+
+def test_simhash_against_and_index_merge_law(spark, tmp_path):
+    """write(half the reference) + merge(the other half) + probe must
+    keep EXACTLY the docs simhash_dedup_against keeps vs the full
+    reference (merge == rebuild for the hamming-ball family), both
+    probe modes; clones of reference docs must drop."""
+    from conduino_spark import (simhash_dedup_against,
+                                simhash_index_dedup, simhash_index_merge,
+                                simhash_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "sh")
+    simhash_index_write(ref.where(F.col("doc_id") % 4 == 0), d,
+                        n_shards=8)
+    simhash_index_merge(ref.where(F.col("doc_id") % 4 == 2), d)
+    got = sorted(r.doc_id for r in
+                 simhash_index_dedup(d)(batch).select("doc_id").collect())
+    want = sorted(r.doc_id for r in
+                  simhash_dedup_against(ref)(batch)
+                  .select("doc_id").collect())
+    assert got == want and len(got) < batch.count()
+    got2 = sorted(r.doc_id for r in
+                  simhash_index_dedup(d, broadcast_batch=False)(batch)
+                  .select("doc_id").collect())
+    assert got2 == want
+    # exact clones of indexed docs (hamming 0) always drop
+    clones = ref.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        "lang", "source", "n_chars")
+    assert simhash_index_dedup(d)(clones).count() == 0
+
+
+def test_simhash_index_probe_prunes_shards(spark, tmp_path):
+    from conduino_spark import simhash_index_dedup, simhash_index_write
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "sh")
+    simhash_index_write(docs.where(F.col("doc_id") % 2 == 0), d,
+                        n_shards=8)
+    one = docs.where(F.col("doc_id") == 1)
+    plan = (simhash_index_dedup(d)(one)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan
+
+
+def test_simhash_index_guards(spark, tmp_path):
+    from conduino_spark import (simhash_index_dedup, simhash_index_merge,
+                                simhash_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="no SimHash index"):
+        simhash_index_merge(docs, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no SimHash index"):
+        simhash_index_dedup(str(tmp_path / "nope"))(docs).count()
+    with pytest.raises(ValueError, match="n_shards"):
+        simhash_index_write(docs, str(tmp_path / "bad"), n_shards=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_index_write(docs, str(tmp_path / "bad"), max_hamming=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_index_write(docs, str(tmp_path / "bad"),
+                            max_hamming=32, bits=32)
+
+
+def test_simhash_index_streaming_ingestion(spark, tmp_path):
+    """foreachBatch(simhash_index_merge) ingestion == one-shot build
+    over everything ingested (the family streaming law)."""
+    from conduino_spark import (simhash_index_dedup, simhash_index_merge,
+                                simhash_index_write)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    inbox = str(tmp_path / "inbox")
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(1) \
+        .write.parquet(f"{inbox}/b1")
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1) \
+        .write.parquet(f"{inbox}/b2")
+    idx = str(tmp_path / "idx")
+    simhash_index_write(a, idx, n_shards=8)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid: simhash_index_merge(b, idx))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    simhash_index_write(docs, full, n_shards=8)
+    fresh = F.concat(F.lit("zq xv qj blorptex "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" wubfrak vexqoz jiblun kroxvat"))
+    batch = (docs.where(F.col("doc_id") % 7 == 0)
+                 .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                         F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+                          .otherwise(fresh).alias("text"),
+                         "lang", "source", "n_chars"))
+    got = sorted(r.doc_id for r in
+                 simhash_index_dedup(idx)(batch).collect())
+    want = sorted(r.doc_id for r in
+                  simhash_index_dedup(full)(batch).collect())
+    assert got == want and len(got) < batch.count()
