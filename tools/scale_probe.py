@@ -418,6 +418,17 @@ def main() -> None:
                      lambda c, d: minhash_index_write(c, d, n_shards=64),
                      lambda b, d: minhash_index_merge(b, d),
                      newd, dc1, dcN)
+    if not ONLY or "simhash_index_merge" in ONLY:
+        # r12: the hamming-ball index (seventh family) joins the
+        # merge-flatness protocol — folding a fixed batch's band rows
+        # must never re-sign the grown corpus
+        from conduino_spark import simhash_index_merge, simhash_index_write
+        newd = dc1.select((F.col("doc_id") + F.lit(900_000_000))
+                          .alias("doc_id"), "text")
+        _merge_probe("simhash_index_merge",
+                     lambda c, d: simhash_index_write(c, d, n_shards=64),
+                     lambda b, d: simhash_index_merge(b, d),
+                     newd, dc1, dcN)
     if not ONLY or "dupspan_index_merge" in ONLY:
         # r12: the exact-substring key index (sixth family) joins the
         # merge-flatness protocol — merging a fixed batch's window
