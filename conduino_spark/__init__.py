@@ -114,9 +114,11 @@ from conduino_spark.operators.multimodal import (
     audio_metadata, decode_aiff, decode_bmp, decode_png, decode_pnm,
     decode_wav, encode_aiff, encode_bmp, encode_png, encode_pnm,
     encode_wav, feature_extract, frame_sample, image_metadata,
-    image_resize, media_profile, sniff_format,
+    image_resize, media_profile, sniff_format, video_metadata,
 )
 from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from conduino_spark.operators.avi import (avi_frames, decode_avi,
+                                          encode_avi_mjpeg)
 from conduino_spark.operators.gif import decode_gif, encode_gif
 from conduino_spark.operators.flac import decode_flac, encode_flac
 from conduino_spark.operators.tiff import decode_tiff, encode_tiff

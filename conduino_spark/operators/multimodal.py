@@ -725,7 +725,14 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
     PNG blob (:func:`encode_png`) so the downstream image operators
     compose (``frame_sample | image_resize(codec='png')``).  The
     decode stops at the last needed frame — later frames are never
-    LZW-decoded.  mp4/webm keep the ffmpeg raise slot."""
+    LZW-decoded.
+
+    ``codec='avi'`` (r12) is REAL: Motion-JPEG AVI (operators/avi.py
+    container walk + the real baseline-JPEG decoder per frame) — the
+    sampled frames are the stream's own JPEG blobs re-emitted AS-IS
+    (no re-encode generation loss; ``image_resize(codec='jpeg')``
+    composes downstream).  The walk early-stops after the last needed
+    frame.  mp4/webm keep the ffmpeg raise slot."""
 
     def fn(df: DataFrame) -> DataFrame:
         def run(batches: Iterable[pd.DataFrame]):
@@ -733,7 +740,7 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
                 if codec == "real":
                     raise NotImplementedError(
                         "wire ffmpeg here for mp4/webm (animated GIF "
-                        "is REAL today via codec='gif')")
+                        "and MJPEG AVI are REAL today via codec=)")
                 ids, fnos, frames = [], [], []
                 if codec == "gif":
                     from conduino_spark.operators.gif import decode_gif
@@ -748,6 +755,21 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
                             ids.append(vid)
                             fnos.append(i)
                             frames.append(encode_png(fs[i]))
+                            taken += 1
+                elif codec == "avi":
+                    from conduino_spark.operators.avi import decode_avi
+                    need = 1 + (max_frames - 1) * every_n
+                    for vid, b in zip(pdf[id_col], pdf[binary_col]):
+                        _, _, _, blobs = decode_avi(
+                            b if b is not None else b"",
+                            max_frames=need)
+                        taken = 0
+                        for i in range(0, len(blobs), every_n):
+                            if taken >= max_frames:
+                                break
+                            ids.append(vid)
+                            fnos.append(i)
+                            frames.append(blobs[i])
                             taken += 1
                 else:
                     for vid, b in zip(pdf[id_col], pdf[binary_col]):
@@ -765,6 +787,54 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
             run, "id long, frame_no int, frame binary")
 
     return Stage(fn, name="frame_sample", seq_preserving=False)
+
+
+VIDEO_META_SCHEMA = ("id long, width int, height int, n_frames long, "
+                     "fps int, format string")
+
+
+def video_metadata(binary_col: str = "content", id_col: str = "id", *,
+                   codec: str = "fake") -> Stage:
+    """Decode video container headers → typed metadata rows (the
+    :data:`VIDEO_META_SCHEMA` shape).  ``codec='avi'`` (r12) is REAL —
+    Motion-JPEG AVI via operators/avi.py (dims/fps from the avih/strh
+    headers, frame count from the movi walk); ``codec='real'`` raises
+    until ffmpeg lands (mp4/webm); the default fake is the
+    deterministic byte-digest test double."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        def run(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                if codec == "real":
+                    raise NotImplementedError(
+                        "wire ffmpeg here for mp4/webm (MJPEG AVI is "
+                        "REAL today via codec='avi')")
+                rows = []
+                if codec == "avi":
+                    from conduino_spark.operators.avi import decode_avi
+                    for b in pdf[binary_col]:
+                        fps, w, h, blobs = decode_avi(
+                            b if b is not None else b"")
+                        rows.append((w, h, len(blobs), fps, "avi"))
+                else:
+                    for b in pdf[binary_col]:
+                        d = hashlib.sha256(b or b"").digest()
+                        rows.append((160 + d[0], 90 + d[1],
+                                     1 + d[2] % 64, 24 + d[3] % 7,
+                                     "fake"))
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "fps": [r[3] for r in rows],
+                    "format": [r[4] for r in rows],
+                })
+
+        return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+            run, VIDEO_META_SCHEMA)
+
+    return Stage(fn, name="video_metadata", seq_preserving=False)
 
 
 def feature_extract(binary_col: str = "content", id_col: str = "id", *,

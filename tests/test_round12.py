@@ -598,3 +598,76 @@ def test_simhash_index_streaming_ingestion(spark, tmp_path):
     want = sorted(r.doc_id for r in
                   simhash_index_dedup(full)(batch).collect())
     assert got == want and len(got) < batch.count()
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI: REAL video container (r12)
+# ---------------------------------------------------------------------------
+
+def test_avi_container_roundtrip_is_blob_lossless():
+    """Wrapping pre-encoded JPEG blobs and walking them back out is
+    bit-lossless — pins the container walk independently of JPEG's
+    own lossiness; header dims/fps survive."""
+    from conduino_spark import decode_avi, encode_avi_mjpeg, encode_jpeg
+    imgs = [((np.arange(24 * 16 * 3) * (3 + i)) % 251)
+            .astype(np.uint8).reshape(24, 16, 3) for i in range(5)]
+    blobs = [encode_jpeg(a, quality=90) for a in imgs]
+    fps, w, h, out = decode_avi(encode_avi_mjpeg(blobs, fps=12))
+    assert (fps, w, h) == (12, 16, 24)
+    assert out == blobs
+
+
+def test_avi_frames_early_stop_and_validation():
+    from conduino_spark import avi_frames, decode_avi, encode_avi_mjpeg
+    imgs = [((np.arange(24 * 16 * 3) * (3 + i)) % 251)
+            .astype(np.uint8).reshape(24, 16, 3) for i in range(6)]
+    avi = encode_avi_mjpeg(imgs, fps=30, quality=95)
+    frames = avi_frames(avi, max_frames=2)
+    assert len(frames) == 2 and frames[0].shape == (24, 16, 3)
+    _, _, _, two = decode_avi(avi, max_frames=2)
+    assert len(two) == 2
+    # high-quality jpeg frames stay close to the source
+    err = np.abs(frames[1].astype(int) - imgs[1].astype(int)).max()
+    assert err <= 40
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated AVI"):
+        decode_avi(avi[:-9])
+    with pytest.raises(ValueError, match="share one size"):
+        encode_avi_mjpeg([imgs[0], imgs[0][:16]])
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([])
+    blob = bytearray(avi)
+    i = blob.find(b"vids") + 4
+    blob[i:i + 4] = b"H264"
+    with pytest.raises(ValueError, match="MJPG only"):
+        decode_avi(bytes(blob))
+
+
+def test_avi_operators_end_to_end(spark):
+    """sniff_format tags the RIFF/AVI container; video_metadata reads
+    real header facts; frame_sample(codec='avi') re-emits the
+    stream's own JPEG blobs (bit-equal, no generation loss) and
+    composes with image_resize(codec='jpeg')."""
+    from conduino_spark import (encode_avi_mjpeg, encode_jpeg,
+                                frame_sample, image_resize,
+                                sniff_format, video_metadata)
+    from conduino_spark.operators.jpeg import decode_jpeg
+    imgs = [((np.arange(32 * 24 * 3) * (3 + i)) % 251)
+            .astype(np.uint8).reshape(32, 24, 3) for i in range(7)]
+    blobs = [encode_jpeg(a, quality=92) for a in imgs]
+    avi = encode_avi_mjpeg(blobs, fps=25)
+    df = spark.createDataFrame([(1, bytearray(avi))],
+                               "id long, content binary")
+    assert sniff_format("content")(df).first().format == "avi"
+    vm = video_metadata(codec="avi")(df).first()
+    assert (vm.width, vm.height, vm.n_frames, vm.fps, vm.format) == \
+        (24, 32, 7, 25, "avi")
+    fs = frame_sample(codec="avi", every_n=3, max_frames=2)(df)
+    rows = sorted(fs.collect(), key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 3]
+    assert bytes(rows[0].frame) == blobs[0]
+    assert bytes(rows[1].frame) == blobs[3]
+    rs = image_resize(codec="jpeg", width=12, height=16)(
+        fs.select("id", F.col("frame").alias("content"))).first()
+    assert decode_jpeg(bytes(rs.content)).shape == (16, 12, 3)
