@@ -2827,7 +2827,8 @@ def _synth_media_blobs(spark, sf):
     def gen(batches):
         import numpy as np
         import pandas as pd
-        from conduino_spark import encode_png, encode_wav
+        from conduino_spark import (encode_aiff, encode_png, encode_pnm,
+                                    encode_tiff, encode_wav)
         for pdf in batches:
             ids, blobs = [], []
             for i in pdf["doc_id"]:
@@ -2842,6 +2843,27 @@ def _synth_media_blobs(spark, sf):
                         + i) % 251).astype("uint8").reshape(h, w, c)
                 ids.append(i)
                 blobs.append(encode_png(img, filter_type=i % 5))
+                # r12: three more LOSSLESS containers under the same
+                # hash gate (distinct formulas catch cross-wiring;
+                # flac/jpeg stay pytest-oracled — flac's pure-Python
+                # encode is too slow for a per-doc pin, jpeg is lossy)
+                h2, w2, c2 = 6 + i % 3, 5 + i % 2, 3 - 2 * (i % 2)
+                img2 = ((np.arange(h2 * w2 * c2, dtype=np.int64)
+                         * (5 + i) + 2 * i) % 241).astype("uint8") \
+                    .reshape(h2, w2, c2)
+                ids.append(i)
+                blobs.append(encode_pnm(img2))
+                h3, w3, c3 = 7 + i % 2, 4 + i % 2, 1 + (i % 2) * 2
+                img3 = ((np.arange(h3 * w3 * c3, dtype=np.int64)
+                         * (7 + i) + i) % 239).astype("uint8") \
+                    .reshape(h3, w3, c3)
+                ids.append(i)
+                blobs.append(encode_tiff(img3, packbits=(i % 2 == 0)))
+                n4 = 80 + (i % 5) * 40
+                x4 = ((np.arange(n4, dtype=np.int64) * (5 + i))
+                      % 18001 - 9000).astype(np.int16)
+                ids.append(i)
+                blobs.append(encode_aiff(x4, 16000))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3382,6 +3404,50 @@ def _sql_profile_docs() -> str:
         FROM (SELECT doc_id AS i,
                      unnest(range(0, (5 + doc_id % 4) * (4 + doc_id % 3)
                                      * (1 + doc_id % 3))) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # pnm arm: h=6+i%3, w=5+i%2, c=3-2*(i%2), pixel_j=(j*(5+i)+2i)%241
+    arms.append("""
+        SELECT 'mm' AS part, 'pnm:' || i AS "column",
+               (6 + i % 3) * (5 + i % 2) * (3 - 2 * (i % 2)) AS n_rows,
+               (6 + i % 3) * 1000000 + (5 + i % 2) * 1000
+                   + (3 - 2 * (i % 2)) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (5 + i) + 2 * i) % 241) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (5 + i) + 2 * i) % 241) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (6 + doc_id % 3) * (5 + doc_id % 2)
+                                     * (3 - 2 * (doc_id % 2)))) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # tiff arm: h=7+i%2, w=4+i%2, c=1+(i%2)*2, pixel_j=(j*(7+i)+i)%239
+    arms.append("""
+        SELECT 'mm' AS part, 'tiff:' || i AS "column",
+               (7 + i % 2) * (4 + i % 2) * (1 + (i % 2) * 2) AS n_rows,
+               (7 + i % 2) * 1000000 + (4 + i % 2) * 1000
+                   + (1 + (i % 2) * 2) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (7 + i) + i) % 239) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (7 + i) + i) % 239) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (7 + doc_id % 2) * (4 + doc_id % 2)
+                                     * (1 + (doc_id % 2) * 2))) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # aiff arm: n=80+(i%5)*40 mono at 16 kHz, sample_j=(j*(5+i))%18001-9000
+    arms.append("""
+        SELECT 'mm' AS part, 'aiff:' || i AS "column",
+               80 + (i % 5) * 40 AS n_rows,
+               CAST(160001 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM(ABS((j * (5 + i)) % 18001 - 9000))
+                    AS BIGINT) AS VARCHAR) AS min,
+               CAST(MAX(ABS((j * (5 + i)) % 18001 - 9000))
+                    AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, 80 + (doc_id % 5) * 40)) AS j
               FROM documents)
         GROUP BY ALL""")
     return " UNION ALL ".join(arms)

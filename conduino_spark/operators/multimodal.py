@@ -25,6 +25,10 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
 * ``codec='pnm'`` / ``codec='aiff'`` (r12) — REAL: binary netpbm
   P5/P6 (the vision-pipeline interchange format) and big-endian AIFF
   PCM-16 (80-bit extended-float sample rates parsed exactly).
+* ``codec='avi'`` (r12) — REAL video: Motion-JPEG AVI
+  (operators/avi.py container walk + the real JPEG decoder per
+  frame); :func:`video_metadata` and :func:`frame_sample` consume it,
+  the sampled frames being the stream's own JPEG blobs bit-equal.
 * ``codec='real'`` — the remaining slots (webp images; mp3/ogg audio;
   mp4/webm video) raise ``NotImplementedError`` until PIL/soundfile/
   ffmpeg land (environmental — lossy DSP formats).
