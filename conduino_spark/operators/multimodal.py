@@ -1004,6 +1004,16 @@ def media_profile(binary_col: str = "content", id_col: str = "id", *,
                 h, w, c = a.shape
                 return (fmt, int(a.size), h * 1_000_000 + w * 1_000 + c,
                         int(a.sum()), int(a.max()) if a.size else 0)
+            if fmt == "avi":
+                # video: n_units = frame count, dims packed in meta,
+                # pixel stats over the FIRST frame (deterministic
+                # MJPEG decode; later frames never touched)
+                from conduino_spark.operators.avi import decode_avi
+                from conduino_spark.operators.jpeg import decode_jpeg
+                fps, w, h, blobs = decode_avi(b or b"", max_frames=None)
+                a = decode_jpeg(blobs[0]).astype(_np.int64)
+                return (fmt, len(blobs), h * 1_000_000 + w * 1_000,
+                        int(a.sum()), int(a.max()) if a.size else 0)
             return ("error", 0, 0, 0, 0)
         except (ValueError, struct.error, IndexError, OverflowError):
             return ("error", 0, 0, 0, 0)

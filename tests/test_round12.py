@@ -671,3 +671,22 @@ def test_avi_operators_end_to_end(spark):
     rs = image_resize(codec="jpeg", width=12, height=16)(
         fs.select("id", F.col("frame").alias("content"))).first()
     assert decode_jpeg(bytes(rs.content)).shape == (16, 12, 3)
+
+
+def test_media_profile_avi_dispatch(spark):
+    """A mixed corpus containing an AVI profiles as video: frame
+    count in n_units, dims packed in meta, first-frame pixel stats."""
+    from conduino_spark import (encode_avi_mjpeg, encode_jpeg,
+                                media_profile, sniff_format)
+    from conduino_spark.operators.jpeg import decode_jpeg
+    imgs = [((np.arange(16 * 8 * 3) * (3 + i)) % 251)
+            .astype(np.uint8).reshape(16, 8, 3) for i in range(3)]
+    blobs = [encode_jpeg(a, quality=92) for a in imgs]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi_mjpeg(blobs, fps=10)))],
+        "id long, content binary")
+    r = media_profile(codec_col="format")(
+        sniff_format("content")(df)).first()
+    first = decode_jpeg(blobs[0]).astype(np.int64)
+    assert (r.format, r.n_units, r.meta) == ("avi", 3, 16_008_000)
+    assert (r.sum_abs, r.max_abs) == (int(first.sum()), int(first.max()))
