@@ -1755,6 +1755,52 @@ def dup_span_trim_against(path: str, text_col: str = "text",
     return Stage(fn, name="dup_span_trim_against", seq_preserving=False)
 
 
+def dup_span_flag_against(path: str, text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          broadcast_batch: bool = True,
+                          out: str = "ref_dup_frac") -> Stage:
+    """The MEASURE half of index-backed exact-substring dedup: score
+    every batch doc by the fraction of its L-token windows already
+    present in a persisted :func:`dupspan_index_write` reference —
+    :func:`dup_span_stats`'s mark-and-gate posture (feed the fraction
+    to ``corpus_filter`` as a custom rule) against yesterday's corpus
+    or a benchmark index, where :func:`dup_span_trim_against` is the
+    removal half.  Emits input columns + ``n_windows`` /
+    ``n_ref_windows`` / ``out`` (0.0 for docs shorter than L tokens —
+    nothing to leak).
+
+    Same probe physics as the trim: batch windows broadcast with the
+    shard key (DPP reads only touched shards), or a plain shuffle join
+    with ``broadcast_batch=False``; reference text never moves."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        L, n_shards = _dupspan_index_meta(path)
+        d2, _toks, wins = _dup_span_wins(df, text_col, id_col, L)
+        probe = wins.withColumn("pt", F.pmod(h32(F.col("__h")),
+                                             F.lit(n_shards)))
+        if broadcast_batch:
+            probe = F.broadcast(probe)
+        ref = (spark.read.parquet(f"{path}/keys")
+                    .withColumnRenamed("digest", "__h")
+                    .select("pt", "__h").distinct())
+        hits = (probe.join(ref, ["pt", "__h"], "left_semi")
+                     .groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_ref_windows")))
+        tot = (wins.groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_windows")))
+        frac = F.when(F.col("n_windows") > 0,
+                      F.round(F.col("n_ref_windows")
+                              / F.col("n_windows").cast("double"), 6)
+                      ).otherwise(F.lit(0.0))
+        return (d2.join(tot, id_col, "left")
+                  .join(hits, id_col, "left")
+                  .na.fill({"n_windows": 0, "n_ref_windows": 0})
+                  .withColumn(out, frac))
+
+    return Stage(fn, name="dup_span_flag_against", seq_preserving=False)
+
+
 def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
                    threshold: float = 0.98,
                    bucket_col: "Optional[str]" = "label",

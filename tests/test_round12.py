@@ -690,3 +690,52 @@ def test_media_profile_avi_dispatch(spark):
     first = decode_jpeg(blobs[0]).astype(np.int64)
     assert (r.format, r.n_units, r.meta) == ("avi", 3, 16_008_000)
     assert (r.sum_abs, r.max_abs) == (int(first.sum()), int(first.max()))
+
+
+def test_dup_span_flag_against_duckdb_replay(spark, tmp_path):
+    """The measure half of the dupspan family: per-doc window counts
+    and reference-membership counts replay exactly in DuckDB
+    (distinct-digest membership over the even half, odd docs as the
+    batch), and short docs score 0.0."""
+    import duckdb
+    from conduino_spark import dup_span_flag_against, dupspan_index_write
+    from conduino_spark.operators.text import tokens_sql
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "ds")
+    dupspan_index_write(docs.where(F.col("doc_id") % 2 == 0), d,
+                        window_tokens=16, n_shards=8)
+    got = {r.doc_id: (r.n_windows, r.n_ref_windows, r.ref_dup_frac)
+           for r in dup_span_flag_against(d)(
+               docs.where(F.col("doc_id") % 2 == 1)).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF}/documents.parquet'")
+    toks = tokens_sql("coalesce(text, '')")
+    L = 16
+    win = f"md5(array_to_string(t[i:i+{L - 1}], ' '))"
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(f"""
+        WITH tk AS (SELECT doc_id AS d, {toks} AS t FROM documents
+                    WHERE doc_id IS NOT NULL),
+        wins AS (SELECT d, unnest([{win} for i in
+                                   range(1, len(t) - {L - 2})]) AS h
+                 FROM tk WHERE d % 2 = 1),
+        refk AS (SELECT DISTINCT unnest([{win} for i in
+                                         range(1, len(t) - {L - 2})]) AS h
+                 FROM tk WHERE d % 2 = 0),
+        tot AS (SELECT d, COUNT(*) AS nw FROM wins GROUP BY d),
+        hit AS (SELECT d, COUNT(*) AS nr FROM wins
+                WHERE h IN (SELECT h FROM refk) GROUP BY d)
+        SELECT tk.d, CAST(coalesce(nw, 0) AS BIGINT),
+               CAST(coalesce(nr, 0) AS BIGINT),
+               CASE WHEN coalesce(nw, 0) > 0
+                    THEN round(coalesce(nr, 0) / (nw * 1.0), 6)
+                    ELSE 0.0 END
+        FROM tk LEFT JOIN tot ON tot.d = tk.d
+                LEFT JOIN hit ON hit.d = tk.d
+        WHERE tk.d % 2 = 1""").fetchall()}
+    assert got == want
+    assert sum(1 for v in got.values() if v[1] > 0) > 0
+    # probe plan carries shard pruning, like the trim
+    plan = (dup_span_flag_against(d)(docs.where(F.col("doc_id") == 1))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan
