@@ -739,3 +739,49 @@ def test_dup_span_flag_against_duckdb_replay(spark, tmp_path):
     plan = (dup_span_flag_against(d)(docs.where(F.col("doc_id") == 1))
             ._jdf.queryExecution().executedPlan().toString())
     assert "dynamicpruning" in plan
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis laws for the r12 codecs (any-input round trips)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 9), st.integers(1, 9), st.sampled_from([1, 3]),
+       st.integers(0, 2**31 - 1))
+def test_pnm_roundtrip_law(h, w, c, seed):
+    from conduino_spark import decode_pnm, encode_pnm
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    img = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 400), st.sampled_from([8000, 16000, 44100]),
+       st.sampled_from([1, 2]), st.integers(0, 2**31 - 1))
+def test_aiff_roundtrip_law(nframes, rate, nch, seed):
+    from conduino_spark import decode_aiff, encode_aiff
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    x = rng.randint(-32768, 32768, nframes * nch).astype(np.int16)
+    sr, ch, y = decode_aiff(encode_aiff(x, rate, nch))
+    assert (sr, ch) == (rate, nch) and np.array_equal(y, x)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 4), st.integers(0, 2**31 - 1),
+       st.integers(1, 60))
+def test_avi_container_law(n_frames, seed, fps):
+    """Wrapping any JPEG blobs round-trips bit-equal with the declared
+    frame count and fps."""
+    from conduino_spark import decode_avi, encode_avi_mjpeg, encode_jpeg
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    h, w = 8 * rng.randint(1, 4), 8 * rng.randint(1, 4)
+    blobs = [encode_jpeg(rng.randint(0, 256, (h, w, 3))
+                         .astype(np.uint8), quality=85)
+             for _ in range(n_frames)]
+    out_fps, ow, oh, out = decode_avi(encode_avi_mjpeg(blobs, fps=fps))
+    assert (out_fps, ow, oh) == (fps, w, h)
+    assert out == blobs
