@@ -71,6 +71,7 @@ from conduino_spark.operators.dedup import (
     dupspan_index_write,
     embedding_near_dup_pairs,
     jaccard_prefix_pairs, lsh_candidate_prob, minhash_dedup, semantic_dedup,
+    semantic_dedup_against,
     leakage_safe_split, minhash_dedup_against, minhash_dedup_cc,
     minhash_dedup_cc_best,
     minhash_dedup_pairs,

@@ -1827,6 +1827,41 @@ def semantic_dedup(vec_col: str = "embedding", id_col: str = "vec_id", *,
     return Stage(fn, name="semantic_dedup", seq_preserving=False)
 
 
+def semantic_dedup_against(index_path: str, *, threshold: float = 0.98,
+                           nprobe: int = 2,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           kernel: str = "exact") -> Stage:
+    """SemDeDup at the daily-crawl shape: drop every batch vector
+    whose nearest REFERENCE neighbor — probed through a persisted
+    :func:`~conduino_spark.operators.similarity.ivf_index_write`
+    index — has cosine ≥ ``threshold``.  The embedding-modality
+    sibling of :func:`minhash_index_dedup` / :func:`simhash_index_dedup`
+    / :func:`dup_span_trim_against`: the reference corpus is signed
+    (here: cell-partitioned) once, and each day's batch pays only its
+    own probe.
+
+    Approximate by the same dial as :func:`semantic_dedup`'s IVF
+    bucketing: candidates come from the batch vector's ``nprobe``
+    best cells under the index's stored quantizer (at ``nprobe`` ≥
+    n_cells the probe is exhaustive and the survivor set exact —
+    law-tested against the brute cosine rule).  ``kernel='gemm'``
+    scores cells as numpy matrix products (the 100 TB default)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def fn(df: DataFrame) -> DataFrame:
+        from conduino_spark.operators.similarity import ivf_index_join
+        hits = ivf_index_join(index_path, k=1, nprobe=nprobe,
+                              vec_col=vec_col, id_col=id_col,
+                              kernel=kernel)(df)
+        drop = (hits.where(F.col("cosine") >= threshold)
+                    .select(id_col).distinct())
+        return df.join(drop, id_col, "anti")
+
+    return Stage(fn, name="semantic_dedup_against", seq_preserving=False)
+
+
 def source_overlap(text_col: str = "text", group_col: str = "source", *,
                    n: int = SHINGLE_N, min_jaccard: float = 0.0) -> Stage:
     """Cross-source contamination matrix: for every unordered pair of

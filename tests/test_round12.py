@@ -785,3 +785,70 @@ def test_avi_container_law(n_frames, seed, fps):
     out_fps, ow, oh, out = decode_avi(encode_avi_mjpeg(blobs, fps=fps))
     assert (out_fps, ow, oh) == (fps, w, h)
     assert out == blobs
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_against: embedding near-dup at the daily-crawl shape
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_against_exact_law(spark, tmp_path):
+    """With nprobe >= n_cells the probe is exhaustive: survivors must
+    equal the brute rule 'no reference vector with cosine >=
+    threshold' computed in pure numpy; write(half)+merge(half) keeps
+    the same survivors; exact clones of indexed vectors drop."""
+    import numpy as np
+    from conduino_spark import (ivf_index_merge, ivf_index_write,
+                                kmeans_fit, semantic_dedup_against)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "ivf")
+    model = kmeans_fit(ref, k=4, iters=1)
+    ivf_index_write(ref.where(F.col("vec_id") % 4 == 0), d, model)
+    ivf_index_merge(ref.where(F.col("vec_id") % 4 == 2), d)
+    R = {r.vec_id: np.array(r.embedding) for r in ref.collect()}
+    B = {r.vec_id: np.array(r.embedding) for r in batch.collect()}
+    Rm = np.stack(list(R.values()))
+    Rn = Rm / np.linalg.norm(Rm, axis=1, keepdims=True)
+    maxcos = {vid: round(float((Rn @ (v / np.linalg.norm(v))).max()), 6)
+              for vid, v in B.items()}
+    # data-derived threshold: median nearest-ref cosine, so BOTH drop
+    # and survive sides are non-trivial at any sf
+    thr = float(np.median(list(maxcos.values())))
+    got = sorted(r.vec_id for r in semantic_dedup_against(
+        d, threshold=thr, nprobe=4)(batch).select("vec_id").collect())
+    want = [vid for vid, c in maxcos.items() if c < thr]
+    assert got == sorted(want)
+    assert 0 < len(got) < batch.count()
+    # clones of indexed vectors always drop (cosine 1.0)
+    clones = ref.limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label",
+        "embedding")
+    assert semantic_dedup_against(d, threshold=0.99,
+                                  nprobe=4)(clones).count() == 0
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup_against(d, threshold=0.0)
+
+
+def test_semantic_dedup_against_gemm_kernel(spark, tmp_path):
+    """The gemm kernel keeps the same survivor set (the ann_join
+    kernel law carried through the dedup composition)."""
+    from conduino_spark import (ivf_index_write, kmeans_fit,
+                                semantic_dedup_against)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "ivf")
+    ivf_index_write(ref, d, kmeans_fit(ref, k=4, iters=1))
+    import numpy as np
+    R = np.stack([np.array(r.embedding) for r in ref.collect()])
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    mx = [float((Rn @ (np.array(r.embedding)
+                       / np.linalg.norm(r.embedding))).max())
+          for r in batch.collect()]
+    thr = float(np.median(mx))
+    a = sorted(r.vec_id for r in semantic_dedup_against(
+        d, threshold=thr, nprobe=2)(batch).collect())
+    b = sorted(r.vec_id for r in semantic_dedup_against(
+        d, threshold=thr, nprobe=2, kernel="gemm")(batch).collect())
+    assert a == b and len(a) > 0
