@@ -1387,11 +1387,36 @@ def q_bigram_logprob_docs(spark, sf):
 
 def q_semantic_dedup(spark, sf):
     # r6 second half: SemDeDup greedy survivor set over IVF-bucketed
-    # cosine pairs; DuckDB replay oracle in tests/test_round6b.py
-    from conduino_spark import semantic_dedup
+    # cosine pairs; DuckDB replay oracle in tests/test_round6b.py.
+    # r12 arm: embedding dedup-AGAINST — odd vectors surviving the
+    # persisted IVF index (write %4==0 + merge %4==2, memoized) at
+    # nprobe = n_cells, so the probe is exhaustive and the oracle is
+    # the brute NOT-EXISTS cosine rule (exact law in test_round12) —
+    # the fourth modality's dedup-against joins the gate.
+    import os as _os
+    from conduino_spark import (ivf_index_merge, ivf_index_write,
+                                kmeans_fit, semantic_dedup,
+                                semantic_dedup_against)
     emb = _src(sf, "embeddings").df(spark)
-    return (semantic_dedup(threshold=0.2, bucket_col="label")(emb)
-            .select("vec_id"))
+    greedy = (semantic_dedup(threshold=0.2, bucket_col="label")(emb)
+              .select("vec_id", F.lit("greedy").alias("part")))
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    # deterministic tenth of the ids (all odd) as the daily batch —
+    # the exhaustive exact-kernel probe stays within the pin budget
+    batch = emb.where(F.col("vec_id") % 10 == 1)
+
+    def _build(d_):
+        ivf_index_write(ref.where(F.col("vec_id") % 4 == 0), d_,
+                        kmeans_fit(ref, k=4, iters=1))
+        ivf_index_merge(ref.where(F.col("vec_id") % 4 == 2), d_)
+        _touch(_os.path.join(d_, "_MERGED_OK"))
+
+    d = _index_memo_dir(sf, "embeddings", "sda_idx", "v1",
+                        "_MERGED_OK", _build)
+    against = (semantic_dedup_against(d, threshold=0.35,
+                                      nprobe=4)(batch)
+               .select("vec_id", F.lit("against").alias("part")))
+    return greedy.unionByName(against)
 
 
 # --------------------------------------------------------------------------
@@ -5210,8 +5235,19 @@ def oracle_sql() -> dict[str, str]:
                        WHERE round(list_sum([a.v[i] * b.v[i]
                                     for i in range(1, len(a.v) + 1)])
                                    / (a.n * b.n), 6) >= 0.2)
-            SELECT vec_id FROM embeddings
-            WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+            SELECT vec_id, 'greedy' AS part FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+            UNION ALL
+            -- r12 'against' arm: exhaustive-probe dedup against the
+            -- persisted IVF reference == brute NOT-EXISTS cosine rule
+            SELECT b.vec_id, 'against' AS part
+            FROM base b
+            WHERE b.vec_id % 10 = 1 AND NOT EXISTS (
+              SELECT 1 FROM base r
+              WHERE r.vec_id % 2 = 0
+                AND round(list_sum([b.v[i] * r.v[i]
+                             for i in range(1, len(b.v) + 1)])
+                          / (b.n * r.n), 6) >= 0.35)""",
         "source_overlap_docs": f"""
             WITH tk AS (SELECT source, {toks} AS t FROM documents),
             sh AS (SELECT DISTINCT source,
