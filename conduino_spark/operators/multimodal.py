@@ -29,9 +29,13 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
   (operators/avi.py container walk + the real JPEG decoder per
   frame); :func:`video_metadata` and :func:`frame_sample` consume it,
   the sampled frames being the stream's own JPEG blobs bit-equal.
-* ``codec='real'`` — the remaining slots (webp images; mp3/ogg audio;
-  mp4/webm video) raise ``NotImplementedError`` until PIL/soundfile/
-  ffmpeg land (environmental — lossy DSP formats).
+* ``codec='webp'`` (r12) — REAL lossless WebP (operators/webp.py):
+  the full VP8L bitstream — prefix codes, meta-prefix groups, color
+  cache, 2-D-mapped LZ77, and all four transforms — in pure
+  Python + numpy; the lossy VP8 profile raises.
+* ``codec='real'`` — the remaining slots (lossy-VP8 webp; mp3/ogg
+  audio; mp4/webm video) raise ``NotImplementedError`` until
+  PIL/soundfile/ffmpeg land (environmental — lossy DSP formats).
 * ``codec='fake'`` (default) — deterministic byte-digest fake, the
   test double that exercises the distributed pipeline at any scale.
 
@@ -559,6 +563,10 @@ def _real_image_codec(codec: str):
         return decode_tiff, encode_tiff
     if codec == "pnm":
         return decode_pnm, encode_pnm
+    if codec == "webp":
+        from conduino_spark.operators.webp import (decode_webp,
+                                                   encode_webp)
+        return decode_webp, encode_webp
     return None
 
 
@@ -572,8 +580,8 @@ def image_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "bmp/png/jpeg decode for REAL via codec= — "
-                        "wire PIL here only for webp")
+                        "bmp/png/jpeg/webp decode for REAL via "
+                        "codec= — wire PIL here only for lossy VP8")
                 if _real_image_codec(codec):
                     # REAL decode (r10 bmp; r11 png + baseline jpeg):
                     # pure numpy + stdlib, no codec library
@@ -682,8 +690,8 @@ def image_resize(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "bmp/png/jpeg resize for REAL via codec= — "
-                        "wire PIL here only for webp")
+                        "bmp/png/jpeg/webp resize for REAL via "
+                        "codec= — wire PIL here only for lossy VP8")
                 if _real_image_codec(codec):
                     # REAL nearest-neighbor resize (r10 bmp; r11 png +
                     # jpeg): decode, index-map, re-encode.  Each codec
@@ -955,7 +963,7 @@ def sniff_format(binary_col: str = "content", *,
 
 #: codecs media_profile can dispatch per row, grouped by kind
 _AUDIO_CODECS = ("wav", "flac", "aiff")
-_IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm")
+_IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm", "webp")
 
 
 def media_profile(binary_col: str = "content", id_col: str = "id", *,
