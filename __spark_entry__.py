@@ -2854,6 +2854,7 @@ def _synth_media_blobs(spark, sf):
         import pandas as pd
         from conduino_spark import (encode_aiff, encode_png, encode_pnm,
                                     encode_tiff, encode_wav)
+        from conduino_spark.operators.webp import encode_webp
         for pdf in batches:
             ids, blobs = [], []
             for i in pdf["doc_id"]:
@@ -2889,6 +2890,19 @@ def _synth_media_blobs(spark, sf):
                       % 18001 - 9000).astype(np.int16)
                 ids.append(i)
                 blobs.append(encode_aiff(x4, 16000))
+                # r12b: lossless WebP (VP8L) joins the hash gate —
+                # the encoder option mix rotates through all 14
+                # predictor modes and both cache settings across
+                # doc_ids, so the gate hash covers the whole
+                # predictor/cache surface of the codec
+                h5, w5 = 5 + i % 3, 4 + i % 4
+                img5 = ((np.arange(h5 * w5 * 3, dtype=np.int64)
+                         * (11 + i) + 3 * i) % 233).astype("uint8") \
+                    .reshape(h5, w5, 3)
+                ids.append(i)
+                blobs.append(encode_webp(
+                    img5, use_palette=False, predictor_mode=i % 14,
+                    cache_bits=(i % 2) * 4))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3473,6 +3487,25 @@ def _sql_profile_docs() -> str:
                     AS VARCHAR) AS max
         FROM (SELECT doc_id AS i,
                      unnest(range(0, 80 + (doc_id % 5) * 40)) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # webp arm (r12b): h=5+i%3, w=4+i%4, c=3, pixel_j=(j*(11+i)+3i)%233
+    # — the VP8L codec is lossless, so the decoded stats equal the
+    # formula stats; the Spark side rotates through all 14 predictor
+    # modes + both cache settings, so a defect in ANY of them breaks
+    # this hash
+    arms.append("""
+        SELECT 'mm' AS part, 'webp:' || i AS "column",
+               (5 + i % 3) * (4 + i % 4) * 3 AS n_rows,
+               (5 + i % 3) * 1000000 + (4 + i % 4) * 1000 + 3
+                   AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (11 + i) + 3 * i) % 233) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (11 + i) + 3 * i) % 233) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (5 + doc_id % 3) * (4 + doc_id % 4)
+                                     * 3)) AS j
               FROM documents)
         GROUP BY ALL""")
     return " UNION ALL ".join(arms)
