@@ -2645,10 +2645,28 @@ def q_knn_methods(spark, sf):
     lshm = q_knn_lsh_probe_merged(spark, sf).select(
         F.lit("lshm").alias("method"), "vec_id",
         F.col("cosine").alias("score"))
+    # r12b ninth arm: MMR diversity selection over the brute top-10
+    # (operators/rerank.mmr_select, kernel='exact') — the standard
+    # de-redundancy pass between candidate generation and consumption;
+    # rank and marginal score ride one double (rank*10 + mmr, exact:
+    # one int-scaled multiply + one add on both engines), so selection
+    # ORDER hash-verifies, not just membership.
+    from conduino_spark import mmr_select
+    emb_df = _src(sf, "embeddings").df(spark)
+    cand = (q_knn_bruteforce(spark, sf)
+            .join(emb_df.select("vec_id", "embedding"), "vec_id")
+            .select(F.lit(0).alias("qid"), "vec_id",
+                    F.col("cosine").alias("rel"), "embedding"))
+    mmr = (mmr_select(k=5, lam=0.7, query_col="qid", id_col="vec_id",
+                      rel_col="rel", vec_col="embedding",
+                      kernel="exact")(cand)
+           .select(F.lit("mmr").alias("method"), "vec_id",
+                   (F.col("mmr_rank").cast("double") * F.lit(10.0)
+                    + F.col("mmr_score")).alias("score")))
     return (brute.unionByName(ivf).unionByName(lsh)
             .unionByName(cells).unionByName(bm25)
             .unionByName(bm25i).unionByName(phrase)
-            .unionByName(lshm))
+            .unionByName(lshm).unionByName(mmr))
 
 
 def q_ivf_search_topk(spark, sf):
@@ -3805,6 +3823,34 @@ def _sql_srp_bucket(vexpr: str, dim: int = 64) -> str:
             f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
             f"j -> {vexpr}[j] * ({lit})[j])) > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_knn_mmr(k: int = 5, lam: float = 0.7) -> str:
+    """DuckDB replay of the knn_methods 'mmr' arm: the brute top-10
+    for QUERY_KNN_ID re-joined to its embeddings, then the greedy MMR
+    rounds unrolled as static CTEs (operators/rerank.mmr_select_sql —
+    the _sql_bpe_train precedent for iterative selection)."""
+    from conduino_spark.operators.rerank import mmr_select_sql
+    cand = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = {QUERY_KNN_ID}),
+        scored AS (
+            SELECT vec_id,
+                   ROUND(list_sum([v[i] * qv[i]
+                                   for i in range(1, len(v) + 1)])
+                         / (sqrt(list_sum([x * x for x in v]))
+                            * sqrt(list_sum([x * x for x in qv]))), 6)
+                       AS cosine
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings), q),
+        top10 AS (SELECT vec_id, cosine FROM scored
+                  ORDER BY cosine DESC, vec_id LIMIT 10)
+        SELECT 0 AS qid, t.vec_id AS vec_id, t.cosine AS rel,
+               e.embedding::DOUBLE[] AS embedding
+        FROM top10 t JOIN embeddings e USING (vec_id)"""
+    return mmr_select_sql(cand, k=k, lam=lam, query_col="qid",
+                          id_col="vec_id", rel_col="rel",
+                          vec_col="embedding")
 
 
 def _sql_knn_lsh_probe(k: int = 10, dim: int = 64) -> str:
@@ -5003,7 +5049,15 @@ def oracle_sql() -> dict[str, str]:
             -- r11 merged-index arm: write(even)+merge(odd) must
             -- reproduce the full-corpus SRP probe bit-for-bit
             SELECT 'lshm' AS method, vec_id, cosine AS score
-            FROM ({_sql_knn_lsh_probe()})""",
+            FROM ({_sql_knn_lsh_probe()})
+            UNION ALL
+            -- r12b MMR arm: greedy diversity selection over the brute
+            -- top-10, every selection round unrolled as a CTE
+            -- (operators/rerank.mmr_select_sql); rank*10 + marginal
+            -- rides one double so selection ORDER is hash-gated
+            SELECT 'mmr' AS method, vec_id,
+                   mmr_rank * 10 + mmr_score AS score
+            FROM ({_sql_knn_mmr()})""",
         # r10: absorbs sessionize_events (join on event_id)
         "rolling_user_day": _SQL_SESSIONIZE + """
             SELECT r.event_id, r.n, r.sum_v, l.user_id, l.session_id

@@ -92,6 +92,7 @@ from conduino_spark.operators.search import (
     bm25_search,
     build_postings, phrase_search, rrf_fuse,
 )
+from conduino_spark.operators.rerank import mmr_select
 from conduino_spark.operators.similarity import (
     KMeansModel, SQModel, ann_join, ann_recall, cell_centroids, cosine_to,
     ivf_build, ivf_index_join, ivf_index_merge, ivf_index_write,

@@ -1,0 +1,208 @@
+"""MMR diversity selection: pure-Python reference law, exact==grouped
+kernel agreement, DuckDB bit replay of the unrolled selection rounds,
+edge cases, and the one-shuffle plan shape.
+
+Reference anchor: conduino has no retrieval ops — north-star engine
+extension (SURVEY §7, M6).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from conduino_spark.operators.rerank import mmr_select, mmr_select_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_mmr(cands, k, lam):
+    """Independent brute-force MMR over [(id, rel, vec)] — sequential
+    folds + 6dp rounds, ties to smallest id."""
+    def r6(x):
+        return round(x, 6)
+
+    def cos(u, v):
+        s = n1 = n2 = 0.0
+        for x, y in zip(u, v):
+            s += x * y
+            n1 += x * x
+            n2 += y * y
+        return r6(s / (n1 ** 0.5 * n2 ** 0.5))
+
+    pool = sorted(((i, r6(rel), vec) for i, rel, vec in cands),
+                  key=lambda t: t[0])
+    picked, out = [], []
+    for rank in range(1, min(k, len(pool)) + 1):
+        best = None
+        for i, rel, vec in pool:
+            if any(p[0] == i for p in picked):
+                continue
+            maxsim = None
+            for j, _, pv, _m in picked:
+                s = cos(vec, pv)
+                if maxsim is None or s > maxsim:
+                    maxsim = s
+            m = lam * rel if maxsim is None \
+                else lam * rel - (1.0 - lam) * maxsim
+            if best is None or m > best[3]:
+                best = (i, rel, vec, m)
+        out.append((best[0], rank, best[3]))
+        picked.append(best)
+    return out
+
+
+def _cands(seed=0, n_queries=3, n_cand=8, dim=6):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for q in range(n_queries):
+        for c in range(n_cand):
+            vec = [float(x) for x in
+                   np.round(rng.normal(size=dim), 3)]
+            rel = float(np.round(rng.uniform(0.1, 1.0), 3))
+            rows.append((q, q * 100 + c, rel, vec))
+    return rows
+
+
+@pytest.mark.parametrize("kernel", ["exact", "grouped"])
+def test_mmr_matches_reference(spark, kernel):
+    rows = _cands(seed=1)
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, "
+              "embedding array<double>")
+    got = mmr_select(k=4, lam=0.7, kernel=kernel)(df) \
+        .orderBy("query_id", "mmr_rank").collect()
+    for q in range(3):
+        ref = _ref_mmr([(i, r, v) for qq, i, r, v in rows if qq == q],
+                       4, 0.7)
+        mine = [(r.doc_id, r.mmr_rank, r.mmr_score)
+                for r in got if r.query_id == q]
+        assert [(a, b) for a, b, _ in ref] == \
+            [(a, b) for a, b, _ in mine]
+        if kernel == "exact":
+            assert ref == mine           # scores bit-equal too
+
+
+def test_mmr_kernels_agree(spark):
+    df = spark.createDataFrame(
+        _cands(seed=2, n_queries=4, n_cand=10),
+        "query_id long, doc_id long, score double, "
+        "embedding array<double>")
+    a = sorted((r.query_id, r.doc_id, r.mmr_rank) for r in
+               mmr_select(k=5, lam=0.5, kernel="exact")(df).collect())
+    b = sorted((r.query_id, r.doc_id, r.mmr_rank) for r in
+               mmr_select(k=5, lam=0.5, kernel="grouped")(df).collect())
+    assert a == b
+
+
+def test_mmr_duckdb_bit_replay(spark):
+    rows = _cands(seed=3, n_queries=3, n_cand=7, dim=5)
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, "
+              "embedding array<double>")
+    got = sorted((r.query_id, r.doc_id, r.mmr_rank, r.mmr_score)
+                 for r in mmr_select(k=4, lam=0.7,
+                                     kernel="exact")(df).collect())
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE cand (query_id BIGINT, doc_id BIGINT,
+                   score DOUBLE, embedding DOUBLE[])""")
+    con.executemany("INSERT INTO cand VALUES (?, ?, ?, ?)", rows)
+    sql = mmr_select_sql("SELECT * FROM cand", k=4, lam=0.7)
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == oracle                 # ids, ranks AND scores
+
+
+def test_mmr_diversifies_duplicates(spark):
+    # two near-identical high-relevance docs: plain top-2 takes both,
+    # MMR (lam=0.5) takes one and the distinct lower-relevance doc
+    rows = [
+        (1, 10, 1.00, [1.0, 0.0, 0.0]),
+        (1, 11, 0.99, [0.999, 0.01, 0.0]),
+        (1, 12, 0.60, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, "
+              "embedding array<double>")
+    got = mmr_select(k=2, lam=0.5)(df).orderBy("mmr_rank").collect()
+    assert [r.doc_id for r in got] == [10, 12]
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    rows = _cands(seed=4, n_queries=2, n_cand=6)
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, "
+              "embedding array<double>")
+    got = mmr_select(k=3, lam=1.0)(df).collect()
+    for q in (0, 1):
+        pool = sorted(((r, i) for qq, i, r, v in rows if qq == q),
+                      key=lambda t: (-round(t[0], 6), t[1]))
+        want = [i for _, i in pool[:3]]
+        mine = [r.doc_id for r in sorted(
+            (x for x in got if x.query_id == q),
+            key=lambda x: x.mmr_rank)]
+        assert mine == want
+
+
+def test_mmr_edges_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0.9, [1.0, 0.0]),
+         (1, None, 0.8, [0.0, 1.0]),            # NULL id dropped
+         (1, 12, None, [0.0, 1.0]),             # NULL rel dropped
+         (1, 13, 0.7, None),                    # NULL vec dropped
+         (2, 20, 0.5, [1.0, 1.0])],             # pool smaller than k
+        "query_id long, doc_id long, score double, "
+        "embedding array<double>")
+    got = mmr_select(k=3)(df).collect()
+    assert sorted((r.query_id, r.doc_id) for r in got) == \
+        [(1, 10), (2, 20)]
+    assert all(r.mmr_rank == 1 for r in got)
+    with pytest.raises(ValueError):
+        mmr_select(k=0)
+    with pytest.raises(ValueError):
+        mmr_select(lam=0.0)
+    with pytest.raises(ValueError):
+        mmr_select(lam=1.5)
+    with pytest.raises(ValueError):
+        mmr_select(kernel="fast")
+
+
+def test_mmr_plan_is_one_shuffle(spark):
+    df = spark.createDataFrame(
+        _cands(), "query_id long, doc_id long, score double, "
+                  "embedding array<double>")
+    plan = mmr_select(k=3)(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert plan.count("Exchange") <= 1
+
+
+def test_mmr_over_real_embeddings(spark):
+    # end-to-end over the testdata embeddings table: candidates =
+    # 8 nearest by raw dot to 2 probe vectors, then MMR-diversify
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+    probes = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("embedding"),
+                   lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    from pyspark.sql import Window
+    cand = (probes.crossJoin(emb.select("vec_id", "embedding"))
+            .withColumn("score", dot)
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("score"), "vec_id")))
+            .where(F.col("rn") <= 8)
+            .select("query_id", F.col("vec_id").alias("doc_id"),
+                    "score", "embedding"))
+    got = mmr_select(k=4, lam=0.6)(cand).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 2
+    for q, rows in by_q.items():
+        assert [r.mmr_rank for r in
+                sorted(rows, key=lambda r: r.mmr_rank)] == [1, 2, 3, 4]
+        # rank 1 is the query vector itself (max self-dot relevance)
+        assert sorted(rows, key=lambda r: r.mmr_rank)[0].doc_id == q
