@@ -1023,8 +1023,25 @@ def q_dedup_against(spark, sf):
                           "_MERGED_OK", _build_sh)
     shidx = (simhash_index_dedup(dsh)(batch)
              .select("doc_id", F.lit("shidx").alias("policy")))
+    # r12b sixth arm: the EIGHTH index family (exact content-hash
+    # reference) rides the pin — write(%4==0)+merge(%4==2) persisted
+    # md5-digest index, batch survivors = docs whose exact text is
+    # NOT in the reference (broadcast probe + DPP); the oracle is the
+    # brute NOT-EXISTS md5 replay.
+    from conduino_spark import (dedup_exact_against, exact_index_merge,
+                                exact_index_write)
+
+    def _build_x(d_):
+        exact_index_write(corpus.where(F.col("doc_id") % 4 == 0), d_)
+        exact_index_merge(corpus.where(F.col("doc_id") % 4 == 2), d_)
+        _touch(_os.path.join(d_, "_MERGED_OK"))
+
+    dx = _index_memo_dir(sf, "documents", "x_merged_idx", "v1",
+                         "_MERGED_OK", _build_x)
+    xidx = (dedup_exact_against(dx)(batch)
+            .select("doc_id", F.lit("xidx").alias("policy")))
     return (against.unionByName(exact).unionByName(idx)
-            .unionByName(sh).unionByName(shidx))
+            .unionByName(sh).unionByName(shidx).unionByName(xidx))
 
 
 def q_mixture_sample(spark, sf):
@@ -5117,7 +5134,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
               SELECT 1 FROM (""" + _sql_simhash() + """) r
               WHERE r.doc_id % 2 = 0
-                AND bit_count(xor(b.simhash, r.simhash)) <= 3)""",
+                AND bit_count(xor(b.simhash, r.simhash)) <= 3)
+            UNION ALL
+            -- r12b 'xidx' arm: the EIGHTH index family (exact md5
+            -- reference, write+merge) — brute NOT-EXISTS replay
+            SELECT b.doc_id, 'xidx' AS policy FROM documents b
+            WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE r.doc_id % 2 = 0 AND md5(r.text) = md5(b.text))""",
         "mixture_sample": f"""
             SELECT doc_id, 'even' AS mix_source FROM documents
             WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL

@@ -66,9 +66,11 @@ from conduino_spark.operators.text import (
 from conduino_spark.operators.dedup import (
     cosine_prefix_pairs,
     edit_distance_pairs,
-    decontaminate, dedup_exact, dup_span_stats, dup_span_trim,
+    decontaminate, dedup_exact, dedup_exact_against, dup_span_stats,
+    dup_span_trim,
     dup_span_flag_against, dup_span_trim_against, dupspan_index_merge,
     dupspan_index_write,
+    exact_index_merge, exact_index_write,
     embedding_near_dup_pairs,
     jaccard_prefix_pairs, lsh_candidate_prob, minhash_dedup, semantic_dedup,
     semantic_dedup_against,

@@ -219,6 +219,97 @@ def dedup_exact(text_col: str = "text", id_col: str = "doc_id", *,
     return Stage(fn, name="dedup_exact", seq_preserving=False)
 
 
+def exact_index_write(corpus: DataFrame, path: str, *,
+                      text_col: str = "text", n_shards: int = 64,
+                      mode: str = "overwrite") -> None:
+    """Materialize the EXACT dedup reference — the EIGHTH persisted
+    index family (bm25/ivf/ivfpq/lsh/minhash/dupspan/simhash
+    siblings), closing the dedup-against set across every modality
+    (exact bytes here; shingle sets = minhash, token profiles =
+    simhash, substrings = dupspan, embeddings = ivf): the DISTINCT
+    ``md5(text)`` digests of the kept corpus, ``partitionBy(pt)`` with
+    ``pt = h32(digest) % n_shards``, so a daily batch drops its exact
+    clones of yesterday's corpus (:func:`dedup_exact_against`) without
+    re-hashing it.  Digests only, never text — membership is all an
+    exact-match probe needs.  ``_meta`` (n_shards) is written
+    DRIVER-side (operators/smallio)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keys = (corpus.select(F.md5(F.col(text_col)).alias("digest"))
+                  .distinct()
+                  .withColumn("pt", F.pmod(h32(F.col("digest")),
+                                           F.lit(n_shards))))
+    (keys.repartition(min(n_shards, 32), "pt")
+         .write.partitionBy("pt").mode(mode).parquet(f"{path}/keys"))
+    import pyarrow as pa
+    from conduino_spark.operators.smallio import driver_parquet_write
+    driver_parquet_write(
+        f"{path}/_meta",
+        pa.table({"n_shards": pa.array([int(n_shards)], pa.int32())}),
+        mode=mode)
+
+
+def _exact_index_meta(path: str) -> int:
+    from conduino_spark.operators.smallio import driver_parquet_read
+    try:
+        meta = driver_parquet_read(f"{path}/_meta")
+    except Exception as e:
+        raise ValueError(
+            f"no exact-dedup index at {path} (missing _meta): build "
+            f"one with exact_index_write before merging/probing") from e
+    if len(meta) != 1:
+        raise ValueError(f"corrupt _meta at {path}: {len(meta)} rows")
+    return int(meta[0]["n_shards"])
+
+
+def exact_index_merge(new_docs: DataFrame, path: str, *,
+                      text_col: str = "text") -> None:
+    """Fold a NEW kept batch's digests into a persisted
+    :func:`exact_index_write` index — one append under the STORED
+    n_shards.  md5 is a per-row function, so a probe against the
+    merged index equals one against a from-scratch rebuild over the
+    union corpus (membership is append-idempotent; law-tested).  Cost
+    scales with the new batch only."""
+    n_shards = _exact_index_meta(path)
+    keys = (new_docs.select(F.md5(F.col(text_col)).alias("digest"))
+                    .distinct()
+                    .withColumn("pt", F.pmod(h32(F.col("digest")),
+                                             F.lit(n_shards))))
+    (keys.repartition(min(n_shards, 32), "pt")
+         .write.partitionBy("pt").mode("append").parquet(f"{path}/keys"))
+
+
+def dedup_exact_against(path: str, text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        broadcast_batch: bool = True) -> Stage:
+    """Drop every incoming doc whose EXACT text (md5) already exists
+    in the persisted reference index — :func:`dedup_exact`'s
+    daily-crawl sibling (the reference holds the canonical copy).
+    Batch-internal duplicates are kept (compose :func:`dedup_exact`
+    for those) — a doc is dropped solely for matching the reference.
+
+    With ``broadcast_batch`` (default) the batch's digest probe
+    broadcasts carrying the shard key, so dynamic partition pruning
+    reads only the ``pt`` shard directories the batch hashes into;
+    set False for huge batches (plain shuffle join on (pt, digest))."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        n_shards = _exact_index_meta(path)
+        probe = (df.select(F.col(id_col),
+                           F.md5(F.col(text_col)).alias("digest"))
+                   .withColumn("pt", F.pmod(h32(F.col("digest")),
+                                            F.lit(n_shards))))
+        if broadcast_batch:
+            probe = F.broadcast(probe)
+        ref = spark.read.parquet(f"{path}/keys")
+        hits = (probe.join(ref, ["pt", "digest"])
+                     .select(id_col).distinct())
+        return df.join(hits, id_col, "anti")
+
+    return Stage(fn, name="dedup_exact_against", seq_preserving=False)
+
+
 def minhash_signatures(text_col: str = "text", id_col: str = "doc_id", *,
                        n_perm: int = MINHASH_K) -> Stage:
     """Per-doc MinHash signature (narrow projection, no shuffle)."""

@@ -527,6 +527,11 @@ def main() -> None:
             "tiff": (encode_tiff(img, packbits=True),
                      decode_tiff),
         }
+        from conduino_spark.operators.webp import (decode_webp,
+                                                   encode_webp)
+        fixtures["webp"] = (
+            encode_webp(img, use_palette=False, predictor_mode=7,
+                        cache_bits=6), decode_webp)
         def _out_bytes(v):
             # decoded payload size: (rate, nch, samples) for audio,
             # (frames, delays) for gif, ndarray for images
