@@ -2347,8 +2347,21 @@ def q_dsir_select_docs(spark, sf):
     tv = unigram_vocab()(docs.where(F.col("lang") == "en"))
     cv = unigram_vocab()(docs)
     scored = dsir_logratio(tv, cv, term_round=4)(docs)
-    return (dsir_topk(100, salt="dsir", temperature=2.0)(scored)
-            .select("doc_id", "dsir_logratio"))
+    dsir = (dsir_topk(100, salt="dsir", temperature=2.0)(scored)
+            .select(F.lit("dsir").alias("part"), "doc_id",
+                    F.col("dsir_logratio").alias("val")))
+    # r12b 'kc' arm: greedy k-center coreset selection (Gonzalez
+    # farthest-point, similarity.kcenter_select) — the second data-
+    # SELECTION strategy rides the selection pin; per-term scaled-long
+    # distances make every pick and its selection distance
+    # bit-replayable through the unrolled-CTE oracle.
+    from conduino_spark import kcenter_select
+    emb = _src(sf, "embeddings", min_partitions="auto").df(spark)
+    picks = kcenter_select(emb, k=5)
+    kc = spark.createDataFrame(
+        [(f"kc:{rnd}", int(i), float(mind)) for i, rnd, mind in picks],
+        "part string, doc_id long, val double")
+    return dsir.unionByName(kc)
 
 
 def q_web_ingest_pipeline(spark, sf):
@@ -3201,6 +3214,14 @@ def _sql_leakage_split(weights=None, salt: str = "lk") -> str:
         roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
         SELECT d.doc_id, {case} AS split
         FROM documents d LEFT JOIN roots ON roots.id = d.doc_id"""
+
+
+def _sql_kcenter(k: int = 5) -> str:
+    """DuckDB replay of the dsir_select_docs 'kc' arm — greedy
+    k-center over the embeddings table (similarity.kcenter_select_sql,
+    k rounds unrolled as static CTEs)."""
+    from conduino_spark.operators.similarity import kcenter_select_sql
+    return kcenter_select_sql("SELECT * FROM embeddings", k=k)
 
 
 def _sql_dsir_select(k: int = 100, salt: str = "dsir",
@@ -5442,7 +5463,16 @@ def oracle_sql() -> dict[str, str]:
         # its slot now gates leakage_split_docs, whose recursive-CTE
         # replay is bit-for-bit.
         "leakage_split_docs": _sql_leakage_split(),
-        "dsir_select_docs": _sql_dsir_select(),
+        # r12b: the selection pin carries both strategies — DSIR
+        # importance resampling and greedy k-center coresets
+        # (similarity.kcenter_select_sql, k rounds unrolled as CTEs)
+        "dsir_select_docs": f"""
+            SELECT 'dsir' AS part, doc_id, dsir_logratio AS val
+            FROM ({_sql_dsir_select()})
+            UNION ALL
+            SELECT 'kc:' || sel_round AS part, id AS doc_id,
+                   CAST(mind AS DOUBLE) AS val
+            FROM ({_sql_kcenter()})""",
         "bpe_train_docs": _sql_bpe_train(64, 2, encode=True),
         # (r9: the standalone unigram_logprob_docs / dup_span_docs
         # oracles retired — they ride the bigram_logprob_docs lp_uni

@@ -100,7 +100,7 @@ from conduino_spark.operators.similarity import (
     ivf_build, ivf_index_join, ivf_index_merge, ivf_index_write,
     ivf_search, ivfpq_index_merge, ivfpq_index_read, ivfpq_index_write,
     ivfpq_search,
-    kmeans_assign, kmeans_fit,
+    kcenter_select, kcenter_select_sql, kmeans_assign, kmeans_fit,
     knn_brute, knn_lsh, lsh_bucket, lsh_index_merge, lsh_index_write,
     mine_hard_negatives,
     pq_encode, pq_search, sq_encode, sq_search, sq_train,

@@ -390,6 +390,107 @@ def kmeans_assign(model: KMeansModel, *, vec_col: str = "embedding",
                  seq_preserving=True)
 
 
+def kcenter_select(df: DataFrame, k: int = 8, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   scale: int = 1_000_000) -> "list[tuple]":
+    """Greedy k-center coreset selection (Gonzalez's farthest-point
+    traversal, 2-approximation): pick the min-id row as the seed, then
+    k-1 times the row FARTHEST from every pick so far — the standard
+    maximally-spread exemplar set for eval panels, seed centroids, and
+    diversity-first data selection (:func:`mmr_select`'s corpus-global
+    sibling: MMR diversifies per-query pools, k-center the corpus).
+
+    Returns the driver-sized artifact ``[(id, sel_round, mind)]``
+    (round 1..k, ``mind`` = squared-L2 distance to the nearest earlier
+    pick at selection time; 0 for the seed) — k rows by construction,
+    like :func:`kmeans_fit` returns its model.
+
+    Scale shape: round t is ONE narrow scan + one max-struct aggregate
+    (centers broadcast as literals, distances recomputed statelessly —
+    no lineage growth, no checkpoints); total k scans with O(k·d) work
+    per row in the last round.  Distances are per-term scaled-long
+    sums (``Σ round((x-y)²·scale)``, the PCA-moments convention), so
+    ties and picks replay bit-for-bit in any engine
+    (:func:`kcenter_select_sql`)."""
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).where(F.col("__id").isNotNull() & F.col("__v").isNotNull())
+
+    seed = base.orderBy("__id").first()
+    if seed is None:
+        raise ValueError("kcenter_select: no usable rows "
+                         "(NULL ids/vectors are excluded)")
+    sc = float(scale)
+
+    def dist_to(center):
+        cl = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), cl,
+                       lambda x, y: F.round((x - y) * (x - y) * sc)
+                       .cast("long")),
+            F.lit(0).cast("long"), lambda s, x: s + x)
+
+    picks = [(seed["__id"], 1, 0)]
+    centers = [list(seed["__v"])]
+    for rnd in range(2, k + 1):
+        mind = F.least(*[dist_to(c) for c in centers]) \
+            if len(centers) > 1 else dist_to(centers[0])
+        cand = base.where(~F.col("__id").isin(
+            [p[0] for p in picks]))
+        best = cand.agg(F.max(F.struct(
+            mind.alias("d"),
+            (F.col("__id") * F.lit(-1)).alias("ni")))).first()[0]
+        if best is None:
+            break                            # fewer than k rows
+        bid = -best["ni"]
+        picks.append((bid, rnd, int(best["d"])))
+        centers.append(list(
+            base.where(F.col("__id") == bid).first()["__v"]))
+    return picks
+
+
+def kcenter_select_sql(src_sql: str, k: int = 8, *,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       scale: int = 1_000_000) -> str:
+    """DuckDB rendering of :func:`kcenter_select` — the k greedy
+    rounds unrolled as static CTEs (the _sql_bpe_train precedent).
+    Returns ``(id, sel_round, mind)``."""
+    if k < 1:
+        raise ValueError("kcenter_select_sql: k must be >= 1")
+    dist = (f"CAST(list_sum([CAST(ROUND((b.v[i] - c.v[i]) "
+            f"* (b.v[i] - c.v[i]) * {float(scale)!r}) AS BIGINT) "
+            f"for i in range(1, len(b.v) + 1)]) AS BIGINT)")
+    parts = [f"""
+WITH __kb AS (
+    SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM ({src_sql})
+    WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
+),
+__kc1 AS (SELECT id, v FROM __kb ORDER BY id LIMIT 1),
+__kd1 AS (
+    SELECT b.id, b.v, {dist} AS mind
+    FROM __kb b, __kc1 c WHERE b.id <> c.id
+)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+__kc{t} AS (SELECT id, v, mind FROM __kd{t - 1}
+            ORDER BY mind DESC, id LIMIT 1),
+__kd{t} AS (
+    SELECT b.id, b.v, LEAST(b.mind, {dist}) AS mind
+    FROM __kd{t - 1} b, __kc{t} c WHERE b.id <> c.id
+)""")
+    rounds = ["SELECT id, 1 AS sel_round, CAST(0 AS BIGINT) AS mind "
+              "FROM __kc1"]
+    for t in range(2, k + 1):
+        rounds.append(f"SELECT id, {t} AS sel_round, mind "
+                      f"FROM __kc{t}")
+    parts.append("\n" + " UNION ALL ".join(rounds))
+    return "".join(parts)
+
+
 def ivf_search(query: Sequence[float], k: int = 10, *, vec_col: str = "embedding",
                id_col: str = "vec_id", cell_col: str = "label",
                nprobe: int = 2, centroids: Optional[DataFrame] = None,

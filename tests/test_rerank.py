@@ -206,3 +206,81 @@ def test_mmr_over_real_embeddings(spark):
                 sorted(rows, key=lambda r: r.mmr_rank)] == [1, 2, 3, 4]
         # rank 1 is the query vector itself (max self-dot relevance)
         assert sorted(rows, key=lambda r: r.mmr_rank)[0].doc_id == q
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (the corpus-global sibling)
+# ---------------------------------------------------------------------------
+
+def test_kcenter_matches_brute_reference(spark):
+    from conduino_spark import kcenter_select
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in
+                      np.round(rng.normal(size=4), 3)])
+            for i in range(25)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    got = kcenter_select(df, k=6)
+
+    # brute reference: same per-term scaled-long distances
+    def d2(u, v):
+        return sum(int(round((x - y) * (x - y) * 1e6))
+                   for x, y in zip(u, v))
+    vecs = dict(rows)
+    picks = [min(vecs)]
+    want = [(picks[0], 1, 0)]
+    for rnd in range(2, 7):
+        best = None
+        for i, v in sorted(vecs.items()):
+            if i in picks:
+                continue
+            mind = min(d2(v, vecs[p]) for p in picks)
+            if best is None or mind > best[1]:
+                best = (i, mind)
+        picks.append(best[0])
+        want.append((best[0], rnd, best[1]))
+    assert got == want
+
+
+def test_kcenter_duckdb_bit_replay(spark):
+    from conduino_spark import kcenter_select, kcenter_select_sql
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    got = kcenter_select(emb, k=5)
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW embeddings AS
+        SELECT * FROM '{SF}/embeddings.parquet'""")
+    sql = kcenter_select_sql(
+        "SELECT * FROM embeddings ORDER BY vec_id LIMIT 200", k=5)
+    want = sorted(con.execute(sql).fetchall(), key=lambda r: r[1])
+    assert [tuple(p) for p in got] == [tuple(w) for w in want]
+
+
+def test_kcenter_edges(spark):
+    from conduino_spark import kcenter_select
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (None, [9.0, 9.0]),
+         (3, None)],
+        "vec_id long, embedding array<double>")
+    got = kcenter_select(df, k=10)          # k > usable rows
+    assert [p[0] for p in got] == [1, 2]
+    assert got[0] == (1, 1, 0)
+    assert got[1][2] == 1_000_000           # (1-0)^2 * 1e6
+    one = kcenter_select(df, k=1)
+    assert one == [(1, 1, 0)]
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no usable rows"):
+        kcenter_select(empty, k=2)
+
+
+def test_kcenter_duplicate_vectors_tie_on_id(spark):
+    from conduino_spark import kcenter_select
+    df = spark.createDataFrame(
+        [(5, [0.0]), (6, [0.0]), (7, [10.0]), (8, [10.0])],
+        "vec_id long, embedding array<double>")
+    got = kcenter_select(df, k=3)
+    # seed = 5; farthest = 7 (ties 7 vs 8 -> smaller id); third round:
+    # all remaining have mind 0 -> smallest id 6
+    assert [p[0] for p in got] == [5, 7, 6]

@@ -442,6 +442,17 @@ def main() -> None:
                      lambda b, d: dupspan_index_merge(b, d),
                      newd, dc1, dcN)
 
+    if not ONLY or "exact_index_merge" in ONLY:
+        # r12b: the exact md5 reference (eighth family) joins the
+        # merge-flatness protocol
+        from conduino_spark import exact_index_merge, exact_index_write
+        newd = dc1.select((F.col("doc_id") + F.lit(900_000_000))
+                          .alias("doc_id"), "text")
+        _merge_probe("exact_index_merge",
+                     lambda c, d: exact_index_write(c, d, n_shards=64),
+                     lambda b, d: exact_index_merge(b, d),
+                     newd, dc1, dcN)
+
     def _blob_decode_probe():
         # r12 (VERDICT r11 #7): codec throughput measured, not guessed.
         # (a) Spark-path linearity: one wav + one png blob per doc
