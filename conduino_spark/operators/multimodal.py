@@ -32,7 +32,10 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
 * ``codec='webp'`` (r12) — REAL lossless WebP (operators/webp.py):
   the full VP8L bitstream — prefix codes, meta-prefix groups, color
   cache, 2-D-mapped LZ77, and all four transforms — in pure
-  Python + numpy; the lossy VP8 profile raises.
+  Python + numpy; ANIMATED lossless WebP rides
+  :func:`video_metadata` / :func:`frame_sample` (VP8X/ANMF walk,
+  frames re-emitted bit-equal); the lossy VP8 profile raises.
+  decode_wav additionally grew the IEEE-float variant (fmt 3).
 * ``codec='real'`` — the remaining slots (lossy-VP8 webp; mp3/ogg
   audio; mp4/webm video) raise ``NotImplementedError`` until
   PIL/soundfile/ffmpeg land (environmental — lossy DSP formats).
@@ -148,8 +151,10 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1, *,
 
     ``fmt`` (r11): ``'pcm16'`` (default), ``'alaw'`` / ``'mulaw'``
     (G.711 — nearest-level compression against this module's exact
-    expansion), or ``'ima'`` (mono IMA ADPCM, ``block_align`` bytes
-    per block)."""
+    expansion), ``'ima'`` (mono IMA ADPCM, ``block_align`` bytes per
+    block), or ``'float32'`` (r12b — IEEE-float full-scale ±1.0,
+    int16 values exactly representable so the round trip is
+    bit-exact)."""
     import numpy as _np
     arr = _np.asarray(samples, dtype="<i2")
     if fmt == "pcm16":
@@ -160,6 +165,11 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1, *,
         tag, bits = (6 if fmt == "alaw" else 7), 8
         payload = _g711_compress(arr, expand).tobytes()
         block = n_channels
+    elif fmt == "float32":
+        tag, bits = 3, 32
+        payload = (arr.astype(_np.float64) / 32768.0) \
+            .astype("<f4").tobytes()
+        block = 4 * n_channels
     elif fmt == "ima":
         if n_channels != 1:
             raise ValueError("IMA ADPCM writer: only mono supported")
@@ -260,8 +270,10 @@ def decode_wav(data: bytes):
     Walks the chunk list (tolerates extra chunks in any order).
 
     Formats (r11 grew the telephony/compressed variants): PCM-16
-    (fmt 1), G.711 A-law (fmt 6) and μ-law (fmt 7) expanded to int16
-    exactly per the ITU tables, and mono IMA ADPCM (fmt 0x11).
+    (fmt 1), IEEE-float 32/64-bit (fmt 3, r12b — full-scale ±1.0 ≙
+    ±32768, clamped), G.711 A-law (fmt 6) and μ-law (fmt 7) expanded
+    to int16 exactly per the ITU tables, and mono IMA ADPCM
+    (fmt 0x11).
     Anything else raises ValueError — feed through
     :func:`sniff_format` first at scale."""
     import numpy as _np
@@ -290,10 +302,14 @@ def decode_wav(data: bytes):
             if afmt == 1 and bits != 16:
                 raise ValueError(f"only 16-bit PCM supported "
                                  f"(bits={bits})")
-            if afmt not in (1, 6, 7, 0x11):
+            if afmt == 3 and bits not in (32, 64):
+                raise ValueError(f"IEEE-float WAV must be 32/64-bit "
+                                 f"(bits={bits})")
+            if afmt not in (1, 3, 6, 7, 0x11):
                 raise ValueError(
-                    f"unsupported WAV format {afmt} (PCM-16, G.711 "
-                    f"A-law/mu-law, and mono IMA ADPCM decode here)")
+                    f"unsupported WAV format {afmt} (PCM-16, "
+                    f"IEEE-float, G.711 A-law/mu-law, and mono IMA "
+                    f"ADPCM decode here)")
             if afmt == 0x11 and nch != 1:
                 raise ValueError("IMA ADPCM: only mono supported")
         elif tag == b"fact" and len(body) >= 4:
@@ -303,7 +319,13 @@ def decode_wav(data: bytes):
         pos += 8 + size + (size & 1)   # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("missing fmt /data chunk")
-    if afmt == 6:
+    if afmt == 3:
+        # IEEE-float (r12b): full-scale ±1.0 ≙ ±32768, clamped —
+        # the DAW/ML-pipeline interchange variant
+        f = _np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        samples = _np.clip(_np.round(f * 32768.0), -32768,
+                           32767).astype(_np.int16)
+    elif afmt == 6:
         samples = _alaw_to_pcm16(_np.frombuffer(pcm, _np.uint8))
     elif afmt == 7:
         samples = _mulaw_to_pcm16(_np.frombuffer(pcm, _np.uint8))
@@ -744,7 +766,13 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
     sampled frames are the stream's own JPEG blobs re-emitted AS-IS
     (no re-encode generation loss; ``image_resize(codec='jpeg')``
     composes downstream).  The walk early-stops after the last needed
-    frame.  mp4/webm keep the ffmpeg raise slot."""
+    frame.
+
+    ``codec='webp'`` (r12b) is REAL: animated lossless WebP
+    (VP8X/ANMF walk, operators/webp.py) — sampled frames are the
+    stream's own VP8L bitstreams re-wrapped as standalone WebP files
+    (the AVI bit-preserving convention); a static WebP yields itself
+    as frame 0.  mp4/webm keep the ffmpeg raise slot."""
 
     def fn(df: DataFrame) -> DataFrame:
         def run(batches: Iterable[pd.DataFrame]):
@@ -773,6 +801,27 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
                     need = 1 + (max_frames - 1) * every_n
                     for vid, b in zip(pdf[id_col], pdf[binary_col]):
                         _, _, _, blobs = decode_avi(
+                            b if b is not None else b"",
+                            max_frames=need)
+                        taken = 0
+                        for i in range(0, len(blobs), every_n):
+                            if taken >= max_frames:
+                                break
+                            ids.append(vid)
+                            fnos.append(i)
+                            frames.append(blobs[i])
+                            taken += 1
+                elif codec == "webp":
+                    # r12b: animated lossless WebP — the sampled
+                    # frames are the stream's own VP8L bitstreams
+                    # re-wrapped as standalone WebP files (the AVI
+                    # bit-preserving convention; image_resize(
+                    # codec='webp') composes downstream)
+                    from conduino_spark.operators.webp import \
+                        anim_frames
+                    need = 1 + (max_frames - 1) * every_n
+                    for vid, b in zip(pdf[id_col], pdf[binary_col]):
+                        blobs, _durs = anim_frames(
                             b if b is not None else b"",
                             max_frames=need)
                         taken = 0
@@ -828,6 +877,21 @@ def video_metadata(binary_col: str = "content", id_col: str = "id", *,
                         fps, w, h, blobs = decode_avi(
                             b if b is not None else b"")
                         rows.append((w, h, len(blobs), fps, "avi"))
+                elif codec == "webp":
+                    # r12b: animated lossless WebP — canvas dims from
+                    # the first frame, count from the ANMF walk, fps
+                    # from the mean frame duration (0 when static)
+                    from conduino_spark.operators.webp import (
+                        anim_frames, decode_webp)
+                    for b in pdf[binary_col]:
+                        blobs, durs = anim_frames(
+                            b if b is not None else b"")
+                        a = decode_webp(blobs[0])
+                        tot = sum(durs)
+                        fps = (round(1000 * len(durs) / tot)
+                               if tot > 0 else 0)
+                        rows.append((a.shape[1], a.shape[0],
+                                     len(blobs), fps, "webp"))
                 else:
                     for b in pdf[binary_col]:
                         d = hashlib.sha256(b or b"").digest()

@@ -663,6 +663,20 @@ def decode_webp(data: bytes):
         if tag == b"VP8 ":
             raise ValueError("webp: lossy VP8 payload — only the "
                              "lossless VP8L profile decodes here")
+        if tag == b"ANMF":
+            # animated file: decode the FIRST frame (the gif.py
+            # convention); frame_sample(codec='webp') is the 1:N path
+            sub = 16
+            while sub + 8 <= len(body):
+                stag = body[sub:sub + 4]
+                (ssize,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                if stag == b"VP8L":
+                    return decode_vp8l(body[sub + 8:sub + 8 + ssize])
+                if stag == b"VP8 ":
+                    raise ValueError("webp: lossy VP8 frame — only "
+                                     "the lossless VP8L profile "
+                                     "decodes here")
+                sub += 8 + ssize + (ssize & 1)
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk found")
 
@@ -1058,3 +1072,103 @@ def encode_webp(arr, **opts) -> bytes:
         chunk = payload
     body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF) — lossless frames only
+# ---------------------------------------------------------------------------
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def anim_frames(data: bytes, max_frames: "int | None" = None):
+    """Walk an animated WebP (VP8X with the animation flag) and return
+    ``(frame_blobs, durations_ms)`` where each frame blob is the
+    frame's own VP8L bitstream re-wrapped as a standalone WebP file —
+    bit-preserving, no decode/re-encode generation loss (the
+    operators/avi.py convention).  A non-animated file returns itself
+    as one frame with duration 0.  Lossy 'VP8 ' frames raise.  The
+    walk early-stops after ``max_frames``."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) blob")
+    frames = []
+    durations = []
+    pos = 12
+    animated = False
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            animated = bool(body[0] & 0x02)
+        elif tag == b"VP8L" and not animated:
+            return [data], [0]
+        elif tag == b"VP8 ":
+            raise ValueError("webp: lossy VP8 frame — only the "
+                             "lossless VP8L profile decodes here")
+        elif tag == b"ANMF":
+            dur = int.from_bytes(body[12:15], "little")
+            sub = 16
+            while sub + 8 <= len(body):
+                stag = body[sub:sub + 4]
+                (ssize,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                if stag == b"VP8L":
+                    payload = body[sub + 8:sub + 8 + ssize]
+                    frames.append(encode_webp_container(payload))
+                    durations.append(dur)
+                    break
+                if stag == b"VP8 ":
+                    raise ValueError("webp: lossy VP8 frame — only "
+                                     "the lossless VP8L profile "
+                                     "decodes here")
+                sub += 8 + ssize + (ssize & 1)
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames, durations
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("webp: no decodable frames found")
+    return frames, durations
+
+
+def encode_webp_container(vp8l_payload: bytes) -> bytes:
+    """Wrap a raw VP8L payload as a standalone RIFF/WEBP file."""
+    chunk = vp8l_payload + (b"\x00" if len(vp8l_payload) & 1 else b"")
+    body = b"WEBP" + b"VP8L" + struct.pack(
+        "<I", len(vp8l_payload)) + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_webp_anim(frames, durations_ms=None, **opts) -> bytes:
+    """Encode a list of (H, W, 3|4) uint8 arrays into an animated
+    lossless WebP (VP8X + ANIM + one full-canvas ANMF per frame).
+    All frames must share one shape.  Options forward to
+    :func:`encode_vp8l`."""
+    if not frames:
+        raise ValueError("encode_webp_anim: need at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    if durations_ms is None:
+        durations_ms = [100] * len(frames)
+    if len(durations_ms) != len(frames):
+        raise ValueError("encode_webp_anim: one duration per frame")
+    has_alpha = any(np.asarray(f).shape[2] == 4 for f in frames)
+    chunks = bytearray()
+    flags = 0x02 | (0x10 if has_alpha else 0)
+    vp8x = bytes([flags, 0, 0, 0]) + _u24(w - 1) + _u24(h - 1)
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<IH", 0xFFFFFFFF, 0)     # bg color, loop 0
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for arr, dur in zip(frames, durations_ms):
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.shape[:2] != (h, w):
+            raise ValueError("encode_webp_anim: frames must share "
+                             "one canvas shape")
+        payload = encode_vp8l(a, **opts)
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+        body = (_u24(0) + _u24(0) + _u24(w - 1) + _u24(h - 1)
+                + _u24(int(dur)) + bytes([0]) + sub)
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -284,3 +284,33 @@ def test_kcenter_duplicate_vectors_tie_on_id(spark):
     # seed = 5; farthest = 7 (ties 7 vs 8 -> smaller id); third round:
     # all remaining have mind 0 -> smallest id 6
     assert [p[0] for p in got] == [5, 7, 6]
+
+
+def test_mmr_microbatch_stream_equals_batch(spark, tmp_path):
+    """MMR on a query stream (the retrieval feedPipe law,
+    test_round10 conventions): selection is per-query-pool, so
+    candidate pools arriving as micro-batches re-rank exactly as the
+    batch run — foreachBatch union == batch, bit-for-bit."""
+    from pyspark.sql import functions as F
+    rows = _cands(seed=9, n_queries=6, n_cand=8)
+    cand = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, "
+              "embedding array<double>")
+    stage = mmr_select(k=4, lam=0.7, kernel="exact")
+    inbox = str(tmp_path / "inbox")
+    cand.where(F.col("query_id") < 3).coalesce(1) \
+        .write.parquet(f"{inbox}/b1")
+    cand.where(F.col("query_id") >= 3).coalesce(1) \
+        .write.parquet(f"{inbox}/b2")
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema(cand.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inbox}/*"))
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _bid:
+                       stage(b).write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in stage(cand).collect())
+    assert got == want and len(got) == 6 * 4

@@ -335,3 +335,113 @@ def test_image_resize_webp_roundtrip(spark):
     # nearest-neighbor: every resized pixel exists in the source
     src = {tuple(p) for p in a.reshape(-1, 3).tolist()}
     assert all(tuple(p) in src for p in resized.reshape(-1, 3).tolist())
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF)
+# ---------------------------------------------------------------------------
+
+def test_webp_anim_roundtrip_bit_preserving():
+    from conduino_spark.operators.webp import anim_frames, encode_webp_anim
+    rng = np.random.default_rng(1)
+    fr = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+          for _ in range(4)]
+    blob = encode_webp_anim(fr, [40, 50, 60, 70])
+    blobs, durs = anim_frames(blob)
+    assert durs == [40, 50, 60, 70]
+    for b, want in zip(blobs, fr):
+        np.testing.assert_array_equal(decode_webp(b), want)
+    b2, _ = anim_frames(blob, max_frames=2)
+    assert len(b2) == 2
+    # decode_webp on the animation returns the FIRST frame
+    np.testing.assert_array_equal(decode_webp(blob), fr[0])
+
+
+def test_webp_anim_static_passthrough_and_validation():
+    from conduino_spark.operators.webp import anim_frames, encode_webp_anim
+    plain = encode_webp(_gradient(5, 7))
+    bs, ds = anim_frames(plain)
+    assert bs == [plain] and ds == [0]
+    with pytest.raises(ValueError):
+        anim_frames(b"not webp")
+    with pytest.raises(ValueError, match="lossy"):
+        anim_frames(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00aaaa")
+    with pytest.raises(ValueError):
+        encode_webp_anim([])
+    with pytest.raises(ValueError, match="canvas"):
+        encode_webp_anim([_gradient(4, 4), _gradient(5, 5)])
+    with pytest.raises(ValueError, match="duration"):
+        encode_webp_anim([_gradient(4, 4)], [1, 2])
+
+
+def test_frame_sample_webp(spark):
+    from conduino_spark import frame_sample, image_resize
+    from conduino_spark.operators.webp import encode_webp_anim
+    rng = np.random.default_rng(3)
+    fr = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+          for _ in range(6)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_webp_anim(fr)))],
+        "id long, content binary")
+    out = frame_sample(codec="webp", every_n=2, max_frames=3)(df) \
+        .orderBy("frame_no").collect()
+    assert [r.frame_no for r in out] == [0, 2, 4]
+    for r in out:
+        np.testing.assert_array_equal(decode_webp(bytes(r.frame)),
+                                      fr[r.frame_no])
+    # sampled frames compose with image_resize(codec='webp')
+    from pyspark.sql import functions as F
+    fdf = frame_sample(codec="webp", every_n=2, max_frames=3)(df) \
+        .select("id", F.col("frame").alias("content"))
+    rs = image_resize(codec="webp", width=4, height=3)(fdf).collect()
+    assert all(decode_webp(bytes(r.content)).shape == (3, 4, 3)
+               for r in rs)
+
+
+def test_video_metadata_webp(spark):
+    from conduino_spark import video_metadata
+    from conduino_spark.operators.webp import encode_webp_anim
+    fr = [_gradient(6, 9) for _ in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_webp_anim(fr, [50] * 5))),
+         (2, bytearray(encode_webp(_gradient(6, 9))))],
+        "id long, content binary")
+    got = {r.id: r for r in video_metadata(codec="webp")(df).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames,
+            got[1].fps, got[1].format) == (9, 6, 5, 20, "webp")
+    assert (got[2].n_frames, got[2].fps) == (1, 0)
+
+
+def test_wav_float32_variant(spark):
+    """IEEE-float WAV (fmt 3, r12b): exact round trip through the
+    ±32768 full-scale mapping, audio_metadata end-to-end, and the
+    64-bit decode path."""
+    from conduino_spark import audio_metadata, encode_wav
+    from conduino_spark.operators.multimodal import decode_wav
+    x = ((np.arange(500, dtype=np.int64) * 37) % 65536 - 32768) \
+        .astype(np.int16)
+    blob = encode_wav(x, 16000, fmt="float32")
+    rate, nch, y = decode_wav(blob)
+    assert (rate, nch) == (16000, 1)
+    np.testing.assert_array_equal(y, x)
+    # 64-bit path: rebuild the same payload as f8
+    pos = blob.index(b"fmt ")
+    body = bytearray(blob)
+    f4 = np.frombuffer(blob[blob.index(b"data") + 8:], dtype="<f4")
+    import struct as st
+    f8 = f4.astype("<f8").tobytes()
+    hdr = st.pack("<HHIIHH", 3, 1, 16000, 16000 * 8, 8, 64)
+    b64 = (b"RIFF" + st.pack("<I", 4 + 8 + len(hdr) + 8 + len(f8))
+           + b"WAVE" + b"fmt " + st.pack("<I", len(hdr)) + hdr
+           + b"data" + st.pack("<I", len(f8)) + f8)
+    rate2, nch2, y2 = decode_wav(b64)
+    np.testing.assert_array_equal(y2, x)
+    # Spark end-to-end
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "id long, content binary")
+    row = audio_metadata(codec="wav")(df).first()
+    assert (row.sample_rate, row.n_samples) == (16000, 500)
+    with pytest.raises(ValueError, match="IEEE-float"):
+        decode_wav(b"RIFF" + st.pack("<I", 4 + 8 + 16) + b"WAVE"
+                   + b"fmt " + st.pack("<I", 16)
+                   + st.pack("<HHIIHH", 3, 1, 8000, 8000, 2, 16))
