@@ -1267,11 +1267,35 @@ def q_pq_adc_search(spark, sf):
                        F.lit(QUERY_KNN_ID).cast("long").alias("vec_id"),
                        (F.col("__nt") * 1000 + F.col("__nh"))
                        .cast("double").alias("approx_dist")))
+    # r12b eighth arm: the FULL retrieval-quality audit of the SQ8
+    # search — rank_metrics (precision/MRR/nDCG@10, inlined scaled-
+    # long DCG discounts: no runtime log2) vs the exact L2 truth,
+    # packed n_hit*1e14 + mrr6*1e7 + ndcg6 in one exact double.
+    from conduino_spark import rank_metrics
+    from pyspark.sql import Window as _W
+    t10 = (clean.select("vec_id", l2.alias("__d"))
+                .orderBy("__d", "vec_id").limit(10))
+    truth_r = t10.select(
+        F.lit(QUERY_KNN_ID).cast("long").alias("q"), "vec_id",
+        F.row_number().over(_W.orderBy("__d", "vec_id")).alias("rank"))
+    sq_r = sq.select(
+        F.lit(QUERY_KNN_ID).cast("long").alias("q"), "vec_id",
+        F.row_number().over(_W.orderBy(F.col("approx_dist"),
+                                       F.col("vec_id"))).alias("rank"))
+    met = rank_metrics(truth_r, 10, query_col="q",
+                       id_col="vec_id")(sq_r)
+    rmet = met.select(
+        F.lit("rmet").alias("method"), F.col("q").alias("vec_id"),
+        (F.col("n_hit") * F.lit(100_000_000_000_000).cast("long")
+         + F.round(F.col("mrr") * F.lit(1e6)).cast("long")
+           * F.lit(10_000_000).cast("long")
+         + F.round(F.col("ndcg") * F.lit(1e6)).cast("long"))
+        .cast("double").alias("approx_dist"))
     return (pq.unionByName(sq).unionByName(ivfpq)
               .unionByName(ivfpqm)
               .unionByName(recall_arm(pq, "pq_recall"))
               .unionByName(recall_arm(sq, "sq_recall"))
-              .unionByName(lsh_rec))
+              .unionByName(lsh_rec).unionByName(rmet))
 
 
 def q_tpch_q14(spark, sf):
@@ -3992,6 +4016,44 @@ def _sql_corpus_filter() -> str:
 _MIX_CUTS = {"even": int(0.5 * (1 << 32)), "odd": int(0.25 * (1 << 32))}
 
 
+def _sql_rmet(hits_sql: str, query_id: int, kk: int = 10) -> str:
+    """r12b: the pq_adc_search 'rmet' arm — rank_metrics_sql
+    (precision/MRR/nDCG@kk, shared inlined DCG discounts) of a
+    compressed-search hit list vs the exact L2 truth, packed
+    n_hit*1e14 + mrr6*1e7 + ndcg6 as ONE exact double."""
+    from conduino_spark.operators.similarity import rank_metrics_sql
+    truth = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings
+                   WHERE embedding IS NOT NULL
+                     AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                         x -> x IS NULL)) = 0),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+        SELECT CAST({query_id} AS BIGINT) AS q, vec_id,
+               CAST(row_number() OVER (ORDER BY d, vec_id) AS INT)
+                   AS rank
+        FROM (SELECT e.vec_id,
+                     round(list_sum([(e.v[i] - q.qv[i])
+                                     * (e.v[i] - q.qv[i])
+                                     for i in range(1, len(e.v) + 1)]),
+                           6) AS d
+              FROM e, q ORDER BY d, e.vec_id LIMIT {kk}) t"""
+    approx = f"""
+        SELECT CAST({query_id} AS BIGINT) AS q, vec_id,
+               CAST(row_number() OVER (ORDER BY approx_dist, vec_id)
+                    AS INT) AS rank
+        FROM ({hits_sql})"""
+    met = rank_metrics_sql(approx, truth, kk, query_col="q",
+                           id_col="vec_id")
+    return f"""
+        SELECT 'rmet' AS method, q AS vec_id,
+               CAST(n_hit * 100000000000000
+                    + CAST(ROUND(mrr * 1000000.0) AS BIGINT) * 10000000
+                    + CAST(ROUND(ndcg * 1000000.0) AS BIGINT)
+                    AS DOUBLE) AS approx_dist
+        FROM ({met})"""
+
+
 def _sql_compressed_recall(tag: str, hits_sql: str, query_id: int,
                            kk: int = 10) -> str:
     """r10: recall@kk of a compressed-search hit list against the
@@ -5416,7 +5478,9 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL {_sql_compressed_recall('pq_recall', _sql_pq_adc(), QUERY_KNN_ID)} "
             f"UNION ALL {_sql_compressed_recall('sq_recall', sq_sql(10, query_id=QUERY_KNN_ID), QUERY_KNN_ID)}"
             # r11: measured recall of the SRP-LSH probe vs cosine truth
-            f"UNION ALL {_sql_lsh_recall(10)}"),
+            f"UNION ALL {_sql_lsh_recall(10)}"
+            # r12b: full rank-metrics audit of the SQ8 search
+            f"UNION ALL {_sql_rmet(sq_sql(10, query_id=QUERY_KNN_ID), QUERY_KNN_ID)}"),
         "tpch_suite_digest": _sql_tpch_suite_digest(),
         "json_props": """
             SELECT event_type,

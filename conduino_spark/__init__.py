@@ -104,7 +104,8 @@ from conduino_spark.operators.similarity import (
     knn_brute, knn_lsh, lsh_bucket, lsh_index_merge, lsh_index_write,
     mine_hard_negatives,
     pq_encode, pq_search, sq_encode, sq_search, sq_train,
-    pq_train, probe_buckets, vec_dequantize, vec_quantize_int8,
+    pq_train, probe_buckets, rank_metrics, rank_metrics_sql,
+    vec_dequantize, vec_quantize_int8,
 )
 from conduino_spark.operators.classifier import (
     NBModel, QUALITY_FEATURES, LogRegModel, logreg_epoch_update,

@@ -1541,6 +1541,112 @@ def ann_recall(truth: DataFrame, k: int, *,
     return Stage(fn, name=f"ann_recall({k})", seq_preserving=False)
 
 
+def _ndcg_weights(k: int) -> "list[int]":
+    """Scaled-long DCG discounts ``round(1e9 / log2(r + 1))`` for
+    ranks 1..k, computed ONCE in Python and inlined as integer
+    literals on both engines — rank-metric hashes can never drift on
+    a libm log2 (the HLL linear-counting lesson)."""
+    import math
+    return [round(1e9 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def rank_metrics(truth: DataFrame, k: int, *,
+                 query_col: str = "vec_id",
+                 id_col: str = "neighbor_id") -> Stage:
+    """Full retrieval-quality audit — :func:`ann_recall`'s big
+    sibling: per-query precision@k, MRR@k, and binary-relevance
+    nDCG@k of an approximate hits table against exact truth (both
+    ``(query_col, id_col, rank)``; truth rows with rank ≤ k are THE
+    relevant set).  Queries the approximation missed entirely score 0
+    via the truth-side group.
+
+    Engine-exact by construction: hit counts and first-relevant
+    ranks are integers; the DCG discounts are pre-scaled longs from
+    :func:`_ndcg_weights` (inlined literals, no runtime log2), so
+    ``dcg``/``idcg`` are exact integer sums and every emitted ratio
+    is one integer division rounded to 6dp — bit-replayable through
+    :func:`rank_metrics_sql`.
+
+    Output: ``(query_col, n_rel, n_hit, prec, mrr, ndcg)``.  One
+    equi-join + two per-query aggregates; never touches vectors."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got k={k}")
+    w = _ndcg_weights(k)
+    warr = F.array(*[F.lit(x).cast("long") for x in w])
+    cum = [sum(w[:i + 1]) for i in range(k)]
+    cumarr = F.array(*[F.lit(x).cast("long") for x in cum])
+
+    def fn(approx: DataFrame) -> DataFrame:
+        a = approx.where(F.col("rank") <= k).select(
+            F.col(query_col), F.col(id_col), F.col("rank"))
+        t = truth.where(F.col("rank") <= k).select(
+            F.col(query_col), F.col(id_col))
+        rel = (a.join(t.withColumn("__rel", F.lit(1)),
+                      [query_col, id_col], "inner")
+                .groupBy(query_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_hit"),
+                     F.min("rank").alias("__first"),
+                     F.sum(F.element_at(warr,
+                                        F.col("rank").cast("int")))
+                      .cast("long").alias("__dcg")))
+        base = t.groupBy(query_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"))
+        j = base.join(rel, query_col, "left")
+        n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+        idcg = F.element_at(cumarr, F.least(F.col("n_rel"),
+                                            F.lit(k)).cast("int"))
+        return j.select(
+            query_col, "n_rel", n_hit.alias("n_hit"),
+            F.round(n_hit / F.lit(float(k)), 6).alias("prec"),
+            F.round(F.coalesce(
+                F.round(F.lit(1_000_000_000)
+                        / F.col("__first")).cast("long"),
+                F.lit(0).cast("long")) / F.lit(1e9), 6).alias("mrr"),
+            F.round(F.coalesce(F.col("__dcg"),
+                               F.lit(0).cast("long")) / idcg, 6)
+             .alias("ndcg"))
+
+    return Stage(fn, name=f"rank_metrics({k})", seq_preserving=False)
+
+
+def rank_metrics_sql(approx_sql: str, truth_sql: str, k: int, *,
+                     query_col: str = "vec_id",
+                     id_col: str = "neighbor_id") -> str:
+    """DuckDB rendering of :func:`rank_metrics` — the SAME inlined
+    discount literals, so the two engines share every integer."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    w = _ndcg_weights(k)
+    cum = [sum(w[:i + 1]) for i in range(k)]
+    wlist = "[" + ", ".join(str(x) for x in w) + "]"
+    clist = "[" + ", ".join(str(x) for x in cum) + "]"
+    return f"""
+        WITH __rm_a AS (SELECT {query_col}, {id_col}, rank
+                        FROM ({approx_sql}) WHERE rank <= {k}),
+        __rm_t AS (SELECT {query_col}, {id_col}
+                   FROM ({truth_sql}) WHERE rank <= {k}),
+        __rm_rel AS (
+            SELECT a.{query_col} AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit,
+                   MIN(a.rank) AS first_rank,
+                   CAST(SUM({wlist}[a.rank]) AS BIGINT) AS dcg
+            FROM __rm_a a JOIN __rm_t t
+              ON a.{query_col} = t.{query_col}
+             AND a.{id_col} = t.{id_col}
+            GROUP BY a.{query_col}),
+        __rm_base AS (SELECT {query_col} AS q,
+                             CAST(COUNT(*) AS BIGINT) AS n_rel
+                      FROM __rm_t GROUP BY {query_col})
+        SELECT b.q AS {query_col}, b.n_rel,
+               COALESCE(r.n_hit, 0) AS n_hit,
+               ROUND(COALESCE(r.n_hit, 0) / {float(k)!r}, 6) AS prec,
+               ROUND(COALESCE(CAST(ROUND(1000000000 / r.first_rank)
+                                   AS BIGINT), 0) / 1e9, 6) AS mrr,
+               ROUND(COALESCE(r.dcg, 0)
+                     / {clist}[LEAST(b.n_rel, {k})], 6) AS ndcg
+        FROM __rm_base b LEFT JOIN __rm_rel r ON r.q = b.q"""
+
+
 def ann_recall_sql(approx_sql: str, truth_sql: str, k: int, *,
                    query_col: str = "vec_id",
                    id_col: str = "neighbor_id") -> str:

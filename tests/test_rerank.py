@@ -314,3 +314,78 @@ def test_mmr_microbatch_stream_equals_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(tuple(r) for r in stage(cand).collect())
     assert got == want and len(got) == 6 * 4
+
+
+# ---------------------------------------------------------------------------
+# rank_metrics: the full retrieval-quality audit
+# ---------------------------------------------------------------------------
+
+def _hits(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, neighbor_id long, rank int")
+
+
+def test_rank_metrics_hand_example(spark):
+    from conduino_spark import rank_metrics
+    import math
+    truth = _hits(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+                          (2, 20, 1), (2, 21, 2),
+                          (3, 30, 1)])
+    approx = _hits(spark, [(1, 11, 1), (1, 99, 2), (1, 10, 3),
+                           (2, 98, 1), (2, 97, 2), (2, 96, 3)])
+    got = {r.vec_id: r for r in
+           rank_metrics(truth, k=3)(approx).collect()}
+    # q1: rel set {10,11,12}; hits at ranks 1 (11) and 3 (10)
+    w = [round(1e9 / math.log2(r + 1)) for r in (1, 2, 3)]
+    assert (got[1].n_rel, got[1].n_hit) == (3, 2)
+    assert got[1].prec == round(2 / 3.0, 6)
+    assert got[1].mrr == 1.0
+    assert got[1].ndcg == round((w[0] + w[2]) / (w[0] + w[1] + w[2]), 6)
+    # q2: no relevant hits at all
+    assert (got[2].n_hit, got[2].prec, got[2].mrr, got[2].ndcg) == \
+        (0, 0.0, 0.0, 0.0)
+    # q3: approximation returned nothing — still a row, all zero
+    assert (got[3].n_rel, got[3].n_hit, got[3].ndcg) == (1, 0, 0.0)
+
+
+def test_rank_metrics_perfect_retrieval(spark):
+    from conduino_spark import rank_metrics
+    rows = [(q, q * 10 + r, r) for q in (1, 2) for r in (1, 2, 3, 4)]
+    truth = _hits(spark, rows)
+    got = rank_metrics(truth, k=4)(_hits(spark, rows)).collect()
+    for r in got:
+        assert (r.prec, r.mrr, r.ndcg) == (1.0, 1.0, 1.0)
+
+
+def test_rank_metrics_duckdb_bit_replay(spark):
+    from conduino_spark import rank_metrics, rank_metrics_sql
+    rng = np.random.default_rng(5)
+    truth_rows, approx_rows = [], []
+    for q in range(8):
+        perm = rng.permutation(20)
+        for r in range(1, 6):
+            truth_rows.append((q, int(perm[r]), r))
+        perm2 = rng.permutation(20)
+        for r in range(1, 6):
+            approx_rows.append((q, int(perm2[r]), r))
+    got = sorted(tuple(r) for r in rank_metrics(
+        _hits(spark, truth_rows), k=5)(
+        _hits(spark, approx_rows)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT, neighbor_id BIGINT, "
+                "rank INT)")
+    con.execute("CREATE TABLE a (vec_id BIGINT, neighbor_id BIGINT, "
+                "rank INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", truth_rows)
+    con.executemany("INSERT INTO a VALUES (?,?,?)", approx_rows)
+    sql = rank_metrics_sql("SELECT * FROM a", "SELECT * FROM t", k=5)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_rank_metrics_validation(spark):
+    from conduino_spark import rank_metrics, rank_metrics_sql
+    with pytest.raises(ValueError):
+        rank_metrics(None, k=0)
+    with pytest.raises(ValueError):
+        rank_metrics_sql("x", "y", k=0)
