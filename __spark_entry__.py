@@ -1974,7 +1974,61 @@ def bench_extras():
             # r12: the sixth index family's warm daily-batch floor
             # (memoized key index over the even half; odd docs trim
             # against it — the line_dedup_docs 'idx' arm standalone)
-            "dupspan_trim_against_docs": q_dupspan_trim_against_docs}
+            "dupspan_trim_against_docs": q_dupspan_trim_against_docs,
+            # r12b: MMR diversification of the dense retrieval pool
+            # (grouped GEMM kernel — the production path; the exact
+            # kernel gates on knn_methods), greedy k-center coresets
+            # (the dsir 'kc' arm standalone at a production k), and
+            # the eighth index family's warm daily-batch floor
+            "mmr_rerank_emb": q_mmr_rerank_emb,
+            "kcenter_emb": q_kcenter_emb,
+            "exact_against_docs": q_exact_against_docs}
+
+
+def q_mmr_rerank_emb(spark, sf):
+    # r12b: candidate generation (IVF-bucketed ann_join top-16 for the
+    # every-50th-id query batch) + MMR diversity selection (grouped
+    # numpy kernel, one keyed shuffle) — the composed de-redundancy
+    # stack a RAG/hard-negative pipeline runs
+    from conduino_spark import ann_join, mmr_select
+    emb = _src(sf, "embeddings").df(spark)
+    cand = (ann_join(emb, k=16, nprobe=2, exclude_self=True)
+            (emb.where(F.col("vec_id") % 50 == 0))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("neighbor_id").alias("doc_id"),
+                    F.col("cosine").alias("score"))
+            .join(emb.select(F.col("vec_id").alias("doc_id"),
+                             "embedding"), "doc_id"))
+    return mmr_select(k=5, lam=0.7, kernel="grouped")(cand)
+
+
+def q_kcenter_emb(spark, sf):
+    # r12b: greedy k-center at a production coreset size; the picks
+    # (k rows) lift into a DataFrame for the bench harness
+    from conduino_spark import kcenter_select
+    emb = _src(sf, "embeddings").df(spark)
+    picks = kcenter_select(emb, k=16)
+    return spark.createDataFrame(
+        [(int(i), int(r), int(m)) for i, r, m in picks],
+        "vec_id long, sel_round int, mind long")
+
+
+def q_exact_against_docs(spark, sf):
+    # r12b: exact md5 dedup of the odd-doc batch against the
+    # PERSISTED reference index (build-once memoized over even ids,
+    # broadcast probe + DPP) — the dedup_against 'xidx' arm standalone
+    import os as _os
+    from conduino_spark import dedup_exact_against, exact_index_write
+    docs = _src(sf, "documents", min_partitions="auto").df(spark)
+
+    def _build(d_):
+        exact_index_write(docs.where(F.col("doc_id") % 2 == 0), d_)
+        _touch(_os.path.join(d_, "_BUILT_OK"))
+
+    d = _index_memo_dir(sf, "documents", "exact_idx", "v1",
+                        "_BUILT_OK", _build)
+    return dedup_exact_against(d)(
+        docs.where(F.col("doc_id") % 2 == 1)).select("doc_id")
 
 
 def q_dupspan_trim_against_docs(spark, sf):
