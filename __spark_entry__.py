@@ -3034,6 +3034,56 @@ def _synth_media_blobs(spark, sf):
     return docs.mapInPandas(gen, "id long, content binary")
 
 
+def _synth_container_blobs(spark, sf):
+    """Deterministic lossy-container fixtures per doc_id (r12b) —
+    mp3 (alternating ID3-tagged / bare-sync), ogg (vorbis/opus
+    alternating), mp4, webm — built by operators/mediainfo's synth
+    writers from pure integer formulas.  Rates and durations are
+    chosen so every duration_ms is an exact integer (no rounding-mode
+    question can enter the hash)."""
+    docs = _src(sf, "documents", min_partitions="auto").df(spark) \
+        .select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+        from conduino_spark import (encode_mp3_stub, encode_mp4_stub,
+                                    encode_ogg_stub, encode_webm_stub)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 10 + i % 7
+                rate = 32000 if i % 2 == 0 else 48000
+                ids.append(i)
+                blobs.append(encode_mp3_stub(
+                    nf, kbps=128, rate=rate, channels=1 + i % 2,
+                    id3_bytes=(16 if i % 2 == 0 else 0)))
+                m = 5 + i % 4
+                ch = 1 + (i // 2) % 2
+                if i % 2 == 0:
+                    ids.append(i)
+                    blobs.append(encode_ogg_stub(
+                        "vorbis", rate=44100, channels=ch,
+                        n_samples=4410 * m))
+                else:
+                    ids.append(i)
+                    blobs.append(encode_ogg_stub(
+                        "opus", rate=48000, channels=ch,
+                        n_samples=4800 * m, pre_skip=240))
+                ids.append(i)
+                blobs.append(encode_mp4_stub(
+                    width=320 + (i % 5) * 16, height=240 + (i % 3) * 16,
+                    timescale=1000, duration=3000 + (i % 11) * 100,
+                    version=i % 2))
+                ids.append(i)
+                blobs.append(encode_webm_stub(
+                    width=640 + (i % 4) * 32, height=360 + (i % 2) * 36,
+                    duration_ms=2000 + (i % 13) * 50))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    return docs.mapInPandas(gen, "id long, content binary")
+
+
 def q_profile_docs_gate(spark, sf):
     # r8: the exact columns of the table-health profile (one agg pass);
     # approx_distinct stays out of the hash gate — the HLL estimate's
@@ -3062,7 +3112,32 @@ def q_profile_docs_gate(spark, sf):
         F.lit(0.0).alias("null_frac"),
         F.col("sum_abs").cast("string").alias("min"),
         F.col("max_abs").cast("string").alias("max"))
-    return base.unionByName(mm)
+    # r12b 'ct' arm: header-level container metadata joins the hash
+    # gate — synth mp3/ogg(vorbis+opus)/mp4/webm blobs per doc (built
+    # by the mediainfo synth writers from integer formulas, durations
+    # chosen exactly integral) → sniff_format (both the ID3 and
+    # bare-sync mp3 signatures across doc parity) → container_info
+    # REAL header parse; the oracle recomputes every fact from the
+    # formulas.  Row mapping: n_rows=n_units, n_nulls=rate*10+ch
+    # (audio) / w*1000+h (video), min=duration_ms, max=codec tag.
+    from conduino_spark import container_info
+    cinfo = container_info("content", "id", codec_col="format")(
+        sniff_format("content")(_synth_container_blobs(spark, sf)))
+    ct = cinfo.select(
+        F.lit("ct").alias("part"),
+        F.concat_ws(
+            ":", "format",
+            F.col("id").cast("string")).alias("column"),
+        F.col("n_units").alias("n_rows"),
+        (F.when(F.col("sample_rate") > 0,
+                F.col("sample_rate").cast("long") * 10
+                + F.col("channels"))
+          .otherwise(F.col("width").cast("long") * 1000
+                     + F.col("height"))).alias("n_nulls"),
+        F.lit(0.0).alias("null_frac"),
+        F.col("duration_ms").cast("string").alias("min"),
+        F.col("format").alias("max"))
+    return base.unionByName(mm).unionByName(ct)
 
 
 #: THE GATE ORDERING CONTRACT (r2/r3 verdict lead item): the driver
@@ -3623,6 +3698,54 @@ def _sql_profile_docs() -> str:
                      unnest(range(0, 80 + (doc_id % 5) * 40)) AS j
               FROM documents)
         GROUP BY ALL""")
+    # ct arms (r12b): header-level container facts recomputed from the
+    # synth formulas — mp3 (nf=10+i%7, rate 32k/48k by parity so the
+    # duration is an exact integer 36*nf / 24*nf), ogg (vorbis 44.1k /
+    # opus 48k alternating, n_samples multiples of clock/10 so
+    # duration=100*m exactly), mp4 (timescale 1000), webm
+    arms.append("""
+        SELECT 'ct' AS part, 'mp3:' || doc_id AS "column",
+               CAST(10 + doc_id % 7 AS BIGINT) AS n_rows,
+               CAST((CASE WHEN doc_id % 2 = 0 THEN 32000
+                          ELSE 48000 END) * 10
+                    + 1 + doc_id % 2 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST((10 + doc_id % 7)
+                    * (CASE WHEN doc_id % 2 = 0 THEN 36 ELSE 24 END)
+                    AS VARCHAR) AS min,
+               'mp3' AS max
+        FROM documents""")
+    arms.append("""
+        SELECT 'ct' AS part,
+               (CASE WHEN doc_id % 2 = 0 THEN 'vorbis:'
+                     ELSE 'opus:' END) || doc_id AS "column",
+               CAST(2 AS BIGINT) AS n_rows,
+               CAST((CASE WHEN doc_id % 2 = 0 THEN 44100
+                          ELSE 48000 END) * 10
+                    + 1 + (doc_id // 2) % 2 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(100 * (5 + doc_id % 4) AS VARCHAR) AS min,
+               CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
+                    ELSE 'opus' END AS max
+        FROM documents""")
+    arms.append("""
+        SELECT 'ct' AS part, 'mp4:' || doc_id AS "column",
+               CAST(1 AS BIGINT) AS n_rows,
+               CAST((320 + (doc_id % 5) * 16) * 1000
+                    + 240 + (doc_id % 3) * 16 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(3000 + (doc_id % 11) * 100 AS VARCHAR) AS min,
+               'mp4' AS max
+        FROM documents""")
+    arms.append("""
+        SELECT 'ct' AS part, 'webm:' || doc_id AS "column",
+               CAST(1 AS BIGINT) AS n_rows,
+               CAST((640 + (doc_id % 4) * 32) * 1000
+                    + 360 + (doc_id % 2) * 36 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(2000 + (doc_id % 13) * 50 AS VARCHAR) AS min,
+               'webm' AS max
+        FROM documents""")
     # webp arm (r12b): h=5+i%3, w=4+i%4, c=3, pixel_j=(j*(11+i)+3i)%233
     # — the VP8L codec is lossless, so the decoded stats equal the
     # formula stats; the Spark side rotates through all 14 predictor

@@ -118,9 +118,14 @@ from conduino_spark.operators.embeddings import (
 )
 from conduino_spark.operators.multimodal import (
     audio_metadata, decode_aiff, decode_bmp, decode_png, decode_pnm,
+    container_info,
     decode_wav, encode_aiff, encode_bmp, encode_png, encode_pnm,
     encode_wav, feature_extract, frame_sample, image_metadata,
     image_resize, media_profile, sniff_format, video_metadata,
+)
+from conduino_spark.operators.mediainfo import (
+    encode_mp3_stub, encode_mp4_stub, encode_ogg_stub,
+    encode_webm_stub, mp3_info, mp4_info, ogg_info, webm_info,
 )
 from conduino_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from conduino_spark.operators.avi import (avi_frames, decode_avi,

@@ -36,9 +36,13 @@ The Spark-side plumbing is REAL and tested: schemas, Arrow batch shape,
   :func:`video_metadata` / :func:`frame_sample` (VP8X/ANMF walk,
   frames re-emitted bit-equal); the lossy VP8 profile raises.
   decode_wav additionally grew the IEEE-float variant (fmt 3).
-* ``codec='real'`` — the remaining slots (lossy-VP8 webp; mp3/ogg
-  audio; mp4/webm video) raise ``NotImplementedError`` until
-  PIL/soundfile/ffmpeg land (environmental — lossy DSP formats).
+* ``codec='real'`` — the remaining SAMPLE-DECODE slots (lossy-VP8
+  webp; mp3/ogg audio; mp4/webm video) raise ``NotImplementedError``
+  until PIL/soundfile/ffmpeg land (environmental — lossy DSP).
+  Their CONTAINER metadata is REAL regardless (r12b):
+  :func:`container_info` parses mp3 frame walks, Ogg Vorbis/Opus
+  pages, MP4 boxes, and WebM EBML (operators/mediainfo.py) — no
+  sample decode needed for corpus-health facts.
 * ``codec='fake'`` (default) — deterministic byte-digest fake, the
   test double that exercises the distributed pipeline at any scale.
 
@@ -984,6 +988,13 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("pnm",  "5035",     0),   # binary PGM (P5)
     ("pnm",  "5036",     0),   # binary PPM (P6)
     ("form", "464f524d", 0),   # container: AIFF/AIFC — see refinement
+    ("ogg",  "4f676753", 0),   # OggS page (Vorbis/Opus)
+    ("webm", "1a45dfa3", 0),   # EBML (WebM/Matroska)
+    ("mp4",  "66747970", 4),   # ISO BMFF: 'ftyp' at byte 4
+    # bare MPEG-audio sync (no ID3) — 2-byte prefixes, lowest priority
+    ("mp3",  "fffb",     0),
+    ("mp3",  "fff3",     0),
+    ("mp3",  "fff2",     0),
 ]
 
 
@@ -1028,6 +1039,89 @@ def sniff_format(binary_col: str = "content", *,
 #: codecs media_profile can dispatch per row, grouped by kind
 _AUDIO_CODECS = ("wav", "flac", "aiff")
 _IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm", "webp")
+
+#: containers container_info can dispatch (header-level parsers in
+#: operators/mediainfo.py — REAL metadata, no sample decode)
+_CONTAINER_CODECS = ("mp3", "ogg", "mp4", "webm")
+
+
+def container_info(binary_col: str = "content", id_col: str = "id", *,
+                   codec: "str | None" = None,
+                   codec_col: "str | None" = None) -> Stage:
+    """Header-level metadata for the lossy/DSP containers
+    (operators/mediainfo.py) — REAL parsing of mp3 / ogg(vorbis,
+    opus) / mp4 / webm container structure with NO sample decode: a
+    100 TB corpus-health pass mostly needs duration, rate, channels,
+    dims, and unit counts, and those are fixed-layout header facts.
+    The sample-decode slots for these formats stay honest raises in
+    :func:`audio_metadata` / :func:`video_metadata` until
+    soundfile/ffmpeg land.
+
+    Dispatch like :func:`media_profile`: ``codec=`` for a homogeneous
+    column or ``codec_col=`` (from :func:`sniff_format`) for a mixed
+    one.  Output per blob — audio rows carry (sample_rate, channels),
+    video rows (width, height); ``n_units`` = frames (mp3), pages
+    (ogg), tracks (mp4/webm); unparseable blobs land as
+    format='error' zeros, never aborting the batch."""
+    if (codec is None) == (codec_col is None):
+        raise ValueError("container_info: pass exactly one of "
+                         "codec= or codec_col=")
+    if codec is not None and codec not in _CONTAINER_CODECS:
+        raise ValueError(f"container_info: unknown container "
+                         f"{codec!r} (one of {_CONTAINER_CODECS})")
+
+    def _one(fmt: str, b: bytes):
+        from conduino_spark.operators import mediainfo as mi
+        try:
+            b = b or b""
+            if fmt == "mp3":
+                i = mi.mp3_info(b)
+                return (fmt, 0, 0, i["rate"], i["channels"],
+                        i["duration_ms"], i["n_frames"])
+            if fmt == "ogg":
+                i = mi.ogg_info(b)
+                return (i["codec"], 0, 0, i["rate"], i["channels"],
+                        i["duration_ms"], i["n_pages"])
+            if fmt == "mp4":
+                i = mi.mp4_info(b)
+                return (fmt, i["width"], i["height"], 0, 0,
+                        i["duration_ms"], i["n_tracks"])
+            if fmt == "webm":
+                i = mi.webm_info(b)
+                return (fmt, i["width"], i["height"], 0, 0,
+                        i["duration_ms"], i["n_tracks"])
+            return ("error", 0, 0, 0, 0, 0, 0)
+        except (ValueError, struct.error, IndexError, OverflowError):
+            return ("error", 0, 0, 0, 0, 0, 0)
+
+    def fn(df: DataFrame) -> DataFrame:
+        cols = [F.col(id_col), F.col(binary_col)]
+        if codec_col is not None:
+            cols.append(F.col(codec_col))
+
+        def run(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                fmts = (pdf[codec_col] if codec_col is not None
+                        else [codec] * len(pdf))
+                rows = [_one(f, b) for f, b in
+                        zip(fmts, pdf[binary_col])]
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "format": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                    "sample_rate": [r[3] for r in rows],
+                    "channels": [r[4] for r in rows],
+                    "duration_ms": [r[5] for r in rows],
+                    "n_units": [r[6] for r in rows],
+                })
+
+        return df.select(*cols).mapInPandas(
+            run, "id long, format string, width int, height int, "
+                 "sample_rate int, channels int, duration_ms long, "
+                 "n_units long")
+
+    return Stage(fn, name="container_info", seq_preserving=False)
 
 
 def media_profile(binary_col: str = "content", id_col: str = "id", *,

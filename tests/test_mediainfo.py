@@ -1,0 +1,181 @@
+"""Header-level container metadata (operators/mediainfo.py): round
+trips through the synthetic writers, table/edge validation, sniffing,
+and the container_info mixed dispatch on Spark.
+
+Reference anchor: conduino has no media types — north-star engine
+extension (SURVEY §7, M6).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from conduino_spark.operators.mediainfo import (
+    encode_mp3_stub, encode_mp4_stub, encode_ogg_stub,
+    encode_webm_stub, mp3_info, mp4_info, ogg_info, webm_info,
+)
+
+
+# ---------------------------------------------------------------------------
+# mp3 frame walk
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kbps,rate,ch", [(128, 44100, 2),
+                                          (320, 48000, 1),
+                                          (32, 32000, 2)])
+def test_mp3_walk_roundtrip(kbps, rate, ch):
+    b = encode_mp3_stub(25, kbps=kbps, rate=rate, channels=ch)
+    i = mp3_info(b)
+    assert (i["rate"], i["channels"], i["n_frames"]) == (rate, ch, 25)
+    assert i["n_samples"] == 25 * 1152
+    assert i["duration_ms"] == round(1000 * 25 * 1152 / rate)
+
+
+def test_mp3_id3v2_and_id3v1_skipped():
+    b = encode_mp3_stub(10, id3_bytes=200)
+    b += b"TAG" + b"\x00" * 125              # ID3v1 tail
+    assert mp3_info(b)["n_frames"] == 10
+
+
+def test_mp3_resync_and_errors():
+    good = encode_mp3_stub(5)
+    assert mp3_info(b"\x00junk\xff" + good)["n_frames"] == 5
+    with pytest.raises(ValueError):
+        mp3_info(b"definitely not audio")
+    with pytest.raises(ValueError):
+        mp3_info(b"")
+
+
+# ---------------------------------------------------------------------------
+# ogg page walk
+# ---------------------------------------------------------------------------
+
+def test_ogg_vorbis_and_opus():
+    v = ogg_info(encode_ogg_stub("vorbis", rate=44100,
+                                 n_samples=88200, channels=2))
+    assert (v["codec"], v["rate"], v["channels"], v["n_pages"]) == \
+        ("vorbis", 44100, 2, 2)
+    assert v["duration_ms"] == 2000
+    o = ogg_info(encode_ogg_stub("opus", rate=48000, n_samples=96000,
+                                 channels=1, pre_skip=312))
+    assert (o["codec"], o["rate"], o["channels"]) == ("opus", 48000, 1)
+    assert o["duration_ms"] == 2000          # granule minus pre-skip
+
+
+def test_ogg_errors():
+    with pytest.raises(ValueError):
+        ogg_info(b"RIFFxxxxWAVE")
+    # an Ogg page whose first packet is neither id header
+    from conduino_spark.operators.mediainfo import _ogg_page
+    with pytest.raises(ValueError, match="neither"):
+        ogg_info(_ogg_page(1, 0, 0, b"garbage packet"))
+    with pytest.raises(ValueError):
+        encode_ogg_stub("mp3")
+
+
+# ---------------------------------------------------------------------------
+# mp4 box walk
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_mp4_box_walk(version):
+    b = encode_mp4_stub(width=1920, height=1080, timescale=90000,
+                        duration=270000, version=version)
+    i = mp4_info(b)
+    assert (i["width"], i["height"]) == (1920, 1080)
+    assert i["timescale"] == 90000
+    assert i["duration_ms"] == 3000
+    assert i["n_tracks"] == 1
+
+
+def test_mp4_errors():
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_info(b"\x00\x00\x00\x08mdat")
+    good = encode_mp4_stub()
+    with pytest.raises(ValueError):
+        mp4_info(good[:20])                  # truncated moov
+    # corrupt box size
+    bad = bytearray(good)
+    off = good.index(b"moov") - 4
+    bad[off:off + 4] = struct.pack(">I", 3)
+    with pytest.raises(ValueError, match="corrupt"):
+        mp4_info(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# webm EBML walk
+# ---------------------------------------------------------------------------
+
+def test_webm_walk():
+    b = encode_webm_stub(width=854, height=480, duration_ms=12345)
+    i = webm_info(b)
+    assert (i["width"], i["height"], i["n_tracks"]) == (854, 480, 1)
+    assert i["duration_ms"] == 12345
+
+
+def test_webm_nondefault_timescale_and_errors():
+    b = encode_webm_stub(duration_ms=2000, tscale=500_000)
+    assert webm_info(b)["duration_ms"] == 2000
+    with pytest.raises(ValueError):
+        webm_info(b"RIFF not ebml")
+    with pytest.raises(ValueError, match="Segment"):
+        webm_info(b"\x1a\x45\xdf\xa3\x40\x00")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: sniff + container_info mixed dispatch
+# ---------------------------------------------------------------------------
+
+def test_sniff_format_tags_containers(spark):
+    from conduino_spark import sniff_format
+    rows = [(1, bytearray(encode_mp3_stub(3, id3_bytes=8))),
+            (2, bytearray(encode_mp3_stub(3))),          # bare sync
+            (3, bytearray(encode_ogg_stub("vorbis"))),
+            (4, bytearray(encode_mp4_stub())),
+            (5, bytearray(encode_webm_stub()))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r.format
+           for r in sniff_format("content")(df).collect()}
+    assert got == {1: "mp3", 2: "mp3", 3: "ogg", 4: "mp4", 5: "webm"}
+
+
+def test_container_info_mixed_dispatch(spark):
+    from conduino_spark import container_info, sniff_format
+    rows = [(1, bytearray(encode_mp3_stub(20, kbps=128, rate=44100))),
+            (2, bytearray(encode_ogg_stub("opus", n_samples=48000,
+                                          channels=2))),
+            (3, bytearray(encode_mp4_stub(width=640, height=360,
+                                          duration=7000))),
+            (4, bytearray(encode_webm_stub(width=1280, height=720,
+                                           duration_ms=9000))),
+            (5, bytearray(b"junk bytes"))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r for r in container_info(codec_col="format")(
+        sniff_format("content")(df)).collect()}
+    assert (got[1].format, got[1].sample_rate, got[1].channels,
+            got[1].n_units) == ("mp3", 44100, 2, 20)
+    assert got[1].duration_ms == round(1000 * 20 * 1152 / 44100)
+    assert (got[2].format, got[2].channels,
+            got[2].duration_ms) == ("opus", 2, 1000)
+    assert (got[3].format, got[3].width, got[3].height,
+            got[3].duration_ms) == ("mp4", 640, 360, 7000)
+    assert (got[4].format, got[4].width, got[4].height,
+            got[4].duration_ms) == ("webm", 1280, 720, 9000)
+    assert got[5].format == "error"
+
+
+def test_container_info_homogeneous_and_validation(spark):
+    from conduino_spark import container_info
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_mp3_stub(4)))],
+        "id long, content binary")
+    row = container_info(codec="mp3")(df).first()
+    assert (row.format, row.n_units) == ("mp3", 4)
+    with pytest.raises(ValueError):
+        container_info()
+    with pytest.raises(ValueError):
+        container_info(codec="mp3", codec_col="format")
+    with pytest.raises(ValueError, match="unknown container"):
+        container_info(codec="wav")
