@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "ivf_merge_emb", "ivf_merge_cold", "ivfpq_index_emb", "k_core_docs",
     # r12: the sixth index family's warm daily-batch floor
     "dupspan_trim_against_docs",
+    # r12b: MMR re-ranking of the dense pool, greedy k-center
+    # coresets, and the eighth (exact-hash) index family's warm floor
+    "mmr_rerank_emb", "kcenter_emb", "exact_against_docs",
 ]
 
 #: extra interleaved passes (up to MAX_ROUNDS total) for queries whose
@@ -178,10 +181,13 @@ def main() -> None:
     # their new merged-index arms memo-build on first call at SF_DIR)
     # (r12: line_dedup_docs / dupspan_trim_against_docs memo-build the
     # dupspan key index; ivf_merge_emb memo-builds its base index)
+    # (r12b: dedup_against memo-builds the exact md5 index for its
+    # 'xidx' arm; exact_against_docs shares that memo's shape)
     for name in ("ivf_index_emb", "ivfpq_index_emb", "bm25_index_docs",
                  "knn_methods", "pq_adc_search", "ann_join_emb",
                  "dedup_against", "line_dedup_docs",
-                 "dupspan_trim_against_docs", "ivf_merge_emb"):
+                 "dupspan_trim_against_docs", "ivf_merge_emb",
+                 "exact_against_docs"):
         if name in qs:
             try:
                 materialize(qs[name](spark, SF_DIR))
