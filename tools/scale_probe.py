@@ -323,6 +323,22 @@ def main() -> None:
 
     EMB_OPS["hard_negatives"] = _hard_negs
 
+    def _mmr(df):
+        # r12b: MMR diversification — per-query pools are constant
+        # (top-16), queries scale with replicas, one keyed shuffle:
+        # the ratio must be ~linear in the query count
+        from conduino_spark import mmr_select
+        cand = (ann_join(df, k=16, nprobe=2, exclude_self=True)
+                (df.where(F.col("vec_id") % 50 == 0))
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.col("cosine").alias("score"))
+                .join(df.select(F.col("vec_id").alias("doc_id"),
+                                "embedding"), "doc_id"))
+        return mmr_select(k=5, lam=0.7, kernel="grouped")(cand)
+
+    EMB_OPS["mmr_rerank"] = _mmr
+
     def _trim(df):
         # r9: keep-first exact-substring rewrite — one digest agg +
         # one digest join + per-doc folds; the per-replica "r{i} "
