@@ -3016,7 +3016,14 @@ def _synth_media_blobs(spark, sf):
                          * (7 + i) + i) % 239).astype("uint8") \
                     .reshape(h3, w3, c3)
                 ids.append(i)
-                blobs.append(encode_tiff(img3, packbits=(i % 2 == 0)))
+                # r12b: rotate LZW (with the differencing predictor on
+                # every 6th doc) through the hash gate alongside
+                # packbits/none — decoded stats are compression-
+                # invariant, so the oracle formula is untouched
+                blobs.append(encode_tiff(
+                    img3,
+                    compression=["lzw", "packbits", "none"][i % 3],
+                    predictor=(i % 6 == 0)))
                 n4 = 80 + (i % 5) * 40
                 x4 = ((np.arange(n4, dtype=np.int64) * (5 + i))
                       % 18001 - 9000).astype(np.int16)

@@ -179,3 +179,68 @@ def test_container_info_homogeneous_and_validation(spark):
         container_info(codec="mp3", codec_col="format")
     with pytest.raises(ValueError, match="unknown container"):
         container_info(codec="wav")
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression 5) + horizontal-differencing predictor (r12b)
+# ---------------------------------------------------------------------------
+
+def test_tiff_lzw_roundtrip_matrix():
+    import numpy as np
+    from conduino_spark.operators.tiff import decode_tiff, encode_tiff
+    rng = np.random.default_rng(2)
+    for shape in ((7, 9), (12, 5, 3), (6, 6, 4), (1, 1), (40, 33, 3)):
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = a[:, :, None] if a.ndim == 2 else a
+        for kw in ({"compression": "lzw"},
+                   {"compression": "lzw", "predictor": True}):
+            np.testing.assert_array_equal(
+                decode_tiff(encode_tiff(a, **kw)), want)
+
+
+def test_tiff_lzw_table_reset_and_predictor_gain():
+    import numpy as np
+    from conduino_spark.operators.tiff import decode_tiff, encode_tiff
+    rng = np.random.default_rng(3)
+    # >4094 phrases forces the 12-bit table reset path
+    big = rng.integers(0, 256, (120, 200, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(big, compression="lzw")), big)
+    # smooth gradients: differencing must compress far better
+    g = np.clip(np.arange(100)[None, :] + np.arange(80)[:, None],
+                0, 255).astype(np.uint8)
+    plain = encode_tiff(g, compression="lzw")
+    pred = encode_tiff(g, compression="lzw", predictor=True)
+    np.testing.assert_array_equal(decode_tiff(pred), g[:, :, None])
+    assert len(pred) < len(plain) / 2
+
+
+def test_tiff_lzw_hypothesis_law():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from conduino_spark.operators.tiff import decode_tiff, encode_tiff
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.sampled_from([1, 3, 4]), st.integers(0, 2**31 - 1),
+           st.booleans())
+    def law(h, w, c, seed, pred):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        got = decode_tiff(encode_tiff(a, compression="lzw",
+                                      predictor=pred))
+        np.testing.assert_array_equal(got, a)
+
+    law()
+
+
+def test_tiff_lzw_validation():
+    import numpy as np
+    import pytest as _pytest
+    from conduino_spark.operators.tiff import encode_tiff
+    a = np.zeros((3, 3, 3), np.uint8)
+    with _pytest.raises(ValueError, match="unknown compression"):
+        encode_tiff(a, compression="deflate")
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_tiff(a, compression="packbits", predictor=True)

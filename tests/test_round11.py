@@ -737,12 +737,13 @@ def test_tiff_roundtrips_and_operators(spark):
     blob = encode_tiff(rng.randint(0, 256, (20, 20, 3)).astype(np.uint8))
     with pytest.raises(ValueError, match="truncated TIFF"):
         decode_tiff(blob[:40])
-    lzw = bytearray(encode_tiff(rng.randint(0, 256, (4, 4, 1))
+    jpg = bytearray(encode_tiff(rng.randint(0, 256, (4, 4, 1))
                                 .astype(np.uint8)))
-    i = lzw.find(struct.pack("<HHI", 259, 3, 1))
-    lzw[i + 8:i + 10] = struct.pack("<H", 5)   # forge LZW compression
-    with pytest.raises(ValueError, match="compression 5"):
-        decode_tiff(bytes(lzw))
+    i = jpg.find(struct.pack("<HHI", 259, 3, 1))
+    # forge JPEG-in-TIFF compression (LZW went real in r12b)
+    jpg[i + 8:i + 10] = struct.pack("<H", 7)
+    with pytest.raises(ValueError, match="compression 7"):
+        decode_tiff(bytes(jpg))
 
     a = rng.randint(0, 256, (10, 6, 3)).astype(np.uint8)
     df = spark.createDataFrame(
