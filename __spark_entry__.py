@@ -3000,7 +3000,11 @@ def _synth_media_blobs(spark, sf):
                 img = ((np.arange(h * w * c, dtype=np.int64) * (3 + i)
                         + i) % 251).astype("uint8").reshape(h, w, c)
                 ids.append(i)
-                blobs.append(encode_png(img, filter_type=i % 5))
+                # r12b: rotate Adam7 interlace through the hash gate
+                # too — structural, so the decoded stats (and the
+                # oracle formula) are untouched
+                blobs.append(encode_png(img, filter_type=i % 5,
+                                        interlace=(i % 2 == 0)))
                 # r12: three more LOSSLESS containers under the same
                 # hash gate (distinct formulas catch cross-wiring;
                 # flac/jpeg stay pytest-oracled — flac's pure-Python

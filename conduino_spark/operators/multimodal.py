@@ -398,8 +398,12 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, str]:
     return w, h, c, fmt
 
 
-#: PNG color type → channel count (8-bit depth only)
+#: PNG color type → channel count
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _png_filter_row(row, prior, bpp: int, f: int):
@@ -467,46 +471,82 @@ def _png_unfilter_row(raw, prior, bpp: int, f: int):
     return out
 
 
-def encode_png(arr, *, filter_type: int = 0) -> bytes:
-    """Serialize an (H, W) or (H, W, C≤4) uint8 array into an 8-bit
-    non-interlaced PNG (gray / gray+alpha / RGB / RGBA by channel
-    count; one zlib IDAT) — the test-double generator for
-    :func:`decode_png` and a real writer.  ``filter_type`` applies one
-    filter to every row (the filter-matrix tests exercise 0-4)."""
+def _png_filter_pass(px_bytes, ph, pw, bpp, filter_type):
+    """Filter one (sub-)image of raw bytes → filtered rows with their
+    filter tag bytes (shared by plain and Adam7 encodes)."""
+    import numpy as _np
+    flat = px_bytes.reshape(ph, pw * bpp)
+    rows = []
+    prior = _np.zeros(pw * bpp, _np.uint8)
+    for y in range(ph):
+        rows.append(bytes([filter_type])
+                    + _png_filter_row(flat[y], prior, bpp,
+                                      filter_type).tobytes())
+        prior = flat[y]
+    return b"".join(rows)
+
+
+def encode_png(arr, *, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """Serialize an (H, W) or (H, W, C≤4) array into a PNG (gray /
+    gray+alpha / RGB / RGBA by channel count; one zlib IDAT) — the
+    test-double generator for :func:`decode_png` and a real writer.
+    uint8 input writes 8-bit depth, uint16 (r12b) 16-bit big-endian;
+    ``interlace=True`` (r12b) writes the seven Adam7 passes.
+    ``filter_type`` applies one filter to every row (the
+    filter-matrix tests exercise 0-4)."""
     import zlib
     import numpy as _np
-    a = _np.asarray(arr, dtype=_np.uint8)
+    a = _np.asarray(arr)
+    if a.dtype == _np.uint16:
+        depth = 16
+    else:
+        a = a.astype(_np.uint8)
+        depth = 8
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = a.reshape(h, w * c)
-    rows = []
-    prior = _np.zeros(w * c, _np.uint8)
-    for y in range(h):
-        rows.append(bytes([filter_type])
-                    + _png_filter_row(flat[y], prior, c,
-                                      filter_type).tobytes())
-        prior = flat[y]
-    raw = b"".join(rows)
+    bpp = c * (depth // 8)
+
+    def rowbytes(sub):
+        if depth == 16:
+            return _np.frombuffer(
+                sub.astype(">u2").tobytes(), _np.uint8)                 .reshape(sub.shape[0], -1)
+        return sub.reshape(sub.shape[0], -1)
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            parts.append(_png_filter_pass(
+                rowbytes(sub).reshape(-1), ph, pw, bpp, filter_type))
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_pass(rowbytes(a).reshape(-1), h, w, bpp,
+                               filter_type)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         import zlib as _z
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def decode_png(data: bytes):
-    """Parse an 8-bit non-interlaced PNG blob → (H, W, C) uint8 array
-    (gray=1, gray+alpha=2, RGB=3, RGBA=4; palette images resolve
-    through their PLTE table to RGB).  Pure stdlib-zlib + numpy — no
-    external codec.  All five row filters supported; raises ValueError
-    on non-PNG input, truncated chunks, 16-bit depth, or interlacing
-    (Adam7 — rare in training corpora; re-encode upstream)."""
+    """Parse a PNG blob → (H, W, C) array (gray=1, gray+alpha=2,
+    RGB=3, RGBA=4; palette images resolve through their PLTE table to
+    RGB).  Pure stdlib-zlib + numpy — no external codec.  All five
+    row filters; 8-bit (uint8 out) and 16-bit big-endian (uint16 out,
+    r12b) depths; Adam7 interlacing (r12b).  Raises ValueError on
+    non-PNG input, truncated chunks, or sub-byte depths."""
     import zlib
     import numpy as _np
     if not data or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -540,27 +580,59 @@ def decode_png(data: bytes):
         # ended early (the decode_wav truncation posture)
         raise ValueError("truncated PNG: no IEND chunk")
     w, h, depth, color, comp, filt, interlace = meta
-    if depth != 8 or comp != 0 or filt != 0:
-        raise ValueError(f"only 8-bit depth supported "
+    if depth not in (8, 16) or comp != 0 or filt != 0:
+        raise ValueError(f"only 8/16-bit depth supported "
                          f"(depth={depth}, comp={comp}, filter={filt})")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
     c = _PNG_CHANNELS[color]
+    bpp = c * (depth // 8)
     raw = _np.frombuffer(zlib.decompress(b"".join(idat)), _np.uint8)
-    stride = w * c
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG pixel data length {len(raw)} != "
-                         f"expected {h * (stride + 1)}")
-    out = _np.empty((h, stride), _np.uint8)
-    prior = _np.zeros(stride, _np.uint8)
-    for y in range(h):
-        f = int(raw[y * (stride + 1)])
-        row = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        out[y] = _png_unfilter_row(row, prior, c, f)
-        prior = out[y]
-    img = out.reshape(h, w, c)
+
+    def unfilter(buf, ph, pw):
+        stride = pw * bpp
+        out = _np.empty((ph, stride), _np.uint8)
+        prior = _np.zeros(stride, _np.uint8)
+        for y in range(ph):
+            f = int(buf[y * (stride + 1)])
+            row = buf[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+            out[y] = _png_unfilter_row(row, prior, bpp, f)
+            prior = out[y]
+        return out
+
+    def to_px(rows, ph, pw):
+        if depth == 16:
+            return _np.frombuffer(rows.tobytes(), ">u2")                 .astype(_np.uint16).reshape(ph, pw, c)
+        return rows.reshape(ph, pw, c)
+
+    if interlace == 1:                       # Adam7 (r12b)
+        dt = _np.uint16 if depth == 16 else _np.uint8
+        img = _np.zeros((h, w, c), dt)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG pixel data short for Adam7 "
+                                 "passes")
+            img[y0::dy, x0::dx] = to_px(
+                unfilter(raw[pos:pos + need], ph, pw), ph, pw)
+            pos += need
+        if pos != len(raw):
+            raise ValueError(f"PNG pixel data length {len(raw)} != "
+                             f"expected {pos}")
+    else:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError(f"PNG pixel data length {len(raw)} != "
+                             f"expected {h * (w * bpp + 1)}")
+        img = to_px(unfilter(raw, h, w), h, w)
     if color == 3:  # palette → RGB through PLTE
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -950,7 +1022,11 @@ def feature_extract(binary_col: str = "content", id_col: str = "id", *,
                         # mean/std in [0,1] (first 3 channels; gray
                         # images contribute their single channel)
                         dec, _ = _real_image_codec(codec)
-                        a = dec(b or b"").astype(_np.float64) / 255.0
+                        a0 = dec(b or b"")
+                        # normalize by the decoded dtype's full scale
+                        # (16-bit PNGs decode as uint16 since r12b)
+                        a = a0.astype(_np.float64) \
+                            / _np.iinfo(a0.dtype).max
                         nc = min(a.shape[2], 3)
                         v = ([float(a.shape[0]), float(a.shape[1])]
                              + [float(a[:, :, c].mean())

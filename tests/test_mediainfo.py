@@ -244,3 +244,84 @@ def test_tiff_lzw_validation():
         encode_tiff(a, compression="deflate")
     with _pytest.raises(ValueError, match="predictor"):
         encode_tiff(a, compression="packbits", predictor=True)
+
+
+# ---------------------------------------------------------------------------
+# PNG 16-bit depth + Adam7 interlace (r12b)
+# ---------------------------------------------------------------------------
+
+def test_png_adam7_all_filters_and_shapes():
+    import numpy as np
+    from conduino_spark.operators.multimodal import (decode_png,
+                                                     encode_png)
+    rng = np.random.default_rng(4)
+    for h, w, c in ((13, 17, 3), (7, 5, 1), (9, 4, 4), (1, 1, 2),
+                    (3, 10, 2), (8, 8, 3), (2, 2, 1)):
+        a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        for ft in range(5):
+            np.testing.assert_array_equal(
+                decode_png(encode_png(a, filter_type=ft,
+                                      interlace=True)), a)
+
+
+def test_png_16bit_depth():
+    import numpy as np
+    from conduino_spark.operators.multimodal import (decode_png,
+                                                     encode_png)
+    rng = np.random.default_rng(5)
+    for h, w, c in ((6, 9, 3), (5, 5, 1), (11, 3, 4)):
+        a16 = rng.integers(0, 65536, (h, w, c), dtype=np.uint16)
+        for il in (False, True):
+            got = decode_png(encode_png(a16, filter_type=4,
+                                        interlace=il))
+            assert got.dtype == np.uint16
+            np.testing.assert_array_equal(got, a16)
+
+
+def test_png_16bit_hypothesis_law():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from conduino_spark.operators.multimodal import (decode_png,
+                                                     encode_png)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 10), st.integers(1, 10),
+           st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**31 - 1),
+           st.booleans(), st.booleans(), st.integers(0, 4))
+    def law(h, w, c, seed, deep, il, ft):
+        rng = np.random.default_rng(seed)
+        if deep:
+            a = rng.integers(0, 65536, (h, w, c), dtype=np.uint16)
+        else:
+            a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        got = decode_png(encode_png(a, filter_type=ft, interlace=il))
+        assert got.dtype == a.dtype
+        np.testing.assert_array_equal(got, a)
+
+    law()
+
+
+def test_png_16bit_feature_extract_normalization(spark):
+    import numpy as np
+    from conduino_spark import feature_extract
+    from conduino_spark.operators.multimodal import encode_png
+    # a full-scale 16-bit image must normalize to mean 1.0, not 257
+    a = np.full((4, 6, 3), 65535, np.uint16)
+    df = spark.createDataFrame([(1, bytearray(encode_png(a)))],
+                               "id long, content binary")
+    v = feature_extract(codec="png", dim=8)(df).first()["features"]
+    assert v[0] == 4.0 and v[1] == 6.0       # dims
+    assert abs(v[2] - 1.0) < 1e-12           # channel mean at full scale
+
+
+def test_png_16bit_guards():
+    import numpy as np
+    import pytest as _pytest
+    from conduino_spark.operators.multimodal import decode_png, encode_png
+    # forge a 16-bit palette IHDR: must raise
+    blob = bytearray(encode_png(np.zeros((2, 2, 1), np.uint16)))
+    i = blob.index(b"IHDR") + 4
+    blob[i + 9] = 3                          # color type -> palette
+    with _pytest.raises(ValueError, match="palette"):
+        decode_png(bytes(blob))
