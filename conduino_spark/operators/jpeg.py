@@ -10,14 +10,20 @@ needs (quantization, Huffman) RIDES IN THE FILE (DQT/DHT segments), so
 decode correctness never depends on constants transcribed here.
 
 Scope (documented, loud):
-  * decode: baseline + extended-sequential Huffman (SOF0/SOF1), gray
+  * decode: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+    progressive (SOF2, r12b — spectral selection, successive
+    approximation, EOB runs; most web JPEGs are progressive), gray
     or 3-component YCbCr, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0),
-    restart markers, APPn/COM skipped.  Progressive (SOF2) /
-    arithmetic / 12-bit / CMYK raise ValueError — re-encode upstream.
+    restart markers, APPn/COM skipped.  Arithmetic / 12-bit / CMYK
+    raise ValueError — re-encode upstream.
   * encode: 4:4:4 or 4:2:0 YCbCr (or gray), Annex-K tables scaled by
     ``quality`` (the libjpeg formula), fixed Annex-K Huffman tables.
     The encoder is a real writer AND the test double: round-trip
-    error bounds are what the tests pin.
+    error bounds are what the tests pin.  encode_jpeg_progressive
+    (r12b) writes SOF2 with a jpegtran-style scan script; progressive
+    coding is lossless over the quantized coefficients, so its decode
+    must equal the baseline decode bit-for-bit (the law the tests
+    pin).
   * chroma upsampling is pixel replication (nearest) — the fast path
     real decoders offer; tests bound the error accordingly.
 
@@ -537,11 +543,15 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
                     raise ValueError(f"sampling {sh}x{sv} unsupported")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = (fh, fw, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC2:                                     # SOF2
+            # progressive (r12b): hand the whole stream to the
+            # multi-scan coefficient-accumulating decoder
+            return _decode_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline/extended-sequential "
-                             "Huffman JPEG supported (got "
-                             f"SOF marker 0x{m:02x})")
+            raise ValueError("only baseline/extended-sequential/"
+                             "progressive Huffman JPEG supported "
+                             f"(got SOF marker 0x{m:02x})")
         elif m == 0xDD:                                     # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif m == 0xDA:                                     # SOS
@@ -609,3 +619,548 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:fh, :fw])
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2) — r12b.  Most JPEGs on the web are
+# progressive; the coefficient array accumulates across scans
+# (spectral selection Ss..Se, successive approximation Ah/Al) and one
+# IDCT pass reconstructs at EOI.  encode_jpeg_progressive is the
+# mirrored writer (jpegtran-style scan script over the standard
+# Annex-K tables) used as the round-trip test double: progressive
+# coding is LOSSLESS over the quantized coefficients, so
+# decode(progressive(x)) must equal decode(baseline(x)) bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _comp_geometry(fh, fw, comps):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for c in comps:
+        cw = (fw * c["h"] + hmax - 1) // hmax
+        ch = (fh * c["v"] + vmax - 1) // vmax
+        geo.append({
+            "bw_full": mcux * c["h"], "bh_full": mcuy * c["v"],
+            "bw": (cw + 7) // 8, "bh": (ch + 7) // 8,
+        })
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _decode_progressive(data: bytes) -> "np.ndarray":
+    """Decode a progressive (SOF2) Huffman JPEG — all four scan kinds
+    (DC/AC × first/refinement), EOB runs, restart intervals."""
+    pos = 2
+    qt: "dict[int, np.ndarray]" = {}
+    huff: "dict[tuple[int, int], _HuffDecoder]" = {}
+    frame = None
+    restart = 0
+    coefs = None        # per comp: (bh_full, bw_full, 64) int32
+    geo = None
+    eobrun = 0
+
+    def decode_scan(br, scan_comps, sel, ss, se, ah, al):
+        nonlocal eobrun
+        eobrun = 0
+        preds = [0] * len(scan_comps)
+        interleaved = len(scan_comps) > 1
+
+        def one_block(i, ci, by, bx):
+            nonlocal eobrun
+            cf = coefs[ci][by, bx]
+            if ss == 0 and ah == 0:              # DC first
+                dh = huff.get((0, sel[i][0]))
+                if dh is None:
+                    raise ValueError("scan references undefined DC "
+                                     "table")
+                t = dh.read(br)
+                diff = _extend(br.receive(t), t) if t else 0
+                preds[i] += diff
+                cf[0] = preds[i] << al
+            elif ss == 0:                        # DC refinement
+                if br.bit():
+                    cf[0] |= (1 << al)
+            elif ah == 0:                        # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                ac = huff.get((1, sel[i][1]))
+                if ac is None:
+                    raise ValueError("scan references undefined AC "
+                                     "table")
+                k = ss
+                while k <= se:
+                    rs = ac.read(br)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt JPEG: AC run past "
+                                         "band end")
+                    cf[k] = _extend(br.receive(s), s) << al
+                    k += 1
+            else:                                # AC refinement
+                ac = huff.get((1, sel[i][1]))
+                if ac is None:
+                    raise ValueError("scan references undefined AC "
+                                     "table")
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = ac.read(br)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt JPEG: AC refinement size "
+                                    "> 1")
+                            newval = p1 if br.bit() else m1
+                        else:
+                            if r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                        while k <= se:
+                            if cf[k] != 0:
+                                if br.bit() and not (cf[k] & p1):
+                                    cf[k] += p1 if cf[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            cf[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if cf[k] != 0:
+                            if br.bit() and not (cf[k] & p1):
+                                cf[k] += p1 if cf[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+        if interleaved:                          # DC scans only (T.81)
+            _, _, mcux, mcuy, _ = _comp_geometry(*frame)
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n and n % restart == 0:
+                        if br.align_to_marker() is None:
+                            raise ValueError("corrupt JPEG: missing "
+                                             "RST marker")
+                        preds[:] = [0] * len(scan_comps)
+                        eobrun = 0
+                    for i, ci in enumerate(scan_comps):
+                        c = frame[2][ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                one_block(i, ci,
+                                          my * c["v"] + by,
+                                          mx * c["h"] + bx)
+                    n += 1
+        else:
+            ci = scan_comps[0]
+            g = geo[ci]
+            n = 0
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    if restart and n and n % restart == 0:
+                        if br.align_to_marker() is None:
+                            raise ValueError("corrupt JPEG: missing "
+                                             "RST marker")
+                        preds[:] = [0]
+                        eobrun = 0
+                    one_block(0, ci, by, bx)
+                    n += 1
+
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: no EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        m = data[pos + 1]
+        if m == 0xD9:                                       # EOI
+            break
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, np.int32)
+                t[_ZIGZAG] = np.frombuffer(body[p + 1:p + 65],
+                                           np.uint8)
+                qt[tq] = t.reshape(8, 8)
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                huff[(cls, th)] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif m == 0xC2:                                     # SOF2
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                sh, sv = hv >> 4, hv & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(f"sampling {sh}x{sv} unsupported")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            if nc == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            frame = (fh, fw, comps)
+            _, _, _, _, geo = _comp_geometry(fh, fw, comps)
+            coefs = [np.zeros((g["bh_full"], g["bw_full"], 64),
+                              np.int32) for g in geo]
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive "
+                             f"decode (0x{m:02x})")
+        elif m == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = []
+            scan_comps = []
+            ids = [c["id"] for c in frame[2]]
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append(ids.index(cid))
+                sel.append((tabs >> 4, tabs & 0x0F))
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if ns > 1 and ss != 0:
+                raise ValueError("progressive AC scans must be "
+                                 "non-interleaved")
+            br = _BitReader(data, pos + 2 + seglen)
+            decode_scan(br, scan_comps, sel, ss, se, ah, al)
+            # resync to the next marker after the entropy data
+            pos = br.pos
+            while pos + 1 < len(data):
+                if data[pos] == 0xFF and data[pos + 1] != 0x00 \
+                        and not (0xD0 <= data[pos + 1] <= 0xD7):
+                    break
+                pos += 1
+            continue
+        pos = pos + 2 + seglen
+
+    if frame is None or coefs is None:
+        raise ValueError("progressive JPEG without SOF2/scan data")
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        dq = qt.get(c["tq"])
+        if dq is None:
+            raise ValueError("JPEG references an undefined quant "
+                             "table")
+        g = geo[ci]
+        plane = np.zeros((g["bh_full"] * 8, g["bw_full"] * 8))
+        dqz = dq.reshape(64)[_ZIGZAG]
+        for by in range(g["bh_full"]):
+            for bx in range(g["bw_full"]):
+                zz = coefs[ci][by, bx]
+                if not zz.any():
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = 128.0
+                    continue
+                coef = np.zeros(64, np.float64)
+                coef[_ZIGZAG] = zz * dqz
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct8(coef.reshape(8, 8)) + 128.0
+        planes.append(plane)
+
+    if len(comps) == 1:
+        y = np.clip(planes[0][:fh, :fw].round(), 0, 255) \
+            .astype(np.uint8)
+        return y[:, :, None].copy()
+    full = []
+    for p, c in zip(planes, comps):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _quantized_blocks(arr, quality, subsample):
+    """Shared front half of both encoders: quantized coefficient
+    blocks per component + frame metadata."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2 or a.shape[2] == 1
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    h, w = a.shape[:2]
+    qt = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+    if gray:
+        planes, samp, qsel = [a.astype(np.float64)], [(1, 1)], [0]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        y, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
+        if subsample == "420":
+            ph, pw = (-h) % 2, (-w) % 2
+            cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+            crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0] // 2, 2,
+                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2,
+                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes, qsel = [y, cb, cr], [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qblocks = []
+    for p, (sh, sv), qs in zip(planes, samp, qsel):
+        tgt_h, tgt_w = mcuy * 8 * sv, mcux * 8 * sh
+        pp = np.pad(p, ((0, tgt_h - p.shape[0]),
+                        (0, tgt_w - p.shape[1])), mode="edge")
+        blks = _to_blocks(pp)
+        out = np.zeros(blks.shape[:2] + (64,), np.int32)
+        for by in range(blks.shape[0]):
+            for bx in range(blks.shape[1]):
+                q = np.round(_dct8(blks[by, bx] - 128.0)
+                             / qt[qs]).astype(np.int32)
+                out[by, bx] = q.reshape(64)[_ZIGZAG]
+        qblocks.append(out)
+    return h, w, gray, qt, samp, qsel, mcux, mcuy, qblocks
+
+
+#: jpegtran-style default progressive scan script:
+#: (comp_indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),     # DC first, 1 bit held back
+    ((0,), 1, 5, 0, 2),          # luma low AC, 2 bits held back
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),         # luma high AC
+    ((0,), 1, 63, 2, 1),         # luma AC refine 2 -> 1
+    ((0, 1, 2), 0, 0, 1, 0),     # DC refine
+    ((0,), 1, 63, 1, 0),         # final AC refines
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(arr, *, quality: int = 90,
+                            subsample: str = "444",
+                            scans=None) -> bytes:
+    """Progressive (SOF2) writer over the standard Annex-K tables —
+    the jpegtran-style default script exercises every scan kind (DC/
+    AC first + refinement, spectral bands, two Al levels).  EOB runs
+    are held at 1 (the standard tables carry no EOBn>0 symbols);
+    the decoder handles general runs.  Lossless over the quantized
+    coefficients: decoding this must equal decoding
+    :func:`encode_jpeg` at the same quality/subsampling exactly."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', "
+                         f"got {subsample!r}")
+    h, w, gray, qt, samp, qsel, mcux, mcuy, qb = \
+        _quantized_blocks(arr, quality, subsample)
+    script = scans if scans is not None else (
+        _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR)
+    dc_tabs = [_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA)]
+    tsel = [0] if gray else [0, 1, 1]
+    ncomp = 1 if gray else 3
+    geo = []
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        geo.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    def encode_scan(comp_ids, ss, se, ah, al):
+        bw = _BitWriter()
+        preds = [0] * len(comp_ids)
+
+        def dc_first(i, zz):
+            s_val = zz[0] >> al              # arithmetic shift
+            diff = s_val - preds[i]
+            preds[i] = s_val
+            t = _category(diff)
+            code, ln = dc_tabs[tsel[comp_ids[i]]][t]
+            bw.put(code, ln)
+            if t:
+                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+        def ac_first(ci, zz):
+            tab = ac_tabs[tsel[ci]]
+            run = 0
+            for k in range(ss, se + 1):
+                v = zz[k]
+                mag = -v if v < 0 else v
+                sv = mag >> al
+                if sv == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tab[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                coded = sv if v > 0 else -sv
+                t = _category(coded)
+                code, ln = tab[(run << 4) | t]
+                bw.put(code, ln)
+                bw.put(coded if coded >= 0 else coded + (1 << t) - 1,
+                       t)
+                run = 0
+            if run:
+                code, ln = tab[0x00]         # EOB (run of 1)
+                bw.put(code, ln)
+
+        def ac_refine(ci, zz):
+            tab = ac_tabs[tsel[ci]]
+            p1 = 1 << al
+            # classify band positions
+            newly = []                       # newly-significant ks
+            for k in range(ss, se + 1):
+                v = zz[k]
+                mag = -v if v < 0 else v
+                if (mag >> al) != 0 and (mag >> ah) == 0:
+                    newly.append(k)
+            k = ss
+            correction = []
+
+            def corr_flush():
+                for b in correction:
+                    bw.put(b, 1)
+                correction.clear()
+
+            for nk in newly:
+                run = 0
+                while k < nk:
+                    v = zz[k]
+                    mag = -v if v < 0 else v
+                    if (mag >> ah) != 0:     # history coefficient
+                        correction.append((mag >> al) & 1)
+                    else:
+                        run += 1
+                        if run == 16:
+                            code, ln = tab[0xF0]
+                            bw.put(code, ln)
+                            corr_flush()
+                            run = 0
+                    k += 1
+                code, ln = tab[(run << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if zz[nk] > 0 else 0, 1)
+                corr_flush()
+                k = nk + 1
+            # EOB with correction bits for the remaining history
+            rest = []
+            for kk in range(k, se + 1):
+                v = zz[kk]
+                mag = -v if v < 0 else v
+                if (mag >> ah) != 0:
+                    rest.append((mag >> al) & 1)
+            if k <= se or not newly:
+                # emit EOB only when the band didn't end exactly on
+                # the last newly-significant coefficient
+                if k <= se:
+                    code, ln = tab[0x00]
+                    bw.put(code, ln)
+                    for b in rest:
+                        bw.put(b, 1)
+                elif not newly:
+                    code, ln = tab[0x00]
+                    bw.put(code, ln)
+            return
+
+        interleaved = len(comp_ids) > 1
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for i, ci in enumerate(comp_ids):
+                        sh, sv = samp[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                zz = qb[ci][my * sv + by, mx * sh + bx]
+                                if ss == 0 and ah == 0:
+                                    dc_first(i, zz)
+                                else:
+                                    bw.put((zz[0] >> al) & 1, 1)
+        else:
+            ci = comp_ids[0]
+            bh, bwid = geo[ci]
+            for by in range(bh):
+                for bx in range(bwid):
+                    zz = qb[ci][by, bx]
+                    if ss == 0 and ah == 0:
+                        dc_first(0, zz)
+                    elif ss == 0:
+                        bw.put((zz[0] >> al) & 1, 1)
+                    elif ah == 0:
+                        ac_first(ci, zz)
+                    else:
+                        ac_refine(ci, zz)
+        return bw.flush()
+
+    out = [b"\xff\xd8"]
+    for i, t in enumerate(qt[:1 if gray else 2]):
+        out.append(_marker(0xDB, bytes([i])
+                           + bytes(t.reshape(64)[_ZIGZAG]
+                                   .astype(np.uint8))))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      qsel[ci]])
+    out.append(_marker(0xC2, sof))
+    for cls, i, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+                                 (0, 1, _DC_CHROMA),
+                                 (1, 1, _AC_CHROMA)):
+        if gray and i == 1:
+            continue
+        out.append(_marker(0xC4, bytes([(cls << 4) | i]) + bytes(bits)
+                           + bytes(vals)))
+    for comp_ids, ss, se, ah, al in script:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.append(_marker(0xDA, sos))
+        out.append(encode_scan(comp_ids, ss, se, ah, al))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
