@@ -14,7 +14,9 @@ Those live in public fixed-layout headers:
     identified from the first packet ('\\x01vorbis' → rate/channels
     out of the id header; 'OpusHead' → channels/pre-skip, 48 kHz
     granule clock); duration from the LAST page's granule position.
-    Page CRCs are not verified (we read structure, not integrity).
+    Page CRCs (poly 0x04C11DB7, unreflected — derived from the
+    polynomial, not transcribed) are written for real and verified on
+    demand (``verify_crc=True``).
   * MP4  — big-endian box walk: moov > mvhd (timescale + duration,
     versions 0 and 1) and moov > trak > tkhd (16.16 fixed-point
     width/height).
@@ -162,12 +164,13 @@ def encode_mp3_stub(n_frames: int, *, kbps: int = 128,
 # Ogg (Vorbis / Opus) page walk
 # ---------------------------------------------------------------------------
 
-def ogg_info(data: bytes) -> dict:
+def ogg_info(data: bytes, *, verify_crc: bool = False) -> dict:
     """Walk Ogg pages → ``{codec, rate, channels, n_pages,
     duration_ms}``.  Codec/rate/channels come from the first packet's
     id header ('\\x01vorbis' or 'OpusHead'); duration from the last
     page's granule position (Vorbis: PCM samples at ``rate``; Opus:
-    48 kHz clock minus pre-skip)."""
+    48 kHz clock minus pre-skip).  ``verify_crc`` checks each page's
+    CRC (poly 0x04C11DB7, unreflected) and raises on corruption."""
     if data[:4] != b"OggS":
         raise ValueError("not an Ogg stream")
     pos = 0
@@ -182,6 +185,12 @@ def ogg_info(data: bytes) -> dict:
         seg_table = data[pos + 27:pos + 27 + n_segs]
         body_len = sum(seg_table)
         body_start = pos + 27 + n_segs
+        if verify_crc:
+            page = bytearray(data[pos:body_start + body_len])
+            want = struct.unpack("<I", page[22:26])[0]
+            page[22:26] = b"\x00" * 4
+            if _ogg_crc(bytes(page)) != want:
+                raise ValueError(f"ogg: page {n_pages} CRC mismatch")
         if first_payload is None:
             first_payload = data[body_start:body_start + body_len]
         if granule >= 0:
@@ -213,6 +222,25 @@ def ogg_info(data: bytes) -> dict:
             "duration_ms": round(1000 * samples / clock)}
 
 
+#: Ogg page CRC: 32-bit CRC with polynomial 0x04C11DB7, NOT
+#: reflected, zero init/xorout (differs from zlib's crc32) — built
+#: algorithmically from the polynomial, no transcribed table
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000
+              else _r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF)             ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
 def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
               header_type: int = 0) -> bytes:
     segs = []
@@ -225,7 +253,11 @@ def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
            + struct.pack("<q", granule) + struct.pack("<I", serial)
            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
            + bytes([len(segs)]) + bytes(segs))
-    return hdr + payload
+    page = bytearray(hdr + payload)
+    # the CRC field (bytes 22-26) is computed over the page with the
+    # field zeroed, then patched in (r12b: real CRCs, not zeros)
+    page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
+    return bytes(page)
 
 
 def encode_ogg_stub(codec: str, *, rate: int = 48000,
@@ -233,7 +265,7 @@ def encode_ogg_stub(codec: str, *, rate: int = 48000,
                     pre_skip: int = 312) -> bytes:
     """Synthesize a structurally valid Ogg stream (id-header page +
     one data page carrying the final granule) for :func:`ogg_info`.
-    Page CRCs are zero — the parser reads structure only."""
+    Pages carry REAL CRCs (r12b)."""
     if codec == "vorbis":
         idh = (b"\x01vorbis" + b"\x00\x00\x00\x00"
                + bytes([channels]) + struct.pack("<I", rate)

@@ -325,3 +325,16 @@ def test_png_16bit_guards():
     blob[i + 9] = 3                          # color type -> palette
     with _pytest.raises(ValueError, match="palette"):
         decode_png(bytes(blob))
+
+
+def test_ogg_crc_written_and_verified():
+    from conduino_spark.operators.mediainfo import (encode_ogg_stub,
+                                                    ogg_info)
+    b = encode_ogg_stub("opus", n_samples=48000)
+    assert ogg_info(b, verify_crc=True)["codec"] == "opus"
+    bad = bytearray(b)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        ogg_info(bytes(bad), verify_crc=True)
+    # structure-only mode still reads the corrupted page
+    assert ogg_info(bytes(bad))["n_pages"] == 2

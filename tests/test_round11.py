@@ -309,7 +309,7 @@ def test_png_roundtrip_all_channel_counts():
 
 def test_png_palette_and_validation():
     """Palette PNGs resolve through PLTE to RGB; non-PNG, truncated,
-    16-bit, and interlaced blobs raise ValueError."""
+    sub-byte-depth, and unknown-interlace blobs raise ValueError."""
     import struct
     import zlib
     import numpy as np
@@ -338,18 +338,21 @@ def test_png_palette_and_validation():
     good = encode_png(_synth_img(1))
     with pytest.raises(ValueError, match="truncated PNG"):
         decode_png(good[:-6])
-    deep = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
-            + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="8-bit"):
-        decode_png(deep)
-    lace = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
-            + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(lace)
+    # r12b: 16-bit depth and Adam7 interlace went REAL (laws in
+    # test_mediainfo) — sub-byte depths still raise
+    shallow = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8/16-bit"):
+        decode_png(shallow)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR",
+                           struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 7))
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+                   + chunk(b"IEND", b""))
 
 
 def test_png_operators_end_to_end(spark):
@@ -515,9 +518,11 @@ def test_jpeg_validation():
     blob = encode_jpeg(_smooth_img())
     with pytest.raises(ValueError, match="truncated JPEG"):
         decode_jpeg(blob[:len(blob) // 2])
+    # r12b: SOF2 dispatches to the REAL progressive decoder now —
+    # arithmetic coding is the honest remaining raise
     forged = bytearray(blob)
-    forged[blob.find(b"\xff\xc0") + 1] = 0xC2      # pretend progressive
-    with pytest.raises(ValueError, match="baseline"):
+    forged[blob.find(b"\xff\xc0") + 1] = 0xC9      # arithmetic SOF
+    with pytest.raises(ValueError, match="SOF marker 0xc9"):
         decode_jpeg(bytes(forged))
 
 

@@ -339,6 +339,17 @@ def main() -> None:
 
     EMB_OPS["mmr_rerank"] = _mmr
 
+    def _kcenter(df):
+        # r12b: greedy k-center — k carried-minimum scans; the 10x
+        # ratio measures the per-scan linearity (picks are k rows)
+        from conduino_spark import kcenter_select
+        picks = kcenter_select(df, k=8)
+        return df.sparkSession.createDataFrame(
+            [(int(i), int(r), int(m)) for i, r, m in picks],
+            "vec_id long, sel_round int, mind long")
+
+    EMB_OPS["kcenter"] = _kcenter
+
     def _trim(df):
         # r9: keep-first exact-substring rewrite — one digest agg +
         # one digest join + per-doc folds; the per-replica "r{i} "
@@ -559,6 +570,10 @@ def main() -> None:
         fixtures["webp"] = (
             encode_webp(img, use_palette=False, predictor_mode=7,
                         cache_bits=6), decode_webp)
+        from conduino_spark.operators.jpeg import \
+            encode_jpeg_progressive
+        fixtures["jpeg_prog"] = (
+            encode_jpeg_progressive(img, quality=90), decode_jpeg)
         def _out_bytes(v):
             # decoded payload size: (rate, nch, samples) for audio,
             # (frames, delays) for gif, ndarray for images
