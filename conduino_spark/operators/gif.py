@@ -315,3 +315,21 @@ def decode_gif(data: bytes, *, max_frames: "int | None" = None):
     if not frames:
         raise ValueError("GIF contains no image data")
     return np.stack(frames), delays
+
+
+def _valueerror_only(fn):
+    """r12b fuzz hardening: corrupt GIFs surface as ValueError only
+    (the dirty-corpus profiling contract)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except (KeyError, IndexError, struct.error) as e:
+            raise ValueError(
+                f"corrupt GIF ({type(e).__name__}: {e})") from e
+    return wrapped
+
+
+decode_gif = _valueerror_only(decode_gif)

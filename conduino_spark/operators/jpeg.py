@@ -535,6 +535,8 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
                 raise ValueError(f"{prec}-bit JPEG unsupported")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
+            if fh * fw > 100_000_000 or fh == 0 or fw == 0:
+                raise ValueError(f"JPEG dims {fw}x{fh} out of range")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -826,6 +828,8 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                 raise ValueError(f"{prec}-bit JPEG unsupported")
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
+            if fh * fw > 100_000_000 or fh == 0 or fw == 0:
+                raise ValueError(f"JPEG dims {fw}x{fh} out of range")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -858,6 +862,9 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                 sel.append((tabs >> 4, tabs & 0x0F))
             ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
+            if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+                raise ValueError(f"corrupt JPEG: scan params "
+                                 f"Ss={ss} Se={se} Ah={ah} Al={al}")
             if ns > 1 and ss != 0:
                 raise ValueError("progressive AC scans must be "
                                  "non-interleaved")
@@ -1164,3 +1171,24 @@ def encode_jpeg_progressive(arr, *, quality: int = 90,
         out.append(encode_scan(comp_ids, ss, se, ah, al))
     out.append(b"\xff\xd9")
     return b"".join(out)
+
+
+def _valueerror_only(fn):
+    """Decode-contract wrapper (r12b fuzz hardening): corrupt input
+    must surface as ValueError — never KeyError/IndexError/
+    struct.error — so profiling a dirty corpus can catch ONE type and
+    never abort a batch."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data):
+        try:
+            return fn(data)
+        except (KeyError, IndexError, struct.error,
+                OverflowError) as e:
+            raise ValueError(
+                f"corrupt JPEG ({type(e).__name__}: {e})") from e
+    return wrapped
+
+
+decode_jpeg = _valueerror_only(decode_jpeg)

@@ -341,6 +341,8 @@ def mp4_info(data: bytes) -> dict:
                             width, height = w16 >> 16, h16 >> 16
     if timescale is None:
         raise ValueError("mp4: no moov/mvhd box")
+    if timescale == 0:
+        raise ValueError("mp4: mvhd declares timescale 0")
     return {"width": width, "height": height, "timescale": timescale,
             "duration_ms": round(1000 * duration / timescale),
             "n_tracks": n_tracks}
@@ -424,6 +426,10 @@ def webm_info(data: bytes) -> dict:
                     tscale = int.from_bytes(data[b2:e2], "big")
                 elif i2 == 0x4489:
                     raw = data[b2:e2]
+                    if len(raw) not in (4, 8):
+                        raise ValueError(
+                            f"webm: Duration element of {len(raw)} "
+                            f"bytes (must be a 4/8-byte float)")
                     duration_ticks = struct.unpack(
                         ">f" if len(raw) == 4 else ">d", raw)[0]
         elif eid == 0x1654AE6B:              # Tracks

@@ -327,8 +327,12 @@ def decode_wav(data: bytes):
         # IEEE-float (r12b): full-scale ±1.0 ≙ ±32768, clamped —
         # the DAW/ML-pipeline interchange variant
         f = _np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
-        samples = _np.clip(_np.round(f * 32768.0), -32768,
-                           32767).astype(_np.int16)
+        with _np.errstate(all="ignore"):
+            # corrupt float payloads (inf/nan) clamp deterministically
+            samples = _np.clip(
+                _np.nan_to_num(_np.round(f * 32768.0), nan=0.0,
+                               posinf=32767.0, neginf=-32768.0),
+                -32768, 32767).astype(_np.int16)
     elif afmt == 6:
         samples = _alaw_to_pcm16(_np.frombuffer(pcm, _np.uint8))
     elif afmt == 7:
@@ -591,7 +595,27 @@ def decode_png(data: bytes):
         raise ValueError("palette PNG cannot be 16-bit")
     c = _PNG_CHANNELS[color]
     bpp = c * (depth // 8)
-    raw = _np.frombuffer(zlib.decompress(b"".join(idat)), _np.uint8)
+    if h * w > 100_000_000:
+        raise ValueError(f"PNG dims {w}x{h} exceed the decoder's "
+                         f"sanity cap")
+    if interlace == 1:
+        expected = sum(ph * (pw * bpp + 1)
+                       for pw, ph in ((len(range(x0, w, dx)),
+                                       len(range(y0, h, dy)))
+                                      for x0, y0, dx, dy in _ADAM7)
+                       if pw and ph)
+    else:
+        expected = h * (w * bpp + 1)
+    try:
+        # bounded inflate: a forged stream can't balloon past the
+        # declared geometry (decompression-bomb guard), and corrupt
+        # deflate data surfaces as ValueError like every other decoder
+        # failure — a dirty corpus must never abort a profile batch
+        dobj = zlib.decompressobj()
+        raw = _np.frombuffer(
+            dobj.decompress(b"".join(idat), expected + 1), _np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
 
     def unfilter(buf, ph, pw):
         stride = pw * bpp
@@ -1381,7 +1405,13 @@ def _f80_unpack(b: bytes) -> float:
     if exp == 0 and mant == 0:
         return 0.0
     sign = -1.0 if exp & 0x8000 else 1.0
-    return sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+    try:
+        return sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+    except OverflowError as e:
+        # forged exponent (corrupt COMM chunk) — a decode failure,
+        # not a crash
+        raise ValueError("corrupt AIFF extended-float sample "
+                         "rate") from e
 
 
 def encode_aiff(samples, sample_rate: int, n_channels: int = 1) -> bytes:

@@ -338,3 +338,96 @@ def test_ogg_crc_written_and_verified():
         ogg_info(bytes(bad), verify_crc=True)
     # structure-only mode still reads the corrupted page
     assert ogg_info(bytes(bad))["n_pages"] == 2
+
+
+# ---------------------------------------------------------------------------
+# fuzz hardening (r12b): every decode path must surface corrupt input
+# as ValueError ONLY — profiling a dirty corpus catches one exception
+# type and never aborts a batch on KeyError/IndexError/zlib.error/...
+# ---------------------------------------------------------------------------
+
+def _decode_fixtures():
+    import warnings
+    import numpy as np
+    warnings.filterwarnings("ignore")
+    from conduino_spark.operators.multimodal import (
+        decode_aiff, decode_bmp, decode_png, decode_pnm, decode_wav,
+        encode_aiff, encode_bmp, encode_png, encode_pnm, encode_wav)
+    from conduino_spark.operators.jpeg import (decode_jpeg,
+                                               encode_jpeg,
+                                               encode_jpeg_progressive)
+    from conduino_spark.operators.tiff import decode_tiff, encode_tiff
+    from conduino_spark.operators.gif import decode_gif, encode_gif
+    from conduino_spark.operators.flac import decode_flac, encode_flac
+    from conduino_spark.operators.webp import (anim_frames, decode_webp,
+                                               encode_webp,
+                                               encode_webp_anim)
+    from conduino_spark.operators import mediainfo as mi
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    x = ((np.arange(300) * 37) % 65536 - 32768).astype(np.int16)
+    pal = np.array([[i * 16 % 256] * 3 for i in range(16)], np.uint8)
+    gimg = pal[(np.arange(9 * 11) * 7 % 16)].reshape(9, 11, 3)
+    return {
+        "png": (encode_png(img), decode_png),
+        "png16": (encode_png(img.astype(np.uint16) * 257,
+                             interlace=True), decode_png),
+        "jpeg": (encode_jpeg(img), decode_jpeg),
+        "jpeg_prog": (encode_jpeg_progressive(img), decode_jpeg),
+        "tiff_lzw": (encode_tiff(img, compression="lzw",
+                                 predictor=True), decode_tiff),
+        "wav": (encode_wav(x, 8000), decode_wav),
+        "wav_f32": (encode_wav(x, 8000, fmt="float32"), decode_wav),
+        "wav_ima": (encode_wav(x, 8000, fmt="ima"), decode_wav),
+        "flac": (encode_flac(x, 8000), decode_flac),
+        "webp": (encode_webp(img), decode_webp),
+        "webp_anim": (encode_webp_anim([img, img]), anim_frames),
+        "gif": (encode_gif(gimg), decode_gif),
+        "pnm": (encode_pnm(img), decode_pnm),
+        "aiff": (encode_aiff(x, 8000), decode_aiff),
+        "bmp": (encode_bmp(img), decode_bmp),
+        "mp3": (mi.encode_mp3_stub(6), mi.mp3_info),
+        "ogg": (mi.encode_ogg_stub("vorbis"), mi.ogg_info),
+        "mp4": (mi.encode_mp4_stub(), mi.mp4_info),
+        "webm": (mi.encode_webm_stub(), mi.webm_info),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_decode_fixtures()))
+def test_decoder_fuzz_valueerror_only(name):
+    import random
+    blob, dec = _decode_fixtures()[name]
+    random.seed(hash(name) & 0xFFFF)
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(random.randint(1, 6)):
+            op = random.random()
+            if op < 0.5 and len(b) > 4:
+                b[random.randrange(len(b))] = random.randrange(256)
+            elif op < 0.8 and len(b) > 8:
+                del b[random.randrange(len(b)):][:random.randint(1, 30)]
+            else:
+                pos = random.randrange(len(b))
+                b[pos:pos] = bytes(random.randrange(256)
+                                   for _ in range(random.randint(1, 8)))
+        try:
+            dec(bytes(b))
+        except ValueError:
+            pass                             # the ONLY sanctioned type
+
+
+def test_png_decompression_bomb_guard():
+    import struct as st
+    import zlib
+    # forged IHDR declaring absurd dims must raise BEFORE allocating
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    from conduino_spark.operators.multimodal import decode_png
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 50_000, 50_000, 8, 2,
+                                     0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="sanity cap"):
+        decode_png(bomb)
