@@ -387,51 +387,18 @@ def encode_jpeg(arr, *, quality: int = 90, subsample: str = "444",
     if subsample not in ("444", "420"):
         raise ValueError(f"subsample must be '444' or '420', "
                          f"got {subsample!r}")
-    a = np.asarray(arr, dtype=np.uint8)
-    gray = a.ndim == 2 or a.shape[2] == 1
-    if a.ndim == 3 and a.shape[2] == 1:
-        a = a[:, :, 0]
-    h, w = a.shape[:2]
-    qt = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
-
-    if gray:
-        planes = [a.astype(np.float64)]
-        samp = [(1, 1)]
-        qsel = [0]
-    else:
-        ycc = _rgb_to_ycbcr(a)
-        y, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
-        if subsample == "420":
-            ph, pw = (-h) % 2, (-w) % 2
-            cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
-            crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-            cb = cbp.reshape(cbp.shape[0] // 2, 2,
-                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(crp.shape[0] // 2, 2,
-                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-        qsel = [0, 1, 1]
-
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    blocks = []
-    for p, (sh, sv) in zip(planes, samp):
-        tgt_h, tgt_w = mcuy * 8 * sv, mcux * 8 * sh
-        pp = np.pad(p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])),
-                    mode="edge")
-        blocks.append(_to_blocks(pp))
+    # the SHARED front half with encode_jpeg_progressive — both
+    # encoders must produce identical quantized coefficients or the
+    # pinned progressive==baseline bit-equality law silently breaks
+    h, w, gray, qt, samp, qsel, mcux, mcuy, qb = \
+        _quantized_blocks(arr, quality, subsample)
 
     dc_tabs = [_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA)]
     ac_tabs = [_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA)]
     tsel = [0] if gray else [0, 1, 1]
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(samp)
     mcu_idx = rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -440,16 +407,14 @@ def encode_jpeg(arr, *, quality: int = 90, subsample: str = "444",
                 bw.pad()
                 bw.raw_marker(0xD0 + (rst_idx % 8))
                 rst_idx += 1
-                preds = [0] * len(planes)
+                preds = [0] * len(samp)
             mcu_idx += 1
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
                     for bx in range(sh):
-                        blk = blocks[ci][my * sv + by, mx * sh + bx]
-                        coef = _dct8(blk - 128.0)
-                        q = np.round(coef / qt[qsel[ci]]).astype(np.int32)
+                        zz = qb[ci][my * sv + by, mx * sh + bx]
                         preds[ci] = _encode_block(
-                            bw, q.reshape(64)[_ZIGZAG], preds[ci],
+                            bw, zz, preds[ci],
                             dc_tabs[tsel[ci]], ac_tabs[tsel[ci]])
     scan = bw.flush()
 

@@ -200,12 +200,16 @@ def ogg_info(data: bytes, *, verify_crc: bool = False) -> dict:
     if first_payload is None:
         raise ValueError("ogg: no pages found")
     if first_payload[:7] == b"\x01vorbis":
+        if len(first_payload) < 16:
+            raise ValueError("ogg: truncated Vorbis id header")
         channels = first_payload[11]
         rate = struct.unpack("<I", first_payload[12:16])[0]
         codec = "vorbis"
         samples = last_granule
         clock = rate
     elif first_payload[:8] == b"OpusHead":
+        if len(first_payload) < 16:
+            raise ValueError("ogg: truncated Opus id header")
         channels = first_payload[9]
         pre_skip = struct.unpack("<H", first_payload[10:12])[0]
         rate = struct.unpack("<I", first_payload[12:16])[0]

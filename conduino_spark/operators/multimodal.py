@@ -1093,6 +1093,7 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("mp4",  "66747970", 4),   # ISO BMFF: 'ftyp' at byte 4
     # bare MPEG-audio sync (no ID3) — 2-byte prefixes, lowest priority
     ("mp3",  "fffb",     0),
+    ("mp3",  "fffa",     0),   # MPEG-1 L3 with CRC
     ("mp3",  "fff3",     0),
     ("mp3",  "fff2",     0),
 ]

@@ -93,13 +93,19 @@ def mmr_select(k: int = 5, *, lam: float = 0.7,
         import pandas as _pd
         from pyspark.sql.types import (DoubleType, IntegerType,
                                        StructField, StructType)
+        vcast = F.col(vec_col).cast("array<double>")
         base = df.select(
             F.col(query_col), F.col(id_col),
             F.round(F.col(rel_col).cast("double"), 6).alias("__rel"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
+            vcast.alias("__v"),
         ).where(F.col(id_col).isNotNull()
                 & F.col("__rel").isNotNull()
-                & F.col("__v").isNotNull())
+                & F.col("__v").isNotNull()
+                # a zero-norm vector has no cosine: exact kernel would
+                # divide by zero, grouped would NaN-poison the GEMM —
+                # drop it like the NULLs (mirrored in mmr_select_sql)
+                & (F.aggregate(vcast, F.lit(0.0),
+                               lambda s, x: s + x * x) > 0))
 
         out_schema = StructType([
             StructField(query_col, df.schema[query_col].dataType),
@@ -178,6 +184,7 @@ WITH __cand AS (
            {v} AS __v
     FROM ({cand_sql})
     WHERE {i} IS NOT NULL AND {r} IS NOT NULL AND {v} IS NOT NULL
+      AND list_sum([x * x for x in {v}]) > 0
 ),
 __sim AS (
     SELECT a.{q} AS {q}, a.{i} AS id_a, b.{i} AS id_b,

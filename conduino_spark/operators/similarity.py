@@ -444,12 +444,15 @@ def kcenter_select(df: DataFrame, k: int = 8, *,
     picks = [(seed["__id"], 1, 0)]
     cur = base.withColumn("__mind",
                           dist_to(list(seed["__v"]))).persist()
-    retired = [base]
+    grandparent = base                       # ≤2 live frames at a time
     try:
         for rnd in range(2, k + 1):
             best = (cur.where(~F.col("__id").isin(
                         [p[0] for p in picks]))
                     .orderBy(F.desc("__mind"), "__id").first())
+            # the first() above materialized `cur`, so the frame two
+            # rounds back is no longer an input to anything live
+            grandparent.unpersist()
             if best is None:
                 break                        # fewer than k rows
             picks.append((best["__id"], rnd, int(best["__mind"])))
@@ -458,11 +461,10 @@ def kcenter_select(df: DataFrame, k: int = 8, *,
                     "__mind", F.least(F.col("__mind"),
                                       dist_to(list(best["__v"])))) \
                     .persist()
-                retired.append(cur)
+                grandparent = cur
                 cur = nxt
     finally:
-        for frame in retired:
-            frame.unpersist()
+        grandparent.unpersist()
         cur.unpersist()
     return picks
 

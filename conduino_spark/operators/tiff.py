@@ -323,11 +323,19 @@ def decode_tiff(data: bytes) -> "np.ndarray":
         counts = tags[_TAG_STRIP_COUNTS]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
-    spp = tags.get(_TAG_SPP, [1])[0]
+    def tag1(tag, default):
+        # a forged IFD entry with count 0 yields an empty value list —
+        # corrupt input, not an IndexError (r12b fuzz contract)
+        vs = tags.get(tag, [default])
+        if not vs:
+            raise ValueError(f"corrupt TIFF: tag {tag} with count 0")
+        return vs[0]
+
+    spp = tag1(_TAG_SPP, 1)
     bits = tags.get(_TAG_BITS, [8])
-    comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
-    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    comp = tag1(_TAG_COMPRESSION, 1)
+    rows_per_strip = tag1(_TAG_ROWS_PER_STRIP, h)
+    predictor = tag1(_TAG_PREDICTOR, 1)
     if any(b != 8 for b in bits):
         raise ValueError(f"only 8-bit TIFF supported (bits={bits})")
     if comp not in (1, 5, 32773):

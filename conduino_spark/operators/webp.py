@@ -1065,13 +1065,7 @@ def encode_vp8l(arr, *, use_palette: "bool | None" = None,
 def encode_webp(arr, **opts) -> bytes:
     """Encode (H, W, 3|4) uint8 → a lossless WebP file (RIFF + VP8L).
     Options forward to :func:`encode_vp8l`."""
-    payload = encode_vp8l(arr, **opts)
-    if len(payload) & 1:
-        chunk = payload + b"\x00"
-    else:
-        chunk = payload
-    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + chunk
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return encode_webp_container(encode_vp8l(arr, **opts))
 
 
 # ---------------------------------------------------------------------------
@@ -1101,6 +1095,8 @@ def anim_frames(data: bytes, max_frames: "int | None" = None):
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if tag == b"VP8X":
+            if not body:
+                raise ValueError("webp: truncated VP8X chunk")
             animated = bool(body[0] & 0x02)
         elif tag == b"VP8L" and not animated:
             return [data], [0]
@@ -1108,6 +1104,8 @@ def anim_frames(data: bytes, max_frames: "int | None" = None):
             raise ValueError("webp: lossy VP8 frame — only the "
                              "lossless VP8L profile decodes here")
         elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("webp: truncated ANMF header")
             dur = int.from_bytes(body[12:15], "little")
             sub = 16
             while sub + 8 <= len(body):

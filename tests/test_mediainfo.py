@@ -431,3 +431,30 @@ def test_png_decompression_bomb_guard():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="sanity cap"):
         decode_png(bomb)
+
+
+def test_decoder_contract_regressions_from_review():
+    """r12b review findings: the specific corrupt shapes the fuzz
+    matrix's 150 trials missed — truncated VP8X/ANMF, truncated
+    Ogg id headers, forged count-0 TIFF predictor tags."""
+    import struct as st
+    import numpy as np
+    from conduino_spark.operators.webp import (anim_frames,
+                                               encode_webp_anim)
+    from conduino_spark.operators.mediainfo import _ogg_page, ogg_info
+    from conduino_spark.operators.tiff import decode_tiff, encode_tiff
+    img = np.zeros((4, 4, 3), np.uint8)
+    blob = encode_webp_anim([img, img])
+    with pytest.raises(ValueError):
+        anim_frames(blob[:20])               # truncated VP8X
+    # truncated id headers pass the magic check but not the parse
+    with pytest.raises(ValueError, match="truncated Vorbis"):
+        ogg_info(_ogg_page(1, 0, 0, b"\x01vorbis\x00\x00"))
+    with pytest.raises(ValueError, match="truncated Opus"):
+        ogg_info(_ogg_page(1, 0, 0, b"OpusHead\x01"))
+    # forged predictor tag with count 0
+    t = bytearray(encode_tiff(img, compression="lzw", predictor=True))
+    i = t.find(st.pack("<HHI", 317, 3, 1))
+    t[i + 4:i + 8] = st.pack("<I", 0)        # count -> 0
+    with pytest.raises(ValueError, match="count 0"):
+        decode_tiff(bytes(t))

@@ -389,3 +389,24 @@ def test_rank_metrics_validation(spark):
         rank_metrics(None, k=0)
     with pytest.raises(ValueError):
         rank_metrics_sql("x", "y", k=0)
+
+
+def test_mmr_zero_norm_vectors_dropped(spark):
+    # a zero-norm candidate has no cosine: both kernels drop it (and
+    # the SQL oracle mirrors the filter) instead of dividing by zero
+    rows = [(1, 10, 0.9, [1.0, 0.0]),
+            (1, 11, 0.99, [0.0, 0.0]),       # zero vector
+            (1, 12, 0.5, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, "
+              "embedding array<double>")
+    for kernel in ("exact", "grouped"):
+        got = sorted(r.doc_id for r in
+                     mmr_select(k=3, kernel=kernel)(df).collect())
+        assert got == [10, 12]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cand (query_id BIGINT, doc_id BIGINT, "
+                "score DOUBLE, embedding DOUBLE[])")
+    con.executemany("INSERT INTO cand VALUES (?,?,?,?)", rows)
+    sql = mmr_select_sql("SELECT * FROM cand", k=3)
+    assert sorted(r[1] for r in con.execute(sql).fetchall()) == [10, 12]
