@@ -138,7 +138,23 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # loadavg guard (r12 verdict #1: a 230 s headline was recorded at
+    # loadavg 12+ and did not reproduce on an idle box — 205 s).  A
+    # floor taken under contention is not a floor.  Wait (bounded) for
+    # the 1-min loadavg to drop below LOAD_MAX before sampling; if it
+    # never does, still run but mark the record load_contaminated so
+    # no one quotes it as a headline.
+    LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+    LOAD_WAIT = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "180"))
+    waited = 0
+    while os.getloadavg()[0] > LOAD_MAX and waited < LOAD_WAIT:
+        print(f"bench: loadavg {os.getloadavg()[0]:.1f} > {LOAD_MAX} "
+              f"— waiting for idle ({waited}/{LOAD_WAIT}s)",
+              file=sys.stderr)
+        time.sleep(15)
+        waited += 15
     load_start = os.getloadavg()
+    load_contaminated = load_start[0] > LOAD_MAX
     # JVM/codegen warmup on an unrelated job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -283,6 +299,10 @@ def main() -> None:
     }
     if failed:
         full["failed"] = failed
+    if load_contaminated:
+        # surfaced in BOTH the sidecar and the compact stdout line: a
+        # record taken on a busy box must never read as a clean floor
+        full["load_contaminated"] = True
     sidecar = Path(__file__).resolve().parent / "bench_out.json"
     try:
         sidecar.write_text(json.dumps(full, indent=1) + "\n")

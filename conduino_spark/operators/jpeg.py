@@ -468,6 +468,9 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         m = data[pos + 1]
+        if m == 0xFF:                     # T.81 B.1.1.2: FF fill byte
+            pos += 1
+            continue
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2
             continue
@@ -758,6 +761,9 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         m = data[pos + 1]
+        if m == 0xFF:                     # T.81 B.1.1.2: FF fill byte
+            pos += 1
+            continue
         if m == 0xD9:                                       # EOI
             break
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
@@ -837,8 +843,11 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
             decode_scan(br, scan_comps, sel, ss, se, ah, al)
             # resync to the next marker after the entropy data
             pos = br.pos
+            # next marker = LAST 0xFF of a fill run followed by a
+            # non-00/non-RST/non-FF byte (T.81 B.1.1.2 allows FF fill
+            # bytes before any marker)
             while pos + 1 < len(data):
-                if data[pos] == 0xFF and data[pos + 1] != 0x00 \
+                if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF) \
                         and not (0xD0 <= data[pos + 1] <= 0xD7):
                     break
                 pos += 1

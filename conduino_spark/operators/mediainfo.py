@@ -114,11 +114,32 @@ def mp3_info(data: bytes) -> dict:
         pos = 10 + size
     n_frames = n_samples = 0
     rate = channels = None
+    #: mid-stream resync bound: after valid frames, scan at most this
+    #: far for the next sync word before declaring trailing junk
+    RESYNC_MAX = 4096
     while pos + 4 <= end:
         fr = _mp3_frame(data, pos)
         if fr is None:
             if n_frames:
-                break                        # trailing junk after frames
+                # mid-stream junk (damaged sync, broadcast splice):
+                # bounded forward scan for the next header whose rate
+                # matches the stream AND whose successor also parses —
+                # a single-header match on garbage is too easy
+                found = None
+                for p2 in range(pos + 1,
+                                min(pos + 1 + RESYNC_MAX, end - 3)):
+                    f2 = _mp3_frame(data, p2)
+                    if f2 is None or f2[2] != rate:
+                        continue
+                    nxt = p2 + f2[0]
+                    if nxt >= end or (_mp3_frame(data, nxt) is not None
+                                      and _mp3_frame(data, nxt)[2] == rate):
+                        found = p2
+                        break
+                if found is None:
+                    break                    # trailing junk after frames
+                pos = found
+                continue
             pos += 1                         # resync scan
             continue
         flen, samples, r, ch = fr
@@ -175,12 +196,14 @@ def ogg_info(data: bytes, *, verify_crc: bool = False) -> dict:
         raise ValueError("not an Ogg stream")
     pos = 0
     first_payload = None
+    stream_serial = None                     # serial of the first BOS
     last_granule = 0
     n_pages = 0
     while pos + 27 <= len(data):
         if data[pos:pos + 4] != b"OggS":
             break
         granule = struct.unpack("<q", data[pos + 6:pos + 14])[0]
+        serial = struct.unpack("<I", data[pos + 14:pos + 18])[0]
         n_segs = data[pos + 26]
         seg_table = data[pos + 27:pos + 27 + n_segs]
         body_len = sum(seg_table)
@@ -191,11 +214,16 @@ def ogg_info(data: bytes, *, verify_crc: bool = False) -> dict:
             page[22:26] = b"\x00" * 4
             if _ogg_crc(bytes(page)) != want:
                 raise ValueError(f"ogg: page {n_pages} CRC mismatch")
-        if first_payload is None:
+        if stream_serial is None:
+            stream_serial = serial
             first_payload = data[body_start:body_start + body_len]
-        if granule >= 0:
-            last_granule = granule
-        n_pages += 1
+        # multiplexed/chained streams: duration and page count follow
+        # the FIRST logical stream's serial only — another stream's
+        # last page must not set this stream's granule clock
+        if serial == stream_serial:
+            if granule >= 0:
+                last_granule = granule
+            n_pages += 1
         pos = body_start + body_len
     if first_payload is None:
         raise ValueError("ogg: no pages found")

@@ -979,19 +979,20 @@ def video_metadata(binary_col: str = "content", id_col: str = "id", *,
                         rows.append((w, h, len(blobs), fps, "avi"))
                 elif codec == "webp":
                     # r12b: animated lossless WebP — canvas dims from
-                    # the first frame, count from the ANMF walk, fps
-                    # from the mean frame duration (0 when static)
+                    # the VP8X chunk (r13, the authoritative canvas —
+                    # a frame may legally be smaller), count from the
+                    # ANMF walk, fps from the mean frame duration
+                    # (0 when static); no pixel decode needed
                     from conduino_spark.operators.webp import (
-                        anim_frames, decode_webp)
+                        anim_frames, canvas_dims)
                     for b in pdf[binary_col]:
-                        blobs, durs = anim_frames(
-                            b if b is not None else b"")
-                        a = decode_webp(blobs[0])
+                        b = b if b is not None else b""
+                        blobs, durs = anim_frames(b)
+                        w, h = canvas_dims(b)
                         tot = sum(durs)
                         fps = (round(1000 * len(durs) / tot)
                                if tot > 0 else 0)
-                        rows.append((a.shape[1], a.shape[0],
-                                     len(blobs), fps, "webp"))
+                        rows.append((w, h, len(blobs), fps, "webp"))
                 else:
                     for b in pdf[binary_col]:
                         d = hashlib.sha256(b or b"").digest()

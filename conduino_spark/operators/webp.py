@@ -1090,14 +1090,17 @@ def anim_frames(data: bytes, max_frames: "int | None" = None):
     durations = []
     pos = 12
     animated = False
+    canvas = None                    # (w, h) from VP8X when present
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if tag == b"VP8X":
-            if not body:
+            if len(body) < 10:
                 raise ValueError("webp: truncated VP8X chunk")
             animated = bool(body[0] & 0x02)
+            canvas = (int.from_bytes(body[4:7], "little") + 1,
+                      int.from_bytes(body[7:10], "little") + 1)
         elif tag == b"VP8L" and not animated:
             return [data], [0]
         elif tag == b"VP8 ":
@@ -1106,6 +1109,21 @@ def anim_frames(data: bytes, max_frames: "int | None" = None):
         elif tag == b"ANMF":
             if len(body) < 16:
                 raise ValueError("webp: truncated ANMF header")
+            # sub-canvas frames (nonzero x/y offset or dims smaller
+            # than the VP8X canvas) would need disposal/blend
+            # compositing to yield true canvas frames; this decoder
+            # supports the full-canvas profile only (what
+            # encode_webp_anim emits) and raises rather than return a
+            # raw patch pretending to be a canvas frame
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            if fx or fy or (canvas is not None and (fw, fh) != canvas):
+                raise ValueError(
+                    f"webp: sub-canvas ANMF frame ({fw}x{fh}@{fx},{fy}"
+                    f" on {canvas}) — only full-canvas animation "
+                    "frames decode here (no disposal/blend compositing)")
             dur = int.from_bytes(body[12:15], "little")
             sub = 16
             while sub + 8 <= len(body):
@@ -1127,6 +1145,32 @@ def anim_frames(data: bytes, max_frames: "int | None" = None):
     if not frames:
         raise ValueError("webp: no decodable frames found")
     return frames, durations
+
+
+def canvas_dims(data: bytes) -> tuple:
+    """Canvas ``(width, height)`` of a WebP blob WITHOUT decoding any
+    pixels: the VP8X chunk when present (the authoritative canvas for
+    extended/animated files — an ANMF frame may legally be smaller),
+    else the 14-bit dims in the bare VP8L bitstream header."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) blob")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("webp: truncated VP8X chunk")
+            return (int.from_bytes(body[4:7], "little") + 1,
+                    int.from_bytes(body[7:10], "little") + 1)
+        if tag == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("vp8l: bad signature byte")
+            bits = int.from_bytes(body[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no VP8X or VP8L chunk with dims")
 
 
 def encode_webp_container(vp8l_payload: bytes) -> bytes:
