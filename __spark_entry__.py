@@ -2860,7 +2860,10 @@ def q_scan_accum(spark, sf):
 
 def q_take_drop_zip(spark, sf):
     # r8 merge: take_drop_sequel (+zipSink cross) + zip_concat_last —
-    # the positional-boundary algebra family in one pin
+    # the positional-boundary algebra family in one pin.  r13 adds the
+    # 'dw' arm (VERDICT r12 #5): dropWhile was the last §2.4 row with
+    # no driver-hash coverage — boundary consumed AND dropped, sequel
+    # starts strictly after it (Combinators.hs:537-547).
     tds = q_take_drop_sequel(spark, sf).select(
         F.lit("tds").alias("part"), F.col("event_id").alias("pos"),
         F.col("event_type").alias("name"),
@@ -2872,7 +2875,23 @@ def q_take_drop_zip(spark, sf):
         F.lit(None).cast("double").alias("sum_value"),
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("long").alias("max_user"))
-    return tds.unionByName(zc)
+    from conduino_spark import drop_while
+    src = _src(sf, "events", seq_col="event_id")
+    p = (src | take(9100)
+         | (drop(8000) >> (drop_while("value < 99.5")
+                           >> (map_({"event_id": F.col("event_id"),
+                                     "event_type": F.col("event_type"),
+                                     "value": F.col("value")})
+                               | sink_df()))))
+    dw = _strip(run_pipe(p, spark)).select(
+        F.lit("dw").alias("part"), F.col("event_id").alias("pos"),
+        F.col("event_type").alias("name"),
+        F.lit(None).cast("long").alias("key"),
+        "value",
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("max_user"))
+    return tds.unionByName(zc).unionByName(dw)
 
 
 def q_set_ops_rollup(spark, sf):
@@ -4900,7 +4919,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS key,
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-            FROM events WHERE event_id = (SELECT max(event_id) FROM events)""",
+            FROM events WHERE event_id = (SELECT max(event_id) FROM events)
+            UNION ALL
+            -- r13 'dw' arm: rows 8001..9100, dropWhile (value < 99.5);
+            -- the boundary element is consumed AND dropped, so the
+            -- sequel is everything STRICTLY after the first failing
+            -- element (empty when the predicate never fails)
+            SELECT 'dw' AS part, event_id AS pos, event_type AS name,
+                   CAST(NULL AS BIGINT) AS key, value,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM (SELECT event_id, event_type, value FROM (
+                    SELECT event_id, event_type, value FROM events
+                    ORDER BY event_id LIMIT 9100)
+                  WHERE event_id > (SELECT event_id FROM events
+                                    ORDER BY event_id LIMIT 1 OFFSET 7999)) w2
+            WHERE event_id > coalesce(
+                (SELECT min(event_id) FROM (SELECT event_id, value FROM (
+                    SELECT event_id, value FROM events
+                    ORDER BY event_id LIMIT 9100)
+                  WHERE event_id > (SELECT event_id FROM events
+                                    ORDER BY event_id LIMIT 1 OFFSET 7999))
+                 WHERE NOT (value < 99.5)),
+                (SELECT max(event_id) FROM events))""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(ROUND(l_quantity * 1) AS BIGINT)) / 1.0 AS sum_qty,

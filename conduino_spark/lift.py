@@ -217,7 +217,17 @@ def feedback_pipe(stage: Stage, src: Source, spark: SparkSession, *,
     law: feedbackPipe duplicates output downstream).  Each round is
     localCheckpointed to cut lineage growth — without it round k
     re-executes rounds 1..k-1."""
-    work = src.df(spark)
+    return fixpoint_rounds(stage, src.df(spark), max_iters=max_iters,
+                           until_empty=until_empty)
+
+
+def fixpoint_rounds(stage: Stage, work: DataFrame, *,
+                    max_iters: int = 100,
+                    until_empty: bool = True) -> DataFrame:
+    """The feedbackPipe driver loop over an already-materialized batch:
+    iterate ``work = stage(work)``, localCheckpoint each round, return
+    the union of every round's output.  Shared by :func:`feedback_pipe`
+    (batch) and ``streaming.feedback_pipe_stream`` (per micro-batch)."""
     outs = []
     for _ in range(max_iters):
         work = stage(work).localCheckpoint(eager=True)

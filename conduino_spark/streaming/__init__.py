@@ -107,6 +107,55 @@ def feed_pipe(stage: Stage, batches: Iterable[list], spark: SparkSession,
     return outs, flat
 
 
+def feedback_pipe_stream(stage: Stage, src: Source, spark: SparkSession,
+                         *, out_dir: Optional[str] = None,
+                         max_iters: int = 100,
+                         until_empty: bool = True) -> DataFrame:
+    """Streaming ``feedbackPipe`` (Data/Conduino.hs:429-462; closes
+    SURVEY M7's streaming half).
+
+    In the reference, a fed-back output is consumed BEFORE the next
+    upstream element — feedback has priority over upstream input — so
+    each element's feedback chain fully drains before new input is
+    read.  The micro-batch rendering is therefore exact, not a
+    relaxation: every micro-batch runs the same bounded driver
+    fixpoint as the batch :func:`conduino_spark.lift.feedback_pipe`
+    (rounds, localCheckpoint-bounded), and its drained output is
+    appended before the next batch's upstream rows are consumed.
+
+    Replay law (tested): streaming over any micro-batch split ==
+    concatenation of per-batch ``feedback_pipe`` fixpoints; a single
+    batch == ``feedback_pipe`` exactly.
+
+    Output accumulates in ``out_dir`` as parquet (a temp dir when not
+    given) — appended per batch, never collected to the driver — and
+    is returned as a batch DataFrame.  Scale posture: state between
+    batches is nothing but the output files; each fixpoint is
+    distributed; driver holds only the loop counter."""
+    from conduino_spark.lift import fixpoint_rounds
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="feedback_stream_")
+    schema_holder: list = []
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = fixpoint_rounds(stage, batch_df, max_iters=max_iters,
+                              until_empty=until_empty)
+        schema_holder.append(res.schema)
+        res.write.mode("append").parquet(out_dir)
+
+    q = (src.df(spark).writeStream.foreachBatch(one_batch)
+         .option("checkpointLocation",
+                 os.path.join(out_dir, "_checkpoint"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        if schema_holder:           # every batch fixpointed to empty
+            return spark.createDataFrame([], schema_holder[-1])
+        raise
+
+
 def map_accum_stream(step: Callable[[Any, Any], tuple[Any, Any]], seed: Any, *,
                      key_col: str, returns: str = "double",
                      api: str = "auto") -> Stage:
