@@ -746,8 +746,10 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, str]:
 
 def _real_audio_codec(codec: str):
     """decode fn for the REAL audio codecs — (rate, n_channels,
-    int16 interleaved samples).  wav (r10 + r11 G.711/ADPCM variants)
-    and flac (r11, operators/flac.py); None for fake/stubbed."""
+    int16 interleaved samples).  wav (r10 + r11 G.711/ADPCM variants),
+    flac (r11, operators/flac.py), aiff (r12), mp3 (r13,
+    operators/mp3.py — MPEG-1/2 Layer III sample decode); None for
+    fake/stubbed."""
     if codec == "wav":
         return decode_wav
     if codec == "flac":
@@ -755,6 +757,9 @@ def _real_audio_codec(codec: str):
         return decode_flac
     if codec == "aiff":
         return decode_aiff
+    if codec == "mp3":
+        from conduino_spark.operators.mp3 import decode_mp3
+        return decode_mp3
     return None
 
 
@@ -770,9 +775,9 @@ def audio_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "wav (incl. G.711/ADPCM) and flac decode for "
-                        "REAL via codec= — wire soundfile here only "
-                        "for mp3/ogg")
+                        "wav (incl. G.711/ADPCM), flac, aiff and mp3 "
+                        "decode for REAL via codec= — wire soundfile "
+                        "here only for ogg-vorbis/opus")
                 if _real_audio_codec(codec):
                     # REAL decode (r10 wav; r11 flac): pure numpy +
                     # stdlib, no codec library
@@ -1139,7 +1144,7 @@ def sniff_format(binary_col: str = "content", *,
 
 
 #: codecs media_profile can dispatch per row, grouped by kind
-_AUDIO_CODECS = ("wav", "flac", "aiff")
+_AUDIO_CODECS = ("wav", "flac", "aiff", "mp3")
 _IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm", "webp")
 
 #: containers container_info can dispatch (header-level parsers in

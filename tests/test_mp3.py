@@ -1,0 +1,262 @@
+"""MPEG-1/2 Layer III (operators/mp3.py): filterbank laws, round-trip
+SNR, third-party stream decode, conformance raises, fuzz.
+
+Validation layers (mp3_tables.py docstring):
+* the synthesis window passes the filterbank's near-perfect-
+  reconstruction law at the textbook 481-sample delay, and perturbing
+  coefficients degrades it (unit-precision optimum);
+* the MDCT/IMDCT pair satisfies the TDAC identity exactly;
+* a REAL third-party (LAME) stream decodes through the whole pipeline
+  to exactly its declared sample count of digital silence;
+* self round-trip SNR is quantization-bounded at the exact
+  theoretical codec delay (576 MDCT + 481 filterbank = 1057).
+
+Reference anchor: conduino has no media types — north-star engine
+extension (SURVEY §7, M6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from conduino_spark.operators.mp3 import (_frames, _imdct_granule,
+                                          _mdct_long, decode_mp3,
+                                          encode_mp3, side_info_scan)
+
+THIRD_PARTY = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/"
+               "tests/test_data/test.mp3")
+
+
+# ---------------------------------------------------------------------------
+# filterbank laws
+# ---------------------------------------------------------------------------
+
+def _pr_snr(D):
+    """Analysis (Fig C.1, C=D/32) → synthesis (Fig A.2) white-noise
+    reconstruction SNR at the canonical 481-sample delay."""
+    M = np.cos((2 * np.arange(32)[:, None] + 1)
+               * (np.arange(64)[None, :] - 16) * np.pi / 64)
+    N = np.cos((16 + np.arange(64)[:, None])
+               * (2 * np.arange(32)[None, :] + 1) * np.pi / 64)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, .3, 1536)
+    C = D / 32.0
+    X = np.zeros(512)
+    V = np.zeros(1024)
+    out = []
+    for k in range(0, len(x) - 31, 32):
+        X = np.roll(X, 32)
+        X[:32] = x[k:k + 32][::-1]
+        S = M @ (C * X).reshape(8, 64).sum(0)
+        V = np.roll(V, 64)
+        V[:64] = N @ S
+        U = np.empty(512)
+        for i in range(8):
+            U[i * 64:i * 64 + 32] = V[i * 128:i * 128 + 32]
+            U[i * 64 + 32:i * 64 + 64] = V[i * 128 + 96:i * 128 + 128]
+        out.append((U * D).reshape(16, 32).sum(0))
+    y = np.concatenate(out)
+    n = len(x) - 481 - 32
+    e = y[481:481 + n] - x[:n]
+    return 10 * np.log10((x[:n] ** 2).sum() / (e ** 2).sum())
+
+
+def test_synth_window_pr_law():
+    from conduino_spark.operators.mp3_tables import SYNTH_D
+    snr = _pr_snr(SYNTH_D)
+    assert snr > 55.0, f"window PR law broken: {snr:.1f} dB"
+    # perturbing coefficients degrades reconstruction (~0.2 dB per
+    # 100/65536, ~2 dB per 400/65536 measured) — the window sits at
+    # an optimum of the PR property; the development-time coordinate
+    # scan additionally found no +-1/65536 tweak that improves it
+    rng = np.random.default_rng(3)
+    for idx in rng.integers(64, 257, 6):
+        D = SYNTH_D.copy()
+        D[idx] += 400.0 / 65536.0
+        assert _pr_snr(D) < snr - 1.0
+
+
+def test_tdac_identity():
+    rng = np.random.default_rng(0)
+    subs = [rng.normal(0, 1, (18, 32)) for _ in range(4)]
+    g = {"block_type": 0, "mixed_block": 0}
+    prev = np.zeros((18, 32))
+    overlap = np.zeros((32, 18))
+    outs = []
+    for s in subs:
+        lines = _mdct_long(s, prev)
+        prev = s
+        out, overlap = _imdct_granule(lines, g, overlap)
+        outs.append(out)
+    for k in range(1, 4):
+        np.testing.assert_allclose(outs[k], subs[k - 1], atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# third-party stream (LAME, MPEG-2 LSF mono): full-pipeline decode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.exists(THIRD_PARTY),
+                    reason="third-party fixture not present")
+def test_third_party_lame_stream_decodes():
+    data = open(THIRD_PARTY, "rb").read()
+    scan = side_info_scan(data)
+    assert scan["n_frames"] == 45
+    rate, nch, pcm = decode_mp3(data)
+    assert (rate, nch) == (22050, 1)
+    # digital silence: every granule's part2_3_length is 0, so the
+    # whole pipeline (LSF side info, reservoir, requantize, IMDCT,
+    # synthesis) must produce EXACTLY the declared sample count of
+    # exact zeros
+    assert len(pcm) == 45 * 576
+    assert np.abs(pcm).max() == 0
+
+
+# ---------------------------------------------------------------------------
+# self round-trip (certified tables; coarse but conformant encoder)
+# ---------------------------------------------------------------------------
+
+def _snr_at(y, x, lag):
+    n = min(len(y) - lag, len(x)) - 1500
+    e = y[lag:lag + n] - x[:n]
+    return 10 * np.log10((x[:n] ** 2).sum() / (e ** 2).sum())
+
+
+def test_roundtrip_sine_snr():
+    t = np.arange(22050) / 44100.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, nch, pcm = decode_mp3(encode_mp3(x, 44100, kbps=128))
+    assert (rate, nch) == (44100, 1)
+    y = pcm.astype(np.float64) / 32768.0
+    assert _snr_at(y, x, 1057) > 18.0
+
+
+def test_roundtrip_noise_snr_and_exact_delay():
+    from numpy.fft import irfft, rfft
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 22050)
+    X = rfft(x)
+    X[4000:] = 0
+    x = irfft(X)
+    x = 0.4 * x / np.abs(x).max()
+    rate, nch, pcm = decode_mp3(encode_mp3(x, 44100, kbps=160))
+    y = pcm.astype(np.float64) / 32768.0
+    corr = np.correlate(y, x[:6000], "full")
+    lag = int(corr.argmax() - 5999)
+    # 576 (MDCT granule) + 481 (polyphase) = the theoretical delay
+    assert lag == 1057
+    assert _snr_at(y, x, lag) > 14.0
+
+
+@pytest.mark.parametrize("rate", [48000, 32000])
+def test_roundtrip_other_mpeg1_rates(rate):
+    t = np.arange(rate // 4) / rate
+    x = 0.4 * np.sin(2 * np.pi * 300 * t)
+    r, nch, pcm = decode_mp3(encode_mp3(x, rate, kbps=128))
+    assert r == rate
+    y = pcm.astype(np.float64) / 32768.0
+    assert _snr_at(y, x, 1057) > 15.0
+
+
+def test_int16_input_and_silence_roundtrip():
+    x = np.zeros(4000, np.int16)
+    rate, nch, pcm = decode_mp3(encode_mp3(x, 44100))
+    assert np.abs(pcm).max() == 0
+    assert len(pcm) % 1152 == 0
+
+
+def test_encoder_mediainfo_consistency():
+    from conduino_spark.operators.mediainfo import mp3_info
+    x = 0.3 * np.sin(np.arange(6000) * 0.05)
+    blob = encode_mp3(x, 44100, kbps=128)
+    info = mp3_info(blob)
+    assert info["rate"] == 44100
+    assert info["n_frames"] == -(-6000 // 1152)
+    assert info["n_samples"] == info["n_frames"] * 1152
+
+
+# ---------------------------------------------------------------------------
+# conformance + robustness
+# ---------------------------------------------------------------------------
+
+def test_uncertified_table_raises():
+    x = 0.4 * np.sin(np.arange(3000) * 0.07)
+    blob = bytearray(encode_mp3(x, 44100, kbps=128))
+    # mono MPEG-1 side info: 18 fixed bits, then granule0's
+    # part2_3(12)+big_values(9)+gain(8)+sfc(4)+ws(1)=34 → the first
+    # table_select is bits 52..56 of the side info (byte 4 onward)
+    bitpos = (4 * 8) + 52
+    for i, b in enumerate("10000"):          # table 16
+        p = bitpos + i
+        if b == "1":
+            blob[p >> 3] |= 0x80 >> (p & 7)
+        else:
+            blob[p >> 3] &= ~(0x80 >> (p & 7)) & 0xFF
+    with pytest.raises(ValueError, match="not certified"):
+        decode_mp3(bytes(blob))
+
+
+def test_corrupt_inputs_raise_valueerror():
+    with pytest.raises(ValueError):
+        decode_mp3(b"")
+    with pytest.raises(ValueError):
+        decode_mp3(b"definitely not an mp3 stream at all")
+    x = 0.3 * np.sin(np.arange(3000) * 0.05)
+    blob = encode_mp3(x, 44100)
+    with pytest.raises(ValueError):
+        decode_mp3(blob[:30])                # truncated mid side-info
+
+
+def test_fuzz_mutations_never_escape_valueerror():
+    x = 0.3 * np.sin(np.arange(3000) * 0.06)
+    blob = bytearray(encode_mp3(x, 44100))
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        m = bytearray(blob)
+        for _ in range(rng.integers(1, 6)):
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            decode_mp3(bytes(m))
+        except ValueError:
+            pass                             # the only legal escape
+
+
+def test_encoder_kbps_overflow_raises():
+    rng = np.random.default_rng(0)
+    x = 0.9 * rng.normal(0, 0.5, 4096).clip(-1, 1)
+    with pytest.raises(ValueError, match="kbps"):
+        encode_mp3(x, 44100, kbps=32)
+
+
+# ---------------------------------------------------------------------------
+# Spark dispatch
+# ---------------------------------------------------------------------------
+
+def test_mp3_spark_dispatch(spark):
+    import pandas as pd
+
+    from conduino_spark.operators.multimodal import (audio_metadata,
+                                                     media_profile)
+
+    sine = 0.4 * np.sin(np.arange(5000) * 0.06)
+    blobs = [encode_mp3(sine, 44100, kbps=128),
+             encode_mp3(np.zeros(2304), 44100),
+             b"not audio"]
+    df = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3],
+                                             "content": blobs}))
+    good = df.where("id < 3")                # audio_metadata
+    rows = {r.id: r for r in                 # propagates junk errors
+            audio_metadata(codec="mp3")(good).collect()}
+    assert rows[1].sample_rate == 44100
+    assert rows[1].n_samples == -(-5000 // 1152) * 1152
+    prof = {r.id: r for r in
+            media_profile(codec="mp3")(df).collect()}
+    assert prof[2].format == "mp3"
+    assert (prof[2].sum_abs, prof[2].max_abs) == (0, 0)
+    assert prof[2].n_units == 2304
+    assert prof[2].meta == 44100 * 10 + 1
+    assert prof[3].format == "error"         # junk never aborts batch
+    assert prof[1].sum_abs > 0
