@@ -3072,6 +3072,23 @@ def _synth_media_blobs(spark, sf):
                         img5, use_palette=False,
                         predictor_mode=i % 14,
                         cache_bits=(i % 2) * 4))
+                # r13: mp3 joins the hash gate — REAL Layer III
+                # encode→sniff→decode→profile of digital silence (the
+                # one Layer III program whose decoded PCM is exactly
+                # SQL-recomputable: all-zero spectra through the whole
+                # side-info/reservoir/IMDCT/synthesis chain must land
+                # as exactly n_frames*1152 zero samples; nonzero
+                # content keeps its SNR laws in tests/test_mp3.py).
+                # Rates rotate through all three MPEG-1 families.
+                # Every 5th doc (i%5==1 — disjoint from the webp
+                # rotation): encode+decode per doc is the pin budget.
+                if i % 5 == 1:
+                    from conduino_spark.operators.mp3 import encode_mp3
+                    nf6 = 2 + i % 3
+                    r6 = (44100, 48000, 32000)[i % 3]
+                    ids.append(i)
+                    blobs.append(encode_mp3(
+                        np.zeros(nf6 * 1152), r6, kbps=128))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3747,6 +3764,18 @@ def _sql_profile_docs() -> str:
                      unnest(range(0, 80 + (doc_id % 5) * 40)) AS j
               FROM documents)
         GROUP BY ALL""")
+    # mp3 arm (r13): REAL Layer III encode→decode of digital silence —
+    # nf=2+i%3 frames at rate (44100,48000,32000)[i%3]; the decoded
+    # profile must be EXACTLY nf*1152 zero samples (sum_abs=max_abs=0)
+    arms.append("""
+        SELECT 'mm' AS part, 'mp3:' || doc_id AS "column",
+               CAST((2 + doc_id % 3) * 1152 AS BIGINT) AS n_rows,
+               CAST((CASE doc_id % 3 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 ELSE 32000 END) * 10 + 1
+                    AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               '0' AS min, '0' AS max
+        FROM documents WHERE doc_id % 5 = 1""")
     # ct arms (r12b): header-level container facts recomputed from the
     # synth formulas — mp3 (nf=10+i%7, rate 32k/48k by parity so the
     # duration is an exact integer 36*nf / 24*nf), ogg (vorbis 44.1k /
