@@ -38,21 +38,36 @@ _FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
 
 def _crc8(data: bytes) -> int:
     crc = 0
+    tab = _CRC8_TAB
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
+
+
+#: table-driven CRCs (r13 vectorization pass) — tables DERIVED from
+#: the polynomials at import, one lookup per byte instead of 8 shift
+#: steps
+_CRC8_TAB = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TAB.append(_c)
+
+_CRC16_TAB = []
+for _i in range(256):
+    _c = _i << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 \
+            else (_c << 1) & 0xFFFF
+    _CRC16_TAB.append(_c)
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tab = _CRC16_TAB
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -328,14 +343,68 @@ _BS_TABLE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256,
              14: 16384, 15: 32768}
 
 
-def _read_residuals(br: "_BitReader", bs: int, order: int) -> "list[int]":
+def _bit_cache(br: "_BitReader"):
+    """Lazily attach an unpacked-bit view of the whole stream to the
+    reader: ``bits`` (uint8 0/1, MSB-first — FLAC's bit order) and
+    ``ones`` (sorted positions of the 1-bits, as a Python list for
+    cheap per-symbol scanning).  Built once per decode; the Rice fast
+    path below runs on it instead of bit-by-bit reads."""
+    if not hasattr(br, "_bits"):
+        br._bits = np.unpackbits(np.frombuffer(br.d, np.uint8))
+        br._ones = np.flatnonzero(br._bits).tolist()
+    return br._bits, br._ones
+
+
+def _rice_batch(br: "_BitReader", cnt: int, param: int) -> "np.ndarray":
+    """Decode ``cnt`` Rice(param) codes in one pass: unary quotients
+    by scanning the precomputed 1-bit positions (each code's
+    terminator is a 1-bit; fixed ``param`` payload bits follow), then
+    ONE vectorized gather for all payloads.  Bit-exact with the
+    per-symbol path (tests/test_round11 fuzz matrix + round-trips)."""
+    bits, ones = _bit_cache(br)
+    bitpos = br.pos * 8 - br.n
+    nbits = len(bits)
+    # index of the first 1-bit at/after bitpos
+    import bisect
+    j = bisect.bisect_left(ones, bitpos)
+    qs = np.empty(cnt, np.int64)
+    starts = np.empty(cnt, np.int64)
+    step = 1 + param
+    for i in range(cnt):
+        # skip 1-bits consumed by the previous payload
+        while j < len(ones) and ones[j] < bitpos:
+            j += 1
+        if j >= len(ones):
+            raise ValueError("truncated FLAC bitstream")
+        t = ones[j]
+        j += 1
+        qs[i] = t - bitpos
+        starts[i] = t + 1
+        bitpos = t + step
+    if bitpos > nbits:
+        raise ValueError("truncated FLAC bitstream")
+    if param:
+        idx = starts[:, None] + np.arange(param)
+        vals = bits[idx].astype(np.int64) @ \
+            (1 << np.arange(param - 1, -1, -1, dtype=np.int64))
+        u = (qs << param) | vals
+    else:
+        u = qs
+    # reposition the bit reader exactly past the partition
+    br.pos = (bitpos + 7) >> 3
+    br.n = br.pos * 8 - bitpos
+    br.acc = (br.d[br.pos - 1] & ((1 << br.n) - 1)) if br.n else 0
+    return (u >> 1) ^ -(u & 1)               # vectorized unzigzag
+
+
+def _read_residuals(br: "_BitReader", bs: int, order: int) -> "np.ndarray":
     method = br.get(2)
     if method not in (0, 1):
         raise ValueError(f"unknown FLAC residual method {method}")
     pbits = 4 if method == 0 else 5
     escape = (1 << pbits) - 1
     porder = br.get(4)
-    res: "list[int]" = []
+    parts = []
     nparts = 1 << porder
     if bs % nparts:
         raise ValueError("corrupt FLAC: partition order vs block size")
@@ -344,14 +413,12 @@ def _read_residuals(br: "_BitReader", bs: int, order: int) -> "list[int]":
         param = br.get(pbits)
         if param == escape:
             raw = br.get(5)
-            res += [br.get_signed(raw) if raw else 0
-                    for _ in range(cnt)]
+            parts.append(np.array(
+                [br.get_signed(raw) if raw else 0
+                 for _ in range(cnt)], np.int64))
             continue
-        for _ in range(cnt):
-            q = br.get_unary()
-            u = (q << param) | (br.get(param) if param else 0)
-            res.append(_unzigzag(u))
-    return res
+        parts.append(_rice_batch(br, cnt, param))
+    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
 def _decode_subframe(br: "_BitReader", bs: int, bits: int) -> "np.ndarray":
@@ -371,13 +438,16 @@ def _decode_subframe(br: "_BitReader", bs: int, bits: int) -> "np.ndarray":
         order = stype - 8
         warm = [br.get_signed(eff) for _ in range(order)]
         res = _read_residuals(br, bs, order)
-        out = np.empty(bs, np.int64)
-        out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, bs):
-            pred = sum(c * int(out[i - 1 - j])
-                       for j, c in enumerate(coefs))
-            out[i] = pred + res[i - order]
+        # a fixed predictor of order o means res == the o-th finite
+        # difference of the output, so reconstruction is o exact
+        # integer integrations (cumsum) seeded by the warmup's
+        # finite differences — fully vectorized, bit-exact
+        cur = np.asarray(res, np.int64)
+        w = np.asarray(warm, np.int64)
+        for k in range(order - 1, -1, -1):
+            lead = int(np.diff(w, k)[0])     # = Δᵏout[k], the seed
+            cur = np.cumsum(np.concatenate(([lead], cur)))
+        out = cur
     elif stype >= 0x20:                              # LPC
         order = (stype & 0x1F) + 1
         warm = [br.get_signed(eff) for _ in range(order)]
@@ -389,12 +459,17 @@ def _decode_subframe(br: "_BitReader", bs: int, bits: int) -> "np.ndarray":
             raise ValueError("negative FLAC LPC shift")
         coefs = [br.get_signed(prec) for _ in range(order)]
         res = _read_residuals(br, bs, order)
-        out = np.empty(bs, np.int64)
-        out[:order] = warm
+        # sequential IIR recurrence — plain-Python ints beat numpy
+        # scalar indexing ~4x here; exactness is integer either way
+        out_l = list(warm)
+        res_l = res.tolist()
+        rng = range(order)
         for i in range(order, bs):
-            pred = sum(coefs[j] * int(out[i - 1 - j])
-                       for j in range(order)) >> shift
-            out[i] = pred + res[i - order]
+            pred = 0
+            for j in rng:
+                pred += coefs[j] * out_l[i - 1 - j]
+            out_l.append((pred >> shift) + res_l[i - order])
+        out = np.array(out_l, np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     return out << wasted
@@ -516,7 +591,7 @@ def decode_flac(data: bytes):
             mid = (subs[0] << 1) | (side & 1)
             out = [(mid + side) >> 1, (mid - side) >> 1]
         for ch in range(nch):
-            chans[ch].extend(int(v) for v in out[ch])
+            chans[ch].extend(np.asarray(out[ch]).tolist())
         got += bs
 
     if total and got < total:

