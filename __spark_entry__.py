@@ -3089,6 +3089,19 @@ def _synth_media_blobs(spark, sf):
                     ids.append(i)
                     blobs.append(encode_mp3(
                         np.zeros(nf6 * 1152), r6, kbps=128))
+                # r13: Ogg-Vorbis joins the hash gate on the same
+                # silence law (encode → sniff('ogg') → decode_vorbis →
+                # profile must land exactly n7 zero samples through
+                # the whole Ogg/codebook/floor/IMDCT chain); nonzero
+                # content keeps its SNR laws in tests/test_vorbis.py.
+                # Every 5th doc (i%5==2 — disjoint from webp/mp3).
+                if i % 5 == 2:
+                    from conduino_spark.operators.vorbis import \
+                        encode_vorbis
+                    n7 = 500 + (i % 4) * 250
+                    r7 = (44100, 48000, 22050, 32000)[i % 4]
+                    ids.append(i)
+                    blobs.append(encode_vorbis(np.zeros(n7), r7))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3776,6 +3789,19 @@ def _sql_profile_docs() -> str:
                0.0 AS null_frac,
                '0' AS min, '0' AS max
         FROM documents WHERE doc_id % 5 = 1""")
+    # vorbis arm (r13): REAL Ogg-Vorbis encode→decode of silence —
+    # n=500+(i%4)*250 samples at rate (44100,48000,22050,32000)[i%4];
+    # sniff tags the container 'ogg', decode must land exactly n zero
+    # samples (granule-trimmed) with sum_abs=max_abs=0
+    arms.append("""
+        SELECT 'mm' AS part, 'ogg:' || doc_id AS "column",
+               CAST(500 + (doc_id % 4) * 250 AS BIGINT) AS n_rows,
+               CAST((CASE doc_id % 4 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 WHEN 2 THEN 22050
+                     ELSE 32000 END) * 10 + 1 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               '0' AS min, '0' AS max
+        FROM documents WHERE doc_id % 5 = 2""")
     # ct arms (r12b): header-level container facts recomputed from the
     # synth formulas — mp3 (nf=10+i%7, rate 32k/48k by parity so the
     # duration is an exact integer 36*nf / 24*nf), ogg (vorbis 44.1k /

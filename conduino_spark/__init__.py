@@ -132,6 +132,8 @@ from conduino_spark.operators.avi import (avi_frames, decode_avi,
                                           encode_avi_mjpeg)
 from conduino_spark.operators.gif import decode_gif, encode_gif
 from conduino_spark.operators.flac import decode_flac, encode_flac
+from conduino_spark.operators.mp3 import decode_mp3, encode_mp3
+from conduino_spark.operators.vorbis import decode_vorbis, encode_vorbis
 from conduino_spark.operators.tiff import decode_tiff, encode_tiff
 from conduino_spark.operators.skew import salted_group_agg, salted_join
 from conduino_spark.operators.temporal import (

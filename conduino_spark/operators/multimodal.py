@@ -784,6 +784,12 @@ def _real_audio_codec(codec: str):
     if codec == "mp3":
         from conduino_spark.operators.mp3 import decode_mp3
         return decode_mp3
+    if codec in ("ogg", "vorbis"):
+        # r13: Ogg-Vorbis sample decode (operators/vorbis.py);
+        # "ogg" is what sniff_format tags — an Opus payload inside
+        # raises ValueError (media_profile lands it as an error row)
+        from conduino_spark.operators.vorbis import decode_vorbis
+        return decode_vorbis
     return None
 
 
@@ -799,9 +805,9 @@ def audio_metadata(binary_col: str = "content", id_col: str = "id", *,
             for pdf in batches:
                 if codec == "real":
                     raise NotImplementedError(
-                        "wav (incl. G.711/ADPCM), flac, aiff and mp3 "
-                        "decode for REAL via codec= — wire soundfile "
-                        "here only for ogg-vorbis/opus")
+                        "wav (incl. G.711/ADPCM), flac, aiff, mp3 and "
+                        "ogg-vorbis decode for REAL via codec= — wire "
+                        "soundfile here only for opus")
                 if _real_audio_codec(codec):
                     # REAL decode (r10 wav; r11 flac): pure numpy +
                     # stdlib, no codec library
@@ -1168,7 +1174,7 @@ def sniff_format(binary_col: str = "content", *,
 
 
 #: codecs media_profile can dispatch per row, grouped by kind
-_AUDIO_CODECS = ("wav", "flac", "aiff", "mp3")
+_AUDIO_CODECS = ("wav", "flac", "aiff", "mp3", "ogg", "vorbis")
 _IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm", "webp")
 
 #: containers container_info can dispatch (header-level parsers in
