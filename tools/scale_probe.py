@@ -574,6 +574,15 @@ def main() -> None:
             encode_jpeg_progressive
         fixtures["jpeg_prog"] = (
             encode_jpeg_progressive(img, quality=90), decode_jpeg)
+        # r13: the two new lossy audio codecs (content, not silence)
+        from conduino_spark import (decode_mp3, decode_vorbis,
+                                    encode_mp3, encode_vorbis)
+        fixtures["mp3"] = (
+            encode_mp3(x[:4608].astype(np.float64) / 32768.0, 32000,
+                       kbps=160), decode_mp3)
+        fixtures["vorbis"] = (
+            encode_vorbis(x[:8192], 32000, blocksize=1024,
+                          value_bits=6), decode_vorbis)
         def _out_bytes(v):
             # decoded payload size: (rate, nch, samples) for audio,
             # (frames, delays) for gif, ndarray for images
