@@ -939,88 +939,161 @@ def _ogg_page_multi(serial: int, seq: int, granule: int,
     return bytes(page)
 
 
-def _encode_setup(n: int, value_bits: int) -> bytes:
-    """Build the setup-header packet for the encoder's fixed layout:
-    book 0 = 16-entry dim-4 classbook (all lengths 4), book 1 =
-    2^value_bits scalar values (lookup type 1, delta 1, centered),
-    one two-point floor, one type-2 residue, one mapping, one mode."""
+def _encode_setup(n0: int, n1: int, value_bits: int, *,
+                  residue_type: int, coupling: bool,
+                  floor_classes: bool, ch: int) -> bytes:
+    """Build the setup-header packet.  The fixed layout: book 0 =
+    16-entry dim-4 classbook, book 1 = the value book (dim 1 for
+    residue types 1/2, dim 2 for the type-0 interleave path), and —
+    with ``floor_classes`` — books 2/3 = tiny floor master/subclass
+    books so the class-based floor decode path is exercised; one
+    floor, one residue of the requested type, one mapping (optionally
+    with one square-polar coupling step), one mode per block size."""
     bw = _BitWriter()
     for b in b"\x05vorbis":
         bw.write(b, 8)
-    bw.write(1, 8)                           # 2 codebooks
+    n_books = 4 if floor_classes else 2
+    bw.write(n_books - 1, 8)
     # --- book 0: classbook
     bw.write(0x564342, 24)
-    bw.write(4, 16)                          # dims
-    bw.write(16, 24)                         # entries
-    bw.write(0, 1)                           # unordered
-    bw.write(0, 1)                           # not sparse
+    bw.write(4, 16)
+    bw.write(16, 24)
+    bw.write(0, 1)
+    bw.write(0, 1)
     for _ in range(16):
-        bw.write(4 - 1, 5)                   # every length 4
-    bw.write(0, 4)                           # lookup type 0
-    # --- book 1: scalar values
+        bw.write(4 - 1, 5)
+    bw.write(0, 4)
+    # --- book 1: value book
     K = 1 << (value_bits - 1)
+    vdims = 2 if residue_type == 0 else 1
+    entries = 1 << (value_bits * vdims)
     bw.write(0x564342, 24)
-    bw.write(1, 16)                          # dims
-    bw.write(1 << value_bits, 24)            # entries
+    bw.write(vdims, 16)
+    bw.write(entries, 24)
     bw.write(0, 1)
     bw.write(0, 1)
-    for _ in range(1 << value_bits):
-        bw.write(value_bits - 1, 5)
+    for _ in range(entries):
+        bw.write(value_bits * vdims - 1, 5)
     bw.write(1, 4)                           # lookup type 1
-    bw.write(_float32_pack(float(-K)), 32)   # min
-    bw.write(_float32_pack(1.0), 32)         # delta
-    bw.write(value_bits - 1, 4)              # value_bits
+    bw.write(_float32_pack(float(-K)), 32)
+    bw.write(_float32_pack(1.0), 32)
+    bw.write(value_bits - 1, 4)
     bw.write(0, 1)                           # sequence_p
-    for i in range(1 << value_bits):         # multiplicands = i
+    for i in range(1 << value_bits):         # lookup_values = 2^vb
         bw.write(i, value_bits)
+    if floor_classes:
+        for _ in range(2):                   # books 2+3: 2-entry
+            bw.write(0x564342, 24)
+            bw.write(1, 16)
+            bw.write(2, 24)
+            bw.write(0, 1)
+            bw.write(0, 1)
+            bw.write(0, 5)                   # len 1
+            bw.write(0, 5)                   # len 1
+            bw.write(0, 4)
     # --- time transforms
     bw.write(0, 6)
     bw.write(0, 16)
-    # --- floors: one floor 1, partitions=0 (two-point line)
+    # --- floor 1
     bw.write(0, 6)
-    bw.write(1, 16)                          # floor type 1
-    bw.write(0, 5)                           # 0 partitions
-    bw.write(0, 2)                           # multiplier-1 = 0
-    bw.write(8, 4)                           # rangebits
-    # --- residues: one type 2
+    bw.write(1, 16)
+    if floor_classes:
+        bw.write(1, 5)                       # 1 partition
+        bw.write(0, 4)                       # class 0
+        bw.write(2 - 1, 3)                   # class dims 2
+        bw.write(1, 2)                       # 1 subclass bit
+        bw.write(2, 8)                       # masterbook = book 2
+        bw.write(3 + 1, 8)                   # subclass slot 0 → book 3
+        bw.write(3 + 1, 8)                   # subclass slot 1 → book 3
+        bw.write(0, 2)                       # multiplier-1
+        bw.write(8, 4)                       # rangebits
+        bw.write(85, 8)                      # X values (unique)
+        bw.write(170, 8)
+    else:
+        bw.write(0, 5)
+        bw.write(0, 2)
+        bw.write(8, 4)
+    # --- residue
     bw.write(0, 6)
-    bw.write(2, 16)
+    bw.write(residue_type, 16)
     bw.write(0, 24)                          # begin
     bw.write(1 << 22, 24)                    # end (clamped at decode)
     bw.write(16 - 1, 24)                     # partition size 16
     bw.write(2 - 1, 6)                       # 2 classifications
-    bw.write(0, 8)                           # classbook = book 0
-    for _ in range(2):                       # cascade: pass 0 only
-        bw.write(1, 3)
+    bw.write(0, 8)                           # classbook 0
+    for _ in range(2):
+        bw.write(1, 3)                       # cascade: pass 0 only
         bw.write(0, 1)
-    for _ in range(2):                       # per class, pass 0 book
-        bw.write(1, 8)                       # book 1
-    # --- mappings: one type 0
+    for _ in range(2):
+        bw.write(1, 8)                       # value book 1
+    # --- mapping
     bw.write(0, 6)
     bw.write(0, 16)
     bw.write(0, 1)                           # 1 submap
-    bw.write(0, 1)                           # no coupling
-    bw.write(0, 2)                           # reserved
-    bw.write(0, 8)                           # time config
+    if coupling and ch == 2:
+        bw.write(1, 1)
+        bw.write(0, 8)                       # 1 coupling step
+        bw.write(0, 1)                       # magnitude ch 0
+        bw.write(1, 1)                       # angle ch 1
+    else:
+        bw.write(0, 1)
+    bw.write(0, 2)
+    bw.write(0, 8)
     bw.write(0, 8)                           # floor 0
     bw.write(0, 8)                           # residue 0
-    # --- modes: one, short blockflag
-    bw.write(0, 6)
-    bw.write(0, 1)                           # blockflag 0
-    bw.write(0, 16)
-    bw.write(0, 16)
-    bw.write(0, 8)                           # mapping 0
-    bw.write(1, 1)                           # framing
+    # --- modes (one per distinct block size)
+    n_modes = 2 if n1 != n0 else 1
+    bw.write(n_modes - 1, 6)
+    for flag in range(n_modes):
+        bw.write(flag, 1)
+        bw.write(0, 16)
+        bw.write(0, 16)
+        bw.write(0, 8)
+    bw.write(1, 1)
     return bw.bytes()
 
 
-def encode_vorbis(samples, rate: int = 44100, *, blocksize: int = 256,
+def _couple_forward(L: "np.ndarray", R: "np.ndarray"):
+    """EXACT inverse of the decoder's square-polar mapping: picks
+    (M, A) so that inverse coupling returns (L, R) bit-for-bit."""
+    M = np.empty_like(L)
+    A = np.empty_like(L)
+    pos = L > 0
+    ge = L > R
+    # L>0, L>R   → M=L, A=L-R   (decode case M>0, A>0)
+    m1 = pos & ge
+    # L>0, L<=R  → M=R, A=L-R   (decode case M>0, A<=0)
+    m2 = pos & ~ge
+    # L<=0, R>L  → M=L, A=R-L   (decode case M<=0, A>0)
+    m3 = ~pos & ~ge
+    # L<=0, R<=L → M=R, A=R-L   (decode case M<=0, A<=0)
+    m4 = ~pos & ge
+    M[m1] = L[m1]
+    A[m1] = (L - R)[m1]
+    M[m2] = R[m2]
+    A[m2] = (L - R)[m2]
+    M[m3] = L[m3]
+    A[m3] = (R - L)[m3]
+    M[m4] = R[m4]
+    A[m4] = (R - L)[m4]
+    return M, A
+
+
+def encode_vorbis(samples, rate: int = 44100, *, blocksize=256,
                   value_bits: int = 5, serial: int = 99,
-                  packets_per_page: int = 16) -> bytes:
+                  packets_per_page: int = 16, residue_type: int = 2,
+                  coupling: bool = False, floor_classes: bool = False,
+                  mode_pattern=None) -> bytes:
     """Encode int16/float samples (1-D mono or (T, 2) stereo) into a
-    REAL Ogg-Vorbis stream: single blocksize, flat line floor, type-2
-    residue, no coupling.  Coarse (scalar quantizer) but fully
-    conformant — any spec decoder plays it."""
+    REAL Ogg-Vorbis stream.  Coarse (scalar quantizer) but fully
+    conformant — any spec decoder plays it.
+
+    Coverage options (each flips a decoder path into round-trip
+    testing): ``residue_type`` 0/1/2 (0 uses a dim-2 book through the
+    interleaved-stride path), ``coupling`` (square-polar stereo),
+    ``floor_classes`` (class-based floor posts through master/subclass
+    books), and ``blocksize=(short, long)`` with ``mode_pattern``
+    (block index → 0/1) for window-transition lapping."""
     x = np.asarray(samples, np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -1029,76 +1102,153 @@ def encode_vorbis(samples, rate: int = 44100, *, blocksize: int = 256,
     if x.size and np.abs(x).max() > 4.0:
         x = x / 32768.0
     T, ch = x.shape
-    n = blocksize
-    if n & (n - 1) or not 64 <= n <= 8192:
-        raise ValueError("encode_vorbis: blocksize must be a power "
-                         "of two in [64, 8192]")
-    h = n // 2
-    lg = n.bit_length() - 1
+    if isinstance(blocksize, (tuple, list)):
+        n_s, n_l = blocksize
+    else:
+        n_s = n_l = blocksize
+    for n in (n_s, n_l):
+        if n & (n - 1) or not 64 <= n <= 8192:
+            raise ValueError("encode_vorbis: blocksizes must be "
+                             "powers of two in [64, 8192]")
+    if n_s > n_l:
+        raise ValueError("encode_vorbis: short blocksize > long")
+    if residue_type not in (0, 1, 2):
+        raise ValueError("encode_vorbis: residue_type must be 0/1/2")
+    if coupling and ch != 2:
+        raise ValueError("encode_vorbis: coupling needs stereo input")
+    if mode_pattern is None:
+        mode_pattern = (lambda b: (b // 4) % 2) if n_s != n_l \
+            else (lambda b: 0)
+    lg_s, lg_l = n_s.bit_length() - 1, n_l.bit_length() - 1
     # ---- headers
     idh = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([ch])
            + struct.pack("<I", rate) + b"\x00" * 12
-           + bytes([lg | (lg << 4)]) + b"\x01")
+           + bytes([lg_s | (lg_l << 4)]) + b"\x01")
     vendor = b"conduino-spark"
     cmt = (b"\x03vorbis" + struct.pack("<I", len(vendor)) + vendor
            + struct.pack("<I", 0) + b"\x01")
-    stp = _encode_setup(n, value_bits)
-    # ---- choose the flat floor amplitude
+    stp = _encode_setup(n_s, n_l, value_bits, ch=ch,
+                        residue_type=residue_type, coupling=coupling,
+                        floor_classes=floor_classes)
+    # ---- block plan: centers c_{b+1} = c_b + (n_b + n_{b+1})/4
+    sizes = []
+    centers = []
+    c = 0
+    b = 0
+    while True:
+        n = (n_s, n_l)[mode_pattern(b) if n_s != n_l else 0]
+        sizes.append(n)
+        centers.append(c)
+        if c >= T and b >= 1:
+            break
+        nxt = (n_s, n_l)[mode_pattern(b + 1) if n_s != n_l else 0]
+        c += (n + nxt) // 4
+        b += 1
+    # ---- spectra
     K = 1 << (value_bits - 1)
-    B = max(1, -(-T // h))                   # blocks 1..B; block 0 primes
-    win = _window(n, 1, 1, n)
-    M = _imdct_mat(n)
+    Kq = K // 2 if coupling else K           # leave room for |A|<2Kq
     specs = []
     amax = 0.0
-    for b in range(B + 1):
-        lo = (b - 1) * h
+    for b, (n, c) in enumerate(zip(sizes, centers)):
+        prev_long = sizes[b - 1] == n_l if b else True
+        next_long = sizes[b + 1] == n_l if b + 1 < len(sizes) else True
+        w = _window(n, int(prev_long), int(next_long), n_s) \
+            if n == n_l else _window(n, 1, 1, n_s)
+        M = _imdct_mat(n)
+        lo = c - n // 2
         seg = np.zeros((n, ch))
-        s0 = max(0, lo)
-        s1 = min(T, lo + n)
+        s0, s1 = max(0, lo), min(T, lo + n)
         if s1 > s0:
             seg[s0 - lo:s1 - lo] = x[s0:s1]
-        S = np.empty((ch, h))
-        for c in range(ch):
-            S[c] = (4.0 / n) * ((win * seg[:, c]) @ M)
+        S = np.empty((ch, n // 2))
+        for cc in range(ch):
+            S[cc] = (4.0 / n) * ((w * seg[:, cc]) @ M)
         specs.append(S)
         if S.size:
             amax = max(amax, float(np.abs(S).max()))
     if amax > 0:
-        # smallest table amplitude with (K-1) steps covering the peak
-        yc = int(np.searchsorted(FLOOR1_INVERSE_DB,
-                                 amax / (K - 1)))
-        yc = min(yc, 255)
+        yc = min(int(np.searchsorted(FLOOR1_INVERSE_DB,
+                                     amax / max(Kq - 1, 1))), 255)
         F = FLOOR1_INVERSE_DB[yc]
     else:
         yc, F = 0, FLOOR1_INVERSE_DB[0]
     # ---- audio packets
     psize = 16
-    cw = 4                                   # classbook dims
+    cw = 4
+    n_modes = 2 if n_s != n_l else 1
+
+    def _write_floor(bw):
+        bw.write(1, 1)
+        bw.write(yc, 8)
+        bw.write(yc, 8)
+        if floor_classes:
+            # masterbook symbol 0 (1 bit), then per class dim the
+            # subclass book's symbol 0 → Y value 0 → predicted (flat)
+            bw.write_code(0, 1)
+            bw.write_code(0, 1)
+            bw.write_code(0, 1)
+
+    def _write_partition_vals(bw, seg):
+        if residue_type == 0:
+            step = psize // 2
+            lv = 1 << value_bits
+            for k in range(step):
+                d0 = int(seg[k]) + K
+                d1 = int(seg[k + step]) + K
+                bw.write_code(d0 + lv * d1, 2 * value_bits)
+        else:
+            for v in seg:
+                bw.write_code(int(v) + K, value_bits)
+
     pkts = []
-    for b in range(B + 1):
-        S = specs[b]
+    for b, (n, S) in enumerate(zip(sizes, specs)):
         bw = _BitWriter()
-        bw.write(0, 1)                       # audio packet
-        silent = not np.abs(S).max() > 0 if S.size else True
-        for c in range(ch):
+        bw.write(0, 1)
+        if n_modes == 2:
+            bw.write(1 if n == n_l else 0, 1)
+        if n == n_l and n_modes == 2:
+            prev_long = sizes[b - 1] == n_l if b else True
+            next_long = sizes[b + 1] == n_l if b + 1 < len(sizes) \
+                else True
+            bw.write(int(prev_long), 1)
+            bw.write(int(next_long), 1)
+        silent = not (S.size and np.abs(S).max() > 0)
+        for _c in range(ch):
             if silent:
-                bw.write(0, 1)               # floor unused
+                bw.write(0, 1)
             else:
-                bw.write(1, 1)
-                bw.write(yc, 8)              # y0
-                bw.write(yc, 8)              # y1
+                _write_floor(bw)
         if not silent:
-            R = np.clip(np.round(S / F), -K, K - 1).astype(np.int64)
-            inter = np.empty(ch * h, np.int64)
-            for c in range(ch):
-                inter[c::ch] = R[c]
-            ptr = (ch * h) // psize
-            for pc in range(ptr):
-                if pc % cw == 0:
-                    bw.write_code(0, 4)      # classword: class 0 x4
-                seg = inter[pc * psize:(pc + 1) * psize]
-                for v in seg:
-                    bw.write_code(int(v) + K, value_bits)
+            R = np.clip(np.round(S / F), -Kq, Kq - 1).astype(np.int64)
+            if coupling:
+                M2, A2 = _couple_forward(R[0], R[1])
+                R = np.stack([M2, A2])
+            h2 = n // 2
+            if residue_type == 2:
+                inter = np.empty(ch * h2, np.int64)
+                for cc in range(ch):
+                    inter[cc::ch] = R[cc]
+                ptr = (ch * h2) // psize
+                for pc in range(ptr):
+                    if pc % cw == 0:
+                        bw.write_code(0, 4)
+                    _write_partition_vals(
+                        bw, inter[pc * psize:(pc + 1) * psize])
+            else:
+                # types 0/1: per-channel vectors; classwords for all
+                # channels, then per partition per channel
+                ptr = h2 // psize
+                pc = 0
+                while pc < ptr:
+                    for _cc in range(ch):
+                        bw.write_code(0, 4)
+                    for _i in range(cw):
+                        if pc >= ptr:
+                            break
+                        for cc in range(ch):
+                            _write_partition_vals(
+                                bw, R[cc][pc * psize:(pc + 1) * psize])
+                        pc += 1
         pkts.append(bw.bytes())
     # ---- Ogg framing
     pages = [_ogg_page_multi(serial, 0, 0, [idh], 0x02),
@@ -1108,8 +1258,8 @@ def encode_vorbis(samples, rate: int = 44100, *, blocksize: int = 256,
     i = 0
     while i < len(pkts):
         group = pkts[i:i + packets_per_page]
-        last_idx = i + len(group) - 1        # 0-based audio pkt index
-        granule = min(last_idx * h, T)
+        last_idx = i + len(group) - 1
+        granule = min(centers[last_idx], T)
         htype = 0x04 if last_idx == len(pkts) - 1 else 0
         pages.append(_ogg_page_multi(serial, seq, granule, group,
                                      htype))

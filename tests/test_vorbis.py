@@ -279,3 +279,89 @@ def test_vorbis_spark_dispatch(spark):
     assert prof[2].meta == 48000 * 10 + 1
     assert prof[3].format == "error"
     assert prof[1].sum_abs > 0
+
+
+# ---------------------------------------------------------------------------
+# decoder-path coverage options (r13b): every structural decode path
+# round-trips through some encoder option
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kw", [
+    {"residue_type": 1},
+    {"residue_type": 0},                     # dim-2 interleaved stride
+    {"floor_classes": True},                 # master/subclass books
+    {"blocksize": (256, 1024)},              # window transitions
+    {"blocksize": (128, 2048), "value_bits": 6},
+])
+def test_roundtrip_decoder_path_options(kw):
+    t = np.arange(11025) / 44100.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    r, c, pcm = decode_vorbis(encode_vorbis(x, 44100, **kw))
+    assert len(pcm) == len(x)                # exact trim, any layout
+    assert _snr(pcm.astype(np.float64) / 32768.0, x) > 18.0
+
+
+def test_roundtrip_square_polar_coupling():
+    t = np.arange(6000) / 44100.0
+    L = 0.4 * np.sin(2 * np.pi * 440 * t)
+    R = 0.3 * np.sin(2 * np.pi * 880 * t)
+    st = np.stack([L, R], axis=1)
+    r, c, pcm = decode_vorbis(
+        encode_vorbis(st, 44100, value_bits=6, coupling=True))
+    y = pcm.astype(np.float64) / 32768.0
+    assert _snr(y[0::2], L) > 20.0
+    assert _snr(y[1::2], R) > 18.0
+    # coupled must not leak: left stays 440-dominant
+    assert np.dot(y[0::2][:5000], L[:5000]) > \
+        5 * abs(np.dot(y[0::2][:5000], R[:5000]))
+
+
+def test_roundtrip_everything_at_once():
+    t = np.arange(9000) / 44100.0
+    L = 0.4 * np.sin(2 * np.pi * 330 * t)
+    R = 0.35 * np.sin(2 * np.pi * 660 * t)
+    st = np.stack([L, R], axis=1)
+    blob = encode_vorbis(st, 44100, value_bits=6, coupling=True,
+                         floor_classes=True, residue_type=1,
+                         blocksize=(256, 1024))
+    r, c, pcm = decode_vorbis(blob)
+    y = pcm.astype(np.float64) / 32768.0
+    assert len(pcm) == 2 * len(t)
+    assert _snr(y[0::2], L) > 17.0
+    assert _snr(y[1::2], R) > 17.0
+
+
+def test_couple_forward_exact_inverse():
+    from conduino_spark.operators.vorbis import _couple_forward
+    rng = np.random.default_rng(2)
+    L = rng.integers(-16, 16, 4000).astype(np.float64)
+    R = rng.integers(-16, 16, 4000).astype(np.float64)
+    M, A = _couple_forward(L, R)
+    # replay the decoder's inverse mapping
+    newM = M.copy()
+    newA = A.copy()
+    pm, pa = M > 0, A > 0
+    newA[pm & pa] = (M - A)[pm & pa]
+    newM[pm & ~pa] = (M + A)[pm & ~pa]
+    newA[pm & ~pa] = M[pm & ~pa]
+    newA[~pm & pa] = (M + A)[~pm & pa]
+    newM[~pm & ~pa] = (M - A)[~pm & ~pa]
+    newA[~pm & ~pa] = M[~pm & ~pa]
+    np.testing.assert_array_equal(newM, L)
+    np.testing.assert_array_equal(newA, R)
+    # |A| never exceeds |L|+|R| bound used for book sizing
+    assert np.abs(A).max() <= np.abs(L).max() + np.abs(R).max()
+
+
+def test_window_transition_pairs_power_complementary():
+    # the long-after-short transition window overlapped with the
+    # short window's right half still sums to unit power where both
+    # are active — THE lapping law that makes mixed sizes reconstruct
+    from conduino_spark.operators.vorbis import _slope
+    n_l, n_s = 1024, 256
+    wl = _window(n_l, 0, 1, n_s)             # long, prev short
+    ws = _window(n_s, 1, 1, n_s)
+    # overlap region: short right half centered at long's n/4
+    lo = n_l // 4 - n_s // 4
+    s = wl[lo:lo + n_s // 2] ** 2 + ws[n_s // 2:] ** 2
+    np.testing.assert_allclose(s, 1.0, atol=1e-12)
