@@ -3158,6 +3158,21 @@ def _synth_container_blobs(spark, sf):
                 blobs.append(encode_webm_stub(
                     width=640 + (i % 4) * 32, height=360 + (i % 2) * 36,
                     duration_ms=2000 + (i % 13) * 50))
+                # r13: a REAL multi-page Ogg-Vorbis stream (from the
+                # package's own conformant encoder, silence) joins the
+                # header-parse arm — unlike the 2-page stub, this
+                # exercises lacing, per-page granules and the final
+                # trim granule under the driver hash.  T = 3200*m at
+                # 32 kHz → duration exactly 100*m ms; page count is
+                # pure arithmetic (26 packets/page group of 16, 3
+                # header pages).
+                import numpy as _np
+                from conduino_spark.operators.vorbis import \
+                    encode_vorbis
+                m2 = 1 + i % 3
+                ids.append(i)
+                blobs.append(encode_vorbis(
+                    _np.zeros(3200 * m2), 32000, serial=100 + i % 7))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3831,6 +3846,19 @@ def _sql_profile_docs() -> str:
                CAST(100 * (5 + doc_id % 4) AS VARCHAR) AS min,
                CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
                     ELSE 'opus' END AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    # r13: REAL multi-page Ogg-Vorbis streams (own conformant encoder,
+    # silence) through the header parser: duration = exactly 100*m ms
+    # at 32 kHz; page count = 3 header pages + ceil(packets/16) where
+    # packets = 25*m + 1 (blocksize 256 → 128-sample hop)
+    arms.append("""
+        SELECT 'ct' AS part, 'vorbis:' || doc_id AS "column",
+               CAST(3 + CEIL((25.0 * (1 + doc_id % 3) + 1) / 16)
+                    AS BIGINT) AS n_rows,
+               CAST(320001 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(100 * (1 + doc_id % 3) AS VARCHAR) AS min,
+               'vorbis' AS max
         FROM documents WHERE doc_id % 3 = 0""")
     arms.append("""
         SELECT 'ct' AS part, 'mp4:' || doc_id AS "column",

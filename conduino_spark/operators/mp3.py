@@ -896,122 +896,139 @@ def _alias_forward(xr):
     return out
 
 
-def encode_mp3(samples, rate: int = 44100, *, kbps: int = 128):
-    """Encode int16 (or float [-1,1]) MONO samples into an MPEG-1
-    Layer III stream — long blocks, all-zero scalefactors, certified
-    Huffman tables only (global_gain chosen per granule so quantized
-    values stay <= 7; coarse but fully conformant).  44100/48000/
-    32000 Hz only (MPEG-1)."""
+def _encode_granule_channel(xr, sfb_l, maps, c1map):
+    """Quantize + Huffman-encode one granule-channel spectrum →
+    (payload_bits, side_dict)."""
+    import math
+    amax = np.abs(xr).max()
+    if amax < 1e-10:
+        gain = 210
+        xs = np.zeros(576, np.int64)
+    else:
+        # smallest step with max quantized value <= 7
+        step = amax / (7.49 ** (4.0 / 3.0))
+        gain = 210 + int(math.ceil(4 * np.log2(step)))
+        gain = min(max(gain, 0), 255)
+        q = (np.abs(xr) / 2.0 ** ((gain - 210) / 4.0)) ** 0.75
+        xs = np.round(q).astype(np.int64)
+        while xs.max() > 7 and gain < 255:
+            gain += 1
+            q = (np.abs(xr) / 2.0 ** ((gain - 210) / 4.0)) ** 0.75
+            xs = np.round(q).astype(np.int64)
+        xs *= np.sign(xr).astype(np.int64)
+    # split: big values region then count1 quads (|v| <= 1)
+    nz = np.nonzero(xs)[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    big_end = last
+    while big_end > 0 and abs(xs[big_end - 1]) <= 1:
+        big_end -= 1
+    big_end += big_end & 1                   # even pair count
+    count1_end = min(576, big_end + ((last - big_end + 3) // 4) * 4)
+    # regions on sfb boundaries: region0 first 8 bands, region1 next
+    # 8 (table per region by its max)
+    r0c, r1c = 7, 7
+    r1 = sfb_l[r0c + 1]
+    r2 = sfb_l[r0c + r1c + 2]
+    bw = _BitWriter()
+    tsel = []
+    for lo, hi in ((0, min(r1, big_end)),
+                   (min(r1, big_end), min(r2, big_end)),
+                   (min(r2, big_end), big_end)):
+        seg_max = int(np.abs(xs[lo:hi]).max()) if hi > lo else 0
+        t = _pick_table(seg_max)
+        tsel.append(t)
+        if t == 0:
+            continue
+        inv, _cap = maps[t]
+        for i in range(lo, hi, 2):
+            xv, yv = int(xs[i]), int(xs[i + 1])
+            bw.write_code(inv[(abs(xv), abs(yv))])
+            if xv:
+                bw.write(1 if xv < 0 else 0, 1)
+            if yv:
+                bw.write(1 if yv < 0 else 0, 1)
+    for i in range(big_end, count1_end, 4):
+        quad = [int(xs[j]) if j < 576 else 0 for j in range(i, i + 4)]
+        packed = sum((1 if abs(v) else 0) << (3 - k)
+                     for k, v in enumerate(quad))
+        bw.write_code(c1map[packed])
+        for v in quad:
+            if v:
+                bw.write(1 if v < 0 else 0, 1)
+    side = {"part2_3_length": len(bw.bits),
+            "big_values": big_end // 2,
+            "global_gain": gain,
+            "table_select": tsel}
+    return bw.bits[:], side
+
+
+def encode_mp3(samples, rate: int = 44100, *, kbps: int = 128,
+               ms_stereo: bool = False):
+    """Encode int16 (or float [-1,1]) samples — 1-D mono or (T, 2)
+    stereo — into an MPEG-1 Layer III stream: long blocks, all-zero
+    scalefactors, certified Huffman tables only (global_gain chosen
+    per granule-channel so quantized values stay <= 7; coarse but
+    fully conformant).  ``ms_stereo=True`` encodes mid/side spectra
+    under joint-stereo mode_ext=2, exercising the decoder's MS
+    inverse.  44100/48000/32000 Hz only (MPEG-1)."""
     if rate not in (44100, 48000, 32000):
         raise ValueError(f"encode_mp3: MPEG-1 rates only, got {rate}")
     x = np.asarray(samples, np.float64)
-    if x.ndim != 1:
-        raise ValueError("encode_mp3: mono 1-D samples only")
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] > 2:
+        raise ValueError("encode_mp3: mono 1-D or (T, 2) stereo only")
     if x.size and np.abs(x).max() > 4.0:     # int16-scaled input
         x = x / 32768.0
+    T, nch = x.shape
+    if ms_stereo and nch != 2:
+        raise ValueError("encode_mp3: ms_stereo needs stereo input")
     sr_idx = (44100, 48000, 32000).index(rate)
     key = (True, False, sr_idx)
     sfb_l = SFB_LONG[key]
-    n_gr = 2
-    # pad to whole frames (+ two priming granules of silence history)
-    n_frames = max(1, -(-x.size // 1152))
-    x = np.pad(x, (0, n_frames * 1152 - x.size))
+    n_frames = max(1, -(-T // 1152))
+    x = np.pad(x, ((0, n_frames * 1152 - T), (0, 0)))
     maps, c1map = _enc_tables()
-    state = np.zeros(512)
-    prev_sub = np.zeros((18, 32))
+    states = [np.zeros(512) for _ in range(nch)]
+    prev_subs = [np.zeros((18, 32)) for _ in range(nch)]
     frames = []
     br_idx = _BITRATES_V1L3.index(kbps)
+    # header mode/ext: mono 0xC0; stereo 0x00; MS joint 0x60
+    b3 = 0xC0 if nch == 1 else (0x60 if ms_stereo else 0x00)
+    si_len = 17 if nch == 1 else 32
     for f in range(n_frames):
         granule_payloads = []
         side = []
-        for gr in range(n_gr):
-            seg = x[f * 1152 + gr * 576:f * 1152 + gr * 576 + 576]
-            sub, state = _analysis_granule(seg, state)
-            # frequency inversion is self-inverse and lives in the
-            # TIME domain: the decoder negates odd time samples of
-            # odd subbands after its IMDCT, so the encoder negates
-            # the same positions before its MDCT (18 per granule —
-            # even — keeps the parity consistent across granules)
-            sub = sub.copy()
-            sub[1::2, 1::2] *= -1.0
-            xr = _mdct_long(sub, prev_sub)
-            prev_sub = sub
-            xr = _alias_forward(xr)
-            amax = np.abs(xr).max()
-            if amax < 1e-10:
-                gain = 210
-                xs = np.zeros(576, np.int64)
-            else:
-                # smallest step with max quantized value <= 7
-                import math
-                step = amax / (7.49 ** (4.0 / 3.0))
-                gain = 210 + int(math.ceil(4 * np.log2(step)))
-                gain = min(max(gain, 0), 255)
-                q = (np.abs(xr) / 2.0 ** ((gain - 210) / 4.0)) \
-                    ** 0.75
-                xs = np.round(q).astype(np.int64)
-                while xs.max() > 7 and gain < 255:
-                    gain += 1
-                    q = (np.abs(xr) / 2.0 ** ((gain - 210) / 4.0)) \
-                        ** 0.75
-                    xs = np.round(q).astype(np.int64)
-                xs *= np.sign(xr).astype(np.int64)
-            # split: big values region then count1 quads (|v| <= 1)
-            nz = np.nonzero(xs)[0]
-            last = int(nz[-1]) + 1 if nz.size else 0
-            big_end = last
-            while big_end > 0 and abs(xs[big_end - 1]) <= 1:
-                big_end -= 1
-            big_end += big_end & 1           # even pair count
-            count1_end = min(576, big_end
-                             + ((last - big_end + 3) // 4) * 4)
-            big_values = big_end // 2
-            # regions on sfb boundaries: region0 first 8 bands,
-            # region1 next 8 (table per region by its max)
-            r0c, r1c = 7, 7
-            r1 = sfb_l[r0c + 1]
-            r2 = sfb_l[r0c + r1c + 2]
-            bw = _BitWriter()
-            tsel = []
-            for lo, hi in ((0, min(r1, big_end)),
-                           (min(r1, big_end), min(r2, big_end)),
-                           (min(r2, big_end), big_end)):
-                seg_max = int(np.abs(xs[lo:hi]).max()) if hi > lo \
-                    else 0
-                t = _pick_table(seg_max)
-                tsel.append(t)
-                if t == 0:
-                    continue
-                inv, _cap = maps[t]
-                for i in range(lo, hi, 2):
-                    xv, yv = int(xs[i]), int(xs[i + 1])
-                    bw.write_code(inv[(abs(xv), abs(yv))])
-                    if xv:
-                        bw.write(1 if xv < 0 else 0, 1)
-                    if yv:
-                        bw.write(1 if yv < 0 else 0, 1)
-            for i in range(big_end, count1_end, 4):
-                quad = [int(xs[j]) if j < 576 else 0
-                        for j in range(i, i + 4)]
-                packed = sum((1 if abs(v) else 0) << (3 - k)
-                             for k, v in enumerate(quad))
-                bw.write_code(c1map[packed])
-                for v in quad:
-                    if v:
-                        bw.write(1 if v < 0 else 0, 1)
-            payload = bw.bits[:]
-            granule_payloads.append(payload)
-            side.append({"part2_3_length": len(payload),
-                         "big_values": big_values,
-                         "global_gain": gain,
-                         "table_select": tsel})
+        for gr in range(2):
+            xrs = []
+            for c in range(nch):
+                seg = x[f * 1152 + gr * 576:
+                        f * 1152 + gr * 576 + 576, c]
+                sub, states[c] = _analysis_granule(seg, states[c])
+                # frequency inversion is self-inverse and lives in
+                # the TIME domain: the decoder negates odd time
+                # samples of odd subbands after its IMDCT, so the
+                # encoder negates the same positions before its MDCT
+                sub = sub.copy()
+                sub[1::2, 1::2] *= -1.0
+                xr = _mdct_long(sub, prev_subs[c])
+                prev_subs[c] = sub
+                xrs.append(_alias_forward(xr))
+            if ms_stereo:
+                s2 = np.sqrt(2.0)
+                xrs = [(xrs[0] + xrs[1]) / s2, (xrs[0] - xrs[1]) / s2]
+            for c in range(nch):
+                payload, g = _encode_granule_channel(xrs[c], sfb_l,
+                                                     maps, c1map)
+                granule_payloads.append(payload)
+                side.append(g)
         # frame assembly
-        hdr = bytes([0xFF, 0xFA | 0x01,     # MPEG-1 L3, no CRC
-                     (br_idx << 4) | (sr_idx << 2), 0xC0])
+        hdr = bytes([0xFF, 0xFA | 0x01,      # MPEG-1 L3, no CRC
+                     (br_idx << 4) | (sr_idx << 2), b3])
         bw = _BitWriter()
         bw.write(0, 9)                       # main_data_begin = 0
-        bw.write(0, 5)                       # private (mono)
-        bw.write(0, 4)                       # scfsi
+        bw.write(0, 5 if nch == 1 else 3)    # private bits
+        bw.write(0, 4 * nch)                 # scfsi
         for g in side:
             bw.write(g["part2_3_length"], 12)
             bw.write(g["big_values"], 9)
@@ -1026,13 +1043,13 @@ def encode_mp3(samples, rate: int = 44100, *, kbps: int = 128):
             bw.write(0, 1)                   # scalefac_scale
             bw.write(0, 1)                   # count1table A
         si_bytes = bw.to_bytes()
-        assert len(si_bytes) == 17
+        assert len(si_bytes) == si_len
         main_bits = [b for p in granule_payloads for b in p]
         mw = _BitWriter()
         mw.bits = main_bits
         main_bytes = mw.to_bytes()
         flen = 144 * kbps * 1000 // rate     # no padding bit
-        room = flen - 4 - 17
+        room = flen - 4 - si_len
         if len(main_bytes) > room:
             raise ValueError(
                 f"encode_mp3: frame {f} needs {len(main_bytes)} main "

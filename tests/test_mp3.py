@@ -260,3 +260,36 @@ def test_mp3_spark_dispatch(spark):
     assert prof[2].meta == 44100 * 10 + 1
     assert prof[3].format == "error"         # junk never aborts batch
     assert prof[1].sum_abs > 0
+
+
+# ---------------------------------------------------------------------------
+# stereo (r13b): LR and MS joint-stereo round trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ms", [False, True])
+def test_roundtrip_stereo(ms):
+    t = np.arange(11025) / 44100.0
+    L = 0.4 * np.sin(2 * np.pi * 440 * t)
+    R = 0.3 * np.sin(2 * np.pi * 880 * t)
+    st = np.stack([L, R], axis=1)
+    rate, c, pcm = decode_mp3(encode_mp3(st, 44100, kbps=256,
+                                         ms_stereo=ms))
+    assert c == 2
+    y = pcm.astype(np.float64) / 32768.0
+    assert _snr_at(y[0::2], L, 1057) > 18.0
+    assert _snr_at(y[1::2], R, 1057) > 18.0
+    # channels must not be swapped (MS inverse included)
+    yl = y[0::2]
+    assert np.dot(yl[1057:1057 + 5000], L[:5000]) > \
+        5 * abs(np.dot(yl[1057:1057 + 5000], R[:5000]))
+
+
+def test_stereo_mediainfo_and_validation():
+    from conduino_spark.operators.mediainfo import mp3_info
+    st = np.zeros((2304, 2))
+    blob = encode_mp3(st, 44100, ms_stereo=True)
+    info = mp3_info(blob)
+    assert info["channels"] == 2
+    assert info["n_frames"] == 2
+    with pytest.raises(ValueError, match="ms_stereo"):
+        encode_mp3(np.zeros(100), 44100, ms_stereo=True)
