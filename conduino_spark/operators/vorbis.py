@@ -294,6 +294,14 @@ class _Codebook:
                 lv += 1
         else:
             lv = self.entries * self.dims
+        # decompression-bomb guard (the r12b decoder contract): the
+        # entries field is 24 bits and dims 16 — a forged setup header
+        # could demand gigabytes for the value-vector table.  Real
+        # codebooks are a few thousand entries; cap the PRODUCT.
+        if self.entries * max(self.dims, 1) > (1 << 22):
+            raise ValueError(
+                f"vorbis: codebook value table {self.entries}x"
+                f"{self.dims} exceeds the sanity cap")
         mults = [br.read(value_bits) for _ in range(lv)]
         # precompute the value vector per entry
         vq = np.empty((self.entries, self.dims))

@@ -365,3 +365,23 @@ def test_window_transition_pairs_power_complementary():
     lo = n_l // 4 - n_s // 4
     s = wl[lo:lo + n_s // 2] ** 2 + ws[n_s // 2:] ** 2
     np.testing.assert_allclose(s, 1.0, atol=1e-12)
+
+
+def test_codebook_bomb_guard():
+    # a forged setup header demanding a gigabyte value table must
+    # raise, not allocate (24-bit entries x 16-bit dims)
+    from conduino_spark.operators.vorbis import _Codebook
+    bw = _BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(64, 16)                         # dims 64
+    bw.write(1 << 20, 24)                    # entries 1M
+    bw.write(1, 1)                           # ordered
+    bw.write(0, 5)                           # current_length 1
+    bw.write(1 << 20, 21)                    # all entries at len 1...
+    bw.write(2, 4)                           # lookup type 2
+    bw.write(0, 32)
+    bw.write(0, 32)
+    bw.write(0, 4)
+    bw.write(0, 1)
+    with pytest.raises(ValueError):
+        _Codebook(_Bits(bw.bytes() + b"\x00" * 64))
