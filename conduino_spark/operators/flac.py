@@ -348,7 +348,12 @@ def _bit_cache(br: "_BitReader"):
     reader: ``bits`` (uint8 0/1, MSB-first — FLAC's bit order) and
     ``ones`` (sorted positions of the 1-bits, as a Python list for
     cheap per-symbol scanning).  Built once per decode; the Rice fast
-    path below runs on it instead of bit-by-bit reads."""
+    path below runs on it instead of bit-by-bit reads.
+
+    Memory posture: transiently ~8x the blob for ``bits`` plus ~30x
+    for the ``ones`` int list — fine for the multi-MB audio blobs of
+    a crawl corpus inside a several-GB executor, and the cache dies
+    with the decode call."""
     if not hasattr(br, "_bits"):
         br._bits = np.unpackbits(np.frombuffer(br.d, np.uint8))
         br._ones = np.flatnonzero(br._bits).tolist()
@@ -517,10 +522,15 @@ def decode_flac(data: bytes):
         raise ValueError(f"only 1-2 channels supported (got {nch})")
 
     chans: "list[list[int]]" = [[] for _ in range(nch)]
+    bit_cache = None                 # shared unpacked-bit view: built
+    # by the FIRST frame's Rice fast path, reattached to every later
+    # frame's reader (rebuilding per frame would be quadratic)
     got = 0
     while (total == 0 or got < total) and pos < len(data):
         frame_start = pos
         br = _BitReader(data, pos)
+        if bit_cache is not None:
+            br._bits, br._ones = bit_cache
         sync = br.get(14)
         if sync != 0b11111111111110:
             raise ValueError("corrupt FLAC: lost frame sync")
@@ -573,6 +583,8 @@ def decode_flac(data: bytes):
                 or (ch_code == 10 and si == 1) else 0
             subs.append(_decode_subframe(br, bs, 16 + extra))
         br.align()
+        if bit_cache is None and hasattr(br, "_bits"):
+            bit_cache = (br._bits, br._ones)
         body_end = br.byte_pos()
         crc16 = struct.unpack(">H", data[body_end:body_end + 2])[0] \
             if body_end + 2 <= len(data) else -1

@@ -273,23 +273,39 @@ def _ogg_crc(data: bytes) -> int:
     return crc
 
 
-def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
-              header_type: int = 0) -> bytes:
+def _ogg_page_multi(serial: int, seq: int, granule: int,
+                    payloads: "list[bytes]",
+                    header_type: int = 0) -> bytes:
+    """An Ogg page carrying several COMPLETE packets (lacing per
+    packet: 255-runs then a terminator lace < 255).  The single
+    canonical page writer — operators/vorbis.py frames real streams
+    through it too."""
     segs = []
-    rest = len(payload)
-    while rest >= 255:
-        segs.append(255)
-        rest -= 255
-    segs.append(rest)
+    body = bytearray()
+    for payload in payloads:
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        body += payload
+    if len(segs) > 255:
+        raise ValueError("ogg: too many segments for one page")
     hdr = (b"OggS\x00" + bytes([header_type])
            + struct.pack("<q", granule) + struct.pack("<I", serial)
            + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
            + bytes([len(segs)]) + bytes(segs))
-    page = bytearray(hdr + payload)
+    page = bytearray(hdr + body)
     # the CRC field (bytes 22-26) is computed over the page with the
     # field zeroed, then patched in (r12b: real CRCs, not zeros)
     page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
     return bytes(page)
+
+
+def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
+              header_type: int = 0) -> bytes:
+    return _ogg_page_multi(serial, seq, granule, [payload],
+                           header_type)
 
 
 def encode_ogg_stub(codec: str, *, rate: int = 48000,

@@ -357,8 +357,8 @@ def _decode_big_pair(br: _Bits, table: int):
         x += br.read(lb)
     if x and br.read1():
         x = -x
-    if (abs(y) if y else y) == 15 and lb:
-        y += br.read(lb)
+    if y == 15 and lb:                       # y is 0..15 here (sign
+        y += br.read(lb)                     # applied just below)
     if y and br.read1():
         y = -y
     return x, y
@@ -426,19 +426,25 @@ def _read_huffman(br: _Bits, g: dict, h: dict, bits_end: int):
         if br.pos > bits_end:
             raise ValueError("mp3: big-values region overran "
                              "part2_3_length")
-    # count1: quadruples until the bit budget is exhausted or 576
-    while br.pos < bits_end and pos <= 572:
-        v, w, x, y = _decode_count1(br, g["count1table_select"])
-        xs[pos:pos + 4] = (v, w, x, y)
-        pos += 4
+    # count1: quadruples until the bit budget is exhausted or 576;
+    # a quad STARTING below 576 is decoded even when it crosses the
+    # end (spec: the spilled values are discarded) — `pos <= 572`
+    # here silently zeroed lines 573-575 (r13 review finding)
+    qstart = pos
+    while br.pos < bits_end and pos < 576:
+        quad = _decode_count1(br, g["count1table_select"])
+        qstart = pos
+        hi = min(pos + 4, 576)
+        xs[pos:hi] = quad[:hi - pos]
+        pos = hi
     if br.pos > bits_end:
         # a conformant stream ends the count1 region exactly at the
         # budget, but real-world encoders may let the reader run one
         # partial quadruple past it (the bits belonged to stuffing /
         # the next granule): standard decoder behavior is to drop
         # that quad and rewind to the budget boundary
-        xs[pos - 4:pos] = 0
-        pos -= 4
+        xs[qstart:pos] = 0
+        pos = qstart
         br.pos = bits_end
     return xs, pos
 

@@ -255,6 +255,13 @@ class _Codebook:
             raise ValueError("vorbis: bad codebook sync")
         self.dims = br.read(16)
         self.entries = br.read(24)
+        # allocation-bomb guard half 1 (the r12b decoder contract):
+        # the raw 24-bit entries field drives the lengths list and
+        # the Huffman dict; real codebooks are a few thousand entries
+        if self.entries > (1 << 18):
+            raise ValueError(
+                f"vorbis: codebook with {self.entries} entries "
+                "exceeds the sanity cap")
         lengths = [0] * self.entries
         if br.read1():                       # ordered
             cur_len = br.read(5) + 1
@@ -284,6 +291,10 @@ class _Codebook:
             return
         if lookup not in (1, 2):
             raise ValueError(f"vorbis: reserved lookup type {lookup}")
+        if self.dims < 1:
+            # (lv+1)**0 <= entries never terminates; dims 0 is
+            # meaningless for a value book anyway
+            raise ValueError("vorbis: lookup codebook with 0 dims")
         minv = _float32_unpack(br.read(32))
         delta = _float32_unpack(br.read(32))
         value_bits = br.read(4) + 1
@@ -556,6 +567,8 @@ class _Residue:
         ptr = want // self.psize
         cb = books[self.classbook]
         cw = cb.dims
+        if cw < 1:
+            raise ValueError("vorbis: residue classbook with 0 dims")
         ch = len(vectors)
         classifs = [[0] * (ptr + cw) for _ in range(ch)]
         for p in range(8):
@@ -908,7 +921,9 @@ def _decode_vorbis(data: bytes):
     if not out_parts:
         return rate, ch, np.zeros(0, np.int16)
     pcm = np.concatenate(out_parts, axis=1)
-    if final_granule and final_granule < pcm.shape[1]:
+    # granule 0 is a legal "zero complete samples" position — no
+    # truthiness guard here (a zero-length stream must trim to empty)
+    if 0 <= final_granule < pcm.shape[1]:
         pcm = pcm[:, :final_granule]
     inter = np.empty(pcm.shape[1] * ch)
     for c in range(ch):
@@ -922,29 +937,7 @@ def _decode_vorbis(data: bytes):
 # type-2 residue over a scalar lookup-1 codebook)
 # ---------------------------------------------------------------------------
 
-def _ogg_page_multi(serial: int, seq: int, granule: int,
-                    payloads: "list[bytes]", header_type: int = 0) -> bytes:
-    """An Ogg page carrying several COMPLETE packets (lacing per
-    packet: 255-runs then a terminator lace < 255)."""
-    from conduino_spark.operators.mediainfo import _ogg_crc
-    segs = []
-    body = bytearray()
-    for p in payloads:
-        rest = len(p)
-        while rest >= 255:
-            segs.append(255)
-            rest -= 255
-        segs.append(rest)
-        body += p
-    if len(segs) > 255:
-        raise ValueError("vorbis: too many segments for one page")
-    hdr = (b"OggS\x00" + bytes([header_type])
-           + struct.pack("<q", granule) + struct.pack("<I", serial)
-           + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
-           + bytes([len(segs)]) + bytes(segs))
-    page = bytearray(hdr + body)
-    page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
-    return bytes(page)
+from conduino_spark.operators.mediainfo import _ogg_page_multi
 
 
 def _encode_setup(n0: int, n1: int, value_bits: int, *,

@@ -385,3 +385,29 @@ def test_codebook_bomb_guard():
     bw.write(0, 1)
     with pytest.raises(ValueError):
         _Codebook(_Bits(bw.bytes() + b"\x00" * 64))
+
+
+def test_review_regressions_r13():
+    from conduino_spark.operators.vorbis import _Codebook
+    # dims=0 lookup book must raise, not hang
+    bw = _BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(0, 16)                          # dims 0
+    bw.write(2, 24)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 5)
+    bw.write(0, 5)
+    bw.write(1, 4)                           # lookup type 1
+    with pytest.raises(ValueError, match="0 dims"):
+        _Codebook(_Bits(bw.bytes() + b"\x00" * 32))
+    # raw 16M-entry codebook must raise before allocating
+    bw = _BitWriter()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)
+    bw.write((1 << 24) - 1, 24)              # entries
+    with pytest.raises(ValueError, match="sanity cap"):
+        _Codebook(_Bits(bw.bytes() + b"\x00" * 32))
+    # zero-length stream trims to zero samples (granule 0 is legal)
+    r, c, pcm = decode_vorbis(encode_vorbis(np.zeros(0), 44100))
+    assert len(pcm) == 0
