@@ -445,13 +445,20 @@ def _decode_pixels(br: _BitReader, w: int, h: int, *,
             if pos + length > n:
                 raise ValueError("vp8l: backward reference overruns "
                                  "image")
-            for _ in range(length):
-                px = out[pos - dist]
-                out[pos] = px
-                if cache is not None:
-                    cache[((_CACHE_MUL * px) & 0xFFFFFFFF)
-                          >> shift] = px
-                pos += 1
+            if cache is None and dist >= length:
+                # non-overlapping copy with no cache to maintain:
+                # one list slice (r13 — long matches were per-pixel)
+                out[pos:pos + length] = out[pos - dist:
+                                            pos - dist + length]
+                pos += length
+            else:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    if cache is not None:
+                        cache[((_CACHE_MUL * px) & 0xFFFFFFFF)
+                              >> shift] = px
+                    pos += 1
         else:                                # color-cache hit
             if cache is None:
                 raise ValueError("vp8l: cache symbol without cache")
