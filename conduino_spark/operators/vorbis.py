@@ -600,18 +600,38 @@ class _Residue:
                         off = begin + pcount * self.psize
                         dims = book.dims
                         v = vectors[j]
-                        if self.rtype == 0:
-                            step = self.psize // dims
-                            for k in range(step):
-                                vec = book.decode_vector(br)
-                                v[off + k:off + k + dims * step:step] \
-                                    += vec
+                        # batch the partition: decode all entry
+                        # indices (inlined LUT fast path), ONE numpy
+                        # gather + add for the whole partition (r13b
+                        # — per-symbol 1-element slice adds dominated
+                        # the decode profile)
+                        huff = book.huff
+                        nsym = self.psize // dims
+                        if huff.single is not None:
+                            for _ in range(nsym):
+                                br.read1()
+                            idxs = [huff.single] * nsym
                         else:
-                            i2 = 0
-                            while i2 < self.psize:
-                                vec = book.decode_vector(br)
-                                v[off + i2:off + i2 + dims] += vec
-                                i2 += dims
+                            d = br.data
+                            lut = huff.lut
+                            idxs = []
+                            for _ in range(nsym):
+                                p2 = br.pos
+                                e = lut[(int.from_bytes(
+                                    d[p2 >> 3:(p2 >> 3) + 2],
+                                    "little") >> (p2 & 7)) & 0xFF]
+                                if e:
+                                    br.consume(e & 0x1F)
+                                    idxs.append(e >> 6)
+                                else:
+                                    idxs.append(huff.decode(br))
+                        arr = book.vq[idxs]
+                        if self.rtype == 0:
+                            # symbol k's dim j lands at off+j*step+k:
+                            # the transpose raveled
+                            v[off:off + self.psize] += arr.T.ravel()
+                        else:
+                            v[off:off + self.psize] += arr.ravel()
                     pcount += 1
 
 
