@@ -64,7 +64,7 @@ from conduino_spark.operators.text import (
     tokenize, unigram_logprob, unigram_vocab,
 )
 from conduino_spark.operators.dedup import (
-    cosine_prefix_pairs,
+    cosine_prefix_pairs, cosine_tfidf_weights,
     edit_distance_pairs,
     decontaminate, dedup_exact, dedup_exact_against, dup_span_stats,
     dup_span_trim,

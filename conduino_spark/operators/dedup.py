@@ -2109,9 +2109,53 @@ def tune_minhash_bands(threshold: float, n_perm: int = MINHASH_K, *,
     return best
 
 
+def cosine_tfidf_weights(text_col: str = "text", id_col: str = "doc_id", *,
+                         weight_round: int = 6) -> Stage:
+    """The vector-prep half of :func:`cosine_prefix_pairs`: tokenize →
+    TF → document frequency → TF-IDF → unit-normalize → round to
+    ``weight_round``-dp scaled longs.  Output schema is the weight
+    table ``(id_col, g int, __df long, w6 long)`` that
+    ``cosine_prefix_pairs(precomputed_weights=True)`` consumes.
+
+    Exposed separately so the weights can be PERSISTED once per corpus
+    snapshot (the index-memo idiom — they are deterministic integers,
+    so a parquet round-trip is exact) and the prune+join+verify half
+    replayed warm; recomputing five aggregation passes over raw text
+    per probe is what made the exact-cosine floors swing between bench
+    runs (r13 verdict #1)."""
+    if not 1 <= weight_round <= 9:
+        raise ValueError(f"weight_round must be in [1, 9], "
+                         f"got {weight_round}")
+    scale = 10 ** weight_round
+
+    def fn(df: DataFrame) -> DataFrame:
+        tf = track(
+            _spread(df, id_col)
+            .select(F.col(id_col),
+                    F.explode(tokens_col(F.col(text_col))).alias("t"))
+            .select(id_col, h32(F.col("t")).alias("g"))
+            .groupBy(id_col, "g").agg(F.count("*").alias("__tf")))
+        dfreq = tf.groupBy("g").agg(F.count("*").alias("__df"))
+        n_docs = tf.select(id_col).distinct().count()
+        w = (tf.join(dfreq, "g")
+               .withColumn("__w", F.col("__tf")
+                           * F.log(1.0 + F.lit(float(n_docs))
+                                   / F.col("__df"))))
+        nrm = w.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nr"))
+        return (w.join(nrm, id_col).where(F.col("__nr") > 0)
+                 .select(id_col, "g", "__df",
+                         F.round(F.col("__w") / F.col("__nr")
+                                 * F.lit(scale)).cast("long").alias("w6")))
+
+    return Stage(fn, name=f"cosine_tfidf_weights(r={weight_round})",
+                 seq_preserving=False)
+
+
 def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                         threshold: float = 0.5,
-                        weight_round: int = 6) -> Stage:
+                        weight_round: int = 6,
+                        precomputed_weights: bool = False) -> Stage:
     """EXACT weighted-cosine threshold self-join over TF-IDF document
     vectors — the WEIGHTED companion of :func:`jaccard_prefix_pairs`
     (Bayardo et al. WWW'07, all-pairs with the max-weight suffix
@@ -2140,7 +2184,14 @@ def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
     suffix-sum window over narrow rows, the prefix equi-join, and a
     verify join against per-doc sorted (feature, weight) maps — dot =
     one codegen'd ``aggregate`` over ``array_intersect``.  Raw text
-    never shuffles."""
+    never shuffles.
+
+    With ``precomputed_weights=True`` the input DataFrame must already
+    BE the weight table produced by :func:`cosine_tfidf_weights` with
+    the same ``id_col``/``weight_round`` (columns ``id_col, g, __df,
+    w6``) — e.g. read back from a persisted parquet snapshot — and the
+    five prep passes are skipped; only the prune + candidate join +
+    exact verify run."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if not 1 <= weight_round <= 9:
@@ -2148,27 +2199,20 @@ def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                          f"got {weight_round}")
     scale = 10 ** weight_round
     tau = int(threshold * scale * scale)  # dot threshold, scaled^2
+    prep = cosine_tfidf_weights(text_col, id_col,
+                                weight_round=weight_round)
 
     def fn(df: DataFrame) -> DataFrame:
-        tf = track(
-            _spread(df, id_col)
-            .select(F.col(id_col),
-                    F.explode(tokens_col(F.col(text_col))).alias("t"))
-            .select(id_col, h32(F.col("t")).alias("g"))
-            .groupBy(id_col, "g").agg(F.count("*").alias("__tf")))
-        dfreq = tf.groupBy("g").agg(F.count("*").alias("__df"))
-        n_docs = tf.select(id_col).distinct().count()
-        w = (tf.join(dfreq, "g")
-               .withColumn("__w", F.col("__tf")
-                           * F.log(1.0 + F.lit(float(n_docs))
-                                   / F.col("__df"))))
-        nrm = w.groupBy(id_col).agg(
-            F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nr"))
-        w6 = track(
-            w.join(nrm, id_col).where(F.col("__nr") > 0)
-             .select(id_col, "g", "__df",
-                     F.round(F.col("__w") / F.col("__nr")
-                             * F.lit(scale)).cast("long").alias("w6")))
+        if precomputed_weights:
+            missing = {id_col, "g", "__df", "w6"} - set(df.columns)
+            if missing:
+                raise ValueError(
+                    "cosine_prefix_pairs(precomputed_weights=True) "
+                    f"input lacks weight-table columns {sorted(missing)}"
+                    " — produce it with cosine_tfidf_weights()")
+            w6 = track(df)
+        else:
+            w6 = track(prep.fn(df))
         mw = w6.groupBy("g").agg(F.max("w6").alias("mw6"))
         # the largest rounded squared norm across docs (≈ scale² but
         # rounding can push it slightly above) — the ||y|| factor of
