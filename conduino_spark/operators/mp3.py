@@ -432,8 +432,19 @@ def _read_huffman(br: _Bits, g: dict, h: dict, bits_end: int):
     # here silently zeroed lines 573-575 (r13 review finding)
     qstart = pos
     while br.pos < bits_end and pos < 576:
-        quad = _decode_count1(br, g["count1table_select"])
         qstart = pos
+        try:
+            quad = _decode_count1(br, g["count1table_select"])
+        except ValueError:
+            # the final quad ran past the PHYSICAL buffer end (not
+            # just past part2_3_length): the stuffed bits simply
+            # don't exist in the stream's last frame.  Same standard
+            # behavior as the budget overrun below — drop the quad
+            # and rewind to the budget boundary (r13 ADVICE: raising
+            # here failed streams that are conformant except for
+            # their very last stuffed quadruple)
+            br.pos = bits_end
+            break
         hi = min(pos + 4, 576)
         xs[pos:hi] = quad[:hi - pos]
         pos = hi

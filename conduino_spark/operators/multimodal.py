@@ -1017,17 +1017,18 @@ def video_metadata(binary_col: str = "content", id_col: str = "id", *,
                     # the VP8X chunk (r13, the authoritative canvas —
                     # a frame may legally be smaller), count from the
                     # ANMF walk, fps from the mean frame duration
-                    # (0 when static); no pixel decode needed
-                    from conduino_spark.operators.webp import (
-                        anim_frames, canvas_dims)
+                    # (0 when static).  r14: metadata-only walk (no
+                    # pixel decode, no compositing) so sub-canvas
+                    # animations count frames/durations too
+                    from conduino_spark.operators.webp import \
+                        anim_metadata
                     for b in pdf[binary_col]:
-                        b = b if b is not None else b""
-                        blobs, durs = anim_frames(b)
-                        w, h = canvas_dims(b)
+                        w, h, durs = anim_metadata(
+                            b if b is not None else b"")
                         tot = sum(durs)
                         fps = (round(1000 * len(durs) / tot)
                                if tot > 0 else 0)
-                        rows.append((w, h, len(blobs), fps, "webp"))
+                        rows.append((w, h, len(durs), fps, "webp"))
                 else:
                     for b in pdf[binary_col]:
                         d = hashlib.sha256(b or b"").digest()

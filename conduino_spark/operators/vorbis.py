@@ -606,7 +606,25 @@ class _Residue:
                         # — per-symbol 1-element slice adds dominated
                         # the decode profile)
                         huff = book.huff
-                        nsym = self.psize // dims
+                        # symbol count per spec 8.6.2 / stb_vorbis
+                        # residue_decode: format 0 reads
+                        # floor(psize/dims) codewords (strided
+                        # writes, trailing psize % dims samples
+                        # untouched); formats 1/2 read
+                        # ceil(psize/dims) and clamp the final
+                        # vector's write to the partition end —
+                        # non-dividing dims are spec-legal (r13
+                        # ADVICE: the old floor-everywhere desynced
+                        # the bitstream and died in a numpy
+                        # broadcast)
+                        if self.rtype == 0:
+                            nsym = self.psize // dims
+                            if nsym < 1:
+                                raise ValueError(
+                                    "vorbis: residue book dims "
+                                    "exceed partition size")
+                        else:
+                            nsym = -(-self.psize // dims)
                         if huff.single is not None:
                             for _ in range(nsym):
                                 br.read1()
@@ -628,10 +646,13 @@ class _Residue:
                         arr = book.vq[idxs]
                         if self.rtype == 0:
                             # symbol k's dim j lands at off+j*step+k:
-                            # the transpose raveled
-                            v[off:off + self.psize] += arr.T.ravel()
+                            # the transpose raveled (covers the first
+                            # nsym*dims samples of the partition)
+                            flat = arr.T.ravel()
+                            v[off:off + flat.size] += flat
                         else:
-                            v[off:off + self.psize] += arr.ravel()
+                            v[off:off + self.psize] += \
+                                arr.ravel()[:self.psize]
                     pcount += 1
 
 

@@ -1256,18 +1256,18 @@ def _u24(v: int) -> bytes:
     return struct.pack("<I", v)[:3]
 
 
-def anim_frames(data: bytes, max_frames: "int | None" = None):
-    """Walk an animated WebP (VP8X with the animation flag) and return
-    ``(frame_blobs, durations_ms)`` where each frame blob is the
-    frame's own VP8L bitstream re-wrapped as a standalone WebP file —
-    bit-preserving, no decode/re-encode generation loss (the
-    operators/avi.py convention).  A non-animated file returns itself
-    as one frame with duration 0.  Lossy 'VP8 ' frames raise.  The
-    walk early-stops after ``max_frames``."""
+def _anim_walk(data: bytes, max_frames: "int | None" = None,
+               need_payload: bool = True):
+    """Shared container walk for animated WebP.  Returns ``(animated,
+    canvas, frames)`` where each frame is a dict ``{fx, fy, fw, fh,
+    dur, blend, dispose, payload}`` (``payload`` = the raw VP8L chunk
+    body, or None with ``need_payload=False`` — the metadata-only
+    mode skips locating it).  A non-animated VP8L file yields
+    ``animated=False`` and one frame covering the canvas.  Lossy
+    'VP8 ' payloads raise."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) blob")
     frames = []
-    durations = []
     pos = 12
     animated = False
     canvas = None                    # (w, h) from VP8X when present
@@ -1282,49 +1282,181 @@ def anim_frames(data: bytes, max_frames: "int | None" = None):
             canvas = (int.from_bytes(body[4:7], "little") + 1,
                       int.from_bytes(body[7:10], "little") + 1)
         elif tag == b"VP8L" and not animated:
-            return [data], [0]
+            if canvas is None:
+                if len(body) < 5 or body[0] != 0x2F:
+                    raise ValueError("vp8l: bad signature byte")
+                bits = int.from_bytes(body[1:5], "little")
+                canvas = ((bits & 0x3FFF) + 1,
+                          ((bits >> 14) & 0x3FFF) + 1)
+            frames.append({"fx": 0, "fy": 0, "fw": canvas[0],
+                           "fh": canvas[1], "dur": 0, "blend": True,
+                           "dispose": False, "payload": body})
+            return False, canvas, frames
         elif tag == b"VP8 ":
             raise ValueError("webp: lossy VP8 frame — only the "
                              "lossless VP8L profile decodes here")
         elif tag == b"ANMF":
             if len(body) < 16:
                 raise ValueError("webp: truncated ANMF header")
-            # sub-canvas frames (nonzero x/y offset or dims smaller
-            # than the VP8X canvas) would need disposal/blend
-            # compositing to yield true canvas frames; this decoder
-            # supports the full-canvas profile only (what
-            # encode_webp_anim emits) and raises rather than return a
-            # raw patch pretending to be a canvas frame
+            if canvas is None:
+                raise ValueError("webp: ANMF frame without a VP8X "
+                                 "canvas chunk")
             fx = int.from_bytes(body[0:3], "little") * 2
             fy = int.from_bytes(body[3:6], "little") * 2
             fw = int.from_bytes(body[6:9], "little") + 1
             fh = int.from_bytes(body[9:12], "little") + 1
-            if fx or fy or (canvas is not None and (fw, fh) != canvas):
+            if fx + fw > canvas[0] or fy + fh > canvas[1]:
                 raise ValueError(
-                    f"webp: sub-canvas ANMF frame ({fw}x{fh}@{fx},{fy}"
-                    f" on {canvas}) — only full-canvas animation "
-                    "frames decode here (no disposal/blend compositing)")
+                    f"webp: ANMF frame ({fw}x{fh}@{fx},{fy}) exceeds "
+                    f"the VP8X canvas {canvas}")
             dur = int.from_bytes(body[12:15], "little")
-            sub = 16
-            while sub + 8 <= len(body):
-                stag = body[sub:sub + 4]
-                (ssize,) = struct.unpack("<I", body[sub + 4:sub + 8])
-                if stag == b"VP8L":
-                    payload = body[sub + 8:sub + 8 + ssize]
-                    frames.append(encode_webp_container(payload))
-                    durations.append(dur)
-                    break
-                if stag == b"VP8 ":
-                    raise ValueError("webp: lossy VP8 frame — only "
-                                     "the lossless VP8L profile "
-                                     "decodes here")
-                sub += 8 + ssize + (ssize & 1)
+            flags = body[15]
+            f = {"fx": fx, "fy": fy, "fw": fw, "fh": fh, "dur": dur,
+                 # container spec flag byte: bit 1 = blending method
+                 # (0 = alpha-blend, 1 = overwrite), bit 0 = disposal
+                 # (0 = keep, 1 = dispose frame rect)
+                 "blend": not (flags & 0x02),
+                 "dispose": bool(flags & 0x01),
+                 "payload": None}
+            if need_payload:
+                sub = 16
+                while sub + 8 <= len(body):
+                    stag = body[sub:sub + 4]
+                    (ssize,) = struct.unpack(
+                        "<I", body[sub + 4:sub + 8])
+                    if stag == b"VP8L":
+                        f["payload"] = body[sub + 8:sub + 8 + ssize]
+                        break
+                    if stag == b"VP8 ":
+                        raise ValueError(
+                            "webp: lossy VP8 frame — only the "
+                            "lossless VP8L profile decodes here")
+                    sub += 8 + ssize + (ssize & 1)
+                if f["payload"] is None:
+                    raise ValueError("webp: ANMF frame without a "
+                                     "VP8L payload")
+            frames.append(f)
             if max_frames is not None and len(frames) >= max_frames:
-                return frames, durations
+                return True, canvas, frames
         pos += 8 + size + (size & 1)
     if not frames:
         raise ValueError("webp: no decodable frames found")
-    return frames, durations
+    return animated, canvas, frames
+
+
+def anim_metadata(data: bytes):
+    """Animation metadata WITHOUT pixel decode: ``(canvas_w, canvas_h,
+    durations_ms)`` from the VP8X chunk + ANMF walk alone — sub-canvas
+    frames are fine here (r13 ADVICE: video_metadata only needs dims,
+    count and durations; forcing it through the compositing path
+    turned spec-legal files into error rows).  A non-animated file
+    reports one frame with duration 0."""
+    _, canvas, frames = _anim_walk(data, need_payload=False)
+    return canvas[0], canvas[1], [f["dur"] for f in frames]
+
+
+def composite_anim(data: bytes, max_frames: "int | None" = None):
+    """Decode an animated WebP into COMPOSITED canvas frames:
+    ``(arrays, durations_ms)`` with one (canvas_h, canvas_w, 4) uint8
+    RGBA array per ANMF frame, following the container spec's
+    compositing model as implemented by libwebp's AnimDecoder (the
+    de-facto rendering standard, demux/anim_decode.c):
+
+      * canvas starts fully transparent;
+      * blending method 0 alpha-blends the frame rect over the canvas
+        with straight (non-premultiplied) alpha in integer arithmetic
+        (a source pixel with alpha 0 leaves the canvas pixel); method
+        1 overwrites the rect;
+      * after snapshotting the output frame, disposal method 1 clears
+        the frame rect to transparent (the ANIM background color is a
+        hint real renderers ignore; so does this).
+
+    Sub-canvas frames (nonzero offset / smaller dims) composite onto
+    the persistent canvas — the overwhelmingly common delta-frame
+    layout real encoders emit."""
+    animated, canvas, frames = _anim_walk(data, max_frames)
+    cw, ch = canvas
+    cv = np.zeros((ch, cw, 4), dtype=np.uint8)
+    out = []
+    durs = []
+    for f in frames:
+        arr = decode_vp8l(f["payload"])
+        if arr.shape[:2] != (f["fh"], f["fw"]):
+            raise ValueError(
+                f"webp: ANMF header says {f['fw']}x{f['fh']} but the "
+                f"VP8L payload decodes to {arr.shape[1]}x{arr.shape[0]}")
+        if arr.shape[2] == 3:
+            arr = np.dstack([arr, np.full(arr.shape[:2], 255,
+                                          np.uint8)])
+        y0, y1 = f["fy"], f["fy"] + f["fh"]
+        x0, x1 = f["fx"], f["fx"] + f["fw"]
+        if f["blend"]:
+            dst = cv[y0:y1, x0:x1].astype(np.uint32)
+            src = arr.astype(np.uint32)
+            sa = src[:, :, 3]
+            da = dst[:, :, 3]
+            # libwebp BlendPixelRowNonPremult integer formulas:
+            # scale = da*(255-sa)/255; aOut = sa + scale;
+            # cOut = (cSrc*sa + cDst*scale) / aOut (0 when aOut = 0);
+            # a source pixel with sa = 0 leaves the dst pixel as-is
+            scale = (da * (255 - sa)) // 255
+            a_out = sa + scale
+            denom = np.maximum(a_out, 1)
+            blended = np.empty_like(src)
+            for c in range(3):
+                blended[:, :, c] = ((src[:, :, c] * sa
+                                     + dst[:, :, c] * scale) // denom)
+            blended[:, :, 3] = a_out
+            keep = (sa == 0)[:, :, None]
+            cv[y0:y1, x0:x1] = np.where(
+                keep, dst, blended).astype(np.uint8)
+        else:
+            cv[y0:y1, x0:x1] = arr
+        out.append(cv.copy())
+        durs.append(f["dur"])
+        if f["dispose"]:
+            cv[y0:y1, x0:x1] = 0
+    return out, durs
+
+
+def anim_frames(data: bytes, max_frames: "int | None" = None):
+    """Walk an animated WebP (VP8X with the animation flag) and return
+    ``(frame_blobs, durations_ms)`` with one standalone lossless WebP
+    file per animation frame, each showing the FULL composited canvas.
+
+    When every ANMF frame covers the whole canvas (what
+    :func:`encode_webp_anim` emits by default), the blobs are the
+    stream's own VP8L bitstreams re-wrapped — bit-preserving, no
+    decode/re-encode generation loss (the operators/avi.py
+    convention).  Sub-canvas delta frames (r14 — previously a raise)
+    go through :func:`composite_anim` and each canvas snapshot is
+    re-encoded losslessly: pixel-preserving, not bit-preserving.
+
+    A non-animated file returns itself as one frame with duration 0.
+    Lossy 'VP8 ' frames raise.  The walk early-stops after
+    ``max_frames``."""
+    animated, canvas, frames = _anim_walk(data, max_frames)
+    if not animated:
+        return [data], [0]
+
+    def _standalone(f):
+        # a frame whose snapshot IS the frame itself: covers the whole
+        # canvas AND cannot show the previous canvas through it —
+        # overwrite mode, or no alpha channel (VP8L alpha hint, bit 28
+        # of the header word, without decoding pixels)
+        if (f["fx"], f["fy"]) != (0, 0) or (f["fw"], f["fh"]) != canvas:
+            return False
+        if not f["blend"]:
+            return True
+        p = f["payload"]
+        return len(p) >= 5 and not (int.from_bytes(p[1:5], "little")
+                                    >> 28) & 1
+
+    if all(_standalone(f) for f in frames):
+        return ([encode_webp_container(f["payload"]) for f in frames],
+                [f["dur"] for f in frames])
+    arrays, durs = composite_anim(data, max_frames)
+    return [encode_webp(a) for a in arrays], durs
 
 
 def canvas_dims(data: bytes) -> tuple:
@@ -1361,35 +1493,66 @@ def encode_webp_container(vp8l_payload: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def encode_webp_anim(frames, durations_ms=None, **opts) -> bytes:
+def encode_webp_anim(frames, durations_ms=None, *, offsets=None,
+                     blend=None, dispose=None, canvas=None,
+                     **opts) -> bytes:
     """Encode a list of (H, W, 3|4) uint8 arrays into an animated
-    lossless WebP (VP8X + ANIM + one full-canvas ANMF per frame).
-    All frames must share one shape.  Options forward to
-    :func:`encode_vp8l`."""
+    lossless WebP (VP8X + ANIM + one ANMF per frame).  Options forward
+    to :func:`encode_vp8l`.
+
+    Default: full-canvas frames (all sharing one shape), the profile
+    :func:`anim_frames` rewraps bit-preservingly.  r14 adds the
+    sub-canvas delta-frame profile: per-frame ``offsets`` (x, y) —
+    even values, the container stores them halved — with ``canvas``
+    (w, h) defaulting to the max frame extent, plus per-frame
+    ``blend`` (True = alpha-blend onto the canvas, the container
+    default; False = overwrite the rect) and ``dispose`` (True =
+    clear the rect to transparent after display) flags."""
     if not frames:
         raise ValueError("encode_webp_anim: need at least one frame")
-    h, w = np.asarray(frames[0]).shape[:2]
+    n = len(frames)
     if durations_ms is None:
-        durations_ms = [100] * len(frames)
-    if len(durations_ms) != len(frames):
+        durations_ms = [100] * n
+    if len(durations_ms) != n:
         raise ValueError("encode_webp_anim: one duration per frame")
-    has_alpha = any(np.asarray(f).shape[2] == 4 for f in frames)
+    if offsets is None:
+        offsets = [(0, 0)] * n
+    if blend is None:
+        blend = [True] * n
+    if dispose is None:
+        dispose = [False] * n
+    if not (len(offsets) == len(blend) == len(dispose) == n):
+        raise ValueError("encode_webp_anim: offsets/blend/dispose "
+                         "must have one entry per frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    for (x, y) in offsets:
+        if x % 2 or y % 2 or x < 0 or y < 0:
+            raise ValueError("encode_webp_anim: frame offsets must be "
+                             "even and non-negative (the container "
+                             "stores them halved)")
+    if canvas is None:
+        canvas = (max(x + a.shape[1] for (x, y), a in zip(offsets, arrs)),
+                  max(y + a.shape[0] for (x, y), a in zip(offsets, arrs)))
+    w, h = canvas
+    for (x, y), a in zip(offsets, arrs):
+        if x + a.shape[1] > w or y + a.shape[0] > h:
+            raise ValueError("encode_webp_anim: frame exceeds canvas")
+    has_alpha = any(a.shape[2] == 4 for a in arrs)
     chunks = bytearray()
     flags = 0x02 | (0x10 if has_alpha else 0)
     vp8x = bytes([flags, 0, 0, 0]) + _u24(w - 1) + _u24(h - 1)
     chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
     anim = struct.pack("<IH", 0xFFFFFFFF, 0)     # bg color, loop 0
     chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
-    for arr, dur in zip(frames, durations_ms):
-        a = np.asarray(arr, dtype=np.uint8)
-        if a.shape[:2] != (h, w):
-            raise ValueError("encode_webp_anim: frames must share "
-                             "one canvas shape")
+    for a, dur, (x, y), bl, dsp in zip(arrs, durations_ms, offsets,
+                                       blend, dispose):
         payload = encode_vp8l(a, **opts)
         sub = b"VP8L" + struct.pack("<I", len(payload)) + payload \
             + (b"\x00" if len(payload) & 1 else b"")
-        body = (_u24(0) + _u24(0) + _u24(w - 1) + _u24(h - 1)
-                + _u24(int(dur)) + bytes([0]) + sub)
+        fbyte = (0 if bl else 0x02) | (0x01 if dsp else 0)
+        body = (_u24(x // 2) + _u24(y // 2)
+                + _u24(a.shape[1] - 1) + _u24(a.shape[0] - 1)
+                + _u24(int(dur)) + bytes([fbyte]) + sub)
         chunks += b"ANMF" + struct.pack("<I", len(body)) + body \
             + (b"\x00" if len(body) & 1 else b"")
     riff = b"WEBP" + bytes(chunks)

@@ -154,13 +154,15 @@ def test_webp_canvas_dims_bare_and_extended():
         canvas_dims(b"not webp")
 
 
-def test_webp_subcanvas_anmf_raises():
+def test_webp_out_of_bounds_anmf_raises():
+    # r14: sub-canvas frames COMPOSITE now (test_round14); a frame
+    # rect exceeding the VP8X canvas is still a hard error
     from conduino_spark.operators.webp import anim_frames, encode_webp_anim
     blob = bytearray(encode_webp_anim([_gradient(8, 8)] * 2))
     i = blob.find(b"ANMF")
     assert i > 0
     blob[i + 8:i + 11] = (3).to_bytes(3, "little")   # frame_x = 6
-    with pytest.raises(ValueError, match="sub-canvas"):
+    with pytest.raises(ValueError, match="exceeds"):
         anim_frames(bytes(blob))
 
 

@@ -368,8 +368,14 @@ def test_webp_anim_static_passthrough_and_validation():
         anim_frames(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00aaaa")
     with pytest.raises(ValueError):
         encode_webp_anim([])
+    # r14: mixed frame shapes are the sub-canvas profile now — only a
+    # frame exceeding an EXPLICIT canvas is invalid
     with pytest.raises(ValueError, match="canvas"):
-        encode_webp_anim([_gradient(4, 4), _gradient(5, 5)])
+        encode_webp_anim([_gradient(4, 4), _gradient(5, 5)],
+                         canvas=(4, 4))
+    mixed = encode_webp_anim([_gradient(4, 4), _gradient(5, 5)])
+    from conduino_spark.operators.webp import canvas_dims
+    assert canvas_dims(mixed) == (5, 5)
     with pytest.raises(ValueError, match="duration"):
         encode_webp_anim([_gradient(4, 4)], [1, 2])
 
