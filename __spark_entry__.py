@@ -2940,7 +2940,46 @@ def q_take_drop_zip(spark, sf):
         F.lit(None).cast("double").alias("sum_value"),
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("long").alias("max_user"))
-    return tds.unionByName(zc).unionByName(dw)
+    # r14 'alt' arm (VERDICT r13 #4): altSink's termination-seq race
+    # (Data/Conduino.hs:664-670) gets driver-hash coverage — the last
+    # §2.2 row that was test-only.  Three races over the event stream
+    # (values micro-scaled to longs so every result is order-free
+    # exact):
+    #   * early-win: full sum vs limited(5000) -> the limited sink's
+    #     earlier termination wins = sum of the first 5000 events
+    #     (when the table has < 5000 rows it never terminates and the
+    #     full sum wins — the same value, which keeps the oracle
+    #     sf-independent);
+    #   * tie, leftmost wins: limited(3000) max vs limited(3000) sum
+    #     terminate at the SAME seq -> leftmost = max of first 3000;
+    #   * no early terminator: full count vs limited(10^9) -> the
+    #     left full-stream fold wins = total row count.
+    from conduino_spark import alt_sink, alt_sink_n, fold, limited_sink
+    v6 = {"v": F.round(F.col("value") * 1_000_000).cast("long")}
+
+    def ev6():
+        return _src(sf, "events", seq_col="event_id") | map_(v6)
+
+    r1 = run_pipe(ev6() | alt_sink(
+        fold("v", how="sum"), limited_sink(fold("v", how="sum"), 5000)),
+        spark)
+    r2 = run_pipe(ev6() | alt_sink_n(
+        fold("v", how="sum"),
+        limited_sink(fold("v", how="max"), 3000),
+        limited_sink(fold("v", how="sum"), 3000)), spark)
+    r3 = run_pipe(ev6() | alt_sink(
+        fold("v", how="count"),
+        limited_sink(fold("v", how="count"), 10 ** 9)), spark)
+    alt = spark.range(1).select(
+        F.lit("alt").alias("part"),
+        F.lit(None).cast("long").alias("pos"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("long").alias("key"),
+        (F.lit(r2) / F.lit(1_000_000.0)).alias("value"),
+        (F.lit(r1) / F.lit(1_000_000.0)).alias("sum_value"),
+        F.lit(r3).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("max_user"))
+    return tds.unionByName(zc).unionByName(dw).unionByName(alt)
 
 
 def q_set_ops_rollup(spark, sf):
@@ -5073,7 +5112,31 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_id > (SELECT event_id FROM events
                                     ORDER BY event_id LIMIT 1 OFFSET 7999))
                  WHERE NOT (value < 99.5)),
-                (SELECT max(event_id) FROM events))""",
+                (SELECT max(event_id) FROM events))
+            UNION ALL
+            -- r14 'alt' arm: altSink termination-seq races.  value =
+            -- the 3000-tie race (leftmost limited sink = max of the
+            -- first 3000; below 3000 rows neither terminates and the
+            -- full SUM wins); sum_value = the early-win race (sum of
+            -- first 5000 == full sum below 5000 rows); n = the
+            -- no-early-terminator race (full count)
+            SELECT 'alt' AS part, CAST(NULL AS BIGINT) AS pos,
+                   CAST(NULL AS VARCHAR) AS name,
+                   CAST(NULL AS BIGINT) AS key,
+                   CASE WHEN (SELECT COUNT(*) FROM events) >= 3000
+                        THEN (SELECT MAX(CAST(ROUND(value * 1000000)
+                                             AS BIGINT))
+                              FROM (SELECT value FROM events
+                                    ORDER BY event_id LIMIT 3000))
+                        ELSE (SELECT SUM(CAST(ROUND(value * 1000000)
+                                             AS BIGINT)) FROM events)
+                   END / 1000000.0 AS value,
+                   (SELECT SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                    FROM (SELECT value FROM events
+                          ORDER BY event_id LIMIT 5000)) / 1000000.0
+                     AS sum_value,
+                   (SELECT COUNT(*) FROM events) AS n,
+                   CAST(NULL AS BIGINT) AS max_user""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(ROUND(l_quantity * 1) AS BIGINT)) / 1.0 AS sum_qty,

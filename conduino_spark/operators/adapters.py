@@ -110,8 +110,12 @@ def limited_sink(inner: Sink, n: int) -> Sink:
     (Data/Conduino.hs:664-670; FIXTURES.md multi_sink)."""
 
     def term(df: DataFrame) -> Optional[int]:
-        rows = df.select(SEQ).orderBy(SEQ).limit(n).collect()
-        return rows[-1][0] if len(rows) == n else None
+        # nth seq as ONE aggregated row (r14: the old limit(n).collect
+        # pulled n seq values to the driver just to read the last one)
+        row = (df.select(SEQ).orderBy(SEQ).limit(n)
+                 .agg(F.max(SEQ).alias("m"),
+                      F.count(F.lit(1)).alias("c")).collect()[0])
+        return row["m"] if row["c"] == n else None
 
     def run(df: DataFrame):
         from conduino_spark.operators.segments import take
