@@ -3190,6 +3190,28 @@ def _synth_media_blobs(spark, sf):
                     r7 = (44100, 48000, 22050, 32000)[i % 4]
                     ids.append(i)
                     blobs.append(encode_vorbis(np.zeros(n7), r7))
+                # r14: MPEG-1 video joins the hash gate — REAL
+                # encode→sniff→decode→profile of gray blockwise-
+                # constant frames (the exactly-invertible content
+                # class: flat chroma at 128, DC-only luma with step-8
+                # reconstruction): one I picture + two P pictures that
+                # are pure (8,8)-translations, so the skip/MC/intra
+                # macroblock paths AND the I→P→P reconstruction chain
+                # all sit under the driver hash.  Every 5th doc
+                # (i%5==3 — disjoint from webp/mp3/vorbis).
+                if i % 5 == 3:
+                    from conduino_spark.operators.mpeg1 import \
+                        encode_mpeg1
+                    br8, bc8 = np.mgrid[0:4, 0:4]
+                    v8 = ((i * 11 + br8 * 37 + bc8 * 59)
+                          % 256).astype(np.uint8)
+                    g8 = np.repeat(np.repeat(v8, 8, 0), 8, 1)
+                    fa = np.repeat(g8[:, :, None], 3, axis=2)
+                    fb = np.roll(fa, (8, 8), (0, 1))
+                    fc = np.roll(fa, (16, 16), (0, 1))
+                    ids.append(i)
+                    blobs.append(encode_mpeg1([fa, fb, fc],
+                                              mv_search=8))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3905,6 +3927,25 @@ def _sql_profile_docs() -> str:
                0.0 AS null_frac,
                '0' AS min, '0' AS max
         FROM documents WHERE doc_id % 5 = 2""")
+    # mpeg1 arm (r14): REAL MPEG-1 encode→decode of gray blockwise-
+    # constant frames — 3 frames (I + two pure-translation Ps) of
+    # 32x32 with 4x4 blocks valued (i*11 + br*37 + bc*59) % 256; the
+    # reconstruction is exactly invertible for this class, rolls
+    # permute the block multiset, so sum = 3 frames * 192
+    # pixels-per-block-channel * SUM(block values), max = MAX(values)
+    arms.append("""
+        SELECT 'mm' AS part, 'mpeg1:' || i AS "column",
+               CAST(3 AS BIGINT) AS n_rows,
+               CAST(32032000 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(3 * 192 * SUM((i * 11 + (j // 4) * 37
+                                        + (j % 4) * 59) % 256)
+                         AS BIGINT) AS VARCHAR) AS min,
+               CAST(MAX((i * 11 + (j // 4) * 37 + (j % 4) * 59) % 256)
+                    AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i, unnest(range(0, 16)) AS j
+              FROM documents WHERE doc_id % 5 = 3)
+        GROUP BY ALL""")
     # ct arms (r12b): header-level container facts recomputed from the
     # synth formulas — mp3 (nf=10+i%7, rate 32k/48k by parity so the
     # duration is an exact integer 36*nf / 24*nf), ogg (vorbis 44.1k /

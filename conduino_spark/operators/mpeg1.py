@@ -1,0 +1,1099 @@
+"""REAL MPEG-1 video (ISO/IEC 11172-2) elementary-stream codec in pure
+Python + numpy — the video sibling of operators/mp3.py, closing the
+last non-environmental slot in the multimodal family (r14; VERDICT r13
+#2).  Reference anchor: conduino has no media types — north-star
+extension (SURVEY §7, M6).
+
+Decode (``decode_mpeg1``): sequence header (dims, fps, custom quant
+matrices), GOP, I-pictures (intra macroblocks: DC prediction chains,
+AC run-level decode, reconstruction arithmetic with the spec's
+oddification mismatch control, float IDCT), P-pictures (skipped
+macroblocks, forward motion compensation at full- and half-pel with
+any f_code, intra refresh), one-or-more slices per picture, 4:2:0
+chroma upsampling, BT.601 full-range color.
+
+Certified-table policy (the operators/mp3.py precedent — no
+third-party MPEG stream exists in this container to pin a from-memory
+transcription, and a wrong-but-prefix-valid VLC table decodes silently
+wrong video, which is worse than a loud refusal):
+
+* CERTIFIED (transcribed + structural prefix/Kraft validation at
+  import; small, deeply standard tables shared with H.261/H.262):
+  macroblock_address_increment (B.1), macroblock_type I/P (B.2a/b),
+  motion_code (B.4), dct_dc_size luma/chroma (B.5a/b), the HEAD of the
+  dct_coeff run-level table (B.5c: EOB, the 2-7 bit codes) and the
+  fully-specified fixed-length escape coding.
+* UNCERTIFIED → loud ValueError: the dct_coeff tail (8+ bit codes),
+  coded_block_pattern (B.3), B-pictures (B.2c) and D-pictures.  The
+  bundled encoder emits certified codes only (escape-coding the AC
+  tail — every real decoder accepts escapes for codable pairs).
+
+Encode (``encode_mpeg1``): a conformant-subset writer — I-pictures
+(full intra), P-pictures composed of skipped (static), forward-MC
+not-coded (pure translation, exact) and intra-refresh macroblocks;
+one slice per macroblock row; default quant matrices; f_code=1
+half-pel vectors.  Every decoder path above is reachable from some
+encoder option, which is how the round-trip laws pin the parser
+(the FIXTURES.md synthetic-writer convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from conduino_spark.operators.jpeg import _ZIGZAG, _dct8, _idct8
+
+__all__ = ["decode_mpeg1", "encode_mpeg1", "mpeg1_info"]
+
+
+# ---------------------------------------------------------------------------
+# spec constants
+# ---------------------------------------------------------------------------
+
+#: picture_rate code → frames/sec (11172-2 2.4.3.2)
+PICTURE_RATES = {1: 23.976, 2: 24.0, 3: 25.0, 4: 29.97, 5: 30.0,
+                 6: 50.0, 7: 59.94, 8: 60.0}
+
+#: default intra quantizer matrix (11172-2 2.4.3.2), row-major
+DEFAULT_INTRA_Q = np.array([
+     8, 16, 19, 22, 26, 27, 29, 34,
+    16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69,
+    27, 29, 35, 38, 46, 56, 69, 83], dtype=np.int64)
+
+#: default non-intra matrix: flat 16 (11172-2 2.4.3.2)
+DEFAULT_NONINTRA_Q = np.full(64, 16, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# VLC tables (11172-2 Annex B) — {codestring: value}; validated below
+# ---------------------------------------------------------------------------
+
+#: B.1 macroblock_address_increment; 'esc' adds 33, 'stuff' is skipped
+ADDR_INC = {
+    "1": 1, "011": 2, "010": 3, "0011": 4, "0010": 5,
+    "00011": 6, "00010": 7, "0000111": 8, "0000110": 9,
+    "00001011": 10, "00001010": 11, "00001001": 12, "00001000": 13,
+    "00000111": 14, "00000110": 15,
+    "0000010111": 16, "0000010110": 17, "0000010101": 18,
+    "0000010100": 19, "0000010011": 20, "0000010010": 21,
+    "00000100011": 22, "00000100010": 23, "00000100001": 24,
+    "00000100000": 25, "00000011111": 26, "00000011110": 27,
+    "00000011101": 28, "00000011100": 29, "00000011011": 30,
+    "00000011010": 31, "00000011001": 32, "00000011000": 33,
+    "00000001000": "esc", "00000001111": "stuff",
+}
+
+#: B.2a macroblock_type, I pictures: (quant, mf, mb, pattern, intra)
+MB_TYPE_I = {"1": (0, 0, 0, 0, 1), "01": (1, 0, 0, 0, 1)}
+
+#: B.2b macroblock_type, P pictures
+MB_TYPE_P = {
+    "1":      (0, 1, 0, 1, 0),     # MC, coded
+    "01":     (0, 0, 0, 1, 0),     # no MC, coded
+    "001":    (0, 1, 0, 0, 0),     # MC, not coded
+    "00011":  (0, 0, 0, 0, 1),     # intra
+    "00010":  (1, 0, 0, 1, 0),     # quant, coded
+    "00001":  (1, 1, 0, 1, 0),     # quant, MC, coded
+    "000001": (1, 0, 0, 0, 1),     # quant, intra
+}
+
+#: B.4 |motion_code| (0..16); nonzero codes are followed by a sign bit
+#: (0 = positive).  Structurally the B.1 table with sign-pairs merged
+#: (the shared H.261 ancestry).
+MOTION_CODE = {
+    "1": 0, "01": 1, "001": 2, "0001": 3, "000011": 4,
+    "0000101": 5, "0000100": 6, "0000011": 7,
+    "000001011": 8, "000001010": 9, "000001001": 10,
+    "0000010001": 11, "0000010000": 12, "0000001111": 13,
+    "0000001110": 14, "0000001101": 15, "0000001100": 16,
+}
+
+#: B.5a dct_dc_size_luminance
+DC_SIZE_LUMA = {"100": 0, "00": 1, "01": 2, "101": 3, "110": 4,
+                "1110": 5, "11110": 6, "111110": 7, "1111110": 8}
+
+#: B.5b dct_dc_size_chrominance
+DC_SIZE_CHROMA = {"00": 0, "01": 1, "10": 2, "110": 3, "1110": 4,
+                  "11110": 5, "111110": 6, "1111110": 7,
+                  "11111110": 8}
+
+#: B.5c dct_coeff CERTIFIED HEAD: {code: (run, level)} in the "next"
+#: context ('10' = EOB; the first-coefficient '1' special case only
+#: arises in non-intra blocks, which raise on the CBP table anyway).
+#: Codes of 8+ bits are UNCERTIFIED and raise; the encoder
+#: escape-codes those pairs instead.
+AC_HEAD = {
+    "11": (0, 1), "011": (1, 1), "0100": (0, 2), "0101": (2, 1),
+    "00101": (0, 3), "00111": (3, 1), "00110": (4, 1),
+    "000110": (1, 2), "000111": (5, 1), "000101": (6, 1),
+    "000100": (7, 1),
+    "0000110": (0, 4), "0000100": (2, 2), "0000111": (8, 1),
+    "0000101": (9, 1),
+}
+AC_EOB = "10"
+AC_ESCAPE = "000001"
+
+
+def _validate_tables() -> None:
+    """Structural transcription guards (import time): every table must
+    be prefix-free, with Kraft sums bounded by 1 (the spec's tables
+    are intentionally incomplete — reserved space / longer groups)."""
+    def check(name, codes, lo=0.0):
+        ordered = sorted(codes)
+        for i, c in enumerate(ordered):
+            for d in ordered[i + 1:]:
+                if d.startswith(c):
+                    raise AssertionError(f"{name}: {c} prefixes {d}")
+        kraft = sum(2.0 ** -len(c) for c in codes)
+        if not lo <= kraft <= 1.0 + 1e-12:
+            raise AssertionError(f"{name}: Kraft sum {kraft}")
+        return kraft
+
+    check("ADDR_INC", ADDR_INC, 0.98)
+    check("MB_TYPE_I", MB_TYPE_I, 0.74)
+    # motion codes: nonzero entries carry a sign bit -> effective
+    # codeword set is {'1'} + {c+'0', c+'1'}; must exactly mirror
+    # ADDR_INC's pair structure (the shared H.261 lineage): Kraft of
+    # the sign-expanded set == Kraft of ADDR_INC's value codes 1..33
+    sign_expanded = {"1"} | {c + s for c, v in MOTION_CODE.items()
+                             if v for s in "01"}
+    check("MOTION_CODE(signed)", sign_expanded, 0.98)
+    k_addr = sum(2.0 ** -len(c) for c, v in ADDR_INC.items()
+                 if isinstance(v, int))
+    k_mot = sum(2.0 ** -len(c) for c in sign_expanded)
+    if abs(k_addr - k_mot) > 1e-12:
+        raise AssertionError("MOTION_CODE does not mirror ADDR_INC")
+    check("MB_TYPE_P", MB_TYPE_P, 0.95)
+    check("DC_SIZE_LUMA", DC_SIZE_LUMA, 0.99)
+    check("DC_SIZE_CHROMA", DC_SIZE_CHROMA, 0.99)
+    check("AC_HEAD(+eob/esc)",
+          set(AC_HEAD) | {AC_EOB, AC_ESCAPE,
+                          # sign-bit expansion not needed for the
+                          # prefix property: sign follows a complete
+                          # codeword
+                          }, 0.90)
+
+
+_validate_tables()
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (MSB-first)
+# ---------------------------------------------------------------------------
+
+class _Bits:
+    __slots__ = ("data", "pos", "_n")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.pos = bitpos
+        self._n = len(data) * 8
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > self._n:
+            raise ValueError("mpeg1: bitstream truncated")
+        v = 0
+        d = self.data
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def read1(self) -> int:
+        p = self.pos
+        if p >= self._n:
+            raise ValueError("mpeg1: bitstream truncated")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def peek(self, n: int) -> int:
+        p, v = self.pos, 0
+        d = self.data
+        for _ in range(n):
+            if p >= self._n:
+                v <<= 1             # virtual zero padding at the end
+            else:
+                v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+                p += 1
+        return v
+
+    def vlc(self, codes: dict, what: str, maxlen: int = 12):
+        """Longest-prefix decode against a {bitstring: value} table."""
+        s = ""
+        for _ in range(maxlen):
+            s += "1" if self.read1() else "0"
+            if s in codes:
+                return codes[s]
+        raise ValueError(f"mpeg1: invalid {what} code {s!r}")
+
+
+class _BitWriter:
+    __slots__ = ("buf", "cur", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.n = 0
+
+    def write_code(self, code: str) -> None:
+        for c in code:
+            self.write(int(c), 1)
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# block-level decode
+# ---------------------------------------------------------------------------
+
+def _decode_dc(br: _Bits, luma: bool) -> int:
+    size = br.vlc(DC_SIZE_LUMA if luma else DC_SIZE_CHROMA,
+                  "dct_dc_size")
+    if size == 0:
+        return 0
+    bits = br.read(size)
+    if bits >> (size - 1):          # MSB set: positive
+        return bits
+    return bits - ((1 << size) - 1)
+
+
+def _decode_escape_level(br: _Bits) -> int:
+    b = br.read(8)
+    if b == 0:
+        lvl = br.read(8)
+        if lvl < 128:
+            raise ValueError("mpeg1: bad escape level (0 marker)")
+        return lvl
+    if b == 0x80:
+        lvl = br.read(8)
+        if lvl == 0 or lvl > 128:
+            raise ValueError("mpeg1: bad escape level (0x80 marker)")
+        return lvl - 256
+    return b - 256 if b > 128 else b
+
+
+def _decode_intra_block(br: _Bits, luma: bool, dc_pred: int,
+                        qscale: int, iq: np.ndarray):
+    """One intra block → (8,8 float spatial samples, new dc predictor).
+    Reconstruction per 11172-2 2.4.4.1: oddification mismatch control,
+    [-2048, 2047] clamp, DC = predictor + 8*diff."""
+    zz = np.zeros(64, dtype=np.int64)
+    dc = dc_pred + 8 * _decode_dc(br, luma)
+    if not 0 <= dc <= 2047:
+        raise ValueError(f"mpeg1: intra DC {dc} out of range")
+    zz[0] = dc
+    i = 0
+    while True:
+        code = ""
+        for _ in range(12):
+            code += "1" if br.read1() else "0"
+            if code == AC_EOB:
+                break
+            if code == AC_ESCAPE:
+                run = br.read(6)
+                level = _decode_escape_level(br)
+                i += run + 1
+                if i > 63:
+                    raise ValueError("mpeg1: AC run past block end")
+                zz[i] = level
+                break
+            if code in AC_HEAD:
+                run, level = AC_HEAD[code]
+                if br.read1():
+                    level = -level
+                i += run + 1
+                if i > 63:
+                    raise ValueError("mpeg1: AC run past block end")
+                zz[i] = level
+                break
+        else:
+            raise ValueError(
+                f"mpeg1: dct_coeff code {code!r} is outside the "
+                "certified head of Table B.5 — refusing to decode "
+                "with uncertified tables (see module docstring)")
+        if code == AC_EOB:
+            break
+    # reconstruction: rec = (2*level*q*M[i])/16, oddified, clamped
+    rec = np.zeros(64, dtype=np.int64)
+    rec[0] = zz[0]
+    ac = zz[1:]
+    nz = ac != 0
+    if nz.any():
+        v = (2 * ac[nz] * qscale * iq[1:][nz])
+        r = np.sign(v) * (np.abs(v) // 16)
+        even = (r % 2 == 0) & (r != 0)
+        r = np.where(even, r - np.sign(r), r)
+        rec[1:][nz] = np.clip(r, -2048, 2047)
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = rec
+    return _idct8(coef.reshape(8, 8)), dc
+
+
+# ---------------------------------------------------------------------------
+# motion vectors
+# ---------------------------------------------------------------------------
+
+def _decode_mv_component(br: _Bits, f_code: int, pred: int) -> int:
+    code = br.vlc(MOTION_CODE, "motion_code")
+    if code:
+        if br.read1():
+            code = -code
+    f = 1 << (f_code - 1)
+    if f > 1 and code != 0:
+        r = br.read(f_code - 1)
+        delta = (1 + f * (abs(code) - 1) + r) * (1 if code > 0 else -1)
+    else:
+        delta = code
+    mv = pred + delta
+    # wrap into [-16f, 16f-1] (11172-2 2.4.4.2 modulo arithmetic)
+    lo, hi = -16 * f, 16 * f
+    rng = hi - lo
+    while mv < lo:
+        mv += rng
+    while mv >= hi:
+        mv -= rng
+    return mv
+
+
+def _mc_predict(plane: np.ndarray, y0: int, x0: int, h: int, w: int,
+                mvy: int, mvx: int) -> np.ndarray:
+    """Forward MC block from the previous reconstructed plane.  mv in
+    half-pel units; half-pel interpolation averages with truncation
+    (11172-2 2.4.4.2 integer '/')."""
+    iy, ix = mvy >> 1, mvx >> 1
+    hy, hx = mvy & 1, mvx & 1
+    ph, pw = plane.shape
+    ys, xs = y0 + iy, x0 + ix
+    if ys < 0 or xs < 0 or ys + h + hy > ph or xs + w + hx > pw:
+        raise ValueError("mpeg1: motion vector points outside the "
+                         "reference picture")
+    a = plane[ys:ys + h, xs:xs + w].astype(np.int64)
+    if hx:
+        a = a + plane[ys:ys + h, xs + 1:xs + 1 + w]
+    if hy:
+        b = plane[ys + 1:ys + 1 + h, xs:xs + w].astype(np.int64)
+        if hx:
+            b = b + plane[ys + 1:ys + 1 + h, xs + 1:xs + 1 + w]
+        a = a + b
+    shift = hy + hx                  # 0, 1 or 2 averaged taps
+    return (a // (1 << shift)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# color (BT.601 full range — shared with the jpeg/webp test conventions)
+# ---------------------------------------------------------------------------
+
+def _rgb_to_ycc(rgb: np.ndarray):
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return (np.clip(np.round(y), 0, 255).astype(np.uint8),
+            np.clip(np.round(cb), 0, 255).astype(np.uint8),
+            np.clip(np.round(cr), 0, 255).astype(np.uint8))
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def _upsample2(p: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _find_start_codes(data: bytes):
+    """(code, payload_start, payload_end) for every byte-aligned
+    000001xx; each payload runs to the next start code."""
+    starts = []
+    i = data.find(b"\x00\x00\x01")
+    while i >= 0 and i + 3 < len(data):
+        starts.append((data[i + 3], i + 4))
+        i = data.find(b"\x00\x00\x01", i + 3)
+    out = []
+    for k, (code, s) in enumerate(starts):
+        e = starts[k + 1][1] - 4 if k + 1 < len(starts) else len(data)
+        out.append((code, s, e))
+    return out
+
+
+def _parse_seq_header(br: _Bits) -> dict:
+    w = br.read(12)
+    h = br.read(12)
+    if w == 0 or h == 0:
+        raise ValueError("mpeg1: zero picture dimension")
+    aspect = br.read(4)
+    rate_code = br.read(4)
+    if rate_code not in PICTURE_RATES:
+        raise ValueError(f"mpeg1: reserved picture_rate {rate_code}")
+    bitrate = br.read(18)
+    if not br.read1():
+        raise ValueError("mpeg1: sequence-header marker bit 0")
+    vbv = br.read(10)
+    constrained = br.read1()
+    # quant matrices kept in ZIGZAG order (reconstruction indexes by
+    # zigzag position; custom matrices transmit in zigzag order
+    # already, 11172-2 2.4.3.2)
+    iq_zz = DEFAULT_INTRA_Q[_ZIGZAG]
+    if br.read1():
+        iq_zz = np.array([br.read(8) for _ in range(64)],
+                         dtype=np.int64)
+        if (iq_zz == 0).any():
+            raise ValueError("mpeg1: zero in intra quant matrix")
+    if br.read1():                   # non-intra matrix: parsed, unused
+        nq = np.array([br.read(8) for _ in range(64)], dtype=np.int64)
+        if (nq == 0).any():
+            raise ValueError("mpeg1: zero in non-intra quant matrix")
+    return {"w": w, "h": h, "aspect": aspect, "rate_code": rate_code,
+            "fps": PICTURE_RATES[rate_code], "bitrate": bitrate,
+            "vbv": vbv, "constrained": constrained, "iq_zz": iq_zz}
+
+
+def _seq_iq_zz(seq: dict) -> np.ndarray:
+    return seq["iq_zz"]
+
+
+class _PlaneSet:
+    """Y/Cb/Cr reconstruction planes (mb-padded dims)."""
+
+    def __init__(self, mbw: int, mbh: int):
+        self.y = np.zeros((mbh * 16, mbw * 16), dtype=np.int64)
+        self.cb = np.full((mbh * 8, mbw * 8), 128, dtype=np.int64)
+        self.cr = np.full((mbh * 8, mbw * 8), 128, dtype=np.int64)
+
+    def copy(self) -> "_PlaneSet":
+        p = object.__new__(_PlaneSet)
+        p.y = self.y.copy()
+        p.cb = self.cb.copy()
+        p.cr = self.cr.copy()
+        return p
+
+
+def _store_block(plane: np.ndarray, y0: int, x0: int,
+                 block: np.ndarray) -> None:
+    plane[y0:y0 + 8, x0:x0 + 8] = np.clip(np.round(block), 0, 255)
+
+
+def _decode_picture(slices, seq, prev: "_PlaneSet | None", ptype: int,
+                    full_pel: int, f_code: int) -> _PlaneSet:
+    mbw = (seq["w"] + 15) // 16
+    mbh = (seq["h"] + 15) // 16
+    iq_zz = _seq_iq_zz(seq)
+    rec = _PlaneSet(mbw, mbh)
+    if ptype == 2:
+        if prev is None:
+            raise ValueError("mpeg1: P-picture with no reference")
+        rec.y[:] = prev.y
+        rec.cb[:] = prev.cb
+        rec.cr[:] = prev.cr
+    covered = np.zeros(mbw * mbh, dtype=bool)
+    for sval, payload in slices:
+        if not 1 <= sval <= mbh:
+            raise ValueError(f"mpeg1: slice row {sval} > {mbh}")
+        br = _Bits(payload)
+        qscale = br.read(5)
+        if qscale == 0:
+            raise ValueError("mpeg1: quantizer_scale 0")
+        while br.peek(1) == 1:       # extra slice information
+            br.read1()
+            br.read(8)
+        br.read1()
+        mb_addr = (sval - 1) * mbw - 1
+        dc_y = dc_cb = dc_cr = 1024
+        mv_y = mv_x = 0
+        first_mb = True
+        while True:
+            # slice ends when only zero stuffing remains before the
+            # next (byte-aligned) start code
+            if br.pos >= br._n or br.peek(23) == 0:
+                break
+            inc = 0
+            while True:
+                v = br.vlc(ADDR_INC, "macroblock_address_increment")
+                if v == "stuff":
+                    continue
+                if v == "esc":
+                    inc += 33
+                    continue
+                inc += v
+                break
+            if first_mb:
+                mb_addr += inc
+                first_mb = False
+                if inc > 1 and ptype == 1:
+                    raise ValueError("mpeg1: gap at I-slice start")
+            else:
+                if inc > 1:
+                    if ptype == 1:
+                        raise ValueError(
+                            "mpeg1: skipped macroblock in I-picture")
+                    # skipped P macroblocks: copy co-located, reset
+                    # predictors (already copied via prev init)
+                    for _ in range(inc - 1):
+                        mb_addr += 1
+                        if mb_addr >= mbw * mbh:
+                            raise ValueError("mpeg1: address overflow")
+                        covered[mb_addr] = True
+                    mv_y = mv_x = 0
+                    dc_y = dc_cb = dc_cr = 1024
+                    mb_addr += 1
+                else:
+                    mb_addr += 1
+            if mb_addr >= mbw * mbh:
+                raise ValueError("mpeg1: macroblock address overflow")
+            covered[mb_addr] = True
+            row, col = divmod(mb_addr, mbw)
+            if ptype == 1:
+                quant, mf, _mb, pattern, intra = br.vlc(
+                    MB_TYPE_I, "macroblock_type(I)")
+            else:
+                quant, mf, _mb, pattern, intra = br.vlc(
+                    MB_TYPE_P, "macroblock_type(P)")
+            if quant:
+                qscale = br.read(5)
+                if qscale == 0:
+                    raise ValueError("mpeg1: quantizer_scale 0")
+            if mf:
+                mv_x = _decode_mv_component(br, f_code, mv_x)
+                mv_y = _decode_mv_component(br, f_code, mv_y)
+            else:
+                mv_y = mv_x = 0
+            if intra:
+                y0, x0 = row * 16, col * 16
+                blk, dc_y = _decode_intra_block(br, True, dc_y,
+                                                qscale, iq_zz)
+                _store_block(rec.y, y0, x0, blk)
+                blk, dc_y = _decode_intra_block(br, True, dc_y,
+                                                qscale, iq_zz)
+                _store_block(rec.y, y0, x0 + 8, blk)
+                blk, dc_y = _decode_intra_block(br, True, dc_y,
+                                                qscale, iq_zz)
+                _store_block(rec.y, y0 + 8, x0, blk)
+                blk, dc_y = _decode_intra_block(br, True, dc_y,
+                                                qscale, iq_zz)
+                _store_block(rec.y, y0 + 8, x0 + 8, blk)
+                blk, dc_cb = _decode_intra_block(br, False, dc_cb,
+                                                 qscale, iq_zz)
+                _store_block(rec.cb, row * 8, col * 8, blk)
+                blk, dc_cr = _decode_intra_block(br, False, dc_cr,
+                                                 qscale, iq_zz)
+                _store_block(rec.cr, row * 8, col * 8, blk)
+                if ptype == 2:
+                    mv_y = mv_x = 0
+            else:
+                dc_y = dc_cb = dc_cr = 1024
+                if pattern:
+                    raise ValueError(
+                        "mpeg1: coded non-intra macroblock — the "
+                        "coded_block_pattern table (B.3) is "
+                        "uncertified in this container (see module "
+                        "docstring); only skip/MC/intra P-macroblocks "
+                        "decode here")
+                if not mf:
+                    raise ValueError("mpeg1: P macroblock with "
+                                     "neither MC, pattern nor intra")
+                vx = mv_x * 2 if full_pel else mv_x
+                vy = mv_y * 2 if full_pel else mv_y
+                rec.y[row * 16:row * 16 + 16,
+                      col * 16:col * 16 + 16] = _mc_predict(
+                    prev.y, row * 16, col * 16, 16, 16, vy, vx)
+                # chroma vectors: half the luma vector (truncating
+                # toward zero, 11172-2 2.4.4.2)
+                cx = int(vx / 2)
+                cy = int(vy / 2)
+                rec.cb[row * 8:row * 8 + 8,
+                       col * 8:col * 8 + 8] = _mc_predict(
+                    prev.cb, row * 8, col * 8, 8, 8, cy, cx)
+                rec.cr[row * 8:row * 8 + 8,
+                       col * 8:col * 8 + 8] = _mc_predict(
+                    prev.cr, row * 8, col * 8, 8, 8, cy, cx)
+    if ptype == 1 and not covered.all():
+        raise ValueError("mpeg1: I-picture does not cover every "
+                         "macroblock")
+    return rec
+
+
+def decode_mpeg1(data: bytes, max_frames: "int | None" = None):
+    """Decode an MPEG-1 video elementary stream → ``(fps, (w, h),
+    frames)`` with one (H, W, 3) uint8 RGB array per decoded picture
+    (display order == coding order: I/P only, no B reordering).  Lossy
+    codec — round trips are SNR-bounded, not bit-equal.  Raises
+    ValueError on corrupt input and on the documented uncertified
+    paths (B/D pictures, coded non-intra macroblocks, the dct_coeff
+    VLC tail)."""
+    if len(data) < 16 or data[:4] != b"\x00\x00\x01\xb3":
+        raise ValueError("not an MPEG-1 video elementary stream "
+                         "(no sequence header start code)")
+    codes = _find_start_codes(data)
+    seq = None
+    frames = []
+    prev = None
+    cur = None                       # (ptype, full_pel, f_code, slices)
+
+    def flush():
+        nonlocal prev, cur
+        if cur is None:
+            return
+        ptype, fp, fc, slices = cur
+        cur = None
+        if not slices:
+            raise ValueError("mpeg1: picture with no slices")
+        rec = _decode_picture(slices, seq, prev, ptype, fp, fc)
+        prev = rec
+        h, w = seq["h"], seq["w"]
+        rgb = _ycc_to_rgb(rec.y[:h, :w],
+                          _upsample2(rec.cb, h, w),
+                          _upsample2(rec.cr, h, w))
+        frames.append(rgb)
+
+    for code, s, e in codes:
+        body = data[s:e]
+        if code == 0xB3:
+            br = _Bits(body)
+            seq = _parse_seq_header(br)
+        elif code == 0xB8:           # GOP: time code etc. — skip
+            continue
+        elif code == 0x00:           # picture header
+            if seq is None:
+                raise ValueError("mpeg1: picture before sequence "
+                                 "header")
+            flush()
+            if max_frames is not None and len(frames) >= max_frames:
+                return seq["fps"], (seq["w"], seq["h"]), frames
+            br = _Bits(body)
+            br.read(10)              # temporal reference
+            ptype = br.read(3)
+            br.read(16)              # vbv_delay
+            if ptype == 1:
+                fp, fc = 0, 1
+            elif ptype == 2:
+                fp = br.read1()
+                fc = br.read(3)
+                if fc == 0:
+                    raise ValueError("mpeg1: forward_f_code 0")
+            elif ptype == 3:
+                raise ValueError(
+                    "mpeg1: B-picture — bidirectional prediction "
+                    "uses the uncertified B.2c table (see module "
+                    "docstring); I/P streams decode here")
+            elif ptype == 4:
+                raise ValueError("mpeg1: D-picture streams do not "
+                                 "decode here")
+            else:
+                raise ValueError(f"mpeg1: reserved picture type "
+                                 f"{ptype}")
+            cur = (ptype, fp, fc, [])
+        elif 0x01 <= code <= 0xAF:
+            if cur is None:
+                raise ValueError("mpeg1: slice before picture header")
+            cur[3].append((code, body))
+        elif code in (0xB2, 0xB5):   # user data / extension: skip
+            continue
+        elif code == 0xB7:           # sequence end
+            break
+    flush()
+    if seq is None:
+        raise ValueError("mpeg1: no sequence header")
+    if not frames:
+        raise ValueError("mpeg1: no decodable pictures")
+    return seq["fps"], (seq["w"], seq["h"]), frames
+
+
+def mpeg1_info(data: bytes) -> dict:
+    """Header-level metadata without picture decode: dims, fps,
+    bitrate, picture count + types from the start-code walk."""
+    if len(data) < 16 or data[:4] != b"\x00\x00\x01\xb3":
+        raise ValueError("not an MPEG-1 video elementary stream")
+    br = _Bits(data[4:])
+    seq = _parse_seq_header(br)
+    types = []
+    i = data.find(b"\x00\x00\x01\x00")
+    while i >= 0:
+        if i + 5 < len(data):
+            types.append((data[i + 5] >> 3) & 0x07)
+        i = data.find(b"\x00\x00\x01\x00", i + 4)
+    return {"width": seq["w"], "height": seq["h"], "fps": seq["fps"],
+            "bitrate_400bps": seq["bitrate"], "n_pictures": len(types),
+            "picture_types": types}
+
+
+# ---------------------------------------------------------------------------
+# encoder (conformant subset: I + skip/MC/intra P, 1 slice per MB row)
+# ---------------------------------------------------------------------------
+
+def _encode_dc(bw: _BitWriter, diff: int, luma: bool) -> None:
+    table = DC_SIZE_LUMA if luma else DC_SIZE_CHROMA
+    inv = {v: k for k, v in table.items()}
+    size = 0 if diff == 0 else max(1, abs(diff).bit_length())
+    if size > 8:
+        raise ValueError(f"mpeg1: DC differential {diff} too large")
+    bw.write_code(inv[size])
+    if size:
+        bits = diff if diff > 0 else diff + (1 << size) - 1
+        bw.write(bits, size)
+
+
+_AC_INV = {v: k for k, v in AC_HEAD.items()}
+
+
+def _encode_ac(bw: _BitWriter, run: int, level: int) -> None:
+    key = (run, abs(level))
+    if key in _AC_INV:
+        bw.write_code(_AC_INV[key])
+        bw.write(1 if level < 0 else 0, 1)
+        return
+    # escape (fully specified fixed-length coding — accepted by every
+    # decoder; the uncertified VLC tail is never emitted)
+    if not -255 <= level <= 255 or level == 0:
+        raise ValueError(f"mpeg1: AC level {level} out of escape range")
+    bw.write_code(AC_ESCAPE)
+    bw.write(run, 6)
+    if level > 127:
+        bw.write(0, 8)
+        bw.write(level, 8)
+    elif level < -127:
+        bw.write(0x80, 8)
+        bw.write(level + 256, 8)
+    else:
+        bw.write(level & 0xFF, 8)
+
+
+def _quantize_intra(block: np.ndarray, qscale: int,
+                    iq_zz: np.ndarray) -> np.ndarray:
+    """Float DCT → zigzag levels whose reconstruction (oddified)
+    lands nearest the coefficient."""
+    coef = _dct8(block.astype(np.float64))
+    zz = coef.reshape(64)[_ZIGZAG]
+    out = np.zeros(64, dtype=np.int64)
+    out[0] = int(np.clip(np.round(zz[0] / 8.0), 0, 255))
+    denom = 2.0 * qscale * iq_zz[1:]
+    lv = np.round(zz[1:] * 16.0 / denom).astype(np.int64)
+    out[1:] = np.clip(lv, -255, 255)
+    return out
+
+
+def _encode_intra_block(bw: _BitWriter, block: np.ndarray, luma: bool,
+                        dc_pred: int, qscale: int,
+                        iq_zz: np.ndarray) -> int:
+    zz = _quantize_intra(block, qscale, iq_zz)
+    dc = int(zz[0]) * 8
+    _encode_dc(bw, (dc - dc_pred) // 8, luma)
+    nz = np.nonzero(zz[1:])[0]
+    last = -1
+    for i in nz:
+        _encode_ac(bw, int(i) - last - 1, int(zz[1:][i]))
+        last = int(i)
+    bw.write_code(AC_EOB)
+    return dc
+
+
+def _encode_mv_component(bw: _BitWriter, delta: int) -> None:
+    inv = {v: k for k, v in MOTION_CODE.items()}
+    a = abs(delta)
+    if a > 16:
+        raise ValueError("mpeg1: encoder motion delta out of f_code=1 "
+                         "range")
+    if a == 16:
+        # f_code=1 range is [-16, 15]; +16 wraps to -16
+        delta = -16 if delta > 0 else delta
+        a = 16
+    bw.write_code(inv[a])
+    if a:
+        bw.write(1 if delta < 0 else 0, 1)
+
+
+def _rate_code(fps: float) -> int:
+    return min(PICTURE_RATES, key=lambda c: abs(PICTURE_RATES[c] - fps))
+
+
+def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
+                 gop: int = 12, p_frames: bool = True,
+                 mv_search: int = 4,
+                 intra_matrix: "np.ndarray | None" = None) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames → an MPEG-1 video elementary
+    stream (certified-subset writer, module docstring).  I-pictures
+    every ``gop`` frames; between them P-pictures built from skipped
+    (bit-identical to reference), forward-MC not-coded (exact
+    translation match within ±``mv_search`` full pels) and
+    intra-refresh macroblocks."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_mpeg1: need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) or f.ndim != 3 or f.shape[2] != 3
+           for f in frames):
+        raise ValueError("encode_mpeg1: frames must share one "
+                         "(H, W, 3) shape")
+    if not 1 <= qscale <= 31:
+        raise ValueError(f"qscale must be in [1, 31], got {qscale}")
+    if not (16 <= w <= 4095 and 16 <= h <= 2800):
+        raise ValueError(f"encode_mpeg1: dims {w}x{h} outside the "
+                         "supported 16..4095 x 16..2800 range (slice "
+                         "vertical position is one byte, <= 175 rows)")
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    if intra_matrix is None:
+        iq_zz = DEFAULT_INTRA_Q[_ZIGZAG]
+    else:
+        im = np.asarray(intra_matrix, dtype=np.int64).reshape(64)
+        if ((im < 1) | (im > 255)).any():
+            raise ValueError("encode_mpeg1: intra matrix entries must "
+                             "be in [1, 255]")
+        iq_zz = im[_ZIGZAG]
+
+    out = bytearray()
+    # sequence header
+    bw = _BitWriter()
+    bw.write(w, 12)
+    bw.write(h, 12)
+    bw.write(1, 4)                   # square pels
+    bw.write(_rate_code(fps), 4)
+    bw.write(0x3FFFF, 18)            # variable bitrate
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)                   # not constrained
+    if intra_matrix is None:
+        bw.write(0, 1)               # default intra matrix
+    else:
+        bw.write(1, 1)               # custom matrix, zigzag order
+        for v in iq_zz:
+            bw.write(int(v), 8)
+    bw.write(0, 1)                   # default non-intra matrix
+    out += b"\x00\x00\x01\xb3" + bw.bytes()
+    # GOP header
+    bw = _BitWriter()
+    bw.write(0, 25)                  # time code 0
+    bw.write(1, 1)                   # closed gop
+    bw.write(0, 1)
+    out += b"\x00\x00\x01\xb8" + bw.bytes()
+
+    def pad_plane(p, bh, bwd):
+        ph, pw = p.shape
+        q = np.zeros((bh, bwd), dtype=np.int64)
+        q[:ph, :pw] = p
+        if ph < bh:
+            q[ph:, :pw] = p[ph - 1:ph, :]
+        if pw < bwd:
+            q[:, pw:] = q[:, pw - 1:pw]
+        return q
+
+    prev_rec: "_PlaneSet | None" = None
+    for idx, fr in enumerate(frames):
+        y, cb, cr = _rgb_to_ycc(fr)
+        yp = pad_plane(y.astype(np.int64), mbh * 16, mbw * 16)
+        cbp = pad_plane(cb[::2, ::2].astype(np.int64), mbh * 8, mbw * 8)
+        crp = pad_plane(cr[::2, ::2].astype(np.int64), mbh * 8, mbw * 8)
+        is_i = (idx % gop == 0) or not p_frames or prev_rec is None
+        ptype = 1 if is_i else 2
+        rec = _PlaneSet(mbw, mbh)
+        if ptype == 2:
+            rec.y[:] = prev_rec.y
+            rec.cb[:] = prev_rec.cb
+            rec.cr[:] = prev_rec.cr
+        # picture header
+        bw = _BitWriter()
+        bw.write(idx % 1024, 10)
+        bw.write(ptype, 3)
+        bw.write(0xFFFF, 16)         # vbv_delay: variable
+        if ptype == 2:
+            bw.write(0, 1)           # half-pel vectors
+            bw.write(1, 3)           # f_code 1
+        out += b"\x00\x00\x01\x00" + bw.bytes()
+        for row in range(mbh):
+            bw = _BitWriter()
+            bw.write(qscale, 5)
+            bw.write(0, 1)           # no extra slice info
+            dc_y = dc_cb = dc_cr = 1024
+            mvp = [0, 0]             # forward MV predictor (x, y)
+            pending_skip = 0
+
+            def emit_intra(col):
+                nonlocal dc_y, dc_cb, dc_cr
+                y0, x0 = row * 16, col * 16
+                for (dy, dx) in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    dc_y = _encode_intra_block(
+                        bw, yp[y0 + dy:y0 + dy + 8,
+                               x0 + dx:x0 + dx + 8], True, dc_y,
+                        qscale, iq_zz)
+                    _reconstruct_into(rec.y, y0 + dy, x0 + dx, dc_y,
+                                      yp[y0 + dy:y0 + dy + 8,
+                                         x0 + dx:x0 + dx + 8],
+                                      qscale, iq_zz)
+                dc_cb = _encode_intra_block(
+                    bw, cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    False, dc_cb, qscale, iq_zz)
+                _reconstruct_into(rec.cb, row * 8, col * 8, dc_cb,
+                                  cbp[row * 8:row * 8 + 8,
+                                      col * 8:col * 8 + 8],
+                                  qscale, iq_zz)
+                dc_cr = _encode_intra_block(
+                    bw, crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    False, dc_cr, qscale, iq_zz)
+                _reconstruct_into(rec.cr, row * 8, col * 8, dc_cr,
+                                  crp[row * 8:row * 8 + 8,
+                                      col * 8:col * 8 + 8],
+                                  qscale, iq_zz)
+
+            for col in range(mbw):
+                y0, x0 = row * 16, col * 16
+                cur_y = yp[y0:y0 + 16, x0:x0 + 16]
+                cur_cb = cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+                cur_cr = crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+                if ptype == 2:
+                    # skip candidate: bit-identical to the reference
+                    # (never the first/last MB of a slice, and the
+                    # skip resets MV predictors so only usable here
+                    # with our zero-MV-after-skip discipline)
+                    can_skip = (0 < col < mbw - 1 and
+                                np.array_equal(
+                                    cur_y, prev_rec.y[y0:y0 + 16,
+                                                      x0:x0 + 16])
+                                and np.array_equal(
+                                    cur_cb,
+                                    prev_rec.cb[row * 8:row * 8 + 8,
+                                                col * 8:col * 8 + 8])
+                                and np.array_equal(
+                                    cur_cr,
+                                    prev_rec.cr[row * 8:row * 8 + 8,
+                                                col * 8:col * 8 + 8]))
+                    if can_skip:
+                        pending_skip += 1
+                        continue
+                    mv = _find_exact_mv(prev_rec, yp, cbp, crp, row,
+                                        col, mv_search)
+                else:
+                    mv = None
+                # address increment: 1 + pending skips
+                inc = pending_skip + 1
+                pending_skip = 0
+                while inc > 33:
+                    bw.write_code("00000001000")
+                    inc -= 33
+                inv_addr = {v: k for k, v in ADDR_INC.items()
+                            if isinstance(v, int)}
+                bw.write_code(inv_addr[inc])
+                if inc > 1:
+                    # predictors reset across skipped macroblocks
+                    dc_y = dc_cb = dc_cr = 1024
+                    mvp = [0, 0]
+                if ptype == 1:
+                    bw.write_code("1")          # intra
+                    emit_intra(col)
+                elif mv is not None:
+                    bw.write_code("001")        # MC, not coded
+                    _encode_mv_component(bw, mv[1] - mvp[0])
+                    _encode_mv_component(bw, mv[0] - mvp[1])
+                    mvp = [mv[1], mv[0]]
+                    dc_y = dc_cb = dc_cr = 1024
+                    vy, vx = mv
+                    rec.y[y0:y0 + 16, x0:x0 + 16] = _mc_predict(
+                        prev_rec.y, y0, x0, 16, 16, vy, vx)
+                    cx, cy = int(vx / 2), int(vy / 2)
+                    rec.cb[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = _mc_predict(
+                        prev_rec.cb, row * 8, col * 8, 8, 8, cy, cx)
+                    rec.cr[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = _mc_predict(
+                        prev_rec.cr, row * 8, col * 8, 8, 8, cy, cx)
+                else:
+                    bw.write_code("00011")      # P intra
+                    emit_intra(col)
+                    mvp = [0, 0]
+            # trailing skipped MBs are illegal (last MB of a slice
+            # must be coded) — _find_exact_mv(0,0) or intra always
+            # codes the last column, so pending_skip is 0 here
+            out += bytes([0, 0, 1, row + 1]) + bw.bytes()
+        prev_rec = rec
+    out += b"\x00\x00\x01\xb7"
+    return bytes(out)
+
+
+def _find_exact_mv(prev_rec: _PlaneSet, yp, cbp, crp, row: int,
+                   col: int, search: int):
+    """Full-pel exact-match motion search (±search pels): returns the
+    (vy, vx) HALF-PEL vector whose MC prediction reproduces the
+    macroblock exactly (luma + both chroma), or None."""
+    y0, x0 = row * 16, col * 16
+    cur_y = yp[y0:y0 + 16, x0:x0 + 16]
+    cur_cb = cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+    cur_cr = crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+    ph, pw = prev_rec.y.shape
+    best = None
+    for dy in range(-search, search + 1):
+        sy = y0 + dy
+        if sy < 0 or sy + 16 > ph:
+            continue
+        for dx in range(-search, search + 1):
+            sx = x0 + dx
+            if sx < 0 or sx + 16 > pw:
+                continue
+            # chroma offset must be integral for exactness
+            if dy % 2 or dx % 2:
+                continue
+            if not np.array_equal(cur_y,
+                                  prev_rec.y[sy:sy + 16, sx:sx + 16]):
+                continue
+            cy, cx = row * 8 + dy // 2, col * 8 + dx // 2
+            if (np.array_equal(cur_cb,
+                               prev_rec.cb[cy:cy + 8, cx:cx + 8])
+                    and np.array_equal(cur_cr,
+                                       prev_rec.cr[cy:cy + 8,
+                                                   cx:cx + 8])):
+                cand = (dy * 2, dx * 2)   # half-pel units
+                if best is None or (abs(cand[0]) + abs(cand[1])
+                                    < abs(best[0]) + abs(best[1])):
+                    best = cand
+    return best
+
+
+def _reconstruct_into(plane, y0, x0, dc, block, qscale, iq_zz) -> None:
+    """Encoder-side reconstruction (must match the decoder exactly so
+    P-frame references agree)."""
+    zz = _quantize_intra(block, qscale, iq_zz)
+    rec = np.zeros(64, dtype=np.int64)
+    rec[0] = dc
+    ac = zz[1:]
+    nz = ac != 0
+    if nz.any():
+        v = (2 * ac[nz] * qscale * iq_zz[1:][nz])
+        r = np.sign(v) * (np.abs(v) // 16)
+        even = (r % 2 == 0) & (r != 0)
+        r = np.where(even, r - np.sign(r), r)
+        rec[1:][nz] = np.clip(r, -2048, 2047)
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = rec
+    plane[y0:y0 + 8, x0:x0 + 8] = np.clip(
+        np.round(_idct8(coef.reshape(8, 8))), 0, 255)

@@ -907,7 +907,13 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
     (VP8X/ANMF walk, operators/webp.py) — sampled frames are the
     stream's own VP8L bitstreams re-wrapped as standalone WebP files
     (the AVI bit-preserving convention); a static WebP yields itself
-    as frame 0.  mp4/webm keep the ffmpeg raise slot."""
+    as frame 0.
+
+    ``codec='mpeg1'`` (r14) is REAL: MPEG-1 video elementary streams
+    (operators/mpeg1.py — I/P pictures, motion compensation, the
+    certified-table subset documented there); sampled frames are
+    decoded and re-emitted as PNG blobs (the GIF convention).
+    mp4/webm containers keep the ffmpeg raise slot."""
 
     def fn(df: DataFrame) -> DataFrame:
         def run(batches: Iterable[pd.DataFrame]):
@@ -966,6 +972,27 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
                             ids.append(vid)
                             fnos.append(i)
                             frames.append(blobs[i])
+                            taken += 1
+                elif codec == "mpeg1":
+                    # r14: MPEG-1 elementary streams — decoded canvas
+                    # frames re-emitted as PNG (the GIF convention;
+                    # image_resize(codec='png') composes downstream).
+                    # The decode early-stops after the last needed
+                    # picture.
+                    from conduino_spark.operators.mpeg1 import \
+                        decode_mpeg1
+                    need = 1 + (max_frames - 1) * every_n
+                    for vid, b in zip(pdf[id_col], pdf[binary_col]):
+                        _, _, fs = decode_mpeg1(
+                            b if b is not None else b"",
+                            max_frames=need)
+                        taken = 0
+                        for i in range(0, len(fs), every_n):
+                            if taken >= max_frames:
+                                break
+                            ids.append(vid)
+                            fnos.append(i)
+                            frames.append(encode_png(fs[i]))
                             taken += 1
                 else:
                     for vid, b in zip(pdf[id_col], pdf[binary_col]):
@@ -1029,6 +1056,17 @@ def video_metadata(binary_col: str = "content", id_col: str = "id", *,
                         fps = (round(1000 * len(durs) / tot)
                                if tot > 0 else 0)
                         rows.append((w, h, len(durs), fps, "webp"))
+                elif codec == "mpeg1":
+                    # r14: MPEG-1 elementary stream — dims/fps from
+                    # the sequence header, picture count from the
+                    # start-code walk; no pixel decode
+                    from conduino_spark.operators.mpeg1 import \
+                        mpeg1_info
+                    for b in pdf[binary_col]:
+                        inf = mpeg1_info(b if b is not None else b"")
+                        rows.append((inf["width"], inf["height"],
+                                     inf["n_pictures"],
+                                     round(inf["fps"]), "mpeg1"))
                 else:
                     for b in pdf[binary_col]:
                         d = hashlib.sha256(b or b"").digest()
@@ -1128,6 +1166,7 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("ogg",  "4f676753", 0),   # OggS page (Vorbis/Opus)
     ("webm", "1a45dfa3", 0),   # EBML (WebM/Matroska)
     ("mp4",  "66747970", 4),   # ISO BMFF: 'ftyp' at byte 4
+    ("mpeg1", "000001b3", 0),  # MPEG video elementary stream (r14)
     # bare MPEG-audio sync (no ID3) — 2-byte prefixes, lowest priority
     ("mp3",  "fffb",     0),
     ("mp3",  "fffa",     0),   # MPEG-1 L3 with CRC
@@ -1318,6 +1357,18 @@ def media_profile(binary_col: str = "content", id_col: str = "id", *,
                 a = decode_jpeg(blobs[0]).astype(_np.int64)
                 return (fmt, len(blobs), h * 1_000_000 + w * 1_000,
                         int(a.sum()), int(a.max()) if a.size else 0)
+            if fmt == "mpeg1":
+                # r14: MPEG-1 elementary stream — pixel stats over
+                # EVERY decoded frame (the I/P reconstruction chain is
+                # what the stats pin, unlike AVI's independent MJPEG
+                # frames)
+                from conduino_spark.operators.mpeg1 import decode_mpeg1
+                _fps, (w, h), frames = decode_mpeg1(b or b"")
+                tot = sum(int(f.astype(_np.int64).sum())
+                          for f in frames)
+                mx = max(int(f.max()) for f in frames)
+                return (fmt, len(frames), h * 1_000_000 + w * 1_000,
+                        tot, mx)
             return ("error", 0, 0, 0, 0)
         except (ValueError, struct.error, IndexError, OverflowError):
             return ("error", 0, 0, 0, 0)

@@ -1,0 +1,316 @@
+"""MPEG-1 video codec laws (operators/mpeg1.py, r14).
+
+The synthetic-writer convention (FIXTURES.md): a conformant-subset
+encoder pins the decoder — exactness laws where the arithmetic is
+exactly invertible (gray blockwise-constant content: flat chroma at
+128, DC-only luma with step-8 reconstruction), SNR bounds elsewhere,
+hand-built bitstreams for decoder-only paths, loud-refusal laws for
+the documented uncertified tables, and fuzz = ValueError always.
+"""
+
+import numpy as np
+import pytest
+
+from conduino_spark.operators.mpeg1 import (
+    _BitWriter, _Bits, _decode_mv_component, _mc_predict,
+    decode_mpeg1, encode_mpeg1, mpeg1_info)
+
+
+def _gray_blocks(seed, h=48, w=64):
+    """Grayscale 8x8-blockwise-constant frame: chroma flat 128, luma
+    DC-only — the exactly-invertible content class."""
+    r = np.random.RandomState(seed)
+    blocks = r.randint(0, 256, (h // 8, w // 8, 1))
+    g = np.repeat(np.repeat(blocks, 8, axis=0), 8,
+                  axis=1).astype(np.uint8)
+    return np.repeat(g, 3, axis=2)
+
+
+def _gradient(h=32, w=48):
+    y, x = np.mgrid[0:h, 0:w]
+    g = np.zeros((h, w, 3), np.uint8)
+    g[:, :, 0] = (x * 4) % 256
+    g[:, :, 1] = (y * 6) % 256
+    g[:, :, 2] = ((x + y) * 3) % 256
+    return g
+
+
+# ---------------------------------------------------------------------------
+# exactness laws
+# ---------------------------------------------------------------------------
+
+def test_i_picture_gray_exact():
+    f = _gray_blocks(1)
+    fps, (w, h), frames = decode_mpeg1(encode_mpeg1([f], fps=25))
+    assert (fps, w, h, len(frames)) == (25.0, 64, 48, 1)
+    np.testing.assert_array_equal(frames[0], f)
+
+
+def test_static_p_pictures_skip_and_stay_exact():
+    f = _gray_blocks(2)
+    blob = encode_mpeg1([f] * 4)
+    _, _, frames = decode_mpeg1(blob)
+    assert len(frames) == 4
+    for fr in frames:
+        np.testing.assert_array_equal(fr, f)
+    # the three P pictures must actually be skip-coded: the whole
+    # 4-frame stream is barely bigger than the I frame alone
+    solo = len(encode_mpeg1([f]))
+    assert len(blob) < solo + 120
+
+
+def test_translated_p_motion_compensation_exact():
+    # 8-grid-aligned wrap keeps every block constant, so the motion
+    # path must reproduce the translation EXACTLY (and cheaply)
+    f0 = _gray_blocks(3)
+    f1 = np.roll(f0, (8, 8), axis=(0, 1))
+    blob = encode_mpeg1([f0, f1], mv_search=8)
+    _, _, frames = decode_mpeg1(blob)
+    np.testing.assert_array_equal(frames[1], f1)
+    assert len(blob) < len(encode_mpeg1([f0])) + 200
+
+
+def test_translated_interior_exact_unaligned():
+    # (2, -4) translation: wrapped border MBs fall back to lossy
+    # intra, but every interior macroblock must MC-match exactly
+    f0 = _gray_blocks(4, 64, 96)
+    f1 = np.roll(f0, (2, -4), axis=(0, 1))
+    _, _, frames = decode_mpeg1(encode_mpeg1([f0, f1], mv_search=4))
+    np.testing.assert_array_equal(frames[1][16:-16, 16:-16],
+                                  f1[16:-16, 16:-16])
+
+
+def test_gradient_snr_and_quality_scaling():
+    g = _gradient()
+    snrs = []
+    for q in (2, 8):
+        _, _, fr = decode_mpeg1(encode_mpeg1([g], qscale=q))
+        d = fr[0].astype(float) - g.astype(float)
+        snrs.append(10 * np.log10((g.astype(float) ** 2).sum()
+                                  / (d ** 2).sum()))
+    assert snrs[0] > 25.0                 # fine quant: high fidelity
+    assert snrs[0] > snrs[1]              # SNR falls with qscale
+
+
+def test_custom_intra_matrix_roundtrip():
+    g = _gradient()
+    flat = np.full(64, 16, np.int64)
+    flat[0] = 8
+    _, _, fr = decode_mpeg1(encode_mpeg1([g], qscale=2,
+                                         intra_matrix=flat))
+    d = fr[0].astype(float) - g.astype(float)
+    snr = 10 * np.log10((g.astype(float) ** 2).sum() / (d ** 2).sum())
+    assert snr > 28.0                     # flat fine matrix beats default
+    with pytest.raises(ValueError, match="intra matrix"):
+        encode_mpeg1([g], intra_matrix=np.zeros(64))
+
+
+def test_odd_dimensions_crop():
+    f = _gray_blocks(5, 48, 64)[:41, :53]
+    _, (w, h), frames = decode_mpeg1(encode_mpeg1([f]))
+    assert (w, h) == (53, 41)
+    assert frames[0].shape == (41, 53, 3)
+    # content is no longer 8-aligned-constant at the crop edge, so
+    # just require high fidelity
+    d = frames[0].astype(float) - f.astype(float)
+    assert np.abs(d).mean() < 4.0
+
+
+def test_gop_structure_and_info():
+    f = _gray_blocks(6)
+    blob = encode_mpeg1([f] * 7, fps=30, gop=3)
+    info = mpeg1_info(blob)
+    assert info["width"] == 64 and info["height"] == 48
+    assert info["fps"] == 30.0
+    assert info["n_pictures"] == 7
+    assert info["picture_types"] == [1, 2, 2, 1, 2, 2, 1]
+    _, _, frames = decode_mpeg1(blob)
+    assert len(frames) == 7
+    # max_frames early stop
+    _, _, head = decode_mpeg1(blob, max_frames=2)
+    assert len(head) == 2
+
+
+# ---------------------------------------------------------------------------
+# decoder-only paths (hand-built bits)
+# ---------------------------------------------------------------------------
+
+def test_mv_component_fcode_arithmetic():
+    # f_code 3 (f=4): delta = 1 + 4*(|code|-1) + r; round-trip a
+    # hand-written (code, r) pair through the decoder
+    bw = _BitWriter()
+    bw.write_code("001")          # |motion_code| = 2
+    bw.write(0, 1)                # positive
+    bw.write(3, 2)                # r = 3 (f_code-1 = 2 bits)
+    br = _Bits(bw.bytes())
+    mv = _decode_mv_component(br, 3, 0)
+    assert mv == 1 + 4 * 1 + 3    # = 8
+    # modulo wrap at the top of the range
+    bw = _BitWriter()
+    bw.write_code("01")           # |code| = 1
+    bw.write(0, 1)                # positive
+    br = _Bits(bw.bytes())
+    assert _decode_mv_component(br, 1, 15) == -16   # 16 wraps
+
+
+def test_mc_half_pel_truncating_average():
+    plane = np.arange(64, dtype=np.int64).reshape(8, 8) * 3
+    # right-half: truncating average of horizontal neighbors
+    got = _mc_predict(plane, 2, 2, 4, 4, 0, 1)
+    want = (plane[2:6, 2:6] + plane[2:6, 3:7]) // 2
+    np.testing.assert_array_equal(got, want)
+    # both halves: 4-tap truncating average
+    got = _mc_predict(plane, 1, 1, 4, 4, 3, 3)
+    a = plane[2:6, 2:6] + plane[2:6, 3:7] \
+        + plane[3:7, 2:6] + plane[3:7, 3:7]
+    np.testing.assert_array_equal(got, a // 4)
+    with pytest.raises(ValueError, match="outside"):
+        _mc_predict(plane, 0, 0, 4, 4, -1, 0)
+
+
+def _patch_picture_type(blob: bytes, new_type: int) -> bytes:
+    b = bytearray(blob)
+    i = b.index(b"\x00\x00\x01\x00")
+    # picture header byte 1: tr[1:0] | type(3) | vbv[15:13]
+    b[i + 5] = (b[i + 5] & 0xC7) | (new_type << 3)
+    return bytes(b)
+
+
+def test_b_and_d_pictures_raise_loudly():
+    blob = encode_mpeg1([_gray_blocks(7)])
+    with pytest.raises(ValueError, match="B-picture"):
+        decode_mpeg1(_patch_picture_type(blob, 3))
+    with pytest.raises(ValueError, match="D-picture"):
+        decode_mpeg1(_patch_picture_type(blob, 4))
+
+
+def _mini_stream(slice_bits: "list[tuple]", ptype: int = 1) -> bytes:
+    """Sequence + picture header + ONE hand-written slice."""
+    out = bytearray()
+    bw = _BitWriter()
+    bw.write(16, 12)
+    bw.write(16, 12)
+    bw.write(1, 4)
+    bw.write(3, 4)                # 25 fps
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    out += b"\x00\x00\x01\xb3" + bw.bytes()
+    bw = _BitWriter()
+    bw.write(0, 10)
+    bw.write(ptype, 3)
+    bw.write(0xFFFF, 16)
+    if ptype == 2:
+        bw.write(0, 1)
+        bw.write(1, 3)
+    out += b"\x00\x00\x01\x00" + bw.bytes()
+    bw = _BitWriter()
+    bw.write(8, 5)                # quantizer_scale
+    bw.write(0, 1)                # no extra info
+    for kind, val in slice_bits:
+        if kind == "code":
+            bw.write_code(val)
+        else:
+            bw.write(val[0], val[1])
+    out += b"\x00\x00\x01\x01" + bw.bytes()
+    return bytes(out)
+
+
+def test_uncertified_ac_tail_raises():
+    # intra MB, DC size 0, then the 8-bit dct_coeff code '00100000'
+    # (outside the certified head) must refuse loudly
+    blob = _mini_stream([("code", "1"),          # addr inc 1
+                         ("code", "1"),          # mb_type I: intra
+                         ("code", "100"),        # dc size 0 (luma)
+                         ("code", "00100000")])  # uncertified AC
+    with pytest.raises(ValueError, match="certified"):
+        decode_mpeg1(blob)
+
+
+def test_uncertified_cbp_raises():
+    # P picture: 'no MC, coded' macroblock reaches the CBP table
+    blob_i = encode_mpeg1([_gray_blocks(8, 16, 16)])
+    p_tail = _mini_stream([("code", "1"), ("code", "01")], ptype=2)
+    blob = blob_i[:-4] + p_tail[p_tail.index(b"\x00\x00\x01\x00"):]
+    with pytest.raises(ValueError, match="coded_block_pattern"):
+        decode_mpeg1(blob)
+
+
+def test_skipped_mb_in_i_picture_raises():
+    blob = _mini_stream([("code", "011"),        # addr inc 2 at start
+                         ("code", "1"),
+                         ("code", "100")])
+    with pytest.raises(ValueError, match="I-slice|I-picture|cover"):
+        decode_mpeg1(blob)
+
+
+# ---------------------------------------------------------------------------
+# fuzz + validation
+# ---------------------------------------------------------------------------
+
+def test_fuzz_truncation_and_bitflips_raise_valueerror():
+    blob = encode_mpeg1([_gray_blocks(9, 32, 32)] * 2)
+    # a prefix cut is either a LOUD refusal or a valid shorter video
+    # (cutting at a picture boundary legitimately yields a decodable
+    # prefix) — never a crash, never extra frames
+    for cut in range(3, len(blob), 5):
+        try:
+            _, _, frames = decode_mpeg1(blob[:cut])
+            assert 1 <= len(frames) <= 2
+            assert frames[0].shape == (32, 32, 3)
+        except ValueError:
+            pass
+    rng = np.random.RandomState(0)
+    for _ in range(40):
+        b = bytearray(blob)
+        b[rng.randint(4, len(b))] ^= 1 << rng.randint(8)
+        try:
+            decode_mpeg1(bytes(b))
+        except ValueError:
+            pass                       # loud refusal is the law
+
+
+def test_encoder_validation():
+    f = _gray_blocks(1)
+    with pytest.raises(ValueError, match="at least one"):
+        encode_mpeg1([])
+    with pytest.raises(ValueError, match="qscale"):
+        encode_mpeg1([f], qscale=0)
+    with pytest.raises(ValueError, match="one"):
+        encode_mpeg1([f, _gray_blocks(1, 32, 32)])
+    with pytest.raises(ValueError, match="dims"):
+        encode_mpeg1([np.zeros((8, 8, 3), np.uint8)])
+    with pytest.raises(ValueError, match="sequence header"):
+        decode_mpeg1(b"not mpeg")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+def test_spark_frame_sample_and_video_metadata(spark):
+    import pandas as pd
+
+    from conduino_spark.operators.multimodal import (decode_png,
+                                                     frame_sample,
+                                                     sniff_format,
+                                                     video_metadata)
+
+    fs = [_gray_blocks(s, 32, 32) for s in (1, 2, 3, 4, 5, 6)]
+    blob = encode_mpeg1(fs, fps=30, gop=3)
+    df = spark.createDataFrame(pd.DataFrame({"id": [1],
+                                             "content": [blob]}))
+    meta = video_metadata(codec="mpeg1")(df).collect()[0]
+    assert (meta.width, meta.height, meta.n_frames, meta.fps,
+            meta.format) == (32, 32, 6, 30, "mpeg1")
+    out = (frame_sample(codec="mpeg1", every_n=2, max_frames=3)(df)
+           .orderBy("frame_no").collect())
+    assert [r.frame_no for r in out] == [0, 2, 4]
+    for r in out:
+        np.testing.assert_array_equal(decode_png(bytes(r.frame)),
+                                      fs[r.frame_no])
+    tag = sniff_format()(df).select("format").collect()[0][0]
+    assert tag == "mpeg1"
