@@ -248,81 +248,78 @@ class _BitReader:
     """entropy-coded segment reader: unstuffs 0xFF00, stops at any
     other marker (caller handles RST).
 
-    r13 vectorization pass: a multi-bit accumulator with VIRTUAL
-    zero-padding at the segment end — ``peek`` may look past the last
-    real bit (the Huffman LUT wants 8 bits of lookahead), but
-    ``consume`` raises the moment a padded bit would actually be
-    spent, preserving the strict truncation behavior bit-for-bit."""
+    r14 vectorization pass: the whole entropy segment is unstuffed
+    ONCE (C-level ``bytes.replace``) into 24-bit MSB window views —
+    every read is then pure window arithmetic on a Python list, no
+    per-byte accumulator fill (the r13 accumulator's ``_fill`` was
+    the progressive decoder's hottest path).  ``peek`` may look past
+    the last real bit (virtual zeros — the Huffman LUT wants 8 bits
+    of lookahead), but consuming a virtual bit still raises, which
+    preserves the strict truncation behavior."""
+
+    __slots__ = ("d", "pos", "bitpos", "nbits", "w24")
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-        self.npad = 0                        # virtual pad bits (low end)
+        self._load_segment(pos)
 
-    def _fill(self, k: int) -> None:
+    def _load_segment(self, pos: int) -> None:
         d = self.d
-        while self.n < k:
-            p = self.pos
-            if p < len(d):
-                b = d[p]
-                if b == 0xFF:
-                    nxt = d[p + 1] if p + 1 < len(d) else None
-                    if nxt == 0x00:
-                        self.pos = p + 2
-                    else:                    # marker: segment ends —
-                        self.acc <<= 8       # virtual zero pad, pos
-                        self.n += 8          # stays ON the marker
-                        self.npad += 8
-                        continue
-                else:
-                    self.pos = p + 1
-                self.acc = (self.acc << 8) | b
-                self.n += 8
-            else:
-                self.acc <<= 8
-                self.n += 8
-                self.npad += 8
+        n = len(d)
+        i = d.find(b"\xff", pos)
+        while i != -1:
+            if i + 1 >= n or d[i + 1] != 0x00:
+                break                    # marker (or trailing FF)
+            i = d.find(b"\xff", i + 2)
+        end = i if i != -1 else n
+        u = d[pos:end].replace(b"\xff\x00", b"\xff")
+        self.pos = end                   # ON the terminating marker
+        self.bitpos = 0
+        self.nbits = len(u) * 8
+        a = np.frombuffer(u + b"\x00\x00\x00", np.uint8) \
+              .astype(np.uint32)
+        self.w24 = ((a[:-2] << np.uint32(16)) | (a[1:-1] << np.uint32(8))
+                    | a[2:]).tolist()
 
     def peek(self, k: int) -> int:
-        if self.n < k:
-            self._fill(k)
-        return (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        p = self.bitpos
+        return (self.w24[p >> 3] >> (24 - k - (p & 7))) & ((1 << k) - 1)
 
     def consume(self, k: int) -> None:
-        self.n -= k
-        if self.n < self.npad:
+        p = self.bitpos + k
+        if p > self.nbits:
             raise ValueError("truncated JPEG entropy stream")
-        self.acc &= (1 << self.n) - 1
+        self.bitpos = p
 
     def bit(self) -> int:
-        if self.n < 1:
-            self._fill(1)
-        self.n -= 1
-        if self.n < self.npad:
+        p = self.bitpos
+        if p >= self.nbits:
             raise ValueError("truncated JPEG entropy stream")
-        v = (self.acc >> self.n) & 1
-        self.acc &= (1 << self.n) - 1
-        return v
+        self.bitpos = p + 1
+        return (self.w24[p >> 3] >> (23 - (p & 7))) & 1
 
     def receive(self, length: int) -> int:
         if not length:
             return 0
-        v = self.peek(length)
-        self.consume(length)
-        return v
+        p = self.bitpos
+        if p + length > self.nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        self.bitpos = p + length
+        return (self.w24[p >> 3] >> (24 - length - (p & 7))) \
+            & ((1 << length) - 1)
 
     def align_to_marker(self) -> "int | None":
-        """Drop partial bits; if an RST marker follows, consume it and
+        """Drop partial pad bits; if an RST marker terminates the
+        segment (and at most 7 unconsumed bits remain — more means
+        the decoder lost sync before the restart), consume it and
         return its index (0-7), else None."""
-        self.acc = 0
-        self.n = 0
-        self.npad = 0
-        if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
-                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
-            m = self.d[self.pos + 1] - 0xD0
-            self.pos += 2
+        if self.nbits - self.bitpos >= 8:
+            return None
+        d = self.d
+        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            m = d[self.pos + 1] - 0xD0
+            self._load_segment(self.pos + 2)
             return m
         return None
 
@@ -374,15 +371,45 @@ def _encode_block(bw: "_BitWriter", zz: "np.ndarray", pred: int,
 def _decode_block(br: "_BitReader", pred: int, dc: "_HuffDecoder",
                   ac: "_HuffDecoder") -> "tuple[np.ndarray, int]":
     """Huffman-decode one block → (zigzagged coefficients, new DC
-    predictor)."""
+    predictor).  r14: window reads inlined over local aliases (the
+    one_block convention) — per-coefficient method calls dominated the
+    baseline scan."""
     zz = [0] * 64                # plain list: scalar writes are hot
-    t = dc.read(br)
-    diff = _extend(br.receive(t), t) if t else 0
-    pred += diff
+    trunc = "truncated JPEG entropy stream"
+    w24 = br.w24
+    pos = br.bitpos
+    nbits = br.nbits
+    dlut = dc.lut
+    e = dlut[(w24[pos >> 3] >> (16 - (pos & 7))) & 0xFF]
+    if e:
+        pos += (e & 0x1F) - 0x10
+        if pos > nbits:
+            raise ValueError(trunc)
+        t = e >> 5
+    else:
+        br.bitpos = pos
+        t = dc.read(br)
+        pos = br.bitpos
+    if t:
+        if pos + t > nbits:
+            raise ValueError(trunc)
+        v = (w24[pos >> 3] >> (24 - t - (pos & 7))) & ((1 << t) - 1)
+        pos += t
+        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
     zz[0] = pred
+    lut = ac.lut
     k = 1
     while k < 64:
-        rs = ac.read(br)
+        e = lut[(w24[pos >> 3] >> (16 - (pos & 7))) & 0xFF]
+        if e:
+            pos += (e & 0x1F) - 0x10
+            if pos > nbits:
+                raise ValueError(trunc)
+            rs = e >> 5
+        else:
+            br.bitpos = pos
+            rs = ac.read(br)
+            pos = br.bitpos
         r, t = rs >> 4, rs & 0x0F
         if t == 0:
             if r == 15:       # ZRL
@@ -392,8 +419,13 @@ def _decode_block(br: "_BitReader", pred: int, dc: "_HuffDecoder",
         k += r
         if k > 63:
             raise ValueError("corrupt JPEG: AC run past block end")
-        zz[k] = _extend(br.receive(t), t)
+        if pos + t > nbits:
+            raise ValueError(trunc)
+        v = (w24[pos >> 3] >> (24 - t - (pos & 7))) & ((1 << t) - 1)
+        pos += t
+        zz[k] = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
         k += 1
+    br.bitpos = pos
     return zz, pred
 
 
@@ -703,22 +735,50 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
         interleaved = len(scan_comps) > 1
 
         def one_block(i, ci, by, bx):
+            # r14: the reader's window reads are inlined over local
+            # aliases (w24/pos/nbits) — method-call overhead per
+            # coefficient dominated this, the progressive decoder's
+            # hottest path; the slow Huffman path (codes > 8 bits)
+            # syncs state and delegates.  Truncation stays loud: every
+            # inline consume checks nbits exactly like br.consume.
             nonlocal eobrun
             cf = coefs[ci][by][bx]           # plain Python list: per-
-            # coefficient access is the progressive decoder's hottest
-            # path and list indexing beats numpy scalar views ~5x
+            # coefficient access beats numpy scalar views ~5x
+            trunc = "truncated JPEG entropy stream"
+            w24 = br.w24
+            pos = br.bitpos
+            nbits = br.nbits
             if ss == 0 and ah == 0:              # DC first
                 dh = huff.get((0, sel[i][0]))
                 if dh is None:
                     raise ValueError("scan references undefined DC "
                                      "table")
-                t = dh.read(br)
-                diff = _extend(br.receive(t), t) if t else 0
-                preds[i] += diff
+                e = dh.lut[(w24[pos >> 3] >> (16 - (pos & 7))) & 0xFF]
+                if e:
+                    pos += (e & 0x1F) - 0x10
+                    if pos > nbits:
+                        raise ValueError(trunc)
+                    t = e >> 5
+                else:
+                    br.bitpos = pos
+                    t = dh.read(br)
+                    pos = br.bitpos
+                if t:
+                    if pos + t > nbits:
+                        raise ValueError(trunc)
+                    v = (w24[pos >> 3] >> (24 - t - (pos & 7))) \
+                        & ((1 << t) - 1)
+                    pos += t
+                    preds[i] += v if v >= (1 << (t - 1)) \
+                        else v - (1 << t) + 1
                 cf[0] = preds[i] << al
+                br.bitpos = pos
             elif ss == 0:                        # DC refinement
-                if br.bit():
+                if pos >= nbits:
+                    raise ValueError(trunc)
+                if (w24[pos >> 3] >> (23 - (pos & 7))) & 1:
                     cf[0] |= (1 << al)
+                br.bitpos = pos + 1
             elif ah == 0:                        # AC first
                 if eobrun > 0:
                     eobrun -= 1
@@ -727,9 +787,19 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                 if ac is None:
                     raise ValueError("scan references undefined AC "
                                      "table")
+                lut = ac.lut
                 k = ss
                 while k <= se:
-                    rs = ac.read(br)
+                    e = lut[(w24[pos >> 3] >> (16 - (pos & 7))) & 0xFF]
+                    if e:
+                        pos += (e & 0x1F) - 0x10
+                        if pos > nbits:
+                            raise ValueError(trunc)
+                        rs = e >> 5
+                    else:
+                        br.bitpos = pos
+                        rs = ac.read(br)
+                        pos = br.bitpos
                     r, s = rs >> 4, rs & 0x0F
                     if s == 0:
                         if r == 15:
@@ -737,24 +807,47 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                             continue
                         eobrun = (1 << r) - 1
                         if r:
-                            eobrun += br.receive(r)
+                            if pos + r > nbits:
+                                raise ValueError(trunc)
+                            eobrun += (w24[pos >> 3]
+                                       >> (24 - r - (pos & 7))) \
+                                & ((1 << r) - 1)
+                            pos += r
                         break
                     k += r
                     if k > se:
                         raise ValueError("corrupt JPEG: AC run past "
                                          "band end")
-                    cf[k] = _extend(br.receive(s), s) << al
+                    if pos + s > nbits:
+                        raise ValueError(trunc)
+                    v = (w24[pos >> 3] >> (24 - s - (pos & 7))) \
+                        & ((1 << s) - 1)
+                    pos += s
+                    cf[k] = (v if v >= (1 << (s - 1))
+                             else v - (1 << s) + 1) << al
                     k += 1
+                br.bitpos = pos
             else:                                # AC refinement
                 ac = huff.get((1, sel[i][1]))
                 if ac is None:
                     raise ValueError("scan references undefined AC "
                                      "table")
+                lut = ac.lut
                 p1, m1 = 1 << al, -1 << al
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        rs = ac.read(br)
+                        e = lut[(w24[pos >> 3]
+                                 >> (16 - (pos & 7))) & 0xFF]
+                        if e:
+                            pos += (e & 0x1F) - 0x10
+                            if pos > nbits:
+                                raise ValueError(trunc)
+                            rs = e >> 5
+                        else:
+                            br.bitpos = pos
+                            rs = ac.read(br)
+                            pos = br.bitpos
                         r, s = rs >> 4, rs & 0x0F
                         newval = 0
                         if s:
@@ -762,16 +855,31 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                                 raise ValueError(
                                     "corrupt JPEG: AC refinement size "
                                     "> 1")
-                            newval = p1 if br.bit() else m1
+                            if pos >= nbits:
+                                raise ValueError(trunc)
+                            newval = p1 if (w24[pos >> 3]
+                                            >> (23 - (pos & 7))) & 1 \
+                                else m1
+                            pos += 1
                         else:
                             if r != 15:
                                 eobrun = (1 << r)
                                 if r:
-                                    eobrun += br.receive(r)
+                                    if pos + r > nbits:
+                                        raise ValueError(trunc)
+                                    eobrun += (w24[pos >> 3]
+                                               >> (24 - r - (pos & 7))) \
+                                        & ((1 << r) - 1)
+                                    pos += r
                                 break
                         while k <= se:
                             if cf[k] != 0:
-                                if br.bit() and not (cf[k] & p1):
+                                if pos >= nbits:
+                                    raise ValueError(trunc)
+                                b1 = (w24[pos >> 3]
+                                      >> (23 - (pos & 7))) & 1
+                                pos += 1
+                                if b1 and not (cf[k] & p1):
                                     cf[k] += p1 if cf[k] > 0 else m1
                             else:
                                 if r == 0:
@@ -784,10 +892,15 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                 if eobrun > 0:
                     while k <= se:
                         if cf[k] != 0:
-                            if br.bit() and not (cf[k] & p1):
+                            if pos >= nbits:
+                                raise ValueError(trunc)
+                            b1 = (w24[pos >> 3] >> (23 - (pos & 7))) & 1
+                            pos += 1
+                            if b1 and not (cf[k] & p1):
                                 cf[k] += p1 if cf[k] > 0 else m1
                         k += 1
                     eobrun -= 1
+                br.bitpos = pos
 
         if interleaved:                          # DC scans only (T.81)
             _, _, mcux, mcuy, _ = _comp_geometry(*frame)

@@ -54,12 +54,52 @@ __all__ = ["decode_vorbis", "encode_vorbis"]
 # ---------------------------------------------------------------------------
 
 class _Bits:
-    __slots__ = ("data", "pos", "_nbits")
+    __slots__ = ("data", "pos", "_nbits", "_w16", "_w24", "_w24l")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self._nbits = len(data) * 8
+        self._w16 = None
+        self._w24 = None
+        self._w24l = None
+
+    def words16(self) -> list:
+        """Cached per-byte 16-bit LE window list: ``w16[i] == data[i] |
+        data[i+1] << 8`` (zero-padded past the end, exactly like the
+        1-byte-slice ``from_bytes`` it replaces).  One numpy pass per
+        packet; turns the residue hot loop's per-symbol slice +
+        from_bytes into a plain list index (r14 vectorization pass)."""
+        if self._w16 is None:
+            a = np.frombuffer(self.data, np.uint8).astype(np.uint16)
+            w = a.copy()
+            if len(a) > 1:
+                w[:-1] |= a[1:] << np.uint16(8)
+            self._w16 = w.tolist() + [0, 0]
+        return self._w16
+
+    def words24_list(self) -> list:
+        """``words24`` as a plain Python list (plus a cached int mask
+        domain) — list indexing beats numpy scalar indexing ~5x in
+        the small-partition loop."""
+        if self._w24l is None:
+            self._w24l = self.words24().tolist()
+        return self._w24l
+
+    def words24(self) -> "np.ndarray":
+        """Cached per-byte 24-bit LE window array (uint32, zero-padded
+        past the end): ``(w24[p >> 3] >> (p & 7)) & mask`` yields up
+        to 17 valid bits at ANY bit position p — the gather the
+        uniform-length codebook fast path rides (r14)."""
+        if self._w24 is None:
+            a = np.frombuffer(self.data, np.uint8).astype(np.uint32)
+            w = np.zeros(len(a) + 3, np.uint32)
+            w[:len(a)] = a
+            w[:len(a)][: max(len(a) - 1, 0)] |= a[1:] << np.uint32(8)
+            if len(a) > 2:
+                w[:len(a) - 2] |= a[2:] << np.uint32(16)
+            self._w24 = w
+        return self._w24
 
     def read(self, n: int) -> int:
         p = self.pos
@@ -198,7 +238,7 @@ def _assign_codewords(lengths: "list[int]") -> "dict[int, tuple[int, int]]":
 class _Huff:
     """LUT-accelerated prefix decoder over the Vorbis assignment."""
 
-    __slots__ = ("table", "lut", "single")
+    __slots__ = ("table", "lut", "single", "uniform", "utable", "_utl")
 
     def __init__(self, lengths):
         used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
@@ -208,6 +248,9 @@ class _Huff:
             self.single = used[0][0]
             self.table = None
             self.lut = None
+            self.uniform = None
+            self.utable = None
+            self._utl = None
             return
         self.single = None
         codes = _assign_codewords(lengths)
@@ -222,6 +265,32 @@ class _Huff:
                 for j in range(1 << (8 - ln)):
                     lut[rev | (j << ln)] = ((sym << 6) | ln) + (1 << 5)
         self.lut = lut
+        # r14: UNIFORM-length books (every used codeword the same
+        # length L <= 16 — e.g. the fixed-rate scalar value books
+        # most encoders emit) get a direct window->symbol array, so a
+        # whole residue partition's symbols decode as ONE numpy
+        # gather instead of a per-symbol Python loop
+        lns = {ln for _, ln in used}
+        self.uniform = None
+        self.utable = None
+        self._utl = None
+        if len(lns) == 1 and (L := lns.pop()) <= 16:
+            # -1 marks windows no codeword maps to (sparse/incomplete
+            # books): the gather checks and raises like the slow path
+            ut = np.full(1 << L, -1, np.int32)
+            for sym, (ln, code) in codes.items():
+                rev = 0
+                for i in range(ln):
+                    rev |= ((code >> i) & 1) << (ln - 1 - i)
+                ut[rev] = sym
+            self.uniform = L
+            self.utable = ut
+            self._utl = None
+
+    def utable_list(self) -> list:
+        if self._utl is None:
+            self._utl = self.utable.tolist()
+        return self._utl
 
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
@@ -573,6 +642,7 @@ class _Residue:
         classifs = [[0] * (ptr + cw) for _ in range(ch)]
         for p in range(8):
             pcount = 0
+            pend: dict = {}          # (channel, book) -> [(off, idxs)]
             while pcount < ptr:
                 if p == 0:
                     for j in range(ch):
@@ -626,34 +696,121 @@ class _Residue:
                         else:
                             nsym = -(-self.psize // dims)
                         if huff.single is not None:
-                            for _ in range(nsym):
-                                br.read1()
+                            br.pos += nsym
+                            if br.pos > br._nbits:
+                                raise ValueError(
+                                    "vorbis: packet truncated")
                             idxs = [huff.single] * nsym
+                        elif huff.uniform is not None:
+                            # r14 fast path: fixed-rate book — window
+                            # arithmetic replaces the per-symbol VLC
+                            # walk.  Partitions are typically tiny
+                            # (psize/dims ~ 8-32 symbols), where numpy
+                            # setup costs more than it saves, so small
+                            # partitions take a flat Python loop over
+                            # the list-form table and only large ones
+                            # take the vectorized gather.
+                            L = huff.uniform
+                            pos = br.pos
+                            if pos + L * nsym > br._nbits:
+                                raise ValueError(
+                                    "vorbis: packet truncated")
+                            if nsym < 64:
+                                ut = huff.utable_list()
+                                w24 = br.words24_list()
+                                mask = (1 << L) - 1
+                                idxs = [0] * nsym
+                                for k in range(nsym):
+                                    idxs[k] = ut[(w24[pos >> 3]
+                                                  >> (pos & 7)) & mask]
+                                    pos += L
+                                if min(idxs) < 0:
+                                    raise ValueError(
+                                        "vorbis: invalid codeword "
+                                        "in stream")
+                            else:
+                                ps = pos + L * np.arange(
+                                    nsym, dtype=np.int64)
+                                win = ((br.words24()[ps >> 3]
+                                        >> (ps & 7).astype(np.uint32))
+                                       & np.uint32((1 << L) - 1))
+                                idxs = huff.utable[win]
+                                if (idxs < 0).any():
+                                    raise ValueError(
+                                        "vorbis: invalid codeword "
+                                        "in stream")
+                                pos += L * nsym
+                            br.pos = pos
                         else:
-                            d = br.data
+                            # r14 hot loop: w16 list index instead of
+                            # per-symbol slice+from_bytes, local pos
+                            # instead of attribute round-trips, ONE
+                            # bounds check per partition (w16 is
+                            # zero-padded past the end exactly like
+                            # the slice read it replaces, so a
+                            # truncated packet still lands on the
+                            # same loud ValueError)
+                            w16 = br.words16()
                             lut = huff.lut
+                            pos = br.pos
+                            nbits = br._nbits
                             idxs = []
+                            app = idxs.append
                             for _ in range(nsym):
-                                p2 = br.pos
-                                e = lut[(int.from_bytes(
-                                    d[p2 >> 3:(p2 >> 3) + 2],
-                                    "little") >> (p2 & 7)) & 0xFF]
+                                if pos > nbits:
+                                    raise ValueError(
+                                        "vorbis: packet truncated")
+                                e = lut[(w16[pos >> 3]
+                                         >> (pos & 7)) & 0xFF]
                                 if e:
-                                    br.consume(e & 0x1F)
-                                    idxs.append(e >> 6)
+                                    pos += e & 0x1F
+                                    app(e >> 6)
                                 else:
-                                    idxs.append(huff.decode(br))
-                        arr = book.vq[idxs]
+                                    br.pos = pos
+                                    app(huff.decode(br))
+                                    pos = br.pos
+                            br.pos = pos
+                            if pos > nbits:
+                                raise ValueError(
+                                    "vorbis: packet truncated")
                         if self.rtype == 0:
-                            # symbol k's dim j lands at off+j*step+k:
-                            # the transpose raveled (covers the first
-                            # nsym*dims samples of the partition)
-                            flat = arr.T.ravel()
+                            # strided transpose layout: symbol k's
+                            # dim j lands at off+j*step+k (covers the
+                            # first nsym*dims samples) — applied
+                            # per-partition (format 0 is rare)
+                            flat = book.vq[idxs].T.ravel()
                             v[off:off + flat.size] += flat
                         else:
-                            v[off:off + self.psize] += \
-                                arr.ravel()[:self.psize]
+                            # r14: defer — batched per (channel,
+                            # book) after the pass (below)
+                            pend.setdefault((j, b), []).append(
+                                (off, idxs))
                     pcount += 1
+            # batched apply for formats 1/2 (r14): partitions within
+            # ONE pass occupy disjoint [off, off+psize) ranges, so a
+            # single vq gather + one fancy-index scatter-add per
+            # (channel, book) is bit-identical to the per-partition
+            # slice adds it replaces — float addition order is
+            # unchanged because no position receives two
+            # contributions inside a pass.  nsym (= ceil(psize/dims))
+            # is constant per book, so the gathered values reshape to
+            # (n_partitions, nsym*dims) and trim to psize columns.
+            psz = self.psize
+            for (j, b), items in pend.items():
+                book = books[b]
+                dims = book.dims
+                v = vectors[j]
+                if len(items) == 1:
+                    off, idxs = items[0]
+                    v[off:off + psz] += book.vq[idxs].ravel()[:psz]
+                    continue
+                allv = book.vq[np.concatenate(
+                    [np.asarray(ix, dtype=np.int64)
+                     for _, ix in items])]
+                m = allv.reshape(len(items), -1)[:, :psz]
+                starts = np.fromiter((off for off, _ in items),
+                                     np.int64, len(items))
+                v[starts[:, None] + np.arange(psz)] += m
 
 
 # ---------------------------------------------------------------------------
