@@ -720,7 +720,20 @@ class _Residue:
                                 w24 = br.words24_list()
                                 mask = (1 << L) - 1
                                 idxs = [0] * nsym
-                                for k in range(nsym):
+                                k = 0
+                                if L <= 8:
+                                    # two symbols per 17-bit window
+                                    # (both fit: 2L <= 16)
+                                    L2 = 2 * L
+                                    for k in range(0, nsym - 1, 2):
+                                        w = (w24[pos >> 3]
+                                             >> (pos & 7))
+                                        idxs[k] = ut[w & mask]
+                                        idxs[k + 1] = ut[(w >> L)
+                                                         & mask]
+                                        pos += L2
+                                    k = nsym - (nsym & 1)
+                                for k in range(k, nsym):
                                     idxs[k] = ut[(w24[pos >> 3]
                                                   >> (pos & 7)) & mask]
                                     pos += L

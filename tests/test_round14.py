@@ -316,3 +316,16 @@ def test_mp3_count1_budget_overrun_still_drops():
     assert pos == 8
     assert br.pos == 10
     assert not xs.any()
+
+
+# ---------------------------------------------------------------------------
+# ogg CRC slice-by-8 == bytewise law (r14 vectorization)
+# ---------------------------------------------------------------------------
+
+def test_ogg_crc_slice_by_8_law():
+    from conduino_spark.operators.mediainfo import (_ogg_crc,
+                                                    _ogg_crc_bytewise)
+    rng = np.random.RandomState(0)
+    for n in (0, 1, 7, 8, 9, 15, 63, 255, 4096, 10001):
+        d = bytes(rng.randint(0, 256, n).astype(np.uint8))
+        assert _ogg_crc(d) == _ogg_crc_bytewise(d)
