@@ -2210,7 +2210,16 @@ def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                     "cosine_prefix_pairs(precomputed_weights=True) "
                     f"input lacks weight-table columns {sorted(missing)}"
                     " — produce it with cosine_tfidf_weights()")
-            w6 = track(df)
+            # a persisted weight snapshot read back from narrow
+            # parquet arrives in FILE-split partitioning (often one
+            # task) and has lost the hash-by-doc co-partitioning the
+            # computed path gets for free from its final join — the
+            # windows, the per-doc map aggregation and the norm agg
+            # all fan out of this cache, so a 1-partition cache
+            # serializes every one of them (measured 2x the COLD
+            # recompute at sf0.1 before this repartition; 0.8x after)
+            par = df.sparkSession.sparkContext.defaultParallelism
+            w6 = track(df.repartition(par, id_col))
         else:
             w6 = track(prep.fn(df))
         mw = w6.groupBy("g").agg(F.max("w6").alias("mw6"))
