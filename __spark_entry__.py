@@ -3200,8 +3200,8 @@ def _synth_media_blobs(spark, sf):
                 # all sit under the driver hash.  Every 5th doc
                 # (i%5==3 — disjoint from webp/mp3/vorbis).
                 if i % 5 == 3:
-                    from conduino_spark.operators.mpeg1 import \
-                        encode_mpeg1
+                    from conduino_spark.operators.mpeg1 import (
+                        encode_mpeg1, mux_mpeg_ps)
                     br8, bc8 = np.mgrid[0:4, 0:4]
                     v8 = ((i * 11 + br8 * 37 + bc8 * 59)
                           % 256).astype(np.uint8)
@@ -3209,9 +3209,15 @@ def _synth_media_blobs(spark, sf):
                     fa = np.repeat(g8[:, :, None], 3, axis=2)
                     fb = np.roll(fa, (8, 8), (0, 1))
                     fc = np.roll(fa, (16, 16), (0, 1))
+                    es = encode_mpeg1([fa, fb, fc], mv_search=8)
                     ids.append(i)
-                    blobs.append(encode_mpeg1([fa, fb, fc],
-                                              mv_search=8))
+                    # every other id ships as a PROGRAM STREAM (the
+                    # 11172-1 pack/PES container .mpg files use):
+                    # sniff tags it mpeg_ps, media_profile demuxes —
+                    # same decoded stats, so the oracle splits the
+                    # formula by parity only
+                    blobs.append(es if (i // 5) % 2 == 0
+                                 else mux_mpeg_ps(es, packet_bytes=700))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -3933,8 +3939,13 @@ def _sql_profile_docs() -> str:
     # reconstruction is exactly invertible for this class, rolls
     # permute the block multiset, so sum = 3 frames * 192
     # pixels-per-block-channel * SUM(block values), max = MAX(values)
+    # r14b: every other mpeg1 id ships wrapped as a PROGRAM STREAM
+    # (pack/PES) — sniff tags it 'mpeg_ps', media_profile demuxes,
+    # decoded stats identical, so the oracle splits by parity only
     arms.append("""
-        SELECT 'mm' AS part, 'mpeg1:' || i AS "column",
+        SELECT 'mm' AS part,
+               (CASE WHEN (i // 5) % 2 = 0 THEN 'mpeg1:'
+                     ELSE 'mpeg_ps:' END) || i AS "column",
                CAST(3 AS BIGINT) AS n_rows,
                CAST(32032000 AS BIGINT) AS n_nulls,
                0.0 AS null_frac,

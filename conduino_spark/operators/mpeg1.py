@@ -43,7 +43,9 @@ import numpy as np
 
 from conduino_spark.operators.jpeg import _ZIGZAG, _dct8, _idct8
 
-__all__ = ["decode_mpeg1", "encode_mpeg1", "mpeg1_info"]
+__all__ = ["decode_mpeg1", "encode_mpeg1", "mpeg1_info",
+           "mux_mpeg_ps", "demux_mpeg_ps", "mpeg_ps_video_es",
+           "mpeg_ps_info"]
 
 
 # ---------------------------------------------------------------------------
@@ -1097,3 +1099,181 @@ def _reconstruct_into(plane, y0, x0, dc, block, qscale, iq_zz) -> None:
     coef[_ZIGZAG] = rec
     plane[y0:y0 + 8, x0:x0 + 8] = np.clip(
         np.round(_idct8(coef.reshape(8, 8))), 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 program streams (ISO/IEC 11172-1 pack/PES layer) — r14.
+# Pure header arithmetic, zero spec data tables: the container that
+# real-world .mpg files wrap the video elementary stream in.
+# ---------------------------------------------------------------------------
+
+PS_PACK = 0xBA
+PS_SYSTEM = 0xBB
+PS_END = 0xB9
+VIDEO_STREAM_0 = 0xE0
+AUDIO_STREAM_0 = 0xC0
+
+
+def _scr_bytes(scr: int, mux_rate: int) -> bytes:
+    """MPEG-1 pack header payload: '0010' + SCR(33 bits, marker-split
+    3/15/15) + marker + marker + mux_rate(22) + marker — 8 bytes."""
+    hi3 = (scr >> 30) & 0x07
+    mid15 = (scr >> 15) & 0x7FFF
+    lo15 = scr & 0x7FFF
+    b = 0
+    b = (0b0010 << 44) | (hi3 << 41) | (1 << 40) | (mid15 << 25) \
+        | (1 << 24) | (lo15 << 9) | (1 << 8) | (1 << 7) \
+        | ((mux_rate >> 15) & 0x7F)
+    first6 = b.to_bytes(6, "big")
+    rest = (((mux_rate & 0x7FFF) << 1) | 1).to_bytes(2, "big")
+    return first6 + rest
+
+
+def mux_mpeg_ps(video_es: bytes, *, packet_bytes: int = 2034,
+                mux_rate: int = 10000) -> bytes:
+    """Wrap an MPEG-1 video elementary stream as a program stream
+    (11172-1): one pack per PES packet — pack header (SCR advancing
+    one tick per pack, mux_rate in 50-byte/s units), a system header
+    on the first pack, video PES packets (stream 0xE0, no-timestamp
+    form — the 0x0F byte after stuffing), ISO end code.  The demuxer
+    below round-trips the ES bit-exactly; real demuxers accept the
+    layout (no STD timing claims — PTS/DTS are omitted, legal for all
+    but the first packet of a presentation unit in strict STD terms,
+    and universally tolerated)."""
+    if not video_es:
+        raise ValueError("mux_mpeg_ps: empty elementary stream")
+    if not 1 <= packet_bytes <= 0xFFFF - 20:
+        raise ValueError("mux_mpeg_ps: packet_bytes out of range")
+    out = bytearray()
+    pos = 0
+    pack_no = 0
+    while pos < len(video_es):
+        chunk = video_es[pos:pos + packet_bytes]
+        pos += len(chunk)
+        out += b"\x00\x00\x01\xba" + _scr_bytes(pack_no * 3600,
+                                                mux_rate)
+        if pack_no == 0:
+            # system header: rate bound + 1 video stream bound
+            body = bytearray()
+            body += ((1 << 23) | (mux_rate << 1) | 1).to_bytes(3, "big")
+            body += bytes([0x04 | 0x01])      # audio bound 1? no: 0
+            body[3:4] = bytes([0x00 | 0x00])  # audio_bound 0, fixed 0
+            body += bytes([0x21])             # video_bound 1, marker
+            body += bytes([0xFF])             # reserved
+            body += bytes([VIDEO_STREAM_0])
+            body += ((0b11 << 14) | (1 << 13)
+                     | 46).to_bytes(2, "big")  # STD buffer bound
+            out += b"\x00\x00\x01\xbb" + len(body).to_bytes(2, "big") \
+                + bytes(body)
+        payload = b"\x0f" + chunk              # no-timestamp marker
+        out += b"\x00\x00\x01" + bytes([VIDEO_STREAM_0]) \
+            + len(payload).to_bytes(2, "big") + payload
+        pack_no += 1
+    out += b"\x00\x00\x01\xb9"
+    return bytes(out)
+
+
+def demux_mpeg_ps(data: bytes) -> "dict[int, bytes]":
+    """Walk an MPEG-1 program stream → {stream_id: elementary-stream
+    bytes} (11172-1 packet layer: stuffing 0xFF run, optional STD
+    buffer field '01', PTS ('0010'), PTS+DTS ('0011') or the 0x0F
+    no-timestamp byte).  Raises ValueError on anything that is not a
+    conformant pack/PES walk."""
+    if len(data) < 12 or data[:4] != b"\x00\x00\x01\xba":
+        raise ValueError("not an MPEG program stream (no pack start "
+                         "code)")
+    streams: "dict[int, bytearray]" = {}
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos:pos + 3] != b"\x00\x00\x01":
+            raise ValueError("mpeg-ps: lost pack sync")
+        code = data[pos + 3]
+        pos += 4
+        if code == PS_PACK:
+            if pos + 8 > n:
+                raise ValueError("mpeg-ps: truncated pack header")
+            if (data[pos] >> 4) != 0b0010:
+                raise ValueError("mpeg-ps: bad pack SCR marker "
+                                 "(MPEG-2 program streams use the "
+                                 "'01' form — only MPEG-1 packs "
+                                 "parse here)")
+            pos += 8
+        elif code == PS_SYSTEM:
+            if pos + 2 > n:
+                raise ValueError("mpeg-ps: truncated system header")
+            ln = int.from_bytes(data[pos:pos + 2], "big")
+            pos += 2 + ln
+        elif code == PS_END:
+            break
+        elif 0xBC <= code <= 0xFF:
+            if pos + 2 > n:
+                raise ValueError("mpeg-ps: truncated PES header")
+            ln = int.from_bytes(data[pos:pos + 2], "big")
+            pos += 2
+            if pos + ln > n:
+                raise ValueError("mpeg-ps: truncated PES packet")
+            body = data[pos:pos + ln]
+            pos += ln
+            if code in (0xBE, 0xBF):           # padding / private-2:
+                continue                       # no packet header
+            i = 0
+            while i < len(body) and body[i] == 0xFF:
+                i += 1                          # stuffing
+                if i > 16:
+                    raise ValueError("mpeg-ps: > 16 stuffing bytes")
+            if i >= len(body):
+                raise ValueError("mpeg-ps: empty PES body")
+            b0 = body[i]
+            if b0 >> 6 == 0b01:                 # STD buffer field
+                i += 2
+                if i >= len(body):
+                    raise ValueError("mpeg-ps: truncated STD field")
+                b0 = body[i]
+            if b0 >> 4 == 0b0010:               # PTS
+                i += 5
+            elif b0 >> 4 == 0b0011:             # PTS + DTS
+                i += 10
+            elif b0 == 0x0F:                    # no timestamp
+                i += 1
+            else:
+                raise ValueError(f"mpeg-ps: bad packet header byte "
+                                 f"0x{b0:02x}")
+            if i > len(body):
+                raise ValueError("mpeg-ps: truncated timestamps")
+            streams.setdefault(code, bytearray()).extend(body[i:])
+        else:
+            raise ValueError(f"mpeg-ps: unexpected start code "
+                             f"0x{code:02x} at pack level")
+    if not streams:
+        raise ValueError("mpeg-ps: no PES payloads found")
+    return {k: bytes(v) for k, v in streams.items()}
+
+
+def mpeg_ps_video_es(data: bytes) -> bytes:
+    """The FIRST video stream's (0xE0-0xEF) elementary bytes."""
+    streams = demux_mpeg_ps(data)
+    for sid in sorted(streams):
+        if 0xE0 <= sid <= 0xEF:
+            return streams[sid]
+    raise ValueError("mpeg-ps: no video stream (0xE0-0xEF) present")
+
+
+def mpeg_ps_info(data: bytes) -> dict:
+    """Header-level program-stream metadata: pack count, mux_rate,
+    stream ids with payload sizes, and the video sequence facts via
+    :func:`mpeg1_info` on the demuxed video ES."""
+    if len(data) < 12 or data[:4] != b"\x00\x00\x01\xba":
+        raise ValueError("not an MPEG program stream")
+    n_packs = data.count(b"\x00\x00\x01\xba")
+    mux_rate = ((int.from_bytes(data[10:12], "big") >> 1) & 0x7FFF) \
+        | (((data[9] & 0x7F)) << 15)
+    streams = demux_mpeg_ps(data)
+    out = {"n_packs": n_packs, "mux_rate_50Bps": mux_rate,
+           "streams": {f"0x{sid:02x}": len(es)
+                       for sid, es in streams.items()}}
+    for sid in sorted(streams):
+        if 0xE0 <= sid <= 0xEF:
+            out["video"] = mpeg1_info(streams[sid])
+            break
+    return out

@@ -973,19 +973,21 @@ def frame_sample(binary_col: str = "content", id_col: str = "id", *,
                             fnos.append(i)
                             frames.append(blobs[i])
                             taken += 1
-                elif codec == "mpeg1":
+                elif codec in ("mpeg1", "mpeg_ps"):
                     # r14: MPEG-1 elementary streams — decoded canvas
                     # frames re-emitted as PNG (the GIF convention;
                     # image_resize(codec='png') composes downstream).
                     # The decode early-stops after the last needed
-                    # picture.
-                    from conduino_spark.operators.mpeg1 import \
-                        decode_mpeg1
+                    # picture.  Program streams (pack/PES wrapped —
+                    # what real .mpg files are) demux transparently.
+                    from conduino_spark.operators.mpeg1 import (
+                        decode_mpeg1, mpeg_ps_video_es)
                     need = 1 + (max_frames - 1) * every_n
                     for vid, b in zip(pdf[id_col], pdf[binary_col]):
-                        _, _, fs = decode_mpeg1(
-                            b if b is not None else b"",
-                            max_frames=need)
+                        b = b if b is not None else b""
+                        if b[:4] == b"\x00\x00\x01\xba":
+                            b = mpeg_ps_video_es(bytes(b))
+                        _, _, fs = decode_mpeg1(b, max_frames=need)
                         taken = 0
                         for i in range(0, len(fs), every_n):
                             if taken >= max_frames:
@@ -1056,17 +1058,21 @@ def video_metadata(binary_col: str = "content", id_col: str = "id", *,
                         fps = (round(1000 * len(durs) / tot)
                                if tot > 0 else 0)
                         rows.append((w, h, len(durs), fps, "webp"))
-                elif codec == "mpeg1":
+                elif codec in ("mpeg1", "mpeg_ps"):
                     # r14: MPEG-1 elementary stream — dims/fps from
                     # the sequence header, picture count from the
-                    # start-code walk; no pixel decode
-                    from conduino_spark.operators.mpeg1 import \
-                        mpeg1_info
+                    # start-code walk; no pixel decode.  Program
+                    # streams demux (headers only) transparently.
+                    from conduino_spark.operators.mpeg1 import (
+                        mpeg1_info, mpeg_ps_video_es)
                     for b in pdf[binary_col]:
-                        inf = mpeg1_info(b if b is not None else b"")
+                        b = b if b is not None else b""
+                        if b[:4] == b"\x00\x00\x01\xba":
+                            b = mpeg_ps_video_es(bytes(b))
+                        inf = mpeg1_info(b)
                         rows.append((inf["width"], inf["height"],
                                      inf["n_pictures"],
-                                     round(inf["fps"]), "mpeg1"))
+                                     round(inf["fps"]), codec))
                 else:
                     for b in pdf[binary_col]:
                         d = hashlib.sha256(b or b"").digest()
@@ -1167,6 +1173,7 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("webm", "1a45dfa3", 0),   # EBML (WebM/Matroska)
     ("mp4",  "66747970", 4),   # ISO BMFF: 'ftyp' at byte 4
     ("mpeg1", "000001b3", 0),  # MPEG video elementary stream (r14)
+    ("mpeg_ps", "000001ba", 0),  # MPEG program stream pack (r14)
     # bare MPEG-audio sync (no ID3) — 2-byte prefixes, lowest priority
     ("mp3",  "fffb",     0),
     ("mp3",  "fffa",     0),   # MPEG-1 L3 with CRC
@@ -1357,13 +1364,17 @@ def media_profile(binary_col: str = "content", id_col: str = "id", *,
                 a = decode_jpeg(blobs[0]).astype(_np.int64)
                 return (fmt, len(blobs), h * 1_000_000 + w * 1_000,
                         int(a.sum()), int(a.max()) if a.size else 0)
-            if fmt == "mpeg1":
+            if fmt in ("mpeg1", "mpeg_ps"):
                 # r14: MPEG-1 elementary stream — pixel stats over
                 # EVERY decoded frame (the I/P reconstruction chain is
                 # what the stats pin, unlike AVI's independent MJPEG
-                # frames)
-                from conduino_spark.operators.mpeg1 import decode_mpeg1
-                _fps, (w, h), frames = decode_mpeg1(b or b"")
+                # frames).  Program streams demux first (pack/PES).
+                from conduino_spark.operators.mpeg1 import (
+                    decode_mpeg1, mpeg_ps_video_es)
+                es = b or b""
+                if fmt == "mpeg_ps":
+                    es = mpeg_ps_video_es(bytes(es))
+                _fps, (w, h), frames = decode_mpeg1(es)
                 tot = sum(int(f.astype(_np.int64).sum())
                           for f in frames)
                 mx = max(int(f.max()) for f in frames)

@@ -314,3 +314,102 @@ def test_spark_frame_sample_and_video_metadata(spark):
                                       fs[r.frame_no])
     tag = sniff_format()(df).select("format").collect()[0][0]
     assert tag == "mpeg1"
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 program streams (11172-1 pack/PES layer)
+# ---------------------------------------------------------------------------
+
+def test_ps_mux_demux_roundtrip_bit_exact():
+    from conduino_spark.operators.mpeg1 import (demux_mpeg_ps,
+                                                mpeg_ps_video_es,
+                                                mux_mpeg_ps)
+    es = encode_mpeg1([_gray_blocks(1, 32, 32)] * 3)
+    for pkt in (64, 500, 2034, len(es) + 7):
+        ps = mux_mpeg_ps(es, packet_bytes=pkt)
+        assert mpeg_ps_video_es(ps) == es
+        streams = demux_mpeg_ps(ps)
+        assert list(streams) == [0xE0]
+
+
+def test_ps_decode_equals_es_decode():
+    from conduino_spark.operators.mpeg1 import (mpeg_ps_info,
+                                                mpeg_ps_video_es,
+                                                mux_mpeg_ps)
+    fs = [_gray_blocks(s, 32, 32) for s in (1, 2, 3)]
+    es = encode_mpeg1(fs, fps=25)
+    ps = mux_mpeg_ps(es, packet_bytes=300, mux_rate=1234)
+    _, _, frames = decode_mpeg1(mpeg_ps_video_es(ps))
+    for fr, want in zip(frames, fs):
+        np.testing.assert_array_equal(fr, want)
+    info = mpeg_ps_info(ps)
+    assert info["mux_rate_50Bps"] == 1234
+    assert info["n_packs"] == -(-len(es) // 300)
+    assert info["streams"]["0xe0"] == len(es)
+    assert info["video"]["width"] == 32
+    assert info["video"]["picture_types"] == [1, 2, 2]
+
+
+def test_ps_pes_header_variants():
+    # hand-built packets: stuffing run, STD buffer field, PTS and
+    # PTS+DTS forms must all skip to the payload (11172-1 2.4.3.3)
+    from conduino_spark.operators.mpeg1 import demux_mpeg_ps
+    def pes(body):
+        return b"\x00\x00\x01\xe0" + len(body).to_bytes(2, "big") + body
+    pack = b"\x00\x00\x01\xba" + bytes([0x21, 0x00, 0x01, 0x00,
+                                        0x01, 0x01, 0x00, 0x03])
+    blob = (pack
+            + pes(b"\xff\xff\xff" + b"\x0f" + b"AB")        # stuffing
+            + pes(bytes([0x40 | 0x20, 0x30]) + b"\x0f" + b"CD")  # STD
+            + pes(bytes([0x21, 0, 1, 0, 1]) + b"EF")        # PTS
+            + pes(bytes([0x31, 0, 1, 0, 1,
+                         0x11, 0, 1, 0, 1]) + b"GH")        # PTS+DTS
+            + b"\x00\x00\x01\xb9")
+    streams = demux_mpeg_ps(blob)
+    assert streams[0xE0] == b"ABCDEFGH"
+
+
+def test_ps_fuzz_and_validation():
+    from conduino_spark.operators.mpeg1 import (demux_mpeg_ps,
+                                                mux_mpeg_ps)
+    es = encode_mpeg1([_gray_blocks(4, 32, 32)])
+    ps = mux_mpeg_ps(es)
+    with pytest.raises(ValueError, match="pack start"):
+        demux_mpeg_ps(b"not a program stream")
+    with pytest.raises(ValueError, match="empty"):
+        mux_mpeg_ps(b"")
+    rng = np.random.RandomState(1)
+    for cut in (5, 11, 20, len(ps) // 2):
+        with pytest.raises(ValueError):
+            demux_mpeg_ps(ps[:cut])
+    for _ in range(30):
+        b = bytearray(ps)
+        b[rng.randint(4, 30)] ^= 1 << rng.randint(8)
+        try:
+            demux_mpeg_ps(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_ps_spark_dispatch(spark):
+    import pandas as pd
+
+    from conduino_spark.operators.mpeg1 import mux_mpeg_ps
+    from conduino_spark.operators.multimodal import (decode_png,
+                                                     frame_sample,
+                                                     sniff_format,
+                                                     video_metadata)
+    fs = [_gray_blocks(s, 32, 32) for s in (5, 6, 7, 8)]
+    ps = mux_mpeg_ps(encode_mpeg1(fs, fps=30, gop=2), packet_bytes=512)
+    df = spark.createDataFrame(pd.DataFrame({"id": [1],
+                                             "content": [ps]}))
+    tag = sniff_format()(df).select("format").collect()[0][0]
+    assert tag == "mpeg_ps"
+    meta = video_metadata(codec="mpeg_ps")(df).collect()[0]
+    assert (meta.width, meta.height, meta.n_frames,
+            meta.format) == (32, 32, 4, "mpeg_ps")
+    out = (frame_sample(codec="mpeg_ps", every_n=1, max_frames=2)(df)
+           .orderBy("frame_no").collect())
+    for r in out:
+        np.testing.assert_array_equal(decode_png(bytes(r.frame)),
+                                      fs[r.frame_no])
