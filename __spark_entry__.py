@@ -3289,6 +3289,22 @@ def _synth_container_blobs(spark, sf):
                 ids.append(i)
                 blobs.append(encode_vorbis(
                     _np.zeros(3200 * m2), 32000, serial=100 + i % 7))
+                # r14: a REAL MPEG-1 stream (ES / program-stream
+                # wrapped by parity) joins the header-parse arm —
+                # dims from the sequence header, duration = pictures
+                # × 40 ms at the exact 25 fps rate code, pictures
+                # from the start-code walk (PS adds the pack/PES
+                # demux in front)
+                from conduino_spark.operators.mpeg1 import (
+                    encode_mpeg1, mux_mpeg_ps)
+                npix = 16 + ((i // 3) % 3) * 16
+                nfr = 2 + (i // 3) % 3
+                fr = _np.full((npix, npix, 3), (i * 29) % 256,
+                              _np.uint8)
+                es9 = encode_mpeg1([fr] * nfr, fps=25)
+                ids.append(i)
+                blobs.append(es9 if (i // 3) % 2 == 0
+                             else mux_mpeg_ps(es9, packet_bytes=400))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     return docs.mapInPandas(gen, "id long, content binary")
@@ -4017,6 +4033,23 @@ def _sql_profile_docs() -> str:
                0.0 AS null_frac,
                CAST(2000 + (doc_id % 13) * 50 AS VARCHAR) AS min,
                'webm' AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    # r14: REAL MPEG-1 streams through the header parser — pictures
+    # from the start-code walk, duration = pictures * 40 ms (exact at
+    # the 25 fps rate code), dims from the sequence header; every
+    # other id wraps the ES as a program stream (pack/PES demux in
+    # front of the same facts)
+    arms.append("""
+        SELECT 'ct' AS part,
+               (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mpeg1:'
+                     ELSE 'mpeg_ps:' END) || doc_id AS "column",
+               CAST(2 + (doc_id // 3) % 3 AS BIGINT) AS n_rows,
+               CAST((16 + ((doc_id // 3) % 3) * 16) * 1001
+                    AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST((2 + (doc_id // 3) % 3) * 40 AS VARCHAR) AS min,
+               CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mpeg1'
+                    ELSE 'mpeg_ps' END AS max
         FROM documents WHERE doc_id % 3 = 0""")
     # webp arm (r12b): h=5+i%3, w=4+i%4, c=3, pixel_j=(j*(11+i)+3i)%233
     # — the VP8L codec is lossless, so the decoded stats equal the

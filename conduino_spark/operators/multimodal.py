@@ -1226,7 +1226,7 @@ _IMAGE_CODECS = ("bmp", "png", "jpeg", "gif", "tiff", "pnm", "webp")
 
 #: containers container_info can dispatch (header-level parsers in
 #: operators/mediainfo.py — REAL metadata, no sample decode)
-_CONTAINER_CODECS = ("mp3", "ogg", "mp4", "webm")
+_CONTAINER_CODECS = ("mp3", "ogg", "mp4", "webm", "mpeg1", "mpeg_ps")
 
 
 def container_info(binary_col: str = "content", id_col: str = "id", *,
@@ -1274,6 +1274,18 @@ def container_info(binary_col: str = "content", id_col: str = "id", *,
                 i = mi.webm_info(b)
                 return (fmt, i["width"], i["height"], 0, 0,
                         i["duration_ms"], i["n_tracks"])
+            if fmt in ("mpeg1", "mpeg_ps"):
+                # r14: MPEG-1 video ES / program stream — duration
+                # from picture count x frame period (exact for the
+                # integral picture_rate codes); n_units = pictures
+                from conduino_spark.operators.mpeg1 import (
+                    mpeg1_info, mpeg_ps_video_es)
+                es = mpeg_ps_video_es(bytes(b)) if fmt == "mpeg_ps" \
+                    else b
+                i = mpeg1_info(es)
+                dur = int(round(i["n_pictures"] * 1000 / i["fps"]))
+                return (fmt, i["width"], i["height"], 0, 0,
+                        dur, i["n_pictures"])
             return ("error", 0, 0, 0, 0, 0, 0)
         except (ValueError, struct.error, IndexError, OverflowError):
             return ("error", 0, 0, 0, 0, 0, 0)

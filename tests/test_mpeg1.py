@@ -413,3 +413,22 @@ def test_ps_spark_dispatch(spark):
     for r in out:
         np.testing.assert_array_equal(decode_png(bytes(r.frame)),
                                       fs[r.frame_no])
+
+
+def test_container_info_mpeg(spark):
+    import pandas as pd
+
+    from conduino_spark.operators.mpeg1 import mux_mpeg_ps
+    from conduino_spark.operators.multimodal import (container_info,
+                                                     sniff_format)
+    es = encode_mpeg1([_gray_blocks(1, 32, 48)] * 5, fps=25)
+    ps = mux_mpeg_ps(es, packet_bytes=256)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2], "content": [es, ps]}))
+    rows = {r.id: r for r in container_info(
+        "content", "id", codec_col="format")(
+        sniff_format("content")(df)).collect()}
+    for rid, fmt in ((1, "mpeg1"), (2, "mpeg_ps")):
+        r = rows[rid]
+        assert (r.format, r.width, r.height, r.n_units,
+                r.duration_ms) == (fmt, 48, 32, 5, 200)
