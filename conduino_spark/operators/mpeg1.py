@@ -1053,32 +1053,29 @@ def _find_exact_mv(prev_rec: _PlaneSet, yp, cbp, crp, row: int,
     cur_cb = cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
     cur_cr = crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
     ph, pw = prev_rec.y.shape
-    best = None
-    for dy in range(-search, search + 1):
-        sy = y0 + dy
-        if sy < 0 or sy + 16 > ph:
+    # candidates sorted by (|dy|+|dx|, dy, dx): the FIRST match is the
+    # smallest-displacement winner the old full scan picked (same
+    # tie-break — row-major within an L1 shell), so blobs are
+    # bit-identical while the common static/small-motion case exits
+    # after a few compares instead of (2s+1)^2
+    offs = sorted(((dy, dx)
+                   for dy in range(-search, search + 1)
+                   for dx in range(-search, search + 1)
+                   if dy % 2 == 0 and dx % 2 == 0),
+                  key=lambda o: (abs(o[0]) + abs(o[1]), o[0], o[1]))
+    for dy, dx in offs:
+        sy, sx = y0 + dy, x0 + dx
+        if sy < 0 or sx < 0 or sy + 16 > ph or sx + 16 > pw:
             continue
-        for dx in range(-search, search + 1):
-            sx = x0 + dx
-            if sx < 0 or sx + 16 > pw:
-                continue
-            # chroma offset must be integral for exactness
-            if dy % 2 or dx % 2:
-                continue
-            if not np.array_equal(cur_y,
-                                  prev_rec.y[sy:sy + 16, sx:sx + 16]):
-                continue
-            cy, cx = row * 8 + dy // 2, col * 8 + dx // 2
-            if (np.array_equal(cur_cb,
-                               prev_rec.cb[cy:cy + 8, cx:cx + 8])
-                    and np.array_equal(cur_cr,
-                                       prev_rec.cr[cy:cy + 8,
-                                                   cx:cx + 8])):
-                cand = (dy * 2, dx * 2)   # half-pel units
-                if best is None or (abs(cand[0]) + abs(cand[1])
-                                    < abs(best[0]) + abs(best[1])):
-                    best = cand
-    return best
+        if not np.array_equal(cur_y,
+                              prev_rec.y[sy:sy + 16, sx:sx + 16]):
+            continue
+        cy, cx = row * 8 + dy // 2, col * 8 + dx // 2
+        if (np.array_equal(cur_cb, prev_rec.cb[cy:cy + 8, cx:cx + 8])
+                and np.array_equal(cur_cr,
+                                   prev_rec.cr[cy:cy + 8, cx:cx + 8])):
+            return (dy * 2, dx * 2)       # half-pel units
+    return None
 
 
 def _reconstruct_into(plane, y0, x0, dc, block, qscale, iq_zz) -> None:
