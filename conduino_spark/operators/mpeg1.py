@@ -851,7 +851,12 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
     every ``gop`` frames; between them P-pictures built from skipped
     (bit-identical to reference), forward-MC not-coded (exact
     translation match within ±``mv_search`` full pels) and
-    intra-refresh macroblocks."""
+    intra-refresh macroblocks.
+
+    AC levels saturate at MPEG-1's ±255 escape-coding ceiling — on
+    full-band noise at fine quantizers (the pathological case) real
+    encoders raise qscale instead; this one clips, trading fidelity
+    on content no real video resembles for a fixed rate ladder."""
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames:
         raise ValueError("encode_mpeg1: need at least one frame")

@@ -432,3 +432,74 @@ def test_container_info_mpeg(spark):
         r = rows[rid]
         assert (r.format, r.width, r.height, r.n_units,
                 r.duration_ms) == (fmt, 48, 32, 5, 200)
+
+
+def test_random_roundtrip_sweep():
+    # randomized encoder<->decoder consistency: shapes, counts and a
+    # fidelity floor at fine quant; no exception for any config
+    rng = np.random.RandomState(42)
+    for _ in range(6):
+        h = int(rng.choice([16, 24, 40]))
+        w = int(rng.choice([16, 32, 48]))
+        n = int(rng.randint(1, 4))
+        frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                  for _ in range(n)]
+        q = int(rng.choice([1, 2, 4, 8, 16, 31]))
+        blob = encode_mpeg1(frames, fps=float(rng.choice([24, 25, 30])),
+                            qscale=q, gop=int(rng.choice([1, 2, 12])))
+        _, (ww, hh), out = decode_mpeg1(blob)
+        assert (ww, hh) == (w, h) and len(out) == n
+        if q <= 2:
+            # fidelity floor on SMOOTH random content (full-band
+            # noise at fine quant exceeds MPEG-1's ±255 escape-level
+            # ceiling, where the encoder saturates by design)
+            base = rng.randint(0, 256, (h // 8 + 1, w // 8 + 1, 3))
+            smooth = np.repeat(np.repeat(base, 8, 0), 8,
+                               1)[:h, :w].astype(np.uint8)
+            _, _, sm = decode_mpeg1(encode_mpeg1([smooth], qscale=q))
+            d = sm[0].astype(float) - smooth.astype(float)
+            snr = 10 * np.log10((smooth.astype(float) ** 2).sum()
+                                / max((d ** 2).sum(), 1e-9))
+            assert snr > 20.0
+
+
+def test_slice_spanning_mb_rows():
+    # a single slice carrying macroblocks across TWO rows (legal; our
+    # encoder emits one slice per row, so hand-build it): 16x32 image
+    # = 1x2 MBs, slice vertical position 1, two intra MBs in one slice
+    from conduino_spark.operators.mpeg1 import _BitWriter
+    out = bytearray()
+    bw = _BitWriter()
+    bw.write(16, 12)
+    bw.write(32, 12)
+    bw.write(1, 4)
+    bw.write(3, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    out += b"\x00\x00\x01\xb3" + bw.bytes()
+    bw = _BitWriter()
+    bw.write(0, 10)
+    bw.write(1, 3)                 # I picture
+    bw.write(0xFFFF, 16)
+    out += b"\x00\x00\x01\x00" + bw.bytes()
+    bw = _BitWriter()
+    bw.write(8, 5)                 # qscale
+    bw.write(0, 1)
+    for _mb in range(2):           # two MBs: rows 0 and 1
+        bw.write_code("1")         # addr inc 1
+        bw.write_code("1")         # intra
+        for blk in range(6):
+            luma = blk < 4
+            # DC diff 0 for every block, EOB immediately
+            bw.write_code("100" if luma else "00")
+            bw.write_code("10")
+    out += b"\x00\x00\x01\x01" + bw.bytes()
+    out += b"\x00\x00\x01\xb7"
+    fps, (w, h), frames = decode_mpeg1(bytes(out))
+    assert (w, h) == (16, 32) and len(frames) == 1
+    # DC predictors start at 1024 = mid-gray 128
+    assert frames[0].min() >= 127 and frames[0].max() <= 129
