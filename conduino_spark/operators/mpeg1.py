@@ -9,8 +9,10 @@ matrices), GOP, I-pictures (intra macroblocks: DC prediction chains,
 AC run-level decode, reconstruction arithmetic with the spec's
 oddification mismatch control, float IDCT), P-pictures (skipped
 macroblocks, forward motion compensation at full- and half-pel with
-any f_code, intra refresh), one-or-more slices per picture, 4:2:0
-chroma upsampling, BT.601 full-range color.
+any f_code, CBP-coded non-intra residuals, intra refresh), B-pictures
+(r15: forward/backward/interpolated prediction, B-skip replication,
+temporal_reference display reordering per GOP), one-or-more slices
+per picture, 4:2:0 chroma upsampling, BT.601 full-range color.
 
 Certified-table policy (the operators/mp3.py precedent — no
 third-party MPEG stream exists in this container to pin a from-memory
@@ -19,22 +21,34 @@ wrong video, which is worse than a loud refusal):
 
 * CERTIFIED (transcribed + structural prefix/Kraft validation at
   import; small, deeply standard tables shared with H.261/H.262):
-  macroblock_address_increment (B.1), macroblock_type I/P (B.2a/b),
-  motion_code (B.4), dct_dc_size luma/chroma (B.5a/b), the HEAD of the
-  dct_coeff run-level table (B.5c: EOB, the 2-7 bit codes) and the
-  fully-specified fixed-length escape coding.
-* UNCERTIFIED → loud ValueError: the dct_coeff tail (8+ bit codes),
-  coded_block_pattern (B.3), B-pictures (B.2c) and D-pictures.  The
-  bundled encoder emits certified codes only (escape-coding the AC
-  tail — every real decoder accepts escapes for codable pairs).
+  macroblock_address_increment (B.1), macroblock_type I/P/B
+  (B.2a/b/c, r15), coded_block_pattern (B.3, r15 — certified via its
+  exact 255/256 Kraft sum, the all-63-values-once check, the
+  H.261-lineage length-symmetry battery in _validate_tables, and the
+  exhaustive all-63-value encoder round-trip in tests/test_round15),
+  motion_code (B.4), dct_dc_size luma/chroma (B.5a/b), the HEAD of
+  the dct_coeff run-level table (B.5c: EOB, the first-coefficient
+  context, the 2-7 bit codes) and the fully-specified fixed-length
+  escape coding.
+* UNCERTIFIED → loud ValueError: the dct_coeff tail (8+ bit codes)
+  and D-pictures.  The bundled encoder emits certified codes only
+  (escape-coding the AC tail — every real decoder accepts escapes
+  for codable pairs).  Real-world .mpg decode therefore still
+  refuses on VLC AC codes beyond the head; the native `codec='real'`
+  wiring in operators/multimodal.py is the production path.
 
 Encode (``encode_mpeg1``): a conformant-subset writer — I-pictures
 (full intra), P-pictures composed of skipped (static), forward-MC
-not-coded (pure translation, exact) and intra-refresh macroblocks;
-one slice per macroblock row; default quant matrices; f_code=1
-half-pel vectors.  Every decoder path above is reachable from some
-encoder option, which is how the round-trip laws pin the parser
-(the FIXTURES.md synthetic-writer convention).
+not-coded (pure translation, exact), CBP coded-residual
+(``inter_residual=True``, r15) and intra-refresh macroblocks;
+B-pictures between anchors (``b_frames``, r15) with exact
+forward/backward/interpolated paths, B-skip runs and forward
+coded residuals; one slice per macroblock row; default quant
+matrices; f_code derived from ``mv_search`` (half-pel +16 is
+unrepresentable at f_code=1 — the r15 motion-range fix).  Every
+decoder path above is reachable from some encoder option, which is
+how the round-trip laws pin the parser (the FIXTURES.md
+synthetic-writer convention).
 """
 
 from __future__ import annotations
@@ -104,6 +118,50 @@ MB_TYPE_P = {
     "000001": (1, 0, 0, 0, 1),     # quant, intra
 }
 
+#: B.2c macroblock_type, B pictures (r15):
+#: (quant, mf_forward, mf_backward, pattern, intra)
+MB_TYPE_B = {
+    "10":     (0, 1, 1, 0, 0),     # interp, not coded
+    "11":     (0, 1, 1, 1, 0),     # interp, coded
+    "010":    (0, 0, 1, 0, 0),     # backward, not coded
+    "011":    (0, 0, 1, 1, 0),     # backward, coded
+    "0010":   (0, 1, 0, 0, 0),     # forward, not coded
+    "0011":   (0, 1, 0, 1, 0),     # forward, coded
+    "00011":  (0, 0, 0, 0, 1),     # intra
+    "00010":  (1, 1, 1, 1, 0),     # quant, interp, coded
+    "000011": (1, 1, 0, 1, 0),     # quant, forward, coded
+    "000010": (1, 0, 1, 1, 0),     # quant, backward, coded
+    "000001": (1, 0, 0, 0, 1),     # quant, intra
+}
+
+#: B.3 coded_block_pattern (r15): {code: cbp}, cbp bit 5..0 =
+#: Y0 Y1 Y2 Y3 Cb Cr (bit 5 = 32 = top-left luma block).  Certified
+#: via the structural battery in _validate_tables (prefix-free, the
+#: exact Kraft sum 255/256, all 63 values once, and the H.261-lineage
+#: length symmetries: the four single-luma patterns share one length,
+#: adjacent luma pairs are shorter than diagonal pairs, the all-luma
+#: pattern 60 is the unique shortest code) plus the exhaustive
+#: all-63-value encoder round-trip in tests/test_round15.py.
+CBP = {
+    "111": 60,
+    "1101": 4, "1100": 8, "1011": 16, "1010": 32,
+    "10011": 12, "10010": 48, "10001": 20, "10000": 40,
+    "01111": 28, "01110": 44, "01101": 52, "01100": 56,
+    "01011": 1, "01010": 61, "01001": 2, "01000": 62,
+    "001111": 24, "001110": 36, "001101": 3, "001100": 63,
+    "0010111": 5, "0010110": 9, "0010101": 17, "0010100": 33,
+    "0010011": 6, "0010010": 10, "0010001": 18, "0010000": 34,
+    "00011111": 7, "00011110": 11, "00011101": 19, "00011100": 35,
+    "00011011": 13, "00011010": 49, "00011001": 21, "00011000": 41,
+    "00010111": 14, "00010110": 50, "00010101": 22, "00010100": 42,
+    "00010011": 15, "00010010": 51, "00010001": 23, "00010000": 43,
+    "00001111": 25, "00001110": 37, "00001101": 26, "00001100": 38,
+    "00001011": 29, "00001010": 45, "00001001": 53, "00001000": 57,
+    "00000111": 30, "00000110": 46, "00000101": 31, "00000100": 47,
+    "000000111": 58, "000000110": 54, "000000101": 59,
+    "000000100": 55, "000000011": 27, "000000010": 39,
+}
+
 #: B.4 |motion_code| (0..16); nonzero codes are followed by a sign bit
 #: (0 = positive).  Structurally the B.1 table with sign-pairs merged
 #: (the shared H.261 ancestry).
@@ -171,6 +229,36 @@ def _validate_tables() -> None:
     if abs(k_addr - k_mot) > 1e-12:
         raise AssertionError("MOTION_CODE does not mirror ADDR_INC")
     check("MB_TYPE_P", MB_TYPE_P, 0.95)
+    check("MB_TYPE_B", MB_TYPE_B, 0.98)
+    # B.3 battery (r15): beyond prefix-freedom, the table has strong
+    # internal structure any transposition/typo breaks —
+    kraft_cbp = check("CBP", CBP, 0.99)
+    if abs(kraft_cbp - 255.0 / 256.0) > 1e-12:
+        raise AssertionError(f"CBP: Kraft {kraft_cbp} != 255/256")
+    if sorted(CBP.values()) != list(range(1, 64)):
+        raise AssertionError("CBP: values are not exactly 1..63")
+    by_len: dict = {}
+    for c, v in CBP.items():
+        by_len.setdefault(len(c), set()).add(v)
+    if {k: len(v) for k, v in sorted(by_len.items())} != {
+            3: 1, 4: 4, 5: 12, 6: 4, 7: 8, 8: 28, 9: 6}:
+        raise AssertionError("CBP: length histogram mismatch")
+    if by_len[3] != {60}:                       # all-luma shortest
+        raise AssertionError("CBP: 3-bit code is not cbp 60")
+    if by_len[4] != {4, 8, 16, 32}:             # single luma block
+        raise AssertionError("CBP: 4-bit codes are not single-luma")
+    if by_len[5] != {1, 2, 61, 62,              # single/±all chroma
+                     12, 48, 20, 40,            # adjacent luma pairs
+                     28, 44, 52, 56}:           # luma triples
+        raise AssertionError("CBP: 5-bit group mismatch")
+    if by_len[6] != {24, 36,                    # diagonal luma pairs
+                     3, 63}:                    # both-chroma / all
+        raise AssertionError("CBP: 6-bit group mismatch")
+    # 7-bit group: exactly one luma bit + one chroma bit
+    if by_len[7] != {v for v in range(1, 64)
+                     if bin(v & 0b111100).count("1") == 1
+                     and bin(v & 0b11).count("1") == 1}:
+        raise AssertionError("CBP: 7-bit group mismatch")
     check("DC_SIZE_LUMA", DC_SIZE_LUMA, 0.99)
     check("DC_SIZE_CHROMA", DC_SIZE_CHROMA, 0.99)
     check("AC_HEAD(+eob/esc)",
@@ -353,6 +441,78 @@ def _decode_intra_block(br: _Bits, luma: bool, dc_pred: int,
     return _idct8(coef.reshape(8, 8)), dc
 
 
+def _decode_nonintra_zz(br: _Bits) -> np.ndarray:
+    """Run-level decode of one coded non-intra block → zigzag levels
+    (r15).  The whole block (index 0 included) is run-level coded;
+    the FIRST coefficient uses B.5c's 'first' context where the
+    codeword '1'+sign means (run 0, level ±1) — disambiguated from
+    EOB '10', which cannot open a coded block."""
+    zz = np.zeros(64, dtype=np.int64)
+    i = -1
+    first = True
+    while True:
+        code = ""
+        if first:
+            first = False
+            if br.read1():
+                zz[0] = -1 if br.read1() else 1
+                i = 0
+                continue
+            code = "0"
+        matched = False
+        for _ in range(12):
+            code += "1" if br.read1() else "0"
+            if code == AC_EOB:
+                matched = True
+                break
+            if code == AC_ESCAPE:
+                run = br.read(6)
+                level = _decode_escape_level(br)
+                i += run + 1
+                if i > 63:
+                    raise ValueError("mpeg1: AC run past block end")
+                zz[i] = level
+                matched = True
+                break
+            if code in AC_HEAD:
+                run, level = AC_HEAD[code]
+                if br.read1():
+                    level = -level
+                i += run + 1
+                if i > 63:
+                    raise ValueError("mpeg1: AC run past block end")
+                zz[i] = level
+                matched = True
+                break
+        if not matched:
+            raise ValueError(
+                f"mpeg1: dct_coeff code {code!r} is outside the "
+                "certified head of Table B.5 — refusing to decode "
+                "with uncertified tables (see module docstring)")
+        if code == AC_EOB:
+            break
+    return zz
+
+
+def _reconstruct_nonintra(zz: np.ndarray, qscale: int,
+                          niq_zz: np.ndarray) -> np.ndarray:
+    """Non-intra reconstruction per 11172-2 2.4.4.2: rec =
+    ((2*level + sign) * qscale * NIQ[i]) // 16, oddified, clamped —
+    returns the 8x8 float residual to ADD to the MC prediction."""
+    rec = np.zeros(64, dtype=np.int64)
+    nz = zz != 0
+    if nz.any():
+        s = np.sign(zz[nz])
+        v = (2 * zz[nz] + s) * qscale * niq_zz[nz]
+        r = np.sign(v) * (np.abs(v) // 16)
+        even = (r % 2 == 0) & (r != 0)
+        r = np.where(even, r - np.sign(r), r)
+        rec[nz] = np.clip(r, -2048, 2047)
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = rec
+    return _idct8(coef.reshape(8, 8))
+
+
 # ---------------------------------------------------------------------------
 # motion vectors
 # ---------------------------------------------------------------------------
@@ -476,13 +636,16 @@ def _parse_seq_header(br: _Bits) -> dict:
                          dtype=np.int64)
         if (iq_zz == 0).any():
             raise ValueError("mpeg1: zero in intra quant matrix")
-    if br.read1():                   # non-intra matrix: parsed, unused
+    nq = DEFAULT_NONINTRA_Q          # flat 16: zigzag == row-major
+    if br.read1():                   # custom non-intra matrix (r15:
+        # used by the coded-block residual path; zigzag order)
         nq = np.array([br.read(8) for _ in range(64)], dtype=np.int64)
         if (nq == 0).any():
             raise ValueError("mpeg1: zero in non-intra quant matrix")
     return {"w": w, "h": h, "aspect": aspect, "rate_code": rate_code,
             "fps": PICTURE_RATES[rate_code], "bitrate": bitrate,
-            "vbv": vbv, "constrained": constrained, "iq_zz": iq_zz}
+            "vbv": vbv, "constrained": constrained, "iq_zz": iq_zz,
+            "niq_zz": nq}
 
 
 def _seq_iq_zz(seq: dict) -> np.ndarray:
@@ -510,19 +673,54 @@ def _store_block(plane: np.ndarray, y0: int, x0: int,
     plane[y0:y0 + 8, x0:x0 + 8] = np.clip(np.round(block), 0, 255)
 
 
-def _decode_picture(slices, seq, prev: "_PlaneSet | None", ptype: int,
-                    full_pel: int, f_code: int) -> _PlaneSet:
+def _mb_predict(ref: _PlaneSet, row: int, col: int, vy: int,
+                vx: int):
+    """Full-macroblock MC prediction (16x16 luma + two 8x8 chroma)
+    from one reference; chroma vectors are half the luma vector,
+    truncating toward zero (11172-2 2.4.4.2)."""
+    py = _mc_predict(ref.y, row * 16, col * 16, 16, 16, vy, vx)
+    cy, cx = int(vy / 2), int(vx / 2)
+    pcb = _mc_predict(ref.cb, row * 8, col * 8, 8, 8, cy, cx)
+    pcr = _mc_predict(ref.cr, row * 8, col * 8, 8, 8, cy, cx)
+    return py, pcb, pcr
+
+
+def _avg_pred(a, b):
+    """Bidirectional interpolation: integer average with the same
+    truncating-'/' convention as half-pel MC (11172-2 2.4.4.4)."""
+    return (a + b) // 2
+
+
+def _decode_picture(slices, seq, fwd: "_PlaneSet | None",
+                    bwd: "_PlaneSet | None", ptype: int,
+                    fp_f: int, fc_f: int, fp_b: int = 0,
+                    fc_b: int = 1) -> _PlaneSet:
     mbw = (seq["w"] + 15) // 16
     mbh = (seq["h"] + 15) // 16
     iq_zz = _seq_iq_zz(seq)
+    niq_zz = seq["niq_zz"]
     rec = _PlaneSet(mbw, mbh)
     if ptype == 2:
-        if prev is None:
+        if fwd is None:
             raise ValueError("mpeg1: P-picture with no reference")
-        rec.y[:] = prev.y
-        rec.cb[:] = prev.cb
-        rec.cr[:] = prev.cr
+        rec.y[:] = fwd.y
+        rec.cb[:] = fwd.cb
+        rec.cr[:] = fwd.cr
+    elif ptype == 3:
+        if fwd is None or bwd is None:
+            raise ValueError("mpeg1: B-picture without both anchor "
+                             "references")
+        # between-slice gaps (if any) land as forward zero-MV copy
+        rec.y[:] = fwd.y
+        rec.cb[:] = fwd.cb
+        rec.cr[:] = fwd.cr
     covered = np.zeros(mbw * mbh, dtype=bool)
+
+    def store_mb(row, col, py, pcb, pcr):
+        rec.y[row * 16:row * 16 + 16, col * 16:col * 16 + 16] = py
+        rec.cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = pcb
+        rec.cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = pcr
+
     for sval, payload in slices:
         if not 1 <= sval <= mbh:
             raise ValueError(f"mpeg1: slice row {sval} > {mbh}")
@@ -536,7 +734,10 @@ def _decode_picture(slices, seq, prev: "_PlaneSet | None", ptype: int,
         br.read1()
         mb_addr = (sval - 1) * mbw - 1
         dc_y = dc_cb = dc_cr = 1024
-        mv_y = mv_x = 0
+        mv_fy = mv_fx = mv_by = mv_bx = 0
+        # B-skip replication state: (use_fwd, use_bwd, vf, vb) of the
+        # previous macroblock (skipped B MBs repeat it verbatim)
+        last_b = None
         first_mb = True
         while True:
             # slice ends when only zero stuffing remains before the
@@ -554,25 +755,61 @@ def _decode_picture(slices, seq, prev: "_PlaneSet | None", ptype: int,
                 inc += v
                 break
             if first_mb:
+                # inc>1 at slice start legally positions past
+                # macroblocks the PREVIOUS slice coded (a second slice
+                # starting mid-row); covered.all() below still rejects
+                # genuine I-picture gaps
                 mb_addr += inc
                 first_mb = False
-                if inc > 1 and ptype == 1:
-                    raise ValueError("mpeg1: gap at I-slice start")
             else:
                 if inc > 1:
                     if ptype == 1:
                         raise ValueError(
                             "mpeg1: skipped macroblock in I-picture")
-                    # skipped P macroblocks: copy co-located, reset
-                    # predictors (already copied via prev init)
-                    for _ in range(inc - 1):
+                    if ptype == 2:
+                        # skipped P macroblocks: copy co-located,
+                        # reset predictors (copied via fwd pre-fill)
+                        for _ in range(inc - 1):
+                            mb_addr += 1
+                            if mb_addr >= mbw * mbh:
+                                raise ValueError(
+                                    "mpeg1: address overflow")
+                            covered[mb_addr] = True
+                        mv_fy = mv_fx = 0
+                        dc_y = dc_cb = dc_cr = 1024
                         mb_addr += 1
-                        if mb_addr >= mbw * mbh:
-                            raise ValueError("mpeg1: address overflow")
-                        covered[mb_addr] = True
-                    mv_y = mv_x = 0
-                    dc_y = dc_cb = dc_cr = 1024
-                    mb_addr += 1
+                    else:
+                        # skipped B macroblocks repeat the previous
+                        # MB's prediction mode + vectors; predictors
+                        # are NOT reset (11172-2 2.4.4.4)
+                        if last_b is None:
+                            raise ValueError(
+                                "mpeg1: skipped B macroblock after "
+                                "an intra macroblock")
+                        uf, ub, vf, vb = last_b
+                        for _ in range(inc - 1):
+                            mb_addr += 1
+                            if mb_addr >= mbw * mbh:
+                                raise ValueError(
+                                    "mpeg1: address overflow")
+                            covered[mb_addr] = True
+                            r2, c2 = divmod(mb_addr, mbw)
+                            if uf and ub:
+                                pf = _mb_predict(fwd, r2, c2, *vf)
+                                pb = _mb_predict(bwd, r2, c2, *vb)
+                                store_mb(r2, c2,
+                                         *[_avg_pred(a, b)
+                                           for a, b in zip(pf, pb)])
+                            elif ub:
+                                store_mb(r2, c2,
+                                         *_mb_predict(bwd, r2, c2,
+                                                      *vb))
+                            else:
+                                store_mb(r2, c2,
+                                         *_mb_predict(fwd, r2, c2,
+                                                      *vf))
+                        dc_y = dc_cb = dc_cr = 1024
+                        mb_addr += 1
                 else:
                     mb_addr += 1
             if mb_addr >= mbw * mbh:
@@ -580,69 +817,94 @@ def _decode_picture(slices, seq, prev: "_PlaneSet | None", ptype: int,
             covered[mb_addr] = True
             row, col = divmod(mb_addr, mbw)
             if ptype == 1:
-                quant, mf, _mb, pattern, intra = br.vlc(
+                quant, mf, mbk, pattern, intra = br.vlc(
                     MB_TYPE_I, "macroblock_type(I)")
-            else:
-                quant, mf, _mb, pattern, intra = br.vlc(
+            elif ptype == 2:
+                quant, mf, mbk, pattern, intra = br.vlc(
                     MB_TYPE_P, "macroblock_type(P)")
+            else:
+                quant, mf, mbk, pattern, intra = br.vlc(
+                    MB_TYPE_B, "macroblock_type(B)")
             if quant:
                 qscale = br.read(5)
                 if qscale == 0:
                     raise ValueError("mpeg1: quantizer_scale 0")
             if mf:
-                mv_x = _decode_mv_component(br, f_code, mv_x)
-                mv_y = _decode_mv_component(br, f_code, mv_y)
-            else:
-                mv_y = mv_x = 0
+                mv_fx = _decode_mv_component(br, fc_f, mv_fx)
+                mv_fy = _decode_mv_component(br, fc_f, mv_fy)
+            elif ptype == 2:
+                # P: non-MC macroblocks use and reset a zero forward
+                # vector; B: an untransmitted direction leaves its
+                # predictor untouched
+                mv_fy = mv_fx = 0
+            if mbk:
+                mv_bx = _decode_mv_component(br, fc_b, mv_bx)
+                mv_by = _decode_mv_component(br, fc_b, mv_by)
             if intra:
                 y0, x0 = row * 16, col * 16
-                blk, dc_y = _decode_intra_block(br, True, dc_y,
-                                                qscale, iq_zz)
-                _store_block(rec.y, y0, x0, blk)
-                blk, dc_y = _decode_intra_block(br, True, dc_y,
-                                                qscale, iq_zz)
-                _store_block(rec.y, y0, x0 + 8, blk)
-                blk, dc_y = _decode_intra_block(br, True, dc_y,
-                                                qscale, iq_zz)
-                _store_block(rec.y, y0 + 8, x0, blk)
-                blk, dc_y = _decode_intra_block(br, True, dc_y,
-                                                qscale, iq_zz)
-                _store_block(rec.y, y0 + 8, x0 + 8, blk)
+                for (dy, dx) in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    blk, dc_y = _decode_intra_block(br, True, dc_y,
+                                                    qscale, iq_zz)
+                    _store_block(rec.y, y0 + dy, x0 + dx, blk)
                 blk, dc_cb = _decode_intra_block(br, False, dc_cb,
                                                  qscale, iq_zz)
                 _store_block(rec.cb, row * 8, col * 8, blk)
                 blk, dc_cr = _decode_intra_block(br, False, dc_cr,
                                                  qscale, iq_zz)
                 _store_block(rec.cr, row * 8, col * 8, blk)
-                if ptype == 2:
-                    mv_y = mv_x = 0
+                if ptype != 1:
+                    mv_fy = mv_fx = mv_by = mv_bx = 0
+                    last_b = None
+                continue
+            dc_y = dc_cb = dc_cr = 1024
+            if ptype == 2 and not mf and not pattern:
+                raise ValueError("mpeg1: P macroblock with "
+                                 "neither MC, pattern nor intra")
+            # prediction (scaled to half-pel units per direction)
+            if ptype == 2:
+                use_f, use_b = 1, 0
             else:
-                dc_y = dc_cb = dc_cr = 1024
-                if pattern:
-                    raise ValueError(
-                        "mpeg1: coded non-intra macroblock — the "
-                        "coded_block_pattern table (B.3) is "
-                        "uncertified in this container (see module "
-                        "docstring); only skip/MC/intra P-macroblocks "
-                        "decode here")
-                if not mf:
-                    raise ValueError("mpeg1: P macroblock with "
-                                     "neither MC, pattern nor intra")
-                vx = mv_x * 2 if full_pel else mv_x
-                vy = mv_y * 2 if full_pel else mv_y
-                rec.y[row * 16:row * 16 + 16,
-                      col * 16:col * 16 + 16] = _mc_predict(
-                    prev.y, row * 16, col * 16, 16, 16, vy, vx)
-                # chroma vectors: half the luma vector (truncating
-                # toward zero, 11172-2 2.4.4.2)
-                cx = int(vx / 2)
-                cy = int(vy / 2)
-                rec.cb[row * 8:row * 8 + 8,
-                       col * 8:col * 8 + 8] = _mc_predict(
-                    prev.cb, row * 8, col * 8, 8, 8, cy, cx)
-                rec.cr[row * 8:row * 8 + 8,
-                       col * 8:col * 8 + 8] = _mc_predict(
-                    prev.cr, row * 8, col * 8, 8, 8, cy, cx)
+                use_f, use_b = mf, mbk
+                if not mf and not mbk:
+                    raise ValueError("mpeg1: B macroblock with no "
+                                     "prediction direction")
+            vfy = mv_fy * 2 if fp_f else mv_fy
+            vfx = mv_fx * 2 if fp_f else mv_fx
+            vby = mv_by * 2 if fp_b else mv_by
+            vbx = mv_bx * 2 if fp_b else mv_bx
+            if use_f and use_b:
+                pf = _mb_predict(fwd, row, col, vfy, vfx)
+                pb = _mb_predict(bwd, row, col, vby, vbx)
+                py, pcb, pcr = (_avg_pred(a, b)
+                                for a, b in zip(pf, pb))
+            elif use_b:
+                py, pcb, pcr = _mb_predict(bwd, row, col, vby, vbx)
+            else:
+                py, pcb, pcr = _mb_predict(fwd, row, col, vfy, vfx)
+            if ptype == 3:
+                last_b = (use_f, use_b, (vfy, vfx), (vby, vbx))
+            if not pattern:
+                store_mb(row, col, py, pcb, pcr)
+                continue
+            cbp = br.vlc(CBP, "coded_block_pattern")
+            y0, x0 = row * 16, col * 16
+            for bi, (dy, dx) in enumerate(
+                    ((0, 0), (0, 8), (8, 0), (8, 8))):
+                blk = py[dy:dy + 8, dx:dx + 8].astype(np.float64)
+                if cbp & (32 >> bi):
+                    blk = blk + _reconstruct_nonintra(
+                        _decode_nonintra_zz(br), qscale, niq_zz)
+                _store_block(rec.y, y0 + dy, x0 + dx, blk)
+            blk = pcb.astype(np.float64)
+            if cbp & 2:
+                blk = blk + _reconstruct_nonintra(
+                    _decode_nonintra_zz(br), qscale, niq_zz)
+            _store_block(rec.cb, row * 8, col * 8, blk)
+            blk = pcr.astype(np.float64)
+            if cbp & 1:
+                blk = blk + _reconstruct_nonintra(
+                    _decode_nonintra_zz(br), qscale, niq_zz)
+            _store_block(rec.cr, row * 8, col * 8, blk)
     if ptype == 1 and not covered.all():
         raise ValueError("mpeg1: I-picture does not cover every "
                          "macroblock")
@@ -651,87 +913,126 @@ def _decode_picture(slices, seq, prev: "_PlaneSet | None", ptype: int,
 
 def decode_mpeg1(data: bytes, max_frames: "int | None" = None):
     """Decode an MPEG-1 video elementary stream → ``(fps, (w, h),
-    frames)`` with one (H, W, 3) uint8 RGB array per decoded picture
-    (display order == coding order: I/P only, no B reordering).  Lossy
-    codec — round trips are SNR-bounded, not bit-equal.  Raises
-    ValueError on corrupt input and on the documented uncertified
-    paths (B/D pictures, coded non-intra macroblocks, the dct_coeff
-    VLC tail)."""
+    frames)`` with one (H, W, 3) uint8 RGB array per picture in
+    DISPLAY order (r15: B-pictures reorder via temporal_reference,
+    which resets at each GOP header).  Lossy codec — round trips are
+    SNR-bounded, not bit-equal.  Raises ValueError on corrupt input
+    and on the documented uncertified paths (D-pictures, the
+    dct_coeff VLC tail)."""
     if len(data) < 16 or data[:4] != b"\x00\x00\x01\xb3":
         raise ValueError("not an MPEG-1 video elementary stream "
                          "(no sequence header start code)")
     codes = _find_start_codes(data)
     seq = None
     frames = []
-    prev = None
-    cur = None                       # (ptype, full_pel, f_code, slices)
+    anchor_old = None                # older anchor (B forward ref)
+    anchor_new = None                # most recent anchor
+    display = []                     # [(temporal_ref, rgb)] this GOP
+    next_tref = 0                    # next display slot in this GOP
+    cur = None     # (ptype, tref, fp_f, fc_f, fp_b, fc_b, slices)
+
+    def to_rgb(rec):
+        h, w = seq["h"], seq["w"]
+        return _ycc_to_rgb(rec.y[:h, :w],
+                           _upsample2(rec.cb, h, w),
+                           _upsample2(rec.cr, h, w))
+
+    def drain_ordered():
+        # emit buffered pictures as soon as the display order allows
+        # (streams without B-pictures emit immediately)
+        nonlocal next_tref
+        display.sort(key=lambda t: t[0])
+        while display and display[0][0] == next_tref % 1024:
+            frames.append(display.pop(0)[1])
+            next_tref += 1
 
     def flush():
-        nonlocal prev, cur
+        nonlocal anchor_old, anchor_new, cur
         if cur is None:
             return
-        ptype, fp, fc, slices = cur
+        ptype, tref, fpf, fcf, fpb, fcb, slices = cur
         cur = None
         if not slices:
             raise ValueError("mpeg1: picture with no slices")
-        rec = _decode_picture(slices, seq, prev, ptype, fp, fc)
-        prev = rec
-        h, w = seq["h"], seq["w"]
-        rgb = _ycc_to_rgb(rec.y[:h, :w],
-                          _upsample2(rec.cb, h, w),
-                          _upsample2(rec.cr, h, w))
-        frames.append(rgb)
+        if ptype == 3:
+            rec = _decode_picture(slices, seq, anchor_old, anchor_new,
+                                  3, fpf, fcf, fpb, fcb)
+        else:
+            rec = _decode_picture(slices, seq, anchor_new, None,
+                                  ptype, fpf, fcf)
+            anchor_old = anchor_new
+            anchor_new = rec
+        display.append((tref, to_rgb(rec)))
+        drain_ordered()
+
+    def close_gop():
+        # a GOP boundary ends the reorder scope: whatever is still
+        # buffered goes out in temporal_reference order
+        nonlocal next_tref
+        display.sort(key=lambda t: t[0])
+        frames.extend(rgb for _, rgb in display)
+        display.clear()
+        next_tref = 0
 
     for code, s, e in codes:
         body = data[s:e]
         if code == 0xB3:
             br = _Bits(body)
             seq = _parse_seq_header(br)
-        elif code == 0xB8:           # GOP: time code etc. — skip
-            continue
+        elif code == 0xB8:           # GOP header: reorder boundary
+            flush()
+            close_gop()
+            if max_frames is not None and len(frames) >= max_frames:
+                return (seq["fps"], (seq["w"], seq["h"]),
+                        frames[:max_frames])
         elif code == 0x00:           # picture header
             if seq is None:
                 raise ValueError("mpeg1: picture before sequence "
                                  "header")
             flush()
             if max_frames is not None and len(frames) >= max_frames:
-                return seq["fps"], (seq["w"], seq["h"]), frames
+                return (seq["fps"], (seq["w"], seq["h"]),
+                        frames[:max_frames])
             br = _Bits(body)
-            br.read(10)              # temporal reference
+            tref = br.read(10)
             ptype = br.read(3)
             br.read(16)              # vbv_delay
+            fpf = fcf = fpb = fcb = 1
             if ptype == 1:
-                fp, fc = 0, 1
-            elif ptype == 2:
-                fp = br.read1()
-                fc = br.read(3)
-                if fc == 0:
+                fpf, fcf = 0, 1
+            elif ptype in (2, 3):
+                fpf = br.read1()
+                fcf = br.read(3)
+                if fcf == 0:
                     raise ValueError("mpeg1: forward_f_code 0")
-            elif ptype == 3:
-                raise ValueError(
-                    "mpeg1: B-picture — bidirectional prediction "
-                    "uses the uncertified B.2c table (see module "
-                    "docstring); I/P streams decode here")
+                if ptype == 3:
+                    fpb = br.read1()
+                    fcb = br.read(3)
+                    if fcb == 0:
+                        raise ValueError("mpeg1: backward_f_code 0")
             elif ptype == 4:
                 raise ValueError("mpeg1: D-picture streams do not "
                                  "decode here")
             else:
                 raise ValueError(f"mpeg1: reserved picture type "
                                  f"{ptype}")
-            cur = (ptype, fp, fc, [])
+            cur = (ptype, tref, fpf, fcf, fpb, fcb, [])
         elif 0x01 <= code <= 0xAF:
             if cur is None:
                 raise ValueError("mpeg1: slice before picture header")
-            cur[3].append((code, body))
+            cur[6].append((code, body))
         elif code in (0xB2, 0xB5):   # user data / extension: skip
             continue
         elif code == 0xB7:           # sequence end
             break
     flush()
+    close_gop()
     if seq is None:
         raise ValueError("mpeg1: no sequence header")
     if not frames:
         raise ValueError("mpeg1: no decodable pictures")
+    if max_frames is not None:
+        frames = frames[:max_frames]
     return seq["fps"], (seq["w"], seq["h"]), frames
 
 
@@ -823,35 +1124,153 @@ def _encode_intra_block(bw: _BitWriter, block: np.ndarray, luma: bool,
     return dc
 
 
-def _encode_mv_component(bw: _BitWriter, delta: int) -> None:
+def _encode_mv_component(bw: _BitWriter, delta: int,
+                         f_code: int = 1) -> None:
+    """Code one motion-vector delta at any f_code (r15): modulo-32f
+    wrap into [-16f, 16f), |motion_code| = ceil(|delta|/f) with
+    f_code-1 residual bits (11172-2 2.4.4.2 inverted)."""
     inv = {v: k for k, v in MOTION_CODE.items()}
+    f = 1 << (f_code - 1)
+    lo, hi = -16 * f, 16 * f
+    rng = hi - lo
+    while delta < lo:
+        delta += rng
+    while delta >= hi:
+        delta -= rng
     a = abs(delta)
-    if a > 16:
-        raise ValueError("mpeg1: encoder motion delta out of f_code=1 "
-                         "range")
-    if a == 16:
-        # f_code=1 range is [-16, 15]; +16 wraps to -16
-        delta = -16 if delta > 0 else delta
-        a = 16
-    bw.write_code(inv[a])
-    if a:
-        bw.write(1 if delta < 0 else 0, 1)
+    if a == 0:
+        bw.write_code(inv[0])
+        return
+    c = (a + f - 1) // f             # |motion_code| in 1..16
+    r = a - (1 + f * (c - 1))        # residual in [0, f-1]
+    bw.write_code(inv[c])
+    bw.write(1 if delta < 0 else 0, 1)
+    if f_code > 1:
+        bw.write(r, f_code - 1)
 
 
 def _rate_code(fps: float) -> int:
     return min(PICTURE_RATES, key=lambda c: abs(PICTURE_RATES[c] - fps))
 
 
+def _quantize_nonintra(block: np.ndarray, qscale: int,
+                       niq_zz: np.ndarray) -> np.ndarray:
+    """Residual block → zigzag non-intra levels (r15).  Dead-zone
+    quantizer inverting the (2L+sign)*q*M/16 reconstruction; levels
+    clip at the ±255 escape ceiling (module docstring policy)."""
+    coef = _dct8(block.astype(np.float64))
+    zz = coef.reshape(64)[_ZIGZAG]
+    mag = np.abs(zz) * 16.0 / (qscale * niq_zz.astype(np.float64))
+    lv = np.trunc(mag / 2.0).astype(np.int64)
+    lv = np.clip(lv, 0, 255)
+    return np.sign(zz).astype(np.int64) * lv
+
+
+def _encode_nonintra_block(bw: _BitWriter, zz: np.ndarray) -> None:
+    """Run-level code one coded block (must be nonzero): B.5c with the
+    'first' context — (0, ±1) opens as '1'+sign (EOB cannot open)."""
+    nz = np.nonzero(zz)[0]
+    last = -1
+    first = True
+    for i in nz:
+        run = int(i) - last - 1
+        level = int(zz[i])
+        if first and run == 0 and abs(level) == 1:
+            bw.write(1, 1)
+            bw.write(1 if level < 0 else 0, 1)
+        else:
+            _encode_ac(bw, run, level)
+        first = False
+        last = int(i)
+    bw.write_code(AC_EOB)
+
+
+def _find_exact_mv(ref: _PlaneSet, yp, cbp, crp, row: int,
+                   col: int, search: int, f_code: int = 1):
+    """Full-pel exact-match motion search (±search pels) against one
+    reference: returns the (vy, vx) HALF-PEL vector whose MC
+    prediction reproduces the macroblock exactly (luma + both
+    chroma), or None.  Candidates outside the f_code's representable
+    half-pel range [-16f, 16f-1] are excluded — modulo-32f coding
+    would alias them to the opposite vector (r15 fix)."""
+    y0, x0 = row * 16, col * 16
+    cur_y = yp[y0:y0 + 16, x0:x0 + 16]
+    cur_cb = cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+    cur_cr = crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+    ph, pw = ref.y.shape
+    f = 1 << (f_code - 1)
+    lo, hi = -16 * f, 16 * f - 1
+    # candidates sorted by (|dy|+|dx|, dy, dx): the FIRST match is the
+    # smallest-displacement winner the old full scan picked (same
+    # tie-break — row-major within an L1 shell), so blobs are
+    # bit-identical while the common static/small-motion case exits
+    # after a few compares instead of (2s+1)^2
+    offs = sorted(((dy, dx)
+                   for dy in range(-search, search + 1)
+                   for dx in range(-search, search + 1)
+                   if dy % 2 == 0 and dx % 2 == 0
+                   and lo <= 2 * dy <= hi and lo <= 2 * dx <= hi),
+                  key=lambda o: (abs(o[0]) + abs(o[1]), o[0], o[1]))
+    for dy, dx in offs:
+        sy, sx = y0 + dy, x0 + dx
+        if sy < 0 or sx < 0 or sy + 16 > ph or sx + 16 > pw:
+            continue
+        if not np.array_equal(cur_y,
+                              ref.y[sy:sy + 16, sx:sx + 16]):
+            continue
+        cy, cx = row * 8 + dy // 2, col * 8 + dx // 2
+        if (np.array_equal(cur_cb, ref.cb[cy:cy + 8, cx:cx + 8])
+                and np.array_equal(cur_cr,
+                                   ref.cr[cy:cy + 8, cx:cx + 8])):
+            return (dy * 2, dx * 2)       # half-pel units
+    return None
+
+
+def _sad_best_mv(ref: _PlaneSet, yp, row: int, col: int, search: int,
+                 f_code: int):
+    """Best full-pel luma-SAD vector (half-pel units) for residual
+    coding; ties break toward the smallest L1 displacement."""
+    y0, x0 = row * 16, col * 16
+    cur = yp[y0:y0 + 16, x0:x0 + 16]
+    ph, pw = ref.y.shape
+    f = 1 << (f_code - 1)
+    lo, hi = -16 * f, 16 * f - 1
+    best, best_sad = (0, 0), None
+    for dy, dx in sorted(((dy, dx)
+                          for dy in range(-search, search + 1)
+                          for dx in range(-search, search + 1)
+                          if dy % 2 == 0 and dx % 2 == 0
+                          and lo <= 2 * dy <= hi
+                          and lo <= 2 * dx <= hi),
+                         key=lambda o: (abs(o[0]) + abs(o[1]),
+                                        o[0], o[1])):
+        sy, sx = y0 + dy, x0 + dx
+        if sy < 0 or sx < 0 or sy + 16 > ph or sx + 16 > pw:
+            continue
+        sad = int(np.abs(cur - ref.y[sy:sy + 16,
+                                     sx:sx + 16]).sum())
+        if best_sad is None or sad < best_sad:
+            best, best_sad = (dy * 2, dx * 2), sad
+    return best
+
+
 def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
                  gop: int = 12, p_frames: bool = True,
-                 mv_search: int = 4,
+                 mv_search: int = 4, b_frames: int = 0,
+                 inter_residual: bool = False,
                  intra_matrix: "np.ndarray | None" = None) -> bytes:
     """Encode (H, W, 3) uint8 RGB frames → an MPEG-1 video elementary
     stream (certified-subset writer, module docstring).  I-pictures
     every ``gop`` frames; between them P-pictures built from skipped
     (bit-identical to reference), forward-MC not-coded (exact
-    translation match within ±``mv_search`` full pels) and
-    intra-refresh macroblocks.
+    translation match within ±``mv_search`` full pels),
+    coded-residual (CBP, when ``inter_residual``) and intra-refresh
+    macroblocks.  ``b_frames`` > 0 inserts that many B-pictures
+    between anchors (coding order: anchor first, its Bs after;
+    temporal_reference carries display order, one GOP header per
+    GOP).  The forward/backward f_codes derive from ``mv_search``
+    (f_code=2 once ±8 full-pel vectors are needed — half-pel +16 is
+    unrepresentable at f_code=1, r15 fix).
 
     AC levels saturate at MPEG-1's ±255 escape-coding ceiling — on
     full-band noise at fine quantizers (the pathological case) real
@@ -871,6 +1290,13 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
         raise ValueError(f"encode_mpeg1: dims {w}x{h} outside the "
                          "supported 16..4095 x 16..2800 range (slice "
                          "vertical position is one byte, <= 175 rows)")
+    if not 0 <= b_frames <= 8:
+        raise ValueError("encode_mpeg1: b_frames must be in [0, 8]")
+    if not 0 <= mv_search <= 60:
+        raise ValueError("encode_mpeg1: mv_search must be in [0, 60]")
+    fcode = 1
+    while 16 * (1 << (fcode - 1)) - 1 < 2 * mv_search:
+        fcode += 1
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     if intra_matrix is None:
         iq_zz = DEFAULT_INTRA_Q[_ZIGZAG]
@@ -880,6 +1306,7 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
             raise ValueError("encode_mpeg1: intra matrix entries must "
                              "be in [1, 255]")
         iq_zz = im[_ZIGZAG]
+    niq_zz = DEFAULT_NONINTRA_Q
 
     out = bytearray()
     # sequence header
@@ -900,12 +1327,13 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
             bw.write(int(v), 8)
     bw.write(0, 1)                   # default non-intra matrix
     out += b"\x00\x00\x01\xb3" + bw.bytes()
-    # GOP header
-    bw = _BitWriter()
-    bw.write(0, 25)                  # time code 0
-    bw.write(1, 1)                   # closed gop
-    bw.write(0, 1)
-    out += b"\x00\x00\x01\xb8" + bw.bytes()
+
+    def gop_header() -> bytes:
+        g = _BitWriter()
+        g.write(0, 25)               # time code 0
+        g.write(1, 1)                # closed gop
+        g.write(0, 1)
+        return b"\x00\x00\x01\xb8" + g.bytes()
 
     def pad_plane(p, bh, bwd):
         ph, pw = p.shape
@@ -917,34 +1345,44 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
             q[:, pw:] = q[:, pw - 1:pw]
         return q
 
-    prev_rec: "_PlaneSet | None" = None
-    for idx, fr in enumerate(frames):
+    def planes(fr):
         y, cb, cr = _rgb_to_ycc(fr)
-        yp = pad_plane(y.astype(np.int64), mbh * 16, mbw * 16)
-        cbp = pad_plane(cb[::2, ::2].astype(np.int64), mbh * 8, mbw * 8)
-        crp = pad_plane(cr[::2, ::2].astype(np.int64), mbh * 8, mbw * 8)
-        is_i = (idx % gop == 0) or not p_frames or prev_rec is None
-        ptype = 1 if is_i else 2
+        return (pad_plane(y.astype(np.int64), mbh * 16, mbw * 16),
+                pad_plane(cb[::2, ::2].astype(np.int64),
+                          mbh * 8, mbw * 8),
+                pad_plane(cr[::2, ::2].astype(np.int64),
+                          mbh * 8, mbw * 8))
+
+    def encode_picture(ptype, tref, fr, fwd_rec, bwd_rec):
+        """One coded picture → (bytes, reconstructed _PlaneSet)."""
+        yp, cbp_pl, crp = planes(fr)
         rec = _PlaneSet(mbw, mbh)
         if ptype == 2:
-            rec.y[:] = prev_rec.y
-            rec.cb[:] = prev_rec.cb
-            rec.cr[:] = prev_rec.cr
-        # picture header
+            rec.y[:] = fwd_rec.y
+            rec.cb[:] = fwd_rec.cb
+            rec.cr[:] = fwd_rec.cr
+        pic = bytearray()
         bw = _BitWriter()
-        bw.write(idx % 1024, 10)
+        bw.write(tref % 1024, 10)
         bw.write(ptype, 3)
         bw.write(0xFFFF, 16)         # vbv_delay: variable
-        if ptype == 2:
-            bw.write(0, 1)           # half-pel vectors
-            bw.write(1, 3)           # f_code 1
-        out += b"\x00\x00\x01\x00" + bw.bytes()
+        if ptype in (2, 3):
+            bw.write(0, 1)           # half-pel forward vectors
+            bw.write(fcode, 3)
+            if ptype == 3:
+                bw.write(0, 1)       # half-pel backward vectors
+                bw.write(fcode, 3)
+        pic += b"\x00\x00\x01\x00" + bw.bytes()
+        inv_addr = {v: k for k, v in ADDR_INC.items()
+                    if isinstance(v, int)}
         for row in range(mbh):
             bw = _BitWriter()
             bw.write(qscale, 5)
             bw.write(0, 1)           # no extra slice info
             dc_y = dc_cb = dc_cr = 1024
-            mvp = [0, 0]             # forward MV predictor (x, y)
+            mvp_f = [0, 0]           # forward MV predictor (x, y)
+            mvp_b = [0, 0]
+            last_b = None            # (uf, ub, vf, vb) for B skips
             pending_skip = 0
 
             def emit_intra(col):
@@ -960,11 +1398,12 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
                                          x0 + dx:x0 + dx + 8],
                                       qscale, iq_zz)
                 dc_cb = _encode_intra_block(
-                    bw, cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    bw, cbp_pl[row * 8:row * 8 + 8,
+                               col * 8:col * 8 + 8],
                     False, dc_cb, qscale, iq_zz)
                 _reconstruct_into(rec.cb, row * 8, col * 8, dc_cb,
-                                  cbp[row * 8:row * 8 + 8,
-                                      col * 8:col * 8 + 8],
+                                  cbp_pl[row * 8:row * 8 + 8,
+                                         col * 8:col * 8 + 8],
                                   qscale, iq_zz)
                 dc_cr = _encode_intra_block(
                     bw, crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
@@ -974,113 +1413,321 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
                                       col * 8:col * 8 + 8],
                                   qscale, iq_zz)
 
-            for col in range(mbw):
+            def cur_blocks(col):
                 y0, x0 = row * 16, col * 16
-                cur_y = yp[y0:y0 + 16, x0:x0 + 16]
-                cur_cb = cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
-                cur_cr = crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
-                if ptype == 2:
-                    # skip candidate: bit-identical to the reference
-                    # (never the first/last MB of a slice, and the
-                    # skip resets MV predictors so only usable here
-                    # with our zero-MV-after-skip discipline)
-                    can_skip = (0 < col < mbw - 1 and
-                                np.array_equal(
-                                    cur_y, prev_rec.y[y0:y0 + 16,
-                                                      x0:x0 + 16])
-                                and np.array_equal(
-                                    cur_cb,
-                                    prev_rec.cb[row * 8:row * 8 + 8,
-                                                col * 8:col * 8 + 8])
-                                and np.array_equal(
-                                    cur_cr,
-                                    prev_rec.cr[row * 8:row * 8 + 8,
-                                                col * 8:col * 8 + 8]))
-                    if can_skip:
-                        pending_skip += 1
-                        continue
-                    mv = _find_exact_mv(prev_rec, yp, cbp, crp, row,
-                                        col, mv_search)
-                else:
-                    mv = None
-                # address increment: 1 + pending skips
+                return (yp[y0:y0 + 16, x0:x0 + 16],
+                        cbp_pl[row * 8:row * 8 + 8,
+                               col * 8:col * 8 + 8],
+                        crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8])
+
+            def pred_exact(ref, col, mv):
+                py, pcb, pcr = _mb_predict(ref, row, col, *mv)
+                cy, ccb, ccr = cur_blocks(col)
+                return (np.array_equal(cy, py)
+                        and np.array_equal(ccb, pcb)
+                        and np.array_equal(ccr, pcr))
+
+            def residual_zz(pred_y, pred_cb, pred_cr, col):
+                """Quantize the 6 residual blocks → (cbp, [zz...])."""
+                cy, ccb, ccr = cur_blocks(col)
+                zzs, cbp_bits = [], 0
+                for bi, (dy, dx) in enumerate(
+                        ((0, 0), (0, 8), (8, 0), (8, 8))):
+                    res = (cy[dy:dy + 8, dx:dx + 8]
+                           - pred_y[dy:dy + 8, dx:dx + 8])
+                    zz = _quantize_nonintra(res, qscale, niq_zz)
+                    if zz.any():
+                        cbp_bits |= 32 >> bi
+                        zzs.append(zz)
+                    else:
+                        zzs.append(None)
+                for bit, curc, predc in ((2, ccb, pred_cb),
+                                         (1, ccr, pred_cr)):
+                    zz = _quantize_nonintra(curc - predc, qscale,
+                                            niq_zz)
+                    if zz.any():
+                        cbp_bits |= bit
+                        zzs.append(zz)
+                    else:
+                        zzs.append(None)
+                return cbp_bits, zzs
+
+            def store_coded(col, pred_y, pred_cb, pred_cr, zzs):
+                y0, x0 = row * 16, col * 16
+                for bi, (dy, dx) in enumerate(
+                        ((0, 0), (0, 8), (8, 0), (8, 8))):
+                    blk = pred_y[dy:dy + 8, dx:dx + 8].astype(
+                        np.float64)
+                    if zzs[bi] is not None:
+                        blk = blk + _reconstruct_nonintra(
+                            zzs[bi], qscale, niq_zz)
+                    _store_block(rec.y, y0 + dy, x0 + dx, blk)
+                for k, (plane, predc) in enumerate(
+                        ((rec.cb, pred_cb), (rec.cr, pred_cr))):
+                    blk = predc.astype(np.float64)
+                    if zzs[4 + k] is not None:
+                        blk = blk + _reconstruct_nonintra(
+                            zzs[4 + k], qscale, niq_zz)
+                    _store_block(plane, row * 8, col * 8, blk)
+
+            def emit_addr(col):
+                nonlocal pending_skip, dc_y, dc_cb, dc_cr
                 inc = pending_skip + 1
                 pending_skip = 0
                 while inc > 33:
                     bw.write_code("00000001000")
                     inc -= 33
-                inv_addr = {v: k for k, v in ADDR_INC.items()
-                            if isinstance(v, int)}
                 bw.write_code(inv_addr[inc])
-                if inc > 1:
-                    # predictors reset across skipped macroblocks
+                if inc > 1 and ptype == 2:
+                    # P predictors reset across skipped macroblocks
                     dc_y = dc_cb = dc_cr = 1024
-                    mvp = [0, 0]
+                    mvp_f[0] = mvp_f[1] = 0
+
+            for col in range(mbw):
+                y0, x0 = row * 16, col * 16
                 if ptype == 1:
+                    emit_addr(col)
                     bw.write_code("1")          # intra
                     emit_intra(col)
-                elif mv is not None:
-                    bw.write_code("001")        # MC, not coded
-                    _encode_mv_component(bw, mv[1] - mvp[0])
-                    _encode_mv_component(bw, mv[0] - mvp[1])
-                    mvp = [mv[1], mv[0]]
-                    dc_y = dc_cb = dc_cr = 1024
-                    vy, vx = mv
-                    rec.y[y0:y0 + 16, x0:x0 + 16] = _mc_predict(
-                        prev_rec.y, y0, x0, 16, 16, vy, vx)
-                    cx, cy = int(vx / 2), int(vy / 2)
-                    rec.cb[row * 8:row * 8 + 8,
-                           col * 8:col * 8 + 8] = _mc_predict(
-                        prev_rec.cb, row * 8, col * 8, 8, 8, cy, cx)
-                    rec.cr[row * 8:row * 8 + 8,
-                           col * 8:col * 8 + 8] = _mc_predict(
-                        prev_rec.cr, row * 8, col * 8, 8, 8, cy, cx)
-                else:
+                    continue
+                if ptype == 2:
+                    can_skip = (0 < col < mbw - 1
+                                and pred_exact(fwd_rec, col, (0, 0)))
+                    if can_skip:
+                        pending_skip += 1
+                        continue
+                    mv = _find_exact_mv(fwd_rec, yp, cbp_pl, crp,
+                                        row, col, mv_search, fcode)
+                    if mv is not None:
+                        emit_addr(col)
+                        bw.write_code("001")    # MC, not coded
+                        _encode_mv_component(bw, mv[1] - mvp_f[0],
+                                             fcode)
+                        _encode_mv_component(bw, mv[0] - mvp_f[1],
+                                             fcode)
+                        mvp_f[:] = [mv[1], mv[0]]
+                        dc_y = dc_cb = dc_cr = 1024
+                        py, pcb, pcr = _mb_predict(fwd_rec, row, col,
+                                                   *mv)
+                        rec.y[y0:y0 + 16, x0:x0 + 16] = py
+                        rec.cb[row * 8:row * 8 + 8,
+                               col * 8:col * 8 + 8] = pcb
+                        rec.cr[row * 8:row * 8 + 8,
+                               col * 8:col * 8 + 8] = pcr
+                        continue
+                    if inter_residual:
+                        mv = _sad_best_mv(fwd_rec, yp, row, col,
+                                          mv_search, fcode)
+                        py, pcb, pcr = _mb_predict(fwd_rec, row, col,
+                                                   *mv)
+                        cbp_bits, zzs = residual_zz(py, pcb, pcr, col)
+                        saturated = any(
+                            z is not None and np.abs(z).max() >= 255
+                            for z in zzs)
+                        if not saturated:
+                            emit_addr(col)
+                            dc_y = dc_cb = dc_cr = 1024
+                            if cbp_bits == 0:
+                                # quantized to nothing: MC not coded
+                                bw.write_code("001")
+                                _encode_mv_component(
+                                    bw, mv[1] - mvp_f[0], fcode)
+                                _encode_mv_component(
+                                    bw, mv[0] - mvp_f[1], fcode)
+                                mvp_f[:] = [mv[1], mv[0]]
+                                rec.y[y0:y0 + 16, x0:x0 + 16] = py
+                                rec.cb[row * 8:row * 8 + 8,
+                                       col * 8:col * 8 + 8] = pcb
+                                rec.cr[row * 8:row * 8 + 8,
+                                       col * 8:col * 8 + 8] = pcr
+                                continue
+                            if mv == (0, 0):
+                                bw.write_code("01")   # no MC, coded
+                                mvp_f[0] = mvp_f[1] = 0
+                            else:
+                                bw.write_code("1")    # MC, coded
+                                _encode_mv_component(
+                                    bw, mv[1] - mvp_f[0], fcode)
+                                _encode_mv_component(
+                                    bw, mv[0] - mvp_f[1], fcode)
+                                mvp_f[:] = [mv[1], mv[0]]
+                            bw.write_code(_CBP_INV[cbp_bits])
+                            for z in zzs:
+                                if z is not None:
+                                    _encode_nonintra_block(bw, z)
+                            store_coded(col, py, pcb, pcr, zzs)
+                            continue
+                    emit_addr(col)
                     bw.write_code("00011")      # P intra
                     emit_intra(col)
-                    mvp = [0, 0]
+                    mvp_f[0] = mvp_f[1] = 0
+                    continue
+                # ---- B picture ----
+                if (last_b is not None and 0 < col < mbw - 1):
+                    uf, ub, vf, vb = last_b
+                    if uf and ub:
+                        pf = _mb_predict(fwd_rec, row, col, *vf)
+                        pb = _mb_predict(bwd_rec, row, col, *vb)
+                        pred = tuple(_avg_pred(a, b)
+                                     for a, b in zip(pf, pb))
+                    elif ub:
+                        pred = _mb_predict(bwd_rec, row, col, *vb)
+                    else:
+                        pred = _mb_predict(fwd_rec, row, col, *vf)
+                    cy, ccb, ccr = cur_blocks(col)
+                    if (np.array_equal(cy, pred[0])
+                            and np.array_equal(ccb, pred[1])
+                            and np.array_equal(ccr, pred[2])):
+                        pending_skip += 1
+                        rec.y[y0:y0 + 16, x0:x0 + 16] = pred[0]
+                        rec.cb[row * 8:row * 8 + 8,
+                               col * 8:col * 8 + 8] = pred[1]
+                        rec.cr[row * 8:row * 8 + 8,
+                               col * 8:col * 8 + 8] = pred[2]
+                        continue
+                mvf = _find_exact_mv(fwd_rec, yp, cbp_pl, crp,
+                                     row, col, mv_search, fcode)
+                if mvf is not None:
+                    emit_addr(col)
+                    bw.write_code("0010")       # fwd, not coded
+                    _encode_mv_component(bw, mvf[1] - mvp_f[0], fcode)
+                    _encode_mv_component(bw, mvf[0] - mvp_f[1], fcode)
+                    mvp_f[:] = [mvf[1], mvf[0]]
+                    dc_y = dc_cb = dc_cr = 1024
+                    py, pcb, pcr = _mb_predict(fwd_rec, row, col,
+                                               *mvf)
+                    rec.y[y0:y0 + 16, x0:x0 + 16] = py
+                    rec.cb[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = pcb
+                    rec.cr[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = pcr
+                    last_b = (1, 0, mvf, (0, 0))
+                    continue
+                mvb = _find_exact_mv(bwd_rec, yp, cbp_pl, crp,
+                                     row, col, mv_search, fcode)
+                if mvb is not None:
+                    emit_addr(col)
+                    bw.write_code("010")        # bwd, not coded
+                    _encode_mv_component(bw, mvb[1] - mvp_b[0], fcode)
+                    _encode_mv_component(bw, mvb[0] - mvp_b[1], fcode)
+                    mvp_b[:] = [mvb[1], mvb[0]]
+                    dc_y = dc_cb = dc_cr = 1024
+                    py, pcb, pcr = _mb_predict(bwd_rec, row, col,
+                                               *mvb)
+                    rec.y[y0:y0 + 16, x0:x0 + 16] = py
+                    rec.cb[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = pcb
+                    rec.cr[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = pcr
+                    last_b = (0, 1, mvb, (0, 0))
+                    continue
+                # zero-vector interpolation (exact average match)
+                pf = _mb_predict(fwd_rec, row, col, 0, 0)
+                pb = _mb_predict(bwd_rec, row, col, 0, 0)
+                pavg = tuple(_avg_pred(a, b) for a, b in zip(pf, pb))
+                cy, ccb, ccr = cur_blocks(col)
+                if (np.array_equal(cy, pavg[0])
+                        and np.array_equal(ccb, pavg[1])
+                        and np.array_equal(ccr, pavg[2])):
+                    emit_addr(col)
+                    bw.write_code("10")         # interp, not coded
+                    _encode_mv_component(bw, 0 - mvp_f[0], fcode)
+                    _encode_mv_component(bw, 0 - mvp_f[1], fcode)
+                    _encode_mv_component(bw, 0 - mvp_b[0], fcode)
+                    _encode_mv_component(bw, 0 - mvp_b[1], fcode)
+                    mvp_f[0] = mvp_f[1] = 0
+                    mvp_b[0] = mvp_b[1] = 0
+                    dc_y = dc_cb = dc_cr = 1024
+                    rec.y[y0:y0 + 16, x0:x0 + 16] = pavg[0]
+                    rec.cb[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = pavg[1]
+                    rec.cr[row * 8:row * 8 + 8,
+                           col * 8:col * 8 + 8] = pavg[2]
+                    last_b = (1, 1, (0, 0), (0, 0))
+                    continue
+                if inter_residual:
+                    mv = _sad_best_mv(fwd_rec, yp, row, col,
+                                      mv_search, fcode)
+                    py, pcb, pcr = _mb_predict(fwd_rec, row, col, *mv)
+                    cbp_bits, zzs = residual_zz(py, pcb, pcr, col)
+                    saturated = any(
+                        z is not None and np.abs(z).max() >= 255
+                        for z in zzs)
+                    if not saturated and cbp_bits:
+                        emit_addr(col)
+                        bw.write_code("0011")   # fwd, coded
+                        _encode_mv_component(bw, mv[1] - mvp_f[0],
+                                             fcode)
+                        _encode_mv_component(bw, mv[0] - mvp_f[1],
+                                             fcode)
+                        mvp_f[:] = [mv[1], mv[0]]
+                        dc_y = dc_cb = dc_cr = 1024
+                        bw.write_code(_CBP_INV[cbp_bits])
+                        for z in zzs:
+                            if z is not None:
+                                _encode_nonintra_block(bw, z)
+                        store_coded(col, py, pcb, pcr, zzs)
+                        last_b = (1, 0, mv, (0, 0))
+                        continue
+                emit_addr(col)
+                bw.write_code("00011")          # B intra
+                emit_intra(col)
+                mvp_f[0] = mvp_f[1] = 0
+                mvp_b[0] = mvp_b[1] = 0
+                last_b = None
             # trailing skipped MBs are illegal (last MB of a slice
-            # must be coded) — _find_exact_mv(0,0) or intra always
-            # codes the last column, so pending_skip is 0 here
-            out += bytes([0, 0, 1, row + 1]) + bw.bytes()
-        prev_rec = rec
+            # must be coded) — the skip guards stop at col mbw-2, so
+            # pending_skip is 0 here
+            pic += bytes([0, 0, 1, row + 1]) + bw.bytes()
+        return bytes(pic), rec
+
+    if b_frames == 0 or not p_frames:
+        # classic I/P path (bit-identical to the r14 writer for
+        # default options: one GOP header, stream-global tref)
+        out += gop_header()
+        prev_rec = None
+        for idx, fr in enumerate(frames):
+            is_i = (idx % gop == 0) or not p_frames or prev_rec is None
+            pic, rec = encode_picture(1 if is_i else 2, idx, fr,
+                                      prev_rec, None)
+            out += pic
+            prev_rec = rec
+        out += b"\x00\x00\x01\xb7"
+        return bytes(out)
+
+    # B-frame path: one GOP header per GOP; within each GOP anchors
+    # sit every b_frames+1 display slots (GOP tail closes with a
+    # forced anchor so every B has both references); coding order is
+    # anchor-then-its-Bs, temporal_reference = display slot
+    prev_anchor = None
+    for g0 in range(0, len(frames), gop):
+        grp = frames[g0:g0 + gop]
+        out += gop_header()
+        anchors = list(range(0, len(grp), b_frames + 1))
+        if anchors[-1] != len(grp) - 1:
+            anchors.append(len(grp) - 1)
+        # first anchor: I (closed GOP; any leading Bs would need the
+        # previous GOP's anchor — our GOPs always open on an anchor)
+        pic, rec = encode_picture(1, anchors[0], grp[anchors[0]],
+                                  None, None)
+        out += pic
+        prev_anchor = rec
+        for ai in range(1, len(anchors)):
+            a_prev, a_next = anchors[ai - 1], anchors[ai]
+            pic, rec = encode_picture(2, a_next, grp[a_next],
+                                      prev_anchor, None)
+            out += pic
+            next_anchor = rec
+            for bpos in range(a_prev + 1, a_next):
+                pic, _ = encode_picture(3, bpos, grp[bpos],
+                                        prev_anchor, next_anchor)
+                out += pic
+            prev_anchor = next_anchor
     out += b"\x00\x00\x01\xb7"
     return bytes(out)
 
 
-def _find_exact_mv(prev_rec: _PlaneSet, yp, cbp, crp, row: int,
-                   col: int, search: int):
-    """Full-pel exact-match motion search (±search pels): returns the
-    (vy, vx) HALF-PEL vector whose MC prediction reproduces the
-    macroblock exactly (luma + both chroma), or None."""
-    y0, x0 = row * 16, col * 16
-    cur_y = yp[y0:y0 + 16, x0:x0 + 16]
-    cur_cb = cbp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
-    cur_cr = crp[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
-    ph, pw = prev_rec.y.shape
-    # candidates sorted by (|dy|+|dx|, dy, dx): the FIRST match is the
-    # smallest-displacement winner the old full scan picked (same
-    # tie-break — row-major within an L1 shell), so blobs are
-    # bit-identical while the common static/small-motion case exits
-    # after a few compares instead of (2s+1)^2
-    offs = sorted(((dy, dx)
-                   for dy in range(-search, search + 1)
-                   for dx in range(-search, search + 1)
-                   if dy % 2 == 0 and dx % 2 == 0),
-                  key=lambda o: (abs(o[0]) + abs(o[1]), o[0], o[1]))
-    for dy, dx in offs:
-        sy, sx = y0 + dy, x0 + dx
-        if sy < 0 or sx < 0 or sy + 16 > ph or sx + 16 > pw:
-            continue
-        if not np.array_equal(cur_y,
-                              prev_rec.y[sy:sy + 16, sx:sx + 16]):
-            continue
-        cy, cx = row * 8 + dy // 2, col * 8 + dx // 2
-        if (np.array_equal(cur_cb, prev_rec.cb[cy:cy + 8, cx:cx + 8])
-                and np.array_equal(cur_cr,
-                                   prev_rec.cr[cy:cy + 8, cx:cx + 8])):
-            return (dy * 2, dx * 2)       # half-pel units
-    return None
+_CBP_INV = {v: k for k, v in CBP.items()}
 
 
 def _reconstruct_into(plane, y0, x0, dc, block, qscale, iq_zz) -> None:
@@ -1158,8 +1805,7 @@ def mux_mpeg_ps(video_es: bytes, *, packet_bytes: int = 2034,
             # system header: rate bound + 1 video stream bound
             body = bytearray()
             body += ((1 << 23) | (mux_rate << 1) | 1).to_bytes(3, "big")
-            body += bytes([0x04 | 0x01])      # audio bound 1? no: 0
-            body[3:4] = bytes([0x00 | 0x00])  # audio_bound 0, fixed 0
+            body += bytes([0x00])  # audio_bound 0, fixed/CSPS 0
             body += bytes([0x21])             # video_bound 1, marker
             body += bytes([0xFF])             # reserved
             body += bytes([VIDEO_STREAM_0])

@@ -176,9 +176,12 @@ def _patch_picture_type(blob: bytes, new_type: int) -> bytes:
     return bytes(b)
 
 
-def test_b_and_d_pictures_raise_loudly():
+def test_d_pictures_raise_loudly():
+    # (r15: B-pictures decode now — see test_round15 — so only D
+    # remains a refused picture type; a type-3 patch of an I-frame
+    # header is simply malformed and still raises)
     blob = encode_mpeg1([_gray_blocks(7)])
-    with pytest.raises(ValueError, match="B-picture"):
+    with pytest.raises(ValueError):
         decode_mpeg1(_patch_picture_type(blob, 3))
     with pytest.raises(ValueError, match="D-picture"):
         decode_mpeg1(_patch_picture_type(blob, 4))
@@ -230,20 +233,29 @@ def test_uncertified_ac_tail_raises():
         decode_mpeg1(blob)
 
 
-def test_uncertified_cbp_raises():
-    # P picture: 'no MC, coded' macroblock reaches the CBP table
+def test_invalid_cbp_code_raises():
+    # (r15: B.3 is certified and coded P-macroblocks decode; an
+    # INVALID coded_block_pattern codeword must still refuse loudly)
     blob_i = encode_mpeg1([_gray_blocks(8, 16, 16)])
-    p_tail = _mini_stream([("code", "1"), ("code", "01")], ptype=2)
+    p_tail = _mini_stream([("code", "1"),      # addr inc 1
+                           ("code", "01"),     # no MC, coded
+                           ("code", "000000000001")],  # not a code
+                          ptype=2)
     blob = blob_i[:-4] + p_tail[p_tail.index(b"\x00\x00\x01\x00"):]
-    with pytest.raises(ValueError, match="coded_block_pattern"):
+    with pytest.raises(ValueError,
+                       match="coded_block_pattern|truncated"):
         decode_mpeg1(blob)
 
 
 def test_skipped_mb_in_i_picture_raises():
+    # 16x16 = 1 MB: inc 2 at slice start overshoots the picture (r15:
+    # slice-start inc>1 is legal positioning, so the failure is now
+    # the address bound, not a blanket gap check)
     blob = _mini_stream([("code", "011"),        # addr inc 2 at start
                          ("code", "1"),
                          ("code", "100")])
-    with pytest.raises(ValueError, match="I-slice|I-picture|cover"):
+    with pytest.raises(ValueError,
+                       match="I-slice|I-picture|cover|overflow"):
         decode_mpeg1(blob)
 
 
