@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     # r6 third batch
     "hll_distinct_partkey", "heavy_hitters_tokens", "source_overlap_docs",
     "profile_docs",
+    # r15 (VERDICT r14 #2): the codec arms split out of profile_docs
+    # into their own itemized pin, so per-codec regressions are
+    # visible round-over-round; embedding_near_dup_ivf folded into
+    # semantic_dedup_emb ('pairs' arm), standalone floor kept
+    "profile_media", "embedding_near_dup_ivf",
     # r7: BPE merge-learning floor (driver-local fast path) + the
     # batched ANN-join kNN-graph shape
     "bpe_train_docs", "ann_join_emb", "ann_join_gemm",
