@@ -443,3 +443,67 @@ def test_handbuilt_backward_coded_b_macroblock():
                                   np.full((8, 8, 3), 125, np.uint8))
     np.testing.assert_array_equal(b[8:, :], frames[0][8:, :])
     np.testing.assert_array_equal(b[:8, 8:], frames[0][:8, 8:])
+
+
+# ---------------------------------------------------------------------------
+# r15: native-codec probe wiring (VERDICT r14 #8)
+# ---------------------------------------------------------------------------
+
+def _has(mod):
+    import importlib
+    try:
+        importlib.import_module(mod)
+        return True
+    except Exception:
+        return False
+
+
+def test_native_probe_returns_none_when_absent():
+    from conduino_spark.operators.multimodal import _native_probe
+    for kind, mod in (("image", "PIL.Image"), ("audio", "soundfile"),
+                      ("video", "av")):
+        got = _native_probe(kind)
+        if _has(mod):
+            assert got is not None
+        else:
+            assert got is None
+
+
+def test_real_slots_raise_loudly_without_libs(spark):
+    # in a container without PIL/soundfile/av every codec='real' slot
+    # must raise the documented NotImplementedError naming the probe;
+    # with the libs installed these paths decode instead (skip)
+    from conduino_spark import (audio_metadata, feature_extract,
+                                frame_sample, image_metadata,
+                                image_resize, run_pipe, sink_df,
+                                source_list, video_metadata)
+    blobs = source_list([{"id": 1, "content": b"notmedia"}])
+    cases = [
+        ("PIL.Image", image_metadata(codec="real")),
+        ("soundfile", audio_metadata(codec="real")),
+        ("PIL.Image", image_resize(codec="real")),
+        ("av", frame_sample(codec="real")),
+        ("av", video_metadata(codec="real")),
+        ("PIL.Image", feature_extract(codec="real")),
+    ]
+    for mod, stage in cases:
+        if _has(mod):
+            pytest.skip(f"{mod} installed — the raise path is gone")
+        with pytest.raises(Exception, match="NotImplementedError"):
+            run_pipe(blobs | stage | sink_df(), spark).collect()
+
+
+@pytest.mark.skipif(not _has("PIL.Image"),
+                    reason="pillow not installed")
+def test_real_image_metadata_with_pil(spark):
+    # exercised only where pillow exists: the probe path must decode
+    # a real PNG (our own encoder) through PIL
+    from conduino_spark import (image_metadata, run_pipe, sink_df,
+                                source_list)
+    from conduino_spark.operators.multimodal import encode_png
+    img = (np.arange(6 * 5 * 3, dtype=np.int64) % 200).astype(
+        np.uint8).reshape(6, 5, 3)
+    blobs = source_list([{"id": 1, "content": encode_png(img)}])
+    row = run_pipe(blobs | image_metadata(codec="real") | sink_df(),
+                   spark).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
