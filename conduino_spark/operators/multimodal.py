@@ -1296,6 +1296,9 @@ MAGIC_SIGNATURES: "list[tuple[str, str, int]]" = [
     ("mp4",  "66747970", 4),   # ISO BMFF: 'ftyp' at byte 4
     ("mpeg1", "000001b3", 0),  # MPEG video elementary stream (r14)
     ("mpeg_ps", "000001ba", 0),  # MPEG program stream pack (r14)
+    ("bmp",  "424d",     0),   # 'BM' DIB (r15 — was a sniff gap:
+    # bmp decoded for real since r10 but never got a magic row, so
+    # mixed-column dispatch sent every bmp to the error bucket)
     # bare MPEG-audio sync (no ID3) — 2-byte prefixes, lowest priority
     ("mp3",  "fffb",     0),
     ("mp3",  "fffa",     0),   # MPEG-1 L3 with CRC

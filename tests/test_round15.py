@@ -507,3 +507,19 @@ def test_real_image_metadata_with_pil(spark):
     row = run_pipe(blobs | image_metadata(codec="real") | sink_df(),
                    spark).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (5, 6, 3)
+
+
+def test_sniff_format_tags_bmp(spark):
+    # r15: the crawl-mix probe exposed that bmp had a real decoder
+    # since r10 but no magic row — sniff must tag it and
+    # media_profile must dispatch it
+    from conduino_spark import (encode_bmp, media_profile, run_pipe,
+                                sink_df, sniff_format, source_list)
+    img = (np.arange(16 * 16 * 3, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(16, 16, 3)
+    blobs = source_list([{"id": 1, "content": encode_bmp(img)}])
+    rows = run_pipe(blobs | sniff_format("content")
+                    | media_profile(codec_col="format") | sink_df(),
+                    spark).collect()
+    assert rows[0]["format"] == "bmp"
+    assert rows[0]["sum_abs"] == int(img.astype(np.int64).sum())

@@ -606,8 +606,123 @@ def main() -> None:
                 "blob_mbps": round(len(blob) * reps / 1e6 / elapsed, 2)}
         result["codec_mbps_single_core"] = single
 
+    def _crawl_mix_probe():
+        # r15 (VERDICT r14 #4): the decoded-vs-error-row fraction over
+        # a REALISTIC crawl blob mixture, measured instead of claimed.
+        # 15 blob kinds per doc: 11 decode for real today (incl. the
+        # r15 MPEG-PS stream with B-pictures + CBP residuals — an
+        # error row before r15), 4 land as error rows by documented
+        # policy (mp4/webm/opus sample decode and garbage bytes).
+        import os
+        import shutil
+        import tempfile
+        import numpy as np
+        from conduino_spark import (encode_aiff, encode_flac,
+                                    encode_gif, encode_jpeg,
+                                    encode_mp3, encode_png,
+                                    encode_tiff, encode_vorbis,
+                                    encode_wav, media_profile,
+                                    sniff_format)
+
+        docs = dc1.select("doc_id").limit(200)
+
+        def gen(batches):
+            import pandas as pd
+            from conduino_spark import (encode_bmp,
+                                        encode_mp4_stub,
+                                        encode_ogg_stub)
+            from conduino_spark.operators.mpeg1 import (encode_mpeg1,
+                                                        mux_mpeg_ps)
+            from conduino_spark.operators.webp import encode_webp
+            for pdf in batches:
+                ids, blobs = [], []
+
+                def put(i, b):
+                    ids.append(i)
+                    blobs.append(b)
+
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    img = ((np.arange(48 * 48 * 3, dtype=np.int64)
+                            * (3 + i) + i) % 251).astype("uint8") \
+                        .reshape(48, 48, 3)
+                    x = ((np.arange(4000, dtype=np.int64) * (3 + i))
+                         % 20001 - 10000).astype("<i2")
+                    put(i, encode_jpeg(img, quality=85))
+                    put(i, encode_png(img, filter_type=i % 5))
+                    pal = np.array([[k * 16 % 256] * 3
+                                    for k in range(16)], np.uint8)
+                    put(i, encode_gif(pal[(np.arange(48 * 48)
+                                           * (7 + i) % 16)
+                                          .astype(np.int64)]
+                                      .reshape(48, 48, 3)))
+                    put(i, encode_webp(img, use_palette=False,
+                                       predictor_mode=i % 14))
+                    put(i, encode_tiff(img, compression="packbits"))
+                    put(i, encode_bmp(img))
+                    put(i, encode_wav(x, 8000))
+                    put(i, encode_flac(x[:2000], 8000))
+                    put(i, encode_aiff(x[:2000], 16000))
+                    put(i, encode_mp3(
+                        x[:4608].astype(np.float64) / 32768.0,
+                        32000, kbps=160))
+                    put(i, encode_vorbis(x[:4096], 32000,
+                                         blocksize=1024, value_bits=6))
+                    # r15: MPEG-PS with B-pictures + CBP residuals
+                    br9, bc9 = np.mgrid[0:3, 0:3]
+                    v9 = ((i * 13 + br9 * 41 + bc9 * 67) % 200)
+                    g9 = np.repeat(np.repeat(
+                        v9.astype(np.uint8), 8, 0), 8, 1)
+                    fa = np.repeat(g9[:, :, None], 3, 2)
+                    fb = np.roll(fa, (8, 8), (0, 1))
+                    fc = np.clip(fa.astype(np.int64) + 9,
+                                 0, 255).astype(np.uint8)
+                    put(i, mux_mpeg_ps(encode_mpeg1(
+                        [fa, fb, fc], b_frames=1, gop=3, qscale=1,
+                        inter_residual=True, mv_search=8),
+                        packet_bytes=700))
+                    # documented error-row classes
+                    put(i, encode_mp4_stub(width=320, height=240,
+                           duration=3000))
+                    put(i, encode_ogg_stub("opus", rate=48000,
+                           n_samples=4800))
+                    put(i, b"\xde\xad" + bytes([(i * 7 + k) % 256
+                                                for k in range(64)]))
+                yield pd.DataFrame({"id": ids, "content": blobs})
+
+        d = os.path.join(tempfile.gettempdir(),
+                         f"probe_crawl_{os.getpid()}")
+        shutil.rmtree(d, ignore_errors=True)
+        docs.mapInPandas(gen, "id long, content binary") \
+            .write.parquet(d)
+        bdf = spark.read.parquet(d)
+        t0 = time.time()
+        prof = media_profile(codec_col="format")(
+            sniff_format("content")(bdf))
+        counts = {r["format"]: r["n"] for r in
+                  prof.groupBy("format").agg(F.count("*").alias("n"))
+                  .collect()}
+        wall = time.time() - t0
+        total = sum(counts.values())
+        errors = counts.get("error", 0)
+        nbytes = bdf.select(F.sum(F.length("content"))).first()[0]
+        result["crawl_mix_decode_rate"] = {
+            "n_blobs": total,
+            "decoded_frac": round(1 - errors / total, 4),
+            "error_frac": round(errors / total, 4),
+            "by_format": {k: counts[k] for k in sorted(counts)},
+            "mbps_32core": round(nbytes / 1e6 / wall, 1),
+            "note": ("15 kinds/doc over 200 docs: jpeg/png/gif/webp/"
+                     "tiff/bmp/wav/flac/aiff/mp3/vorbis/mpeg_ps(B+CBP,"
+                     " decodes since r15) real; mp4/webm-style opus "
+                     "and garbage land as error rows by documented "
+                     "policy")}
+        shutil.rmtree(d, ignore_errors=True)
+
     if not ONLY or "blob_decode" in ONLY:
         _blob_decode_probe()
+    if not ONLY or "crawl_mix" in ONLY:
+        _crawl_mix_probe()
     for name, fn in OPS.items():
         if ONLY and name not in ONLY:
             continue
