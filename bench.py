@@ -270,6 +270,11 @@ def main() -> None:
     # passed the idle gate, before 90+ interleaved queries spread
     # their samples across a contention-exposed half hour
     solo_floors: dict[str, float] = {}
+    # r15 (VERDICT r14 #5): the 2x-CPUS midrun threshold can't flag a
+    # co-tenant burst during the solo sampling itself — stamp the solo
+    # floors with their own loadavg ceiling and a tighter 1.5x-CPUS
+    # contamination bar, so the pinned numbers are self-labeling
+    solo_loadavg_max = 0.0
     for name in SOLO_QUERIES:
         if name not in samples:
             continue
@@ -277,10 +282,13 @@ def main() -> None:
             if name in failed:
                 break
             dt = sample_once(name)
+            solo_loadavg_max = max(solo_loadavg_max,
+                                   os.getloadavg()[0])
             if dt is not None:
                 samples[name].append(dt)
         if samples[name]:
             solo_floors[name] = round(min(samples[name]), 3)
+    solo_contaminated = solo_loadavg_max > 1.5 * CPUS
     for _round in range(BASE_ROUNDS):
         for name in samples:
             if name in failed:
@@ -349,6 +357,9 @@ def main() -> None:
                           if len(rs) > BASE_ROUNDS},
             # the pinned floors taken in the post-idle-gate solo phase
             "solo_floors": solo_floors,
+            # r15: the solo phase's own loadavg ceiling (bar 1.5xCPUS)
+            "solo_loadavg_max": round(solo_loadavg_max, 2),
+            "solo_contaminated": solo_contaminated,
         },
     }
     if failed:

@@ -28,13 +28,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+#: r15 (VERDICT r14 #6): pass "real:<dir>" as the second arg to probe
+#: against a REAL larger generation (tools/gen_sf.py) instead of
+#: replicated sf0.1 — fresh key spaces and Zipf-skewed activity, the
+#: shape replication cannot produce.  The linearity bound is then the
+#: row-count ratio of the real dataset.
+REAL10: "str | None" = None
+if len(sys.argv) > 2 and sys.argv[2].startswith("real:"):
+    REAL10 = sys.argv[2][5:]
+    REPLICAS = 10
+else:
+    REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 #: optional op-name filter (argv[3:]) — re-measure a subset without
 #: paying for the whole sweep
 ONLY = set(sys.argv[3:])
 
 
 def replicated_events(spark, n):
+    if REAL10 and n > 1:
+        # real larger generation (gen_sf.py) — no replicas
+        return spark.read.parquet(f"{REAL10}/events.parquet")
     base = spark.read.parquet(f"{SF_DIR}/events.parquet")
     parts = [base.select(
         (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
@@ -48,6 +61,9 @@ def replicated_events(spark, n):
 
 
 def replicated_docs(spark, n):
+    if REAL10 and n > 1:
+        # real larger generation (gen_sf.py) — no replicas
+        return spark.read.parquet(f"{REAL10}/documents.parquet")
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     parts = [base.select(
         (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
@@ -63,6 +79,9 @@ def replicated_docs(spark, n):
 
 
 def replicated_embeddings(spark, n):
+    if REAL10 and n > 1:
+        # real larger generation (gen_sf.py) — no replicas
+        return spark.read.parquet(f"{REAL10}/embeddings.parquet")
     base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # remap BOTH ids and cell labels: replicas share no cells, so each
     # cell keeps its 1x size and the bucketed candidate join stays
@@ -742,10 +761,16 @@ def main() -> None:
         result[name] = {"t_1x": t1, f"t_{REPLICAS}x": tn,
                         "ratio": round(tn / max(t1, 1e-9), 2)}
 
+    note = (f"REAL sf1 generation at {REAL10} (tools/gen_sf.py: fresh "
+            "key spaces, Zipf-skewed users/customers/words) vs sf0.1"
+            if REAL10 else
+            "no sf1 dataset baked into the container; probe = sf0.1 "
+            f"tables replicated {REPLICAS}x with remapped keys; pass "
+            "real:<dir> after gen_sf.py for the real-generation mode")
     print(json.dumps({
-        "note": ("no sf1 dataset exists in the container; probe = sf0.1 "
-                 f"tables replicated {REPLICAS}x with remapped keys"),
+        "note": note,
         "sf_base": SF_DIR, "replicas": REPLICAS, "ops": result,
+        "real10_dir": REAL10,
         "linear_bound": REPLICAS,
     }))
     spark.stop()
