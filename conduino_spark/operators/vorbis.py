@@ -37,6 +37,19 @@ Scale posture: decode-once per blob inside Arrow ``mapInPandas``
 (multimodal.py dispatch); corrupt input raises ValueError, never
 aborting a batch.  Reference anchor: conduino has no media types —
 north-star engine extension (SURVEY §7, M6).
+
+r15 structural pass (VERDICT r14 #3 — the per-partition bookkeeping
+floor): (a) passes 1-7 walk only ACTIVE (partition, channel) entries
+(inactive entries consume no bits, so the skip is bit-identical) and
+are skipped wholesale for single-pass streams; (b) when the classbook
+and the single pass-0 book are both fixed-rate, the whole pass-0 bit
+layout is deterministic and decodes as a handful of cached numpy
+gathers; (c) floor1 line rendering is the closed form, one slice per
+segment; (d) parsed setup headers memoize per (bytes, ch) — a corpus
+from one encoder config shares one setup across every file, so
+codebook construction amortizes (first decode of a new setup pays the
+parse).  Measured single-core: 2.15 -> ~5.9 MB/s on the scale-probe
+fixture (2.7x; tools/scale_probe.py codec_mbps_single_core).
 """
 
 from __future__ import annotations
@@ -438,24 +451,19 @@ def _render_point(x0, y0, x1, y1, x):
 
 
 def _render_line(x0, y0, x1, y1, v, n):
+    """Floor1 line render into ndarray v (r15: closed form — the
+    spec's Bresenham accumulation equals render_point at every x:
+    y(x) = y0 ± (|dy|*(x-x0))//adx, one numpy slice per segment)."""
+    end = min(x1, n)
+    if x0 >= n:
+        return
+    if x0 >= end:
+        v[x0] = y0
+        return
     dy = y1 - y0
     adx = x1 - x0
-    ady = abs(dy)
-    base = -((-dy) // adx) if dy < 0 else dy // adx   # trunc to zero
-    sy = base - 1 if dy < 0 else base + 1
-    ady -= abs(base) * adx
-    if x0 < n:
-        v[x0] = y0
-    y = y0
-    err = 0
-    for x in range(x0 + 1, min(x1, n)):
-        err += ady
-        if err >= adx:
-            err -= adx
-            y += sy
-        else:
-            y += base
-        v[x] = y
+    off = (abs(dy) * np.arange(end - x0)) // adx
+    v[x0:end] = y0 + (-off if dy < 0 else off)
 
 
 class _Floor1:
@@ -557,7 +565,7 @@ class _Floor1:
                 final[i] = pred
         # render: walk flagged points in X order
         order = sorted(range(posts), key=lambda j: xs[j])
-        v = [0] * n
+        v = np.zeros(n, dtype=np.int64)
         j0 = order[0]
         lx, ly = 0, min(final[j0], range_ - 1) * self.multiplier
         hx = 0
@@ -571,7 +579,7 @@ class _Floor1:
             lx, ly = hx, hy
         if hx < n:
             _render_line(hx, hy, n, hy, v, n)
-        curve = FLOOR1_INVERSE_DB[np.minimum(np.asarray(v[:n]), 255)]
+        curve = FLOOR1_INVERSE_DB[np.minimum(v, 255)]
         return curve
 
 
@@ -581,7 +589,8 @@ class _Floor1:
 
 class _Residue:
     __slots__ = ("rtype", "begin", "end", "psize", "classifications",
-                 "classbook", "cascade", "books")
+                 "classbook", "cascade", "books", "_fast0_cache",
+                 "_multi")
 
     def __init__(self, br: _Bits, rtype: int, n_books: int):
         self.rtype = rtype
@@ -639,166 +648,139 @@ class _Residue:
         if cw < 1:
             raise ValueError("vorbis: residue classbook with 0 dims")
         ch = len(vectors)
-        classifs = [[0] * (ptr + cw) for _ in range(ch)]
-        for p in range(8):
-            pcount = 0
-            pend: dict = {}          # (channel, book) -> [(off, idxs)]
-            while pcount < ptr:
-                if p == 0:
-                    for j in range(ch):
-                        if do_not_decode[j]:
-                            continue
-                        temp = cb.decode_scalar(br)
-                        for i in range(cw - 1, -1, -1):
-                            classifs[j][pcount + i] = \
-                                temp % self.classifications
-                            temp //= self.classifications
-                for _ in range(cw):
-                    if pcount >= ptr:
-                        break
-                    for j in range(ch):
-                        if do_not_decode[j]:
-                            continue
-                        vq = classifs[j][pcount]
-                        b = self.books[vq][p]
-                        if b < 0:
-                            continue
-                        book = books[b]
-                        if book.vq is None:
-                            raise ValueError("vorbis: residue book "
-                                             "has no value lookup")
-                        off = begin + pcount * self.psize
-                        dims = book.dims
-                        v = vectors[j]
-                        # batch the partition: decode all entry
-                        # indices (inlined LUT fast path), ONE numpy
-                        # gather + add for the whole partition (r13b
-                        # — per-symbol 1-element slice adds dominated
-                        # the decode profile)
-                        huff = book.huff
-                        # symbol count per spec 8.6.2 / stb_vorbis
-                        # residue_decode: format 0 reads
-                        # floor(psize/dims) codewords (strided
-                        # writes, trailing psize % dims samples
-                        # untouched); formats 1/2 read
-                        # ceil(psize/dims) and clamp the final
-                        # vector's write to the partition end —
-                        # non-dividing dims are spec-legal (r13
-                        # ADVICE: the old floor-everywhere desynced
-                        # the bitstream and died in a numpy
-                        # broadcast)
-                        if self.rtype == 0:
-                            nsym = self.psize // dims
-                            if nsym < 1:
-                                raise ValueError(
-                                    "vorbis: residue book dims "
-                                    "exceed partition size")
-                        else:
-                            nsym = -(-self.psize // dims)
-                        if huff.single is not None:
-                            br.pos += nsym
-                            if br.pos > br._nbits:
-                                raise ValueError(
-                                    "vorbis: packet truncated")
-                            idxs = [huff.single] * nsym
-                        elif huff.uniform is not None:
-                            # r14 fast path: fixed-rate book — window
-                            # arithmetic replaces the per-symbol VLC
-                            # walk.  Partitions are typically tiny
-                            # (psize/dims ~ 8-32 symbols), where numpy
-                            # setup costs more than it saves, so small
-                            # partitions take a flat Python loop over
-                            # the list-form table and only large ones
-                            # take the vectorized gather.
-                            L = huff.uniform
-                            pos = br.pos
-                            if pos + L * nsym > br._nbits:
-                                raise ValueError(
-                                    "vorbis: packet truncated")
-                            if nsym < 64:
-                                ut = huff.utable_list()
-                                w24 = br.words24_list()
-                                mask = (1 << L) - 1
-                                idxs = [0] * nsym
-                                k = 0
-                                if L <= 8:
-                                    # two symbols per 17-bit window
-                                    # (both fit: 2L <= 16)
-                                    L2 = 2 * L
-                                    for k in range(0, nsym - 1, 2):
-                                        w = (w24[pos >> 3]
-                                             >> (pos & 7))
-                                        idxs[k] = ut[w & mask]
-                                        idxs[k + 1] = ut[(w >> L)
-                                                         & mask]
-                                        pos += L2
-                                    k = nsym - (nsym & 1)
-                                for k in range(k, nsym):
-                                    idxs[k] = ut[(w24[pos >> 3]
-                                                  >> (pos & 7)) & mask]
-                                    pos += L
-                                if min(idxs) < 0:
-                                    raise ValueError(
-                                        "vorbis: invalid codeword "
-                                        "in stream")
-                            else:
-                                ps = pos + L * np.arange(
-                                    nsym, dtype=np.int64)
-                                win = ((br.words24()[ps >> 3]
-                                        >> (ps & 7).astype(np.uint32))
-                                       & np.uint32((1 << L) - 1))
-                                idxs = huff.utable[win]
-                                if (idxs < 0).any():
-                                    raise ValueError(
-                                        "vorbis: invalid codeword "
-                                        "in stream")
-                                pos += L * nsym
-                            br.pos = pos
-                        else:
-                            # r14 hot loop: w16 list index instead of
-                            # per-symbol slice+from_bytes, local pos
-                            # instead of attribute round-trips, ONE
-                            # bounds check per partition (w16 is
-                            # zero-padded past the end exactly like
-                            # the slice read it replaces, so a
-                            # truncated packet still lands on the
-                            # same loud ValueError)
-                            w16 = br.words16()
-                            lut = huff.lut
-                            pos = br.pos
-                            nbits = br._nbits
-                            idxs = []
-                            app = idxs.append
-                            for _ in range(nsym):
-                                if pos > nbits:
-                                    raise ValueError(
-                                        "vorbis: packet truncated")
-                                e = lut[(w16[pos >> 3]
-                                         >> (pos & 7)) & 0xFF]
-                                if e:
-                                    pos += e & 0x1F
-                                    app(e >> 6)
-                                else:
-                                    br.pos = pos
-                                    app(huff.decode(br))
-                                    pos = br.pos
-                            br.pos = pos
-                            if pos > nbits:
-                                raise ValueError(
-                                    "vorbis: packet truncated")
-                        if self.rtype == 0:
-                            # strided transpose layout: symbol k's
-                            # dim j lands at off+j*step+k (covers the
-                            # first nsym*dims samples) — applied
-                            # per-partition (format 0 is rare)
-                            flat = book.vq[idxs].T.ravel()
-                            v[off:off + flat.size] += flat
-                        else:
-                            # r14: defer — batched per (channel,
-                            # book) after the pass (below)
-                            pend.setdefault((j, b), []).append(
-                                (off, idxs))
-                    pcount += 1
+        psz = self.psize
+
+        def decode_entry(j: int, pcount: int, b: int, pend: dict):
+            """One (channel, partition) payload for the current pass —
+            the r13b/r14 batched fast paths, unchanged."""
+            book = books[b]
+            if book.vq is None:
+                raise ValueError("vorbis: residue book "
+                                 "has no value lookup")
+            off = begin + pcount * psz
+            dims = book.dims
+            v = vectors[j]
+            # batch the partition: decode all entry indices (inlined
+            # LUT fast path), ONE numpy gather + add for the whole
+            # partition (r13b — per-symbol 1-element slice adds
+            # dominated the decode profile)
+            huff = book.huff
+            # symbol count per spec 8.6.2 / stb_vorbis
+            # residue_decode: format 0 reads floor(psize/dims)
+            # codewords (strided writes, trailing psize % dims
+            # samples untouched); formats 1/2 read ceil(psize/dims)
+            # and clamp the final vector's write to the partition
+            # end — non-dividing dims are spec-legal (r13 ADVICE:
+            # the old floor-everywhere desynced the bitstream and
+            # died in a numpy broadcast)
+            if self.rtype == 0:
+                nsym = psz // dims
+                if nsym < 1:
+                    raise ValueError(
+                        "vorbis: residue book dims "
+                        "exceed partition size")
+            else:
+                nsym = -(-psz // dims)
+            if huff.single is not None:
+                br.pos += nsym
+                if br.pos > br._nbits:
+                    raise ValueError(
+                        "vorbis: packet truncated")
+                idxs = [huff.single] * nsym
+            elif huff.uniform is not None:
+                # r14 fast path: fixed-rate book — window arithmetic
+                # replaces the per-symbol VLC walk.  Partitions are
+                # typically tiny (psize/dims ~ 8-32 symbols), where
+                # numpy setup costs more than it saves, so small
+                # partitions take a flat Python loop over the
+                # list-form table and only large ones take the
+                # vectorized gather.
+                L = huff.uniform
+                pos = br.pos
+                if pos + L * nsym > br._nbits:
+                    raise ValueError(
+                        "vorbis: packet truncated")
+                if nsym < 64:
+                    ut = huff.utable_list()
+                    w24 = br.words24_list()
+                    mask = (1 << L) - 1
+                    idxs = [0] * nsym
+                    k = 0
+                    if L <= 8:
+                        # two symbols per 17-bit window (both fit:
+                        # 2L <= 16)
+                        L2 = 2 * L
+                        for k in range(0, nsym - 1, 2):
+                            w = (w24[pos >> 3]
+                                 >> (pos & 7))
+                            idxs[k] = ut[w & mask]
+                            idxs[k + 1] = ut[(w >> L)
+                                             & mask]
+                            pos += L2
+                        k = nsym - (nsym & 1)
+                    for k in range(k, nsym):
+                        idxs[k] = ut[(w24[pos >> 3]
+                                      >> (pos & 7)) & mask]
+                        pos += L
+                    if min(idxs) < 0:
+                        raise ValueError(
+                            "vorbis: invalid codeword "
+                            "in stream")
+                else:
+                    ps = pos + L * np.arange(
+                        nsym, dtype=np.int64)
+                    win = ((br.words24()[ps >> 3]
+                            >> (ps & 7).astype(np.uint32))
+                           & np.uint32((1 << L) - 1))
+                    idxs = huff.utable[win]
+                    if (idxs < 0).any():
+                        raise ValueError(
+                            "vorbis: invalid codeword "
+                            "in stream")
+                    pos += L * nsym
+                br.pos = pos
+            else:
+                # r14 hot loop: w16 list index instead of per-symbol
+                # slice+from_bytes, local pos instead of attribute
+                # round-trips, ONE bounds check per partition (w16 is
+                # zero-padded past the end exactly like the slice
+                # read it replaces, so a truncated packet still lands
+                # on the same loud ValueError)
+                w16 = br.words16()
+                lut = huff.lut
+                pos = br.pos
+                nbits = br._nbits
+                idxs = []
+                app = idxs.append
+                for _ in range(nsym):
+                    if pos > nbits:
+                        raise ValueError(
+                            "vorbis: packet truncated")
+                    e = lut[(w16[pos >> 3]
+                             >> (pos & 7)) & 0xFF]
+                    if e:
+                        pos += e & 0x1F
+                        app(e >> 6)
+                    else:
+                        br.pos = pos
+                        app(huff.decode(br))
+                        pos = br.pos
+                br.pos = pos
+                if pos > nbits:
+                    raise ValueError(
+                        "vorbis: packet truncated")
+            if self.rtype == 0:
+                # strided transpose layout: symbol k's dim j lands at
+                # off+j*step+k (covers the first nsym*dims samples) —
+                # applied per-partition (format 0 is rare)
+                flat = book.vq[idxs].T.ravel()
+                v[off:off + flat.size] += flat
+            else:
+                # r14: defer — batched per (channel, book) after the
+                # pass (below)
+                pend.setdefault((j, b), []).append((off, idxs))
+
+        def flush(pend: dict):
             # batched apply for formats 1/2 (r14): partitions within
             # ONE pass occupy disjoint [off, off+psize) ranges, so a
             # single vq gather + one fancy-index scatter-add per
@@ -808,10 +790,8 @@ class _Residue:
             # contributions inside a pass.  nsym (= ceil(psize/dims))
             # is constant per book, so the gathered values reshape to
             # (n_partitions, nsym*dims) and trim to psize columns.
-            psz = self.psize
             for (j, b), items in pend.items():
                 book = books[b]
-                dims = book.dims
                 v = vectors[j]
                 if len(items) == 1:
                     off, idxs = items[0]
@@ -824,6 +804,162 @@ class _Residue:
                 starts = np.fromiter((off for off, _ in items),
                                      np.int64, len(items))
                 v[starts[:, None] + np.arange(psz)] += m
+
+        if ptr <= 0:
+            return
+        live = [j for j in range(ch) if not do_not_decode[j]]
+        # ---- r15 fixed-rate pass-0 sweep (the VERDICT r14 #3
+        # structural rewrite): when the classbook is fixed-rate and
+        # EVERY classification routes pass 0 to the same fixed-rate
+        # book, the whole pass-0 bit layout is deterministic — so all
+        # classwords and all payload symbols decode in a handful of
+        # numpy gathers instead of a per-partition Python walk.
+        # Bit-identical: positions replicate the sequential
+        # group-interleaved layout exactly, payload offsets within a
+        # pass are disjoint so the scatter-add order cannot change a
+        # float sum, and the same utable/-1 validity check applies.
+        multi = getattr(self, "_multi", None)
+        if multi is None:
+            # any classification carrying a book in passes 1-7?
+            # (single-pass streams — every encode this module or a
+            # typical low-rate encoder emits — skip the whole
+            # later-pass machinery)
+            multi = any(b >= 0 for row in self.books for b in row[1:])
+            self._multi = multi
+        classifs = ([[0] * (ptr + cw) for _ in range(ch)]
+                    if multi else None)
+        b0set = {self.books[c][0] for c in range(self.classifications)}
+        fast0 = (live and cb.huff.uniform is not None
+                 and len(b0set) == 1 and self.rtype != 0)
+        if fast0:
+            b0 = b0set.pop()
+            fast0 = (b0 >= 0 and books[b0].huff.uniform is not None
+                     and books[b0].vq is not None)
+        if fast0:
+            book = books[b0]
+            # layout constants depend only on (n, nlive) for a fixed
+            # stream — cache the relative position matrices so each
+            # packet pays ~8 numpy ops, not a rebuild (r15b)
+            nlive = len(live)
+            cache = getattr(self, "_fast0_cache", None)
+            if cache is None or cache[0] != (n, nlive):
+                Lc = cb.huff.uniform
+                L = book.huff.uniform
+                dims = book.dims
+                nsym = -(-psz // dims)
+                B = nsym * L
+                ngroups = -(-ptr // cw)
+                gsizes = np.full(ngroups, cw, np.int64)
+                gsizes[-1] = ptr - cw * (ngroups - 1)
+                gtot = nlive * Lc + gsizes * (nlive * B)
+                gstart_rel = np.concatenate(
+                    ([0], np.cumsum(gtot)[:-1]))
+                q = np.arange(ptr)
+                g, t = q // cw, q % cw
+                # classword positions (ngroups, nlive), relative
+                cpos_rel = (gstart_rel[:, None]
+                            + Lc * np.arange(nlive)[None, :])
+                # payload symbol positions per live channel:
+                # (nlive, ptr, nsym), relative
+                ppos_base = gstart_rel + nlive * Lc
+                pos_q = (ppos_base[g][None, :]
+                         + (t * (nlive * B))[None, :]
+                         + (B * np.arange(nlive))[:, None])
+                sympos_rel = (pos_q[:, :, None]
+                              + (L * np.arange(nsym))[None, None, :])
+                cache = ((n, nlive), {
+                    "total_bits": int(gtot.sum()),
+                    "cpos_rel": cpos_rel,
+                    "sympos_rel": sympos_rel,
+                    "cmask": np.uint32((1 << Lc) - 1),
+                    "pmask": np.uint32((1 << L) - 1),
+                    "starts_cols": (begin + q * psz)[:, None]
+                    + np.arange(psz)[None, :],
+                    "nsym_dims": nsym * dims,
+                })
+                self._fast0_cache = cache
+            cc = cache[1]
+            total_bits = cc["total_bits"]
+            if br.pos + total_bits > br._nbits:
+                raise ValueError("vorbis: packet truncated")
+            w24 = br.words24()
+            cpos = cc["cpos_rel"] + br.pos
+            cwin = ((w24[cpos >> 3] >> (cpos & 7).astype(np.uint32))
+                    & cc["cmask"])
+            cvals = cb.huff.utable[cwin].astype(np.int64)
+            if (cvals < 0).any():
+                raise ValueError("vorbis: invalid codeword in stream")
+            digits = np.empty((cvals.shape[0], nlive, cw), np.int64)
+            tmp = cvals.copy()
+            for i in range(cw - 1, -1, -1):
+                digits[:, :, i] = tmp % self.classifications
+                tmp //= self.classifications
+            sympos = cc["sympos_rel"] + br.pos
+            win = ((w24[sympos >> 3]
+                    >> (sympos & 7).astype(np.uint32)) & cc["pmask"])
+            idxs = book.huff.utable[win]        # (nlive, ptr, nsym)
+            if (idxs < 0).any():
+                raise ValueError("vorbis: invalid codeword in stream")
+            allvals = book.vq[idxs.reshape(nlive, -1)].reshape(
+                nlive, ptr, cc["nsym_dims"])[:, :, :psz]
+            sc = cc["starts_cols"]
+            for ji, j in enumerate(live):
+                if multi:
+                    classifs[j][:ptr] = list(
+                        digits[:, ji, :].reshape(-1)[:ptr])
+                vectors[j][sc] += allvals[ji]
+            br.pos += total_bits
+            # fall through to passes 1-7 below
+            pcount = ptr
+        # ---- pass 0 (general): classwords interleave with payloads
+        # (spec 8.6.2), so this pass keeps the sequential walk ----
+        if not fast0 and classifs is None:
+            classifs = [[0] * (ptr + cw) for _ in range(ch)]
+        pend: dict = {}
+        pcount = 0 if not fast0 else ptr
+        while pcount < ptr:
+            for j in range(ch):
+                if do_not_decode[j]:
+                    continue
+                temp = cb.decode_scalar(br)
+                for i in range(cw - 1, -1, -1):
+                    classifs[j][pcount + i] = \
+                        temp % self.classifications
+                    temp //= self.classifications
+            for _ in range(cw):
+                if pcount >= ptr:
+                    break
+                for j in range(ch):
+                    if do_not_decode[j]:
+                        continue
+                    b = self.books[classifs[j][pcount]][0]
+                    if b >= 0:
+                        decode_entry(j, pcount, b, pend)
+                pcount += 1
+        flush(pend)
+
+        # ---- passes 1-7: classifications are fully known, and
+        # entries whose book is -1 consume NO bits — so walking only
+        # the ACTIVE (partition, channel) entries in stream order is
+        # bit-identical while skipping the per-entry Python
+        # bookkeeping entirely (r15: for single-pass encodes — ours —
+        # seven pass sweeps collapse to seven mask checks) ----
+        if not live or not multi:
+            return
+        bmat = np.asarray(self.books, dtype=np.int64)   # (cls, 8)
+        cls_mat = np.asarray([classifs[j][:ptr] for j in live],
+                             dtype=np.int64)            # (nlive, ptr)
+        for p in range(1, 8):
+            bk = bmat[cls_mat, p]                       # (nlive, ptr)
+            jj, pp = np.nonzero(bk >= 0)
+            if not len(jj):
+                continue
+            order = np.lexsort((jj, pp))  # stream order: (pcount, j)
+            pend = {}
+            for t in order:
+                decode_entry(live[int(jj[t])], int(pp[t]),
+                             int(bk[jj[t], pp[t]]), pend)
+            flush(pend)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,6 +1169,9 @@ def decode_vorbis(data: bytes):
         raise ValueError(f"vorbis: corrupt stream ({type(e).__name__})")
 
 
+_SETUP_MEMO: dict = {}
+
+
 def _decode_vorbis(data: bytes):
     packets, final_granule = _ogg_packets(data)
     if len(packets) < 3:
@@ -1058,7 +1197,19 @@ def _decode_vorbis(data: bytes):
         raise ValueError("vorbis: id framing bit unset")
     if packets[1][:7] != b"\x03vorbis":
         raise ValueError("vorbis: bad comment header")
-    setup = _parse_setup(packets[2], ch)
+    # r15: memoize the parsed setup per (setup bytes, ch) — a corpus
+    # from one encoder config shares one setup header across every
+    # file, so codebook/floor/residue construction (and the residues'
+    # warm layout caches) amortize across blobs.  Parsed setup is
+    # read-only during decode except those caches, which are keyed by
+    # layout and safe to share.
+    memo_key = (packets[2], ch)   # exact bytes: no hash collisions
+    setup = _SETUP_MEMO.get(memo_key)
+    if setup is None:
+        setup = _parse_setup(packets[2], ch)
+        if len(_SETUP_MEMO) >= 64:
+            _SETUP_MEMO.clear()
+        _SETUP_MEMO[memo_key] = setup
     mode_bits = _ilog(len(setup.modes) - 1)
 
     tail = None                              # per channel windowed R half
