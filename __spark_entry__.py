@@ -263,10 +263,17 @@ def q_rolling_user_day(spark, sf):
     # freeing a gate slot for cosine_prefix_docs (VERDICT r9 #2).  The
     # standalone sessionize floor stays in bench_extras.
     from conduino_spark import rolling_agg, sessionize
-    sum6 = F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+    # r15: declared (op, col) aggs route to the prefix-difference
+    # strategy (two growing frames + the asof-style probe union) —
+    # the real-sf1 scale probe measured the sliding RANGE frame at
+    # 64x for 10x rows under a Zipf head user; declared form is 2.2x
+    # (SCALE_PROBE_r15).  Results are bit-equal (the oracle below
+    # still hash-matches) and the gate now exercises the scale path.
+    v6 = F.round(F.col("value") * 1_000_000).cast("long")
     p = (_src(sf, "events")
          | rolling_agg("ts", 86400.0, keys=["user_id"],
-                       aggs={"n": F.count(F.lit(1)), "__s6": sum6})
+                       aggs={"n": ("count", "*"),
+                             "__s6": ("sum", v6)})
          | sink_df())
     roll = run_pipe(p, spark).select(
         "event_id", "n",

@@ -172,7 +172,7 @@ def _epoch_us(df: DataFrame, time_col: str) -> "F.Column":
 
 def rolling_agg(time_col: str, preceding: float, *,
                 keys: "Sequence[str]" = (),
-                aggs: Optional[Mapping[str, "F.Column"]] = None,
+                aggs: "Optional[Mapping[str, object]]" = None,
                 name: str = "rolling_agg") -> Stage:
     """Rolling time-RANGE aggregates per key: for each row, aggregate
     over the rows of the same key whose time lies in
@@ -185,29 +185,155 @@ def rolling_agg(time_col: str, preceding: float, *,
     ``preceding`` is in seconds.  Internally both become exact long
     MICROSECONDS (Spark's range frames take integer bounds, and long
     micros are bit-identical across engines where epoch-seconds doubles
-    differ in the last ulp).  ``aggs`` maps output name → aggregate
-    Column (default row count).
+    differ in the last ulp).
 
-    Plan: ONE shuffle on the key, per-partition sort, a single RANGE
-    window frame — Spark evaluates all ``aggs`` over the same frame in
-    one pass.  Output = input rows + the rolling columns.  Skew caveat
-    as for :func:`asof_join`: one hot key serializes its partition."""
+    ``aggs`` maps output name → either a DECLARED aggregate
+    ``(op, col)`` tuple with op in ``sum | count | avg`` (col a
+    column name, a scalar Column expression, or ``"*"`` for
+    count-star), or an arbitrary aggregate Column.  Default: row
+    count.  The two forms pick the strategy; mixing them in one call
+    raises.
+
+    * Declared tuples (scale path, r15): Spark evaluates a SLIDING
+      range frame by re-aggregating the whole frame for every row —
+      cost O(rows × frame) per key, which the real-sf1 scale probe
+      measured at 64× for 10× rows under a Zipf head user
+      (SCALE_PROBE_r15).  Declared aggs instead decompose into two
+      GROWING frames Spark maintains incrementally:
+      ``rolling = cum(t) − cum_before(t−W)``, with ``cum_before``
+      read off probe rows at ``t−W`` in a union pass ordered so each
+      probe sorts just before the reals at its instant (the
+      :func:`asof_join` union trick — one extra exchange, never
+      quadratic).  An all-null/empty sum frame still yields NULL (a
+      non-null-count primitive guards the difference), so declared
+      results are bit-equal to the range frame's.
+    * Column aggs (exact path for arbitrary aggregates — min/max/
+      collect/UDAFs — which have no prefix inverse): ONE shuffle on
+      the key, per-partition sort, a single RANGE window frame; all
+      ``aggs`` share the frame in one pass.  Skew caveat as for
+      :func:`asof_join`: a hot key pays rows×frame on its partition —
+      prefer declared tuples when the aggregate allows.
+
+    Output = input rows + the rolling columns, either way."""
     if preceding < 0:
         raise ValueError(f"preceding must be >= 0, got {preceding}")
-    aggs = aggs or {"n": F.count(F.lit(1))}
+    aggs = aggs or {"n": ("count", "*")}
+    declared = [isinstance(a, tuple) for a in aggs.values()]
+    if any(declared) and not all(declared):
+        raise ValueError("rolling_agg: mix of declared (op, col) "
+                         "tuples and Column aggs — pick one form")
+    for out, a in aggs.items():
+        if isinstance(a, tuple) and (
+                len(a) != 2 or a[0] not in ("sum", "count", "avg")):
+            raise ValueError(
+                f"rolling_agg: declared agg {out!r} must be "
+                f"(op, col) with op in sum/count/avg, got {a!r}")
 
-    def fn(df: DataFrame) -> DataFrame:
+    w_us = int(round(preceding * 1_000_000))
+
+    def fn_range(df: DataFrame) -> DataFrame:
         t = _epoch_us(df, time_col)
         w = (W.partitionBy(*[F.col(k) for k in keys])
               .orderBy(t)
-              .rangeBetween(-int(round(preceding * 1_000_000)), 0))
+              .rangeBetween(-w_us, 0))
         # all aggs in ONE select over the same frame: per-agg
         # withColumn chains block Spark's window collapse and emit one
         # Window+Sort pair per aggregate (plan-tested)
         return df.select("*", *[agg.over(w).alias(out_name)
                                 for out_name, agg in aggs.items()])
 
-    return Stage(fn, name=name, seq_preserving=True)
+    def fn_prefix(df: DataFrame) -> DataFrame:
+        # primitive prefix columns, shared across aggs: ("sum", c) and
+        # ("cnt", c) / ("cnt", "*") — each is ONE growing-frame
+        # cumulative Spark maintains incrementally.  Dedupe key is the
+        # expression's string form (Columns are unhashable).
+        prims: "dict[tuple, tuple]" = {}   # (kind, key) -> (col, nm)
+
+        def prim(kind: str, col) -> str:
+            k = (kind, col if isinstance(col, str) else str(col))
+            if k not in prims:
+                prims[k] = (col, f"__rp{len(prims)}")
+            return prims[k][1]
+
+        plan = {}                    # out name -> (op, prim names)
+        for out, (op, col) in aggs.items():
+            if op == "count":
+                plan[out] = ("count", prim("cnt", col))
+            elif op == "sum":
+                plan[out] = ("sum", prim("sum", col),
+                             prim("cnt", col))
+            else:                    # avg
+                plan[out] = ("avg", prim("sum", col),
+                             prim("cnt", col))
+
+        def contrib(kind: str, col) -> "F.Column":
+            if kind == "cnt" and isinstance(col, str) and col == "*":
+                return F.lit(1).cast("long")
+            c = F.col(col) if isinstance(col, str) else col
+            if kind == "cnt":
+                return F.when(c.isNotNull(), F.lit(1)).cast("long")
+            return c
+
+        t = _epoch_us(df, time_col)
+        kcols = list(keys)
+        base_cols = df.columns
+        annot = df.withColumn("__t_us", t)
+        # growing peers-included cumulative at t (incremental in
+        # Spark: the UnboundedPreceding frame only ever adds rows)
+        wcum = (W.partitionBy(*[F.col(k) for k in kcols])
+                 .orderBy("__t_us")
+                 .rangeBetween(W.unboundedPreceding, 0))
+        annot = annot.select(
+            "*", *[F.sum(contrib(kind, col)).over(wcum).alias(nm)
+                   for (kind, _k), (col, nm) in prims.items()])
+        payload = [c for c in annot.columns if c not in kcols]
+        vtypes = dict(annot.dtypes)
+        # probes carry the full annotated row at t−W; reals carry only
+        # keys + time + this row's contributions (payload nulled, so
+        # the union shuffles ~n extra narrow rows, not 2n wide ones)
+        probe = annot.select(
+            *kcols,
+            (F.col("__t_us") - F.lit(w_us)).alias("__pt"),
+            F.lit(0).alias("__isreal"), *payload,
+            *[F.lit(None).cast(vtypes[nm]).alias(f"__v_{nm}")
+              for _, (_c, nm) in prims.items()])
+        real = annot.select(
+            *kcols, F.col("__t_us").alias("__pt"),
+            F.lit(1).alias("__isreal"),
+            *[F.lit(None).cast(vtypes[c]).alias(c) for c in payload],
+            *[contrib(kind, col).cast(vtypes[nm]).alias(f"__v_{nm}")
+              for (kind, _k), (col, nm) in prims.items()])
+        u = probe.unionByName(real)
+        # probes sort BEFORE reals at the same instant (0 < 1), so a
+        # probe's running sum covers exactly time < t−W... plus rows
+        # AT t−W must be IN the frame (inclusive), hence strictly-less
+        wrun = (W.partitionBy(*[F.col(k) for k in kcols])
+                 .orderBy("__pt", "__isreal")
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        u = u.select(
+            "*", *[F.sum(f"__v_{nm}").over(wrun).alias(f"__b_{nm}")
+                   for _, (_c, nm) in prims.items()])
+        rows = u.where(F.col("__isreal") == 0)
+
+        def diff(nm: str) -> "F.Column":
+            return (F.coalesce(F.col(nm), F.lit(0)) -
+                    F.coalesce(F.col(f"__b_{nm}"), F.lit(0)))
+
+        outs = []
+        for out, spec in plan.items():
+            if spec[0] == "count":
+                outs.append(diff(spec[1]).alias(out))
+            else:
+                s = diff(spec[1])
+                n = diff(spec[2])
+                # empty/all-null frame → NULL, matching SQL sum/avg
+                val = F.when(n > 0, s if spec[0] == "sum"
+                             else s / n)
+                outs.append(val.alias(out))
+        return rows.select(*base_cols, *outs)
+
+    return Stage(fn_prefix if declared and all(declared) else fn_range,
+                 name=name, seq_preserving=True)
 
 
 def sessionize(time_col: str = "ts", gap: float = 1800.0, *,

@@ -64,6 +64,85 @@ def test_rolling_agg_matches_duckdb(spark, sf_dir):
         assert got[k][2] == pytest.approx(want[k][2], rel=1e-9)
 
 
+def test_rolling_agg_prefix_equals_range(spark):
+    """r15 scale path: declared (op, col) aggs decompose the sliding
+    RANGE frame into two growing frames + a probe union — results must
+    be BIT-EQUAL to the range frame, including ties, null values, an
+    all-null frame (sum/avg NULL, not 0) and Column expressions."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n = 2000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "t": np.round(rng.uniform(0, 200, n), 1),   # dense ties
+        "v": np.where(rng.random(n) < 0.15, np.nan,
+                      rng.integers(-40, 40, n).astype(float)),
+    })
+    df = (spark.createDataFrame(pdf)
+          .withColumn("v", F.when(F.isnan("v"), F.lit(None))
+                            .otherwise(F.col("v")))
+          .withColumn("vl", F.col("v").cast("long")))
+    expr = (F.col("vl") * 2)
+    col_aggs = {"n": F.count(F.lit(1)), "nv": F.count("v"),
+                "s": F.sum("vl"), "a": F.avg("v"),
+                "sx": F.sum(expr)}
+    dec_aggs = {"n": ("count", "*"), "nv": ("count", "v"),
+                "s": ("sum", "vl"), "a": ("avg", "v"),
+                "sx": ("sum", expr)}
+
+    def run(aggs):
+        p = (from_dataframe(df)
+             | rolling_agg("t", 25.0, keys=["k"], aggs=aggs)
+             | sink_df())
+        return (run_pipe(p, spark)
+                .orderBy("k", "t", "v", "n", "nv", "s")
+                .toPandas().reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(run(col_aggs), run(dec_aggs))
+
+    # all-null frame yields NULL (not 0) on both paths
+    df2 = spark.createDataFrame(
+        [(1, 0.0, None), (1, 10.0, None), (1, 10.0, 3.0)],
+        "k int, t double, v double")
+    for aggs in ({"s": F.sum("v")}, {"s": ("sum", "v")}):
+        p = (from_dataframe(df2)
+             | rolling_agg("t", 5.0, keys=["k"], aggs=aggs)
+             | sink_df())
+        rows = sorted(run_pipe(p, spark).collect(),
+                      key=lambda r: (r.t, r.v is not None))
+        assert rows[0].s is None
+        assert rows[1].s == 3.0 and rows[2].s == 3.0
+
+    # mixed declared/Column forms and bad ops raise
+    with pytest.raises(ValueError):
+        rolling_agg("t", 1.0, aggs={"a": ("sum", "v"),
+                                    "b": F.count(F.lit(1))})
+    with pytest.raises(ValueError):
+        rolling_agg("t", 1.0, aggs={"a": ("median", "v")})
+
+
+def test_rolling_agg_prefix_plan_no_sliding_frame(spark):
+    """The declared path's plan must contain only GROWING window
+    frames (unboundedpreceding) — the sliding RANGE frame Spark
+    re-aggregates per row is what made a Zipf head user quadratic
+    (64x at 10x rows, SCALE_PROBE_r15 real-sf1 mode)."""
+    df = spark.createDataFrame([(1, 0.0, 1.0)], "k int, t double, v double")
+    p = (from_dataframe(df)
+         | rolling_agg("t", 10.0, keys=["k"],
+                       aggs={"n": ("count", "*"), "s": ("sum", "v")})
+         | sink_df())
+    plan = run_pipe(p, spark)._jdf.queryExecution().executedPlan().toString()
+    spec = plan.lower()
+    assert "unboundedpreceding" in spec
+    # the only range frame allowed is the growing cumulative one
+    import re
+    for m in re.finditer(r"specifiedwindowframe\(rangeframe, ([^,]+),",
+                         spec):
+        assert "unboundedpreceding" in m.group(1)
+
+
 FUNNEL_EVENTS = [
     # u1: clean signup -> click -> purchase
     ("u1", "signup", 1.0), ("u1", "click", 2.0), ("u1", "purchase", 3.0),
