@@ -30,12 +30,17 @@ wrong video, which is worse than a loud refusal):
   the dct_coeff run-level table (B.5c: EOB, the first-coefficient
   context, the 2-7 bit codes) and the fully-specified fixed-length
   escape coding.
-* UNCERTIFIED → loud ValueError: the dct_coeff tail (8+ bit codes)
-  and D-pictures.  The bundled encoder emits certified codes only
-  (escape-coding the AC tail — every real decoder accepts escapes
-  for codable pairs).  Real-world .mpg decode therefore still
-  refuses on VLC AC codes beyond the head; the native `codec='real'`
-  wiring in operators/multimodal.py is the production path.
+* CERTIFIED with no new tables (r15): D-pictures (2.4.3.4) — intra
+  DC-only pictures built entirely from already-certified pieces
+  (B.1 address increments, the single trivial B.2d type code '1',
+  B.5a/b DC size chains, the 1-bit end_of_macroblock); D streams
+  are sequence-exclusive per 2.4.1, and mixing raises.
+* UNCERTIFIED → loud ValueError: the dct_coeff tail (8+ bit codes).
+  The bundled encoder emits certified codes only (escape-coding the
+  AC tail — every real decoder accepts escapes for codable pairs).
+  Real-world .mpg decode therefore still refuses on VLC AC codes
+  beyond the head; the native `codec='real'` wiring in
+  operators/multimodal.py is the production path.
 
 Encode (``encode_mpeg1``): a conformant-subset writer — I-pictures
 (full intra), P-pictures composed of skipped (static), forward-MC
@@ -763,9 +768,9 @@ def _decode_picture(slices, seq, fwd: "_PlaneSet | None",
                 first_mb = False
             else:
                 if inc > 1:
-                    if ptype == 1:
+                    if ptype in (1, 4):
                         raise ValueError(
-                            "mpeg1: skipped macroblock in I-picture")
+                            "mpeg1: skipped macroblock in I/D-picture")
                     if ptype == 2:
                         # skipped P macroblocks: copy co-located,
                         # reset predictors (copied via fwd pre-fill)
@@ -816,6 +821,39 @@ def _decode_picture(slices, seq, fwd: "_PlaneSet | None",
                 raise ValueError("mpeg1: macroblock address overflow")
             covered[mb_addr] = True
             row, col = divmod(mb_addr, mbw)
+            if ptype == 4:
+                # D-picture macroblock (r15, 2.4.3.4): type is the
+                # single B.2d code '1'; six DC-only blocks (the same
+                # dct_dc_size chains as intra — certified B.5a/b; no
+                # AC, no EOB), then the end_of_macroblock '1' bit.
+                # A DC-only block reconstructs flat at dc/8.
+                if br.read1() != 1:
+                    raise ValueError(
+                        "mpeg1: invalid D-picture macroblock_type")
+                y0, x0 = row * 16, col * 16
+                for (dy, dx) in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    dc_y = dc_y + 8 * _decode_dc(br, True)
+                    if not 0 <= dc_y <= 2047:
+                        raise ValueError(
+                            f"mpeg1: intra DC {dc_y} out of range")
+                    _store_block(rec.y, y0 + dy, x0 + dx,
+                                 np.full((8, 8), dc_y / 8.0))
+                dc_cb = dc_cb + 8 * _decode_dc(br, False)
+                if not 0 <= dc_cb <= 2047:
+                    raise ValueError(
+                        f"mpeg1: intra DC {dc_cb} out of range")
+                _store_block(rec.cb, row * 8, col * 8,
+                             np.full((8, 8), dc_cb / 8.0))
+                dc_cr = dc_cr + 8 * _decode_dc(br, False)
+                if not 0 <= dc_cr <= 2047:
+                    raise ValueError(
+                        f"mpeg1: intra DC {dc_cr} out of range")
+                _store_block(rec.cr, row * 8, col * 8,
+                             np.full((8, 8), dc_cr / 8.0))
+                if br.read1() != 1:
+                    raise ValueError(
+                        "mpeg1: end_of_macroblock bit missing")
+                continue
             if ptype == 1:
                 quant, mf, mbk, pattern, intra = br.vlc(
                     MB_TYPE_I, "macroblock_type(I)")
@@ -905,8 +943,8 @@ def _decode_picture(slices, seq, fwd: "_PlaneSet | None",
                 blk = blk + _reconstruct_nonintra(
                     _decode_nonintra_zz(br), qscale, niq_zz)
             _store_block(rec.cr, row * 8, col * 8, blk)
-    if ptype == 1 and not covered.all():
-        raise ValueError("mpeg1: I-picture does not cover every "
+    if ptype in (1, 4) and not covered.all():
+        raise ValueError("mpeg1: I/D-picture does not cover every "
                          "macroblock")
     return rec
 
@@ -915,10 +953,12 @@ def decode_mpeg1(data: bytes, max_frames: "int | None" = None):
     """Decode an MPEG-1 video elementary stream → ``(fps, (w, h),
     frames)`` with one (H, W, 3) uint8 RGB array per picture in
     DISPLAY order (r15: B-pictures reorder via temporal_reference,
-    which resets at each GOP header).  Lossy codec — round trips are
+    which resets at each GOP header).  D-picture-only streams decode
+    (r15: intra DC-only, certified tables throughout); mixing D with
+    I/P/B raises per 2.4.1.  Lossy codec — round trips are
     SNR-bounded, not bit-equal.  Raises ValueError on corrupt input
-    and on the documented uncertified paths (D-pictures, the
-    dct_coeff VLC tail)."""
+    and on the documented uncertified path (the dct_coeff VLC
+    tail)."""
     if len(data) < 16 or data[:4] != b"\x00\x00\x01\xb3":
         raise ValueError("not an MPEG-1 video elementary stream "
                          "(no sequence header start code)")
@@ -929,6 +969,7 @@ def decode_mpeg1(data: bytes, max_frames: "int | None" = None):
     anchor_new = None                # most recent anchor
     display = []                     # [(temporal_ref, rgb)] this GOP
     next_tref = 0                    # next display slot in this GOP
+    kinds: set = set()               # {"d"} xor {"ipb"} (2.4.1)
     cur = None     # (ptype, tref, fp_f, fc_f, fp_b, fc_b, slices)
 
     def to_rgb(rec):
@@ -957,6 +998,12 @@ def decode_mpeg1(data: bytes, max_frames: "int | None" = None):
         if ptype == 3:
             rec = _decode_picture(slices, seq, anchor_old, anchor_new,
                                   3, fpf, fcf, fpb, fcb)
+        elif ptype == 4:
+            # D-pictures (r15): intra DC-only, never a reference —
+            # and a D sequence is D-only (2.4.1), enforced at the
+            # header walk, so anchors are moot
+            rec = _decode_picture(slices, seq, None, None, 4,
+                                  fpf, fcf)
         else:
             rec = _decode_picture(slices, seq, anchor_new, None,
                                   ptype, fpf, fcf)
@@ -1011,11 +1058,18 @@ def decode_mpeg1(data: bytes, max_frames: "int | None" = None):
                     if fcb == 0:
                         raise ValueError("mpeg1: backward_f_code 0")
             elif ptype == 4:
-                raise ValueError("mpeg1: D-picture streams do not "
-                                 "decode here")
+                pass                 # D: intra DC-only, no f_codes
             else:
                 raise ValueError(f"mpeg1: reserved picture type "
                                  f"{ptype}")
+            # 2.4.1: a sequence contains EITHER D-pictures or
+            # I/P/B-pictures, never both — a mixed stream would make
+            # the next P silently reference across the D (wrong
+            # output), so refuse loudly
+            kinds.add("d" if ptype == 4 else "ipb")
+            if len(kinds) > 1:
+                raise ValueError("mpeg1: D-pictures cannot mix with "
+                                 "I/P/B pictures in one sequence")
             cur = (ptype, tref, fpf, fcf, fpb, fcb, [])
         elif 0x01 <= code <= 0xAF:
             if cur is None:
@@ -1258,6 +1312,7 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
                  gop: int = 12, p_frames: bool = True,
                  mv_search: int = 4, b_frames: int = 0,
                  inter_residual: bool = False,
+                 d_pictures: bool = False,
                  intra_matrix: "np.ndarray | None" = None) -> bytes:
     """Encode (H, W, 3) uint8 RGB frames → an MPEG-1 video elementary
     stream (certified-subset writer, module docstring).  I-pictures
@@ -1271,6 +1326,13 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
     GOP).  The forward/backward f_codes derive from ``mv_search``
     (f_code=2 once ±8 full-pel vectors are needed — half-pel +16 is
     unrepresentable at f_code=1, r15 fix).
+
+    ``d_pictures=True`` writes a D-picture-only stream (2.4.3.4,
+    r15): every picture intra DC-only — each block carries just its
+    dct_dc_size-coded DC, so a block decodes flat at its rounded
+    mean; blockwise-constant content round-trips EXACTLY.  D streams
+    are sequence-exclusive (2.4.1), so combining with ``b_frames``
+    or ``inter_residual`` raises.
 
     AC levels saturate at MPEG-1's ±255 escape-coding ceiling — on
     full-band noise at fine quantizers (the pathological case) real
@@ -1294,6 +1356,10 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
         raise ValueError("encode_mpeg1: b_frames must be in [0, 8]")
     if not 0 <= mv_search <= 60:
         raise ValueError("encode_mpeg1: mv_search must be in [0, 60]")
+    if d_pictures and (b_frames or inter_residual):
+        raise ValueError("encode_mpeg1: d_pictures streams are "
+                         "D-only (2.4.1) — drop b_frames/"
+                         "inter_residual")
     fcode = 1
     while 16 * (1 << (fcode - 1)) - 1 < 2 * mv_search:
         fcode += 1
@@ -1680,6 +1746,48 @@ def encode_mpeg1(frames, fps: float = 25.0, *, qscale: int = 6,
             # pending_skip is 0 here
             pic += bytes([0, 0, 1, row + 1]) + bw.bytes()
         return bytes(pic), rec
+
+    if d_pictures:
+        # D-only stream (r15): per MB — addr_inc '1', the single
+        # B.2d type code '1', six DC differentials (block = rounded
+        # mean, the exact inverse of the flat dc/8 reconstruction),
+        # end_of_macroblock '1'
+        out += gop_header()
+        for idx, fr in enumerate(frames):
+            yp, cbp_pl, crp = planes(fr)
+            bw = _BitWriter()
+            bw.write(idx % 1024, 10)
+            bw.write(4, 3)
+            bw.write(0xFFFF, 16)     # vbv_delay: variable
+            out += b"\x00\x00\x01\x00" + bw.bytes()
+
+            def block_dc(plane, r0, c0):
+                m = plane[r0:r0 + 8, c0:c0 + 8].mean()
+                return int(min(max(round(m), 0), 255)) * 8
+
+            for row in range(mbh):
+                bw = _BitWriter()
+                bw.write(qscale, 5)
+                bw.write(0, 1)       # no extra slice info
+                dc_y = dc_cb = dc_cr = 1024
+                for col in range(mbw):
+                    bw.write_code("1")          # addr inc 1
+                    bw.write_code("1")          # B.2d type
+                    for (dy, dx) in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                        dc = block_dc(yp, row * 16 + dy,
+                                      col * 16 + dx)
+                        _encode_dc(bw, (dc - dc_y) // 8, True)
+                        dc_y = dc
+                    dc = block_dc(cbp_pl, row * 8, col * 8)
+                    _encode_dc(bw, (dc - dc_cb) // 8, False)
+                    dc_cb = dc
+                    dc = block_dc(crp, row * 8, col * 8)
+                    _encode_dc(bw, (dc - dc_cr) // 8, False)
+                    dc_cr = dc
+                    bw.write(1, 1)              # end_of_macroblock
+                out += bytes([0, 0, 1, row + 1]) + bw.bytes()
+        out += b"\x00\x00\x01\xb7"
+        return bytes(out)
 
     if b_frames == 0 or not p_frames:
         # classic I/P path (bit-identical to the r14 writer for

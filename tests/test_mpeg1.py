@@ -176,15 +176,75 @@ def _patch_picture_type(blob: bytes, new_type: int) -> bytes:
     return bytes(b)
 
 
-def test_d_pictures_raise_loudly():
-    # (r15: B-pictures decode now — see test_round15 — so only D
-    # remains a refused picture type; a type-3 patch of an I-frame
-    # header is simply malformed and still raises)
+def test_patched_picture_types_raise_loudly():
+    # (r15: B and D pictures decode now — a type-3/4 patch of an
+    # I-coded payload is simply malformed and must still refuse:
+    # type 3 reads f_codes that aren't there; type 4 desyncs on the
+    # AC/EOB bits a D-picture cannot contain)
     blob = encode_mpeg1([_gray_blocks(7)])
     with pytest.raises(ValueError):
         decode_mpeg1(_patch_picture_type(blob, 3))
-    with pytest.raises(ValueError, match="D-picture"):
+    with pytest.raises(ValueError):
         decode_mpeg1(_patch_picture_type(blob, 4))
+
+
+def test_d_pictures_roundtrip_exact_and_flat():
+    # blockwise-constant frames are EXACT through a D-only stream
+    # (block DC = rounded mean; flat dc/8 reconstruction)
+    frames = [_gray_blocks(i, 48, 64) for i in range(3)]
+    es = encode_mpeg1(frames, d_pictures=True, qscale=5)
+    fps, (w, h), dec = decode_mpeg1(es)
+    assert (w, h) == (64, 48) and len(dec) == 3
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    assert mpeg1_info(es)["picture_types"] == [4, 4, 4]
+    # arbitrary content decodes blockwise-FLAT (DC-only pictures)
+    r = np.random.RandomState(5)
+    fr = r.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    _, _, dec2 = decode_mpeg1(encode_mpeg1([fr], d_pictures=True))
+    blocks = dec2[0].reshape(4, 8, 6, 8, 3)
+    assert all(np.ptp(blocks[i, :, j], axis=(0, 1)).max() == 0
+               for i in range(4) for j in range(6))
+    # max_frames early stop
+    assert len(decode_mpeg1(es, max_frames=2)[2]) == 2
+
+
+def test_d_pictures_sequence_exclusive():
+    # 2.4.1: D cannot mix with I/P/B — splice an I picture onto a
+    # D stream (and vice versa) and the decoder must refuse
+    frames = [_gray_blocks(i, 32, 32) for i in range(2)]
+    ds = encode_mpeg1(frames, d_pictures=True)
+    ip = encode_mpeg1(frames)
+    i_pic = ip[ip.find(b"\x00\x00\x01\x00"):]
+    d_pic = ds[ds.find(b"\x00\x00\x01\x00"):]
+    with pytest.raises(ValueError, match="cannot mix"):
+        decode_mpeg1(ds[:-4] + i_pic)
+    with pytest.raises(ValueError, match="cannot mix"):
+        decode_mpeg1(ip[:-4] + d_pic)
+    # option conflicts refuse at encode time
+    with pytest.raises(ValueError, match="D-only"):
+        encode_mpeg1(frames, d_pictures=True, b_frames=1)
+    with pytest.raises(ValueError, match="D-only"):
+        encode_mpeg1(frames, d_pictures=True, inter_residual=True)
+
+
+def test_d_pictures_fuzz():
+    blob = encode_mpeg1([_gray_blocks(11, 32, 32)] * 2,
+                        d_pictures=True)
+    for cut in range(3, len(blob), 5):
+        try:
+            _, _, frames = decode_mpeg1(blob[:cut])
+            assert 1 <= len(frames) <= 2
+        except ValueError:
+            pass
+    rng = np.random.RandomState(1)
+    for _ in range(40):
+        b = bytearray(blob)
+        b[rng.randint(4, len(b))] ^= 1 << rng.randint(8)
+        try:
+            decode_mpeg1(bytes(b))
+        except ValueError:
+            pass                       # loud refusal is the law
 
 
 def _mini_stream(slice_bits: "list[tuple]", ptype: int = 1) -> bytes:
