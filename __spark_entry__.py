@@ -3236,7 +3236,17 @@ def _synth_media_blobs(spark, sf):
                     fa = np.repeat(g8[:, :, None], 3, axis=2)
                     fb = np.roll(fa, (8, 8), (0, 1))
                     fc = np.roll(fa, (16, 16), (0, 1))
-                    es = encode_mpeg1([fa, fb, fc], mv_search=8)
+                    # r15: every third id of this arm ships as a
+                    # D-picture stream (DC-only, 2.4.3.4) — block-
+                    # constant content decodes PIXEL-IDENTICAL to the
+                    # I/P/P chain (block DC = value both ways), so
+                    # the oracle formula is unchanged while the D
+                    # decode chain sits under the same hash
+                    if (i // 5) % 3 == 1:
+                        es = encode_mpeg1([fa, fb, fc],
+                                          d_pictures=True)
+                    else:
+                        es = encode_mpeg1([fa, fb, fc], mv_search=8)
                     ids.append(i)
                     # every other id ships as a PROGRAM STREAM (the
                     # 11172-1 pack/PES container .mpg files use):
