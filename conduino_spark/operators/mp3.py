@@ -405,50 +405,159 @@ def _region_boundaries(g: dict, h: dict) -> tuple:
     return r1, r2
 
 
+#: r15 hot-path LUTs: every certified table is a complete prefix
+#: code (Kraft == 1, validated at import in mp3_tables), so a flat
+#: 2^maxlen window lookup decodes one symbol per table probe instead
+#: of one tree step per BIT — built lazily FROM the validated trees
+#: (no second transcription to certify)
+_HUFF_LUTS: dict = {}
+
+
+def _lut_from_tree(tree):
+    codes = []
+
+    def walk(node, code, depth):
+        if isinstance(node, int):
+            codes.append((code, depth, node))
+            return
+        walk(node[0], code << 1, depth + 1)
+        walk(node[1], (code << 1) | 1, depth + 1)
+
+    walk(tree, 0, 0)
+    L = max(d for _, d, _ in codes)
+    lv = [0] * (1 << L)
+    ll = [0] * (1 << L)
+    for code, dep, val in codes:
+        lo = code << (L - dep)
+        for i in range(lo, lo + (1 << (L - dep))):
+            lv[i] = val
+            ll[i] = dep
+    return L, lv, ll
+
+
+def _get_lut(key, tree):
+    lut = _HUFF_LUTS.get(key)
+    if lut is None:
+        lut = _HUFF_LUTS[key] = _lut_from_tree(tree)
+    return lut
+
+
 def _read_huffman(br: _Bits, g: dict, h: dict, bits_end: int):
     """Spectral values ``is[576]`` + count1 extent; raises when the
-    region decode overruns ``bits_end`` (conformance violation)."""
+    region decode overruns ``bits_end`` (conformance violation).
+
+    r15: decodes via flat window LUTs over a zero-padded local
+    buffer — one 24-bit window probe per symbol instead of a Python
+    tree step per bit.  The three zero pad bytes only ever supply
+    bits PAST the physical stream end; every decode that consumed a
+    phantom bit is detected by the ``p > nbits`` checks below and
+    handled exactly as the bit-at-a-time reader's overrun raise did
+    (big values: loud ValueError; the final count1 quad: dropped and
+    rewound to the budget boundary — the r13 ADVICE behavior)."""
     xs = np.zeros(576, np.int32)
     r1, r2 = _region_boundaries(g, h)
     nbig = g["big_values"] * 2
+    d = br.data
+    nbits = len(d) * 8
+    dd = d + b"\x00\x00\x00"
+    p = br.pos
     pos = 0
-    while pos < nbig:
-        if pos < r1:
-            t = g["table_select"][0]
-        elif pos < r2:
-            t = g["table_select"][1]
-        else:
-            t = g["table_select"][2]
-        x, y = _decode_big_pair(br, t)
-        xs[pos] = x
-        xs[pos + 1] = y
-        pos += 2
-        if br.pos > bits_end:
-            raise ValueError("mp3: big-values region overran "
-                             "part2_3_length")
+    ts = g["table_select"]
+    for seg_end, t in ((min(r1, nbig), ts[0]),
+                       (min(r2, nbig), ts[1]), (nbig, ts[2])):
+        if pos >= seg_end:
+            continue
+        if t == 0:                   # table 0: zero pairs, no bits
+            pos = seg_end
+            continue
+        tree = BIG_TABLES.get(t)
+        if tree is None:
+            _decode_big_pair(br, t)  # canonical uncertified raise
+        L, lv, ll = _get_lut(t, tree)
+        lb = LINBITS[t]
+        msk = (1 << L) - 1
+        sh = 24 - L
+        while pos < seg_end:
+            b = p >> 3
+            idx = (((dd[b] << 16) | (dd[b + 1] << 8) | dd[b + 2])
+                   >> (sh - (p & 7))) & msk
+            packed = lv[idx]
+            p += ll[idx]
+            x = packed >> 4
+            y = packed & 15
+            if x == 15 and lb:
+                b = p >> 3
+                x += (((dd[b] << 16) | (dd[b + 1] << 8) | dd[b + 2])
+                      >> (24 - lb - (p & 7))) & ((1 << lb) - 1)
+                p += lb
+            if x:
+                if (dd[p >> 3] >> (7 - (p & 7))) & 1:
+                    x = -x
+                p += 1
+            if y == 15 and lb:
+                b = p >> 3
+                y += (((dd[b] << 16) | (dd[b + 1] << 8) | dd[b + 2])
+                      >> (24 - lb - (p & 7))) & ((1 << lb) - 1)
+                p += lb
+            if y:
+                if (dd[p >> 3] >> (7 - (p & 7))) & 1:
+                    y = -y
+                p += 1
+            xs[pos] = x
+            xs[pos + 1] = y
+            pos += 2
+            if p > nbits:
+                raise ValueError("mp3: bitstream overrun")
+            if p > bits_end:
+                br.pos = p
+                raise ValueError("mp3: big-values region overran "
+                                 "part2_3_length")
     # count1: quadruples until the bit budget is exhausted or 576;
     # a quad STARTING below 576 is decoded even when it crosses the
     # end (spec: the spilled values are discarded) — `pos <= 572`
     # here silently zeroed lines 573-575 (r13 review finding)
     qstart = pos
-    while br.pos < bits_end and pos < 576:
+    table_b = g["count1table_select"]
+    if not table_b:
+        Lc, lvc, llc = _get_lut("count1a", COUNT1_A)
+        mskc = (1 << Lc) - 1
+        shc = 24 - Lc
+    while p < bits_end and pos < 576:
         qstart = pos
-        try:
-            quad = _decode_count1(br, g["count1table_select"])
-        except ValueError:
+        if table_b:
+            # table B: 4 sent bits are the INVERTED quad values
+            b = p >> 3
+            bits = (((dd[b] << 8) | dd[b + 1])
+                    >> (12 - (p & 7))) & 0xF
+            p += 4
+            node = 0xF ^ bits
+        else:
+            b = p >> 3
+            idx = (((dd[b] << 16) | (dd[b + 1] << 8) | dd[b + 2])
+                   >> (shc - (p & 7))) & mskc
+            node = lvc[idx]
+            p += llc[idx]
+        quad = []
+        for shift in (3, 2, 1, 0):
+            q = (node >> shift) & 1
+            if q:
+                if (dd[p >> 3] >> (7 - (p & 7))) & 1:
+                    q = -1
+                p += 1
+            quad.append(q)
+        if p > nbits:
             # the final quad ran past the PHYSICAL buffer end (not
             # just past part2_3_length): the stuffed bits simply
-            # don't exist in the stream's last frame.  Same standard
-            # behavior as the budget overrun below — drop the quad
+            # don't exist in the stream's last frame — drop the quad
             # and rewind to the budget boundary (r13 ADVICE: raising
             # here failed streams that are conformant except for
             # their very last stuffed quadruple)
-            br.pos = bits_end
+            p = bits_end
             break
         hi = min(pos + 4, 576)
         xs[pos:hi] = quad[:hi - pos]
         pos = hi
-    if br.pos > bits_end:
+    if p > bits_end:
         # a conformant stream ends the count1 region exactly at the
         # budget, but real-world encoders may let the reader run one
         # partial quadruple past it (the bits belonged to stuffing /
@@ -456,7 +565,8 @@ def _read_huffman(br: _Bits, g: dict, h: dict, bits_end: int):
         # that quad and rewind to the budget boundary
         xs[qstart:pos] = 0
         pos = qstart
-        br.pos = bits_end
+        p = bits_end
+    br.pos = p
     return xs, pos
 
 
@@ -611,20 +721,29 @@ _CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
 _CS = 1.0 / np.sqrt(1.0 + _CI ** 2)
 _CA = _CI / np.sqrt(1.0 + _CI ** 2)
 
+#: r15 vectorization: all 31x8 butterflies touch DISJOINT lines
+#: (up rows [18sb-8, 18sb-1], down rows [18sb, 18sb+7] — adjacent
+#: boundaries never overlap), so one gather + the same per-element
+#: multiply-adds is bit-identical to the loop
+_AA_UP = (18 * np.arange(1, 32)[:, None] - 1
+          - np.arange(8)[None, :]).ravel()
+_AA_DN = (18 * np.arange(1, 32)[:, None]
+          + np.arange(8)[None, :]).ravel()
+_AA_CS = np.tile(_CS, 31)
+_AA_CA = np.tile(_CA, 31)
+
 
 def _antialias(xr, g: dict):
     """Decoder alias-reduction butterflies across subband boundaries
     (skipped for pure short blocks)."""
     if g["block_type"] == 2 and not g["mixed_block"]:
         return xr
-    n_sb = 2 if (g["block_type"] == 2 and g["mixed_block"]) else 32
+    k = 8 if (g["block_type"] == 2 and g["mixed_block"]) else 248
+    up, dn = _AA_UP[:k], _AA_DN[:k]
     out = xr.copy()
-    for sb in range(1, n_sb):
-        for i in range(8):
-            u = out[18 * sb - 1 - i]
-            d = out[18 * sb + i]
-            out[18 * sb - 1 - i] = u * _CS[i] - d * _CA[i]
-            out[18 * sb + i] = d * _CS[i] + u * _CA[i]
+    u, d = out[up], out[dn]
+    out[up] = u * _AA_CS[:k] - d * _AA_CA[:k]
+    out[dn] = d * _AA_CS[:k] + u * _AA_CA[:k]
     return out
 
 
@@ -665,26 +784,32 @@ _WIN = {0: _win_long(0), 1: _win_long(1), 3: _win_long(3),
 def _imdct_granule(xr, g: dict, overlap):
     """18 spectral lines per subband → 18 time samples per subband,
     overlap-added with the previous granule; returns (samples[18][32],
-    new_overlap[32][18])."""
-    ts = np.zeros((32, 36))
-    for sb in range(32):
-        spec = xr[18 * sb:18 * sb + 18]
-        long_block = (g["block_type"] != 2
-                      or (g["mixed_block"] and sb < 2))
-        if long_block:
-            bt = g["block_type"] if not (g["mixed_block"]
-                                         and sb < 2) else 0
-            ts[sb] = (_IMDCT36 @ spec) * _WIN[bt]
-        else:
-            ws = _WIN["s"]
-            for w in range(3):
-                y = (_IMDCT12 @ spec[w::3]) * ws
-                ts[sb, 6 + 6 * w:18 + 6 * w] += y
-    out = np.empty((18, 32))
-    new_overlap = np.empty((32, 18))
-    for sb in range(32):
-        out[:, sb] = ts[sb, :18] + overlap[sb]
-        new_overlap[sb] = ts[sb, 18:]
+    new_overlap[32][18]).
+
+    r15: the window multiply and the overlap/out split are hoisted
+    out of the per-subband loop (elementwise — bit-identical); the
+    IMDCT itself stays one GEMV per subband, NOT a batched GEMM,
+    because BLAS re-blocking could reassociate the dot products."""
+    ts = np.empty((32, 36))
+    bt = g["block_type"]
+    if bt != 2:                      # all-long granule (common case)
+        spec32 = xr.reshape(32, 18)
+        for sb in range(32):
+            ts[sb] = _IMDCT36 @ spec32[sb]
+        ts *= _WIN[bt][None, :]
+    else:
+        ts[:] = 0.0
+        for sb in range(32):
+            spec = xr[18 * sb:18 * sb + 18]
+            if g["mixed_block"] and sb < 2:
+                ts[sb] = (_IMDCT36 @ spec) * _WIN[0]
+            else:
+                ws = _WIN["s"]
+                for w in range(3):
+                    y = (_IMDCT12 @ spec[w::3]) * ws
+                    ts[sb, 6 + 6 * w:18 + 6 * w] += y
+    out = (ts[:, :18] + overlap).T.copy()
+    new_overlap = ts[:, 18:].copy()
     return out, new_overlap
 
 
@@ -703,20 +828,49 @@ _SYNTH_N = np.cos((16 + np.arange(64)[:, None])
                   * (2 * np.arange(32)[None, :] + 1) * np.pi / 64)
 
 
+#: r15 synthesis batching: the u-window's 16 rows pull from V-FIFO
+#: blocks k, k-1, ..., k-15 — row j takes entries [0:32] of block
+#: k-j when j is even, entries [32:64] when j is odd.  Relative
+#: flat-index matrix into the block history (newest block last).
+_SYNTH_REL = (np.arange(32)[None, :]
+              + (np.arange(16) % 2)[:, None] * 32
+              - 64 * np.arange(16)[:, None])
+_SYNTH_D16 = None                    # SYNTH_D.reshape(16, 32), lazy
+
+
 class _Synth:
+    """Polyphase synthesis with a batched window pass (r15): the old
+    per-slot path np.roll'ed a 1024-FIFO and re-gathered u for every
+    32-sample slot (40% of decode wall).  run_many keeps a (16, 64)
+    history tail, computes each slot's V block with the SAME per-slot
+    GEMV (no GEMM re-blocking — bit-identity), then evaluates ALL
+    windows in one fancy-index gather + one (N, 16, 32) multiply and
+    a length-16 axis reduction — the identical per-element operation
+    order as the per-slot (16, 32).sum(axis=0), so PCM is bit-equal
+    (fixture hashes pinned in tests/test_mp3.py)."""
+
     def __init__(self):
-        self.v = np.zeros(1024)
+        self.hist = np.zeros((16, 64))
+
+    def run_many(self, S):
+        """(N, 32) subband sample sets → (N, 32) PCM samples."""
+        global _SYNTH_D16
+        if _SYNTH_D16 is None:
+            _SYNTH_D16 = SYNTH_D.reshape(16, 32)
+        n = S.shape[0]
+        H = np.empty((16 + n, 64))
+        H[:16] = self.hist
+        for k in range(n):           # GEMV per slot, as before
+            H[16 + k] = _SYNTH_N @ S[k]
+        self.hist = H[-16:].copy()
+        flat = H.reshape(-1)
+        base = (np.arange(n) + 16)[:, None, None] * 64
+        u = flat[base + _SYNTH_REL[None]]
+        return (u * _SYNTH_D16[None]).sum(axis=1)
 
     def run(self, s32):
         """One set of 32 subband samples → 32 PCM samples."""
-        self.v = np.roll(self.v, 64)
-        self.v[:64] = _SYNTH_N @ s32
-        v = self.v
-        u = np.empty(512)
-        for i in range(8):
-            u[i * 64:i * 64 + 32] = v[i * 128:i * 128 + 32]
-            u[i * 64 + 32:i * 64 + 64] = v[i * 128 + 96:i * 128 + 128]
-        return (u * SYNTH_D).reshape(16, 32).sum(axis=0)
+        return self.run_many(s32[None])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -802,12 +956,11 @@ def decode_mp3(data: bytes):
                 out, overlaps[ch] = _imdct_granule(xr, g,
                                                    overlaps[ch])
                 block[ch] = _freq_invert(out)
-            # synthesis: 18 sample sets of 32 per granule per channel
+            # synthesis: 18 sample sets of 32 per granule per channel,
+            # evaluated as ONE batched window pass (r15)
             gpcm = np.empty((nch, 18 * 32))
             for ch in range(nch):
-                for t in range(18):
-                    gpcm[ch, t * 32:(t + 1) * 32] = \
-                        synths[ch].run(block[ch, t])
+                gpcm[ch] = synths[ch].run_many(block[ch]).reshape(-1)
             pcm_parts.append(gpcm)
         reservoir = (reservoir + main)[-4096:]
     if rate is None:
