@@ -123,6 +123,50 @@ def test_rolling_agg_prefix_equals_range(spark):
         rolling_agg("t", 1.0, aggs={"a": ("median", "v")})
 
 
+def test_rolling_agg_prefix_law_hypothesis(spark):
+    """Property law: for ANY (key, time, value) multiset — ties,
+    duplicate rows, null values, zero/odd window widths — the
+    declared prefix path equals a pure-Python reference of the SQL
+    RANGE frame semantics (frame [t−W, t] inclusive, peers shared,
+    all-null sum frame → None)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.integers(0, 30),
+                  st.one_of(st.none(), st.integers(-9, 9))),
+        min_size=1, max_size=40),
+        w=st.sampled_from([0, 3, 7]))
+    def law(rows, w):
+        df = spark.createDataFrame(
+            [(k, float(t), v) for k, t, v in rows],
+            "k int, t double, v int")
+        p = (from_dataframe(df)
+             | rolling_agg("t", float(w), keys=["k"],
+                           aggs={"n": ("count", "*"),
+                                 "s": ("sum", "v")})
+             | sink_df())
+        got = sorted(((r.k, r.t, r.v, r.n, r.s)
+                      for r in run_pipe(p, spark).collect()),
+                     key=lambda x: (x[0], x[1], x[2] is None,
+                                    x[2] or 0))
+        want = []
+        for k, t, v in rows:
+            frame = [v2 for k2, t2, v2 in rows
+                     if k2 == k and t - w <= t2 <= t]
+            nn = [x for x in frame if x is not None]
+            want.append((k, float(t), v, len(frame),
+                         sum(nn) if nn else None))
+        want.sort(key=lambda x: (x[0], x[1], x[2] is None, x[2] or 0))
+        assert got == want
+
+    law()
+
+
 def test_rolling_agg_prefix_plan_no_sliding_frame(spark):
     """The declared path's plan must contain only GROWING window
     frames (unboundedpreceding) — the sliding RANGE frame Spark
