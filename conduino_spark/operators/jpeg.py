@@ -733,6 +733,12 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
         eobrun = 0
         preds = [0] * len(scan_comps)
         interleaved = len(scan_comps) > 1
+        # r15: per-scan table hoist — the (class, id) dict lookup ran
+        # once per BLOCK in the r14 inline path; tables are fixed per
+        # scan component, so resolve them once (None still raises at
+        # first use with the same message)
+        dc_tabs = [huff.get((0, sc[0])) for sc in sel]
+        ac_tabs = [huff.get((1, sc[1])) for sc in sel]
 
         def one_block(i, ci, by, bx):
             # r14: the reader's window reads are inlined over local
@@ -749,7 +755,7 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
             pos = br.bitpos
             nbits = br.nbits
             if ss == 0 and ah == 0:              # DC first
-                dh = huff.get((0, sel[i][0]))
+                dh = dc_tabs[i]
                 if dh is None:
                     raise ValueError("scan references undefined DC "
                                      "table")
@@ -783,7 +789,7 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                 if eobrun > 0:
                     eobrun -= 1
                     return
-                ac = huff.get((1, sel[i][1]))
+                ac = ac_tabs[i]
                 if ac is None:
                     raise ValueError("scan references undefined AC "
                                      "table")
@@ -828,7 +834,7 @@ def _decode_progressive(data: bytes) -> "np.ndarray":
                     k += 1
                 br.bitpos = pos
             else:                                # AC refinement
-                ac = huff.get((1, sel[i][1]))
+                ac = ac_tabs[i]
                 if ac is None:
                     raise ValueError("scan references undefined AC "
                                      "table")

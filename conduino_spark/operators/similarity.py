@@ -1288,6 +1288,7 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
              out_cos: str = "cosine", exclude_self: bool = False,
              kernel: str = "exact",
              centroids: "Optional[dict]" = None,
+             cell_split: "int | str" = "auto",
              scale: int = 1_000_000_000) -> Stage:
     """Batched ANN JOIN: for EVERY query vector, its top-``k`` cosine
     neighbors from ``corpus`` — the all-rows counterpart of the
@@ -1322,12 +1323,32 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
     global-top-k containment, same (cosine desc, id) tie rule; the
     only difference is summation order inside the dot product, so
     cosines can differ in the last ulp before the 6-decimal round
-    (law-tested against "exact" in tests/test_round7.py)."""
+    (law-tested against "exact" in tests/test_round7.py).
+
+    ``cell_split`` (r15 — found by the real-sf1 scale probe): the
+    candidate join's key is the CELL id, so its parallelism is
+    bounded by the number of cells, and AQE then coalesces the
+    byte-small-but-compute-huge partitions further (the 6k-vector
+    diagnosis ran the whole candidate stage in ONE task).  Each cell
+    is therefore split into S deterministic sub-cells —
+    ``pmod(hash(id), S)`` on the corpus side, probe replication on
+    the query side — and the exact path repartitions BOTH join
+    sides by (cell, sub) with an explicit partition count, which AQE
+    may not coalesce.  The candidate SET is unchanged (every corpus
+    row lives in exactly one sub, every probing query meets every
+    sub), so results are bit-identical; only the parallelism
+    changes.  "auto" sizes S ≈ defaultParallelism / n_cells (one
+    tiny distinct-count when no ``centroids`` model is given);
+    an int pins it; 1 disables."""
     if k < 1 or nprobe < 1:
         raise ValueError(f"need k >= 1 and nprobe >= 1, got k={k}, "
                          f"nprobe={nprobe}")
     if kernel not in ("exact", "gemm"):
         raise ValueError(f"kernel must be 'exact' or 'gemm', got {kernel!r}")
+    if cell_split != "auto" and (not isinstance(cell_split, int)
+                                 or cell_split < 1):
+        raise ValueError(f"cell_split must be 'auto' or an int >= 1, "
+                         f"got {cell_split!r}")
     from pyspark.sql import Window
     sc = float(scale)
 
@@ -1396,6 +1417,22 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
                       .select(id_col, "__cell"))
         wk = Window.partitionBy(id_col).orderBy(F.desc(out_cos),
                                                 F.col(out_id))
+        # r15 cell sub-split (docstring): same candidates, more tasks
+        if cell_split == "auto":
+            dp = queries.sparkSession.sparkContext.defaultParallelism
+            nc = (len(centroids) if centroids is not None
+                  else corp.select("__cell").distinct().count())
+            S = max(1, min(64, -(-dp // max(int(nc), 1))))
+        else:
+            S = cell_split
+        jkeys = ["__cell"]
+        if S > 1:
+            corp = corp.withColumn(
+                "__sub", F.pmod(F.hash(F.col(out_id)), F.lit(S)))
+            probes = probes.withColumn(
+                "__sub", F.explode(F.array(
+                    *[F.lit(i) for i in range(S)])))
+            jkeys = ["__cell", "__sub"]
         if kernel == "gemm":
             qside = (queries.select(F.col(id_col), qv.alias("__qv"))
                             .join(probes, id_col))
@@ -1441,16 +1478,23 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
                 return _pd.DataFrame(rows,
                                      columns=[id_col, out_id, out_cos])
 
-            percell = (qside.groupBy("__cell")
-                       .cogroup(corp.groupBy("__cell"))
+            percell = (qside.groupBy(*jkeys)
+                       .cogroup(corp.groupBy(*jkeys))
                        .applyInPandas(cell_topk, out_schema))
             return (percell.withColumn("rank", F.row_number().over(wk))
                            .where(F.col("rank") <= k)
                            .select(id_col, out_id, out_cos, "rank"))
-        # candidate equi-join on the cell key + exact rescoring
-        cand = (queries.select(F.col(id_col), qv.alias("__qv"))
-                       .join(probes, id_col)
-                       .join(corp, "__cell"))
+        # candidate equi-join on the (cell [, sub]) key + exact
+        # rescoring; the explicit-count repartition of BOTH sides is
+        # what AQE may not coalesce away (docstring)
+        qcand = (queries.select(F.col(id_col), qv.alias("__qv"))
+                        .join(probes, id_col))
+        if S > 1:
+            npart = int(queries.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+            qcand = qcand.repartition(npart, *jkeys)
+            corp = corp.repartition(npart, *jkeys)
+        cand = qcand.join(corp, jkeys)
         if exclude_self:
             cand = cand.where(F.col(id_col) != F.col(out_id))
         cos = F.round(_dot(F.col("__qv"), F.col("__cv"))
