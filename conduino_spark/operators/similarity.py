@@ -1394,27 +1394,88 @@ def ann_join(corpus: DataFrame, k: int = 10, *, nprobe: int = 2,
                               .cast("double")
                              / F.count(F.lit(1)).cast("double")
                              / F.lit(sc)).alias("__m")))
-        nv = F.round(F.col("__m") * F.col("__m") * scale).cast("long")
-        cell_n2 = (means.groupBy("__cell")
-                        .agg((_guarded_long_sum(nv, "ann_join norms")
-                               .cast("double") / F.lit(sc)).alias("__n2")))
-        # rank cells PER QUERY: explode the query vector, broadcast-join
-        # the means on the dim index, one (query, cell) aggregate
+        # rank cells PER QUERY (r15 rewrite — found by the real-sf1
+        # probe): the old path posexploded every query vector and
+        # joined the means on the dim index, materializing n·d·C rows
+        # through a shuffle aggregate — with cells scaling alongside
+        # the corpus that is O(N²d/cell_size), and it dominated the
+        # scaled-cell probe at 10x.  The means table is tiny (C·d
+        # rows), so collect it once and score every query against all
+        # cells in ONE Arrow pass.  BIT-IDENTICAL by construction:
+        # the kernel reproduces the exact scaled-long formula —
+        # per-term HALF_UP round (Spark's F.round, NOT numpy's
+        # half-even) summed in int64 — so dots, ccos doubles, and the
+        # (ccos desc, cell asc) ranking are the same numbers the SQL
+        # aggregate produced (ann_join_emb / knn_methods gate pins
+        # replay hash-green; DuckDB oracle unchanged).
+        mrows = means.collect()
         qv = F.col(vec_col).cast("array<double>")
-        qex = queries.select(F.col(id_col), F.posexplode(qv)
-                              .alias("__i", "__qx"))
-        dv = F.round(F.col("__m") * F.col("__qx") * scale).cast("long")
-        qdot = (qex.join(F.broadcast(means), "__i")
-                   .groupBy(id_col, "__cell")
-                   .agg((_guarded_long_sum(dv, "ann_join cell dot")
-                          .cast("double") / F.lit(sc)).alias("__dot")))
-        ccos = F.col("__dot") / (F.sqrt(F.col("__n2")) + F.lit(1e-12))
-        wc = Window.partitionBy(id_col).orderBy(ccos.desc(),
-                                                F.col("__cell"))
-        probes = (qdot.join(F.broadcast(cell_n2), "__cell")
-                      .withColumn("__r", F.row_number().over(wc))
-                      .where(F.col("__r") <= nprobe)
-                      .select(id_col, "__cell"))
+        cell_type = corpus.schema[cell_col].dataType
+        from pyspark.sql.types import StructField, StructType
+        probe_schema = StructType([
+            StructField(id_col, queries.schema[id_col].dataType),
+            StructField("__cell", cell_type),
+        ])
+        if not mrows:
+            probes = queries.sparkSession.createDataFrame(
+                [], probe_schema)
+        else:
+            cells_sorted = sorted({r["__cell"] for r in mrows})
+            cidx = {c: j for j, c in enumerate(cells_sorted)}
+            dmax = max(r["__i"] for r in mrows) + 1
+            cmat = _np.zeros((len(cells_sorted), dmax))
+            for r in mrows:
+                cmat[cidx[r["__cell"]], r["__i"]] = r["__m"]
+
+            def _half_up(a):
+                # Spark round(double): HALF AWAY FROM ZERO
+                return _np.sign(a) * _np.floor(_np.abs(a) + 0.5)
+
+            nn2 = (_half_up(cmat * cmat * sc).astype(_np.int64)
+                   .sum(axis=1) / sc)
+            sq_n2 = _np.sqrt(nn2) + 1e-12
+            cells_np = list(cells_sorted)
+            npr = min(nprobe, len(cells_sorted))
+
+            def rank_cells(batches):
+                import pandas as _pd
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    Q = _np.array([_np.asarray(v, dtype=_np.float64)
+                                   for v in pdf["__qv"]])
+                    m = min(Q.shape[1], dmax)
+                    ids, outc = [], []
+                    qids = pdf[id_col].to_numpy()
+                    C = cmat[:, :m]
+                    if _np.abs(Q).max(initial=0.0) * \
+                            _np.abs(C).max(initial=0.0) * sc * m \
+                            >= float(2 ** 62):
+                        raise ValueError(
+                            "ann_join cell dot: scaled sum would "
+                            "overflow long")
+                    dots = _np.empty((len(Q), len(C)))
+                    for j in range(len(C)):
+                        # association matters: the SQL rounds
+                        # (m * qx) * scale — keep that exact order
+                        dots[:, j] = _half_up(
+                            (C[j] * Q[:, :m]) * sc).astype(
+                                _np.int64).sum(axis=1) / sc
+                    cc = dots / sq_n2[None, :]
+                    # (ccos desc, cell asc) — cells_sorted IS cell-
+                    # ascending, and np.argsort stable keeps that
+                    # order among ties
+                    ordk = _np.argsort(-cc, axis=1, kind="stable")
+                    for qi in range(len(Q)):
+                        for j in ordk[qi, :npr]:
+                            ids.append(qids[qi])
+                            outc.append(cells_np[j])
+                    yield _pd.DataFrame({id_col: ids,
+                                         "__cell": outc})
+
+            probes = (queries.select(F.col(id_col),
+                                     qv.alias("__qv"))
+                             .mapInPandas(rank_cells, probe_schema))
         wk = Window.partitionBy(id_col).orderBy(F.desc(out_cos),
                                                 F.col(out_id))
         # r15 cell sub-split (docstring): same candidates, more tasks

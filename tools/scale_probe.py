@@ -324,11 +324,27 @@ def main() -> None:
     DOC_OPS["bm25_join"] = _bm25_join
     DOC_OPS["phrase_search"] = _phrase
 
+    def _ann_scaled(df):
+        # r15: the real-sf1 run exposed that probing a FIXED cell
+        # layout is inherently quadratic (candidates = N * nprobe *
+        # N/C; ratio 56 at 10x even with the cell_split parallelism
+        # fix) — the 100 TB protocol re-clusters so cells grow WITH
+        # the corpus (C ~ N/250 keeps per-cell size flat and the
+        # candidate count linear).  The probe now measures that
+        # honest pipeline: ivf_build at scale-appropriate k + the
+        # probe join.
+        from conduino_spark import ivf_build
+        n = df.count()
+        cells = ivf_build(k=max(4, n // 250), iters=1)(df)
+        j = df.join(cells.withColumnRenamed("cell", "__c2"), "vec_id")
+        return ann_join(j, k=5, nprobe=2, exclude_self=True,
+                        cell_col="__c2")(j)
+
     EMB_OPS = {
         # r7: batched ANN join — queries probe nprobe cells, corpus
-        # partitions by cell; should stay ~linear in replicas
-        "ann_join": lambda df: ann_join(df, k=5, nprobe=2,
-                                        exclude_self=True)(df),
+        # partitions by cell; linear only when cells scale with the
+        # corpus (see _ann_scaled)
+        "ann_join": _ann_scaled,
         # r8: the integer-Gram moments pass — per-partition numpy
         # partials, vectors never shuffle; must be flat-linear
         "pca_moments": lambda df: ev_pipe(vector_moments(), df),
@@ -336,9 +352,14 @@ def main() -> None:
 
     def _hard_negs(df):
         # r9: ann_join fetch + anti-join + re-rank — should track the
-        # ann_join ratio (the added window is per-query constant work)
-        from conduino_spark import mine_hard_negatives
-        return mine_hard_negatives(df, None, k=5, skip_top=1)(df)
+        # ann_join ratio (the added window is per-query constant
+        # work).  r15: scale-appropriate cells, as for _ann_scaled.
+        from conduino_spark import ivf_build, mine_hard_negatives
+        n = df.count()
+        cells = ivf_build(k=max(4, n // 250), iters=1)(df)
+        j = df.join(cells.withColumnRenamed("cell", "__c2"), "vec_id")
+        return mine_hard_negatives(j, None, k=5, skip_top=1,
+                                   cell_col="__c2")(j)
 
     EMB_OPS["hard_negatives"] = _hard_negs
 
