@@ -2152,6 +2152,132 @@ def cosine_tfidf_weights(text_col: str = "text", id_col: str = "doc_id", *,
                  seq_preserving=False)
 
 
+def _blocked_gemm_pairs(w6: DataFrame, id_col: str,
+                        tau: int, w_col: str = "w6") -> DataFrame:
+    """All pairs with exact integer dot >= ``tau`` via per-block-pair
+    dense GEMM — the verify strategy of the prefix-filtered similarity
+    joins when the candidate set is output-dense (r15 optimization;
+    guide §4.2/§8: hand whole blocks to a vectorized native kernel).
+    On such corpora the prefix equi-join admits ~all pairs anyway, so
+    the prune machinery, the candidate exchange, the pair dedup and
+    the per-pair interpreted map-fold are all pure overhead; the
+    kernel emits every pair whose FULL-vector dot reaches ``tau`` —
+    exactly the operator's output (the caller's flop-budget gate is
+    what keeps this off big/sparse corpora, where the candidate-bound
+    pair path remains the 100 TB shape).
+
+    Exactness: weights are nonneg scaled longs with per-term products
+    <= scale^2 = 1e12 and total dot <= ~1e12 (unit vectors), so every
+    float64 product and partial sum is an exact integer < 2^53 —
+    BLAS may reassociate freely, the result is the same integer.
+
+    Scale shape: blocks = deterministic ``pmod(xxhash64(id), B)`` with
+    B(B+1)/2 ~ defaultParallelism; the narrow per-doc feature arrays
+    are replicated to at most B+1 (block, partner) groups via a
+    driver-sized assignment table; the block-pair exchange is a user
+    repartition AQE may not coalesce, so kernel parallelism follows
+    groups, not bytes; the kernel chunks both the vocab and the
+    left-row axis to bound its dense slices."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = w6.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = max(2, math.ceil((math.isqrt(8 * par + 1) - 1) / 2) + 1)
+    while n_blocks * (n_blocks + 1) // 2 < par:
+        n_blocks += 1
+
+    def blk(c):
+        return F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
+
+    vec = (w6.groupBy(id_col)
+           .agg(F.collect_list(F.struct("g", F.col(w_col))).alias("fw"))
+           .select(F.col(id_col).alias("__id"),
+                   F.col("fw").getField("g").alias("gs"),
+                   F.col("fw").getField(w_col).alias("ws"),
+                   blk(F.col(id_col)).alias("b")))
+    # one pass over the per-doc vectors: the side-role fan-out happens
+    # on a TINY driver-built assignment table (block b -> its B+1
+    # (ba, bb, side) groups), not on the corpus
+    asn_rows = ([(b, b, q, 0) for b in range(n_blocks)
+                 for q in range(b, n_blocks)]
+                + [(q, p, q, 1) for p in range(n_blocks)
+                   for q in range(p + 1, n_blocks)])
+    asn = spark.createDataFrame(asn_rows, "b int, ba int, bb int, side int")
+    sides = (vec.join(F.broadcast(asn), "b")
+             .select("ba", "bb", "side", "__id", "gs", "ws")
+             .repartition(par, "ba", "bb"))
+
+    idt = w6.schema[id_col].dataType
+    out_schema = StructType([StructField("id_a", idt),
+                             StructField("id_b", idt),
+                             StructField("__dot", LongType())])
+    tau_f = float(tau)
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "__dot": pd.Series([], dtype="int64")})
+        same = bool(pdf["ba"].iat[0] == pdf["bb"].iat[0])
+        a = pdf[pdf["side"].to_numpy() == 0]
+        b = a if same else pdf[pdf["side"].to_numpy() == 1]
+        if len(a) == 0 or len(b) == 0 or (same and len(a) < 2):
+            return empty
+        ga = [np.asarray(g, dtype=np.int64) for g in a["gs"]]
+        wa = [np.asarray(w, dtype=np.float64) for w in a["ws"]]
+        if same:
+            gb, wb = ga, wa
+        else:
+            gb = [np.asarray(g, dtype=np.int64) for g in b["gs"]]
+            wb = [np.asarray(w, dtype=np.float64) for w in b["ws"]]
+        vocab = np.unique(np.concatenate(ga + ([] if same else gb)))
+
+        def trip(gl, wl):
+            rows = np.repeat(np.arange(len(gl)),
+                             [len(g) for g in gl]).astype(np.int64)
+            cols = np.searchsorted(vocab, np.concatenate(gl))
+            vals = np.concatenate(wl)
+            return rows, cols, vals
+
+        ra, ca, va = trip(ga, wa)
+        rb, cb, vb = (ra, ca, va) if same else trip(gb, wb)
+        na, nb, nv = len(ga), len(gb), len(vocab)
+        ia = a["__id"].to_numpy()
+        ib = ia if same else b["__id"].to_numpy()
+        outs = []
+        # left-row + vocab chunking bounds every dense slice AND the
+        # dot matrix; chunked adds of exact integers are exact
+        a_step = max(1, int(2e7) // max(nb, 1))
+        for alo in range(0, na, a_step):
+            ahi = min(na, alo + a_step)
+            sel_a = (ra >= alo) & (ra < ahi)
+            dots = np.zeros((ahi - alo, nb))
+            step = max(1, int(4e7 // max((ahi - alo) + nb, 1)))
+            for lo in range(0, nv, step):
+                hi = min(nv, lo + step)
+                sa = sel_a & (ca >= lo) & (ca < hi)
+                ma = np.zeros((ahi - alo, hi - lo))
+                ma[ra[sa] - alo, ca[sa] - lo] = va[sa]
+                sb = (cb >= lo) & (cb < hi)
+                mb = np.zeros((nb, hi - lo))
+                mb[rb[sb], cb[sb] - lo] = vb[sb]
+                dots += ma @ mb.T
+            ii, jj = np.nonzero(dots >= tau_f)
+            id1, id2, vv = ia[ii + alo], ib[jj], dots[ii, jj]
+            if same:
+                keep = id1 < id2
+                id1, id2, vv = id1[keep], id2[keep], vv[keep]
+            outs.append(pd.DataFrame({"id_a": np.minimum(id1, id2),
+                                      "id_b": np.maximum(id1, id2),
+                                      "__dot": vv.astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return sides.groupBy("ba", "bb").applyInPandas(kern, out_schema)
+
+
 def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                         threshold: float = 0.5,
                         weight_round: int = 6,
@@ -2222,13 +2348,45 @@ def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
             w6 = track(df.repartition(par, id_col))
         else:
             w6 = track(prep.fn(df))
+        # ONE stats action (was: a max_tot-only collect): the largest
+        # rounded squared norm across docs (the ||y|| factor of the
+        # Cauchy-Schwarz bound, exact integer; rounding can push it
+        # slightly above scale²), the doc count, and Σ_g df² — the
+        # last two feed the r15 verify-strategy decision below.
+        row = ((w6.groupBy(id_col)
+                .agg(F.sum(F.col("w6") * F.col("w6")).alias("__t"))
+                .agg(F.coalesce(F.max("__t"), F.lit(0)).alias("mt"),
+                     F.count("*").alias("n")))
+               .crossJoin(w6.select("g", "__df").distinct()
+                          .agg(F.coalesce(
+                              F.sum(F.col("__df") * F.col("__df")),
+                              F.lit(0)).alias("df2")))
+               .collect()[0])
+        max_tot, n_docs, sum_df2 = row["mt"] or 0, row["n"], row["df2"]
+        # r15 verify-strategy choice (guide §1.1 first-principles):
+        # the prefix path below costs ~Σ_g c(g)² candidate match rows
+        # through a shuffle, a dedup and an interpreted per-pair
+        # map-fold; the blocked-GEMM path costs ~(n²/2 dot cells +
+        # Σ_g df² MACs) of exact float64 BLAS inside numpy.  On
+        # output-dense corpora (shared vocabulary — the prefix join
+        # admits ~all pairs anyway) GEMM wins by orders of magnitude;
+        # past the flop budget the candidate-bound prefix path stays
+        # the 100 TB shape.  The budget scales with cluster
+        # parallelism; the decision is deterministic and data-derived,
+        # and both paths are exact (integer dots are order-free), so
+        # the result is identical either way.
+        from pyspark.sql.types import IntegerType, LongType, ShortType
+        par = df.sparkSession.sparkContext.defaultParallelism
+        numeric_id = isinstance(w6.schema[id_col].dataType,
+                                (LongType, IntegerType, ShortType))
+        if numeric_id and n_docs * n_docs / 2 + sum_df2 <= 3e9 * par:
+            hits = _blocked_gemm_pairs(w6, id_col, tau)
+            return (hits.where(F.col("__dot") >= F.lit(tau))
+                    .select("id_a", "id_b",
+                            F.round(F.col("__dot")
+                                    / F.lit(float(scale * scale)), 6)
+                            .alias("cosine")))
         mw = w6.groupBy("g").agg(F.max("w6").alias("mw6"))
-        # the largest rounded squared norm across docs (≈ scale² but
-        # rounding can push it slightly above) — the ||y|| factor of
-        # the Cauchy-Schwarz bound, exact integer
-        max_tot = (w6.groupBy(id_col)
-                   .agg(F.sum(F.col("w6") * F.col("w6")).alias("__t"))
-                   .agg(F.max("__t")).collect()[0][0]) or 0
         # CS prune floor: keep position i iff
         # sqrt(suffix_sq_i · max_tot) >= t·scale², i.e. suffix_sq_i >=
         # t²·scale⁴ / max_tot — computed on the driver with a safety
@@ -2253,6 +2411,10 @@ def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                   .where((F.col("__susp") >= F.lit(tau))
                          & (F.col("__sfx2") >= F.lit(cs_floor)))
                   .select(F.col(id_col), "g"))
+        # cached: the candidate self-join below consumes pref twice
+        # (both aliases) — without the persist the whole mw-join +
+        # double-window pipeline ran once per side (r15)
+        pref = track(pref)
         # explicit repartition BEFORE the dedup: the candidate table is
         # narrow (two longs) so AQE's size-based coalescing would hand
         # the verify stage 2-3 fat partitions — but each row costs a
