@@ -1025,6 +1025,48 @@ def jaccard_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
         sets = track(sh.groupBy(id_col).agg(
             F.sort_array(F.collect_list("g")).alias("__gs"),
             F.count("*").alias("sz")))
+        # r15 verify-strategy choice (one stats action; same rationale
+        # and flop budget as cosine_prefix_pairs): on output-dense
+        # corpora the prefix equi-join admits ~all pairs, so verify by
+        # per-block-pair set-intersection GEMM instead; the kernel
+        # mask is a 0.5-slack superset of the exact integer filter,
+        # which re-runs in Spark below — identical rows either way.
+        row = (sets.agg(F.count("*").alias("n"))
+               .crossJoin(sh.groupBy("g").agg(F.count("*").alias("c"))
+                          .agg(F.coalesce(
+                              F.sum(F.col("c") * F.col("c")),
+                              F.lit(0)).alias("df2")))
+               .collect()[0])
+        n_docs, sum_df2 = row["n"], row["df2"]
+        from pyspark.sql.types import IntegerType, LongType, ShortType
+        par = df.sparkSession.sparkContext.defaultParallelism
+        numeric_id = isinstance(sets.schema[id_col].dataType,
+                                (LongType, IntegerType, ShortType))
+        th = float(threshold)
+        if numeric_id and n_docs * n_docs / 2 + sum_df2 <= _GEMM_VERIFY_BUDGET * par:
+            # array_distinct: h32 collisions can leave duplicate g per
+            # doc; the verify path's array_intersect dedups matches, so
+            # the kernel must count distinct matches too (the sparse
+            # sub-kernel ADDS duplicates, the dense one assigns them)
+            vec = sets.select(F.col(id_col).alias("__id"),
+                              F.array_distinct("__gs").alias("gs"))
+            hits = _blocked_gemm_pairs(
+                vec,
+                lambda dots, la, lb:
+                dots >= th * (la[:, None] + lb[None, :] - dots) - 0.5,
+                binary=True)
+            szs = sets.select(F.col(id_col), "sz")
+            hits = (hits.join(szs.select(F.col(id_col).alias("id_a"),
+                                         F.col("sz").alias("sz_a")),
+                              "id_a")
+                    .join(szs.select(F.col(id_col).alias("id_b"),
+                                     F.col("sz").alias("sz_b")),
+                          "id_b"))
+            union = F.col("sz_a") + F.col("sz_b") - F.col("__dot")
+            return (hits.where(F.col("__dot") >= F.lit(threshold) * union)
+                    .select("id_a", "id_b",
+                            F.round(F.col("__dot") / union, 6)
+                            .alias("jaccard")))
         dfreq = sh.groupBy("g").agg(F.count("*").alias("__df"))
         w = Window.partitionBy(id_col).orderBy("__df", "g")
         pref = (sh.join(dfreq, "g")
@@ -2152,24 +2194,43 @@ def cosine_tfidf_weights(text_col: str = "text", id_col: str = "doc_id", *,
                  seq_preserving=False)
 
 
-def _blocked_gemm_pairs(w6: DataFrame, id_col: str,
-                        tau: int, w_col: str = "w6") -> DataFrame:
-    """All pairs with exact integer dot >= ``tau`` via per-block-pair
-    dense GEMM — the verify strategy of the prefix-filtered similarity
-    joins when the candidate set is output-dense (r15 optimization;
-    guide §4.2/§8: hand whole blocks to a vectorized native kernel).
-    On such corpora the prefix equi-join admits ~all pairs anyway, so
-    the prune machinery, the candidate exchange, the pair dedup and
-    the per-pair interpreted map-fold are all pure overhead; the
-    kernel emits every pair whose FULL-vector dot reaches ``tau`` —
-    exactly the operator's output (the caller's flop-budget gate is
-    what keeps this off big/sparse corpora, where the candidate-bound
-    pair path remains the 100 TB shape).
+# verify-strategy gate (per defaultParallelism core): below this
+# n_docs^2/2 + sum(df^2) budget the output-dense blocked-GEMM verify
+# replaces the prefix-filtered pair path; above it the candidate-bound
+# pair path is the 100 TB shape.  Module constants so tests can force
+# either branch on small data.
+_GEMM_VERIFY_BUDGET = 3e9
+# per-chunk flop ceiling above which the block kernel switches from the
+# dense scatter+GEMM sub-path to the sparse match-expansion one
+_GEMM_DENSE_FLOPS = 2e8
+
+
+def _blocked_gemm_pairs(vec: DataFrame, keep, *,
+                        binary: bool = False) -> DataFrame:
+    """All pairs with exact integer dot selected by ``keep`` via
+    per-block-pair dense GEMM — the verify strategy of the
+    prefix-filtered similarity joins when the candidate set is
+    output-dense (r15 optimization; guide §4.2/§8: hand whole blocks
+    to a vectorized native kernel).  On such corpora the prefix
+    equi-join admits ~all pairs anyway, so the prune machinery, the
+    candidate exchange, the pair dedup and the per-pair interpreted
+    fold are all pure overhead; the kernel emits every pair the
+    ``keep(dots, na_sizes, nb_sizes) -> bool mask`` predicate admits
+    (callers pass a predicate that is exactly, or a sound superset
+    of, the operator's final filter, which re-runs in Spark) — the
+    caller's flop-budget gate is what keeps this off big/sparse
+    corpora, where the candidate-bound pair path remains the 100 TB
+    shape.
+
+    ``vec``: one row per doc — ``(__id numeric, gs array<long>[,
+    ws array<long> unless binary])``.  ``binary=True`` scatters 1.0
+    per feature (set intersection counts).
 
     Exactness: weights are nonneg scaled longs with per-term products
-    <= scale^2 = 1e12 and total dot <= ~1e12 (unit vectors), so every
-    float64 product and partial sum is an exact integer < 2^53 —
-    BLAS may reassociate freely, the result is the same integer.
+    <= scale^2 = 1e12 and dots <= ~1e12 (unit vectors / set sizes),
+    so every float64 product and partial sum is an exact integer
+    < 2^53 — BLAS may reassociate freely, the result is the same
+    integer.
 
     Scale shape: blocks = deterministic ``pmod(xxhash64(id), B)`` with
     B(B+1)/2 ~ defaultParallelism; the narrow per-doc feature arrays
@@ -2184,21 +2245,15 @@ def _blocked_gemm_pairs(w6: DataFrame, id_col: str,
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    spark = w6.sparkSession
+    spark = vec.sparkSession
     par = spark.sparkContext.defaultParallelism
     n_blocks = max(2, math.ceil((math.isqrt(8 * par + 1) - 1) / 2) + 1)
     while n_blocks * (n_blocks + 1) // 2 < par:
         n_blocks += 1
 
-    def blk(c):
-        return F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
-
-    vec = (w6.groupBy(id_col)
-           .agg(F.collect_list(F.struct("g", F.col(w_col))).alias("fw"))
-           .select(F.col(id_col).alias("__id"),
-                   F.col("fw").getField("g").alias("gs"),
-                   F.col("fw").getField(w_col).alias("ws"),
-                   blk(F.col(id_col)).alias("b")))
+    idt = vec.schema["__id"].dataType
+    vec = vec.withColumn(
+        "b", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int"))
     # one pass over the per-doc vectors: the side-role fan-out happens
     # on a TINY driver-built assignment table (block b -> its B+1
     # (ba, bb, side) groups), not on the corpus
@@ -2207,15 +2262,14 @@ def _blocked_gemm_pairs(w6: DataFrame, id_col: str,
                 + [(q, p, q, 1) for p in range(n_blocks)
                    for q in range(p + 1, n_blocks)])
     asn = spark.createDataFrame(asn_rows, "b int, ba int, bb int, side int")
+    cols = ["ba", "bb", "side", "__id", "gs"] + ([] if binary else ["ws"])
     sides = (vec.join(F.broadcast(asn), "b")
-             .select("ba", "bb", "side", "__id", "gs", "ws")
+             .select(*cols)
              .repartition(par, "ba", "bb"))
 
-    idt = w6.schema[id_col].dataType
     out_schema = StructType([StructField("id_a", idt),
                              StructField("id_b", idt),
                              StructField("__dot", LongType())])
-    tau_f = float(tau)
 
     def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -2226,50 +2280,93 @@ def _blocked_gemm_pairs(w6: DataFrame, id_col: str,
         b = a if same else pdf[pdf["side"].to_numpy() == 1]
         if len(a) == 0 or len(b) == 0 or (same and len(a) < 2):
             return empty
-        ga = [np.asarray(g, dtype=np.int64) for g in a["gs"]]
-        wa = [np.asarray(w, dtype=np.float64) for w in a["ws"]]
-        if same:
-            gb, wb = ga, wa
-        else:
-            gb = [np.asarray(g, dtype=np.int64) for g in b["gs"]]
-            wb = [np.asarray(w, dtype=np.float64) for w in b["ws"]]
+
+        def unpack(part):
+            gl = [np.asarray(g, dtype=np.int64) for g in part["gs"]]
+            if binary:
+                wl = None
+            else:
+                wl = np.concatenate(
+                    [np.asarray(w, dtype=np.float64) for w in part["ws"]])
+            return gl, wl
+
+        ga, wa = unpack(a)
+        gb, wb = (ga, wa) if same else unpack(b)
         vocab = np.unique(np.concatenate(ga + ([] if same else gb)))
 
-        def trip(gl, wl):
-            rows = np.repeat(np.arange(len(gl)),
-                             [len(g) for g in gl]).astype(np.int64)
+        def trip(gl, wflat):
+            lens = np.fromiter((len(g) for g in gl), dtype=np.int64,
+                               count=len(gl))
+            rows = np.repeat(np.arange(len(gl)), lens)
             cols = np.searchsorted(vocab, np.concatenate(gl))
-            vals = np.concatenate(wl)
-            return rows, cols, vals
+            vals = (np.ones(len(rows)) if wflat is None else wflat)
+            return rows, cols, vals, lens
 
-        ra, ca, va = trip(ga, wa)
-        rb, cb, vb = (ra, ca, va) if same else trip(gb, wb)
+        ra, ca, va, la = trip(ga, wa)
+        rb, cb, vb, lb = (ra, ca, va, la) if same else trip(gb, wb)
         na, nb, nv = len(ga), len(gb), len(vocab)
         ia = a["__id"].to_numpy()
         ib = ia if same else b["__id"].to_numpy()
+        # right side pre-sorted by feature for the sparse sub-kernel
+        ob = np.argsort(cb, kind="stable")
+        cb_s, rb_s, vb_s = cb[ob], rb[ob], vb[ob]
+        cu_b, start_b = np.unique(cb_s, return_index=True)
+        end_b = np.append(start_b[1:], len(cb_s))
         outs = []
-        # left-row + vocab chunking bounds every dense slice AND the
-        # dot matrix; chunked adds of exact integers are exact
+        # left-row chunking bounds every dense slice AND the dot
+        # matrix; chunked adds of exact integers are exact
         a_step = max(1, int(2e7) // max(nb, 1))
         for alo in range(0, na, a_step):
             ahi = min(na, alo + a_step)
             sel_a = (ra >= alo) & (ra < ahi)
-            dots = np.zeros((ahi - alo, nb))
-            step = max(1, int(4e7 // max((ahi - alo) + nb, 1)))
-            for lo in range(0, nv, step):
-                hi = min(nv, lo + step)
-                sa = sel_a & (ca >= lo) & (ca < hi)
-                ma = np.zeros((ahi - alo, hi - lo))
-                ma[ra[sa] - alo, ca[sa] - lo] = va[sa]
-                sb = (cb >= lo) & (cb < hi)
-                mb = np.zeros((nb, hi - lo))
-                mb[rb[sb], cb[sb] - lo] = vb[sb]
-                dots += ma @ mb.T
-            ii, jj = np.nonzero(dots >= tau_f)
+            nca = ahi - alo
+            if nca * nb * nv <= _GEMM_DENSE_FLOPS:
+                # dense BLAS sub-kernel (small local vocab): vocab-
+                # chunked scatter + GEMM
+                dots = np.zeros((nca, nb))
+                step = max(1, int(4e7 // max(nca + nb, 1)))
+                for lo in range(0, nv, step):
+                    hi = min(nv, lo + step)
+                    sa = sel_a & (ca >= lo) & (ca < hi)
+                    ma = np.zeros((nca, hi - lo))
+                    ma[ra[sa] - alo, ca[sa] - lo] = va[sa]
+                    sb = (cb >= lo) & (cb < hi)
+                    mb = np.zeros((nb, hi - lo))
+                    mb[rb[sb], cb[sb] - lo] = vb[sb]
+                    dots += ma @ mb.T
+            else:
+                # sparse sub-kernel (large local vocab): per-feature
+                # match expansion + one bincount — cost follows
+                # Σ_g df_a·df_b actual matches, not dense flops
+                ca_c, ra_c, va_c = ca[sel_a], ra[sel_a] - alo, va[sel_a]
+                oa = np.argsort(ca_c, kind="stable")
+                ca_c, ra_c, va_c = ca_c[oa], ra_c[oa], va_c[oa]
+                cu_a, start_a = np.unique(ca_c, return_index=True)
+                end_a = np.append(start_a[1:], len(ca_c))
+                _, ixa, ixb = np.intersect1d(cu_a, cu_b,
+                                             assume_unique=True,
+                                             return_indices=True)
+                keys, vals = [], []
+                for t in range(len(ixa)):
+                    a0, a1 = start_a[ixa[t]], end_a[ixa[t]]
+                    b0, b1 = start_b[ixb[t]], end_b[ixb[t]]
+                    keys.append((ra_c[a0:a1, None] * nb
+                                 + rb_s[None, b0:b1]).ravel())
+                    vals.append((va_c[a0:a1, None]
+                                 * vb_s[None, b0:b1]).ravel())
+                if keys:
+                    dots = np.bincount(
+                        np.concatenate(keys),
+                        weights=np.concatenate(vals),
+                        minlength=nca * nb).reshape(nca, nb)
+                else:
+                    dots = np.zeros((nca, nb))
+            mask = keep(dots, la[alo:ahi], lb)
+            ii, jj = np.nonzero(mask)
             id1, id2, vv = ia[ii + alo], ib[jj], dots[ii, jj]
             if same:
-                keep = id1 < id2
-                id1, id2, vv = id1[keep], id2[keep], vv[keep]
+                sel = id1 < id2
+                id1, id2, vv = id1[sel], id2[sel], vv[sel]
             outs.append(pd.DataFrame({"id_a": np.minimum(id1, id2),
                                       "id_b": np.maximum(id1, id2),
                                       "__dot": vv.astype(np.int64)}))
@@ -2379,8 +2476,15 @@ def cosine_prefix_pairs(text_col: str = "text", id_col: str = "doc_id", *,
         par = df.sparkSession.sparkContext.defaultParallelism
         numeric_id = isinstance(w6.schema[id_col].dataType,
                                 (LongType, IntegerType, ShortType))
-        if numeric_id and n_docs * n_docs / 2 + sum_df2 <= 3e9 * par:
-            hits = _blocked_gemm_pairs(w6, id_col, tau)
+        if numeric_id and n_docs * n_docs / 2 + sum_df2 <= _GEMM_VERIFY_BUDGET * par:
+            vec = (w6.groupBy(id_col)
+                   .agg(F.collect_list(F.struct("g", "w6")).alias("fw"))
+                   .select(F.col(id_col).alias("__id"),
+                           F.col("fw").getField("g").alias("gs"),
+                           F.col("fw").getField("w6").alias("ws")))
+            tau_f = float(tau)
+            hits = _blocked_gemm_pairs(
+                vec, lambda dots, la, lb: dots >= tau_f)
             return (hits.where(F.col("__dot") >= F.lit(tau))
                     .select("id_a", "id_b",
                             F.round(F.col("__dot")

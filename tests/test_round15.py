@@ -562,3 +562,45 @@ def test_ann_join_cell_split_bit_identical(spark):
         ann_join(df, cell_split=0)
     with _pt.raises(ValueError, match="cell_split"):
         ann_join(df, cell_split="huge")
+
+
+# ---------------------------------------------------------------------------
+# r15 blocked-GEMM verify: the data-adaptive output-dense strategy of
+# jaccard_prefix_pairs / cosine_prefix_pairs must emit EXACTLY the
+# pair-path rows, through both kernel sub-paths (dense scatter+GEMM
+# and sparse match-expansion)
+# ---------------------------------------------------------------------------
+
+def _gemm_corpus(spark, n_docs=36, vocab=14, seed=5):
+    import random
+    r = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = [(i, " ".join(r.choices(words, k=r.randint(4, 12))))
+            for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("threshold", [0.25, 0.6])
+def test_jaccard_gemm_branch_matches_pair_path(spark, monkeypatch,
+                                               threshold):
+    from conduino_spark import jaccard_prefix_pairs
+    from conduino_spark.operators import dedup as dd
+    df = _gemm_corpus(spark)
+    q = jaccard_prefix_pairs(threshold=threshold, n=1)
+    gemm = sorted(map(tuple, q(df).collect()))
+    monkeypatch.setattr(dd, "_GEMM_VERIFY_BUDGET", -1.0)
+    pair = sorted(map(tuple, q(df).collect()))
+    assert gemm == pair and len(gemm) > 0
+
+
+def test_gemm_sparse_subkernel_matches_dense(spark, monkeypatch):
+    from conduino_spark import cosine_prefix_pairs, jaccard_prefix_pairs
+    from conduino_spark.operators import dedup as dd
+    df = _gemm_corpus(spark, n_docs=28, vocab=10, seed=9)
+    for q in (jaccard_prefix_pairs(threshold=0.3, n=1),
+              cosine_prefix_pairs(threshold=0.3)):
+        dense = sorted(map(tuple, q(df).collect()))
+        monkeypatch.setattr(dd, "_GEMM_DENSE_FLOPS", -1.0)
+        sparse = sorted(map(tuple, q(df).collect()))
+        monkeypatch.setattr(dd, "_GEMM_DENSE_FLOPS", 2e8)
+        assert sparse == dense and len(dense) > 0
