@@ -576,16 +576,51 @@ def q_minhash_survivors(spark, sf):
     # components (one min-id doc per transitive cluster — Pregel
     # min-label propagation, recursive-CTE oracle), tagged by policy
     from conduino_spark import (
-        minhash_dedup, minhash_dedup_cc, minhash_dedup_pairs,
+        minhash_cc_labels, minhash_dedup, minhash_dedup_cc,
+        minhash_dedup_pairs,
     )
     from conduino_spark.plans.cachereg import track
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     # sign + band ONCE; both survivor policies consume the same pair
     # table (the pairs= reuse hook) — halves the corpus passes
     pairs = track(minhash_dedup_pairs()(docs))
+    # r15: the Pregel CC loop too runs ONCE — the 'cc' and 'best' arms
+    # take the SAME label table via the labels= reuse hook (identical
+    # rows either way; the query was iterative-round-bound, guide §2.4).
+    # The two remaining driver-synchronous loops (CC, k-core peeling)
+    # are independent given the cached pair table, so they overlap from
+    # driver threads (guide §2.6) after ONE materializing action on
+    # pairs (otherwise both first-touchers race to compute the banding).
+    pairs.count()
+    from pyspark import InheritableThread
+    from conduino_spark import k_core
+    box = {}
+
+    def _build_cc():
+        try:
+            box["labels"] = minhash_cc_labels(pairs)
+        except BaseException as e:  # re-raised on the main thread
+            box["labels_err"] = e
+
+    def _build_core():
+        try:
+            box["core"] = k_core(2)(pairs.select("id_a", "id_b"))
+        except BaseException as e:
+            box["core_err"] = e
+
+    ts = [InheritableThread(target=_build_cc),
+          InheritableThread(target=_build_core)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for k in ("labels_err", "core_err"):
+        if k in box:
+            raise box[k]
+    cc_labels = box["labels"]
     greedy = minhash_dedup(pairs=pairs)(docs).select(
         "doc_id", F.lit("greedy").alias("policy"))
-    cc = minhash_dedup_cc(pairs=pairs)(docs).select(
+    cc = minhash_dedup_cc(labels=cc_labels)(docs).select(
         "doc_id", F.lit("cc").alias("policy"))
     # r9 third arm: semi-supervised label propagation over the SAME
     # pair table (operators/graph.label_propagation) — every 10th
@@ -608,16 +643,16 @@ def q_minhash_survivors(spark, sf):
     # the min id (dedup.minhash_dedup_cc_best), over the SAME cached
     # pair table; recursive-CTE + row_number DuckDB replay.
     from conduino_spark import minhash_dedup_cc_best
-    best = (minhash_dedup_cc_best("n_chars", pairs=pairs)(docs)
+    best = (minhash_dedup_cc_best("n_chars", labels=cc_labels)(docs)
             .select("doc_id", F.lit("best").alias("policy")))
     # r11 fifth arm: k-core membership of the SAME near-dup pair graph
     # (operators/graph.k_core — iterative peeling; dense spam/link-farm
     # cores survive, chains peel).  Parallel peeling is order-
     # independent + idempotent past the fixpoint, so a static unrolled
     # CTE chain replays the whole loop (the label-prop oracle pattern,
-    # pytest-proven on this very graph in test_round10).
-    from conduino_spark import k_core
-    core = (k_core(2)(pairs.select("id_a", "id_b"))
+    # pytest-proven on this very graph in test_round10).  r15: the
+    # peeling loop itself ran concurrently with the CC loop above.
+    core = (box["core"]
             .select(F.col("id").alias("doc_id"),
                     F.lit("core2").alias("policy")))
     return (greedy.unionByName(cc).unionByName(lp).unionByName(best)
@@ -825,7 +860,7 @@ def q_ngram_jaccard_lsh(spark, sf):
     return a.unionByName(b)
 
 
-def q_knn_lsh_probe(spark, sf):
+def q_knn_lsh_probe(spark, sf, qv=None):
     """SRP-LSH ANN over a bucket-PARTITIONED index (the r2/r3 'weak'
     item made real): lsh_index_write materializes the corpus
     partitionBy(bucket); the probe reads only the query's bucket +
@@ -835,8 +870,8 @@ def q_knn_lsh_probe(spark, sf):
     import tempfile
     from conduino_spark import knn_lsh, lsh_index_write
     emb = _src(sf, "embeddings").df(spark)
-    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
-    qv = [float(x) for x in row["embedding"]]
+    if qv is None:
+        qv = _knn_qv(spark, sf)
     # build-once/probe-many is the index's whole point: memoize the
     # written index per (sf_dir, file mtime) so repeated calls (bench
     # passes) probe without re-materializing
@@ -868,7 +903,7 @@ def q_knn_lsh_probe_cold(spark, sf):
     return run_pipe(p, spark).select("vec_id", "cosine")
 
 
-def q_knn_lsh_probe_merged(spark, sf):
+def q_knn_lsh_probe_merged(spark, sf, qv=None):
     """q_knn_lsh_probe through an INCREMENTALLY-built index: even ids
     written cold, odd ids folded in by lsh_index_merge under the
     stored in-band (dim, planes) — probes are bit-equal to the
@@ -877,8 +912,8 @@ def q_knn_lsh_probe_merged(spark, sf):
     import os
     from conduino_spark import knn_lsh, lsh_index_merge, lsh_index_write
     emb = _src(sf, "embeddings").df(spark)
-    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
-    qv = [float(x) for x in row["embedding"]]
+    if qv is None:
+        qv = _knn_qv(spark, sf)
 
     def build(d_):
         even = emb.where(F.col("vec_id") % 2 == 0)
@@ -2769,10 +2804,19 @@ def q_heavy_hitters_tokens(spark, sf):
     return heavy_hitters("token", min_frac=0.005)(toks)
 
 
-def q_knn_bruteforce(spark, sf):
+def _knn_qv(spark, sf):
+    # the shared probe vector of every dense-ANN arm — one driver
+    # lookup instead of one per arm (r15; computed from the parquet
+    # input on every call, never memoized across runs)
+    emb = _src(sf, "embeddings").df(spark)
+    row = emb.where(F.col("vec_id") == QUERY_KNN_ID).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def q_knn_bruteforce(spark, sf, qv=None):
     emb = _src(sf, "embeddings")
-    row = emb.df(spark).where(F.col("vec_id") == QUERY_KNN_ID).first()
-    qv = [float(x) for x in row["embedding"]]
+    if qv is None:
+        qv = _knn_qv(spark, sf)
     p = emb | knn_brute(qv, k=10) | sink_df()
     return run_pipe(p, spark).select("vec_id", "cosine")
 
@@ -2784,16 +2828,56 @@ def q_knn_methods(spark, sf):
     # vector, same k, three physical plans.  r7 absorbs the ivf_build
     # pin as a fourth arm: the full k-means-lite cell assignment
     # (score = cell id), so quantizer training stays hash-verified.
-    brute = q_knn_bruteforce(spark, sf).select(
+    # r15 (guide §2.6): the nine arms are independent, but several pay
+    # driver-synchronous construction work (the probe-vector first(),
+    # index memo checks, k-means training collects, the MMR selection
+    # loop) that used to run back to back.  Fetch the shared probe
+    # vector ONCE, then build the arms from driver threads so their
+    # construction-time jobs overlap; the final union action is
+    # unchanged.  Everything stays deterministic — threads only change
+    # when the same jobs run, never what they compute.
+    from pyspark import InheritableThread
+    qv = _knn_qv(spark, sf)
+    from conduino_spark.plans.cachereg import track
+    # brute top-10 feeds BOTH the 'brute' arm and the 'mmr' candidate
+    # set — one cached computation instead of two plans (r15)
+    brute_base = track(q_knn_bruteforce(spark, sf, qv=qv))
+    box, errs = {}, {}
+
+    def _arm(name, fn):
+        def run():
+            try:
+                box[name] = fn()
+            except BaseException as e:
+                errs[name] = e
+        return InheritableThread(target=run)
+
+    arm_fns = {
+        "ivf": lambda: q_ivf_search_topk(spark, sf, qv=qv),
+        "lsh": lambda: q_knn_lsh_probe(spark, sf, qv=qv),
+        "cells": lambda: q_ivf_build(spark, sf),
+        "bm25": lambda: q_bm25_join_docs(spark, sf),
+        "bm25i": lambda: q_bm25_index_docs(spark, sf),
+        "phrase": lambda: q_phrase_search_docs(spark, sf),
+        "lshm": lambda: q_knn_lsh_probe_merged(spark, sf, qv=qv),
+    }
+    threads = [_arm(n, f) for n, f in arm_fns.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise next(iter(errs.values()))
+    brute = brute_base.select(
         F.lit("brute").alias("method"), "vec_id",
         F.col("cosine").alias("score"))
-    ivf = q_ivf_search_topk(spark, sf).select(
+    ivf = box["ivf"].select(
         F.lit("ivf").alias("method"), "vec_id",
         F.col("cosine").alias("score"))
-    lsh = q_knn_lsh_probe(spark, sf).select(
+    lsh = box["lsh"].select(
         F.lit("lsh").alias("method"), "vec_id",
         F.col("cosine").alias("score"))
-    cells = q_ivf_build(spark, sf).select(
+    cells = box["cells"].select(
         F.lit("cell").alias("method"), "vec_id",
         F.col("cell").cast("double").alias("score"))
     # r9 fifth arm: SPARSE retrieval joins the dense methods — the
@@ -2802,7 +2886,7 @@ def q_knn_methods(spark, sf):
     # query id rides the method string ('bm25:<qid>', the lp:<lang>
     # precedent) so the 3-column pin schema is unchanged and top-k
     # membership + scores hash-verify against bm25_join_sql.
-    bm25 = q_bm25_join_docs(spark, sf).select(
+    bm25 = box["bm25"].select(
         F.concat(F.lit("bm25:"), F.col("query_id").cast("string"))
         .alias("method"),
         F.col("doc_id").alias("vec_id"),
@@ -2812,7 +2896,7 @@ def q_knn_methods(spark, sf):
     # pruning path); identical rows under a distinct tag, so the
     # driver hash breaks if the index path ever diverges from the
     # in-memory join.
-    bm25i = q_bm25_index_docs(spark, sf).select(
+    bm25i = box["bm25i"].select(
         F.concat(F.lit("bm25i:"), F.col("query_id").cast("string"))
         .alias("method"),
         F.col("doc_id").alias("vec_id"),
@@ -2821,7 +2905,7 @@ def q_knn_methods(spark, sf):
     # encoded as exact integers in the score column (1e9 multiplier:
     # first_pos < 1e9 tokens per doc, and n_hits*1e9+pos stays well
     # under 2^53 so the double cast is exact).
-    phrase = q_phrase_search_docs(spark, sf).select(
+    phrase = box["phrase"].select(
         F.lit("phrase").alias("method"),
         F.col("doc_id").alias("vec_id"),
         (F.col("n_hits").cast("long") * F.lit(1000000000).cast("long")
@@ -2832,7 +2916,7 @@ def q_knn_methods(spark, sf):
     # identical rows to 'lsh' under its own tag, so the incremental
     # LSH ingestion path (bucket append under the in-band (dim,
     # planes)) is driver-hash-gated, not just pytest-lawed.
-    lshm = q_knn_lsh_probe_merged(spark, sf).select(
+    lshm = box["lshm"].select(
         F.lit("lshm").alias("method"), "vec_id",
         F.col("cosine").alias("score"))
     # r12b ninth arm: MMR diversity selection over the brute top-10
@@ -2843,7 +2927,7 @@ def q_knn_methods(spark, sf):
     # ORDER hash-verifies, not just membership.
     from conduino_spark import mmr_select
     emb_df = _src(sf, "embeddings").df(spark)
-    cand = (q_knn_bruteforce(spark, sf)
+    cand = (brute_base
             .join(emb_df.select("vec_id", "embedding"), "vec_id")
             .select(F.lit(0).alias("qid"), "vec_id",
                     F.col("cosine").alias("rel"), "embedding"))
@@ -2859,15 +2943,15 @@ def q_knn_methods(spark, sf):
             .unionByName(lshm).unionByName(mmr))
 
 
-def q_ivf_search_topk(spark, sf):
+def q_ivf_search_topk(spark, sf, qv=None):
     # ANN via a pre-existing coarse quantizer column ('label'): rank
     # cells by centroid cosine — posexplode + per-(cell,dim) scaled-long
     # means, the r2 VERDICT scale fix (no collect_list of vectors) —
     # probe the top-2 cells, exact top-10 inside them
     from conduino_spark import ivf_search
     emb = _src(sf, "embeddings")
-    row = emb.df(spark).where(F.col("vec_id") == QUERY_KNN_ID).first()
-    qv = [float(x) for x in row["embedding"]]
+    if qv is None:
+        qv = _knn_qv(spark, sf)
     p = emb | ivf_search(qv, k=10, cell_col="label", nprobe=2) | sink_df()
     return run_pipe(p, spark).select("vec_id", "cosine")
 

@@ -74,7 +74,8 @@ from conduino_spark.operators.dedup import (
     embedding_near_dup_pairs,
     jaccard_prefix_pairs, lsh_candidate_prob, minhash_dedup, semantic_dedup,
     semantic_dedup_against,
-    leakage_safe_split, minhash_dedup_against, minhash_dedup_cc,
+    leakage_safe_split, minhash_cc_labels, minhash_dedup_against,
+    minhash_dedup_cc,
     minhash_dedup_cc_best,
     minhash_dedup_pairs,
     minhash_eval, minhash_index_dedup, minhash_index_merge,

@@ -541,13 +541,17 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
     exactly like feedback_pipe's driver fixpoint (lift.py), whose
     relaxation of the reference's feedback loop this reuses
     (Data/Conduino.hs:429-442)."""
+    # lazy checkpoints throughout (r15 job-count trim, guide §2.4):
+    # the convergence aggregate right after each checkpoint materializes
+    # it, so every round costs ONE driver-synchronous job instead of
+    # two (checkpoint + agg) — the loop is gap-bound, not compute-bound
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst")))
-             .localCheckpoint(eager=True))  # reused every round
+             .localCheckpoint(eager=False))  # reused every round
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .select("id", F.col("id").alias("lbl"))
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
     prev = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
     # max_iters + 1: convergence is detected one round AFTER the last
@@ -562,7 +566,7 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
         labels = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
                         .select("id", F.least(F.col("lbl"),
                                               F.coalesce("__m", "lbl")).alias("lbl"))
-                        .localCheckpoint(eager=True))
+                        .localCheckpoint(eager=False))
         cur = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur == prev:  # label sum strictly decreases until the fixpoint
             converged = True
@@ -578,9 +582,25 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
     return labels
 
 
+def minhash_cc_labels(pairs: DataFrame, *,
+                      max_iters: int = 25) -> DataFrame:
+    """Connected-component labels ``(id, lbl)`` of a near-dup pair
+    table (id_a, id_b) — ``lbl`` = the component's minimum id.
+
+    The reuse hook companion of the ``pairs=`` hook: a job that
+    consumes the SAME pair graph under several survivor policies
+    (:func:`minhash_dedup_cc` min-id and :func:`minhash_dedup_cc_best`
+    quality — the gate's minhash_survivors pin) computes the Pregel
+    min-label loop ONCE and passes the result to both via their
+    ``labels=`` parameter, halving the iterative driver rounds (r15
+    optimization; the output of either policy is unchanged)."""
+    return _cc_min_label(pairs, max_iters=max_iters)
+
+
 def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
                      max_iters: int = 25,
                      pairs: "DataFrame | None" = None,
+                     labels: "DataFrame | None" = None,
                      n_perm: int = MINHASH_K,
                      bands: int = MINHASH_BANDS) -> Stage:
     """MinHash-LSH dedup with CONNECTED-COMPONENT survivor selection:
@@ -601,10 +621,13 @@ def minhash_dedup_cc(text_col: str = "text", id_col: str = "doc_id", *,
                                       bands=bands)
 
     def fn(df: DataFrame) -> DataFrame:
-        p = pairs if pairs is not None else pairs_stage(df)
-        labels = _cc_min_label(p, max_iters=max_iters)
-        losers = (labels.where(F.col("lbl") != F.col("id"))
-                        .select(F.col("id").alias(id_col)))
+        if labels is not None:
+            lbls = labels
+        else:
+            p = pairs if pairs is not None else pairs_stage(df)
+            lbls = _cc_min_label(p, max_iters=max_iters)
+        losers = (lbls.where(F.col("lbl") != F.col("id"))
+                      .select(F.col("id").alias(id_col)))
         return df.join(losers, id_col, "anti")
 
     return Stage(fn, name="minhash_dedup_cc", seq_preserving=False)
@@ -614,6 +637,7 @@ def minhash_dedup_cc_best(score_col: str, text_col: str = "text",
                           id_col: str = "doc_id", *,
                           max_iters: int = 25,
                           pairs: "DataFrame | None" = None,
+                          labels: "DataFrame | None" = None,
                           n_perm: int = MINHASH_K,
                           bands: int = MINHASH_BANDS) -> Stage:
     """:func:`minhash_dedup_cc` with QUALITY-based survivor selection:
@@ -640,11 +664,14 @@ def minhash_dedup_cc_best(score_col: str, text_col: str = "text",
                                       bands=bands)
 
     def fn(df: DataFrame) -> DataFrame:
-        p = pairs if pairs is not None else pairs_stage(df)
-        labels = _cc_min_label(p, max_iters=max_iters)  # (id, lbl)
+        if labels is not None:
+            lbls = labels
+        else:
+            p = pairs if pairs is not None else pairs_stage(df)
+            lbls = _cc_min_label(p, max_iters=max_iters)  # (id, lbl)
         sc = F.coalesce(F.col(score_col).cast("double"),
                         F.lit(float("-inf")))
-        member = labels.join(
+        member = lbls.join(
             df.select(F.col(id_col).alias("id"), sc.alias("__sc")), "id")
         # struct max orders by (score, -id): highest score wins, ties
         # go to the LOWEST id — all-NULL clusters reduce to min-id
@@ -653,8 +680,8 @@ def minhash_dedup_cc_best(score_col: str, text_col: str = "text",
                                        (-F.col("id")).alias("__ni")))
                         .alias("__w"))
                    .select((-F.col("__w.__ni")).alias("__keep_id")))
-        losers = (labels.join(
-            winners, labels["id"] == winners["__keep_id"], "anti")
+        losers = (lbls.join(
+            winners, lbls["id"] == winners["__keep_id"], "anti")
             .select(F.col("id").alias(id_col)))
         return df.join(losers, id_col, "anti")
 

@@ -199,7 +199,10 @@ def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
                   .distinct())
         und = canon.unionAll(
             canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        und = und.localCheckpoint(eager=True)
+        # lazy checkpoint: the count right below materializes it in the
+        # same job instead of running checkpoint + count back to back
+        # (r15 job-count trim, guide §2.4)
+        und = und.localCheckpoint(eager=False)
         n_edges = und.count()
         for it in range(max_iters):
             if n_edges == 0:
@@ -210,7 +213,7 @@ def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
                       .join(keep.select(F.col("a").alias("b")),
                             "b", "semi"))
             if (it + 1) % checkpoint_every == 0:
-                nxt = nxt.localCheckpoint(eager=True)
+                nxt = nxt.localCheckpoint(eager=False)  # count drives it
             n_next = nxt.count()
             if n_next == n_edges:
                 return und.select(F.col("a").alias("id")).distinct()
@@ -284,9 +287,16 @@ def label_propagation(edges: Union[DataFrame, Source],
                         * F.lit(10 ** weight_round)).cast("long")
             base_e = e.select(F.col(src).alias("__s"),
                               F.col(dst).alias("__d"), w.alias("__w"))
-        sym = base_e.unionByName(
+        # r15 (guide §2.4/§5): sym is joined EVERY round, but its plan
+        # can be an arbitrary caller subtree (the bench feeds the full
+        # minhash banding) — without a materialization barrier the one
+        # final action recomputes that subtree iters times.  track()
+        # rewrites all round occurrences to one shared InMemoryRelation
+        # (released between queries by the cache registry).
+        from conduino_spark.plans.cachereg import track
+        sym = track(base_e.unionByName(
             base_e.select(F.col("__d").alias("__s"),
-                          F.col("__s").alias("__d"), "__w"))
+                          F.col("__s").alias("__d"), "__w")))
         seeds = nodes.select(F.col(id_col).alias("__id"),
                              F.col(label_col).cast("string")
                              .alias("__seed")).localCheckpoint(eager=False)
@@ -307,7 +317,9 @@ def label_propagation(edges: Union[DataFrame, Source],
                                 F.coalesce("__seed", "__new")
                                 .alias("__lbl")))
             if (r + 1) % 3 == 0 and r + 1 < iters:
-                cur = cur.localCheckpoint(eager=True)
+                # lazy: truncates lineage at the final action without
+                # paying a mid-loop driver-synchronous job (r15, §2.4)
+                cur = cur.localCheckpoint(eager=False)
         return nodes.join(
             cur.select(F.col("__id").alias(id_col),
                        F.col("__lbl").alias(out)), id_col, "left")

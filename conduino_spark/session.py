@@ -18,6 +18,23 @@ def get_spark(app: str = "conduino_spark", *, cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r15 A/B (guide §1/§2.2, recorded in OPTIMIZATION_r15.md):
+        # size-based coalescing (parallelismFirst=false + advisory
+        # 16m-64m) measured 4-12% SLOWER on the local bench — in-JVM
+        # task launch is cheap, so the 32-task fixed cost it removes is
+        # smaller than the parallelism it costs CPU-dense-but-byte-
+        # light sf0.1 stages.  Local default therefore stays Spark's
+        # parallelism-first.  At cluster scale the trade flips (per-
+        # task cost includes real scheduling + fetch RPCs; partition
+        # bytes grow with data): set SPARK_GRAFT_AQE_PARALLELISM_FIRST
+        # =false and SPARK_GRAFT_AQE_ADVISORY=256m (guide §9).
+        # Explicit repartition(N, ...) kernels are never coalesced
+        # either way.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
+                               "true"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"))
         # skewed sort-merge joins re-split at runtime (LSH band joins,
         # hot keys); free when unused
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -604,3 +604,31 @@ def test_gemm_sparse_subkernel_matches_dense(spark, monkeypatch):
         sparse = sorted(map(tuple, q(df).collect()))
         monkeypatch.setattr(dd, "_GEMM_DENSE_FLOPS", 2e8)
         assert sparse == dense and len(dense) > 0
+
+
+# ---------------------------------------------------------------------------
+# r15 labels= reuse hook: precomputing the CC label table once and
+# feeding it to both survivor policies must emit EXACTLY the rows of
+# the per-policy self-computed path
+# ---------------------------------------------------------------------------
+
+def test_minhash_cc_labels_hook_equivalence(spark):
+    from conduino_spark import (minhash_cc_labels, minhash_dedup_cc,
+                                minhash_dedup_cc_best,
+                                minhash_dedup_pairs)
+    rows = []
+    for i in range(40):
+        base = f"alpha bravo charlie delta echo foxtrot golf h{i % 7}"
+        rows.append((i, base + (" extra tail words" if i % 3 == 0
+                                else ""), float(i % 5)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "n_chars double")
+    pairs = minhash_dedup_pairs()(df)
+    labels = minhash_cc_labels(pairs)
+    for self_q, hook_q in (
+            (minhash_dedup_cc(), minhash_dedup_cc(labels=labels)),
+            (minhash_dedup_cc_best("n_chars"),
+             minhash_dedup_cc_best("n_chars", labels=labels))):
+        a = sorted(map(tuple, self_q(df).select("doc_id").collect()))
+        b = sorted(map(tuple, hook_q(df).select("doc_id").collect()))
+        assert a == b and len(a) > 0
