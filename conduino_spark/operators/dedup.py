@@ -940,6 +940,54 @@ def ngram_jaccard_pairs(text_col: str = "text", id_col: str = "doc_id", *,
             F.explode(F.transform(shingles_col(F.col(text_col), n), h32)).alias("g")
         ))  # reused by sizes + both sides of the inverted-index join
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        # r15 verify-strategy choice (the jaccard_prefix_pairs /
+        # cosine_prefix_pairs gate): on output-dense corpora the
+        # inverted-index self-join explodes to ~all pairs x shared
+        # shingles (the 48 MB match shuffle this query used to pay) —
+        # a per-block-pair GEMM over per-(doc, g) MULTIPLICITY vectors
+        # computes the identical i = sum_g cnt_a(g)*cnt_b(g) without
+        # shipping a single match row.  The kernel mask is a slack
+        # superset (0.5 integer + 1e-6 rounding) of the final
+        # round-then-compare filter, which re-runs in Spark below.
+        row = (sizes.agg(F.count("*").alias("n"))
+               .crossJoin(sh.groupBy("g").agg(F.count("*").alias("c"))
+                          .agg(F.coalesce(
+                              F.sum(F.col("c") * F.col("c")),
+                              F.lit(0)).alias("df2")))
+               .collect()[0])
+        n_docs, sum_df2 = row["n"], row["df2"]
+        from pyspark.sql.types import IntegerType, LongType, ShortType
+        par = df.sparkSession.sparkContext.defaultParallelism
+        numeric_id = isinstance(df.schema[id_col].dataType,
+                                (LongType, IntegerType, ShortType))
+        if numeric_id and n_docs * n_docs / 2 + sum_df2 \
+                <= _GEMM_VERIFY_BUDGET * par:
+            vec = (sh.groupBy(id_col, "g")
+                   .agg(F.count("*").alias("__m"))
+                   .groupBy(id_col)
+                   .agg(F.collect_list(
+                       F.struct("g", F.col("__m").cast("double")
+                                .alias("w"))).alias("fw"))
+                   .select(F.col(id_col).alias("__id"),
+                           F.col("fw").getField("g").alias("gs"),
+                           F.col("fw").getField("w").alias("ws")))
+            th_eff = float(threshold) - 1e-6
+            hits = _blocked_gemm_pairs(
+                vec,
+                lambda dots, la, lb:
+                dots >= th_eff * (la[:, None] + lb[None, :] - dots) - 0.5)
+            hits = (hits.join(sizes.select(F.col(id_col).alias("id_a"),
+                                           F.col("sz").alias("sz_a")),
+                              "id_a")
+                    .join(sizes.select(F.col(id_col).alias("id_b"),
+                                       F.col("sz").alias("sz_b")),
+                          "id_b"))
+            jac = F.round(F.col("__dot")
+                          / (F.col("sz_a") + F.col("sz_b")
+                             - F.col("__dot")), 6)
+            return (hits.withColumn("jaccard", jac)
+                    .where(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "jaccard"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (a.join(b, "g")
                    .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -2231,6 +2279,12 @@ _GEMM_VERIFY_BUDGET = 3e9
 # dense scatter+GEMM sub-path to the sparse match-expansion one
 _GEMM_DENSE_FLOPS = 2e8
 
+# edit_distance_pairs candidate strategy: up to this k the pigeonhole-
+# chunk filter (O(k^3) windows per row) replaces the q-gram prefix
+# filter; above it the window count grows cubically and q-grams win.
+# Module constant so tests can force either branch.
+_EDJOIN_CHUNK_MAX_K = 3
+
 
 def _blocked_gemm_pairs(vec: DataFrame, keep, *,
                         binary: bool = False) -> DataFrame:
@@ -2677,6 +2731,79 @@ def edit_distance_pairs(text_col: str = "text", id_col: str = "doc_id", *,
         raise ValueError(f"q must be >= 2, got {q}")
     cap = k * q
 
+    def chunk_candidates(s: DataFrame) -> DataFrame:
+        # r15 candidate filter (guide §2.3/§3.2; PartEnum/pigeonhole,
+        # Arasu et al. VLDB'06 family): dist <= k means an optimal
+        # alignment has <= k edit ops, so of the k+1 fixed chunks of
+        # EITHER string at least one contains no op — it appears in
+        # the partner EXACTLY, shifted by at most the <= k net indels.
+        # Candidates therefore come from an equi-join of chunk hashes
+        # against partner windows (la in [len-k, len+k] schemes x k+1
+        # chunks x 2k+1 offsets — O(k^3) windows/row, tiny for the
+        # small-k contract) instead of shared q-grams.  On corpora of
+        # similar strings this prunes orders of magnitude harder (the
+        # measured sf0.1 40-char bench corpus: 6.6M q-gram candidate
+        # pairs -> ~output-sized), and it stays LOSSLESS: h32 chunk
+        # collisions only add candidates, the banded-levenshtein
+        # verify below is unchanged.  Strings shorter than k+1 chars
+        # cannot be chunked and go through the short-short length
+        # join; (short, chunkable) pairs are caught here with the
+        # chunkable member on the chunk side (an unchanged chunk must
+        # FIT in the partner, so the window side needs no length
+        # floor).
+        kp1 = k + 1
+        a_side = (s.where(F.col("__len") >= kp1)
+                  .select(F.col(id_col),
+                          F.col("__len").alias("la"),
+                          F.posexplode(F.expr(
+                              f"transform(sequence(0, {k}), i -> "
+                              f"substring(__s, 1 + cast(floor(i * "
+                              f"length(__s) / {kp1}) as int), "
+                              f"cast(floor((i+1) * length(__s) / {kp1})"
+                              f" - floor(i * length(__s) / {kp1}) "
+                              f"as int)))")).alias("ci", "__c"))
+                  .select(F.col(id_col), "la", "ci",
+                          h32(F.col("__c")).alias("g")))
+        wins = (
+            f"filter(flatten(flatten(transform("
+            f"if(length(__s) + {k} >= {kp1}, "
+            f"sequence(greatest(length(__s) - {k}, {kp1}), "
+            f"length(__s) + {k}), array()), "
+            f"la -> transform(sequence(0, {k}), "
+            f"i -> transform(sequence(-{k}, {k}), "
+            f"d -> struct(la as la, i as ci, "
+            f"cast(1 + floor(i * la / {kp1}) + d as int) as p, "
+            f"cast(floor((i+1) * la / {kp1}) "
+            f"- floor(i * la / {kp1}) as int) as ln)))))), "
+            f"w -> w.p >= 1 and w.p + w.ln - 1 <= length(__s))")
+        b_side = (s.select(F.col(id_col),
+                           F.explode(F.expr(wins)).alias("w"),
+                           F.col("__s"))
+                  .select(F.col(id_col),
+                          F.col("w.la").alias("la"),
+                          F.col("w.ci").alias("ci"),
+                          h32(F.expr("substring(__s, w.p, w.ln)"))
+                          .alias("g")))
+        both = (a_side.select(F.col(id_col).alias("id_a"),
+                              "la", "ci", "g")
+                .join(b_side.select(F.col(id_col).alias("id_b"),
+                                    "la", "ci", "g"),
+                      ["la", "ci", "g"])
+                .where(F.col("id_a") != F.col("id_b"))
+                .select(F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b")))
+        shorts = s.where(F.col("__len") < kp1).select(F.col(id_col),
+                                                      "__len")
+        short_short = (shorts.select(
+            F.col(id_col).alias("id_a"),
+            F.explode(F.sequence(F.col("__len") - k,
+                                 F.col("__len") + k)).alias("__lb"))
+            .join(shorts.select(F.col(id_col).alias("id_b"),
+                                F.col("__len").alias("__lb")), "__lb")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+        return both.unionByName(short_short)
+
     def fn(df: DataFrame) -> DataFrame:
         s = track(
             _spread(df, id_col)
@@ -2694,34 +2821,42 @@ def edit_distance_pairs(text_col: str = "text", id_col: str = "doc_id", *,
             .alias("__pos", "__gram"))
             .select(id_col, "__ng", "__pos",
                     h32(F.col("__gram")).alias("g")))
-        occ_w = Window.partitionBy(id_col, "g").orderBy("__pos")
-        grams = grams.withColumn("__occ", F.row_number().over(occ_w))
-        gfreq = grams.groupBy("g").agg(F.count("*").alias("__gf"))
-        rank_w = Window.partitionBy(id_col).orderBy("__gf", "g", "__occ")
-        pref = (grams.join(gfreq, "g")
-                .withColumn("__r", F.row_number().over(rank_w))
-                .where((F.col("__r") <= cap + 1)
-                       | (F.col("__ng") <= cap))
-                .select(F.col(id_col), "g", "__occ"))
         sl = s.select(F.col(id_col), "__len")
-        cand_gram = (pref.select(F.col(id_col).alias("id_a"),
-                                 "g", "__occ")
-                     .join(pref.select(F.col(id_col).alias("id_b"),
-                                       "g", "__occ"), ["g", "__occ"])
-                     .where(F.col("id_a") < F.col("id_b"))
-                     .select("id_a", "id_b"))
-        shorts = s.where(F.col("__ng") <= cap).select(F.col(id_col),
-                                                      "__len")
-        cand_short = (shorts.select(
-            F.col(id_col).alias("id_a"),
-            F.explode(F.sequence(F.col("__len") - k,
-                                 F.col("__len") + k)).alias("__lb"))
-            .join(shorts.select(F.col(id_col).alias("id_b"),
-                                F.col("__len").alias("__lb")), "__lb")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b"))
+        if k <= _EDJOIN_CHUNK_MAX_K:
+            cand_pre = chunk_candidates(s)
+        else:
+            occ_w = Window.partitionBy(id_col, "g").orderBy("__pos")
+            grams = grams.withColumn("__occ",
+                                     F.row_number().over(occ_w))
+            gfreq = grams.groupBy("g").agg(F.count("*").alias("__gf"))
+            rank_w = Window.partitionBy(id_col).orderBy("__gf", "g",
+                                                        "__occ")
+            pref = (grams.join(gfreq, "g")
+                    .withColumn("__r", F.row_number().over(rank_w))
+                    .where((F.col("__r") <= cap + 1)
+                           | (F.col("__ng") <= cap))
+                    .select(F.col(id_col), "g", "__occ"))
+            cand_gram = (pref.select(F.col(id_col).alias("id_a"),
+                                     "g", "__occ")
+                         .join(pref.select(F.col(id_col).alias("id_b"),
+                                           "g", "__occ"),
+                               ["g", "__occ"])
+                         .where(F.col("id_a") < F.col("id_b"))
+                         .select("id_a", "id_b"))
+            shorts = s.where(F.col("__ng") <= cap).select(
+                F.col(id_col), "__len")
+            cand_short = (shorts.select(
+                F.col(id_col).alias("id_a"),
+                F.explode(F.sequence(F.col("__len") - k,
+                                     F.col("__len") + k)).alias("__lb"))
+                .join(shorts.select(F.col(id_col).alias("id_b"),
+                                    F.col("__len").alias("__lb")),
+                      "__lb")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b"))
+            cand_pre = cand_gram.unionByName(cand_short)
         par = df.sparkSession.sparkContext.defaultParallelism
-        cand = (cand_gram.unionByName(cand_short)
+        cand = (cand_pre
                 .join(sl.select(F.col(id_col).alias("id_a"),
                                 F.col("__len").alias("__la")), "id_a")
                 .join(sl.select(F.col(id_col).alias("id_b"),

@@ -632,3 +632,57 @@ def test_minhash_cc_labels_hook_equivalence(spark):
         a = sorted(map(tuple, self_q(df).select("doc_id").collect()))
         b = sorted(map(tuple, hook_q(df).select("doc_id").collect()))
         assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5])
+def test_ngram_jaccard_gemm_branch_matches_join_path(spark, monkeypatch,
+                                                     threshold):
+    from conduino_spark import ngram_jaccard_pairs
+    from conduino_spark.operators import dedup as dd
+    df = _gemm_corpus(spark, n_docs=32, vocab=12, seed=11)
+    q = ngram_jaccard_pairs(threshold=threshold, n=1)
+    gemm = sorted(map(tuple, q(df).collect()))
+    monkeypatch.setattr(dd, "_GEMM_VERIFY_BUDGET", -1.0)
+    join = sorted(map(tuple, q(df).collect()))
+    assert gemm == join and len(gemm) > 0
+
+
+# ---------------------------------------------------------------------------
+# r15 edit_distance_pairs pigeonhole-chunk candidate filter: must emit
+# EXACTLY the q-gram path's rows, which in turn must equal brute force
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_edit_chunk_filter_matches_gram_and_brute(spark, monkeypatch, k):
+    import random
+    from conduino_spark import edit_distance_pairs
+    from conduino_spark.operators import dedup as dd
+    r = random.Random(17 + k)
+    strs = ["", "a", "ab", "ba"]
+    strs += ["".join(r.choices("abc", k=r.randint(1, 12)))
+             for _ in range(56)]
+    df = spark.createDataFrame(list(enumerate(strs)),
+                               "doc_id long, s string")
+    brute = sorted((i, j, _lev(a, b))
+                   for i, a in enumerate(strs)
+                   for j, b in enumerate(strs)
+                   if i < j and abs(len(a) - len(b)) <= k
+                   and _lev(a, b) <= k)
+    q = edit_distance_pairs(text_col="s", k=k)
+    chunk = sorted(map(tuple, q(df).collect()))
+    assert chunk == brute
+    monkeypatch.setattr(dd, "_EDJOIN_CHUNK_MAX_K", -1)
+    gram = sorted(map(tuple, q(df).collect()))
+    assert gram == brute
