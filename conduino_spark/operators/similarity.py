@@ -303,19 +303,27 @@ def ivf_build(k: int = 8, iters: int = 1, *, vec_col: str = "embedding",
 def _km_assign(b: DataFrame, cents: dict, out: str) -> DataFrame:
     """Nearest-centroid assignment with the engine's deterministic tie
     rules (distances rounded 6dp, ties to the lowest cell id) —
-    centroids ride as literal arrays, pure codegen projection."""
+    centroids ride as literal arrays, pure codegen projection.
+
+    r15: the expression is ONE parsed SQL string instead of per-literal
+    Column calls — k x dim F.lit() py4j round trips cost ~1.2 s of
+    driver time PER assignment build (and the Lloyd loop builds one
+    per iteration).  Semantics unchanged: same round(aggregate(
+    zip_with(...)), 6) fold in index order, same (d, c) struct
+    array_min tie rule; doubles ride as CAST('repr' AS DOUBLE), which
+    round-trips exactly."""
+    def lit_d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
     structs = []
     for cid, c in sorted(cents.items()):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.round(
-            F.aggregate(
-                F.zip_with(F.col("__v"), carr,
-                           lambda a, b_: (a - b_) * (a - b_)),
-                F.lit(0.0), lambda s, x: s + x), 6)
-        structs.append(F.struct(d.alias("d"),
-                                F.lit(cid).alias("c")))
-    return b.withColumn(out,
-                        F.array_min(F.array(*structs)).getField("c"))
+        carr = "array(" + ",".join(lit_d(x) for x in c) + ")"
+        d = (f"round(aggregate(zip_with(__v, {carr}, "
+             f"(a, b_) -> (a - b_) * (a - b_)), "
+             f"CAST(0.0 AS DOUBLE), (s, x) -> s + x), 6)")
+        structs.append(f"named_struct('d', {d}, 'c', {int(cid)})")
+    expr = "array_min(array(" + ",".join(structs) + ")).c"
+    return b.withColumn(out, F.expr(expr))
 
 
 def _lloyd_iterate(base: DataFrame, k: int, iters: int, *, id_col: str,
