@@ -1488,8 +1488,7 @@ def q_semantic_dedup(spark, sf):
                                 semantic_dedup_against)
     emb = _src(sf, "embeddings").df(spark)
     greedy = (semantic_dedup(threshold=0.2, bucket_col="label")(emb)
-              .select("vec_id", F.lit("greedy").alias("part"),
-                      F.lit(None).cast("double").alias("score")))
+              .select("vec_id", F.lit("greedy").alias("part")))
     ref = emb.where(F.col("vec_id") % 2 == 0)
     # deterministic tenth of the ids (all odd) as the daily batch —
     # the exhaustive exact-kernel probe stays within the pin budget
@@ -1505,23 +1504,8 @@ def q_semantic_dedup(spark, sf):
                         "_MERGED_OK", _build)
     against = (semantic_dedup_against(d, threshold=0.35,
                                       nprobe=4)(batch)
-               .select("vec_id", F.lit("against").alias("part"),
-                       F.lit(None).cast("double").alias("score")))
-    # r15 'pairs' arm — absorbs the embedding_near_dup_ivf pin (slot
-    # freed for profile_media): end-to-end ANN dedup with a LEARNED
-    # quantizer — ivf_build cells bucket the pairwise comparison.
-    # Pair encoded as id_a*1_000_000 + id_b (ids are corpus-bounded
-    # far below 1e6), cosine carried in the score column.
-    from conduino_spark import embedding_near_dup_pairs, ivf_build
-    cells = ivf_build(k=8, iters=1)(emb)
-    joined = emb.join(cells, "vec_id")
-    pairs = (embedding_near_dup_pairs(threshold=0.2,
-                                      bucket_col="cell")(joined)
-             .select((F.col("id_a") * 1000000
-                      + F.col("id_b")).alias("vec_id"),
-                     F.lit("pairs").alias("part"),
-                     F.col("cosine").alias("score")))
-    return greedy.unionByName(against).unionByName(pairs)
+               .select("vec_id", F.lit("against").alias("part")))
+    return greedy.unionByName(against)
 
 
 # --------------------------------------------------------------------------
@@ -2018,10 +2002,12 @@ def bench_extras():
             # r10: sessionize_events folded into rolling_user_day in
             # the gate; standalone floor stays benched
             "sessionize_events": q_sessionize_events,
-            # r15: embedding_near_dup_ivf folded into the
-            # semantic_dedup_emb gate pin ('pairs' arm); standalone
-            # floor stays benched (the merged pin's floor grows ~this)
-            "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+            # r15: itemized codec pin (every mm/ct arm incl. the CBP/
+            # B/D chains) — benched standalone so per-codec cost stays
+            # visible; the 50-slot driver gate window keeps the r14
+            # declared set, so this runs here and under
+            # tools/check_oracle.py (its oracle_sql entry is kept)
+            "profile_media": q_profile_media,
             "edit_distance_docs": q_edit_distance_docs,
             "phrase_search_docs": q_phrase_search_docs,
             "bm25_index_docs": q_bm25_index_docs,
@@ -3188,14 +3174,20 @@ def q_windowed_sketches(spark, sf):
     return quant.unionByName(cm)
 
 
-def _synth_media_blobs(spark, sf):
+def _synth_media_blobs(spark, sf, cbp_arm=True):
     """Deterministic media fixtures derived from documents.doc_id —
     one sawtooth-PCM WAV and one formula PNG per doc, both encoded by
     the package's REAL writers inside mapInPandas.  The formulas are
     pure integer arithmetic, so the DuckDB oracle recomputes every
     decoded statistic without parsing a byte (the wav/png numerical
     oracle convention, tests/test_round10.py:501 / test_round11.py:390
-    promoted to the driver gate)."""
+    promoted to the driver gate).
+
+    ``cbp_arm=False`` omits the r15 CBP/B-picture chain (i%5==4):
+    profile_docs keeps its exact r14 blob-profile content (the D-
+    picture rotation stays — blockwise-constant content decodes
+    PIXEL-IDENTICAL through D-only and I/P/P streams, so the decoded
+    stats are unchanged), while profile_media carries the full set."""
     docs = _src(sf, "documents", min_partitions="auto").df(spark) \
         .select("doc_id")
 
@@ -3352,7 +3344,7 @@ def _synth_media_blobs(spark, sf):
                 # strictly beats every shifted candidate (block steps
                 # are >= 41 apart mod 200): the coded path is
                 # DETERMINISTICALLY zero-MV blockwise-constant.
-                if i % 5 == 4:
+                if cbp_arm and i % 5 == 4:
                     from conduino_spark.operators.mpeg1 import (
                         encode_mpeg1, mux_mpeg_ps)
                     br9, bc9 = np.mgrid[0:4, 0:4]
@@ -3470,13 +3462,44 @@ def q_profile_docs_gate(spark, sf):
     # linear-counting branch carries a libm-ln tolerance (its registers
     # are hash-verified via sketch_profile; the estimate keeps its
     # tolerance law in tests/test_round6c.py).
-    # r15: the codec gate arms (mm/ct) moved to their own itemized pin
-    # (profile_media below — VERDICT r14 #2: the compounding per-round
-    # codec cost was hiding per-codec regressions inside this
-    # aggregate); this pin is back to the pure table-health profile.
-    return q_profile_docs(spark, sf).select(
+    # r15: this pin KEEPS its full r14 content (base + mm + ct codec
+    # arms — declared queries are add-only across rounds);
+    # cbp_arm=False reproduces the r14 blob set exactly (see
+    # _synth_media_blobs).  The benched profile_media pin itemizes
+    # per-codec cost separately, incl. the r15 CBP/B/D chains.
+    from conduino_spark import container_info, media_profile, sniff_format
+    base = q_profile_docs(spark, sf).select(
         F.lit("col").alias("part"),
         "column", "n_rows", "n_nulls", "null_frac", "min", "max")
+    prof = media_profile("content", "id", codec_col="format")(
+        sniff_format("content")(_synth_media_blobs(spark, sf,
+                                                   cbp_arm=False)))
+    mm = prof.select(
+        F.lit("mm").alias("part"),
+        F.concat_ws(":", "format",
+                    F.col("id").cast("string")).alias("column"),
+        F.col("n_units").alias("n_rows"),
+        F.col("meta").alias("n_nulls"),
+        F.lit(0.0).alias("null_frac"),
+        F.col("sum_abs").cast("string").alias("min"),
+        F.col("max_abs").cast("string").alias("max"))
+    cinfo = container_info("content", "id", codec_col="format")(
+        sniff_format("content")(_synth_container_blobs(spark, sf)))
+    ct = cinfo.select(
+        F.lit("ct").alias("part"),
+        F.concat_ws(
+            ":", "format",
+            F.col("id").cast("string")).alias("column"),
+        F.col("n_units").alias("n_rows"),
+        (F.when(F.col("sample_rate") > 0,
+                F.col("sample_rate").cast("long") * 10
+                + F.col("channels"))
+          .otherwise(F.col("width").cast("long") * 1000
+                     + F.col("height"))).alias("n_nulls"),
+        F.lit(0.0).alias("null_frac"),
+        F.col("duration_ms").cast("string").alias("min"),
+        F.col("format").alias("max"))
+    return base.unionByName(mm).unionByName(ct)
 
 
 def q_profile_media(spark, sf):
@@ -3593,10 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_docs": q_layout_docs,
         "salted_group_revenue": q_salted_group_revenue,
         "asof_events_bidir": q_asof_events_bidir,
-        # r15: embedding_near_dup_ivf absorbed into semantic_dedup_emb
-        # ('pairs' arm) — the slot carries the itemized codec pin
-        # split out of profile_docs (VERDICT r14 #2)
-        "profile_media": q_profile_media,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "knn_methods": q_knn_methods,
         "rolling_user_day": q_rolling_user_day,
         # r5 surface rotated into the gate (r6 lead item) + the
@@ -4000,10 +4020,13 @@ def _sql_vector_moments(d: int = 64, scale: int = 10**9) -> str:
 
 
 def _sql_profile_docs() -> str:
-    """DuckDB rendering of the profile_docs gate pin (r15: codec arms
-    moved to _sql_profile_media): the EXACT per-column stats of
-    profile_table over documents (approx_distinct excluded — see
-    q_profile_docs_gate)."""
+    """DuckDB rendering of the r8 profile_docs gate pin: the EXACT
+    per-column stats of profile_table over documents (approx_distinct
+    excluded — see q_profile_docs_gate), plus the r12 'mm' arm — the
+    media_profile statistics of the synth wav/png blobs recomputed
+    straight from the integer synth formulas, never parsing a byte.
+    If ANY layer of encode_wav/encode_png/sniff_format/decode_wav/
+    decode_png/media_profile drifts, the hash breaks."""
     arms = []
     for c in ("doc_id", "text", "lang", "source", "n_chars"):
         arms.append(f"""
@@ -4015,6 +4038,226 @@ def _sql_profile_docs() -> str:
                    MIN(CAST({c} AS VARCHAR)) AS min,
                    MAX(CAST({c} AS VARCHAR)) AS max
             FROM documents""")
+    # wav arm: sawtooth PCM, n = 100 + (i%7)*50 samples at 8 kHz mono,
+    # sample_j = (j*(3+i)) % 20001 - 10000
+    arms.append("""
+        SELECT 'mm' AS part, 'wav:' || i AS "column",
+               100 + (i % 7) * 50 AS n_rows,
+               CAST(80001 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM(ABS((j * (3 + i)) % 20001 - 10000))
+                    AS BIGINT) AS VARCHAR) AS min,
+               CAST(MAX(ABS((j * (3 + i)) % 20001 - 10000))
+                    AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, 100 + (doc_id % 7) * 50)) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # png arm: h=5+i%4, w=4+i%3, c=1+i%3, pixel_j = (j*(3+i)+i) % 251
+    arms.append("""
+        SELECT 'mm' AS part, 'png:' || i AS "column",
+               (5 + i % 4) * (4 + i % 3) * (1 + i % 3) AS n_rows,
+               (5 + i % 4) * 1000000 + (4 + i % 3) * 1000
+                   + (1 + i % 3) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (3 + i) + i) % 251) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (3 + i) + i) % 251) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (5 + doc_id % 4) * (4 + doc_id % 3)
+                                     * (1 + doc_id % 3))) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # pnm arm: h=6+i%3, w=5+i%2, c=3-2*(i%2), pixel_j=(j*(5+i)+2i)%241
+    arms.append("""
+        SELECT 'mm' AS part, 'pnm:' || i AS "column",
+               (6 + i % 3) * (5 + i % 2) * (3 - 2 * (i % 2)) AS n_rows,
+               (6 + i % 3) * 1000000 + (5 + i % 2) * 1000
+                   + (3 - 2 * (i % 2)) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (5 + i) + 2 * i) % 241) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (5 + i) + 2 * i) % 241) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (6 + doc_id % 3) * (5 + doc_id % 2)
+                                     * (3 - 2 * (doc_id % 2)))) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # tiff arm: h=7+i%2, w=4+i%2, c=1+(i%2)*2, pixel_j=(j*(7+i)+i)%239
+    arms.append("""
+        SELECT 'mm' AS part, 'tiff:' || i AS "column",
+               (7 + i % 2) * (4 + i % 2) * (1 + (i % 2) * 2) AS n_rows,
+               (7 + i % 2) * 1000000 + (4 + i % 2) * 1000
+                   + (1 + (i % 2) * 2) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (7 + i) + i) % 239) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (7 + i) + i) % 239) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (7 + doc_id % 2) * (4 + doc_id % 2)
+                                     * (1 + (doc_id % 2) * 2))) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # aiff arm: n=80+(i%5)*40 mono at 16 kHz, sample_j=(j*(5+i))%18001-9000
+    arms.append("""
+        SELECT 'mm' AS part, 'aiff:' || i AS "column",
+               80 + (i % 5) * 40 AS n_rows,
+               CAST(160001 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM(ABS((j * (5 + i)) % 18001 - 9000))
+                    AS BIGINT) AS VARCHAR) AS min,
+               CAST(MAX(ABS((j * (5 + i)) % 18001 - 9000))
+                    AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, 80 + (doc_id % 5) * 40)) AS j
+              FROM documents)
+        GROUP BY ALL""")
+    # mp3 arm (r13): REAL Layer III encode→decode of digital silence —
+    # nf=2+i%3 frames at rate (44100,48000,32000)[i%3]; the decoded
+    # profile must be EXACTLY nf*1152 zero samples (sum_abs=max_abs=0)
+    arms.append("""
+        SELECT 'mm' AS part, 'mp3:' || doc_id AS "column",
+               CAST((2 + doc_id % 3) * 1152 AS BIGINT) AS n_rows,
+               CAST((CASE doc_id % 3 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 ELSE 32000 END) * 10 + 1
+                    AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               '0' AS min, '0' AS max
+        FROM documents WHERE doc_id % 5 = 1""")
+    # vorbis arm (r13): REAL Ogg-Vorbis encode→decode of silence —
+    # n=500+(i%4)*250 samples at rate (44100,48000,22050,32000)[i%4];
+    # sniff tags the container 'ogg', decode must land exactly n zero
+    # samples (granule-trimmed) with sum_abs=max_abs=0
+    arms.append("""
+        SELECT 'mm' AS part, 'ogg:' || doc_id AS "column",
+               CAST(500 + (doc_id % 4) * 250 AS BIGINT) AS n_rows,
+               CAST((CASE doc_id % 4 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 WHEN 2 THEN 22050
+                     ELSE 32000 END) * 10 + 1 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               '0' AS min, '0' AS max
+        FROM documents WHERE doc_id % 5 = 2""")
+    # mpeg1 arm (r14): REAL MPEG-1 encode→decode of gray blockwise-
+    # constant frames — 3 frames (I + two pure-translation Ps) of
+    # 32x32 with 4x4 blocks valued (i*11 + br*37 + bc*59) % 256; the
+    # reconstruction is exactly invertible for this class, rolls
+    # permute the block multiset, so sum = 3 frames * 192
+    # pixels-per-block-channel * SUM(block values), max = MAX(values)
+    # r14b: every other mpeg1 id ships wrapped as a PROGRAM STREAM
+    # (pack/PES) — sniff tags it 'mpeg_ps', media_profile demuxes,
+    # decoded stats identical, so the oracle splits by parity only
+    arms.append("""
+        SELECT 'mm' AS part,
+               (CASE WHEN (i // 5) % 2 = 0 THEN 'mpeg1:'
+                     ELSE 'mpeg_ps:' END) || i AS "column",
+               CAST(3 AS BIGINT) AS n_rows,
+               CAST(32032000 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(3 * 192 * SUM((i * 11 + (j // 4) * 37
+                                        + (j % 4) * 59) % 256)
+                         AS BIGINT) AS VARCHAR) AS min,
+               CAST(MAX((i * 11 + (j // 4) * 37 + (j % 4) * 59) % 256)
+                    AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i, unnest(range(0, 16)) AS j
+              FROM documents WHERE doc_id % 5 = 3)
+        GROUP BY ALL""")
+    # ct arms (r12b): header-level container facts recomputed from the
+    # synth formulas — mp3 (nf=10+i%7, rate 32k/48k by parity so the
+    # duration is an exact integer 36*nf / 24*nf), ogg (vorbis 44.1k /
+    # opus 48k alternating, n_samples multiples of clock/10 so
+    # duration=100*m exactly), mp4 (timescale 1000), webm
+    arms.append("""
+        SELECT 'ct' AS part, 'mp3:' || doc_id AS "column",
+               CAST(10 + doc_id % 7 AS BIGINT) AS n_rows,
+               CAST((CASE WHEN doc_id % 2 = 0 THEN 32000
+                          ELSE 48000 END) * 10
+                    + 1 + doc_id % 2 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST((10 + doc_id % 7)
+                    * (CASE WHEN doc_id % 2 = 0 THEN 36 ELSE 24 END)
+                    AS VARCHAR) AS min,
+               'mp3' AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    arms.append("""
+        SELECT 'ct' AS part,
+               (CASE WHEN doc_id % 2 = 0 THEN 'vorbis:'
+                     ELSE 'opus:' END) || doc_id AS "column",
+               CAST(2 AS BIGINT) AS n_rows,
+               CAST((CASE WHEN doc_id % 2 = 0 THEN 44100
+                          ELSE 48000 END) * 10
+                    + 1 + (doc_id // 2) % 2 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(100 * (5 + doc_id % 4) AS VARCHAR) AS min,
+               CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
+                    ELSE 'opus' END AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    # r13: REAL multi-page Ogg-Vorbis streams (own conformant encoder,
+    # silence) through the header parser: duration = exactly 100*m ms
+    # at 32 kHz; page count = 3 header pages + ceil(packets/16) where
+    # packets = 25*m + 1 (blocksize 256 → 128-sample hop)
+    arms.append("""
+        SELECT 'ct' AS part, 'vorbis:' || doc_id AS "column",
+               CAST(3 + CEIL((25.0 * (1 + doc_id % 3) + 1) / 16)
+                    AS BIGINT) AS n_rows,
+               CAST(320001 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(100 * (1 + doc_id % 3) AS VARCHAR) AS min,
+               'vorbis' AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    arms.append("""
+        SELECT 'ct' AS part, 'mp4:' || doc_id AS "column",
+               CAST(1 AS BIGINT) AS n_rows,
+               CAST((320 + (doc_id % 5) * 16) * 1000
+                    + 240 + (doc_id % 3) * 16 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(3000 + (doc_id % 11) * 100 AS VARCHAR) AS min,
+               'mp4' AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    arms.append("""
+        SELECT 'ct' AS part, 'webm:' || doc_id AS "column",
+               CAST(1 AS BIGINT) AS n_rows,
+               CAST((640 + (doc_id % 4) * 32) * 1000
+                    + 360 + (doc_id % 2) * 36 AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST(2000 + (doc_id % 13) * 50 AS VARCHAR) AS min,
+               'webm' AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    # r14: REAL MPEG-1 streams through the header parser — pictures
+    # from the start-code walk, duration = pictures * 40 ms (exact at
+    # the 25 fps rate code), dims from the sequence header; every
+    # other id wraps the ES as a program stream (pack/PES demux in
+    # front of the same facts)
+    arms.append("""
+        SELECT 'ct' AS part,
+               (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mpeg1:'
+                     ELSE 'mpeg_ps:' END) || doc_id AS "column",
+               CAST(2 + (doc_id // 3) % 3 AS BIGINT) AS n_rows,
+               CAST((16 + ((doc_id // 3) % 3) * 16) * 1001
+                    AS BIGINT) AS n_nulls,
+               0.0 AS null_frac,
+               CAST((2 + (doc_id // 3) % 3) * 40 AS VARCHAR) AS min,
+               CASE WHEN (doc_id // 3) % 2 = 0 THEN 'mpeg1'
+                    ELSE 'mpeg_ps' END AS max
+        FROM documents WHERE doc_id % 3 = 0""")
+    # webp arm (r12b): h=5+i%3, w=4+i%4, c=3, pixel_j=(j*(11+i)+3i)%233
+    # — the VP8L codec is lossless, so the decoded stats equal the
+    # formula stats; the Spark side rotates through all 14 predictor
+    # modes + both cache settings, so a defect in ANY of them breaks
+    # this hash
+    arms.append("""
+        SELECT 'mm' AS part, 'webp:' || i AS "column",
+               (5 + i % 3) * (4 + i % 4) * 3 AS n_rows,
+               (5 + i % 3) * 1000000 + (4 + i % 4) * 1000 + 3
+                   AS n_nulls,
+               0.0 AS null_frac,
+               CAST(CAST(SUM((j * (11 + i) + 3 * i) % 233) AS BIGINT)
+                    AS VARCHAR) AS min,
+               CAST(MAX((j * (11 + i) + 3 * i) % 233) AS VARCHAR) AS max
+        FROM (SELECT doc_id AS i,
+                     unnest(range(0, (5 + doc_id % 3) * (4 + doc_id % 4)
+                                     * 3)) AS j
+              FROM documents WHERE doc_id % 5 = 0)
+        GROUP BY ALL""")
     return " UNION ALL ".join(arms)
 
 
@@ -5648,6 +5891,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN big ON o_orderkey = l_orderkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         "profile_media": _sql_profile_media(),
+        "embedding_near_dup_ivf": f"""
+            WITH cells AS ({_sql_ivf_cells()}),
+            base AS (SELECT e.vec_id, c.cell, e.embedding::DOUBLE[] AS v,
+                     sqrt(list_sum([x * x for x in e.embedding::DOUBLE[]])) AS n
+                     FROM embeddings e JOIN cells c USING (vec_id))
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                         / (a.n * b.n), 6) AS cosine
+            FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                  / (a.n * b.n) >= 0.2""",
         "salted_group_revenue": """
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
@@ -6136,7 +6390,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b.log_ppl <= c.__q_middle THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM base b LEFT JOIN cuts c USING (lang)""",
-        "semantic_dedup_emb": f"""
+        "semantic_dedup_emb": """
             WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                             sqrt(list_sum([x * x
                                            for x in embedding::DOUBLE[]])) AS n
@@ -6146,38 +6400,20 @@ def oracle_sql() -> dict[str, str]:
                          ON a.label = b.label AND a.vec_id < b.vec_id
                        WHERE round(list_sum([a.v[i] * b.v[i]
                                     for i in range(1, len(a.v) + 1)])
-                                   / (a.n * b.n), 6) >= 0.2),
-            cells AS ({_sql_ivf_cells()})
-            SELECT vec_id, 'greedy' AS part,
-                   CAST(NULL AS DOUBLE) AS score FROM embeddings
+                                   / (a.n * b.n), 6) >= 0.2)
+            SELECT vec_id, 'greedy' AS part FROM embeddings
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             UNION ALL
             -- r12 'against' arm: exhaustive-probe dedup against the
             -- persisted IVF reference == brute NOT-EXISTS cosine rule
-            SELECT b.vec_id, 'against' AS part,
-                   CAST(NULL AS DOUBLE) AS score
+            SELECT b.vec_id, 'against' AS part
             FROM base b
             WHERE b.vec_id % 10 = 1 AND NOT EXISTS (
               SELECT 1 FROM base r
               WHERE r.vec_id % 2 = 0
                 AND round(list_sum([b.v[i] * r.v[i]
                              for i in range(1, len(b.v) + 1)])
-                          / (b.n * r.n), 6) >= 0.35)
-            UNION ALL
-            -- r15 'pairs' arm (absorbed embedding_near_dup_ivf):
-            -- IVF-cell-bucketed cosine pairs, pair key a*1e6+b
-            SELECT a.vec_id * 1000000 + b.vec_id AS vec_id,
-                   'pairs' AS part,
-                   ROUND(list_sum([a2.v[i] * b2.v[i]
-                                   for i in range(1, len(a2.v) + 1)])
-                         / (a2.n * b2.n), 6) AS score
-            FROM cells a JOIN cells b
-              ON a.cell = b.cell AND a.vec_id < b.vec_id
-            JOIN base a2 ON a2.vec_id = a.vec_id
-            JOIN base b2 ON b2.vec_id = b.vec_id
-            WHERE ROUND(list_sum([a2.v[i] * b2.v[i]
-                                  for i in range(1, len(a2.v) + 1)])
-                        / (a2.n * b2.n), 6) >= 0.2""",
+                          / (b.n * r.n), 6) >= 0.35)""",
         "source_overlap_docs": f"""
             WITH tk AS (SELECT source, {toks} AS t FROM documents),
             sh AS (SELECT DISTINCT source,

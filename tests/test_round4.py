@@ -47,8 +47,13 @@ def test_gate_window_contract():
     # entries at all since r9: even BPE merge learning (the r8
     # documented exception) replays via the 64-round unrolled
     # materialized-CTE chain (_sql_bpe_train), so the whole gate
-    # hash-verifies.
-    assert set(q) == set(o)
+    # hash-verifies.  (r15: oracle_sql may carry EXTRA entries for
+    # bench-extra pins outside the 50-slot window — profile_media —
+    # which tools/check_oracle.py replays the same way.)
+    assert set(q) <= set(o)
+    for extra in set(o) - set(q):
+        assert extra in m.bench_extras(), (
+            f"oracle entry {extra} is neither declared nor benched")
 
 
 # --- knn_lsh partition pruning ----------------------------------------------

@@ -112,6 +112,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, osql = m.queries(), m.oracle_sql()
+    # bench-extra pins that carry an oracle (e.g. profile_media) are
+    # replayable too — appended after the 50 declared gate queries
+    for name, q in m.bench_extras().items():
+        if name in osql and name not in qs:
+            qs[name] = q
     n_pass = n_fail = 0
     for name, q in qs.items():
         if only and name not in only:
