@@ -1011,19 +1011,28 @@ def q_dedup_against(spark, sf):
     # survives iff it shares no LSH band with ANY corpus doc.  The
     # corpus is signed into the narrow signature table once; only band
     # hashes shuffle.
-    from conduino_spark import minhash_dedup_against
+    from conduino_spark import minhash_dedup_against, minhash_signatures
+    from conduino_spark.plans.cachereg import track
+    # r15 (§2.2, §4): the batch was minhash-signed twice and
+    # simhash-signed twice (the in-memory 'against'/'sh' arms and the
+    # persisted-index 'idx'/'shidx' arms each re-signed it from raw
+    # text) — sign it ONCE per family via the new_sigs= hooks.  The
+    # signature caches are materialized EAGERLY (one cheap count each)
+    # because the final action schedules all six arm subtrees
+    # concurrently, and racing consumers of a cold cache duplicate the
+    # signing work instead of sharing it (measured: 3x the signing
+    # task-time with lazy caches).
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     corpus = docs.where(F.col("doc_id") % 2 == 0)
-    st = minhash_dedup_against(corpus)
+    bsigs = track(minhash_signatures()(batch))
+    st = minhash_dedup_against(corpus, new_sigs=bsigs)
     against = st(batch).select("doc_id",
                                F.lit("against").alias("policy"))
     # r7 merge: the exact-dedup pin rides as a second arm — md5-digest
-    # groupBy survivors over the whole corpus
-    p = (_src(sf, "documents", min_partitions="auto")
-         | dedup_exact() | sink_df())
-    exact = run_pipe(p, spark).select("doc_id",
-                                      F.lit("exact").alias("policy"))
+    # groupBy survivors over the whole corpus (fed from the docs cache)
+    exact = dedup_exact()(docs).select("doc_id",
+                                       F.lit("exact").alias("policy"))
     # r11 third arm: the SAME incremental dedup through a PERSISTED
     # signature index built INCREMENTALLY (minhash_index_write over
     # half the corpus + minhash_index_merge of the other half) — the
@@ -1042,7 +1051,7 @@ def q_dedup_against(spark, sf):
 
     d = _index_memo_dir(sf, "documents", "mh_merged_idx", "v1",
                         "_MERGED_OK", _build)
-    idx = (minhash_index_dedup(d)(batch)
+    idx = (minhash_index_dedup(d, new_sigs=bsigs)(batch)
            .select("doc_id", F.lit("idx").alias("policy")))
     # r12 fourth+fifth arms: the SEVENTH index family (SimHash
     # hamming-ball dedup) rides the pin — in-memory against ('sh')
@@ -1050,10 +1059,16 @@ def q_dedup_against(spark, sf):
     # merge %4==2, 'shidx'); the pigeonhole candidates + exact
     # bit_count verify mean survivors equal the brute NOT-EXISTS
     # hamming replay, which is what the oracle runs.
-    from conduino_spark import (simhash_dedup_against,
+    from conduino_spark import (simhash, simhash_dedup_against,
                                 simhash_index_dedup, simhash_index_merge,
                                 simhash_index_write)
-    sh = (simhash_dedup_against(corpus)(batch)
+    shsigs = track(simhash(out="sh")(batch).select("doc_id", "sh"))
+    # ONE materializing action for both signature caches (they build
+    # concurrently inside it) — consumers below then share instead of
+    # racing to recompute a cold cache
+    (bsigs.select(F.lit(1).alias("one"))
+          .unionAll(shsigs.select(F.lit(1).alias("one"))).count())
+    sh = (simhash_dedup_against(corpus, new_sigs=shsigs)(batch)
           .select("doc_id", F.lit("sh").alias("policy")))
 
     def _build_sh(d_):
@@ -1063,7 +1078,7 @@ def q_dedup_against(spark, sf):
 
     dsh = _index_memo_dir(sf, "documents", "sh_merged_idx", "v1",
                           "_MERGED_OK", _build_sh)
-    shidx = (simhash_index_dedup(dsh)(batch)
+    shidx = (simhash_index_dedup(dsh, new_sigs=shsigs)(batch)
              .select("doc_id", F.lit("shidx").alias("policy")))
     # r12b sixth arm: the EIGHTH index family (exact content-hash
     # reference) rides the pin — write(%4==0)+merge(%4==2) persisted
@@ -2610,13 +2625,17 @@ def q_quality_classifier_docs(spark, sf):
     # ML training end-to-end.
     from conduino_spark import (QUALITY_FEATURES, logreg_score,
                                 logreg_train, quality_features)
+    from conduino_spark.plans.cachereg import track
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
     fx = quality_features("text")
-    feats = docs.select(
+    # r15 (§2.2): the regex-heavy feature extraction fed BOTH the
+    # training pass and logreg_score's projection — track the narrow
+    # (id, 4 doubles, label) table so the text is featurized ONCE
+    feats = track(docs.select(
         "doc_id", *[fx[k].alias(k) for k in QUALITY_FEATURES],
         (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
                         + fx["stop_sig"] + fx["punct_ok"])
-         >= LOGREG_THRESH).cast("int").alias("label"))
+         >= LOGREG_THRESH).cast("int").alias("label")))
     m = logreg_train(feats, list(QUALITY_FEATURES), "label",
                      iters=LOGREG_ITERS, lr=LOGREG_LR,
                      term_scale=LOGREG_TS, track_loss=False)

@@ -344,6 +344,7 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
 def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", *,
                           ref_sigs: bool = False,
+                          new_sigs: "DataFrame | None" = None,
                           n_perm: int = MINHASH_K,
                           bands: int = MINHASH_BANDS) -> Stage:
     """INCREMENTAL dedup: drop every incoming doc that is LSH-similar
@@ -362,6 +363,13 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
     ``minhash_dedup_cc`` for those) — a doc is dropped solely for
     colliding with the reference.
 
+    ``new_sigs`` is the batch-side twin of ``ref_sigs``: a precomputed
+    ``minhash_signatures`` table for the INCOMING docs, for callers
+    that probe the same batch against several references/indexes (sign
+    it once, share the narrow table).  As with ``ref_sigs``, the
+    caller owns the config agreement (same ``n_perm``, ids covering
+    exactly the stage input).
+
     With ``ref_sigs=True`` the caller owns the config agreement: the
     precomputed signature table must have been built with the SAME
     ``n_perm`` (the banding layout is positional over the prefix)."""
@@ -372,11 +380,12 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
         # no persist: unlike _band_pairs' self-join, each signature
         # table is consumed exactly once here — a track() would pay a
         # full materialization per batch for zero recompute savings
-        new_sigs = _minhash_sig_df(df, text_col, id_col, n_perm=n_perm)
+        ns = (new_sigs if new_sigs is not None
+              else _minhash_sig_df(df, text_col, id_col, n_perm=n_perm))
         rs = (reference if ref_sigs
               else _minhash_sig_df(reference, text_col, id_col,
                                    n_perm=n_perm))
-        hits = (_band_explode(new_sigs, id_col, "__new_id", **bcfg)
+        hits = (_band_explode(ns, id_col, "__new_id", **bcfg)
                 .join(_band_explode(rs, id_col, "__ref_id", **bcfg),
                       ["band_id", "band_hash"])
                 .select(F.col("__new_id").alias(id_col))
@@ -474,6 +483,7 @@ def minhash_index_merge(new_docs: DataFrame, path: str, *,
 
 def minhash_index_dedup(path: str, *, text_col: str = "text",
                         id_col: str = "doc_id",
+                        new_sigs: "DataFrame | None" = None,
                         broadcast_batch: bool = True) -> Stage:
     """:func:`minhash_dedup_against` against a PERSISTED
     :func:`minhash_index_write` index: identical survivors
@@ -484,13 +494,20 @@ def minhash_index_dedup(path: str, *, text_col: str = "text",
     reads only the shard directories the batch's band hashes touch.
     Set ``broadcast_batch=False`` for batches too large to broadcast:
     the probe becomes a plain shuffle join on (pt, band_id,
-    band_hash), still never touching raw reference text."""
+    band_hash), still never touching raw reference text.
+
+    ``new_sigs`` takes a precomputed ``minhash_signatures`` table for
+    the batch (the :func:`minhash_dedup_against` hook): sign an
+    incoming batch ONCE and share it across the in-memory and
+    persisted-index probes.  Caller owns the config agreement — the
+    table's ``n_perm`` must match the index ``_meta``."""
 
     def fn(df: DataFrame) -> DataFrame:
         spark = df.sparkSession
         n_perm, bands, n_shards = _minhash_index_meta(path)
-        new_sigs = _minhash_sig_df(df, text_col, id_col, n_perm=n_perm)
-        probe = (_band_explode(new_sigs, id_col, "__new_id",
+        ns = (new_sigs if new_sigs is not None
+              else _minhash_sig_df(df, text_col, id_col, n_perm=n_perm))
+        probe = (_band_explode(ns, id_col, "__new_id",
                                n_perm=n_perm, bands=bands)
                  .withColumn("pt", F.pmod(h32(F.col("band_hash")),
                                           F.lit(n_shards))))
@@ -775,6 +792,7 @@ def simhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
 def simhash_dedup_against(reference: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id", *,
+                          new_sigs: "DataFrame | None" = None,
                           max_hamming: int = 3, bits: int = 32) -> Stage:
     """Incremental-ingestion SimHash dedup: drop every batch doc whose
     signature is within ``max_hamming`` bits of ANY reference doc —
@@ -782,7 +800,14 @@ def simhash_dedup_against(reference: DataFrame,
     catches near-dups by token-frequency profile where MinHash works
     on shingle sets).  Candidates via the pigeonhole band equi-join
     (guaranteed recall), exact ``bit_count`` verify; only signatures
-    and band slices shuffle, never text."""
+    and band slices shuffle, never text.
+
+    ``new_sigs`` takes a precomputed batch signature table
+    (``simhash(out='sh')``) — the :func:`minhash_dedup_against`
+    ``new_sigs`` hook for this family: sign the incoming batch ONCE
+    and share it across the in-memory and persisted-index probes.
+    Caller owns the config agreement (same ``bits``, column ``sh``,
+    ids covering exactly the stage input)."""
 
     def fn(df: DataFrame) -> DataFrame:
         ref_sigs = _simhash_df(reference, text_col, id_col, bits=bits,
@@ -791,8 +816,9 @@ def simhash_dedup_against(reference: DataFrame,
                                     max_hamming=max_hamming)
                      .select(F.col("sh").alias("__ref_sh"),
                              "band_id", "band_val"))
-        new_sigs = _simhash_df(df, text_col, id_col, bits=bits, out="sh")
-        new_bands = _simhash_bands(new_sigs, id_col, bits=bits,
+        ns = (new_sigs if new_sigs is not None
+              else _simhash_df(df, text_col, id_col, bits=bits, out="sh"))
+        new_bands = _simhash_bands(ns, id_col, bits=bits,
                                    max_hamming=max_hamming)
         hits = (new_bands.join(ref_bands, ["band_id", "band_val"])
                 .where(F.bit_count(F.col("sh").bitwiseXOR(
@@ -892,6 +918,7 @@ def simhash_index_merge(new_docs: DataFrame, path: str, *,
 
 def simhash_index_dedup(path: str, text_col: str = "text",
                         id_col: str = "doc_id", *,
+                        new_sigs: "DataFrame | None" = None,
                         broadcast_batch: bool = True) -> Stage:
     """:func:`simhash_dedup_against` against a PERSISTED
     :func:`simhash_index_write` index: identical survivors
@@ -900,13 +927,19 @@ def simhash_index_dedup(path: str, text_col: str = "text",
     carries the shard key so dynamic partition pruning reads only the
     shard directories the batch's band slices touch.  Set it False
     for huge batches: a plain shuffle join on (pt, band_id,
-    band_val)."""
+    band_val).
+
+    ``new_sigs`` takes a precomputed batch signature table
+    (``simhash(out='sh')``) — sign the incoming batch ONCE, share it
+    across probes; caller owns the config agreement (the table's
+    ``bits`` must match the index ``_meta``)."""
 
     def fn(df: DataFrame) -> DataFrame:
         spark = df.sparkSession
         bits, max_hamming, n_shards = _simhash_index_meta(path)
-        new_sigs = _simhash_df(df, text_col, id_col, bits=bits, out="sh")
-        probe = (_simhash_bands(new_sigs, id_col, bits=bits,
+        ns = (new_sigs if new_sigs is not None
+              else _simhash_df(df, text_col, id_col, bits=bits, out="sh"))
+        probe = (_simhash_bands(ns, id_col, bits=bits,
                                 max_hamming=max_hamming)
                  .withColumn("pt", F.pmod(
                      h32(F.concat_ws(":", "band_id", "band_val")),

@@ -9,6 +9,7 @@ the previous slice coded).
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from conduino_spark.operators.mpeg1 import (
     _BitWriter, decode_mpeg1, encode_mpeg1)
@@ -686,3 +687,44 @@ def test_edit_chunk_filter_matches_gram_and_brute(spark, monkeypatch, k):
     monkeypatch.setattr(dd, "_EDJOIN_CHUNK_MAX_K", -1)
     gram = sorted(map(tuple, q(df).collect()))
     assert gram == brute
+
+
+def test_dedup_against_new_sigs_hook_law(spark, tmp_path):
+    """The new_sigs= reuse hooks (minhash + simhash, in-memory +
+    persisted-index probes) keep EXACTLY the survivors of the default
+    sign-inside path — the hook only moves WHERE the batch signature
+    table is built, never what it contains (the dedup_against pin
+    signs each batch once per family and shares it across arms)."""
+    from conduino_spark import (minhash_dedup_against,
+                                minhash_index_dedup, minhash_index_merge,
+                                minhash_index_write, minhash_signatures,
+                                simhash, simhash_dedup_against,
+                                simhash_index_dedup, simhash_index_merge,
+                                simhash_index_write)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    bsigs = minhash_signatures()(batch)
+    shsigs = simhash(out="sh")(batch).select("doc_id", "sh")
+
+    def ids(df):
+        return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+    assert ids(minhash_dedup_against(ref, new_sigs=bsigs)(batch)) == \
+        ids(minhash_dedup_against(ref)(batch))
+    assert ids(simhash_dedup_against(ref, new_sigs=shsigs)(batch)) == \
+        ids(simhash_dedup_against(ref)(batch))
+
+    dm = str(tmp_path / "mh")
+    minhash_index_write(ref.where(F.col("doc_id") % 4 == 0), dm,
+                        n_shards=8)
+    minhash_index_merge(ref.where(F.col("doc_id") % 4 == 2), dm)
+    assert ids(minhash_index_dedup(dm, new_sigs=bsigs)(batch)) == \
+        ids(minhash_index_dedup(dm)(batch))
+
+    ds = str(tmp_path / "sh")
+    simhash_index_write(ref.where(F.col("doc_id") % 4 == 0), ds,
+                        n_shards=8)
+    simhash_index_merge(ref.where(F.col("doc_id") % 4 == 2), ds)
+    assert ids(simhash_index_dedup(ds, new_sigs=shsigs)(batch)) == \
+        ids(simhash_index_dedup(ds)(batch))
