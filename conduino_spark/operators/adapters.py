@@ -111,7 +111,16 @@ def limited_sink(inner: Sink, n: int) -> Sink:
 
     def term(df: DataFrame) -> Optional[int]:
         # nth seq as ONE aggregated row (r14: the old limit(n).collect
-        # pulled n seq values to the driver just to read the last one)
+        # pulled n seq values to the driver just to read the last one).
+        # r15: guard with a count first — orderBy().limit(n) plans a
+        # TakeOrderedAndProject whose per-partition top-n buffer is
+        # sized by n, NOT by the data; a sentinel n like 10**9 ("never
+        # terminates early") burned ~18 min of single-task CPU on a
+        # 1k-row input.  count() is column-pruned (parquet metadata
+        # cheap) and n > count means "never terminates" — identical
+        # result, and the sort-limit only ever runs with n <= rows.
+        if df.select(SEQ).count() < n:
+            return None
         row = (df.select(SEQ).orderBy(SEQ).limit(n)
                  .agg(F.max(SEQ).alias("m"),
                       F.count(F.lit(1)).alias("c")).collect()[0])

@@ -30,12 +30,24 @@ from conduino_spark.plans.core import SEQ, Stage
 from conduino_spark.operators.elementwise import _as_pandas_udf
 
 
+# orderBy().limit(n) plans a TakeOrderedAndProject whose per-partition
+# top-n buffer is sized by n, NOT by the data — a sentinel-huge n (the
+# limited_sink(…, 10**9) "never terminates early" idiom) burned ~18 min
+# of single-task CPU on a 1k-row input.  Above this threshold _nth_seq
+# pays ONE eager count to prove n exceeds the row count (boundary NULL,
+# same value the lazy plan would produce) before risking the big-n sort.
+_EAGER_GUARD_N = 50_000_000
+
+
 def _nth_seq(df: DataFrame, n: int) -> DataFrame:
     """1-row DF (__b) = nth smallest __seq (NULL if fewer than n rows)."""
     if n <= 0:
         # consumed nothing: boundary below every seq — use min(seq)-1;
         # NULL would mean "consumed all", so synthesize -inf.
         return df.agg((F.min(SEQ) - F.lit(1)).alias("__b"))
+    if n > _EAGER_GUARD_N and df.select(SEQ).count() < n:
+        return df.sparkSession.range(1).select(
+            F.lit(None).cast("long").alias("__b"))
     topn = df.select(SEQ).orderBy(SEQ).limit(n)
     cnt = topn.agg(F.max(SEQ).alias("__m"), F.count("*").alias("__c"))
     return cnt.select(F.when(F.col("__c") >= n, F.col("__m")).alias("__b"))

@@ -728,3 +728,38 @@ def test_dedup_against_new_sigs_hook_law(spark, tmp_path):
     simhash_index_merge(ref.where(F.col("doc_id") % 4 == 2), ds)
     assert ids(simhash_index_dedup(ds, new_sigs=shsigs)(batch)) == \
         ids(simhash_index_dedup(ds)(batch))
+
+
+def test_sentinel_huge_n_boundaries(spark):
+    # r15 opt-round guard: orderBy().limit(n) plans a
+    # TakeOrderedAndProject whose per-partition buffer is sized by n,
+    # not the data — the alt-arm sentinel limited_sink(…, 10**9) spun
+    # ~18 min of single-task CPU on a 1k-row input before the
+    # count-first guard.  Semantics pinned here: a limit beyond the
+    # row count means "never terminates early" (term None / boundary
+    # NULL), identical to the small-n law above it; and take/drop with
+    # a sentinel-huge n still pass/drop everything.  Wall-clock is the
+    # regression tripwire: pre-fix this test would hang for minutes.
+    from conduino_spark import (alt_sink, drop, fold, limited_sink,
+                                run_pipe, sink_list, source_list, take)
+    from conduino_spark.operators.segments import _nth_seq
+
+    # the exact shape that hung: full count raced against a sentinel-n
+    # limited count — right term must be None, left (full) fold wins
+    p = source_list(range(1, 101)) | alt_sink(
+        fold("v", how="count"), limited_sink(fold("v", how="count"), 10 ** 9))
+    assert run_pipe(p, spark) == 100
+
+    s = limited_sink(fold("v", how="sum"), 10 ** 9)
+    df = source_list(range(1, 11)).df(spark)
+    assert s.termination_seq(df) is None
+
+    # _nth_seq's eager-guard branch (n > _EAGER_GUARD_N, fewer rows):
+    # boundary NULL == "consumed all", so take passes everything and
+    # drop's sequel sees nothing
+    row = _nth_seq(df, 10 ** 9).collect()[0]
+    assert row["__b"] is None
+    assert run_pipe(source_list([5, 6, 7]) | take(10 ** 9) | sink_list(),
+                    spark) == [5, 6, 7]
+    assert run_pipe(source_list([5, 6, 7])
+                    | (drop(10 ** 9) >> sink_list()), spark) == []
