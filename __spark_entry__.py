@@ -2636,19 +2636,50 @@ def q_quality_classifier_docs(spark, sf):
         (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
                         + fx["stop_sig"] + fx["punct_ok"])
          >= LOGREG_THRESH).cast("int").alias("label")))
-    m = logreg_train(feats, list(QUALITY_FEATURES), "label",
-                     iters=LOGREG_ITERS, lr=LOGREG_LR,
-                     term_scale=LOGREG_TS, track_loss=False)
-    lr = logreg_score(m)(feats).select("doc_id", "label", "score")
-    # r9 merge: the SECOND classifier family rides the same pin —
-    # multinomial naive Bayes (operators/classifier.nb_train/nb_score)
-    # trained on the corpus with lang as the label; its model is a
-    # DISTRIBUTED (token, k-vector) table, its train+score path exact
-    # scaled-long all the way, so the driver hash-verifies both
-    # classifier shapes (driver-weights GD and model-as-a-table NB)
-    # in one row set (_sql_nb_lang).
+    # r15 (guide §2.6): the two training loops are independent —
+    # logreg's 10 sequential gradient collects over the cached feature
+    # table and NB's token-count aggregates over the raw corpus — so
+    # they run from driver threads and their driver-synchronous jobs
+    # overlap (the knn_methods arm pattern).  Safe under the r15
+    # thread-owned cache registry: each train's scoped release now
+    # pops only its own caches.  Determinism unchanged — threads only
+    # change when jobs run, never what they compute.
+    from pyspark import InheritableThread
     from conduino_spark import nb_score, nb_train
-    nbm = nb_train(docs, "text", "lang")
+    box, errs = {}, {}
+
+    def _train_lr():
+        try:
+            box["m"] = logreg_train(
+                feats, list(QUALITY_FEATURES), "label",
+                iters=LOGREG_ITERS, lr=LOGREG_LR,
+                term_scale=LOGREG_TS, track_loss=False)
+        except BaseException as e:
+            errs["m"] = e
+
+    def _train_nb():
+        try:
+            # r9 merge: the SECOND classifier family rides the same
+            # pin — multinomial naive Bayes (nb_train/nb_score) with
+            # lang as the label; its model is a DISTRIBUTED (token,
+            # k-vector) table, its train+score path exact scaled-long
+            # all the way, so the driver hash-verifies both classifier
+            # shapes (driver-weights GD and model-as-a-table NB) in
+            # one row set (_sql_nb_lang).
+            box["nbm"] = nb_train(docs, "text", "lang")
+        except BaseException as e:
+            errs["nbm"] = e
+
+    ts = [InheritableThread(target=_train_lr),
+          InheritableThread(target=_train_nb)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise next(iter(errs.values()))
+    lr = logreg_score(box["m"])(feats).select("doc_id", "label", "score")
+    nbm = box["nbm"]
     nb = nb_score(nbm)(docs).select("doc_id", "nb_label", "nb_score")
     return lr.join(nb, "doc_id")
 

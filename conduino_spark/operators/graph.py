@@ -307,11 +307,15 @@ def label_propagation(edges: Union[DataFrame, Source],
                         .where(F.col("__lbl").isNotNull())
                         .groupBy(F.col("__d").alias("__id"), "__lbl")
                         .agg(F.sum("__w").alias("__c")))
-            mx = votes.groupBy("__id").agg(F.max("__c").alias("__mc"))
-            pick = (votes.join(mx, "__id")
-                         .where(F.col("__c") == F.col("__mc"))
-                         .groupBy("__id")
-                         .agg(F.min("__lbl").alias("__new")))
+            # argmax fold (r15, guide §2.4): min over (-count, label)
+            # structs == "max count, ties to the smallest label" in one
+            # aggregate — replaces the max-count agg + equi-join +
+            # tie-break agg (two exchanges + a join per round)
+            pick = (votes.groupBy("__id")
+                         .agg(F.min(F.struct(
+                             (-F.col("__c")).alias("c"),
+                             F.col("__lbl").alias("l"))).alias("__b"))
+                         .select("__id", F.col("__b.l").alias("__new")))
             cur = (seeds.join(pick, "__id", "left")
                         .select("__id",
                                 F.coalesce("__seed", "__new")

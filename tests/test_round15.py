@@ -763,3 +763,74 @@ def test_sentinel_huge_n_boundaries(spark):
                     spark) == [5, 6, 7]
     assert run_pipe(source_list([5, 6, 7])
                     | (drop(10 ** 9) >> sink_list()), spark) == []
+
+
+def test_cachereg_scoped_release_is_thread_owned(spark):
+    """r15: gate pins overlap independent arms from driver threads
+    (quality_classifier runs logreg_train and nb_train concurrently);
+    a scoped release_caches(since=mark) from one thread must never pop
+    a cache another thread tracked in the interleaving — the old
+    position-based registry did exactly that (the finishing train
+    unpersisted its sibling's token cache mid-run)."""
+    import threading
+
+    from conduino_spark.plans import cachereg
+
+    cachereg.release_caches()
+    sync = threading.Barrier(2)
+    kept = {}
+
+    def owner():
+        kept["df"] = cachereg.track(spark.range(7))
+        kept["df"].count()
+        sync.wait()          # scoper releases while we hold the cache
+        sync.wait()
+
+    def scoper():
+        m = cachereg.mark()
+        mine = cachereg.track(spark.range(8))
+        mine.count()
+        sync.wait()          # owner's entry is now interleaved
+        n = cachereg.release_caches(since=m)
+        kept["released"] = n
+        kept["mine"] = mine
+        sync.wait()
+
+    # owner tracks FIRST, then scoper marks/tracks/releases — but also
+    # exercise the interleaved order (owner tracks after the mark)
+    t1 = threading.Thread(target=owner)
+    t2 = threading.Thread(target=scoper)
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert kept["released"] == 1           # only the scoper's own entry
+    assert not kept["mine"].storageLevel.useMemory
+    assert kept["df"].storageLevel.useMemory, \
+        "scoped release must not pop another thread's cache"
+    assert cachereg.release_caches() == 1  # the owner's entry drains
+    assert not kept["df"].storageLevel.useMemory
+
+
+def test_label_propagation_argmax_fold_matches_reference(spark):
+    """r15: the per-round max-count agg + equi-join + tie-break agg
+    collapsed into one min(struct(-count, label)) aggregate.  Pin the
+    semantics on a graph with a genuine tie (node 3 hears 'a' and 'b'
+    once each -> lexicographically smaller 'a' wins) and a clamped
+    seed whose neighbors disagree with it."""
+    from conduino_spark import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (4, 5), (2, 5)],
+        "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "a")],
+        "id long, label string")
+    out = {r["id"]: r["label_prop"]
+           for r in label_propagation(edges, "label", "id", iters=4)
+           (nodes).collect()}
+    # seeds clamp
+    assert out[1] == "a" and out[2] == "b" and out[5] == "a"
+    # node 3: neighbors 1 ('a'), 2 ('b'), 4 — round 1 votes a=1, b=1
+    # -> tie breaks to 'a' and stays (4 echoes majority later)
+    assert out[3] == "a"
+    # node 4: neighbors 3 ('a' after r1), 5 ('a') -> 'a'
+    assert out[4] == "a"

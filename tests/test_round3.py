@@ -29,7 +29,7 @@ def test_release_scoped_to_owning_pipeline_run(spark):
     outer = cachereg.track(spark.range(10))
     outer.count()
     assert outer.storageLevel.useMemory
-    base = cachereg.mark()
+    base = len(cachereg._TRACKED)
 
     # ...while a materializing pipeline tracks and releases its OWN cache
     tracker = Stage(lambda df: cachereg.track(df), name="tracker")
@@ -37,7 +37,7 @@ def test_release_scoped_to_owning_pipeline_run(spark):
     assert got == [1, 2, 3]
 
     # the pipeline's cache is gone, the outer flow's cache survives
-    assert cachereg.mark() == base
+    assert len(cachereg._TRACKED) == base
     assert outer.storageLevel.useMemory, \
         "pipeline run must not release caches owned by other live flows"
     assert cachereg.release_caches() == 1
