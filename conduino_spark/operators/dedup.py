@@ -1420,9 +1420,10 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
     stats) — removal policy stays explicit and auditable instead of
     silently rewriting documents.
 
-    Plan: window build = zip of ``window_tokens`` shifted slices (the
-    shingles_col CSE lesson — no per-position lambda re-evaluation),
-    md5 once per window; ONE (hash, count) aggregate over the corpus;
+    Plan: window build = :func:`_window_strings` over a materialized
+    token column (single transform pass; the shingles_col CSE lesson —
+    no per-position tokenizer re-evaluation),
+    h32 once per window; ONE (hash, count) aggregate over the corpus;
     one semi-join back; per-doc interval-merge fold over the sorted
     duplicated positions (pure ``aggregate`` expression).  Shuffles
     carry only (hash) ints and (id, pos) pairs — never window text."""
@@ -1433,15 +1434,12 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
     L = window_tokens
 
     def fn(df: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
-        m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
-        acc = F.slice(toks, 1, m)
-        for j in range(2, L + 1):
-            acc = F.zip_with(acc, F.slice(toks, j, m),
-                             lambda x, y: F.concat(x, F.lit(" "), y))
-        base = track(df.select(F.col(id_col),
-                               F.size(toks).alias("__nt"),
-                               F.transform(acc, h32).alias("__ws")))
+        tk = df.select(F.col(id_col),
+                       tokens_col(F.col(text_col)).alias("__tk"))
+        base = track(tk.select(
+            F.col(id_col), F.size("__tk").alias("__nt"),
+            F.transform(_window_strings(F.col("__tk"), L), h32)
+             .alias("__ws")))
         wins = base.select(id_col, "__nt",
                            F.posexplode_outer("__ws").alias("__p", "__h"))
         dup_h = (wins.groupBy("__h")
@@ -1551,24 +1549,41 @@ def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
     return Stage(fn, name=name, seq_preserving=False)
 
 
+def _window_strings(toks_attr: Column, L: int) -> Column:
+    """``L``-token sliding windows (single-space joined) over a
+    MATERIALIZED token-array column — one interpreted ``transform``
+    over positions with ``slice`` + ``concat_ws``, O(n·L) string bytes
+    per doc, instead of the L-pass ``zip_with`` chain whose pass ``j``
+    re-copies every partial window (O(n·L²/2) bytes — measured 4×
+    slower at L=16, sf0.1; bit-identical output).  ``toks_attr`` must
+    be a bound column, not the tokenizer expression: interpreted
+    lambdas do no CSE, so an expression would re-evaluate the tokenize
+    regex per position (the shingles_col lesson — and multi-referenced
+    non-cheap aliases are exactly what CollapseProject leaves alone).
+    NULL propagates (size(NULL) = -1 under non-ANSI → the NULL branch),
+    matching the zip chain's NULL-in/NULL-out."""
+    m = F.greatest(F.size(toks_attr) - (L - 1), F.lit(0))
+    return (F.when(m > 0, F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(" ", F.slice(toks_attr, i, L))))
+             .when(toks_attr.isNotNull(),
+                   F.array().cast("array<string>")))
+
+
 def _dup_span_wins(df: DataFrame, text_col: str, id_col: str,
                    L: int) -> "tuple[DataFrame, Column, DataFrame]":
     """Shared window build for the exact-substring family: NULL-id
     rows dropped, NULL text coalesced (size(NULL) = -1 under non-ANSI
     config — a NULL-text doc must read n_tokens = 0 in BOTH engines),
-    windows = zip of L shifted slices, FULL md5 hex keys (a 32/64-bit
-    key would collide at 100 TB and silently delete text).  Returns
-    (filtered df, the toks column expr, the narrow tracked
-    (id, __p, __h) window frame)."""
+    windows = :func:`_window_strings` over a materialized token
+    column, FULL md5 hex keys (a 32/64-bit key would collide at
+    100 TB and silently delete text).  Returns (filtered df, the toks
+    column expr, the narrow tracked (id, __p, __h) window frame)."""
     df = df.where(F.col(id_col).isNotNull())
     toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-    m = F.greatest(F.size(toks) - (L - 1), F.lit(0))
-    acc = F.slice(toks, 1, m)
-    for j in range(2, L + 1):
-        acc = F.zip_with(acc, F.slice(toks, j, m),
-                         lambda x, y: F.concat(x, F.lit(" "), y))
-    ws = F.transform(acc, F.md5)
-    wins = track(df.select(F.col(id_col),
+    tk = df.select(F.col(id_col), toks.alias("__tk"))
+    ws = F.transform(_window_strings(F.col("__tk"), L), F.md5)
+    wins = track(tk.select(F.col(id_col),
                            F.posexplode(ws).alias("__p", "__h")))
     return df, toks, wins
 
