@@ -1232,16 +1232,37 @@ def q_pq_adc_search(spark, sf):
     p = from_dataframe(enc) | pq_search(book, qv, kk=10) | sink_df()
     pq = run_pipe(p, spark).select(
         F.lit("pq").alias("method"), "vec_id", "approx_dist")
+    # r15 (guide §2.6): the arms below pay independent
+    # driver-synchronous construction (the sq model memo, the
+    # cell_centroids collect, the merged-index memo/read, the LSH
+    # probe build) that used to run back to back; build them from
+    # driver threads (the knn_methods pattern) so those jobs overlap.
+    # Threads only change WHEN construction jobs run, never what any
+    # arm computes.
+    from pyspark import InheritableThread
+    _box, _errs = {}, {}
+
+    def _t(name, fn_):
+        def run():
+            try:
+                _box[name] = fn_()
+            except BaseException as e:
+                _errs[name] = e
+        return InheritableThread(target=run)
+
     # r9 second arm: the SAME query through the SQ8 path (scalar
     # quantization — no codebook, affine decode) so both compressed-
     # ANN representations hash-verify under one pin; model memoized
     # like the PQ book.
     from conduino_spark import sq_encode, sq_search, sq_train
-    if ("sq", tag) not in _PQ_BOOK_CACHE:
-        _PQ_BOOK_CACHE[("sq", tag)] = sq_train(emb)
-    sqm = _PQ_BOOK_CACHE[("sq", tag)]
-    sq = (sq_search(sqm, qv, kk=10)(sq_encode(sqm)(emb))
-          .select(F.lit("sq").alias("method"), "vec_id", "approx_dist"))
+
+    def _arm_sq():
+        if ("sq", tag) not in _PQ_BOOK_CACHE:
+            _PQ_BOOK_CACHE[("sq", tag)] = sq_train(emb)
+        sqm = _PQ_BOOK_CACHE[("sq", tag)]
+        return (sq_search(sqm, qv, kk=10)(sq_encode(sqm)(emb))
+                .select(F.lit("sq").alias("method"), "vec_id",
+                        "approx_dist"))
     # r10 third/fourth arms: MEASURED recall@10 of each compressed
     # search against the exact float-vector L2 truth (the ann_recall
     # posture applied to pq/sq — audit the approximation, don't
@@ -1280,50 +1301,72 @@ def q_pq_adc_search(spark, sf):
     # — so the cell-restricted compressed search is itself driver-
     # hash-verified (_sql_pq_adc grows an nprobe mode).
     from conduino_spark import cell_centroids, ivfpq_search
-    cents = cell_centroids(emb, cell_col="label")
-    ivfpq = (ivfpq_search(book, cents, qv, kk=10, nprobe=2,
-                          cell_col="label")(enc)
-             .select(F.lit("ivfpq").alias("method"),
-                     "vec_id", "approx_dist"))
-    # r11 sixth arm: the SAME IVF-PQ probe against a MERGED persisted
-    # index (ivfpq_index_write(even) + ivfpq_index_merge(odd), both in
-    # cell_col='label' mode under the same frozen book + label-mean
-    # centroids) — identical rows to 'ivfpq' under its own tag, so
-    # the compressed-index ingestion path is driver-hash-gated.
-    import os as _os
-    from conduino_spark import (KMeansModel, ivfpq_index_merge,
-                                ivfpq_index_read, ivfpq_index_write)
 
-    def _build_merged(d_):
-        even = emb.where(F.col("vec_id") % 2 == 0)
-        odd = emb.where(F.col("vec_id") % 2 == 1)
-        ivfpq_index_write(even, d_, KMeansModel(cents), book,
-                          cell_col="label")
-        ivfpq_index_merge(odd, d_, cell_col="label")
-        _touch(_os.path.join(d_, "_MERGED_OK"))
+    def _arm_ivfpq():
+        # the merged-index sixth arm (r11) depends on cents, so both
+        # live in one thread, still sequenced exactly as before
+        cents = cell_centroids(emb, cell_col="label")
+        ivfpq = (ivfpq_search(book, cents, qv, kk=10, nprobe=2,
+                              cell_col="label")(enc)
+                 .select(F.lit("ivfpq").alias("method"),
+                         "vec_id", "approx_dist"))
+        # r11 sixth arm: the SAME IVF-PQ probe against a MERGED
+        # persisted index (ivfpq_index_write(even) +
+        # ivfpq_index_merge(odd), both in cell_col='label' mode under
+        # the same frozen book + label-mean centroids) — identical
+        # rows to 'ivfpq' under its own tag, so the compressed-index
+        # ingestion path is driver-hash-gated.
+        import os as _os
+        from conduino_spark import (KMeansModel, ivfpq_index_merge,
+                                    ivfpq_index_read, ivfpq_index_write)
 
-    dm = _index_memo_dir(sf, "embeddings", "ivfpq_merged_idx", "v1",
-                         "_MERGED_OK", _build_merged)
-    codes_m, book_m, cents_m = ivfpq_index_read(spark, dm)
-    ivfpqm = (ivfpq_search(book_m, cents_m, qv, kk=10, nprobe=2)(codes_m)
-              .select(F.lit("ivfpqm").alias("method"),
-                      "vec_id", "approx_dist"))
+        def _build_merged(d_):
+            even = emb.where(F.col("vec_id") % 2 == 0)
+            odd = emb.where(F.col("vec_id") % 2 == 1)
+            ivfpq_index_write(even, d_, KMeansModel(cents), book,
+                              cell_col="label")
+            ivfpq_index_merge(odd, d_, cell_col="label")
+            _touch(_os.path.join(d_, "_MERGED_OK"))
+
+        dm = _index_memo_dir(sf, "embeddings", "ivfpq_merged_idx", "v1",
+                             "_MERGED_OK", _build_merged)
+        codes_m, book_m, cents_m = ivfpq_index_read(spark, dm)
+        ivfpqm = (ivfpq_search(book_m, cents_m, qv, kk=10,
+                               nprobe=2)(codes_m)
+                  .select(F.lit("ivfpqm").alias("method"),
+                          "vec_id", "approx_dist"))
+        return ivfpq, ivfpqm
+
     # r11 seventh arm: the LSH recall audit (VERDICT r10 #5) — the SRP
     # probe was the one approximate retrieval path without a measured,
     # hash-verified recall; truth here is the exact COSINE top-10
     # (knn_brute's rule), not the L2 truth the pq/sq audits use.
     from conduino_spark import knn_brute, knn_lsh
-    lsh_hits = knn_lsh(qv, k=10)(emb).select(
-        "vec_id", F.lit(1).alias("__h"))
-    truth_cos = knn_brute(qv, k=10)(emb).select("vec_id")
-    lsh_rec = (truth_cos.join(lsh_hits, "vec_id", "left")
-               .agg(F.count(F.lit(1)).alias("__nt"),
-                    F.sum(F.coalesce(F.col("__h"), F.lit(0)))
-                     .cast("long").alias("__nh"))
-               .select(F.lit("lsh_recall").alias("method"),
-                       F.lit(QUERY_KNN_ID).cast("long").alias("vec_id"),
-                       (F.col("__nt") * 1000 + F.col("__nh"))
-                       .cast("double").alias("approx_dist")))
+
+    def _arm_lsh():
+        lsh_hits = knn_lsh(qv, k=10)(emb).select(
+            "vec_id", F.lit(1).alias("__h"))
+        truth_cos = knn_brute(qv, k=10)(emb).select("vec_id")
+        return (truth_cos.join(lsh_hits, "vec_id", "left")
+                .agg(F.count(F.lit(1)).alias("__nt"),
+                     F.sum(F.coalesce(F.col("__h"), F.lit(0)))
+                      .cast("long").alias("__nh"))
+                .select(F.lit("lsh_recall").alias("method"),
+                        F.lit(QUERY_KNN_ID).cast("long").alias("vec_id"),
+                        (F.col("__nt") * 1000 + F.col("__nh"))
+                        .cast("double").alias("approx_dist")))
+
+    _threads = [_t("sq", _arm_sq), _t("ivfpq", _arm_ivfpq),
+                _t("lsh_rec", _arm_lsh)]
+    for _th in _threads:
+        _th.start()
+    for _th in _threads:
+        _th.join()
+    if _errs:
+        raise next(iter(_errs.values()))
+    sq = _box["sq"]
+    ivfpq, ivfpqm = _box["ivfpq"]
+    lsh_rec = _box["lsh_rec"]
     # r12b eighth arm: the FULL retrieval-quality audit of the SQ8
     # search — rank_metrics (precision/MRR/nDCG@10, inlined scaled-
     # long DCG discounts: no runtime log2) vs the exact L2 truth,
