@@ -3202,20 +3202,41 @@ def q_minhash_pairs_eval(spark, sf):
     # samples BY DESIGN; the truth side is the quadratic cost LSH
     # avoids) rides the minhash_pairs pin as a single tagged row
     from conduino_spark import hash_sample, minhash_eval
-    pairs = q_minhash_pairs(spark, sf).select(
-        F.lit("pair").alias("part"), "id_a", "id_b",
-        F.lit(None).cast("long").alias("n_candidates"),
-        F.lit(None).cast("long").alias("n_true"),
-        F.lit(None).cast("long").alias("n_hit"),
-        F.lit(None).cast("double").alias("precision"),
-        F.lit(None).cast("double").alias("recall"))
     docs = _src(sf, "documents", min_partitions="auto").df(spark)
-    sample = hash_sample("doc_id", 0.25, salt="eval")(docs)
-    ev = minhash_eval(threshold=0.2)(sample).select(
-        F.lit("eval").alias("part"),
-        F.lit(None).cast("long").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        "n_candidates", "n_true", "n_hit", "precision", "recall")
+    # r15 (guide §2.6): the three arm constructions are independent,
+    # and the eval arm pays a driver-synchronous stats job at build
+    # time (ngram_jaccard_pairs' GEMM-budget decision materializes the
+    # sample's shingle cache) — build the arms from driver threads so
+    # that job overlaps the others' construction.  Same plans, same
+    # rows; threads only move when construction jobs run.
+    from pyspark import InheritableThread
+    box, errs = {}, {}
+
+    def _t(name, fn_):
+        def run():
+            try:
+                box[name] = fn_()
+            except BaseException as e:
+                errs[name] = e
+        return InheritableThread(target=run)
+
+    def _arm_pairs():
+        return q_minhash_pairs(spark, sf).select(
+            F.lit("pair").alias("part"), "id_a", "id_b",
+            F.lit(None).cast("long").alias("n_candidates"),
+            F.lit(None).cast("long").alias("n_true"),
+            F.lit(None).cast("long").alias("n_hit"),
+            F.lit(None).cast("double").alias("precision"),
+            F.lit(None).cast("double").alias("recall"))
+
+    def _arm_eval():
+        sample = hash_sample("doc_id", 0.25, salt="eval")(docs)
+        return minhash_eval(threshold=0.2)(sample).select(
+            F.lit("eval").alias("part"),
+            F.lit(None).cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            "n_candidates", "n_true", "n_hit", "precision", "recall")
+
     # r10 third arm (moved off the ngram_jaccard_lsh mega-pin —
     # VERDICT r9 #2): the STRING member of the exact-join trilogy —
     # edit_distance_pairs (Ed-Join q-gram prefix + banded levenshtein)
@@ -3223,15 +3244,28 @@ def q_minhash_pairs_eval(spark, sf):
     # n_hit long column under its part tag (same brute-force DuckDB
     # oracle as before, _sql_edit_brute).
     from conduino_spark import edit_distance_pairs
-    docs40 = docs.select("doc_id", F.substring("text", 1, 40).alias("s"))
-    ed = edit_distance_pairs(text_col="s", k=2)(docs40).select(
-        F.lit("edit").alias("part"), "id_a", "id_b",
-        F.lit(None).cast("long").alias("n_candidates"),
-        F.lit(None).cast("long").alias("n_true"),
-        F.col("dist").cast("long").alias("n_hit"),
-        F.lit(None).cast("double").alias("precision"),
-        F.lit(None).cast("double").alias("recall"))
-    return pairs.unionByName(ev).unionByName(ed)
+
+    def _arm_edit():
+        docs40 = docs.select("doc_id",
+                             F.substring("text", 1, 40).alias("s"))
+        return edit_distance_pairs(text_col="s", k=2)(docs40).select(
+            F.lit("edit").alias("part"), "id_a", "id_b",
+            F.lit(None).cast("long").alias("n_candidates"),
+            F.lit(None).cast("long").alias("n_true"),
+            F.col("dist").cast("long").alias("n_hit"),
+            F.lit(None).cast("double").alias("precision"),
+            F.lit(None).cast("double").alias("recall"))
+
+    ts = [_t("pairs", _arm_pairs), _t("eval", _arm_eval),
+          _t("edit", _arm_edit)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise next(iter(errs.values()))
+    return (box["pairs"].unionByName(box["eval"])
+            .unionByName(box["edit"]))
 
 
 def q_windowed_sketches(spark, sf):
