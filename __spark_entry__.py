@@ -2751,15 +2751,22 @@ def q_ann_join_emb(spark, sf):
     # measure-don't-guess pattern for dense retrieval).  Packing:
     # recall rows tag arm='recall', neighbor_id = n_truth*1000+n_hit
     # (exact ints), score = recall (6dp), rank = 0.
-    from conduino_spark import ann_join, ann_recall, hash_sample
+    from conduino_spark import ann_join, ann_recall, cell_centroids, hash_sample
     from conduino_spark.plans.cachereg import track
     emb = _src(sf, "embeddings").df(spark)
     batch = hash_sample("vec_id", 0.1, salt="annq")(emb)
+    # r15 (§5.4): the approx and exact arms each collected the SAME
+    # per-cell data means at construction — compute them once
+    # (cell_centroids runs the identical scaled-long mean aggregate,
+    # law-tested bit-equal to ann_join's internal scan) and feed both
+    # calls the model, halving the construction jobs
+    cents = cell_centroids(emb, cell_col="label")
     # the approx probe feeds BOTH arms (hits + the recall join) —
     # registry-tracked persist so it computes once
-    approx = track(ann_join(emb, k=5, nprobe=2,
-                            exclude_self=True)(batch))
-    exact = ann_join(emb, k=5, nprobe=8, exclude_self=True)(batch)
+    approx = track(ann_join(emb, k=5, nprobe=2, exclude_self=True,
+                            centroids=cents)(batch))
+    exact = ann_join(emb, k=5, nprobe=8, exclude_self=True,
+                     centroids=cents)(batch)
     rec = ann_recall(exact, k=5)(approx)
     hits = approx.select(
         F.lit("hit").alias("arm"), "vec_id", "neighbor_id",
