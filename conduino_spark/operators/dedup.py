@@ -571,19 +571,47 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
                    .localCheckpoint(eager=False))
     prev = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
-    # max_iters + 1: convergence is detected one round AFTER the last
-    # label change (the confirming cur == prev pass), so without the
-    # extra round a graph whose propagation needs exactly max_iters
-    # changes would raise at its own fixpoint (ADVICE r3) — the bound
-    # documents "diameter ≤ max_iters", and the +1 pays for the check
-    for _ in range(max_iters + 1):
-        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
-                                        F.col("lbl").alias("dlbl")), "dst")
+
+    def _round(lbls: DataFrame) -> DataFrame:
+        nbr = (edges.join(lbls.select(F.col("id").alias("dst"),
+                                      F.col("lbl").alias("dlbl")), "dst")
                     .groupBy("src").agg(F.min("dlbl").alias("__m")))
-        labels = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
-                        .select("id", F.least(F.col("lbl"),
-                                              F.coalesce("__m", "lbl")).alias("lbl"))
-                        .localCheckpoint(eager=False))
+        return (lbls.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+                    .select("id", F.least(F.col("lbl"),
+                                          F.coalesce("__m", "lbl")).alias("lbl")))
+
+    # max_iters + 1 propagation rounds: convergence is detected one
+    # round AFTER the last label change (the confirming cur == prev
+    # pass), so without the extra round a graph whose propagation needs
+    # exactly max_iters changes would raise at its own fixpoint (ADVICE
+    # r3) — the bound documents "diameter ≤ max_iters", and the +1 pays
+    # for the check.
+    # r15 round 2 (guide §2.4/§5.4): TWO propagation rounds per
+    # driver-synchronous convergence check — the loop is gap-bound
+    # (each round is one small shuffle join + a 1-row aggregate; the
+    # driver round-trip dominates), so halving the sync points halves
+    # the loop's wall clock at the cost of at most one wasted round's
+    # plan past the fixpoint (a no-op propagation: labels are
+    # element-wise monotone non-increasing, so an unchanged SUM over
+    # a 2-round batch still proves BOTH rounds changed nothing).  The
+    # batch's intermediate labels table appears twice in round 2's
+    # plan (as join input and as message source), so EVERY round keeps
+    # its lazy localCheckpoint — round 2's stages then read round 1's
+    # persisted blocks instead of recomputing (or racing on) its
+    # subtree, and nothing relies on runtime exchange reuse; only the
+    # convergence AGGREGATE moves to once per batch.
+    # budget max_iters + 2 (not + 1): with 2-round batches the
+    # confirming check lands on a batch boundary, so a graph whose
+    # propagation needs exactly max_iters changes needs rounds
+    # max_iters + 1 AND + 2 to fall inside a checked batch; all
+    # post-fixpoint rounds are no-ops, so the looser budget never
+    # changes returned labels
+    rounds_left = max_iters + 2
+    while rounds_left > 0:
+        batch = min(2, rounds_left)
+        for _ in range(batch):
+            labels = _round(labels).localCheckpoint(eager=False)
+        rounds_left -= batch
         cur = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur == prev:  # label sum strictly decreases until the fixpoint
             converged = True
