@@ -41,6 +41,21 @@ def get_spark(app: str = "conduino_spark", *, cpus: int | None = None,
         # 128m splits: at 100 TB this bounds scan-task memory; local
         # parquet this small never reaches it
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # r15 (guide §6, file listing): the persisted shard-partitioned
+        # indexes (lsh 248 leaf paths, minhash/simhash/exact/dupspan/
+        # bm25 64 shards each) sit past Spark's default distributed-
+        # listing threshold (32 paths), so EVERY probe paid 1-2 full
+        # Spark jobs of hundreds of empty listing tasks — 2-4 s wall on
+        # knn_methods alone (profile_stages: 'Listing leaf files ...
+        # 248 paths' 2.15 + 4.41 s).  On a local FS the driver lists
+        # O(1k) dirs in microseconds; raise the threshold so listing
+        # stays driver-side.  Cluster posture: on object stores with
+        # genuinely huge partition counts, distributed listing still
+        # engages past the (env-tunable) 1024, and manifest-based
+        # table formats avoid the listing entirely (guide §6).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD",
+                               "1024"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
