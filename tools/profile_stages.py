@@ -56,6 +56,11 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # conf parity with session.get_spark (r15 Change 20): the
+        # bench session lists shard-partitioned index paths driver-side
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD",
+                               "1024"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.retainedStages", "5000")
