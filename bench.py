@@ -1,6 +1,9 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS].  Prints ONE compact headline JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+followed (when the per-query map cannot fit the headline line's budget)
+by a second {"metric": "per_query", "queries": {...}} line carrying the
+per-query floors at 0.1 s resolution (VERDICT r15 #1).
 
 Results are materialized with a noop write (full row computation, no
 driver collect) except tiny aggregates, which are collected.
@@ -404,6 +407,11 @@ def main() -> None:
     sidecar = Path(__file__).resolve().parent / "bench_out.json"
     try:
         sidecar.write_text(json.dumps(full, indent=1) + "\n")
+        # r16 (VERDICT r15 wrong #5): the driver's low-core sidecar run
+        # overwrote the 32-core record; a cpus-suffixed copy makes every
+        # record survive the clobber
+        sidecar_c = Path(__file__).resolve().parent / f"bench_out_c{CPUS}.json"
+        sidecar_c.write_text(json.dumps(full, indent=1) + "\n")
     except OSError as e:  # read-only checkout: stderr still has it all
         print(f"bench: could not write {sidecar}: {e}", file=sys.stderr)
     print(json.dumps(full), file=sys.stderr)
@@ -415,11 +423,23 @@ def main() -> None:
     if failed:
         out["failed"] = sorted(failed)  # names only; detail in sidecar
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # tail-buffer headroom: drop per-query floors
+    need_pq_line = len(line) > 1900
+    if need_pq_line:  # tail-buffer headroom: keep the headline compact
         out.pop("queries", None)
         out["queries_file"] = "bench_out.json"
         line = json.dumps(out, separators=(",", ":"))
     print(line)
+    if need_pq_line:
+        # r16 (VERDICT r15 #1): with 100 pins the compact line always
+        # over-ran its budget and the per-query floors were silently
+        # DROPPED from stdout, leaving the driver's PERF blind
+        # (per_query {}, geomean null, empty scaling block).  Carry
+        # them on a second stable line at 0.1 s resolution instead —
+        # additions only, the headline line above is unchanged.
+        pq = {"metric": "per_query", "unit": "sec",
+              "queries": {n: round(t, 1) for n, t in times.items()},
+              "sf": full["sf"], "cpus": CPUS}
+        print(json.dumps(pq, separators=(",", ":")))
     spark.stop()
 
 

@@ -605,7 +605,13 @@ def _cc_min_label(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
     # propagation needs exactly max_iters changes needs rounds
     # max_iters + 1 AND + 2 to fall inside a checked batch; all
     # post-fixpoint rounds are no-ops, so the looser budget never
-    # changes returned labels
+    # changes returned labels.  Contract note (ADVICE r15): the batch
+    # granularity means a graph needing exactly max_iters + 1 label-
+    # changing rounds ALSO converges inside the budget instead of
+    # raising — the bound is therefore "diameter ≤ max_iters + 1", one
+    # looser than the parameter name suggests; labels returned in that
+    # extra round are fully converged and correct, so acceptance is
+    # strictly more permissive, never wrong
     rounds_left = max_iters + 2
     while rounds_left > 0:
         batch = min(2, rounds_left)

@@ -92,15 +92,21 @@ def test_rolling_agg_prefix_equals_range(spark):
                 "s": ("sum", "vl"), "a": ("avg", "v"),
                 "sx": ("sum", expr)}
 
-    def run(aggs):
+    def run(aggs, **kw):
         p = (from_dataframe(df)
-             | rolling_agg("t", 25.0, keys=["k"], aggs=aggs)
+             | rolling_agg("t", 25.0, keys=["k"], aggs=aggs, **kw)
              | sink_df())
         return (run_pipe(p, spark)
                 .orderBy("k", "t", "v", "n", "nv", "s")
                 .toPandas().reset_index(drop=True))
 
-    pd.testing.assert_frame_equal(run(col_aggs), run(dec_aggs))
+    # r16: strategy='prefix' pins the decomposition branch (the auto
+    # density gate would route this small input to the RANGE branch);
+    # all three strategies must agree bit-for-bit
+    want = run(col_aggs)
+    pd.testing.assert_frame_equal(want, run(dec_aggs, strategy="prefix"))
+    pd.testing.assert_frame_equal(want, run(dec_aggs, strategy="range"))
+    pd.testing.assert_frame_equal(want, run(dec_aggs, strategy="auto"))
 
     # all-null frame yields NULL (not 0) on both paths
     df2 = spark.createDataFrame(
@@ -121,6 +127,12 @@ def test_rolling_agg_prefix_equals_range(spark):
                                     "b": F.count(F.lit(1))})
     with pytest.raises(ValueError):
         rolling_agg("t", 1.0, aggs={"a": ("median", "v")})
+    with pytest.raises(ValueError):
+        rolling_agg("t", 1.0, strategy="fastest")
+    with pytest.raises(ValueError):
+        # Column aggs have no prefix decomposition
+        rolling_agg("t", 1.0, aggs={"a": F.count(F.lit(1))},
+                    strategy="prefix")
 
 
 def test_rolling_agg_prefix_law_hypothesis(spark):
@@ -148,7 +160,8 @@ def test_rolling_agg_prefix_law_hypothesis(spark):
         p = (from_dataframe(df)
              | rolling_agg("t", float(w), keys=["k"],
                            aggs={"n": ("count", "*"),
-                                 "s": ("sum", "v")})
+                                 "s": ("sum", "v")},
+                           strategy="prefix")
              | sink_df())
         got = sorted(((r.k, r.t, r.v, r.n, r.s)
                       for r in run_pipe(p, spark).collect()),
@@ -168,14 +181,15 @@ def test_rolling_agg_prefix_law_hypothesis(spark):
 
 
 def test_rolling_agg_prefix_plan_no_sliding_frame(spark):
-    """The declared path's plan must contain only GROWING window
+    """The prefix path's plan must contain only GROWING window
     frames (unboundedpreceding) — the sliding RANGE frame Spark
     re-aggregates per row is what made a Zipf head user quadratic
     (64x at 10x rows, SCALE_PROBE_r15 real-sf1 mode)."""
     df = spark.createDataFrame([(1, 0.0, 1.0)], "k int, t double, v double")
     p = (from_dataframe(df)
          | rolling_agg("t", 10.0, keys=["k"],
-                       aggs={"n": ("count", "*"), "s": ("sum", "v")})
+                       aggs={"n": ("count", "*"), "s": ("sum", "v")},
+                       strategy="prefix")
          | sink_df())
     plan = run_pipe(p, spark)._jdf.queryExecution().executedPlan().toString()
     spec = plan.lower()
@@ -185,6 +199,44 @@ def test_rolling_agg_prefix_plan_no_sliding_frame(spark):
     for m in re.finditer(r"specifiedwindowframe\(rangeframe, ([^,]+),",
                          spec):
         assert "unboundedpreceding" in m.group(1)
+
+
+def test_rolling_agg_auto_density_gate(spark):
+    """r16 (VERDICT r15 #6): strategy='auto' takes the one-pass RANGE
+    plan when the binned work bound proves the frames sparse, and the
+    linear prefix plan when a hot key's frames are dense — decided per
+    dataset, results identical either way (the equality tests above)."""
+    import re
+
+    def plan_of(df, w):
+        p = (from_dataframe(df)
+             | rolling_agg("t", w, keys=["k"],
+                           aggs={"n": ("count", "*"), "s": ("sum", "v")})
+             | sink_df())
+        pl = run_pipe(p, spark)._jdf.queryExecution() \
+                                    .executedPlan().toString().lower()
+        sliding = [m.group(1) for m in re.finditer(
+            r"specifiedwindowframe\(rangeframe, ([^,]+),", pl)
+            if "unboundedpreceding" not in m.group(1)]
+        return pl, sliding
+
+    # sparse: 50 keys x 20 rows spread over 100x the window width ->
+    # bound ~ 2 rows/frame -> RANGE branch (a sliding frame IS present)
+    sparse = spark.createDataFrame(
+        [(k, float(i * 100), 1.0) for k in range(50) for i in range(20)],
+        "k int, t double, v double")
+    pl, sliding = plan_of(sparse, 10.0)
+    assert sliding, "auto should pick the RANGE branch on sparse data"
+
+    # dense: one key, 3000 rows inside ONE window width -> bound
+    # ~ 3000 rows/frame >> avg cap -> prefix branch (growing frames
+    # only, probe union present)
+    dense = spark.createDataFrame(
+        [(1, float(i % 7), 1.0) for i in range(3000)],
+        "k int, t double, v double")
+    pl, sliding = plan_of(dense, 1000.0)
+    assert not sliding, "auto must pick the prefix branch on dense data"
+    assert "union" in pl
 
 
 FUNNEL_EVENTS = [

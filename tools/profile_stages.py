@@ -42,31 +42,20 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
     from conduino_spark import release_caches
-    from conduino_spark.session import get_spark as _gs  # noqa: F401 (conf parity)
+    # conf parity by construction (ADVICE r15): the tuned confs come
+    # from the one shared dict the bench session is built from; only
+    # the UI knobs (needed for the REST stage API) differ here
+    from conduino_spark.session import tuned_confs
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]").appName("stageprof")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # conf parity with session.get_spark (r15 Change 20): the
-        # bench session lists shard-partitioned index paths driver-side
-        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
-                os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD",
-                               "1024"))
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.ui.retainedStages", "5000")
-        .config("spark.ui.retainedJobs", "5000")
-        .getOrCreate()
-    )
+    b = (SparkSession.builder.master(f"local[{CPUS}]").appName("stageprof")
+         .config("spark.sql.shuffle.partitions", str(CPUS))
+         .config("spark.ui.enabled", "true")
+         .config("spark.ui.showConsoleProgress", "false")
+         .config("spark.ui.retainedStages", "5000")
+         .config("spark.ui.retainedJobs", "5000"))
+    for k, v in tuned_confs().items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
