@@ -1462,14 +1462,23 @@ def q_line_dedup_docs(spark, sf):
     docs = track(_src(sf, "documents", min_partitions="auto").df(spark))
     ld = (line_dedup(min_count=2, min_chars=5)(docs)
           .select("doc_id", "text", "n_lines", "n_lines_dropped"))
-    ds = dup_span_stats(window_tokens=16)(docs).select(
+    # r16 (VERDICT r15 #4, guide §2.2): the stats / trim / trim-against
+    # arms each rebuilt tokenize + L=16 sliding windows from scratch
+    # (~0.9 s per pass at sf0.1, r15 Change 13) because they hash the
+    # windows differently (h32 vs md5).  One shared cached
+    # window-STRING table now feeds all three via the windows= hook;
+    # only the per-consumer hash transform runs per arm.  NULL-text /
+    # NULL-id semantics preserved per arm (law tests in test_round16).
+    from conduino_spark.operators.dedup import dup_span_window_table
+    w16 = dup_span_window_table(docs, 16)
+    ds = dup_span_stats(window_tokens=16, windows=w16)(docs).select(
         "doc_id", "n_windows", "n_dup_windows", "dup_window_frac",
         "n_dup_spans", "dup_token_frac")
     # r9 third arm: the REMOVAL half (dup_span_trim — keep-first
     # exact-substring rewrite at the same L=16) joins the audit pin,
     # so the rewritten corpus itself is driver-hash-verified
     from conduino_spark import dup_span_trim
-    dt = dup_span_trim(window_tokens=16)(docs).select(
+    dt = dup_span_trim(window_tokens=16, windows=w16)(docs).select(
         "doc_id", F.col("text").alias("trim_text"),
         "n_tokens", "n_removed")
     # r12 fourth arm (VERDICT r11 #6): the SIXTH persisted index
@@ -1491,7 +1500,11 @@ def q_line_dedup_docs(spark, sf):
 
     d = _index_memo_dir(sf, "documents", "ds_merged_idx", "v1",
                         "_MERGED_OK", _build)
-    ti = (dup_span_trim_against(d)(docs.where(F.col("doc_id") % 2 == 1))
+    # the hook table must cover EXACTLY the stage input's rows — the
+    # odd half here (same L=16 as the index _meta)
+    ti = (dup_span_trim_against(
+              d, windows=w16.where(F.col("doc_id") % 2 == 1))
+          (docs.where(F.col("doc_id") % 2 == 1))
           .select("doc_id", F.col("text").alias("idx_trim_text"),
                   F.col("n_removed").alias("idx_n_removed")))
     return (ld.join(ds, "doc_id", "left").join(dt, "doc_id", "left")

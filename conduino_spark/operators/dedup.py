@@ -5,7 +5,8 @@ Scale design (the part that matters at 100 TB):
   * exact dedup: ONE hash-shuffle on a 16-byte digest, never on the
     full text column.
   * MinHash+LSH: per-doc signature is a narrow projection (no shuffle);
-    candidate generation is a self-equi-join on (band_id, band_hash) —
+    candidate generation is a self-equi-join on (band_id, packed
+    band key) —
     the classic band-bucket join whose cost is ~sum of squared bucket
     sizes, not n².  No pairwise comparison outside buckets.
   * SimHash: same banding idea on bit-slices of the signature.
@@ -153,24 +154,63 @@ def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str, *,
                             n_perm=n_perm)
 
 
+def _band_key_cols(n_perm: int, bands: int) -> "list[str]":
+    """Names of the packed band-key columns :func:`_band_explode`
+    emits alongside ``band_id`` — ⌈rows/2⌉ longs."""
+    rows = _banding_rows(n_perm, bands)
+    return [f"band_h{j}" for j in range((rows + 1) // 2)]
+
+
+def _band_shard(n_perm: int, bands: int, n_shards: int) -> Column:
+    """Deterministic shard id over the packed band key — the
+    ``pt = hash(band key) % n_shards`` rule the persisted MinHash
+    index families write and probe with (must be one expression so
+    write, merge and probe can never disagree)."""
+    return F.pmod(F.xxhash64(F.col("band_id"),
+                             *[F.col(c) for c in
+                               _band_key_cols(n_perm, bands)]),
+                  F.lit(n_shards))
+
+
 def _band_explode(sigs: DataFrame, id_col: str, alias: str, *,
                   n_perm: int = MINHASH_K,
                   bands: int = MINHASH_BANDS) -> DataFrame:
-    """(alias, band_id, band_hash) — one row per LSH band per doc.  The
-    banding layout (bands × rows over the signature prefix, ','-joined)
-    is the collision CONTRACT shared by within-batch pairing
+    """(alias, band_id, band_h0..band_h{⌈rows/2⌉−1}) — one row per LSH
+    band per doc.  The banding layout (bands × rows over the signature
+    prefix) is the collision CONTRACT shared by within-batch pairing
     (:func:`_band_pairs`) and incremental dedup
     (:func:`minhash_dedup_against`); both MUST go through this one
-    function or they silently stop agreeing on what "similar" means."""
+    function or they silently stop agreeing on what "similar" means.
+
+    r16 (guide §2.3, VERDICT r15 #2): the band key used to be the
+    ','-joined decimal STRING of the band's signature values — up to
+    ~43 bytes + offset per row through every band Exchange and a
+    string compare in the join.  Each signature value is < 2^31
+    (mod MERSENNE31), so PAIRS of values pack EXACTLY into one long
+    (``hi·2^31 + lo`` < 2^62 — no overflow, injective), giving
+    byte-identical collision sets with ⌈rows/2⌉ fixed-width longs
+    (16 bytes at the default 16/4 config) instead of the string.
+    Persisted-index note: the band files store these packed longs;
+    the index is versioned by its writer and rebuilt per process (the
+    bench memo), never probed across formats."""
     rows = _banding_rows(n_perm, bands)
-    return sigs.select(
+
+    def pack(b: int, j: int) -> Column:
+        lo = F.element_at("sig", b * rows + 2 * j + 1)
+        if 2 * j + 1 < rows:
+            return (lo * F.lit(2 ** 31).cast("long")
+                    + F.element_at("sig", b * rows + 2 * j + 2))
+        return lo  # odd tail value rides alone
+
+    npack = (rows + 1) // 2
+    return (sigs.select(
         F.col(id_col).alias(alias),
         F.posexplode(F.array(*[
-            F.concat_ws(",", *[
-                F.element_at("sig", b * rows + r + 1).cast("string")
-                for r in range(rows)])
-            for b in range(bands)])).alias("band_id", "band_hash"),
-    )
+            F.struct(*[pack(b, j).alias(f"h{j}") for j in range(npack)])
+            for b in range(bands)])).alias("band_id", "__bk"))
+        .select(alias, "band_id",
+                *[F.col(f"__bk.h{j}").alias(f"band_h{j}")
+                  for j in range(npack)]))
 
 
 def _band_pairs(sigs: DataFrame, id_col: str, *, n_perm: int = MINHASH_K,
@@ -182,8 +222,9 @@ def _band_pairs(sigs: DataFrame, id_col: str, *, n_perm: int = MINHASH_K,
     at sf0.1.  Standard LSH practice at any scale."""
     bands = _band_explode(sigs, id_col, id_col, n_perm=n_perm,
                           bands=bands_n)
+    keys = ["band_id"] + _band_key_cols(n_perm, bands_n)
     a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, ["band_id", "band_hash"])
+    return (a.join(b, keys)
               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
               .select(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"))
@@ -325,7 +366,7 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                         n_perm: int = MINHASH_K,
                         bands: int = MINHASH_BANDS) -> Stage:
     """Candidate near-dup pairs by MinHash LSH banding: docs sharing at
-    least one (band_id, band_hash) bucket.  Returns distinct
+    least one (band_id, packed band key) bucket.  Returns distinct
     (id_a < id_b) pairs.
 
     ``n_perm``/``bands`` accept a :func:`tune_minhash_bands` choice;
@@ -387,7 +428,7 @@ def minhash_dedup_against(reference: DataFrame, text_col: str = "text",
                                    n_perm=n_perm))
         hits = (_band_explode(ns, id_col, "__new_id", **bcfg)
                 .join(_band_explode(rs, id_col, "__ref_id", **bcfg),
-                      ["band_id", "band_hash"])
+                      ["band_id"] + _band_key_cols(**bcfg))
                 .select(F.col("__new_id").alias(id_col))
                 .distinct())
         return df.join(hits, id_col, "anti")
@@ -406,14 +447,15 @@ def minhash_index_write(corpus: DataFrame, path: str, *,
     are its siblings), and the production shape of
     :func:`minhash_dedup_against`'s ``ref_sigs`` hook: sign the kept
     corpus ONE time and write its banded signature rows
-    ``partitionBy(pt)`` with ``pt = h32(band_hash) % n_shards``, so an
+    ``partitionBy(pt)`` with ``pt = xxhash64(band key) % n_shards``, so an
     incoming batch's dedup probe reads only the shards its own band
     hashes land in (dynamic partition pruning — the bm25 token-shard
     posture) instead of the corpus-wide signature table.
 
     Layout under ``path``:
 
-    * ``bands/`` — (id, band_id, band_hash) partitioned by ``pt``.
+    * ``bands/`` — (id, band_id, band_h0..) partitioned by ``pt``
+      (packed long band keys — see :func:`_band_explode`).
     * ``_meta/`` — (n_perm, bands, n_shards), written DRIVER-side
       (operators/smallio): the banding layout is the collision
       contract, and storing it in-band means
@@ -429,8 +471,7 @@ def minhash_index_write(corpus: DataFrame, path: str, *,
     sigs = _minhash_sig_df(corpus, text_col, id_col, n_perm=n_perm)
     rows = (_band_explode(sigs, id_col, id_col, n_perm=n_perm,
                           bands=bands)
-            .withColumn("pt", F.pmod(h32(F.col("band_hash")),
-                                     F.lit(n_shards))))
+            .withColumn("pt", _band_shard(n_perm, bands, n_shards)))
     (rows.repartition(n_shards, "pt")
          .write.partitionBy("pt").mode(mode).parquet(f"{path}/bands"))
     import pyarrow as pa
@@ -475,8 +516,7 @@ def minhash_index_merge(new_docs: DataFrame, path: str, *,
     sigs = _minhash_sig_df(new_docs, text_col, id_col, n_perm=n_perm)
     rows = (_band_explode(sigs, id_col, id_col, n_perm=n_perm,
                           bands=bands)
-            .withColumn("pt", F.pmod(h32(F.col("band_hash")),
-                                     F.lit(n_shards))))
+            .withColumn("pt", _band_shard(n_perm, bands, n_shards)))
     (rows.repartition(n_shards, "pt")
          .write.partitionBy("pt").mode("append").parquet(f"{path}/bands"))
 
@@ -494,7 +534,7 @@ def minhash_index_dedup(path: str, *, text_col: str = "text",
     reads only the shard directories the batch's band hashes touch.
     Set ``broadcast_batch=False`` for batches too large to broadcast:
     the probe becomes a plain shuffle join on (pt, band_id,
-    band_hash), still never touching raw reference text.
+    packed band key), still never touching raw reference text.
 
     ``new_sigs`` takes a precomputed ``minhash_signatures`` table for
     the batch (the :func:`minhash_dedup_against` hook): sign an
@@ -509,12 +549,12 @@ def minhash_index_dedup(path: str, *, text_col: str = "text",
               else _minhash_sig_df(df, text_col, id_col, n_perm=n_perm))
         probe = (_band_explode(ns, id_col, "__new_id",
                                n_perm=n_perm, bands=bands)
-                 .withColumn("pt", F.pmod(h32(F.col("band_hash")),
-                                          F.lit(n_shards))))
+                 .withColumn("pt", _band_shard(n_perm, bands, n_shards)))
         if broadcast_batch:
             probe = F.broadcast(probe)
         ref = spark.read.parquet(f"{path}/bands")
-        hits = (probe.join(ref, ["pt", "band_id", "band_hash"])
+        hits = (probe.join(ref, ["pt", "band_id"]
+                           + _band_key_cols(n_perm, bands))
                      .select(F.col("__new_id").alias(id_col))
                      .distinct())
         return df.join(hits, id_col, "anti")
@@ -1434,8 +1474,32 @@ def decontaminate(benchmark, *, text_col: str = "text",
     return Stage(fn, name=name, seq_preserving=False)
 
 
+def dup_span_window_table(df: DataFrame, window_tokens: int = 32,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """ONE tracked (id, __nt, __w) sliding-window-STRING table shared
+    by the whole exact-substring family via their ``windows=`` hooks
+    (r16, VERDICT r15 #4): :func:`dup_span_stats` hashes the windows
+    with h32, :func:`dup_span_trim` / :func:`dup_span_trim_against`
+    with full md5 — different hash functions over the SAME expensive
+    tokenize + slice/concat window build, which used to run once per
+    consumer.  ``__nt`` = size of the raw token array (−1 for NULL
+    text — the stats NULL contract), ``__w`` = the window strings
+    (NULL for NULL text; consumers that coalesce NULL text to ''
+    coalesce ``__w`` to the empty array, which is exactly
+    ``_window_strings(tokens(''))``).  Caller owns the config
+    agreement: every consumer must use the same ``window_tokens`` (the
+    ``ref_sigs`` precedent)."""
+    tk = df.select(F.col(id_col),
+                   tokens_col(F.col(text_col)).alias("__tk"))
+    return track(tk.select(
+        F.col(id_col), F.size("__tk").alias("__nt"),
+        _window_strings(F.col("__tk"), window_tokens).alias("__w")))
+
+
 def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
                    id_col: str = "doc_id", *, min_dup: int = 2,
+                   windows: "DataFrame | None" = None,
                    name: str = "dup_span_stats") -> Stage:
     """Exact-substring duplication signal (the practical relaxation of
     suffix-array substring dedup — Lee et al. 2022's "dedup makes LMs
@@ -1468,12 +1532,18 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
     L = window_tokens
 
     def fn(df: DataFrame) -> DataFrame:
-        tk = df.select(F.col(id_col),
-                       tokens_col(F.col(text_col)).alias("__tk"))
-        base = track(tk.select(
-            F.col(id_col), F.size("__tk").alias("__nt"),
-            F.transform(_window_strings(F.col("__tk"), L), h32)
-             .alias("__ws")))
+        if windows is not None:
+            # shared window-string table (dup_span_window_table): only
+            # the cheap h32 transform runs per consumer
+            base = windows.select(F.col(id_col), F.col("__nt"),
+                                  F.transform("__w", h32).alias("__ws"))
+        else:
+            tk = df.select(F.col(id_col),
+                           tokens_col(F.col(text_col)).alias("__tk"))
+            base = track(tk.select(
+                F.col(id_col), F.size("__tk").alias("__nt"),
+                F.transform(_window_strings(F.col("__tk"), L), h32)
+                 .alias("__ws")))
         wins = base.select(id_col, "__nt",
                            F.posexplode_outer("__ws").alias("__p", "__h"))
         dup_h = (wins.groupBy("__h")
@@ -1527,6 +1597,7 @@ def dup_span_stats(window_tokens: int = 32, text_col: str = "text",
 
 def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
                   id_col: str = "doc_id", *,
+                  windows: "DataFrame | None" = None,
                   name: str = "dup_span_trim") -> Stage:
     """The REMOVAL half of exact-substring dedup (Lee et al. 2022):
     where :func:`dup_span_stats` only measures duplication, this
@@ -1563,7 +1634,8 @@ def dup_span_trim(window_tokens: int = 32, text_col: str = "text",
         raise ValueError(f"window_tokens must be >= 1, got {L}")
 
     def fn(df: DataFrame) -> DataFrame:
-        df, toks, wins = _dup_span_wins(df, text_col, id_col, L)
+        df, toks, wins = _dup_span_wins(df, text_col, id_col, L,
+                                        windows=windows)
         winners = (wins.groupBy("__h")
                        .agg(F.count(F.lit(1)).alias("__c"),
                             F.min(F.struct(F.col(id_col).alias("i"),
@@ -1604,17 +1676,31 @@ def _window_strings(toks_attr: Column, L: int) -> Column:
                    F.array().cast("array<string>")))
 
 
-def _dup_span_wins(df: DataFrame, text_col: str, id_col: str,
-                   L: int) -> "tuple[DataFrame, Column, DataFrame]":
+def _dup_span_wins(df: DataFrame, text_col: str, id_col: str, L: int,
+                   windows: "DataFrame | None" = None,
+                   ) -> "tuple[DataFrame, Column, DataFrame]":
     """Shared window build for the exact-substring family: NULL-id
     rows dropped, NULL text coalesced (size(NULL) = -1 under non-ANSI
     config — a NULL-text doc must read n_tokens = 0 in BOTH engines),
     windows = :func:`_window_strings` over a materialized token
     column, FULL md5 hex keys (a 32/64-bit key would collide at
     100 TB and silently delete text).  Returns (filtered df, the toks
-    column expr, the narrow tracked (id, __p, __h) window frame)."""
+    column expr, the narrow tracked (id, __p, __h) window frame).
+
+    ``windows`` takes a :func:`dup_span_window_table` — the md5 pass
+    then reads the SHARED cached window strings instead of rebuilding
+    tokenize + windows (NULL text: the table's NULL ``__w`` coalesces
+    to the empty array, exactly ``_window_strings(tokens(''))``)."""
     df = df.where(F.col(id_col).isNotNull())
     toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    if windows is not None:
+        src = windows.where(F.col(id_col).isNotNull())
+        ws = F.transform(
+            F.coalesce(F.col("__w"), F.array().cast("array<string>")),
+            F.md5)
+        wins = track(src.select(F.col(id_col),
+                                F.posexplode(ws).alias("__p", "__h")))
+        return df, toks, wins
     tk = df.select(F.col(id_col), toks.alias("__tk"))
     ws = F.transform(_window_strings(F.col("__tk"), L), F.md5)
     wins = track(tk.select(F.col(id_col),
@@ -1995,7 +2081,8 @@ def dupspan_index_merge(new_docs: DataFrame, path: str, *,
 
 def dup_span_trim_against(path: str, text_col: str = "text",
                           id_col: str = "doc_id", *,
-                          broadcast_batch: bool = True) -> Stage:
+                          broadcast_batch: bool = True,
+                          windows: "DataFrame | None" = None) -> Stage:
     """:func:`dup_span_trim` for the daily-crawl shape: rewrite an
     incoming batch so that every occurrence of a window ALREADY IN the
     persisted reference index is cut (the reference holds the
@@ -2015,7 +2102,8 @@ def dup_span_trim_against(path: str, text_col: str = "text",
     def fn(df: DataFrame) -> DataFrame:
         spark = df.sparkSession
         L, n_shards = _dupspan_index_meta(path)
-        d2, toks, wins = _dup_span_wins(df, text_col, id_col, L)
+        d2, toks, wins = _dup_span_wins(df, text_col, id_col, L,
+                                        windows=windows)
         probe = wins.withColumn("pt", F.pmod(h32(F.col("__h")),
                                              F.lit(n_shards)))
         if broadcast_batch:

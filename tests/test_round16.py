@@ -1,0 +1,148 @@
+"""r16 optimization-round laws: the packed LSH band key must be
+collision-identical to the r15 ','-joined string key, across every
+consumer (pair self-join, two-sided incremental dedup, the persisted
+index round trip); the shared dup-span window table must be bit-equal
+to the per-operator window builds, including the NULL-text/NULL-id
+edge semantics that differ between stats and trim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conduino_spark import (
+    from_dataframe, minhash_dedup_against, read_table, run_pipe, sink_df,
+)
+from conduino_spark.operators.dedup import (
+    MINHASH_BANDS, MINHASH_K, _band_explode, _band_key_cols, _band_pairs,
+    _banding_rows, _minhash_sig_df,
+)
+
+
+def _string_band_pairs(sigs, id_col, n_perm, bands_n):
+    """The r15 band-pair formulation (','-joined string key) — kept
+    here as the reference the packed key must reproduce exactly."""
+    rows = _banding_rows(n_perm, bands_n)
+    bands = sigs.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(F.array(*[
+            F.concat_ws(",", *[
+                F.element_at("sig", b * rows + r + 1).cast("string")
+                for r in range(rows)])
+            for b in range(bands_n)])).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, ["band_id", "band_hash"])
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+              .distinct())
+
+
+def test_packed_band_key_equals_string_key(spark, sf_dir):
+    """Candidate pair sets from the packed long key and the r15 string
+    key are identical on real documents — the packing (pairs of 31-bit
+    values into one long) is injective, so collisions cannot differ."""
+    docs = read_table(sf_dir, "documents").df(spark)
+    sigs = _minhash_sig_df(docs, "text", "doc_id").cache()
+    try:
+        got = {(r.id_a, r.id_b) for r in
+               _band_pairs(sigs, "doc_id").collect()}
+        want = {(r.id_a, r.id_b) for r in
+                _string_band_pairs(sigs, "doc_id", MINHASH_K,
+                                   MINHASH_BANDS).collect()}
+        assert got == want and got  # non-trivial on real data
+    finally:
+        sigs.unpersist()
+
+
+def test_packed_band_key_injective_odd_rows(spark):
+    """Non-default configs with an odd rows-per-band (the lone tail
+    value rides its own long) keep the exact collision contract —
+    docs collide iff a band's full value tuple matches."""
+    # two docs sharing band 0 exactly; two differing only in the tail
+    # value of their band (must NOT collide)
+    sig_a = [7, 11, 13, 1, 2, 3]      # n_perm=6, bands=2, rows=3
+    sig_b = [7, 11, 13, 4, 5, 6]      # band 0 == a -> pair
+    sig_c = [7, 11, 99, 8, 9, 10]     # band-0 tail differs -> no pair
+    sig_d = [99, 11, 13, 20, 21, 22]  # band-0 head differs -> no pair
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b), (3, sig_c), (4, sig_d)],
+        "doc_id long, sig array<long>")
+    assert _band_key_cols(6, 2) == ["band_h0", "band_h1"]
+    pairs = {(r.id_a, r.id_b) for r in
+             _band_pairs(sigs, "doc_id", n_perm=6, bands_n=2).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_packed_band_key_dedup_against(spark, sf_dir):
+    """minhash_dedup_against over the packed key: survivors equal the
+    string-key reference (anti-join of docs colliding with the
+    reference corpus)."""
+    docs = read_table(sf_dir, "documents").df(spark)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    kept = run_pipe(from_dataframe(batch)
+                    | minhash_dedup_against(ref) | sink_df(), spark)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # reference: string-key collision set between batch and ref bands
+    bs = _minhash_sig_df(batch, "text", "doc_id")
+    rs = _minhash_sig_df(ref, "text", "doc_id")
+    hit = _string_band_pairs(
+        bs.unionByName(rs).cache(), "doc_id",
+        MINHASH_K, MINHASH_BANDS)
+    want = {r.doc_id for r in batch.select("doc_id").collect()}
+    # drop batch docs colliding with ANY ref doc (string-key truth)
+    coll = hit.where((F.col("id_a") % 2 == 1) != (F.col("id_b") % 2 == 1))
+    dropped = ({r.id_a for r in coll.collect() if r.id_a % 2 == 1}
+               | {r.id_b for r in coll.collect() if r.id_b % 2 == 1})
+    assert kept_ids == want - dropped
+
+
+def _collect_sorted(df):
+    return sorted([tuple(r) for r in df.collect()],
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def test_dup_span_windows_hook_bit_equal(spark, sf_dir):
+    """dup_span_stats / dup_span_trim over the shared window table
+    equal the standalone builds bit-for-bit on real documents AND on
+    the NULL edge cases (stats keeps NULL-id rows and reads
+    n_windows=-1 for NULL text; trim drops NULL ids and coalesces NULL
+    text to '')."""
+    from conduino_spark import dup_span_stats, dup_span_trim
+    from conduino_spark.operators.dedup import dup_span_window_table
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    edge = spark.createDataFrame(
+        [(90001, None), (None, "a b c d e a b c d e a b c d e"),
+         (90002, ""), (90003, "x y z")],
+        "doc_id long, text string")
+    df = docs.select("doc_id", "text").unionByName(edge)
+
+    w = dup_span_window_table(df, 16)
+    for mk in (lambda **kw: dup_span_stats(window_tokens=16, **kw),
+               lambda **kw: dup_span_trim(window_tokens=16, **kw)):
+        got = _collect_sorted(mk(windows=w)(df))
+        want = _collect_sorted(mk()(df))
+        assert got == want and got
+
+
+def test_dup_span_windows_hook_trim_against(spark, sf_dir, tmp_path):
+    """dup_span_trim_against over a filtered window-table slice equals
+    the standalone build (the line_dedup pin wiring: hook table must
+    cover exactly the stage input's rows)."""
+    from conduino_spark import (
+        dup_span_trim_against, dupspan_index_write)
+    from conduino_spark.operators.dedup import dup_span_window_table
+
+    docs = read_table(sf_dir, "documents").df(spark).select(
+        "doc_id", "text")
+    d = str(tmp_path / "ds_idx")
+    dupspan_index_write(docs.where(F.col("doc_id") % 2 == 0), d,
+                        window_tokens=16)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    w = dup_span_window_table(docs, 16)
+    got = _collect_sorted(
+        dup_span_trim_against(
+            d, windows=w.where(F.col("doc_id") % 2 == 1))(batch))
+    want = _collect_sorted(dup_span_trim_against(d)(batch))
+    assert got == want and got
