@@ -184,9 +184,18 @@ def bm25_join(corpus: DataFrame, k: int = 10, *,
 
     def fn(queries: DataFrame) -> DataFrame:
         post = track(build_postings(text_col, id_col)(corpus))
-        ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-        stats = corpus.agg(F.count(F.lit(1)).alias("__n"),
-                           F.avg(F.size(ctoks)).alias("__avgdl"))
+        # r16 (guide §2.2 — don't recompute what a cached table already
+        # holds): (N, avgdl) used to re-tokenize the whole corpus for
+        # avg(size(tokens)).  Σ tf over the postings IS the total token
+        # count (empty docs contribute 0 to both), and N is a plain
+        # count — so avgdl = Σtf / N bit-equals avg(dl) (token counts
+        # are exact in double, same single division) with no second
+        # tokenize pass.
+        stats = (corpus.agg(F.count(F.lit(1)).alias("__n"))
+                 .crossJoin(post.agg(F.sum("tf").alias("__tt")))
+                 .select("__n",
+                         (F.col("__tt").cast("double")
+                          / F.col("__n").cast("double")).alias("__avgdl")))
         dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
         qt = queries.select(
             F.col(query_id_col),
@@ -303,8 +312,20 @@ def phrase_search(phrase: Union[str, Sequence[str]], *,
             [(t, i) for i, t in enumerate(terms)],
             "__t string, __i int")
         toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
-        pos = (df.select(F.col(id_col),
-                         F.posexplode(toks).alias("__p", "__t")))
+        # r16 (guide §2.2/§2.3 — and what the docstring promised all
+        # along): filter to the phrase's terms BEFORE the explode.  The
+        # old plan posexploded the ENTIRE corpus token stream (one
+        # generated row per corpus token) and only then broadcast-joined
+        # the ≤ m terms, discarding almost every generated row; the
+        # (token, position) structs are now built and filtered inside
+        # the array, so only phrase-term hits are ever exploded.
+        matches = F.filter(
+            F.transform(toks, lambda t, i: F.struct(t.alias("__t"),
+                                                    i.alias("__p"))),
+            lambda s: s["__t"].isin(terms))
+        pos = (df.select(F.col(id_col), F.explode(matches).alias("__m"))
+                 .select(F.col(id_col), F.col("__m.__p").alias("__p"),
+                         F.col("__m.__t").alias("__t")))
         anchors = (pos.join(F.broadcast(tdf), "__t")
                    .select(F.col(id_col),
                            (F.col("__p") - F.col("__i")).alias("__a"),
