@@ -377,6 +377,14 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
         # narrow signature table (n_perm longs/doc), registry-tracked
         # persist — see _band_pairs for why
         sigs = track(_minhash_sig_df(df, text_col, id_col, n_perm=n_perm))
+        # r16 (guide §5 caching): materialize the cache BEFORE the band
+        # self-join fans out.  Both join sides read it, and when their
+        # map stages launch concurrently they RACE the lazy fill — each
+        # recomputes the whole tokenize+md5 signature pipeline (observed
+        # as duplicated 6-7 s-task stages in the web_ingest /
+        # minhash_survivors profiles: 2× the most expensive pass in the
+        # operator, at any scale, for the price of one tiny count job).
+        sigs.count()
         return _band_pairs(sigs, id_col, n_perm=n_perm, bands_n=bands)
 
     return Stage(fn, name="minhash_dedup_pairs", seq_preserving=False)
