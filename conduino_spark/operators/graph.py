@@ -190,6 +190,46 @@ def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
 
+    def _driver_core(und: DataFrame, n_directed: int, spark) -> DataFrame:
+        """Driver fast path (r16, the _cc_min_label posture): the SAME
+        parallel peeling, vectorized over the collected directed edge
+        arrays — one np.bincount per round IS the degree aggregate.
+        Iteration count and raise boundary mirror the distributed loop
+        exactly; the k-core is unique, so the result cannot differ."""
+        import numpy as np
+        dt = dict(und.dtypes)["a"]
+        pdf = und.toPandas()
+        sd = np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
+        verts, inv = np.unique(sd, return_inverse=True)
+        n = len(verts)
+        s, d = inv[:len(pdf)], inv[len(pdf):]
+        active = np.ones(len(pdf), dtype=bool)
+        n_edges = n_directed
+        import pandas as pd
+
+        def survivors(mask):
+            kept = np.unique(np.concatenate([s[mask], d[mask]]))
+            return spark.createDataFrame(
+                pd.DataFrame({"id": verts[kept]}), schema=f"id {dt}")
+
+        for _ in range(max_iters):
+            if n_edges == 0:
+                break
+            deg = np.bincount(s[active], minlength=n)
+            keepv = deg >= k
+            nxt = active & keepv[s] & keepv[d]
+            n_next = int(nxt.sum())
+            if n_next == n_edges:
+                return survivors(active)
+            active, n_edges = nxt, n_next
+            if n_edges == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"k_core: no fixpoint after {max_iters} rounds — raise "
+                f"max_iters (peeling depth exceeds the bound)")
+        return survivors(active)  # peeled empty: empty core
+
     def fn(df: DataFrame) -> DataFrame:
         e = df.drop(SEQ) if SEQ in df.columns else df
         a, b = F.col(src), F.col(dst)
@@ -204,6 +244,9 @@ def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
         # (r15 job-count trim, guide §2.4)
         und = und.localCheckpoint(eager=False)
         n_edges = und.count()
+        from conduino_spark.operators.dedup import _graph_driver_budget
+        if n_edges <= 2 * _graph_driver_budget():
+            return _driver_core(und, n_edges, df.sparkSession)
         for it in range(max_iters):
             if n_edges == 0:
                 break

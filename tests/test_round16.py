@@ -146,3 +146,58 @@ def test_dup_span_windows_hook_trim_against(spark, sf_dir, tmp_path):
             d, windows=w.where(F.col("doc_id") % 2 == 1))(batch))
     want = _collect_sorted(dup_span_trim_against(d)(batch))
     assert got == want and got
+
+
+def test_graph_driver_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """The budgeted driver fast paths for CC min-label and k-core
+    compute the SAME unique fixpoints as the distributed loops — forced
+    branch comparison on the real near-dup pair graph (env budget 0
+    pins the distributed loop; the default budget takes the driver
+    path at this scale)."""
+    from conduino_spark import k_core, read_table
+    from conduino_spark.operators.dedup import (
+        _cc_min_label, minhash_dedup_pairs)
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    pairs = minhash_dedup_pairs()(docs).cache()
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
+        dist_cc = {(r.id, r.lbl) for r in _cc_min_label(pairs).collect()}
+        dist_core = {r.id for r in
+                     k_core(2)(pairs.select("id_a", "id_b")).collect()}
+        monkeypatch.delenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES")
+        drv_cc = {(r.id, r.lbl) for r in _cc_min_label(pairs).collect()}
+        drv_core = {r.id for r in
+                    k_core(2)(pairs.select("id_a", "id_b")).collect()}
+        assert drv_cc == dist_cc and drv_cc
+        assert drv_core == dist_core
+    finally:
+        pairs.unpersist()
+
+
+def test_graph_driver_path_raise_parity(spark, monkeypatch):
+    """The driver paths keep the bounded-iteration contract at the SAME
+    boundary as the distributed loops (including the 2-round-batch
+    parity at diameter max_iters + 1) — chains probed on both branches
+    must agree raise-for-raise, accept-for-accept."""
+    import pytest as _pt
+    from conduino_spark.operators.dedup import _cc_min_label
+
+    def outcome(n_chain, max_iters):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n_chain)],
+            "id_a long, id_b long")
+        try:
+            res = _cc_min_label(pairs, max_iters=max_iters)
+            return ("ok", tuple(sorted((r.id, r.lbl)
+                                       for r in res.collect())))
+        except RuntimeError:
+            return ("raise", None)
+
+    for n_chain in (3, 4, 5, 6, 7):
+        for mi in (1, 2, 3):
+            monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
+            dist = outcome(n_chain, mi)
+            monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "2000000")
+            drv = outcome(n_chain, mi)
+            assert drv == dist, (n_chain, mi, drv[0], dist[0])
