@@ -435,6 +435,53 @@ def kcenter_select(df: DataFrame, k: int = 8, *,
                          "(NULL ids/vectors are excluded)")
     sc = float(scale)
 
+    # r16 (the _cc_min_label driver-budget posture): the greedy loop is
+    # k−1 dependent driver round-trips — each a full plan build over
+    # k·dim literals plus a max-struct job, for milliseconds of compute
+    # at small n.  Under an env-tunable cell budget
+    # (SPARK_GRAFT_KCENTER_DRIVER_CELLS; 32M cells ≈ 256 MB numpy —
+    # bounded driver memory) the SAME greedy runs vectorized on the
+    # collected matrix: per-term HALF-AWAY-FROM-ZERO rounding to int64
+    # (floor(v+0.5) on the non-negative squares — the r15 coarse-ranking
+    # convention, bit-equal to F.round), exact int64 sums and carried
+    # minima, identical (mind desc, id asc) tie rule.  Past the budget
+    # — any real corpus — the distributed carried-minimum loop below
+    # runs unchanged; law test forces both branches.
+    import os
+    cells = int(os.environ.get("SPARK_GRAFT_KCENTER_DRIVER_CELLS",
+                               "32000000"))
+    n_rows = base.count()
+    if n_rows * max(len(seed["__v"]), 1) <= cells:
+        import numpy as np
+        pdf = base.toPandas()
+        base.unpersist()
+        ids = pdf["__id"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy())
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+
+        def dist_np(c):
+            t = (V - c)
+            return (np.floor(t * t * sc + 0.5)
+                    .astype(np.int64).sum(axis=1))
+
+        picks = [(ids[0].item(), 1, 0)]
+        # exclusion is BY ID VALUE (the distributed isin filter), so a
+        # duplicated id drops every row carrying it
+        picked = ids == ids[0]
+        mind = dist_np(V[0])
+        for rnd in range(2, k + 1):
+            if picked.all():
+                break                        # fewer than k rows
+            m = np.where(picked, np.int64(-1), mind)
+            bi = int(np.argmax(m))           # argmax returns FIRST max
+            # ids ascending => first max is the lowest-id tie winner
+            picks.append((ids[bi].item(), rnd, int(mind[bi])))
+            picked |= ids == ids[bi]
+            if rnd < k:
+                mind = np.minimum(mind, dist_np(V[bi]))
+        return picks
+
     def dist_to(center):
         cl = F.array(*[F.lit(float(x)) for x in center])
         return F.aggregate(

@@ -201,3 +201,19 @@ def test_graph_driver_path_raise_parity(spark, monkeypatch):
             monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "2000000")
             drv = outcome(n_chain, mi)
             assert drv == dist, (n_chain, mi, drv[0], dist[0])
+
+
+def test_kcenter_driver_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """kcenter_select's budgeted driver path returns the SAME picks,
+    rounds and selection distances as the distributed carried-minimum
+    loop (exact scaled-long distances, (mind desc, id asc) ties)."""
+    from conduino_spark import kcenter_select, read_table
+
+    emb = read_table(sf_dir, "embeddings").df(spark)
+    monkeypatch.setenv("SPARK_GRAFT_KCENTER_DRIVER_CELLS", "0")
+    dist = kcenter_select(emb, k=6)
+    monkeypatch.delenv("SPARK_GRAFT_KCENTER_DRIVER_CELLS")
+    drv = kcenter_select(emb, k=6)
+    assert [(int(i), int(r), int(m)) for i, r, m in drv] \
+        == [(int(i), int(r), int(m)) for i, r, m in dist]
+    assert len(drv) == 6
