@@ -2632,10 +2632,16 @@ def q_web_ingest_pipeline(spark, sf):
                  F.coalesce(F.col("text"), F.lit("")),
                  F.lit("</p><!-- note\r\n --></body></html>"))
          .alias("text"))
+    # r16 (VERDICT r15 #5, guide §2.4): minhash_dedup's signing pass
+    # _spreads by repartition whenever its input is not a scan — here
+    # the input is the already-32-way-parallel filtered chain, so the
+    # spread was a gratuitous full raw-TEXT Exchange (at scale: a full
+    # corpus shuffle).  spread=False removes it; partitioning-only,
+    # results identical.
     p = (from_dataframe(wrapped)
          | strip_html()
          | corpus_filter(keep_only=True)
-         | minhash_dedup()
+         | minhash_dedup(spread=False)
          | chunk_text(64, 16)
          | pack_chunks(512)
          | sink_df())

@@ -118,13 +118,22 @@ def _spread(df: DataFrame, key: Optional[str]) -> DataFrame:
     return df.repartition(target, key) if key else df.repartition(target)
 
 
-def _shingle_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str,
+                    spread: bool = True) -> DataFrame:
     """(id, __h) — one row per distinct shingle hash per doc (md5 runs
     exactly once per shingle); docs with no shingles keep a NULL row
     (``explode_outer``).  The shared base for MinHash signatures AND
     exact-Jaccard verification — persist it so one tokenize+md5 pass
-    over the corpus feeds both."""
-    return _spread(df, id_col).select(
+    over the corpus feeds both.
+
+    ``spread=False`` skips the :func:`_spread` repartition — for
+    callers whose input is a MID-PIPELINE frame that is already
+    well-partitioned (r16: _spread cannot see plan partitioning, only
+    scan files, so a non-scan input always paid a full raw-TEXT
+    Exchange here; at scale that is a gratuitous corpus shuffle).
+    Partitioning-only: results are identical either way."""
+    base = _spread(df, id_col) if spread else df
+    return base.select(
         F.col(id_col),
         F.explode_outer(F.transform(shingles_col(F.col(text_col)), h32)).alias("__h"))
 
@@ -148,10 +157,12 @@ def _sig_from_hashes(h: DataFrame, id_col: str, *,
 
 
 def _minhash_sig_df(df: DataFrame, text_col: str, id_col: str, *,
-                    n_perm: int = MINHASH_K) -> DataFrame:
+                    n_perm: int = MINHASH_K,
+                    spread: bool = True) -> DataFrame:
     """(id, sig array) via explode + ONE hash-aggregate."""
-    return _sig_from_hashes(_shingle_hashes(df, text_col, id_col), id_col,
-                            n_perm=n_perm)
+    return _sig_from_hashes(
+        _shingle_hashes(df, text_col, id_col, spread=spread), id_col,
+        n_perm=n_perm)
 
 
 def _band_key_cols(n_perm: int, bands: int) -> "list[str]":
@@ -364,7 +375,8 @@ def minhash_signatures(text_col: str = "text", id_col: str = "doc_id", *,
 
 def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
                         n_perm: int = MINHASH_K,
-                        bands: int = MINHASH_BANDS) -> Stage:
+                        bands: int = MINHASH_BANDS,
+                        spread: bool = True) -> Stage:
     """Candidate near-dup pairs by MinHash LSH banding: docs sharing at
     least one (band_id, packed band key) bucket.  Returns distinct
     (id_a < id_b) pairs.
@@ -376,7 +388,8 @@ def minhash_dedup_pairs(text_col: str = "text", id_col: str = "doc_id", *,
     def fn(df: DataFrame) -> DataFrame:
         # narrow signature table (n_perm longs/doc), registry-tracked
         # persist — see _band_pairs for why
-        sigs = track(_minhash_sig_df(df, text_col, id_col, n_perm=n_perm))
+        sigs = track(_minhash_sig_df(df, text_col, id_col, n_perm=n_perm,
+                                     spread=spread))
         # r16 (guide §5 caching): materialize the cache BEFORE the band
         # self-join fans out.  Both join sides read it, and when their
         # map stages launch concurrently they RACE the lazy fill — each
@@ -573,7 +586,8 @@ def minhash_index_dedup(path: str, *, text_col: str = "text",
 def minhash_dedup(text_col: str = "text", id_col: str = "doc_id", *,
                   pairs: "DataFrame | None" = None,
                   n_perm: int = MINHASH_K,
-                  bands: int = MINHASH_BANDS) -> Stage:
+                  bands: int = MINHASH_BANDS,
+                  spread: bool = True) -> Stage:
     """MinHash-LSH dedup: drop every doc that is LSH-similar to a
     lower-id doc (connected-component-free greedy rule: survivor = not
     the larger id of any candidate pair).
@@ -584,7 +598,7 @@ def minhash_dedup(text_col: str = "text", id_col: str = "doc_id", *,
     auditing with :func:`minhash_eval`): sign and band the corpus
     ONCE, persist the narrow pair table, share it."""
     pairs_stage = minhash_dedup_pairs(text_col, id_col, n_perm=n_perm,
-                                      bands=bands)
+                                      bands=bands, spread=spread)
 
     def fn(df: DataFrame) -> DataFrame:
         p = pairs if pairs is not None else pairs_stage(df)

@@ -279,6 +279,91 @@ def k_core(k: int, src: str = "id_a", dst: str = "id_b", *,
     return Stage(fn, name=f"{name}(k={k})", seq_preserving=False)
 
 
+def _lp_driver(nodes: DataFrame, sym: DataFrame, label_col: str,
+               id_col: str, iters: int, out: str,
+               spark) -> "DataFrame | None":
+    """Driver fast path for :func:`label_propagation` (the
+    _cc_min_label budget posture): the clamped-majority rounds run
+    vectorized over the collected edge arrays — one ``np.add.at`` into
+    a (vertex × label) vote matrix IS the per-round weighted vote
+    aggregate; ``argmax`` row-wise with order-preserving label codes
+    reproduces the "max count, ties to the smallest label" struct-min
+    exactly (np.unique sorts, so smaller code == lexicographically
+    smaller label, and argmax returns the FIRST maximum).  Only the
+    EDGE VERTICES' seed labels are collected (propagation can only
+    reach them — everything else keeps its seed/NULL by the recompute-
+    from-scratch semantics); the result re-attaches distributively as
+    one broadcast join, so the nodes table itself never moves.
+    Returns None to decline (NULL ids/weights, duplicate ids among the
+    edge vertices, or a label alphabet too wide for the dense vote
+    matrix) — the distributed loop then runs unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    epdf = sym.toPandas()
+    if epdf.isnull().values.any():
+        return None
+    sd = np.concatenate([epdf["__s"].to_numpy(), epdf["__d"].to_numpy()])
+    verts, inv = np.unique(sd, return_inverse=True)
+    n = len(verts)
+    s, d = inv[:len(epdf)], inv[len(epdf):]
+    w = epdf["__w"].to_numpy()
+    # seed labels for the edge vertices only (bounded by the budget)
+    dt = dict(sym.dtypes)["__s"]
+    vdf = spark.createDataFrame(pd.DataFrame({"__vid": verts}),
+                                schema=f"__vid {dt}")
+    spdf = (nodes.select(F.col(id_col).alias("__vid"),
+                         F.col(label_col).cast("string").alias("__seed"))
+                 .join(F.broadcast(vdf), "__vid").toPandas())
+    if len(spdf) != n or spdf["__vid"].duplicated().any():
+        return None  # duplicate/missing ids — keep exact distributed path
+    order = np.searchsorted(verts, spdf["__vid"].to_numpy())
+    seed = np.full(n, None, dtype=object)
+    seed[order] = spdf["__seed"].to_numpy()
+    labels_all = np.array(sorted({x for x in seed if x is not None}),
+                          dtype=object)
+    nl = len(labels_all)
+    if nl == 0:
+        # no seeds anywhere near the graph: every pick is NULL
+        prop = seed.copy()
+    else:
+        if n * nl > 256_000_000:
+            return None  # dense vote matrix would not be driver-sized
+        code = {l: i for i, l in enumerate(labels_all)}
+        seed_code = np.array([code[x] if x is not None else -1
+                              for x in seed], dtype=np.int64)
+        cur = seed_code.copy()
+        lo = np.iinfo(np.int64).min
+        for _ in range(iters):
+            votes = np.zeros((n, nl), dtype=np.int64)
+            nvote = np.zeros((n, nl), dtype=np.int64)
+            labeled = cur[s] >= 0
+            np.add.at(votes, (d[labeled], cur[s][labeled]), w[labeled])
+            np.add.at(nvote, (d[labeled], cur[s][labeled]), 1)
+            # a (vertex, label) candidate EXISTS whenever any labeled
+            # neighbour voted, even with zero/negative weight sums —
+            # the distributed groupBy emits the row either way
+            masked = np.where(nvote > 0, votes, lo)
+            got = nvote.max(axis=1) > 0
+            pick = np.where(got, masked.argmax(axis=1), -1)
+            cur = np.where(seed_code >= 0, seed_code, pick)
+        prop = np.where(cur >= 0, labels_all[np.clip(cur, 0, None)],
+                        None)
+    pout = pd.DataFrame({"__vid": verts, "__lpv": prop})
+    prop_df = spark.createDataFrame(pout,
+                                    schema=f"__vid {dt}, __lpv string")
+    joined = nodes.join(
+        F.broadcast(prop_df.withColumnRenamed("__vid", id_col)),
+        id_col, "left")
+    # NULL-id node rows never match the distributed loop's final join,
+    # so their out column is NULL even when seeded — replicate exactly
+    return joined.select(
+        *nodes.columns,
+        F.when(F.col(id_col).isNotNull(),
+               F.coalesce(F.col(label_col).cast("string"),
+                          F.col("__lpv"))).alias(out))
+
+
 def label_propagation(edges: Union[DataFrame, Source],
                       label_col: str = "label", id_col: str = "id", *,
                       iters: int = 5,
@@ -340,6 +425,16 @@ def label_propagation(edges: Union[DataFrame, Source],
         sym = track(base_e.unionByName(
             base_e.select(F.col("__d").alias("__s"),
                           F.col("__s").alias("__d"), "__w")))
+        # r16: the count materializes the cache before the unrolled
+        # rounds fan out over it (the minhash sig-cache fill-race fix)
+        # AND gates the driver fast path
+        n_directed = sym.count()
+        from conduino_spark.operators.dedup import _graph_driver_budget
+        if n_directed <= 2 * _graph_driver_budget():
+            out_df = _lp_driver(nodes, sym, label_col, id_col, iters,
+                                out, nodes.sparkSession)
+            if out_df is not None:
+                return out_df
         seeds = nodes.select(F.col(id_col).alias("__id"),
                              F.col(label_col).cast("string")
                              .alias("__seed")).localCheckpoint(eager=False)

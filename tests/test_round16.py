@@ -217,3 +217,54 @@ def test_kcenter_driver_path_equals_distributed(spark, sf_dir, monkeypatch):
     assert [(int(i), int(r), int(m)) for i, r, m in drv] \
         == [(int(i), int(r), int(m)) for i, r, m in dist]
     assert len(drv) == 6
+
+
+def test_lp_driver_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """label_propagation's budgeted driver path equals the distributed
+    unrolled rounds — clamped seeds, weighted votes (incl. zero and
+    negative weights), NULL-label voters, the (count desc, label asc)
+    tie rule, NULL-id node rows, and unlabeled components."""
+    from conduino_spark import label_propagation, read_table
+    from conduino_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    edges = minhash_dedup_pairs()(docs).select("id_a", "id_b").cache()
+    nodes = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.col("lang")).alias("label"))
+
+    def run(env):
+        if env is None:
+            monkeypatch.delenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES",
+                               raising=False)
+        else:
+            monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", env)
+        st = label_propagation(edges, "label", "doc_id", iters=4)
+        return sorted(((r.doc_id, r.label, r.label_prop)
+                       for r in st(nodes).collect()),
+                      key=lambda t: (t[0] is None, t[0]))
+
+    try:
+        assert run("0") == run(None) and run(None)
+    finally:
+        edges.unpersist()
+
+    # synthetic edge semantics: weighted ties, NULL ids, negative votes
+    e2 = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 2, 1.0), (4, 2, -0.5), (5, 6, 0.0),
+         (None, 7, 1.0)],
+        "a long, b long, w double")
+    n2 = spark.createDataFrame(
+        [(1, "b"), (3, "a"), (4, "c"), (5, "z"), (2, None), (6, None),
+         (7, None), (None, "q"), (9, None)],
+        "doc_id long, label string")
+
+    def run2(env):
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", env)
+        st = label_propagation(e2, "label", "doc_id", iters=3,
+                               weight_col="w")
+        return sorted(((r.doc_id, r.label_prop)
+                       for r in st(n2).collect()),
+                      key=lambda t: (t[0] is None, t[0]))
+
+    assert run2("0") == run2("2000000")
