@@ -184,18 +184,17 @@ def bm25_join(corpus: DataFrame, k: int = 10, *,
 
     def fn(queries: DataFrame) -> DataFrame:
         post = track(build_postings(text_col, id_col)(corpus))
-        # r16 (guide §2.2 — don't recompute what a cached table already
-        # holds): (N, avgdl) used to re-tokenize the whole corpus for
-        # avg(size(tokens)).  Σ tf over the postings IS the total token
-        # count (empty docs contribute 0 to both), and N is a plain
-        # count — so avgdl = Σtf / N bit-equals avg(dl) (token counts
-        # are exact in double, same single division) with no second
-        # tokenize pass.
-        stats = (corpus.agg(F.count(F.lit(1)).alias("__n"))
-                 .crossJoin(post.agg(F.sum("tf").alias("__tt")))
-                 .select("__n",
-                         (F.col("__tt").cast("double")
-                          / F.col("__n").cast("double")).alias("__avgdl")))
+        # r16 A/B, REJECTED (§1.3): deriving (N, avgdl) from the cached
+        # postings (avgdl = Σtf/N — bit-equal, one less corpus tokenize
+        # pass) measured 1.69 → 2.58 s on the pin: the stats broadcast
+        # then CHAINS behind (and races) the postings cache fill,
+        # while this corpus-scan formulation builds CONCURRENTLY with
+        # it and the cores absorb the extra pass.  An eager post.count()
+        # recovered only half (2.10 s).  Reverted — the independent
+        # scan's task-time is the price of the shorter critical path.
+        ctoks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+        stats = corpus.agg(F.count(F.lit(1)).alias("__n"),
+                           F.avg(F.size(ctoks)).alias("__avgdl"))
         dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
         qt = queries.select(
             F.col(query_id_col),
