@@ -132,6 +132,60 @@ def logreg_epoch_update(grads: Sequence[int], n: int, w: List[float],
     return ([w[i] - lr * gw[i] for i in range(d)], b - lr * gb)
 
 
+def _logreg_driver(feat: DataFrame, d: int, n: int, iters: int,
+                   lr: float, l2: float, term_scale: int,
+                   track_loss: bool,
+                   feature_cols: "List[str]") -> "LogRegModel | None":
+    """Driver fast path for :func:`logreg_train` (the _cc_min_label
+    budget posture): the full-batch gradient epochs run vectorized
+    over the collected feature matrix instead of one driver-
+    synchronous aggregate collect per epoch.  The per-row arithmetic
+    replays the Spark expression tree operation-for-operation
+    (left-to-right z accumulation, (err·x)·scale multiply order,
+    HALF-AWAY-FROM-ZERO rounding to int64 — the _hround convention),
+    the gradient terms are the same exact integers, and the weight
+    update goes through the SAME :func:`logreg_epoch_update` both
+    paths share with the DuckDB replay.  ``exp``/``log1p`` ride each
+    engine's libm exactly as the established JVM↔DuckDB two-path law
+    already does — differences are absorbed by the 1e6-term rounding.
+    Returns None to decline (NaN features — the distributed path keeps
+    its exact NaN semantics there)."""
+    import numpy as np
+
+    pdf = feat.toPandas()
+    X = pdf[[f"__x{i}" for i in range(d)]].to_numpy(dtype=np.float64)
+    y = pdf["__y"].to_numpy(dtype=np.float64)
+    if np.isnan(X).any() or np.isnan(y).any():
+        return None
+
+    def hround_sum(v):
+        r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        return int(r.astype(np.int64).sum())
+
+    w = [0.0] * d
+    b = 0.0
+    history: List[float] = []
+    for _ in range(iters):
+        z = np.full(n, b)
+        for i in range(d):
+            z = z + w[i] * X[:, i]
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        grads = [hround_sum((err * X[:, i]) * term_scale)
+                 for i in range(d)]
+        grads.append(hround_sum(err * term_scale))
+        if track_loss:
+            ll = ((np.maximum(z, 0.0) - y * z)
+                  + np.log1p(np.exp(-np.abs(z))))
+            history.append(round(hround_sum(ll * term_scale)
+                                 / term_scale / n, 6))
+        w, b = logreg_epoch_update(grads, n, w, b, lr, l2, term_scale)
+    return LogRegModel(weights=[round(x, 12) for x in w],
+                       intercept=round(b, 12), n=n,
+                       feature_cols=feature_cols,
+                       loss_history=history)
+
+
 def logreg_train(df: DataFrame, feature_cols: Sequence[str],
                  label_col: str, *, iters: int = 20, lr: float = 1.0,
                  l2: float = 0.0, term_scale: int = TERM_SCALE,
@@ -159,6 +213,20 @@ def logreg_train(df: DataFrame, feature_cols: Sequence[str],
     cache_mark = mark()
     feat = track(feat)
     try:
+        # r16: budgeted driver fast path — the count gates it AND
+        # materializes the cache the epochs read either way
+        import os
+        cells = int(os.environ.get("SPARK_GRAFT_LOGREG_DRIVER_CELLS",
+                                   "32000000"))
+        n_gate = feat.count()
+        if n_gate == 0:
+            raise ValueError("logreg_train: no complete rows")
+        if n_gate * (d + 1) <= cells:
+            model = _logreg_driver(feat, d, n_gate, iters, lr, l2,
+                                   term_scale, track_loss,
+                                   feature_cols)
+            if model is not None:
+                return model
         w = [0.0] * d
         b = 0.0
         n: Optional[int] = None

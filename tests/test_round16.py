@@ -268,3 +268,33 @@ def test_lp_driver_path_equals_distributed(spark, sf_dir, monkeypatch):
                       key=lambda t: (t[0] is None, t[0]))
 
     assert run2("0") == run2("2000000")
+
+
+def test_logreg_driver_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """logreg_train's budgeted driver path reproduces the distributed
+    trajectory exactly: same integer gradient terms through the shared
+    epoch update, same weights/intercept/loss history."""
+    from conduino_spark import (
+        QUALITY_FEATURES, logreg_train, quality_features, read_table)
+    import __spark_entry__ as entry
+
+    docs = read_table(sf_dir, "documents").df(spark)
+    fx = quality_features("text")
+    feats = docs.select(
+        *[fx[k].alias(k) for k in QUALITY_FEATURES],
+        (F.lit(0.25) * (fx["len_ok"] + fx["alpha_ratio"]
+                        + fx["stop_sig"] + fx["punct_ok"])
+         >= entry.LOGREG_THRESH).cast("int").alias("label")).cache()
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_LOGREG_DRIVER_CELLS", "0")
+        dist = logreg_train(feats, list(QUALITY_FEATURES), "label",
+                            iters=6, lr=entry.LOGREG_LR)
+        monkeypatch.delenv("SPARK_GRAFT_LOGREG_DRIVER_CELLS")
+        drv = logreg_train(feats, list(QUALITY_FEATURES), "label",
+                           iters=6, lr=entry.LOGREG_LR)
+        assert drv.weights == dist.weights
+        assert drv.intercept == dist.intercept
+        assert drv.n == dist.n
+        assert drv.loss_history == dist.loss_history
+    finally:
+        feats.unpersist()
